@@ -1,0 +1,67 @@
+"""Loaders for the driver-generated test tables (TESTDATA.md).
+
+Each table is one parquet file under ``{sf_dir}/{name}.parquet``. We read
+them lazily and *declaratively* (``spark.read.parquet``) so Catalyst keeps
+predicate pushdown, column pruning and partition-size planning — at 100 TB
+these would be multi-file datasets and the same call sites hold.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: All tables the driver generates (FIXTURES.md §B).
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one test table as a DataFrame (lazy parquet scan).
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects outright. We read nanos as raw int64
+    (``spark.sql.legacy.parquet.nanosAsLong``) and rebuild a
+    ``timestamp_ntz`` at microsecond precision — the same truncation DuckDB
+    applies when casting TIMESTAMP_NS → TIMESTAMP, so the oracle agrees.
+    """
+    if name not in TABLES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        from pyspark.sql import functions as F
+
+        # Integer DIV, not `/`: epoch-nanos exceed 2^53, double division
+        # would round the microsecond.
+        return df.withColumn(
+            "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)")
+        )
+    return spark.read.parquet(path)
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every test table; keys are table names."""
+    return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for the SQL API."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

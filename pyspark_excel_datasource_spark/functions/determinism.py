@@ -1,0 +1,74 @@
+"""Cross-engine numeric determinism helpers.
+
+The driver compares each Spark query against a DuckDB oracle with an
+order-insensitive *value hash* — so float results must be bit-identical, not
+just close. Floating-point aggregation order differs between engines (and
+between runs, with AQE), so raw ``SUM(double)`` can never hash-match.
+
+The testdata money columns are exact 2-decimal values (verified in
+``tools/check_grids.py``); row-wise arithmetic over them lands on a known
+decimal grid. That gives us exact strategies:
+
+- **Row-wise scalar math is safe.** IEEE ops on identical inputs give
+  identical doubles in every engine; only *aggregation* order varies.
+- **dsum(col, s)** — cast each row to ``DECIMAL(18, s)`` (exactly recovers
+  the grid value), sum in exact decimal arithmetic (order-independent),
+  present as ``DECIMAL(38, s)``. Bit-exact across engines.
+- **davg(col, s)** — exact decimal sum, cast to double, divide by count:
+  one IEEE division of identical operands → identical double.
+- **dround(col, s)** — for genuinely irrational aggregates (stddev, corr,
+  geometric means): round to ``s`` decimals and cast to ``DECIMAL(38, s)``.
+  Deterministic unless the true value sits within ~1e-12 of a rounding
+  boundary (negligible for the testdata distributions).
+
+Every helper has a mirrored SQL spelling (``sql_*``) used in the DuckDB
+oracle strings so both sides compute the same thing the same way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dsum(col: Column | str, scale: int = 2) -> Column:
+    """Order-independent exact sum of a fixed-scale numeric column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast(f"decimal(38,{scale})")
+
+
+def sql_dsum(expr: str, scale: int = 2) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DECIMAL(38,{scale}))"
+
+
+def davg(col: Column | str, scale: int = 2) -> Column:
+    """Bit-exact cross-engine average: exact decimal sum / count, in double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double") / F.count(c)
+
+
+def sql_davg(expr: str, scale: int = 2) -> str:
+    return (
+        f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+        f" / COUNT({expr})"
+    )
+
+
+def dround(col: Column | str, scale: int = 6) -> Column:
+    """Round-then-decimal for aggregates with engine-specific fp accumulation."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c, scale).cast(f"decimal(38,{scale})")
+
+
+def sql_dround(expr: str, scale: int = 6) -> str:
+    return f"CAST(ROUND({expr}, {scale}) AS DECIMAL(38,{scale}))"
+
+
+def bigsum(col: Column | str) -> Column:
+    """Integer sum presented as BIGINT (DuckDB sums integers as HUGEINT)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c).cast("long")
+
+
+def sql_bigsum(expr: str) -> str:
+    return f"CAST(SUM({expr}) AS BIGINT)"
