@@ -1,0 +1,317 @@
+"""Scalar function suite (SURVEY.md §2.3 M2): string / date / math /
+conditional / array / JSON / map expression families.
+
+The reference's only type-level function surface is its pandas-dtype →
+Spark-type map (reference ``connector.py:23-44``); every scalar capability
+below is what its users reach through Spark after loading. All expressions
+here are built-in ``pyspark.sql.functions`` — JVM-side, inside whole-stage
+codegen, no Python in the hot path.
+
+Cross-engine notes (Spark vs DuckDB oracle):
+
+- regex patterns kept to the common Java/RE2 subset;
+- ``log`` means natural log in Spark but base-10 in DuckDB → oracle uses
+  ``ln``;
+- ``ceil/floor`` return BIGINT in Spark, DOUBLE in DuckDB → cast;
+- ``dayofweek`` is 1=Sunday in Spark, 0=Sunday in DuckDB → normalize;
+- transcendentals (pow/exp/log) may differ by 1 ulp between libm
+  implementations → dround.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.determinism import dround, sql_dround
+from ..plans.registry import query
+
+
+@query(
+    "q_fn_string",
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_name) AS name_upper,
+           LOWER(c_mktsegment) AS seg_lower,
+           SUBSTR(c_name, 1, 8) AS name_prefix,
+           CAST(LENGTH(c_name) AS INT) AS name_len,
+           TRIM(CONCAT('  ', c_name, '  ')) AS name_trimmed,
+           CONCAT(c_name, '#', c_mktsegment) AS name_seg,
+           REPLACE(c_name, 'Customer', 'Cust') AS name_short,
+           REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS name_digits,
+           CONTAINS(c_name, '001') AS has_001,
+           LPAD(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded
+    FROM customer
+    """,
+)
+def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function family over customer names."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit("  "))).alias(
+            "name_trimmed"
+        ),
+        F.concat(F.col("c_name"), F.lit("#"), F.col("c_mktsegment")).alias("name_seg"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias(
+            "name_short"
+        ),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("name_digits"),
+        F.contains(F.col("c_name"), F.lit("001")).alias("has_001"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+    )
+
+
+@query(
+    "q_fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(YEAR(o_orderdate) AS INT) AS order_year,
+           CAST(MONTH(o_orderdate) AS INT) AS order_month,
+           CAST(DAY(o_orderdate) AS INT) AS order_day,
+           CAST(QUARTER(o_orderdate) AS INT) AS order_quarter,
+           CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+           CAST(DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '2000-01-01')
+                AS INT) AS days_to_y2k,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+               AS plus_3_months,
+           LAST_DAY(CAST(o_orderdate AS DATE)) AS month_end,
+           STRFTIME(o_orderdate, '%Y-%m-%d') AS date_str
+    FROM orders
+    """,
+)
+def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function family over order dates (NTZ timestamps)."""
+    o = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.to_date(d).alias("order_date"),
+        F.year(d).alias("order_year"),
+        F.month(d).alias("order_month"),
+        F.dayofmonth(d).alias("order_day"),
+        F.quarter(d).cast("int").alias("order_quarter"),
+        F.to_date(F.date_trunc("month", d)).alias("month_start"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.to_date(d))
+        .cast("int")
+        .alias("days_to_y2k"),
+        F.add_months(F.to_date(d), 3).alias("plus_3_months"),
+        F.last_day(F.to_date(d)).alias("month_end"),
+        F.date_format(d, "yyyy-MM-dd").alias("date_str"),
+    )
+
+
+@query(
+    "q_fn_math",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice, 1) AS price_rounded,
+           ABS(l_discount - 0.05) AS disc_dev,
+           CAST(CEIL(l_extendedprice / 1000.0) AS BIGINT) AS price_k_ceil,
+           CAST(FLOOR(l_extendedprice / 1000.0) AS BIGINT) AS price_k_floor,
+           {sql_dround('POW(1.0 + l_discount, 2)', 10)} AS growth_sq,
+           CAST(CAST(l_quantity AS BIGINT) % 7 AS BIGINT) AS qty_mod7,
+           {sql_dround('LN(l_extendedprice)', 10)} AS price_ln,
+           {sql_dround('LOG(l_extendedprice)', 10)} AS price_log10,
+           SQRT(l_quantity) AS qty_sqrt,
+           CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS disc_sign,
+           GREATEST(l_discount, l_tax) AS max_rate,
+           LEAST(l_discount, l_tax) AS min_rate
+    FROM lineitem
+    WHERE l_orderkey <= 2000
+    """,
+)
+def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function family. sqrt/abs/sign are IEEE-exact cross-engine;
+    pow/ln/log10 go through libm → rounded (dround)."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_rounded"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil(F.col("l_extendedprice") / 1000.0).cast("long").alias("price_k_ceil"),
+        F.floor(F.col("l_extendedprice") / 1000.0).cast("long").alias("price_k_floor"),
+        dround(F.pow(F.lit(1.0) + F.col("l_discount"), 2), 10).alias("growth_sq"),
+        (F.col("l_quantity").cast("long") % 7).cast("long").alias("qty_mod7"),
+        dround(F.log(F.col("l_extendedprice")), 10).alias("price_ln"),
+        dround(F.log10(F.col("l_extendedprice")), 10).alias("price_log10"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+    )
+
+
+@query(
+    "q_fn_cond",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0.0 THEN 'debt'
+                WHEN c_acctbal < 5000.0 THEN 'low'
+                WHEN c_acctbal < 9000.0 THEN 'mid'
+                ELSE 'high' END AS bal_tier,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'DEFAULT') AS seg_or_default,
+           NULLIF(c_nationkey, 0) AS nation_or_null,
+           IFNULL(NULLIF(c_nationkey, 0), -1) AS nation_filled,
+           IF(c_acctbal >= 0.0, 'credit', 'debit') AS bal_kind
+    FROM customer
+    """,
+)
+def q_fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN / coalesce / nullif / nvl / if."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0.0, "debt")
+        .when(F.col("c_acctbal") < 5000.0, "low")
+        .when(F.col("c_acctbal") < 9000.0, "mid")
+        .otherwise("high")
+        .alias("bal_tier"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("DEFAULT"))
+        .alias("seg_or_default"),
+        F.nullif(F.col("c_nationkey"), F.lit(0)).alias("nation_or_null"),
+        F.nvl(F.nullif(F.col("c_nationkey"), F.lit(0)), F.lit(-1)).alias(
+            "nation_filled"
+        ),
+        F.when(F.col("c_acctbal") >= 0.0, "credit").otherwise("debit").alias(
+            "bal_kind"
+        ),
+    )
+
+
+@query(
+    "q_fn_array",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS n_tokens,
+           STRING_SPLIT(text, ' ')[1] AS first_token,
+           LIST_CONTAINS(STRING_SPLIT(text, ' '), 'spark') AS mentions_spark,
+           LIST_SORT(STRING_SPLIT(SUBSTR(text, 1, 40), ' ')) AS head_tokens_sorted
+    FROM documents
+    """,
+)
+def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function family: split/size/element/contains/sort."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_tokens"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.array_contains(toks, "spark").alias("mentions_spark"),
+        F.sort_array(F.split(F.substring("text", 1, 40), " "))
+        .cast("array<string>")  # nullable elements, matching DuckDB lists
+        .alias("head_tokens_sorted"),
+    )
+
+
+@query(
+    "q_fn_array_agg",
+    oracle="""
+    SELECT n_nationkey,
+           LIST(s_suppkey ORDER BY s_suppkey) AS supp_keys,
+           CAST(LEN(LIST(s_suppkey)) AS INT) AS n_supps
+    FROM (
+        SELECT n.n_nationkey, s.s_suppkey
+        FROM nation n JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    )
+    GROUP BY n_nationkey
+    """,
+)
+def q_fn_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array_agg / collect_list with deterministic (sorted) element order."""
+    n = table(spark, sf_dir, "nation")
+    s = table(spark, sf_dir, "supplier")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_nationkey")
+        .agg(
+            F.sort_array(F.collect_list("s_suppkey"))
+            .cast("array<bigint>")  # nullable elements, matching DuckDB lists
+            .alias("supp_keys"),
+            F.count("s_suppkey").cast("int").alias("n_supps"),
+        )
+    )
+
+
+@query(
+    "q_fn_explode",
+    oracle="""
+    SELECT doc_id, UNNEST(STRING_SPLIT(SUBSTR(text, 1, 30), ' ')) AS token
+    FROM documents
+    WHERE doc_id < 100
+    """,
+)
+def q_fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode (UNNEST) — the table-generating arm of the array family."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        F.explode(F.split(F.substring("text", 1, 30), " ")).alias("token"),
+    )
+
+
+@query(
+    "q_fn_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+           json_extract_string(props, '$.missing') AS missing_field,
+           CAST(json_valid(props) AS BOOLEAN) AS is_valid_json
+    FROM events
+    """,
+)
+def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events.props JSON-string column."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+        F.get_json_object("props", "$.missing").alias("missing_field"),
+        # Spark: a parseable json object ⇒ get_json_object('$') non-null.
+        F.get_json_object("props", "$").isNotNull().alias("is_valid_json"),
+    )
+
+
+@query(
+    "q_fn_map",
+    oracle="""
+    SELECT event_id, event_type,
+           CASE event_type
+                WHEN 'click' THEN 1.0 WHEN 'view' THEN 0.5
+                WHEN 'purchase' THEN 10.0 WHEN 'signup' THEN 5.0
+                ELSE 0.0 END::DOUBLE AS type_weight,
+           value * CASE event_type
+                WHEN 'click' THEN 1.0 WHEN 'view' THEN 0.5
+                WHEN 'purchase' THEN 10.0 WHEN 'signup' THEN 5.0
+                ELSE 0.0 END AS weighted_value
+    FROM events
+    """,
+)
+def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map creation + lookup (element_at over a literal map; the oracle
+    spells the same lookup as CASE since DuckDB map types don't survive
+    the arrow comparison canonically)."""
+    ev = table(spark, sf_dir, "events")
+    weights = F.create_map(
+        F.lit("click"), F.lit(1.0),
+        F.lit("view"), F.lit(0.5),
+        F.lit("purchase"), F.lit(10.0),
+        F.lit("signup"), F.lit(5.0),
+    )
+    weight = F.coalesce(F.element_at(weights, F.col("event_type")), F.lit(0.0))
+    return ev.select(
+        "event_id",
+        "event_type",
+        weight.alias("type_weight"),
+        (F.col("value") * weight).alias("weighted_value"),
+    )
