@@ -1,0 +1,179 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.3 M6).
+
+The reference's "custom code on executors" is its connector read path
+(reference ``connector.py:162``); the equivalent user-facing capability in a
+Spark engine is the Python UDF family. Everything here uses the Arrow-
+vectorized paths (``pandas_udf`` / ``applyInPandas`` / ``mapInPandas`` /
+Python UDTF) — never row-at-a-time Python UDFs, which serialize per row and
+are 10-100x slower at scale.
+
+Determinism across engines: inside Python we use *exact integer-cent*
+arithmetic (Python ints are arbitrary precision) so aggregates match the
+oracle's exact DECIMAL sums regardless of accumulation order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import table
+from ..plans.registry import query
+
+
+@query(
+    "q_udf_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+    FROM lineitem
+    WHERE l_quantity >= 48.0
+    """,
+)
+def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar pandas UDF (Arrow batches, numpy math).
+
+    Row-wise IEEE double math in numpy is bit-identical to the same
+    expression in any engine, so the oracle is the plain SQL formula.
+    """
+
+    @F.pandas_udf(T.DoubleType())
+    def charge_udf(
+        price: pd.Series, discount: pd.Series, tax: pd.Series
+    ) -> pd.Series:
+        return price * (1 - discount) * (1 + tax)
+
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 48.0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        charge_udf("l_extendedprice", "l_discount", "l_tax").alias("charge"),
+    )
+
+
+@query(
+    "q_udaf_grouped",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,2)))
+                AS DECIMAL(38,2)) AS total_weighted_cents_amt,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,2)))
+                AS DOUBLE) / CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                AS DOUBLE) AS weighted_avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map UDAF via ``applyInPandas``: quantity-weighted average
+    price per return flag.
+
+    Python-side exact arithmetic: price*qty is rounded to integer cents
+    (exact — the true product is on the 2-dp grid) and summed as Python
+    ints, so the result is identical to the oracle's DECIMAL sum no matter
+    how Spark orders or splits groups. Each group must fit in one pandas
+    frame — fine for low-cardinality keys; high-cardinality UDAFs should
+    use pandas_udf GROUPED_AGG instead (streamed per group).
+    """
+
+    out_schema = T.StructType(
+        [
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("total_weighted_cents_amt", T.DecimalType(38, 2)),
+            T.StructField("total_qty", T.LongType()),
+            T.StructField("weighted_avg_price", T.DoubleType()),
+        ]
+    )
+
+    def weighted_avg(pdf: pd.DataFrame) -> pd.DataFrame:
+        from decimal import Decimal
+
+        cents = (pdf["l_extendedprice"] * pdf["l_quantity"] * 100).round()
+        total_cents = int(cents.sum())  # exact: python int accumulation
+        total_qty = int(pdf["l_quantity"].sum())
+        wavg = (total_cents / 100) / total_qty
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "total_weighted_cents_amt": [Decimal(total_cents).scaleb(-2)],
+                "total_qty": [total_qty],
+                "weighted_avg_price": [wavg],
+            }
+        )
+
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").applyInPandas(weighted_avg, out_schema)
+
+
+@query(
+    "q_udtf",
+    oracle="""
+    SELECT doc_id, toks[i] AS token, CAST(i AS INT) AS pos
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents WHERE doc_id < 50),
+         LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)
+    """,
+)
+def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4): one input row → N output rows (tokenize with
+    positions). The lateral-join shape keeps it fully parallel — each
+    partition expands independently, no shuffle."""
+
+    @F.udtf(returnType="token: string, pos: int")
+    class Tokenize:
+        def eval(self, doc_id: int, text: str):  # noqa: ANN001
+            for i, tok in enumerate(text.split(" "), start=1):
+                yield tok, i
+
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    docs.createOrReplaceTempView("docs_for_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.token, t.pos
+        FROM docs_for_udtf d,
+             LATERAL tokenize_udtf(d.doc_id, d.text) t
+        """
+    )
+
+
+@query(
+    "q_udf_mapinpandas",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+           value * CAST(json_extract_string(props, '$.k') AS INT) AS scaled
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+)
+def q_udf_mapinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInPandas``: per-partition batch iterator — the pattern for
+    custom scans/decodes (and the multimodal pipeline in
+    ``operators/multimodal.py``). Arrow batches stream through Python;
+    nothing materializes whole partitions."""
+
+    def parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import json
+
+        for pdf in batches:
+            k = pdf["props"].map(lambda s: json.loads(s).get("k")).astype("int32")
+            yield pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"],
+                    "user_id": pdf["user_id"],
+                    "k_int": k,
+                    "scaled": pdf["value"] * k,
+                }
+            )
+
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return ev.mapInPandas(
+        parse_batches,
+        schema="event_id long, user_id long, k_int int, scaled double",
+    )

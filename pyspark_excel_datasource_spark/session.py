@@ -38,6 +38,8 @@ RUNTIME_CONFS: dict[str, str] = {
     # Parquet NTZ inference must stay on so timestamp[ms/ns] (isAdjustedToUTC
     # =false) columns read as TIMESTAMP_NTZ and match the DuckDB oracle.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "true",
+    # Let Python data sources (our Excel connector) receive pushed filters.
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

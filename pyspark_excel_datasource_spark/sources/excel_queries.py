@@ -1,0 +1,182 @@
+"""Connector-level queries (SURVEY.md §2.3 scans/sources/sinks).
+
+DuckDB has no xlsx reader, so correctness is checked with *bridge
+fixtures*: the same rows materialized twice — as .xlsx (read through our
+connector) and as the original parquet (read by the oracle). Fixture files
+live under ``.fixtures/`` in the repo (gitignored) and are derived
+deterministically from the testdata parquet, so Spark-vs-oracle comparison
+is exact.
+
+Reference parity: q_scan_excel ↔ R1-R6, q_scan_multifile ↔ R2 directory
+scans, q_sink_excel ↔ R9 write+readback (reference roundtrip test,
+tests/test_excel_connector.py:189-216), q_stream_discover ↔ R7/R8.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from . import minixlsx
+from .excel import register_excel
+
+_FIXTURE_ROOT = "/root/repo/.fixtures"
+
+
+def _fixture_dir(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    d = os.path.join(_FIXTURE_ROOT, tag)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _materialize_nation_xlsx(sf_dir: str) -> str:
+    """nation.parquet → nation.xlsx (single file), idempotent."""
+    out = os.path.join(_fixture_dir(sf_dir), "nation.xlsx")
+    if not os.path.exists(out):
+        frame = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+        minixlsx.write_xlsx(out, frame)
+    return out
+
+
+def _materialize_region_dir(sf_dir: str) -> str:
+    """region.parquet → one xlsx per region row-group-ish split (5 files)."""
+    out_dir = os.path.join(_fixture_dir(sf_dir), "region_multi")
+    done = os.path.join(out_dir, "_done")
+    if not os.path.exists(done):
+        os.makedirs(out_dir, exist_ok=True)
+        frame = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+        for key, part in frame.groupby("r_regionkey"):
+            minixlsx.write_xlsx(
+                os.path.join(out_dir, f"region-{key}.xlsx"), part.reset_index(drop=True)
+            )
+        open(done, "w").close()
+    return out_dir
+
+
+@query(
+    "q_scan_excel",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS nationkey,
+           n_name AS nation_name,
+           CAST(n_regionkey AS BIGINT) AS regionkey
+    FROM nation
+    """,
+)
+def q_scan_excel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-file Excel scan with schema inference (reference R1/R3/R6).
+
+    Inference maps integer columns to LongType (fixing reference quirk Q2,
+    connector.py:33-34), hence the BIGINT casts in the oracle.
+    """
+    register_excel(spark)
+    path = _materialize_nation_xlsx(sf_dir)
+    return (
+        spark.read.format("excel")
+        .option("path", path)
+        .load()
+        .select(
+            F.col("n_nationkey").alias("nationkey"),
+            F.col("n_name").alias("nation_name"),
+            F.col("n_regionkey").alias("regionkey"),
+        )
+    )
+
+
+@query(
+    "q_scan_multifile",
+    oracle="""
+    SELECT CAST(r_regionkey AS BIGINT) AS regionkey, r_name AS region_name
+    FROM region
+    """,
+)
+def q_scan_multifile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directory scan: one partition per file, rows = union of all files
+    (reference R2, connector.py:148-156)."""
+    register_excel(spark)
+    d = _materialize_region_dir(sf_dir)
+    return (
+        spark.read.format("excel")
+        .option("path", d)
+        .load()
+        .select(
+            F.col("r_regionkey").alias("regionkey"),
+            F.col("r_name").alias("region_name"),
+        )
+    )
+
+
+@query(
+    "q_sink_excel",
+    oracle="""
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey < 40
+    """,
+)
+def q_sink_excel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink roundtrip: DataFrame → staged multi-partition Excel write →
+    read back (reference R9 + roundtrip test tests:189-216; unlike the
+    reference, partitions stage separately and commit merges — no
+    last-partition-wins corruption)."""
+    register_excel(spark)
+    out = os.path.join(_fixture_dir(sf_dir), "supplier_roundtrip.xlsx")
+    src = (
+        spark.read.parquet(os.path.join(sf_dir, "supplier.parquet"))
+        .filter(F.col("s_suppkey") < 40)
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+    (
+        src.repartition(3)
+        .write.format("excel")
+        .option("path", out)
+        .mode("overwrite")
+        .save()
+    )
+    return (
+        spark.read.format("excel")
+        .schema("s_suppkey long, s_name string, s_acctbal double")
+        .option("path", out)
+        .load()
+    )
+
+
+@query(
+    "q_stream_discover",
+    oracle="""
+    SELECT CAST(r_regionkey AS BIGINT) AS regionkey, r_name AS region_name
+    FROM region
+    """,
+)
+def q_stream_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-batch file-discovery stream (reference R7/R8) drained to a
+    memory sink. Offsets are replayable file manifests — the exactly-once
+    restart behavior is asserted in tests/test_excel_streaming.py."""
+    register_excel(spark)
+    d = _materialize_region_dir(sf_dir)
+    sink = f"stream_discover_{abs(hash(sf_dir)) % 10_000}"
+    stream = (
+        spark.readStream.format("excel")
+        .schema("r_regionkey long, r_name string")
+        .option("path", d)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(sink).select(
+        F.col("r_regionkey").alias("regionkey"),
+        F.col("r_name").alias("region_name"),
+    )

@@ -1,0 +1,332 @@
+"""Minimal self-contained .xlsx codec (stdlib only: zipfile + ElementTree).
+
+The reference decodes Excel through pandas+openpyxl (reference
+``connector.py:8,185-190,319``); this environment has no openpyxl, so the
+connector ships its own small reader/writer for the OOXML SpreadsheetML
+format (ECMA-376, a public spec). When openpyxl *is* importable the
+connector prefers the pandas path (see ``excel.py``); this codec is the
+dependency-free fallback and the one exercised by the test suite here.
+
+Supported cell types: string (inline + shared), number (int/float), bool,
+datetime/date (Excel serial numbers with date number-formats). Values
+round-trip exactly: floats are serialized with ``repr`` (shortest
+round-trip), datetimes at microsecond resolution.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import re
+import zipfile
+from xml.etree import ElementTree as ET
+from xml.sax.saxutils import escape
+
+import pandas as pd
+
+_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_EPOCH = dt.datetime(1899, 12, 30)  # Excel 1900 date system epoch
+#: builtin numFmtIds that render as dates/times (ECMA-376 §18.8.30)
+_DATE_FMT_IDS = set(range(14, 23)) | set(range(45, 48))
+_DATE_FMT_CHARS = re.compile(r"[ymdhs]")
+
+
+def _col_letter(idx: int) -> str:
+    """0-based column index → A1-style letters."""
+    out = ""
+    idx += 1
+    while idx:
+        idx, rem = divmod(idx - 1, 26)
+        out = chr(ord("A") + rem) + out
+    return out
+
+
+def _col_index(ref: str) -> int:
+    """A1-style cell ref → 0-based column index."""
+    n = 0
+    for ch in ref:
+        if ch.isdigit():
+            break
+        n = n * 26 + (ord(ch) - ord("A") + 1)
+    return n - 1
+
+
+def _serial(value: dt.datetime | dt.date) -> float:
+    if isinstance(value, dt.datetime):
+        delta = value - _EPOCH
+        return delta.days + delta.seconds / 86400 + delta.microseconds / 86400e6
+    return float((dt.datetime(value.year, value.month, value.day) - _EPOCH).days)
+
+
+def _from_serial(serial: float, date_only: bool) -> dt.datetime | dt.date:
+    days = int(serial)
+    frac = serial - days
+    base = _EPOCH + dt.timedelta(days=days)
+    if date_only and frac == 0.0:
+        return base.date()
+    # round to microseconds to undo float representation noise
+    micros = round(frac * 86400e6)
+    return base + dt.timedelta(microseconds=micros)
+
+
+# ---------------------------------------------------------------------------
+# Writer
+# ---------------------------------------------------------------------------
+
+_CONTENT_TYPES = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+<Default Extension="xml" ContentType="application/xml"/>
+<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+<Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>
+</Types>"""
+
+_ROOT_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+</Relationships>"""
+
+_WORKBOOK_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/>
+</Relationships>"""
+
+#: style 1 = datetime (numFmt 22), style 2 = date (numFmt 14)
+_STYLES = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+<fonts count="1"><font/></fonts><fills count="1"><fill/></fills>
+<borders count="1"><border/></borders>
+<cellStyleXfs count="1"><xf/></cellStyleXfs>
+<cellXfs count="3"><xf numFmtId="0"/><xf numFmtId="22" applyNumberFormat="1"/><xf numFmtId="14" applyNumberFormat="1"/></cellXfs>
+</styleSheet>"""
+
+
+def _cell_xml(ref: str, value: object) -> str | None:
+    if value is None:
+        return None
+    if isinstance(value, float) and math.isnan(value):
+        return None
+    if value is pd.NaT:
+        return None
+    if isinstance(value, (bool,)):
+        return f'<c r="{ref}" t="b"><v>{int(value)}</v></c>'
+    if isinstance(value, pd.Timestamp):
+        value = value.to_pydatetime()
+    if isinstance(value, dt.datetime):
+        return f'<c r="{ref}" s="1"><v>{_serial(value)!r}</v></c>'
+    if isinstance(value, dt.date):
+        return f'<c r="{ref}" s="2"><v>{_serial(value)!r}</v></c>'
+    if isinstance(value, (int,)):
+        return f'<c r="{ref}"><v>{value}</v></c>'
+    if isinstance(value, float):
+        return f'<c r="{ref}"><v>{value!r}</v></c>'
+    return f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{escape(str(value))}</t></is></c>'
+
+
+def write_xlsx(
+    path: str,
+    frame: pd.DataFrame,
+    sheet_name: str = "Sheet1",
+    header: bool = True,
+) -> None:
+    """Write one pandas frame as a single-sheet .xlsx file."""
+    rows_xml: list[str] = []
+    r = 1
+    if header:
+        cells = [
+            _cell_xml(f"{_col_letter(i)}{r}", str(name))
+            for i, name in enumerate(frame.columns)
+        ]
+        rows_xml.append(f'<row r="{r}">' + "".join(c for c in cells if c) + "</row>")
+        r += 1
+    for rec in frame.itertuples(index=False, name=None):
+        cells = [
+            _cell_xml(f"{_col_letter(i)}{r}", v) for i, v in enumerate(rec)
+        ]
+        rows_xml.append(f'<row r="{r}">' + "".join(c for c in cells if c) + "</row>")
+        r += 1
+
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<sheetData>" + "".join(rows_xml) + "</sheetData></worksheet>"
+    )
+    workbook = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        f'<sheets><sheet name="{escape(sheet_name)}" sheetId="1" r:id="rId1"/></sheets>'
+        "</workbook>"
+    )
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("[Content_Types].xml", _CONTENT_TYPES)
+        zf.writestr("_rels/.rels", _ROOT_RELS)
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels", _WORKBOOK_RELS)
+        zf.writestr("xl/styles.xml", _STYLES)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+
+
+# ---------------------------------------------------------------------------
+# Reader
+# ---------------------------------------------------------------------------
+
+
+def _load_shared_strings(zf: zipfile.ZipFile) -> list[str]:
+    try:
+        data = zf.read("xl/sharedStrings.xml")
+    except KeyError:
+        return []
+    root = ET.fromstring(data)
+    out = []
+    for si in root.findall(f"{_NS}si"):
+        out.append("".join(t.text or "" for t in si.iter(f"{_NS}t")))
+    return out
+
+
+#: builtin date-only numFmtIds (no time component): mm-dd-yy etc.
+_DATE_ONLY_FMT_IDS = {14, 15, 16, 17}
+
+
+def _load_date_styles(zf: zipfile.ZipFile) -> dict[int, bool]:
+    """Map cellXf index → ``has_time`` for every date-formatted style.
+
+    Distinguishing date-only from datetime formats lets midnight
+    datetimes round-trip as datetimes instead of degrading to dates.
+    """
+    try:
+        data = zf.read("xl/styles.xml")
+    except KeyError:
+        return {}
+    root = ET.fromstring(data)
+    custom_fmts: dict[int, bool] = {}
+    for numfmt in root.iter(f"{_NS}numFmt"):
+        fmt_id = int(numfmt.get("numFmtId", "-1"))
+        code = re.sub(r"\[[^]]*\]|\"[^\"]*\"", "", (numfmt.get("formatCode") or "").lower())
+        if _DATE_FMT_CHARS.search(code):
+            custom_fmts[fmt_id] = bool(re.search(r"[hs]", code))
+    date_xfs: dict[int, bool] = {}
+    cellxfs = root.find(f"{_NS}cellXfs")
+    if cellxfs is not None:
+        for i, xf in enumerate(cellxfs.findall(f"{_NS}xf")):
+            fmt_id = int(xf.get("numFmtId", "0"))
+            if fmt_id in _DATE_FMT_IDS:
+                date_xfs[i] = fmt_id not in _DATE_ONLY_FMT_IDS
+            elif fmt_id in custom_fmts:
+                date_xfs[i] = custom_fmts[fmt_id]
+    return date_xfs
+
+
+def _sheet_member(zf: zipfile.ZipFile, sheet: str | int) -> str:
+    """Resolve a sheet name or 0-based index to its zip member path."""
+    wb = ET.fromstring(zf.read("xl/workbook.xml"))
+    rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+    rel_ns = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+    rid_ns = (
+        "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id"
+    )
+    targets = {rel.get("Id"): rel.get("Target") for rel in rels.iter(f"{rel_ns}Relationship")}
+    sheets = []
+    for sh in wb.iter(f"{_NS}sheet"):
+        target = targets.get(sh.get(rid_ns), "")
+        if target and not target.startswith("xl/"):
+            target = "xl/" + target.lstrip("/")
+        sheets.append((sh.get("name"), target))
+    if isinstance(sheet, int) or (isinstance(sheet, str) and sheet.isdigit()):
+        idx = int(sheet)
+        if idx >= len(sheets):
+            raise ValueError(f"sheet index {idx} out of range ({len(sheets)} sheets)")
+        return sheets[idx][1]
+    for name, target in sheets:
+        if name == sheet:
+            return target
+    raise ValueError(f"sheet {sheet!r} not found; have {[s[0] for s in sheets]}")
+
+
+def read_xlsx(
+    path: str,
+    sheet: str | int = 0,
+    header: bool = True,
+    skip_rows: int = 0,
+    n_rows: int | None = None,
+) -> pd.DataFrame:
+    """Read one sheet into a pandas frame of Python-native values.
+
+    ``skip_rows``/``n_rows`` slice *data* rows (after the header) — the
+    chunked-partition hooks used by the connector to split big files.
+    """
+    with zipfile.ZipFile(path) as zf:
+        shared = _load_shared_strings(zf)
+        date_xfs = _load_date_styles(zf)
+        member = _sheet_member(zf, sheet)
+        root = ET.fromstring(zf.read(member))
+
+        raw_rows: list[dict[int, object]] = []
+        for row in root.iter(f"{_NS}row"):
+            cells: dict[int, object] = {}
+            for c in row.findall(f"{_NS}c"):
+                ref = c.get("r") or ""
+                idx = _col_index(ref) if ref else len(cells)
+                ctype = c.get("t", "n")
+                style = int(c.get("s", "0"))
+                v = c.find(f"{_NS}v")
+                text = v.text if v is not None else None
+                if ctype == "s" and text is not None:
+                    cells[idx] = shared[int(text)]
+                elif ctype == "inlineStr":
+                    is_el = c.find(f"{_NS}is")
+                    cells[idx] = (
+                        "".join(t.text or "" for t in is_el.iter(f"{_NS}t"))
+                        if is_el is not None
+                        else None
+                    )
+                elif ctype == "str":
+                    cells[idx] = text
+                elif ctype == "b" and text is not None:
+                    cells[idx] = bool(int(text))
+                elif text is not None:
+                    num = float(text)
+                    if style in date_xfs:
+                        cells[idx] = _from_serial(num, date_only=not date_xfs[style])
+                    elif num == int(num) and "e" not in text.lower() and "." not in text:
+                        cells[idx] = int(text)
+                    else:
+                        cells[idx] = num
+            raw_rows.append(cells)
+
+    names: list[str]
+    if header and raw_rows:
+        header_cells = raw_rows[0]
+        width = max(header_cells.keys(), default=-1) + 1
+        names = [str(header_cells.get(i, f"_c{i}")) for i in range(width)]
+        data_rows = raw_rows[1:]
+    else:
+        width = max((max(r.keys(), default=-1) for r in raw_rows), default=-1) + 1
+        names = [f"_c{i}" for i in range(width)]
+        data_rows = raw_rows
+
+    data_rows = data_rows[skip_rows:]
+    if n_rows is not None:
+        data_rows = data_rows[:n_rows]
+
+    width = max(
+        len(names),
+        max((max(r.keys(), default=-1) for r in data_rows), default=-1) + 1,
+    )
+    while len(names) < width:
+        names.append(f"_c{len(names)}")
+    columns = {
+        name: [r.get(i) for r in data_rows] for i, name in enumerate(names)
+    }
+    return pd.DataFrame(columns, dtype=object)
+
+
+def count_data_rows(path: str, sheet: str | int = 0, header: bool = True) -> int:
+    """Number of data rows (used for chunked partition planning)."""
+    with zipfile.ZipFile(path) as zf:
+        member = _sheet_member(zf, sheet)
+        root = ET.fromstring(zf.read(member))
+        n = sum(1 for _ in root.iter(f"{_NS}row"))
+    return max(0, n - (1 if header else 0))

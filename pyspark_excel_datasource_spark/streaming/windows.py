@@ -1,0 +1,188 @@
+"""Event-time window queries (SURVEY.md §2.3 streaming family).
+
+The reference's streaming surface is file discovery only — no event-time
+semantics, no watermark, no windows (reference ``connector.py:206-277``).
+This module provides the real semantics on Spark's unified engine: the
+same ``window()`` / ``session_window()`` expressions run identically in
+batch and in Structured Streaming, so each query here is registered in its
+(DuckDB-oracle-able) batch form, and ``tests/test_streaming.py`` runs the
+same expressions as genuine micro-batch streams (memory sink,
+``availableNow`` trigger) including late-data/watermark behavior.
+
+All windows are epoch-aligned, matching DuckDB ``time_bucket``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.determinism import davg, dsum, sql_davg, sql_dsum
+from ..plans.registry import query
+
+
+@query(
+    "q_stream_tumbling",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS wstart,
+           time_bucket(INTERVAL 10 MINUTE, ts) + INTERVAL 10 MINUTE AS wend,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value', 2)} AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute event-time windows per event type."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value", 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("wstart"),
+            F.col("w.end").alias("wend"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "q_stream_sliding",
+    oracle="""
+    SELECT w.wstart, w.wstart + INTERVAL 10 MINUTE AS wend,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM events e, LATERAL (
+        SELECT time_bucket(INTERVAL 5 MINUTE, e.ts) - INTERVAL (k*5) MINUTE
+               AS wstart
+        FROM (SELECT unnest(generate_series(0, 1)) AS k)
+    ) w
+    WHERE e.ts >= w.wstart AND e.ts < w.wstart + INTERVAL 10 MINUTE
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10 min size, 5 min slide) — each event lands in
+    size/slide windows; Spark's Expand does this without a self-join."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("wstart"),
+            F.col("w.end").alias("wend"),
+            "n_events",
+            "n_users",
+        )
+    )
+
+
+@query(
+    "q_stream_session",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         < INTERVAL 30 MINUTE
+                    THEN 0 ELSE 1 END AS is_new
+        FROM events
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM gaps
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           {sql_dsum('value', 2)} AS session_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute gap) per user — Spark's native
+    ``session_window`` merges adjacent events server-side; the oracle is
+    the classic gaps-and-islands rewrite."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value", 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+@query(
+    "q_stream_watermark",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS wstart,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_davg('value', 2)} AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked windowed aggregation. ``withWatermark`` is a no-op in
+    batch (all data is 'on time'), so the oracle is the plain window agg;
+    the real late-data-drop behavior is asserted in
+    ``tests/test_streaming.py::test_watermark_drops_late_data``."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            davg("value", 2).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("wstart"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+@query(
+    "q_stream_dedup",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-style dedup on a key subset under a watermark. Projecting
+    only the keys keeps the result deterministic (any-survivor semantics
+    would not be); bounded-state streaming dedup
+    (``dropDuplicatesWithinWatermark``) is exercised in the streaming
+    tests."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.withWatermark("ts", "1 hour")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )

@@ -1,0 +1,234 @@
+"""Excel connector unit tests.
+
+Resurrects the reference's six *disabled* tests as real ones (its
+``tests/test_excel_connector.py:73-216`` define them but never run them,
+SURVEY.md §5.1) and adds the coverage the reference lacks: error paths,
+no-header mode, the type matrix, Arrow/row equivalence, chunked partitions
+and multi-partition writes.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pandas as pd
+import pytest
+
+from pyspark_excel_datasource_spark.sources.excel import register_excel
+from pyspark_excel_datasource_spark.sources import minixlsx
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register_excel(spark)
+
+
+def _write(path, rows, columns, header=True):
+    minixlsx.write_xlsx(path, pd.DataFrame(rows, columns=columns), header=header)
+
+
+def test_directory_scan_union(spark, tmp_path):
+    """Reference's one live test: 3 files (2+2+1 rows) → 5 rows, exact set."""
+    d = tmp_path / "people"
+    d.mkdir()
+    _write(str(d / "f1.xlsx"), [(1, "Alice"), (2, "Bob")], ["id", "name"])
+    _write(str(d / "f2.xlsx"), [(3, "Charlie"), (4, "David")], ["id", "name"])
+    _write(str(d / "F3.XLSX"), [(5, "Eve")], ["id", "name"])  # case-insensitive ext
+    df = (
+        spark.read.format("excel")
+        .schema("id long, name string")
+        .option("path", str(d))
+        .load()
+    )
+    assert sorted(map(tuple, df.collect())) == [
+        (1, "Alice"), (2, "Bob"), (3, "Charlie"), (4, "David"), (5, "Eve"),
+    ]
+
+
+def test_partition_per_file(spark, tmp_path):
+    d = tmp_path / "five"
+    d.mkdir()
+    for i in range(5):
+        _write(str(d / f"f{i}.xlsx"), [(i, f"Name_{i}")], ["id", "name"])
+    df = (
+        spark.read.format("excel")
+        .schema("id long, name string")
+        .option("path", str(d))
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 5
+    assert df.count() == 5
+
+
+def test_user_schema_extra_column_ignored(spark, tmp_path):
+    p = str(tmp_path / "extra.xlsx")
+    _write(p, [(1, "Alice", "X")], ["id", "name", "extra"])
+    df = (
+        spark.read.format("excel")
+        .schema("id long, name string")
+        .option("path", p)
+        .load()
+    )
+    assert df.columns == ["id", "name"]
+    assert df.collect()[0] == (1, "Alice")
+
+
+def test_user_schema_missing_column_errors(spark, tmp_path):
+    p = str(tmp_path / "missing.xlsx")
+    _write(p, [(1,)], ["id"])
+    df = (
+        spark.read.format("excel")
+        .schema("id long, name string")
+        .option("path", p)
+        .load()
+    )
+    with pytest.raises(Exception, match="(?i)missing|name"):
+        df.collect()
+
+
+def test_infer_schema_types(spark, tmp_path):
+    """Sample-based inference (fixes reference Q1-Q3: zero-row peek made
+    everything a string; int mapped to 32-bit)."""
+    p = str(tmp_path / "typed.xlsx")
+    frame = pd.DataFrame(
+        {
+            "c_int": [1, 2, None],
+            "c_float": [1.5, None, 2.5],
+            "c_bool": [True, False, None],
+            "c_ts": [dt.datetime(2024, 1, 1, 12, 0, 0), None, dt.datetime(2024, 6, 1)],
+            "c_date": [dt.date(2024, 1, 1), dt.date(2024, 2, 2), None],
+            "c_str": ["a", None, "c"],
+        },
+        dtype=object,
+    )
+    minixlsx.write_xlsx(p, frame)
+    df = spark.read.format("excel").option("path", p).load()
+    got = dict(df.dtypes)
+    assert got["c_int"] == "bigint"
+    assert got["c_float"] == "double"
+    assert got["c_bool"] == "boolean"
+    assert got["c_ts"] == "timestamp"
+    assert got["c_date"] == "date"
+    assert got["c_str"] == "string"
+    rows = df.filter("c_int = 1").collect()
+    assert rows[0]["c_int"] == 1 and rows[0]["c_ts"] == dt.datetime(2024, 1, 1, 12)
+
+
+def test_infer_schema_false_all_strings(spark, tmp_path):
+    p = str(tmp_path / "strs.xlsx")
+    _write(p, [(1, "Alice")], ["id", "name"])
+    df = (
+        spark.read.format("excel")
+        .option("path", p)
+        .option("inferSchema", "false")
+        .load()
+    )
+    assert dict(df.dtypes) == {"id": "string", "name": "string"}
+    assert df.collect()[0] == ("1", "Alice")
+
+
+def test_no_header_positional_columns(spark, tmp_path):
+    p = str(tmp_path / "nohdr.xlsx")
+    _write(p, [(1, "Alice"), (2, "Bob")], ["x", "y"], header=False)
+    df = (
+        spark.read.format("excel")
+        .option("path", p)
+        .option("header", "false")
+        .load()
+    )
+    assert df.columns == ["_c0", "_c1"]
+    assert df.count() == 2
+
+
+def test_roundtrip_multi_partition_write(spark, tmp_path):
+    """Reference R9 is last-partition-wins on multi-partition input
+    (connector.py:296-319); ours must keep every row."""
+    out = str(tmp_path / "rt.xlsx")
+    df = spark.range(0, 100).selectExpr("id", "concat('n', id) as name")
+    df.repartition(7).write.format("excel").option("path", out).mode("overwrite").save()
+    back = (
+        spark.read.format("excel")
+        .schema("id long, name string")
+        .option("path", out)
+        .load()
+    )
+    assert sorted(r.id for r in back.collect()) == list(range(100))
+
+
+def test_write_without_overwrite_errors(spark, tmp_path):
+    out = str(tmp_path / "exists.xlsx")
+    df = spark.range(3).selectExpr("id")
+    df.write.format("excel").option("path", out).mode("overwrite").save()
+    with pytest.raises(Exception, match="(?i)overwrite|exists"):
+        df.write.format("excel").option("path", out).save()
+
+
+def test_arrow_and_row_paths_equal(spark, tmp_path):
+    p = str(tmp_path / "modes.xlsx")
+    _write(p, [(i, f"v{i}", i * 1.5) for i in range(20)], ["id", "s", "v"])
+    arrow = spark.read.format("excel").option("path", p).load()
+    rowmode = (
+        spark.read.format("excel")
+        .option("path", p)
+        .option("enableArrow", "false")
+        .load()
+    )
+    assert sorted(map(tuple, arrow.collect())) == sorted(map(tuple, rowmode.collect()))
+
+
+def test_chunked_partitions(spark, tmp_path):
+    p = str(tmp_path / "big.xlsx")
+    _write(p, [(i, i * 2) for i in range(100)], ["a", "b"])
+    df = (
+        spark.read.format("excel")
+        .option("path", p)
+        .option("chunkRows", "30")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4  # 30+30+30+10
+    assert df.count() == 100
+    assert sorted(r.a for r in df.collect()) == list(range(100))
+
+
+def test_filter_pushdown_correctness(spark, tmp_path):
+    p = str(tmp_path / "flt.xlsx")
+    _write(p, [(i, f"s{i}") for i in range(50)], ["id", "s"])
+    df = spark.read.format("excel").option("path", p).load()
+    got = df.filter("id >= 40 and id < 45").collect()
+    assert sorted(r.id for r in got) == [40, 41, 42, 43, 44]
+
+
+def test_empty_directory_errors(spark, tmp_path):
+    d = tmp_path / "empty"
+    d.mkdir()
+    with pytest.raises(Exception, match="(?i)no .xlsx"):
+        spark.read.format("excel").schema("id long").option("path", str(d)).load().collect()
+
+
+def test_bad_path_errors(spark, tmp_path):
+    with pytest.raises(Exception, match="(?i)does not exist"):
+        (
+            spark.read.format("excel")
+            .schema("id long")
+            .option("path", str(tmp_path / "nope.xlsx"))
+            .load()
+            .collect()
+        )
+
+
+def test_multifile_directory_write(spark, tmp_path):
+    out = str(tmp_path / "outdir")
+    df = spark.range(0, 40).selectExpr("id")
+    (
+        df.repartition(4)
+        .write.format("excel")
+        .option("path", out)
+        .option("multiFile", "true")
+        .mode("overwrite")
+        .save()
+    )
+    parts = [f for f in os.listdir(out) if f.endswith(".xlsx")]
+    assert len(parts) == 4
+    back = spark.read.format("excel").schema("id long").option("path", out).load()
+    assert sorted(r.id for r in back.collect()) == list(range(40))
