@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries (BASELINE.md v1 table).
+
+Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``. Protocol per BASELINE.md: warm the JVM with
+a discarded flagship run, then median of 3 wall-clock timings per query.
+Each timing forces full materialization through the noop sink (count()
+would let Catalyst prune the compute).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <dir>}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark_excel_datasource_spark.plans.registry import load_all_queries
+from pyspark_excel_datasource_spark.session import get_session
+
+HEADLINE = (
+    "q_flagship_pricing",
+    "q_join_star3",
+    "q_agg_rollup",
+    "q_win_frame",
+    "q_topk",
+    "q_sim_topk",
+    "q_dedup_near",
+    "q_text_tfidf",
+)
+
+RUNS = 3
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_session("bench")
+    queries = load_all_queries()
+
+    materialize(queries["q_flagship_pricing"](spark, sf_dir))  # JVM warmup
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            materialize(queries[name](spark, sf_dir))
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

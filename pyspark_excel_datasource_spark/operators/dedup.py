@@ -1,0 +1,332 @@
+"""Deduplication operators for LLM-data pipelines (SURVEY.md §2.4).
+
+Four families over ``documents`` / ``embeddings``:
+
+- **Exact near-dup pairs** (``q_dedup_near``): word-3-gram shingles, exact
+  Jaccard via an inverted-index self-join. Exact ⇒ DuckDB-oracled.
+- **MinHash + LSH banding** (``q_dedup_minhash``): the 100 TB path — a
+  32-hash signature, 8 bands × 4 rows, candidates from band-bucket joins,
+  exact Jaccard verification of candidates only. Probabilistic recall ⇒
+  rows-only check, but every emitted pair is exactly verified.
+- **SimHash** (``q_dedup_simhash``): 64-bit signatures, banded candidate
+  join, exact Hamming verification. Rows-only.
+- **Embedding near-dup canonicalization** (``q_dedup_embed``): cosine
+  threshold → per-vector canonical id (min neighbor id). Oracled.
+
+Scale analysis (the part that matters at 100 TB):
+
+- The inverted-index join in ``q_dedup_near`` is exact but its cost is
+  Σ_shingle df(shingle)² — fine when shingles are near-unique (real text),
+  quadratic on hot shingles. The MinHash variant replaces it with
+  O(docs × bands) bucket keys; that is the one to run at 100 TB, with the
+  exact verification joining back only candidate pairs.
+- All signatures are computed with Spark's built-in ``xxhash64`` (JVM,
+  codegen) — no Python in the hot path anywhere in this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..plans.registry import query
+
+_NEAR_DUP_THRESHOLD = 0.5
+_N_HASHES = 32
+_N_BANDS = 8  # 4 rows per band
+_SIMHASH_BITS = 64
+_HAMMING_MAX = 6
+
+
+def _shingles(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id + distinct word-3-gram shingle array (built-in array fns)."""
+    w = F.split(F.col(text_col), " ")
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 3),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i + 1), F.element_at(w, i + 2), F.element_at(w, i + 3)
+            ),
+        )
+    )
+    return df.select("doc_id", sh.alias("shingles"))
+
+
+def _exact_pairs(shingled: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard pairs via inverted-index self-join on shingles."""
+    sizes = shingled.select("doc_id", F.size("shingles").alias("n"))
+    toks = shingled.select("doc_id", F.explode("shingles").alias("s"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    s1 = sizes.alias("s1")
+    s2 = sizes.alias("s2")
+    return (
+        inter.join(s1, F.col("d1") == F.col("s1.doc_id"))
+        .join(s2, F.col("d2") == F.col("s2.doc_id"))
+        .select(
+            "d1",
+            "d2",
+            F.col("inter").cast("long").alias("inter"),
+            (
+                F.col("inter").cast("double")
+                / (F.col("s1.n") + F.col("s2.n") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+@query(
+    "q_dedup_near",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id,
+               LIST_DISTINCT([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in RANGE(1, LEN(w) - 1)]) AS shingles
+        FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents)
+    ),
+    toks AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+    inter AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        FROM toks a JOIN toks b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, LEN(shingles) AS n FROM sh)
+    SELECT d1, d2, CAST(inter AS BIGINT) AS inter,
+           CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON d1 = s1.doc_id
+    JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= {_NEAR_DUP_THRESHOLD}
+    """,
+)
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard near-duplicate pairs (threshold 0.5).
+
+    Jaccard = exact-int division → bit-identical cross-engine, no rounding
+    needed. This is the correctness reference for the LSH variants below.
+    """
+    docs = table(spark, sf_dir, "documents")
+    return _exact_pairs(_shingles(docs), _NEAR_DUP_THRESHOLD)
+
+
+def minhash_signatures(shingled: DataFrame, n_hashes: int = _N_HASHES) -> DataFrame:
+    """doc_id → MinHash signature array (length ``n_hashes``).
+
+    h_i(doc) = min over shingles of xxhash64(i, shingle) — deterministic,
+    JVM-side, one explode + one groupBy (single shuffle keyed by doc_id).
+    """
+    toks = shingled.select("doc_id", F.explode("shingles").alias("s"))
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    sig = toks.groupBy("doc_id").agg(*mins)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig")
+    )
+
+
+@query("q_dedup_minhash")  # probabilistic recall → rows-only check
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs: banding for candidates, exact Jaccard
+    verification of candidates only — the scale path for q_dedup_near.
+
+    With 8 bands × 4 rows, P(candidate) = 1-(1-j⁴)⁸: ≈0.97 at j=0.7,
+    ≈0.33 at j=0.3 — the planted near-dups (j≥0.5) are found with
+    high probability while the ~125k background pairs (j<0.1) almost
+    never collide, so the verify join touches candidate pairs only.
+    """
+    docs = table(spark, sf_dir, "documents")
+    shingled = _shingles(docs).cache()
+    sig = minhash_signatures(shingled)
+
+    rows_per_band = _N_HASHES // _N_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(_N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+
+    # exact verification of candidates only
+    s1 = shingled.select(F.col("doc_id").alias("d1"), F.col("shingles").alias("sh1"))
+    s2 = shingled.select(F.col("doc_id").alias("d2"), F.col("shingles").alias("sh2"))
+    verified = (
+        candidates.join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            "d1",
+            "d2",
+            (
+                F.size(F.array_intersect("sh1", "sh2")).cast("double")
+                / F.size(F.array_union("sh1", "sh2"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= _NEAR_DUP_THRESHOLD)
+    )
+    return verified.select("d1", "d2", "jaccard")
+
+
+@query("q_dedup_simhash")  # signature-based → rows-only check
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit signature = sign of per-bit vote sums
+    over token hashes; candidates from 16-bit band equality (pigeonhole:
+    hamming ≤ 6 ⇒ at least one of 4 bands identical... for ≤3 strictly;
+    bands are a recall/cost dial); exact Hamming verify ≤ 6.
+    """
+    docs = table(spark, sf_dir, "documents")
+    # shingle features, not bare words: on short-vocab corpora every word
+    # *set* is similar, so bag-of-words simhash collides globally; 3-gram
+    # shingles carry the sequence structure that distinguishes documents.
+    toks = (
+        _shingles(docs)
+        .select("doc_id", F.explode("shingles").alias("tok"))
+        .withColumn("h", F.xxhash64("tok"))
+    )
+
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(_SIMHASH_BITS)
+        ]
+    )
+    bit_terms = [
+        F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long") * (2**i if i < 63 else -(2**63))).otherwise(0)
+        for i in range(_SIMHASH_BITS)
+    ]
+    sigs = votes.select(
+        "doc_id",
+        sum(bit_terms[1:], bit_terms[0]).alias("simhash"),
+    )
+
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("simhash", b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.chunk")
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= _HAMMING_MAX)
+    )
+    return pairs
+
+
+@query(
+    "q_dedup_embed",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    pairs AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb
+        FROM v a JOIN v b ON a.vec_id <> b.vec_id
+        WHERE LIST_SUM(LIST_TRANSFORM(LIST_ZIP(a.e, b.e), t -> t[1] * t[2]))
+              / (SQRT(LIST_SUM(LIST_TRANSFORM(a.e, x -> x * x)))
+                 * SQRT(LIST_SUM(LIST_TRANSFORM(b.e, x -> x * x)))) >= 0.45
+    )
+    SELECT v.vec_id,
+           LEAST(v.vec_id, COALESCE(MIN(p.vb), v.vec_id)) AS canonical_id
+    FROM v LEFT JOIN pairs p ON v.vec_id = p.va
+    GROUP BY v.vec_id
+    """,
+)
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup canonicalization: each vector maps to the
+    smallest vec_id within cosine ≥ 0.45 (itself if none).
+
+    Exact all-pairs here (oracle-able); at 100 TB swap the pair generator
+    for the LSH-bucketed candidates in ``similarity.ann_candidates`` and
+    keep the same canonicalization — the aggregation shape is unchanged.
+    Both engines compute cosine with the same sequential double
+    accumulation, so the threshold compare is bit-stable.
+    """
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+    )
+    norm = lambda x: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(x, lambda v: v * v), F.lit(0.0), lambda acc, v: acc + v)
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    pairs = (
+        a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("va"),
+            F.col("b.vec_id").alias("vb"),
+            (
+                dot(F.col("a.e"), F.col("b.e"))
+                / (norm(F.col("a.e")) * norm(F.col("b.e")))
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.45)
+    )
+    return (
+        emb.join(pairs, emb.vec_id == pairs.va, "left")
+        .groupBy("vec_id")
+        .agg(
+            F.least(
+                F.col("vec_id"), F.coalesce(F.min("vb"), F.col("vec_id"))
+            ).alias("canonical_id")
+        )
+    )

@@ -1,0 +1,210 @@
+"""Vector similarity search over the ``embeddings`` table (SURVEY.md §2.4).
+
+- ``q_sim_topk``   : exact brute-force cosine top-k for a query set —
+  the correctness baseline. Query vectors are broadcast; the scan side
+  streams once; per-query top-k via window. DuckDB-oracled.
+- ``q_sim_selfjoin``: exact pairwise similarity join above a threshold.
+  DuckDB-oracled.
+- ``q_sim_ann_lsh`` : the scale path — random-hyperplane (sign) LSH:
+  16-bit signatures from seeded hyperplanes, bucket join for candidates,
+  exact cosine re-rank of candidates only. Approximate recall ⇒ rows-only.
+
+All cosine math is built-in higher-order array functions (zip_with +
+aggregate) over ``array<double>`` — JVM-side, no UDFs. Sequential fold
+order matches DuckDB's list_sum, so thresholds compare bit-stably.
+
+100 TB design: brute force is O(Q×N) per query batch — fine for small Q
+with a broadcast; the LSH variant buckets N once (shuffle on 16-bit key ⇒
+~65k buckets, AQE coalesces) and only re-ranks within buckets. IVF would
+replace the hash with k-means centroids; the plumbing (bucket → rerank)
+is identical.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..catalog import table
+from ..plans.registry import query
+
+_QUERY_VEC_IDS = (0, 1, 2, 3, 4)
+_TOP_K = 10
+_SELFJOIN_THRESHOLD = 0.42
+_LSH_BITS = 16
+_LSH_SEED = 42
+
+
+def _dot(x: Column, y: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(x: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(x, lambda v: v * v), F.lit(0.0), lambda acc, v: acc + v)
+    )
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"), "label"
+    )
+
+
+_SQL_COS = (
+    "LIST_SUM(LIST_TRANSFORM(LIST_ZIP({a}, {b}), t -> t[1] * t[2]))"
+    " / (SQRT(LIST_SUM(LIST_TRANSFORM({a}, x -> x * x)))"
+    " * SQRT(LIST_SUM(LIST_TRANSFORM({b}, x -> x * x))))"
+)
+
+
+@query(
+    "q_sim_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v
+          WHERE vec_id IN {_QUERY_VEC_IDS}),
+    scored AS (
+        SELECT q.query_id, v.vec_id,
+               CAST(ROUND({_SQL_COS.format(a='q.qe', b='v.e')}, 8)
+                    AS DECIMAL(38,8)) AS cosine
+        FROM q JOIN v ON v.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cosine,
+           CAST(rn AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, vec_id) AS rn FROM scored)
+    WHERE rn <= {_TOP_K}
+    """,
+)
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-{k} for a fixed query-vector set (brute force —
+    the ANN correctness baseline). Ranking is on the *rounded* cosine with
+    vec_id tiebreak so cross-engine ordering is deterministic."""
+    emb = _embeddings(spark, sf_dir)
+    q = (
+        emb.filter(F.col("vec_id").isin(*_QUERY_VEC_IDS))
+        .select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                _dot(F.col("qe"), F.col("e")) / (_norm(F.col("qe")) * _norm(F.col("e"))),
+                8,
+            )
+            .cast("decimal(38,8)")
+            .alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+@query(
+    "q_sim_selfjoin",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    SELECT a.vec_id AS v1, b.vec_id AS v2,
+           {_SQL_COS.format(a='a.e', b='b.e')} AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE {_SQL_COS.format(a='a.e', b='b.e')} >= {_SELFJOIN_THRESHOLD}
+    """,
+)
+def q_sim_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise near-duplicate vectors above a cosine threshold."""
+    emb = _embeddings(spark, sf_dir)
+    a = emb.alias("a")
+    b = emb.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("v1"),
+            F.col("b.vec_id").alias("v2"),
+            (
+                _dot(F.col("a.e"), F.col("b.e"))
+                / (_norm(F.col("a.e")) * _norm(F.col("b.e")))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= _SELFJOIN_THRESHOLD)
+    )
+
+
+def hyperplanes(dim: int, bits: int = _LSH_BITS, seed: int = _LSH_SEED) -> list[list[float]]:
+    """Deterministic random hyperplanes for sign-LSH (fixed seed — SURVEY
+    §7.4-4: reproducibility is a requirement, not a nicety)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((bits, dim)).tolist()
+
+
+@query("q_sim_ann_lsh")  # approximate → rows-only check
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH signatures → same-bucket
+    candidates (with the query's bucket) → exact cosine re-rank.
+
+    The signature computation is a literal-matrix dot product in built-in
+    array functions; at 100 TB the bucket join replaces the O(Q×N) scan
+    with per-bucket work, trading recall (multi-probe would recover it).
+    """
+    emb = _embeddings(spark, sf_dir)
+    dim = len(emb.select("e").first()["e"])
+    planes = hyperplanes(dim)
+
+    def signature(col: Column) -> Column:
+        bits = [
+            F.when(
+                _dot(col, F.array(*[F.lit(float(x)) for x in plane])) >= 0.0, 2**i
+            ).otherwise(0)
+            for i, plane in enumerate(planes)
+        ]
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out.cast("long")
+
+    signed = emb.withColumn("sig", signature(F.col("e")))
+    q = (
+        signed.filter(F.col("vec_id").isin(*_QUERY_VEC_IDS))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.col("sig").alias("qsig"),
+        )
+    )
+    # multi-probe: a candidate is any vector whose signature is within
+    # Hamming distance 6 of the query's — the recall dial for sign-LSH
+    # (cos≈0.5 neighbors disagree on ~1/3 of bits, so exact-bucket match
+    # would find almost nothing). At scale this is the same join keyed by
+    # enumerated probe buckets instead of a broadcast predicate.
+    candidates = signed.join(
+        F.broadcast(q),
+        (
+            F.bit_count(F.col("sig").bitwiseXOR(F.col("qsig"))) <= 6
+        )
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = candidates.select(
+        "query_id",
+        "vec_id",
+        F.round(
+            _dot(F.col("qe"), F.col("e")) / (_norm(F.col("qe")) * _norm(F.col("e"))), 8
+        )
+        .cast("decimal(38,8)")
+        .alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

