@@ -56,6 +56,22 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition a narrow input up to cluster parallelism.
+
+    Small single-file tables arrive as ONE partition (one row group), so a
+    CPU-heavy per-row stage (shingling, vector math) would run on one core
+    no matter how many the session has. The shuffle cost is the raw bytes
+    of a small table — trivially worth it. No-op when the input is already
+    parallel enough. At 100 TB inputs are thousands of splits and this
+    never fires.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every test table; keys are table names."""
     return {name: table(spark, sf_dir, name) for name in TABLES}

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import spread, table
 from ..plans.registry import query
 
 _NEAR_DUP_THRESHOLD = 0.5
@@ -40,7 +40,12 @@ _HAMMING_MAX = 6
 
 
 def _shingles(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """doc_id + distinct word-3-gram shingle array (built-in array fns)."""
+    """doc_id + distinct word-3-gram shingle array (built-in array fns).
+
+    Shingling is CPU-bound interpreted array work — spread the (often
+    single-partition) input across cores first.
+    """
+    df = spread(df)
     w = F.split(F.col(text_col), " ")
     sh = F.array_distinct(
         F.transform(
@@ -54,28 +59,42 @@ def _shingles(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _exact_pairs(shingled: DataFrame, threshold: float) -> DataFrame:
-    """Exact Jaccard pairs via inverted-index self-join on shingles."""
-    sizes = shingled.select("doc_id", F.size("shingles").alias("n"))
-    toks = shingled.select("doc_id", F.explode("shingles").alias("s"))
+    """Exact Jaccard pairs via inverted-index self-join on shingles.
+
+    The join key is ``xxhash64(shingle)`` (8-byte long), not the shingle
+    string — same shuffle topology, ~4x less shuffle volume and cheap
+    equality. A 64-bit collision inside one doc pair (P ≈ n²/2⁶⁴ ≈ 1e-9
+    here) would be caught by the DuckDB oracle, which joins on strings.
+    """
+    # Set sizes travel WITH the token rows (8 extra bytes/row), so the
+    # whole operator is one explode → one shuffle join → one aggregation:
+    # no second shingle computation, no post-join size lookups.
+    toks = shingled.select(
+        "doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("s0")
+    ).select("doc_id", "n", F.xxhash64("s0").alias("s"))
+    # Cache the token table: both join sides scan it, and without the cache
+    # the whole shingle pipeline runs twice (the broadcast side's exchange
+    # is not reusable). shuffle_hash instead of broadcast: the token table
+    # scales with the corpus, so never ship it through the driver.
+    toks = toks.hint("shuffle_hash").cache()
     a = toks.alias("a")
     b = toks.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .agg(F.count("*").alias("inter"))
-    )
-    s1 = sizes.alias("s1")
-    s2 = sizes.alias("s2")
     return (
-        inter.join(s1, F.col("d1") == F.col("s1.doc_id"))
-        .join(s2, F.col("d2") == F.col("s2.doc_id"))
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.n").alias("n1"),
+            F.col("b.n").alias("n2"),
+        )
+        .agg(F.count("*").alias("inter"))
         .select(
             "d1",
             "d2",
             F.col("inter").cast("long").alias("inter"),
             (
                 F.col("inter").cast("double")
-                / (F.col("s1.n") + F.col("s2.n") - F.col("inter"))
+                / (F.col("n1") + F.col("n2") - F.col("inter"))
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -298,15 +317,11 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both engines compute cosine with the same sequential double
     accumulation, so the threshold compare is bit-stable.
     """
-    emb = table(spark, sf_dir, "embeddings").select(
+    from .similarity import _dot, _norm
+
+    emb = spread(table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    )
-    dot = lambda x, y: F.aggregate(  # noqa: E731
-        F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
-    )
-    norm = lambda x: F.sqrt(  # noqa: E731
-        F.aggregate(F.transform(x, lambda v: v * v), F.lit(0.0), lambda acc, v: acc + v)
-    )
+    ).withColumn("nrm", _norm(F.col("e")))  # norm once per vector, not per pair
     a = emb.alias("a")
     b = emb.alias("b")
     pairs = (
@@ -315,8 +330,7 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.vec_id").alias("va"),
             F.col("b.vec_id").alias("vb"),
             (
-                dot(F.col("a.e"), F.col("b.e"))
-                / (norm(F.col("a.e")) * norm(F.col("b.e")))
+                _dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm"))
             ).alias("cos"),
         )
         .filter(F.col("cos") >= 0.45)

@@ -124,7 +124,7 @@ def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     positions). The lateral-join shape keeps it fully parallel — each
     partition expands independently, no shuffle."""
 
-    @F.udtf(returnType="token: string, pos: int")
+    @F.udtf(returnType="token: string, pos: int", useArrow=True)
     class Tokenize:
         def eval(self, doc_id: int, text: str):  # noqa: ANN001
             for i, tok in enumerate(text.split(" "), start=1):

@@ -34,6 +34,7 @@ ORACLES: dict[str, str] = {}
 #: Modules that register queries on import (order = SURVEY.md §7 milestones).
 _QUERY_MODULES = (
     "pyspark_excel_datasource_spark.operators.relational",
+    "pyspark_excel_datasource_spark.operators.subqueries",
     "pyspark_excel_datasource_spark.functions.scalar",
     "pyspark_excel_datasource_spark.operators.udf_surface",
     "pyspark_excel_datasource_spark.streaming.windows",

@@ -32,8 +32,14 @@ ALLOWED_NESTED_LOOP = {
 
 
 def audit(name: str, fn, spark) -> list[str]:
+    import contextlib
+    import io
+
     df = fn(spark, SF)
-    plan = df._jdf.queryExecution().explainString("formatted")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
     smells = []
     if "CartesianProduct" in plan and name not in ALLOWED_NESTED_LOOP:
         smells.append("CartesianProduct")
