@@ -193,7 +193,8 @@ def q_fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS n_tokens,
            STRING_SPLIT(text, ' ')[1] AS first_token,
            LIST_CONTAINS(STRING_SPLIT(text, ' '), 'spark') AS mentions_spark,
-           LIST_SORT(STRING_SPLIT(SUBSTR(text, 1, 40), ' ')) AS head_tokens_sorted
+           ARRAY_TO_STRING(LIST_SORT(STRING_SPLIT(SUBSTR(text, 1, 40), ' ')), ',')
+               AS head_tokens_sorted
     FROM documents
     """,
 )
@@ -206,8 +207,9 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).cast("int").alias("n_tokens"),
         F.element_at(toks, 1).alias("first_token"),
         F.array_contains(toks, "spark").alias("mentions_spark"),
-        F.sort_array(F.split(F.substring("text", 1, 40), " "))
-        .cast("array<string>")  # nullable elements, matching DuckDB lists
+        # joined to a string so the cross-engine hash never depends on
+        # arrow list-representation details (the sort itself is the test)
+        F.array_join(F.sort_array(F.split(F.substring("text", 1, 40), " ")), ",")
         .alias("head_tokens_sorted"),
     )
 
@@ -216,7 +218,7 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_fn_array_agg",
     oracle="""
     SELECT n_nationkey,
-           LIST(s_suppkey ORDER BY s_suppkey) AS supp_keys,
+           ARRAY_TO_STRING(LIST(s_suppkey ORDER BY s_suppkey), ',') AS supp_keys,
            CAST(LEN(LIST(s_suppkey)) AS INT) AS n_supps
     FROM (
         SELECT n.n_nationkey, s.s_suppkey
@@ -233,9 +235,9 @@ def q_fn_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("n_nationkey")
         .agg(
-            F.sort_array(F.collect_list("s_suppkey"))
-            .cast("array<bigint>")  # nullable elements, matching DuckDB lists
-            .alias("supp_keys"),
+            F.array_join(F.sort_array(F.collect_list("s_suppkey")), ",").alias(
+                "supp_keys"
+            ),
             F.count("s_suppkey").cast("int").alias("n_supps"),
         )
     )

@@ -566,5 +566,14 @@ class ExcelDataSource(DataSource):
 
 
 def register_excel(spark) -> None:
-    """Register the excel format on a session (idempotent)."""
+    """Register the excel format on a session (idempotent).
+
+    Also pins the session confs the connector needs — in particular
+    ``spark.sql.python.filterPushdown.enabled``: Spark refuses to plan a
+    Python data source that implements ``pushFilters`` while that conf is
+    off, so a bare session would otherwise fail on first read.
+    """
+    from ..session import configure
+
+    configure(spark)
     spark.dataSource.register(ExcelDataSource)

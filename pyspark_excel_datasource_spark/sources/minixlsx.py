@@ -122,7 +122,10 @@ def _cell_xml(ref: str, value: object) -> str | None:
         return f'<c r="{ref}"><v>{value}</v></c>'
     if isinstance(value, float):
         return f'<c r="{ref}"><v>{value!r}</v></c>'
-    return f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{escape(str(value))}</t></is></c>'
+    # \r must be a character reference: XML parsers normalize literal
+    # CR/CRLF to LF, which would corrupt round-trips.
+    text = escape(str(value), {"\r": "&#13;"})
+    return f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{text}</t></is></c>'
 
 
 def write_xlsx(
@@ -290,7 +293,12 @@ def read_xlsx(
                     num = float(text)
                     if style in date_xfs:
                         cells[idx] = _from_serial(num, date_only=not date_xfs[style])
-                    elif num == int(num) and "e" not in text.lower() and "." not in text:
+                    elif (
+                        math.isfinite(num)
+                        and num == int(num)
+                        and "e" not in text.lower()
+                        and "." not in text
+                    ):
                         cells[idx] = int(text)
                     else:
                         cells[idx] = num
