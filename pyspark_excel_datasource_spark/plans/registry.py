@@ -61,6 +61,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
+        wrapped.__module__ = fn.__module__
         QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle

@@ -54,6 +54,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     Filter,
@@ -508,6 +509,63 @@ class ExcelDataSourceWriter(DataSourceWriter):
         shutil.rmtree(self.staging, ignore_errors=True)
 
 
+class ExcelStreamWriter(DataSourceStreamWriter):
+    """Streaming sink: each micro-batch commits one ``batch-<id>.xlsx``
+    under the target directory (parts staged per task, merged at commit).
+
+    Replay-idempotent: re-committing a batch after failure recovery
+    atomically replaces the same ``batch-<id>.xlsx``, so exactly-once
+    output holds per batch file. The reference has no stream writer at
+    all (its sink is batch-only, connector.py:280-322)."""
+
+    def __init__(self, schema: "StructType", opts: ExcelOptions):
+        self.schema = schema
+        self.opts = opts
+        os.makedirs(opts.path, exist_ok=True)
+        # staging is created lazily by the first task of a batch and
+        # removed at commit/abort, so a stopped query leaves no residue
+        self.staging = os.path.join(opts.path, f".staging-{uuid.uuid4().hex[:8]}")
+
+    def write(self, iterator) -> ExcelCommitMessage:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        part_id = ctx.partitionId() if ctx else 0
+        rows = list(iterator)
+        frame = pd.DataFrame(
+            [tuple(r) for r in rows],
+            columns=[f.name for f in self.schema.fields],
+            dtype=object,
+        )
+        os.makedirs(self.staging, exist_ok=True)
+        part_path = os.path.join(
+            self.staging, f"part-{part_id:05d}-{uuid.uuid4().hex[:6]}.xlsx"
+        )
+        _write_frame(part_path, frame, self.opts.write_sheet)
+        return ExcelCommitMessage(part_path=part_path, rows=len(frame))
+
+    def commit(self, messages, batchId: int) -> None:
+        parts = sorted(m.part_path for m in messages if m is not None)
+        frames = [
+            pd.read_excel(p) if _HAVE_OPENPYXL else minixlsx.read_xlsx(p)
+            for p in parts
+        ]
+        frames = [f for f in frames if len(f)]
+        merged = (
+            pd.concat(frames, ignore_index=True)
+            if frames
+            else pd.DataFrame(columns=[f.name for f in self.schema.fields])
+        )
+        final = os.path.join(self.opts.path, f"batch-{batchId:08d}.xlsx")
+        tmp = final + ".tmp"
+        _write_frame(tmp, merged, self.opts.write_sheet)
+        os.replace(tmp, final)  # atomic, idempotent on batch replay
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+    def abort(self, messages, batchId: int) -> None:
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # DataSource
 # ---------------------------------------------------------------------------
@@ -563,6 +621,9 @@ class ExcelDataSource(DataSource):
 
     def streamReader(self, schema: "StructType") -> ExcelStreamReader:
         return ExcelStreamReader(schema, self.opts)
+
+    def streamWriter(self, schema: "StructType", overwrite: bool) -> ExcelStreamWriter:
+        return ExcelStreamWriter(schema, self.opts)
 
 
 def register_excel(spark) -> None:

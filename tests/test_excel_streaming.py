@@ -163,3 +163,47 @@ def test_watermark_drops_late_data(spark, tmp_path):
         assert rows.get(t0) == 2
     finally:
         q.stop()
+
+
+def test_stream_writer_excel_sink(spark, tmp_path):
+    """Parquet-stream → Excel streaming sink: one batch-<id>.xlsx per
+    micro-batch, rows preserved across multi-partition batches."""
+    import os
+
+    src = tmp_path / "sink_src"
+    src.mkdir()
+    out = str(tmp_path / "excel_sink")
+    ckpt = str(tmp_path / "ckpt_sink")
+    _write(str(src / "f1.xlsx"), [(1, "a"), (2, "b")])
+
+    stream = (
+        spark.readStream.format("excel")
+        .schema("id long, name string")
+        .option("path", str(src))
+        .load()
+    )
+    q = (
+        stream.repartition(3)
+        .writeStream.format("excel")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write(str(src / "f2.xlsx"), [(3, "c")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batches = sorted(f for f in os.listdir(out) if f.endswith(".xlsx"))
+    assert len(batches) >= 2
+    back = (
+        spark.read.format("excel")
+        .schema("id long, name string")
+        .option("path", out)
+        .load()
+    )
+    assert sorted(map(tuple, back.collect())) == [(1, "a"), (2, "b"), (3, "c")]
