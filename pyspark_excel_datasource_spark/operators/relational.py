@@ -344,14 +344,19 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey, c_name, c_acctbal
     FROM customer c
     WHERE NOT EXISTS (
-        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000.0
     )
     """,
 )
 def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (NOT EXISTS): customers who never ordered."""
+    """Left-anti join (NOT EXISTS): customers with no large order.
+
+    (Every customer in the testdata has *some* order, so the unfiltered
+    anti join would be a trivially-empty — and untestable — result.)
+    """
     c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000.0)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name", "c_acctbal"
     )

@@ -158,7 +158,11 @@ def q_stream_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
     restart behavior is asserted in tests/test_excel_streaming.py."""
     register_excel(spark)
     d = _materialize_region_dir(sf_dir)
-    sink = f"stream_discover_{abs(hash(sf_dir)) % 10_000}"
+    # unique sink per invocation: a memory-sink table outlives the query,
+    # so a reused name would accumulate duplicate rows on a second call
+    import uuid
+
+    sink = f"stream_discover_{uuid.uuid4().hex[:10]}"
     stream = (
         spark.readStream.format("excel")
         .schema("r_regionkey long, r_name string")

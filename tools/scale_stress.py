@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Scale-stress: run the headline plan shapes on 10x-replicated lineitem
+(~6M rows) and compare per-row throughput against sf0.1 (~600k rows).
+
+A plan that 'survives scale' keeps throughput roughly flat as input grows
+(work is O(n) with constant shuffle structure). Replication happens in the
+plan (explode over a sequence), so no data is written anywhere.
+
+Usage: python tools/scale_stress.py
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from pyspark_excel_datasource_spark.catalog import table
+from pyspark_excel_datasource_spark.functions.determinism import davg, dsum
+from pyspark_excel_datasource_spark.session import get_session
+
+SF = "/root/testdata/sf0.1"
+FACTOR = 10
+
+
+def replicate(df, n: int):
+    """n logical copies; replica id folded into the orderkey so join/group
+    cardinalities scale realistically instead of creating n-way dup keys."""
+    return (
+        df.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(n - 1))))
+        .withColumn(
+            "l_orderkey", F.col("l_orderkey") * n + F.col("rep")
+        )
+        .drop("rep")
+    )
+
+
+def flagship(li):
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", 0).alias("sum_qty"),
+            dsum("l_extendedprice", 2).alias("sum_base_price"),
+            davg("l_extendedprice", 2).alias("avg_price"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def window_frame(li):
+    from pyspark.sql.window import Window as W
+
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return li.select(
+        "l_suppkey",
+        F.sum(F.col("l_quantity").cast("decimal(18,0)")).over(w).alias("run"),
+    )
+
+
+def join_agg(li, orders):
+    return (
+        li.join(orders.hint("shuffle_merge"), li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), dsum("l_extendedprice", 2).alias("v"))
+    )
+
+
+def timed(name, df):
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    spark = get_session("scale-stress")
+    li1 = table(spark, SF, "lineitem")
+    orders1 = table(spark, SF, "orders")
+    n1 = li1.count()
+    li10 = replicate(li1, FACTOR)
+    orders10 = (
+        orders1.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(FACTOR - 1))))
+        .withColumn("o_orderkey", F.col("o_orderkey") * FACTOR + F.col("rep"))
+        .drop("rep")
+    )
+
+    shapes = {
+        "flagship_agg": (flagship(li1), flagship(li10)),
+        "window_frame": (window_frame(li1), window_frame(li10)),
+        "join_agg": (join_agg(li1, orders1), join_agg(li10, orders10)),
+    }
+    print(f"rows: base={n1:,} scaled={n1*FACTOR:,}")
+    for name, (base, scaled) in shapes.items():
+        timed(name, base)  # warm
+        tb = timed(name, base)
+        ts = timed(name, scaled)
+        ratio = ts / tb
+        verdict = "OK" if ratio < FACTOR * 1.6 else "SUPRALINEAR"
+        print(
+            f"{name:14s} base={tb:6.2f}s scaled={ts:6.2f}s "
+            f"ratio={ratio:5.1f}x (target <{FACTOR*1.6:.0f}x) {verdict}"
+        )
+
+
+if __name__ == "__main__":
+    main()
