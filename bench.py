@@ -27,6 +27,7 @@ from pyspark_excel_datasource_spark.session import get_session
 
 HEADLINE = (
     "q_flagship_pricing",
+    "q_tpch_q5ish",
     "q_join_star3",
     "q_agg_rollup",
     "q_win_frame",
