@@ -17,7 +17,10 @@ order matches DuckDB's list_sum, so thresholds compare bit-stably.
 with a broadcast; the LSH variant buckets N once (shuffle on 16-bit key ⇒
 ~65k buckets, AQE coalesces) and only re-ranks within buckets. IVF would
 replace the hash with k-means centroids; the plumbing (bucket → rerank)
-is identical.
+is identical. Exact-then-prune top-k staging mirrors the candidate/verify
+split used by distributed top-k similarity systems (EDBT 2020 / ICDE 2021
+REPOSE / SIGMOD 2020 CASS, PAPERS.md): cheap signatures bound the
+candidate set, exact scoring ranks only candidates.
 """
 
 from __future__ import annotations

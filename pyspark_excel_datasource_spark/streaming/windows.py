@@ -10,6 +10,10 @@ same expressions as genuine micro-batch streams (memory sink,
 ``availableNow`` trigger) including late-data/watermark behavior.
 
 All windows are epoch-aligned, matching DuckDB ``time_bucket``.
+
+Design follows the unified batch/streaming model of Structured Streaming
+(Armbrust et al., SIGMOD 2018, PAPERS.md): identical window expressions
+execute in both modes, with watermarks bounding state for late data.
 """
 
 from __future__ import annotations
