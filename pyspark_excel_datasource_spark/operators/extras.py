@@ -1,0 +1,138 @@
+"""Depth extras: range-frame windows, exact percentiles, histogram
+bucketing, and a partitioned parquet sink with partition-pruned readback.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..catalog import table
+from ..functions.determinism import dround, sql_dround
+from ..plans.registry import query
+
+
+@query(
+    "q_win_range_frame",
+    oracle="""
+    SELECT s_suppkey, s_nationkey, s_acctbal,
+           COUNT(*) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal
+                          RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING)
+               AS n_within_1k,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2)))
+                OVER (PARTITION BY s_nationkey ORDER BY s_acctbal
+                      RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)
+                AS DECIMAL(38,2)) AS sum_below_1k
+    FROM supplier
+    """,
+)
+def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame windows (value-based bounds — the rowsBetween variant
+    SURVEY §2.3 calls out). Peer rows with equal ordering values share
+    frame results, so no tiebreak is needed for determinism."""
+    s = table(spark, sf_dir, "supplier")
+    wboth = (
+        W.partitionBy("s_nationkey")
+        .orderBy(F.col("s_acctbal").asc())
+        .rangeBetween(-1000, 1000)
+    )
+    wbelow = (
+        W.partitionBy("s_nationkey")
+        .orderBy(F.col("s_acctbal").asc())
+        .rangeBetween(-1000, W.currentRow)
+    )
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        "s_acctbal",
+        F.count("*").over(wboth).alias("n_within_1k"),
+        F.sum(F.col("s_acctbal").cast("decimal(18,2)"))
+        .over(wbelow)
+        .cast("decimal(38,2)")
+        .alias("sum_below_1k"),
+    )
+
+
+@query(
+    "q_agg_percentile",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_dround('QUANTILE_CONT(l_extendedprice, 0.5)', 4)} AS median_price,
+           {sql_dround('QUANTILE_CONT(l_extendedprice, 0.9)', 4)} AS p90_price,
+           {sql_dround('QUANTILE_CONT(l_quantity, 0.25)', 4)} AS q1_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``: both linear interpolation over the sorted
+    group). At 100 TB prefer ``percentile_approx`` (q_agg_approx) — exact
+    percentiles sort each group."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        dround(F.percentile("l_extendedprice", 0.5), 4).alias("median_price"),
+        dround(F.percentile("l_extendedprice", 0.9), 4).alias("p90_price"),
+        dround(F.percentile("l_quantity", 0.25), 4).alias("q1_qty"),
+    )
+
+
+@query(
+    "q_agg_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 50000.0) AS INT) AS bucket,
+           COUNT(*) AS n_orders,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via arithmetic bucketing (the scalable way —
+    a single partial+final aggregation, no sort, any cardinality)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 50000.0).cast("int").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+@query(
+    "q_sink_parquet_partitioned",
+    oracle="""
+    SELECT event_id, user_id, value
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q_sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink + partition-pruned readback.
+
+    Writes events partitioned by event_type, then reads ONE partition
+    back — the readback scan lists only ``event_type=purchase/`` (shown as
+    PartitionFilters in the plan). This is the layout decision that turns
+    a 100 TB scan into a directory listing.
+    """
+    out = os.path.join("/root/repo/.fixtures", "events_by_type")
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    (
+        ev.write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(out)
+    )
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "value")
+    )

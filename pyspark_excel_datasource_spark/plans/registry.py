@@ -36,6 +36,7 @@ _QUERY_MODULES = (
     "pyspark_excel_datasource_spark.operators.relational",
     "pyspark_excel_datasource_spark.operators.subqueries",
     "pyspark_excel_datasource_spark.operators.composite",
+    "pyspark_excel_datasource_spark.operators.extras",
     "pyspark_excel_datasource_spark.functions.scalar",
     "pyspark_excel_datasource_spark.operators.udf_surface",
     "pyspark_excel_datasource_spark.streaming.windows",
