@@ -248,6 +248,47 @@ def _sheet_member(zf: zipfile.ZipFile, sheet: str | int) -> str:
     raise ValueError(f"sheet {sheet!r} not found; have {[s[0] for s in sheets]}")
 
 
+def _parse_row(
+    row, shared: list[str], date_xfs: dict[int, bool]
+) -> dict[int, object]:
+    """One <row> element → {0-based column index: python value}."""
+    cells: dict[int, object] = {}
+    for c in row.findall(f"{_NS}c"):
+        ref = c.get("r") or ""
+        idx = _col_index(ref) if ref else len(cells)
+        ctype = c.get("t", "n")
+        style = int(c.get("s", "0"))
+        v = c.find(f"{_NS}v")
+        text = v.text if v is not None else None
+        if ctype == "s" and text is not None:
+            cells[idx] = shared[int(text)]
+        elif ctype == "inlineStr":
+            is_el = c.find(f"{_NS}is")
+            cells[idx] = (
+                "".join(t.text or "" for t in is_el.iter(f"{_NS}t"))
+                if is_el is not None
+                else None
+            )
+        elif ctype == "str":
+            cells[idx] = text
+        elif ctype == "b" and text is not None:
+            cells[idx] = bool(int(text))
+        elif text is not None:
+            num = float(text)
+            if style in date_xfs:
+                cells[idx] = _from_serial(num, date_only=not date_xfs[style])
+            elif (
+                math.isfinite(num)
+                and num == int(num)
+                and "e" not in text.lower()
+                and "." not in text
+            ):
+                cells[idx] = int(text)
+            else:
+                cells[idx] = num
+    return cells
+
+
 def read_xlsx(
     path: str,
     sheet: str | int = 0,
@@ -260,49 +301,29 @@ def read_xlsx(
     ``skip_rows``/``n_rows`` slice *data* rows (after the header) — the
     chunked-partition hooks used by the connector to split big files.
     """
+    # Streaming parse (iterparse) with early termination: a chunk
+    # partition or a schema-inference sample reads only its prefix of the
+    # sheet instead of materializing the whole XML DOM — this is what
+    # makes ``chunkRows`` partitions and ``sampleRows`` inference cheap
+    # on large workbooks.
+    n_header = 1 if header else 0
+    stop_after = (
+        None if n_rows is None else n_header + skip_rows + n_rows
+    )
     with zipfile.ZipFile(path) as zf:
         shared = _load_shared_strings(zf)
         date_xfs = _load_date_styles(zf)
         member = _sheet_member(zf, sheet)
-        root = ET.fromstring(zf.read(member))
 
         raw_rows: list[dict[int, object]] = []
-        for row in root.iter(f"{_NS}row"):
-            cells: dict[int, object] = {}
-            for c in row.findall(f"{_NS}c"):
-                ref = c.get("r") or ""
-                idx = _col_index(ref) if ref else len(cells)
-                ctype = c.get("t", "n")
-                style = int(c.get("s", "0"))
-                v = c.find(f"{_NS}v")
-                text = v.text if v is not None else None
-                if ctype == "s" and text is not None:
-                    cells[idx] = shared[int(text)]
-                elif ctype == "inlineStr":
-                    is_el = c.find(f"{_NS}is")
-                    cells[idx] = (
-                        "".join(t.text or "" for t in is_el.iter(f"{_NS}t"))
-                        if is_el is not None
-                        else None
-                    )
-                elif ctype == "str":
-                    cells[idx] = text
-                elif ctype == "b" and text is not None:
-                    cells[idx] = bool(int(text))
-                elif text is not None:
-                    num = float(text)
-                    if style in date_xfs:
-                        cells[idx] = _from_serial(num, date_only=not date_xfs[style])
-                    elif (
-                        math.isfinite(num)
-                        and num == int(num)
-                        and "e" not in text.lower()
-                        and "." not in text
-                    ):
-                        cells[idx] = int(text)
-                    else:
-                        cells[idx] = num
-            raw_rows.append(cells)
+        with zf.open(member) as fh:
+            for _, row in ET.iterparse(fh):
+                if row.tag != f"{_NS}row":
+                    continue
+                raw_rows.append(_parse_row(row, shared, date_xfs))
+                row.clear()
+                if stop_after is not None and len(raw_rows) >= stop_after:
+                    break
 
     names: list[str]
     if header and raw_rows:
@@ -332,9 +353,15 @@ def read_xlsx(
 
 
 def count_data_rows(path: str, sheet: str | int = 0, header: bool = True) -> int:
-    """Number of data rows (used for chunked partition planning)."""
+    """Number of data rows (used for chunked partition planning).
+
+    Streaming count — never materializes the sheet DOM."""
     with zipfile.ZipFile(path) as zf:
         member = _sheet_member(zf, sheet)
-        root = ET.fromstring(zf.read(member))
-        n = sum(1 for _ in root.iter(f"{_NS}row"))
+        n = 0
+        with zf.open(member) as fh:
+            for _, el in ET.iterparse(fh):
+                if el.tag == f"{_NS}row":
+                    n += 1
+                el.clear()
     return max(0, n - (1 if header else 0))
