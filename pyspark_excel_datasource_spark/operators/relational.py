@@ -463,34 +463,18 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition is the only ordering unit). Reference has no analog (its
     streaming is file discovery only, connector.py:206-277).
     """
+    from .asof import asof_join
+
     ev = table(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", F.col("ts").alias("ev_ts"), F.lit(0).alias("is_purchase"),
-        F.lit(None).cast("long").alias("event_id"),
-    )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("ts").alias("ev_ts"), F.lit(1).alias("is_purchase"),
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    return asof_join(purchases, clicks, on="ts", by="user_id", strict=True).select(
         "event_id",
-    )
-    unioned = clicks.unionByName(purchases)
-    # Order clicks before purchases at identical ts? No: as-of is strict
-    # (<), so at equal ts the click must NOT be visible — sort purchases
-    # first (is_purchase descending puts 1 before 0 at the same instant).
-    w = (
-        W.partitionBy("user_id")
-        .orderBy(F.col("ev_ts").asc(), F.col("is_purchase").desc())
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    click_ts = F.when(F.col("is_purchase") == 0, F.col("ev_ts"))
-    return (
-        unioned.withColumn("last_click_ts", F.last(click_ts, ignorenulls=True).over(w))
-        .filter(F.col("is_purchase") == 1)
-        .select(
-            "event_id",
-            "user_id",
-            F.col("ev_ts").alias("purchase_ts"),
-            "last_click_ts",
-        )
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("ts_right").alias("last_click_ts"),
     )
 
 
