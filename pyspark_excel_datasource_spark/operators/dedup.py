@@ -290,6 +290,111 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
+def connected_min_labels(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over an undirected pair list → (id, cluster_id)
+    where cluster_id = the minimum id reachable from each node.
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels; converges in O(graph
+    diameter) rounds (near-dup clusters are shallow — a handful of rounds).
+    Each round is one shuffle join keyed by node id over the *label* table
+    (|V| rows = docs that appear in any pair, not the corpus), so the loop
+    is cheap at any corpus scale. The driver-side loop only checks a
+    convergence count — no data is collected.
+    """
+    edges = (
+        pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+        .unionByName(pairs.select(F.col("d2").alias("a"), F.col("d1").alias("b")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.id)
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@query(
+    "q_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id,
+               LIST_DISTINCT([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in RANGE(1, LEN(w) - 1)]) AS shingles
+        FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents)
+    ),
+    toks AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+    inter AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        FROM toks a JOIN toks b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, LEN(shingles) AS n FROM sh),
+    pairs AS (
+        SELECT d1, d2 FROM inter
+        JOIN sizes s1 ON d1 = s1.doc_id
+        JOIN sizes s2 ON d2 = s2.doc_id
+        WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter)
+              >= {_NEAR_DUP_THRESHOLD}
+    ),
+    nodes AS (SELECT d1 AS id FROM pairs UNION SELECT d2 FROM pairs),
+    edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+    reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
+    )
+    SELECT id AS doc_id, MIN(r) AS cluster_id,
+           (MIN(r) = id) AS is_kept
+    FROM reach GROUP BY id
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup *clusters*: transitive closure over the exact pair list,
+    keep-min-doc_id-per-cluster (SURVEY §2.4's connected-components-lite).
+
+    Pairwise output alone under-deduplicates: if A~B and B~C but A≁C, the
+    pair view keeps A and C as 'unique'. Cluster labels give the correct
+    one-survivor-per-group semantics. Oracle = recursive-CTE reachability.
+    """
+    docs = table(spark, sf_dir, "documents")
+    pairs = _exact_pairs(_shingles(docs), _NEAR_DUP_THRESHOLD)
+    labels = connected_min_labels(pairs)
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        "cluster_id",
+        (F.col("cluster_id") == F.col("id")).alias("is_kept"),
+    )
+
+
 @query(
     "q_dedup_embed",
     oracle="""
