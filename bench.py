@@ -53,6 +53,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        materialize(queries[name](spark, sf_dir))  # per-query warmup
         samples = []
         for _ in range(RUNS):
             t0 = time.perf_counter()
