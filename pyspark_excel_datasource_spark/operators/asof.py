@@ -29,9 +29,10 @@ def asof_join(
     value_cols: list[str] | None = None,
     strict: bool = True,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: attach the latest prior ``right`` row to each
-    ``left`` row within matching ``by`` keys.
+    """As-of join: attach the nearest prior (``backward``) or next
+    (``forward``) ``right`` row to each ``left`` row within ``by`` keys.
 
     Parameters
     ----------
@@ -39,9 +40,14 @@ def asof_join(
     by : equality key(s) present in both inputs.
     value_cols : right-side columns to carry (default: all non-key,
         non-time columns).
-    strict : True → right.time strictly earlier; False → ties match.
+    strict : True → right.time strictly earlier/later; False → ties match.
     suffix : appended to carried right-side column names that collide.
+    direction : "backward" (latest prior, merge_asof default) or
+        "forward" (earliest later) — forward is the same window scanned
+        in reverse time order.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     by_cols = [by] if isinstance(by, str) else list(by)
     if value_cols is None:
         value_cols = [
@@ -74,11 +80,13 @@ def asof_join(
 
     # At equal timestamps: strict ⇒ the left row must NOT see the tied
     # right row ⇒ sort left rows first (desc on __is_left); non-strict ⇒
-    # right rows first.
+    # right rows first. Forward direction = identical construction over
+    # reversed time order.
     tie = F.col("__is_left").desc() if strict else F.col("__is_left").asc()
+    time_order = F.col(on).asc() if direction == "backward" else F.col(on).desc()
     w = (
         W.partitionBy(*by_cols)
-        .orderBy(F.col(on).asc(), tie)
+        .orderBy(time_order, tie)
         .rowsBetween(W.unboundedPreceding, -1)
     )
     result = unioned

@@ -103,3 +103,42 @@ def test_events_asof_consistent_with_query(spark):
     ref = load_all_queries()["q_join_asof"](spark, sf).collect()
     ref_map = {r.event_id: r.last_click_ts for r in ref}
     assert got_map == ref_map
+
+
+def test_forward_direction_matches_pandas(spark, frames):
+    left, right = frames
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="t",
+            by="k",
+            strict=True,
+            direction="forward",
+        )
+        .toPandas()
+        .sort_values(["k", "t", "lv"])
+        .reset_index(drop=True)
+    )
+    expected = pd.merge_asof(
+        left.sort_values("t"),
+        right.sort_values("t").rename(columns={"t": "t_right"}),
+        left_on="t",
+        right_on="t_right",
+        by="k",
+        allow_exact_matches=False,
+        direction="forward",
+    ).sort_values(["k", "t", "lv"]).reset_index(drop=True)
+    assert list(got["rv"].fillna(-1)) == list(expected["rv"].fillna(-1))
+
+
+def test_bad_direction_raises(spark, frames):
+    left, right = frames
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="t",
+            by="k",
+            direction="nearest",
+        )
