@@ -1,0 +1,102 @@
+"""Unified batch/streaming semantics: the window expressions registered as
+batch queries produce the SAME results when run as genuine micro-batch
+streams — the core Structured Streaming property the engine relies on."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from pyspark_excel_datasource_spark.sources import minixlsx
+from pyspark_excel_datasource_spark.sources.excel import register_excel
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register_excel(spark)
+
+
+def _events(t0, spec):
+    return pd.DataFrame(
+        [(t0 + dt.timedelta(minutes=m), u, v) for m, u, v in spec],
+        columns=["ts", "user_id", "value"],
+    )
+
+
+def test_stream_tumbling_equals_batch(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+    spec = [(0, 1, 1.0), (3, 1, 2.0), (12, 2, 3.0), (14, 1, 4.0), (27, 2, 5.0)]
+    src = tmp_path / "tumble"
+    src.mkdir()
+    # two files → two micro-batches worth of arrivals
+    minixlsx.write_xlsx(str(src / "a.xlsx"), _events(t0, spec[:3]))
+    minixlsx.write_xlsx(str(src / "b.xlsx"), _events(t0, spec[3:]))
+
+    schema = "ts timestamp, user_id long, value double"
+
+    def windowed(df):
+        return (
+            df.groupBy(F.window("ts", "10 minutes").alias("w"))
+            .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+            .select(F.col("w.start").alias("ws"), "n", "v")
+        )
+
+    stream = (
+        spark.readStream.format("excel").schema(schema).option("path", str(src)).load()
+    )
+    q = (
+        windowed(stream)
+        .writeStream.format("memory")
+        .queryName("tumble_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = (
+        spark.read.format("excel").schema(schema).option("path", str(src)).load()
+    )
+    expect = {(r.ws, r.n, r.v) for r in windowed(batch).collect()}
+    got = {(r.ws, r.n, r.v) for r in spark.table("tumble_sink").collect()}
+    assert got == expect and len(got) == 3
+
+
+def test_stream_session_window_equals_batch(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+    # user 1: two sessions (gap > 30m); user 2: one session
+    spec = [(0, 1, 1.0), (10, 1, 1.0), (90, 1, 1.0), (5, 2, 1.0)]
+    src = tmp_path / "sess"
+    src.mkdir()
+    minixlsx.write_xlsx(str(src / "a.xlsx"), _events(t0, spec))
+
+    schema = "ts timestamp, user_id long, value double"
+
+    def sessions(df):
+        return (
+            df.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(F.count("*").alias("n"))
+            .select("user_id", F.col("w.start").alias("ss"), "n")
+        )
+
+    stream = (
+        spark.readStream.format("excel").schema(schema).option("path", str(src)).load()
+    )
+    q = (
+        sessions(stream)
+        .writeStream.format("memory")
+        .queryName("sess_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = spark.read.format("excel").schema(schema).option("path", str(src)).load()
+    expect = {(r.user_id, r.ss, r.n) for r in sessions(batch).collect()}
+    got = {(r.user_id, r.ss, r.n) for r in spark.table("sess_sink").collect()}
+    assert got == expect
+    assert sum(1 for u, _, _ in got if u == 1) == 2  # two sessions for user 1
