@@ -136,3 +136,87 @@ def q_sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type") == "purchase")
         .select("event_id", "user_id", "value")
     )
+
+
+@query(
+    "q_win_cume",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           CUME_DIST() OVER w AS cume,
+           PERCENT_RANK() OVER w AS pct_rank
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q_win_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (cume_dist / percent_rank).
+
+    Both are ratios of exact integer ranks over exact counts — one IEEE
+    division of identical operands per row, so no rounding is needed."""
+    from pyspark.sql.window import Window as W
+
+    c = table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.cume_dist().over(w).alias("cume"),
+        F.percent_rank().over(w).alias("pct_rank"),
+    )
+
+
+@query(
+    "q_agg_argmax",
+    oracle="""
+    SELECT o_orderpriority,
+           ARG_MAX(o_orderkey, o_totalprice) AS biggest_order_key,
+           MAX(o_totalprice) AS biggest_order_price,
+           ARG_MIN(o_orderkey, o_totalprice) AS smallest_order_key
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / min_by (argmax aggregates). o_totalprice values are
+    distinct in practice; ties would be engine-arbitrary, so production
+    use pairs these with a deterministic tiebreak via struct ordering."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order_key"),
+        F.max("o_totalprice").alias("biggest_order_price"),
+        F.min_by("o_orderkey", "o_totalprice").alias("smallest_order_key"),
+    )
+
+
+@query(
+    "q_fn_bitwise",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_orderkey & 255 AS BIGINT) AS key_low_byte,
+           CAST(l_orderkey | 1 AS BIGINT) AS key_odd,
+           CAST(XOR(l_orderkey, l_partkey) AS BIGINT) AS key_xor,
+           CAST(l_orderkey << 2 AS BIGINT) AS key_shl,
+           CAST(l_orderkey >> 3 AS BIGINT) AS key_shr,
+           CAST(BIT_COUNT(l_orderkey) AS INT) AS key_bits
+    FROM lineitem
+    WHERE l_orderkey < 1000
+    """,
+)
+def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise expression family (the building blocks the SimHash/LSH
+    operators use in anger)."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    k = F.col("l_orderkey")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        k.bitwiseAND(F.lit(255)).cast("long").alias("key_low_byte"),
+        k.bitwiseOR(F.lit(1)).cast("long").alias("key_odd"),
+        k.bitwiseXOR(F.col("l_partkey")).cast("long").alias("key_xor"),
+        F.shiftleft(k, 2).cast("long").alias("key_shl"),
+        F.shiftright(k, 3).cast("long").alias("key_shr"),
+        F.bit_count(k).cast("int").alias("key_bits"),
+    )
