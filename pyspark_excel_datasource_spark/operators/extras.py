@@ -172,22 +172,34 @@ def q_win_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_argmax",
     oracle="""
     SELECT o_orderpriority,
-           ARG_MAX(o_orderkey, o_totalprice) AS biggest_order_key,
+           ARG_MAX(o_orderkey,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) * 4294967296
+                   + o_orderkey) AS biggest_order_key,
            MAX(o_totalprice) AS biggest_order_price,
-           ARG_MIN(o_orderkey, o_totalprice) AS smallest_order_key
+           ARG_MIN(o_orderkey,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) * 4294967296
+                   + o_orderkey) AS smallest_order_key
     FROM orders
     GROUP BY o_orderpriority
     """,
 )
 def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """max_by / min_by (argmax aggregates). o_totalprice values are
-    distinct in practice; ties would be engine-arbitrary, so production
-    use pairs these with a deterministic tiebreak via struct ordering."""
+    """max_by / min_by (argmax aggregates) with a tie-proof ordering key.
+
+    Bare ``max_by(key, price)`` is engine-arbitrary on price ties. The
+    composite ``price_cents * 2^32 + orderkey`` packs (price, key) into one
+    exact BIGINT — lexicographic, overflow-free (cents < 2^26 here), and
+    identical in both engines, so the survivor is deterministic by
+    construction rather than by data luck."""
     o = table(spark, sf_dir, "orders")
+    ord_key = (
+        F.round(F.col("o_totalprice") * 100).cast("long") * F.lit(2**32)
+        + F.col("o_orderkey")
+    )
     return o.groupBy("o_orderpriority").agg(
-        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order_key"),
+        F.max_by("o_orderkey", ord_key).alias("biggest_order_key"),
         F.max("o_totalprice").alias("biggest_order_price"),
-        F.min_by("o_orderkey", "o_totalprice").alias("smallest_order_key"),
+        F.min_by("o_orderkey", ord_key).alias("smallest_order_key"),
     )
 
 
