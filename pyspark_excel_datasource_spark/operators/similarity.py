@@ -220,3 +220,111 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOP_K)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+_IVF_K = 16
+_IVF_ITERS = 3
+_IVF_PROBES = 2
+
+
+def _centroids(emb: DataFrame, k: int = _IVF_K, iters: int = _IVF_ITERS) -> list[tuple[int, list[float]]]:
+    """Deterministic mini k-means (Lloyd) in pure DataFrame ops.
+
+    Init = the k lowest vec_ids (deterministic, no RNG); each iteration is
+    one broadcast-join assignment + one groupBy mean — all JVM-side. The
+    centroid table is k rows and lives on the driver between iterations,
+    which is exactly how IVF index builds work at scale (the index is tiny;
+    the data never moves)."""
+    cents = [
+        (i, r.e)
+        for i, r in enumerate(
+            emb.orderBy("vec_id").limit(k).select("e").collect()
+        )
+    ]
+    for _ in range(iters):
+        cent_df = emb.sparkSession.createDataFrame(
+            [(c, list(map(float, v))) for c, v in cents], "cid int, ce array<double>"
+        )
+        assigned = (
+            emb.crossJoin(F.broadcast(cent_df))
+            .withColumn("dist", -_dot(F.col("e"), F.col("ce")))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cid").asc())
+                ),
+            )
+            .filter(F.col("rn") == 1)
+        )
+        dim = len(cents[0][1])
+        sums = assigned.groupBy("cid").agg(
+            F.array(*[F.avg(F.col("e")[i]) for i in range(dim)]).alias("mean"),
+        )
+        new = {r.cid: list(r.mean) for r in sums.collect()}
+        cents = [(c, new.get(c, v)) for c, v in cents]
+    return cents
+
+
+@query("q_sim_ann_ivf")  # approximate → rows-only check
+def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: k-means-bucketed inverted file, probe the
+    ``nprobe`` centroids nearest each query, exact re-rank inside probed
+    buckets only.
+
+    The other scale path next to sign-LSH (q_sim_ann_lsh): data is
+    partitioned once by nearest centroid (one shuffle), queries touch
+    nprobe/k of the table. Fully deterministic: centroid init is the k
+    lowest vec_ids, ties broken by centroid id.
+    """
+    emb = _embeddings(spark, sf_dir)
+    cents = _centroids(emb)
+    cent_df = F.broadcast(
+        spark.createDataFrame(
+            [(c, list(map(float, v))) for c, v in cents], "cid int, ce array<double>"
+        )
+    )
+    # assign every vector to its nearest centroid (bucket)
+    assigned = (
+        emb.crossJoin(cent_df)
+        .withColumn("sim", _dot(F.col("e"), F.col("ce")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid").asc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "e", "n", F.col("cid").alias("bucket"))
+    )
+    # each query probes its nprobe nearest buckets
+    probes = (
+        assigned.filter(F.col("vec_id").isin(*_QUERY_VEC_IDS))
+        .select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("n").alias("qn"))
+        .crossJoin(cent_df)
+        .withColumn("sim", _dot(F.col("qe"), F.col("ce")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cid").asc())
+            ),
+        )
+        .filter(F.col("rn") <= _IVF_PROBES)
+        .select("query_id", "qe", "qn", F.col("cid").alias("bucket"))
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(_dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("n")), 8)
+            .cast("decimal(38,8)")
+            .alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

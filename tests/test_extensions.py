@@ -81,3 +81,14 @@ def test_multimodal_features_are_distributions(spark, queries):
     for r in rows:
         assert len(r.features) == 16
         assert abs(sum(r.features) - 1.0) < 1e-9
+
+
+def test_ann_ivf_recall_vs_brute_force(spark, queries):
+    brute = queries["q_sim_topk"](spark, SF).collect()
+    ivf = queries["q_sim_ann_ivf"](spark, SF).collect()
+    top3 = {(r.query_id, r.vec_id) for r in brute if r.rank <= 3}
+    ivf_all = {(r.query_id, r.vec_id) for r in ivf}
+    # 2 probes of 16 buckets scan ~12% of the table; weak random-data
+    # neighbors cap recall, as with the LSH variant
+    assert len(ivf_all) == 50
+    assert len(top3 & ivf_all) / len(top3) >= 0.2
