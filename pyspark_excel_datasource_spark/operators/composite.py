@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..functions.determinism import dsum, sql_dsum
+from ..functions.determinism import canon, dsum, sql_dsum
 from ..plans.registry import query
 from .relational import ts
 
@@ -73,18 +73,22 @@ def q_tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_tpch_q10ish",
     oracle=f"""
-    SELECT c.c_custkey, c.c_name, n.n_name AS nation_name,
-           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue
-    FROM customer c
-    JOIN orders o   ON c.c_custkey = o.o_custkey
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    JOIN nation n   ON c.c_nationkey = n.n_nationkey
-    WHERE l.l_returnflag = 'R'
-      AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
-      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
-    GROUP BY c.c_custkey, c.c_name, n.n_name
-    ORDER BY revenue DESC, c.c_custkey
-    LIMIT 20
+    SELECT c_custkey, c_name, nation_name,
+           CAST(revenue AS VARCHAR) AS revenue
+    FROM (
+        SELECT c.c_custkey, c.c_name, n.n_name AS nation_name,
+               {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY c.c_custkey, c.c_name, n.n_name
+        ORDER BY revenue DESC, c.c_custkey
+        LIMIT 20
+    )
     """,
 )
 def q_tpch_q10ish(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -110,5 +114,10 @@ def q_tpch_q10ish(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
-        .select("c_custkey", "c_name", "nation_name", "revenue")
+        .select(
+            "c_custkey",
+            "c_name",
+            "nation_name",
+            canon("revenue").alias("revenue"),
+        )
     )

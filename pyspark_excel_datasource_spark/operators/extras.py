@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..catalog import table
-from ..functions.determinism import dround, sql_dround
+from ..functions.determinism import canon, dround, sql_canon, sql_dround
 from ..plans.registry import query
 
 
@@ -22,10 +22,10 @@ from ..plans.registry import query
            COUNT(*) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal
                           RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING)
                AS n_within_1k,
-           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2)))
+           CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2)))
                 OVER (PARTITION BY s_nationkey ORDER BY s_acctbal
                       RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)
-                AS DECIMAL(38,2)) AS sum_below_1k
+                AS DECIMAL(38,2)) AS VARCHAR) AS sum_below_1k
     FROM supplier
     """,
 )
@@ -49,10 +49,11 @@ def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_nationkey",
         "s_acctbal",
         F.count("*").over(wboth).alias("n_within_1k"),
-        F.sum(F.col("s_acctbal").cast("decimal(18,2)"))
-        .over(wbelow)
-        .cast("decimal(38,2)")
-        .alias("sum_below_1k"),
+        canon(
+            F.sum(F.col("s_acctbal").cast("decimal(18,2)"))
+            .over(wbelow)
+            .cast("decimal(38,2)")
+        ).alias("sum_below_1k"),
     )
 
 
@@ -60,9 +61,11 @@ def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_percentile",
     oracle=f"""
     SELECT l_returnflag,
-           {sql_dround('QUANTILE_CONT(l_extendedprice, 0.5)', 4)} AS median_price,
-           {sql_dround('QUANTILE_CONT(l_extendedprice, 0.9)', 4)} AS p90_price,
-           {sql_dround('QUANTILE_CONT(l_quantity, 0.25)', 4)} AS q1_qty
+           {sql_canon(sql_dround('QUANTILE_CONT(l_extendedprice, 0.5)', 4))}
+               AS median_price,
+           {sql_canon(sql_dround('QUANTILE_CONT(l_extendedprice, 0.9)', 4))}
+               AS p90_price,
+           {sql_canon(sql_dround('QUANTILE_CONT(l_quantity, 0.25)', 4))} AS q1_qty
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -74,9 +77,9 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentiles sort each group."""
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        dround(F.percentile("l_extendedprice", 0.5), 4).alias("median_price"),
-        dround(F.percentile("l_extendedprice", 0.9), 4).alias("p90_price"),
-        dround(F.percentile("l_quantity", 0.25), 4).alias("q1_qty"),
+        canon(dround(F.percentile("l_extendedprice", 0.5), 4)).alias("median_price"),
+        canon(dround(F.percentile("l_extendedprice", 0.9), 4)).alias("p90_price"),
+        canon(dround(F.percentile("l_quantity", 0.25), 4)).alias("q1_qty"),
     )
 
 
@@ -121,8 +124,13 @@ def q_sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     back — the readback scan lists only ``event_type=purchase/`` (shown as
     PartitionFilters in the plan). This is the layout decision that turns
     a 100 TB scan into a directory listing.
+
+    The sink path is namespaced by the scale-factor tag so concurrent runs
+    at different sf_dirs (tests at sf0.001, driver at sf0.01) never race
+    on one directory.
     """
-    out = os.path.join("/root/repo/.fixtures", "events_by_type")
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join("/root/repo/.fixtures", sf_tag, "events_by_type")
     ev = table(spark, sf_dir, "events").select(
         "event_id", "user_id", "value", "event_type"
     )

@@ -29,10 +29,12 @@ from pyspark.sql.window import Window as W
 from ..catalog import table
 from ..functions.determinism import (
     bigsum,
+    canon,
     davg,
     dround,
     dsum,
     sql_bigsum,
+    sql_canon,
     sql_davg,
     sql_dround,
     sql_dsum,
@@ -54,10 +56,10 @@ def ts(lit: str) -> Column:
     "q_flagship_pricing",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           {sql_dsum('l_quantity', 0)} AS sum_qty,
-           {sql_dsum('l_extendedprice', 2)} AS sum_base_price,
-           {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
-           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+           {sql_canon(sql_dsum('l_quantity', 0))} AS sum_qty,
+           {sql_canon(sql_dsum('l_extendedprice', 2))} AS sum_base_price,
+           {sql_canon(sql_dsum('l_extendedprice * (1 - l_discount)', 4))} AS sum_disc_price,
+           {sql_canon(sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6))} AS sum_charge,
            {sql_davg('l_quantity', 0)} AS avg_qty,
            {sql_davg('l_extendedprice', 2)} AS avg_price,
            {sql_davg('l_discount', 2)} AS avg_disc,
@@ -75,23 +77,26 @@ def q_flagship_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference ``tests/test_excel_connector.py:36-58``) onto the full
     scan+filter+agg+sort pipeline. Filter pushes to the parquet scan; agg is
     partial+final hash aggregation on 2 low-cardinality keys (no skew risk
-    at any scale); final sort is 4 rows.
+    at any scale); final sort is 4 rows. The exact decimal sums present as
+    canonical strings (``determinism.canon``) for the driver hash gate.
     """
     li = table(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= ts("1998-09-02 00:00:00"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum("l_quantity", 0).alias("sum_qty"),
-            dsum("l_extendedprice", 2).alias("sum_base_price"),
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
-                "sum_disc_price"
-            ),
-            dsum(
-                F.col("l_extendedprice")
-                * (1 - F.col("l_discount"))
-                * (1 + F.col("l_tax")),
-                6,
+            canon(dsum("l_quantity", 0)).alias("sum_qty"),
+            canon(dsum("l_extendedprice", 2)).alias("sum_base_price"),
+            canon(
+                dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+            ).alias("sum_disc_price"),
+            canon(
+                dsum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax")),
+                    6,
+                )
             ).alias("sum_charge"),
             davg("l_quantity", 0).alias("avg_qty"),
             davg("l_extendedprice", 2).alias("avg_price"),
@@ -228,7 +233,7 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT r.r_name AS region_name,
            COUNT(*) AS n_suppliers,
-           {sql_dsum('s.s_acctbal', 2)} AS total_acctbal
+           {sql_canon(sql_dsum('s.s_acctbal', 2))} AS total_acctbal
     FROM supplier s
     JOIN nation n ON s.s_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -247,7 +252,7 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("r_name").alias("region_name"))
         .agg(
             F.count("*").alias("n_suppliers"),
-            dsum("s_acctbal", 2).alias("total_acctbal"),
+            canon(dsum("s_acctbal", 2)).alias("total_acctbal"),
         )
     )
 
@@ -367,7 +372,8 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT s.s_nationkey AS nationkey,
            COUNT(*) AS n_pairs,
-           CAST(MAX(c.c_acctbal - s.s_acctbal) AS DECIMAL(38,2)) AS max_gap
+           CAST(CAST(MAX(c.c_acctbal - s.s_acctbal) AS DECIMAL(38,2)) AS VARCHAR)
+               AS max_gap
     FROM supplier s
     JOIN customer c
       ON s.s_nationkey = c.c_nationkey AND s.s_acctbal < c.c_acctbal
@@ -388,9 +394,9 @@ def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("s_nationkey").alias("nationkey"))
         .agg(
             F.count("*").alias("n_pairs"),
-            F.max(F.col("c_acctbal") - F.col("s_acctbal"))
-            .cast("decimal(38,2)")
-            .alias("max_gap"),
+            canon(
+                F.max(F.col("c_acctbal") - F.col("s_acctbal")).cast("decimal(38,2)")
+            ).alias("max_gap"),
         )
     )
 
@@ -399,7 +405,7 @@ def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_star3",
     oracle=f"""
     SELECT l.l_orderkey,
-           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue,
+           {sql_canon(sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 4))} AS revenue,
            CAST(o.o_orderdate AS DATE) AS order_date,
            o.o_orderpriority
     FROM customer c
@@ -434,9 +440,9 @@ def q_join_star3(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
         )
         .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
-                "revenue"
-            )
+            canon(
+                dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+            ).alias("revenue")
         )
         .select("l_orderkey", "revenue", "order_date", "o_orderpriority")
     )
@@ -517,8 +523,8 @@ def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            COUNT(DISTINCT l_suppkey) AS n_suppliers,
            COUNT(DISTINCT l_partkey) AS n_parts,
-           CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(18,0))) AS DECIMAL(38,0))
-               AS sum_distinct_qty
+           CAST(CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(18,0)))
+                     AS DECIMAL(38,0)) AS VARCHAR) AS sum_distinct_qty
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -530,9 +536,11 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.countDistinct("l_suppkey").alias("n_suppliers"),
         F.countDistinct("l_partkey").alias("n_parts"),
-        F.sum_distinct(F.col("l_quantity").cast("decimal(18,0)"))
-        .cast("decimal(38,0)")
-        .alias("sum_distinct_qty"),
+        canon(
+            F.sum_distinct(F.col("l_quantity").cast("decimal(18,0)")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("sum_distinct_qty"),
     )
 
 
@@ -590,7 +598,7 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
            CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
            COUNT(*) AS n_orders,
-           {sql_dsum('o_totalprice', 2)} AS sum_price
+           {sql_canon(sql_dsum('o_totalprice', 2))} AS sum_price
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -602,7 +610,7 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("o_orderstatus").cast("int").alias("g_status"),
         F.grouping("o_orderpriority").cast("int").alias("g_prio"),
         F.count("*").alias("n_orders"),
-        dsum("o_totalprice", 2).alias("sum_price"),
+        canon(dsum("o_totalprice", 2)).alias("sum_price"),
     )
 
 
@@ -686,8 +694,10 @@ def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_pivot",
     oracle=f"""
     SELECT l_returnflag,
-           {sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END", 0)} AS qty_O,
-           {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END", 0)} AS qty_F
+           {sql_canon(sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END", 0))}
+               AS qty_O,
+           {sql_canon(sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END", 0))}
+               AS qty_F
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -702,8 +712,8 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum("l_quantity", 0))
         .select(
             "l_returnflag",
-            F.col("O").alias("qty_O"),
-            F.col("F").alias("qty_F"),
+            canon(F.col("O")).alias("qty_O"),
+            canon(F.col("F")).alias("qty_F"),
         )
     )
 
@@ -799,14 +809,14 @@ def q_win_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_win_frame",
     oracle="""
     SELECT l_suppkey, l_orderkey, l_linenumber,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,0)))
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,0)))
                 OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey,
                       l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND
-                      CURRENT ROW) AS DECIMAL(38,0)) AS running_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                      CURRENT ROW) AS DECIMAL(38,0)) AS VARCHAR) AS running_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
                 OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey,
                       l_linenumber ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
-                AS DECIMAL(38,2)) AS moving_price
+                AS DECIMAL(38,2)) AS VARCHAR) AS moving_price
     FROM lineitem
     """,
 )
@@ -821,14 +831,16 @@ def q_win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         "l_orderkey",
         "l_linenumber",
-        F.sum(F.col("l_quantity").cast("decimal(18,0)"))
-        .over(wrun)
-        .cast("decimal(38,0)")
-        .alias("running_qty"),
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-        .over(wmov)
-        .cast("decimal(38,2)")
-        .alias("moving_price"),
+        canon(
+            F.sum(F.col("l_quantity").cast("decimal(18,0)"))
+            .over(wrun)
+            .cast("decimal(38,0)")
+        ).alias("running_qty"),
+        canon(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .over(wmov)
+            .cast("decimal(38,2)")
+        ).alias("moving_price"),
     )
 
 

@@ -112,13 +112,15 @@ def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c.c_mktsegment,
            CAST(SUM(b.n_big) AS BIGINT) AS segment_big_orders,
-           CAST(SUM(b.total_big) AS DECIMAL(38,2)) AS segment_big_value
+           CAST(CAST(SUM(b.total_big) AS DECIMAL(38,2)) AS VARCHAR)
+               AS segment_big_value
     FROM big_orders b JOIN customer c ON b.o_custkey = c.c_custkey
     GROUP BY c.c_mktsegment
     """,
 )
 def q_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CTE reuse feeding a join + re-aggregation."""
+    """CTE reuse feeding a join + re-aggregation. The exact decimal total
+    presents as a canonical string (determinism.canon rationale)."""
     register_views(spark, sf_dir)
     return spark.sql(
         """
@@ -131,7 +133,8 @@ def q_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT c.c_mktsegment,
                CAST(SUM(b.n_big) AS BIGINT) AS segment_big_orders,
-               CAST(SUM(b.total_big) AS DECIMAL(38,2)) AS segment_big_value
+               CAST(CAST(SUM(b.total_big) AS DECIMAL(38,2)) AS STRING)
+                   AS segment_big_value
         FROM big_orders b JOIN customer c ON b.o_custkey = c.c_custkey
         GROUP BY c.c_mktsegment
         """
