@@ -5,9 +5,10 @@
   streams once; per-query top-k via window. DuckDB-oracled.
 - ``q_sim_selfjoin``: exact pairwise similarity join above a threshold.
   DuckDB-oracled.
-- ``q_sim_ann_lsh`` : the scale path — random-hyperplane (sign) LSH:
-  16-bit signatures from seeded hyperplanes, bucket join for candidates,
-  exact cosine re-rank of candidates only. Approximate recall ⇒ rows-only.
+- ``q_sim_ann_lsh`` : the scale path — banded random-hyperplane (sign)
+  LSH: 64 seeded hyperplane bits in 16 bands, inverted-index explode,
+  bucket equi-join for candidates, exact cosine re-rank of candidates
+  only. Approximate recall ⇒ rows-only.
 
 All cosine math is built-in higher-order array functions (zip_with +
 aggregate) over ``array<double>`` — JVM-side, no UDFs. Sequential fold
@@ -36,7 +37,18 @@ from ..plans.registry import query
 _QUERY_VEC_IDS = (0, 1, 2, 3, 4)
 _TOP_K = 10
 _SELFJOIN_THRESHOLD = 0.42
-_LSH_BITS = 16
+#: sign-LSH signature = _LSH_BANDS bands of _LSH_BAND_BITS hyperplane bits.
+#: Candidates come from an equi-join on (band, band_value) — a vector is a
+#: candidate iff it agrees with the query on ALL bits of at least one band.
+#: Tuning math (p = per-bit disagreement = acos(cos)/π): per-neighbor recall
+#: is 1-(1-(1-p)^BITS)^BANDS. This corpus's 10th neighbors sit at cos≈0.25
+#: (p≈0.42), so 16 bands × 4 bits ⇒ ~87% recall; strong neighbors
+#: (cos≥0.8, p≈0.2) ⇒ >99.9%. At 100 TB, raise BAND_BITS to sharpen
+#: selectivity per bucket and BANDS to buy recall back — the join shape
+#: (explode → hash join on the bucket key) is unchanged.
+_LSH_BANDS = 16
+_LSH_BAND_BITS = 4
+_LSH_BITS = _LSH_BANDS * _LSH_BAND_BITS
 _LSH_SEED = 42
 
 
@@ -160,59 +172,76 @@ def hyperplanes(dim: int, bits: int = _LSH_BITS, seed: int = _LSH_SEED) -> list[
     return rng.standard_normal((bits, dim)).tolist()
 
 
+def band_signature(col: Column, planes: list[list[float]]) -> Column:
+    """``array<int>`` of per-band bucket values (band b packs the sign bits
+    of its ``_LSH_BAND_BITS`` hyperplanes into one small int)."""
+    vals = []
+    for b in range(_LSH_BANDS):
+        v: Column = F.lit(0)
+        for j in range(_LSH_BAND_BITS):
+            plane = planes[b * _LSH_BAND_BITS + j]
+            v = v + F.when(
+                _dot(col, F.array(*[F.lit(float(x)) for x in plane])) >= 0.0,
+                F.lit(2**j),
+            ).otherwise(F.lit(0))
+        vals.append(v.cast("int"))
+    return F.array(*vals)
+
+
 @query("q_sim_ann_lsh")  # approximate → rows-only check
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k: random-hyperplane LSH signatures → same-bucket
-    candidates (with the query's bucket) → exact cosine re-rank.
+    """Approximate top-k: banded random-hyperplane LSH → bucket **equi-join**
+    candidates → exact cosine re-rank of candidates only.
 
-    The signature computation is a literal-matrix dot product in built-in
-    array functions; at 100 TB the bucket join replaces the O(Q×N) scan
-    with per-bucket work, trading recall (multi-probe would recover it).
+    Scale shape (the point of this operator vs the q_sim_topk baseline):
+
+    1. every vector posexplodes to ``_LSH_BANDS`` rows keyed
+       ``(band, band_value)`` — the inverted index;
+    2. the (tiny) query set explodes the same way and **hash-joins** on the
+       bucket key — never a nested-loop predicate over N, so the work is
+       per-bucket, partitionable, and AQE-coalesced;
+    3. candidate (query, vector) pairs dedup, re-join their vectors by key,
+       and only those pairs pay the exact cosine.
+
+    This mirrors q_dedup_minhash's band join (dedup.py) — one design for
+    both text and vector near-neighbor search.
     """
     emb = _embeddings(spark, sf_dir)
     dim = len(emb.select("e").first()["e"])
     planes = hyperplanes(dim)
 
-    def signature(col: Column) -> Column:
-        bits = [
-            F.when(
-                _dot(col, F.array(*[F.lit(float(x)) for x in plane])) >= 0.0, 2**i
-            ).otherwise(0)
-            for i, plane in enumerate(planes)
-        ]
-        out = bits[0]
-        for b in bits[1:]:
-            out = out + b
-        return out.cast("long")
-
-    signed = emb.withColumn("sig", signature(F.col("e")))
-    q = (
-        signed.filter(F.col("vec_id").isin(*_QUERY_VEC_IDS))
+    signed = emb.withColumn("bands", band_signature(F.col("e"), planes))
+    # inverted index: one row per (vector, band) with the band's bucket value
+    buckets = signed.select(
+        "vec_id", F.posexplode("bands").alias("band", "bval")
+    )
+    qvec = signed.filter(F.col("vec_id").isin(*_QUERY_VEC_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("n").alias("qn"),
+        F.col("bands").alias("qbands"),
+    )
+    qbuckets = qvec.select(
+        "query_id", F.posexplode("qbands").alias("band", "bval")
+    )
+    # bucket equi-join (hash join on the composite key), then dedup pairs:
+    # a pair can collide in up to _LSH_BANDS buckets but must score once.
+    candidates = (
+        buckets.join(F.broadcast(qbuckets), ["band", "bval"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    scored = (
+        candidates.join(signed.select("vec_id", "e", "n"), "vec_id")
+        .join(F.broadcast(qvec.select("query_id", "qe", "qn")), "query_id")
         .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("e").alias("qe"),
-            F.col("n").alias("qn"),
-            F.col("sig").alias("qsig"),
+            "query_id",
+            "vec_id",
+            F.round(_dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("n")), 8)
+            .cast("decimal(38,8)")
+            .alias("cosine"),
         )
-    )
-    # multi-probe: a candidate is any vector whose signature is within
-    # Hamming distance 6 of the query's — the recall dial for sign-LSH
-    # (cos≈0.5 neighbors disagree on ~1/3 of bits, so exact-bucket match
-    # would find almost nothing). At scale this is the same join keyed by
-    # enumerated probe buckets instead of a broadcast predicate.
-    candidates = signed.join(
-        F.broadcast(q),
-        (
-            F.bit_count(F.col("sig").bitwiseXOR(F.col("qsig"))) <= 6
-        )
-        & (F.col("vec_id") != F.col("query_id")),
-    )
-    scored = candidates.select(
-        "query_id",
-        "vec_id",
-        F.round(_dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("n")), 8)
-        .cast("decimal(38,8)")
-        .alias("cosine"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
     return (

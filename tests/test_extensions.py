@@ -40,12 +40,11 @@ def test_ann_lsh_recall_vs_brute_force(spark, queries):
     ann = queries["q_sim_ann_lsh"](spark, SF).collect()
     top3 = {(r.query_id, r.vec_id) for r in brute if r.rank <= 3}
     ann_all = {(r.query_id, r.vec_id) for r in ann}
-    # multi-probe LSH should recover a good share of the true top-3
-    # weak neighbors (cos~0.4-0.5, near-random): sign-LSH recall is
-    # modest by construction; radius-6 multi-probe recovers ~1/3+ of the
-    # true top-3 while scanning ~25% of the table. On real corpora with
-    # strong neighbors (cos>0.8) the same setup recovers nearly all.
-    assert len(top3 & ann_all) / len(top3) >= 0.3
+    # banded bucket-join LSH (16 bands × 4 bits, fixed seed) recovers ≥90%
+    # of the true top-3 on this corpus even though its 10th neighbors sit
+    # at cos≈0.25 (near-random for sign-LSH); deterministic, so this is a
+    # regression bound, not a flaky statistical one.
+    assert len(top3 & ann_all) / len(top3) >= 0.9
 
 
 def test_dedup_embed_canonical_props(spark, queries):

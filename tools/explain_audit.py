@@ -27,7 +27,7 @@ SF = "/root/testdata/sf0.001"
 #: queries where a nested-loop/cartesian shape is the intended exact
 #: all-pairs semantics (the scale path is their LSH twin)
 ALLOWED_NESTED_LOOP = {
-    "q_sim_selfjoin", "q_dedup_embed", "q_sim_topk", "q_sim_ann_lsh", "q_join_theta",
+    "q_sim_selfjoin", "q_dedup_embed", "q_sim_topk", "q_join_theta",
     # broadcast of the 16-row centroid table is the IVF design, not a smell
     "q_sim_ann_ivf",
 }
