@@ -89,13 +89,18 @@ def asof_join(
         .orderBy(time_order, tie)
         .rowsBetween(W.unboundedPreceding, -1)
     )
-    result = unioned
-    for c in carried:
-        marked = F.when(F.col("__is_left") == 0, F.col(f"__r_{c}"))
-        result = result.withColumn(
-            f"__last_{c}", F.last(marked, ignorenulls=True).over(w)
-        )
+    # Carry ONE struct over the window, not per-column lasts: the struct is
+    # non-null for every right row even when its fields are NULL, so
+    # last(..., ignorenulls) selects the nearest qualifying right ROW and
+    # preserves that row's NULL values. Independent per-column lasts would
+    # skip over a NULL field to an older right row — silently mixing
+    # columns from different rows (not merge_asof semantics).
+    marked = F.when(
+        F.col("__is_left") == 0,
+        F.struct(*[F.col(f"__r_{c}").alias(c) for c in carried]),
+    )
+    result = unioned.withColumn("__last", F.last(marked, ignorenulls=True).over(w))
     return result.filter(F.col("__is_left") == 1).select(
         *[F.col(c) for c in left.columns],
-        *[F.col(f"__last_{c}").alias(out_name(c)) for c in carried],
+        *[F.col("__last").getField(c).alias(out_name(c)) for c in carried],
     )

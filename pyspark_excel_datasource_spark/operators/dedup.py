@@ -47,14 +47,23 @@ def _shingles(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     df = spread(df)
     w = F.split(F.col(text_col), " ")
-    sh = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(w) - 3),
-            lambda i: F.concat_ws(
-                " ", F.element_at(w, i + 1), F.element_at(w, i + 2), F.element_at(w, i + 3)
-            ),
-        )
-    )
+    # Guard sub-3-token documents: sequence(0, size-3) would descend (e.g.
+    # [0,-1]) and element_at(w, 0) raises INVALID_INDEX_OF_ZERO. The DuckDB
+    # oracle's RANGE(1, LEN(w)-1) yields empty there — match it.
+    sh = F.when(
+        F.size(w) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(w, i + 1),
+                    F.element_at(w, i + 2),
+                    F.element_at(w, i + 3),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return df.select("doc_id", sh.alias("shingles"))
 
 

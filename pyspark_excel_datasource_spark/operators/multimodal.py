@@ -149,15 +149,29 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
         F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0))),
         lambda i: i * every_n_bytes,
     )
-    return df.select(
-        "doc_id",
-        F.posexplode(offsets).alias("frame_idx", "byte_offset"),
-        F.expr(f"substring(payload, 1, {every_n_bytes})").alias("frame_bytes"),
-    ).select(
-        "doc_id",
-        "frame_idx",
-        "byte_offset",
-        F.octet_length("frame_bytes").alias("frame_size"),
+    return (
+        df.select(
+            "doc_id",
+            "payload",
+            F.posexplode(offsets).alias("frame_idx", "byte_offset"),
+        )
+        # second select: the offset column must exist before the window
+        # slice — each frame reads ITS window, not the first one's.
+        .select(
+            "doc_id",
+            "frame_idx",
+            "byte_offset",
+            F.expr(f"substring(payload, byte_offset + 1, {every_n_bytes})").alias(
+                "frame_bytes"
+            ),
+        )
+        .select(
+            "doc_id",
+            "frame_idx",
+            "byte_offset",
+            F.octet_length("frame_bytes").alias("frame_size"),
+            F.md5("frame_bytes").alias("frame_md5"),
+        )
     )
 
 

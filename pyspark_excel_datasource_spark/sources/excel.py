@@ -50,6 +50,7 @@ from typing import TYPE_CHECKING, Iterator
 
 import pandas as pd
 import pyarrow as pa
+from pyspark.errors import AnalysisException
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
@@ -155,7 +156,12 @@ class ExcelOptions:
 
         path = options.get("path")
         if not path:
-            raise ValueError("the 'path' option is required for the excel source")
+            # Error contract parity: the reference surfaces every
+            # reader/writer/schema failure as AnalysisException
+            # (connector.py:93-94,202-203,276-277,321-322).
+            raise AnalysisException(
+                "the 'path' option is required for the excel source"
+            )
         sheet: str | int = options.get("sheetname", options.get("sheetName", 0))
         chunk = options.get("chunkrows", options.get("chunkRows"))
         return cls(
@@ -184,12 +190,12 @@ def _list_input_files(path: str) -> list[str]:
             if f.lower().endswith(".xlsx") and os.path.isfile(os.path.join(path, f))
         )
         if not files:
-            raise ValueError(f"no .xlsx files found in directory: {path}")
+            raise AnalysisException(f"no .xlsx files found in directory: {path}")
         return files
     matches = sorted(glob.glob(path))
     if matches:
         return [m for m in matches if os.path.isfile(m)]
-    raise ValueError(f"path does not exist: {path}")
+    raise AnalysisException(f"path does not exist: {path}")
 
 
 def infer_spark_type(series: pd.Series, prefer_ntz: bool = False) -> T.DataType:
@@ -258,7 +264,7 @@ def _frame_to_batches(
     """
     missing = [f.name for f in schema.fields if f.name not in frame.columns]
     if missing:
-        raise ValueError(
+        raise AnalysisException(
             f"columns {missing} required by the schema are missing from the "
             f"file (file has {list(frame.columns)})"
         )
@@ -266,7 +272,7 @@ def _frame_to_batches(
     for field in schema.fields:
         target = _ARROW_TYPES.get(field.dataType)
         if target is None:
-            raise ValueError(
+            raise AnalysisException(
                 f"unsupported type {field.dataType} for column {field.name!r}"
             )
         col = frame[field.name]
@@ -396,7 +402,7 @@ class ExcelStreamReader(DataSourceStreamReader):
     def _current_files(self) -> list[str]:
         path = self.opts.path
         if not os.path.isdir(path):
-            raise ValueError(f"streaming path must be a directory: {path}")
+            raise AnalysisException(f"streaming path must be a directory: {path}")
         return sorted(
             f
             for f in os.listdir(path)
@@ -461,7 +467,7 @@ class ExcelDataSourceWriter(DataSourceWriter):
         base = opts.path.rstrip("/")
         self.staging = f"{base}.__staging__{uuid.uuid4().hex[:8]}"
         if os.path.exists(opts.path) and not overwrite and not os.path.isdir(opts.path):
-            raise ValueError(
+            raise AnalysisException(
                 f"path {opts.path} already exists; use mode('overwrite')"
             )
         os.makedirs(self.staging, exist_ok=True)
@@ -560,10 +566,37 @@ class ExcelStreamWriter(DataSourceStreamWriter):
         tmp = final + ".tmp"
         _write_frame(tmp, merged, self.opts.write_sheet)
         os.replace(tmp, final)  # atomic, idempotent on batch replay
-        shutil.rmtree(self.staging, ignore_errors=True)
+        self._cleanup_staging(parts)
 
     def abort(self, messages, batchId: int) -> None:
-        shutil.rmtree(self.staging, ignore_errors=True)
+        self._cleanup_staging(
+            [m.part_path for m in messages if m is not None]
+        )
+
+    def _cleanup_staging(self, parts: list[str]) -> None:
+        """Remove this batch's staging dirs AND any orphaned siblings.
+
+        Spark constructs separate writer instances for planning, the
+        executor tasks, and the commit phase, each with its own staging
+        uuid — so the dirs that actually hold this batch's parts come from
+        the commit messages, not ``self.staging``. Anything else matching
+        ``.staging-*`` is residue of a crashed run whose commit/abort never
+        ran (the micro-batch engine is serial per query, so no live batch
+        can own it); sweep it here rather than letting it accumulate.
+        Concurrent queries writing one sink dir are unsupported either way
+        (their batch-<id>.xlsx files would collide).
+        """
+        used = {os.path.dirname(p) for p in parts} | {self.staging}
+        for d in used:
+            shutil.rmtree(d, ignore_errors=True)
+        try:
+            names = os.listdir(self.opts.path)
+        except OSError:
+            return
+        for name in names:
+            full = os.path.join(self.opts.path, name)
+            if name.startswith(".staging-") and os.path.isdir(full):
+                shutil.rmtree(full, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

@@ -142,3 +142,51 @@ def test_bad_direction_raises(spark, frames):
             by="k",
             direction="nearest",
         )
+
+
+def test_null_right_values_carry_from_nearest_row(spark):
+    """The nearest qualifying right row wins even when a value column is
+    NULL there — and all carried columns come from that single row (no
+    per-column mixing from older rows)."""
+    t0 = dt.datetime(2024, 1, 1)
+    left = pd.DataFrame(
+        {"k": [1], "t": [t0 + dt.timedelta(minutes=10)], "lv": [1.0]}
+    )
+    right = spark.createDataFrame(
+        [
+            (1, t0 + dt.timedelta(minutes=2), 111.0, "old"),
+            (1, t0 + dt.timedelta(minutes=8), None, "new"),
+        ],
+        "k long, t timestamp, rv double, tag string",
+    )
+    got = asof_join(
+        spark.createDataFrame(left), right, on="t", by="k", strict=True
+    ).collect()
+    assert len(got) == 1
+    row = got[0]
+    # nearest right row is minute-8: its NULL rv must be preserved, not
+    # substituted by minute-2's 111.0, and tag must come from the same row.
+    assert row.t_right == t0 + dt.timedelta(minutes=8)
+    assert row.rv is None
+    assert row.tag == "new"
+    # pandas.merge_asof agrees
+    expected = pd.merge_asof(
+        left.sort_values("t"),
+        pd.DataFrame(
+            {
+                "k": [1, 1],
+                "t_right": [
+                    t0 + dt.timedelta(minutes=2),
+                    t0 + dt.timedelta(minutes=8),
+                ],
+                "rv": [111.0, None],
+                "tag": ["old", "new"],
+            }
+        ),
+        left_on="t",
+        right_on="t_right",
+        by="k",
+        allow_exact_matches=False,
+        direction="backward",
+    )
+    assert pd.isna(expected["rv"].iloc[0]) and expected["tag"].iloc[0] == "new"

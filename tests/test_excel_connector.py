@@ -232,3 +232,68 @@ def test_multifile_directory_write(spark, tmp_path):
     assert len(parts) == 4
     back = spark.read.format("excel").schema("id long").option("path", out).load()
     assert sorted(r.id for r in back.collect()) == list(range(40))
+
+
+def test_error_contract_analysis_exception(spark, tmp_path):
+    """Reference error contract: reader/writer/schema failures surface as
+    AnalysisException (reference connector.py:93-94,202-203,276-277,
+    321-322). Driver-side (planning) failures keep the type at the user
+    API; executor-side ones are wrapped by Spark's Python worker but
+    originate from AnalysisException in the connector."""
+    from pyspark.errors import AnalysisException
+
+    # planning-time: nonexistent path → AnalysisException at the API
+    with pytest.raises(AnalysisException, match="(?i)does not exist"):
+        (
+            spark.read.format("excel")
+            .option("path", str(tmp_path / "ghost.xlsx"))
+            .load()
+        )
+
+    # planning-time: empty directory → AnalysisException at the API
+    d = tmp_path / "empty_contract"
+    d.mkdir()
+    with pytest.raises(AnalysisException, match="(?i)no .xlsx"):
+        spark.read.format("excel").option("path", str(d)).load()
+
+    # executor-time: missing schema column — Spark wraps worker errors,
+    # but the connector's AnalysisException is the recorded cause
+    p = str(tmp_path / "contract.xlsx")
+    _write(p, [(1,)], ["id"])
+    df = (
+        spark.read.format("excel")
+        .schema("id long, ghost_col string")
+        .option("path", p)
+        .load()
+    )
+    with pytest.raises(Exception, match="AnalysisException") as exc_info:
+        df.collect()
+    assert "ghost_col" in str(exc_info.value)
+
+
+def test_error_contract_unit_level(tmp_path):
+    """The connector itself raises AnalysisException (not ValueError) on
+    every reader/writer/schema failure path."""
+    import pandas as pd
+    from pyspark.errors import AnalysisException
+
+    from pyspark_excel_datasource_spark.sources.excel import (
+        ExcelOptions,
+        ExcelStreamReader,
+        _frame_to_batches,
+        _list_input_files,
+    )
+    from pyspark.sql import types as T
+
+    with pytest.raises(AnalysisException):
+        ExcelOptions.from_options({})  # no path
+    with pytest.raises(AnalysisException):
+        _list_input_files(str(tmp_path / "nope"))
+    schema = T.StructType([T.StructField("missing", T.StringType())])
+    with pytest.raises(AnalysisException):
+        list(_frame_to_batches(pd.DataFrame({"other": [1]}), schema))
+    rdr = ExcelStreamReader(
+        schema, ExcelOptions.from_options({"path": str(tmp_path / "not_a_dir")})
+    )
+    with pytest.raises(AnalysisException):
+        rdr._current_files()

@@ -10,6 +10,7 @@ queries.
 from __future__ import annotations
 
 import datetime as dt
+import os
 
 import pandas as pd
 import pytest
@@ -207,3 +208,105 @@ def test_stream_writer_excel_sink(spark, tmp_path):
         .load()
     )
     assert sorted(map(tuple, back.collect())) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_stream_reader_rejects_non_directory(spark, tmp_path):
+    """Negative path: streaming from a non-directory fails the query with
+    the connector's AnalysisException recorded as the cause."""
+    from pyspark.errors import StreamingQueryException
+
+    f = tmp_path / "single.xlsx"
+    _write(str(f), [(1, "a")])
+    q = (
+        spark.readStream.format("excel")
+        .schema("id long, name string")
+        .option("path", str(f))
+        .load()
+        .writeStream.format("memory")
+        .queryName("nondir_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt_nondir"))
+        .start()
+    )
+    try:
+        with pytest.raises(StreamingQueryException, match="(?i)must be a directory"):
+            q.processAllAvailable()
+            q.awaitTermination(30)
+    finally:
+        q.stop()
+
+
+def test_manifest_offsets_replay_exactly_with_midstream_arrivals(tmp_path):
+    """Forced-crash recovery property: a batch is a pure function of its
+    checkpointed (start, end) manifests. Files arriving after the offsets
+    were fixed — and even a brand-new reader instance, as after a crash —
+    must reproduce the SAME batch, byte for byte."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from pyspark_excel_datasource_spark.sources.excel import (
+        ExcelOptions,
+        ExcelStreamReader,
+    )
+
+    src = tmp_path / "replay"
+    src.mkdir()
+    _write(str(src / "f1.xlsx"), [(1, "a")])
+    _write(str(src / "f2.xlsx"), [(2, "b")])
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    opts = ExcelOptions.from_options({"path": str(src)})
+
+    r1 = ExcelStreamReader(schema, opts)
+    start = r1.initialOffset()
+    end1 = r1.latestOffset()
+    batch1 = [p.file_path for p in r1.partitions(start, end1)]
+    assert [os.path.basename(p) for p in batch1] == ["f1.xlsx", "f2.xlsx"]
+
+    # mid-stream arrival AFTER the batch's offsets were fixed
+    _write(str(src / "f3.xlsx"), [(3, "c")])
+
+    # same reader replays the same (start, end) → identical batch
+    assert [p.file_path for p in r1.partitions(start, end1)] == batch1
+
+    # crash recovery: offsets round-trip through the checkpoint (JSON) and
+    # a NEW reader instance derives the identical batch from them
+    start_rt = json.loads(json.dumps(start))
+    end_rt = json.loads(json.dumps(end1))
+    r2 = ExcelStreamReader(schema, opts)
+    assert [p.file_path for p in r2.partitions(start_rt, end_rt)] == batch1
+
+    # and the next batch contains exactly the mid-stream arrival
+    end2 = r2.latestOffset()
+    nxt = [os.path.basename(p.file_path) for p in r2.partitions(end_rt, end2)]
+    assert nxt == ["f3.xlsx"]
+
+
+def test_stream_writer_sweeps_stale_staging(spark, tmp_path):
+    """A crashed run's orphaned .staging-<uuid> dir (its abort never ran)
+    is swept when the next writer instance takes over the sink dir."""
+    out = tmp_path / "sweep_sink"
+    out.mkdir()
+    stale = out / ".staging-deadbeef"
+    stale.mkdir()
+    (stale / "part-00000-junk.xlsx").write_bytes(b"orphan")
+
+    src = tmp_path / "sweep_src"
+    src.mkdir()
+    _write(str(src / "f1.xlsx"), [(1, "a")])
+    q = (
+        spark.readStream.format("excel")
+        .schema("id long, name string")
+        .option("path", str(src))
+        .load()
+        .writeStream.format("excel")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt_sweep"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert not stale.exists(), "orphaned staging dir must be swept"
+    assert any(f.startswith("batch-") for f in os.listdir(out))

@@ -73,6 +73,16 @@ def test_multimodal_frame_sampling(spark):
     frames = sample_frames(docs, every_n_bytes=64).collect()
     assert all(f.byte_offset == f.frame_idx * 64 for f in frames)
     assert all(f.frame_size <= 64 for f in frames)
+    # frames must slice THEIR offset window, not all read bytes [0, 64):
+    # a multi-frame doc's frame hashes can't all equal frame 0's.
+    by_doc: dict[int, list] = {}
+    for f in frames:
+        by_doc.setdefault(f.doc_id, []).append(f)
+    multi = [fs for fs in by_doc.values() if len(fs) >= 2]
+    assert multi, "fixture should contain multi-frame documents"
+    assert any(
+        len({f.frame_md5 for f in fs}) > 1 for fs in multi
+    ), "every frame hashed identically — offsets ignored"
 
 
 def test_multimodal_features_are_distributions(spark, queries):
