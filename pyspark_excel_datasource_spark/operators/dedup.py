@@ -328,6 +328,9 @@ def connected_min_labels(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             .groupBy(F.col("a").alias("id"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        # localCheckpoint (eager) instead of cache: truncates the lineage so
+        # round N's plan doesn't re-embed rounds 1..N-1 — keeps per-round
+        # planning cost flat over the iteration count.
         new_labels = (
             labels.join(neighbor_min, "id", "left")
             .select(
@@ -336,7 +339,7 @@ def connected_min_labels(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
                     F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
-            .cache()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -425,11 +428,13 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup canonicalization: each vector maps to the
     smallest vec_id within cosine ≥ 0.45 (itself if none).
 
-    Exact all-pairs here (oracle-able); at 100 TB swap the pair generator
-    for the LSH-bucketed candidates in ``similarity.ann_candidates`` and
-    keep the same canonicalization — the aggregation shape is unchanged.
-    Both engines compute cosine with the same sequential double
-    accumulation, so the threshold compare is bit-stable.
+    **sf-capped oracle baseline, not the scale operator**: the exact
+    all-pairs generator exists to be DuckDB-checkable. At 100 TB swap it
+    for the banded LSH bucket join (``similarity.q_sim_ann_lsh``'s
+    candidate stage) and keep the same min-id canonicalization — the
+    aggregation shape is unchanged. Both engines compute cosine with the
+    same sequential double accumulation, so the threshold compare is
+    bit-stable.
     """
     from .similarity import _dot, _norm
 

@@ -148,7 +148,14 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_sim_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact pairwise near-duplicate vectors above a cosine threshold."""
+    """Exact pairwise near-duplicate vectors above a cosine threshold.
+
+    **sf-capped oracle baseline, not the scale operator**: the O(n²) pair
+    enumeration exists to be DuckDB-checkable and to ground-truth the
+    bucketed twins. At 100 TB run ``q_sim_ann_lsh`` (banded bucket join)
+    or ``q_sim_ann_ivf`` (centroid buckets) — same re-rank contract,
+    candidates from equi-joins instead of all pairs.
+    """
     emb = _embeddings(spark, sf_dir)
     a = emb.alias("a")
     b = emb.alias("b")
