@@ -1,0 +1,157 @@
+"""Scale-technique operators: bucketed co-located joins and salted skew
+joins (SURVEY.md §4.2 custom work; the 100 TB playbook made executable).
+
+These register real queries whose RESULTS are ordinary joins (so DuckDB
+can oracle them) but whose PLANS demonstrate the two techniques that keep
+big joins alive on a 1000-executor cluster:
+
+- **Bucketing** (``q_join_bucketed``): both join sides are written
+  ``bucketBy(N, key).sortBy(key)`` once; every later join on that key is
+  exchange-free — the scan is already hash-partitioned on disk. At 100 TB
+  this converts every recurring fact⋈fact join from a full shuffle into a
+  local merge. ``tests/test_scale_ops.py`` asserts the plan has ZERO
+  Exchange operators.
+- **Salting** (``q_join_skew_salted``): a skewed fact key is joined via a
+  composite ``(key, salt)`` with the dim side replicated per salt, so one
+  hot key spreads over N reducers instead of stalling one. The salt is
+  derived deterministically from fact columns and is invisible in the
+  result (verified bit-exact against the unsalted oracle). AQE's skew
+  split handles this adaptively; explicit salting is the belt-and-braces
+  form that also works pre-shuffle and in streaming joins.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.determinism import canon, dsum, sql_canon, sql_dsum
+from ..plans.registry import query
+
+_N_BUCKETS = 8
+_N_SALTS = 8
+
+
+def _sf_tag(sf_dir: str) -> str:
+    return (os.path.basename(os.path.normpath(sf_dir)) or "sf").replace(".", "_")
+
+
+def bucketed_table_name(sf_dir: str, base: str) -> str:
+    return f"bkt_{_sf_tag(sf_dir)}_{base}"
+
+
+def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write orders/customer bucketed+sorted by the join key (idempotent
+    per session; the in-memory catalog forgets tables between sessions, so
+    each run lays the files down under the session warehouse dir).
+
+    At 100 TB this is the one-time layout investment: every subsequent
+    join/aggregation keyed on custkey reads pre-partitioned buckets and
+    skips its exchange entirely.
+    """
+    def ensure(name: str, base: str, cols: list[str], key: str) -> None:
+        if spark.catalog.tableExists(name):
+            return
+        # the in-memory catalog forgets tables between sessions but the
+        # warehouse files persist; clear the stale location before the
+        # managed rewrite (it's a derived fixture — always reproducible)
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        loc = os.path.join(warehouse.removeprefix("file:"), name.lower())
+        if os.path.exists(loc):
+            import shutil
+
+            shutil.rmtree(loc, ignore_errors=True)
+        (
+            table(spark, sf_dir, base)
+            .select(*cols)
+            .write.mode("overwrite")
+            .bucketBy(_N_BUCKETS, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+
+    o_name = bucketed_table_name(sf_dir, "orders")
+    c_name = bucketed_table_name(sf_dir, "customer")
+    ensure(o_name, "orders", ["o_orderkey", "o_custkey", "o_totalprice"], "o_custkey")
+    ensure(c_name, "customer", ["c_custkey", "c_name", "c_mktsegment"], "c_custkey")
+    return o_name, c_name
+
+
+@query(
+    "q_join_bucketed",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 200000.0
+    """,
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exchange-free equi-join over bucketed tables.
+
+    Both sides are stored hash-bucketed and sorted on the join key, so the
+    sort-merge join consumes the buckets directly — ``.explain`` shows no
+    Exchange on either side (asserted in tests). Result is an ordinary
+    join; the layout is the operator.
+    """
+    o_name, c_name = ensure_bucketed_tables(spark, sf_dir)
+    o = spark.table(o_name).filter(F.col("o_totalprice") > 200000.0)
+    c = spark.table(c_name)
+    return o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "q_join_skew_salted",
+    oracle=f"""
+    SELECT l.l_returnflag,
+           COUNT(*) AS n_items,
+           {sql_canon(sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 4))}
+               AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > 100000.0
+    GROUP BY l.l_returnflag
+    """,
+)
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted shuffle join, bit-identical to the plain join.
+
+    The fact side derives ``salt = xxhash64(row id) mod N`` and joins on
+    ``(key, salt)``; the dim side replicates each row across all N salts
+    (an N× blowup of the SMALL side only). A key holding 30% of the fact
+    now spreads across N reducers. The salt never reaches the result —
+    the DuckDB oracle is the unsalted join, and the hash gate proves
+    equivalence. Composable with AQE skew handling; indispensable when the
+    skew is in a streaming state join AQE can't re-plan.
+    """
+    li = table(spark, sf_dir, "lineitem").withColumn(
+        "salt",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(_N_SALTS)).cast(
+            "int"
+        ),
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 100000.0)
+        .select("o_orderkey")
+        .crossJoin(
+            F.broadcast(
+                li.sparkSession.range(_N_SALTS).select(
+                    F.col("id").cast("int").alias("salt")
+                )
+            )
+        )
+    )
+    return (
+        li.join(o, (li.l_orderkey == o.o_orderkey) & (li.salt == o.salt))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            canon(
+                dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+            ).alias("revenue"),
+        )
+    )

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..catalog import table
+from ..catalog import spread, table
 from ..functions.determinism import dround, sql_dround
 from ..plans.registry import query
 
@@ -286,4 +286,80 @@ def q_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("bpe_ish_tokens"),
         F.ceil(F.length("text") / 4.0).cast("int").alias("est_llm_tokens"),
+    )
+
+
+_WINNOW_K = 4  # k-gram size (tokens)
+_WINNOW_WIN = 5  # winnowing window (k-gram hashes)
+
+
+@query(
+    "q_text_winnow",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+    g AS (
+        SELECT doc_id,
+               CASE WHEN LEN(w) >= {_WINNOW_K}
+                    THEN [MD5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                              || w[i+3])
+                          FOR i IN RANGE(1, LEN(w) - {_WINNOW_K - 2})]
+                    ELSE [] END AS h
+        FROM t
+    ),
+    m AS (
+        SELECT doc_id,
+               CASE WHEN LEN(h) >= {_WINNOW_WIN}
+                    THEN [LIST_MIN(h[j:j+{_WINNOW_WIN - 1}])
+                          FOR j IN RANGE(1, LEN(h) - {_WINNOW_WIN - 2})]
+                    WHEN LEN(h) > 0 THEN [LIST_MIN(h)]
+                    ELSE [] END AS fps
+        FROM g
+    )
+    SELECT doc_id, UNNEST(LIST_DISTINCT(fps)) AS fingerprint FROM m
+    """,
+)
+def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003 —
+    the rolling-hash fingerprint scheme, PAPERS.md): hash every token
+    4-gram, slide a window of 5 hashes, keep each window's minimum.
+    Guarantees any shared run of ≥ w+k-1 tokens yields a shared
+    fingerprint, with ~2/(w+1) selection density — the sub-document dedup
+    primitive (plagiarism / partial-overlap detection) that md5-style
+    whole-document fingerprints can't express.
+
+    Built-ins only: one interpreted transform chain per document, no
+    shuffle until the (doc_id, fingerprint) explode; grouping fingerprints
+    then finds partial-overlap docs with an equi-join, exactly like the
+    minhash band join. Hash = md5 hex (identical text → identical string
+    in both engines), compared as strings, so the oracle is exact.
+    """
+    d = spread(table(spark, sf_dir, "documents"))
+    w = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(w) >= _WINNOW_K,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - _WINNOW_K),
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ",
+                    *[F.element_at(w, i + j + 1) for j in range(_WINNOW_K)],
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = d.select("doc_id", grams.alias("h"))
+    h = F.col("h")
+    mins = (
+        F.when(
+            F.size(h) >= _WINNOW_WIN,
+            F.transform(
+                F.sequence(F.lit(0), F.size(h) - _WINNOW_WIN),
+                lambda j: F.array_min(F.slice(h, j + 1, _WINNOW_WIN)),
+            ),
+        )
+        .when(F.size(h) > 0, F.array(F.array_min(h)))
+        .otherwise(F.array().cast("array<string>"))
+    )
+    return d.select(
+        "doc_id", F.explode(F.array_distinct(mins)).alias("fingerprint")
     )

@@ -1,0 +1,101 @@
+"""Scale-technique operators: the RESULT is an ordinary join (oracled by
+the driver), so these tests assert the PLAN properties that are the point
+— bucketed joins shuffle nothing, salted joins change nothing."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """With broadcast disabled (forcing the plan shape two 100 TB sides
+    would get), the join must consume the bucketed layout directly: a
+    sort-merge join with ZERO Exchange operators."""
+    from pyspark_excel_datasource_spark.plans.registry import load_all_queries
+
+    qs = load_all_queries()
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = qs["q_join_bucketed"](spark, SF)
+        plan = _plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe)
+    assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+
+
+def test_bucketed_join_matches_plain_join(spark):
+    from pyspark_excel_datasource_spark.catalog import table
+    from pyspark_excel_datasource_spark.plans.registry import load_all_queries
+
+    qs = load_all_queries()
+    got = sorted(map(tuple, qs["q_join_bucketed"](spark, SF).collect()))
+    o = table(spark, SF, "orders").filter(F.col("o_totalprice") > 200000.0)
+    c = table(spark, SF, "customer")
+    want = sorted(
+        map(
+            tuple,
+            o.join(c, o.o_custkey == c.c_custkey)
+            .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+            .collect(),
+        )
+    )
+    assert got == want
+
+
+def test_salted_join_bit_identical_to_unsalted(spark):
+    from pyspark_excel_datasource_spark.catalog import table
+    from pyspark_excel_datasource_spark.functions.determinism import canon, dsum
+    from pyspark_excel_datasource_spark.plans.registry import load_all_queries
+
+    qs = load_all_queries()
+    got = {tuple(r) for r in qs["q_join_skew_salted"](spark, SF).collect()}
+    li = table(spark, SF, "lineitem")
+    o = table(spark, SF, "orders").filter(F.col("o_totalprice") > 100000.0)
+    plain = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            canon(
+                dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+            ).alias("revenue"),
+        )
+    )
+    want = {tuple(r) for r in plain.collect()}
+    assert got == want
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """The salted fact side must land one hot key in multiple shuffle
+    partitions — the whole point of the salt."""
+    from pyspark_excel_datasource_spark.operators.scale import _N_SALTS
+
+    li_key = 1  # any key; salt values must cover several buckets
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .filter(F.col("l_orderkey").isNotNull())
+        .withColumn(
+            "salt",
+            F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(_N_SALTS)),
+        )
+    )
+    n_salts = df.select("salt").distinct().count()
+    assert n_salts == _N_SALTS

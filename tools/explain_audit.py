@@ -30,6 +30,10 @@ ALLOWED_NESTED_LOOP = {
     "q_sim_selfjoin", "q_dedup_embed", "q_sim_topk", "q_join_theta",
     # broadcast of the 16-row centroid table is the IVF design, not a smell
     "q_sim_ann_ivf",
+    # the dim-side × 8-row salt table replication IS the salting technique
+    # (a broadcast of 8 integers); the fact side still hash-joins on
+    # (key, salt)
+    "q_join_skew_salted",
 }
 
 
