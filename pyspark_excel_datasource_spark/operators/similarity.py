@@ -27,6 +27,7 @@ candidate set, exact scoring ranks only candidates.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -179,20 +180,29 @@ def hyperplanes(dim: int, bits: int = _LSH_BITS, seed: int = _LSH_SEED) -> list[
     return rng.standard_normal((bits, dim)).tolist()
 
 
-def band_signature(col: Column, planes: list[list[float]]) -> Column:
-    """``array<int>`` of per-band bucket values (band b packs the sign bits
-    of its ``_LSH_BAND_BITS`` hyperplanes into one small int)."""
-    vals = []
-    for b in range(_LSH_BANDS):
-        v: Column = F.lit(0)
-        for j in range(_LSH_BAND_BITS):
-            plane = planes[b * _LSH_BAND_BITS + j]
-            v = v + F.when(
-                _dot(col, F.array(*[F.lit(float(x)) for x in plane])) >= 0.0,
-                F.lit(2**j),
-            ).otherwise(F.lit(0))
-        vals.append(v.cast("int"))
-    return F.array(*vals)
+def band_signature_udf(planes: list[list[float]]):
+    """Arrow-vectorized signature computation: one numpy matmul per batch.
+
+    Spelling the 64 hyperplane dots as built-in fold expressions makes a
+    ~4k-literal-node plan whose analysis/codegen dwarfs the actual math;
+    a pandas_udf doing ``(batch × dim) @ (dim × bits)`` is the honest
+    scale design for hyperplane signatures (one Arrow round-trip, BLAS
+    inner loop) and keeps the plan tiny. Returns per-band bucket values
+    (band b packs its ``_LSH_BAND_BITS`` sign bits into one small int).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(planes, dtype=np.float64).T  # dim × bits
+    weights = (2 ** np.arange(_LSH_BAND_BITS)).astype(np.int64)
+
+    @pandas_udf("array<int>")
+    def sig(col: pd.Series) -> pd.Series:
+        E = np.stack(col.to_numpy())  # batch × dim
+        bits = (E @ P) >= 0.0  # batch × (bands*band_bits)
+        bands = bits.reshape(len(E), _LSH_BANDS, _LSH_BAND_BITS) @ weights
+        return pd.Series([row.astype(np.int32).tolist() for row in bands])
+
+    return sig
 
 
 @query("q_sim_ann_lsh")  # approximate → rows-only check
@@ -217,7 +227,13 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = len(emb.select("e").first()["e"])
     planes = hyperplanes(dim)
 
-    signed = emb.withColumn("bands", band_signature(F.col("e"), planes))
+    # The signature table IS the index: it feeds the inverted index, the
+    # query set, and the candidate re-join. Cache it — at scale this is
+    # the persisted signature/index table every ANN system materializes
+    # once, not a per-query luxury.
+    signed = emb.withColumn(
+        "bands", band_signature_udf(planes)(F.col("e"))
+    ).cache()
     # inverted index: one row per (vector, band) with the band's bucket value
     buckets = signed.select(
         "vec_id", F.posexplode("bands").alias("band", "bval")
@@ -312,7 +328,9 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe/k of the table. Fully deterministic: centroid init is the k
     lowest vec_ids, ties broken by centroid id.
     """
-    emb = _embeddings(spark, sf_dir)
+    # cache: the vector table feeds every k-means iteration, the final
+    # assignment, and the probe scoring — the IVF build reads it ~5×
+    emb = _embeddings(spark, sf_dir).cache()
     cents = _centroids(emb)
     cent_df = F.broadcast(
         spark.createDataFrame(
