@@ -279,36 +279,58 @@ _IVF_ITERS = 3
 _IVF_PROBES = 2
 
 
+def _assign_udf(cents: list[tuple[int, list[float]]]):
+    """Arrow-vectorized nearest-centroid assignment: one ``E @ C.T`` per
+    batch, argmax with lowest-cid tiebreak (np.argmax takes the first
+    maximum; centroid rows are ordered by cid). Replaces a k-way
+    crossJoin + window rank — the centroid matrix rides along as a
+    closure, exactly like a broadcast variable."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray([v for _, v in cents], dtype=np.float64)  # k × dim
+
+    @pandas_udf("int")
+    def nearest(col: pd.Series) -> pd.Series:
+        E = np.stack(col.to_numpy())
+        return pd.Series(np.argmax(E @ C.T, axis=1).astype(np.int32))
+
+    return nearest
+
+
+def _probe_udf(cents: list[tuple[int, list[float]]], nprobe: int):
+    """Top-``nprobe`` centroid ids per query vector (sim desc, cid asc)."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray([v for _, v in cents], dtype=np.float64)
+
+    @pandas_udf("array<int>")
+    def probes(col: pd.Series) -> pd.Series:
+        E = np.stack(col.to_numpy())
+        sims = E @ C.T
+        # stable argsort on -sims ⇒ ties resolve to the lower cid
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([row.astype(np.int32).tolist() for row in order])
+
+    return probes
+
+
 def _centroids(emb: DataFrame, k: int = _IVF_K, iters: int = _IVF_ITERS) -> list[tuple[int, list[float]]]:
-    """Deterministic mini k-means (Lloyd) in pure DataFrame ops.
+    """Deterministic mini k-means (Lloyd).
 
     Init = the k lowest vec_ids (deterministic, no RNG); each iteration is
-    one broadcast-join assignment + one groupBy mean — all JVM-side. The
-    centroid table is k rows and lives on the driver between iterations,
-    which is exactly how IVF index builds work at scale (the index is tiny;
-    the data never moves)."""
+    one vectorized assignment + one groupBy mean. The centroid table is k
+    rows and lives on the driver between iterations, which is exactly how
+    IVF index builds work at scale (the index is tiny; the data never
+    moves)."""
     cents = [
         (i, r.e)
         for i, r in enumerate(
             emb.orderBy("vec_id").limit(k).select("e").collect()
         )
     ]
+    dim = len(cents[0][1])
     for _ in range(iters):
-        cent_df = emb.sparkSession.createDataFrame(
-            [(c, list(map(float, v))) for c, v in cents], "cid int, ce array<double>"
-        )
-        assigned = (
-            emb.crossJoin(F.broadcast(cent_df))
-            .withColumn("dist", -_dot(F.col("e"), F.col("ce")))
-            .withColumn(
-                "rn",
-                F.row_number().over(
-                    W.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cid").asc())
-                ),
-            )
-            .filter(F.col("rn") == 1)
-        )
-        dim = len(cents[0][1])
+        assigned = emb.withColumn("cid", _assign_udf(cents)(F.col("e")))
         sums = assigned.groupBy("cid").agg(
             F.array(*[F.avg(F.col("e")[i]) for i in range(dim)]).alias("mean"),
         )
@@ -332,38 +354,20 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # assignment, and the probe scoring — the IVF build reads it ~5×
     emb = _embeddings(spark, sf_dir).cache()
     cents = _centroids(emb)
-    cent_df = F.broadcast(
-        spark.createDataFrame(
-            [(c, list(map(float, v))) for c, v in cents], "cid int, ce array<double>"
-        )
-    )
-    # assign every vector to its nearest centroid (bucket)
-    assigned = (
-        emb.crossJoin(cent_df)
-        .withColumn("sim", _dot(F.col("e"), F.col("ce")))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid").asc())
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "e", "n", F.col("cid").alias("bucket"))
+    # assign every vector to its nearest centroid (bucket) — one
+    # vectorized matmul per Arrow batch, no crossJoin, no window
+    assigned = emb.select(
+        "vec_id", "e", "n", _assign_udf(cents)(F.col("e")).alias("bucket")
     )
     # each query probes its nprobe nearest buckets
     probes = (
-        assigned.filter(F.col("vec_id").isin(*_QUERY_VEC_IDS))
-        .select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("n").alias("qn"))
-        .crossJoin(cent_df)
-        .withColumn("sim", _dot(F.col("qe"), F.col("ce")))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cid").asc())
-            ),
+        emb.filter(F.col("vec_id").isin(*_QUERY_VEC_IDS))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.col("n").alias("qn"),
+            F.explode(_probe_udf(cents, _IVF_PROBES)(F.col("e"))).alias("bucket"),
         )
-        .filter(F.col("rn") <= _IVF_PROBES)
-        .select("query_id", "qe", "qn", F.col("cid").alias("bucket"))
     )
     scored = (
         assigned.join(F.broadcast(probes), "bucket")
