@@ -333,8 +333,15 @@ def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhash band join. Hash = md5 hex (identical text → identical string
     in both engines), compared as strings, so the oracle is exact.
     """
-    d = spread(table(spark, sf_dir, "documents"))
-    w = F.split(F.col("text"), " ")
+    return winnow_fingerprints(spread(table(spark, sf_dir, "documents")))
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, text) → (doc_id, fingerprint) winnowing rows — the
+    reusable operator behind ``q_text_winnow`` (see its docstring for the
+    guarantee and density math; ``tests/test_extensions.py`` asserts the
+    shared-run guarantee on synthetic documents)."""
+    w = F.split(F.col(text_col), " ")
     grams = F.when(
         F.size(w) >= _WINNOW_K,
         F.transform(
@@ -347,7 +354,7 @@ def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    d = d.select("doc_id", grams.alias("h"))
+    d = df.select("doc_id", grams.alias("h"))
     h = F.col("h")
     mins = (
         F.when(

@@ -169,15 +169,17 @@ def q_stream_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("path", d)
         .load()
     )
+    # availableNow drains everything already in the directory in one
+    # micro-batch run and stops — no 1-second trigger cadence to wait out.
     q = (
         stream.writeStream.format("memory")
         .queryName(sink)
         .outputMode("append")
-        .trigger(processingTime="1 second")
+        .trigger(availableNow=True)
         .start()
     )
     try:
-        q.processAllAvailable()
+        q.awaitTermination(120)
     finally:
         q.stop()
     return spark.table(sink).select(

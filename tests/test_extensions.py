@@ -101,3 +101,27 @@ def test_ann_ivf_recall_vs_brute_force(spark, queries):
     # neighbors cap recall, as with the LSH variant
     assert len(ivf_all) == 50
     assert len(top3 & ivf_all) / len(top3) >= 0.2
+
+
+def test_winnowing_guarantee_shared_run(spark):
+    """Winnowing guarantee (k=4, w=5): two documents sharing a token run
+    of >= w+k-1 = 8 tokens must share at least one fingerprint; documents
+    with no common 4-gram share none."""
+    from pyspark_excel_datasource_spark.operators.text import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two three {shared} four five six"),
+            (2, f"seven eight {shared} nine ten eleven twelve"),
+            (3, "totally different words with no overlap at all here okay"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc[1] & by_doc[2], "8-token shared run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
