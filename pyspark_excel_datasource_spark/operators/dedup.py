@@ -171,7 +171,13 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     high probability while the ~125k background pairs (j<0.1) almost
     never collide, so the verify join touches candidate pairs only.
     """
-    docs = table(spark, sf_dir, "documents")
+    return minhash_pairs(table(spark, sf_dir, "documents"))
+
+
+def minhash_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → verified near-dup pairs via MinHash banding — the
+    reusable operator behind ``q_dedup_minhash`` (also driven at 10× by
+    ``tools/scale_stress.py``)."""
     shingled = _shingles(docs).cache()
     sig = minhash_signatures(shingled)
 

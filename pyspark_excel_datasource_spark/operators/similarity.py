@@ -223,7 +223,13 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     This mirrors q_dedup_minhash's band join (dedup.py) — one design for
     both text and vector near-neighbor search.
     """
-    emb = _embeddings(spark, sf_dir)
+    return ann_lsh_topk(_embeddings(spark, sf_dir), list(_QUERY_VEC_IDS))
+
+
+def ann_lsh_topk(emb: DataFrame, query_ids: list[int]) -> DataFrame:
+    """(vec_id, e, n) + query ids → approximate top-k via the banded
+    bucket join — the reusable operator behind ``q_sim_ann_lsh`` (also
+    driven at 10× by ``tools/scale_stress.py``)."""
     dim = len(emb.select("e").first()["e"])
     planes = hyperplanes(dim)
 
@@ -238,7 +244,7 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = signed.select(
         "vec_id", F.posexplode("bands").alias("band", "bval")
     )
-    qvec = signed.filter(F.col("vec_id").isin(*_QUERY_VEC_IDS)).select(
+    qvec = signed.filter(F.col("vec_id").isin(*query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
         F.col("n").alias("qn"),

@@ -73,6 +73,43 @@ def join_agg(li, orders):
     )
 
 
+def replicate_docs(docs, n: int):
+    """n decorrelated copies: each replica prefixes every token with its
+    replica id, so replicas share NO shingles across copies (near-dup
+    structure is preserved within each copy, corpus density stays flat —
+    the honest way to 10× a dedup workload)."""
+    return (
+        docs.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(n - 1))))
+        .withColumn("doc_id", F.col("doc_id") * n + F.col("rep"))
+        .withColumn(
+            "text",
+            F.regexp_replace(
+                F.col("text"), " ", F.concat(F.lit(" "), F.col("rep"), F.lit("_"))
+            ),
+        )
+        .drop("rep")
+    )
+
+
+def replicate_vecs(vecs, n: int):
+    """n near-identical copies with a deterministic per-replica nudge on
+    one dimension — bucket density grows linearly, not degenerately."""
+    return (
+        vecs.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(n - 1))))
+        .withColumn("vec_id", F.col("vec_id") * n + F.col("rep"))
+        .withColumn(
+            "embedding",
+            F.transform(
+                F.col("embedding"),
+                lambda v, i: F.when(
+                    i == 0, v + F.col("rep").cast("float") * F.lit(0.01)
+                ).otherwise(v),
+            ),
+        )
+        .drop("rep")
+    )
+
+
 def timed(name, df):
     t0 = time.perf_counter()
     df.write.format("noop").mode("overwrite").save()
@@ -80,6 +117,12 @@ def timed(name, df):
 
 
 def main() -> None:
+    from pyspark_excel_datasource_spark.operators.dedup import minhash_pairs
+    from pyspark_excel_datasource_spark.operators.similarity import (
+        _norm,
+        ann_lsh_topk,
+    )
+
     spark = get_session("scale-stress")
     li1 = table(spark, SF, "lineitem")
     orders1 = table(spark, SF, "orders")
@@ -90,11 +133,31 @@ def main() -> None:
         .withColumn("o_orderkey", F.col("o_orderkey") * FACTOR + F.col("rep"))
         .drop("rep")
     )
+    docs1 = table(spark, SF, "documents").select("doc_id", "text")
+    docs10 = replicate_docs(docs1, FACTOR)
+
+    def emb_frame(vecs):
+        out = vecs.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+        return out.withColumn("n", _norm(F.col("e")))
+
+    vecs1 = table(spark, SF, "embeddings")
+    emb1 = emb_frame(vecs1)
+    emb10 = emb_frame(replicate_vecs(vecs1, FACTOR))
+    qids1 = [0, 1, 2, 3, 4]
+    # replicated ids: original query vec v becomes v*FACTOR (replica 0)
+    qids10 = [q * FACTOR for q in qids1]
 
     shapes = {
         "flagship_agg": (flagship(li1), flagship(li10)),
         "window_frame": (window_frame(li1), window_frame(li10)),
         "join_agg": (join_agg(li1, orders1), join_agg(li10, orders10)),
+        "minhash_dedup": (minhash_pairs(docs1), minhash_pairs(docs10)),
+        "ann_lsh_topk": (
+            ann_lsh_topk(emb1, qids1),
+            ann_lsh_topk(emb10, qids10),
+        ),
     }
     print(f"rows: base={n1:,} scaled={n1*FACTOR:,}")
     for name, (base, scaled) in shapes.items():
