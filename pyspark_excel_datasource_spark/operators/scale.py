@@ -55,11 +55,12 @@ def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     def ensure(name: str, base: str, cols: list[str], key: str) -> None:
         if spark.catalog.tableExists(name):
             return
-        # the in-memory catalog forgets tables between sessions but the
-        # warehouse files persist; clear the stale location before the
-        # managed rewrite (it's a derived fixture — always reproducible)
-        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        loc = os.path.join(warehouse.removeprefix("file:"), name.lower())
+        # external table at an explicit path under the repo: the default
+        # warehouse dir is CWD-relative and the driver may run from
+        # anywhere. The in-memory catalog forgets tables between sessions
+        # while the files persist, so clear the stale location before the
+        # rewrite (it's a derived fixture — always reproducible).
+        loc = os.path.join("/root/repo/.fixtures", "bucketed", name.lower())
         if os.path.exists(loc):
             import shutil
 
@@ -68,6 +69,7 @@ def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             table(spark, sf_dir, base)
             .select(*cols)
             .write.mode("overwrite")
+            .option("path", loc)
             .bucketBy(_N_BUCKETS, key)
             .sortBy(key)
             .saveAsTable(name)
