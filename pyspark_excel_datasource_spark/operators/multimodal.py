@@ -29,6 +29,14 @@ from pyspark.sql import functions as F
 from ..catalog import table
 from ..plans.registry import query
 
+try:  # real image decode lights up when a codec library exists
+    from PIL import Image as _PILImage
+
+    _HAVE_PIL = True
+except ImportError:  # not in this container — the documented stub applies
+    _PILImage = None
+    _HAVE_PIL = False
+
 #: fixed feature dimensionality for the byte-histogram extractor
 _FEATURE_DIM = 16
 
@@ -79,21 +87,33 @@ def with_payload(df: DataFrame) -> DataFrame:
 def decode_payload(payload: bytes, mime: str, deterministic_fake: bool = False):
     """Decode one payload to a (height, width, channels, pixel-sum) tuple.
 
-    Real decode requires an image/audio codec library that is not in this
-    container — STUB: raises NotImplementedError unless
-    ``deterministic_fake`` is set, in which case a seeded, documented fake
-    derives a plausible shape + checksum purely from the bytes (so the
-    distributed plumbing is fully testable).
+    Dispatch, in order:
+
+    1. ``deterministic_fake=True`` → seeded, documented fake deriving a
+       plausible shape + checksum purely from the bytes (keeps the
+       distributed plumbing testable in codec-less environments).
+    2. PIL importable and the mime is an image → real decode (shape +
+       exact pixel sum). Not exercised in this container (no PIL) but the
+       path is live wherever a codec library exists.
+    3. Otherwise → NotImplementedError: real decode needs a codec library.
     """
-    if not deterministic_fake:
-        raise NotImplementedError(
-            "payload decode needs a codec library (PIL/av); not available here"
-        )
-    h = 1 + len(payload) % 64
-    w = 1 + (len(payload) * 7) % 64
-    c = 3
-    pixel_sum = int(np.frombuffer(payload, dtype=np.uint8).sum())
-    return h, w, c, pixel_sum
+    if deterministic_fake:
+        h = 1 + len(payload) % 64
+        w = 1 + (len(payload) * 7) % 64
+        c = 3
+        pixel_sum = int(np.frombuffer(payload, dtype=np.uint8).sum())
+        return h, w, c, pixel_sum
+    if _HAVE_PIL and mime.startswith("image/"):
+        import io
+
+        img = _PILImage.open(io.BytesIO(payload))
+        arr = np.asarray(img)
+        h, w = arr.shape[0], arr.shape[1]
+        c = arr.shape[2] if arr.ndim == 3 else 1
+        return h, w, c, int(arr.astype(np.int64).sum())
+    raise NotImplementedError(
+        "payload decode needs a codec library (PIL/av); not available here"
+    )
 
 
 def decode_batches(

@@ -157,3 +157,74 @@ def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+_RANGE_WINDOW_MIN = 15  # lookback window, minutes
+
+
+@query(
+    "q_join_range",
+    oracle=f"""
+    SELECT p.event_id, p.user_id, p.ts,
+           (SELECT COUNT(*) FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click'
+              AND c.ts >= p.ts - INTERVAL {_RANGE_WINDOW_MIN} MINUTE
+              AND c.ts < p.ts) AS n_recent_clicks
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join made partitionable by time-bucket banding:
+    clicks within the 15 minutes before each purchase, per user.
+
+    A naive ``ON a.ts BETWEEN b.ts - w AND b.ts`` range join has no equi
+    component — per-user cross products. The scale form buckets time into
+    window-sized bands: a click lands in bucket ``floor(ts/w)``; a
+    purchase's lookback window can only intersect buckets ``b-1`` and
+    ``b``, so the probe side explodes into exactly 2 bucket keys and the
+    join runs as a hash equi-join on ``(user_id, bucket)`` with the exact
+    range predicate applied post-match. Work is O(matches), the shuffle
+    keys on (user, bucket), and skewed users split across buckets — the
+    standard interval-join strategy of stream processors (cf. the
+    union-window as-of join in ``operators/asof.py`` for the unbounded
+    lookback case).
+    """
+    w_us = _RANGE_WINDOW_MIN * 60 * 1_000_000  # window in microseconds
+    ev = table(spark, sf_dir, "events")
+    # events.ts is TIMESTAMP_NTZ; the session tz is pinned UTC (session.py)
+    # so the cast to instant is deterministic and bucket-consistent
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            (us("ts") / w_us).cast("long").alias("bucket"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        (us("ts") / w_us).cast("long").alias("b"),
+    )
+    probed = purchases.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.explode(F.array(F.col("b") - 1, F.col("b"))).alias("bucket"),
+    )
+    joined = probed.join(
+        clicks,
+        (probed.user_id == clicks.c_user)
+        & (probed.bucket == clicks.bucket)
+        & (clicks.c_ts >= F.col("ts") - F.expr(f"INTERVAL {_RANGE_WINDOW_MIN} MINUTES"))
+        & (clicks.c_ts < F.col("ts")),
+        "left",
+    )
+    return (
+        joined.groupBy("event_id", "user_id", "ts")
+        .agg(F.count("c_ts").alias("n_recent_clicks"))
+    )
