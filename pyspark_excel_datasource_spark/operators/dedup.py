@@ -469,3 +469,65 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("canonical_id")
         )
     )
+
+
+@query("q_dedup_embed_lsh")  # LSH candidates → probabilistic recall → rows-only
+def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding canonicalization via banded-LSH candidates — the scale
+    twin that carries ``q_dedup_embed``'s operator contract at 100 TB.
+
+    Same min-id canonicalization, but neighbor pairs come from the banded
+    sign-LSH bucket equi-join (one self-join on (band, bucket) keys)
+    instead of the exact all-pairs cross join: O(bucket density), not
+    O(n²). Candidates are exactly cosine-verified before canonicalization,
+    so false buckets cost nothing but work; recall is the banding
+    probability (≈96% per true pair at cos 0.45 with 16×4 banding —
+    ``tests/test_extensions.py`` asserts ≥95% agreement with the exact
+    operator on this corpus).
+    """
+    from .similarity import _dot, _norm, band_signature_udf, hyperplanes
+
+    emb = (
+        spread(table(spark, sf_dir, "embeddings"))
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .withColumn("nrm", _norm(F.col("e")))
+    )
+    dim = len(emb.select("e").first()["e"])
+    signed = emb.withColumn(
+        "bands", band_signature_udf(hyperplanes(dim))(F.col("e"))
+    ).cache()
+    buckets = signed.select(
+        "vec_id", F.posexplode("bands").alias("band", "bval")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    # undirected candidate pairs (either orientation may supply the min id)
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"))
+        .distinct()
+    )
+    sa = signed.select(F.col("vec_id").alias("va"), F.col("e").alias("ea"), F.col("nrm").alias("na"))
+    sb = signed.select(F.col("vec_id").alias("vb"), F.col("e").alias("eb"), F.col("nrm").alias("nb"))
+    pairs = (
+        cand.join(sa, "va")
+        .join(sb, "vb")
+        .withColumn("cos", _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")))
+        .filter(F.col("cos") >= 0.45)
+        .select("va", "vb")
+    )
+    return (
+        signed.select("vec_id")
+        .join(pairs, signed.vec_id == pairs.va, "left")
+        .groupBy("vec_id")
+        .agg(
+            F.least(
+                F.col("vec_id"), F.coalesce(F.min("vb"), F.col("vec_id"))
+            ).alias("canonical_id")
+        )
+    )

@@ -125,3 +125,22 @@ def test_winnowing_guarantee_shared_run(spark):
     assert by_doc[1] & by_doc[2], "8-token shared run must share a fingerprint"
     assert not (by_doc[1] & by_doc[3])
     assert not (by_doc[2] & by_doc[3])
+
+
+def test_embed_lsh_canonicalization_matches_exact(spark, queries):
+    """The LSH-candidate canonicalizer must agree with the exact all-pairs
+    operator on ≥95% of vectors (banding recall at cos 0.45); disagreement
+    can only be a MISSED merge (canonical_id higher than exact), never a
+    false merge, because candidates are exactly verified."""
+    exact = {
+        r.vec_id: r.canonical_id
+        for r in queries["q_dedup_embed"](spark, SF).collect()
+    }
+    lsh = {
+        r.vec_id: r.canonical_id
+        for r in queries["q_dedup_embed_lsh"](spark, SF).collect()
+    }
+    assert set(lsh) == set(exact)
+    agree = sum(lsh[v] == exact[v] for v in exact)
+    assert agree / len(exact) >= 0.95
+    assert all(lsh[v] >= exact[v] for v in exact), "false merge impossible"
