@@ -319,8 +319,9 @@ _WINNOW_WIN = 5  # winnowing window (k-gram hashes)
     """,
 )
 def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003 —
-    the rolling-hash fingerprint scheme, PAPERS.md): hash every token
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    2003 — public rolling-hash fingerprint scheme): hash every token
     4-gram, slide a window of 5 hashes, keep each window's minimum.
     Guarantees any shared run of ≥ w+k-1 tokens yields a shared
     fingerprint, with ~2/(w+1) selection density — the sub-document dedup
