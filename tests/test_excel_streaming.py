@@ -310,3 +310,77 @@ def test_stream_writer_sweeps_stale_staging(spark, tmp_path):
         q.stop()
     assert not stale.exists(), "orphaned staging dir must be swept"
     assert any(f.startswith("batch-") for f in os.listdir(out))
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream interval join through the Excel source: purchases
+    join clicks by user within a 10-minute lookback, both sides
+    watermarked (the state-bounded join Structured Streaming runs where
+    AQE can't help — the streaming counterpart of q_join_range)."""
+    import pyspark.sql.functions as F
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    clicks_dir = tmp_path / "ss_clicks"
+    purch_dir = tmp_path / "ss_purchases"
+    clicks_dir.mkdir()
+    purch_dir.mkdir()
+
+    def write_events(d, name, rows):
+        minixlsx.write_xlsx(
+            str(d / name), pd.DataFrame(rows, columns=["user_id", "ts"])
+        )
+
+    # user 1: click at :02 and :07, purchase at :10 → both clicks match
+    # user 2: click at :30, purchase at :45 → outside 10-min window
+    write_events(clicks_dir, "c1.xlsx", [
+        (1, t0 + dt.timedelta(minutes=2)),
+        (1, t0 + dt.timedelta(minutes=7)),
+        (2, t0 + dt.timedelta(minutes=30)),
+    ])
+    write_events(purch_dir, "p1.xlsx", [
+        (1, t0 + dt.timedelta(minutes=10)),
+        (2, t0 + dt.timedelta(minutes=45)),
+    ])
+
+    clicks = (
+        spark.readStream.format("excel")
+        .schema("user_id long, ts timestamp")
+        .option("path", str(clicks_dir))
+        .load()
+        .withWatermark("ts", "30 minutes")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+    )
+    purchases = (
+        spark.readStream.format("excel")
+        .schema("user_id long, ts timestamp")
+        .option("path", str(purch_dir))
+        .load()
+        .withWatermark("ts", "30 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            """
+            user_id = c_user AND
+            c_ts >= ts - INTERVAL 10 MINUTES AND
+            c_ts < ts
+            """
+        ),
+        "inner",
+    )
+    out = str(tmp_path / "ss_out")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ss_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    rows = spark.read.parquet(out).collect()
+    got = sorted((r.user_id, r.c_ts.minute) for r in rows)
+    assert got == [(1, 2), (1, 7)], got
