@@ -384,3 +384,50 @@ def test_stream_stream_interval_join(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     got = sorted((r.user_id, r.c_ts.minute) for r in rows)
     assert got == [(1, 2), (1, 7)], got
+
+
+def test_stream_writer_commit_replay_idempotent(tmp_path):
+    """Exactly-once per batch file: recovery replays a batch by calling
+    commit again with the same batchId — the batch file must be atomically
+    REPLACED, not duplicated or appended."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from pyspark_excel_datasource_spark.sources.excel import (
+        ExcelCommitMessage,
+        ExcelOptions,
+        ExcelStreamWriter,
+        _write_frame,
+    )
+
+    out = tmp_path / "replay_sink"
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    opts = ExcelOptions.from_options({"path": str(out)})
+
+    def staged_messages(writer, rows):
+        part = os.path.join(writer.staging, "part-00000-test.xlsx")
+        os.makedirs(writer.staging, exist_ok=True)
+        _write_frame(part, pd.DataFrame(rows, columns=["id", "name"]), "Sheet1")
+        return [ExcelCommitMessage(part_path=part, rows=len(rows))]
+
+    # first attempt commits batch 7
+    w1 = ExcelStreamWriter(schema, opts)
+    w1.commit(staged_messages(w1, [(1, "a"), (2, "b")]), batchId=7)
+    # crash-recovery replay: a NEW writer instance (fresh uuid, as Spark
+    # constructs per phase) re-commits the SAME batch with the same rows
+    w2 = ExcelStreamWriter(schema, opts)
+    w2.commit(staged_messages(w2, [(1, "a"), (2, "b")]), batchId=7)
+
+    files = sorted(f for f in os.listdir(out) if f.endswith(".xlsx"))
+    assert files == ["batch-00000007.xlsx"], files
+    from pyspark_excel_datasource_spark.sources import minixlsx
+
+    frame = minixlsx.read_xlsx(str(out / "batch-00000007.xlsx"))
+    assert sorted(map(tuple, frame.itertuples(index=False))) == [(1, "a"), (2, "b")]
+    # no staging residue from either attempt
+    assert not [d for d in os.listdir(out) if d.startswith(".staging-")]
