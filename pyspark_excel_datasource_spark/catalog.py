@@ -56,6 +56,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def sf_tag(sf_dir: str) -> str:
+    """Scale-factor tag for namespacing derived fixtures (bucketed tables,
+    xlsx bridges, partitioned sinks) so concurrent runs at different
+    sf_dirs never share a directory. Dots swapped out so the tag is safe
+    in table names as well as paths."""
+    return (os.path.basename(os.path.normpath(sf_dir)) or "sf").replace(".", "_")
+
+
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition a narrow input up to cluster parallelism.
 

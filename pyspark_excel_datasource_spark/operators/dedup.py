@@ -485,17 +485,14 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``tests/test_extensions.py`` asserts ≥95% agreement with the exact
     operator on this corpus).
     """
-    from .similarity import _dot, _norm, band_signature_udf, hyperplanes
+    from .similarity import _dot, _norm, banded_signatures
 
     emb = (
         spread(table(spark, sf_dir, "embeddings"))
         .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
         .withColumn("nrm", _norm(F.col("e")))
     )
-    dim = len(emb.select("e").first()["e"])
-    signed = emb.withColumn(
-        "bands", band_signature_udf(hyperplanes(dim))(F.col("e"))
-    ).cache()
+    signed = banded_signatures(emb)
     buckets = signed.select(
         "vec_id", F.posexplode("bands").alias("band", "bval")
     )

@@ -129,8 +129,9 @@ def q_sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     at different sf_dirs (tests at sf0.001, driver at sf0.01) never race
     on one directory.
     """
-    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    out = os.path.join("/root/repo/.fixtures", sf_tag, "events_by_type")
+    from ..catalog import sf_tag
+
+    out = os.path.join("/root/repo/.fixtures", sf_tag(sf_dir), "events_by_type")
     ev = table(spark, sf_dir, "events").select(
         "event_id", "user_id", "value", "event_type"
     )

@@ -27,7 +27,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import sf_tag, table
 from ..functions.determinism import canon, dsum, sql_canon, sql_dsum
 from ..plans.registry import query
 
@@ -35,12 +35,8 @@ _N_BUCKETS = 8
 _N_SALTS = 8
 
 
-def _sf_tag(sf_dir: str) -> str:
-    return (os.path.basename(os.path.normpath(sf_dir)) or "sf").replace(".", "_")
-
-
 def bucketed_table_name(sf_dir: str, base: str) -> str:
-    return f"bkt_{_sf_tag(sf_dir)}_{base}"
+    return f"bkt_{sf_tag(sf_dir)}_{base}"
 
 
 def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:

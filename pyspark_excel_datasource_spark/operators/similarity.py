@@ -226,20 +226,26 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(_embeddings(spark, sf_dir), list(_QUERY_VEC_IDS))
 
 
+def banded_signatures(emb: DataFrame) -> DataFrame:
+    """Attach the banded LSH signature column to a vector frame and cache
+    it. The signature table IS the index: every consumer (inverted index,
+    query set, candidate re-join, the self-join in
+    ``dedup.q_dedup_embed_lsh``) reads it repeatedly — at scale this is
+    the persisted signature/index table every ANN system materializes
+    once, not a per-query luxury. One shared construction point so the
+    banding parameters can never drift between the text and vector
+    near-neighbor operators."""
+    dim = len(emb.select("e").first()["e"])
+    return emb.withColumn(
+        "bands", band_signature_udf(hyperplanes(dim))(F.col("e"))
+    ).cache()
+
+
 def ann_lsh_topk(emb: DataFrame, query_ids: list[int]) -> DataFrame:
     """(vec_id, e, n) + query ids → approximate top-k via the banded
     bucket join — the reusable operator behind ``q_sim_ann_lsh`` (also
     driven at 10× by ``tools/scale_stress.py``)."""
-    dim = len(emb.select("e").first()["e"])
-    planes = hyperplanes(dim)
-
-    # The signature table IS the index: it feeds the inverted index, the
-    # query set, and the candidate re-join. Cache it — at scale this is
-    # the persisted signature/index table every ANN system materializes
-    # once, not a per-query luxury.
-    signed = emb.withColumn(
-        "bands", band_signature_udf(planes)(F.col("e"))
-    ).cache()
+    signed = banded_signatures(emb)
     # inverted index: one row per (vector, band) with the band's bucket value
     buckets = signed.select(
         "vec_id", F.posexplode("bands").alias("band", "bval")

@@ -28,8 +28,9 @@ _FIXTURE_ROOT = "/root/repo/.fixtures"
 
 
 def _fixture_dir(sf_dir: str) -> str:
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    d = os.path.join(_FIXTURE_ROOT, tag)
+    from ..catalog import sf_tag
+
+    d = os.path.join(_FIXTURE_ROOT, sf_tag(sf_dir))
     os.makedirs(d, exist_ok=True)
     return d
 
@@ -179,7 +180,11 @@ def q_stream_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        q.awaitTermination(120)
+        # availableNow terminates on its own; a False return means the
+        # drain timed out — fail loudly rather than hand the correctness
+        # gate a partially-filled memory table.
+        if not q.awaitTermination(120):
+            raise TimeoutError("q_stream_discover: drain did not finish in 120s")
     finally:
         q.stop()
     return spark.table(sink).select(

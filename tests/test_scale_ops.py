@@ -26,16 +26,23 @@ def test_bucketed_join_has_no_exchange(spark):
     from pyspark_excel_datasource_spark.plans.registry import load_all_queries
 
     qs = load_all_queries()
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    prev_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    prev = {k: spark.conf.get(k, None) for k in keys}
+    for k in keys:
+        spark.conf.set(k, "-1")
     try:
         df = qs["q_join_bucketed"](spark, SF)
         plan = _plan(df)
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe)
+        # restore exactly: unset what was unset, don't pin the fallback
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
     assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
     assert "SortMergeJoin" in plan
     assert "Bucketed: true" in plan
@@ -84,11 +91,11 @@ def test_salted_join_bit_identical_to_unsalted(spark):
 
 
 def test_salted_join_spreads_hot_key(spark):
-    """The salted fact side must land one hot key in multiple shuffle
-    partitions — the whole point of the salt."""
+    """The salt must vary WITHIN one join key (that's what spreads a hot
+    key over reducers) — a per-key-constant salt would pass any global
+    coverage check while defeating the technique entirely."""
     from pyspark_excel_datasource_spark.operators.scale import _N_SALTS
 
-    li_key = 1  # any key; salt values must cover several buckets
     df = (
         spark.read.parquet(f"{SF}/lineitem.parquet")
         .filter(F.col("l_orderkey").isNotNull())
@@ -97,5 +104,19 @@ def test_salted_join_spreads_hot_key(spark):
             F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(_N_SALTS)),
         )
     )
-    n_salts = df.select("salt").distinct().count()
-    assert n_salts == _N_SALTS
+    per_key = (
+        df.groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("salt").alias("n_salts"),
+        )
+        .filter(F.col("n_rows") >= 4)
+    )
+    stats = per_key.agg(
+        F.count("*").alias("keys"),
+        F.sum((F.col("n_salts") >= 2).cast("int")).alias("spread"),
+    ).collect()[0]
+    assert stats.keys > 0
+    # nearly every multi-row key must hash across >= 2 salt buckets
+    assert stats.spread / stats.keys >= 0.9
+    assert df.select("salt").distinct().count() == _N_SALTS
