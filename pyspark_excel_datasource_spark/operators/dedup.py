@@ -234,9 +234,18 @@ def minhash_pairs(docs: DataFrame) -> DataFrame:
 @query("q_dedup_simhash")  # signature-based → rows-only check
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 64-bit signature = sign of per-bit vote sums
-    over token hashes; candidates from 16-bit band equality (pigeonhole:
-    hamming ≤ 6 ⇒ at least one of 4 bands identical... for ≤3 strictly;
-    bands are a recall/cost dial); exact Hamming verify ≤ 6.
+    over token hashes; candidates from 8-bit band equality; exact Hamming
+    verify ≤ 6.
+
+    With 8 bands of 8 bits, the pigeonhole guarantee is COMPLETE for the
+    verify threshold: ≤ 7 differing bits cannot touch all 8 bands, so
+    every pair within Hamming 6 shares at least one band and
+    recall w.r.t. the Hamming criterion is exactly 1.0 (the block-split
+    scheme of Manku, Jain & Das Sarma, WWW 2007, public). Asserted
+    against brute-force Hamming in tests/test_extensions.py. Cost dial:
+    byte-equality admits ~8/256 of random pairs as candidates — at
+    100 TB, widen bands (and accept probabilistic recall) or add a
+    second-stage band refinement if candidate volume dominates.
     """
     docs = table(spark, sf_dir, "documents")
     # shingle features, not bare words: on short-vocab corpora every word
@@ -273,11 +282,11 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftrightunsigned("simhash", b * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned("simhash", b * 8)
+                        .bitwiseAND(F.lit(0xFF))
                         .alias("chunk"),
                     )
-                    for b in range(4)
+                    for b in range(8)
                 ]
             )
         ).alias("bb"),

@@ -144,3 +144,61 @@ def test_embed_lsh_canonicalization_matches_exact(spark, queries):
     agree = sum(lsh[v] == exact[v] for v in exact)
     assert agree / len(exact) >= 0.95
     assert all(lsh[v] >= exact[v] for v in exact), "false merge impossible"
+
+
+def test_simhash_banding_recall_complete(spark):
+    """8 bands x 8 bits makes the pigeonhole guarantee complete for the
+    Hamming <= 6 verify threshold: the banded candidate join must emit
+    EXACTLY the brute-force Hamming-<=6 pair set (recall 1.0 by
+    construction, precision 1.0 by the verify step)."""
+    from pyspark_excel_datasource_spark.plans.registry import load_all_queries
+
+    qs = load_all_queries()
+    banded = {(r.d1, r.d2) for r in qs["q_dedup_simhash"](spark, SF).collect()}
+
+    # brute-force reference over the same signatures
+    from pyspark.sql import functions as F
+
+    from pyspark_excel_datasource_spark.catalog import table
+    from pyspark_excel_datasource_spark.operators.dedup import (
+        _HAMMING_MAX,
+        _shingles,
+        _SIMHASH_BITS,
+    )
+
+    toks = (
+        _shingles(table(spark, SF, "documents"))
+        .select("doc_id", F.explode("shingles").alias("tok"))
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(_SIMHASH_BITS)
+        ]
+    )
+    bit_terms = [
+        F.when(
+            F.col(f"v{i}") > 0,
+            F.lit(1).cast("long") * (2**i if i < 63 else -(2**63)),
+        ).otherwise(0)
+        for i in range(_SIMHASH_BITS)
+    ]
+    sigs = {
+        r.doc_id: r.s
+        for r in votes.select(
+            "doc_id", sum(bit_terms[1:], bit_terms[0]).alias("s")
+        ).collect()
+    }
+    ids = sorted(sigs)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= _HAMMING_MAX
+    }
+    assert banded == brute
