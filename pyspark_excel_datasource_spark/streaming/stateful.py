@@ -18,6 +18,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
+from ..plans.registry import query
+
 OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
@@ -61,4 +63,74 @@ def user_running_totals(events: DataFrame) -> DataFrame:
         stateStructType=STATE_SCHEMA,
         outputMode="update",
         timeoutConf="NoTimeout",
+    )
+
+
+@query(
+    "q_stream_stateful",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_stream_stateful(spark, sf_dir: str) -> DataFrame:
+    """Run the keyed-state operator on a REAL micro-batch stream and
+    return the final per-user totals.
+
+    The events parquet feeds a file stream (columns pruned via the read
+    schema, so the ns-timestamp column is never touched), the state store
+    accumulates (count, exact integer cents) per user, and the drain uses
+    availableNow. The final state equals the batch aggregate whatever the
+    batch boundaries were — exact-cents accumulation is associative — so
+    the memory sink's update rows reduce to the oracle's plain GROUP BY
+    via argmax on the monotone event count.
+    """
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import sf_tag
+
+    src_dir = os.path.join("/root/repo/.fixtures", sf_tag(sf_dir), "events_stream")
+    marker = os.path.join(src_dir, "_done")
+    if not os.path.exists(marker):
+        os.makedirs(src_dir, exist_ok=True)
+        shutil.copy(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(src_dir, "events.parquet"),
+        )
+        open(marker, "w").close()
+
+    stream = (
+        spark.readStream.schema("user_id long, value double")
+        .format("parquet")
+        .load(src_dir)
+    )
+    out = user_running_totals(stream)
+    sink = f"stream_stateful_{uuid.uuid4().hex[:10]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(180):
+            raise TimeoutError("q_stream_stateful: drain did not finish in 180s")
+    finally:
+        q.stop()
+    return (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_cents", "n_events").alias("total_cents"),
+        )
     )
