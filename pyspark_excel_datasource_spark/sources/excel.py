@@ -418,13 +418,33 @@ class ExcelStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         seen = set(start.get("files", {}))
         new = [n for n in sorted(end.get("files", {})) if n not in seen]
-        return [
-            ExcelInputPartition(os.path.join(self.opts.path, n)) for n in new
-        ]
+        parts: list[InputPartition] = []
+        for n in new:
+            f = os.path.join(self.opts.path, n)
+            # chunkRows splits one arriving file into row-range partitions,
+            # exactly like the batch reader — a 10 GB workbook landing in
+            # the directory becomes N tasks, not one. Replay-safe: chunks
+            # derive from (manifest, file contents), both fixed per batch.
+            if not self.opts.chunk_rows:
+                parts.append(ExcelInputPartition(f))
+                continue
+            total = _count_rows(f, self.opts.sheet, self.opts.header)
+            if total == 0:
+                parts.append(ExcelInputPartition(f))
+                continue
+            for s in range(0, total, self.opts.chunk_rows):
+                parts.append(
+                    ExcelInputPartition(f, s, min(self.opts.chunk_rows, total - s))
+                )
+        return parts
 
     def read(self, partition: ExcelInputPartition):
         frame = _read_frame(
-            partition.file_path, self.opts.sheet, self.opts.header
+            partition.file_path,
+            self.opts.sheet,
+            self.opts.header,
+            skip_rows=partition.skip_rows,
+            n_rows=partition.n_rows,
         )
         if self.opts.enable_arrow:
             yield from _frame_to_batches(frame, self.bound_schema)

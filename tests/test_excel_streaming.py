@@ -431,3 +431,50 @@ def test_stream_writer_commit_replay_idempotent(tmp_path):
     assert sorted(map(tuple, frame.itertuples(index=False))) == [(1, "a"), (2, "b")]
     # no staging residue from either attempt
     assert not [d for d in os.listdir(out) if d.startswith(".staging-")]
+
+
+def test_stream_chunked_partitions(spark, tmp_path):
+    """chunkRows splits an arriving file into row-range partitions in the
+    stream too — no row lost or duplicated, and partitions() really
+    chunks."""
+    from pyspark.sql import types as T
+
+    from pyspark_excel_datasource_spark.sources.excel import (
+        ExcelOptions,
+        ExcelStreamReader,
+    )
+
+    src = tmp_path / "chunked"
+    src.mkdir()
+    _write(str(src / "big.xlsx"), [(i, f"r{i}") for i in range(10)])
+
+    # unit level: 10 rows at chunkRows=3 → 4 partitions with offsets
+    rdr = ExcelStreamReader(
+        T.StructType([T.StructField("id", T.LongType())]),
+        ExcelOptions.from_options({"path": str(src), "chunkRows": "3"}),
+    )
+    parts = rdr.partitions(rdr.initialOffset(), rdr.latestOffset())
+    assert [(p.skip_rows, p.n_rows) for p in parts] == [
+        (0, 3), (3, 3), (6, 3), (9, 1),
+    ]
+
+    # end to end through a query
+    q = (
+        spark.readStream.format("excel")
+        .schema("id long, name string")
+        .option("path", str(src))
+        .option("chunkRows", "3")
+        .load()
+        .writeStream.format("memory")
+        .queryName("chunk_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_chunk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(120)
+    finally:
+        q.stop()
+    rows = spark.table("chunk_sink").collect()
+    assert sorted(r.id for r in rows) == list(range(10))
