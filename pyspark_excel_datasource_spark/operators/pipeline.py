@@ -1,0 +1,131 @@
+"""End-to-end LLM training-data pipeline operators (SURVEY.md §2.4).
+
+Two composition-level operators the single-purpose queries don't show:
+
+- ``q_split_assign``: deterministic, content-addressed train/val/test
+  assignment. Hash-based splits are the only reproducible kind at 100 TB —
+  random splits drift when the corpus grows, per-file splits leak
+  near-dups across sets. The bucket is the first two hex chars of
+  ``md5(doc_id)``, so the assignment is stable under corpus growth,
+  engine-independent (md5 is md5 everywhere — which also makes it exactly
+  DuckDB-oracle-able), and trivially stratifiable.
+- ``q_pipeline_llm_prep``: the canonical corpus-prep chain as ONE
+  declarative plan — quality filter → exact near-dup removal (normalized
+  fingerprint, keep-min survivor) → split assignment. Catalyst sees the
+  whole pipeline: the quality filter prunes before the dedup shuffle, the
+  fingerprint group-by shuffles 16-byte keys rather than documents, and
+  the split column is a projection. At 100 TB this one plan replaces the
+  ad-hoc multi-job scripts such pipelines usually become.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..catalog import table
+from ..plans.registry import query
+
+#: md5-prefix thresholds: 'cd' = 205/256 ≈ 80% train, 'e6' = 230/256 ≈ 90%
+_TRAIN_MAX_HEX = "cd"
+_VAL_MAX_HEX = "e6"
+
+_SPLIT_SQL_CASE = f"""
+    CASE WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_TRAIN_MAX_HEX}'
+             THEN 'train'
+         WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_VAL_MAX_HEX}'
+             THEN 'val'
+         ELSE 'test' END
+"""
+
+
+def split_column() -> F.Column:
+    """Deterministic split label from the content-addressed md5 bucket."""
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return (
+        F.when(bucket < _TRAIN_MAX_HEX, "train")
+        .when(bucket < _VAL_MAX_HEX, "val")
+        .otherwise("test")
+    )
+
+
+@query(
+    "q_split_assign",
+    oracle=f"""
+    SELECT doc_id,
+           SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket_hex,
+           {_SPLIT_SQL_CASE} AS split
+    FROM documents
+    """,
+)
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (~80/10/10) keyed on the
+    md5 of the document id — reproducible across engines, runs, and
+    corpus versions; no RNG, no global count, no shuffle."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2).alias(
+            "bucket_hex"
+        ),
+        split_column().alias("split"),
+    )
+
+
+@query(
+    "q_pipeline_llm_prep",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang, text,
+               LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+               MD5(LOWER(REGEXP_REPLACE(TRIM(text), ' +', ' ', 'g')))
+                   AS fingerprint
+        FROM documents
+        WHERE LEN(STRING_SPLIT(text, ' ')) BETWEEN 20 AND 500
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY fingerprint
+                                     ORDER BY doc_id) AS rn
+        FROM scored
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens,
+           fingerprint, {_SPLIT_SQL_CASE} AS split
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_pipeline_llm_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus prep as one declarative plan: length/quality gate → exact
+    near-dup removal on the normalized-content fingerprint (deterministic
+    keep-min survivor) → content-addressed split assignment.
+
+    Plan shape: the quality filter is a pushed scan predicate, the dedup
+    is one shuffle on 16-byte md5 keys with a WindowGroupLimit-style
+    survivor pick, the split label is a pure projection. Swap the
+    fingerprint stage for ``dedup.minhash_pairs`` + cluster keep-min to
+    upgrade exact dedup to near-dup dedup without touching the rest.
+    """
+    d = table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    fp = F.md5(
+        F.encode(
+            F.lower(F.regexp_replace(F.trim(F.col("text")), " +", " ")), "UTF-8"
+        )
+    )
+    scored = (
+        d.filter(n_tokens.between(20, 500))
+        .select(
+            "doc_id",
+            "lang",
+            n_tokens.cast("int").alias("n_tokens"),
+            fp.alias("fingerprint"),
+        )
+    )
+    w = W.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id", "lang", "n_tokens", "fingerprint", split_column().alias("split")
+        )
+    )
