@@ -292,10 +292,9 @@ def q_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WINNOW_K = 4  # k-gram size (tokens)
 _WINNOW_WIN = 5  # winnowing window (k-gram hashes)
 
-
-@query(
-    "q_text_winnow",
-    oracle=f"""
+#: shared winnowing CTE (doc_id → distinct fingerprints), reused by both
+#: winnow oracles so the construction can't drift between them
+_WINNOW_SQL_CTE = f"""
     WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
     g AS (
         SELECT doc_id,
@@ -314,9 +313,14 @@ _WINNOW_WIN = 5  # winnowing window (k-gram hashes)
                     WHEN LEN(h) > 0 THEN [LIST_MIN(h)]
                     ELSE [] END AS fps
         FROM g
-    )
-    SELECT doc_id, UNNEST(LIST_DISTINCT(fps)) AS fingerprint FROM m
-    """,
+    ),
+    fp AS (SELECT doc_id, UNNEST(LIST_DISTINCT(fps)) AS fingerprint FROM m)
+"""
+
+
+@query(
+    "q_text_winnow",
+    oracle=_WINNOW_SQL_CTE + "SELECT doc_id, fingerprint FROM fp",
 )
 def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
@@ -370,4 +374,45 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return d.select(
         "doc_id", F.explode(F.array_distinct(mins)).alias("fingerprint")
+    )
+
+
+_WINNOW_MIN_SHARED = 2
+
+
+@query(
+    "q_text_winnow_pairs",
+    oracle=_WINNOW_SQL_CTE
+    + f"""
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(COUNT(*) AS BIGINT) AS shared_fps
+    FROM fp a JOIN fp b
+      ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= {_WINNOW_MIN_SHARED}
+    """,
+)
+def q_text_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document overlap pairs: documents sharing ≥2 winnowing
+    fingerprints, found by an equi-join on the fingerprint key.
+
+    This is the payoff of winnowing: shared token runs become shared
+    fingerprints, so partial-overlap detection is an inverted-index
+    equi-join (like the shingle/minhash joins) instead of any pairwise
+    text comparison — at 100 TB the shuffle carries (doc_id, 32-byte fp)
+    rows and the per-fingerprint groups are bounded by the ~2/(w+1)
+    selection density.
+    """
+    fps = winnow_fingerprints(spread(table(spark, sf_dir, "documents")))
+    a = fps.alias("a")
+    b = fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= _WINNOW_MIN_SHARED)
     )
