@@ -129,3 +129,100 @@ def q_pipeline_llm_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "lang", "n_tokens", "fingerprint", split_column().alias("split")
         )
     )
+
+
+@query(
+    "q_validate_constraints",
+    oracle="""
+    SELECT 'orders_null_custkey' AS check_name,
+           CAST((SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)
+                AS BIGINT) AS violations,
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS total
+    UNION ALL
+    SELECT 'orders_fk_customer',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_nonpositive_qty',
+           CAST((SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0)
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_discount < 0 OR l_discount > 1) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'documents_empty_text',
+           CAST((SELECT COUNT(*) FROM documents
+                 WHERE text IS NULL OR LENGTH(TRIM(text)) = 0) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM documents) AS BIGINT)
+    """,
+)
+def q_validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate: each constraint compiles to a
+    conditional-count aggregate, all evaluated in ONE pass per table (a
+    single partial+final aggregation — violations are `sum(case when)`
+    columns, never separate scans), plus one anti-join for referential
+    integrity. The per-check row shape is what a pipeline orchestrator
+    consumes to block a bad snapshot before it reaches training.
+    """
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    docs = table(spark, sf_dir, "documents")
+    cust = table(spark, sf_dir, "customer")
+
+    def one_pass(df: DataFrame, checks: dict[str, F.Column]) -> DataFrame:
+        agg = df.agg(
+            F.count("*").alias("total"),
+            *[
+                F.sum(cond.cast("long")).alias(name)
+                for name, cond in checks.items()
+            ],
+        )
+        out = None
+        for name in checks:
+            row = agg.select(
+                F.lit(name).alias("check_name"),
+                F.col(name).cast("long").alias("violations"),
+                F.col("total").cast("long").alias("total"),
+            )
+            out = row if out is None else out.unionByName(row)
+        return out
+
+    order_checks = one_pass(
+        orders, {"orders_null_custkey": F.col("o_custkey").isNull()}
+    )
+    li_checks = one_pass(
+        li,
+        {
+            "lineitem_nonpositive_qty": F.col("l_quantity") <= 0,
+            "lineitem_discount_range": (F.col("l_discount") < 0)
+            | (F.col("l_discount") > 1),
+        },
+    )
+    doc_checks = one_pass(
+        docs,
+        {
+            "documents_empty_text": F.col("text").isNull()
+            | (F.length(F.trim(F.col("text"))) == 0)
+        },
+    )
+    fk_violations = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti")
+        .agg(F.count("*").cast("long").alias("violations"))
+        .crossJoin(orders.agg(F.count("*").cast("long").alias("total")))
+        .select(
+            F.lit("orders_fk_customer").alias("check_name"),
+            "violations",
+            "total",
+        )
+    )
+    return (
+        order_checks.unionByName(fk_violations)
+        .unionByName(li_checks)
+        .unionByName(doc_checks)
+    )
