@@ -211,10 +211,22 @@ def q_validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.length(F.trim(F.col("text"))) == 0)
         },
     )
+    # left join + conditional count gives violations AND total in one
+    # aggregation (customer.c_custkey is unique, so the join never
+    # duplicates orders rows) — no second scan, no 1×1 cross join.
     fk_violations = (
-        orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti")
-        .agg(F.count("*").cast("long").alias("violations"))
-        .crossJoin(orders.agg(F.count("*").cast("long").alias("total")))
+        orders.select("o_custkey")
+        .join(
+            cust.select("c_custkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left",
+        )
+        .agg(
+            F.count("*").cast("long").alias("total"),
+            F.sum(F.col("c_custkey").isNull().cast("long"))
+            .cast("long")
+            .alias("violations"),
+        )
         .select(
             F.lit("orders_fk_customer").alias("check_name"),
             "violations",
