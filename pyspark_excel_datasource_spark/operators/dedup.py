@@ -231,6 +231,43 @@ def minhash_pairs(docs: DataFrame) -> DataFrame:
     return verified.select("d1", "d2", "jaccard")
 
 
+def simhash_signature_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, simhash) 64-bit signatures.
+
+    Shingle features, not bare words: on short-vocab corpora every word
+    *set* is similar, so bag-of-words simhash collides globally; 3-gram
+    shingles carry the sequence structure that distinguishes documents.
+    Single construction point shared by the query and the brute-force
+    recall test so the two can't drift.
+    """
+    toks = (
+        _shingles(docs)
+        .select("doc_id", F.explode("shingles").alias("tok"))
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(_SIMHASH_BITS)
+        ]
+    )
+    bit_terms = [
+        F.when(
+            F.col(f"v{i}") > 0,
+            F.lit(1).cast("long") * (2**i if i < 63 else -(2**63)),
+        ).otherwise(0)
+        for i in range(_SIMHASH_BITS)
+    ]
+    return votes.select(
+        "doc_id",
+        sum(bit_terms[1:], bit_terms[0]).alias("simhash"),
+    )
+
+
 @query("q_dedup_simhash")  # signature-based → rows-only check
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 64-bit signature = sign of per-bit vote sums
@@ -247,32 +284,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB, widen bands (and accept probabilistic recall) or add a
     second-stage band refinement if candidate volume dominates.
     """
-    docs = table(spark, sf_dir, "documents")
-    # shingle features, not bare words: on short-vocab corpora every word
-    # *set* is similar, so bag-of-words simhash collides globally; 3-gram
-    # shingles carry the sequence structure that distinguishes documents.
-    toks = (
-        _shingles(docs)
-        .select("doc_id", F.explode("shingles").alias("tok"))
-        .withColumn("h", F.xxhash64("tok"))
-    )
-
-    votes = toks.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"v{i}")
-            for i in range(_SIMHASH_BITS)
-        ]
-    )
-    bit_terms = [
-        F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long") * (2**i if i < 63 else -(2**63))).otherwise(0)
-        for i in range(_SIMHASH_BITS)
-    ]
-    sigs = votes.select(
-        "doc_id",
-        sum(bit_terms[1:], bit_terms[0]).alias("simhash"),
-    )
+    sigs = simhash_signature_frame(table(spark, sf_dir, "documents"))
 
     bands = sigs.select(
         "doc_id",

@@ -176,10 +176,12 @@ def q_validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = table(spark, sf_dir, "customer")
 
     def one_pass(df: DataFrame, checks: dict[str, F.Column]) -> DataFrame:
+        # coalesce: SUM over zero rows is NULL but the oracle's COUNT
+        # subqueries say 0 — an empty table must report 0 violations
         agg = df.agg(
             F.count("*").alias("total"),
             *[
-                F.sum(cond.cast("long")).alias(name)
+                F.coalesce(F.sum(cond.cast("long")), F.lit(0)).alias(name)
                 for name, cond in checks.items()
             ],
         )

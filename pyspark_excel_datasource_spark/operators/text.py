@@ -403,7 +403,10 @@ def q_text_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows and the per-fingerprint groups are bounded by the ~2/(w+1)
     selection density.
     """
-    fps = winnow_fingerprints(spread(table(spark, sf_dir, "documents")))
+    # cache: both self-join sides re-evaluate the whole winnowing chain
+    # otherwise (the CPU-heaviest stage of the query); the registry
+    # wrapper drops the cache before the next query runs
+    fps = winnow_fingerprints(spread(table(spark, sf_dir, "documents"))).cache()
     a = fps.alias("a")
     b = fps.alias("b")
     return (

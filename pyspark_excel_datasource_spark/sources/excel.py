@@ -330,6 +330,21 @@ class ExcelInputPartition(InputPartition):
         self.n_rows = n_rows
 
 
+def _plan_file_partitions(f: str, opts: ExcelOptions) -> list[InputPartition]:
+    """Partitions for ONE file: whole-file, or ``chunkRows``-sized row
+    ranges — shared by the batch and streaming planners so the chunk math
+    can never diverge between them."""
+    if not opts.chunk_rows:
+        return [ExcelInputPartition(f)]
+    total = _count_rows(f, opts.sheet, opts.header)
+    if total == 0:
+        return [ExcelInputPartition(f)]
+    return [
+        ExcelInputPartition(f, start, min(opts.chunk_rows, total - start))
+        for start in range(0, total, opts.chunk_rows)
+    ]
+
+
 class ExcelDataSourceReader(DataSourceReader):
     def __init__(self, schema: "StructType", opts: ExcelOptions):
         self.bound_schema = schema
@@ -343,20 +358,11 @@ class ExcelDataSourceReader(DataSourceReader):
             yield f  # Spark re-evaluates everything (safe partial pushdown)
 
     def partitions(self) -> list[InputPartition]:
-        files = _list_input_files(self.opts.path)
-        if not self.opts.chunk_rows:
-            return [ExcelInputPartition(f) for f in files]
-        parts: list[InputPartition] = []
-        for f in files:
-            total = _count_rows(f, self.opts.sheet, self.opts.header)
-            if total == 0:
-                parts.append(ExcelInputPartition(f))
-                continue
-            for start in range(0, total, self.opts.chunk_rows):
-                parts.append(
-                    ExcelInputPartition(f, start, min(self.opts.chunk_rows, total - start))
-                )
-        return parts
+        return [
+            p
+            for f in _list_input_files(self.opts.path)
+            for p in _plan_file_partitions(f, self.opts)
+        ]
 
     def read(self, partition: ExcelInputPartition):
         frame = _read_frame(
@@ -418,25 +424,17 @@ class ExcelStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         seen = set(start.get("files", {}))
         new = [n for n in sorted(end.get("files", {})) if n not in seen]
-        parts: list[InputPartition] = []
-        for n in new:
-            f = os.path.join(self.opts.path, n)
-            # chunkRows splits one arriving file into row-range partitions,
-            # exactly like the batch reader — a 10 GB workbook landing in
-            # the directory becomes N tasks, not one. Replay-safe: chunks
-            # derive from (manifest, file contents), both fixed per batch.
-            if not self.opts.chunk_rows:
-                parts.append(ExcelInputPartition(f))
-                continue
-            total = _count_rows(f, self.opts.sheet, self.opts.header)
-            if total == 0:
-                parts.append(ExcelInputPartition(f))
-                continue
-            for s in range(0, total, self.opts.chunk_rows):
-                parts.append(
-                    ExcelInputPartition(f, s, min(self.opts.chunk_rows, total - s))
-                )
-        return parts
+        # chunkRows splits one arriving file into row-range partitions,
+        # exactly like the batch reader — a 10 GB workbook landing in the
+        # directory becomes N tasks, not one. Replay-safe: chunks derive
+        # from (manifest, file contents), both fixed per batch.
+        return [
+            p
+            for n in new
+            for p in _plan_file_partitions(
+                os.path.join(self.opts.path, n), self.opts
+            )
+        ]
 
     def read(self, partition: ExcelInputPartition):
         frame = _read_frame(

@@ -20,6 +20,10 @@ from pyspark.sql import types as T
 
 from ..plans.registry import query
 
+#: memory-sink view of the previous q_stream_stateful run (dropped on
+#: the next invocation to bound driver memory across repeated runs)
+_LAST_SINK: str | None = None
+
 OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
@@ -39,11 +43,20 @@ STATE_SCHEMA = T.StructType(
 def running_totals(
     key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state
 ) -> Iterator[pd.DataFrame]:
-    """Accumulate (count, exact integer cents) per user across batches."""
+    """Accumulate (count, exact integer cents) per user across batches.
+
+    Cents rounding is half-away-from-zero (sign * floor(|v|+0.5)), NOT
+    pandas' default half-to-even — SQL ROUND (the oracle's spelling)
+    rounds halves away from zero, and the two differ on any value whose
+    cents land exactly on .5 (e.g. 0.125 * 100).
+    """
+    import numpy as np
+
     n, cents = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        cents += int((pdf["value"] * 100).round().sum())
+        v = pdf["value"].to_numpy(dtype="float64") * 100.0
+        cents += int((np.sign(v) * np.floor(np.abs(v) + 0.5)).sum())
     state.update((n, cents))
     yield pd.DataFrame(
         {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
@@ -98,14 +111,19 @@ def q_stream_stateful(spark, sf_dir: str) -> DataFrame:
     from ..catalog import sf_tag
 
     src_dir = os.path.join("/root/repo/.fixtures", sf_tag(sf_dir), "events_stream")
-    marker = os.path.join(src_dir, "_done")
-    if not os.path.exists(marker):
+    src = os.path.join(sf_dir, "events.parquet")
+    dst = os.path.join(src_dir, "events.parquet")
+    # freshness check by (size, mtime), not a one-shot marker: a
+    # regenerated testdata fixture must invalidate the streamed copy or
+    # the stream reads stale data while the oracle reads the new file.
+    s = os.stat(src)
+    if not (
+        os.path.exists(dst)
+        and os.stat(dst).st_size == s.st_size
+        and os.stat(dst).st_mtime >= s.st_mtime
+    ):
         os.makedirs(src_dir, exist_ok=True)
-        shutil.copy(
-            os.path.join(sf_dir, "events.parquet"),
-            os.path.join(src_dir, "events.parquet"),
-        )
-        open(marker, "w").close()
+        shutil.copy(src, dst)
 
     stream = (
         spark.readStream.schema("user_id long, value double")
@@ -113,7 +131,14 @@ def q_stream_stateful(spark, sf_dir: str) -> DataFrame:
         .load(src_dir)
     )
     out = user_running_totals(stream)
+    # unique sink per run (a reused memory-sink name accumulates rows),
+    # but drop the PREVIOUS run's view so repeated invocations in one
+    # session don't leak collected batches in driver memory
+    global _LAST_SINK
+    if _LAST_SINK is not None:
+        spark.catalog.dropTempView(_LAST_SINK)
     sink = f"stream_stateful_{uuid.uuid4().hex[:10]}"
+    _LAST_SINK = sink
     q = (
         out.writeStream.format("memory")
         .queryName(sink)

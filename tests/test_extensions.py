@@ -156,42 +156,17 @@ def test_simhash_banding_recall_complete(spark):
     qs = load_all_queries()
     banded = {(r.d1, r.d2) for r in qs["q_dedup_simhash"](spark, SF).collect()}
 
-    # brute-force reference over the same signatures
-    from pyspark.sql import functions as F
-
+    # brute-force reference over the SAME production signatures
     from pyspark_excel_datasource_spark.catalog import table
     from pyspark_excel_datasource_spark.operators.dedup import (
         _HAMMING_MAX,
-        _shingles,
-        _SIMHASH_BITS,
+        simhash_signature_frame,
     )
 
-    toks = (
-        _shingles(table(spark, SF, "documents"))
-        .select("doc_id", F.explode("shingles").alias("tok"))
-        .withColumn("h", F.xxhash64("tok"))
-    )
-    votes = toks.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"v{i}")
-            for i in range(_SIMHASH_BITS)
-        ]
-    )
-    bit_terms = [
-        F.when(
-            F.col(f"v{i}") > 0,
-            F.lit(1).cast("long") * (2**i if i < 63 else -(2**63)),
-        ).otherwise(0)
-        for i in range(_SIMHASH_BITS)
-    ]
     sigs = {
-        r.doc_id: r.s
-        for r in votes.select(
-            "doc_id", sum(bit_terms[1:], bit_terms[0]).alias("s")
+        r.doc_id: r.simhash
+        for r in simhash_signature_frame(
+            table(spark, SF, "documents")
         ).collect()
     }
     ids = sorted(sigs)
