@@ -241,3 +241,66 @@ def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 3).cast("long").alias("key_shr"),
         F.bit_count(k).cast("int").alias("key_bits"),
     )
+
+
+@query(
+    "q_fn_editdist",
+    oracle="""
+    SELECT p_partkey,
+           CAST(LEVENSHTEIN(STRING_SPLIT(p_name, ' ')[1],
+                            STRING_SPLIT(p_name, ' ')[-1]) AS INT)
+               AS name_span_dist,
+           CAST(LEVENSHTEIN(p_brand, p_type) AS INT) AS brand_type_dist,
+           CAST(LEVENSHTEIN(p_type, 'PROMO BURNISHED COPPER') AS INT)
+               AS type_ref_dist
+    FROM part
+    WHERE p_partkey < 500
+    """,
+)
+def q_fn_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance function family (the fuzzy-matching primitive behind
+    entity resolution / blocking joins). Levenshtein is exact-integer in
+    both engines, so the oracle is bit-trivial."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    words = F.split(F.col("p_name"), " ")
+    return p.select(
+        "p_partkey",
+        F.levenshtein(
+            F.element_at(words, 1), F.element_at(words, -1)
+        ).cast("int").alias("name_span_dist"),
+        F.levenshtein("p_brand", "p_type").cast("int").alias("brand_type_dist"),
+        F.levenshtein(F.col("p_type"), F.lit("PROMO BURNISHED COPPER"))
+        .cast("int")
+        .alias("type_ref_dist"),
+    )
+
+
+@query(
+    "q_agg_mode",
+    oracle="""
+    SELECT l_returnflag, qty AS mode_qty, n AS mode_count
+    FROM (
+        SELECT l_returnflag, l_quantity AS qty, COUNT(*) AS n,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY COUNT(*) DESC, l_quantity ASC) AS rn
+        FROM lineitem
+        GROUP BY l_returnflag, l_quantity
+    ) WHERE rn = 1
+    """,
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode (most frequent value, smallest-value tiebreak).
+
+    Built-in ``mode()`` is engine-arbitrary on ties in BOTH engines, so
+    this spells mode as count + windowed argmax with an explicit
+    tiebreak — the same two-shuffle shape, reproducible everywhere."""
+    li = table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", F.col("l_quantity").alias("qty")).agg(
+        F.count("*").alias("n")
+    )
+    w = W.partitionBy("l_returnflag").orderBy(F.col("n").desc(), F.col("qty").asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("qty").alias("mode_qty"), F.col("n").alias("mode_count"))
+    )
