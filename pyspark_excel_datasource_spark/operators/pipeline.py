@@ -240,3 +240,30 @@ def q_validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(li_checks)
         .unionByName(doc_checks)
     )
+
+
+_SAMPLE_MAX_HEX = "1a"  # 26/256 ≈ 10.2% keep rate
+
+
+@query(
+    "q_sample_hash",
+    oracle=f"""
+    SELECT doc_id, lang,
+           SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 3, 2) AS sample_hex
+    FROM documents
+    WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 3, 2) < '{_SAMPLE_MAX_HEX}'
+    """,
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% downsample by content hash — the reproducible
+    alternative to ``df.sample()``: the same rows are kept on every run,
+    every engine, and every corpus version; adding documents never changes
+    which existing ones are sampled. Uses hex chars 3-4 of the id hash so
+    the sample is independent of ``q_split_assign``'s chars 1-2 (a row's
+    split and its sample membership are uncorrelated)."""
+    d = table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 3, 2)
+    return (
+        d.select("doc_id", "lang", h.alias("sample_hex"))
+        .filter(F.col("sample_hex") < _SAMPLE_MAX_HEX)
+    )
