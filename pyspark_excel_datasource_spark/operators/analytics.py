@@ -1,0 +1,377 @@
+"""Event-analytics operators: sessionization, funnels, retention, SCD2.
+
+The reference connector feeds BI-style workbooks
+(`/root/reference/src/pyspark_datasource/excel/connector.py` reads sheets
+into DataFrames for exactly this kind of analysis); these operators
+provide the canonical event-log analyses natively, each as ONE
+declarative plan over the ``events`` table.
+
+Scale notes (100 TB event logs):
+
+- Every operator here shuffles ONCE on ``user_id`` (the window/groupBy
+  key) and then stays partition-local — sessionization, islands, and
+  retention cohorts are all per-user computations, so the plans are a
+  single hash exchange plus per-key sorts, no matter how many events.
+  Skew on a hot user is bounded by per-user history, not corpus size.
+- Time arithmetic is integer microseconds (``unix_micros``), never double
+  seconds: epoch-micros exceed 2^53 as nanos, and the DuckDB oracle
+  (``epoch_us``) agrees bit-for-bit on integers.
+- Window tie-breaks always include ``event_id`` so run/island assignment
+  is deterministic under same-timestamp events in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..catalog import table
+from ..plans.registry import query
+
+#: Session gap threshold: a new session starts after 6 h of inactivity
+#: (median inter-event gap in the test corpus is ~7 h, so users split
+#: into several sessions without degenerating to one-event sessions).
+_GAP_SEC = 6 * 3600
+_GAP_US = _GAP_SEC * 1_000_000
+
+
+def _micros(col: str) -> F.Column:
+    # ts is TIMESTAMP_NTZ; session tz is pinned UTC so the cast is the
+    # identity wall-clock mapping and unix_micros accepts it.
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
+@query(
+    "q_sessionize",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id)
+                         > {_GAP_US}
+                    OR LAG(ts) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id)
+                         IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ),
+    numbered AS (
+        SELECT user_id, ts, us,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST((MAX(us) - MIN(us)) // 1000000 AS BIGINT) AS span_sec
+    FROM numbered
+    GROUP BY user_id, session_seq
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based batch sessionization (6 h inactivity threshold).
+
+    Plan: one shuffle on ``user_id``, then two window passes (lag flag,
+    running sum) and a partial+final aggregate — all partition-local
+    after the single exchange. This is the batch twin of
+    ``q_stream_session`` (session_window in streaming/windows.py); at
+    100 TB the same plan holds because state never leaves the user key.
+    """
+    ev = table(spark, sf_dir, "events")
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    per_user = W.partitionBy("user_id").orderBy(*order)
+    us = _micros("ts")
+    lag_us = F.lag(us).over(per_user)
+    is_new = F.when(
+        lag_us.isNull() | ((us - lag_us) > F.lit(_GAP_US)), 1
+    ).otherwise(0)
+    running = per_user.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sessions = ev.select(
+        "user_id",
+        "ts",
+        us.alias("us"),
+        F.sum(is_new).over(running).alias("session_seq"),
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").cast("long").alias("n_events"),
+        F.expr("(MAX(us) - MIN(us)) DIV 1000000").cast("long").alias("span_sec"),
+    ).select(
+        "user_id",
+        F.col("session_seq").cast("long").alias("session_seq"),
+        "session_start",
+        "session_end",
+        "n_events",
+        "span_sec",
+    )
+
+
+@query(
+    "q_funnel",
+    oracle="""
+    WITH w1 AS (
+        SELECT user_id, event_type, ts,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t1
+        FROM events
+    ),
+    w2 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'view' AND ts >= t1
+                           THEN ts END)
+                      OVER (PARTITION BY user_id) AS t2
+        FROM w1
+    ),
+    w3 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'click' AND ts >= t2
+                           THEN ts END)
+                      OVER (PARTITION BY user_id) AS t3
+        FROM w2
+    ),
+    w4 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts >= t3
+                           THEN ts END)
+                      OVER (PARTITION BY user_id) AS t4
+        FROM w3
+    ),
+    totals AS (
+        SELECT CAST(COUNT(DISTINCT CASE WHEN t1 IS NOT NULL
+                                        THEN user_id END) AS BIGINT) AS s1,
+               CAST(COUNT(DISTINCT CASE WHEN t2 IS NOT NULL
+                                        THEN user_id END) AS BIGINT) AS s2,
+               CAST(COUNT(DISTINCT CASE WHEN t3 IS NOT NULL
+                                        THEN user_id END) AS BIGINT) AS s3,
+               CAST(COUNT(DISTINCT CASE WHEN t4 IS NOT NULL
+                                        THEN user_id END) AS BIGINT) AS s4
+        FROM w4
+    )
+    SELECT 1 AS step, 'signup' AS event_type, s1 AS users FROM totals
+    UNION ALL SELECT 2, 'view', s2 FROM totals
+    UNION ALL SELECT 3, 'click', s3 FROM totals
+    UNION ALL SELECT 4, 'purchase', s4 FROM totals
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (signup → view → click → purchase): step *i*
+    counts users whose earliest qualifying event is at-or-after their
+    step *i-1* time.
+
+    Plan: ONE shuffle on ``user_id``, then four partition-local window
+    passes (each step's frontier time is a conditional MIN over the
+    user's partition — no self-joins, no per-step shuffles), one final
+    aggregate. At 100 TB the event log is exchanged exactly once and
+    per-user state is a handful of timestamps.
+    """
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    per_user = W.partitionBy("user_id")
+    steps = ("signup", "view", "click", "purchase")
+
+    d = ev
+    prev_t = None
+    for i, step in enumerate(steps, start=1):
+        qualifies = F.col("event_type") == step
+        if prev_t is not None:
+            qualifies = qualifies & (F.col("ts") >= F.col(prev_t))
+        t = f"t{i}"
+        d = d.withColumn(
+            t, F.min(F.when(qualifies, F.col("ts"))).over(per_user)
+        )
+        prev_t = t
+
+    totals = d.agg(
+        *[
+            F.count_distinct(
+                F.when(F.col(f"t{i}").isNotNull(), F.col("user_id"))
+            )
+            .cast("long")
+            .alias(f"s{i}")
+            for i in range(1, 5)
+        ]
+    )
+    stack = ", ".join(
+        f"{i}, '{step}', s{i}" for i, step in enumerate(steps, start=1)
+    )
+    return totals.select(
+        F.expr(f"stack(4, {stack}) AS (step, event_type, users)")
+    )
+
+
+@query(
+    "q_retention",
+    oracle="""
+    WITH cohorts AS (
+        SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS cohort_day
+        FROM events GROUP BY user_id
+    )
+    SELECT c.cohort_day,
+           CAST(DATE_DIFF('day', c.cohort_day,
+                          CAST(date_trunc('day', e.ts) AS DATE)) // 7
+                AS INT) AS week_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users
+    FROM events e JOIN cohorts c ON c.user_id = e.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, activity
+    bucketed into week offsets from that day.
+
+    Plan: the cohort table is one row per user (broadcast side); the
+    big events scan joins to it map-side and aggregates on
+    (cohort_day, week_offset) — two shuffles total, the second over a
+    bounded key space (days × offsets). COUNT(DISTINCT) re-shuffles on
+    the composite key + user_id, still bounded by users not events.
+    """
+    ev = table(spark, sf_dir, "events").select("user_id", "ts")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    cohorts = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    return (
+        ev.join(F.broadcast(cohorts), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.floor(
+                F.datediff(day, F.col("cohort_day")) / F.lit(7)
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_day", "week_offset")
+        .agg(F.count_distinct("user_id").cast("long").alias("active_users"))
+    )
+
+
+@query(
+    "q_scd2_intervals",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)
+             - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS island
+        FROM events
+    ),
+    runs AS (
+        SELECT user_id, event_type, island,
+               MIN(ts) AS valid_from,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM ordered GROUP BY user_id, event_type, island
+    )
+    SELECT user_id, event_type, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, event_type)
+               AS valid_to,
+           n_events
+    FROM runs
+    """,
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 style change tracking: collapse each user's consecutive
+    runs of the same ``event_type`` into validity intervals
+    (gaps-and-islands), ``valid_to`` = next run's start, NULL for the
+    open current run.
+
+    Plan: one shuffle on ``user_id``; both row_numbers, the run
+    aggregate, and the lead() all reuse that partitioning (the second
+    row_number only adds a partition-local sort). Deterministic under
+    timestamp ties via the ``event_id`` tie-break.
+    """
+    ev = table(spark, sf_dir, "events")
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    island = F.row_number().over(
+        W.partitionBy("user_id").orderBy(*order)
+    ) - F.row_number().over(
+        W.partitionBy("user_id", "event_type").orderBy(*order)
+    )
+    runs = (
+        ev.select("user_id", "event_type", "ts", island.alias("island"))
+        .groupBy("user_id", "event_type", "island")
+        .agg(
+            F.min("ts").alias("valid_from"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+    )
+    nxt = W.partitionBy("user_id").orderBy(
+        F.col("valid_from").asc(), F.col("event_type").asc()
+    )
+    return runs.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(nxt).alias("valid_to"),
+        "n_events",
+    )
+
+
+#: Per-language md5-prefix keep thresholds (256ths): en keeps 50 %, the
+#: rest keep 25 % — the "rebalance a skewed corpus" shape.
+_STRATA_HEX = {"en": "80"}
+_DEFAULT_HEX = "40"
+
+
+@query(
+    "q_sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang,
+           SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket_hex
+    FROM documents
+    WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2)
+          < CASE WHEN lang = 'en' THEN '{_STRATA_HEX["en"]}'
+                 ELSE '{_DEFAULT_HEX}' END
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic downsampling: per-language keep fraction
+    via the content-addressed md5 bucket (en 50 %, others 25 %).
+
+    Same machinery as ``q_split_assign`` / ``q_sample_hash``: no RNG, no
+    global count, reproducible under corpus growth, and the predicate is
+    a pure per-row projection — embarrassingly parallel at any scale.
+    """
+    d = table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    threshold = F.when(
+        F.col("lang") == "en", F.lit(_STRATA_HEX["en"])
+    ).otherwise(F.lit(_DEFAULT_HEX))
+    return (
+        d.select("doc_id", "lang", bucket.alias("bucket_hex"), threshold.alias("t"))
+        .filter(F.col("bucket_hex") < F.col("t"))
+        .drop("t")
+    )
+
+
+@query("q_agg_hll")  # sketch output — no DuckDB-comparable oracle (rows-only)
+def q_agg_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches: Apache DataSketches HLL via
+    ``hll_sketch_agg`` / ``hll_sketch_estimate`` (Spark ≥ 3.5 built-ins,
+    JVM-side).
+
+    Unlike ``approx_count_distinct`` (HLL++ with a non-exposed state),
+    these sketches are *storable and mergeable*: at 100 TB you
+    pre-aggregate one sketch per partition/day, persist the binary, and
+    union months of data with ``hll_union_agg`` without rescanning —
+    the standard incremental-distinct pattern. Estimates are
+    deterministic for fixed input but implementation-specific, so the
+    driver applies its rows-only contract.
+    """
+    ev = table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sketch")
+    )
+    return (
+        per_type.select(
+            "event_type",
+            F.hll_sketch_estimate("sketch").cast("long").alias("approx_users"),
+        )
+        .unionByName(
+            # merge path: union the per-type sketches into a corpus total
+            per_type.agg(
+                F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+                .cast("long")
+                .alias("approx_users")
+            ).select(F.lit("ALL").alias("event_type"), "approx_users")
+        )
+    )

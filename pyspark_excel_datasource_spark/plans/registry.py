@@ -52,6 +52,7 @@ _QUERY_MODULES = (
     "pyspark_excel_datasource_spark.sources.excel_queries",
     "pyspark_excel_datasource_spark.operators.scale",
     "pyspark_excel_datasource_spark.operators.pipeline",
+    "pyspark_excel_datasource_spark.operators.analytics",
 )
 
 

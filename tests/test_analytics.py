@@ -1,0 +1,150 @@
+"""Semantic + plan tests for the event-analytics operators
+(operators/analytics.py). Cross-engine value parity is covered by the
+oracle gate (tools/run_parity.py); these tests pin the invariants the
+oracle can't see — session monotonicity, funnel ordering, plan shape."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from pyspark_excel_datasource_spark.plans.registry import load_all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_sessionize_invariants(spark):
+    qs = load_all_queries()
+    rows = qs["q_sessionize"](spark, SF).collect()
+    assert rows
+    by_user: dict[int, list] = {}
+    for r in rows:
+        assert r.session_start <= r.session_end
+        assert r.n_events >= 1
+        assert r.span_sec >= 0
+        by_user.setdefault(r.user_id, []).append(r)
+    for sessions in by_user.values():
+        sessions.sort(key=lambda r: r.session_seq)
+        # seqs are 1..n dense, and consecutive sessions are separated by
+        # more than the 6 h gap threshold
+        assert [s.session_seq for s in sessions] == list(
+            range(1, len(sessions) + 1)
+        )
+        for a, b in zip(sessions, sessions[1:]):
+            gap = (b.session_start - a.session_end).total_seconds()
+            assert gap > 6 * 3600, (a, b)
+
+
+def test_funnel_is_monotone_and_single_shuffle(spark):
+    qs = load_all_queries()
+    df = qs["q_funnel"](spark, SF)
+    rows = {r.step: r for r in df.collect()}
+    assert [rows[i].event_type for i in (1, 2, 3, 4)] == [
+        "signup",
+        "view",
+        "click",
+        "purchase",
+    ]
+    users = [rows[i].users for i in (1, 2, 3, 4)]
+    assert users == sorted(users, reverse=True), users
+    assert users[0] > 0
+    # the funnel is join-free: each step's frontier is a conditional MIN
+    # window over the SAME user_id partitioning, so the event log is
+    # scanned once and EnsureRequirements inserts exactly one big-side
+    # exchange for all four chained Window passes. (Exchange text is
+    # AQE-reuse-sensitive, so assert the structure: no joins, one scan
+    # node id, four Windows.)
+    import re
+
+    final = _plan(df).split("Initial Plan")[0]
+    assert "Join" not in final, final
+    scan_ids = set(re.findall(r"Scan parquet\s*\((\d+)\)", final))
+    assert len(scan_ids) == 1, final
+    window_ids = set(re.findall(r"\bWindow \((\d+)\)", final))
+    assert len(window_ids) == 4, final
+
+
+def test_retention_week_zero_covers_all_users(spark):
+    qs = load_all_queries()
+    rows = qs["q_retention"](spark, SF).collect()
+    week0 = sum(r.active_users for r in rows if r.week_offset == 0)
+    n_users = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    # each user belongs to exactly one cohort and is by construction
+    # active in that cohort's week 0
+    assert week0 == n_users
+    assert all(r.week_offset >= 0 for r in rows)
+
+
+def test_scd2_intervals_partition_user_history(spark):
+    qs = load_all_queries()
+    rows = qs["q_scd2_intervals"](spark, SF).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    ev_counts = {
+        r.user_id: r.n
+        for r in spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for uid, ivals in by_user.items():
+        ivals.sort(key=lambda r: r.valid_from)
+        # intervals chain: valid_to == next valid_from; one open interval
+        open_ivals = [r for r in ivals if r.valid_to is None]
+        assert len(open_ivals) == 1
+        for a, b in zip(ivals, ivals[1:]):
+            assert a.valid_to == b.valid_from
+        # runs partition the user's events exactly
+        assert sum(r.n_events for r in ivals) == ev_counts[uid]
+        # consecutive runs change type (else they'd be one run)
+        for a, b in zip(ivals, ivals[1:]):
+            assert a.event_type != b.event_type
+
+
+def test_stratified_sample_respects_thresholds(spark):
+    qs = load_all_queries()
+    rows = qs["q_sample_stratified"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        limit = "80" if r.lang == "en" else "40"
+        assert r.bucket_hex < limit
+    # deterministic: same rows on re-run
+    again = {(r.doc_id, r.lang) for r in qs["q_sample_stratified"](spark, SF).collect()}
+    assert {(r.doc_id, r.lang) for r in rows} == again
+
+
+def test_hll_estimates_bracket_exact_counts(spark):
+    qs = load_all_queries()
+    rows = {r.event_type: r.approx_users for r in qs["q_agg_hll"](spark, SF).collect()}
+    exact = {
+        r.event_type: r.n
+        for r in spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    exact["ALL"] = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert set(rows) == set(exact)
+    for k, est in rows.items():
+        # DataSketches HLL at default lgK=12 is ~1.6 % rse; allow 10 %
+        assert abs(est - exact[k]) <= max(2, 0.1 * exact[k]), (k, est, exact[k])

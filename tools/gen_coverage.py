@@ -66,8 +66,12 @@ SECTIONS = {
     ],
     "North-star: multimodal": ["q_multimodal_cols", "q_multimodal_features"],
     "North-star: pipeline composition": [
-        "q_split_assign", "q_sample_hash", "q_pipeline_llm_prep",
-        "q_validate_constraints",
+        "q_split_assign", "q_sample_hash", "q_sample_stratified",
+        "q_pipeline_llm_prep", "q_validate_constraints",
+    ],
+    "Event analytics": [
+        "q_sessionize", "q_funnel", "q_retention", "q_scd2_intervals",
+        "q_agg_hll",
     ],
 }
 
@@ -92,6 +96,12 @@ ROLES = {
     "q_sample_hash": "deterministic ~10% downsample by content hash",
     "q_pipeline_llm_prep": "quality gate → dedup → split as one plan",
     "q_validate_constraints": "one-pass data-quality gate (nulls/ranges/FK)",
+    "q_sample_stratified": "per-stratum deterministic keep-fraction (md5 bucket)",
+    "q_sessionize": "gap-based sessions; batch twin of q_stream_session",
+    "q_funnel": "ordered funnel, join-free single-shuffle window plan",
+    "q_retention": "first-seen cohorts × week offsets",
+    "q_scd2_intervals": "gaps-and-islands change tracking (SCD-2 validity)",
+    "q_agg_hll": "mergeable DataSketches HLL (hll_sketch_agg/hll_union_agg)",
 }
 
 
