@@ -267,3 +267,125 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "lang", h.alias("sample_hex"))
         .filter(F.col("sample_hex") < _SAMPLE_MAX_HEX)
     )
+
+
+@query(
+    "q_rollup_hierarchical",
+    oracle="""
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+                AS VARCHAR) AS day_value,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_rollup_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate pattern: the daily rollup is derived from the
+    HOURLY rollup's partials, never from raw events.
+
+    The Spark plan materializes hour-grain partial aggregates (exact
+    decimal sums — associative, so re-aggregation is lossless) and
+    reduces them to day grain; the oracle aggregates raw → day directly,
+    proving the two-level reduction exact. At 100 TB this is the
+    incremental-view pattern: persist the hourly table per ingest batch,
+    answer day/week/month queries from ~10^4× fewer rows, and never
+    rescan the event log. The second shuffle is over the tiny hour-grain
+    table.
+    """
+    from ..functions.determinism import canon
+
+    ev = table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+        ).agg(
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("hour_value"),
+            F.count("*").alias("hour_events"),
+        )
+    )
+    return (
+        hourly.groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("hour")).cast("date").alias("day"),
+        )
+        .agg(
+            F.sum("hour_value").cast("decimal(38,6)").alias("day_value"),
+            F.sum("hour_events").cast("long").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "day",
+            canon("day_value").alias("day_value"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "q_merge_upsert",
+    oracle="""
+    WITH changes AS (
+        SELECT o_custkey AS custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(38,2)) AS delta
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT COALESCE(c.c_custkey, ch.custkey) AS custkey,
+           COALESCE(c.c_name, 'NEW') AS name,
+           CAST(CAST(COALESCE(CAST(c.c_acctbal AS DECIMAL(18,2)),
+                              CAST(0 AS DECIMAL(18,2)))
+                     + COALESCE(ch.delta, CAST(0 AS DECIMAL(38,2)))
+                AS DECIMAL(38,2)) AS VARCHAR) AS acctbal,
+           CASE WHEN c.c_custkey IS NULL THEN 'insert'
+                WHEN ch.custkey IS NULL THEN 'keep'
+                ELSE 'update' END AS action
+    FROM customer c FULL OUTER JOIN changes ch
+      ON c.c_custkey = ch.custkey
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics on plain parquet tables: apply a change set
+    to a target snapshot — matched keys update, source-only keys insert,
+    target-only keys pass through — with the action tagged per row.
+
+    The change set here is the per-customer order total (deterministic,
+    derived from the fixtures); the merge itself is ONE full-outer
+    shuffle join on the key, which is exactly what table formats execute
+    under MERGE. At 100 TB: both sides hash-partition on the key (AQE
+    handles skew), and when the change set is small Catalyst downgrades
+    to a broadcast-able right-outer pattern. Balance math is exact
+    decimal; presented canonically for the cross-engine hash.
+    """
+    from ..functions.determinism import canon
+
+    cust = table(spark, sf_dir, "customer")
+    changes = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("delta")
+        )
+    )
+    merged = cust.join(
+        changes, cust.c_custkey == changes.custkey, "full_outer"
+    )
+    zero18 = F.lit(0).cast("decimal(18,2)")
+    zero38 = F.lit(0).cast("decimal(38,2)")
+    new_bal = (
+        F.coalesce(F.col("c_acctbal").cast("decimal(18,2)"), zero18)
+        + F.coalesce(F.col("delta"), zero38)
+    ).cast("decimal(38,2)")
+    return merged.select(
+        F.coalesce(F.col("c_custkey"), F.col("custkey")).alias("custkey"),
+        F.coalesce(F.col("c_name"), F.lit("NEW")).alias("name"),
+        canon(new_bal).alias("acctbal"),
+        F.when(F.col("c_custkey").isNull(), "insert")
+        .when(F.col("custkey").isNull(), "keep")
+        .otherwise("update")
+        .alias("action"),
+    )

@@ -73,6 +73,9 @@ SECTIONS = {
         "q_sessionize", "q_funnel", "q_retention", "q_scd2_intervals",
         "q_agg_hll",
     ],
+    "Incremental / DML patterns": [
+        "q_rollup_hierarchical", "q_merge_upsert",
+    ],
 }
 
 
@@ -102,6 +105,8 @@ ROLES = {
     "q_retention": "first-seen cohorts × week offsets",
     "q_scd2_intervals": "gaps-and-islands change tracking (SCD-2 validity)",
     "q_agg_hll": "mergeable DataSketches HLL (hll_sketch_agg/hll_union_agg)",
+    "q_rollup_hierarchical": "daily derived from hourly partials (continuous-aggregate)",
+    "q_merge_upsert": "MERGE INTO semantics: one full-outer join, per-row action",
 }
 
 
