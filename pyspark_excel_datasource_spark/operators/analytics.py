@@ -79,7 +79,11 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``q_stream_session`` (session_window in streaming/windows.py); at
     100 TB the same plan holds because state never leaves the user key.
     """
-    ev = table(spark, sf_dir, "events")
+    return sessionize(table(spark, sf_dir, "events"))
+
+
+def sessionize(ev: DataFrame) -> DataFrame:
+    """Sessionization plan over an events frame (user_id, event_id, ts)."""
     order = [F.col("ts").asc(), F.col("event_id").asc()]
     per_user = W.partitionBy("user_id").orderBy(*order)
     us = _micros("ts")
@@ -164,7 +168,12 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate. At 100 TB the event log is exchanged exactly once and
     per-user state is a handful of timestamps.
     """
-    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    return funnel_counts(table(spark, sf_dir, "events"))
+
+
+def funnel_counts(ev: DataFrame) -> DataFrame:
+    """Funnel plan over an events frame (user_id, event_type, ts)."""
+    ev = ev.select("user_id", "event_type", "ts")
     per_user = W.partitionBy("user_id")
     steps = ("signup", "view", "click", "purchase")
 
