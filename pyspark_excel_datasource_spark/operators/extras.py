@@ -304,3 +304,31 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("l_returnflag", F.col("qty").alias("mode_qty"), F.col("n").alias("mode_count"))
     )
+
+
+@query("q_agg_approx_quantile")  # sketch estimate → rows-only check
+def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles via ``approx_percentile`` (Greenwald-Khanna
+    sketch, JVM-side, mergeable partials) — the scale companion to the
+    exact ``q_agg_percentile``: at 100 TB the exact rank requires a full
+    sort-or-shuffle per group, while the sketch is one pass with bounded
+    (accuracy-parameter-sized) state per partition, merged map-side.
+    Estimates are deterministic for fixed input but algorithm-specific,
+    so the driver applies its rows-only contract; the exact twin stays
+    hash-checked.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)"
+            ).alias("q")
+        )
+        .select(
+            "l_returnflag",
+            F.col("q")[0].alias("p50"),
+            F.col("q")[1].alias("p90"),
+            F.col("q")[2].alias("p99"),
+        )
+    )

@@ -419,3 +419,76 @@ def q_text_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("shared_fps"))
         .filter(F.col("shared_fps") >= _WINNOW_MIN_SHARED)
     )
+
+
+@query(
+    "q_text_lm_score",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok
+        FROM documents
+    ),
+    vocab AS (
+        SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+    ),
+    corpus AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n FROM vocab),
+    scored AS (
+        SELECT t.doc_id, LN(CAST(v.cnt AS DOUBLE) / c.n) AS lnp
+        FROM toks t JOIN vocab v ON t.tok = v.tok CROSS JOIN corpus c
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           -LIST_SUM(LIST(lnp ORDER BY lnp)) / COUNT(*) AS avg_nll
+    FROM scored
+    GROUP BY doc_id
+    """,
+)
+def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring: per-document mean negative
+    log-likelihood under the corpus's own unigram distribution — the
+    classic cheap perplexity-style quality signal (documents full of
+    rare tokens score high, boilerplate scores low).
+
+    Determinism across engines: double addition is order-sensitive, so
+    each document's ln-probabilities are summed in ASCENDING VALUE order
+    in both engines (Spark: ``array_sort`` + sequential ``aggregate``
+    fold; DuckDB: ``LIST(... ORDER BY ...)`` + ``LIST_SUM``) — ties are
+    bit-equal doubles, so the fold is bit-deterministic. One division at
+    the end.
+
+    Scale: token explode → vocab count (shuffle on token) → count join
+    back → per-doc fold (shuffle on doc_id). Vocab and corpus-total are
+    tiny aggregates; the two big shuffles are both linear in token count.
+    """
+    d = spread(table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    n_corpus = vocab.agg(
+        F.sum("cnt").cast("double").alias("n")
+    )
+    scored = (
+        toks.join(vocab.hint("shuffle_hash"), "tok")
+        .crossJoin(F.broadcast(n_corpus))
+        .select(
+            "doc_id",
+            F.log(F.col("cnt").cast("double") / F.col("n")).alias("lnp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.aggregate(
+                F.array_sort(F.collect_list("lnp")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("sum_lnp"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (-F.col("sum_lnp") / F.col("n_tokens")).alias("avg_nll"),
+        )
+    )

@@ -34,6 +34,9 @@ ALLOWED_NESTED_LOOP = {
     # (a broadcast of 8 integers); the fact side still hash-joins on
     # (key, salt)
     "q_join_skew_salted",
+    # broadcast of the 1-row corpus-token-total — attaching a scalar to
+    # every row is exactly what a broadcast NLJ is for
+    "q_text_lm_score",
 }
 
 

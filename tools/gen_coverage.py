@@ -27,7 +27,8 @@ SECTIONS = {
     "Aggregations": [
         "q_agg_group", "q_agg_distinct", "q_agg_stats", "q_agg_rollup",
         "q_agg_cube", "q_agg_gsets", "q_agg_approx", "q_agg_percentile",
-        "q_agg_histogram", "q_agg_argmax", "q_agg_mode", "q_dedup_exact",
+        "q_agg_histogram", "q_agg_argmax", "q_agg_mode", "q_agg_approx_quantile",
+        "q_dedup_exact",
         "q_dedup_keep_first", "q_pivot", "q_unpivot",
     ],
     "Window functions": ["q_win_rank", "q_win_analytic", "q_win_frame", "q_win_range_frame", "q_win_cume"],
@@ -62,7 +63,7 @@ SECTIONS = {
     "North-star: text analysis": [
         "q_text_stats", "q_text_quality", "q_text_langid",
         "q_text_fingerprint", "q_text_winnow", "q_text_winnow_pairs",
-        "q_text_tfidf", "q_tokenize",
+        "q_text_tfidf", "q_tokenize", "q_text_lm_score",
     ],
     "North-star: multimodal": ["q_multimodal_cols", "q_multimodal_features"],
     "North-star: pipeline composition": [
@@ -107,6 +108,8 @@ ROLES = {
     "q_agg_hll": "mergeable DataSketches HLL (hll_sketch_agg/hll_union_agg)",
     "q_rollup_hierarchical": "daily derived from hourly partials (continuous-aggregate)",
     "q_merge_upsert": "MERGE INTO semantics: one full-outer join, per-row action",
+    "q_text_lm_score": "unigram-LM mean NLL quality signal (order-canonical fold)",
+    "q_agg_approx_quantile": "GK-sketch quantiles; scale twin of q_agg_percentile",
 }
 
 
