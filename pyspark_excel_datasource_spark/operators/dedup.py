@@ -549,3 +549,125 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("canonical_id")
         )
     )
+
+
+@query(
+    "q_dedup_incremental",
+    oracle=f"""
+    WITH split AS (
+        SELECT doc_id, text,
+               SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' AS in_corpus
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, in_corpus,
+               LIST_DISTINCT([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in RANGE(1, LEN(w) - 1)]) AS shingles
+        FROM (SELECT doc_id, in_corpus, STRING_SPLIT(text, ' ') AS w
+              FROM split)
+    ),
+    toks AS (SELECT doc_id, in_corpus, UNNEST(shingles) AS s FROM sh),
+    inter AS (
+        SELECT b.doc_id AS new_id, c.doc_id AS corpus_id, COUNT(*) AS inter
+        FROM toks b JOIN toks c ON b.s = c.s
+        WHERE NOT b.in_corpus AND c.in_corpus
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, LEN(shingles) AS n FROM sh)
+    SELECT new_id, corpus_id,
+           CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON new_id = s1.doc_id
+    JOIN sizes s2 ON corpus_id = s2.doc_id
+    WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter)
+          >= {_NEAR_DUP_THRESHOLD}
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: which documents of a NEW batch near-
+    duplicate something already in the corpus.
+
+    The corpus/batch split is the content-addressed one from
+    ``q_split_assign`` (md5 bucket < 'cd' ≈ 80% corpus, rest = new
+    batch), so the query is fully deterministic and oracle-able. This is
+    the asymmetric version of ``q_dedup_near``: only cross-set pairs
+    (new × corpus) are produced — intra-corpus and intra-batch dups are
+    out of scope, which is exactly the nightly-ingest contract.
+
+    This exact inverted-index form is the sf-capped correctness
+    baseline; ``q_dedup_incremental_lsh`` is the scale path (probe the
+    corpus's PERSISTED band-bucket index with batch signatures — the
+    corpus is never re-shingled at 100 TB).
+    """
+    docs = table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    # the split flag is a pure projection of doc_id — recompute it on the
+    # shingled frame rather than joining the split table back
+    shingled = _shingles(docs).withColumn("in_corpus", bucket < "cd")
+    toks = shingled.select(
+        "doc_id",
+        "in_corpus",
+        F.size("shingles").alias("n"),
+        F.explode("shingles").alias("s0"),
+    ).select("doc_id", "in_corpus", "n", F.xxhash64("s0").alias("s"))
+    toks = toks.hint("shuffle_hash").cache()
+    b = toks.filter(~F.col("in_corpus")).alias("b")
+    c = toks.filter(F.col("in_corpus")).alias("c")
+    return (
+        b.join(c, F.col("b.s") == F.col("c.s"))
+        .groupBy(
+            F.col("b.doc_id").alias("new_id"),
+            F.col("c.doc_id").alias("corpus_id"),
+            F.col("b.n").alias("n1"),
+            F.col("c.n").alias("n2"),
+        )
+        .agg(F.count("*").alias("inter"))
+        .select(
+            "new_id",
+            "corpus_id",
+            (
+                F.col("inter").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= _NEAR_DUP_THRESHOLD)
+    )
+
+
+@query("q_dedup_incremental_lsh")  # probabilistic recall → rows-only
+def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for ``q_dedup_incremental``: the corpus side keeps a
+    persisted MinHash band-bucket index (here rebuilt, in production
+    stored); each NEW batch computes signatures for its own documents
+    only and probes the index with a bucket equi-join, then exact-
+    verifies candidates. Cost per ingest is O(batch × bands) probe keys
+    — the 100 TB corpus is touched only through its index.
+    """
+    docs = table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    pairs = minhash_pairs(docs)
+    side = docs.select(
+        "doc_id", (bucket < "cd").alias("in_corpus")
+    )
+    # minhash_pairs emits d1 < d2; keep pairs that straddle the split,
+    # oriented new_id ↔ corpus_id
+    p = (
+        pairs.join(
+            side.select(
+                F.col("doc_id").alias("d1"), F.col("in_corpus").alias("c1")
+            ),
+            "d1",
+        )
+        .join(
+            side.select(
+                F.col("doc_id").alias("d2"), F.col("in_corpus").alias("c2")
+            ),
+            "d2",
+        )
+        .filter(F.col("c1") != F.col("c2"))
+    )
+    return p.select(
+        F.when(F.col("c1"), F.col("d2")).otherwise(F.col("d1")).alias("new_id"),
+        F.when(F.col("c1"), F.col("d1")).otherwise(F.col("d2")).alias("corpus_id"),
+        "jaccard",
+    )

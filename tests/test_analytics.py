@@ -148,3 +148,20 @@ def test_hll_estimates_bracket_exact_counts(spark):
     for k, est in rows.items():
         # DataSketches HLL at default lgK=12 is ~1.6 % rse; allow 10 %
         assert abs(est - exact[k]) <= max(2, 0.1 * exact[k]), (k, est, exact[k])
+
+
+def test_incremental_dedup_lsh_matches_exact(spark):
+    """The banded-probe scale path must find the same cross-set pairs as
+    the exact inverted-index baseline on this corpus (planted near-dups
+    have jaccard ≥ 0.5, well above the banding knee)."""
+    qs = load_all_queries()
+    exact = {
+        (r.new_id, r.corpus_id)
+        for r in qs["q_dedup_incremental"](spark, SF).collect()
+    }
+    lsh = {
+        (r.new_id, r.corpus_id)
+        for r in qs["q_dedup_incremental_lsh"](spark, SF).collect()
+    }
+    assert exact, "fixture should contain cross-set near-dups"
+    assert lsh == exact

@@ -56,6 +56,7 @@ SECTIONS = {
     "North-star: dedup (SURVEY §2.4)": [
         "q_dedup_near", "q_dedup_clusters", "q_dedup_minhash",
         "q_dedup_simhash", "q_dedup_embed", "q_dedup_embed_lsh",
+        "q_dedup_incremental", "q_dedup_incremental_lsh",
     ],
     "North-star: similarity search": [
         "q_sim_topk", "q_sim_selfjoin", "q_sim_ann_lsh", "q_sim_ann_ivf",
@@ -110,6 +111,8 @@ ROLES = {
     "q_merge_upsert": "MERGE INTO semantics: one full-outer join, per-row action",
     "q_text_lm_score": "unigram-LM mean NLL quality signal (order-canonical fold)",
     "q_agg_approx_quantile": "GK-sketch quantiles; scale twin of q_agg_percentile",
+    "q_dedup_incremental": "new-batch vs corpus cross-set dedup (exact baseline)",
+    "q_dedup_incremental_lsh": "scale path: probe the corpus band index with batch sigs",
 }
 
 
