@@ -384,3 +384,89 @@ def q_agg_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).select(F.lit("ALL").alias("event_type"), "approx_users")
         )
     )
+
+
+@query(
+    "q_anomaly_zscore",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(value) AS mu,
+               CAST(ROUND(STDDEV_SAMP(value), 6) AS DECIMAL(38,6)) AS sigma
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           CAST(ROUND((e.value - s.mu) / CAST(s.sigma AS DOUBLE), 6)
+                AS DECIMAL(38,6)) AS z
+    FROM events e JOIN stats s ON s.event_type = e.event_type
+    WHERE ABS((e.value - s.mu) / CAST(s.sigma AS DOUBLE)) > 2.5
+    """,
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier detection per event type: events whose value
+    deviates more than 2.5 sample standard deviations from their
+    group's mean.
+
+    Cross-engine determinism: the mean is the exact decimal-sum/count
+    construction; the stddev is rounded to 6 decimals BEFORE the z
+    computation (engines accumulate variance in different orders), and
+    the final z is rounded the same way on both sides. Plan: one tiny
+    per-type aggregate broadcast back onto the event scan — the big
+    side is never shuffled.
+    """
+    from ..functions.determinism import davg, dround
+
+    ev = table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        davg("value", 6).alias("mu"),
+        dround(F.stddev_samp("value"), 6).alias("sigma"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma").cast("double")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 2.5)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            dround(z, 6).alias("z"),
+        )
+    )
+
+
+@query(
+    "q_fill_forward",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           LAST_VALUE(CASE WHEN event_type <> 'error' THEN value END
+                      IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS value_filled
+    FROM events
+    """,
+)
+def q_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: treat 'error' events' values as missing and
+    carry the user's last valid value forward (NULL until a first valid
+    reading exists).
+
+    The standard sensor/telemetry repair: one shuffle on the key, then a
+    partition-local ordered scan (``last(..., ignorenulls=True)`` over a
+    running frame) — state per key is a single value, so the plan is
+    identical at any scale. Deterministic under timestamp ties via the
+    event_id tie-break in both engines.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    missing_as_null = F.when(F.col("event_type") != "error", F.col("value"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.last(missing_as_null, ignorenulls=True).over(w).alias("value_filled"),
+    )
