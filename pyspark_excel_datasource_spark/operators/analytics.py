@@ -470,3 +470,56 @@ def q_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.last(missing_as_null, ignorenulls=True).over(w).alias("value_filled"),
     )
+
+
+@query(
+    "q_pattern_sequence",
+    oracle="""
+    WITH nxt AS (
+        SELECT user_id, event_id, ts, event_type,
+               LEAD(event_type, 1) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS e1,
+               LEAD(event_type, 2) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS e2
+        FROM events
+    )
+    SELECT user_id, event_id AS start_event_id, ts AS start_ts
+    FROM nxt
+    WHERE event_type = 'view' AND e1 = 'click' AND e2 = 'purchase'
+    """,
+)
+def q_pattern_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching (MATCH_RECOGNIZE-style): find every
+    position where a user's event stream reads exactly
+    view → click → purchase with no other event in between.
+
+    Consecutive-row patterns compile to ``lead()`` chains over the
+    per-user ordering — one shuffle on the key, one partition-local
+    sort, then a pure filter; a k-step pattern is k-1 lead columns, not
+    a join. Deterministic under timestamp ties via the event_id
+    tie-break. This is the windowed-automaton building block: longer
+    gapped patterns compose from these hits plus the funnel's
+    conditional-MIN frontier technique.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    nxt = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e1"),
+        F.lead("event_type", 2).over(w).alias("e2"),
+    )
+    return (
+        nxt.filter(
+            (F.col("event_type") == "view")
+            & (F.col("e1") == "click")
+            & (F.col("e2") == "purchase")
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("start_event_id"),
+            F.col("ts").alias("start_ts"),
+        )
+    )

@@ -73,7 +73,7 @@ SECTIONS = {
     ],
     "Event analytics": [
         "q_sessionize", "q_funnel", "q_retention", "q_scd2_intervals",
-        "q_agg_hll", "q_anomaly_zscore", "q_fill_forward",
+        "q_agg_hll", "q_anomaly_zscore", "q_fill_forward", "q_pattern_sequence",
     ],
     "Incremental / DML patterns": [
         "q_rollup_hierarchical", "q_merge_upsert",
@@ -115,6 +115,7 @@ ROLES = {
     "q_dedup_incremental_lsh": "scale path: probe the corpus band index with batch sigs",
     "q_anomaly_zscore": "per-group 2.5-sigma outliers; stats broadcast onto the scan",
     "q_fill_forward": "last-valid-carry gap repair; one shuffle, O(1) state/key",
+    "q_pattern_sequence": "MATCH_RECOGNIZE-style consecutive pattern via lead() chain",
 }
 
 
