@@ -165,3 +165,61 @@ def test_incremental_dedup_lsh_matches_exact(spark):
     }
     assert exact, "fixture should contain cross-set near-dups"
     assert lsh == exact
+
+
+def test_fill_forward_semantics(spark):
+    qs = load_all_queries()
+    filled = {r.event_id: r.value_filled for r in qs["q_fill_forward"](spark, SF).collect()}
+    ev = sorted(
+        spark.read.parquet(f"{SF}/events.parquet")
+        .selectExpr("event_id", "user_id", "ts", "event_type", "value")
+        .collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    last_valid: dict[int, float] = {}
+    for r in ev:
+        if r.event_type != "error":
+            last_valid[r.user_id] = r.value
+        expect = last_valid.get(r.user_id)
+        assert filled[r.event_id] == expect, (r.event_id, filled[r.event_id], expect)
+
+
+def test_anomaly_zscore_flags_only_outliers(spark):
+    import statistics
+
+    qs = load_all_queries()
+    rows = qs["q_anomaly_zscore"](spark, SF).collect()
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    by_type: dict[str, list] = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append(r.value)
+    stats = {
+        t: (statistics.fmean(v), statistics.stdev(v)) for t, v in by_type.items()
+    }
+    flagged = {r.event_id for r in rows}
+    for r in rows:
+        mu, sigma = stats[r.event_type]
+        assert abs((r.value - mu) / sigma) > 2.4, r  # rounding slack
+    # no obvious outlier missed (|z| > 2.6 clears the rounded threshold)
+    for r in ev:
+        mu, sigma = stats[r.event_type]
+        if abs((r.value - mu) / sigma) > 2.6:
+            assert r.event_id in flagged, r
+
+
+def test_pattern_sequence_hits_are_consecutive(spark):
+    qs = load_all_queries()
+    hits = qs["q_pattern_sequence"](spark, SF).collect()
+    seq: dict[int, list] = {}
+    for r in sorted(
+        spark.read.parquet(f"{SF}/events.parquet").collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    ):
+        seq.setdefault(r.user_id, []).append((r.event_id, r.event_type))
+    expected = set()
+    for uid, evs in seq.items():
+        for i in range(len(evs) - 2):
+            if [e[1] for e in evs[i : i + 3]] == ["view", "click", "purchase"]:
+                expected.add((uid, evs[i][0]))
+    assert {(r.user_id, r.start_event_id) for r in hits} == expected
+    assert expected, "fixture should contain at least one pattern hit"
