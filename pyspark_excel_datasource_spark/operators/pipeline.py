@@ -389,3 +389,51 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("update")
         .alias("action"),
     )
+
+
+@query(
+    "q_sample_weighted",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(LEAST(n_chars, 2000) AS DOUBLE) / 2000.0 AS keep_p,
+           CAST(CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 5, 4)
+                     AS INT) AS DOUBLE) / 65535.0 AS u
+    FROM documents
+    WHERE CAST(CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 5, 4)
+                    AS INT) AS DOUBLE) / 65535.0
+          < CAST(LEAST(n_chars, 2000) AS DOUBLE) / 2000.0
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted deterministic sampling: keep each document
+    with probability proportional to a per-row weight (here a length
+    proxy, ``min(n_chars, 2000)/2000`` — in production a quality or
+    domain-mixing score), using a content-addressed uniform draw
+    (md5 hex chars 5-8 → [0,1]) instead of RNG.
+
+    This is the data-mixing primitive for training corpora: upweight or
+    downweight sources by an arbitrary per-row factor while keeping the
+    sample reproducible across engines, runs, and corpus growth. Hex
+    chars 5-8 keep the draw independent of ``q_split_assign`` (1-2) and
+    ``q_sample_hash`` (3-4). Both u and keep_p are single divisions of
+    exact integers → bit-identical cross-engine; the whole operator is a
+    stateless projection + filter, embarrassingly parallel at any scale.
+    """
+    d = table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 5, 4), 16, 10
+        ).cast("long")
+        .cast("double")
+        / F.lit(65535.0)
+    )
+    keep_p = F.least(F.col("n_chars"), F.lit(2000)).cast("double") / F.lit(2000.0)
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            keep_p.alias("keep_p"),
+            u.alias("u"),
+        )
+        .filter(F.col("u") < F.col("keep_p"))
+    )

@@ -68,7 +68,7 @@ SECTIONS = {
     ],
     "North-star: multimodal": ["q_multimodal_cols", "q_multimodal_features"],
     "North-star: pipeline composition": [
-        "q_split_assign", "q_sample_hash", "q_sample_stratified",
+        "q_split_assign", "q_sample_hash", "q_sample_stratified", "q_sample_weighted",
         "q_pipeline_llm_prep", "q_validate_constraints",
     ],
     "Event analytics": [
@@ -116,6 +116,7 @@ ROLES = {
     "q_anomaly_zscore": "per-group 2.5-sigma outliers; stats broadcast onto the scan",
     "q_fill_forward": "last-valid-carry gap repair; one shuffle, O(1) state/key",
     "q_pattern_sequence": "MATCH_RECOGNIZE-style consecutive pattern via lead() chain",
+    "q_sample_weighted": "importance sampling by per-row weight, content-addressed draw",
 }
 
 
