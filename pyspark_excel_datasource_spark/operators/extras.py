@@ -152,13 +152,14 @@ def q_sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_nationkey, c_acctbal,
            CUME_DIST() OVER w AS cume,
-           PERCENT_RANK() OVER w AS pct_rank
+           PERCENT_RANK() OVER w AS pct_rank,
+           CAST(NTILE(4) OVER w AS INT) AS quartile
     FROM customer
     WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
     """,
 )
 def q_win_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution window functions (cume_dist / percent_rank).
+    """Distribution window functions (cume_dist / percent_rank / ntile).
 
     Both are ratios of exact integer ranks over exact counts — one IEEE
     division of identical operands per row, so no rounding is needed."""
@@ -174,6 +175,7 @@ def q_win_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_acctbal",
         F.cume_dist().over(w).alias("cume"),
         F.percent_rank().over(w).alias("pct_rank"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
     )
 
 

@@ -492,3 +492,89 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-F.col("sum_lnp") / F.col("n_tokens")).alias("avg_nll"),
         )
     )
+
+
+@query(
+    "q_contamination",
+    oracle="""
+    WITH split AS (
+        SELECT doc_id, text,
+               SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' AS in_train
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, in_train,
+               LIST_DISTINCT([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in RANGE(1, LEN(w) - 1)]) AS grams
+        FROM (SELECT doc_id, in_train, STRING_SPLIT(text, ' ') AS w
+              FROM split)
+    ),
+    train_grams AS (
+        SELECT DISTINCT UNNEST(grams) AS g FROM sh WHERE in_train
+    ),
+    val_grams AS (
+        SELECT doc_id, UNNEST(grams) AS g FROM sh WHERE NOT in_train
+    )
+    SELECT v.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(t.g) AS BIGINT) AS matched,
+           CAST(COUNT(t.g) AS DOUBLE) / COUNT(*) AS overlap,
+           CAST(COUNT(t.g) AS DOUBLE) / COUNT(*) >= 0.8 AS contaminated
+    FROM val_grams v LEFT JOIN train_grams t ON v.g = t.g
+    GROUP BY v.doc_id
+    """,
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set contamination detection: for each held-out document, the
+    fraction of its word-3-gram shingles that appear ANYWHERE in the
+    training split (content-addressed split, same as ``q_split_assign``).
+    Containment-against-the-corpus, not pairwise similarity — a benchmark
+    answer leaked across many training documents still lights up.
+
+    Plan: the training side collapses to a distinct gram set once
+    (at 100 TB: persist it — it is the corpus's n-gram index and the
+    same artifact the incremental-dedup probe uses); the held-out side
+    left-joins its grams against it on 8-byte hashes and aggregates per
+    document. One distinct, one shuffle join, one aggregate; overlap is
+    an exact integer ratio (single division → bit-identical). The oracle
+    joins on gram STRINGS while Spark joins on ``xxhash64`` — a 64-bit
+    collision would surface as a driver hash mismatch (P ≈ n²/2⁶⁴,
+    negligible; same convention as ``q_dedup_near``).
+    """
+    from .dedup import _shingles
+
+    docs = table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    sh = _shingles(docs).withColumn("in_train", bucket < "cd")
+    train_grams = (
+        sh.filter("in_train")
+        .select(F.explode("shingles").alias("g0"))
+        .select(F.xxhash64("g0").alias("g"))
+        .distinct()
+    )
+    val_grams = (
+        sh.filter(~F.col("in_train"))
+        .select("doc_id", F.explode("shingles").alias("g0"))
+        .select("doc_id", F.xxhash64("g0").alias("g"))
+    )
+    hit = F.col("t_g").isNotNull().cast("long")
+    joined = val_grams.join(
+        train_grams.hint("shuffle_hash").withColumnRenamed("g", "t_g"),
+        val_grams.g == F.col("t_g"),
+        "left",
+    )
+    overlap = F.col("matched").cast("double") / F.col("n_grams")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(hit).cast("long").alias("matched"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "matched",
+            overlap.alias("overlap"),
+            (overlap >= 0.8).alias("contaminated"),
+        )
+    )

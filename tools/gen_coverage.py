@@ -64,7 +64,7 @@ SECTIONS = {
     "North-star: text analysis": [
         "q_text_stats", "q_text_quality", "q_text_langid",
         "q_text_fingerprint", "q_text_winnow", "q_text_winnow_pairs",
-        "q_text_tfidf", "q_tokenize", "q_text_lm_score",
+        "q_text_tfidf", "q_tokenize", "q_text_lm_score", "q_contamination",
     ],
     "North-star: multimodal": ["q_multimodal_cols", "q_multimodal_features"],
     "North-star: pipeline composition": [
@@ -117,6 +117,7 @@ ROLES = {
     "q_fill_forward": "last-valid-carry gap repair; one shuffle, O(1) state/key",
     "q_pattern_sequence": "MATCH_RECOGNIZE-style consecutive pattern via lead() chain",
     "q_sample_weighted": "importance sampling by per-row weight, content-addressed draw",
+    "q_contamination": "eval-vs-train n-gram containment against the corpus index",
 }
 
 
