@@ -334,3 +334,65 @@ def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("q")[2].alias("p99"),
         )
     )
+
+
+@query(
+    "q_regression_by_group",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,0)))
+                         AS DECIMAL(38,0)) AS DOUBLE) AS sx,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                         AS DECIMAL(38,2)) AS DOUBLE) AS sy,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,0))
+                             * CAST(l_extendedprice AS DECIMAL(18,2)))
+                         AS DECIMAL(38,2)) AS DOUBLE) AS sxy,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,0))
+                             * CAST(l_quantity AS DECIMAL(18,0)))
+                         AS DECIMAL(38,0)) AS DOUBLE) AS sxx
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           sy / n - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * (sx / n)
+               AS intercept
+    FROM s
+    """,
+)
+def q_regression_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary least squares (price ~ quantity per return
+    flag) in closed form from sufficient statistics — the scalable way
+    to fit millions of small regressions: one aggregation pass collects
+    (n, Σx, Σy, Σxy, Σx²) with map-side partials, the fit is a pure
+    projection. No iteration, no driver involvement.
+
+    Determinism: every sum is an exact decimal (order-independent);
+    slope/intercept then assemble from those exact values through a
+    FIXED scalar double expression tree — identical IEEE ops in both
+    engines, so results are bit-equal with no rounding convention
+    needed.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,0)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).cast("decimal(38,0)").cast("double").alias("sx"),
+        F.sum(y).cast("decimal(38,2)").cast("double").alias("sy"),
+        F.sum(x * y).cast("decimal(38,2)").cast("double").alias("sxy"),
+        F.sum(x * x).cast("decimal(38,0)").cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        slope.alias("slope"),
+        (F.col("sy") / F.col("n") - slope * (F.col("sx") / F.col("n"))).alias(
+            "intercept"
+        ),
+    )

@@ -78,6 +78,9 @@ SECTIONS = {
     "Incremental / DML patterns": [
         "q_rollup_hierarchical", "q_merge_upsert",
     ],
+    "In-plan statistics / ML": [
+        "q_regression_by_group",
+    ],
 }
 
 
@@ -118,6 +121,7 @@ ROLES = {
     "q_pattern_sequence": "MATCH_RECOGNIZE-style consecutive pattern via lead() chain",
     "q_sample_weighted": "importance sampling by per-row weight, content-addressed draw",
     "q_contamination": "eval-vs-train n-gram containment against the corpus index",
+    "q_regression_by_group": "closed-form per-group OLS from one sufficient-stats pass",
 }
 
 
