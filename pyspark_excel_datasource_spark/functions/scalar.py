@@ -317,3 +317,35 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         weight.alias("type_weight"),
         (F.col("value") * weight).alias("weighted_value"),
     )
+
+
+@query(
+    "q_fn_variant",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT))
+                AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT))
+                AS INT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT columns (Spark 4 native): ``parse_json``
+    once into the binary variant encoding, then typed ``variant_get``
+    paths — the open-ended-schema answer that beats per-query JSON
+    string re-parsing (the variant decode is a columnar binary read,
+    not a text parse, and survives schema drift without migrations).
+    The DuckDB oracle reads the same values via its JSON path functions.
+    """
+    ev = table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").cast("int").alias("max_k"),
+        )
+    )

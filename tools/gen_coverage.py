@@ -37,10 +37,11 @@ SECTIONS = {
     "Scalar functions": [
         "q_fn_string", "q_fn_date", "q_fn_math", "q_fn_cond", "q_fn_array",
         "q_fn_array_agg", "q_fn_explode", "q_fn_json", "q_fn_map", "q_fn_bitwise",
-        "q_fn_editdist",
+        "q_fn_editdist", "q_fn_variant",
     ],
     "Subqueries / CTE": [
         "q_subquery_scalar", "q_subquery_correlated", "q_subquery_in", "q_cte",
+        "q_lateral_topk", "q_recursive_closure",
     ],
     "Streaming": [
         "q_stream_discover", "q_stream_tumbling", "q_stream_sliding",
@@ -122,6 +123,9 @@ ROLES = {
     "q_sample_weighted": "importance sampling by per-row weight, content-addressed draw",
     "q_contamination": "eval-vs-train n-gram containment against the corpus index",
     "q_regression_by_group": "closed-form per-group OLS from one sufficient-stats pass",
+    "q_fn_variant": "Spark 4 VARIANT: parse_json once, typed variant_get paths",
+    "q_lateral_topk": "LATERAL correlated subquery -> join + per-key limit",
+    "q_recursive_closure": "WITH RECURSIVE transitive closure; cross-checks q_dedup_clusters",
 }
 
 
