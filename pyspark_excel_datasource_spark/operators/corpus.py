@@ -1,0 +1,254 @@
+"""Corpus-preparation operators for LLM training data (SURVEY.md §2.4).
+
+Four operators a training-data pipeline needs beyond filtering and
+dedup — repetition-based quality gates, chunking, tokenizer statistics,
+and deterministic shard shuffling:
+
+- ``q_text_repetition``: Gopher-style repetition filters (Rae et al.
+  2021, "Scaling Language Models", §A1.1): fraction of bigrams that are
+  duplicates and fraction claimed by the single most frequent bigram.
+  Boilerplate and template spam score high on both; the thresholds here
+  mirror the paper's shape (not its exact constants, which are
+  tokenizer-specific).
+- ``q_chunk_tokens``: overlapping token-window chunking (window 32,
+  stride 24) — the document→training-sample explosion step. Expressed
+  as ``posexplode`` over a start-index sequence + ``slice``, so chunk
+  construction is a codegen'd array op, not Python.
+- ``q_bpe_pair_counts``: corpus-wide adjacent character-pair frequencies
+  — the inner statistic of one BPE-training merge round. The classic
+  two-level explode (doc → word → symbol pair) with map-side combine;
+  at 100 TB this is the canonical wordcount shuffle shape on 2-char
+  keys, which cannot skew badly (≤ alphabet² distinct keys).
+- ``q_shuffle_shard``: deterministic global shuffle into N training
+  shards. Shard = first md5 nibble of the doc id (content-addressed,
+  engine-independent, stable under corpus growth — same rationale as
+  ``pipeline.q_split_assign``); within-shard order = remaining md5
+  bytes, i.e. a reproducible pseudo-random permutation with NO global
+  sort. At 100 TB the writer form is
+  ``df.repartition(N, "shard").sortWithinPartitions("sort_key")`` —
+  one shuffle, zero RNG state, byte-identical shards on every rerun.
+
+Determinism: every ratio is a single IEEE division of exact integers;
+ranks are integer; md5 is md5 in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..catalog import spread, table
+from ..plans.registry import query
+
+#: repetition-filter thresholds (Gopher-shaped; corpus-calibrated)
+_TOP_BIGRAM_MAX = 0.18
+_DUP_BIGRAM_MAX = 0.60
+
+#: chunking geometry: 32-token windows every 24 tokens (8-token overlap)
+_CHUNK_W = 32
+_CHUNK_S = 24
+
+_HEX = "0123456789abcdef"
+
+
+@query(
+    "q_text_repetition",
+    oracle=f"""
+    WITH grams AS (
+        SELECT doc_id, UNNEST([w[i] || ' ' || w[i+1]
+                               for i in RANGE(1, LEN(w))]) AS g
+        FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents)
+    ),
+    counts AS (
+        SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           CAST(MAX(c) AS BIGINT) AS top_bigram_count,
+           CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_frac,
+           CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / SUM(c)
+               AS dup_bigram_frac,
+           (CAST(MAX(c) AS DOUBLE) / SUM(c) <= {_TOP_BIGRAM_MAX}
+            AND CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+                / SUM(c) <= {_DUP_BIGRAM_MAX}) AS keep
+    FROM counts GROUP BY doc_id
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality gate: per-document duplicate-bigram
+    fraction and most-frequent-bigram fraction, with a keep flag.
+
+    Two aggregations, both keyed (doc_id, gram) then doc_id — partial
+    aggregation absorbs the repetition itself (a doc of one repeated
+    bigram combines map-side to a single row). No Python, no windows.
+    """
+    d = spread(table(spark, sf_dir, "documents"))
+    w = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(w) >= 2,
+        F.expr(
+            "transform(sequence(1, size(split(text, ' ')) - 1),"
+            " i -> concat(element_at(split(text, ' '), i), ' ',"
+            "            element_at(split(text, ' '), i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        d.select("doc_id", F.explode(grams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    top = F.max("c").cast("double")
+    total = F.sum("c")
+    dup = F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).cast("double")
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_bigrams"),
+        F.max("c").cast("long").alias("top_bigram_count"),
+        (top / total).alias("top_bigram_frac"),
+        (dup / total).alias("dup_bigram_frac"),
+        (
+            ((top / total) <= F.lit(_TOP_BIGRAM_MAX))
+            & ((dup / total) <= F.lit(_DUP_BIGRAM_MAX))
+        ).alias("keep"),
+    )
+
+
+@query(
+    "q_chunk_tokens",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(k AS INT) AS chunk_id,
+           CAST(LEN(w[k * {_CHUNK_S} + 1 : k * {_CHUNK_S} + {_CHUNK_W}])
+                AS INT) AS n_chunk_tokens,
+           ARRAY_TO_STRING(
+               w[k * {_CHUNK_S} + 1 : k * {_CHUNK_S} + {_CHUNK_W}], ' ')
+               AS chunk_text
+    FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents)
+    CROSS JOIN UNNEST(RANGE(0, (LEN(w) - 1) // {_CHUNK_S} + 1)) AS t(k)
+    """,
+)
+def q_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking: 32-token windows at stride 24.
+
+    Start offsets come from a ``sequence`` the optimizer folds per row;
+    ``slice`` clamps the final partial window. One narrow explode — no
+    shuffle at all; at 100 TB each task chunks its own split and the
+    output feeds the shard writer directly.
+    """
+    d = spread(table(spark, sf_dir, "documents"))
+    return (
+        d.select(
+            "doc_id",
+            F.split(F.col("text"), " ").alias("w"),
+        )
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(f"sequence(0, CAST((size(w) - 1) / {_CHUNK_S} AS INT))")
+            ).alias("chunk_id", "k"),
+            "w",
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.expr(
+                f"size(slice(w, k * {_CHUNK_S} + 1, {_CHUNK_W}))"
+            ).cast("int").alias("n_chunk_tokens"),
+            F.expr(
+                f"array_join(slice(w, k * {_CHUNK_S} + 1, {_CHUNK_W}), ' ')"
+            ).alias("chunk_text"),
+        )
+    )
+
+
+@query(
+    "q_bpe_pair_counts",
+    oracle="""
+    WITH toks AS (
+        SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents
+    ),
+    pairs AS (
+        SELECT UNNEST([SUBSTR(word, i, 2) for i in RANGE(1, LENGTH(word))])
+            AS pair
+        FROM toks
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM pairs GROUP BY pair
+    ORDER BY cnt DESC, pair LIMIT 20
+    """,
+)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent character pairs across the corpus — the counting
+    step of one BPE-training merge round.
+
+    Double explode (words, then 2-char windows) feeding one group-by;
+    the pair-key domain is ≤ |alphabet|², so partial aggregation reduces
+    each task's output to a few hundred rows regardless of input size,
+    and the final top-20 is a ``TakeOrderedAndProject``. Ties break on
+    the pair string for a deterministic LIMIT.
+    """
+    d = spread(table(spark, sf_dir, "documents"))
+    words = d.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+    pair_arr = F.when(
+        F.length("word") >= 2,
+        F.expr(
+            "transform(sequence(1, length(word) - 1),"
+            " i -> substring(word, i, 2))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        words.select(F.explode(pair_arr).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(20)
+    )
+
+
+@query(
+    "q_shuffle_shard",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id,
+               MD5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(STRPOS('{_HEX}', SUBSTR(h, 1, 1)) - 1 AS INT) AS shard,
+           SUBSTR(h, 2) AS sort_key,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY SUBSTR(h, 1, 1)
+               ORDER BY SUBSTR(h, 2), doc_id) AS BIGINT) AS shard_pos
+    FROM keyed
+    """,
+)
+def q_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into 16 training shards.
+
+    Shard = first md5 nibble of the doc id; within-shard order = the
+    remaining md5 hex (a reproducible pseudo-random permutation). No
+    RNG, no seed state, no global sort: the production writer form is
+    ``repartition(16, "shard").sortWithinPartitions("sort_key")`` — one
+    shuffle whose reducer count IS the shard count. Reruns and engine
+    swaps produce byte-identical shard contents, which is what makes
+    training-data audits possible.
+    """
+    d = table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    win = W.partitionBy(F.substring("h", 1, 1)).orderBy(
+        F.col("sort_key"), F.col("doc_id")
+    )
+    return (
+        keyed.select(
+            "doc_id",
+            (F.expr(f"locate(substring(h, 1, 1), '{_HEX}')") - 1)
+            .cast("int")
+            .alias("shard"),
+            F.expr("substring(h, 2)").alias("sort_key"),
+            F.col("h"),
+        )
+        .withColumn("shard_pos", F.row_number().over(win).cast("long"))
+        .drop("h")
+    )

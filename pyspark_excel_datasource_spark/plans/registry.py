@@ -53,6 +53,7 @@ _QUERY_MODULES = (
     "pyspark_excel_datasource_spark.operators.scale",
     "pyspark_excel_datasource_spark.operators.pipeline",
     "pyspark_excel_datasource_spark.operators.analytics",
+    "pyspark_excel_datasource_spark.operators.corpus",
 )
 
 

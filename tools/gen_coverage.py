@@ -82,6 +82,10 @@ SECTIONS = {
     "In-plan statistics / ML": [
         "q_regression_by_group",
     ],
+    "North-star: corpus prep (chunking / tokenizer / shards)": [
+        "q_text_repetition", "q_chunk_tokens", "q_bpe_pair_counts",
+        "q_shuffle_shard",
+    ],
 }
 
 
@@ -126,6 +130,10 @@ ROLES = {
     "q_fn_variant": "Spark 4 VARIANT: parse_json once, typed variant_get paths",
     "q_lateral_topk": "LATERAL correlated subquery -> join + per-key limit",
     "q_recursive_closure": "WITH RECURSIVE transitive closure; cross-checks q_dedup_clusters",
+    "q_text_repetition": "Gopher-style duplicate/top-bigram quality gate",
+    "q_chunk_tokens": "doc → overlapping 32-token training windows (shuffle-free)",
+    "q_bpe_pair_counts": "BPE merge-round pair counting (bounded key domain)",
+    "q_shuffle_shard": "deterministic md5 shuffle into 16 shards, no global sort",
 }
 
 
