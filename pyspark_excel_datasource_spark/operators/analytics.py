@@ -523,3 +523,63 @@ def q_pattern_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").alias("start_ts"),
         )
     )
+
+
+#: EWMA smoothing factor — 1/4 is exactly representable, so the
+#: decimal→double literal conversion is exact in both engines.
+_EWMA_ALPHA = 0.25
+
+
+@query(
+    "q_ewma",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id,
+               LIST(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vs
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(LEN(vs) AS BIGINT) AS n_events,
+           list_reduce(vs, (acc, x) -> CAST({_EWMA_ALPHA} AS DOUBLE) * x
+                            + CAST({1.0 - _EWMA_ALPHA} AS DOUBLE) * acc)
+               AS ewma_value
+    FROM ordered
+    """,
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of event value per user
+    (final smoothed level, alpha=0.25, seeded at the first observation).
+
+    EWMA is a sequential recurrence, so it is computed as an explicit
+    ordered fold — ``array_sort`` on (ts, event_id, value) structs fixes
+    a total order, then ``aggregate`` folds left in that order. The fold
+    is identical in both engines (DuckDB ``list_reduce`` seeds with the
+    first element; Spark seeds ``aggregate`` with element 1 and folds the
+    tail), so the doubles are bit-exact — no rounding needed.
+
+    Scale note: state per user is one array of that user's events —
+    fine for bounded per-key series (the streaming twin is
+    ``applyInPandasWithState``); this is NOT the shape for million-event
+    keys, where the closed-form weighted-sum window would overflow and a
+    stateful scan is the answer.
+    """
+    ev = table(spark, sf_dir, "events")
+    a, b = _EWMA_ALPHA, 1.0 - _EWMA_ALPHA
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "value"))
+            ).alias("evs")
+        )
+        .select(
+            "user_id",
+            F.size("evs").cast("long").alias("n_events"),
+            F.expr(
+                f"aggregate(slice(evs, 2, size(evs) - 1), "
+                f"element_at(evs, 1).value, "
+                f"(acc, e) -> CAST({a} AS DOUBLE) * e.value "
+                f"          + CAST({b} AS DOUBLE) * acc)"
+            ).alias("ewma_value"),
+        )
+    )

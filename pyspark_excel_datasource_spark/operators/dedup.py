@@ -671,3 +671,59 @@ def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("c1"), F.col("d1")).otherwise(F.col("d2")).alias("corpus_id"),
         "jaccard",
     )
+
+
+@query(
+    "q_graph_degree",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id,
+               LIST_DISTINCT([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in RANGE(1, LEN(w) - 1)]) AS shingles
+        FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents)
+    ),
+    toks AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+    inter AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        FROM toks a JOIN toks b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, LEN(shingles) AS n FROM sh),
+    pairs AS (
+        SELECT d1, d2 FROM inter
+        JOIN sizes s1 ON d1 = s1.doc_id
+        JOIN sizes s2 ON d2 = s2.doc_id
+        WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter)
+              >= {_NEAR_DUP_THRESHOLD}
+    ),
+    nodes AS (
+        SELECT d1 AS id FROM pairs UNION ALL SELECT d2 FROM pairs
+    ),
+    degrees AS (SELECT id, COUNT(*) AS degree FROM nodes GROUP BY id)
+    SELECT CAST(degree AS BIGINT) AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM degrees GROUP BY degree
+    """,
+)
+def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the near-duplicate graph.
+
+    The capacity-planning query you run BEFORE connected components at
+    100 TB: a heavy tail here predicts giant components and tells you
+    whether min-label propagation will converge in few rounds or needs
+    a two-level (local then global) pass. Degrees come from one
+    symmetric projection + two keyed aggregations of the exact pair
+    list — the same shuffle shape regardless of corpus size.
+    """
+    docs = table(spark, sf_dir, "documents")
+    pairs = _exact_pairs(_shingles(docs), _NEAR_DUP_THRESHOLD)
+    nodes = pairs.select(F.col("d1").alias("id")).unionAll(
+        pairs.select(F.col("d2").alias("id"))
+    )
+    return (
+        nodes.groupBy("id")
+        .agg(F.count("*").alias("degree"))
+        .groupBy("degree")
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+        .select(F.col("degree").cast("long").alias("degree"), "n_nodes")
+    )

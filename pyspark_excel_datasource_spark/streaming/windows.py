@@ -190,3 +190,48 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
+
+
+@query(
+    "q_stream_enrich",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL 15 MINUTE, e.ts) AS wstart,
+           c.c_mktsegment,
+           COUNT(*) AS n_events,
+           {sql_dsum('e.value', 2)} AS seg_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joined to a static
+    dimension (customer) and windowed per market segment.
+
+    The canonical streaming-ETL shape: the static side is broadcast, so
+    each micro-batch enriches map-side with no stateful join — state
+    exists only in the window aggregation. The same plan runs as a
+    genuine micro-batch stream in
+    ``tests/test_streaming.py::test_stream_static_join_equals_batch``.
+    At 100 TB/day the dimension refresh is a broadcast swap per batch,
+    never a reshuffle of the stream.
+    """
+    from pyspark.sql.functions import broadcast
+
+    ev = table(spark, sf_dir, "events")
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return (
+        ev.join(broadcast(cust), ev.user_id == cust.c_custkey)
+        .groupBy(F.window("ts", "15 minutes").alias("w"), "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value", 2).alias("seg_value"),
+        )
+        .select(
+            F.col("w.start").alias("wstart"),
+            "c_mktsegment",
+            "n_events",
+            "seg_value",
+        )
+    )

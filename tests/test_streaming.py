@@ -100,3 +100,49 @@ def test_stream_session_window_equals_batch(spark, tmp_path):
     got = {(r.user_id, r.ss, r.n) for r in spark.table("sess_sink").collect()}
     assert got == expect
     assert sum(1 for u, _, _ in got if u == 1) == 2  # two sessions for user 1
+
+
+def test_stream_static_join_equals_batch(spark, tmp_path):
+    """q_stream_enrich's shape as a genuine micro-batch stream: events
+    stream joined to a static dim, windowed — identical to batch."""
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+    spec = [(0, 1, 1.0), (3, 2, 2.0), (12, 1, 3.0), (14, 3, 4.0), (27, 2, 5.0)]
+    src = tmp_path / "enrich"
+    src.mkdir()
+    minixlsx.write_xlsx(str(src / "a.xlsx"), _events(t0, spec[:3]))
+    minixlsx.write_xlsx(str(src / "b.xlsx"), _events(t0, spec[3:]))
+
+    schema = "ts timestamp, user_id long, value double"
+    dim = spark.createDataFrame(
+        [(1, "BUILDING"), (2, "MACHINERY"), (3, "BUILDING")],
+        "user_id long, segment string",
+    )
+
+    def enriched(df):
+        return (
+            df.join(F.broadcast(dim), "user_id")
+            .groupBy(F.window("ts", "15 minutes").alias("w"), "segment")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+            .select(F.col("w.start").alias("ws"), "segment", "n", "v")
+        )
+
+    stream = (
+        spark.readStream.format("excel").schema(schema).option("path", str(src)).load()
+    )
+    q = (
+        enriched(stream)
+        .writeStream.format("memory")
+        .queryName("enrich_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = spark.read.format("excel").schema(schema).option("path", str(src)).load()
+    expect = {(r.ws, r.segment, r.n, r.v) for r in enriched(batch).collect()}
+    got = {
+        (r.ws, r.segment, r.n, r.v)
+        for r in spark.table("enrich_sink").collect()
+    }
+    assert got == expect and len(got) >= 3

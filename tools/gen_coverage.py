@@ -46,7 +46,7 @@ SECTIONS = {
     "Streaming": [
         "q_stream_discover", "q_stream_tumbling", "q_stream_sliding",
         "q_stream_session", "q_stream_watermark", "q_stream_dedup",
-        "q_stream_stateful",
+        "q_stream_stateful", "q_stream_enrich",
     ],
     "UDF / UDAF / UDTF": [
         "q_udf_scalar", "q_udaf_grouped", "q_udtf", "q_udf_mapinpandas",
@@ -57,7 +57,7 @@ SECTIONS = {
     "North-star: dedup (SURVEY §2.4)": [
         "q_dedup_near", "q_dedup_clusters", "q_dedup_minhash",
         "q_dedup_simhash", "q_dedup_embed", "q_dedup_embed_lsh",
-        "q_dedup_incremental", "q_dedup_incremental_lsh",
+        "q_dedup_incremental", "q_dedup_incremental_lsh", "q_graph_degree",
     ],
     "North-star: similarity search": [
         "q_sim_topk", "q_sim_selfjoin", "q_sim_ann_lsh", "q_sim_ann_ivf",
@@ -75,6 +75,7 @@ SECTIONS = {
     "Event analytics": [
         "q_sessionize", "q_funnel", "q_retention", "q_scd2_intervals",
         "q_agg_hll", "q_anomaly_zscore", "q_fill_forward", "q_pattern_sequence",
+        "q_ewma",
     ],
     "Incremental / DML patterns": [
         "q_rollup_hierarchical", "q_merge_upsert",
@@ -130,6 +131,9 @@ ROLES = {
     "q_fn_variant": "Spark 4 VARIANT: parse_json once, typed variant_get paths",
     "q_lateral_topk": "LATERAL correlated subquery -> join + per-key limit",
     "q_recursive_closure": "WITH RECURSIVE transitive closure; cross-checks q_dedup_clusters",
+    "q_stream_enrich": "stream-static broadcast enrichment; true-stream twin in tests",
+    "q_ewma": "EWMA recurrence as an ordered fold, bit-exact cross-engine",
+    "q_graph_degree": "near-dup graph degree distribution (pre-CC capacity probe)",
     "q_text_repetition": "Gopher-style duplicate/top-bigram quality gate",
     "q_chunk_tokens": "doc → overlapping 32-token training windows (shuffle-free)",
     "q_bpe_pair_counts": "BPE merge-round pair counting (bounded key domain)",
