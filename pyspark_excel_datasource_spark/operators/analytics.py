@@ -583,3 +583,56 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ewma_value"),
         )
     )
+
+
+@query(
+    "q_event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS cnt
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, CAST(cnt AS BIGINT) AS cnt,
+           CAST(cnt AS DOUBLE)
+               / SUM(cnt) OVER (PARTITION BY from_type) AS prob
+    FROM pairs
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event paths:
+    counts and row-normalized probabilities for every (from → to) step.
+
+    Path analysis in three keyed stages — one window (lead over user
+    sessions), one count aggregation on the ~|types|² pair domain, one
+    window normalization over that tiny matrix. The only data-sized
+    shuffle is the first; everything after operates on the matrix, so
+    the shape is identical at 100 TB. ``prob`` is one IEEE division of
+    exact counts — bit-equal cross-engine.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return pairs.select(
+        "from_type",
+        "to_type",
+        F.col("cnt").cast("long").alias("cnt"),
+        (
+            F.col("cnt").cast("double")
+            / F.sum("cnt").over(W.partitionBy("from_type"))
+        ).alias("prob"),
+    )

@@ -26,6 +26,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..catalog import sf_tag, table
 from ..functions.determinism import canon, dsum, sql_canon, sql_dsum
@@ -223,4 +224,64 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy("event_id", "user_id", "ts")
         .agg(F.count("c_ts").alias("n_recent_clicks"))
+    )
+
+
+@query(
+    "q_skew_keys",
+    oracle="""
+    WITH counts AS (
+        SELECT l_suppkey AS key, COUNT(*) AS cnt FROM lineitem GROUP BY 1
+    ),
+    ranked AS (
+        SELECT key, cnt,
+               CAST(cnt AS DOUBLE) / SUM(cnt) OVER () AS share,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS rnk
+        FROM counts
+    )
+    SELECT CAST(rnk AS INT) AS rnk, key, CAST(cnt AS BIGINT) AS cnt, share,
+           SUM(share) OVER (ORDER BY rnk
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum_share
+    FROM ranked WHERE rnk <= 20
+    """,
+)
+def q_skew_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key diagnostic: top-20 join keys by row count with each key's
+    share and the cumulative share of the head.
+
+    The profiling query you run BEFORE a 100 TB join: if the head's
+    ``cum_share`` is large, the shuffle will stall on a few reducers and
+    the join needs salting (``q_skew_salted``) or AQE skew splitting.
+    One keyed count (map-side combined), then windows over the tiny
+    top-k — the global windows never see data-sized input because the
+    rank filter runs on the aggregated counts.
+
+    ``cum_share`` is a running sum of doubles in rank order — a fixed
+    sequential fold, so it is deterministic and engine-identical.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    counts = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count("*").alias("cnt")
+    )
+    ranked = counts.select(
+        "key",
+        "cnt",
+        (F.col("cnt").cast("double") / F.sum("cnt").over(W.partitionBy())).alias(
+            "share"
+        ),
+        F.row_number()
+        .over(W.partitionBy().orderBy(F.col("cnt").desc(), "key"))
+        .alias("rnk"),
+    ).filter(F.col("rnk") <= 20)
+    return ranked.select(
+        F.col("rnk").cast("int").alias("rnk"),
+        "key",
+        F.col("cnt").cast("long").alias("cnt"),
+        "share",
+        F.sum("share")
+        .over(
+            W.partitionBy().orderBy("rnk").rowsBetween(W.unboundedPreceding, 0)
+        )
+        .alias("cum_share"),
     )

@@ -22,7 +22,7 @@ SECTIONS = {
         "q_join_inner", "q_join_broadcast", "q_join_left", "q_join_right",
         "q_join_full", "q_join_semi", "q_join_anti", "q_join_theta",
         "q_join_star3", "q_join_asof", "q_join_bucketed", "q_join_skew_salted",
-        "q_join_range",
+        "q_join_range", "q_skew_keys",
     ],
     "Aggregations": [
         "q_agg_group", "q_agg_distinct", "q_agg_stats", "q_agg_rollup",
@@ -73,7 +73,7 @@ SECTIONS = {
         "q_pipeline_llm_prep", "q_validate_constraints",
     ],
     "Event analytics": [
-        "q_sessionize", "q_funnel", "q_retention", "q_scd2_intervals",
+        "q_sessionize", "q_funnel", "q_retention", "q_scd2_intervals", "q_event_transitions",
         "q_agg_hll", "q_anomaly_zscore", "q_fill_forward", "q_pattern_sequence",
         "q_ewma",
     ],
@@ -134,6 +134,8 @@ ROLES = {
     "q_stream_enrich": "stream-static broadcast enrichment; true-stream twin in tests",
     "q_ewma": "EWMA recurrence as an ordered fold, bit-exact cross-engine",
     "q_graph_degree": "near-dup graph degree distribution (pre-CC capacity probe)",
+    "q_event_transitions": "Markov transition matrix over per-user event paths",
+    "q_skew_keys": "top-key share/cum-share diagnostic (salting decision probe)",
     "q_text_repetition": "Gopher-style duplicate/top-bigram quality gate",
     "q_chunk_tokens": "doc → overlapping 32-token training windows (shuffle-free)",
     "q_bpe_pair_counts": "BPE merge-round pair counting (bounded key domain)",
