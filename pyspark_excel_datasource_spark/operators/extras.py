@@ -396,3 +396,95 @@ def q_regression_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+def _evolving_fixture_dir(sf_dir: str) -> str:
+    """Two-generation parquet layout: generation A (even order keys) was
+    written before ``o_orderpriority`` existed; generation B (odd keys)
+    carries it. Derived deterministically from orders.parquet via pyarrow
+    (no Spark jobs), namespaced by sf tag, and guarded by a done-marker so
+    repeated runs reuse the files."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..catalog import sf_tag
+
+    out = os.path.join("/root/repo/.fixtures", sf_tag(sf_dir), "evolving")
+    done = os.path.join(out, "_done")
+    if not os.path.exists(done):
+        os.makedirs(out, exist_ok=True)
+        t = pq.read_table(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_totalprice", "o_orderpriority"],
+        )
+        odd = pc.equal(pc.bit_wise_and(t["o_orderkey"], 1), 1)
+        pq.write_table(
+            t.filter(pc.invert(odd)).drop_columns(["o_orderpriority"]),
+            os.path.join(out, "gen_a.parquet"),
+        )
+        pq.write_table(t.filter(odd), os.path.join(out, "gen_b.parquet"))
+        open(done, "w").close()
+    return out
+
+
+@query(
+    "q_scan_evolving",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
+               AS o_orderpriority
+    FROM orders
+    """,
+)
+def q_scan_evolving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution scan: files written before a column existed read
+    together with files written after, via ``mergeSchema`` — old files
+    surface NULL for the added column.
+
+    The data-lake reality at 100 TB: a corpus accretes for years and
+    columns get added; requiring a rewrite of every old file would cost
+    more than the pipeline itself. Schema merge happens at PLANNING time
+    (footer union), so the scan itself stays an ordinary columnar read
+    with pushdown intact.
+    """
+    src = _evolving_fixture_dir(sf_dir)
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(src)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+@query(
+    "q_win_median",
+    oracle=f"""
+    SELECT user_id, event_id,
+           {sql_dround('MEDIAN(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)', 6)}
+               AS med5
+    FROM events
+    """,
+)
+def q_win_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling exact median over a trailing 5-row frame per user — the
+    robust-smoothing twin of a moving average (outlier-insensitive).
+
+    Exact median as a WINDOW aggregate is something sketch-based systems
+    refuse; Spark evaluates it per frame after the single per-key sort
+    (as ``percentile(value, 0.5)`` — Spark's ``median`` alias rejects
+    explicit frames, the underlying percentile does not). Even-count
+    frames interpolate the middle pair identically in both engines
+    ((a+b)/2 of identical doubles); rounded to 6 per the determinism
+    convention anyway.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        dround(F.expr("percentile(value, 0.5D)").over(w), 6).alias("med5"),
+    )

@@ -177,3 +177,56 @@ def test_simhash_banding_recall_complete(spark):
         if bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= _HAMMING_MAX
     }
     assert banded == brute
+
+
+def test_evolving_scan_null_fill_and_pushdown(spark, queries):
+    """mergeSchema surfaces NULL for the added column exactly on the
+    old-generation (even-key) rows, and predicate pushdown survives the
+    merged footprint."""
+    import contextlib
+    import io
+
+    rows = queries["q_scan_evolving"](spark, SF).collect()
+    orders = {
+        r.o_orderkey: r.o_orderpriority
+        for r in spark.read.parquet(f"{SF}/orders.parquet").collect()
+    }
+    assert len(rows) == len(orders)
+    for r in rows:
+        if r.o_orderkey % 2 == 1:
+            assert r.o_orderpriority == orders[r.o_orderkey]
+        else:
+            assert r.o_orderpriority is None
+    filtered = queries["q_scan_evolving"](spark, SF).filter(
+        "o_orderkey = 42"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        filtered.explain("formatted")
+    assert "PushedFilters: [" in buf.getvalue()
+    assert "o_orderkey" in buf.getvalue().split("PushedFilters")[1][:120]
+
+
+def test_rolling_median_matches_replay(spark, queries):
+    """percentile(0.5) over the trailing 5-row frame == statistics.median
+    of the same trailing slice."""
+    import statistics
+
+    rows = queries["q_win_median"](spark, SF).collect()
+    ev = sorted(
+        spark.read.parquet(f"{SF}/events.parquet").select(
+            "user_id", "event_id", "ts", "value"
+        ).collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    series: dict[int, list] = {}
+    expect = {}
+    for r in ev:
+        s = series.setdefault(r.user_id, [])
+        s.append(r.value)
+        expect[(r.user_id, r.event_id)] = round(
+            statistics.median(s[-5:]), 6
+        )
+    assert len(rows) == len(expect)
+    for r in rows:
+        assert float(r.med5) == expect[(r.user_id, r.event_id)], r

@@ -15,7 +15,7 @@ from pyspark_excel_datasource_spark.plans.registry import ORACLES, load_all_quer
 SECTIONS = {
     "Scans / sources / sinks (SURVEY §2.3)": [
         "q_scan_parquet", "q_scan_excel", "q_sink_excel", "q_scan_multifile",
-        "q_sink_parquet_partitioned",
+        "q_sink_parquet_partitioned", "q_scan_evolving",
     ],
     "Projection / filter": ["q_project", "q_filter_basic", "q_filter_complex"],
     "Joins": [
@@ -31,7 +31,7 @@ SECTIONS = {
         "q_dedup_exact",
         "q_dedup_keep_first", "q_pivot", "q_unpivot",
     ],
-    "Window functions": ["q_win_rank", "q_win_analytic", "q_win_frame", "q_win_range_frame", "q_win_cume"],
+    "Window functions": ["q_win_rank", "q_win_analytic", "q_win_frame", "q_win_range_frame", "q_win_cume", "q_win_median"],
     "Sorts / limits / top-k": ["q_sort_multi", "q_topk", "q_topk_group"],
     "Set operations": ["q_union_all", "q_union_dist", "q_intersect", "q_except"],
     "Scalar functions": [
@@ -136,6 +136,8 @@ ROLES = {
     "q_graph_degree": "near-dup graph degree distribution (pre-CC capacity probe)",
     "q_event_transitions": "Markov transition matrix over per-user event paths",
     "q_skew_keys": "top-key share/cum-share diagnostic (salting decision probe)",
+    "q_scan_evolving": "mergeSchema scan over pre/post-column file generations",
+    "q_win_median": "exact rolling median (percentile 0.5 over a row frame)",
     "q_text_repetition": "Gopher-style duplicate/top-bigram quality gate",
     "q_chunk_tokens": "doc → overlapping 32-token training windows (shuffle-free)",
     "q_bpe_pair_counts": "BPE merge-round pair counting (bounded key domain)",
