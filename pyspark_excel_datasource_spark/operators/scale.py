@@ -285,3 +285,135 @@ def q_skew_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("cum_share"),
     )
+
+
+@query(
+    "q_join_dpp",
+    oracle=f"""
+    SELECT e.event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('e.value', 2)} AS total_value
+    FROM events e
+    JOIN (VALUES ('click', 1.0), ('view', 0.5)) AS d(event_type, weight)
+      ON e.event_type = d.event_type
+    GROUP BY e.event_type
+    """,
+)
+def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: a fact table PARTITIONED on the join
+    key, joined to a filtered dimension — Catalyst turns the dim-side
+    filter into a runtime partition filter on the fact scan, so only the
+    surviving partitions' directories are read at all.
+
+    This is the star-join layout decision at 100 TB: static pruning
+    can't help because the fact filter is implied by the DIM filter, and
+    without DPP the scan reads every partition. The plan carries
+    ``dynamicpruningexpression`` on the fact scan
+    (``tests/test_scale_ops.py`` asserts it). The fixture reuses the
+    event_type-partitioned sink layout, namespaced per sf.
+    """
+    out = os.path.join("/root/repo/.fixtures", sf_tag(sf_dir), "events_by_type_dpp")
+    done = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(done):
+        (
+            table(spark, sf_dir, "events")
+            .select("event_id", "user_id", "value", "event_type")
+            .write.mode("overwrite")
+            .partitionBy("event_type")
+            .parquet(out)
+        )
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.5), ("purchase", 2.0), ("signup", 3.0)],
+        "event_type string, weight double",
+    ).filter(F.col("weight") <= 1.0)
+    return (
+        fact.join(F.broadcast(dim), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value", 2).alias("total_value"),
+        )
+    )
+
+
+#: z-order geometry: 8 bits per dimension, 16 output files
+_Z_BITS = 8
+_Z_FILES = 16
+
+
+def _z_interleave_sql(a: str, b: str, bits: int = _Z_BITS) -> str:
+    """Bit-interleave expression valid in both Spark SQL and DuckDB:
+    z = Σ_i ((a>>i & 1) << 2i) | ((b>>i & 1) << (2i+1))."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@query(
+    "q_zorder_layout",
+    oracle=f"""
+    WITH z AS (
+        SELECT l_partkey, l_suppkey,
+               {_z_interleave_sql(f'(l_partkey % {1 << _Z_BITS})',
+                                  f'(l_suppkey % {1 << _Z_BITS})')} AS zval,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ),
+    filed AS (
+        SELECT *, CAST(NTILE({_Z_FILES}) OVER (
+            ORDER BY zval, l_orderkey, l_linenumber) AS INT) AS file_id
+        FROM z
+    )
+    SELECT file_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(l_partkey % {1 << _Z_BITS}) AS BIGINT) AS part_lo,
+           CAST(MAX(l_partkey % {1 << _Z_BITS}) AS BIGINT) AS part_hi,
+           CAST(MIN(l_suppkey % {1 << _Z_BITS}) AS BIGINT) AS supp_lo,
+           CAST(MAX(l_suppkey % {1 << _Z_BITS}) AS BIGINT) AS supp_hi
+    FROM filed GROUP BY file_id
+    """,
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering layout: interleave the bits of
+    two join/filter dimensions, range-split the curve into files, and
+    report each file's per-dimension min/max envelope.
+
+    The multi-dimension layout decision at 100 TB: a sort on ONE column
+    gives perfect pruning on it and none on the second; the space-filling
+    curve gives bounded envelopes on BOTH, so min/max file statistics
+    prune two-dimensional predicates. The query is the planning form —
+    the write form is ``repartitionByRange(zval).sortWithinPartitions``
+    (one range shuffle, exactly how a real z-order writer lays files
+    out). Integer bit math end-to-end — exact in both engines; the
+    per-file envelope widths are the clustering-quality metric.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    mask = (1 << _Z_BITS) - 1
+    zexpr = _z_interleave_sql(
+        f"(l_partkey % {1 << _Z_BITS})", f"(l_suppkey % {1 << _Z_BITS})"
+    )
+    z = li.select(
+        "l_partkey",
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(zexpr).alias("zval"),
+    )
+    filed = z.withColumn(
+        "file_id",
+        F.ntile(_Z_FILES)
+        .over(W.partitionBy().orderBy("zval", "l_orderkey", "l_linenumber"))
+        .cast("int"),
+    )
+    pk = F.col("l_partkey") % (mask + 1)
+    sk = F.col("l_suppkey") % (mask + 1)
+    return filed.groupBy("file_id").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min(pk).cast("long").alias("part_lo"),
+        F.max(pk).cast("long").alias("part_hi"),
+        F.min(sk).cast("long").alias("supp_lo"),
+        F.max(sk).cast("long").alias("supp_hi"),
+    )

@@ -120,3 +120,39 @@ def test_salted_join_spreads_hot_key(spark):
     # nearly every multi-row key must hash across >= 2 salt buckets
     assert stats.spread / stats.keys >= 0.9
     assert df.select("salt").distinct().count() == _N_SALTS
+
+
+def test_dpp_prunes_fact_partitions(spark):
+    """The dim-side filter must become a runtime partition filter on the
+    partitioned fact scan (dynamic partition pruning)."""
+    import contextlib
+    import io
+
+    from pyspark_excel_datasource_spark.plans.registry import load_all_queries
+
+    df = load_all_queries()["q_join_dpp"](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    # and the result only contains the dim-surviving partitions
+    types = {r.event_type for r in df.collect()}
+    assert types == {"click", "view"}
+
+
+def test_zorder_envelopes_beat_single_sort(spark):
+    """Z-order files must bound BOTH dimensions: the average per-file
+    envelope width on the second dimension has to be far below the
+    global range (a single-column sort leaves it at ~the full range)."""
+    from pyspark_excel_datasource_spark.plans.registry import load_all_queries
+
+    rows = load_all_queries()["q_zorder_layout"](spark, SF).collect()
+    assert len(rows) == 16
+    assert sum(r.n_rows for r in rows) > 0
+    # per-file envelope widths, both dimensions
+    part_w = [r.part_hi - r.part_lo for r in rows]
+    supp_w = [r.supp_hi - r.supp_lo for r in rows]
+    full = 255
+    assert sum(part_w) / len(part_w) < 0.75 * full
+    assert sum(supp_w) / len(supp_w) < 0.75 * full

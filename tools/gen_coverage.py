@@ -22,7 +22,7 @@ SECTIONS = {
         "q_join_inner", "q_join_broadcast", "q_join_left", "q_join_right",
         "q_join_full", "q_join_semi", "q_join_anti", "q_join_theta",
         "q_join_star3", "q_join_asof", "q_join_bucketed", "q_join_skew_salted",
-        "q_join_range", "q_skew_keys",
+        "q_join_range", "q_skew_keys", "q_join_dpp", "q_zorder_layout",
     ],
     "Aggregations": [
         "q_agg_group", "q_agg_distinct", "q_agg_stats", "q_agg_rollup",
@@ -138,6 +138,8 @@ ROLES = {
     "q_skew_keys": "top-key share/cum-share diagnostic (salting decision probe)",
     "q_scan_evolving": "mergeSchema scan over pre/post-column file generations",
     "q_win_median": "exact rolling median (percentile 0.5 over a row frame)",
+    "q_join_dpp": "dynamic partition pruning on a partitioned fact (plan-asserted)",
+    "q_zorder_layout": "Morton-curve file layout; per-file 2-D min/max envelopes",
     "q_text_repetition": "Gopher-style duplicate/top-bigram quality gate",
     "q_chunk_tokens": "doc → overlapping 32-token training windows (shuffle-free)",
     "q_bpe_pair_counts": "BPE merge-round pair counting (bounded key domain)",
