@@ -34,11 +34,13 @@ ORACLE_SF_DIR = "/root/testdata/sf0.01"
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table as a DataFrame (lazy parquet scan).
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects outright. We read nanos as raw int64
-    (``spark.sql.legacy.parquet.nanosAsLong``) and rebuild a
-    ``timestamp_ntz`` at microsecond precision — the same truncation DuckDB
-    applies when casting TIMESTAMP_NS → TIMESTAMP, so the oracle agrees.
+    ``events.ts`` has been written by different testdata generators as either
+    parquet TIMESTAMP(NANOS) — which Spark's vectorized reader rejects, so we
+    read nanos as raw int64 (``spark.sql.legacy.parquet.nanosAsLong``) and
+    rebuild a microsecond ``timestamp_ntz`` (the same truncation DuckDB
+    applies casting TIMESTAMP_NS → TIMESTAMP) — or plain TIMESTAMP(MICROS),
+    which loads directly. Branch on the *loaded* dtype so both generations of
+    testdata work.
     """
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -48,11 +50,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
         from pyspark.sql import functions as F
 
-        # Integer DIV, not `/`: epoch-nanos exceed 2^53, double division
-        # would round the microsecond.
-        return df.withColumn(
-            "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)")
-        )
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # Integer DIV, not `/`: epoch-nanos exceed 2^53, double division
+            # would round the microsecond.
+            return df.withColumn(
+                "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)")
+            )
+        if ts_type != "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        return df
     return spark.read.parquet(path)
 
 
