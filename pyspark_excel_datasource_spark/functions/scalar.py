@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..functions.determinism import dround, sql_dround
+from ..functions.determinism import canon, dround, sql_canon, sql_dround
 from ..plans.registry import query
 
 
@@ -115,10 +115,10 @@ def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
            ABS(l_discount - 0.05) AS disc_dev,
            CAST(CEIL(l_extendedprice / 1000.0) AS BIGINT) AS price_k_ceil,
            CAST(FLOOR(l_extendedprice / 1000.0) AS BIGINT) AS price_k_floor,
-           {sql_dround('POW(1.0 + l_discount, 2)', 10)} AS growth_sq,
+           {sql_canon(sql_dround('POW(1.0 + l_discount, 2)', 10))} AS growth_sq,
            CAST(CAST(l_quantity AS BIGINT) % 7 AS BIGINT) AS qty_mod7,
-           {sql_dround('LN(l_extendedprice)', 10)} AS price_ln,
-           {sql_dround('LOG(l_extendedprice)', 10)} AS price_log10,
+           {sql_canon(sql_dround('LN(l_extendedprice)', 10))} AS price_ln,
+           {sql_canon(sql_dround('LOG(l_extendedprice)', 10))} AS price_log10,
            SQRT(l_quantity) AS qty_sqrt,
            CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS disc_sign,
            GREATEST(l_discount, l_tax) AS max_rate,
@@ -138,10 +138,10 @@ def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
         F.ceil(F.col("l_extendedprice") / 1000.0).cast("long").alias("price_k_ceil"),
         F.floor(F.col("l_extendedprice") / 1000.0).cast("long").alias("price_k_floor"),
-        dround(F.pow(F.lit(1.0) + F.col("l_discount"), 2), 10).alias("growth_sq"),
+        canon(dround(F.pow(F.lit(1.0) + F.col("l_discount"), 2), 10)).alias("growth_sq"),
         (F.col("l_quantity").cast("long") % 7).cast("long").alias("qty_mod7"),
-        dround(F.log(F.col("l_extendedprice")), 10).alias("price_ln"),
-        dround(F.log10(F.col("l_extendedprice")), 10).alias("price_log10"),
+        canon(dround(F.log(F.col("l_extendedprice")), 10)).alias("price_ln"),
+        canon(dround(F.log10(F.col("l_extendedprice")), 10)).alias("price_log10"),
         F.sqrt("l_quantity").alias("qty_sqrt"),
         F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
         F.greatest("l_discount", "l_tax").alias("max_rate"),

@@ -397,8 +397,8 @@ def q_agg_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY event_type
     )
     SELECT e.event_id, e.event_type, e.value,
-           CAST(ROUND((e.value - s.mu) / CAST(s.sigma AS DOUBLE), 6)
-                AS DECIMAL(38,6)) AS z
+           CAST(CAST(ROUND((e.value - s.mu) / CAST(s.sigma AS DOUBLE), 6)
+                AS DECIMAL(38,6)) AS VARCHAR) AS z
     FROM events e JOIN stats s ON s.event_type = e.event_type
     WHERE ABS((e.value - s.mu) / CAST(s.sigma AS DOUBLE)) > 2.5
     """,
@@ -415,7 +415,7 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-type aggregate broadcast back onto the event scan — the big
     side is never shuffled.
     """
-    from ..functions.determinism import davg, dround
+    from ..functions.determinism import canon, davg, dround
 
     ev = table(spark, sf_dir, "events")
     stats = ev.groupBy("event_type").agg(
@@ -430,7 +430,7 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "event_type",
             "value",
-            dround(z, 6).alias("z"),
+            canon(dround(z, 6)).alias("z"),
         )
     )
 

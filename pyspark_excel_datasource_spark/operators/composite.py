@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..functions.determinism import canon, dsum, sql_dsum
+from ..functions.determinism import canon, dsum, sql_canon, sql_dsum
 from ..plans.registry import query
 from .relational import ts
 
@@ -22,7 +22,7 @@ from .relational import ts
     "q_tpch_q5ish",
     oracle=f"""
     SELECT n.n_name AS nation_name,
-           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue,
+           {sql_canon(sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 4))} AS revenue,
            COUNT(*) AS n_items
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -67,6 +67,7 @@ def q_tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.count("*").alias("n_items"),
         )
+        .select("nation_name", canon("revenue").alias("revenue"), "n_items")
     )
 
 

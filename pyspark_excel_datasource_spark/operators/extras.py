@@ -460,7 +460,7 @@ def q_scan_evolving(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_win_median",
     oracle=f"""
     SELECT user_id, event_id,
-           {sql_dround('MEDIAN(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)', 6)}
+           {sql_canon(sql_dround('MEDIAN(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)', 6))}
                AS med5
     FROM events
     """,
@@ -486,5 +486,5 @@ def q_win_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "user_id",
         "event_id",
-        dround(F.expr("percentile(value, 0.5D)").over(w), 6).alias("med5"),
+        canon(dround(F.expr("percentile(value, 0.5D)").over(w), 6)).alias("med5"),
     )

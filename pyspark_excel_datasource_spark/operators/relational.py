@@ -494,7 +494,7 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT o_orderpriority,
            COUNT(*) AS n_orders,
-           {sql_dsum('o_totalprice', 2)} AS sum_price,
+           {sql_canon(sql_dsum('o_totalprice', 2))} AS sum_price,
            {sql_davg('o_totalprice', 2)} AS avg_price,
            CAST(MIN(o_orderdate) AS DATE) AS first_order,
            CAST(MAX(o_orderdate) AS DATE) AS last_order
@@ -509,7 +509,7 @@ def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_orders"),
-            dsum("o_totalprice", 2).alias("sum_price"),
+            canon(dsum("o_totalprice", 2)).alias("sum_price"),
             davg("o_totalprice", 2).alias("avg_price"),
             F.to_date(F.min("o_orderdate")).alias("first_order"),
             F.to_date(F.max("o_orderdate")).alias("last_order"),
@@ -548,10 +548,10 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_stats",
     oracle=f"""
     SELECT c_mktsegment,
-           {sql_dround('STDDEV_SAMP(c_acctbal)', 6)} AS std_bal,
-           {sql_dround('VAR_SAMP(c_acctbal)', 4)} AS var_bal,
-           {sql_dround('CORR(c_acctbal, CAST(c_nationkey AS DOUBLE))', 6)} AS corr_bal_nation,
-           {sql_dround('COVAR_SAMP(c_acctbal, CAST(c_nationkey AS DOUBLE))', 4)} AS covar_bal_nation
+           {sql_canon(sql_dround('STDDEV_SAMP(c_acctbal)', 6))} AS std_bal,
+           {sql_canon(sql_dround('VAR_SAMP(c_acctbal)', 4))} AS var_bal,
+           {sql_canon(sql_dround('CORR(c_acctbal, CAST(c_nationkey AS DOUBLE))', 6))} AS corr_bal_nation,
+           {sql_canon(sql_dround('COVAR_SAMP(c_acctbal, CAST(c_nationkey AS DOUBLE))', 4))} AS covar_bal_nation
     FROM customer
     GROUP BY c_mktsegment
     """,
@@ -561,10 +561,10 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     nk = F.col("c_nationkey").cast("double")
     return c.groupBy("c_mktsegment").agg(
-        dround(F.stddev_samp("c_acctbal"), 6).alias("std_bal"),
-        dround(F.var_samp("c_acctbal"), 4).alias("var_bal"),
-        dround(F.corr(F.col("c_acctbal"), nk), 6).alias("corr_bal_nation"),
-        dround(F.covar_samp(F.col("c_acctbal"), nk), 4).alias("covar_bal_nation"),
+        canon(dround(F.stddev_samp("c_acctbal"), 6)).alias("std_bal"),
+        canon(dround(F.var_samp("c_acctbal"), 4)).alias("var_bal"),
+        canon(dround(F.corr(F.col("c_acctbal"), nk), 6)).alias("corr_bal_nation"),
+        canon(dround(F.covar_samp(F.col("c_acctbal"), nk), 4)).alias("covar_bal_nation"),
     )
 
 
@@ -575,7 +575,7 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
            CAST(GROUPING(l_linestatus) AS INT) AS g_status,
            COUNT(*) AS n_rows,
-           {sql_dsum('l_extendedprice', 2)} AS sum_price
+           {sql_canon(sql_dsum('l_extendedprice', 2))} AS sum_price
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -587,7 +587,7 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("l_returnflag").cast("int").alias("g_flag"),
         F.grouping("l_linestatus").cast("int").alias("g_status"),
         F.count("*").alias("n_rows"),
-        dsum("l_extendedprice", 2).alias("sum_price"),
+        canon(dsum("l_extendedprice", 2)).alias("sum_price"),
     )
 
 

@@ -292,7 +292,7 @@ def q_skew_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT e.event_type,
            COUNT(*) AS n_events,
-           {sql_dsum('e.value', 2)} AS total_value
+           {sql_canon(sql_dsum('e.value', 2))} AS total_value
     FROM events e
     JOIN (VALUES ('click', 1.0), ('view', 0.5)) AS d(event_type, weight)
       ON e.event_type = d.event_type
@@ -332,7 +332,7 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
-            dsum("value", 2).alias("total_value"),
+            canon(dsum("value", 2)).alias("total_value"),
         )
     )
 

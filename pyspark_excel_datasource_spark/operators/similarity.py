@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..catalog import spread, table
+from ..functions.determinism import canon
 from ..plans.registry import query
 
 _QUERY_VEC_IDS = (0, 1, 2, 3, 4)
@@ -98,7 +99,7 @@ _SQL_COS = (
                     AS DECIMAL(38,8)) AS cosine
         FROM q JOIN v ON v.vec_id <> q.query_id
     )
-    SELECT query_id, vec_id, cosine,
+    SELECT query_id, vec_id, CAST(cosine AS VARCHAR) AS cosine,
            CAST(rn AS INT) AS rank
     FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                 ORDER BY cosine DESC, vec_id) AS rn FROM scored)
@@ -134,7 +135,7 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= _TOP_K)
-        .select("query_id", "vec_id", "cosine", "rank")
+        .select("query_id", "vec_id", canon("cosine").alias("cosine"), "rank")
     )
 
 
@@ -282,7 +283,7 @@ def ann_lsh_topk(emb: DataFrame, query_ids: list[int]) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= _TOP_K)
-        .select("query_id", "vec_id", "cosine", "rank")
+        .select("query_id", "vec_id", canon("cosine").alias("cosine"), "rank")
     )
 
 
@@ -396,5 +397,5 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= _TOP_K)
-        .select("query_id", "vec_id", "cosine", "rank")
+        .select("query_id", "vec_id", canon("cosine").alias("cosine"), "rank")
     )

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..catalog import spread, table
-from ..functions.determinism import dround, sql_dround
+from ..functions.determinism import canon, dround, sql_dround
 from ..plans.registry import query
 
 #: tiny stopword list used by the quality heuristic (kept identical in the
@@ -224,7 +224,8 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS tfidf
         FROM tfc t JOIN df d USING (term)
     )
-    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, tfidf
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           CAST(tfidf AS VARCHAR) AS tfidf
     FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
                                      ORDER BY tfidf DESC, term) AS rn
@@ -259,7 +260,7 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("doc_id", "term", "tf", "df", "tfidf")
+        .select("doc_id", "term", "tf", "df", canon("tfidf").alias("tfidf"))
     )
 
 

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..functions.determinism import davg, dsum, sql_davg, sql_dsum
+from ..functions.determinism import canon, davg, dsum, sql_canon, sql_davg, sql_dsum
 from ..plans.registry import query
 
 
@@ -33,7 +33,7 @@ from ..plans.registry import query
            time_bucket(INTERVAL 10 MINUTE, ts) + INTERVAL 10 MINUTE AS wend,
            event_type,
            COUNT(*) AS n_events,
-           {sql_dsum('value', 2)} AS total_value
+           {sql_canon(sql_dsum('value', 2))} AS total_value
     FROM events
     GROUP BY 1, 2, 3
     """,
@@ -45,7 +45,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            dsum("value", 2).alias("total_value"),
+            canon(dsum("value", 2)).alias("total_value"),
         )
         .select(
             F.col("w.start").alias("wstart"),
@@ -110,7 +110,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(ts) AS session_start,
            MAX(ts) + INTERVAL 30 MINUTE AS session_end,
            COUNT(*) AS n_events,
-           {sql_dsum('value', 2)} AS session_value
+           {sql_canon(sql_dsum('value', 2))} AS session_value
     FROM sessions
     GROUP BY user_id, session_id
     """,
@@ -127,7 +127,7 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            dsum("value", 2).alias("session_value"),
+            canon(dsum("value", 2)).alias("session_value"),
         )
         .select(
             "user_id",
@@ -198,7 +198,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT time_bucket(INTERVAL 15 MINUTE, e.ts) AS wstart,
            c.c_mktsegment,
            COUNT(*) AS n_events,
-           {sql_dsum('e.value', 2)} AS seg_value
+           {sql_canon(sql_dsum('e.value', 2))} AS seg_value
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY 1, 2
     """,
@@ -226,7 +226,7 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "15 minutes").alias("w"), "c_mktsegment")
         .agg(
             F.count("*").alias("n_events"),
-            dsum("value", 2).alias("seg_value"),
+            canon(dsum("value", 2)).alias("seg_value"),
         )
         .select(
             F.col("w.start").alias("wstart"),
