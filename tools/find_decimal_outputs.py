@@ -36,7 +36,21 @@ def _contains_decimal(dt: DataType) -> bool:
     return False
 
 
-def main() -> None:
+#: Queries allowed to emit decimals: the hash probes exist precisely to
+#: characterize the driver hasher's decimal gap, and the UDAF's
+#: integer-cents decimal has hash-passed in every round it was verdicted.
+ALLOWED = {
+    "q_probe_dec_literal",
+    "q_probe_dec_negative",
+    "q_probe_dec_null",
+    "q_probe_dec_large",
+    "q_probe_dec_sum",
+    "q_probe_dec_join",
+    "q_udaf_grouped",
+}
+
+
+def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_session()
     offenders: list[tuple[str, list[str]]] = []
@@ -60,7 +74,11 @@ def main() -> None:
     for name, err in errors:
         print(f"ERROR    {name}: {err}")
     print(f"{len(offenders)} decimal-emitting, {len(errors)} errored")
+    # Gate-usable exit status (mirrors run_parity.py): fail on any
+    # unexpected decimal emitter or load error.
+    unexpected = [n for n, _ in offenders if n not in ALLOWED]
+    return 1 if (unexpected or errors) else 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
