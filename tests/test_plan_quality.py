@@ -92,6 +92,46 @@ def test_flagship_no_python_udf_in_plan(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+#: Queries whose plans legitimately contain Arrow-vectorized Python stages
+#: (pandas UDF / mapInPandas / grouped-map) — the designed slow-path users.
+#: Everything else must stay entirely JVM-side.
+ARROW_ALLOWED = {
+    "q_udf_mapinpandas",
+    "q_udf_scalar",
+    "q_udaf_grouped",
+    "q_udtf",
+    "q_dedup_embed_lsh",
+    "q_sim_ann_lsh",
+    "q_sim_ann_ivf",
+    "q_multimodal_features",
+}
+
+
+def test_no_cartesian_or_row_python_in_any_plan(spark):
+    """Repo-wide invariant over all registered queries: no CartesianProduct
+    (quadratic shuffle-free disaster at scale) and no BatchEvalPython
+    (row-at-a-time Python, 10-100x slower than Arrow) anywhere; Arrow
+    Python stages only in the designed UDF-surface queries."""
+    from pyspark_excel_datasource_spark.plans.registry import load_all_queries
+
+    violations: list[tuple[str, str]] = []
+    arrow_users: set[str] = set()
+    for name, fn in load_all_queries().items():
+        plan = _plan(fn(spark, SF))
+        if "CartesianProduct" in plan:
+            violations.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in plan:
+            violations.append((name, "BatchEvalPython"))
+        if any(
+            tok in plan
+            for tok in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
+        ):
+            arrow_users.add(name)
+    assert not violations, violations
+    unexpected = arrow_users - ARROW_ALLOWED
+    assert not unexpected, f"new Python stages outside the allowlist: {unexpected}"
+
+
 def test_sim_topk_broadcasts_query_vectors(spark):
     plan = _plan(_q(spark, "q_sim_topk"))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
