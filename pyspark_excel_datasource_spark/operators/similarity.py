@@ -399,3 +399,154 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOP_K)
         .select("query_id", "vec_id", canon("cosine").alias("cosine"), "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-compressed ANN scale path
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8        # subspaces (64-dim vectors → 8 sub-vectors of 8 dims)
+_PQ_K = 64       # centroids per subspace (6-bit codes)
+_PQ_TRAIN = 512  # deterministic training sample: the lowest vec_ids
+_PQ_ITERS = 5
+_PQ_REFINE = 8   # exact re-rank depth: ADC keeps top REFINE*k candidates
+
+
+def _pq_codebook(emb: DataFrame) -> np.ndarray:
+    """Train the per-subspace codebooks on a deterministic driver-side
+    sample (the ``_PQ_TRAIN`` lowest vec_ids).
+
+    Codebook training on a sample is the standard PQ build (the codebook
+    is M×K×d_sub floats — here 8×16×8 — regardless of corpus size; only
+    ENCODING touches every vector). Lloyd iterations in float64 numpy
+    with first-occurrence argmin ties → fully deterministic, no RNG.
+    Returns an (M, K, d_sub) array.
+    """
+    sample = np.stack(
+        [r.e for r in emb.orderBy("vec_id").limit(_PQ_TRAIN).select("e").collect()]
+    )
+    n, dim = sample.shape
+    d_sub = dim // _PQ_M
+    books = np.empty((_PQ_M, _PQ_K, d_sub))
+    for m in range(_PQ_M):
+        X = sample[:, m * d_sub : (m + 1) * d_sub]
+        C = X[:_PQ_K].copy()  # deterministic init: first K sample rows
+        for _ in range(_PQ_ITERS):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)  # first-occurrence ties
+            for k in range(_PQ_K):
+                members = X[assign == k]
+                if len(members):
+                    C[k] = members.mean(axis=0)
+        books[m] = C
+    return books
+
+
+def _pq_encode_udf(books: np.ndarray):
+    """Arrow-vectorized PQ encoder: one (batch × M × d_sub) distance
+    computation per Arrow batch. The codebook rides along as a closure
+    (a broadcast variable in cluster terms — 8×16×8 floats)."""
+    from pyspark.sql.functions import pandas_udf
+
+    M, K, d_sub = books.shape
+
+    @pandas_udf("array<int>")
+    def encode(col: pd.Series) -> pd.Series:
+        E = np.stack(col.to_numpy())  # batch × dim
+        Es = E.reshape(len(E), M, d_sub)
+        codes = np.empty((len(E), M), dtype=np.int32)
+        for m in range(M):
+            d2 = ((Es[:, m, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+            codes[:, m] = np.argmin(d2, axis=1)
+        return pd.Series([row.tolist() for row in codes])
+
+    return encode
+
+
+@query("q_sim_ann_pq")  # approximate → rows-only check
+def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC approximate top-k: vectors compressed to M 4-bit codes,
+    queries scored against the codes via asymmetric-distance lookup
+    tables — entirely JVM-side.
+
+    The third ANN scale path next to sign-LSH (bucket pruning) and IVF
+    (partition pruning): PQ attacks the MEMORY axis — the scan reads
+    M small ints per vector instead of ``dim`` doubles (here 8 codes vs
+    64 doubles, a 16-32× shrink at 100 TB, where the embedding table
+    itself is the bottleneck). Per query the driver precomputes an M×K
+    table of sub-dot-products against the codebook; approximate
+    dot(q, x) = Σ_m LUT[m, code_m] — a built-in higher-order aggregate
+    over the code array, no Python in the scoring path. True vector
+    norms are kept exact (they compress poorly and cost one double).
+    Deterministic end-to-end: sample-trained codebook, first-occurrence
+    argmin encoding, float64 LUT sums, vec_id tiebreak.
+    """
+    emb = _embeddings(spark, sf_dir).cache()
+    books = _pq_codebook(emb)
+    # one-time encode — the persisted 8-bytes-per-vector code table
+    codes = emb.select(
+        "vec_id", "n", _pq_encode_udf(books)(F.col("e")).alias("codes")
+    )
+    # per-query ADC lookup tables, flattened to length M*K (tiny: 5×128)
+    qrows = (
+        emb.filter(F.col("vec_id").isin(*_QUERY_VEC_IDS))
+        .select("vec_id", "e", "n")
+        .collect()
+    )
+    M, K, d_sub = books.shape
+    lut_rows = []
+    for r in qrows:
+        q = np.asarray(r.e).reshape(M, d_sub)
+        lut = np.einsum("ms,mks->mk", q, books).reshape(-1)
+        lut_rows.append((r.vec_id, r.n, lut.tolist()))
+    luts = spark.createDataFrame(
+        lut_rows, "query_id long, qn double, lut array<double>"
+    )
+    adc = F.expr(
+        f"aggregate(sequence(0, {M - 1}), 0D,"
+        f" (acc, m) -> acc + lut[m * {K} + element_at(codes, m + 1)])"
+    )
+    approx = (
+        codes.join(F.broadcast(luts), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (adc / (F.col("qn") * F.col("n"))).alias("adc_cosine"),
+        )
+    )
+    # ADC shortlist, then exact re-rank of candidates only (Faiss-style
+    # refine): the full-precision vectors are fetched for REFINE*k rows
+    # per query, not the whole table.
+    wa = W.partitionBy("query_id").orderBy(
+        F.col("adc_cosine").desc(), F.col("vec_id").asc()
+    )
+    shortlist = (
+        approx.withColumn("arank", F.row_number().over(wa))
+        .filter(F.col("arank") <= _PQ_REFINE * _TOP_K)
+        .select("query_id", "vec_id")
+    )
+    qvec = (
+        emb.filter(F.col("vec_id").isin(*_QUERY_VEC_IDS))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.col("n").alias("qn"),
+        )
+    )
+    rescored = (
+        shortlist.join(emb.select("vec_id", "e", "n"), "vec_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(_dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("n")), 8)
+            .cast("decimal(38,8)")
+            .alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        rescored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "vec_id", canon("cosine").alias("cosine"), "rank")
+    )

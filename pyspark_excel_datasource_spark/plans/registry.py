@@ -175,6 +175,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_udf_mapinpandas",
     "q_fn_array_agg",
     "q_fn_explode",
+    "q_sim_ann_pq",
     "q_tokenize",
     "q_dedup_embed",
     "q_agg_histogram",

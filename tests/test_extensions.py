@@ -103,6 +103,29 @@ def test_ann_ivf_recall_vs_brute_force(spark, queries):
     assert len(top3 & ivf_all) / len(top3) >= 0.2
 
 
+def test_ann_pq_recall_vs_brute_force(spark, queries):
+    """PQ/ADC with exact refine of the top REFINE*k shortlist: recall@10
+    must beat the pruning-based variants (the shortlist sees every vector,
+    compression only blurs the ORDER the shortlist is drawn in)."""
+    brute = queries["q_sim_topk"](spark, SF).collect()
+    pq = queries["q_sim_ann_pq"](spark, SF).collect()
+    exact = {}
+    for r in brute:
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+    got = {}
+    for r in pq:
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    assert len(pq) == 50
+    recalls = [len(got[q] & exact[q]) / len(exact[q]) for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_ann_pq_deterministic(spark, queries):
+    a = sorted(map(tuple, queries["q_sim_ann_pq"](spark, SF).collect()))
+    b = sorted(map(tuple, queries["q_sim_ann_pq"](spark, SF).collect()))
+    assert a == b
+
+
 def test_winnowing_guarantee_shared_run(spark):
     """Winnowing guarantee (k=4, w=5): two documents sharing a token run
     of >= w+k-1 = 8 tokens must share at least one fingerprint; documents

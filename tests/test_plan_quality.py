@@ -103,6 +103,7 @@ ARROW_ALLOWED = {
     "q_dedup_embed_lsh",
     "q_sim_ann_lsh",
     "q_sim_ann_ivf",
+    "q_sim_ann_pq",
     "q_multimodal_features",
 }
 
