@@ -437,3 +437,72 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("u") < F.col("keep_p"))
     )
+
+
+#: Global token budget for the mixing plan (constant so the oracle agrees).
+_MIX_BUDGET_TOKENS = 1_000_000
+
+
+@query(
+    "q_mix_budget",
+    oracle=f"""
+    WITH per_source AS (
+        SELECT source,
+               CAST(REGEXP_EXTRACT(source, '([0-9]+)', 1) AS INT) % 4 + 1
+                   AS weight,
+               COUNT(*) AS n_docs,
+               CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents
+        GROUP BY source
+    ),
+    totals AS (
+        SELECT *, SUM(weight) OVER () AS total_weight FROM per_source
+    )
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+           CAST(weight AS INT) AS weight,
+           CAST(ROUND({_MIX_BUDGET_TOKENS} * weight / CAST(total_weight AS DOUBLE))
+                AS BIGINT) AS alloc_tokens,
+           ROUND(CAST(ROUND({_MIX_BUDGET_TOKENS} * weight / CAST(total_weight AS DOUBLE))
+                      AS BIGINT) / CAST(n_tokens AS DOUBLE), 6) AS effective_epochs,
+           LEAST(1.0, ROUND(CAST(ROUND({_MIX_BUDGET_TOKENS} * weight / CAST(total_weight AS DOUBLE))
+                      AS BIGINT) / CAST(n_tokens AS DOUBLE), 6)) AS sampling_rate
+    FROM totals
+    """,
+)
+def q_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing budget allocation: split a global token budget across
+    sources by target weight and derive each source's sampling rate (<1 =
+    subsample) or effective epochs (>1 = repeat).
+
+    The planning step of every data-mixture recipe: one partial+final
+    aggregate over the corpus (count + token sum per source), then pure
+    arithmetic on the |sources|-row result — the unbounded window runs on
+    ~20 rows AFTER aggregation, never on the corpus. Weights here are a
+    deterministic function of the source id (suffix mod 4 + 1) so the
+    query is self-contained; a real run would broadcast-join a weights
+    table, same plan shape. Divisions are single IEEE ops on identical
+    operands cross-engine; rounded to 6 per the determinism convention.
+    """
+    d = table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("n_tokens"),
+    )
+    weight = (
+        F.regexp_extract(F.col("source"), r"([0-9]+)", 1).cast("int") % 4 + 1
+    )
+    with_w = per_source.withColumn("weight", weight.cast("int"))
+    total_w = F.sum("weight").over(W.partitionBy())
+    alloc = F.round(
+        F.lit(_MIX_BUDGET_TOKENS) * F.col("weight") / total_w.cast("double")
+    ).cast("long")
+    epochs = F.round(alloc.cast("double") / F.col("n_tokens").cast("double"), 6)
+    return with_w.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "weight",
+        alloc.alias("alloc_tokens"),
+        epochs.alias("effective_epochs"),
+        F.least(F.lit(1.0), epochs).alias("sampling_rate"),
+    )

@@ -176,6 +176,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_fn_array_agg",
     "q_fn_explode",
     "q_sim_ann_pq",
+    "q_mix_budget",
     "q_tokenize",
     "q_dedup_embed",
     "q_agg_histogram",

@@ -146,3 +146,49 @@ def test_stream_static_join_equals_batch(spark, tmp_path):
         for r in spark.table("enrich_sink").collect()
     }
     assert got == expect and len(got) >= 3
+
+
+def test_stream_sliding_window_equals_batch(spark, tmp_path):
+    """Sliding windows (10 min / 5 min slide): each event lands in two
+    windows via Expand — the semantics must be identical under the
+    micro-batch engine (the q_stream_sliding contract)."""
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+    spec = [(0, 1, 1.0), (4, 2, 2.0), (7, 1, 3.0), (13, 3, 4.0), (22, 2, 5.0)]
+    src = tmp_path / "slide"
+    src.mkdir()
+    minixlsx.write_xlsx(str(src / "a.xlsx"), _events(t0, spec[:2]))
+    minixlsx.write_xlsx(str(src / "b.xlsx"), _events(t0, spec[2:]))
+
+    schema = "ts timestamp, user_id long, value double"
+
+    def windowed(df):
+        return (
+            df.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+            .agg(
+                F.count("*").alias("n"),
+                F.approx_count_distinct("user_id").alias("nu"),
+            )
+            .select(F.col("w.start").alias("ws"), "n", "nu")
+        )
+
+    stream = (
+        spark.readStream.format("excel").schema(schema).option("path", str(src)).load()
+    )
+    q = (
+        windowed(stream)
+        .writeStream.format("memory")
+        .queryName("slide_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = (
+        spark.read.format("excel").schema(schema).option("path", str(src)).load()
+    )
+    expect = {(r.ws, r.n, r.nu) for r in windowed(batch).collect()}
+    got = {(r.ws, r.n, r.nu) for r in spark.table("slide_sink").collect()}
+    assert got == expect
+    # every event appears in exactly size/slide = 2 windows
+    assert sum(n for _, n, _ in got) == 2 * len(spec)
