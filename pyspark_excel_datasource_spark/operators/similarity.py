@@ -463,33 +463,19 @@ def _pq_encode_udf(books: np.ndarray):
     return encode
 
 
-@query("q_sim_ann_pq")  # approximate → rows-only check
-def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ/ADC approximate top-k: vectors compressed to M 4-bit codes,
-    queries scored against the codes via asymmetric-distance lookup
-    tables — entirely JVM-side.
-
-    The third ANN scale path next to sign-LSH (bucket pruning) and IVF
-    (partition pruning): PQ attacks the MEMORY axis — the scan reads
-    M small ints per vector instead of ``dim`` doubles (here 8 codes vs
-    64 doubles, a 16-32× shrink at 100 TB, where the embedding table
-    itself is the bottleneck). Per query the driver precomputes an M×K
-    table of sub-dot-products against the codebook; approximate
-    dot(q, x) = Σ_m LUT[m, code_m] — a built-in higher-order aggregate
-    over the code array, no Python in the scoring path. True vector
-    norms are kept exact (they compress poorly and cost one double).
-    Deterministic end-to-end: sample-trained codebook, first-occurrence
-    argmin encoding, float64 LUT sums, vec_id tiebreak.
-    """
-    emb = _embeddings(spark, sf_dir).cache()
+def pq_topk(emb: DataFrame, query_ids: list[int]) -> DataFrame:
+    """(vec_id, e, n) + query ids → PQ/ADC top-k with exact refine — the
+    reusable operator behind ``q_sim_ann_pq`` (also driven at 10× by
+    ``tools/scale_stress.py``)."""
+    spark = emb.sparkSession
     books = _pq_codebook(emb)
     # one-time encode — the persisted 8-bytes-per-vector code table
     codes = emb.select(
         "vec_id", "n", _pq_encode_udf(books)(F.col("e")).alias("codes")
     )
-    # per-query ADC lookup tables, flattened to length M*K (tiny: 5×128)
+    # per-query ADC lookup tables, flattened to length M*K (tiny: 5×512)
     qrows = (
-        emb.filter(F.col("vec_id").isin(*_QUERY_VEC_IDS))
+        emb.filter(F.col("vec_id").isin(*query_ids))
         .select("vec_id", "e", "n")
         .collect()
     )
@@ -526,7 +512,7 @@ def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id")
     )
     qvec = (
-        emb.filter(F.col("vec_id").isin(*_QUERY_VEC_IDS))
+        emb.filter(F.col("vec_id").isin(*query_ids))
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("e").alias("qe"),
@@ -550,3 +536,26 @@ def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOP_K)
         .select("query_id", "vec_id", canon("cosine").alias("cosine"), "rank")
     )
+
+
+@query("q_sim_ann_pq")  # approximate → rows-only check
+def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC approximate top-k: vectors compressed to M codes from
+    sample-trained per-subspace codebooks, queries scored against the
+    codes via asymmetric-distance lookup tables — entirely JVM-side —
+    then an exact cosine refine of the top shortlist only.
+
+    The third ANN scale path next to sign-LSH (bucket pruning) and IVF
+    (partition pruning): PQ attacks the MEMORY axis — the scan reads
+    M small ints per vector instead of ``dim`` doubles (here 8 codes vs
+    64 doubles, a 16-32× shrink at 100 TB, where the embedding table
+    itself is the bottleneck). Per query the driver precomputes an M×K
+    table of sub-dot-products against the codebook; approximate
+    dot(q, x) = Σ_m LUT[m, code_m] — a built-in higher-order aggregate
+    over the code array, no Python in the scoring path. True vector
+    norms are kept exact (they compress poorly and cost one double).
+    Deterministic end-to-end: sample-trained codebook, first-occurrence
+    argmin encoding, float64 LUT sums, vec_id tiebreak.
+    """
+    emb = _embeddings(spark, sf_dir).cache()
+    return pq_topk(emb, list(_QUERY_VEC_IDS))

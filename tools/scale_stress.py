@@ -134,6 +134,7 @@ def main() -> None:
     from pyspark_excel_datasource_spark.operators.similarity import (
         _norm,
         ann_lsh_topk,
+        pq_topk,
     )
 
     spark = get_session("scale-stress")
@@ -178,6 +179,10 @@ def main() -> None:
         "ann_lsh_topk": (
             ann_lsh_topk(emb1, qids1),
             ann_lsh_topk(emb10, qids10),
+        ),
+        "ann_pq_topk": (
+            pq_topk(emb1, qids1),
+            pq_topk(emb10, qids10),
         ),
         "sessionize": (sessionize(ev1), sessionize(ev10)),
         "funnel": (funnel_counts(ev1), funnel_counts(ev10)),
