@@ -192,3 +192,49 @@ def test_stream_sliding_window_equals_batch(spark, tmp_path):
     assert got == expect
     # every event appears in exactly size/slide = 2 windows
     assert sum(n for _, n, _ in got) == 2 * len(spec)
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Bounded-state streaming dedup: duplicates arriving in LATER
+    micro-batches (within the watermark) are still suppressed — the
+    q_stream_dedup contract's true-stream form."""
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+    src = tmp_path / "dedup"
+    src.mkdir()
+    # batch 1: two distinct keys; batch 2: replays key (1,'a') + new key
+    minixlsx.write_xlsx(
+        str(src / "a.xlsx"),
+        pd.DataFrame(
+            [(t0, 1, "a"), (t0 + dt.timedelta(minutes=1), 2, "b")],
+            columns=["ts", "user_id", "event_type"],
+        ),
+    )
+    minixlsx.write_xlsx(
+        str(src / "b.xlsx"),
+        pd.DataFrame(
+            [
+                (t0 + dt.timedelta(minutes=2), 1, "a"),  # duplicate key
+                (t0 + dt.timedelta(minutes=3), 3, "c"),
+            ],
+            columns=["ts", "user_id", "event_type"],
+        ),
+    )
+    schema = "ts timestamp, user_id long, event_type string"
+    stream = (
+        spark.readStream.format("excel").schema(schema).option("path", str(src)).load()
+    )
+    q = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+        .writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.user_id, r.event_type) for r in spark.table("dedup_sink").collect()
+    )
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
