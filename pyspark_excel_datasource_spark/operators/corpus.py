@@ -252,3 +252,88 @@ def q_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("shard_pos", F.row_number().over(win).cast("long"))
         .drop("h")
     )
+
+
+#: Context-packing geometry: tokens per packed training sequence, and the
+#: shard fan-out the pack order is computed within.
+_PACK_CAPACITY = 512
+_PACK_SHARDS = 16
+
+
+@query(
+    "q_pack_context",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id,
+               CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+               MD5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ),
+    placed AS (
+        SELECT doc_id, n_tokens,
+               CAST(CASE WHEN SUBSTR(h, 1, 1) BETWEEN '0' AND '9'
+                         THEN ASCII(SUBSTR(h, 1, 1)) - 48
+                         ELSE ASCII(SUBSTR(h, 1, 1)) - 87 END AS INT)
+                   AS shard,
+               SUM(n_tokens) OVER (
+                   PARTITION BY SUBSTR(h, 1, 1) ORDER BY SUBSTR(h, 2), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS tokens_before
+        FROM sized
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(COALESCE(tokens_before, 0) // {_PACK_CAPACITY} AS BIGINT)
+               AS bin_id,
+           CAST(COALESCE(tokens_before, 0) % {_PACK_CAPACITY} AS BIGINT)
+               AS bin_offset,
+           (COALESCE(tokens_before, 0) // {_PACK_CAPACITY} <
+            (COALESCE(tokens_before, 0) + n_tokens - 1) // {_PACK_CAPACITY})
+               AS crosses_boundary
+    FROM placed
+    """,
+)
+def q_pack_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split context packing: documents are laid end-to-end in
+    a deterministic content-addressed order and cut into fixed
+    ``_PACK_CAPACITY``-token training sequences; each document learns its
+    (shard, bin, offset) placement and whether it straddles a sequence
+    boundary.
+
+    The pretraining data-layout step after chunking/shuffling: GPT-style
+    pipelines concatenate documents and split at context boundaries
+    rather than padding per document. The placement is ONE running-sum
+    window per md5-shard (the same partitioning the shard writer uses —
+    at 100 TB each shard packs independently; no global coordination,
+    no RNG, reproducible across engines and corpus versions).
+    """
+    d = spread(table(spark, sf_dir, "documents"))
+    sized = d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    shard = F.conv(F.substring("h", 1, 1), 16, 10).cast("int")
+    w = (
+        W.partitionBy(F.substring("h", 1, 1))
+        .orderBy(F.substring(F.col("h"), 2, 32), F.col("doc_id"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    placed = sized.select(
+        "doc_id",
+        shard.alias("shard"),
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("tokens_before"),
+    )
+    # integer DIV, not float division: token offsets at 100 TB overflow
+    # the 2^53 double mantissa long before they overflow a BIGINT
+    return placed.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.expr(f"tokens_before DIV {_PACK_CAPACITY}").alias("bin_id"),
+        (F.col("tokens_before") % _PACK_CAPACITY).cast("long").alias("bin_offset"),
+        F.expr(
+            f"tokens_before DIV {_PACK_CAPACITY} <"
+            f" (tokens_before + n_tokens - 1) DIV {_PACK_CAPACITY}"
+        ).alias("crosses_boundary"),
+    )
