@@ -125,3 +125,27 @@ def test_corpus_plans_stay_jvm_side(spark):
     # must not introduce an aggregation or join shuffle
     assert "SortMergeJoin" not in chunk_plan
     assert "HashAggregate" not in chunk_plan
+
+
+def test_pack_context_invariants(spark):
+    """Packing must tile each shard exactly: offsets stay inside the
+    capacity, placements are contiguous (each doc starts where the
+    previous one ended), and boundary flags match the arithmetic."""
+    from pyspark_excel_datasource_spark.operators.corpus import _PACK_CAPACITY
+
+    rows = load_all_queries()["q_pack_context"](spark, SF).collect()
+    assert rows
+    by_shard = {}
+    for r in rows:
+        assert 0 <= r.bin_offset < _PACK_CAPACITY
+        assert r.crosses_boundary == (
+            r.bin_id < (r.bin_id * _PACK_CAPACITY + r.bin_offset + r.n_tokens - 1) // _PACK_CAPACITY
+        )
+        by_shard.setdefault(r.shard, []).append(r)
+    assert len(by_shard) == 16
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: (r.bin_id, r.bin_offset))
+        pos = 0
+        for r in shard_rows:
+            assert r.bin_id * _PACK_CAPACITY + r.bin_offset == pos
+            pos += r.n_tokens
