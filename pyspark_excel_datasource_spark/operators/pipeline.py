@@ -506,3 +506,57 @@ def q_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         epochs.alias("effective_epochs"),
         F.least(F.lit(1.0), epochs).alias("sampling_rate"),
     )
+
+
+@query(
+    "q_dedup_weights",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id,
+               MD5(LOWER(REGEXP_REPLACE(TRIM(text), ' +', ' ', 'g')))
+                   AS fingerprint
+        FROM documents
+    ),
+    counted AS (
+        SELECT *, COUNT(*) OVER (PARTITION BY fingerprint) AS n_copies,
+               MIN(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id
+        FROM fp
+    )
+    SELECT doc_id, fingerprint, CAST(n_copies AS BIGINT) AS n_copies,
+           CAST(canonical_id AS BIGINT) AS canonical_id,
+           1.0 / n_copies AS sample_weight,
+           doc_id = canonical_id AS is_canonical
+    FROM counted
+    """,
+)
+def q_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication: instead of DROPPING duplicates, every copy gets
+    sampling weight 1/n_copies so each distinct content contributes one
+    unit of training mass regardless of how often it was crawled.
+
+    The drop-vs-downweight choice is a real pipeline policy knob (hard
+    dedup discards provenance diversity; soft dedup keeps every copy's
+    metadata reachable). Plan: one window partitioning on the 16-byte
+    fingerprint — the shuffle moves hashes, never documents; the weight
+    is one exact IEEE division of identical operands cross-engine.
+    """
+    d = table(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.encode(
+            F.lower(F.regexp_replace(F.trim(F.col("text")), " +", " ")), "UTF-8"
+        )
+    )
+    w = W.partitionBy("fingerprint")
+    return (
+        d.select("doc_id", fp.alias("fingerprint"))
+        .withColumn("n_copies", F.count("*").over(w).cast("long"))
+        .withColumn("canonical_id", F.min("doc_id").over(w).cast("long"))
+        .select(
+            "doc_id",
+            "fingerprint",
+            "n_copies",
+            "canonical_id",
+            (F.lit(1.0) / F.col("n_copies")).alias("sample_weight"),
+            (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
+        )
+    )

@@ -178,6 +178,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_sim_ann_pq",
     "q_mix_budget",
     "q_pack_context",
+    "q_dedup_weights",
     "q_tokenize",
     "q_dedup_embed",
     "q_agg_histogram",
