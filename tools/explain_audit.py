@@ -30,6 +30,10 @@ ALLOWED_NESTED_LOOP = {
     "q_sim_selfjoin", "q_dedup_embed", "q_sim_topk", "q_join_theta",
     # broadcast of the 16-row centroid table is the IVF design, not a smell
     "q_sim_ann_ivf",
+    # the 5-row per-query ADC lookup tables broadcast onto the code scan
+    # IS the PQ scoring pass (every (query, code) pair is scored by
+    # design, like q_sim_topk's brute-force contract)
+    "q_sim_ann_pq",
     # the dim-side × 8-row salt table replication IS the salting technique
     # (a broadcast of 8 integers); the fact side still hash-joins on
     # (key, salt)
