@@ -116,6 +116,74 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_QUALITY_SCORE = (
+    f"(CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS({_SQL_STOPWORDS}, x)))"
+    " AS DOUBLE) / LEN(toks)) * 0.5"
+    " + (CASE WHEN LEN(toks) BETWEEN 20 AND 500 THEN 0.5 ELSE 0.0 END)"
+)
+
+
+@query(
+    "q_quality_tiers",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id,
+               {_SQL_QUALITY_SCORE} AS score
+        FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents)
+    ),
+    b AS (
+        SELECT QUANTILE_CONT(score, 0.25) AS q1,
+               QUANTILE_CONT(score, 0.50) AS q2,
+               QUANTILE_CONT(score, 0.75) AS q3
+        FROM scored
+    )
+    SELECT doc_id, score,
+           CAST(CAST(score > q1 AS INT) + CAST(score > q2 AS INT)
+                + CAST(score > q3 AS INT) AS INT) AS tier
+    FROM scored, b
+    """,
+)
+def q_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-tier bucketing WITHOUT a global sort: exact quartile
+    boundaries from one tiny aggregate (3 doubles), broadcast back onto
+    the scan, tier = strict-greater count against the boundaries.
+
+    The scale-correct spelling of ``ntile(4) OVER (ORDER BY score)`` —
+    a global ntile funnels the corpus through ONE partition's sort; this
+    plan's only wide stage is the percentile aggregate whose result is 3
+    numbers, and assignment is a stateless projection. Both engines
+    compute identical interpolated quantiles of identical doubles
+    (q_agg_percentile proves the parity), so the strict comparison is
+    deterministic cross-engine.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    score = (
+        n_stop.cast("double") / F.size(toks) * 0.5
+        + F.when(F.size(toks).between(20, 500), 0.5).otherwise(0.0)
+    )
+    scored = d.select("doc_id", score.alias("score"))
+    bounds = scored.agg(
+        F.percentile("score", 0.25).alias("q1"),
+        F.percentile("score", 0.50).alias("q2"),
+        F.percentile("score", 0.75).alias("q3"),
+    )
+    return (
+        scored.join(F.broadcast(bounds))
+        .select(
+            "doc_id",
+            "score",
+            (
+                (F.col("score") > F.col("q1")).cast("int")
+                + (F.col("score") > F.col("q2")).cast("int")
+                + (F.col("score") > F.col("q3")).cast("int")
+            ).cast("int").alias("tier"),
+        )
+    )
+
+
 def _sql_lang_score(markers: tuple[str, ...]) -> str:
     arr = "[" + ", ".join(f"'{w}'" for w in markers) + "]"
     return f"LEN(LIST_FILTER(toks, x -> LIST_CONTAINS({arr}, x)))"

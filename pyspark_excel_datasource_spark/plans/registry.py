@@ -179,6 +179,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_mix_budget",
     "q_pack_context",
     "q_dedup_weights",
+    "q_quality_tiers",
     "q_tokenize",
     "q_dedup_embed",
     "q_agg_histogram",
