@@ -727,3 +727,147 @@ def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_nodes"))
         .select(F.col("degree").cast("long").alias("degree"), "n_nodes")
     )
+
+
+@query(
+    "q_dedup_minhash_oracled",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               LIST_DISTINCT([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in RANGE(1, LEN(w) - 1)]) AS shingles
+        FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents)
+        WHERE LEN(w) >= 3
+    ),
+    toks AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+    sigs AS (
+        SELECT doc_id,
+               CAST(MIN(CAST(('0x' || SUBSTR(MD5('0:' || s), 1, 15)) AS UBIGINT)) AS BIGINT) AS h0,
+               CAST(MIN(CAST(('0x' || SUBSTR(MD5('1:' || s), 1, 15)) AS UBIGINT)) AS BIGINT) AS h1,
+               CAST(MIN(CAST(('0x' || SUBSTR(MD5('2:' || s), 1, 15)) AS UBIGINT)) AS BIGINT) AS h2,
+               CAST(MIN(CAST(('0x' || SUBSTR(MD5('3:' || s), 1, 15)) AS UBIGINT)) AS BIGINT) AS h3,
+               CAST(MIN(CAST(('0x' || SUBSTR(MD5('4:' || s), 1, 15)) AS UBIGINT)) AS BIGINT) AS h4,
+               CAST(MIN(CAST(('0x' || SUBSTR(MD5('5:' || s), 1, 15)) AS UBIGINT)) AS BIGINT) AS h5,
+               CAST(MIN(CAST(('0x' || SUBSTR(MD5('6:' || s), 1, 15)) AS UBIGINT)) AS BIGINT) AS h6,
+               CAST(MIN(CAST(('0x' || SUBSTR(MD5('7:' || s), 1, 15)) AS UBIGINT)) AS BIGINT) AS h7,
+               CAST(MIN(CAST(('0x' || SUBSTR(MD5('8:' || s), 1, 15)) AS UBIGINT)) AS BIGINT) AS h8,
+               CAST(MIN(CAST(('0x' || SUBSTR(MD5('9:' || s), 1, 15)) AS UBIGINT)) AS BIGINT) AS h9,
+               CAST(MIN(CAST(('0x' || SUBSTR(MD5('10:' || s), 1, 15)) AS UBIGINT)) AS BIGINT) AS h10,
+               CAST(MIN(CAST(('0x' || SUBSTR(MD5('11:' || s), 1, 15)) AS UBIGINT)) AS BIGINT) AS h11,
+               CAST(MIN(CAST(('0x' || SUBSTR(MD5('12:' || s), 1, 15)) AS UBIGINT)) AS BIGINT) AS h12,
+               CAST(MIN(CAST(('0x' || SUBSTR(MD5('13:' || s), 1, 15)) AS UBIGINT)) AS BIGINT) AS h13,
+               CAST(MIN(CAST(('0x' || SUBSTR(MD5('14:' || s), 1, 15)) AS UBIGINT)) AS BIGINT) AS h14,
+               CAST(MIN(CAST(('0x' || SUBSTR(MD5('15:' || s), 1, 15)) AS UBIGINT)) AS BIGINT) AS h15,
+               CAST(MIN(CAST(('0x' || SUBSTR(MD5('16:' || s), 1, 15)) AS UBIGINT)) AS BIGINT) AS h16,
+               CAST(MIN(CAST(('0x' || SUBSTR(MD5('17:' || s), 1, 15)) AS UBIGINT)) AS BIGINT) AS h17,
+               CAST(MIN(CAST(('0x' || SUBSTR(MD5('18:' || s), 1, 15)) AS UBIGINT)) AS BIGINT) AS h18,
+               CAST(MIN(CAST(('0x' || SUBSTR(MD5('19:' || s), 1, 15)) AS UBIGINT)) AS BIGINT) AS h19,
+               CAST(MIN(CAST(('0x' || SUBSTR(MD5('20:' || s), 1, 15)) AS UBIGINT)) AS BIGINT) AS h20,
+               CAST(MIN(CAST(('0x' || SUBSTR(MD5('21:' || s), 1, 15)) AS UBIGINT)) AS BIGINT) AS h21,
+               CAST(MIN(CAST(('0x' || SUBSTR(MD5('22:' || s), 1, 15)) AS UBIGINT)) AS BIGINT) AS h22,
+               CAST(MIN(CAST(('0x' || SUBSTR(MD5('23:' || s), 1, 15)) AS UBIGINT)) AS BIGINT) AS h23,
+               CAST(MIN(CAST(('0x' || SUBSTR(MD5('24:' || s), 1, 15)) AS UBIGINT)) AS BIGINT) AS h24,
+               CAST(MIN(CAST(('0x' || SUBSTR(MD5('25:' || s), 1, 15)) AS UBIGINT)) AS BIGINT) AS h25,
+               CAST(MIN(CAST(('0x' || SUBSTR(MD5('26:' || s), 1, 15)) AS UBIGINT)) AS BIGINT) AS h26,
+               CAST(MIN(CAST(('0x' || SUBSTR(MD5('27:' || s), 1, 15)) AS UBIGINT)) AS BIGINT) AS h27,
+               CAST(MIN(CAST(('0x' || SUBSTR(MD5('28:' || s), 1, 15)) AS UBIGINT)) AS BIGINT) AS h28,
+               CAST(MIN(CAST(('0x' || SUBSTR(MD5('29:' || s), 1, 15)) AS UBIGINT)) AS BIGINT) AS h29,
+               CAST(MIN(CAST(('0x' || SUBSTR(MD5('30:' || s), 1, 15)) AS UBIGINT)) AS BIGINT) AS h30,
+               CAST(MIN(CAST(('0x' || SUBSTR(MD5('31:' || s), 1, 15)) AS UBIGINT)) AS BIGINT) AS h31
+        FROM toks GROUP BY doc_id
+    ),
+    cand AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE (a.h0 = b.h0 AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.h3 = b.h3)
+            OR (a.h4 = b.h4 AND a.h5 = b.h5 AND a.h6 = b.h6 AND a.h7 = b.h7)
+            OR (a.h8 = b.h8 AND a.h9 = b.h9 AND a.h10 = b.h10 AND a.h11 = b.h11)
+            OR (a.h12 = b.h12 AND a.h13 = b.h13 AND a.h14 = b.h14 AND a.h15 = b.h15)
+            OR (a.h16 = b.h16 AND a.h17 = b.h17 AND a.h18 = b.h18 AND a.h19 = b.h19)
+            OR (a.h20 = b.h20 AND a.h21 = b.h21 AND a.h22 = b.h22 AND a.h23 = b.h23)
+            OR (a.h24 = b.h24 AND a.h25 = b.h25 AND a.h26 = b.h26 AND a.h27 = b.h27)
+            OR (a.h28 = b.h28 AND a.h29 = b.h29 AND a.h30 = b.h30 AND a.h31 = b.h31)
+    )
+    SELECT d1, d2,
+           CAST(LEN(LIST_INTERSECT(s1.shingles, s2.shingles)) AS DOUBLE)
+               / LEN(LIST_DISTINCT(s1.shingles || s2.shingles)) AS jaccard
+    FROM cand
+    JOIN sh s1 ON d1 = s1.doc_id
+    JOIN sh s2 ON d2 = s2.doc_id
+    WHERE CAST(LEN(LIST_INTERSECT(s1.shingles, s2.shingles)) AS DOUBLE)
+              / LEN(LIST_DISTINCT(s1.shingles || s2.shingles)) >= 0.5
+    """,
+)
+def q_dedup_minhash_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs with a CROSS-ENGINE hash family: h_i =
+    min over shingles of the first 60 bits of md5(i || ':' || shingle).
+
+    The xxhash64 flagship (``q_dedup_minhash``) is the bench path but its
+    hash is JVM-only, capping the driver's check at rows-only; md5 is
+    bit-identical in DuckDB, so THIS variant's whole pipeline — 32-way
+    signatures, 8×4 banding, candidate generation, exact-Jaccard verify —
+    hash-verifies against the oracle end to end. Same plan shape as the
+    flagship: one explode + one partial-agg shuffle for signatures, band
+    equi-join on 4-value buckets, candidates-only verification. (The
+    oracle spells candidates as an O(n²) signature comparison because
+    DuckDB has no explode-free banding idiom — the SPARK side stays the
+    banded equi-join.)
+    """
+    shingled = _shingles(table(spark, sf_dir, "documents")).cache()
+    toks = shingled.select("doc_id", F.explode("shingles").alias("s"))
+
+    def h(i: int) -> F.Column:
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("s"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+
+    sig = toks.groupBy("doc_id").agg(
+        *[F.min(h(i)).alias(f"h{i}") for i in range(32)]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.struct(
+                            *[
+                                F.col(f"h{b * 4 + r}").alias(f"r{r}")
+                                for r in range(4)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(8)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a, b = bands.alias("a"), bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    s1 = shingled.select(F.col("doc_id").alias("d1"), F.col("shingles").alias("sh1"))
+    s2 = shingled.select(F.col("doc_id").alias("d2"), F.col("shingles").alias("sh2"))
+    return (
+        candidates.join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            "d1",
+            "d2",
+            (
+                F.size(F.array_intersect("sh1", "sh2")).cast("double")
+                / F.size(F.array_union("sh1", "sh2"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= _NEAR_DUP_THRESHOLD)
+    )
