@@ -871,3 +871,226 @@ def q_dedup_minhash_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= _NEAR_DUP_THRESHOLD)
     )
+
+
+@query(
+    "q_dedup_simhash_oracled",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               LIST_DISTINCT([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in RANGE(1, LEN(w) - 1)]) AS shingles
+        FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents)
+        WHERE LEN(w) >= 3
+    ),
+    toks AS (
+        SELECT doc_id,
+               CAST(('0x' || SUBSTR(MD5(s), 1, 15)) AS UBIGINT)::BIGINT AS h
+        FROM (SELECT doc_id, UNNEST(shingles) AS s FROM sh)
+    ),
+    votes AS (
+        SELECT doc_id,
+               SUM(CASE WHEN (h >> 0) & 1 = 1 THEN 1 ELSE -1 END) AS v0,
+               SUM(CASE WHEN (h >> 1) & 1 = 1 THEN 1 ELSE -1 END) AS v1,
+               SUM(CASE WHEN (h >> 2) & 1 = 1 THEN 1 ELSE -1 END) AS v2,
+               SUM(CASE WHEN (h >> 3) & 1 = 1 THEN 1 ELSE -1 END) AS v3,
+               SUM(CASE WHEN (h >> 4) & 1 = 1 THEN 1 ELSE -1 END) AS v4,
+               SUM(CASE WHEN (h >> 5) & 1 = 1 THEN 1 ELSE -1 END) AS v5,
+               SUM(CASE WHEN (h >> 6) & 1 = 1 THEN 1 ELSE -1 END) AS v6,
+               SUM(CASE WHEN (h >> 7) & 1 = 1 THEN 1 ELSE -1 END) AS v7,
+               SUM(CASE WHEN (h >> 8) & 1 = 1 THEN 1 ELSE -1 END) AS v8,
+               SUM(CASE WHEN (h >> 9) & 1 = 1 THEN 1 ELSE -1 END) AS v9,
+               SUM(CASE WHEN (h >> 10) & 1 = 1 THEN 1 ELSE -1 END) AS v10,
+               SUM(CASE WHEN (h >> 11) & 1 = 1 THEN 1 ELSE -1 END) AS v11,
+               SUM(CASE WHEN (h >> 12) & 1 = 1 THEN 1 ELSE -1 END) AS v12,
+               SUM(CASE WHEN (h >> 13) & 1 = 1 THEN 1 ELSE -1 END) AS v13,
+               SUM(CASE WHEN (h >> 14) & 1 = 1 THEN 1 ELSE -1 END) AS v14,
+               SUM(CASE WHEN (h >> 15) & 1 = 1 THEN 1 ELSE -1 END) AS v15,
+               SUM(CASE WHEN (h >> 16) & 1 = 1 THEN 1 ELSE -1 END) AS v16,
+               SUM(CASE WHEN (h >> 17) & 1 = 1 THEN 1 ELSE -1 END) AS v17,
+               SUM(CASE WHEN (h >> 18) & 1 = 1 THEN 1 ELSE -1 END) AS v18,
+               SUM(CASE WHEN (h >> 19) & 1 = 1 THEN 1 ELSE -1 END) AS v19,
+               SUM(CASE WHEN (h >> 20) & 1 = 1 THEN 1 ELSE -1 END) AS v20,
+               SUM(CASE WHEN (h >> 21) & 1 = 1 THEN 1 ELSE -1 END) AS v21,
+               SUM(CASE WHEN (h >> 22) & 1 = 1 THEN 1 ELSE -1 END) AS v22,
+               SUM(CASE WHEN (h >> 23) & 1 = 1 THEN 1 ELSE -1 END) AS v23,
+               SUM(CASE WHEN (h >> 24) & 1 = 1 THEN 1 ELSE -1 END) AS v24,
+               SUM(CASE WHEN (h >> 25) & 1 = 1 THEN 1 ELSE -1 END) AS v25,
+               SUM(CASE WHEN (h >> 26) & 1 = 1 THEN 1 ELSE -1 END) AS v26,
+               SUM(CASE WHEN (h >> 27) & 1 = 1 THEN 1 ELSE -1 END) AS v27,
+               SUM(CASE WHEN (h >> 28) & 1 = 1 THEN 1 ELSE -1 END) AS v28,
+               SUM(CASE WHEN (h >> 29) & 1 = 1 THEN 1 ELSE -1 END) AS v29,
+               SUM(CASE WHEN (h >> 30) & 1 = 1 THEN 1 ELSE -1 END) AS v30,
+               SUM(CASE WHEN (h >> 31) & 1 = 1 THEN 1 ELSE -1 END) AS v31,
+               SUM(CASE WHEN (h >> 32) & 1 = 1 THEN 1 ELSE -1 END) AS v32,
+               SUM(CASE WHEN (h >> 33) & 1 = 1 THEN 1 ELSE -1 END) AS v33,
+               SUM(CASE WHEN (h >> 34) & 1 = 1 THEN 1 ELSE -1 END) AS v34,
+               SUM(CASE WHEN (h >> 35) & 1 = 1 THEN 1 ELSE -1 END) AS v35,
+               SUM(CASE WHEN (h >> 36) & 1 = 1 THEN 1 ELSE -1 END) AS v36,
+               SUM(CASE WHEN (h >> 37) & 1 = 1 THEN 1 ELSE -1 END) AS v37,
+               SUM(CASE WHEN (h >> 38) & 1 = 1 THEN 1 ELSE -1 END) AS v38,
+               SUM(CASE WHEN (h >> 39) & 1 = 1 THEN 1 ELSE -1 END) AS v39,
+               SUM(CASE WHEN (h >> 40) & 1 = 1 THEN 1 ELSE -1 END) AS v40,
+               SUM(CASE WHEN (h >> 41) & 1 = 1 THEN 1 ELSE -1 END) AS v41,
+               SUM(CASE WHEN (h >> 42) & 1 = 1 THEN 1 ELSE -1 END) AS v42,
+               SUM(CASE WHEN (h >> 43) & 1 = 1 THEN 1 ELSE -1 END) AS v43,
+               SUM(CASE WHEN (h >> 44) & 1 = 1 THEN 1 ELSE -1 END) AS v44,
+               SUM(CASE WHEN (h >> 45) & 1 = 1 THEN 1 ELSE -1 END) AS v45,
+               SUM(CASE WHEN (h >> 46) & 1 = 1 THEN 1 ELSE -1 END) AS v46,
+               SUM(CASE WHEN (h >> 47) & 1 = 1 THEN 1 ELSE -1 END) AS v47,
+               SUM(CASE WHEN (h >> 48) & 1 = 1 THEN 1 ELSE -1 END) AS v48,
+               SUM(CASE WHEN (h >> 49) & 1 = 1 THEN 1 ELSE -1 END) AS v49,
+               SUM(CASE WHEN (h >> 50) & 1 = 1 THEN 1 ELSE -1 END) AS v50,
+               SUM(CASE WHEN (h >> 51) & 1 = 1 THEN 1 ELSE -1 END) AS v51,
+               SUM(CASE WHEN (h >> 52) & 1 = 1 THEN 1 ELSE -1 END) AS v52,
+               SUM(CASE WHEN (h >> 53) & 1 = 1 THEN 1 ELSE -1 END) AS v53,
+               SUM(CASE WHEN (h >> 54) & 1 = 1 THEN 1 ELSE -1 END) AS v54,
+               SUM(CASE WHEN (h >> 55) & 1 = 1 THEN 1 ELSE -1 END) AS v55,
+               SUM(CASE WHEN (h >> 56) & 1 = 1 THEN 1 ELSE -1 END) AS v56,
+               SUM(CASE WHEN (h >> 57) & 1 = 1 THEN 1 ELSE -1 END) AS v57,
+               SUM(CASE WHEN (h >> 58) & 1 = 1 THEN 1 ELSE -1 END) AS v58,
+               SUM(CASE WHEN (h >> 59) & 1 = 1 THEN 1 ELSE -1 END) AS v59
+        FROM toks GROUP BY doc_id
+    ),
+    sigs AS (
+        SELECT doc_id,
+               (CASE WHEN v0 > 0 THEN 1::BIGINT ELSE 0 END)
+                 + (CASE WHEN v1 > 0 THEN 2::BIGINT ELSE 0 END)
+                 + (CASE WHEN v2 > 0 THEN 4::BIGINT ELSE 0 END)
+                 + (CASE WHEN v3 > 0 THEN 8::BIGINT ELSE 0 END)
+                 + (CASE WHEN v4 > 0 THEN 16::BIGINT ELSE 0 END)
+                 + (CASE WHEN v5 > 0 THEN 32::BIGINT ELSE 0 END)
+                 + (CASE WHEN v6 > 0 THEN 64::BIGINT ELSE 0 END)
+                 + (CASE WHEN v7 > 0 THEN 128::BIGINT ELSE 0 END)
+                 + (CASE WHEN v8 > 0 THEN 256::BIGINT ELSE 0 END)
+                 + (CASE WHEN v9 > 0 THEN 512::BIGINT ELSE 0 END)
+                 + (CASE WHEN v10 > 0 THEN 1024::BIGINT ELSE 0 END)
+                 + (CASE WHEN v11 > 0 THEN 2048::BIGINT ELSE 0 END)
+                 + (CASE WHEN v12 > 0 THEN 4096::BIGINT ELSE 0 END)
+                 + (CASE WHEN v13 > 0 THEN 8192::BIGINT ELSE 0 END)
+                 + (CASE WHEN v14 > 0 THEN 16384::BIGINT ELSE 0 END)
+                 + (CASE WHEN v15 > 0 THEN 32768::BIGINT ELSE 0 END)
+                 + (CASE WHEN v16 > 0 THEN 65536::BIGINT ELSE 0 END)
+                 + (CASE WHEN v17 > 0 THEN 131072::BIGINT ELSE 0 END)
+                 + (CASE WHEN v18 > 0 THEN 262144::BIGINT ELSE 0 END)
+                 + (CASE WHEN v19 > 0 THEN 524288::BIGINT ELSE 0 END)
+                 + (CASE WHEN v20 > 0 THEN 1048576::BIGINT ELSE 0 END)
+                 + (CASE WHEN v21 > 0 THEN 2097152::BIGINT ELSE 0 END)
+                 + (CASE WHEN v22 > 0 THEN 4194304::BIGINT ELSE 0 END)
+                 + (CASE WHEN v23 > 0 THEN 8388608::BIGINT ELSE 0 END)
+                 + (CASE WHEN v24 > 0 THEN 16777216::BIGINT ELSE 0 END)
+                 + (CASE WHEN v25 > 0 THEN 33554432::BIGINT ELSE 0 END)
+                 + (CASE WHEN v26 > 0 THEN 67108864::BIGINT ELSE 0 END)
+                 + (CASE WHEN v27 > 0 THEN 134217728::BIGINT ELSE 0 END)
+                 + (CASE WHEN v28 > 0 THEN 268435456::BIGINT ELSE 0 END)
+                 + (CASE WHEN v29 > 0 THEN 536870912::BIGINT ELSE 0 END)
+                 + (CASE WHEN v30 > 0 THEN 1073741824::BIGINT ELSE 0 END)
+                 + (CASE WHEN v31 > 0 THEN 2147483648::BIGINT ELSE 0 END)
+                 + (CASE WHEN v32 > 0 THEN 4294967296::BIGINT ELSE 0 END)
+                 + (CASE WHEN v33 > 0 THEN 8589934592::BIGINT ELSE 0 END)
+                 + (CASE WHEN v34 > 0 THEN 17179869184::BIGINT ELSE 0 END)
+                 + (CASE WHEN v35 > 0 THEN 34359738368::BIGINT ELSE 0 END)
+                 + (CASE WHEN v36 > 0 THEN 68719476736::BIGINT ELSE 0 END)
+                 + (CASE WHEN v37 > 0 THEN 137438953472::BIGINT ELSE 0 END)
+                 + (CASE WHEN v38 > 0 THEN 274877906944::BIGINT ELSE 0 END)
+                 + (CASE WHEN v39 > 0 THEN 549755813888::BIGINT ELSE 0 END)
+                 + (CASE WHEN v40 > 0 THEN 1099511627776::BIGINT ELSE 0 END)
+                 + (CASE WHEN v41 > 0 THEN 2199023255552::BIGINT ELSE 0 END)
+                 + (CASE WHEN v42 > 0 THEN 4398046511104::BIGINT ELSE 0 END)
+                 + (CASE WHEN v43 > 0 THEN 8796093022208::BIGINT ELSE 0 END)
+                 + (CASE WHEN v44 > 0 THEN 17592186044416::BIGINT ELSE 0 END)
+                 + (CASE WHEN v45 > 0 THEN 35184372088832::BIGINT ELSE 0 END)
+                 + (CASE WHEN v46 > 0 THEN 70368744177664::BIGINT ELSE 0 END)
+                 + (CASE WHEN v47 > 0 THEN 140737488355328::BIGINT ELSE 0 END)
+                 + (CASE WHEN v48 > 0 THEN 281474976710656::BIGINT ELSE 0 END)
+                 + (CASE WHEN v49 > 0 THEN 562949953421312::BIGINT ELSE 0 END)
+                 + (CASE WHEN v50 > 0 THEN 1125899906842624::BIGINT ELSE 0 END)
+                 + (CASE WHEN v51 > 0 THEN 2251799813685248::BIGINT ELSE 0 END)
+                 + (CASE WHEN v52 > 0 THEN 4503599627370496::BIGINT ELSE 0 END)
+                 + (CASE WHEN v53 > 0 THEN 9007199254740992::BIGINT ELSE 0 END)
+                 + (CASE WHEN v54 > 0 THEN 18014398509481984::BIGINT ELSE 0 END)
+                 + (CASE WHEN v55 > 0 THEN 36028797018963968::BIGINT ELSE 0 END)
+                 + (CASE WHEN v56 > 0 THEN 72057594037927936::BIGINT ELSE 0 END)
+                 + (CASE WHEN v57 > 0 THEN 144115188075855872::BIGINT ELSE 0 END)
+                 + (CASE WHEN v58 > 0 THEN 288230376151711744::BIGINT ELSE 0 END)
+                 + (CASE WHEN v59 > 0 THEN 576460752303423488::BIGINT ELSE 0 END) AS sig
+        FROM votes
+    )
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 5
+    """,
+)
+def q_dedup_simhash_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with a CROSS-ENGINE hash family: 60-bit
+    feature hashes from md5 (bit-identical in DuckDB), 6 bands × 10 bits,
+    exact Hamming verify ≤ 5.
+
+    The md5 twin of ``q_dedup_simhash`` (same Manku/Jain/Das Sarma
+    block-split scheme): ≤ 5 differing bits cannot touch all
+    6 bands, so banding recall w.r.t. the Hamming criterion is
+    exactly 1.0 and the banded Spark plan provably equals the oracle's
+    exhaustive pair scan — which is what lets a SIGNATURE-based dedup be
+    value-hash-verified end to end. Plan shape: one explode + one
+    partial-agg shuffle for the 60 bit-votes, 6-way band explode,
+    bucket equi-join, Hamming verify of candidates only.
+    """
+    toks = (
+        _shingles(table(spark, sf_dir, "documents"))
+        .select("doc_id", F.explode("shingles").alias("tok"))
+        .withColumn(
+            "h",
+            F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"),
+        )
+    )
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(60)
+        ]
+    )
+    bit_terms = [
+        F.when(F.col(f"v{i}") > 0, F.lit(2**i).cast("long")).otherwise(0)
+        for i in range(60)
+    ]
+    sigs = votes.select("doc_id", sum(bit_terms[1:], bit_terms[0]).alias("sig"))
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("sig"), b * 10)
+                        .bitwiseAND(F.lit(1023))
+                        .alias("bval"),
+                    )
+                    for b in range(6)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", "bb.band", "bb.bval")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.bit_count(
+                F.col("a.sig").bitwiseXOR(F.col("b.sig"))
+            ).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 5)
+        .distinct()
+    )

@@ -181,6 +181,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_dedup_weights",
     "q_quality_tiers",
     "q_dedup_minhash_oracled",
+    "q_dedup_simhash_oracled",
     "q_tokenize",
     "q_dedup_embed",
     "q_agg_histogram",
