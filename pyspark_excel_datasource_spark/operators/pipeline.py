@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..catalog import table
+from ..functions.determinism import sql_canon, sql_dround
 from ..plans.registry import query
 
 #: md5-prefix thresholds: 'cd' = 205/256 ≈ 80% train, 'e6' = 230/256 ≈ 90%
@@ -448,8 +449,8 @@ _MIX_BUDGET_TOKENS = 1_000_000
     oracle=f"""
     WITH per_source AS (
         SELECT source,
-               CAST(REGEXP_EXTRACT(source, '([0-9]+)', 1) AS INT) % 4 + 1
-                   AS weight,
+               COALESCE(TRY_CAST(REGEXP_EXTRACT(source, '([0-9]+)', 1) AS INT), 0)
+                   % 4 + 1 AS weight,
                COUNT(*) AS n_docs,
                CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_tokens
         FROM documents
@@ -462,10 +463,8 @@ _MIX_BUDGET_TOKENS = 1_000_000
            CAST(weight AS INT) AS weight,
            CAST(ROUND({_MIX_BUDGET_TOKENS} * weight / CAST(total_weight AS DOUBLE))
                 AS BIGINT) AS alloc_tokens,
-           ROUND(CAST(ROUND({_MIX_BUDGET_TOKENS} * weight / CAST(total_weight AS DOUBLE))
-                      AS BIGINT) / CAST(n_tokens AS DOUBLE), 6) AS effective_epochs,
-           LEAST(1.0, ROUND(CAST(ROUND({_MIX_BUDGET_TOKENS} * weight / CAST(total_weight AS DOUBLE))
-                      AS BIGINT) / CAST(n_tokens AS DOUBLE), 6)) AS sampling_rate
+           {sql_canon(sql_dround(f"CAST(ROUND({_MIX_BUDGET_TOKENS} * weight / CAST(total_weight AS DOUBLE)) AS BIGINT) / CAST(n_tokens AS DOUBLE)", 6))} AS effective_epochs,
+           {sql_canon(f"CAST(LEAST(CAST(1.0 AS DECIMAL(38,6)), {sql_dround(f'CAST(ROUND({_MIX_BUDGET_TOKENS} * weight / CAST(total_weight AS DOUBLE)) AS BIGINT) / CAST(n_tokens AS DOUBLE)', 6)}) AS DECIMAL(38,6))")} AS sampling_rate
     FROM totals
     """,
 )
@@ -480,31 +479,45 @@ def q_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~20 rows AFTER aggregation, never on the corpus. Weights here are a
     deterministic function of the source id (suffix mod 4 + 1) so the
     query is self-contained; a real run would broadcast-join a weights
-    table, same plan shape. Divisions are single IEEE ops on identical
-    operands cross-engine; rounded to 6 per the determinism convention.
+    table, same plan shape. The two rounded doubles are presented via
+    ``canon(dround(...))`` like every other rounded output (Spark rounds
+    through BigDecimal HALF_UP, DuckDB via multiply-round-divide — a raw
+    ``ROUND(x, 6)`` double can diverge by 1 ulp on unlucky inputs); the
+    weight extraction is ``try_cast`` + default on BOTH sides so a source
+    id without digits degrades identically cross-engine instead of
+    erroring in DuckDB only.
     """
+    from ..functions.determinism import canon, dround
+
     d = table(spark, sf_dir, "documents")
     per_source = d.groupBy("source").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("n_tokens"),
     )
     weight = (
-        F.regexp_extract(F.col("source"), r"([0-9]+)", 1).cast("int") % 4 + 1
+        F.coalesce(
+            F.regexp_extract(F.col("source"), r"([0-9]+)", 1).try_cast("int"),
+            F.lit(0),
+        )
+        % 4
+        + 1
     )
     with_w = per_source.withColumn("weight", weight.cast("int"))
     total_w = F.sum("weight").over(W.partitionBy())
     alloc = F.round(
         F.lit(_MIX_BUDGET_TOKENS) * F.col("weight") / total_w.cast("double")
     ).cast("long")
-    epochs = F.round(alloc.cast("double") / F.col("n_tokens").cast("double"), 6)
+    epochs = dround(alloc.cast("double") / F.col("n_tokens").cast("double"), 6)
     return with_w.select(
         "source",
         "n_docs",
         "n_tokens",
         "weight",
         alloc.alias("alloc_tokens"),
-        epochs.alias("effective_epochs"),
-        F.least(F.lit(1.0), epochs).alias("sampling_rate"),
+        canon(epochs).alias("effective_epochs"),
+        canon(
+            F.least(F.lit(1.0).cast("decimal(38,6)"), epochs)
+        ).alias("sampling_rate"),
     )
 
 

@@ -417,7 +417,7 @@ def _pq_codebook(emb: DataFrame) -> np.ndarray:
     sample (the ``_PQ_TRAIN`` lowest vec_ids).
 
     Codebook training on a sample is the standard PQ build (the codebook
-    is M×K×d_sub floats — here 8×16×8 — regardless of corpus size; only
+    is M×K×d_sub floats — here 8×64×8 — regardless of corpus size; only
     ENCODING touches every vector). Lloyd iterations in float64 numpy
     with first-occurrence argmin ties → fully deterministic, no RNG.
     Returns an (M, K, d_sub) array.
@@ -425,6 +425,11 @@ def _pq_codebook(emb: DataFrame) -> np.ndarray:
     sample = np.stack(
         [r.e for r in emb.orderBy("vec_id").limit(_PQ_TRAIN).select("e").collect()]
     )
+    if len(sample) < _PQ_K:
+        raise ValueError(
+            f"PQ codebook needs >= {_PQ_K} training vectors for the "
+            f"deterministic first-K init; got {len(sample)}"
+        )
     n, dim = sample.shape
     d_sub = dim // _PQ_M
     books = np.empty((_PQ_M, _PQ_K, d_sub))
@@ -445,7 +450,7 @@ def _pq_codebook(emb: DataFrame) -> np.ndarray:
 def _pq_encode_udf(books: np.ndarray):
     """Arrow-vectorized PQ encoder: one (batch × M × d_sub) distance
     computation per Arrow batch. The codebook rides along as a closure
-    (a broadcast variable in cluster terms — 8×16×8 floats)."""
+    (a broadcast variable in cluster terms — 8×64×8 floats)."""
     from pyspark.sql.functions import pandas_udf
 
     M, K, d_sub = books.shape

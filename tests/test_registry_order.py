@@ -31,32 +31,24 @@ def test_probes_trail_the_ordering():
     assert not any(n.startswith("q_probe_dec_") for n in names[:-6])
 
 
-def test_round4_window_composition():
+def test_round5_window_composition():
+    """Round-5 window = every query with NO driver verdict in rounds 1-4
+    (47 of them, from CORRECTNESS_r01..r04.json) + 3 regression pads whose
+    code paths changed this round."""
+    import json
+    import pathlib
+
     names = set(_ordered_names()[:50])
-    # round-3 failures repaired this round — need fresh driver verdicts
-    repaired = {
-        "q_fn_math", "q_text_tfidf", "q_sim_topk",
-        "q_fn_json", "q_fn_map", "q_cte",
-        "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
-        "q_stream_watermark", "q_stream_dedup",
-        "q_sessionize", "q_funnel", "q_retention", "q_scd2_intervals",
-        "q_rollup_hierarchical", "q_anomaly_zscore", "q_fill_forward",
-        "q_pattern_sequence", "q_stream_enrich", "q_ewma",
-        "q_event_transitions", "q_join_dpp", "q_win_median",
-    }
-    # SURVEY §2.3 core ops rotating in for first-time verdicts
-    first_time = {
-        "q_scan_parquet", "q_project", "q_filter_basic", "q_filter_complex",
-        "q_join_inner", "q_join_left", "q_join_right", "q_join_full",
-        "q_join_semi", "q_join_anti", "q_join_asof",
-        "q_agg_group", "q_agg_stats", "q_agg_rollup", "q_agg_gsets",
-        "q_dedup_exact", "q_win_rank", "q_win_analytic", "q_sort_multi",
-        "q_topk", "q_topk_group", "q_union_all", "q_union_dist",
-        "q_intersect", "q_except", "q_fn_string",
-    }
-    out = (repaired | first_time) - names
-    assert not out, f"gate-critical queries fell out of the first 50: {out}"
-    assert len(repaired | first_time) == 50
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    seen: set[str] = set()
+    for r in ("01", "02", "03", "04"):
+        seen.update(json.loads((repo / f"CORRECTNESS_r{r}.json").read_text()))
+    never = set(_ordered_names()) - seen
+    out = never - names
+    assert not out, f"never-verdicted queries fell out of the first 50: {out}"
+    assert len(never) == 47
+    pads = names - never
+    assert pads == {"q_scan_excel", "q_scan_multifile", "q_multimodal_cols"}
 
 
 def test_every_oracle_has_a_query():
