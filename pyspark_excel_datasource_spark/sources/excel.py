@@ -98,23 +98,57 @@ def _read_frame(
     header: bool,
     skip_rows: int = 0,
     n_rows: int | None = None,
+    usecols: list[str] | None = None,
 ) -> pd.DataFrame:
+    """Decode one sheet (or a row-range chunk of it) to a pandas frame.
+
+    ``usecols`` is the column-pruned decode path (SURVEY §4.2): the bound
+    schema's field names (``_c{i}`` positional names when ``header`` is
+    off). The minixlsx codec skips unselected cells before value parsing;
+    the pandas/openpyxl codec prunes storage + the Python→Arrow hop (its
+    engine still parses the sheet XML). Selection is permissive — names
+    absent from the sheet are ignored so the schema-binding layer
+    (``_frame_to_batches``) keeps ownership of the missing-column error
+    contract. The reference has no pruned decode at all: connector.py
+    185-200 materializes every cell of every column unconditionally.
+    """
     if _HAVE_OPENPYXL:
+        if usecols is None:
+            cols_arg = None
+        elif header:
+            wanted = {str(c) for c in usecols}
+            cols_arg = lambda c: str(c) in wanted  # noqa: E731
+        else:
+            wanted_idx = {
+                int(c[2:])
+                for c in usecols
+                if c.startswith("_c") and c[2:].isdigit()
+            }
+            cols_arg = lambda c: c in wanted_idx  # noqa: E731
         frame = pd.read_excel(
             path,
             sheet_name=sheet if isinstance(sheet, str) else int(sheet),
             header=0 if header else None,
             skiprows=(lambda i: 1 <= i <= skip_rows) if (header and skip_rows) else (skip_rows or None),
             nrows=n_rows,
+            usecols=cols_arg,
             dtype_backend="numpy_nullable",
         )
         if not header:
-            frame.columns = [f"_c{i}" for i in range(len(frame.columns))]
+            # positional labels survive usecols filtering (pandas keeps the
+            # original integer labels), so name from the label, not the
+            # post-filter position
+            frame.columns = [f"_c{int(c)}" for c in frame.columns]
         else:
             frame.columns = [str(c) for c in frame.columns]
         return frame
     return minixlsx.read_xlsx(
-        path, sheet=sheet, header=header, skip_rows=skip_rows, n_rows=n_rows
+        path,
+        sheet=sheet,
+        header=header,
+        skip_rows=skip_rows,
+        n_rows=n_rows,
+        usecols=usecols,
     )
 
 
@@ -365,12 +399,19 @@ class ExcelDataSourceReader(DataSourceReader):
         ]
 
     def read(self, partition: ExcelInputPartition):
+        # Column-pruned decode: only the bound schema's columns are worth
+        # decoding — _frame_to_batches projects to exactly these anyway.
+        # (Spark 4.1's PythonScanBuilder pushes filters but not required
+        # columns, so the pruning signal is the user-bound schema, not the
+        # query's projection.) Missing-column errors still surface from
+        # _frame_to_batches, which sees the permissively-pruned frame.
         frame = _read_frame(
             partition.file_path,
             self.opts.sheet,
             self.opts.header,
             skip_rows=partition.skip_rows,
             n_rows=partition.n_rows,
+            usecols=[f.name for f in self.bound_schema.fields],
         )
         if self.pushed:
             frame = _apply_filters(frame, self.pushed)
@@ -443,6 +484,7 @@ class ExcelStreamReader(DataSourceStreamReader):
             self.opts.header,
             skip_rows=partition.skip_rows,
             n_rows=partition.n_rows,
+            usecols=[f.name for f in self.bound_schema.fields],
         )
         if self.opts.enable_arrow:
             yield from _frame_to_batches(frame, self.bound_schema)

@@ -249,13 +249,23 @@ def _sheet_member(zf: zipfile.ZipFile, sheet: str | int) -> str:
 
 
 def _parse_row(
-    row, shared: list[str], date_xfs: dict[int, bool]
+    row, shared: list[str], date_xfs: dict[int, bool],
+    want: set[int] | None = None,
 ) -> dict[int, object]:
-    """One <row> element → {0-based column index: python value}."""
+    """One <row> element → {0-based column index: python value}.
+
+    ``want`` prunes the decode: cells whose column index is not in the set
+    are skipped before any value parsing (no shared-string lookup, no
+    float/serial conversion) — the column-pruned read path.
+    """
     cells: dict[int, object] = {}
+    pos = 0  # positional fallback for ref-less cells
     for c in row.findall(f"{_NS}c"):
         ref = c.get("r") or ""
-        idx = _col_index(ref) if ref else len(cells)
+        idx = _col_index(ref) if ref else pos
+        pos = idx + 1
+        if want is not None and idx not in want:
+            continue
         ctype = c.get("t", "n")
         style = int(c.get("s", "0"))
         v = c.find(f"{_NS}v")
@@ -295,11 +305,18 @@ def read_xlsx(
     header: bool = True,
     skip_rows: int = 0,
     n_rows: int | None = None,
+    usecols: "list[str] | None" = None,
 ) -> pd.DataFrame:
     """Read one sheet into a pandas frame of Python-native values.
 
     ``skip_rows``/``n_rows`` slice *data* rows (after the header) — the
     chunked-partition hooks used by the connector to split big files.
+
+    ``usecols`` (column NAMES; ``_c{i}`` positional names when
+    ``header=False``) prunes the decode: unselected cells are skipped
+    before value parsing, so a 2-column projection over a 50-column sheet
+    does ~2/50ths of the cell-decode work. Names absent from the sheet are
+    ignored here (the connector's schema binding raises for them).
     """
     # Streaming parse (iterparse) with early termination: a chunk
     # partition or a schema-inference sample reads only its prefix of the
@@ -316,12 +333,30 @@ def read_xlsx(
         member = _sheet_member(zf, sheet)
 
         raw_rows: list[dict[int, object]] = []
+        want: set[int] | None = None
+        if usecols is not None and not header:
+            want = {
+                int(c[2:])
+                for c in usecols
+                if c.startswith("_c") and c[2:].isdigit()
+            }
         with zf.open(member) as fh:
             for _, row in ET.iterparse(fh):
                 if row.tag != f"{_NS}row":
                     continue
-                raw_rows.append(_parse_row(row, shared, date_xfs))
+                # header row is always decoded in full (it defines the
+                # name→index map); `want` kicks in from the first data row
+                raw_rows.append(_parse_row(row, shared, date_xfs, want=want))
                 row.clear()
+                if usecols is not None and header and len(raw_rows) == 1:
+                    hdr = raw_rows[0]
+                    w = max(hdr.keys(), default=-1) + 1
+                    wanted_names = set(usecols)
+                    want = {
+                        i
+                        for i in range(w)
+                        if str(hdr.get(i, f"_c{i}")) in wanted_names
+                    }
                 if stop_after is not None and len(raw_rows) >= stop_after:
                     break
 
@@ -347,7 +382,9 @@ def read_xlsx(
     while len(names) < width:
         names.append(f"_c{len(names)}")
     columns = {
-        name: [r.get(i) for r in data_rows] for i, name in enumerate(names)
+        name: [r.get(i) for r in data_rows]
+        for i, name in enumerate(names)
+        if want is None or i in want
     }
     return pd.DataFrame(columns, dtype=object)
 

@@ -297,3 +297,70 @@ def test_error_contract_unit_level(tmp_path):
     )
     with pytest.raises(AnalysisException):
         rdr._current_files()
+
+
+# ---------------------------------------------------------------------------
+# Column-pruned decode (SURVEY §4.2 — the reference decodes every column
+# unconditionally, connector.py:185-200)
+# ---------------------------------------------------------------------------
+
+
+def test_minixlsx_usecols_prunes_columns(tmp_path):
+    p = str(tmp_path / "wide.xlsx")
+    cols = [f"c{i}" for i in range(6)]
+    _write(p, [(0, 1, 2, 3, 4, 5), (10, 11, 12, 13, 14, 15)], cols)
+    frame = minixlsx.read_xlsx(p, usecols=["c1", "c4"])
+    assert list(frame.columns) == ["c1", "c4"]
+    assert frame["c1"].tolist() == [1, 11]
+    assert frame["c4"].tolist() == [4, 14]
+    # names absent from the sheet are ignored here (schema binding owns
+    # the missing-column error)
+    frame = minixlsx.read_xlsx(p, usecols=["c2", "ghost"])
+    assert list(frame.columns) == ["c2"]
+
+
+def test_minixlsx_usecols_no_header_positional(tmp_path):
+    p = str(tmp_path / "nohdr_wide.xlsx")
+    _write(p, [(1, "a", True), (2, "b", False)], ["x", "y", "z"], header=False)
+    frame = minixlsx.read_xlsx(p, header=False, usecols=["_c0", "_c2"])
+    assert list(frame.columns) == ["_c0", "_c2"]
+    assert frame["_c2"].tolist() == [True, False]
+
+
+def test_parse_row_want_skips_decode(tmp_path):
+    """_parse_row with a want-set never decodes unselected cells — the
+    skipped shared-string index is left unresolved, proving the decode
+    (not just the output projection) is pruned."""
+    import xml.etree.ElementTree as ET
+
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    # B1 points at shared-string slot 99 which does NOT exist: decoding it
+    # would raise IndexError
+    row = ET.fromstring(
+        f'<row xmlns="{ns}" r="1">'
+        '<c r="A1"><v>42</v></c>'
+        '<c r="B1" t="s"><v>99</v></c>'
+        "</row>"
+    )
+    cells = minixlsx._parse_row(row, shared=[], date_xfs={}, want={0})
+    assert cells == {0: 42}
+    with pytest.raises(IndexError):
+        minixlsx._parse_row(row, shared=[], date_xfs={}, want=None)
+
+
+def test_connector_pruned_read_narrow_schema(spark, tmp_path):
+    """User-bound 2-column schema over a 6-column sheet: pruned decode,
+    same results, filters on pruned columns impossible by construction
+    (Spark only knows the bound schema)."""
+    p = str(tmp_path / "wide2.xlsx")
+    cols = [f"c{i}" for i in range(6)]
+    _write(p, [(i, i * 10, i * 100, f"s{i}", float(i), i % 2 == 0) for i in range(20)],
+           cols)
+    df = (
+        spark.read.format("excel")
+        .schema("c0 long, c3 string")
+        .option("path", p)
+        .load()
+        .filter("c0 >= 18")
+    )
+    assert sorted(map(tuple, df.collect())) == [(18, "s18"), (19, "s19")]
