@@ -6,11 +6,13 @@ through Python unless a stage needs them; metadata predicates prune at the
 parquet/row-group level).
 
 Real here: schemas, partitioning, Arrow batch flow, UDF signatures, the
-byte-level feature extractor, and the frame-sampling plumbing. Stubbed
-here: actual image/audio decode (no codec libraries in this container) —
-``decode_payload`` raises ``NotImplementedError`` unless
-``deterministic_fake=True``, which produces a documented fake decode that
-keeps the pipeline executable and testable end-to-end.
+byte-level feature extractor, the frame-sampling plumbing, and stdlib
+PNG/JPEG *header* decode (``parse_image_header``: real width/height/
+channels from IHDR / SOFn, no codec needed). Stubbed here: pixel-level
+image/audio decode (no codec libraries in this container) —
+``decode_payload`` raises ``NotImplementedError`` for non-PNG/JPEG bytes
+unless ``deterministic_fake=True``, which produces a documented fake
+decode that keeps the pipeline executable and testable end-to-end.
 
 The testdata has no binary table, so payloads derive from ``documents``
 text (utf-8 bytes) — byte semantics are identical to real media payloads
@@ -84,6 +86,52 @@ def with_payload(df: DataFrame) -> DataFrame:
     )
 
 
+#: PNG color type → channel count (IHDR byte 25)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+#: JPEG SOFn markers that carry frame dimensions (C4/C8/CC are not SOFs)
+_JPEG_SOF_MARKERS = frozenset(
+    range(0xC0, 0xD0)
+) - {0xC4, 0xC8, 0xCC}
+
+
+def parse_image_header(payload: bytes) -> tuple[int, int, int] | None:
+    """Pure-stdlib (height, width, channels) from a PNG IHDR or JPEG SOFn
+    header; ``None`` if the bytes are neither.
+
+    This is a *real* decode of the container header — the part of image
+    decoding that needs no codec math — so shape metadata (resize
+    planning, aspect filtering, thumbnail routing) works in environments
+    without PIL. Pixel data still needs a codec library.
+    """
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
+        w = int.from_bytes(payload[16:20], "big")
+        h = int.from_bytes(payload[20:24], "big")
+        color_type = payload[25] if len(payload) > 25 else 6
+        return h, w, _PNG_CHANNELS.get(color_type, 3)
+    if payload[:2] == b"\xff\xd8":  # JPEG SOI; walk the marker segments
+        i = 2
+        while i + 9 < len(payload):
+            if payload[i] != 0xFF:
+                return None  # corrupt marker stream
+            marker = payload[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            if marker in _JPEG_SOF_MARKERS:
+                h = int.from_bytes(payload[i + 5 : i + 7], "big")
+                w = int.from_bytes(payload[i + 7 : i + 9], "big")
+                return h, w, payload[i + 9]
+            seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+            if seg_len < 2:
+                return None
+            i += 2 + seg_len
+    return None
+
+
 def decode_payload(payload: bytes, mime: str, deterministic_fake: bool = False):
     """Decode one payload to a (height, width, channels, pixel-sum) tuple.
 
@@ -95,7 +143,10 @@ def decode_payload(payload: bytes, mime: str, deterministic_fake: bool = False):
     2. PIL importable and the mime is an image → real decode (shape +
        exact pixel sum). Not exercised in this container (no PIL) but the
        path is live wherever a codec library exists.
-    3. Otherwise → NotImplementedError: real decode needs a codec library.
+    3. PNG/JPEG magic bytes → stdlib header parse (real dimensions +
+       channels from IHDR / SOFn; pixel_sum None — pixel data genuinely
+       needs a codec).
+    4. Otherwise → NotImplementedError: real decode needs a codec library.
     """
     if deterministic_fake:
         h = 1 + len(payload) % 64
@@ -111,6 +162,10 @@ def decode_payload(payload: bytes, mime: str, deterministic_fake: bool = False):
         h, w = arr.shape[0], arr.shape[1]
         c = arr.shape[2] if arr.ndim == 3 else 1
         return h, w, c, int(arr.astype(np.int64).sum())
+    header = parse_image_header(payload)
+    if header is not None:
+        h, w, c = header
+        return h, w, c, None
     raise NotImplementedError(
         "payload decode needs a codec library (PIL/av); not available here"
     )
@@ -120,12 +175,21 @@ def decode_batches(
     batches: Iterator[pd.DataFrame], deterministic_fake: bool = True
 ) -> Iterator[pd.DataFrame]:
     """mapInPandas body: payload → decoded shape metadata. Arrow batches
-    stream through; one Python round-trip per batch, never per row."""
+    stream through; one Python round-trip per batch, never per row.
+
+    Real PNG/JPEG payloads always get the real stdlib header decode;
+    ``deterministic_fake`` only governs what happens to payloads no
+    codec-less decode exists for (text-derived fixtures → documented
+    fake; ``False`` → raise at the codec boundary).
+    """
     for pdf in batches:
-        decoded = [
-            decode_payload(p, m, deterministic_fake)
-            for p, m in zip(pdf["payload"], pdf["mime"])
-        ]
+        decoded = []
+        for p, m in zip(pdf["payload"], pdf["mime"]):
+            header = parse_image_header(p)
+            if header is not None:
+                decoded.append((*header, None))
+            else:
+                decoded.append(decode_payload(p, m, deterministic_fake))
         out = pd.DataFrame(decoded, columns=["height", "width", "channels", "pixel_sum"])
         out.insert(0, "doc_id", pdf["doc_id"].values)
         yield out

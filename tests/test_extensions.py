@@ -53,9 +53,55 @@ def test_dedup_embed_canonical_props(spark, queries):
     assert all(r.canonical_id <= r.vec_id for r in rows)
 
 
-def test_multimodal_decode_stub_raises_without_fake():
-    from pyspark_excel_datasource_spark.operators.multimodal import decode_payload
+def _png_bytes(width: int, height: int, color_type: int = 6) -> bytes:
+    """Minimal valid-prefix PNG: signature + IHDR chunk."""
+    ihdr = (
+        width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + len(ihdr).to_bytes(4, "big")
+        + b"IHDR"
+        + ihdr
+        + b"\x00" * 4  # CRC (unchecked by the header parser)
+    )
 
+
+def _jpeg_bytes(width: int, height: int, channels: int = 3) -> bytes:
+    """Minimal valid-prefix JPEG: SOI + APP0 + SOF0 frame header."""
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+    sof0_payload = (
+        bytes([8])
+        + height.to_bytes(2, "big")
+        + width.to_bytes(2, "big")
+        + bytes([channels])
+        + b"\x01\x11\x00" * channels
+    )
+    sof0 = b"\xff\xc0" + (len(sof0_payload) + 2).to_bytes(2, "big") + sof0_payload
+    return b"\xff\xd8" + app0 + sof0
+
+
+def test_multimodal_header_decode_and_stub():
+    from pyspark_excel_datasource_spark.operators.multimodal import (
+        decode_payload,
+        parse_image_header,
+    )
+
+    # real stdlib header decode: PNG IHDR and JPEG SOF0 dimensions
+    assert parse_image_header(_png_bytes(640, 480)) == (480, 640, 4)
+    assert parse_image_header(_png_bytes(32, 16, color_type=2)) == (16, 32, 3)
+    assert parse_image_header(_jpeg_bytes(1920, 1080)) == (1080, 1920, 3)
+    assert parse_image_header(_jpeg_bytes(8, 8, channels=1)) == (8, 8, 1)
+    assert parse_image_header(b"not an image") is None
+
+    h, w, c, s = decode_payload(_png_bytes(640, 480), "image/png")
+    assert (h, w, c, s) == (480, 640, 4, None)
+    h, w, c, s = decode_payload(_jpeg_bytes(1920, 1080), "image/jpeg")
+    assert (h, w, c, s) == (1080, 1920, 3, None)
+
+    # non-image bytes still hit the documented codec boundary
     with pytest.raises(NotImplementedError):
         decode_payload(b"abc", "image/png", deterministic_fake=False)
     h, w, c, s = decode_payload(b"abc", "image/png", deterministic_fake=True)
@@ -253,3 +299,26 @@ def test_rolling_median_matches_replay(spark, queries):
     assert len(rows) == len(expect)
     for r in rows:
         assert float(r.med5) == expect[(r.user_id, r.event_id)], r
+
+
+def test_multimodal_distributed_header_decode(spark):
+    """Real PNG/JPEG payloads flowing through the distributed mapInPandas
+    decode get real header dimensions (not the fake)."""
+    from pyspark_excel_datasource_spark.operators.multimodal import decode_dataframe
+
+    rows = [
+        (1, bytearray(_png_bytes(640, 480)), ("t", "en", 100, "image/png")),
+        (2, bytearray(_jpeg_bytes(1920, 1080)), ("t", "en", 100, "image/jpeg")),
+        (3, bytearray(b"plain text payload"), ("t", "en", 18, "text/plain")),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, payload binary, "
+        "meta struct<origin:string,lang:string,n_bytes:int,mime:string>",
+    )
+    got = {r.doc_id: r for r in decode_dataframe(df).collect()}
+    assert (got[1].height, got[1].width, got[1].channels) == (480, 640, 4)
+    assert got[1].pixel_sum is None
+    assert (got[2].height, got[2].width, got[2].channels) == (1080, 1920, 3)
+    # non-image payload keeps the documented deterministic fake
+    assert got[3].pixel_sum == sum(b"plain text payload")
