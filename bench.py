@@ -39,6 +39,10 @@ HEADLINE = (
     "q_sim_topk",
     "q_dedup_minhash",
     "q_text_tfidf",
+    # round-5 additions: the newest scale paths (PQ-compressed ANN and
+    # greedy context packing) so regressions on them surface per-round
+    "q_sim_ann_pq",
+    "q_pack_context",
 )
 
 RUNS = 3
