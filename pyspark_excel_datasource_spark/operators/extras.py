@@ -488,3 +488,52 @@ def q_win_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         canon(dround(F.expr("percentile(value, 0.5D)").over(w), 6)).alias("med5"),
     )
+
+
+@query(
+    "q_winsorize_by_group",
+    oracle=f"""
+    WITH b AS (
+        SELECT source,
+               QUANTILE_CONT(n_chars, 0.05) AS lo,
+               QUANTILE_CONT(n_chars, 0.95) AS hi
+        FROM documents GROUP BY source
+    )
+    SELECT d.doc_id, d.source, d.n_chars,
+           {sql_canon(sql_dround("LEAST(GREATEST(CAST(d.n_chars AS DOUBLE), b.lo), b.hi)", 6))}
+               AS winsorized,
+           CAST(d.n_chars AS DOUBLE) < b.lo AS clipped_low,
+           CAST(d.n_chars AS DOUBLE) > b.hi AS clipped_high
+    FROM documents d JOIN b USING (source)
+    """,
+)
+def q_winsorize_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise winsorization: clamp a numeric feature to its per-group
+    [p05, p95] band — the robust-scaling step that tames outlier document
+    lengths before quality scoring or mixture weighting.
+
+    Plan: one exact-percentile aggregate per group (|sources| rows), then
+    a BROADCAST join of those bounds back onto the corpus and a stateless
+    clamp — no second shuffle of the data. At 100 TB swap the exact
+    percentile for ``approx_percentile`` partials (same downstream
+    shape); both engines interpolate quantiles as lower+(upper-lower)*g
+    on identical doubles, and presentation goes through canon(dround).
+    """
+    d = table(spark, sf_dir, "documents")
+    bounds = d.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.05)").alias("lo"),
+        F.expr("percentile(n_chars, 0.95)").alias("hi"),
+    )
+    n = F.col("n_chars").cast("double")
+    clamped = F.least(F.greatest(n, F.col("lo")), F.col("hi"))
+    return (
+        d.join(F.broadcast(bounds), "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            canon(dround(clamped, 6)).alias("winsorized"),
+            (n < F.col("lo")).alias("clipped_low"),
+            (n > F.col("hi")).alias("clipped_high"),
+        )
+    )

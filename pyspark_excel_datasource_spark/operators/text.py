@@ -647,3 +647,114 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             (overlap >= 0.8).alias("contaminated"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction / markup stripping — the scrubbing stages of a training-data
+# pipeline (round 5; regex-only, codegen'd, embarrassingly parallel)
+# ---------------------------------------------------------------------------
+
+#: patterns chosen to mean the same thing in Java regex (Spark) and RE2
+#: (DuckDB): character classes, bounded repetition, \b — no lookaround.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\b555-[0-9]{4}\b"
+
+
+@query(
+    "q_pii_redact",
+    oracle=f"""
+    WITH synth AS (
+        SELECT doc_id,
+               text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or call 555-'
+                    || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.'
+                   AS pii_text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(LEN(REGEXP_EXTRACT_ALL(pii_text, '{_EMAIL_RE}')) AS BIGINT)
+               AS n_emails,
+           CAST(LEN(REGEXP_EXTRACT_ALL(pii_text, '{_PHONE_RE}')) AS BIGINT)
+               AS n_phones,
+           REGEXP_REPLACE(REGEXP_REPLACE(pii_text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+    FROM synth
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: count + redact email addresses and phone numbers.
+
+    The corpus is synthetic (no real PII), so the query deterministically
+    APPENDS a per-document email + phone before scrubbing — both engines
+    synthesize the identical string, so the redaction regexes are
+    genuinely exercised on every row and the hash check proves Spark's
+    Java regex and DuckDB's RE2 agree on these pattern classes.
+
+    100 TB: stateless projection, zero shuffles, whole-stage codegen'd;
+    regex cost is linear in bytes and scales with executors. The pattern
+    subset (classes, bounded reps, \\b) is deliberately lookaround-free
+    so the same patterns run on any engine.
+    """
+    d = table(spark, sf_dir, "documents")
+    pii = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit("."),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(pii, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(pii, F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(pii, F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+        redacted.alias("redacted"),
+    )
+
+
+@query(
+    "q_strip_markup",
+    oracle="""
+    WITH synth AS (
+        SELECT doc_id,
+               '<div id="d' || CAST(doc_id AS VARCHAR) || '"><p>' || text
+                   || '</p><br/></div>' AS html
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(LEN(REGEXP_EXTRACT_ALL(html, '<[^>]+>')) AS BIGINT) AS n_tags,
+           TRIM(REGEXP_REPLACE(REGEXP_REPLACE(html, '<[^>]+>', ' ', 'g'),
+                               ' +', ' ', 'g')) AS clean_text
+    FROM synth
+    """,
+)
+def q_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/markup stripping: drop HTML tags, collapse whitespace.
+
+    Same synthesize-then-scrub harness as ``q_pii_redact``: both engines
+    wrap each document in an identical deterministic tag structure, so
+    the strip regex runs on real markup every row. This is the
+    crawl-cleaning stage of a web-corpus pipeline (tag removal before
+    quality scoring / dedup), expressed as two global regex passes.
+
+    100 TB: stateless, shuffle-free, codegen'd — scales with executors.
+    """
+    d = table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<div id="d'),
+        F.col("doc_id").cast("string"),
+        F.lit('"><p>'),
+        F.col("text"),
+        F.lit("</p><br/></div>"),
+    )
+    clean = F.trim(
+        F.regexp_replace(F.regexp_replace(html, "<[^>]+>", " "), " +", " ")
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(html, F.lit("<[^>]+>")).cast("long").alias("n_tags"),
+        clean.alias("clean_text"),
+    )

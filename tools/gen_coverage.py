@@ -56,21 +56,25 @@ SECTIONS = {
     ],
     "North-star: dedup (SURVEY §2.4)": [
         "q_dedup_near", "q_dedup_clusters", "q_dedup_minhash",
-        "q_dedup_simhash", "q_dedup_embed", "q_dedup_embed_lsh",
+        "q_dedup_simhash", "q_dedup_minhash_oracled", "q_dedup_simhash_oracled",
+        "q_dedup_embed", "q_dedup_embed_lsh",
         "q_dedup_incremental", "q_dedup_incremental_lsh", "q_graph_degree",
     ],
     "North-star: similarity search": [
         "q_sim_topk", "q_sim_selfjoin", "q_sim_ann_lsh", "q_sim_ann_ivf",
+        "q_sim_ann_pq",
     ],
     "North-star: text analysis": [
         "q_text_stats", "q_text_quality", "q_text_langid",
         "q_text_fingerprint", "q_text_winnow", "q_text_winnow_pairs",
         "q_text_tfidf", "q_tokenize", "q_text_lm_score", "q_contamination",
+        "q_pii_redact", "q_strip_markup",
     ],
     "North-star: multimodal": ["q_multimodal_cols", "q_multimodal_features"],
     "North-star: pipeline composition": [
         "q_split_assign", "q_sample_hash", "q_sample_stratified", "q_sample_weighted",
-        "q_pipeline_llm_prep", "q_validate_constraints",
+        "q_pipeline_llm_prep", "q_validate_constraints", "q_mix_budget",
+        "q_dedup_weights", "q_quality_tiers", "q_winsorize_by_group",
     ],
     "Event analytics": [
         "q_sessionize", "q_funnel", "q_retention", "q_scd2_intervals", "q_event_transitions",
@@ -85,7 +89,7 @@ SECTIONS = {
     ],
     "North-star: corpus prep (chunking / tokenizer / shards)": [
         "q_text_repetition", "q_chunk_tokens", "q_bpe_pair_counts",
-        "q_shuffle_shard",
+        "q_shuffle_shard", "q_pack_context",
     ],
 }
 
@@ -144,6 +148,16 @@ ROLES = {
     "q_chunk_tokens": "doc → overlapping 32-token training windows (shuffle-free)",
     "q_bpe_pair_counts": "BPE merge-round pair counting (bounded key domain)",
     "q_shuffle_shard": "deterministic md5 shuffle into 16 shards, no global sort",
+    "q_dedup_minhash_oracled": "md5 hash family → whole LSH pipeline hash-verified",
+    "q_dedup_simhash_oracled": "md5 features, complete Hamming<=5 banding recall",
+    "q_sim_ann_pq": "product-quantized ANN (ADC + exact refine of the shortlist)",
+    "q_pack_context": "concat-and-split context packing (per-shard running sum)",
+    "q_mix_budget": "domain-mixing token-budget allocation (post-agg arithmetic)",
+    "q_dedup_weights": "soft dedup: 1/n_copies sampling weight per fingerprint",
+    "q_quality_tiers": "quartile tiers from one 3-double broadcast, no global sort",
+    "q_pii_redact": "synthesize-then-scrub email/phone redaction, regex-portable",
+    "q_strip_markup": "crawl cleaning: tag strip + whitespace collapse",
+    "q_winsorize_by_group": "per-group p05/p95 clamp; bounds broadcast, one shuffle",
 }
 
 
