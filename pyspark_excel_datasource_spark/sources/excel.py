@@ -182,6 +182,7 @@ class ExcelOptions:
     multi_file: bool = False
     prefer_ntz: bool = False
     write_sheet: str = "Sheet1"
+    columns: list[str] | None = None
 
     @classmethod
     def from_options(cls, options: dict) -> "ExcelOptions":
@@ -198,7 +199,11 @@ class ExcelOptions:
             )
         sheet: str | int = options.get("sheetname", options.get("sheetName", 0))
         chunk = options.get("chunkrows", options.get("chunkRows"))
+        cols = options.get("columns")
         return cls(
+            columns=[c.strip() for c in cols.split(",") if c.strip()]
+            if cols
+            else None,
             path=path,
             sheet=sheet,
             header=b("header", True),
@@ -673,7 +678,9 @@ class ExcelDataSource(DataSource):
     ``inferSchema`` (default true; sample-based), ``sampleRows`` (default
     200), ``enableArrow`` (default **true**), ``chunkRows`` (split big
     files into row-range partitions), ``multiFile`` (write one xlsx per
-    partition into a directory), ``preferTimestampNTZ``.
+    partition into a directory), ``preferTimestampNTZ``, ``columns``
+    (comma-separated projection: narrows the inferred schema AND the
+    decode — unknown names raise).
     """
 
     def __init__(self, options):
@@ -690,21 +697,31 @@ class ExcelDataSource(DataSource):
             frame = _read_frame(
                 _list_input_files(opts.path)[0], opts.sheet, opts.header, n_rows=0
             )
-            return T.StructType(
-                [T.StructField(c, T.StringType(), True) for c in frame.columns]
+            fields = [T.StructField(c, T.StringType(), True) for c in frame.columns]
+        else:
+            frame = _read_frame(
+                _list_input_files(opts.path)[0],
+                opts.sheet,
+                opts.header,
+                n_rows=opts.sample_rows,
             )
-        frame = _read_frame(
-            _list_input_files(opts.path)[0],
-            opts.sheet,
-            opts.header,
-            n_rows=opts.sample_rows,
-        )
-        return T.StructType(
-            [
+            fields = [
                 T.StructField(c, infer_spark_type(frame[c], opts.prefer_ntz), True)
                 for c in frame.columns
             ]
-        )
+        if opts.columns is not None:
+            # explicit projection option: inferred-schema reads get the
+            # pruned decode too (without it, only a user-bound schema
+            # narrows the read). Order follows the option, like a SELECT.
+            by_name = {f.name: f for f in fields}
+            missing = [c for c in opts.columns if c not in by_name]
+            if missing:
+                raise AnalysisException(
+                    f"columns {missing} requested via the 'columns' option "
+                    f"are missing from the file (file has {list(by_name)})"
+                )
+            fields = [by_name[c] for c in opts.columns]
+        return T.StructType(fields)
 
     def reader(self, schema: "StructType") -> ExcelDataSourceReader:
         return ExcelDataSourceReader(schema, self.opts)

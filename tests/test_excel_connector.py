@@ -364,3 +364,30 @@ def test_connector_pruned_read_narrow_schema(spark, tmp_path):
         .filter("c0 >= 18")
     )
     assert sorted(map(tuple, df.collect())) == [(18, "s18"), (19, "s19")]
+
+
+def test_columns_option_prunes_inferred_schema(spark, tmp_path):
+    """The `columns` read option narrows schema inference AND the decode,
+    in option order; unknown names raise."""
+    p = str(tmp_path / "colopt.xlsx")
+    _write(p, [(1, "a", 1.5, True), (2, "b", 2.5, False)],
+           ["id", "name", "score", "flag"])
+    df = (
+        spark.read.format("excel")
+        .option("path", p)
+        .option("columns", "score, id")
+        .load()
+    )
+    assert df.columns == ["score", "id"]
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "double", "bigint",
+    ]
+    assert sorted(map(tuple, df.collect())) == [(1.5, 1), (2.5, 2)]
+
+    with pytest.raises(Exception, match="ghost"):
+        (
+            spark.read.format("excel")
+            .option("path", p)
+            .option("columns", "id,ghost")
+            .load()
+        )

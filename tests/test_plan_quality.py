@@ -138,3 +138,11 @@ def test_sim_topk_broadcasts_query_vectors(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     # the embedding side must NOT be shuffled for the join itself
     assert "Exchange hashpartitioning" not in plan.split("Join")[0]
+
+
+def test_winsorize_broadcasts_bounds(spark):
+    """The per-group p05/p95 bounds frame (|sources| rows) must broadcast
+    back onto the corpus scan — a shuffle join here would move the whole
+    table a second time for a 20-row dimension."""
+    plan = _plan(_q(spark, "q_winsorize_by_group"))
+    assert "BroadcastHashJoin" in plan
