@@ -636,3 +636,69 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("cnt").over(W.partitionBy("from_type"))
         ).alias("prob"),
     )
+
+
+@query(
+    "q_robust_zscore",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, QUANTILE_CONT(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_id, e.event_type, e.value, m.med,
+               ABS(e.value - m.med) AS adev
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type,
+               CAST(ROUND(1.4826 * QUANTILE_CONT(adev, 0.5), 6)
+                    AS DECIMAL(38,6)) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type, d.value,
+           CAST(CAST(ROUND((d.value - d.med) / CAST(s.mad AS DOUBLE), 6)
+                AS DECIMAL(38,6)) AS VARCHAR) AS robust_z
+    FROM dev d JOIN mad s USING (event_type)
+    WHERE ABS((d.value - d.med) / CAST(s.mad AS DOUBLE)) > 3.5
+    """,
+)
+def q_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier detection — the heavy-tail-safe twin of
+    ``q_anomaly_zscore``: mean and stddev are themselves dragged by the
+    outliers they're meant to find, while the median and the median
+    absolute deviation (scaled by the 1.4826 normal-consistency
+    constant) are 50%-breakdown robust.
+
+    Plan: two per-group exact-percentile aggregates (each |groups| rows)
+    with the intermediate medians BROADCAST back onto the scan — the
+    event table itself is never shuffled; at 100 TB swap the exact
+    percentiles for ``approx_percentile`` partials, identical downstream
+    shape. Determinism: quantile interpolation runs on identical doubles
+    in both engines; the MAD is rounded to 6 decimals BEFORE the z
+    division (same convention as the stddev in ``q_anomaly_zscore``) and
+    the final z is canon(dround(...))-presented.
+    """
+    from ..functions.determinism import canon, dround
+
+    ev = table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        dround(1.4826 * F.expr("percentile(abs(value - med), 0.5)"), 6).alias(
+            "mad"
+        )
+    )
+    z = (F.col("value") - F.col("med")) / F.col("mad").cast("double")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.abs(z) > 3.5)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            canon(dround(z, 6)).alias("robust_z"),
+        )
+    )

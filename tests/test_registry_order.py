@@ -45,7 +45,12 @@ def test_round5_window_composition():
         seen.update(json.loads((repo / f"CORRECTNESS_r{r}.json").read_text()))
     # queries AUTHORED in round 5 (after the window was frozen) queue for
     # the round-6 rotation instead of displacing the 47
-    new_this_round = {"q_pii_redact", "q_strip_markup", "q_winsorize_by_group"}
+    new_this_round = {
+        "q_pii_redact",
+        "q_strip_markup",
+        "q_winsorize_by_group",
+        "q_robust_zscore",
+    }
     never = set(_ordered_names()) - seen - new_this_round
     out = never - names
     assert not out, f"never-verdicted queries fell out of the first 50: {out}"

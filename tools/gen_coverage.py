@@ -78,8 +78,8 @@ SECTIONS = {
     ],
     "Event analytics": [
         "q_sessionize", "q_funnel", "q_retention", "q_scd2_intervals", "q_event_transitions",
-        "q_agg_hll", "q_anomaly_zscore", "q_fill_forward", "q_pattern_sequence",
-        "q_ewma",
+        "q_agg_hll", "q_anomaly_zscore", "q_robust_zscore", "q_fill_forward",
+        "q_pattern_sequence", "q_ewma",
     ],
     "Incremental / DML patterns": [
         "q_rollup_hierarchical", "q_merge_upsert",
@@ -158,6 +158,7 @@ ROLES = {
     "q_pii_redact": "synthesize-then-scrub email/phone redaction, regex-portable",
     "q_strip_markup": "crawl cleaning: tag strip + whitespace collapse",
     "q_winsorize_by_group": "per-group p05/p95 clamp; bounds broadcast, one shuffle",
+    "q_robust_zscore": "median/MAD outliers (50%-breakdown twin of q_anomaly_zscore)",
 }
 
 
