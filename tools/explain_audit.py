@@ -41,6 +41,9 @@ ALLOWED_NESTED_LOOP = {
     # broadcast of the 1-row corpus-token-total — attaching a scalar to
     # every row is exactly what a broadcast NLJ is for
     "q_text_lm_score",
+    # broadcast of the 1-row (q1,q2,q3) quartile bounds — same scalar-
+    # attach shape; the alternative (global ntile) is the real smell
+    "q_quality_tiers",
 }
 
 
