@@ -417,3 +417,117 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(sk).cast("long").alias("supp_lo"),
         F.max(sk).cast("long").alias("supp_hi"),
     )
+
+
+#: fixed span length for the synthetic intervals (also the band width, so
+#: every interval covers at most 2 buckets)
+_OVERLAP_SPAN_MIN = 10
+
+
+@query(
+    "q_join_interval_overlap",
+    oracle=f"""
+    WITH a AS (
+        SELECT event_id AS a_id, user_id,
+               EPOCH_US(ts) AS a_start,
+               EPOCH_US(ts) + {_OVERLAP_SPAN_MIN} * 60 * 1000000 AS a_end
+        FROM events WHERE event_type = 'view'
+    ),
+    b AS (
+        SELECT event_id AS b_id, user_id,
+               EPOCH_US(ts) AS b_start,
+               EPOCH_US(ts) + {_OVERLAP_SPAN_MIN} * 60 * 1000000 AS b_end
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT a.a_id, a.user_id,
+           CAST(COUNT(b.b_id) AS BIGINT) AS n_overlaps,
+           CAST(COALESCE(SUM(CASE WHEN b.b_id IS NOT NULL THEN
+                             LEAST(a.a_end, b.b_end)
+                             - GREATEST(a.a_start, b.b_start) END), 0) AS BIGINT)
+               AS total_overlap_us,
+           CAST(COALESCE(MAX(CASE WHEN b.b_id IS NOT NULL THEN
+                             LEAST(a.a_end, b.b_end)
+                             - GREATEST(a.a_start, b.b_start) END), 0) AS BIGINT)
+               AS max_overlap_us
+    FROM a LEFT JOIN b
+      ON a.user_id = b.user_id
+     AND a.a_start < b.b_end AND b.b_start < a.a_end
+    GROUP BY a.a_id, a.user_id
+    """,
+)
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join (span intersection per user) made
+    partitionable — the generalization of ``q_join_range``'s
+    point-in-window probe to two interval sets (temporal span overlap:
+    concurrent sessions, annotation-span conflicts, ad exposure vs
+    visit).
+
+    Scale strategy: band time into span-width buckets so each interval
+    covers <= 2 buckets; both sides explode into their covered buckets
+    and the join runs as a hash equi-join on ``(user_id, bucket)`` with
+    the exact overlap predicate post-match. A pair can share TWO buckets,
+    so the plan emits a match only in the bucket containing
+    ``greatest(a_start, b_start)`` — the exactly-once emission guard that
+    replaces a global ``distinct`` (no second shuffle, no dedup state).
+    Work is O(matches); skewed users split across buckets.
+    """
+    w_us = _OVERLAP_SPAN_MIN * 60 * 1_000_000
+    span = F.lit(w_us).cast("long")
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+
+    def spans(etype: str, prefix: str) -> DataFrame:
+        start = us.alias(f"{prefix}_start")
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                start,
+                (us + span).alias(f"{prefix}_end"),
+            )
+            .withColumn(
+                "bucket",
+                F.explode(
+                    F.array(
+                        (F.col(f"{prefix}_start") / w_us).cast("long"),
+                        (F.col(f"{prefix}_end") / w_us).cast("long"),
+                    )
+                ),
+            )
+            # an interval spanning one bucket would otherwise explode into
+            # the same bucket twice — drop the duplicate probe row
+            .dropDuplicates([f"{prefix}_id", "bucket"])
+        )
+
+    a = spans("view", "a")
+    b = spans("click", "b")
+    # guard on a real match: least/greatest SKIP nulls (both engines), so
+    # an unmatched left-join row would otherwise "overlap" its own span
+    overlap = F.when(
+        F.col("b_id").isNotNull(),
+        F.least("a_end", "b_end") - F.greatest("a_start", "b_start"),
+    )
+    matched = a.join(
+        b,
+        (a.a_user == b.b_user)
+        & (a.bucket == b.bucket)
+        & (F.col("a_start") < F.col("b_end"))
+        & (F.col("b_start") < F.col("a_end"))
+        # exactly-once emission: only the bucket holding the later start
+        & (
+            a.bucket
+            == (F.greatest("a_start", "b_start") / w_us).cast("long")
+        ),
+        "left",
+    )
+    return (
+        matched.groupBy(
+            F.col("a_id"), F.col("a_user").alias("user_id")
+        )
+        .agg(
+            F.count("b_id").cast("long").alias("n_overlaps"),
+            F.coalesce(F.sum(overlap), F.lit(0)).cast("long").alias("total_overlap_us"),
+            F.coalesce(F.max(overlap), F.lit(0)).cast("long").alias("max_overlap_us"),
+        )
+    )

@@ -50,6 +50,7 @@ def test_round5_window_composition():
         "q_strip_markup",
         "q_winsorize_by_group",
         "q_robust_zscore",
+        "q_join_interval_overlap",
     }
     never = set(_ordered_names()) - seen - new_this_round
     out = never - names

@@ -22,7 +22,8 @@ SECTIONS = {
         "q_join_inner", "q_join_broadcast", "q_join_left", "q_join_right",
         "q_join_full", "q_join_semi", "q_join_anti", "q_join_theta",
         "q_join_star3", "q_join_asof", "q_join_bucketed", "q_join_skew_salted",
-        "q_join_range", "q_skew_keys", "q_join_dpp", "q_zorder_layout",
+        "q_join_range", "q_join_interval_overlap", "q_skew_keys",
+        "q_join_dpp", "q_zorder_layout",
     ],
     "Aggregations": [
         "q_agg_group", "q_agg_distinct", "q_agg_stats", "q_agg_rollup",
@@ -159,6 +160,7 @@ ROLES = {
     "q_strip_markup": "crawl cleaning: tag strip + whitespace collapse",
     "q_winsorize_by_group": "per-group p05/p95 clamp; bounds broadcast, one shuffle",
     "q_robust_zscore": "median/MAD outliers (50%-breakdown twin of q_anomaly_zscore)",
+    "q_join_interval_overlap": "interval x interval overlap; exactly-once bucket emission",
 }
 
 
