@@ -235,3 +235,58 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seg_value",
         )
     )
+
+
+@query(
+    "q_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id,
+           EPOCH_US(p.ts) - EPOCH_US(c.ts) AS delay_us
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 15 MINUTE AND c.ts < p.ts
+    """,
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream time-bounded join, batch twin: every (purchase,
+    click-within-the-prior-15-minutes) pair per user, with the
+    click→purchase delay.
+
+    This is the exact join Structured Streaming runs with two watermarked
+    streams and a time-range condition (state bounded by the 15-minute
+    constraint on both sides); ``tests/test_streaming.py`` executes the
+    same expressions as a genuine two-stream micro-batch join. Batch
+    plan: hash equi-join on ``user_id`` with the range predicate applied
+    post-match; the banded variant for heavy per-user histories is
+    ``q_join_range`` (this query keeps the pair-level output the
+    streaming join emits). delay_us is integer microsecond arithmetic —
+    exact cross-engine.
+    """
+    ev = table(spark, sf_dir, "events")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    return (
+        p.join(
+            c,
+            (p.user_id == c.c_user)
+            & (c.c_ts >= F.col("p_ts") - F.expr("INTERVAL 15 MINUTES"))
+            & (c.c_ts < F.col("p_ts")),
+        )
+        .select(
+            "purchase_id",
+            "click_id",
+            "user_id",
+            (us("p_ts") - us("c_ts")).alias("delay_us"),
+        )
+    )

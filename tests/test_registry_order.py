@@ -51,6 +51,7 @@ def test_round5_window_composition():
         "q_winsorize_by_group",
         "q_robust_zscore",
         "q_join_interval_overlap",
+        "q_stream_join",
     }
     never = set(_ordered_names()) - seen - new_this_round
     out = never - names

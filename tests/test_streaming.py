@@ -238,3 +238,61 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
         (r.user_id, r.event_type) for r in spark.table("dedup_sink").collect()
     )
     assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_stream_stream_join_equals_batch(spark, tmp_path):
+    """Two watermarked streams joined with a time-range condition emit
+    exactly the pairs the identical batch join produces — the
+    stream-stream join contract behind q_stream_join."""
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+    # (minute, user, value): purchases at 10/20/31; clicks before some
+    purchases = [(10, 1, 1.0), (20, 2, 2.0), (31, 1, 3.0)]
+    clicks = [(2, 1, 0.1), (8, 1, 0.2), (16, 2, 0.3), (28, 1, 0.4), (40, 2, 0.5)]
+    pdir, cdir = tmp_path / "purchases", tmp_path / "clicks"
+    pdir.mkdir(); cdir.mkdir()
+    minixlsx.write_xlsx(str(pdir / "a.xlsx"), _events(t0, purchases[:2]))
+    minixlsx.write_xlsx(str(pdir / "b.xlsx"), _events(t0, purchases[2:]))
+    minixlsx.write_xlsx(str(cdir / "a.xlsx"), _events(t0, clicks[:3]))
+    minixlsx.write_xlsx(str(cdir / "b.xlsx"), _events(t0, clicks[3:]))
+
+    schema = "ts timestamp, user_id long, value double"
+
+    def load(kind, path):
+        reader = (
+            spark.readStream if kind == "stream" else spark.read
+        ).format("excel").schema(schema).option("path", str(path))
+        return reader.load()
+
+    def joined(p, c):
+        p = p.select(F.col("ts").alias("p_ts"), F.col("user_id"), F.col("value").alias("pv"))
+        c = c.select(F.col("ts").alias("c_ts"), F.col("user_id").alias("c_user"), F.col("value").alias("cv"))
+        if hasattr(p, "isStreaming") and p.isStreaming:
+            p = p.withWatermark("p_ts", "1 hour")
+            c = c.withWatermark("c_ts", "1 hour")
+        return p.join(
+            c,
+            (p.user_id == c.c_user)
+            & (c.c_ts >= F.col("p_ts") - F.expr("INTERVAL 15 MINUTES"))
+            & (c.c_ts < F.col("p_ts")),
+        ).select("user_id", "pv", "cv")
+
+    q = (
+        joined(load("stream", pdir), load("stream", cdir))
+        .writeStream.format("memory")
+        .queryName("ssjoin_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    expect = {
+        (r.user_id, r.pv, r.cv)
+        for r in joined(load("batch", pdir), load("batch", cdir)).collect()
+    }
+    got = {(r.user_id, r.pv, r.cv) for r in spark.table("ssjoin_sink").collect()}
+    assert got == expect
+    # sanity on the fixture: u1's purchase@10 matches clicks@2,8; @31
+    # matches @28 (not @2/@8 — outside 15 min); u2's @20 matches @16
+    assert (1, 1.0, 0.2) in got and (1, 3.0, 0.4) in got and (2, 2.0, 0.3) in got
+    assert (1, 3.0, 0.1) not in got

@@ -47,7 +47,7 @@ SECTIONS = {
     "Streaming": [
         "q_stream_discover", "q_stream_tumbling", "q_stream_sliding",
         "q_stream_session", "q_stream_watermark", "q_stream_dedup",
-        "q_stream_stateful", "q_stream_enrich",
+        "q_stream_stateful", "q_stream_enrich", "q_stream_join",
     ],
     "UDF / UDAF / UDTF": [
         "q_udf_scalar", "q_udaf_grouped", "q_udtf", "q_udf_mapinpandas",
@@ -161,6 +161,7 @@ ROLES = {
     "q_winsorize_by_group": "per-group p05/p95 clamp; bounds broadcast, one shuffle",
     "q_robust_zscore": "median/MAD outliers (50%-breakdown twin of q_anomaly_zscore)",
     "q_join_interval_overlap": "interval x interval overlap; exactly-once bucket emission",
+    "q_stream_join": "stream-stream time-bounded join (watermarked twin in tests)",
 }
 
 
