@@ -156,3 +156,43 @@ def test_zorder_envelopes_beat_single_sort(spark):
     full = 255
     assert sum(part_w) / len(part_w) < 0.75 * full
     assert sum(supp_w) / len(supp_w) < 0.75 * full
+
+
+def test_interval_overlap_exactly_once_and_touching_excluded(spark):
+    """The bucket-of-greatest-start guard must emit a pair sharing TWO
+    buckets exactly once, and spans that merely touch (end == start) must
+    not match. Hand-built fixture, compared against a brute-force join."""
+    import datetime as dt
+
+    from pyspark_excel_datasource_spark.plans.registry import load_all_queries
+    import pyspark.sql.functions as F
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    # span = 10 min. a@0 and b@5: overlap spans two buckets for b.
+    # a@20 and b@30: touching exactly (a ends at 30) -> no match.
+    # a@40 and b@40: identical spans -> full overlap, shared buckets.
+    rows = [
+        (1, t0 + dt.timedelta(minutes=0), 7, "view", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=5), 7, "click", 1.0, "{}"),
+        (3, t0 + dt.timedelta(minutes=20), 7, "view", 1.0, "{}"),
+        (4, t0 + dt.timedelta(minutes=30), 7, "click", 1.0, "{}"),
+        (5, t0 + dt.timedelta(minutes=40), 7, "view", 1.0, "{}"),
+        (6, t0 + dt.timedelta(minutes=40), 7, "click", 1.0, "{}"),
+    ]
+    import tempfile, os
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        got = {
+            (r.a_id, r.n_overlaps, r.total_overlap_us)
+            for r in load_all_queries()["q_join_interval_overlap"](spark, d).collect()
+        }
+    span = 600_000_000
+    assert got == {
+        (1, 1, span - 5 * 60_000_000),  # a@0 x b@5: 5-min overlap, once
+        (3, 0, 0),                      # touching spans excluded
+        (5, 1, span),                   # identical spans: full overlap, once
+    }
