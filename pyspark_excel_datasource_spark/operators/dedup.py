@@ -1094,3 +1094,54 @@ def q_dedup_simhash_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 5)
         .distinct()
     )
+
+
+#: tokens of leading text used as the prefix-dedup key
+_PREFIX_TOKENS = 16
+
+
+@query(
+    "q_dedup_prefix",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id,
+               MD5(ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[1:{_PREFIX_TOKENS}],
+                                   ' ')) AS prefix_key
+        FROM documents
+    ),
+    counted AS (
+        SELECT *, COUNT(*) OVER (PARTITION BY prefix_key) AS n_copies,
+               MIN(doc_id) OVER (PARTITION BY prefix_key) AS canonical_id
+        FROM keyed
+    )
+    SELECT doc_id, prefix_key, CAST(n_copies AS BIGINT) AS n_copies,
+           CAST(canonical_id AS BIGINT) AS canonical_id,
+           doc_id = canonical_id AS is_canonical
+    FROM counted
+    """,
+)
+def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix deduplication: documents sharing their first
+    ``_PREFIX_TOKENS`` tokens collapse to one canonical copy — the
+    boilerplate catcher for templated pages (identical lead paragraphs,
+    differing tails) that full-content fingerprints (``q_dedup_weights``)
+    and shingle LSH both treat as distinct.
+
+    Plan: one window over the 16-byte prefix hash — identical shuffle
+    shape to ``q_dedup_weights`` (hashes move, documents don't); the two
+    are complementary passes of the same dedup stage and share cost at
+    100 TB (one shuffle each on a 16-byte key).
+    """
+    d = table(spark, sf_dir, "documents")
+    key = F.md5(
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, _PREFIX_TOKENS))
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("prefix_key")
+    return (
+        d.select("doc_id", key.alias("prefix_key"))
+        .withColumn("n_copies", F.count("*").over(w).cast("long"))
+        .withColumn("canonical_id", F.min("doc_id").over(w).cast("long"))
+        .withColumn("is_canonical", F.col("doc_id") == F.col("canonical_id"))
+    )

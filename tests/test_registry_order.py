@@ -52,6 +52,7 @@ def test_round5_window_composition():
         "q_robust_zscore",
         "q_join_interval_overlap",
         "q_stream_join",
+        "q_dedup_prefix",
     }
     never = set(_ordered_names()) - seen - new_this_round
     out = never - names

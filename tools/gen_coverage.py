@@ -60,6 +60,7 @@ SECTIONS = {
         "q_dedup_simhash", "q_dedup_minhash_oracled", "q_dedup_simhash_oracled",
         "q_dedup_embed", "q_dedup_embed_lsh",
         "q_dedup_incremental", "q_dedup_incremental_lsh", "q_graph_degree",
+        "q_dedup_prefix",
     ],
     "North-star: similarity search": [
         "q_sim_topk", "q_sim_selfjoin", "q_sim_ann_lsh", "q_sim_ann_ivf",
@@ -162,6 +163,7 @@ ROLES = {
     "q_robust_zscore": "median/MAD outliers (50%-breakdown twin of q_anomaly_zscore)",
     "q_join_interval_overlap": "interval x interval overlap; exactly-once bucket emission",
     "q_stream_join": "stream-stream time-bounded join (watermarked twin in tests)",
+    "q_dedup_prefix": "boilerplate catcher: collapse by first-16-token hash",
 }
 
 
