@@ -122,3 +122,70 @@ def q_tpch_q10ish(spark: SparkSession, sf_dir: str) -> DataFrame:
             canon("revenue").alias("revenue"),
         )
     )
+
+
+@query(
+    "q_tpch_q3ish",
+    oracle=f"""
+    SELECT l_orderkey, orderdate, o_orderpriority,
+           CAST(revenue AS VARCHAR) AS revenue
+    FROM (
+        SELECT l.l_orderkey,
+               CAST(o.o_orderdate AS VARCHAR) AS orderdate,
+               o.o_orderpriority,
+               {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate <  TIMESTAMP '1997-03-15 00:00:00'
+          AND l.l_shipdate  >= TIMESTAMP '1997-03-15 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, l.l_orderkey
+        LIMIT 10
+    )
+    """,
+)
+def q_tpch_q3ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): unshipped-as-of-date orders for
+    one market segment, top-10 by revenue.
+
+    Shape notes (reference has no composite queries; this extends the
+    SURVEY §2.3 flagship family): the segment filter reduces customer to
+    ~1/5 before its join — at 100 TB customer is still the small side of
+    the orders join and AQE picks broadcast or shuffle-hash from runtime
+    sizes; both date filters push to the parquet scans; the exact-decimal
+    revenue makes the ORDER BY ... LIMIT deterministic with the orderkey
+    tiebreak (TakeOrderedAndProject — no global sort materialized).
+    """
+    c = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < ts("1997-03-15 00:00:00")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= ts("1997-03-15 00:00:00")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("string").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "orderdate",
+            "o_orderpriority",
+            canon("revenue").alias("revenue"),
+        )
+    )

@@ -537,3 +537,118 @@ def q_winsorize_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n > F.col("hi")).alias("clipped_high"),
         )
     )
+
+
+@query(
+    "q_corr_matrix",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,0)))
+                         AS DECIMAL(38,0)) AS DOUBLE) AS sq,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                         AS DECIMAL(38,2)) AS DOUBLE) AS sp,
+               CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,2)))
+                         AS DECIMAL(38,2)) AS DOUBLE) AS sd,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,0))
+                             * CAST(l_quantity AS DECIMAL(18,0)))
+                         AS DECIMAL(38,0)) AS DOUBLE) AS sqq,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                             * CAST(l_extendedprice AS DECIMAL(18,2)))
+                         AS DECIMAL(38,4)) AS DOUBLE) AS spp,
+               CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+                             * CAST(l_discount AS DECIMAL(18,2)))
+                         AS DECIMAL(38,4)) AS DOUBLE) AS sdd,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,0))
+                             * CAST(l_extendedprice AS DECIMAL(18,2)))
+                         AS DECIMAL(38,2)) AS DOUBLE) AS sqp,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,0))
+                             * CAST(l_discount AS DECIMAL(18,2)))
+                         AS DECIMAL(38,2)) AS DOUBLE) AS sqd,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                             * CAST(l_discount AS DECIMAL(18,2)))
+                         AS DECIMAL(38,4)) AS DOUBLE) AS spd
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           {c1} AS corr_qty_price,
+           {c2} AS corr_qty_disc,
+           {c3} AS corr_price_disc
+    FROM s
+    """.format(
+        c1=sql_canon(
+            sql_dround(
+                "(n * sqp - sq * sp)"
+                " / (SQRT(n * sqq - sq * sq) * SQRT(n * spp - sp * sp))",
+                9,
+            )
+        ),
+        c2=sql_canon(
+            sql_dround(
+                "(n * sqd - sq * sd)"
+                " / (SQRT(n * sqq - sq * sq) * SQRT(n * sdd - sd * sd))",
+                9,
+            )
+        ),
+        c3=sql_canon(
+            sql_dround(
+                "(n * spd - sp * sd)"
+                " / (SQRT(n * spp - sp * sp) * SQRT(n * sdd - sd * sd))",
+                9,
+            )
+        ),
+    ),
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix (quantity / price / discount
+    per return flag) from ONE aggregation pass.
+
+    The scalable shape for feature-correlation scans: all C(k,2) pairs
+    share a single groupBy collecting exact-decimal sufficient statistics
+    (n, Σx, Σx², Σxy) with map-side partials — one shuffle regardless of
+    how many pairs, no per-pair passes, no driver loop. Correlations then
+    assemble in a fixed scalar double expression tree from the exact
+    sums; unlike ``q_regression_by_group``'s slope, the a*b - c*d
+    co-moment shape is FMA-contractible (DuckDB fuses it, the JVM does
+    not -> observed 1-2 ulp drift at sf0.001), so the outputs take the
+    house dround(9)->canon presentation instead of raw doubles.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(18,0)")
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
+    d = F.col("l_discount").cast("decimal(18,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(q).cast("decimal(38,0)").cast("double").alias("sq"),
+        F.sum(p).cast("decimal(38,2)").cast("double").alias("sp"),
+        F.sum(d).cast("decimal(38,2)").cast("double").alias("sd"),
+        F.sum(q * q).cast("decimal(38,0)").cast("double").alias("sqq"),
+        F.sum(p * p).cast("decimal(38,4)").cast("double").alias("spp"),
+        F.sum(d * d).cast("decimal(38,4)").cast("double").alias("sdd"),
+        F.sum(q * p).cast("decimal(38,2)").cast("double").alias("sqp"),
+        F.sum(q * d).cast("decimal(38,2)").cast("double").alias("sqd"),
+        F.sum(p * d).cast("decimal(38,4)").cast("double").alias("spd"),
+    )
+
+    def _corr(sxy: str, sx: str, sy: str, sxx: str, syy: str) -> F.Column:
+        n = F.col("n")
+        cov = n * F.col(sxy) - F.col(sx) * F.col(sy)
+        vx = n * F.col(sxx) - F.col(sx) * F.col(sx)
+        vy = n * F.col(syy) - F.col(sy) * F.col(sy)
+        return cov / (F.sqrt(vx) * F.sqrt(vy))
+
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        canon(dround(_corr("sqp", "sq", "sp", "sqq", "spp"), 9)).alias(
+            "corr_qty_price"
+        ),
+        canon(dround(_corr("sqd", "sq", "sd", "sqq", "sdd"), 9)).alias(
+            "corr_qty_disc"
+        ),
+        canon(dround(_corr("spd", "sp", "sd", "spp", "sdd"), 9)).alias(
+            "corr_price_disc"
+        ),
+    )

@@ -531,3 +531,92 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.max(overlap), F.lit(0)).cast("long").alias("max_overlap_us"),
         )
     )
+
+
+_BLOOM_WORDS = 1024  # 64 Kib filter (1024 x 64-bit words)
+_BLOOM_HASHES = 2
+
+
+def _bloom_positions(key: F.Column) -> list[F.Column]:
+    """k independent bit positions for ``key`` in a 64Kib bloom filter,
+    via seeded xxhash64 — JVM-side, identical on build and probe."""
+    m = _BLOOM_WORDS * 64
+    return [
+        F.pmod(F.xxhash64(F.lit(i), key), F.lit(m)).cast("long")
+        for i in range(_BLOOM_HASHES)
+    ]
+
+
+@query(
+    "q_join_bloom",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           {sql_canon(sql_dsum('o_totalprice', 2))} AS total_price
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_acctbal > 7000)
+    GROUP BY o_orderstatus
+    """,
+)
+def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit bloom-filter runtime pre-filter ahead of an exact semi
+    join (the hand-rolled form of Spark's injected runtime bloom,
+    spark.sql.optimizer.runtime.bloomFilter — made explicit so the
+    technique survives plan shapes the injector won't touch, e.g.
+    pre-shuffle pruning or stream-static joins).
+
+    Build: the filtered dim's keys hash into a 64 KiB bit array —
+    2 seeded xxhash64 positions per key, OR-folded into 1024 64-bit
+    words via bit_or partials (one tiny shuffle), collapsed to a 1-row
+    map and BROADCAST. Probe: the fact side tests both bits map-side —
+    pure JVM expressions inside the scan stage, no exchange — and only
+    survivors (true matches + ~0.1% false positives at these densities)
+    reach the exact broadcast semi join that removes false positives.
+    At 100 TB the bloom eliminates the dominated cost: non-matching
+    fact rows never leave their input partition, while correctness
+    never depends on the filter (it only ever passes supersets).
+    """
+    orders = table(spark, sf_dir, "orders")
+    dim = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 7000)
+        .select("c_custkey")
+    )
+
+    pos = _bloom_positions(F.col("c_custkey"))
+    bits = dim.select(
+        F.explode(F.array(*pos)).alias("p")
+    ).select(
+        F.expr("CAST(p DIV 64 AS LONG)").alias("word_idx"),
+        F.expr("SHIFTLEFT(1L, CAST(p % 64 AS INT))").alias("bit"),
+    )
+    words = bits.groupBy("word_idx").agg(F.bit_or("bit").alias("word"))
+    bloom = words.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("word_idx", "word"))
+        ).alias("bloom")
+    )
+
+    probed = orders.crossJoin(F.broadcast(bloom))
+    for i in range(_BLOOM_HASHES):
+        probed = probed.withColumn(
+            f"_bp{i}", _bloom_positions(F.col("o_custkey"))[i]
+        )
+    hit = F.expr(
+        " AND ".join(
+            "(COALESCE(ELEMENT_AT(bloom, CAST(_bp{i} DIV 64 AS LONG)), 0L)"
+            " & SHIFTLEFT(1L, CAST(_bp{i} % 64 AS INT))) != 0".format(i=i)
+            for i in range(_BLOOM_HASHES)
+        )
+    )
+    survivors = probed.filter(hit).drop(
+        "bloom", *[f"_bp{i}" for i in range(_BLOOM_HASHES)]
+    )
+    exact = survivors.join(
+        F.broadcast(dim), survivors.o_custkey == dim.c_custkey, "left_semi"
+    )
+    return exact.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        canon(dsum("o_totalprice", 2)).alias("total_price"),
+    )
