@@ -337,3 +337,70 @@ def q_pack_context(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" (tokens_before + n_tokens - 1) DIV {_PACK_CAPACITY}"
         ).alias("crosses_boundary"),
     )
+
+
+_VOCAB_K = 1000  # vocabulary size (top tokens by corpus frequency)
+
+
+@query(
+    "q_vocab_coverage",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok
+        FROM documents
+    ),
+    vocab AS (
+        SELECT tok FROM (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok)
+        QUALIFY ROW_NUMBER() OVER (ORDER BY c DESC, tok ASC) <= {_VOCAB_K}
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+    GROUP BY t.doc_id
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build + per-document OOV-rate scoring in one plan —
+    the tokenizer-fit health check run before committing a vocab to a
+    training corpus.
+
+    Scale shape: token counting is the canonical wordcount (map-side
+    partials, one shuffle on token). The top-K rank then runs over the
+    DISTINCT-token table — sublinear in corpus size (vocab domain, not
+    rows) — and its single-partition window holds only that table; the
+    resulting {_VOCAB_K}-row vocab BROADCASTS to the scoring join, so
+    per-token scoring never shuffles the exploded corpus a second time
+    (the doc_id re-agg reuses one shuffle). Rank ties break on the token
+    string → fully deterministic vocab. oov_rate is one IEEE division
+    of exact integers → bit-equal cross-engine, no rounding convention.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    vocab = (
+        counts.withColumn(
+            "rk",
+            F.row_number().over(
+                W.orderBy(F.col("c").desc(), F.col("tok").asc())
+            ),
+        )
+        .filter(F.col("rk") <= _VOCAB_K)
+        .select("tok")
+    )
+    scored = toks.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "tok", "left"
+    )
+    n_oov = F.sum(
+        F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+    ).cast("long")
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        n_oov.alias("n_oov"),
+        (n_oov.cast("double") / F.count("*")).alias("oov_rate"),
+    )

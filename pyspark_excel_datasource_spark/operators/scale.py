@@ -568,14 +568,19 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Build: the filtered dim's keys hash into a 64 KiB bit array —
     2 seeded xxhash64 positions per key, OR-folded into 1024 64-bit
-    words via bit_or partials (one tiny shuffle), collapsed to a 1-row
-    map and BROADCAST. Probe: the fact side tests both bits map-side —
-    pure JVM expressions inside the scan stage, no exchange — and only
-    survivors (true matches + ~0.1% false positives at these densities)
-    reach the exact broadcast semi join that removes false positives.
-    At 100 TB the bloom eliminates the dominated cost: non-matching
-    fact rows never leave their input partition, while correctness
-    never depends on the filter (it only ever passes supersets).
+    words via bit_or partials (one tiny shuffle over the already-filtered
+    dim), then collected as a bounded 8 KiB build artifact (same contract
+    as the IVF centroid collects in ``operators/similarity.py``) and
+    inlined as a LITERAL array. Probe: the fact side tests both bits as
+    a pure scalar filter INSIDE its scan stage — no exchange, no join
+    node, nothing for the reorderer to move (a first broadcast-join
+    formulation got its exact semi join reordered BELOW the probe,
+    inverting the demonstration) — and only survivors (true matches +
+    ~0.1% false positives at these densities) reach the exact broadcast
+    semi join that removes false positives. At 100 TB the bloom
+    eliminates the dominated cost: non-matching fact rows never leave
+    their scan, while correctness never depends on the filter (it only
+    ever passes supersets).
     """
     orders = table(spark, sf_dir, "orders")
     dim = (
@@ -592,26 +597,25 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("SHIFTLEFT(1L, CAST(p % 64 AS INT))").alias("bit"),
     )
     words = bits.groupBy("word_idx").agg(F.bit_or("bit").alias("word"))
-    bloom = words.agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("word_idx", "word"))
-        ).alias("bloom")
-    )
+    arr = [0] * _BLOOM_WORDS
+    for row in words.collect():  # bounded: exactly ≤1024 (word, bits) rows
+        arr[int(row["word_idx"])] = int(row["word"])
+    bloom = F.array(*[F.lit(w).cast("long") for w in arr])
 
-    probed = orders.crossJoin(F.broadcast(bloom))
+    # scalar bit tests, built as SQL expressions over o_custkey so the
+    # whole probe folds into the scan stage's filter; the INT seed literal
+    # must match _bloom_positions' F.lit(i) exactly (xxhash64 is
+    # type-sensitive: hashing 0 as INT and as LONG differ)
+    m = _BLOOM_WORDS * 64
+    tests = []
     for i in range(_BLOOM_HASHES):
-        probed = probed.withColumn(
-            f"_bp{i}", _bloom_positions(F.col("o_custkey"))[i]
-        )
-    hit = F.expr(
-        " AND ".join(
-            "(COALESCE(ELEMENT_AT(bloom, CAST(_bp{i} DIV 64 AS LONG)), 0L)"
-            " & SHIFTLEFT(1L, CAST(_bp{i} % 64 AS INT))) != 0".format(i=i)
-            for i in range(_BLOOM_HASHES)
-        )
-    )
-    survivors = probed.filter(hit).drop(
-        "bloom", *[f"_bp{i}" for i in range(_BLOOM_HASHES)]
+        p = f"pmod(xxhash64({i}, o_custkey), {m})"
+        word = f"ELEMENT_AT(__bloom, CAST(({p}) DIV 64 AS INT) + 1)"
+        tests.append(f"(({word}) & SHIFTLEFT(1L, CAST(({p}) % 64 AS INT))) != 0")
+    survivors = (
+        orders.withColumn("__bloom", bloom)
+        .filter(F.expr(" AND ".join(tests)))
+        .drop("__bloom")
     )
     exact = survivors.join(
         F.broadcast(dim), survivors.o_custkey == dim.c_custkey, "left_semi"

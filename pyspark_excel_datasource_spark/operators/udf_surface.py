@@ -177,3 +177,68 @@ def q_udf_mapinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         parse_batches,
         schema="event_id long, user_id long, k_int int, scaled double",
     )
+
+
+@query(
+    "q_udf_cogroup",
+    oracle="""
+    SELECT c.c_custkey AS custkey,
+           CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           COALESCE(o.spend_cents, 0) AS spend_cents
+    FROM customer c
+    LEFT JOIN (SELECT o_custkey, COUNT(*) AS n_orders,
+                      CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                           AS BIGINT) AS spend_cents
+               FROM orders GROUP BY o_custkey) o
+      ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map UDF: ``cogroup(...).applyInPandas`` joins the two
+    key-aligned pandas frames per customer (account profile x order
+    history) in Python — the escape hatch for join logic Catalyst can't
+    express (model scoring over both sides, per-key reconciliation).
+
+    Scale shape: ONE co-partitioning shuffle keyed on custkey feeds both
+    sides; each task receives matched (customer, orders) slices via
+    Arrow. State is bounded by the largest single key group, not the
+    table. Determinism: integer-cent Python arithmetic (exact, order-
+    independent), so the oracle is a plain aggregate-then-join.
+    """
+
+    out_schema = T.StructType(
+        [
+            T.StructField("custkey", T.LongType()),
+            T.StructField("acctbal_cents", T.LongType()),
+            T.StructField("n_orders", T.LongType()),
+            T.StructField("spend_cents", T.LongType()),
+        ]
+    )
+
+    def reconcile(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:  # order rows whose custkey has no customer row
+            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
+        spend = (
+            int((right["o_totalprice"] * 100).round().astype("int64").sum())
+            if not right.empty
+            else 0
+        )
+        return pd.DataFrame(
+            {
+                "custkey": [int(left["c_custkey"].iloc[0])],
+                "acctbal_cents": [
+                    int(round(float(left["c_acctbal"].iloc[0]) * 100))
+                ],
+                "n_orders": [len(right)],
+                "spend_cents": [spend],
+            }
+        )
+
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    orders = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    return (
+        cust.groupBy("c_custkey")
+        .cogroup(orders.groupBy("o_custkey"))
+        .applyInPandas(reconcile, out_schema)
+    )

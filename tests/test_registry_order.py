@@ -53,6 +53,11 @@ def test_round5_window_composition():
         "q_join_interval_overlap",
         "q_stream_join",
         "q_dedup_prefix",
+        "q_tpch_q3ish",
+        "q_corr_matrix",
+        "q_join_bloom",
+        "q_udf_cogroup",
+        "q_vocab_coverage",
     }
     never = set(_ordered_names()) - seen - new_this_round
     out = never - names

@@ -23,7 +23,7 @@ SECTIONS = {
         "q_join_full", "q_join_semi", "q_join_anti", "q_join_theta",
         "q_join_star3", "q_join_asof", "q_join_bucketed", "q_join_skew_salted",
         "q_join_range", "q_join_interval_overlap", "q_skew_keys",
-        "q_join_dpp", "q_zorder_layout",
+        "q_join_dpp", "q_zorder_layout", "q_join_bloom",
     ],
     "Aggregations": [
         "q_agg_group", "q_agg_distinct", "q_agg_stats", "q_agg_rollup",
@@ -51,9 +51,10 @@ SECTIONS = {
     ],
     "UDF / UDAF / UDTF": [
         "q_udf_scalar", "q_udaf_grouped", "q_udtf", "q_udf_mapinpandas",
+        "q_udf_cogroup",
     ],
     "Flagship / composite analytics": [
-        "q_flagship_pricing", "q_tpch_q5ish", "q_tpch_q10ish",
+        "q_flagship_pricing", "q_tpch_q5ish", "q_tpch_q10ish", "q_tpch_q3ish",
     ],
     "North-star: dedup (SURVEY §2.4)": [
         "q_dedup_near", "q_dedup_clusters", "q_dedup_minhash",
@@ -87,11 +88,11 @@ SECTIONS = {
         "q_rollup_hierarchical", "q_merge_upsert",
     ],
     "In-plan statistics / ML": [
-        "q_regression_by_group",
+        "q_regression_by_group", "q_corr_matrix",
     ],
     "North-star: corpus prep (chunking / tokenizer / shards)": [
         "q_text_repetition", "q_chunk_tokens", "q_bpe_pair_counts",
-        "q_shuffle_shard", "q_pack_context",
+        "q_shuffle_shard", "q_pack_context", "q_vocab_coverage",
     ],
 }
 
@@ -128,6 +129,11 @@ ROLES = {
     "q_agg_approx_quantile": "GK-sketch quantiles; scale twin of q_agg_percentile",
     "q_dedup_incremental": "new-batch vs corpus cross-set dedup (exact baseline)",
     "q_dedup_incremental_lsh": "scale path: probe the corpus band index with batch sigs",
+    "q_tpch_q3ish": "TPC-H Q3 shape: segment filter + top-10 shipping priority",
+    "q_join_bloom": "explicit bloom runtime filter; map-side fact pruning",
+    "q_corr_matrix": "all-pairs Pearson corr from one sufficient-stats pass",
+    "q_udf_cogroup": "cogroup().applyInPandas per-key two-table reconcile",
+    "q_vocab_coverage": "top-K vocab build + per-doc OOV rate, one plan",
     "q_anomaly_zscore": "per-group 2.5-sigma outliers; stats broadcast onto the scan",
     "q_fill_forward": "last-valid-carry gap repair; one shuffle, O(1) state/key",
     "q_pattern_sequence": "MATCH_RECOGNIZE-style consecutive pattern via lead() chain",
