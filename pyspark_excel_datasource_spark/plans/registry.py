@@ -50,6 +50,7 @@ _QUERY_MODULES = (
     "pyspark_excel_datasource_spark.operators.text",
     "pyspark_excel_datasource_spark.operators.multimodal",
     "pyspark_excel_datasource_spark.sources.excel_queries",
+    "pyspark_excel_datasource_spark.sources.text_formats",
     "pyspark_excel_datasource_spark.operators.scale",
     "pyspark_excel_datasource_spark.operators.pipeline",
     "pyspark_excel_datasource_spark.operators.analytics",

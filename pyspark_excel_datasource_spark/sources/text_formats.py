@@ -1,0 +1,146 @@
+"""CSV / JSON-lines source + sink queries (SURVEY §2.3 source-matrix
+breadth beyond the reference's single Excel format).
+
+Same bridge-fixture strategy as ``excel_queries``: rows materialize
+deterministically from the testdata parquet into .csv / .jsonl under
+``.fixtures/``, Spark reads them through its native splittable readers,
+and the DuckDB oracle reads the ORIGINAL parquet table — so the
+comparison exercises the full decode path.
+
+Scale notes common to both formats: they are line-delimited and hence
+SPLITTABLE — Spark assigns byte ranges per task and each task scans to
+the first newline past its range start, so a 100 TB directory fans out
+without any planning metadata. Explicit schemas are bound everywhere
+(the inference pass over a 100 TB input is a full extra read; binding
+skips it and also pins cross-engine types). Floats survive the text
+roundtrip because both writers emit shortest-repr decimal strings,
+which parse back to the identical IEEE double.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from .excel_queries import _fixture_dir
+
+
+def _materialize_supplier_csv(sf_dir: str) -> str:
+    """supplier.parquet → supplier.csv (header row, shortest-repr
+    floats), idempotent."""
+    out = os.path.join(_fixture_dir(sf_dir), "supplier.csv")
+    if not os.path.exists(out):
+        frame = pq.read_table(
+            os.path.join(sf_dir, "supplier.parquet"),
+            columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+        ).to_pandas()
+        frame.to_csv(out + ".tmp", index=False)
+        os.replace(out + ".tmp", out)
+    return out
+
+
+def _materialize_part_jsonl(sf_dir: str) -> str:
+    """part.parquet → part.jsonl (one JSON object per line), idempotent."""
+    out = os.path.join(_fixture_dir(sf_dir), "part.jsonl")
+    if not os.path.exists(out):
+        frame = pq.read_table(
+            os.path.join(sf_dir, "part.parquet"),
+            columns=["p_partkey", "p_name", "p_brand", "p_size", "p_retailprice"],
+        ).to_pandas()
+        frame.to_json(
+            out + ".tmp", orient="records", lines=True, double_precision=15
+        )
+        os.replace(out + ".tmp", out)
+    return out
+
+
+@query(
+    "q_scan_csv",
+    oracle="""
+    SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey,
+           s_acctbal
+    FROM supplier
+    WHERE s_acctbal > 0
+    """,
+)
+def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV scan with a bound schema and a pushed filter.
+
+    The schema is bound (no inference pass — at 100 TB inference is a
+    second full read), the reader splits on newlines, and the acctbal
+    predicate reaches the scan as a data filter (CSV can't do row-group
+    skipping like parquet, but the filter still runs inside the scan
+    stage before any exchange).
+    """
+    path = _materialize_supplier_csv(sf_dir)
+    return (
+        spark.read.schema(
+            "s_suppkey long, s_name string, s_nationkey long, s_acctbal double"
+        )
+        .option("header", True)
+        .csv(path)
+        .filter(F.col("s_acctbal") > 0)
+    )
+
+
+@query(
+    "q_sink_csv",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink roundtrip: aggregate → partitioned CSV directory write →
+    read back with a bound schema. The write is one file per partition
+    (the native parallel layout — no driver funnel); the readback binds
+    the schema and unions the part files."""
+    out = os.path.join(_fixture_dir(sf_dir), "orders_by_priority_csv")
+    src = (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    src.write.mode("overwrite").option("header", True).csv(out)
+    return (
+        spark.read.schema("o_orderpriority string, n_orders long")
+        .option("header", True)
+        .csv(out)
+    )
+
+
+@query(
+    "q_scan_jsonl",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, CAST(p_size AS BIGINT) AS p_size,
+           p_retailprice
+    FROM part
+    WHERE p_size >= 25
+    """,
+)
+def q_scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines scan with a bound schema (semi-structured ingest,
+    reference has no JSON surface).
+
+    Bound schema again skips the inference pass AND avoids the
+    engine-specific int-vs-long widening inference would introduce;
+    unreferenced JSON keys are never even parsed (Jackson stream skips
+    them), which is the column-pruning analogue for text formats.
+    """
+    path = _materialize_part_jsonl(sf_dir)
+    return (
+        spark.read.schema(
+            "p_partkey long, p_name string, p_brand string,"
+            " p_size long, p_retailprice double"
+        )
+        .json(path)
+        .filter(F.col("p_size") >= 25)
+    )

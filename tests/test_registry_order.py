@@ -58,6 +58,9 @@ def test_round5_window_composition():
         "q_join_bloom",
         "q_udf_cogroup",
         "q_vocab_coverage",
+        "q_scan_csv",
+        "q_sink_csv",
+        "q_scan_jsonl",
     }
     never = set(_ordered_names()) - seen - new_this_round
     out = never - names

@@ -15,7 +15,8 @@ from pyspark_excel_datasource_spark.plans.registry import ORACLES, load_all_quer
 SECTIONS = {
     "Scans / sources / sinks (SURVEY §2.3)": [
         "q_scan_parquet", "q_scan_excel", "q_sink_excel", "q_scan_multifile",
-        "q_sink_parquet_partitioned", "q_scan_evolving",
+        "q_sink_parquet_partitioned", "q_scan_evolving", "q_scan_csv",
+        "q_sink_csv", "q_scan_jsonl",
     ],
     "Projection / filter": ["q_project", "q_filter_basic", "q_filter_complex"],
     "Joins": [
@@ -134,6 +135,9 @@ ROLES = {
     "q_corr_matrix": "all-pairs Pearson corr from one sufficient-stats pass",
     "q_udf_cogroup": "cogroup().applyInPandas per-key two-table reconcile",
     "q_vocab_coverage": "top-K vocab build + per-doc OOV rate, one plan",
+    "q_scan_csv": "splittable CSV scan, bound schema (no inference pass)",
+    "q_sink_csv": "parallel CSV directory write + bound-schema readback",
+    "q_scan_jsonl": "JSON-lines scan, bound schema, unparsed-key skipping",
     "q_anomaly_zscore": "per-group 2.5-sigma outliers; stats broadcast onto the scan",
     "q_fill_forward": "last-valid-carry gap repair; one shuffle, O(1) state/key",
     "q_pattern_sequence": "MATCH_RECOGNIZE-style consecutive pattern via lead() chain",
