@@ -242,3 +242,57 @@ def q_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(orders.groupBy("o_custkey"))
         .applyInPandas(reconcile, out_schema)
     )
+
+
+@query(
+    "q_udf_mapinarrow",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net,
+           CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+               AS net_cents
+    FROM lineitem
+    WHERE l_returnflag = 'A'
+    """,
+)
+def q_udf_mapinarrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow``: the zero-copy Arrow RecordBatch UDF path —
+    lower-level than pandas UDFs (no Series conversion, no index
+    bookkeeping), the right surface for columnar libraries that speak
+    Arrow natively (tokenizers, image decoders, compiled kernels).
+
+    Per-batch pyarrow.compute kernels do the math (C++ SIMD, never
+    per-row Python); batch boundaries can't affect values since the
+    computation is row-wise. IEEE doubles match the SQL formula exactly;
+    the cents column pins the integer rounding contract.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def net_batches(batches):
+        for b in batches:
+            net = pc.multiply(
+                b.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+            )
+            cents = pc.cast(
+                pc.round(
+                    pc.multiply(net, pa.scalar(100.0)),
+                    round_mode="half_towards_infinity",  # SQL ROUND, not banker's
+                ),
+                pa.int64(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column("l_orderkey"), b.column("l_linenumber"), net, cents],
+                ["l_orderkey", "l_linenumber", "net", "net_cents"],
+            )
+
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "A")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+    )
+    return li.mapInArrow(
+        net_batches,
+        "l_orderkey long, l_linenumber int, net double, net_cents long",
+    )

@@ -290,3 +290,38 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (us("p_ts") - us("c_ts")).alias("delay_us"),
         )
     )
+
+
+@query(
+    "q_stream_foreachbatch",
+    oracle=f"""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           {sql_canon(sql_dsum('value', 2))} AS total_value,
+           MAX(ts) AS last_ts
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch upsert-sink pattern, batch twin: the per-user state
+    table an idempotent micro-batch MERGE loop converges to.
+
+    The streaming form (exercised for real in
+    ``tests/test_streaming.py::test_foreachbatch_merge_idempotent``) is
+    ``writeStream.foreachBatch(merge)`` where ``merge(df, batch_id)``
+    (1) skips batch ids it has already applied — Spark re-delivers the
+    last batch after a crash, and idempotence-by-batch-id is what turns
+    at-least-once delivery into exactly-once state — and (2) combines
+    the batch's per-user partial aggregate into the state store
+    (count/sum add, max takes greatest). Partial-aggregate-then-merge
+    keeps per-batch shuffle proportional to the batch, not the state.
+    The converged state equals this one-shot batch aggregate; decimal
+    sums make the equality exact regardless of batch boundaries.
+    """
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        canon(dsum("value", 2)).alias("total_value"),
+        F.max("ts").alias("last_ts"),
+    )

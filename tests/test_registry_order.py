@@ -61,6 +61,8 @@ def test_round5_window_composition():
         "q_scan_csv",
         "q_sink_csv",
         "q_scan_jsonl",
+        "q_stream_foreachbatch",
+        "q_udf_mapinarrow",
     }
     never = set(_ordered_names()) - seen - new_this_round
     out = never - names

@@ -296,3 +296,81 @@ def test_stream_stream_join_equals_batch(spark, tmp_path):
     # matches @28 (not @2/@8 — outside 15 min); u2's @20 matches @16
     assert (1, 1.0, 0.2) in got and (1, 3.0, 0.4) in got and (2, 2.0, 0.3) in got
     assert (1, 3.0, 0.1) not in got
+
+
+def test_foreachbatch_merge_idempotent(spark, tmp_path):
+    """The real foreachBatch loop behind q_stream_foreachbatch: an
+    upsert MERGE per micro-batch, idempotent by batch_id (replaying a
+    delivered batch must not change state), converging to the one-shot
+    batch aggregate."""
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+    spec = [(0, 1, 1.5), (3, 1, 2.25), (12, 2, 3.0), (14, 1, 4.0), (27, 2, 5.5)]
+    src = tmp_path / "febatch"
+    src.mkdir()
+    minixlsx.write_xlsx(str(src / "a.xlsx"), _events(t0, spec[:2]))
+    schema = "ts timestamp, user_id long, value double"
+
+    state: dict[int, list] = {}  # user -> [n, total_cents, last_ts]
+    applied: set[int] = set()
+    deliveries: list = []  # (batch_id, per-user partials) for replay
+
+    def apply_partials(batch_id, part):
+        if batch_id in applied:  # crash-replay delivery: must be a no-op
+            return
+        applied.add(batch_id)
+        for r in part:
+            cur = state.setdefault(r["user_id"], [0, 0, r["last_ts"]])
+            cur[0] += r["n"]
+            cur[1] += r["cents"]
+            cur[2] = max(cur[2], r["last_ts"])
+
+    def merge(batch_df, batch_id):
+        part = (
+            batch_df.groupBy("user_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+                F.max("ts").alias("last_ts"),
+            )
+            .collect()
+        )
+        deliveries.append((batch_id, part))
+        apply_partials(batch_id, part)
+
+    q = (
+        spark.readStream.format("excel")
+        .schema(schema)
+        .option("path", str(src))
+        .load()
+        .writeStream.foreachBatch(merge)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        minixlsx.write_xlsx(str(src / "b.xlsx"), _events(t0, spec[2:]))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(applied) >= 2  # the merge ran per micro-batch
+    snapshot = {k: list(v) for k, v in state.items()}
+
+    # redeliver every batch (simulated crash replay): state must not move
+    for batch_id, part in deliveries:
+        apply_partials(batch_id, part)
+    assert {k: list(v) for k, v in state.items()} == snapshot
+
+    batch = (
+        spark.read.format("excel").schema(schema).option("path", str(src)).load()
+    )
+    expect = {
+        (r["user_id"], r["n"], r["cents"], r["last_ts"])
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+            F.max("ts").alias("last_ts"),
+        )
+        .collect()
+    }
+    got = {(u, v[0], v[1], v[2]) for u, v in state.items()}
+    assert got == expect

@@ -49,10 +49,11 @@ SECTIONS = {
         "q_stream_discover", "q_stream_tumbling", "q_stream_sliding",
         "q_stream_session", "q_stream_watermark", "q_stream_dedup",
         "q_stream_stateful", "q_stream_enrich", "q_stream_join",
+        "q_stream_foreachbatch",
     ],
     "UDF / UDAF / UDTF": [
         "q_udf_scalar", "q_udaf_grouped", "q_udtf", "q_udf_mapinpandas",
-        "q_udf_cogroup",
+        "q_udf_cogroup", "q_udf_mapinarrow",
     ],
     "Flagship / composite analytics": [
         "q_flagship_pricing", "q_tpch_q5ish", "q_tpch_q10ish", "q_tpch_q3ish",
@@ -138,6 +139,8 @@ ROLES = {
     "q_scan_csv": "splittable CSV scan, bound schema (no inference pass)",
     "q_sink_csv": "parallel CSV directory write + bound-schema readback",
     "q_scan_jsonl": "JSON-lines scan, bound schema, unparsed-key skipping",
+    "q_udf_mapinarrow": "zero-copy Arrow RecordBatch UDF (pyarrow.compute kernels)",
+    "q_stream_foreachbatch": "idempotent foreachBatch MERGE sink; genuine-stream twin in tests",
     "q_anomaly_zscore": "per-group 2.5-sigma outliers; stats broadcast onto the scan",
     "q_fill_forward": "last-valid-carry gap repair; one shuffle, O(1) state/key",
     "q_pattern_sequence": "MATCH_RECOGNIZE-style consecutive pattern via lead() chain",
