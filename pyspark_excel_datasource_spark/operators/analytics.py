@@ -702,3 +702,143 @@ def q_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             canon(dround(z, 6)).alias("robust_z"),
         )
     )
+
+
+_ATTR_WINDOW_MIN = 30  # last-touch lookback
+
+
+@query(
+    "q_attribution",
+    oracle=f"""
+    SELECT event_id AS purchase_id, user_id,
+           CASE WHEN lc_ts >= ts - INTERVAL {_ATTR_WINDOW_MIN} MINUTE
+                THEN lc_id END AS click_id,
+           CASE WHEN lc_ts >= ts - INTERVAL {_ATTR_WINDOW_MIN} MINUTE
+                THEN EPOCH_US(ts) - EPOCH_US(lc_ts) END AS delay_us
+    FROM (
+        SELECT *,
+               LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END
+                          IGNORE NULLS) OVER win AS lc_id,
+               LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END
+                          IGNORE NULLS) OVER win AS lc_ts
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    WHERE event_type = 'purchase'
+    """,
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the latest prior
+    click by the same user within a 30-minute lookback — JOIN-FREE.
+
+    The naive formulation is the `q_stream_join` time-range self-join
+    (quadratic per hot user in pairs emitted). This is the scale
+    spelling: union the two event kinds, ONE shuffle on user_id, and a
+    running `last(click, ignorenulls)` carries the candidate forward —
+    per-row O(1) state, emission linear in purchases, same single-pass
+    structure at any fan-in of clicks per purchase. The (ts, event_id)
+    window order makes same-timestamp behavior deterministic in both
+    engines; delay arithmetic is integer microseconds.
+    """
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    is_click = F.col("event_type") == "click"
+    lc_id = F.last(F.when(is_click, F.col("event_id")), ignorenulls=True).over(w)
+    lc_ts = F.last(F.when(is_click, F.col("ts")), ignorenulls=True).over(w)
+    attributed = F.col("lc_ts") >= F.col("ts") - F.expr(
+        f"INTERVAL {_ATTR_WINDOW_MIN} MINUTES"
+    )
+    return (
+        ev.withColumn("lc_id", lc_id)
+        .withColumn("lc_ts", lc_ts)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.when(attributed, F.col("lc_id")).alias("click_id"),
+            F.when(
+                attributed,
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.col("lc_ts").cast("timestamp")),
+            ).alias("delay_us"),
+        )
+    )
+
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 1024
+
+
+def countmin_sketch(toks: DataFrame) -> DataFrame:
+    """(depth, bucket) → count: a count-min sketch as a 4096-row frame.
+
+    Mergeable by construction (counts add), so at 100 TB the sketch
+    builds with map-side partial aggregation and the shuffle moves only
+    depth×width rows per partition — the same contract as Spark's HLL
+    partials. Seeded xxhash64 rows stay entirely JVM-side.
+    """
+    return (
+        toks.select(
+            "tok", F.explode(F.sequence(F.lit(0), F.lit(_CMS_DEPTH - 1))).alias("d")
+        )
+        .select(
+            "d",
+            F.pmod(F.xxhash64(F.col("d"), F.col("tok")), F.lit(_CMS_WIDTH)).alias(
+                "bucket"
+            ),
+        )
+        .groupBy("d", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query("q_agg_countmin")  # sketch estimate → rows-only check by design
+def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates for the corpus's exact top-20
+    tokens (heavy hitters).
+
+    The sketch answers "how often does X occur" from depth×width bounded
+    state instead of a full token→count table — the streaming/LLM-corpus
+    workhorse when the token domain (n-grams, URLs) is too wide to
+    materialize. estimate = min over depth rows of the probed buckets;
+    one-sided error (estimate ≥ true, overshoot ≤ e·N/width w.h.p.) is
+    asserted against exact counts in ``tests/test_sketch_bounds.py``.
+    Estimates are deterministic for fixed input but hash-layout-specific,
+    so the driver applies its rows-only contract (same as ``q_agg_hll``).
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+    )
+    sketch = countmin_sketch(toks)
+
+    exact = toks.groupBy("tok").agg(F.count("*").alias("exact_n"))
+    top = exact.orderBy(F.col("exact_n").desc(), F.col("tok").asc()).limit(20)
+    probes = top.select(
+        "tok",
+        "exact_n",
+        F.explode(F.sequence(F.lit(0), F.lit(_CMS_DEPTH - 1))).alias("d"),
+    ).select(
+        "tok",
+        "exact_n",
+        "d",
+        F.pmod(F.xxhash64(F.col("d"), F.col("tok")), F.lit(_CMS_WIDTH)).alias(
+            "bucket"
+        ),
+    )
+    # 80-row probe side broadcasts INTO the 4096-row sketch join
+    return (
+        F.broadcast(probes)
+        .join(sketch, ["d", "bucket"])
+        .groupBy("tok", "exact_n")
+        .agg(F.min("n").alias("cms_estimate"))
+        .orderBy(F.col("exact_n").desc(), F.col("tok").asc())
+    )

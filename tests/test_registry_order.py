@@ -63,6 +63,8 @@ def test_round5_window_composition():
         "q_scan_jsonl",
         "q_stream_foreachbatch",
         "q_udf_mapinarrow",
+        "q_attribution",
+        "q_agg_countmin",
     }
     never = set(_ordered_names()) - seen - new_this_round
     out = never - names

@@ -108,3 +108,26 @@ def test_agg_hll_error_bounds(spark, queries):
     assert set(got) == set(exact)
     for k, e in exact.items():
         assert abs(got[k] - e) / e < 0.05, (k, got[k], e)
+
+
+def test_agg_countmin_error_bounds(spark, queries):
+    """CMS guarantees: one-sided (estimate >= exact) always, and
+    overshoot <= e*N/width with prob >= 1 - e^-depth. With N ~ 6e4
+    tokens and width 1024 the bound is ~160; assert the hard one-sided
+    property and a generous 2x-the-analytic-bound overshoot cap."""
+    import math
+
+    from pyspark_excel_datasource_spark.catalog import table
+    from pyspark_excel_datasource_spark.operators.analytics import _CMS_WIDTH
+
+    rows = queries["q_agg_countmin"](spark, SF).collect()
+    assert len(rows) == 20
+    n_tokens = (
+        table(spark, SF, "documents")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("t"))
+        .count()
+    )
+    cap = 2 * math.e * n_tokens / _CMS_WIDTH
+    for r in rows:
+        assert r.cms_estimate >= r.exact_n, r  # never undercounts
+        assert r.cms_estimate - r.exact_n <= cap, (r, cap)

@@ -84,7 +84,7 @@ SECTIONS = {
     "Event analytics": [
         "q_sessionize", "q_funnel", "q_retention", "q_scd2_intervals", "q_event_transitions",
         "q_agg_hll", "q_anomaly_zscore", "q_robust_zscore", "q_fill_forward",
-        "q_pattern_sequence", "q_ewma",
+        "q_pattern_sequence", "q_ewma", "q_attribution", "q_agg_countmin",
     ],
     "Incremental / DML patterns": [
         "q_rollup_hierarchical", "q_merge_upsert",
@@ -141,6 +141,8 @@ ROLES = {
     "q_scan_jsonl": "JSON-lines scan, bound schema, unparsed-key skipping",
     "q_udf_mapinarrow": "zero-copy Arrow RecordBatch UDF (pyarrow.compute kernels)",
     "q_stream_foreachbatch": "idempotent foreachBatch MERGE sink; genuine-stream twin in tests",
+    "q_attribution": "join-free last-touch attribution (running last-click window)",
+    "q_agg_countmin": "count-min heavy-hitter estimates; bounds asserted locally",
     "q_anomaly_zscore": "per-group 2.5-sigma outliers; stats broadcast onto the scan",
     "q_fill_forward": "last-valid-carry gap repair; one shuffle, O(1) state/key",
     "q_pattern_sequence": "MATCH_RECOGNIZE-style consecutive pattern via lead() chain",
