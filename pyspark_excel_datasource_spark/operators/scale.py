@@ -588,8 +588,20 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_acctbal") > 7000)
         .select("c_custkey")
     )
+    exact = bloom_semi_join(orders, dim, "o_custkey", "c_custkey")
+    return exact.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        canon(dsum("o_totalprice", 2)).alias("total_price"),
+    )
 
-    pos = _bloom_positions(F.col("c_custkey"))
+
+def bloom_semi_join(
+    fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: str
+) -> DataFrame:
+    """fact LEFT SEMI dim with an explicit bloom pre-filter on the fact
+    scan (see ``q_join_bloom``). Returns the exact semi-join result —
+    the bloom only ever passes supersets."""
+    pos = _bloom_positions(F.col(dim_key))
     bits = dim.select(
         F.explode(F.array(*pos)).alias("p")
     ).select(
@@ -602,25 +614,21 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         arr[int(row["word_idx"])] = int(row["word"])
     bloom = F.array(*[F.lit(w).cast("long") for w in arr])
 
-    # scalar bit tests, built as SQL expressions over o_custkey so the
+    # scalar bit tests, built as SQL expressions over the fact key so the
     # whole probe folds into the scan stage's filter; the INT seed literal
     # must match _bloom_positions' F.lit(i) exactly (xxhash64 is
     # type-sensitive: hashing 0 as INT and as LONG differ)
     m = _BLOOM_WORDS * 64
     tests = []
     for i in range(_BLOOM_HASHES):
-        p = f"pmod(xxhash64({i}, o_custkey), {m})"
+        p = f"pmod(xxhash64({i}, {fact_key}), {m})"
         word = f"ELEMENT_AT(__bloom, CAST(({p}) DIV 64 AS INT) + 1)"
         tests.append(f"(({word}) & SHIFTLEFT(1L, CAST(({p}) % 64 AS INT))) != 0")
     survivors = (
-        orders.withColumn("__bloom", bloom)
+        fact.withColumn("__bloom", bloom)
         .filter(F.expr(" AND ".join(tests)))
         .drop("__bloom")
     )
-    exact = survivors.join(
-        F.broadcast(dim), survivors.o_custkey == dim.c_custkey, "left_semi"
-    )
-    return exact.groupBy("o_orderstatus").agg(
-        F.count("*").alias("n_orders"),
-        canon(dsum("o_totalprice", 2)).alias("total_price"),
+    return survivors.join(
+        F.broadcast(dim), survivors[fact_key] == dim[dim_key], "left_semi"
     )

@@ -171,6 +171,23 @@ def main() -> None:
     ev1 = table(spark, SF, "events")
     ev10 = replicate_events(ev1, FACTOR)
 
+    from pyspark_excel_datasource_spark.operators.scale import bloom_semi_join
+
+    cust_dim = (
+        table(spark, SF, "customer")
+        .filter(F.col("c_acctbal") > 7000)
+        .select("c_custkey")
+    )
+
+    def bloom_agg(spark_, fact, dim):
+        # the 10x side replicates orders but keeps the SAME dim: the
+        # bloom (8 KiB, built once from the dim) prunes 10x the fact
+        # rows map-side — per-row probe cost must stay flat
+        out = bloom_semi_join(fact, dim, "o_custkey", "c_custkey")
+        return out.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n"), dsum("o_totalprice", 2).alias("v")
+        )
+
     shapes = {
         "flagship_agg": (flagship(li1), flagship(li10)),
         "window_frame": (window_frame(li1), window_frame(li10)),
@@ -186,6 +203,10 @@ def main() -> None:
         ),
         "sessionize": (sessionize(ev1), sessionize(ev10)),
         "funnel": (funnel_counts(ev1), funnel_counts(ev10)),
+        "bloom_semi": (
+            bloom_agg(spark, orders1, cust_dim),
+            bloom_agg(spark, orders10, cust_dim),
+        ),
     }
     print(f"rows: base={n1:,} scaled={n1*FACTOR:,}")
     for name, (base, scaled) in shapes.items():
