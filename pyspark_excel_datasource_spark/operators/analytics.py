@@ -842,3 +842,36 @@ def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("n").alias("cms_estimate"))
         .orderBy(F.col("exact_n").desc(), F.col("tok").asc())
     )
+
+
+@query(
+    "q_delta_lag",
+    oracle="""
+    SELECT event_id, user_id,
+           value - LAG(value) OVER win AS value_delta,
+           EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER win) AS gap_us
+    FROM events
+    WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_delta_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta encoding per key: each event against its predecessor
+    (value delta + arrival gap) — the preprocessing step for
+    change-detection, compression, and rate computation over metric
+    streams.
+
+    One shuffle on user_id, one per-key sort, O(1) lag state — the plan
+    is identical at any event volume. Deltas are single IEEE
+    subtractions of identical operands (bit-exact cross-engine); the gap
+    is integer microseconds; (ts, event_id) ordering pins same-timestamp
+    determinism.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.col("value") - F.lag("value").over(w)).alias("value_delta"),
+        (us("ts") - F.lag(us("ts")).over(w)).alias("gap_us"),
+    )

@@ -270,3 +270,42 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         decoded.join(feats, "doc_id")
         .select("doc_id", "height", "width", "pixel_sum", "features")
     )
+
+
+@query(
+    "q_multimodal_dedup",
+    oracle="""
+    SELECT MD5(text) AS payload_md5,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies,
+           CAST(MIN(OCTET_LENGTH(ENCODE(text))) AS BIGINT) AS n_bytes
+    FROM documents
+    GROUP BY MD5(text)
+    """,
+)
+def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact payload deduplication by content hash — the first pass of
+    every multimodal ingest (byte-identical images/audio recur constantly
+    in crawls; SimHash/pHash near-dup only runs on the survivors).
+
+    Scale shape: the ONE shuffle moves 16-byte md5 keys + tiny metadata,
+    never payload bytes — at 100 TB of media the exchange is ~0.1% of
+    input. Hashing runs JVM-side inside the scan stage (no Python); the
+    min-doc_id keeper rule is deterministic. Payload = utf-8 bytes of
+    ``text`` (the container's binary stand-in; byte semantics identical).
+    """
+    d = table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return (
+        d.select(
+            F.md5(payload).alias("payload_md5"),
+            "doc_id",
+            F.octet_length(payload).cast("long").alias("nb"),
+        )
+        .groupBy("payload_md5")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_copies"),
+            F.min("nb").alias("n_bytes"),
+        )
+    )

@@ -65,6 +65,8 @@ def test_round5_window_composition():
         "q_udf_mapinarrow",
         "q_attribution",
         "q_agg_countmin",
+        "q_multimodal_dedup",
+        "q_delta_lag",
     }
     never = set(_ordered_names()) - seen - new_this_round
     out = never - names

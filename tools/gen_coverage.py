@@ -75,7 +75,7 @@ SECTIONS = {
         "q_text_tfidf", "q_tokenize", "q_text_lm_score", "q_contamination",
         "q_pii_redact", "q_strip_markup",
     ],
-    "North-star: multimodal": ["q_multimodal_cols", "q_multimodal_features"],
+    "North-star: multimodal": ["q_multimodal_cols", "q_multimodal_features", "q_multimodal_dedup"],
     "North-star: pipeline composition": [
         "q_split_assign", "q_sample_hash", "q_sample_stratified", "q_sample_weighted",
         "q_pipeline_llm_prep", "q_validate_constraints", "q_mix_budget",
@@ -85,6 +85,7 @@ SECTIONS = {
         "q_sessionize", "q_funnel", "q_retention", "q_scd2_intervals", "q_event_transitions",
         "q_agg_hll", "q_anomaly_zscore", "q_robust_zscore", "q_fill_forward",
         "q_pattern_sequence", "q_ewma", "q_attribution", "q_agg_countmin",
+        "q_delta_lag",
     ],
     "Incremental / DML patterns": [
         "q_rollup_hierarchical", "q_merge_upsert",
@@ -143,6 +144,8 @@ ROLES = {
     "q_stream_foreachbatch": "idempotent foreachBatch MERGE sink; genuine-stream twin in tests",
     "q_attribution": "join-free last-touch attribution (running last-click window)",
     "q_agg_countmin": "count-min heavy-hitter estimates; bounds asserted locally",
+    "q_multimodal_dedup": "exact payload dedup: shuffle md5 keys, never bytes",
+    "q_delta_lag": "per-key delta encoding (value delta + arrival gap)",
     "q_anomaly_zscore": "per-group 2.5-sigma outliers; stats broadcast onto the scan",
     "q_fill_forward": "last-valid-carry gap repair; one shuffle, O(1) state/key",
     "q_pattern_sequence": "MATCH_RECOGNIZE-style consecutive pattern via lead() chain",
