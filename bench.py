@@ -43,6 +43,8 @@ HEADLINE = (
     # greedy context packing) so regressions on them surface per-round
     "q_sim_ann_pq",
     "q_pack_context",
+    "q_join_bloom",
+    "q_attribution",
 )
 
 RUNS = 3
