@@ -404,3 +404,41 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_oov.alias("n_oov"),
         (n_oov.cast("double") / F.count("*")).alias("oov_rate"),
     )
+
+
+@query(
+    "q_corpus_stats",
+    oracle="""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus report card: per-(lang, source) document counts, token and
+    char totals, and length extremes — the summary every corpus release
+    ships with (and the input to `q_mix_budget`'s domain weighting).
+
+    One shuffle on a tiny (lang, source) key domain with map-side
+    partials absorbing the volume; token counting is `size(split(...))`
+    inside the scan stage, so text never moves — only the |langs|×
+    |sources| aggregate rows do. All sums are exact integers; mean is
+    the one IEEE division of exact operands (davg argument).
+    """
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).alias(
+            "total_tokens"
+        ),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("mean_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )

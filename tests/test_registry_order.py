@@ -67,6 +67,7 @@ def test_round5_window_composition():
         "q_agg_countmin",
         "q_multimodal_dedup",
         "q_delta_lag",
+        "q_corpus_stats",
     }
     never = set(_ordered_names()) - seen - new_this_round
     out = never - names

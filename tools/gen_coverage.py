@@ -96,6 +96,7 @@ SECTIONS = {
     "North-star: corpus prep (chunking / tokenizer / shards)": [
         "q_text_repetition", "q_chunk_tokens", "q_bpe_pair_counts",
         "q_shuffle_shard", "q_pack_context", "q_vocab_coverage",
+        "q_corpus_stats",
     ],
 }
 
@@ -146,6 +147,7 @@ ROLES = {
     "q_agg_countmin": "count-min heavy-hitter estimates; bounds asserted locally",
     "q_multimodal_dedup": "exact payload dedup: shuffle md5 keys, never bytes",
     "q_delta_lag": "per-key delta encoding (value delta + arrival gap)",
+    "q_corpus_stats": "per-(lang, source) corpus report card; text never shuffles",
     "q_anomaly_zscore": "per-group 2.5-sigma outliers; stats broadcast onto the scan",
     "q_fill_forward": "last-valid-carry gap repair; one shuffle, O(1) state/key",
     "q_pattern_sequence": "MATCH_RECOGNIZE-style consecutive pattern via lead() chain",
