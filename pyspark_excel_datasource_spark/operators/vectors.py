@@ -1,0 +1,145 @@
+"""Embedding-column aggregate operators (SURVEY.md §2.4 extensions).
+
+The similarity module (`operators/similarity.py`) covers *search* over the
+embedding column; this module covers the *aggregate* shapes a training-data
+pipeline runs over the same column:
+
+- ``q_embed_centroids``: per-label mean vector — the one-pass "M step" of
+  k-means / the class-prototype computation behind nearest-centroid
+  classifiers and IVF coarse quantizers. Expressed as ``posexplode`` to
+  (label, dim, value) rows and a keyed aggregation, so the shuffle key
+  space is labels × dims (bounded, skew-free) and partial aggregation
+  combines map-side regardless of corpus size. Returning long-format rows
+  (label, dim, centroid) instead of re-assembled arrays keeps the result
+  oracle-comparable and lets downstream consumers pivot as needed.
+- ``q_embed_quantize``: per-vector symmetric int8 quantization (the
+  standard ANN-index / activation-compression step): scale = amax/127,
+  q_i = round(x_i/scale). Entirely row-local array math — no shuffle at
+  all; at 100 TB this is a map-only stage limited by scan bandwidth. The
+  result presents the quantization *summary* (scale, element sum, min,
+  max of the int8 code vector) rather than 64 code columns.
+
+Cross-engine float determinism (see ``functions/determinism``):
+cross-row sums of float data are order-dependent in IEEE double, so
+``q_embed_centroids`` converts each element to an exact fixed-point BIGINT
+(``floor(v * 1e6 + 0.5)`` — identical single-rounding IEEE ops in both
+engines) and sums integers (order-independent), then performs ONE double
+division at the end. ``q_embed_quantize`` is row-local: every op is a
+deterministic scalar function of one row's values, and integer folds over
+the code array are exact.
+
+Reference parity: the reference connector (`/root/reference/src/
+pyspark_datasource/excel/connector.py`) has no vector operators at all;
+these extend the engine for the embedding workloads described in the
+build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import spread, table
+from ..plans.registry import query
+
+#: fixed-point scale for order-independent centroid sums (6 decimals keeps
+#: every float32 embedding value exactly representable in the BIGINT range:
+#: |v| < 1 → |v * 1e6| < 2^20).
+_FP = 1_000_000
+
+
+@query(
+    "q_embed_centroids",
+    oracle=f"""
+    WITH ex AS (
+        SELECT label, g.i - 1 AS dim,
+               CAST(FLOOR(CAST(embedding[g.i] AS DOUBLE) * {_FP} + 0.5)
+                    AS BIGINT) AS vq
+        FROM embeddings,
+             UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS g(i)
+    )
+    SELECT label, CAST(dim AS INT) AS dim,
+           COUNT(*) AS n_vectors,
+           CAST(SUM(vq) AS DOUBLE) / (COUNT(*) * {_FP}.0) AS centroid
+    FROM ex GROUP BY label, dim
+    """,
+)
+def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding in long format (label, dim, centroid).
+
+    Plan shape: posexplode → partial+final HashAggregate keyed on
+    (label, dim). Key cardinality is labels × dims (here 10 × 64),
+    independent of corpus size, so the shuffle is tiny and skew-free at
+    any scale; the explode itself is a codegen'd generator, no Python.
+    Elements are fixed-pointed to BIGINT before the sum so the aggregate
+    is order-independent (bit-identical across engines and AQE plans).
+    """
+    emb = spread(table(spark, sf_dir, "embeddings"))
+    ex = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v"),
+    ).select(
+        "label",
+        F.col("dim").cast("int").alias("dim"),
+        F.floor(F.col("v") * _FP + F.lit(0.5)).cast("long").alias("vq"),
+    )
+    return ex.groupBy("label", "dim").agg(
+        F.count("*").alias("n_vectors"),
+        (F.sum("vq").cast("double") / (F.count("*") * float(_FP))).alias("centroid"),
+    )
+
+
+@query(
+    "q_embed_quantize",
+    oracle="""
+    SELECT vec_id,
+           amax / 127.0 AS scale,
+           CAST(LIST_SUM(LIST_TRANSFORM(e,
+                x -> CAST(FLOOR(x / (amax / 127.0) + 0.5) AS BIGINT)))
+                AS BIGINT) AS qsum,
+           CAST(LIST_MIN(LIST_TRANSFORM(e,
+                x -> CAST(FLOOR(x / (amax / 127.0) + 0.5) AS BIGINT)))
+                AS BIGINT) AS qmin,
+           CAST(LIST_MAX(LIST_TRANSFORM(e,
+                x -> CAST(FLOOR(x / (amax / 127.0) + 0.5) AS BIGINT)))
+                AS BIGINT) AS qmax
+    FROM (
+        SELECT vec_id, embedding::DOUBLE[] AS e,
+               LIST_MAX(LIST_TRANSFORM(embedding::DOUBLE[],
+                        x -> ABS(x))) AS amax
+        FROM embeddings
+    )
+    WHERE amax > 0
+    """,
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization summary per vector: scale = amax/127,
+    code_i = floor(x_i/scale + 0.5), reported as (scale, sum, min, max)
+    of the code vector.
+
+    Map-only — no shuffle, no Python: higher-order array functions
+    (transform/aggregate/array_min/array_max) run JVM-side. ``scale`` is
+    a single IEEE division of identical operands in both engines; the
+    code elements are one division + one add + one floor each (identical
+    rounding); integer folds are exact. The amax > 0 guard (mirrored in
+    the oracle) excludes all-zero vectors from division rather than
+    emitting engine-specific inf/NaN.
+    """
+    emb = spread(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    amax = F.array_max(F.transform(F.col("e"), lambda v: F.abs(v)))
+    with_scale = emb.withColumn("amax", amax).filter(F.col("amax") > 0)
+    scale = F.col("amax") / F.lit(127.0)
+    codes = F.transform(
+        F.col("e"), lambda v: F.floor(v / scale + F.lit(0.5)).cast("long")
+    )
+    return with_scale.select(
+        "vec_id",
+        scale.alias("scale"),
+        F.aggregate(codes, F.lit(0).cast("long"), lambda acc, v: acc + v).alias(
+            "qsum"
+        ),
+        F.array_min(codes).alias("qmin"),
+        F.array_max(codes).alias("qmax"),
+    )

@@ -47,6 +47,7 @@ _QUERY_MODULES = (
     "pyspark_excel_datasource_spark.streaming.stateful",
     "pyspark_excel_datasource_spark.operators.dedup",
     "pyspark_excel_datasource_spark.operators.similarity",
+    "pyspark_excel_datasource_spark.operators.vectors",
     "pyspark_excel_datasource_spark.operators.text",
     "pyspark_excel_datasource_spark.operators.multimodal",
     "pyspark_excel_datasource_spark.sources.excel_queries",
