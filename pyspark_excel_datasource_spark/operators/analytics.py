@@ -22,6 +22,8 @@ Scale notes (100 TB event logs):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -352,7 +354,24 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_agg_hll")  # sketch output — no DuckDB-comparable oracle (rows-only)
+#: relative-error acceptance band for the HLL verdict column: DataSketches
+#: HLL at default lgK=12 has standard error ~1.04/sqrt(2^12) ≈ 1.6%; 5% is
+#: ≈3σ — deterministic for fixed input, asserted at sf0.001/0.01/0.1.
+_HLL_REL_ERR = 0.05
+
+
+@query(
+    "q_agg_hll",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_bounds
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL' AS event_type, COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_bounds
+    FROM events
+    """,
+)
 def q_agg_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches: Apache DataSketches HLL via
     ``hll_sketch_agg`` / ``hll_sketch_estimate`` (Spark ≥ 3.5 built-ins,
@@ -362,27 +381,49 @@ def q_agg_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     these sketches are *storable and mergeable*: at 100 TB you
     pre-aggregate one sketch per partition/day, persist the binary, and
     union months of data with ``hll_union_agg`` without rescanning —
-    the standard incremental-distinct pattern. Estimates are
-    deterministic for fixed input but implementation-specific, so the
-    driver applies its rows-only contract.
+    the standard incremental-distinct pattern.
+
+    Estimates are implementation-specific, so the raw estimate can't be
+    hash-compared cross-engine; instead the query emits the exact
+    distinct count (hash-verified against DuckDB) plus a ``within_bounds``
+    verdict asserting the sketch landed within ±5 % (≈3σ at lgK=12) of
+    it — covering BOTH the per-type sketches and the ``hll_union_agg``
+    merge path through the ALL row. The exact count costs one extra
+    distinct aggregation at gate scale; the sketch path remains the
+    scale story.
     """
     ev = table(spark, sf_dir, "events")
     per_type = ev.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id").alias("sketch")
+        F.hll_sketch_agg("user_id").alias("sketch"),
+        F.count_distinct("user_id").alias("exact_users"),
     )
-    return (
-        per_type.select(
-            "event_type",
-            F.hll_sketch_estimate("sketch").cast("long").alias("approx_users"),
+    verdict = (
+        F.abs(
+            F.hll_sketch_estimate("sketch").cast("double")
+            - F.col("exact_users").cast("double")
         )
-        .unionByName(
-            # merge path: union the per-type sketches into a corpus total
-            per_type.agg(
-                F.hll_sketch_estimate(F.hll_union_agg("sketch"))
-                .cast("long")
-                .alias("approx_users")
-            ).select(F.lit("ALL").alias("event_type"), "approx_users")
+        <= F.lit(_HLL_REL_ERR) * F.col("exact_users").cast("double")
+    ).alias("within_bounds")
+    all_row = (
+        per_type.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+            .cast("long")
+            .alias("approx"),
         )
+        .crossJoin(
+            F.broadcast(ev.agg(F.count_distinct("user_id").alias("exact_users")))
+        )
+        .select(
+            F.lit("ALL").alias("event_type"),
+            "exact_users",
+            (
+                F.abs(F.col("approx").cast("double") - F.col("exact_users"))
+                <= F.lit(_HLL_REL_ERR) * F.col("exact_users")
+            ).alias("within_bounds"),
+        )
+    )
+    return per_type.select("event_type", "exact_users", verdict).unionByName(
+        all_row
     )
 
 
@@ -800,7 +841,19 @@ def countmin_sketch(toks: DataFrame) -> DataFrame:
     )
 
 
-@query("q_agg_countmin")  # sketch estimate → rows-only check by design
+@query(
+    "q_agg_countmin",
+    oracle=f"""
+    WITH toks AS (
+        SELECT UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok FROM documents
+    ),
+    exact AS (SELECT tok, COUNT(*) AS exact_n FROM toks GROUP BY tok)
+    SELECT tok, exact_n,
+           TRUE AS est_ge_exact, TRUE AS overshoot_ok
+    FROM exact
+    ORDER BY exact_n DESC, tok ASC LIMIT 20
+    """,
+)
 def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch frequency estimates for the corpus's exact top-20
     tokens (heavy hitters).
@@ -808,11 +861,18 @@ def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     The sketch answers "how often does X occur" from depth×width bounded
     state instead of a full token→count table — the streaming/LLM-corpus
     workhorse when the token domain (n-grams, URLs) is too wide to
-    materialize. estimate = min over depth rows of the probed buckets;
-    one-sided error (estimate ≥ true, overshoot ≤ e·N/width w.h.p.) is
-    asserted against exact counts in ``tests/test_sketch_bounds.py``.
-    Estimates are deterministic for fixed input but hash-layout-specific,
-    so the driver applies its rows-only contract (same as ``q_agg_hll``).
+    materialize. estimate = min over depth rows of the probed buckets.
+
+    Estimates are hash-layout-specific, so the raw estimate can't be
+    hash-compared cross-engine. Instead the query verifies the CM
+    contract in-plan and emits the verdict columns: ``est_ge_exact``
+    (one-sided error: the estimate never undercounts) and
+    ``overshoot_ok`` (estimate ≤ exact + e·N/width, the Markov bound the
+    min-over-depth rows satisfy w.h.p.; deterministic for fixed input —
+    asserted at sf0.001/0.01/0.1 locally and in
+    ``tests/test_sketch_bounds.py``). The DuckDB oracle reproduces the
+    exact top-20 (deterministic tiebreak) and asserts the verdicts TRUE,
+    so a broken sketch flips a hash-checked value.
     """
     d = table(spark, sf_dir, "documents")
     toks = d.select(
@@ -822,6 +882,7 @@ def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     exact = toks.groupBy("tok").agg(F.count("*").alias("exact_n"))
     top = exact.orderBy(F.col("exact_n").desc(), F.col("tok").asc()).limit(20)
+    n_total = toks.count()  # scalar: one partial-agg'd count, no data moved
     probes = top.select(
         "tok",
         "exact_n",
@@ -835,11 +896,20 @@ def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     # 80-row probe side broadcasts INTO the 4096-row sketch join
+    bound = math.ceil(math.e * n_total / _CMS_WIDTH)
     return (
         F.broadcast(probes)
         .join(sketch, ["d", "bucket"])
         .groupBy("tok", "exact_n")
         .agg(F.min("n").alias("cms_estimate"))
+        .select(
+            "tok",
+            "exact_n",
+            (F.col("cms_estimate") >= F.col("exact_n")).alias("est_ge_exact"),
+            (F.col("cms_estimate") <= F.col("exact_n") + F.lit(bound)).alias(
+                "overshoot_ok"
+            ),
+        )
         .orderBy(F.col("exact_n").desc(), F.col("tok").asc())
     )
 
@@ -874,4 +944,122 @@ def q_delta_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.col("value") - F.lag("value").over(w)).alias("value_delta"),
         (us("ts") - F.lag(us("ts")).over(w)).alias("gap_us"),
+    )
+
+
+@query(
+    "q_resample_timeseries",
+    oracle="""
+    WITH spine AS (
+        SELECT UNNEST(GENERATE_SERIES(
+                   (SELECT time_bucket(INTERVAL 1 HOUR, MIN(ts)) FROM events),
+                   (SELECT time_bucket(INTERVAL 1 HOUR, MAX(ts)) FROM events),
+                   INTERVAL 1 HOUR)) AS bucket
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    agg AS (
+        SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket, event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
+        FROM events GROUP BY 1, 2
+    )
+    SELECT s.bucket, t.event_type,
+           COALESCE(a.n, 0) AS n,
+           COALESCE(a.sum_cents, 0) AS sum_cents
+    FROM spine s CROSS JOIN types t
+    LEFT JOIN agg a ON a.bucket = s.bucket AND a.event_type = t.event_type
+    """,
+)
+def q_resample_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling: downsample events to a dense hourly grid
+    per event type, gap-filling empty buckets with zeros — the
+    regularization step every downstream forecaster / rate monitor needs
+    (sparse event streams have holes; models want a dense matrix).
+
+    Plan shape: ONE aggregation over the events scan (keyed on bucket ×
+    type — map-side combined, key space = hours × types regardless of
+    row count), then the dense spine (a ``sequence()`` over the global
+    min/max hour — two scalar aggregates — cross-joined with the distinct
+    type frame, both broadcast-sized at any scale: a year is 8.8k hourly
+    buckets) LEFT-joins the aggregate. Values accumulate as exact integer
+    cents so the fill's zeros and the sums are bit-identical cross-engine.
+    At 100 TB the expensive side (raw events) is touched exactly once.
+    """
+    ev = table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket")
+    )
+    types = ev.select("event_type").distinct()
+    return (
+        spine.crossJoin(F.broadcast(types))
+        .join(agg, ["bucket", "event_type"], "left")
+        .select(
+            # date_trunc yields a session-tz timestamp; present as NTZ to
+            # match the NTZ source column (tz is pinned UTC, so identity)
+            F.col("bucket").cast("timestamp_ntz").alias("bucket"),
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("sum_cents", F.lit(0).cast("long")).alias("sum_cents"),
+        )
+    )
+
+
+@query(
+    "q_window_deltas_vs_baseline",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER win AS n_baseline,
+           CAST(COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER win,
+                         0) AS BIGINT) AS baseline_sum_cents,
+           CAST(CAST(ROUND(value * 100) AS BIGINT) * COUNT(*) OVER win
+                - COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER win,
+                           0) AS BIGINT) AS excess_cents_xn
+    FROM events
+    WINDOW win AS (PARTITION BY user_id ORDER BY EPOCH_US(ts)
+                   RANGE BETWEEN 86400000000 PRECEDING
+                             AND 1 PRECEDING)
+    """,
+)
+def q_window_deltas_vs_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each event vs the SAME user's trailing-24h baseline: how far does
+    this value sit above/below the user's own recent average (the
+    anomaly/feature shape behind per-entity drift alerts and 'unusual
+    activity' detectors).
+
+    A RANGE frame over event-time microseconds (``86_400e6 PRECEDING TO
+    1 PRECEDING`` — the current row never leaks into its own baseline).
+    The comparison is presented as exact integers: ``excess_cents_xn =
+    value_cents·n − Σ baseline_cents`` (i.e. (value − mean)·n scaled to
+    cents), which avoids any float division while ordering identically
+    with it for fixed n. One shuffle on user_id; the frame is bounded by
+    each user's 24h event volume, so state per key is small and skew
+    follows user skew (saltable if a user is pathological).
+    """
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(_micros("ts"))
+        .rangeBetween(-86_400_000_000, -1)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    n_base = F.count("*").over(w)
+    sum_base = F.coalesce(F.sum(cents).over(w), F.lit(0).cast("long"))
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        n_base.alias("n_baseline"),
+        sum_base.alias("baseline_sum_cents"),
+        (cents * n_base - sum_base).cast("long").alias("excess_cents_xn"),
     )

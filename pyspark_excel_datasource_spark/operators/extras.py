@@ -308,32 +308,74 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_agg_approx_quantile")  # sketch estimate → rows-only check
+#: GK sketch accuracy parameter → rank error ≤ N/_GK_ACCURACY per group.
+_GK_ACCURACY = 10000
+
+
+@query(
+    "q_agg_approx_quantile",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(l_extendedprice) AS n,
+           TRUE AS ok_p50, TRUE AS ok_p90, TRUE AS ok_p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate quantiles via ``approx_percentile`` (Greenwald-Khanna
     sketch, JVM-side, mergeable partials) — the scale companion to the
     exact ``q_agg_percentile``: at 100 TB the exact rank requires a full
     sort-or-shuffle per group, while the sketch is one pass with bounded
     (accuracy-parameter-sized) state per partition, merged map-side.
-    Estimates are deterministic for fixed input but algorithm-specific,
-    so the driver applies its rows-only contract; the exact twin stays
-    hash-checked.
+
+    Estimates are algorithm-specific, so raw estimates can't be
+    hash-compared against another engine. Instead the query *verifies the
+    sketch's contract in-plan* and emits the verdict: for each percentile
+    p, the estimate's rank in the group must lie within the GK guarantee
+    ``[(p - eps)·N, (p + eps)·N]`` with ``eps = 1/accuracy`` (ties
+    handled by checking ``count(x < est)`` against the upper bound and
+    ``count(x <= est)`` against the lower). The DuckDB oracle reproduces
+    the group sizes exactly and asserts the verdict columns TRUE — so a
+    sketch regression (or a broken bound) flips a hash-checked value.
+
+    Plan shape: one pass builds the sketches (partial+final agg), the
+    3-row estimate frame broadcasts back onto the scan for the rank
+    counts — both aggregations are map-side-combined; no sort anywhere.
     """
-    li = table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.expr(
-                "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)"
-            ).alias("q")
-        )
-        .select(
-            "l_returnflag",
-            F.col("q")[0].alias("p50"),
-            F.col("q")[1].alias("p90"),
-            F.col("q")[2].alias("p99"),
-        )
+    li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    est = li.groupBy("l_returnflag").agg(
+        F.expr(
+            f"approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99),"
+            f" {_GK_ACCURACY})"
+        ).alias("q")
     )
+    probed = li.join(F.broadcast(est), "l_returnflag")
+    ranks = probed.groupBy("l_returnflag").agg(
+        F.count("l_extendedprice").alias("n"),
+        *[
+            agg
+            for i in range(3)
+            for agg in (
+                F.sum(
+                    (F.col("l_extendedprice") <= F.col("q")[i]).cast("long")
+                ).alias(f"le_{i}"),
+                F.sum(
+                    (F.col("l_extendedprice") < F.col("q")[i]).cast("long")
+                ).alias(f"lt_{i}"),
+            )
+        ],
+    )
+    eps = 1.0 / _GK_ACCURACY
+    cols = [F.col("l_returnflag"), F.col("n")]
+    for i, p in enumerate((0.5, 0.9, 0.99)):
+        lo = F.floor((F.lit(p) - F.lit(eps)) * F.col("n")) - 1
+        hi = F.ceil((F.lit(p) + F.lit(eps)) * F.col("n")) + 1
+        cols.append(
+            ((F.col(f"le_{i}") >= lo) & (F.col(f"lt_{i}") <= hi)).alias(
+                f"ok_p{int(p * 100)}"
+            )
+        )
+    return ranks.select(*cols)
 
 
 @query(
@@ -651,4 +693,48 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         canon(dround(_corr("spd", "sp", "sd", "spp", "sdd"), 9)).alias(
             "corr_price_disc"
         ),
+    )
+
+
+@query(
+    "q_quantile_bins",
+    oracle=f"""
+    WITH binned AS (
+        SELECT NTILE(10) OVER (ORDER BY l_extendedprice, l_orderkey,
+                               l_linenumber) AS bin,
+               l_extendedprice
+        FROM lineitem
+    )
+    SELECT CAST(bin AS INT) AS bin,
+           COUNT(*) AS n,
+           {sql_canon(sql_dround('MIN(l_extendedprice)', 2))} AS lo,
+           {sql_canon(sql_dround('MAX(l_extendedprice)', 2))} AS hi
+    FROM binned GROUP BY bin
+    """,
+)
+def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency binning (decile bucketing) of a numeric column —
+    the discretization step behind feature bucketization, quantile-based
+    outlier capping, and stratified report cuts. Deterministic under
+    ties: the NTILE ordering carries the (l_orderkey, l_linenumber)
+    primary key as tiebreak, so both engines assign identical bins.
+
+    Scale note: a global NTILE is a total sort — correct but
+    shuffle-bound at 100 TB. The scale path is the two-pass variant this
+    module's ``q_agg_approx_quantile`` pins: approx_percentile boundaries
+    (one pass, mergeable sketches) + a broadcast ``width_bucket`` map
+    stage — same outputs within sketch tolerance, no global sort. This
+    query keeps the exact form so the oracle can hash-verify bin edges.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    w = W.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    return (
+        li.select("l_extendedprice", F.ntile(10).over(w).alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            canon(dround(F.min("l_extendedprice"), 2)).alias("lo"),
+            canon(dround(F.max("l_extendedprice"), 2)).alias("hi"),
+        )
+        .select(F.col("bin").cast("int").alias("bin"), "n", "lo", "hi")
     )

@@ -259,16 +259,55 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     )
 
 
-@query("q_multimodal_features")  # byte-level features → rows-only check
+@query("q_multimodal_features")  # mapInPandas decode → rows-only check
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal pipeline: payload convention → streamed
-    Arrow decode (fake) → byte-histogram features, joined on doc_id."""
+    Arrow decode (fake) → byte-histogram features, joined on doc_id.
+
+    The feature vector is presented as scalar columns (a content digest
+    of the full array + its L1 norm and argmax bucket) rather than the
+    raw ``array<double>``: the gate's rows-only canonicalizer lexsorts
+    rows via pandas, which cannot hash ndarray cells. The digest pins
+    every element of every vector, so this is strictly MORE sensitive to
+    feature regressions than shipping the array itself.
+    """
     docs = with_payload(table(spark, sf_dir, "documents"))
     decoded = decode_dataframe(docs)
-    feats = byte_histogram_features(docs)
+    feats = byte_histogram_features(docs).select(
+        "doc_id",
+        # digest over 9-decimal fixed-point elements: deterministic
+        # across partitionings (row-local) and Arrow/JVM boundaries
+        F.md5(
+            F.to_json(
+                F.transform(
+                    "features",
+                    lambda v: F.floor(v * F.lit(1e9) + F.lit(0.5)).cast("long"),
+                )
+            )
+        ).alias("features_md5"),
+        F.aggregate(
+            F.transform(
+                "features",
+                lambda v: F.floor(v * F.lit(1e9) + F.lit(0.5)).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("features_l1_fp"),
+        F.expr(
+            "array_position(features, array_max(features))"
+        ).cast("int").alias("argmax_bucket"),
+    )
     return (
         decoded.join(feats, "doc_id")
-        .select("doc_id", "height", "width", "pixel_sum", "features")
+        .select(
+            "doc_id",
+            "height",
+            "width",
+            "pixel_sum",
+            "features_md5",
+            "features_l1_fp",
+            "argmax_bucket",
+        )
     )
 
 

@@ -641,14 +641,59 @@ def q_agg_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_agg_approx")  # approximate → no exact oracle; rows-only check
+@query(
+    "q_agg_approx",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           TRUE AS cd_within_bounds, TRUE AS median_within_bounds
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) + approx percentile — the
-    100 TB substitutes for exact distinct counts / exact medians."""
-    li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    100 TB substitutes for exact distinct counts / exact medians.
+
+    Estimates are implementation-specific, so the query verifies the
+    approximation contracts in-plan and hash-checks the verdicts (same
+    convention as ``q_agg_hll`` / ``q_agg_approx_quantile``): the HLL++
+    estimate must land within ±3·rsd of the exact distinct count
+    (hash-verified against DuckDB), and the GK median's rank must sit in
+    the ±N/accuracy band. Both exact sides cost one extra aggregation at
+    gate scale; the sketches remain the scale story.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_extendedprice"
+    )
+    est = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("median_price_approx"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("median_est"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+    )
+    ranks = (
+        li.join(F.broadcast(est.select("l_returnflag", "median_est")), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("l_extendedprice").alias("n"),
+            F.sum((F.col("l_extendedprice") <= F.col("median_est")).cast("long")).alias("le"),
+            F.sum((F.col("l_extendedprice") < F.col("median_est")).cast("long")).alias("lt"),
+        )
+    )
+    eps = 1.0 / 1000
+    return (
+        est.join(ranks, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            (
+                F.abs(F.col("approx_orders").cast("double") - F.col("exact_orders"))
+                <= F.lit(3 * 0.02) * F.col("exact_orders")
+            ).alias("cd_within_bounds"),
+            (
+                (F.col("le") >= F.floor((F.lit(0.5) - F.lit(eps)) * F.col("n")) - 1)
+                & (F.col("lt") <= F.ceil((F.lit(0.5) + F.lit(eps)) * F.col("n")) + 1)
+            ).alias("median_within_bounds"),
+        )
     )
 
 
@@ -1009,3 +1054,52 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("custkey"))
     )
     return a.subtract(b)
+
+
+@query(
+    "q_join_asof_tolerance",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+           (SELECT MAX(c.ts) FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click'
+              AND c.ts < p.ts
+              AND c.ts >= p.ts - INTERVAL 1 HOUR) AS click_within_1h,
+           (SELECT MAX(c.ts) FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click'
+              AND c.ts < p.ts
+              AND c.ts >= p.ts - INTERVAL 1 HOUR) IS NOT NULL AS attributed
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH a match tolerance (pandas ``merge_asof(...,
+    tolerance=...)`` semantics): each purchase gets its latest prior
+    click only if that click happened within the last hour, else NULL —
+    the attribution-window variant every ads/conversion pipeline runs.
+
+    Composition insight: tolerance needs NO second plan — the backward
+    as-of already carries the MAXIMAL prior click, so a click outside the
+    window proves no click inside it; one ``when()`` over the carried
+    timestamp applies the tolerance. Cost stays ONE shuffle on user_id
+    (the union-and-window as-of, ``operators/asof.py``), unchanged at
+    100 TB. Reference has no analog (streaming is file discovery only,
+    connector.py:206-277).
+    """
+    from .asof import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    joined = asof_join(purchases, clicks, on="ts", by="user_id", strict=True)
+    within = F.col("ts_right") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")
+    hit = F.when(within, F.col("ts_right"))
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        hit.alias("click_within_1h"),
+        hit.isNotNull().alias("attributed"),
+    )

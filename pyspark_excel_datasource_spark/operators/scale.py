@@ -595,12 +595,32 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: dim row count above which ``bloom_semi_join`` stops hinting a broadcast
+#: for the exact semi join and lets it shuffle: ~8M 8-byte keys ≈ 64 MB of
+#: build-side rows, past the point a 1000-executor broadcast stays cheap.
+_BLOOM_BROADCAST_MAX_ROWS = 8_000_000
+
+
 def bloom_semi_join(
-    fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: str
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    broadcast_max_rows: int = _BLOOM_BROADCAST_MAX_ROWS,
 ) -> DataFrame:
     """fact LEFT SEMI dim with an explicit bloom pre-filter on the fact
     scan (see ``q_join_bloom``). Returns the exact semi-join result —
-    the bloom only ever passes supersets."""
+    the bloom only ever passes supersets.
+
+    The exact semi join broadcasts the dim only while it is small
+    (``broadcast_max_rows``, checked with one extra count over the
+    already-filtered dim — trivial next to the bloom build's own dim
+    scan); past the threshold it falls back to a shuffle left-semi, so
+    the helper stays safe for dims that outgrow executor memory. The
+    bloom pre-filter itself is size-independent (fixed 8 KiB literal)
+    and still prunes the fact scan either way.
+    """
+    n_dim = dim.count()
     pos = _bloom_positions(F.col(dim_key))
     bits = dim.select(
         F.explode(F.array(*pos)).alias("p")
@@ -629,6 +649,7 @@ def bloom_semi_join(
         .filter(F.expr(" AND ".join(tests)))
         .drop("__bloom")
     )
+    build = F.broadcast(dim) if n_dim <= broadcast_max_rows else dim
     return survivors.join(
-        F.broadcast(dim), survivors[fact_key] == dim[dim_key], "left_semi"
+        build, survivors[fact_key] == dim[dim_key], "left_semi"
     )

@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import spread, table
+from ..functions.determinism import canon, dround, sql_canon, sql_dround
 from ..plans.registry import query
 
 #: fixed-point scale for order-independent centroid sums (6 decimals keeps
@@ -60,7 +61,7 @@ _FP = 1_000_000
     )
     SELECT label, CAST(dim AS INT) AS dim,
            COUNT(*) AS n_vectors,
-           CAST(SUM(vq) AS DOUBLE) / (COUNT(*) * {_FP}.0) AS centroid
+           {sql_canon(sql_dround(f"CAST(SUM(vq) AS DOUBLE) / (COUNT(*) * {_FP}.0)", 9))} AS centroid
     FROM ex GROUP BY label, dim
     """,
 )
@@ -72,7 +73,10 @@ def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent of corpus size, so the shuffle is tiny and skew-free at
     any scale; the explode itself is a codegen'd generator, no Python.
     Elements are fixed-pointed to BIGINT before the sum so the aggregate
-    is order-independent (bit-identical across engines and AQE plans).
+    is order-independent across AQE plans; the sum itself accumulates in
+    DECIMAL(38,0) to match DuckDB's HUGEINT promotion exactly (no int64
+    wraparound at any corpus size), and the final double is presented via
+    canon(dround(·, 9)) per the hash-gate convention.
     """
     emb = spread(table(spark, sf_dir, "embeddings"))
     ex = emb.select(
@@ -85,15 +89,25 @@ def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ex.groupBy("label", "dim").agg(
         F.count("*").alias("n_vectors"),
-        (F.sum("vq").cast("double") / (F.count("*") * float(_FP))).alias("centroid"),
+        # sum in DECIMAL(38,0) (matches DuckDB's HUGEINT promotion exactly
+        # — no int64 wraparound at any corpus size), ONE double division,
+        # then the canon() string presentation the hash gate convention
+        # expects for float aggregates
+        canon(
+            dround(
+                F.sum(F.col("vq").cast("decimal(38,0)")).cast("double")
+                / (F.count("*") * float(_FP)),
+                9,
+            )
+        ).alias("centroid"),
     )
 
 
 @query(
     "q_embed_quantize",
-    oracle="""
+    oracle=f"""
     SELECT vec_id,
-           amax / 127.0 AS scale,
+           {sql_canon(sql_dround("amax / 127.0", 9))} AS scale,
            CAST(LIST_SUM(LIST_TRANSFORM(e,
                 x -> CAST(FLOOR(x / (amax / 127.0) + 0.5) AS BIGINT)))
                 AS BIGINT) AS qsum,
@@ -119,11 +133,12 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Map-only — no shuffle, no Python: higher-order array functions
     (transform/aggregate/array_min/array_max) run JVM-side. ``scale`` is
-    a single IEEE division of identical operands in both engines; the
-    code elements are one division + one add + one floor each (identical
-    rounding); integer folds are exact. The amax > 0 guard (mirrored in
-    the oracle) excludes all-zero vectors from division rather than
-    emitting engine-specific inf/NaN.
+    a single IEEE division of identical operands in both engines,
+    presented via canon(dround(·, 9)) per the hash-gate convention for
+    float outputs; the code elements are one division + one add + one
+    floor each (identical rounding); integer folds are exact. The
+    amax > 0 guard (mirrored in the oracle) excludes all-zero vectors
+    from division rather than emitting engine-specific inf/NaN.
     """
     emb = spread(table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
@@ -136,7 +151,7 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return with_scale.select(
         "vec_id",
-        scale.alias("scale"),
+        canon(dround(scale, 9)).alias("scale"),
         F.aggregate(codes, F.lit(0).cast("long"), lambda acc, v: acc + v).alias(
             "qsum"
         ),

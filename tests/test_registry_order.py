@@ -1,8 +1,13 @@
 """The driver's correctness gate walks queries() in order with a cutoff
-(rounds 1-3: exactly the first 50). These tests pin the window composition so
+(rounds 1-5: exactly the first 50). These tests pin the window composition so
 a refactor can't silently push a gate-critical query out of it."""
 
 from __future__ import annotations
+
+import json
+import pathlib
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
 
 
 def _ordered_names():
@@ -13,68 +18,72 @@ def _ordered_names():
 
 def test_priority_names_all_registered():
     from pyspark_excel_datasource_spark.plans.registry import (
-        _DEPRIORITIZED,
         _PRIORITY,
         load_all_queries,
     )
 
     registered = set(load_all_queries())
-    missing = [n for n in (*_PRIORITY, *_DEPRIORITIZED) if n not in registered]
+    missing = [n for n in _PRIORITY if n not in registered]
     assert not missing, f"priority list references unregistered queries: {missing}"
     assert len(set(_PRIORITY)) == len(_PRIORITY), "duplicate priority entries"
-    assert not set(_PRIORITY) & set(_DEPRIORITIZED)
 
 
-def test_probes_trail_the_ordering():
+def test_probes_retired():
+    """The round-2/3 decimal hash probes were retired in round 6; nothing
+    may re-register their names (their permanent hash-FAIL records would
+    come back with them)."""
+    assert not any(n.startswith("q_probe_dec_") for n in _ordered_names())
+
+
+def test_round6_window_composition():
+    """Round-6 window = every query with NO driver verdict in rounds 1-5
+    (the 24 authored in round 5 after that window froze) + the round-6
+    re-verdicts (rows-only sketches converted to bound-asserted oracles,
+    the fixed multimodal features) + queries authored in round 6 + the
+    regression/bench pads."""
     names = _ordered_names()
-    assert all(n.startswith("q_probe_dec_") for n in names[-6:])
-    assert not any(n.startswith("q_probe_dec_") for n in names[:-6])
+    window = set(names[:50])
 
-
-def test_round5_window_composition():
-    """Round-5 window = every query with NO driver verdict in rounds 1-4
-    (47 of them, from CORRECTNESS_r01..r04.json) + 3 regression pads whose
-    code paths changed this round."""
-    import json
-    import pathlib
-
-    names = set(_ordered_names()[:50])
-    repo = pathlib.Path(__file__).resolve().parents[1]
     seen: set[str] = set()
-    for r in ("01", "02", "03", "04"):
-        seen.update(json.loads((repo / f"CORRECTNESS_r{r}.json").read_text()))
-    # queries AUTHORED in round 5 (after the window was frozen) queue for
-    # the round-6 rotation instead of displacing the 47
+    for r in ("01", "02", "03", "04", "05"):
+        seen.update(json.loads((REPO / f"CORRECTNESS_r{r}.json").read_text()))
+
+    # queries AUTHORED in round 6 queue inside the window by design; they
+    # have no prior verdict but were not part of the round-5 backlog
     new_this_round = {
-        "q_pii_redact",
-        "q_strip_markup",
-        "q_winsorize_by_group",
-        "q_robust_zscore",
-        "q_join_interval_overlap",
-        "q_stream_join",
-        "q_dedup_prefix",
-        "q_tpch_q3ish",
-        "q_corr_matrix",
-        "q_join_bloom",
-        "q_udf_cogroup",
-        "q_vocab_coverage",
-        "q_scan_csv",
-        "q_sink_csv",
-        "q_scan_jsonl",
-        "q_stream_foreachbatch",
-        "q_udf_mapinarrow",
-        "q_attribution",
-        "q_agg_countmin",
-        "q_multimodal_dedup",
-        "q_delta_lag",
-        "q_corpus_stats",
+        n
+        for n in names
+        if n not in seen
+        and n
+        in {
+            "q_dedup_ngram_jaccard",
+            "q_sim_ann_recall",
+            "q_resample_timeseries",
+            "q_quantile_bins",
+            "q_drift_kl",
+            "q_dedup_cluster_cc",
+            "q_minhash_union_sketch",
+            "q_entropy_ngrams",
+            "q_topic_cooccur",
+            "q_stream_rate_limit",
+            "q_window_deltas_vs_baseline",
+            "q_join_asof_tolerance",
+        }
     }
-    never = set(_ordered_names()) - seen - new_this_round
-    out = never - names
+    backlog = set(names) - seen - new_this_round
+    out = backlog - window
     assert not out, f"never-verdicted queries fell out of the first 50: {out}"
-    assert len(never) == 47
-    pads = names - never
-    assert pads == {"q_scan_excel", "q_scan_multifile", "q_multimodal_cols"}
+    # re-verdicts whose contract changed in round 6 must also be audited
+    for must in (
+        "q_agg_approx",
+        "q_agg_approx_quantile",
+        "q_agg_hll",
+        "q_multimodal_features",
+    ):
+        assert must in window, f"round-6 re-verdict {must} missing from window"
+    assert new_this_round <= window, (
+        f"round-6 queries outside the window: {new_this_round - window}"
+    )
 
 
 def test_every_oracle_has_a_query():

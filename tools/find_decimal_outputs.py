@@ -1,6 +1,6 @@
 """List every registered query whose output schema contains a DecimalType.
 
-Round 2's probe matrix (operators/probes.py, CORRECTNESS_r02.json) proved the
+Round 2's probe matrix (retired in round 6; see CORRECTNESS_r02.json) proved the
 driver's value hash rejects DECIMAL128 output columns categorically — even
 single-row constant literals — while string/double/int/timestamp columns pass.
 So the engine-wide invariant is: no oracled query may EMIT a decimal column
@@ -36,16 +36,12 @@ def _contains_decimal(dt: DataType) -> bool:
     return False
 
 
-#: Queries allowed to emit decimals: the hash probes exist precisely to
-#: characterize the driver hasher's decimal gap, and the UDAF's
-#: integer-cents decimal has hash-passed in every round it was verdicted.
+#: Queries allowed to emit decimals: the UDAF's integer-cents decimal has
+#: hash-passed in every round it was verdicted. (The round-2/3 hash probes
+#: that characterized the driver hasher's decimal gap were retired in
+#: round 6 — the canon() convention they motivated is pinned by every
+#: real query now; see CORRECTNESS_r02/r03.json for the record.)
 ALLOWED = {
-    "q_probe_dec_literal",
-    "q_probe_dec_negative",
-    "q_probe_dec_null",
-    "q_probe_dec_large",
-    "q_probe_dec_sum",
-    "q_probe_dec_join",
     "q_udaf_grouped",
 }
 
