@@ -442,3 +442,213 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+#: fixed-point scale for order-independent sums of log-term series
+#: (KL/entropy). 1e6 keeps a last-ulp libm difference in ln/log2 (~1e-16
+#: relative) ~10 orders of magnitude away from a rounding boundary while
+#: giving 6 exact decimals on the final statistic.
+_LOG_FP = 1_000_000
+
+
+@query(
+    "q_drift_kl",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok
+        FROM documents
+    ),
+    st AS (SELECT source, tok, COUNT(*) AS n_st FROM toks GROUP BY 1, 2),
+    s  AS (SELECT source, SUM(n_st) AS n_s FROM st GROUP BY 1),
+    t  AS (SELECT tok, SUM(n_st) AS n_t FROM st GROUP BY 1),
+    tot AS (SELECT SUM(n_st) AS n FROM st),
+    terms AS (
+        SELECT st.source,
+               CAST(FLOOR((CAST(st.n_st AS DOUBLE) / s.n_s)
+                    * LN((CAST(st.n_st AS DOUBLE) / s.n_s)
+                         / (CAST(t.n_t AS DOUBLE) / tot.n))
+                    * {_LOG_FP} + 0.5) AS BIGINT) AS term_fp
+        FROM st JOIN s USING (source) JOIN t USING (tok) CROSS JOIN tot
+    )
+    SELECT source,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(term_fp) AS BIGINT) AS kl_fp
+    FROM terms GROUP BY source
+    """,
+)
+def q_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift detection: KL(source ‖ corpus) over the token
+    distribution of each source vs the corpus-wide distribution — the
+    statistic a data pipeline monitors to catch a crawler/source whose
+    content suddenly shifts (KL spikes) before it pollutes a training
+    mix. Every source token appears in the corpus by construction, so
+    q > 0 always and no smoothing is needed.
+
+    Scale/determinism shape: ONE token explode feeds a (source, tok)
+    count; source totals, token totals, and the corpus total all derive
+    from that count frame (no rescan). The per-term doubles are
+    quantized to fixed-point BIGINT *before* the per-source sum, making
+    the reduction order-independent (float sums are not associative;
+    integer sums are) and engine-identical — ``kl_fp`` IS the statistic,
+    scaled by 1e6. The joins key on tok (shuffle; vocab-sized) and
+    source (tiny, broadcast).
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    st = toks.groupBy("source", "tok").agg(F.count("*").alias("n_st"))
+    s = st.groupBy("source").agg(F.sum("n_st").alias("n_s"))
+    t = st.groupBy("tok").agg(F.sum("n_st").alias("n_t"))
+    tot = st.agg(F.sum("n_st").alias("n"))
+    p = F.col("n_st").cast("double") / F.col("n_s")
+    q = F.col("n_t").cast("double") / F.col("n")
+    term_fp = F.floor(p * F.log(p / q) * _LOG_FP + F.lit(0.5)).cast("long")
+    return (
+        st.join(F.broadcast(s), "source")
+        .join(t, "tok")
+        .crossJoin(F.broadcast(tot))
+        .select("source", term_fp.alias("term_fp"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("term_fp").cast("long").alias("kl_fp"),
+        )
+    )
+
+
+@query(
+    "q_entropy_ngrams",
+    oracle=f"""
+    WITH grams AS (
+        SELECT source, SUBSTR(text, g.i, 2) AS gram
+        FROM documents,
+             UNNEST(GENERATE_SERIES(1, LENGTH(text) - 1)) AS g(i)
+        WHERE LENGTH(text) >= 2
+    ),
+    sg AS (SELECT source, gram, COUNT(*) AS n_sg FROM grams GROUP BY 1, 2),
+    s  AS (SELECT source, SUM(n_sg) AS n_s FROM sg GROUP BY 1)
+    SELECT source,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CAST(FLOOR(
+               -(CAST(n_sg AS DOUBLE) / n_s)
+               * LOG2(CAST(n_sg AS DOUBLE) / n_s)
+               * {_LOG_FP} + 0.5) AS BIGINT)) AS BIGINT) AS entropy_fp
+    FROM sg JOIN s USING (source)
+    GROUP BY source
+    """,
+)
+def q_entropy_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram Shannon entropy per source (bits, fixed-point
+    1e6): the text-quality signal that separates natural prose
+    (entropy ≈ 7–10 bits over bigrams) from boilerplate, base64 blobs
+    and key-mash spam — low-cost, tokenizer-free, language-agnostic.
+
+    The bigram explode is a codegen'd ``transform(sequence(...))`` (no
+    Python); the distribution aggregates on (source, gram) — key space
+    ≤ sources × alphabet², skew-proof; per-term quantization to BIGINT
+    before the sum makes the entropy reduction order-independent and
+    engine-identical (same convention as ``q_drift_kl``).
+    """
+    d = table(spark, sf_dir, "documents").filter(F.length("text") >= 2)
+    # substring with a per-element start index needs the expr form
+    grams = d.select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 1),"
+                " i -> substring(text, i, 2))"
+            )
+        ).alias("gram"),
+    )
+    sg = grams.groupBy("source", "gram").agg(F.count("*").alias("n_sg"))
+    s = sg.groupBy("source").agg(F.sum("n_sg").alias("n_s"))
+    p = F.col("n_sg").cast("double") / F.col("n_s")
+    term_fp = F.floor(-p * F.log2(p) * _LOG_FP + F.lit(0.5)).cast("long")
+    return (
+        sg.join(F.broadcast(s), "source")
+        .select("source", term_fp.alias("term_fp"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum("term_fp").cast("long").alias("entropy_fp"),
+        )
+    )
+
+
+#: co-occurrence vocabulary size (top tokens by document frequency) and
+#: result size — both fixed, so the pair stage is bounded at any scale.
+_COOC_VOCAB = 100
+_COOC_TOP = 30
+_COOC_MIN_LEN = 4
+
+
+@query(
+    "q_topic_cooccur",
+    oracle=f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok
+            FROM documents
+        ) WHERE LENGTH(tok) >= {_COOC_MIN_LEN}
+    ),
+    vocab AS (
+        SELECT tok FROM (
+            SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok
+            ORDER BY df DESC, tok ASC LIMIT {_COOC_VOCAB}
+        )
+    ),
+    vt AS (SELECT doc_id, tok FROM toks WHERE tok IN (SELECT tok FROM vocab))
+    SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS n_docs
+    FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+    GROUP BY 1, 2
+    ORDER BY n_docs DESC, tok_a ASC, tok_b ASC
+    LIMIT {_COOC_TOP}
+    """,
+)
+def q_topic_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence mining: the {_COOC_TOP} most frequent
+    within-document pairs over a bounded vocabulary — the raw statistic
+    under topic models, PMI collocation scoring, and taxonomy seeding.
+
+    Scale design: the quadratic step (pairs within a doc) is bounded
+    BEFORE it happens — tokens are first semi-joined to a fixed top-K
+    document-frequency vocabulary (K={_COOC_VOCAB}, deterministic
+    df-then-token tiebreak, broadcast to every executor), so each doc
+    contributes at most C(K,2) pairs regardless of its length, and the
+    pair aggregation keys on a ≤K² space (map-side combined, skew-proof).
+    The doc-frequency pass and the pair pass are the only two shuffles.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+        )
+        .filter(F.length("tok") >= _COOC_MIN_LEN)
+        .distinct()
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("tok").asc())
+        .limit(_COOC_VOCAB)
+        .select("tok")
+    )
+    vt = toks.join(F.broadcast(vocab), "tok", "left_semi")
+    a = vt.alias("a")
+    b = vt.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.tok") < F.col("b.tok")),
+        )
+        .groupBy(
+            F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b")
+        )
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(
+            F.col("n_docs").desc(), F.col("tok_a").asc(), F.col("tok_b").asc()
+        )
+        .limit(_COOC_TOP)
+    )

@@ -146,6 +146,9 @@ _PRIORITY: tuple[str, ...] = (
     "q_window_deltas_vs_baseline",
     "q_quantile_bins",
     "q_join_asof_tolerance",
+    "q_drift_kl",
+    "q_entropy_ngrams",
+    "q_topic_cooccur",
     # D. regression pads: greens whose code paths or helpers changed this
     #    round (bloom size guard) + the headline bench queries
     "q_flagship_pricing",
