@@ -378,7 +378,12 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     string → fully deterministic vocab. oov_rate is one IEEE division
     of exact integers → bit-equal cross-engine, no rounding convention.
     """
-    d = table(spark, sf_dir, "documents")
+    return vocab_coverage(table(spark, sf_dir, "documents"))
+
+
+def vocab_coverage(d: DataFrame) -> DataFrame:
+    """Vocab-build + OOV scoring plan over a documents frame (see
+    ``q_vocab_coverage``); reused by ``tools/scale_stress.py``."""
     toks = d.select(
         "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
     )
@@ -619,7 +624,12 @@ def q_topic_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair aggregation keys on a ≤K² space (map-side combined, skew-proof).
     The doc-frequency pass and the pair pass are the only two shuffles.
     """
-    d = table(spark, sf_dir, "documents")
+    return topic_cooccur(table(spark, sf_dir, "documents"))
+
+
+def topic_cooccur(d: DataFrame) -> DataFrame:
+    """Bounded-vocab co-occurrence plan over a documents frame (see
+    ``q_topic_cooccur``); reused by ``tools/scale_stress.py``."""
     toks = (
         d.select(
             "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")

@@ -1145,3 +1145,251 @@ def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("canonical_id", F.min("doc_id").over(w).cast("long"))
         .withColumn("is_canonical", F.col("doc_id") == F.col("canonical_id"))
     )
+
+
+#: char-n-gram dedup parameters: gram width, md5-nibble sampling (keep
+#: grams whose md5 starts '0' → 1/16, content-addressed and identical in
+#: both engines), and the Jaccard threshold on the sampled sets.
+_CHARGRAM_N = 5
+_CHARGRAM_KEEP_PREFIX = "0"
+_CHARGRAM_THRESHOLD = 0.5
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH grams AS (
+        SELECT DISTINCT doc_id, g.s FROM (
+            SELECT doc_id,
+                   SUBSTR(text, i.i, {_CHARGRAM_N}) AS s
+            FROM documents,
+                 UNNEST(GENERATE_SERIES(1, LENGTH(text) - {_CHARGRAM_N - 1}))
+                     AS i(i)
+            WHERE LENGTH(text) >= {_CHARGRAM_N}
+        ) g(doc_id, s)
+        WHERE SUBSTR(MD5(g.s), 1, 1) = '{_CHARGRAM_KEEP_PREFIX}'
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        FROM grams a JOIN grams b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT d1, d2, CAST(inter AS BIGINT) AS inter,
+           CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON d1 = s1.doc_id
+    JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter)
+          >= {_CHARGRAM_THRESHOLD}
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-n-gram Jaccard near-duplicate pairs — the
+    tokenization-free member of the dedup family (``q_dedup_near`` is
+    word-shingle based; char grams additionally catch near-dups that
+    differ in whitespace/punctuation segmentation, the common case for
+    template boilerplate and markup-mangled crawls).
+
+    Scale design: a raw char-gram inverted index is ~|text| postings per
+    doc — an order of magnitude heavier than word shingles. The standard
+    fix applied here is content-addressed gram SAMPLING before the index:
+    keep only grams whose md5 starts with '0' (1/16, deterministic, the
+    0-mod-p trick from winnowing/MinHash literature), so the index and
+    its self-join shrink 16× while sampled-set Jaccard stays an unbiased
+    estimate of true Jaccard (each distinct gram is kept or dropped
+    identically for every doc). The sampled sets then flow through the
+    same single-shuffle inverted-index join as ``q_dedup_near``
+    (``_exact_pairs``) — and the estimate itself is EXACT integer
+    arithmetic on the sampled sets, so the oracle hash-verifies it.
+    """
+    return chargram_pairs(table(spark, sf_dir, "documents"))
+
+
+def chargram_pairs(docs: DataFrame) -> DataFrame:
+    """Sampled char-n-gram Jaccard pair plan over a documents frame (see
+    ``q_dedup_ngram_jaccard``); reused by ``tools/scale_stress.py``."""
+    d = spread(docs).filter(
+        F.length("text") >= _CHARGRAM_N
+    )
+    grams = F.array_distinct(
+        F.filter(
+            F.expr(
+                f"transform(sequence(1, length(text) - {_CHARGRAM_N - 1}),"
+                f" i -> substring(text, i, {_CHARGRAM_N}))"
+            ),
+            lambda s: F.substring(F.md5(s), 1, 1) == _CHARGRAM_KEEP_PREFIX,
+        )
+    )
+    sampled = d.select("doc_id", grams.alias("shingles")).filter(
+        F.size("shingles") > 0
+    )
+    return _exact_pairs(sampled, _CHARGRAM_THRESHOLD)
+
+
+#: union-sketch parameters: 128 hashes → |est − exact| ≤ 3/√128 ≈ 0.27
+#: at 3σ (deterministic for fixed input; asserted in the verdict column).
+_UNION_HASHES = 128
+_UNION_BOUND = 0.27
+
+
+@query(
+    "q_minhash_union_sketch",
+    oracle=f"""
+    WITH sh AS (
+        SELECT source, doc_id,
+               LIST_DISTINCT([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in RANGE(1, LEN(w) - 1)]) AS shingles
+        FROM (SELECT source, doc_id, STRING_SPLIT(text, ' ') AS w
+              FROM documents)
+    ),
+    ss AS (SELECT DISTINCT source, UNNEST(shingles) AS s FROM sh),
+    sizes AS (SELECT source, COUNT(*) AS n FROM ss GROUP BY source),
+    pairs AS (
+        SELECT s1.source AS source_a, s2.source AS source_b,
+               s1.n AS n_a, s2.n AS n_b
+        FROM sizes s1 JOIN sizes s2 ON s1.source < s2.source
+    ),
+    inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               COUNT(*) AS inter
+        FROM ss a JOIN ss b ON a.s = b.s AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT p.source_a, p.source_b,
+           CAST(COALESCE(i.inter, 0) AS BIGINT) AS inter,
+           CAST(p.n_a AS BIGINT) AS n_a, CAST(p.n_b AS BIGINT) AS n_b,
+           CAST(COALESCE(i.inter, 0) AS DOUBLE)
+               / (p.n_a + p.n_b - COALESCE(i.inter, 0)) AS jaccard,
+           TRUE AS within_bounds
+    FROM pairs p
+    LEFT JOIN inter i ON p.source_a = i.source_a AND p.source_b = i.source_b
+    """,
+)
+def q_minhash_union_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable MinHash sketches with a genuine two-level merge: per-DOC
+    signatures (the unit you would persist per partition/day at 100 TB)
+    element-wise-min-merged into per-SOURCE sketches, then every source
+    pair's Jaccard estimated from sketch agreement — the
+    corpus-similarity matrix that drives mix dedup ("is src7 a mirror of
+    src3?") without ever joining raw shingle sets across sources.
+
+    min(union A∪B) = min(min A, min B) makes the merge exact, so the
+    source sketch from merged doc sketches equals the sketch built from
+    the source's full shingle set. The estimate (fraction of agreeing
+    components) is implementation-specific, so the verdict convention
+    applies: the query also computes the EXACT per-pair Jaccard
+    (hash-verified against DuckDB) and asserts |est − exact| ≤ 3/√k in
+    ``within_bounds``. The exact side shuffles distinct (source,
+    shingle-hash) rows once; the sketch side shuffles only k·|sources|
+    rows — the part that survives at scale.
+    """
+    d = spread(table(spark, sf_dir, "documents"))
+    w = F.split(F.col("text"), " ")
+    sh = F.when(
+        F.size(w) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(w, i + 1),
+                    F.element_at(w, i + 2),
+                    F.element_at(w, i + 3),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    shingled = d.select("source", "doc_id", sh.alias("shingles")).cache()
+
+    # level 1: per-doc signatures. Row-local higher-order form (NOT the
+    # 128-column min-aggregate of ``minhash_signatures`` — at k=128 that
+    # many aggregate expressions exceeds codegen method limits and drops
+    # to interpreted mode): sig[i] = min over shingles of xxhash64(i, s),
+    # computed entirely inside the scan stage.
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(_UNION_HASHES - 1)),
+        lambda i: F.array_min(
+            F.transform(F.col("shingles"), lambda sv: F.xxhash64(i, sv))
+        ),
+    )
+    doc_sigs = shingled.filter(F.size("shingles") > 0).select(
+        "source", "doc_id", sig.alias("sig")
+    )
+    # level 2: element-wise min per source (the mergeable-union step)
+    src_sketch = (
+        doc_sigs.select("source", F.posexplode("sig").alias("i", "h"))
+        .groupBy("source", "i")
+        .agg(F.min("h").alias("h"))
+    )
+    a, b = src_sketch.alias("a"), src_sketch.alias("b")
+    est = (
+        a.join(
+            b,
+            (F.col("a.i") == F.col("b.i"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(
+            (
+                F.sum((F.col("a.h") == F.col("b.h")).cast("long"))
+                / F.lit(float(_UNION_HASHES))
+            ).alias("est")
+        )
+    )
+
+    # exact side: distinct (source, shingle) via the same 8-byte hash
+    # trick as _exact_pairs (oracle joins on strings and would catch a
+    # collision)
+    ss = (
+        shingled.select("source", F.explode("shingles").alias("s0"))
+        .select("source", F.xxhash64("s0").alias("s"))
+        .distinct()
+        .cache()
+    )
+    sizes = ss.groupBy("source").agg(F.count("*").alias("n"))
+    ea, eb = ss.alias("ea"), ss.alias("eb")
+    inter = (
+        ea.join(
+            eb,
+            (F.col("ea.s") == F.col("eb.s"))
+            & (F.col("ea.source") < F.col("eb.source")),
+        )
+        .groupBy(
+            F.col("ea.source").alias("source_a"),
+            F.col("eb.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    pairs = F.broadcast(sa).crossJoin(F.broadcast(sb)).filter(
+        F.col("source_a") < F.col("source_b")
+    )
+    exact = (
+        pairs.join(inter, ["source_a", "source_b"], "left")
+        .withColumn("inter", F.coalesce("inter", F.lit(0)).cast("long"))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+        )
+    )
+    return (
+        exact.join(F.broadcast(est), ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "inter",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            "jaccard",
+            (
+                F.abs(F.coalesce("est", F.lit(0.0)) - F.col("jaccard"))
+                <= F.lit(_UNION_BOUND)
+            ).alias("within_bounds"),
+        )
+    )

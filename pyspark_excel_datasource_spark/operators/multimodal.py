@@ -333,7 +333,12 @@ def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-doc_id keeper rule is deterministic. Payload = utf-8 bytes of
     ``text`` (the container's binary stand-in; byte semantics identical).
     """
-    d = table(spark, sf_dir, "documents")
+    return payload_dedup(table(spark, sf_dir, "documents"))
+
+
+def payload_dedup(d: DataFrame) -> DataFrame:
+    """Exact payload-hash dedup plan over a documents frame (see
+    ``q_multimodal_dedup``); reused by ``tools/scale_stress.py``."""
     payload = F.encode(F.col("text"), "UTF-8")
     return (
         d.select(

@@ -471,9 +471,14 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaces a global ``distinct`` (no second shuffle, no dedup state).
     Work is O(matches); skewed users split across buckets.
     """
+    return interval_overlap(table(spark, sf_dir, "events"))
+
+
+def interval_overlap(ev: DataFrame) -> DataFrame:
+    """Banded interval-overlap plan over an events frame (see
+    ``q_join_interval_overlap``); reused by ``tools/scale_stress.py``."""
     w_us = _OVERLAP_SPAN_MIN * 60 * 1_000_000
     span = F.lit(w_us).cast("long")
-    ev = table(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
 
     def spans(etype: str, prefix: str) -> DataFrame:

@@ -564,3 +564,74 @@ def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = _embeddings(spark, sf_dir).cache()
     return pq_topk(emb, list(_QUERY_VEC_IDS))
+
+
+#: per-query recall floor asserted by q_sim_ann_recall: observed LSH
+#: recall@10 on the fixed corpus is 0.7–1.0 per query (sf0.001 + sf0.01);
+#: 0.6 keeps 1-hit margin. Deterministic for fixed input (seeded planes).
+_RECALL_FLOOR = 0.6
+
+
+@query(
+    "q_sim_ann_recall",
+    oracle=f"""
+    SELECT vec_id AS query_id,
+           {_TOP_K} AS k,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id IN {_QUERY_VEC_IDS}
+    """,
+)
+def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality audit IN-PLAN: recall@k of the banded-LSH index
+    against the exact brute-force top-k, per query — the acceptance test
+    every ANN deployment runs before trusting an index, here expressed
+    as one Spark job whose verdict column the DuckDB oracle hash-checks
+    (same convention as the sketch queries: the approximate structure
+    can't be reproduced cross-engine, so the *contract* is what gets
+    hash-verified; a silent index regression flips recall_ok).
+
+    Cost shape: the exact side is the ``q_sim_topk`` broadcast scan (one
+    pass over the vectors); the ANN side reuses the shared banded
+    signature index (``banded_signatures`` cache); the overlap join is
+    k×|queries| rows. At 100 TB you run this on a sampled query set —
+    the plan is already sample-sized in everything but the one exact
+    scan.
+    """
+    qids = list(_QUERY_VEC_IDS)
+    emb = _embeddings(spark, sf_dir)
+    # build both rankings directly from the plan builders (the registered
+    # q_sim_topk wrapper would clear this query's shared caches)
+    qvecs = emb.filter(F.col("vec_id").isin(*qids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("n").alias("qn"),
+    )
+    scored = emb.join(
+        F.broadcast(qvecs), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        F.round(_dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("n")), 8)
+        .cast("decimal(38,8)")
+        .alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    exact = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "vec_id")
+    )
+    ann = ann_lsh_topk(emb, qids).select("query_id", "vec_id")
+    hits = exact.join(ann, ["query_id", "vec_id"], "left_semi")
+    floor_hits = int(_RECALL_FLOOR * _TOP_K)
+    return (
+        hits.groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+        .select(
+            "query_id",
+            F.lit(_TOP_K).alias("k"),
+            (F.col("n_hits") >= F.lit(floor_hits)).alias("recall_ok"),
+        )
+    )

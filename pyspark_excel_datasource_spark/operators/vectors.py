@@ -158,3 +158,99 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(codes).alias("qmin"),
         F.array_max(codes).alias("qmax"),
     )
+
+
+@query(
+    "q_embed_assign",
+    oracle=f"""
+    WITH ex AS (
+        SELECT label, g.i - 1 AS dim,
+               CAST(FLOOR(CAST(embedding[g.i] AS DOUBLE) * {_FP} + 0.5)
+                    AS BIGINT) AS vq
+        FROM embeddings,
+             UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS g(i)
+    ),
+    cent AS (
+        SELECT label,
+               LIST(CAST(s AS DOUBLE) / (n * {_FP}.0) ORDER BY dim) AS c
+        FROM (SELECT label, dim, SUM(vq) AS s, COUNT(*) AS n
+              FROM ex GROUP BY label, dim)
+        GROUP BY label
+    ),
+    scored AS (
+        SELECT v.vec_id, c.label,
+               CAST(FLOOR(LIST_SUM(LIST_TRANSFORM(
+                        LIST_ZIP(v.e, c.c), t -> (t[1] - t[2]) * (t[1] - t[2])
+                    )) * 1000000000 + 0.5) AS BIGINT) AS dist_fp
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings) v
+        CROSS JOIN cent c
+    )
+    SELECT vec_id,
+           CAST(ARG_MIN(label, dist_fp * 100 + label) AS INT)
+               AS assigned_label,
+           CAST(MIN(dist_fp) AS BIGINT) AS dist_fp
+    FROM scored GROUP BY vec_id
+    """,
+)
+def q_embed_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment (the k-means E-step, completing
+    ``q_embed_centroids``' M-step): every vector → the label whose mean
+    embedding is closest in L2 — the semantic-sharding / cluster-balance
+    primitive for training-data curation.
+
+    Scale shape: the centroid table is labels × dims (tiny at any corpus
+    size) and broadcasts; assignment is then a map-only stage — each
+    vector folds one ordered zip-product per centroid, entirely inside
+    codegen'd higher-order functions, no Python and no shuffle beyond
+    the centroid aggregation itself. Determinism: centroid elements are
+    one exact-integer division each (fixed-point sums, same as the
+    M-step); the distance fold runs in array order in both engines (the
+    ``_SQL_COS`` precedent), so dist² is bit-identical; the argmin packs
+    (dist_fp, label) into one integer so ties break identically.
+    """
+    emb = spread(table(spark, sf_dir, "embeddings"))
+    ex = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v"),
+    ).select(
+        "label",
+        "dim",
+        F.floor(F.col("v") * _FP + F.lit(0.5)).cast("long").alias("vq"),
+    )
+    cent = (
+        ex.groupBy("label", "dim")
+        .agg(F.sum(F.col("vq").cast("decimal(38,0)")).alias("s"), F.count("*").alias("n"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("dim"),
+                            (F.col("s").cast("double") / (F.col("n") * float(_FP))).alias("c"),
+                        )
+                    )
+                ),
+                lambda t: t["c"],
+            ).alias("c")
+        )
+    )
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    dist2 = F.aggregate(
+        F.zip_with(F.col("e"), F.col("c"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    scored = v.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        F.floor(dist2 * F.lit(1_000_000_000) + F.lit(0.5))
+        .cast("long")
+        .alias("dist_fp"),
+    )
+    return scored.groupBy("vec_id").agg(
+        F.min_by("label", F.col("dist_fp") * 100 + F.col("label"))
+        .cast("int")
+        .alias("assigned_label"),
+        F.min("dist_fp").alias("dist_fp"),
+    )

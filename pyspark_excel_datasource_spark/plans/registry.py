@@ -149,6 +149,11 @@ _PRIORITY: tuple[str, ...] = (
     "q_drift_kl",
     "q_entropy_ngrams",
     "q_topic_cooccur",
+    "q_dedup_ngram_jaccard",
+    "q_minhash_union_sketch",
+    "q_sim_ann_recall",
+    "q_embed_assign",
+    "q_stream_rate_limit",
     # D. regression pads: greens whose code paths or helpers changed this
     #    round (bloom size guard) + the headline bench queries
     "q_flagship_pricing",

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql.window import Window as W
+
 from ..catalog import table
 from ..functions.determinism import canon, davg, dsum, sql_canon, sql_davg, sql_dsum
 from ..plans.registry import query
@@ -324,4 +326,53 @@ def q_stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         canon(dsum("value", 2)).alias("total_value"),
         F.max("ts").alias("last_ts"),
+    )
+
+
+#: rate-limit cap: events kept per user per 10-minute window
+_RATE_MAX = 3
+
+
+@query(
+    "q_stream_rate_limit",
+    oracle=f"""
+    SELECT event_id, user_id, ts, event_type,
+           CAST(rn AS INT) AS nth_in_window
+    FROM (
+        SELECT event_id, user_id, ts, event_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, time_bucket(INTERVAL 10 MINUTE, ts)
+                   ORDER BY ts, event_id) AS rn
+        FROM events
+    ) WHERE rn <= {_RATE_MAX}
+    """,
+)
+def q_stream_rate_limit(spark, sf_dir: str) -> DataFrame:
+    """Per-key rate limiting: keep at most {_RATE_MAX} events per user
+    per 10-minute event-time window, in arrival order — the throttling /
+    spam-damping operator every ingestion pipeline puts in front of
+    expensive enrichment (and the deterministic, replayable alternative
+    to sampling: the SAME events survive on every rerun).
+
+    Batch form: one window rank over (user, epoch-aligned bucket) —
+    a single shuffle on the composite key, partition-local rank, no
+    global sort. The identical semantics run streaming via
+    ``applyInPandasWithState`` keyed on (user, bucket) with a per-key
+    counter (state = one int; exactly the ``streaming/stateful.py``
+    pattern) — the batch twin is what the oracle can hash-verify.
+    Deterministic under same-timestamp events via the event_id tiebreak.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy(
+        "user_id", F.window("ts", "10 minutes")
+    ).orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "ts",
+            "event_type",
+            F.row_number().over(w).cast("int").alias("nth_in_window"),
+        )
+        .filter(F.col("nth_in_window") <= _RATE_MAX)
     )

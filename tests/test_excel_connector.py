@@ -391,3 +391,49 @@ def test_columns_option_prunes_inferred_schema(spark, tmp_path):
             .option("columns", "id,ghost")
             .load()
         )
+
+
+def test_chunk_scale_staged_write_and_chunked_readback(spark, tmp_path):
+    """Chunk-scale writer pin (round-6): a 100k-row × 4-col frame across
+    16 partitions through the staged-parts commit path, then a chunked
+    (chunkRows) multi-partition readback. Pins (a) every row surviving
+    the merge with no cross-part duplication, (b) per-task staging
+    actually cleaned up, (c) the reader's chunk planner splitting the
+    merged workbook. Multi-file mode avoids the driver-side merge for
+    the big frame; the single-file merge path is separately covered at
+    100 rows above — at real scale multi-file IS the writer contract
+    (one workbook per task, renamed atomically)."""
+    out_dir = str(tmp_path / "big_excel")
+    n = 100_000
+    df = spark.range(0, n).selectExpr(
+        "id",
+        "concat('name_', id) AS name",
+        "cast(id % 97 AS double) / 7.0 AS val",
+        "concat('grp', id % 13) AS grp",
+    )
+    (
+        df.repartition(16)
+        .write.format("excel")
+        .option("path", out_dir)
+        .option("multiFile", "true")
+        .mode("overwrite")
+        .save()
+    )
+    import glob
+    import os
+
+    parts = sorted(glob.glob(os.path.join(out_dir, "part-*.xlsx")))
+    assert len(parts) == 16
+    assert not glob.glob(str(tmp_path / "big_excel.__staging__*")), (
+        "staging dir leaked"
+    )
+    back = (
+        spark.read.format("excel")
+        .schema("id long, name string, val double, grp string")
+        .option("path", os.path.join(out_dir, "*.xlsx"))
+        .option("chunkRows", "4096")
+        .load()
+    )
+    assert back.rdd.getNumPartitions() > 16  # chunk planner split the parts
+    total, distinct = back.count(), back.select("id").distinct().count()
+    assert total == n and distinct == n

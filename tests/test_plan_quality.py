@@ -104,6 +104,7 @@ ARROW_ALLOWED = {
     "q_sim_ann_lsh",
     "q_sim_ann_ivf",
     "q_sim_ann_pq",
+    "q_sim_ann_recall",  # reuses the banded-LSH signature pandas_udf
     "q_multimodal_features",
 }
 

@@ -61,7 +61,7 @@ def test_round6_window_composition():
             "q_resample_timeseries",
             "q_quantile_bins",
             "q_drift_kl",
-            "q_dedup_cluster_cc",
+            "q_embed_assign",
             "q_minhash_union_sketch",
             "q_entropy_ngrams",
             "q_topic_cooccur",

@@ -22,7 +22,8 @@ SECTIONS = {
     "Joins": [
         "q_join_inner", "q_join_broadcast", "q_join_left", "q_join_right",
         "q_join_full", "q_join_semi", "q_join_anti", "q_join_theta",
-        "q_join_star3", "q_join_asof", "q_join_bucketed", "q_join_skew_salted",
+        "q_join_star3", "q_join_asof", "q_join_asof_tolerance",
+        "q_join_bucketed", "q_join_skew_salted",
         "q_join_range", "q_join_interval_overlap", "q_skew_keys",
         "q_join_dpp", "q_zorder_layout", "q_join_bloom",
     ],
@@ -31,7 +32,7 @@ SECTIONS = {
         "q_agg_cube", "q_agg_gsets", "q_agg_approx", "q_agg_percentile",
         "q_agg_histogram", "q_agg_argmax", "q_agg_mode", "q_agg_approx_quantile",
         "q_dedup_exact",
-        "q_dedup_keep_first", "q_pivot", "q_unpivot",
+        "q_dedup_keep_first", "q_pivot", "q_unpivot", "q_quantile_bins",
     ],
     "Window functions": ["q_win_rank", "q_win_analytic", "q_win_frame", "q_win_range_frame", "q_win_cume", "q_win_median"],
     "Sorts / limits / top-k": ["q_sort_multi", "q_topk", "q_topk_group"],
@@ -49,7 +50,7 @@ SECTIONS = {
         "q_stream_discover", "q_stream_tumbling", "q_stream_sliding",
         "q_stream_session", "q_stream_watermark", "q_stream_dedup",
         "q_stream_stateful", "q_stream_enrich", "q_stream_join",
-        "q_stream_foreachbatch",
+        "q_stream_foreachbatch", "q_stream_rate_limit",
     ],
     "UDF / UDAF / UDTF": [
         "q_udf_scalar", "q_udaf_grouped", "q_udtf", "q_udf_mapinpandas",
@@ -63,11 +64,11 @@ SECTIONS = {
         "q_dedup_simhash", "q_dedup_minhash_oracled", "q_dedup_simhash_oracled",
         "q_dedup_embed", "q_dedup_embed_lsh",
         "q_dedup_incremental", "q_dedup_incremental_lsh", "q_graph_degree",
-        "q_dedup_prefix",
+        "q_dedup_prefix", "q_dedup_ngram_jaccard", "q_minhash_union_sketch",
     ],
     "North-star: similarity search": [
         "q_sim_topk", "q_sim_selfjoin", "q_sim_ann_lsh", "q_sim_ann_ivf",
-        "q_sim_ann_pq",
+        "q_sim_ann_pq", "q_sim_ann_recall",
     ],
     "North-star: text analysis": [
         "q_text_stats", "q_text_quality", "q_text_langid",
@@ -85,7 +86,7 @@ SECTIONS = {
         "q_sessionize", "q_funnel", "q_retention", "q_scd2_intervals", "q_event_transitions",
         "q_agg_hll", "q_anomaly_zscore", "q_robust_zscore", "q_fill_forward",
         "q_pattern_sequence", "q_ewma", "q_attribution", "q_agg_countmin",
-        "q_delta_lag",
+        "q_delta_lag", "q_resample_timeseries", "q_window_deltas_vs_baseline",
     ],
     "Incremental / DML patterns": [
         "q_rollup_hierarchical", "q_merge_upsert",
@@ -96,7 +97,10 @@ SECTIONS = {
     "North-star: corpus prep (chunking / tokenizer / shards)": [
         "q_text_repetition", "q_chunk_tokens", "q_bpe_pair_counts",
         "q_shuffle_shard", "q_pack_context", "q_vocab_coverage",
-        "q_corpus_stats",
+        "q_corpus_stats", "q_drift_kl", "q_entropy_ngrams", "q_topic_cooccur",
+    ],
+    "North-star: embedding aggregates / clustering": [
+        "q_embed_centroids", "q_embed_quantize", "q_embed_assign",
     ],
 }
 
@@ -126,7 +130,6 @@ ROLES = {
     "q_funnel": "ordered funnel, join-free single-shuffle window plan",
     "q_retention": "first-seen cohorts × week offsets",
     "q_scd2_intervals": "gaps-and-islands change tracking (SCD-2 validity)",
-    "q_agg_hll": "mergeable DataSketches HLL (hll_sketch_agg/hll_union_agg)",
     "q_rollup_hierarchical": "daily derived from hourly partials (continuous-aggregate)",
     "q_merge_upsert": "MERGE INTO semantics: one full-outer join, per-row action",
     "q_text_lm_score": "unigram-LM mean NLL quality signal (order-canonical fold)",
@@ -138,6 +141,22 @@ ROLES = {
     "q_corr_matrix": "all-pairs Pearson corr from one sufficient-stats pass",
     "q_udf_cogroup": "cogroup().applyInPandas per-key two-table reconcile",
     "q_vocab_coverage": "top-K vocab build + per-doc OOV rate, one plan",
+    "q_join_asof_tolerance": "as-of join + attribution-window tolerance (one plan)",
+    "q_quantile_bins": "exact decile binning; scale path: approx boundaries + width_bucket",
+    "q_stream_rate_limit": "per-key per-window cap; deterministic throttle",
+    "q_resample_timeseries": "hourly downsample + gap-filled dense spine",
+    "q_window_deltas_vs_baseline": "per-entity trailing-24h baseline (RANGE frame, exact cents)",
+    "q_drift_kl": "per-source KL vs corpus (fixed-point order-independent sum)",
+    "q_entropy_ngrams": "char-bigram entropy per source (quality signal)",
+    "q_topic_cooccur": "bounded-vocab within-doc pair mining",
+    "q_dedup_ngram_jaccard": "char-5-gram Jaccard, md5-sampled 16x index",
+    "q_minhash_union_sketch": "two-level mergeable MinHash; bound-asserted vs exact",
+    "q_sim_ann_recall": "in-plan recall@k audit of the LSH index (verdict oracled)",
+    "q_embed_centroids": "per-label mean vectors (k-means M-step)",
+    "q_embed_assign": "nearest-centroid assignment (k-means E-step, broadcast)",
+    "q_embed_quantize": "per-vector int8 quantization summary (map-only)",
+    "q_agg_hll": "mergeable DataSketches HLL; bound-asserted vs exact distinct",
+    "q_agg_countmin": "count-min heavy-hitter probe; bound-asserted vs exact",
     "q_scan_csv": "splittable CSV scan, bound schema (no inference pass)",
     "q_sink_csv": "parallel CSV directory write + bound-schema readback",
     "q_scan_jsonl": "JSON-lines scan, bound schema, unparsed-key skipping",

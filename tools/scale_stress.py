@@ -6,7 +6,8 @@ A plan that 'survives scale' keeps throughput roughly flat as input grows
 (work is O(n) with constant shuffle structure). Replication happens in the
 plan (explode over a sequence), so no data is written anywhere.
 
-Usage: python tools/scale_stress.py
+Usage: python tools/scale_stress.py [shape_name ...]
+(no args = all shapes; names filter for budgeted runs)
 """
 
 from __future__ import annotations
@@ -188,6 +189,19 @@ def main() -> None:
             F.count("*").alias("n"), dsum("o_totalprice", 2).alias("v")
         )
 
+    from pyspark_excel_datasource_spark.operators.corpus import (
+        topic_cooccur,
+        vocab_coverage,
+    )
+    from pyspark_excel_datasource_spark.operators.dedup import chargram_pairs
+    from pyspark_excel_datasource_spark.operators.multimodal import payload_dedup
+    from pyspark_excel_datasource_spark.operators.scale import interval_overlap
+
+    docs_full1 = table(spark, SF, "documents")
+    docs_full10 = replicate_docs(
+        docs_full1.select("doc_id", "text", "source", "lang", "n_chars"), FACTOR
+    )
+
     shapes = {
         "flagship_agg": (flagship(li1), flagship(li10)),
         "window_frame": (window_frame(li1), window_frame(li10)),
@@ -207,7 +221,33 @@ def main() -> None:
             bloom_agg(spark, orders1, cust_dim),
             bloom_agg(spark, orders10, cust_dim),
         ),
+        # round-6 additions: the scale claims the round-5/6 ops document
+        # (banding, sublinear top-K, key-only shuffle, sampled index,
+        # bounded-vocab pair cap) measured instead of asserted
+        "interval_overlap": (
+            interval_overlap(ev1),
+            interval_overlap(ev10),
+        ),
+        "vocab_coverage": (
+            vocab_coverage(docs_full1),
+            vocab_coverage(docs_full10),
+        ),
+        "payload_dedup": (
+            payload_dedup(docs_full1),
+            payload_dedup(docs_full10),
+        ),
+        "chargram_pairs": (
+            chargram_pairs(docs_full1),
+            chargram_pairs(docs_full10),
+        ),
+        "topic_cooccur": (
+            topic_cooccur(docs_full1),
+            topic_cooccur(docs_full10),
+        ),
     }
+    wanted = set(sys.argv[1:])
+    if wanted:
+        shapes = {k: v for k, v in shapes.items() if k in wanted}
     print(f"rows: base={n1:,} scaled={n1*FACTOR:,}")
     for name, (base, scaled) in shapes.items():
         # Warm BOTH sides once: base and scaled compile different
