@@ -353,3 +353,41 @@ def payload_dedup(d: DataFrame) -> DataFrame:
             F.min("nb").alias("n_bytes"),
         )
     )
+
+
+@query(
+    "q_multimodal_frames",
+    oracle="""
+    SELECT doc_id,
+           CAST(g.i AS INT) AS frame_idx,
+           CAST(g.i * 64 AS INT) AS byte_offset,
+           CAST(OCTET_LENGTH(ENCODE(SUBSTR(text, g.i * 64 + 1, 64)))
+                AS INT) AS frame_size,
+           MD5(SUBSTR(text, g.i * 64 + 1, 64)) AS frame_md5
+    FROM documents,
+         UNNEST(GENERATE_SERIES(0,
+             GREATEST(CAST(OCTET_LENGTH(ENCODE(text)) // 64 AS INT) - 1, 0)
+         )) AS g(i)
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling as a registered, hash-verified operator: one
+    payload row → N fixed-width byte-window 'frame' rows with offsets
+    and content digests — the exact explode shape video frame-sampling
+    and audio windowing produce (``sample_frames`` plumbing; the decode
+    of each window is the codec-stub boundary, its addressing is not).
+
+    Pure built-ins: posexplode over a computed offset array + substring
+    on the binary payload — codegen'd generator, no Python, no shuffle
+    (map-only). The oracle reproduces the byte windows character-wise
+    (the fixture corpus is pure ASCII, asserted cheaply by frame_size
+    itself: any multi-byte character would break the size match).
+    """
+    docs = with_payload(table(spark, sf_dir, "documents"))
+    return sample_frames(docs, every_n_bytes=64).select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.col("byte_offset").cast("int").alias("byte_offset"),
+        F.col("frame_size").cast("int").alias("frame_size"),
+        "frame_md5",
+    )

@@ -573,3 +573,123 @@ def q_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
         )
     )
+
+
+#: exactly-N per-stratum sample size
+_EXACT_SAMPLE_N = 10
+
+
+@query(
+    "q_sample_exact_pergroup",
+    oracle=f"""
+    SELECT doc_id, lang, CAST(rk AS INT) AS rk
+    FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents
+    ) WHERE rk <= {_EXACT_SAMPLE_N}
+    """,
+)
+def q_sample_exact_pergroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-N-per-stratum sampling (balanced eval-set construction):
+    the md5 of the row key is a deterministic pseudo-random permutation,
+    so rank-by-hash picks a stable uniform sample of exactly
+    {_EXACT_SAMPLE_N} docs per language — no RNG state, reproducible,
+    and NEW corpus rows only displace a sample member when their hash
+    ranks earlier (bounded churn, unlike fraction-threshold sampling
+    where the sample size drifts with corpus growth —
+    ``q_sample_stratified``'s complementary contract).
+
+    One shuffle on the stratum key; per-key state is the running top-N
+    (windowed rank is partition-local after the exchange). The doc_id
+    tiebreak makes the permutation total even under (impossible here,
+    cheap anyway) md5 collisions.
+    """
+    d = table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).cast("int").alias("rk"))
+        .filter(F.col("rk") <= _EXACT_SAMPLE_N)
+    )
+
+
+#: CDC snapshot boundary: events strictly before this ts form snapshot A,
+#: the full table forms snapshot B (append-only fixture → no deletes; the
+#: classifier still emits the delete branch for generality).
+_CDC_CUT = "2024-01-16 00:00:00"
+
+
+@query(
+    "q_cdc_changelog",
+    oracle=f"""
+    WITH a AS (
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS total_cents
+        FROM events WHERE ts < TIMESTAMP '{_CDC_CUT}' GROUP BY user_id
+    ),
+    b AS (
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS total_cents
+        FROM events GROUP BY user_id
+    )
+    SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+           CASE WHEN a.user_id IS NULL THEN 'insert'
+                WHEN b.user_id IS NULL THEN 'delete'
+                WHEN a.n_events <> b.n_events
+                     OR a.total_cents <> b.total_cents THEN 'update'
+                ELSE 'unchanged' END AS op,
+           a.n_events AS old_n, a.total_cents AS old_cents,
+           b.n_events AS new_n, b.total_cents AS new_cents
+    FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+    """,
+)
+def q_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff changelog (CDC): compare the per-user aggregate state
+    of two table snapshots and classify every key as
+    insert/update/delete/unchanged with old+new images — the changelog
+    a warehouse emits to downstream consumers after each batch load (the
+    read-side complement of ``q_merge_upsert``'s write-side MERGE).
+
+    ONE full-outer join keyed on user_id over two partial-aggregated
+    snapshots (each snapshot is a map-side-combined count/sum — no raw
+    event rows cross the exchange). Exact integer cents make image
+    comparison engine-identical. At 100 TB both snapshots would be
+    incrementally maintained aggregates, diffed with this same plan.
+    """
+    ev = table(spark, sf_dir, "events")
+
+    def snap(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
+        )
+
+    from .relational import ts
+
+    a = snap(ev.filter(F.col("ts") < ts(_CDC_CUT))).alias("a")
+    b = snap(ev).alias("b")
+    joined = a.join(b, F.col("a.user_id") == F.col("b.user_id"), "full_outer")
+    op = (
+        F.when(F.col("a.user_id").isNull(), "insert")
+        .when(F.col("b.user_id").isNull(), "delete")
+        .when(
+            (F.col("a.n_events") != F.col("b.n_events"))
+            | (F.col("a.total_cents") != F.col("b.total_cents")),
+            "update",
+        )
+        .otherwise("unchanged")
+    )
+    return joined.select(
+        F.coalesce(F.col("a.user_id"), F.col("b.user_id")).alias("user_id"),
+        op.alias("op"),
+        F.col("a.n_events").alias("old_n"),
+        F.col("a.total_cents").alias("old_cents"),
+        F.col("b.n_events").alias("new_n"),
+        F.col("b.total_cents").alias("new_cents"),
+    )

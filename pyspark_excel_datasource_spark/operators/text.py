@@ -758,3 +758,106 @@ def q_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(html, F.lit("<[^>]+>")).cast("long").alias("n_tags"),
         clean.alias("clean_text"),
     )
+
+
+#: BM25 parameters (Robertson/Sparck-Jones defaults) and the fixed query
+#: term set; scores fixed-pointed at 1e8 for order-independent summation
+#: (same rationale as corpus._LOG_FP).
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = ("stream", "window", "vector", "filter", "merge")
+_BM25_FP = 100_000_000
+_BM25_TOP = 20
+
+
+@query(
+    "q_bm25",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS term
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        WHERE term IN {_BM25_TERMS} GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    terms AS (
+        SELECT tf.doc_id,
+               CAST(FLOOR(
+                   LN((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+                   * (tf.tf * ({_BM25_K1} + 1))
+                   / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+                      + {_BM25_B} * dl.dl / stats.avgdl))
+                   * {_BM25_FP} + 0.5) AS BIGINT) AS term_fp
+        FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+        CROSS JOIN stats
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_terms_hit,
+           CAST(SUM(term_fp) AS BIGINT) AS bm25_fp
+    FROM terms GROUP BY doc_id
+    ORDER BY bm25_fp DESC, doc_id ASC
+    LIMIT {_BM25_TOP}
+    """,
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring for a fixed query term set, top
+    {_BM25_TOP} documents — the standard lexical ranker (and the hard
+    half of hybrid BM25+vector retrieval; the vector half is
+    ``similarity.q_sim_topk``). Extends ``q_text_tfidf``'s weighting
+    with per-document length normalization and saturating tf.
+
+    Plan: the token explode feeds per-doc lengths ONCE; the tf table is
+    pre-filtered to the query terms (so the expensive per-(doc,term)
+    aggregation is |terms|-bounded, not vocab-bounded); df and the
+    global (N, avgdl) scalars broadcast back onto it. Each BM25 term is
+    row-local double math on exact integers, fixed-pointed BEFORE the
+    per-doc sum (order-independent, engine-identical — the
+    ``corpus._LOG_FP`` convention); avgdl is one exact-integer division.
+    At 100 TB: two token-keyed aggregations + broadcast joins, no
+    quadratic step, rank via TakeOrdered (no global sort).
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    term_fp = F.floor(
+        idf * (F.col("tf") * (_BM25_K1 + 1)) / denom * _BM25_FP + F.lit(0.5)
+    ).cast("long")
+    return (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", term_fp.alias("term_fp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms_hit"),
+            F.sum("term_fp").cast("long").alias("bm25_fp"),
+        )
+        .orderBy(F.col("bm25_fp").desc(), F.col("doc_id").asc())
+        .limit(_BM25_TOP)
+    )

@@ -154,22 +154,27 @@ _PRIORITY: tuple[str, ...] = (
     "q_sim_ann_recall",
     "q_embed_assign",
     "q_stream_rate_limit",
-    # D. regression pads: greens whose code paths or helpers changed this
-    #    round (bloom size guard) + the headline bench queries
+    "q_multimodal_frames",
+    "q_sample_exact_pergroup",
+    "q_cdc_changelog",
+    "q_bm25",
+    # D. regression pads (6 slots): the headline bench queries — greens
+    #    re-confirmed because round 6 must also re-prove the bench band
     "q_flagship_pricing",
     "q_tpch_q5ish",
     "q_join_star3",
     "q_agg_rollup",
     "q_win_frame",
     "q_topk",
+    # ---- end of the 50-slot window (24 backlog + 4 re-verdicts +
+    #      16 round-6 operators + 6 bench pads) ----
+    # E. overflow: oracle-backed greens most recently touched, in case the
+    #    driver widens the window; remaining greens follow in registration
+    #    order after these.
     "q_sim_topk",
     "q_dedup_near",
     "q_text_tfidf",
     "q_scan_excel",
-    # ---- end of the 50-slot window ----
-    # E. overflow: oracle-backed greens most recently touched, in case the
-    #    driver widens the window; remaining greens follow in registration
-    #    order after these.
     "q_sink_excel",
     "q_stream_discover",
     "q_dedup_keep_first",

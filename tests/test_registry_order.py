@@ -68,6 +68,10 @@ def test_round6_window_composition():
             "q_stream_rate_limit",
             "q_window_deltas_vs_baseline",
             "q_join_asof_tolerance",
+            "q_multimodal_frames",
+            "q_sample_exact_pergroup",
+            "q_cdc_changelog",
+            "q_bm25",
         }
     }
     backlog = set(names) - seen - new_this_round

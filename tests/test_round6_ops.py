@@ -228,3 +228,79 @@ def test_multimodal_features_hashable_and_stable(spark):
     assert {(r.doc_id, r.features_md5) for r in rows} == {
         (r.doc_id, r.features_md5) for r in again
     }
+
+
+def test_multimodal_frames_sampling_contract(spark):
+    """sample_frames takes floor(nb/64) windows (sampling, not tiling):
+    offsets are contiguous multiples of 64, full windows are 64 bytes,
+    only the last window may clip, and frame count matches the formula
+    per document."""
+    from pyspark_excel_datasource_spark.catalog import table
+
+    out = _queries()["q_multimodal_frames"](spark, SF).cache()
+    sizes = out.groupBy("doc_id").agg(
+        F.sum("frame_size").alias("covered"),
+        F.count("*").alias("k"),
+        F.max("byte_offset").alias("maxoff"),
+        F.min("frame_size").alias("minsz"),
+        F.max("frame_size").alias("maxsz"),
+    )
+    docs = table(spark, SF, "documents").select(
+        "doc_id", F.octet_length(F.encode("text", "UTF-8")).alias("nb")
+    )
+    joined = sizes.join(docs, "doc_id")
+    expect_k = F.greatest(F.floor(F.col("nb") / 64), F.lit(1))
+    bad_k = joined.filter(F.col("k") != expect_k).count()
+    assert bad_k == 0
+    assert joined.filter(F.col("maxoff") != (F.col("k") - 1) * 64).count() == 0
+    assert joined.filter(F.col("maxsz") > 64).count() == 0
+    # coverage = all full windows + a possibly-clipped last window
+    expect_cov = (F.col("k") - 1) * 64 + F.least(
+        F.lit(64), F.col("nb") - (F.col("k") - 1) * 64
+    )
+    assert joined.filter(F.col("covered") != expect_cov).count() == 0
+
+
+
+def test_sample_exact_pergroup_sizes(spark):
+    from pyspark_excel_datasource_spark.operators.pipeline import (
+        _EXACT_SAMPLE_N,
+    )
+
+    out = _queries()["q_sample_exact_pergroup"](spark, SF)
+    per = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert set(per) == {"en", "de", "fr", "es", "zh"}
+    assert all(n == _EXACT_SAMPLE_N for n in per.values())
+    # stable across invocations (no RNG)
+    a = {(r.doc_id, r.lang) for r in out.collect()}
+    b = {(r.doc_id, r.lang) for r in _queries()["q_sample_exact_pergroup"](spark, SF).collect()}
+    assert a == b
+
+
+def test_cdc_changelog_classification(spark):
+    out = _queries()["q_cdc_changelog"](spark, SF).cache()
+    # append-only fixture: no deletes possible
+    assert out.filter(F.col("op") == "delete").count() == 0
+    # inserts have no old image; updates/unchanged have both
+    assert out.filter(
+        (F.col("op") == "insert") & F.col("old_n").isNotNull()
+    ).count() == 0
+    assert out.filter(
+        (F.col("op") == "update")
+        & (F.col("old_n") == F.col("new_n"))
+        & (F.col("old_cents") == F.col("new_cents"))
+    ).count() == 0
+    assert out.filter(
+        (F.col("op") == "unchanged")
+        & ((F.col("old_n") != F.col("new_n")) | (F.col("old_cents") != F.col("new_cents")))
+    ).count() == 0
+
+
+def test_bm25_prefers_term_density(spark):
+    """Sanity: every top-scored doc actually contains query terms, and
+    scores are positive and sorted."""
+    rows = _queries()["q_bm25"](spark, SF).collect()
+    assert len(rows) == 20
+    scores = [r.bm25_fp for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r.bm25_fp > 0 and r.n_terms_hit >= 1 for r in rows)

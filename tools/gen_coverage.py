@@ -74,13 +74,14 @@ SECTIONS = {
         "q_text_stats", "q_text_quality", "q_text_langid",
         "q_text_fingerprint", "q_text_winnow", "q_text_winnow_pairs",
         "q_text_tfidf", "q_tokenize", "q_text_lm_score", "q_contamination",
-        "q_pii_redact", "q_strip_markup",
+        "q_pii_redact", "q_strip_markup", "q_bm25",
     ],
-    "North-star: multimodal": ["q_multimodal_cols", "q_multimodal_features", "q_multimodal_dedup"],
+    "North-star: multimodal": ["q_multimodal_cols", "q_multimodal_features", "q_multimodal_dedup", "q_multimodal_frames"],
     "North-star: pipeline composition": [
         "q_split_assign", "q_sample_hash", "q_sample_stratified", "q_sample_weighted",
         "q_pipeline_llm_prep", "q_validate_constraints", "q_mix_budget",
         "q_dedup_weights", "q_quality_tiers", "q_winsorize_by_group",
+        "q_sample_exact_pergroup",
     ],
     "Event analytics": [
         "q_sessionize", "q_funnel", "q_retention", "q_scd2_intervals", "q_event_transitions",
@@ -89,7 +90,7 @@ SECTIONS = {
         "q_delta_lag", "q_resample_timeseries", "q_window_deltas_vs_baseline",
     ],
     "Incremental / DML patterns": [
-        "q_rollup_hierarchical", "q_merge_upsert",
+        "q_rollup_hierarchical", "q_merge_upsert", "q_cdc_changelog",
     ],
     "In-plan statistics / ML": [
         "q_regression_by_group", "q_corr_matrix",
@@ -155,6 +156,10 @@ ROLES = {
     "q_embed_centroids": "per-label mean vectors (k-means M-step)",
     "q_embed_assign": "nearest-centroid assignment (k-means E-step, broadcast)",
     "q_embed_quantize": "per-vector int8 quantization summary (map-only)",
+    "q_multimodal_frames": "fixed-width byte-window frame sampling, hash-verified",
+    "q_sample_exact_pergroup": "exactly-N per stratum via md5-rank permutation",
+    "q_cdc_changelog": "snapshot-diff insert/update/delete classifier",
+    "q_bm25": "BM25 lexical ranking, length-normalized, fp-canonical sums",
     "q_agg_hll": "mergeable DataSketches HLL; bound-asserted vs exact distinct",
     "q_agg_countmin": "count-min heavy-hitter probe; bound-asserted vs exact",
     "q_scan_csv": "splittable CSV scan, bound schema (no inference pass)",
