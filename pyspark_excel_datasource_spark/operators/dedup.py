@@ -1149,16 +1149,21 @@ def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: char-n-gram dedup parameters: gram width, md5-nibble sampling (keep
 #: grams whose md5 starts '0' → 1/16, content-addressed and identical in
-#: both engines), and the Jaccard threshold on the sampled sets.
+#: both engines), a document-frequency cap on index grams (char grams are
+#: Zipf-heavy — " the " sits in nearly every English doc, and one such
+#: gram makes the inverted-index self-join quadratic in corpus size;
+#: rare grams carry all the near-dup signal, so the index keeps only
+#: grams with df <= cap), and the Jaccard threshold on the kept sets.
 _CHARGRAM_N = 5
 _CHARGRAM_KEEP_PREFIX = "0"
+_CHARGRAM_MAX_DF = 50
 _CHARGRAM_THRESHOLD = 0.5
 
 
 @query(
     "q_dedup_ngram_jaccard",
     oracle=f"""
-    WITH grams AS (
+    WITH sampled AS (
         SELECT DISTINCT doc_id, g.s FROM (
             SELECT doc_id,
                    SUBSTR(text, i.i, {_CHARGRAM_N}) AS s
@@ -1168,6 +1173,11 @@ _CHARGRAM_THRESHOLD = 0.5
             WHERE LENGTH(text) >= {_CHARGRAM_N}
         ) g(doc_id, s)
         WHERE SUBSTR(MD5(g.s), 1, 1) = '{_CHARGRAM_KEEP_PREFIX}'
+    ),
+    grams AS (
+        SELECT doc_id, s FROM sampled
+        WHERE s IN (SELECT s FROM sampled GROUP BY s
+                    HAVING COUNT(*) <= {_CHARGRAM_MAX_DF})
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
     inter AS (
@@ -1207,11 +1217,18 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def chargram_pairs(docs: DataFrame) -> DataFrame:
-    """Sampled char-n-gram Jaccard pair plan over a documents frame (see
-    ``q_dedup_ngram_jaccard``); reused by ``tools/scale_stress.py``."""
-    d = spread(docs).filter(
-        F.length("text") >= _CHARGRAM_N
-    )
+    """Sampled + df-capped char-n-gram Jaccard pair plan over a documents
+    frame (see ``q_dedup_ngram_jaccard``); reused by
+    ``tools/scale_stress.py``.
+
+    Two index-pruning stages before the self-join: (1) md5-nibble gram
+    sampling (16x smaller index, unbiased), (2) a document-frequency cap
+    that drops stop-grams — without it one ubiquitous gram's posting
+    list makes the join quadratic in corpus size (measured: the 10x
+    stress run never finished pre-cap). Set sizes are counted AFTER both
+    prunes so the Jaccard is exactly the oracle's rare-gram Jaccard.
+    """
+    d = spread(docs).filter(F.length("text") >= _CHARGRAM_N)
     grams = F.array_distinct(
         F.filter(
             F.expr(
@@ -1221,10 +1238,44 @@ def chargram_pairs(docs: DataFrame) -> DataFrame:
             lambda s: F.substring(F.md5(s), 1, 1) == _CHARGRAM_KEEP_PREFIX,
         )
     )
-    sampled = d.select("doc_id", grams.alias("shingles")).filter(
-        F.size("shingles") > 0
+    # exploded sampled index on 8-byte hashes (the oracle joins strings
+    # and would catch a collision)
+    toks = (
+        d.select("doc_id", F.explode(grams).alias("s0"))
+        .select("doc_id", F.xxhash64("s0").alias("s"))
     )
-    return _exact_pairs(sampled, _CHARGRAM_THRESHOLD)
+    rare = (
+        toks.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= _CHARGRAM_MAX_DF)
+        .select("s")
+    )
+    kept = toks.join(rare, "s", "left_semi")
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # set sizes travel WITH the token rows (same trick as _exact_pairs):
+    # a doc-keyed shuffle join, never a broadcast of a |docs|-sized frame
+    withn = kept.join(sizes, "doc_id").hint("shuffle_hash").cache()
+    a = withn.select(
+        F.col("doc_id").alias("d1"), F.col("n").alias("n1"), "s"
+    )
+    b = withn.select(
+        F.col("doc_id").alias("d2"), F.col("n").alias("n2"), "s"
+    )
+    return (
+        a.join(b, (a.s == b.s) & (F.col("d1") < F.col("d2")))
+        .groupBy("d1", "d2", "n1", "n2")
+        .agg(F.count("*").alias("inter"))
+        .select(
+            "d1",
+            "d2",
+            F.col("inter").cast("long").alias("inter"),
+            (
+                F.col("inter").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= _CHARGRAM_THRESHOLD)
+    )
 
 
 #: union-sketch parameters: 128 hashes → |est − exact| ≤ 3/√128 ≈ 0.27

@@ -259,39 +259,58 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     )
 
 
-@query("q_multimodal_features")  # mapInPandas decode → rows-only check
+@query(
+    "q_multimodal_features",
+    oracle="""
+    WITH bytes AS (
+        SELECT doc_id,
+               LIST_TRANSFORM(STR_SPLIT(text, ''), c -> ASCII(c)) AS bs,
+               OCTET_LENGTH(ENCODE(text)) AS nb
+        FROM documents
+    ),
+    feat AS (
+        SELECT doc_id, nb,
+               LIST_TRANSFORM(RANGE(0, 16), i -> CAST(FLOOR(
+                   CAST(LEN(LIST_FILTER(bs, x -> x // 16 = i)) AS DOUBLE)
+                   / GREATEST(nb, 1) * 1000000000 + 0.5) AS BIGINT)) AS fp,
+               CAST(LIST_SUM(bs) AS BIGINT) AS pixel_sum
+        FROM bytes
+    )
+    SELECT doc_id,
+           CAST(1 + nb % 64 AS INT) AS height,
+           CAST(1 + (nb * 7) % 64 AS INT) AS width,
+           pixel_sum,
+           MD5(ARRAY_TO_STRING(fp, ',')) AS features_md5,
+           CAST(LIST_SUM(fp) AS BIGINT) AS features_l1_fp,
+           CAST(LIST_POSITION(fp, LIST_MAX(fp)) AS INT) AS argmax_bucket
+    FROM feat
+    """,
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal pipeline: payload convention → streamed
     Arrow decode (fake) → byte-histogram features, joined on doc_id.
 
-    The feature vector is presented as scalar columns (a content digest
-    of the full array + its L1 norm and argmax bucket) rather than the
-    raw ``array<double>``: the gate's rows-only canonicalizer lexsorts
-    rows via pandas, which cannot hash ndarray cells. The digest pins
-    every element of every vector, so this is strictly MORE sensitive to
-    feature regressions than shipping the array itself.
+    Hash-verified end to end even though the decode runs in Python
+    (mapInPandas): the documented deterministic-fake decode and the
+    byte-histogram extractor are both pure integer/byte arithmetic, and
+    the fixture payloads are ASCII, so the DuckDB oracle reproduces the
+    Arrow pipeline's exact outputs from SQL — any drift in the Pandas
+    UDF batch handling (dtype coercion, batch boundaries, ordering)
+    breaks the hash. The feature vector is presented as scalar columns:
+    an md5 digest over the 9-decimal fixed-point elements joined with
+    ',' (one canonical spelling in both engines), its L1 norm, and the
+    argmax bucket (first-occurrence tie rule in both engines).
     """
     docs = with_payload(table(spark, sf_dir, "documents"))
     decoded = decode_dataframe(docs)
+    fp = F.transform(
+        "features", lambda v: F.floor(v * F.lit(1e9) + F.lit(0.5)).cast("long")
+    )
     feats = byte_histogram_features(docs).select(
         "doc_id",
-        # digest over 9-decimal fixed-point elements: deterministic
-        # across partitionings (row-local) and Arrow/JVM boundaries
-        F.md5(
-            F.to_json(
-                F.transform(
-                    "features",
-                    lambda v: F.floor(v * F.lit(1e9) + F.lit(0.5)).cast("long"),
-                )
-            )
-        ).alias("features_md5"),
+        F.md5(F.array_join(fp, ",")).alias("features_md5"),
         F.aggregate(
-            F.transform(
-                "features",
-                lambda v: F.floor(v * F.lit(1e9) + F.lit(0.5)).cast("long"),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
+            fp, F.lit(0).cast("long"), lambda acc, v: acc + v
         ).alias("features_l1_fp"),
         F.expr(
             "array_position(features, array_max(features))"
@@ -303,7 +322,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "height",
             "width",
-            "pixel_sum",
+            F.col("pixel_sum").cast("long").alias("pixel_sum"),
             "features_md5",
             "features_l1_fp",
             "argmax_bucket",

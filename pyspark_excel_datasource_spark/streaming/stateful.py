@@ -159,3 +159,66 @@ def q_stream_stateful(spark, sf_dir: str) -> DataFrame:
             F.max_by("total_cents", "n_events").alias("total_cents"),
         )
     )
+
+
+RATE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("bucket", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("nth_in_window", T.IntegerType()),
+    ]
+)
+
+RATE_STATE_SCHEMA = T.StructType([T.StructField("n", T.LongType())])
+
+
+def make_rate_limiter(max_per_window: int):
+    """applyInPandasWithState body factory: per (user, window-bucket) keep
+    the first ``max_per_window`` events in (ts, event_id) order; state is
+    ONE integer (events admitted so far) — the counter survives across
+    micro-batches, so a key that exhausts its budget in batch 1 admits
+    nothing in batch 2 (the property the batch-mode window rank cannot
+    express incrementally)."""
+
+    def limiter(key, pdfs, state):
+        import pandas as pd  # noqa: PLC0415 (executor-side import)
+
+        (n,) = state.get if state.exists else (0,)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ev in pdf["event_id"]:
+                if n < max_per_window:
+                    n += 1
+                    out.append((key[0], key[1], int(ev), int(n)))
+        state.update((int(n),))
+        yield pd.DataFrame(
+            out, columns=["user_id", "bucket", "event_id", "nth_in_window"]
+        )
+
+    return limiter
+
+
+def rate_limited_stream(events, max_per_window: int):
+    """events stream (user_id, event_id, ts) → admitted events, at most
+    ``max_per_window`` per user per 10-minute event-time bucket. The
+    streaming twin of ``streaming/windows.q_stream_rate_limit`` (whose
+    batch form the DuckDB oracle hash-checks); equality of the two is
+    pinned by ``tests/test_streaming.py``."""
+    from pyspark.sql import functions as F
+
+    bucket = (F.unix_micros(F.col("ts").cast("timestamp")) / 600_000_000).cast(
+        "long"
+    )
+    return (
+        events.withColumn("bucket", bucket)
+        .groupBy("user_id", "bucket")
+        .applyInPandasWithState(
+            make_rate_limiter(max_per_window),
+            outputStructType=RATE_OUTPUT_SCHEMA,
+            stateStructType=RATE_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )

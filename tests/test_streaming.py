@@ -374,3 +374,82 @@ def test_foreachbatch_merge_idempotent(spark, tmp_path):
     }
     got = {(u, v[0], v[1], v[2]) for u, v in state.items()}
     assert got == expect
+
+
+def test_stream_rate_limit_equals_batch(spark, tmp_path):
+    """The stateful streaming rate limiter admits exactly the events the
+    batch window-rank form keeps — including across micro-batch
+    boundaries (a key that fills its budget in batch 1 must admit
+    nothing from batch 2)."""
+    import pandas as pd
+
+    from pyspark_excel_datasource_spark.streaming.stateful import (
+        rate_limited_stream,
+    )
+    from pyspark_excel_datasource_spark.streaming.windows import _RATE_MAX
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+    # user 1: 5 events inside ONE 10-min bucket split across two files
+    # (budget exhausts mid-stream); user 2: spread over two buckets
+    spec_a = [(0, 1, 10), (1, 1, 11), (2, 1, 12), (3, 2, 20)]
+    spec_b = [(4, 1, 13), (5, 1, 14), (12, 2, 21), (13, 2, 22)]
+
+    def frame(spec):
+        return pd.DataFrame(
+            [
+                (t0 + dt.timedelta(minutes=m), u, e)
+                for m, u, e in spec
+            ],
+            columns=["ts", "user_id", "event_id"],
+        )
+
+    src = tmp_path / "rate"
+    src.mkdir()
+    minixlsx.write_xlsx(str(src / "a.xlsx"), frame(spec_a))
+    minixlsx.write_xlsx(str(src / "b.xlsx"), frame(spec_b))
+
+    schema = "ts timestamp, user_id long, event_id long"
+    stream = (
+        spark.readStream.format("excel")
+        .schema(schema)
+        .option("path", str(src))
+        .load()
+    )
+    q = (
+        rate_limited_stream(stream, _RATE_MAX)
+        .writeStream.format("memory")
+        .queryName("rate_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r.event_id: r.nth_in_window
+        for r in spark.table("rate_sink").collect()
+    }
+
+    batch = (
+        spark.read.format("excel")
+        .schema(schema)
+        .option("path", str(src))
+        .load()
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("user_id", F.window("ts", "10 minutes")).orderBy(
+        "ts", "event_id"
+    )
+    expected = {
+        r.event_id: r.nth
+        for r in batch.select(
+            "event_id", F.row_number().over(w).cast("int").alias("nth")
+        )
+        .filter(F.col("nth") <= _RATE_MAX)
+        .collect()
+    }
+    assert streamed == expected
+    # the cross-batch property actually bit: user 1 sent 5, kept 3, and
+    # one of the drops arrived in the second micro-batch
+    assert 13 not in streamed and 14 not in streamed
+    assert len([e for e in streamed if e // 10 == 1]) == _RATE_MAX

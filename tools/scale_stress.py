@@ -92,6 +92,28 @@ def replicate_docs(docs, n: int):
     )
 
 
+def replicate_docs_chars(docs, n: int):
+    """Character-level decorrelation for char-gram workloads: each replica
+    rotates the alphabet by its replica id, so replicas share (almost) NO
+    character n-grams. The word-prefix trick of ``replicate_docs`` is NOT
+    enough here — char grams live inside words, so prefixed replicas still
+    share their posting lists and the inverted-index self-join would grow
+    ~n² instead of ~n (a replication artifact, not an operator property)."""
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    rotated = F.lit(None).cast("string")
+    expr = None
+    out = docs.withColumn(
+        "rep", F.explode(F.sequence(F.lit(0), F.lit(n - 1)))
+    ).withColumn("doc_id", F.col("doc_id") * n + F.col("rep"))
+    for r in range(n):
+        rot = alpha[r:] + alpha[:r]
+        branch = F.translate(F.col("text"), alpha, rot)
+        expr = F.when(F.col("rep") == r, branch) if expr is None else expr.when(
+            F.col("rep") == r, branch
+        )
+    return out.withColumn("text", expr).drop("rep")
+
+
 def replicate_vecs(vecs, n: int):
     """n near-identical copies with a deterministic per-replica nudge on
     one dimension — bucket density grows linearly, not degenerately."""
@@ -238,7 +260,14 @@ def main() -> None:
         ),
         "chargram_pairs": (
             chargram_pairs(docs_full1),
-            chargram_pairs(docs_full10),
+            chargram_pairs(
+                replicate_docs_chars(
+                    table(spark, SF, "documents").select(
+                        "doc_id", "text", "source", "lang", "n_chars"
+                    ),
+                    FACTOR,
+                )
+            ),
         ),
         "topic_cooccur": (
             topic_cooccur(docs_full1),
