@@ -618,14 +618,15 @@ def bloom_semi_join(
     the bloom only ever passes supersets.
 
     The exact semi join broadcasts the dim only while it is small
-    (``broadcast_max_rows``, checked with one extra count over the
-    already-filtered dim — trivial next to the bloom build's own dim
-    scan); past the threshold it falls back to a shuffle left-semi, so
-    the helper stays safe for dims that outgrow executor memory. The
-    bloom pre-filter itself is size-independent (fixed 8 KiB literal)
-    and still prunes the fact scan either way.
+    (``broadcast_max_rows``); past the threshold it falls back to a
+    shuffle left-semi, so the helper stays safe for dims that outgrow
+    executor memory. The row count is folded into the bloom build's own
+    aggregation (each dim row contributes exactly ``_BLOOM_HASHES``
+    position rows, so Σ per-word position counts / k = dim rows) —
+    the guard costs ZERO extra passes. The bloom pre-filter itself is
+    size-independent (fixed 8 KiB literal) and still prunes the fact
+    scan either way.
     """
-    n_dim = dim.count()
     pos = _bloom_positions(F.col(dim_key))
     bits = dim.select(
         F.explode(F.array(*pos)).alias("p")
@@ -633,10 +634,15 @@ def bloom_semi_join(
         F.expr("CAST(p DIV 64 AS LONG)").alias("word_idx"),
         F.expr("SHIFTLEFT(1L, CAST(p % 64 AS INT))").alias("bit"),
     )
-    words = bits.groupBy("word_idx").agg(F.bit_or("bit").alias("word"))
+    words = bits.groupBy("word_idx").agg(
+        F.bit_or("bit").alias("word"), F.count("*").alias("n_pos")
+    )
     arr = [0] * _BLOOM_WORDS
+    total_pos = 0
     for row in words.collect():  # bounded: exactly ≤1024 (word, bits) rows
         arr[int(row["word_idx"])] = int(row["word"])
+        total_pos += int(row["n_pos"])
+    n_dim = total_pos // _BLOOM_HASHES
     bloom = F.array(*[F.lit(w).cast("long") for w in arr])
 
     # scalar bit tests, built as SQL expressions over the fact key so the
