@@ -55,6 +55,8 @@ _QUERY_MODULES = (
     "pyspark_excel_datasource_spark.operators.pipeline",
     "pyspark_excel_datasource_spark.operators.analytics",
     "pyspark_excel_datasource_spark.operators.corpus",
+    # audit must import last: its oracle embeds other queries' oracles
+    "pyspark_excel_datasource_spark.operators.audit",
 )
 
 
@@ -158,6 +160,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_sample_exact_pergroup",
     "q_cdc_changelog",
     "q_bm25",
+    "q_approx_audit",
     # D. regression pads (6 slots): the headline bench queries — greens
     #    re-confirmed because round 6 must also re-prove the bench band
     "q_flagship_pricing",
@@ -165,9 +168,9 @@ _PRIORITY: tuple[str, ...] = (
     "q_join_star3",
     "q_agg_rollup",
     "q_win_frame",
-    "q_topk",
     # ---- end of the 50-slot window (24 backlog + 4 re-verdicts +
-    #      16 round-6 operators + 6 bench pads) ----
+    #      17 round-6 operators + 5 bench pads) ----
+    "q_topk",
     # E. overflow: oracle-backed greens most recently touched, in case the
     #    driver widens the window; remaining greens follow in registration
     #    order after these.

@@ -72,6 +72,7 @@ def test_round6_window_composition():
             "q_sample_exact_pergroup",
             "q_cdc_changelog",
             "q_bm25",
+            "q_approx_audit",
         }
     }
     backlog = set(names) - seen - new_this_round

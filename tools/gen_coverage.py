@@ -68,7 +68,7 @@ SECTIONS = {
     ],
     "North-star: similarity search": [
         "q_sim_topk", "q_sim_selfjoin", "q_sim_ann_lsh", "q_sim_ann_ivf",
-        "q_sim_ann_pq", "q_sim_ann_recall",
+        "q_sim_ann_pq",
     ],
     "North-star: text analysis": [
         "q_text_stats", "q_text_quality", "q_text_langid",
@@ -102,6 +102,9 @@ SECTIONS = {
     ],
     "North-star: embedding aggregates / clustering": [
         "q_embed_centroids", "q_embed_quantize", "q_embed_assign",
+    ],
+    "Approximate-structure contract audits": [
+        "q_sim_ann_recall", "q_approx_audit",
     ],
 }
 
@@ -162,6 +165,7 @@ ROLES = {
     "q_bm25": "BM25 lexical ranking, length-normalized, fp-canonical sums",
     "q_agg_hll": "mergeable DataSketches HLL; bound-asserted vs exact distinct",
     "q_agg_countmin": "count-min heavy-hitter probe; bound-asserted vs exact",
+    "q_approx_audit": "all 5 approx structures recall-audited vs exact twins, one hash-checked query",
     "q_scan_csv": "splittable CSV scan, bound schema (no inference pass)",
     "q_sink_csv": "parallel CSV directory write + bound-schema readback",
     "q_scan_jsonl": "JSON-lines scan, bound schema, unparsed-key skipping",
