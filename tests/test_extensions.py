@@ -132,10 +132,23 @@ def test_multimodal_frame_sampling(spark):
 
 
 def test_multimodal_features_are_distributions(spark, queries):
-    rows = queries["q_multimodal_features"](spark, SF).limit(50).collect()
-    for r in rows:
+    """The raw extractor still yields 16-bucket probability vectors; the
+    registered query presents them as fixed-point digests whose L1 norm
+    must therefore be ~1.0 (1e9 fixed-point, per-element rounding)."""
+    from pyspark_excel_datasource_spark.operators.multimodal import (
+        byte_histogram_features,
+        with_payload,
+    )
+
+    docs = with_payload(
+        spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    )
+    for r in byte_histogram_features(docs).collect():
         assert len(r.features) == 16
         assert abs(sum(r.features) - 1.0) < 1e-9
+    out = queries["q_multimodal_features"](spark, SF).limit(50).collect()
+    for r in out:
+        assert abs(r.features_l1_fp - 1_000_000_000) <= 16  # rounding slack
 
 
 def test_ann_ivf_recall_vs_brute_force(spark, queries):
