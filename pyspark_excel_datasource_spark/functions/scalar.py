@@ -349,3 +349,51 @@ def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").cast("int").alias("max_k"),
         )
     )
+
+
+_URL_EXPR = (
+    "CONCAT('https://', upper(source), '.Example.COM/', lang, '/doc/', "
+    "CAST(doc_id % 97 AS STRING), '?utm_source=feed&id=', "
+    "CAST(doc_id % 97 AS STRING), '&ref=rss#sec-', CAST(doc_id % 5 AS STRING))"
+)
+
+_SQL_URL_EXPR = (
+    "CONCAT('https://', upper(source), '.Example.COM/', lang, '/doc/', "
+    "CAST(doc_id % 97 AS VARCHAR), '?utm_source=feed&id=', "
+    "CAST(doc_id % 97 AS VARCHAR), '&ref=rss#sec-', CAST(doc_id % 5 AS VARCHAR))"
+)
+
+
+@query(
+    "q_fn_url",
+    oracle=f"""
+    SELECT doc_id, url,
+           REGEXP_EXTRACT(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+           REGEXP_EXTRACT(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+           REGEXP_EXTRACT(url, '\\?([^#]*)', 1) AS query,
+           REGEXP_EXTRACT(url, '#(.*)$', 1) AS fragment,
+           REGEXP_EXTRACT(url, '[?&]id=([^&#]*)', 1) AS id_param
+    FROM (SELECT doc_id, {_SQL_URL_EXPR} AS url FROM documents)
+    """,
+)
+def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL structural decomposition with the built-in ``parse_url``
+    (JVM-side, codegen'd — the web-corpus analogue of the date/JSON
+    families; the reference has no URL surface at all). The URLs are
+    built deterministically from document columns so both engines parse
+    byte-identical inputs; the DuckDB oracle mirrors each component with
+    an anchored regexp. ``parse_url(..., 'QUERY', 'id')`` extracts one
+    parameter without materializing a map — the hot-path idiom for
+    pulling a tracking id out of trillions of crawl records.
+    """
+    docs = table(spark, sf_dir, "documents")
+    url = F.expr(_URL_EXPR)
+    return docs.select(
+        "doc_id",
+        url.alias("url"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("REF")).alias("fragment"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("id")).alias("id_param"),
+    )

@@ -19,6 +19,142 @@ from .relational import ts
 
 
 @query(
+    "q_tpch_q7ish",
+    oracle=f"""
+    SELECT ns.n_name AS supp_nation,
+           nc.n_name AS cust_nation,
+           CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS l_year,
+           {sql_canon(sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 4))} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns   ON s.s_nationkey = ns.n_nationkey
+    JOIN nation nc   ON c.c_nationkey = nc.n_nationkey
+    WHERE ((ns.n_name = 'NATION_3' AND nc.n_name = 'NATION_7')
+        OR (ns.n_name = 'NATION_7' AND nc.n_name = 'NATION_3'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_tpch_q7ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): bilateral trade between two
+    nations by ship year. The nation table joins TWICE (supplier side and
+    customer side) — a self-referencing dimension that Catalyst resolves
+    as two independent broadcasts; the disjunctive nation-pair predicate
+    runs after both joins, exactly like the reference SQL.
+
+    Scale notes: both nation broadcasts are 25 rows regardless of SF; the
+    shipdate range filter pushes to the lineitem parquet scan; the only
+    shuffles are lineitem⋈orders and ⋈customer on their natural keys plus
+    the final partial→final aggregate on a 4-value group-by.
+    """
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < ts("1998-01-01 00:00:00"))
+    )
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    ns = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), s.s_nationkey == F.col("ns_key"))
+        .join(F.broadcast(nc), c.c_nationkey == F.col("nc_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+            | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "l_year",
+            canon("revenue").alias("revenue"),
+            "n_items",
+        )
+    )
+
+
+@query(
+    "q_tpch_q18ish",
+    oracle="""
+    SELECT c_name, o_orderkey, orderdate, totalprice, total_qty
+    FROM (
+        SELECT c.c_name,
+               o.o_orderkey,
+               CAST(o.o_orderdate AS VARCHAR) AS orderdate,
+               CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS totalprice,
+               CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,0))) AS BIGINT) AS total_qty
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey
+            HAVING SUM(CAST(l_quantity AS DECIMAL(18,0))) > 300
+        )
+        GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+        ORDER BY o.o_totalprice DESC, o.o_orderkey
+        LIMIT 20
+    )
+    """,
+)
+def q_tpch_q18ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose summed
+    line quantity exceeds 300, top-20 by order value.
+
+    The IN-subquery is expressed as an aggregate-then-semi-join: lineitem
+    pre-aggregates to (orderkey, total_qty) with a HAVING filter — a
+    map-side-combinable aggregate that shrinks the fact table ~4000× —
+    and the surviving keys drive a semi join back into orders. At 100 TB
+    the qualifying-key set is tiny (heavy-hitter orders), so AQE converts
+    the semi join to a broadcast at runtime; quantities sum in
+    DECIMAL(18,0) so the HAVING threshold and the output are engine-exact.
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,0)")).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("orderdate"),
+            canon(F.col("o_totalprice").cast("decimal(18,2)")).alias("totalprice"),
+            F.col("total_qty").cast("long").alias("total_qty"),
+        )
+    )
+
+
+@query(
     "q_tpch_q5ish",
     oracle=f"""
     SELECT n.n_name AS nation_name,

@@ -1444,3 +1444,77 @@ def q_minhash_union_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_bounds"),
         )
     )
+
+
+@query(
+    "q_dedup_url",
+    oracle="""
+    WITH urls AS (
+        SELECT doc_id,
+               CONCAT('https://', upper(source), '.Example.COM/', lang,
+                      '/doc/', CAST(doc_id % 97 AS VARCHAR),
+                      '?utm_source=feed&id=', CAST(doc_id % 97 AS VARCHAR),
+                      '&ref=rss#sec-', CAST(doc_id % 5 AS VARCHAR)) AS url
+        FROM documents
+    ),
+    canon AS (
+        SELECT doc_id,
+               CONCAT('https://',
+                      LOWER(REGEXP_EXTRACT(url, '^[a-z]+://([^/?#]+)', 1)),
+                      REGEXP_EXTRACT(url, '^[a-z]+://[^/?#]+([^?#]*)', 1),
+                      '?id=', REGEXP_EXTRACT(url, '[?&]id=([^&#]*)', 1))
+               AS canonical_url
+        FROM urls
+    )
+    SELECT canonical_url,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_dups
+    FROM canon
+    GROUP BY canonical_url
+    """,
+)
+def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the first pass of every web-crawl
+    pipeline: the same page arrives under mixed-case hosts, tracking
+    parameters (``utm_*``, ``ref``) and fragments, so raw-string dedup
+    under-merges. Canonical form = lowercased host + path + the sorted
+    retained query params (here the single content-identifying ``id``),
+    dropping tracking params and the fragment; then keep-min-doc_id per
+    canonical URL.
+
+    Scale notes: canonicalization is stateless codegen'd string work at
+    the scan, and the only shuffle groups by the canonical URL string —
+    at 100 TB that key is ~60 bytes and near-uniform (hosts × paths), so
+    no skew handling is needed; the map-side partial aggregate collapses
+    each task's duplicates before the exchange.
+    """
+    from ..catalog import table as _table
+
+    docs = _table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.upper("source"),
+        F.lit(".Example.COM/"),
+        F.col("lang"),
+        F.lit("/doc/"),
+        (F.col("doc_id") % 97).cast("string"),
+        F.lit("?utm_source=feed&id="),
+        (F.col("doc_id") % 97).cast("string"),
+        F.lit("&ref=rss#sec-"),
+        (F.col("doc_id") % 5).cast("string"),
+    )
+    canonical = F.concat(
+        F.lit("https://"),
+        F.lower(F.parse_url(url, F.lit("HOST"))),
+        F.parse_url(url, F.lit("PATH")),
+        F.lit("?id="),
+        F.parse_url(url, F.lit("QUERY"), F.lit("id")),
+    )
+    return (
+        docs.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_dups"),
+        )
+    )

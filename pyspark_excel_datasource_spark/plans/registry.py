@@ -51,6 +51,7 @@ _QUERY_MODULES = (
     "pyspark_excel_datasource_spark.operators.multimodal",
     "pyspark_excel_datasource_spark.sources.excel_queries",
     "pyspark_excel_datasource_spark.sources.text_formats",
+    "pyspark_excel_datasource_spark.sources.columnar_formats",
     "pyspark_excel_datasource_spark.operators.scale",
     "pyspark_excel_datasource_spark.operators.pipeline",
     "pyspark_excel_datasource_spark.operators.analytics",
@@ -171,9 +172,19 @@ _PRIORITY: tuple[str, ...] = (
     # ---- end of the 50-slot window (24 backlog + 4 re-verdicts +
     #      17 round-6 operators + 5 bench pads) ----
     "q_topk",
-    # E. overflow: oracle-backed greens most recently touched, in case the
-    #    driver widens the window; remaining greens follow in registration
-    #    order after these.
+    # E1. authored late in round 6 AFTER the 50-slot window froze (same
+    #     situation as round 5's 24): local-parity green at sf0.001 +
+    #     sf0.01, first in line for the round-7 rotation — and first
+    #     checked if the driver widens its window this round.
+    "q_tpch_q7ish",
+    "q_tpch_q18ish",
+    "q_fn_url",
+    "q_dedup_url",
+    "q_scan_orc",
+    "q_sink_orc",
+    # E2. overflow: oracle-backed greens most recently touched, in case
+    #    the driver widens the window further; remaining greens follow in
+    #    registration order after these.
     "q_sim_topk",
     "q_dedup_near",
     "q_text_tfidf",

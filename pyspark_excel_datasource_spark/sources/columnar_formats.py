@@ -1,0 +1,109 @@
+"""ORC source + sink queries (SURVEY §2.3 source-matrix breadth beyond
+the reference's single Excel format; see also ``text_formats`` for the
+line-delimited half of the matrix).
+
+ORC is Spark's second first-class columnar format: like parquet it has
+stripe-level min/max statistics (so predicate pushdown skips stripes),
+a self-describing schema (no inference pass), and splittable stripes
+(one task per stripe range at 100 TB). Unlike the CSV/JSONL bridges, the
+interesting claim here is that the SAME pushdown/pruning contract the
+repo pins for parquet holds for ORC — ``tests/test_columnar_formats.py``
+asserts ``PushedFilters`` reaches the ORC scan.
+
+The fixture materializes once per SF from the testdata parquet via a
+Spark write (deterministic content, parallel part files), and the
+DuckDB oracle reads the ORIGINAL parquet table — so the comparison
+exercises the full ORC encode+decode path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from .excel_queries import _fixture_dir
+
+
+def _materialize_orders_orc(spark: SparkSession, sf_dir: str) -> str:
+    """orders.parquet → orders.orc/ (multi-part directory), idempotent."""
+    out = os.path.join(_fixture_dir(sf_dir), "orders.orc")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (
+            spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+            .write.mode("overwrite")
+            .orc(out)
+        )
+    return out
+
+
+@query(
+    "q_scan_orc",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                AS DECIMAL(38,2)) AS VARCHAR) AS sum_price
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC scan with predicate pushdown + column pruning, then a grouped
+    aggregate. The status filter reaches the ORC reader as a pushed
+    filter (stripe stats skip non-matching stripes — the ORC analogue of
+    parquet row-group skipping) and only the three referenced columns
+    are decoded. The decimal sum keeps the money aggregate engine-exact.
+    """
+    path = _materialize_orders_orc(spark, sf_dir)
+    return (
+        spark.read.orc(path)
+        .filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .cast("string")
+            .alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "q_sink_orc",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,0)))
+                AS DECIMAL(38,0)) AS VARCHAR) AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink roundtrip: aggregate → snappy ORC directory write → read
+    back. The write is one file per partition (native parallel layout,
+    no driver funnel) and the readback re-reads through the vectorized
+    ORC reader, so every encoder/decoder in the path is exercised; the
+    aggregate upstream of the sink keeps the fixture small while the
+    row-level values (exact decimals, two grouping strings) make any
+    encode corruption hash-visible.
+    """
+    out = os.path.join(_fixture_dir(sf_dir), "pricing_summary_orc")
+    src = (
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,0)"))
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("sum_qty"),
+        )
+    )
+    src.write.mode("overwrite").option("compression", "snappy").orc(out)
+    return spark.read.orc(out)

@@ -75,7 +75,23 @@ def test_round6_window_composition():
             "q_approx_audit",
         }
     }
-    backlog = set(names) - seen - new_this_round
+    # authored late in round 6 after the 50-slot window froze (round-5
+    # precedent: its 24 late queries became the round-6 backlog); these
+    # queue immediately after slot 50 as the round-7 rotation head
+    late_authored = {
+        "q_tpch_q7ish",
+        "q_tpch_q18ish",
+        "q_fn_url",
+        "q_dedup_url",
+        "q_scan_orc",
+        "q_sink_orc",
+    }
+    # names[50] is q_topk (the 51st-slot bench pad); late-authored head
+    # the ordering right after it
+    assert set(names[51 : 51 + len(late_authored)]) == late_authored, (
+        "late-authored round-6 queries must head the post-window ordering"
+    )
+    backlog = set(names) - seen - new_this_round - late_authored
     out = backlog - window
     assert not out, f"never-verdicted queries fell out of the first 50: {out}"
     # re-verdicts whose contract changed in round 6 must also be audited
