@@ -16,7 +16,7 @@ SECTIONS = {
     "Scans / sources / sinks (SURVEY §2.3)": [
         "q_scan_parquet", "q_scan_excel", "q_sink_excel", "q_scan_multifile",
         "q_sink_parquet_partitioned", "q_scan_evolving", "q_scan_csv",
-        "q_sink_csv", "q_scan_jsonl",
+        "q_sink_csv", "q_scan_jsonl", "q_scan_orc", "q_sink_orc",
     ],
     "Projection / filter": ["q_project", "q_filter_basic", "q_filter_complex"],
     "Joins": [
@@ -40,7 +40,7 @@ SECTIONS = {
     "Scalar functions": [
         "q_fn_string", "q_fn_date", "q_fn_math", "q_fn_cond", "q_fn_array",
         "q_fn_array_agg", "q_fn_explode", "q_fn_json", "q_fn_map", "q_fn_bitwise",
-        "q_fn_editdist", "q_fn_variant",
+        "q_fn_editdist", "q_fn_variant", "q_fn_url",
     ],
     "Subqueries / CTE": [
         "q_subquery_scalar", "q_subquery_correlated", "q_subquery_in", "q_cte",
@@ -58,6 +58,7 @@ SECTIONS = {
     ],
     "Flagship / composite analytics": [
         "q_flagship_pricing", "q_tpch_q5ish", "q_tpch_q10ish", "q_tpch_q3ish",
+        "q_tpch_q7ish", "q_tpch_q18ish",
     ],
     "North-star: dedup (SURVEY §2.4)": [
         "q_dedup_near", "q_dedup_clusters", "q_dedup_minhash",
@@ -65,6 +66,7 @@ SECTIONS = {
         "q_dedup_embed", "q_dedup_embed_lsh",
         "q_dedup_incremental", "q_dedup_incremental_lsh", "q_graph_degree",
         "q_dedup_prefix", "q_dedup_ngram_jaccard", "q_minhash_union_sketch",
+        "q_dedup_url",
     ],
     "North-star: similarity search": [
         "q_sim_topk", "q_sim_selfjoin", "q_sim_ann_lsh", "q_sim_ann_ivf",
@@ -141,6 +143,12 @@ ROLES = {
     "q_dedup_incremental": "new-batch vs corpus cross-set dedup (exact baseline)",
     "q_dedup_incremental_lsh": "scale path: probe the corpus band index with batch sigs",
     "q_tpch_q3ish": "TPC-H Q3 shape: segment filter + top-10 shipping priority",
+    "q_tpch_q7ish": "TPC-H Q7 shape: twice-joined nation dim, bilateral volume",
+    "q_tpch_q18ish": "TPC-H Q18 shape: HAVING subquery as agg-then-semi-join",
+    "q_fn_url": "parse_url decomposition (host/path/query/param extraction)",
+    "q_dedup_url": "URL canonicalization dedup (tracking params/fragment stripped)",
+    "q_scan_orc": "ORC scan with pushed filters (stripe-stat skipping)",
+    "q_sink_orc": "parallel ORC directory write + vectorized readback",
     "q_join_bloom": "explicit bloom runtime filter; map-side fact pruning",
     "q_corr_matrix": "all-pairs Pearson corr from one sufficient-stats pass",
     "q_udf_cogroup": "cogroup().applyInPandas per-key two-table reconcile",

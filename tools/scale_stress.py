@@ -146,6 +146,48 @@ def replicate_events(ev, n: int):
     )
 
 
+def url_dedup(docs):
+    """Same plan as q_dedup_url: codegen'd URL build + canonicalize at
+    the scan, one canonical-string-key groupBy."""
+    url = F.concat(
+        F.lit("https://"),
+        F.upper("source"),
+        F.lit(".Example.COM/"),
+        F.col("lang"),
+        F.lit("/doc/"),
+        (F.col("doc_id") % 97).cast("string"),
+        F.lit("?utm_source=feed&id="),
+        (F.col("doc_id") % 97).cast("string"),
+        F.lit("&ref=rss#sec-"),
+        (F.col("doc_id") % 5).cast("string"),
+    )
+    canonical = F.concat(
+        F.lit("https://"),
+        F.lower(F.parse_url(url, F.lit("HOST"))),
+        F.parse_url(url, F.lit("PATH")),
+        F.lit("?id="),
+        F.parse_url(url, F.lit("QUERY"), F.lit("id")),
+    )
+    return (
+        docs.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n"))
+    )
+
+
+def q18_semi(li, orders):
+    """Same plan as q_tpch_q18ish minus the customer leg: lineitem
+    pre-agg + HAVING drives a join back into orders."""
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,0)")).alias("tq"))
+        .filter(F.col("tq") > 300)
+    )
+    return orders.join(big, orders.o_orderkey == big.l_orderkey).select(
+        "o_orderkey", "o_totalprice", "tq"
+    )
+
+
 def timed(name, df):
     t0 = time.perf_counter()
     df.write.format("noop").mode("overwrite").save()
@@ -272,6 +314,17 @@ def main() -> None:
         "topic_cooccur": (
             topic_cooccur(docs_full1),
             topic_cooccur(docs_full10),
+        ),
+        # late round-6 ops: canonical-URL dedup is one string-key shuffle
+        # with map-side partials; Q18's agg-then-semi-join pre-shrinks
+        # the fact before any join — both must stay ~linear
+        "url_dedup": (
+            url_dedup(docs_full1),
+            url_dedup(docs_full10),
+        ),
+        "q18_semi": (
+            q18_semi(li1, orders1),
+            q18_semi(li10, orders10),
         ),
     }
     wanted = set(sys.argv[1:])
