@@ -693,3 +693,64 @@ def q_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.n_events").alias("new_n"),
         F.col("b.total_cents").alias("new_cents"),
     )
+
+
+@query(
+    "q_agg_incremental",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                AS DECIMAL(38,2)) AS VARCHAR) AS sum_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance — the materialized-view pattern
+    every 100 TB rollup runs on: a stored per-group partial state
+    (count + exact decimal sum) is MERGED with the partial state of the
+    new-arrivals slice, never recomputed from base rows. Here the
+    "stored" snapshot covers orders before a cutoff date and is
+    materialized to parquet once; the delta aggregates only the
+    post-cutoff slice; the merge is a union of two tiny state frames +
+    one re-aggregate (sum of counts, sum of exact sums — both operations
+    closed under merge). The oracle recomputes from scratch over ALL
+    rows, so the hash check IS the algebraic proof that merge(state(A),
+    state(B)) == state(A ∪ B).
+    """
+    import os
+
+    from ..sources.excel_queries import _fixture_dir
+
+    cutoff = F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+
+    def _state(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("sum_price"),
+        )
+
+    orders = table(spark, sf_dir, "orders")
+    snap_path = os.path.join(_fixture_dir(sf_dir), "orders_agg_snapshot")
+    if not os.path.exists(os.path.join(snap_path, "_SUCCESS")):
+        _state(orders.filter(F.col("o_orderdate") < cutoff)).write.mode(
+            "overwrite"
+        ).parquet(snap_path)
+    snapshot = spark.read.parquet(snap_path)
+    delta = _state(orders.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        snapshot.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("sum_price").cast("decimal(38,2)").alias("sum_price"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            F.col("sum_price").cast("string").alias("sum_price"),
+        )
+    )

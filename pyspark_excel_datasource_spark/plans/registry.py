@@ -182,6 +182,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_dedup_url",
     "q_scan_orc",
     "q_sink_orc",
+    "q_agg_incremental",
+    "q_pii_luhn",
     # E2. overflow: oracle-backed greens most recently touched, in case
     #    the driver widens the window further; remaining greens follow in
     #    registration order after these.

@@ -1,0 +1,69 @@
+"""Unit tests for the late round-6 operators (incremental aggregate
+maintenance, Luhn-validated PII)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _q(name):
+    from pyspark_excel_datasource_spark.plans.registry import load_all_queries
+
+    return load_all_queries()[name]
+
+
+def _luhn(num: str) -> bool:
+    total = 0
+    for i, ch in enumerate(reversed(num), start=1):
+        d = int(ch)
+        total += d if i % 2 == 1 else (d * 2 - 9 if d * 2 > 9 else d * 2)
+    return total % 10 == 0
+
+
+def test_pii_luhn_matches_reference_implementation(spark):
+    rows = _q("q_pii_luhn")(spark, SF).limit(50).collect()
+    assert rows
+    for r in rows:
+        assert len(r.card_candidate) == 16
+        assert r.luhn_valid == _luhn(r.card_candidate)
+        assert r.masked == "X" * 12 + r.card_candidate[-4:]
+    # the synthesized population must contain both classes
+    full = _q("q_pii_luhn")(spark, SF).agg(
+        F.sum(F.col("luhn_valid").cast("int")).alias("ok"),
+        F.count("*").alias("n"),
+    ).first()
+    assert 0 < full.ok < full.n
+
+
+def test_agg_incremental_merge_equals_full_recompute(spark):
+    merged = _q("q_agg_incremental")(spark, SF)
+    direct = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .cast("string")
+            .alias("sum_price"),
+        )
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_agg_incremental_reuses_snapshot(spark):
+    """The second invocation must read the stored state, not rebuild it —
+    the snapshot directory's mtime may not change across a rerun."""
+    import os
+
+    from pyspark_excel_datasource_spark.sources.excel_queries import _fixture_dir
+
+    _q("q_agg_incremental")(spark, SF).collect()
+    snap = os.path.join(_fixture_dir(SF), "orders_agg_snapshot", "_SUCCESS")
+    before = os.path.getmtime(snap)
+    _q("q_agg_incremental")(spark, SF).collect()
+    assert os.path.getmtime(snap) == before

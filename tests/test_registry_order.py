@@ -85,6 +85,8 @@ def test_round6_window_composition():
         "q_dedup_url",
         "q_scan_orc",
         "q_sink_orc",
+        "q_agg_incremental",
+        "q_pii_luhn",
     }
     # names[50] is q_topk (the 51st-slot bench pad); late-authored head
     # the ordering right after it

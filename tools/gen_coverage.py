@@ -76,14 +76,14 @@ SECTIONS = {
         "q_text_stats", "q_text_quality", "q_text_langid",
         "q_text_fingerprint", "q_text_winnow", "q_text_winnow_pairs",
         "q_text_tfidf", "q_tokenize", "q_text_lm_score", "q_contamination",
-        "q_pii_redact", "q_strip_markup", "q_bm25",
+        "q_pii_redact", "q_strip_markup", "q_bm25", "q_pii_luhn",
     ],
     "North-star: multimodal": ["q_multimodal_cols", "q_multimodal_features", "q_multimodal_dedup", "q_multimodal_frames"],
     "North-star: pipeline composition": [
         "q_split_assign", "q_sample_hash", "q_sample_stratified", "q_sample_weighted",
         "q_pipeline_llm_prep", "q_validate_constraints", "q_mix_budget",
         "q_dedup_weights", "q_quality_tiers", "q_winsorize_by_group",
-        "q_sample_exact_pergroup",
+        "q_sample_exact_pergroup", "q_agg_incremental",
     ],
     "Event analytics": [
         "q_sessionize", "q_funnel", "q_retention", "q_scd2_intervals", "q_event_transitions",
@@ -148,6 +148,8 @@ ROLES = {
     "q_fn_url": "parse_url decomposition (host/path/query/param extraction)",
     "q_dedup_url": "URL canonicalization dedup (tracking params/fragment stripped)",
     "q_scan_orc": "ORC scan with pushed filters (stripe-stat skipping)",
+    "q_agg_incremental": "mergeable-state aggregate maintenance (MV pattern); merge oracle-proven == full recompute",
+    "q_pii_luhn": "Luhn-checksum card validation + PCI masking (row-local HOF fold)",
     "q_sink_orc": "parallel ORC directory write + vectorized readback",
     "q_join_bloom": "explicit bloom runtime filter; map-side fact pruning",
     "q_corr_matrix": "all-pairs Pearson corr from one sufficient-stats pass",
