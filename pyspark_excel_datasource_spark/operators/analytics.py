@@ -1063,3 +1063,94 @@ def q_window_deltas_vs_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum_base.alias("baseline_sum_cents"),
         (cents * n_base - sum_base).cast("long").alias("excess_cents_xn"),
     )
+
+
+@query(
+    "q_path_topk",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, event_id, event_type, ts, epoch_us(ts) AS us,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id)
+                         > {_GAP_US}
+                    OR LAG(ts) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id)
+                         IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ),
+    numbered AS (
+        SELECT user_id, event_type, us, event_id,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flagged
+    ),
+    paths AS (
+        SELECT user_id, session_seq,
+               STRING_AGG(event_type, '>' ORDER BY us, event_id) AS path
+        FROM numbered
+        GROUP BY user_id, session_seq
+    )
+    SELECT path, n_sessions FROM (
+        SELECT path, COUNT(*) AS n_sessions
+        FROM paths
+        GROUP BY path
+        ORDER BY n_sessions DESC, path
+        LIMIT 20
+    )
+    """,
+)
+def q_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 user-journey paths: sessionize (6 h gap), serialize each
+    session's ordered event-type sequence to a path string, count path
+    frequencies — the "common navigation flows" query behind every
+    product-analytics dashboard.
+
+    The in-session ordering is made deterministic the portable way:
+    ``collect_list`` over (micros, event_id, type) structs +
+    ``array_sort`` (lexicographic on the leading fields — the tie-break
+    the oracle mirrors with ``ORDER BY us, event_id`` inside
+    ``STRING_AGG``), so no window-ordering nondeterminism leaks into the
+    hash. Plan: ONE shuffle on user_id feeds both the session numbering
+    windows and the per-session fold (same key); the path-frequency
+    count then shuffles path strings — already collapsed to one row per
+    session — and the top-20 is a ``TakeOrderedAndProject``. Session
+    paths are bounded by session length, not corpus size, so the path
+    key stays small at 100 TB; a skewed mega-path would land on AQE's
+    skew handling like any hot group key.
+    """
+    ev = table(spark, sf_dir, "events")
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    per_user = W.partitionBy("user_id").orderBy(*order)
+    us = _micros("ts")
+    lag_us = F.lag(us).over(per_user)
+    is_new = F.when(
+        lag_us.isNull() | ((us - lag_us) > F.lit(_GAP_US)), 1
+    ).otherwise(0)
+    running = per_user.rowsBetween(W.unboundedPreceding, W.currentRow)
+    numbered = ev.select(
+        "user_id",
+        "event_type",
+        us.alias("us"),
+        "event_id",
+        F.sum(is_new).over(running).alias("session_seq"),
+    )
+    paths = (
+        numbered.groupBy("user_id", "session_seq")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("us", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            F.array_join(
+                F.transform("evs", lambda x: x["event_type"]), ">"
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(20)
+    )

@@ -738,3 +738,118 @@ def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("bin").cast("int").alias("bin"), "n", "lo", "hi")
     )
+
+
+@query(
+    "q_ab_ttest",
+    oracle=f"""
+    WITH fp AS (
+        SELECT event_type,
+               user_id % 2 AS arm,
+               CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS v_fp,
+               CAST(FLOOR(value * value * 1000000 + 0.5) AS BIGINT) AS v2_fp
+        FROM events
+    ),
+    g AS (
+        SELECT event_type,
+               COUNT(*) FILTER (arm = 0) AS n_a,
+               COUNT(*) FILTER (arm = 1) AS n_b,
+               SUM(v_fp)  FILTER (arm = 0) AS s_a,
+               SUM(v_fp)  FILTER (arm = 1) AS s_b,
+               SUM(v2_fp) FILTER (arm = 0) AS q_a,
+               SUM(v2_fp) FILTER (arm = 1) AS q_b
+        FROM fp GROUP BY event_type
+    ),
+    m AS (
+        SELECT event_type, n_a, n_b,
+               CAST(s_a AS DOUBLE) / (1000000.0 * n_a) AS mean_a,
+               CAST(s_b AS DOUBLE) / (1000000.0 * n_b) AS mean_b,
+               (CAST(q_a AS DOUBLE) / (1000000.0 * n_a)
+                - (CAST(s_a AS DOUBLE) / (1000000.0 * n_a))
+                  * (CAST(s_a AS DOUBLE) / (1000000.0 * n_a)))
+               * (CAST(n_a AS DOUBLE) / (n_a - 1)) AS var_a,
+               (CAST(q_b AS DOUBLE) / (1000000.0 * n_b)
+                - (CAST(s_b AS DOUBLE) / (1000000.0 * n_b))
+                  * (CAST(s_b AS DOUBLE) / (1000000.0 * n_b)))
+               * (CAST(n_b AS DOUBLE) / (n_b - 1)) AS var_b
+        FROM g
+    )
+    SELECT event_type, n_a, n_b,
+           {sql_canon(sql_dround('mean_a', 6))} AS mean_a,
+           {sql_canon(sql_dround('mean_b', 6))} AS mean_b,
+           {sql_canon(sql_dround(
+               '(mean_a - mean_b) / SQRT(var_a / n_a + var_b / n_b)', 6))}
+               AS t_stat,
+           ABS((mean_a - mean_b) / SQRT(var_a / n_a + var_b / n_b)) > 1.96
+               AS significant
+    FROM m
+    """,
+)
+def q_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test per event_type — the A/B-experiment
+    readout, in-plan: users split into arms by ``user_id % 2`` (the
+    deterministic stand-in for an assignment table), then ONE aggregate
+    pass computes both arms' count / mean / sample variance via
+    conditional aggregation (``FILTER``-style) — no self-join, no second
+    scan, no pivot shuffle.
+
+    Determinism follows the ``q_drift_kl`` convention: values (and their
+    squares) quantize to fixed-point BIGINT *before* summing, making the
+    reductions order-independent and engine-identical; every downstream
+    step is scalar IEEE math on identical operands, structured
+    identically in both engines, with the final statistics presented via
+    dround(6)→canon. Fixed-point headroom: |value| ≤ ~561 in the
+    testdata, so v²·1e6 ≤ 3.2e11/row — int64 overflows past ~2.9e7 rows
+    per (type, arm) × 1e3 safety, i.e. switch the sums to
+    DECIMAL(38,0) beyond ~1e10 rows per group.
+    """
+    ev = table(spark, sf_dir, "events")
+    fp = ev.select(
+        "event_type",
+        (F.col("user_id") % 2).alias("arm"),
+        F.floor(F.col("value") * 1000000 + 0.5).cast("bigint").alias("v_fp"),
+        F.floor(F.col("value") * F.col("value") * 1000000 + 0.5)
+        .cast("bigint")
+        .alias("v2_fp"),
+    )
+    a = F.col("arm") == 0
+    b = F.col("arm") == 1
+    g = fp.groupBy("event_type").agg(
+        F.count(F.when(a, 1)).alias("n_a"),
+        F.count(F.when(b, 1)).alias("n_b"),
+        F.sum(F.when(a, F.col("v_fp"))).alias("s_a"),
+        F.sum(F.when(b, F.col("v_fp"))).alias("s_b"),
+        F.sum(F.when(a, F.col("v2_fp"))).alias("q_a"),
+        F.sum(F.when(b, F.col("v2_fp"))).alias("q_b"),
+    )
+
+    def mean(s, n):
+        return F.col(s).cast("double") / (F.lit(1000000.0) * F.col(n))
+
+    def var(q, s, n):
+        m = mean(s, n)
+        return (F.col(q).cast("double") / (F.lit(1000000.0) * F.col(n)) - m * m) * (
+            F.col(n).cast("double") / (F.col(n) - 1)
+        )
+
+    m = g.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        mean("s_a", "n_a").alias("mean_a"),
+        mean("s_b", "n_b").alias("mean_b"),
+        var("q_a", "s_a", "n_a").alias("var_a"),
+        var("q_b", "s_b", "n_b").alias("var_b"),
+    )
+    t = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(
+        F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+    )
+    return m.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        canon(dround("mean_a", 6)).alias("mean_a"),
+        canon(dround("mean_b", 6)).alias("mean_b"),
+        canon(dround(t, 6)).alias("t_stat"),
+        (F.abs(t) > 1.96).alias("significant"),
+    )

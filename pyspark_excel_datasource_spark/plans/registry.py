@@ -184,6 +184,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_sink_orc",
     "q_agg_incremental",
     "q_pii_luhn",
+    "q_path_topk",
+    "q_ab_ttest",
     # E2. overflow: oracle-backed greens most recently touched, in case
     #    the driver widens the window further; remaining greens follow in
     #    registration order after these.

@@ -67,3 +67,31 @@ def test_agg_incremental_reuses_snapshot(spark):
     before = os.path.getmtime(snap)
     _q("q_agg_incremental")(spark, SF).collect()
     assert os.path.getmtime(snap) == before
+
+
+def test_ab_ttest_matches_numpy_welch(spark):
+    """t statistics must agree with an unquantized numpy Welch t-test to
+    ~1e-3 (the fixed-point quantization bound)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    out = {r.event_type: r for r in _q("q_ab_ttest")(spark, SF).collect()}
+    tbl = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    for et, grp in tbl.groupby("event_type"):
+        a = grp.loc[grp.user_id % 2 == 0, "value"].to_numpy()
+        b = grp.loc[grp.user_id % 2 == 1, "value"].to_numpy()
+        t_ref = (a.mean() - b.mean()) / np.sqrt(
+            a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b)
+        )
+        r = out[et]
+        assert r.n_a == len(a) and r.n_b == len(b)
+        assert abs(float(r.t_stat) - t_ref) < 1e-3
+        assert r.significant == (abs(t_ref) > 1.96)
+
+
+def test_path_topk_paths_are_ordered_sessions(spark):
+    rows = _q("q_path_topk")(spark, SF).collect()
+    assert 0 < len(rows) <= 20
+    counts = [r.n_sessions for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(r.path for r in rows)

@@ -87,6 +87,8 @@ def test_round6_window_composition():
         "q_sink_orc",
         "q_agg_incremental",
         "q_pii_luhn",
+        "q_path_topk",
+        "q_ab_ttest",
     }
     # names[50] is q_topk (the 51st-slot bench pad); late-authored head
     # the ordering right after it

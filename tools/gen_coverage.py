@@ -90,12 +90,13 @@ SECTIONS = {
         "q_agg_hll", "q_anomaly_zscore", "q_robust_zscore", "q_fill_forward",
         "q_pattern_sequence", "q_ewma", "q_attribution", "q_agg_countmin",
         "q_delta_lag", "q_resample_timeseries", "q_window_deltas_vs_baseline",
+        "q_path_topk",
     ],
     "Incremental / DML patterns": [
         "q_rollup_hierarchical", "q_merge_upsert", "q_cdc_changelog",
     ],
     "In-plan statistics / ML": [
-        "q_regression_by_group", "q_corr_matrix",
+        "q_regression_by_group", "q_corr_matrix", "q_ab_ttest",
     ],
     "North-star: corpus prep (chunking / tokenizer / shards)": [
         "q_text_repetition", "q_chunk_tokens", "q_bpe_pair_counts",
@@ -150,6 +151,8 @@ ROLES = {
     "q_scan_orc": "ORC scan with pushed filters (stripe-stat skipping)",
     "q_agg_incremental": "mergeable-state aggregate maintenance (MV pattern); merge oracle-proven == full recompute",
     "q_pii_luhn": "Luhn-checksum card validation + PCI masking (row-local HOF fold)",
+    "q_path_topk": "top-20 session paths (array_sort fold, one user shuffle)",
+    "q_ab_ttest": "Welch two-sample t-test per type, one conditional-agg pass",
     "q_sink_orc": "parallel ORC directory write + vectorized readback",
     "q_join_bloom": "explicit bloom runtime filter; map-side fact pruning",
     "q_corr_matrix": "all-pairs Pearson corr from one sufficient-stats pass",
