@@ -664,3 +664,95 @@ def bloom_semi_join(
     return survivors.join(
         build, survivors[fact_key] == dim[dim_key], "left_semi"
     )
+
+
+def spatial_points(cust: DataFrame) -> DataFrame:
+    """Deterministic synthetic 2-D points in centi-units on a 100x100
+    square: integer congruences of the key, so both engines place every
+    point bit-identically and all geometry stays in integer arithmetic."""
+    return cust.select(
+        F.col("c_custkey").alias("pid"),
+        ((F.col("c_custkey") * 7919) % 10000).cast("long").alias("xi"),
+        ((F.col("c_custkey") * 104729) % 10000).cast("long").alias("yi"),
+    )
+
+
+def spatial_neighbor_pairs(pts: DataFrame, r_centi: int = 500) -> DataFrame:
+    """All point pairs within radius r via grid-cell banding.
+
+    Cell side = r, so any pair within r sits in the same or an adjacent
+    cell. The LEFT point replicates to its 3x3 cell neighborhood; the
+    RIGHT point maps to its home cell only — each candidate pair then
+    meets on exactly ONE key (the right point's home cell), so no
+    dedup shuffle is needed; pid_a < pid_b kills the symmetric twin.
+    The exact squared-distance predicate filters the candidates.
+    """
+    cells = pts.withColumn(
+        "cx", F.expr(f"xi DIV {r_centi}")
+    ).withColumn("cy", F.expr(f"yi DIV {r_centi}"))
+    probe = (
+        cells.withColumn("ddx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("ddy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .select(
+            F.col("pid").alias("pid_a"),
+            F.col("xi").alias("xa"),
+            F.col("yi").alias("ya"),
+            (F.col("cx") + F.col("ddx")).alias("jx"),
+            (F.col("cy") + F.col("ddy")).alias("jy"),
+        )
+    )
+    home = cells.select(
+        F.col("pid").alias("pid_b"),
+        F.col("xi").alias("xb"),
+        F.col("yi").alias("yb"),
+        F.col("cx").alias("jx"),
+        F.col("cy").alias("jy"),
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        probe.join(home, ["jx", "jy"])
+        .filter(F.col("pid_a") < F.col("pid_b"))
+        .select("pid_a", "pid_b", d2.cast("long").alias("d2"))
+        .filter(F.col("d2") <= r_centi * r_centi)
+    )
+
+
+@query(
+    "q_join_spatial_grid",
+    oracle="""
+    WITH pts AS (
+        SELECT c_custkey AS pid,
+               CAST((c_custkey * 7919) % 10000 AS BIGINT) AS xi,
+               CAST((c_custkey * 104729) % 10000 AS BIGINT) AS yi
+        FROM customer
+    )
+    SELECT a.pid AS pid_a, b.pid AS pid_b,
+           CAST((a.xi - b.xi) * (a.xi - b.xi)
+              + (a.yi - b.yi) * (a.yi - b.yi) AS BIGINT) AS d2
+    FROM pts a JOIN pts b ON a.pid < b.pid
+    WHERE (a.xi - b.xi) * (a.xi - b.xi)
+        + (a.yi - b.yi) * (a.yi - b.yi) <= 250000
+    """,
+)
+def q_join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius self-join (all pairs within distance r) via grid-cell
+    banding — the 2-D sibling of ``q_join_range``'s time banding and the
+    workhorse behind geo dedup / store-catchment / nearest-POI joins.
+
+    The oracle is the exhaustive O(n²) pair scan (fine at test SF); the
+    Spark plan NEVER forms the pair space: points hash-shuffle on their
+    grid cell (side = r, so qualifying pairs share or neighbor a cell),
+    the left side replicates 9× into its cell neighborhood, and each
+    candidate pair meets on exactly one key — the right point's home
+    cell — so emission is exactly-once with no dedup pass (the
+    ``q_join_interval_overlap`` trick in two dimensions). Candidates per
+    cell are bounded by point density × 9, so cost is Σ|cell|² over
+    occupied cells, linear for bounded density at 100 TB; a dense city
+    cell is one hot group for AQE skew splitting. All geometry is
+    integer (centi-unit coordinates, squared distances) — no float
+    boundary ambiguity in either engine.
+    """
+    pairs = spatial_neighbor_pairs(spatial_points(table(spark, sf_dir, "customer")))
+    return pairs

@@ -186,6 +186,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_pii_luhn",
     "q_path_topk",
     "q_ab_ttest",
+    "q_join_spatial_grid",
     # E2. overflow: oracle-backed greens most recently touched, in case
     #    the driver widens the window further; remaining greens follow in
     #    registration order after these.

@@ -95,3 +95,15 @@ def test_path_topk_paths_are_ordered_sessions(spark):
     counts = [r.n_sessions for r in rows]
     assert counts == sorted(counts, reverse=True)
     assert all(r.path for r in rows)
+
+
+def test_spatial_grid_pairs_exactly_once(spark):
+    """Grid banding must emit each qualifying pair exactly once (the
+    home-cell meeting-point trick), never the symmetric twin, and every
+    emitted pair must satisfy the exact radius predicate."""
+    rows = _q("q_join_spatial_grid")(spark, SF).collect()
+    assert rows
+    keys = [(r.pid_a, r.pid_b) for r in rows]
+    assert len(keys) == len(set(keys))
+    assert all(a < b for a, b in keys)
+    assert all(r.d2 <= 250000 for r in rows)

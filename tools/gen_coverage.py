@@ -25,7 +25,7 @@ SECTIONS = {
         "q_join_star3", "q_join_asof", "q_join_asof_tolerance",
         "q_join_bucketed", "q_join_skew_salted",
         "q_join_range", "q_join_interval_overlap", "q_skew_keys",
-        "q_join_dpp", "q_zorder_layout", "q_join_bloom",
+        "q_join_dpp", "q_zorder_layout", "q_join_bloom", "q_join_spatial_grid",
     ],
     "Aggregations": [
         "q_agg_group", "q_agg_distinct", "q_agg_stats", "q_agg_rollup",
@@ -153,6 +153,7 @@ ROLES = {
     "q_pii_luhn": "Luhn-checksum card validation + PCI masking (row-local HOF fold)",
     "q_path_topk": "top-20 session paths (array_sort fold, one user shuffle)",
     "q_ab_ttest": "Welch two-sample t-test per type, one conditional-agg pass",
+    "q_join_spatial_grid": "radius self-join via grid-cell banding, exactly-once emission",
     "q_sink_orc": "parallel ORC directory write + vectorized readback",
     "q_join_bloom": "explicit bloom runtime filter; map-side fact pruning",
     "q_corr_matrix": "all-pairs Pearson corr from one sufficient-stats pass",
