@@ -712,7 +712,11 @@ def spatial_neighbor_pairs(pts: DataFrame, r_centi: int = 500) -> DataFrame:
         F.col("ya") - F.col("yb")
     ) * (F.col("ya") - F.col("yb"))
     return (
-        probe.join(home, ["jx", "jy"])
+        # hint the at-scale strategy: both sides are huge at 100 TB, so
+        # the representative plan is a shuffle-hash join on the cell key
+        # at every SF (without it the small-SF side broadcasts while the
+        # big side sort-merges — a plan flip that poisons scale ratios)
+        probe.join(home.hint("shuffle_hash"), ["jx", "jy"])
         .filter(F.col("pid_a") < F.col("pid_b"))
         .select("pid_a", "pid_b", d2.cast("long").alias("d2"))
         .filter(F.col("d2") <= r_centi * r_centi)

@@ -266,6 +266,20 @@ def main() -> None:
         docs_full1.select("doc_id", "text", "source", "lang", "n_chars"), FACTOR
     )
 
+    from pyspark_excel_datasource_spark.operators.scale import (
+        spatial_neighbor_pairs,
+        spatial_points,
+    )
+
+    cust_all1 = table(spark, SF, "customer")
+    spatial_pts10 = spatial_points(cust_all1).withColumn(
+        "rep", F.explode(F.sequence(F.lit(0), F.lit(FACTOR - 1)))
+    ).select(
+        (F.col("pid") * FACTOR + F.col("rep")).alias("pid"),
+        (F.col("xi") + F.col("rep") * 10000).alias("xi"),
+        "yi",
+    )
+
     shapes = {
         "flagship_agg": (flagship(li1), flagship(li10)),
         "window_frame": (window_frame(li1), window_frame(li10)),
@@ -325,6 +339,15 @@ def main() -> None:
         "q18_semi": (
             q18_semi(li1, orders1),
             q18_semi(li10, orders10),
+        ),
+        # constant-DENSITY 10x for the spatial banding: each replica
+        # shifts one world-width right, so the area grows with the
+        # points and qualifying pairs grow ~linearly (fixed radius in a
+        # 10x-denser world would quadratically grow the OUTPUT itself —
+        # a property of the answer, not the plan)
+        "spatial_grid": (
+            spatial_neighbor_pairs(spatial_points(cust_all1)),
+            spatial_neighbor_pairs(spatial_pts10),
         ),
     }
     wanted = set(sys.argv[1:])
