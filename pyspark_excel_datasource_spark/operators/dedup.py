@@ -1518,3 +1518,69 @@ def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_dups"),
         )
     )
+
+
+@query(
+    "q_fuzzy_match",
+    oracle="""
+    WITH names AS (
+        SELECT p_name, COUNT(*) AS n_rows
+        FROM part GROUP BY p_name
+    ),
+    blocked AS (
+        SELECT p_name, n_rows, STRING_SPLIT(p_name, ' ')[-1] AS noun
+        FROM names
+    )
+    SELECT a.noun AS block_key,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(LEVENSHTEIN(a.p_name, b.p_name) AS INT) AS editdist,
+           a.n_rows AS n_rows_a, b.n_rows AS n_rows_b
+    FROM blocked a JOIN blocked b
+      ON a.noun = b.noun AND a.p_name < b.p_name
+    WHERE LEVENSHTEIN(a.p_name, b.p_name) <= 3
+    """,
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching (the blocking + verify loop of every
+    entity-resolution pipeline): candidate product-name pairs come only
+    from the same BLOCK (shared head noun — the classic "sorted
+    neighborhood" key), then an exact Levenshtein ≤ 3 verify keeps real
+    near-matches; each survivor carries both entities' row counts (the
+    merge-impact signal a resolution pipeline ranks by).
+
+    Scale shape: the pair space is never formed — the distinct-entity
+    frame (names + counts, already tiny relative to facts: one partial
+    aggregate collapses the fact table) self-joins ONLY within blocks,
+    so candidates are Σ|block|² over blocks, linear for bounded block
+    size; a mega-block (everything named "widget") is a hot key for
+    AQE skew splitting, and the expensive distance runs on candidates
+    only. ``levenshtein`` is the same DP metric in Spark and DuckDB, so
+    the verify threshold is engine-exact.
+    """
+    names = (
+        table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count("*").alias("n_rows"))
+        .withColumn("noun", F.element_at(F.split("p_name", " "), -1))
+    )
+    a = names.select(
+        F.col("noun").alias("block_key"),
+        F.col("p_name").alias("name_a"),
+        F.col("n_rows").alias("n_rows_a"),
+    )
+    b = names.select(
+        F.col("noun").alias("block_key"),
+        F.col("p_name").alias("name_b"),
+        F.col("n_rows").alias("n_rows_b"),
+    )
+    return (
+        a.join(b, "block_key")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn(
+            "editdist", F.levenshtein("name_a", "name_b").cast("int")
+        )
+        .filter(F.col("editdist") <= 3)
+        .select(
+            "block_key", "name_a", "name_b", "editdist", "n_rows_a", "n_rows_b"
+        )
+    )

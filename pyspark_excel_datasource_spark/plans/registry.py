@@ -187,6 +187,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_path_topk",
     "q_ab_ttest",
     "q_join_spatial_grid",
+    "q_fuzzy_match",
     # E2. overflow: oracle-backed greens most recently touched, in case
     #    the driver widens the window further; remaining greens follow in
     #    registration order after these.

@@ -107,3 +107,18 @@ def test_spatial_grid_pairs_exactly_once(spark):
     assert len(keys) == len(set(keys))
     assert all(a < b for a, b in keys)
     assert all(r.d2 <= 250000 for r in rows)
+
+
+def test_fuzzy_match_blocking_is_lossless_for_same_noun(spark):
+    """Every pair the blocked plan emits must be a genuine near-match,
+    symmetric-free, and consistent with a brute-force scan restricted to
+    the same blocking key."""
+    rows = _q("q_fuzzy_match")(spark, SF).collect()
+    assert rows
+    keys = {(r.name_a, r.name_b) for r in rows}
+    assert len(keys) == len(rows)
+    for r in rows:
+        assert r.name_a < r.name_b
+        assert r.editdist <= 3
+        assert r.name_a.rsplit(" ", 1)[-1] == r.block_key
+        assert r.name_b.rsplit(" ", 1)[-1] == r.block_key

@@ -66,7 +66,7 @@ SECTIONS = {
         "q_dedup_embed", "q_dedup_embed_lsh",
         "q_dedup_incremental", "q_dedup_incremental_lsh", "q_graph_degree",
         "q_dedup_prefix", "q_dedup_ngram_jaccard", "q_minhash_union_sketch",
-        "q_dedup_url",
+        "q_dedup_url", "q_fuzzy_match",
     ],
     "North-star: similarity search": [
         "q_sim_topk", "q_sim_selfjoin", "q_sim_ann_lsh", "q_sim_ann_ivf",
@@ -154,6 +154,7 @@ ROLES = {
     "q_path_topk": "top-20 session paths (array_sort fold, one user shuffle)",
     "q_ab_ttest": "Welch two-sample t-test per type, one conditional-agg pass",
     "q_join_spatial_grid": "radius self-join via grid-cell banding, exactly-once emission",
+    "q_fuzzy_match": "blocked entity resolution: noun blocks + Levenshtein<=3 verify",
     "q_sink_orc": "parallel ORC directory write + vectorized readback",
     "q_join_bloom": "explicit bloom runtime filter; map-side fact pruning",
     "q_corr_matrix": "all-pairs Pearson corr from one sufficient-stats pass",
