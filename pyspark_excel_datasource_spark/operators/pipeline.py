@@ -754,3 +754,73 @@ def q_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_price").cast("string").alias("sum_price"),
         )
     )
+
+
+@query(
+    "q_mix_temperature",
+    oracle="""
+    WITH s AS (
+        SELECT source,
+               COUNT(*) AS n_docs,
+               SUM(LEN(STRING_SPLIT(text, ' '))) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    fp AS (
+        SELECT source, n_docs, n_tokens,
+               CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5)
+                    AS BIGINT) AS w_fp
+        FROM s
+    ),
+    tot AS (SELECT SUM(w_fp) AS wsum FROM fp)
+    SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(CAST(ROUND(CAST(w_fp AS DOUBLE) / wsum, 9) AS DECIMAL(38,9))
+                AS VARCHAR) AS weight,
+           CAST(FLOOR(CAST(w_fp AS DOUBLE) / wsum * 1000000) AS BIGINT)
+               AS alloc_per_million
+    FROM fp CROSS JOIN tot
+    """,
+)
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (τ = 2, i.e. weight ∝ n_tokens^0.5)
+    — the standard multilingual/multi-source re-balancing: raw-proportion
+    sampling drowns small sources, uniform sampling overfits them;
+    exponent 1/τ interpolates. Output per source: exact token counts, the
+    normalized sampling weight, and the integer token allocation per
+    million sampled.
+
+    Determinism: each source's √tokens quantizes to fixed-point BIGINT
+    *before* the normalization sum (order-independent; the `q_drift_kl`
+    convention), then every downstream step is scalar IEEE math on
+    identical operands. Plan: token counting runs inside the scan stage
+    (text never shuffles), one tiny-key partial+final aggregate, and the
+    |sources|-row result joins the 1-row total — at 100 TB this is the
+    same one-pass shape as `q_mix_budget`, which allocates against a cap
+    while this sets the sampling distribution itself.
+    """
+    d = table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+    )
+    fp = s.withColumn(
+        "w_fp",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1000000 + 0.5).cast(
+            "bigint"
+        ),
+    )
+    tot = fp.agg(F.sum("w_fp").alias("wsum"))
+    return (
+        fp.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(F.col("w_fp").cast("double") / F.col("wsum"), 9)
+            .cast("decimal(38,9)")
+            .cast("string")
+            .alias("weight"),
+            F.floor(F.col("w_fp").cast("double") / F.col("wsum") * 1000000)
+            .cast("bigint")
+            .alias("alloc_per_million"),
+        )
+    )

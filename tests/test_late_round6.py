@@ -122,3 +122,18 @@ def test_fuzzy_match_blocking_is_lossless_for_same_noun(spark):
         assert r.editdist <= 3
         assert r.name_a.rsplit(" ", 1)[-1] == r.block_key
         assert r.name_b.rsplit(" ", 1)[-1] == r.block_key
+
+
+def test_mix_temperature_weights_sum_to_one_and_flatten(spark):
+    """Weights must (a) normalize, (b) sit between raw-proportional and
+    uniform — the whole point of temperature scaling."""
+    rows = _q("q_mix_temperature")(spark, SF).collect()
+    assert rows
+    ws = [float(r.weight) for r in rows]
+    assert abs(sum(ws) - 1.0) < 1e-6
+    total = sum(r.n_tokens for r in rows)
+    for r, w in zip(rows, ws):
+        raw = r.n_tokens / total
+        uniform = 1.0 / len(rows)
+        lo, hi = sorted((raw, uniform))
+        assert lo - 1e-9 <= w <= hi + 1e-9

@@ -83,7 +83,7 @@ SECTIONS = {
         "q_split_assign", "q_sample_hash", "q_sample_stratified", "q_sample_weighted",
         "q_pipeline_llm_prep", "q_validate_constraints", "q_mix_budget",
         "q_dedup_weights", "q_quality_tiers", "q_winsorize_by_group",
-        "q_sample_exact_pergroup", "q_agg_incremental",
+        "q_sample_exact_pergroup", "q_agg_incremental", "q_mix_temperature",
     ],
     "Event analytics": [
         "q_sessionize", "q_funnel", "q_retention", "q_scd2_intervals", "q_event_transitions",
@@ -155,6 +155,7 @@ ROLES = {
     "q_ab_ttest": "Welch two-sample t-test per type, one conditional-agg pass",
     "q_join_spatial_grid": "radius self-join via grid-cell banding, exactly-once emission",
     "q_fuzzy_match": "blocked entity resolution: noun blocks + Levenshtein<=3 verify",
+    "q_mix_temperature": "temperature-scaled source sampling weights (tau=2, fixed-point)",
     "q_sink_orc": "parallel ORC directory write + vectorized readback",
     "q_join_bloom": "explicit bloom runtime filter; map-side fact pruning",
     "q_corr_matrix": "all-pairs Pearson corr from one sufficient-stats pass",
