@@ -635,3 +635,150 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_hits") >= F.lit(floor_hits)).alias("recall_ok"),
         )
     )
+
+
+_FUSE_N = 50
+_FUSE_K = 60
+_FUSE_TOP = 20
+
+
+def _rrf_bm25_sql() -> str:
+    from .text import _BM25_B, _BM25_FP, _BM25_K1, _BM25_TERMS
+
+    return f"""
+    toks AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS term
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        WHERE term IN {_BM25_TERMS} GROUP BY doc_id, term
+    ),
+    dfr AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    bm AS (
+        SELECT tf.doc_id,
+               SUM(CAST(FLOOR(
+                   LN((stats.n_docs - dfr.df + 0.5) / (dfr.df + 0.5) + 1)
+                   * (tf.tf * ({_BM25_K1} + 1))
+                   / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+                      + {_BM25_B} * dl.dl / stats.avgdl))
+                   * {_BM25_FP} + 0.5) AS BIGINT)) AS bm25_fp
+        FROM tf JOIN dfr USING (term) JOIN dl USING (doc_id)
+        CROSS JOIN stats
+        GROUP BY tf.doc_id
+    )"""
+
+
+@query(
+    "q_rank_fusion",
+    oracle=f"""
+    WITH {_rrf_bm25_sql()},
+    lexr AS (
+        SELECT doc_id, rn AS lex_rank FROM (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY bm25_fp DESC, doc_id) AS rn
+            FROM bm) WHERE rn <= {_FUSE_N}
+    ),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    qv AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+    cos AS (
+        SELECT v.vec_id AS doc_id,
+               CAST(ROUND({_SQL_COS.format(a='qv.qe', b='v.e')}, 8)
+                    AS DECIMAL(38,8)) AS cosine
+        FROM v CROSS JOIN qv WHERE v.vec_id <> 0
+    ),
+    vecr AS (
+        SELECT doc_id, rn AS vec_rank FROM (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS rn
+            FROM cos) WHERE rn <= {_FUSE_N}
+    )
+    SELECT doc_id, CAST(lex_rank AS INT) AS lex_rank,
+           CAST(vec_rank AS INT) AS vec_rank,
+           CAST(CAST(ROUND(COALESCE(1.0 / ({_FUSE_K} + lex_rank), 0)
+                         + COALESCE(1.0 / ({_FUSE_K} + vec_rank), 0), 9)
+                AS DECIMAL(38,9)) AS VARCHAR) AS rrf
+    FROM lexr FULL JOIN vecr USING (doc_id)
+    ORDER BY COALESCE(1.0 / ({_FUSE_K} + lex_rank), 0)
+           + COALESCE(1.0 / ({_FUSE_K} + vec_rank), 0) DESC, doc_id
+    LIMIT {_FUSE_TOP}
+    """,
+)
+def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion — the hybrid-retrieval combiner: the BM25
+    lexical top-{_FUSE_N} (``text.bm25_frame``) and the exact-cosine
+    vector top-{_FUSE_N} (query = vector 0, ranked on the rounded cosine
+    per the ``q_sim_topk`` convention) full-outer-join on doc_id and each
+    doc scores Σ 1/({_FUSE_K}+rank) over the lists it appears in.
+
+    RRF needs only the RANKS, never the incomparable raw scores — which
+    is also why it cross-engine-hashes exactly: ranks are integers with
+    doc_id tiebreaks, and 1/(k+rank) on identical integers is the
+    identical double. Plan shape: both rankers end in a top-{_FUSE_N}
+    (TakeOrdered — no global sort), the row_number windows run on those
+    {_FUSE_N}-row frames only, and the fusion join touches 2×{_FUSE_N}
+    rows regardless of corpus size — at 100 TB all the cost is in the
+    two scorers, which are each already scale-shaped (see ``q_bm25``,
+    ``q_sim_topk``).
+    """
+    from .text import bm25_frame
+
+    d = table(spark, sf_dir, "documents")
+    lex_top = (
+        bm25_frame(d)
+        .orderBy(F.col("bm25_fp").desc(), F.col("doc_id").asc())
+        .limit(_FUSE_N)
+    )
+    lexr = lex_top.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("bm25_fp").desc(), F.col("doc_id").asc()))
+        .cast("int")
+        .alias("lex_rank"),
+    )
+    emb = _embeddings(spark, sf_dir)
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("e").alias("qe"), F.col("n").alias("qn")
+    )
+    cos = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                _dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("n")), 8
+            )
+            .cast("decimal(38,8)")
+            .alias("cosine"),
+        )
+    )
+    vec_top = cos.orderBy(F.col("cosine").desc(), F.col("doc_id").asc()).limit(
+        _FUSE_N
+    )
+    vecr = vec_top.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("cosine").desc(), F.col("doc_id").asc()))
+        .cast("int")
+        .alias("vec_rank"),
+    )
+    rrf = F.coalesce(
+        F.lit(1.0) / (_FUSE_K + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (_FUSE_K + F.col("vec_rank")), F.lit(0.0))
+    return (
+        lexr.join(vecr, "doc_id", "full_outer")
+        .orderBy(rrf.desc(), F.col("doc_id").asc())
+        .limit(_FUSE_TOP)
+        .select(
+            "doc_id",
+            "lex_rank",
+            "vec_rank",
+            F.round(rrf, 9).cast("decimal(38,9)").cast("string").alias("rrf"),
+        )
+    )

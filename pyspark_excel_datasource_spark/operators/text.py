@@ -824,7 +824,15 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: two token-keyed aggregations + broadcast joins, no
     quadratic step, rank via TakeOrdered (no global sort).
     """
-    d = table(spark, sf_dir, "documents")
+    return bm25_frame(table(spark, sf_dir, "documents")).orderBy(
+        F.col("bm25_fp").desc(), F.col("doc_id").asc()
+    ).limit(_BM25_TOP)
+
+
+def bm25_frame(d: DataFrame) -> DataFrame:
+    """(doc_id, n_terms_hit, bm25_fp) for every doc hitting the query
+    terms — the unranked BM25 scoring plan shared by ``q_bm25`` and the
+    hybrid fusion (``similarity.q_rank_fusion``)."""
     toks = d.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
     )
@@ -858,8 +866,6 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_terms_hit"),
             F.sum("term_fp").cast("long").alias("bm25_fp"),
         )
-        .orderBy(F.col("bm25_fp").desc(), F.col("doc_id").asc())
-        .limit(_BM25_TOP)
     )
 
 

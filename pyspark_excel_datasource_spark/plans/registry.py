@@ -189,6 +189,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_join_spatial_grid",
     "q_fuzzy_match",
     "q_mix_temperature",
+    "q_rank_fusion",
     # E2. overflow: oracle-backed greens most recently touched, in case
     #    the driver widens the window further; remaining greens follow in
     #    registration order after these.

@@ -137,3 +137,28 @@ def test_mix_temperature_weights_sum_to_one_and_flatten(spark):
         uniform = 1.0 / len(rows)
         lo, hi = sorted((raw, uniform))
         assert lo - 1e-9 <= w <= hi + 1e-9
+
+
+def test_rank_fusion_prefers_docs_on_both_lists(spark):
+    """RRF sanity: a doc on both lists must outscore any doc appearing on
+    only one list at an equal-or-worse rank, and ranks must be consistent
+    with the standalone BM25 ranking."""
+    rows = _q("q_rank_fusion")(spark, SF).collect()
+    assert len(rows) > 0
+    both = [r for r in rows if r.lex_rank is not None and r.vec_rank is not None]
+    single = [r for r in rows if (r.lex_rank is None) != (r.vec_rank is None)]
+    for r in rows:
+        expect = 0.0
+        if r.lex_rank is not None:
+            expect += 1.0 / (60 + r.lex_rank)
+        if r.vec_rank is not None:
+            expect += 1.0 / (60 + r.vec_rank)
+        assert abs(float(r.rrf) - expect) < 1e-8
+    if both and single:
+        assert max(float(r.rrf) for r in both) > min(
+            float(r.rrf) for r in single
+        )
+    bm = {r.doc_id: i + 1 for i, r in enumerate(_q("q_bm25")(spark, SF).collect())}
+    for r in rows:
+        if r.lex_rank is not None and r.doc_id in bm and r.lex_rank <= 20:
+            assert bm[r.doc_id] == r.lex_rank

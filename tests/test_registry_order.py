@@ -92,6 +92,7 @@ def test_round6_window_composition():
         "q_join_spatial_grid",
         "q_fuzzy_match",
         "q_mix_temperature",
+        "q_rank_fusion",
     }
     # names[50] is q_topk (the 51st-slot bench pad); late-authored head
     # the ordering right after it

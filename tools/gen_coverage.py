@@ -70,7 +70,7 @@ SECTIONS = {
     ],
     "North-star: similarity search": [
         "q_sim_topk", "q_sim_selfjoin", "q_sim_ann_lsh", "q_sim_ann_ivf",
-        "q_sim_ann_pq",
+        "q_sim_ann_pq", "q_rank_fusion",
     ],
     "North-star: text analysis": [
         "q_text_stats", "q_text_quality", "q_text_langid",
@@ -156,6 +156,7 @@ ROLES = {
     "q_join_spatial_grid": "radius self-join via grid-cell banding, exactly-once emission",
     "q_fuzzy_match": "blocked entity resolution: noun blocks + Levenshtein<=3 verify",
     "q_mix_temperature": "temperature-scaled source sampling weights (tau=2, fixed-point)",
+    "q_rank_fusion": "reciprocal-rank fusion of BM25 + cosine top-N (hybrid retrieval)",
     "q_sink_orc": "parallel ORC directory write + vectorized readback",
     "q_join_bloom": "explicit bloom runtime filter; map-side fact pruning",
     "q_corr_matrix": "all-pairs Pearson corr from one sufficient-stats pass",
