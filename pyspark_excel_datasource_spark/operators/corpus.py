@@ -662,3 +662,90 @@ def topic_cooccur(d: DataFrame) -> DataFrame:
         )
         .limit(_COOC_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge application (the encode side of q_bpe_pair_counts' train side)
+# ---------------------------------------------------------------------------
+
+#: Learned merge list in priority order (the data ``q_bpe_pair_counts``
+#: produces). Applying BPE = replaying these string rewrites in order on
+#: the space-separated symbol sequence of each word; 12 merges is enough
+#: to exercise chained merges ("t h"→"th" feeding "th e"→"the").
+_BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t h", "th"),
+    ("th e", "the"),
+    ("e r", "er"),
+    ("i n", "in"),
+    ("a t", "at"),
+    ("o r", "or"),
+    ("a n", "an"),
+    ("s t", "st"),
+    ("a r", "ar"),
+    ("r o", "ro"),
+    ("l e", "le"),
+    ("c h", "ch"),
+)
+
+
+def _bpe_chain(spaced: str) -> str:
+    """Wrap a spaced-symbol SQL expression in the merge rewrites, in
+    priority order (same spelling in Spark SQL and DuckDB)."""
+    expr = spaced
+    for pair, merged in _BPE_MERGES:
+        expr = f"REPLACE({expr}, '{pair}', '{merged}')"
+    return expr
+
+
+#: spaced-symbol spelling per engine: every char followed by one space,
+#: trailing space trimmed. Spark regexp_replace is global by default and
+#: uses $1; DuckDB needs the 'g' flag and \1.
+_SPARK_TOKENS = _bpe_chain("TRIM(REGEXP_REPLACE(w, '(.)', '$1 '))")
+_DUCK_TOKENS = _bpe_chain("TRIM(REGEXP_REPLACE(w, '(.)', '\\1 ', 'g'))")
+
+
+@query(
+    "q_bpe_encode",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_words,
+           CAST(LIST_SUM(LIST_TRANSFORM(STRING_SPLIT(text, ' '),
+                w -> LEN(STRING_SPLIT({_DUCK_TOKENS}, ' '))))
+                AS BIGINT) AS n_tokens,
+           CAST(LIST_SUM(LIST_TRANSFORM(STRING_SPLIT(text, ' '),
+                w -> LEN(STRING_SPLIT({_DUCK_TOKENS}, ' '))))
+                AS DOUBLE)
+               / LEN(STRING_SPLIT(text, ' ')) AS fertility
+    FROM documents
+    """,
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a learned BPE merge table and report per-document token
+    counts + fertility (tokens per word) — the encode half of the BPE
+    story (``q_bpe_pair_counts`` is the train half).
+
+    The merge table is replayed as a chain of constant string rewrites
+    over each word's spaced-symbol form — Catalyst folds the chain into
+    one codegen'd projection, so this is a map-only stage with NO
+    shuffle and no Python: at 100 TB it runs at scan bandwidth next to
+    the shard writer. (A production tokenizer with a 50k-merge table
+    moves the table into a broadcast ``aggregate()`` fold or an Arrow
+    ``mapInPandas`` stage; the 12-merge constant chain keeps the whole
+    computation — and the oracle — inside both engines' SQL dialects.)
+    Fertility is one IEEE division of two exact integers, identical in
+    both engines.
+    """
+    d = spread(table(spark, sf_dir, "documents"))
+    tok_counts = F.expr(
+        f"transform(split(text, ' '), w -> size(split({_SPARK_TOKENS}, ' ')))"
+    )
+    n_tokens = F.aggregate(
+        tok_counts, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
+    )
+    n_words = F.size(F.split(F.col("text"), " ")).cast("long")
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_tokens.alias("n_tokens"),
+        (n_tokens.cast("double") / n_words).alias("fertility"),
+    )

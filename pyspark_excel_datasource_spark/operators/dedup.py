@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..catalog import spread, table
 from ..plans.registry import query
@@ -1583,4 +1584,66 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "block_key", "name_a", "name_b", "editdist", "n_rows_a", "n_rows_b"
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source priority dedup (curated source wins over crawl)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_cross_source",
+    oracle="""
+    WITH ranked AS (
+        SELECT source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY MD5(text)
+                   ORDER BY COALESCE(TRY_CAST(
+                       REGEXP_EXTRACT(source, '([0-9]+)', 1) AS INT), 999),
+                       doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped
+    FROM ranked GROUP BY source
+    """,
+)
+def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source exact dedup with a source-priority keep rule: among
+    documents sharing a content hash, the copy from the most-curated
+    source (lowest numeric source suffix; doc_id tiebreak) survives —
+    the standard "prefer curated over crawl" policy when the same text
+    is ingested from multiple feeds — reported as a per-source
+    kept/dropped census.
+
+    Scale shape: rows are reduced to (md5 key, source, doc_id) BEFORE
+    the shuffle — 16-byte content keys plus metadata, never document
+    bytes (the same invariant as ``q_dedup_exact``). One window keyed
+    on the content hash (row_number over a total order, so the survivor
+    is unique and engine-independent), then a per-source re-aggregation
+    whose key space is |sources|. Content-hash keys cannot skew unless
+    the corpus is one giant duplicate class, and the window state per
+    key is O(1).
+    """
+    d = spread(table(spark, sf_dir, "documents"))
+    prio = F.coalesce(
+        F.regexp_extract(F.col("source"), r"([0-9]+)", 1).try_cast("int"),
+        F.lit(999),
+    )
+    slim = d.select(
+        F.md5(F.col("text")).alias("k"), "source", "doc_id", prio.alias("prio")
+    )
+    rn = F.row_number().over(
+        W.partitionBy("k").orderBy(F.col("prio").asc(), F.col("doc_id").asc())
+    )
+    ranked = slim.withColumn("rn", rn)
+    return ranked.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).cast("long").alias("n_dropped"),
     )

@@ -824,3 +824,96 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("alloc_per_million"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto-frontier data selection (multi-objective curation)
+# ---------------------------------------------------------------------------
+
+#: buckets for the distributed local-prune pass (skyline of a union is the
+#: skyline of the union of per-bucket skylines, so pruning per bucket first
+#: only ever removes globally-dominated points)
+_SKY_BUCKETS = 32
+
+
+@query(
+    "q_skyline_pareto",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id,
+               CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
+                   / LEN(STRING_SPLIT(text, ' ')) AS qx,
+               n_chars
+        FROM documents
+    ),
+    pairs AS (SELECT DISTINCT qx, n_chars FROM scored),
+    frontier AS (
+        SELECT qx, n_chars FROM pairs p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pairs b
+            WHERE b.qx >= p.qx AND b.n_chars >= p.n_chars
+              AND (b.qx > p.qx OR b.n_chars > p.n_chars)
+        )
+    )
+    SELECT s.doc_id,
+           CAST(ROUND(s.qx, 9) AS DECIMAL(38,9))::VARCHAR AS qx,
+           CAST(s.n_chars AS BIGINT) AS n_chars
+    FROM scored s JOIN frontier f
+      ON s.qx = f.qx AND s.n_chars = f.n_chars
+    """,
+)
+def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-frontier document selection over two quality objectives:
+    lexical diversity (distinct-word ratio, higher = better) and length
+    (``n_chars``, higher = better). A document survives iff no other
+    document is at-least-as-good on both axes and strictly better on one
+    — the standard multi-objective curation primitive when no single
+    scalar score is trusted.
+
+    Scale shape (distributed skyline, not O(n²) dominance): (1) reduce
+    to DISTINCT (qx, n_chars) pairs — a map-side-combining aggregate;
+    (2) per-bucket local prune: sort each of 32 hash buckets by
+    (qx DESC, n_chars DESC) and drop any pair whose running max of
+    n_chars over *earlier* rows already ≥ its own (every drop is
+    globally dominated, because on distinct pairs an earlier row with
+    n_chars ≥ mine is strictly better on at least one axis); (3) the
+    tiny survivor set goes through the same rule in ONE global window
+    (frontier ⊆ survivors, and every dominated survivor is beaten by a
+    frontier point that sorts earlier, so the result is the exact
+    global skyline); (4) broadcast the frontier pairs back onto the
+    scored docs. The only global-order operation runs on the pruned
+    survivors, never the corpus. The DuckDB oracle states the same
+    semantics as a NOT-EXISTS anti-dominance, so the banded plan is
+    verified against the declarative definition. ``qx`` is one IEEE
+    division of exact integers (identical doubles in both engines);
+    equality joins/grouping on it are therefore engine-consistent, and
+    it is presented via the canon(dround(·, 9)) hash convention.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    scored = d.select(
+        "doc_id",
+        (F.size(F.array_distinct(words)).cast("double") / F.size(words)).alias("qx"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    pairs = scored.select("qx", "n_chars").distinct()
+    order = [F.col("qx").desc(), F.col("n_chars").desc()]
+    prev_rows = (W.unboundedPreceding, -1)
+    local = W.partitionBy("b").orderBy(*order).rowsBetween(*prev_rows)
+    survivors = (
+        pairs.withColumn("b", F.pmod(F.hash("qx", "n_chars"), F.lit(_SKY_BUCKETS)))
+        .withColumn("lmax", F.max("n_chars").over(local))
+        .filter(F.col("lmax").isNull() | (F.col("lmax") < F.col("n_chars")))
+        .drop("b", "lmax")
+    )
+    global_w = W.orderBy(*order).rowsBetween(*prev_rows)
+    frontier = (
+        survivors.withColumn("gmax", F.max("n_chars").over(global_w))
+        .filter(F.col("gmax").isNull() | (F.col("gmax") < F.col("n_chars")))
+        .drop("gmax")
+    )
+    return scored.join(F.broadcast(frontier), ["qx", "n_chars"]).select(
+        "doc_id",
+        F.round(F.col("qx"), 9).cast("decimal(38,9)").cast("string").alias("qx"),
+        "n_chars",
+    )

@@ -190,6 +190,9 @@ _PRIORITY: tuple[str, ...] = (
     "q_fuzzy_match",
     "q_mix_temperature",
     "q_rank_fusion",
+    "q_bpe_encode",
+    "q_skyline_pareto",
+    "q_dedup_cross_source",
     # E2. overflow: oracle-backed greens most recently touched, in case
     #    the driver widens the window further; remaining greens follow in
     #    registration order after these.

@@ -162,3 +162,54 @@ def test_rank_fusion_prefers_docs_on_both_lists(spark):
     for r in rows:
         if r.lex_rank is not None and r.doc_id in bm and r.lex_rank <= 20:
             assert bm[r.doc_id] == r.lex_rank
+
+
+def test_bpe_encode_bounds_and_known_word(spark):
+    rows = _q("q_bpe_encode")(spark, SF).collect()
+    assert rows
+    for r in rows[:100]:
+        # merges only ever shrink the symbol sequence; never below 1/word
+        assert r.n_words <= r.n_tokens
+        assert abs(r.fertility - r.n_tokens / r.n_words) < 1e-12
+    # "the" must collapse to ONE token via the chained t h -> th -> the
+    one = spark.createDataFrame([(1, "the the")], "doc_id long, text string")
+    from pyspark_excel_datasource_spark.operators.corpus import _SPARK_TOKENS
+
+    enc = one.select(
+        F.expr(f"transform(split(text, ' '), w -> {_SPARK_TOKENS})").alias("t")
+    ).first()
+    assert enc.t == ["the", "the"]
+
+
+def test_skyline_pareto_matches_bruteforce(spark):
+    out = {(r.qx, r.n_chars) for r in _q("q_skyline_pareto")(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id",
+        (
+            F.size(F.array_distinct(F.split("text", " "))).cast("double")
+            / F.size(F.split("text", " "))
+        ).alias("q"),
+        F.col("n_chars").cast("long").alias("l"),
+    ).collect()
+    pts = {(d.q, d.l) for d in docs}
+    frontier = {
+        (q, l)
+        for (q, l) in pts
+        if not any(
+            bq >= q and bl >= l and (bq > q or bl > l) for (bq, bl) in pts
+        )
+    }
+    got = {(float(q), l) for (q, l) in out}
+    want = {(round(q, 9), l) for (q, l) in frontier}
+    assert {(round(q, 9), l) for (q, l) in got} == want
+
+
+def test_dedup_cross_source_census_is_consistent(spark):
+    rows = _q("q_dedup_cross_source")(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_docs = docs.count()
+    n_distinct = docs.select(F.md5("text")).distinct().count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert sum(r.n_kept for r in rows) == n_distinct
+    for r in rows:
+        assert r.n_docs == r.n_kept + r.n_dropped

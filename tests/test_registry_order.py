@@ -93,6 +93,9 @@ def test_round6_window_composition():
         "q_fuzzy_match",
         "q_mix_temperature",
         "q_rank_fusion",
+        "q_bpe_encode",
+        "q_skyline_pareto",
+        "q_dedup_cross_source",
     }
     # names[50] is q_topk (the 51st-slot bench pad); late-authored head
     # the ordering right after it
