@@ -1154,3 +1154,97 @@ def q_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Watermark lateness audit (the batch mirror of streaming late-data drops)
+# ---------------------------------------------------------------------------
+
+#: allowed lateness before the watermark would drop the event (7 days; the
+#: testdata spans ~30 days, so both classes are populated)
+_WM_DELAY_US = 7 * 24 * 3600 * 1_000_000
+
+
+@query(
+    "q_late_data_audit",
+    oracle=f"""
+    WITH arr AS (
+        SELECT user_id % 8 AS shard, event_type, epoch_us(ts) AS us,
+               MAX(epoch_us(ts)) OVER (
+                   PARTITION BY user_id % 8
+                   ORDER BY MD5(CAST(event_id AS VARCHAR)), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prevmax
+        FROM events
+    )
+    SELECT CAST(shard AS INT) AS shard, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN prevmax - {_WM_DELAY_US} > us
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           CAST(SUM(CASE WHEN prevmax - {_WM_DELAY_US} > us
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+               AS late_frac,
+           CAST(COALESCE(MAX(CASE WHEN prevmax - {_WM_DELAY_US} > us
+                    THEN (prevmax - {_WM_DELAY_US} - us) // 1000000
+                    END), -1) AS BIGINT) AS max_late_s
+    FROM arr GROUP BY shard, event_type
+    """,
+)
+def q_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark lateness audit: for each ingest shard, replay events in
+    arrival order, track the running max event-time (the watermark
+    source), and count how many events a streaming job with a 7-day
+    watermark would have DROPPED — the capacity-planning readout that
+    decides the `withWatermark` delay before a pipeline goes live.
+
+    The testdata's ingest order is perfectly time-sorted (zero natural
+    lateness), so arrival order is simulated content-addressed —
+    ``md5(event_id)`` — which is deterministic, engine-independent, and
+    adversarially shuffled; the AUDIT itself (per-shard running-max
+    window → lateness classification → per-type census) is exactly what
+    runs against a real ingest log's arrival sequence number.
+
+    Scale shape: the window partitions by ingest shard (what a real
+    ingest log is already partitioned by) and carries O(1) state (one
+    running max) per shard, so it parallelizes across shards and never
+    materializes more than a task's slice; the census re-aggregates on
+    (shard × event_type) keys. All time math is integer microseconds;
+    ``late_frac`` is one IEEE division of exact integers.
+    """
+    ev = table(spark, sf_dir, "events")
+    us = _micros("ts")
+    arr = ev.select(
+        F.pmod(F.col("user_id"), F.lit(8)).cast("int").alias("shard"),
+        "event_type",
+        us.alias("us"),
+        F.md5(F.col("event_id").cast("string")).alias("akey"),
+        "event_id",
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy(F.col("akey").asc(), F.col("event_id").asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = arr.withColumn("prevmax", F.max("us").over(w)).select(
+        "shard",
+        "event_type",
+        "us",
+        (F.col("prevmax") - _WM_DELAY_US > F.col("us")).alias("late"),
+        (F.col("prevmax") - _WM_DELAY_US - F.col("us")).alias("behind_us"),
+    )
+    late_i = F.when(F.col("late"), 1).otherwise(0)
+    return flagged.groupBy("shard", "event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(late_i).cast("long").alias("n_late"),
+        (F.sum(late_i).cast("double") / F.count("*")).alias("late_frac"),
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("late"), F.expr("behind_us DIV 1000000")
+                )
+            ),
+            F.lit(-1),
+        )
+        .cast("long")
+        .alias("max_late_s"),
+    )

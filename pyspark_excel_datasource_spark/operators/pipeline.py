@@ -917,3 +917,102 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("qx"), 9).cast("decimal(38,9)").cast("string").alias("qx"),
         "n_chars",
     )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum scheduling: length-ordered round-robin source interleave
+# ---------------------------------------------------------------------------
+
+#: length-band width for the distributed in-source ranking (bands are
+#: monotone in n_chars, so band-then-length order == plain length order)
+_CURR_BAND_W = 64
+
+
+@query(
+    "q_curriculum_interleave",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS src_rank
+        FROM documents
+    ),
+    srcs AS (
+        SELECT source,
+               ROW_NUMBER() OVER (ORDER BY source) AS src_idx,
+               COUNT(*) OVER () AS n_sources
+        FROM (SELECT DISTINCT source FROM documents)
+    )
+    SELECT r.doc_id, r.source,
+           CAST(r.src_rank AS BIGINT) AS src_rank,
+           CAST((r.src_rank - 1) * s.n_sources + s.src_idx AS BIGINT)
+               AS sched_pos
+    FROM ranked r JOIN srcs s ON r.source = s.source
+    """,
+)
+def q_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum schedule: order each source's documents easy→hard
+    (shortest first) and round-robin-interleave the sources, so training
+    consumes a stationary source mixture while difficulty ramps — the
+    deterministic counterpart of ``q_mix_temperature``'s stochastic
+    mixing. ``sched_pos = (rank_within_source − 1) × |sources| +
+    source_index`` is a total order with no two docs sharing a slot.
+
+    Scale shape: a naive ``row_number() OVER (PARTITION BY source)``
+    puts an entire source in ONE task — a scale-killer for a 100 TB
+    corpus with 20 sources. The plan here is a two-level rank: (1) docs
+    group into fixed-width length bands (monotone in the sort key);
+    per-(source, band) counts — a tiny aggregate — turn into running
+    per-source band offsets with a window over the small counts table;
+    (2) ``row_number`` partitioned by (source, band) ranks inside each
+    band, parallel across |sources| × |bands| tasks; offset + in-band
+    rank reproduces the exact per-source rank. The oracle states the
+    naive single-window definition, so the banded plan is verified
+    against the declarative semantics (the ``q_skyline_pareto``
+    pattern). The source-index table is |sources| rows and broadcasts.
+    """
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    ).withColumn("band", (F.col("n_chars") / _CURR_BAND_W).cast("long"))
+    # (1) per-(source, band) counts -> exclusive running offset per source
+    counts = base.groupBy("source", "band").agg(F.count("*").alias("c"))
+    off_w = (
+        W.partitionBy("source")
+        .orderBy("band")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("c").over(off_w), F.lit(0))
+    ).select("source", "band", "off")
+    # (2) in-band rank, parallel across (source, band) partitions
+    in_band = F.row_number().over(
+        W.partitionBy("source", "band").orderBy("n_chars", "doc_id")
+    )
+    ranked = (
+        base.withColumn("band_rank", in_band)
+        .join(F.broadcast(offsets), ["source", "band"])
+        .select(
+            "doc_id",
+            "source",
+            (F.col("off") + F.col("band_rank")).cast("long").alias("src_rank"),
+        )
+    )
+    srcs_w = W.orderBy("source")
+    srcs = (
+        d.select("source")
+        .distinct()
+        .select(
+            "source",
+            F.row_number().over(srcs_w).alias("src_idx"),
+            F.count("*").over(W.partitionBy()).alias("n_sources"),
+        )
+    )
+    return ranked.join(F.broadcast(srcs), "source").select(
+        "doc_id",
+        "source",
+        "src_rank",
+        ((F.col("src_rank") - 1) * F.col("n_sources") + F.col("src_idx"))
+        .cast("long")
+        .alias("sched_pos"),
+    )

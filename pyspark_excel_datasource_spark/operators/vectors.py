@@ -254,3 +254,82 @@ def q_embed_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("assigned_label"),
         F.min("dist_fp").alias("dist_fp"),
     )
+
+
+@query(
+    "q_embed_norm",
+    oracle=f"""
+    WITH ex AS (
+        SELECT g.i - 1 AS dim,
+               CAST(FLOOR(CAST(embedding[g.i] AS DOUBLE) * {_FP} + 0.5)
+                    AS BIGINT) AS vq
+        FROM embeddings,
+             UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS g(i)
+    ),
+    stats AS (
+        SELECT dim, COUNT(*) AS n, SUM(vq) AS s, SUM(vq * vq) AS s2
+        FROM ex GROUP BY dim
+    ),
+    solved AS (
+        SELECT dim, n,
+               CAST(s AS DOUBLE) / (n * {_FP}.0) AS mean,
+               SQRT(CAST(s2 AS DOUBLE) / n / ({_FP}.0 * {_FP}.0)
+                    - (CAST(s AS DOUBLE) / (n * {_FP}.0))
+                      * (CAST(s AS DOUBLE) / (n * {_FP}.0))) AS std
+        FROM stats
+    )
+    SELECT e.dim::INT AS dim, CAST(t.n AS BIGINT) AS n,
+           {sql_canon(sql_dround("ANY_VALUE(t.mean)", 9))} AS mean,
+           {sql_canon(sql_dround("ANY_VALUE(t.std)", 9))} AS std,
+           CAST(SUM(CASE WHEN ABS(CAST(e.vq AS DOUBLE) / {_FP}.0 - t.mean)
+                              > 3 * t.std THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers
+    FROM ex e JOIN solved t ON e.dim = t.dim
+    GROUP BY e.dim, t.n
+    """,
+)
+def q_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus standardization statistics for the embedding
+    column — mean, std, and 3-sigma outlier-element count per dimension
+    — the whitening/feature-health pass run before embedding-space
+    dedup or ANN indexing trusts distances.
+
+    Two passes over the exploded elements: (1) per-dim moment
+    aggregation on exact fixed-point integers (sum and sum-of-squares
+    accumulate in DECIMAL(38,0)/HUGEINT — order-independent, no
+    wraparound at any corpus size; key space = dims, bounded and
+    skew-free); (2) the 64-row stats table broadcasts back onto the
+    elements for the outlier census — a map-side join, no second
+    shuffle beyond the per-dim re-count. mean/std/|v−mean| are computed
+    by the identical operand-order IEEE expression in both engines, so
+    the 3σ comparisons classify identically; presentation is
+    canon(dround(·, 9)) per the hash convention.
+    """
+    emb = spread(table(spark, sf_dir, "embeddings"))
+    ex = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v")
+    ).select(
+        F.col("dim").cast("int").alias("dim"),
+        F.floor(F.col("v") * _FP + F.lit(0.5)).cast("long").alias("vq"),
+    )
+    dec = lambda c: F.sum(c.cast("decimal(38,0)")).cast("double")  # noqa: E731
+    # operand order mirrors the oracle exactly: mean = s / (n * FP),
+    # std = sqrt(s2 / n / FP² − mean²) — same IEEE ops, same order
+    mean = dec(F.col("vq")) / (F.count("*") * float(_FP))
+    stats = ex.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        mean.alias("mean"),
+        F.sqrt(
+            dec(F.col("vq") * F.col("vq")) / F.count("*") / (float(_FP) * float(_FP))
+            - mean * mean
+        ).alias("std"),
+    )
+    joined = ex.join(F.broadcast(stats), "dim")
+    is_out = F.abs(F.col("vq").cast("double") / float(_FP) - F.col("mean")) > (
+        3 * F.col("std")
+    )
+    return joined.groupBy("dim", "n").agg(
+        canon(dround(F.first("mean"), 9)).alias("mean"),
+        canon(dround(F.first("std"), 9)).alias("std"),
+        F.sum(F.when(is_out, 1).otherwise(0)).cast("long").alias("n_outliers"),
+    ).select("dim", F.col("n").cast("long").alias("n"), "mean", "std", "n_outliers")

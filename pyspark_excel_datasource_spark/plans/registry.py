@@ -193,6 +193,9 @@ _PRIORITY: tuple[str, ...] = (
     "q_bpe_encode",
     "q_skyline_pareto",
     "q_dedup_cross_source",
+    "q_late_data_audit",
+    "q_embed_norm",
+    "q_curriculum_interleave",
     # E2. overflow: oracle-backed greens most recently touched, in case
     #    the driver widens the window further; remaining greens follow in
     #    registration order after these.

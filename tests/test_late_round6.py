@@ -213,3 +213,50 @@ def test_dedup_cross_source_census_is_consistent(spark):
     assert sum(r.n_kept for r in rows) == n_distinct
     for r in rows:
         assert r.n_docs == r.n_kept + r.n_dropped
+
+
+def test_late_data_audit_invariants(spark):
+    rows = _q("q_late_data_audit")(spark, SF).collect()
+    n_events = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert sum(r.n_events for r in rows) == n_events
+    assert any(r.n_late > 0 for r in rows)  # delay chosen to populate both
+    assert any(r.n_late < r.n_events for r in rows)
+    for r in rows:
+        assert 0 <= r.n_late <= r.n_events
+        assert abs(r.late_frac - r.n_late / r.n_events) < 1e-12
+        assert (r.max_late_s >= 0) == (r.n_late > 0)
+
+
+def test_embed_norm_stats_sane(spark):
+    rows = _q("q_embed_norm")(spark, SF).collect()
+    n_vecs = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    assert len(rows) == 64
+    for r in rows:
+        assert r.n == n_vecs
+        assert float(r.std) >= 0
+        # 3-sigma outliers must be rare under any sane distribution
+        assert r.n_outliers <= 0.05 * r.n
+
+
+def test_curriculum_interleave_schedule_contract(spark):
+    rows = _q("q_curriculum_interleave")(spark, SF).collect()
+    assert len({r.sched_pos for r in rows}) == len(rows)  # total order
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r.src_rank)
+    for ranks in by_src.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    # two-level rank must equal the naive per-source length order
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    ).collect()
+    want = {}
+    for src in by_src:
+        ordered = sorted(
+            (d for d in docs if d.source == src),
+            key=lambda d: (d.n_chars, d.doc_id),
+        )
+        for i, d in enumerate(ordered, start=1):
+            want[d.doc_id] = i
+    for r in rows:
+        assert r.src_rank == want[r.doc_id]

@@ -96,6 +96,9 @@ def test_round6_window_composition():
         "q_bpe_encode",
         "q_skyline_pareto",
         "q_dedup_cross_source",
+        "q_late_data_audit",
+        "q_embed_norm",
+        "q_curriculum_interleave",
     }
     # names[50] is q_topk (the 51st-slot bench pad); late-authored head
     # the ordering right after it
