@@ -66,7 +66,7 @@ SECTIONS = {
         "q_dedup_embed", "q_dedup_embed_lsh",
         "q_dedup_incremental", "q_dedup_incremental_lsh", "q_graph_degree",
         "q_dedup_prefix", "q_dedup_ngram_jaccard", "q_minhash_union_sketch",
-        "q_dedup_url", "q_fuzzy_match",
+        "q_dedup_url", "q_fuzzy_match", "q_dedup_cross_source",
     ],
     "North-star: similarity search": [
         "q_sim_topk", "q_sim_selfjoin", "q_sim_ann_lsh", "q_sim_ann_ivf",
@@ -84,13 +84,14 @@ SECTIONS = {
         "q_pipeline_llm_prep", "q_validate_constraints", "q_mix_budget",
         "q_dedup_weights", "q_quality_tiers", "q_winsorize_by_group",
         "q_sample_exact_pergroup", "q_agg_incremental", "q_mix_temperature",
+        "q_skyline_pareto", "q_curriculum_interleave",
     ],
     "Event analytics": [
         "q_sessionize", "q_funnel", "q_retention", "q_scd2_intervals", "q_event_transitions",
         "q_agg_hll", "q_anomaly_zscore", "q_robust_zscore", "q_fill_forward",
         "q_pattern_sequence", "q_ewma", "q_attribution", "q_agg_countmin",
         "q_delta_lag", "q_resample_timeseries", "q_window_deltas_vs_baseline",
-        "q_path_topk",
+        "q_path_topk", "q_late_data_audit",
     ],
     "Incremental / DML patterns": [
         "q_rollup_hierarchical", "q_merge_upsert", "q_cdc_changelog",
@@ -102,9 +103,11 @@ SECTIONS = {
         "q_text_repetition", "q_chunk_tokens", "q_bpe_pair_counts",
         "q_shuffle_shard", "q_pack_context", "q_vocab_coverage",
         "q_corpus_stats", "q_drift_kl", "q_entropy_ngrams", "q_topic_cooccur",
+        "q_bpe_encode",
     ],
     "North-star: embedding aggregates / clustering": [
         "q_embed_centroids", "q_embed_quantize", "q_embed_assign",
+        "q_embed_norm",
     ],
     "Approximate-structure contract audits": [
         "q_sim_ann_recall", "q_approx_audit",
@@ -157,6 +160,12 @@ ROLES = {
     "q_fuzzy_match": "blocked entity resolution: noun blocks + Levenshtein<=3 verify",
     "q_mix_temperature": "temperature-scaled source sampling weights (tau=2, fixed-point)",
     "q_rank_fusion": "reciprocal-rank fusion of BM25 + cosine top-N (hybrid retrieval)",
+    "q_bpe_encode": "BPE merge-table application; per-doc token count + fertility",
+    "q_skyline_pareto": "Pareto-frontier selection via bucketed prune + tiny global window",
+    "q_dedup_cross_source": "priority keep-rule dedup across sources, per-source census",
+    "q_late_data_audit": "per-shard watermark lateness census (simulated arrival order)",
+    "q_embed_norm": "per-dim mean/std + 3-sigma outlier census (fixed-point exact)",
+    "q_curriculum_interleave": "easy->hard per-source rank, round-robin interleave (two-level rank)",
     "q_sink_orc": "parallel ORC directory write + vectorized readback",
     "q_join_bloom": "explicit bloom runtime filter; map-side fact pruning",
     "q_corr_matrix": "all-pairs Pearson corr from one sufficient-stats pass",
