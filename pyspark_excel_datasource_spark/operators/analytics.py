@@ -1211,7 +1211,12 @@ def q_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (shard × event_type) keys. All time math is integer microseconds;
     ``late_frac`` is one IEEE division of exact integers.
     """
-    ev = table(spark, sf_dir, "events")
+    return lateness_audit(table(spark, sf_dir, "events"))
+
+
+def lateness_audit(ev: DataFrame) -> DataFrame:
+    """Watermark-lateness audit plan over an events frame (shared with
+    ``tools/scale_stress.py``)."""
     us = _micros("ts")
     arr = ev.select(
         F.pmod(F.col("user_id"), F.lit(8)).cast("int").alias("shard"),

@@ -735,7 +735,12 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fertility is one IEEE division of two exact integers, identical in
     both engines.
     """
-    d = spread(table(spark, sf_dir, "documents"))
+    return bpe_encode(spread(table(spark, sf_dir, "documents")))
+
+
+def bpe_encode(docs: DataFrame) -> DataFrame:
+    """BPE-encode plan over a (doc_id, text) frame (shared with
+    ``tools/scale_stress.py``)."""
     tok_counts = F.expr(
         f"transform(split(text, ' '), w -> size(split({_SPARK_TOKENS}, ' ')))"
     )
@@ -743,7 +748,7 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok_counts, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
     )
     n_words = F.size(F.split(F.col("text"), " ")).cast("long")
-    return d.select(
+    return docs.select(
         "doc_id",
         n_words.alias("n_words"),
         n_tokens.alias("n_tokens"),

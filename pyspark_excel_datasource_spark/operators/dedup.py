@@ -1630,7 +1630,12 @@ def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus is one giant duplicate class, and the window state per
     key is O(1).
     """
-    d = spread(table(spark, sf_dir, "documents"))
+    return cross_source_census(spread(table(spark, sf_dir, "documents")))
+
+
+def cross_source_census(d: DataFrame) -> DataFrame:
+    """Priority-dedup census plan over a documents frame (shared with
+    ``tools/scale_stress.py``)."""
     prio = F.coalesce(
         F.regexp_extract(F.col("source"), r"([0-9]+)", 1).try_cast("int"),
         F.lit(999),

@@ -889,7 +889,12 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality joins/grouping on it are therefore engine-consistent, and
     it is presented via the canon(dround(·, 9)) hash convention.
     """
-    d = table(spark, sf_dir, "documents")
+    return skyline_select(table(spark, sf_dir, "documents"))
+
+
+def skyline_select(d: DataFrame) -> DataFrame:
+    """Distributed-skyline plan over a documents frame (shared with
+    ``tools/scale_stress.py``)."""
     words = F.split(F.col("text"), " ")
     scored = d.select(
         "doc_id",
@@ -971,7 +976,12 @@ def q_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the declarative semantics (the ``q_skyline_pareto``
     pattern). The source-index table is |sources| rows and broadcasts.
     """
-    d = table(spark, sf_dir, "documents")
+    return curriculum_schedule(table(spark, sf_dir, "documents"))
+
+
+def curriculum_schedule(d: DataFrame) -> DataFrame:
+    """Two-level-rank curriculum plan over a documents frame (shared with
+    ``tools/scale_stress.py``)."""
     base = d.select(
         "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
     ).withColumn("band", (F.col("n_chars") / _CURR_BAND_W).cast("long"))

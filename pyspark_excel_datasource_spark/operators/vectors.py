@@ -305,7 +305,12 @@ def q_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 3σ comparisons classify identically; presentation is
     canon(dround(·, 9)) per the hash convention.
     """
-    emb = spread(table(spark, sf_dir, "embeddings"))
+    return embed_norm_stats(spread(table(spark, sf_dir, "embeddings")))
+
+
+def embed_norm_stats(emb: DataFrame) -> DataFrame:
+    """Per-dim standardization plan over an embeddings frame (shared with
+    ``tools/scale_stress.py``)."""
     ex = emb.select(
         F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v")
     ).select(

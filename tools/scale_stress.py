@@ -271,6 +271,15 @@ def main() -> None:
         spatial_points,
     )
 
+    from pyspark_excel_datasource_spark.operators.analytics import lateness_audit
+    from pyspark_excel_datasource_spark.operators.corpus import bpe_encode
+    from pyspark_excel_datasource_spark.operators.dedup import cross_source_census
+    from pyspark_excel_datasource_spark.operators.pipeline import (
+        curriculum_schedule,
+        skyline_select,
+    )
+    from pyspark_excel_datasource_spark.operators.vectors import embed_norm_stats
+
     cust_all1 = table(spark, SF, "customer")
     spatial_pts10 = spatial_points(cust_all1).withColumn(
         "rep", F.explode(F.sequence(F.lit(0), F.lit(FACTOR - 1)))
@@ -348,6 +357,34 @@ def main() -> None:
         "spatial_grid": (
             spatial_neighbor_pairs(spatial_points(cust_all1)),
             spatial_neighbor_pairs(spatial_pts10),
+        ),
+        # round-6 batch: map-only tokenizer encode; bucketed-prune skyline;
+        # content-key priority dedup; per-shard lateness window; bounded-key
+        # moment aggregation; two-level curriculum rank (no per-source
+        # single-task window)
+        "bpe_encode": (
+            bpe_encode(docs1),
+            bpe_encode(docs10),
+        ),
+        "skyline": (
+            skyline_select(docs_full1),
+            skyline_select(docs_full10),
+        ),
+        "cross_source": (
+            cross_source_census(docs_full1),
+            cross_source_census(docs_full10),
+        ),
+        "late_audit": (
+            lateness_audit(ev1),
+            lateness_audit(ev10),
+        ),
+        "embed_norm": (
+            embed_norm_stats(vecs1),
+            embed_norm_stats(replicate_vecs(vecs1, FACTOR)),
+        ),
+        "curriculum": (
+            curriculum_schedule(docs_full1),
+            curriculum_schedule(docs_full10),
         ),
     }
     wanted = set(sys.argv[1:])
