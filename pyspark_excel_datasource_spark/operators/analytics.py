@@ -1253,3 +1253,77 @@ def lateness_audit(ev: DataFrame) -> DataFrame:
         .cast("long")
         .alias("max_late_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day distinct users (the classic "rolling DAU" hard problem)
+# ---------------------------------------------------------------------------
+
+#: rolling window length in days (window ending day d covers [d-6, d])
+_DAU_DAYS = 7
+
+
+@query(
+    "q_rolling_dau",
+    oracle=f"""
+    WITH cal AS (
+        SELECT UNNEST(GENERATE_SERIES(MIN(CAST(ts AS DATE)),
+                                      MAX(CAST(ts AS DATE)),
+                                      INTERVAL 1 DAY))::DATE AS day
+        FROM events
+    )
+    SELECT c.day, CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS dau7
+    FROM cal c
+    JOIN events e
+      ON CAST(e.ts AS DATE) BETWEEN c.day - {_DAU_DAYS - 1} AND c.day
+    GROUP BY c.day
+    """,
+)
+def q_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per calendar day — the metric
+    whose naive form (COUNT(DISTINCT) over a sliding range frame) no
+    engine's window operator supports and whose join form rescans every
+    event once per covered day.
+
+    Scale plan (linear, no day×event blowup): (1) reduce events to
+    DISTINCT (user, day) — a key-only shuffle with map-side combine;
+    (2) per-user interval merge with a >6-day gap rule (the sessionize
+    lag/sum pattern, O(1) window state per user): a user active on days
+    covering [a, b] contributes to every window-end in [a, b+6], and
+    merged intervals of one user are disjoint BY CONSTRUCTION, so each
+    user contributes at most once per day; (3) explode each merged
+    interval into its covered days (bounded by the calendar span, not
+    the event count) clipped to the data's max day, and count rows per
+    day — no COUNT(DISTINCT) anywhere. The oracle states the
+    declarative definition (calendar × 7-day range join + exact
+    COUNT(DISTINCT)), so the interval plan is verified against the
+    naive semantics it replaces.
+    """
+    ev = table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    per_user = W.partitionBy("user_id").orderBy("day")
+    prev = F.lag("day").over(per_user)
+    is_new = F.when(
+        prev.isNull() | (F.datediff(F.col("day"), prev) > _DAU_DAYS - 1), 1
+    ).otherwise(0)
+    running = per_user.rowsBetween(W.unboundedPreceding, W.currentRow)
+    grouped = ud.select(
+        "user_id", "day", F.sum(is_new).over(running).alias("grp")
+    )
+    merged = grouped.groupBy("user_id", "grp").agg(
+        F.min("day").alias("a"), F.max("day").alias("b")
+    )
+    cal_max = ev.agg(F.max(F.to_date("ts")).alias("cal_max"))
+    covered = (
+        merged.crossJoin(F.broadcast(cal_max))
+        .select(
+            F.explode(
+                F.sequence(
+                    F.col("a"),
+                    F.least(F.date_add(F.col("b"), _DAU_DAYS - 1), F.col("cal_max")),
+                    F.expr("interval 1 day"),
+                )
+            ).alias("day")
+        )
+    )
+    return covered.groupBy("day").agg(F.count("*").cast("long").alias("dau7"))

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..functions.determinism import canon, dsum, sql_canon, sql_dsum
+from ..functions.determinism import canon, dsum, sql_canon, sql_dround, sql_dsum
 from ..plans.registry import query
 from .relational import ts
 
@@ -323,5 +323,168 @@ def q_tpch_q3ish(spark: SparkSession, sf_dir: str) -> DataFrame:
             "orderdate",
             "o_orderpriority",
             canon("revenue").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q2ish",
+    oracle=f"""
+    WITH costs AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(l_extendedprice / l_quantity) AS cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    sup AS (
+        SELECT s.s_suppkey, s.s_name, n.n_name
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE'
+    ),
+    ranked AS (
+        SELECT p.p_partkey, p.p_brand, sup.s_name, sup.n_name, c.cost,
+               ROW_NUMBER() OVER (PARTITION BY p.p_partkey
+                                  ORDER BY c.cost, c.l_suppkey) AS rn
+        FROM costs c
+        JOIN part p ON c.l_partkey = p.p_partkey
+        JOIN sup   ON c.l_suppkey = sup.s_suppkey
+        WHERE p.p_type = 'ECONOMY'
+    )
+    SELECT p_partkey, p_brand, s_name, n_name,
+           {sql_canon(sql_dround("cost", 6))} AS cost
+    FROM ranked WHERE rn = 1
+    ORDER BY cost, p_partkey LIMIT 100
+    """,
+)
+def q_tpch_q2ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for every part in a type
+    slice, the cheapest qualifying supplier in one region. The schema
+    has no partsupp table, so supply cost derives from observed trade —
+    ``min(l_extendedprice / l_quantity)`` per (part, supplier) — which
+    preserves Q2's defining structure: a per-part argmin over a
+    fact-derived cost against a dimension-filtered supplier set.
+
+    Scale notes: the cost table aggregates lineitem on its natural
+    (part, supplier) key with map-side partials — the only big shuffle;
+    part/supplier/nation/region are broadcasts at any SF; the per-part
+    argmin is a window over the aggregated (not raw) rows, keyed on
+    partkey. Unit cost is a row-local IEEE division (identical doubles
+    both engines); the argmin tie-breaks on suppkey so the winner is
+    engine-independent; presentation via canon(dround(·, 6)).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    costs = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
+    )
+    sup = (
+        table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    parts = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    joined = (
+        costs.join(F.broadcast(parts), costs.l_partkey == parts.p_partkey)
+        .join(F.broadcast(sup), costs.l_suppkey == sup.s_suppkey)
+        .select("p_partkey", "p_brand", "s_name", "n_name", "cost", "l_suppkey")
+    )
+    from pyspark.sql.window import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("p_partkey").orderBy(
+            F.col("cost").asc(), F.col("l_suppkey").asc()
+        )
+    )
+    return (
+        joined.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            "n_name",
+            canon(F.round(F.col("cost"), 6).cast("decimal(38,6)")).alias("cost"),
+        )
+        .orderBy(F.col("cost").asc(), F.col("p_partkey").asc())
+        .limit(100)
+    )
+
+
+@query(
+    "q_tpch_q20ish",
+    oracle="""
+    WITH shipped AS (
+        SELECT l.l_suppkey, l.l_partkey,
+               SUM(CAST(l.l_quantity AS DECIMAL(18,0))) AS qty
+        FROM lineitem l
+        WHERE l.l_partkey IN (
+                SELECT p_partkey FROM part WHERE p_name LIKE 'large%')
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l.l_suppkey, l.l_partkey
+        HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,0))) > 30
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_heavy_parts,
+           CAST(SUM(sh.qty) AS BIGINT) AS total_qty
+    FROM shipped sh
+    JOIN supplier s ON sh.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+    GROUP BY s.s_suppkey, s.s_name, n.n_name
+    """,
+)
+def q_tpch_q20ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (excess-stock suppliers): the nested semi-join
+    chain — a part-name slice drives a lineitem aggregation whose
+    HAVING output drives a supplier join filtered by nation. Without a
+    partsupp table the "available vs shipped" comparison becomes a
+    shipped-volume threshold per (supplier, part), which keeps Q20's
+    defining plan: subquery → pre-aggregated HAVING filter → join into
+    the dimension chain.
+
+    Scale notes: the part-name slice broadcasts into the lineitem scan
+    (a semi join the optimizer can push); the only big shuffle keys on
+    (suppkey, partkey) with map-side partials, and HAVING shrinks its
+    output before any further join; supplier/nation broadcast.
+    Quantities sum in exact decimal.
+    """
+    parts = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("large%"))
+        .select("p_partkey")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= ts("1996-01-01"))
+        & (F.col("l_shipdate") < ts("1997-01-01"))
+    )
+    shipped = (
+        li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,0)")).alias("qty"))
+        .filter(F.col("qty") > 30)
+    )
+    nations = table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7", "NATION_11")
+    )
+    sup = table(spark, sf_dir, "supplier").join(
+        F.broadcast(nations), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        shipped.join(F.broadcast(sup), shipped.l_suppkey == sup.s_suppkey)
+        .groupBy("s_suppkey", "s_name", "n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_heavy_parts"),
+            F.sum("qty").cast("long").alias("total_qty"),
         )
     )

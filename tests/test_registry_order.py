@@ -99,6 +99,10 @@ def test_round6_window_composition():
         "q_late_data_audit",
         "q_embed_norm",
         "q_curriculum_interleave",
+        "q_rolling_dau",
+        "q_compaction_plan",
+        "q_tpch_q2ish",
+        "q_tpch_q20ish",
     }
     # names[50] is q_topk (the 51st-slot bench pad); late-authored head
     # the ordering right after it

@@ -26,6 +26,7 @@ SECTIONS = {
         "q_join_bucketed", "q_join_skew_salted",
         "q_join_range", "q_join_interval_overlap", "q_skew_keys",
         "q_join_dpp", "q_zorder_layout", "q_join_bloom", "q_join_spatial_grid",
+        "q_compaction_plan",
     ],
     "Aggregations": [
         "q_agg_group", "q_agg_distinct", "q_agg_stats", "q_agg_rollup",
@@ -58,7 +59,7 @@ SECTIONS = {
     ],
     "Flagship / composite analytics": [
         "q_flagship_pricing", "q_tpch_q5ish", "q_tpch_q10ish", "q_tpch_q3ish",
-        "q_tpch_q7ish", "q_tpch_q18ish",
+        "q_tpch_q7ish", "q_tpch_q18ish", "q_tpch_q2ish", "q_tpch_q20ish",
     ],
     "North-star: dedup (SURVEY §2.4)": [
         "q_dedup_near", "q_dedup_clusters", "q_dedup_minhash",
@@ -91,7 +92,7 @@ SECTIONS = {
         "q_agg_hll", "q_anomaly_zscore", "q_robust_zscore", "q_fill_forward",
         "q_pattern_sequence", "q_ewma", "q_attribution", "q_agg_countmin",
         "q_delta_lag", "q_resample_timeseries", "q_window_deltas_vs_baseline",
-        "q_path_topk", "q_late_data_audit",
+        "q_path_topk", "q_late_data_audit", "q_rolling_dau",
     ],
     "Incremental / DML patterns": [
         "q_rollup_hierarchical", "q_merge_upsert", "q_cdc_changelog",
@@ -166,6 +167,10 @@ ROLES = {
     "q_late_data_audit": "per-shard watermark lateness census (simulated arrival order)",
     "q_embed_norm": "per-dim mean/std + 3-sigma outlier census (fixed-point exact)",
     "q_curriculum_interleave": "easy->hard per-source rank, round-robin interleave (two-level rank)",
+    "q_rolling_dau": "rolling 7-day distinct users via per-user interval merge (no COUNT DISTINCT)",
+    "q_compaction_plan": "small-file bin packing over file metadata (next-fit window)",
+    "q_tpch_q2ish": "per-part min-cost supplier argmin (Q2 shape, lineitem-derived cost)",
+    "q_tpch_q20ish": "nested semi-join chain to excess-volume suppliers (Q20 shape)",
     "q_sink_orc": "parallel ORC directory write + vectorized readback",
     "q_join_bloom": "explicit bloom runtime filter; map-side fact pruning",
     "q_corr_matrix": "all-pairs Pearson corr from one sufficient-stats pass",
