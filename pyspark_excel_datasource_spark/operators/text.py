@@ -930,3 +930,94 @@ def q_pii_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("X" * 12), F.substring("num", 13, 4)).alias("masked"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index build (the retrieval-side data product)
+# ---------------------------------------------------------------------------
+
+#: postings kept per term (top documents by term frequency)
+_IDX_TOPK = 5
+#: document-frequency floor: hapax terms carry no retrieval signal and
+#: dominate the vocabulary — dropping them shrinks the index materially
+_IDX_MIN_DF = 2
+
+
+@query(
+    "q_inverted_index",
+    oracle=f"""
+    WITH tf AS (
+        SELECT tok, doc_id, COUNT(*) AS tf
+        FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY tok, doc_id
+    ),
+    ranked AS (
+        SELECT tok, doc_id, tf,
+               ROW_NUMBER() OVER (PARTITION BY tok
+                                  ORDER BY tf DESC, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY tok) AS df,
+               SUM(tf) OVER (PARTITION BY tok) AS total_tf
+        FROM tf
+    )
+    SELECT tok, CAST(df AS BIGINT) AS df,
+           CAST(total_tf AS BIGINT) AS total_tf,
+           STRING_AGG(doc_id || ':' || tf, ',' ORDER BY rn) AS top_postings
+    FROM ranked
+    WHERE rn <= {_IDX_TOPK} AND df >= {_IDX_MIN_DF}
+    GROUP BY tok, df, total_tf
+    """,
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a pruned inverted index: per term, its document frequency,
+    corpus term frequency, and the top-5 postings by in-document term
+    frequency — the data product BM25 / keyword retrieval serves from.
+
+    Scale shape: the classic two-level wordcount — (tok, doc) partial
+    counts combine map-side, then per-term stats come from ONE window
+    pass over the *aggregated* (tok, doc) rows, never raw tokens; the
+    postings list is rank-filtered to ≤5 rows per term BEFORE any
+    collection, so no operator ever holds an unbounded per-term state
+    (the naive ``collect_list``-then-slice would). Hapax terms are
+    dropped by the df floor (mirrored in the oracle). The postings
+    column is presented as an ordered ``doc:tf`` string — deterministic
+    by the (tf DESC, doc_id) total order — because arrays don't survive
+    the gate's canonicalizer (the ``q_multimodal_features`` lesson).
+    """
+    d = spread(table(spark, sf_dir, "documents"))
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    per_tok = W.partitionBy("tok")
+    ranked = tf.select(
+        "tok",
+        "doc_id",
+        "tf",
+        F.row_number()
+        .over(per_tok.orderBy(F.col("tf").desc(), F.col("doc_id").asc()))
+        .alias("rn"),
+        F.count("*").over(per_tok).alias("df"),
+        F.sum("tf").over(per_tok).alias("total_tf"),
+    ).filter((F.col("rn") <= _IDX_TOPK) & (F.col("df") >= _IDX_MIN_DF))
+    return (
+        ranked.groupBy("tok", "df", "total_tf")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "doc_id", "tf"))
+                    ),
+                    lambda s: F.concat_ws(":", s["doc_id"], s["tf"]),
+                ),
+            ).alias("top_postings")
+        )
+        .select(
+            "tok",
+            F.col("df").cast("long").alias("df"),
+            F.col("total_tf").cast("long").alias("total_tf"),
+            "top_postings",
+        )
+    )

@@ -200,6 +200,9 @@ _PRIORITY: tuple[str, ...] = (
     "q_compaction_plan",
     "q_tpch_q2ish",
     "q_tpch_q20ish",
+    "q_scan_text",
+    "q_sink_text",
+    "q_inverted_index",
     # E2. overflow: oracle-backed greens most recently touched, in case
     #    the driver widens the window further; remaining greens follow in
     #    registration order after these.

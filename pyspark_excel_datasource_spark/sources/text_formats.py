@@ -144,3 +144,94 @@ def q_scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .json(path)
         .filter(F.col("p_size") >= 25)
     )
+
+
+# ---------------------------------------------------------------------------
+# Raw line-oriented text source / sink (the rawest ingest format of all)
+# ---------------------------------------------------------------------------
+
+
+def _materialize_docs_txt(sf_dir: str) -> str:
+    """documents.parquet → docs.txt (one ``doc_id<TAB>text`` line per
+    document; the corpus text contains neither tabs nor newlines),
+    idempotent."""
+    out = os.path.join(_fixture_dir(sf_dir), "docs.txt")
+    if not os.path.exists(out):
+        frame = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        ).to_pandas()
+        with open(out + ".tmp", "w", encoding="utf-8") as fh:
+            for doc_id, text in zip(frame["doc_id"], frame["text"]):
+                fh.write(f"{doc_id}\t{text}\n")
+        os.replace(out + ".tmp", out)
+    return out
+
+
+@query(
+    "q_scan_text",
+    oracle="""
+    SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS text_len,
+           CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_words
+    FROM documents
+    WHERE LENGTH(text) >= 200
+    """,
+)
+def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw text-line scan (``spark.read.text``) + in-plan structural
+    parse — the ingest path for the rawest corpus format there is (one
+    record per line, no schema at all).
+
+    ``text`` files are splittable exactly like CSV/JSONL, so a 100 TB
+    dump fans out per byte range with no planning metadata; the
+    tab-split parse and the length filter are codegen'd projections ON
+    the scan — nothing materializes the unparsed line beyond its task.
+    The oracle reads the ORIGINAL parquet, so the hash check proves the
+    full encode→line→decode path is lossless.
+    """
+    path = _materialize_docs_txt(sf_dir)
+    lines = spark.read.text(path)
+    parsed = lines.select(
+        F.split(F.col("value"), "\t", 2).alias("kv")
+    ).select(
+        F.element_at("kv", 1).cast("long").alias("doc_id"),
+        F.element_at("kv", 2).alias("text"),
+    )
+    return parsed.filter(F.length("text") >= 200).select(
+        "doc_id",
+        F.length("text").cast("long").alias("text_len"),
+        F.size(F.split("text", " ")).cast("long").alias("n_words"),
+    )
+
+
+@query(
+    "q_sink_text",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q_sink_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-line sink roundtrip: aggregate → single-string-column encode
+    → parallel ``write.text`` directory → read back and re-parse. The
+    encode (``concat_ws``) and the write are both per-partition — no
+    driver funnel — and the readback proves the line format carries the
+    aggregate losslessly (integers survive text exactly)."""
+    out = os.path.join(_fixture_dir(sf_dir), "lang_census_txt")
+    src = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .select(F.concat_ws("\t", "lang", "n_docs", "total_chars").alias("value"))
+    )
+    src.write.mode("overwrite").text(out)
+    back = spark.read.text(out).select(F.split("value", "\t").alias("kv"))
+    return back.select(
+        F.element_at("kv", 1).alias("lang"),
+        F.element_at("kv", 2).cast("long").alias("n_docs"),
+        F.element_at("kv", 3).cast("long").alias("total_chars"),
+    )

@@ -309,3 +309,36 @@ def test_q20ish_thresholds_hold(spark):
         assert r.n_heavy_parts >= 1
         assert r.total_qty > 30 * 0  # qty sums positive
         assert r.n_name in {"NATION_3", "NATION_7", "NATION_11"}
+
+
+def test_scan_text_roundtrip_lossless(spark):
+    got = _q("q_scan_text")(spark, SF)
+    docs = spark.read.parquet(f"{SF}/documents.parquet").filter(
+        F.length("text") >= 200
+    )
+    assert got.count() == docs.count()
+
+
+def test_sink_text_census_exact(spark):
+    rows = {r.lang: (r.n_docs, r.total_chars)
+            for r in _q("q_sink_text")(spark, SF).collect()}
+    want = {
+        r.lang: (r.n, r.t)
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("t"))
+        .collect()
+    }
+    assert rows == want
+
+
+def test_inverted_index_postings_contract(spark):
+    rows = _q("q_inverted_index")(spark, SF).collect()
+    assert rows
+    for r in rows[:50]:
+        posts = r.top_postings.split(",")
+        assert 1 <= len(posts) <= 5
+        tfs = [int(p.split(":")[1]) for p in posts]
+        assert tfs == sorted(tfs, reverse=True)  # ranked by tf desc
+        assert r.df >= 2
+        assert r.total_tf >= sum(tfs)

@@ -103,6 +103,9 @@ def test_round6_window_composition():
         "q_compaction_plan",
         "q_tpch_q2ish",
         "q_tpch_q20ish",
+        "q_scan_text",
+        "q_sink_text",
+        "q_inverted_index",
     }
     # names[50] is q_topk (the 51st-slot bench pad); late-authored head
     # the ordering right after it

@@ -17,6 +17,7 @@ SECTIONS = {
         "q_scan_parquet", "q_scan_excel", "q_sink_excel", "q_scan_multifile",
         "q_sink_parquet_partitioned", "q_scan_evolving", "q_scan_csv",
         "q_sink_csv", "q_scan_jsonl", "q_scan_orc", "q_sink_orc",
+        "q_scan_text", "q_sink_text",
     ],
     "Projection / filter": ["q_project", "q_filter_basic", "q_filter_complex"],
     "Joins": [
@@ -78,6 +79,7 @@ SECTIONS = {
         "q_text_fingerprint", "q_text_winnow", "q_text_winnow_pairs",
         "q_text_tfidf", "q_tokenize", "q_text_lm_score", "q_contamination",
         "q_pii_redact", "q_strip_markup", "q_bm25", "q_pii_luhn",
+        "q_inverted_index",
     ],
     "North-star: multimodal": ["q_multimodal_cols", "q_multimodal_features", "q_multimodal_dedup", "q_multimodal_frames"],
     "North-star: pipeline composition": [
@@ -171,6 +173,9 @@ ROLES = {
     "q_compaction_plan": "small-file bin packing over file metadata (next-fit window)",
     "q_tpch_q2ish": "per-part min-cost supplier argmin (Q2 shape, lineitem-derived cost)",
     "q_tpch_q20ish": "nested semi-join chain to excess-volume suppliers (Q20 shape)",
+    "q_scan_text": "raw text-line scan + in-plan tab parse (lossless vs parquet oracle)",
+    "q_sink_text": "text-line sink roundtrip (per-partition write, no driver funnel)",
+    "q_inverted_index": "pruned posting lists: df floor + top-5-by-tf per term, bounded state",
     "q_sink_orc": "parallel ORC directory write + vectorized readback",
     "q_join_bloom": "explicit bloom runtime filter; map-side fact pruning",
     "q_corr_matrix": "all-pairs Pearson corr from one sufficient-stats pass",
