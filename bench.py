@@ -45,6 +45,11 @@ HEADLINE = (
     "q_pack_context",
     "q_join_bloom",
     "q_attribution",
+    # round-6 additions: the distributed-skyline prune and the interval
+    # rolling-DAU plan — both replace naive O(n²)/O(n·days) forms, so
+    # their absolute cost is the proof the clever plan stays cheap
+    "q_skyline_pareto",
+    "q_rolling_dau",
 )
 
 RUNS = 3
