@@ -853,3 +853,117 @@ def q_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         canon(dround(t, 6)).alias("t_stat"),
         (F.abs(t) > 1.96).alias("significant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact weighted median via band localization
+# ---------------------------------------------------------------------------
+
+#: value-band width for localizing the weighted median (prices span
+#: ~900..105000, so ~100 bands; width is a constant, not a percentile,
+#: to keep the banding engine-free)
+_WM_BAND = 1000
+
+
+@query(
+    "q_weighted_median",
+    oracle=f"""
+    WITH r AS (
+        SELECT l_returnflag AS flag, l_extendedprice AS v,
+               CAST(l_quantity AS DECIMAL(18,0)) AS w
+        FROM lineitem
+    ),
+    tot AS (SELECT flag, SUM(w) AS total FROM r GROUP BY flag),
+    c AS (
+        SELECT flag, v,
+               SUM(w) OVER (PARTITION BY flag ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM r
+    )
+    SELECT c.flag, CAST(t.total AS BIGINT) AS total_w,
+           {sql_canon("CAST(MIN(c.v) AS DECIMAL(18,2))")} AS median_price
+    FROM c JOIN tot t ON c.flag = t.flag
+    WHERE 2 * c.cum >= t.total
+    GROUP BY c.flag, t.total
+    """,
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted (lower) median of line price per return flag,
+    weighted by quantity — the robust-center statistic percentile_approx
+    approximates and naive exact forms compute with a full per-group
+    sort.
+
+    Scale shape (band localization, the ``q_curriculum_interleave``
+    family): (1) rows reduce to (flag, fixed-width value band) weight
+    sums — a tiny aggregate with map-side partials; (2) a window over
+    the ~100-row band table finds each flag's median BAND and the
+    exclusive weight before it; (3) only rows INSIDE that one band are
+    re-scanned and sorted (a broadcast semi filter + a window over
+    ~1/100th of each group), where the exact crossing value is read
+    off. No operator ever sorts a whole group. The oracle states the
+    naive definition — full per-group cumulative weights — so the
+    banded plan is verified against declarative semantics. Weights sum
+    in exact decimal; the crossing VALUE is tie-stable even though
+    tied rows may permute (any order crosses the threshold at the same
+    price).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    r = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("decimal(18,0)").alias("w"),
+    ).withColumn("band", F.floor(F.col("v") / _WM_BAND).cast("long"))
+    bands = r.groupBy("flag", "band").agg(F.sum("w").alias("bw"))
+    per_flag = W.partitionBy("flag").orderBy("band")
+    cum_w = per_flag.rowsBetween(W.unboundedPreceding, W.currentRow)
+    all_w = W.partitionBy("flag")
+    banded = bands.select(
+        "flag",
+        "band",
+        "bw",
+        F.sum("bw").over(cum_w).alias("cum"),
+        F.sum("bw").over(all_w).alias("total"),
+    )
+    med_band = (
+        banded.filter(2 * F.col("cum") >= F.col("total"))
+        .groupBy("flag")
+        .agg(
+            F.min_by(
+                F.struct(
+                    F.col("band"), (F.col("cum") - F.col("bw")).alias("before"),
+                    F.col("total"),
+                ),
+                F.col("band"),
+            ).alias("m")
+        )
+        .select(
+            "flag",
+            F.col("m.band").alias("mband"),
+            F.col("m.before").alias("before"),
+            F.col("m.total").alias("total"),
+        )
+    )
+    rr = r.alias("rr")
+    mb = med_band.alias("mb")
+    in_band = rr.join(
+        F.broadcast(mb),
+        (F.col("rr.flag") == F.col("mb.flag"))
+        & (F.col("rr.band") == F.col("mb.mband")),
+    ).select(
+        F.col("rr.flag").alias("flag"), "v", "w", "before", "total"
+    )
+    in_cum = (
+        W.partitionBy("flag")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    crossed = in_band.select(
+        "flag",
+        "v",
+        "total",
+        (F.col("before") + F.sum("w").over(in_cum)).alias("cum"),
+    ).filter(2 * F.col("cum") >= F.col("total"))
+    return crossed.groupBy("flag").agg(
+        F.first("total").cast("long").alias("total_w"),
+        canon(F.min("v").cast("decimal(18,2)")).alias("median_price"),
+    )

@@ -1103,3 +1103,120 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         hit.alias("click_within_1h"),
         hit.isNotNull().alias("attributed"),
     )
+
+
+@query(
+    "q_join_asof_nearest",
+    oracle="""
+    WITH base AS (
+        SELECT p.event_id, p.user_id, p.ts,
+               (SELECT MAX(c.ts) FROM events c
+                WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                  AND c.ts < p.ts) AS back,
+               (SELECT MIN(c.ts) FROM events c
+                WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                  AND c.ts > p.ts) AS fwd
+        FROM events p WHERE p.event_type = 'purchase'
+    )
+    SELECT event_id, user_id, ts AS purchase_ts,
+           CASE WHEN back IS NULL AND fwd IS NULL THEN NULL
+                WHEN fwd IS NULL THEN back
+                WHEN back IS NULL THEN fwd
+                WHEN epoch_us(ts) - epoch_us(back)
+                     <= epoch_us(fwd) - epoch_us(ts) THEN back
+                ELSE fwd END AS nearest_click,
+           CASE WHEN back IS NULL AND fwd IS NULL THEN 'none'
+                WHEN fwd IS NULL THEN 'prior'
+                WHEN back IS NULL THEN 'later'
+                WHEN epoch_us(ts) - epoch_us(back)
+                     <= epoch_us(fwd) - epoch_us(ts) THEN 'prior'
+                ELSE 'later' END AS side,
+           CAST(CASE WHEN back IS NULL AND fwd IS NULL THEN -1
+                WHEN fwd IS NULL THEN (epoch_us(ts) - epoch_us(back)) // 1000000
+                WHEN back IS NULL THEN (epoch_us(fwd) - epoch_us(ts)) // 1000000
+                WHEN epoch_us(ts) - epoch_us(back)
+                     <= epoch_us(fwd) - epoch_us(ts)
+                     THEN (epoch_us(ts) - epoch_us(back)) // 1000000
+                ELSE (epoch_us(fwd) - epoch_us(ts)) // 1000000 END AS BIGINT)
+               AS gap_s
+    FROM base
+    """,
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join (pandas ``merge_asof(direction="nearest")``):
+    each purchase gets its closest click in EITHER time direction,
+    strict on both sides (a simultaneous click is neither prior nor
+    later), ties preferring the prior click — the sensor-fusion /
+    attribution variant when causality is not assumed.
+
+    Scale shape — ONE shuffle, not two as-of passes: union purchases
+    and clicks, hash-partition by user once, then two window passes
+    over the SAME partitioning (Catalyst reuses the exchange; the
+    second pass costs only a re-sort). Strictness at equal timestamps
+    falls out of the sort orders alone: the backward pass sorts clicks
+    AFTER same-ts purchases (so the preceding frame can't see them),
+    the forward pass sorts them BEFORE (so the following frame can't) —
+    no value comparisons against the current row needed. Per-key window
+    state is one carried timestamp in each direction. All gap math is
+    integer microseconds.
+    """
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts",
+        F.lit(0).alias("is_click"),
+        F.lit(None).cast("timestamp_ntz").alias("click_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id", "ts",
+        F.lit(1).alias("is_click"),
+        F.col("ts").alias("click_ts"),
+    )
+    u = purchases.unionByName(clicks)
+    w_back = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_click").asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_fwd = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_click").desc())
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    carried = u.select(
+        "event_id", "user_id", "ts", "is_click",
+        F.max("click_ts").over(w_back).alias("back"),
+        F.min("click_ts").over(w_fwd).alias("fwd"),
+    ).filter(F.col("is_click") == 0)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    us_b = F.unix_micros(F.col("back").cast("timestamp"))
+    us_f = F.unix_micros(F.col("fwd").cast("timestamp"))
+    gap_b = us - us_b
+    gap_f = us_f - us
+    prior_wins = F.col("back").isNotNull() & (
+        F.col("fwd").isNull() | (gap_b <= gap_f)
+    )
+    nearest = (
+        F.when(F.col("back").isNull() & F.col("fwd").isNull(), F.lit(None))
+        .when(prior_wins, F.col("back"))
+        .otherwise(F.col("fwd"))
+    )
+    side = (
+        F.when(F.col("back").isNull() & F.col("fwd").isNull(), "none")
+        .when(prior_wins, "prior")
+        .otherwise("later")
+    )
+    # gap in whole seconds of the SELECTED side (-1 = no click at all)
+    gap_sel = (
+        F.when(F.col("back").isNull() & F.col("fwd").isNull(), F.lit(-1).cast("long"))
+        .when(prior_wins, (gap_b / 1_000_000).cast("long"))
+        .otherwise((gap_f / 1_000_000).cast("long"))
+    )
+    return carried.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        nearest.alias("nearest_click"),
+        side.alias("side"),
+        gap_sel.alias("gap_s"),
+    )

@@ -1021,3 +1021,98 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_postings",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-frequency boilerplate stripping (CCNet-style segment removal)
+# ---------------------------------------------------------------------------
+
+#: segment width in words (non-overlapping) and the document-frequency
+#: threshold above which a segment is boilerplate. At 100 TB the absolute
+#: threshold becomes a corpus fraction via the broadcast-scalar pattern
+#: (`q_text_tfidf`'s corpus-count join); the plan is unchanged.
+_BP_W = 4
+_BP_DF = 3
+
+
+@query(
+    "q_strip_boilerplate",
+    oracle=f"""
+    WITH segs AS (
+        SELECT doc_id, k,
+               ARRAY_TO_STRING(wd[k*{_BP_W}+1 : k*{_BP_W}+{_BP_W}], ' ') AS seg
+        FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS wd FROM documents)
+        CROSS JOIN UNNEST(RANGE(0, (LEN(wd)-1) // {_BP_W} + 1)) AS t(k)
+    ),
+    df AS (
+        SELECT MD5(seg) AS h, COUNT(DISTINCT doc_id) AS df
+        FROM segs GROUP BY MD5(seg)
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segs,
+           CAST(SUM(CASE WHEN d.df >= {_BP_DF} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped,
+           MD5(COALESCE(ARRAY_TO_STRING(
+               LIST(s.seg ORDER BY s.k) FILTER (WHERE d.df < {_BP_DF}),
+               ' '), '')) AS cleaned_hash
+    FROM segs s JOIN df d ON MD5(s.seg) = d.h
+    GROUP BY s.doc_id
+    """,
+)
+def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate removal (the CCNet/RefinedWeb pass):
+    split every document into non-overlapping 4-word segments, count
+    each segment's document frequency corpus-wide, drop segments that
+    repeat across ≥3 documents (headers, footers, template spam), and
+    reassemble the cleaned text in original order — reported as per-doc
+    segment census + md5 of the cleaned text (the hash keeps the gate
+    comparison content-exact without shipping documents).
+
+    Scale shape: the df aggregation and the join back both key on
+    ``md5(segment)`` — 16-byte keys with map-side combine, never
+    segment text across the df shuffle; reassembly is one per-doc
+    aggregate whose ``collect_list`` holds only the doc's own segments
+    (bounded by document length, the same state any per-doc op carries).
+    Null-skipping ``collect_list(when(keep, …))`` filters and collects
+    in one pass; ordering is pinned by the segment index, so the
+    rebuilt text is deterministic in both engines.
+    """
+    d = spread(table(spark, sf_dir, "documents"))
+    wd = F.split(F.col("text"), " ")
+    segs = (
+        d.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, (size(split(text, ' ')) - 1) div {_BP_W}),"
+                    f" k -> array_join(slice(split(text, ' '), k * {_BP_W} + 1, {_BP_W}), ' '))"
+                )
+            ).alias("k", "seg"),
+        )
+        .withColumn("h", F.md5("seg"))
+    )
+    df_tbl = segs.groupBy("h").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    joined = segs.join(df_tbl, "h")
+    keep = F.col("df") < _BP_DF
+    return joined.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_segs"),
+        F.sum(F.when(~keep, 1).otherwise(0)).cast("long").alias("n_dropped"),
+        F.md5(
+            F.coalesce(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(keep, F.struct("k", "seg"))
+                            )
+                        ),
+                        lambda s: s["seg"],
+                    ),
+                ),
+                F.lit(""),
+            )
+        ).alias("cleaned_hash"),
+    )

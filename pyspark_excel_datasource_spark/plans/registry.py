@@ -203,6 +203,9 @@ _PRIORITY: tuple[str, ...] = (
     "q_scan_text",
     "q_sink_text",
     "q_inverted_index",
+    "q_strip_boilerplate",
+    "q_join_asof_nearest",
+    "q_weighted_median",
     # E2. overflow: oracle-backed greens most recently touched, in case
     #    the driver widens the window further; remaining greens follow in
     #    registration order after these.

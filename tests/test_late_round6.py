@@ -342,3 +342,62 @@ def test_inverted_index_postings_contract(spark):
         assert tfs == sorted(tfs, reverse=True)  # ranked by tf desc
         assert r.df >= 2
         assert r.total_tf >= sum(tfs)
+
+
+def test_strip_boilerplate_census(spark):
+    rows = _q("q_strip_boilerplate")(spark, SF).collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(rows) == n_docs
+    assert any(r.n_dropped > 0 for r in rows)  # boilerplate exists
+    for r in rows:
+        assert 0 <= r.n_dropped <= r.n_segs
+        assert len(r.cleaned_hash) == 32
+
+
+def test_asof_nearest_matches_bruteforce(spark):
+    got = {r.event_id: (r.nearest_click, r.side, r.gap_s)
+           for r in _q("q_join_asof_nearest")(spark, SF).collect()}
+    from pyspark_excel_datasource_spark.catalog import table as _t
+
+    ev = _t(spark, SF, "events").select("event_id", "user_id", "ts",
+                                        "event_type").collect()
+    clicks = {}
+    for e in ev:
+        if e.event_type == "click":
+            clicks.setdefault(e.user_id, []).append(e.ts)
+    for e in ev:
+        if e.event_type != "purchase":
+            continue
+        cs = clicks.get(e.user_id, [])
+        back = max((c for c in cs if c < e.ts), default=None)
+        fwd = min((c for c in cs if c > e.ts), default=None)
+        if back is None and fwd is None:
+            want = (None, "none", -1)
+        elif fwd is None or (back is not None
+                             and e.ts - back <= fwd - e.ts):
+            want = (back, "prior", int((e.ts - back).total_seconds()))
+        else:
+            want = (fwd, "later", int((fwd - e.ts).total_seconds()))
+        assert got[e.event_id] == want, e.event_id
+
+
+def test_weighted_median_matches_bruteforce(spark):
+    rows = {r.flag: r.median_price
+            for r in _q("q_weighted_median")(spark, SF).collect()}
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    ).collect()
+    import collections
+
+    groups = collections.defaultdict(list)
+    for r in li:
+        groups[r.l_returnflag].append((r.l_extendedprice, int(r.l_quantity)))
+    for flag, vw in groups.items():
+        vw.sort()
+        total = sum(w for _, w in vw)
+        cum = 0
+        for v, w in vw:
+            cum += w
+            if 2 * cum >= total:
+                assert rows[flag] == f"{v:.2f}", flag
+                break

@@ -106,6 +106,9 @@ def test_round6_window_composition():
         "q_scan_text",
         "q_sink_text",
         "q_inverted_index",
+        "q_strip_boilerplate",
+        "q_join_asof_nearest",
+        "q_weighted_median",
     }
     # names[50] is q_topk (the 51st-slot bench pad); late-authored head
     # the ordering right after it

@@ -25,6 +25,7 @@ SECTIONS = {
         "q_join_full", "q_join_semi", "q_join_anti", "q_join_theta",
         "q_join_star3", "q_join_asof", "q_join_asof_tolerance",
         "q_join_bucketed", "q_join_skew_salted",
+        "q_join_asof_nearest",
         "q_join_range", "q_join_interval_overlap", "q_skew_keys",
         "q_join_dpp", "q_zorder_layout", "q_join_bloom", "q_join_spatial_grid",
         "q_compaction_plan",
@@ -36,7 +37,7 @@ SECTIONS = {
         "q_dedup_exact",
         "q_dedup_keep_first", "q_pivot", "q_unpivot", "q_quantile_bins",
     ],
-    "Window functions": ["q_win_rank", "q_win_analytic", "q_win_frame", "q_win_range_frame", "q_win_cume", "q_win_median"],
+    "Window functions": ["q_win_rank", "q_win_analytic", "q_win_frame", "q_win_range_frame", "q_win_cume", "q_win_median", "q_weighted_median"],
     "Sorts / limits / top-k": ["q_sort_multi", "q_topk", "q_topk_group"],
     "Set operations": ["q_union_all", "q_union_dist", "q_intersect", "q_except"],
     "Scalar functions": [
@@ -79,7 +80,7 @@ SECTIONS = {
         "q_text_fingerprint", "q_text_winnow", "q_text_winnow_pairs",
         "q_text_tfidf", "q_tokenize", "q_text_lm_score", "q_contamination",
         "q_pii_redact", "q_strip_markup", "q_bm25", "q_pii_luhn",
-        "q_inverted_index",
+        "q_inverted_index", "q_strip_boilerplate",
     ],
     "North-star: multimodal": ["q_multimodal_cols", "q_multimodal_features", "q_multimodal_dedup", "q_multimodal_frames"],
     "North-star: pipeline composition": [
@@ -176,6 +177,9 @@ ROLES = {
     "q_scan_text": "raw text-line scan + in-plan tab parse (lossless vs parquet oracle)",
     "q_sink_text": "text-line sink roundtrip (per-partition write, no driver funnel)",
     "q_inverted_index": "pruned posting lists: df floor + top-5-by-tf per term, bounded state",
+    "q_strip_boilerplate": "drop segments repeating across >=3 docs; md5-keyed df shuffle",
+    "q_join_asof_nearest": "bidirectional strict as-of, one shuffle + two sorts, tie->prior",
+    "q_weighted_median": "exact weighted median, band-localized (no whole-group sort)",
     "q_sink_orc": "parallel ORC directory write + vectorized readback",
     "q_join_bloom": "explicit bloom runtime filter; map-side fact pruning",
     "q_corr_matrix": "all-pairs Pearson corr from one sufficient-stats pass",
