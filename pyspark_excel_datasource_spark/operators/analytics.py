@@ -1299,7 +1299,12 @@ def q_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     COUNT(DISTINCT)), so the interval plan is verified against the
     naive semantics it replaces.
     """
-    ev = table(spark, sf_dir, "events")
+    return rolling_dau(table(spark, sf_dir, "events"))
+
+
+def rolling_dau(ev: DataFrame) -> DataFrame:
+    """Rolling-DAU interval plan over an events frame (shared with
+    ``tools/scale_stress.py``)."""
     ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
     per_user = W.partitionBy("user_id").orderBy("day")
     prev = F.lag("day").over(per_user)

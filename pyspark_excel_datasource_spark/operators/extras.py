@@ -907,7 +907,12 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     tied rows may permute (any order crosses the threshold at the same
     price).
     """
-    li = table(spark, sf_dir, "lineitem")
+    return weighted_median(table(spark, sf_dir, "lineitem"))
+
+
+def weighted_median(li: DataFrame) -> DataFrame:
+    """Band-localized weighted-median plan over a lineitem frame (shared
+    with ``tools/scale_stress.py``)."""
     r = li.select(
         F.col("l_returnflag").alias("flag"),
         F.col("l_extendedprice").alias("v"),

@@ -1160,7 +1160,12 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     state is one carried timestamp in each direction. All gap math is
     integer microseconds.
     """
-    ev = table(spark, sf_dir, "events")
+    return asof_nearest(table(spark, sf_dir, "events"))
+
+
+def asof_nearest(ev: DataFrame) -> DataFrame:
+    """Nearest-as-of plan over an events frame (shared with
+    ``tools/scale_stress.py``)."""
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts",
         F.lit(0).alias("is_click"),

@@ -984,7 +984,12 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the (tf DESC, doc_id) total order — because arrays don't survive
     the gate's canonicalizer (the ``q_multimodal_features`` lesson).
     """
-    d = spread(table(spark, sf_dir, "documents"))
+    return inverted_index(spread(table(spark, sf_dir, "documents")))
+
+
+def inverted_index(d: DataFrame) -> DataFrame:
+    """Inverted-index build plan over a documents frame (shared with
+    ``tools/scale_stress.py``)."""
     tf = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("tok", "doc_id")
@@ -1077,7 +1082,12 @@ def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     in one pass; ordering is pinned by the segment index, so the
     rebuilt text is deterministic in both engines.
     """
-    d = spread(table(spark, sf_dir, "documents"))
+    return strip_boilerplate(spread(table(spark, sf_dir, "documents")))
+
+
+def strip_boilerplate(d: DataFrame) -> DataFrame:
+    """Boilerplate-stripping plan over a documents frame (shared with
+    ``tools/scale_stress.py``)."""
     wd = F.split(F.col("text"), " ")
     segs = (
         d.select(

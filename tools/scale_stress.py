@@ -271,7 +271,16 @@ def main() -> None:
         spatial_points,
     )
 
-    from pyspark_excel_datasource_spark.operators.analytics import lateness_audit
+    from pyspark_excel_datasource_spark.operators.analytics import (
+        lateness_audit,
+        rolling_dau,
+    )
+    from pyspark_excel_datasource_spark.operators.extras import weighted_median
+    from pyspark_excel_datasource_spark.operators.relational import asof_nearest
+    from pyspark_excel_datasource_spark.operators.text import (
+        inverted_index,
+        strip_boilerplate,
+    )
     from pyspark_excel_datasource_spark.operators.corpus import bpe_encode
     from pyspark_excel_datasource_spark.operators.dedup import cross_source_census
     from pyspark_excel_datasource_spark.operators.pipeline import (
@@ -385,6 +394,29 @@ def main() -> None:
         "curriculum": (
             curriculum_schedule(docs_full1),
             curriculum_schedule(docs_full10),
+        ),
+        # round-6 batch 3-5: interval rolling-DAU; bounded-postings index
+        # build; md5-keyed boilerplate df; one-shuffle bidirectional asof;
+        # band-localized weighted median
+        "rolling_dau": (
+            rolling_dau(ev1),
+            rolling_dau(ev10),
+        ),
+        "inverted_index": (
+            inverted_index(docs1),
+            inverted_index(docs10),
+        ),
+        "strip_boiler": (
+            strip_boilerplate(docs1),
+            strip_boilerplate(docs10),
+        ),
+        "asof_nearest": (
+            asof_nearest(ev1),
+            asof_nearest(ev10),
+        ),
+        "weighted_median": (
+            weighted_median(li1),
+            weighted_median(li10),
         ),
     }
     wanted = set(sys.argv[1:])
