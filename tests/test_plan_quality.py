@@ -148,3 +148,53 @@ def test_winsorize_broadcasts_bounds(spark):
     table a second time for a 20-row dimension."""
     plan = _plan(_q(spark, "q_winsorize_by_group"))
     assert "BroadcastHashJoin" in plan
+
+
+def test_asof_nearest_single_exchange(spark):
+    """The bidirectional nearest as-of claims ONE shuffle: both window
+    passes must stack on a single hashpartitioning exchange (the second
+    ordering costs a re-sort, never a re-shuffle)."""
+    exe = (
+        _q(spark, "q_join_asof_nearest")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert exe.count("Exchange hashpartitioning") == 1, exe[:2000]
+    assert exe.count("Window [") == 2
+
+
+def test_curriculum_base_window_is_banded(spark):
+    """The in-source ranking over base rows must key on (source, band) —
+    a source-only window over the corpus would serialize each source
+    into one task. Source-only partitionings may appear only on the
+    tiny counts/source-index frames."""
+    exe = (
+        _q(spark, "q_curriculum_interleave")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    m = re.search(r"row_number\(\) windowspecdefinition\(source#\d+, band#\d+L", exe)
+    assert m, exe[:2000]
+    # exactly one SinglePartition exchange: the |sources|-row index frame
+    assert exe.count("Exchange SinglePartition") == 1
+
+
+def test_weighted_median_sorts_only_in_band(spark):
+    """The per-row cumulative-weight window must run on the broadcast-
+    filtered in-band slice, never the whole group: the plan has the
+    band-table windows plus ONE row-level window whose input descends
+    from a BroadcastHashJoin (the median-band filter)."""
+    exe = (
+        _q(spark, "q_weighted_median")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    rowwin = [
+        seg for seg in exe.split("+- Window ")[1:]
+        if "v#" in seg.split("\n")[0]
+    ]
+    assert len(rowwin) == 1
+    assert "BroadcastHashJoin" in rowwin[0], rowwin[0][:1200]
