@@ -972,3 +972,95 @@ def weighted_median(li: DataFrame) -> DataFrame:
         F.first("total").cast("long").alias("total_w"),
         canon(F.min("v").cast("decimal(18,2)")).alias("median_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# One-pass table profiling (the data-quality census every ingest runs first)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_profile_table",
+    oracle="""
+    SELECT 'doc_id' AS col,
+           CAST(COUNT(*) - COUNT(doc_id) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+           CAST(MIN(doc_id) AS VARCHAR) AS min_value,
+           CAST(MAX(doc_id) AS VARCHAR) AS max_value
+    FROM documents
+    UNION ALL
+    SELECT 'lang', COUNT(*) - COUNT(lang), COUNT(DISTINCT lang),
+           MIN(lang), MAX(lang) FROM documents
+    UNION ALL
+    SELECT 'source', COUNT(*) - COUNT(source), COUNT(DISTINCT source),
+           MIN(source), MAX(source) FROM documents
+    UNION ALL
+    SELECT 'n_chars', COUNT(*) - COUNT(n_chars), COUNT(DISTINCT n_chars),
+           CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'text_len', COUNT(*) - COUNT(text), COUNT(DISTINCT LENGTH(text)),
+           CAST(MIN(LENGTH(text)) AS VARCHAR),
+           CAST(MAX(LENGTH(text)) AS VARCHAR)
+    FROM documents
+    """,
+)
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profile: per column, its null count, distinct
+    count, and min/max — the ingest-time data-quality census that
+    decides whether a feed is trustworthy before anything downstream
+    runs.
+
+    ONE scan computes every column's aggregates side by side (Spark
+    evaluates all 20 aggregate expressions in a single partial+final
+    pass — no per-column re-scan), and the single result row unpivots
+    to long format with a codegen'd ``stack``. The free-text column
+    profiles by LENGTH (its min/max strings would be pages long and
+    meaningless). Values present as strings so mixed column types share
+    one schema — the standard profiling-tool contract.
+    """
+    d = table(spark, sf_dir, "documents")
+    row = d.agg(
+        # doc_id
+        (F.count("*") - F.count("doc_id")).alias("id_nulls"),
+        F.count_distinct("doc_id").alias("id_dist"),
+        F.min("doc_id").cast("string").alias("id_min"),
+        F.max("doc_id").cast("string").alias("id_max"),
+        # lang
+        (F.count("*") - F.count("lang")).alias("lang_nulls"),
+        F.count_distinct("lang").alias("lang_dist"),
+        F.min("lang").alias("lang_min"),
+        F.max("lang").alias("lang_max"),
+        # source
+        (F.count("*") - F.count("source")).alias("src_nulls"),
+        F.count_distinct("source").alias("src_dist"),
+        F.min("source").alias("src_min"),
+        F.max("source").alias("src_max"),
+        # n_chars
+        (F.count("*") - F.count("n_chars")).alias("nc_nulls"),
+        F.count_distinct("n_chars").alias("nc_dist"),
+        F.min("n_chars").cast("string").alias("nc_min"),
+        F.max("n_chars").cast("string").alias("nc_max"),
+        # text length profile
+        (F.count("*") - F.count("text")).alias("tl_nulls"),
+        F.count_distinct(F.length("text")).alias("tl_dist"),
+        F.min(F.length("text")).cast("string").alias("tl_min"),
+        F.max(F.length("text")).cast("string").alias("tl_max"),
+    )
+    return row.select(
+        F.expr(
+            "stack(5,"
+            " 'doc_id', id_nulls, id_dist, id_min, id_max,"
+            " 'lang', lang_nulls, lang_dist, lang_min, lang_max,"
+            " 'source', src_nulls, src_dist, src_min, src_max,"
+            " 'n_chars', nc_nulls, nc_dist, nc_min, nc_max,"
+            " 'text_len', tl_nulls, tl_dist, tl_min, tl_max)"
+            " AS (col, n_nulls, n_distinct, min_value, max_value)"
+        )
+    ).select(
+        "col",
+        F.col("n_nulls").cast("long").alias("n_nulls"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_value",
+        "max_value",
+    )

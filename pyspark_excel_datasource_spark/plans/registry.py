@@ -206,6 +206,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_strip_boilerplate",
     "q_join_asof_nearest",
     "q_weighted_median",
+    "q_profile_table",
     # E2. overflow: oracle-backed greens most recently touched, in case
     #    the driver widens the window further; remaining greens follow in
     #    registration order after these.

@@ -401,3 +401,14 @@ def test_weighted_median_matches_bruteforce(spark):
             if 2 * cum >= total:
                 assert rows[flag] == f"{v:.2f}", flag
                 break
+
+
+def test_profile_table_exact(spark):
+    rows = {r.col: r for r in _q("q_profile_table")(spark, SF).collect()}
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    n = d.count()
+    assert rows["doc_id"].n_nulls == 0
+    assert rows["doc_id"].n_distinct == n
+    assert rows["lang"].n_distinct == d.select("lang").distinct().count()
+    assert int(rows["n_chars"].min_value) <= int(rows["n_chars"].max_value)
+    assert set(rows) == {"doc_id", "lang", "source", "n_chars", "text_len"}

@@ -102,6 +102,7 @@ SECTIONS = {
     ],
     "In-plan statistics / ML": [
         "q_regression_by_group", "q_corr_matrix", "q_ab_ttest",
+        "q_profile_table",
     ],
     "North-star: corpus prep (chunking / tokenizer / shards)": [
         "q_text_repetition", "q_chunk_tokens", "q_bpe_pair_counts",
@@ -180,6 +181,7 @@ ROLES = {
     "q_strip_boilerplate": "drop segments repeating across >=3 docs; md5-keyed df shuffle",
     "q_join_asof_nearest": "bidirectional strict as-of, one shuffle + two sorts, tie->prior",
     "q_weighted_median": "exact weighted median, band-localized (no whole-group sort)",
+    "q_profile_table": "one-pass per-column profile (nulls/distinct/min/max, long format)",
     "q_sink_orc": "parallel ORC directory write + vectorized readback",
     "q_join_bloom": "explicit bloom runtime filter; map-side fact pruning",
     "q_corr_matrix": "all-pairs Pearson corr from one sufficient-stats pass",
