@@ -1332,3 +1332,117 @@ def rolling_dau(ev: DataFrame) -> DataFrame:
         )
     )
     return covered.groupBy("day").agg(F.count("*").cast("long").alias("dau7"))
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time (SCD-2) dimension join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_join_pit",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)
+             - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS island
+        FROM events
+    ),
+    runs AS (
+        SELECT user_id, event_type, island, MIN(ts) AS valid_from
+        FROM ordered GROUP BY user_id, event_type, island
+    ),
+    hits AS (
+        SELECT p.event_id, p.user_id, p.ts,
+               r.event_type AS state_type, r.valid_from AS state_since,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.event_id
+                   ORDER BY r.valid_from DESC, r.event_type DESC
+               ) AS rn
+        FROM events p
+        JOIN runs r ON r.user_id = p.user_id AND r.valid_from <= p.ts
+        WHERE p.event_type = 'purchase'
+    )
+    SELECT event_id, user_id, ts AS purchase_ts, state_type, state_since,
+           CAST((epoch_us(ts) - epoch_us(state_since)) // 1000000 AS BIGINT)
+               AS state_age_s
+    FROM hits WHERE rn = 1
+    """,
+)
+def q_join_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against an SCD-2 dimension: each purchase is
+    enriched with the user-state run (``q_scd2_intervals``' validity
+    intervals) that was ACTIVE at purchase time — the
+    no-future-leakage dimension lookup every feature-store backfill
+    needs (joining today's dimension row onto last year's fact is the
+    classic training-data leak).
+
+    Scale shape — ONE shuffle, no interval range join: state intervals
+    reduce to their start points carrying a (valid_from, state) struct;
+    union with the facts, partition by user once, and a running
+    ``max(struct)`` picks the latest state at-or-before each fact
+    (struct ordering = valid_from DESC then state DESC, engine-exact
+    tie-breaks; nulls from fact rows are ignored by max). Window state
+    is one carried struct per key — the same cost envelope as the
+    as-of family, where the naive form is a fact×runs range join. The
+    oracle states that naive form and picks the same row with an
+    explicit ROW_NUMBER, so the carried-state plan is verified against
+    the declarative definition.
+    """
+    ev = table(spark, sf_dir, "events")
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    island = F.row_number().over(
+        W.partitionBy("user_id").orderBy(*order)
+    ) - F.row_number().over(
+        W.partitionBy("user_id", "event_type").orderBy(*order)
+    )
+    runs = (
+        ev.select("user_id", "event_type", "ts", island.alias("island"))
+        .groupBy("user_id", "event_type", "island")
+        .agg(F.min("ts").alias("valid_from"))
+    )
+    points = runs.select(
+        "user_id",
+        F.col("valid_from").alias("ts"),
+        F.struct(
+            F.col("valid_from").alias("since"), F.col("event_type").alias("st")
+        ).alias("state"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(1).alias("is_dim"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None)
+        .cast("struct<since:timestamp_ntz,st:string>")
+        .alias("state"),
+        "event_id",
+        F.lit(0).alias("is_dim"),
+    )
+    u = points.unionByName(purchases)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_dim").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = u.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "is_dim",
+        F.max("state").over(w).alias("st"),
+    ).filter(F.col("is_dim") == 0)
+    age_s = F.expr(
+        "(unix_micros(cast(ts as timestamp))"
+        " - unix_micros(cast(st.since as timestamp))) DIV 1000000"
+    )
+    return carried.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("st.st").alias("state_type"),
+        F.col("st.since").alias("state_since"),
+        age_s.cast("long").alias("state_age_s"),
+    )

@@ -207,6 +207,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_join_asof_nearest",
     "q_weighted_median",
     "q_profile_table",
+    "q_join_pit",
     # E2. overflow: oracle-backed greens most recently touched, in case
     #    the driver widens the window further; remaining greens follow in
     #    registration order after these.

@@ -412,3 +412,17 @@ def test_profile_table_exact(spark):
     assert rows["lang"].n_distinct == d.select("lang").distinct().count()
     assert int(rows["n_chars"].min_value) <= int(rows["n_chars"].max_value)
     assert set(rows) == {"doc_id", "lang", "source", "n_chars", "text_len"}
+
+
+def test_join_pit_no_future_leakage(spark):
+    rows = _q("q_join_pit")(spark, SF).collect()
+    assert rows
+    n_purch = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert len(rows) == n_purch  # every purchase matched exactly once
+    for r in rows:
+        assert r.state_since <= r.purchase_ts  # never a future state
+        assert r.state_age_s >= 0

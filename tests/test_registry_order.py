@@ -110,6 +110,7 @@ def test_round6_window_composition():
         "q_join_asof_nearest",
         "q_weighted_median",
         "q_profile_table",
+        "q_join_pit",
     }
     # names[50] is q_topk (the 51st-slot bench pad); late-authored head
     # the ordering right after it

@@ -25,7 +25,7 @@ SECTIONS = {
         "q_join_full", "q_join_semi", "q_join_anti", "q_join_theta",
         "q_join_star3", "q_join_asof", "q_join_asof_tolerance",
         "q_join_bucketed", "q_join_skew_salted",
-        "q_join_asof_nearest",
+        "q_join_asof_nearest", "q_join_pit",
         "q_join_range", "q_join_interval_overlap", "q_skew_keys",
         "q_join_dpp", "q_zorder_layout", "q_join_bloom", "q_join_spatial_grid",
         "q_compaction_plan",
@@ -182,6 +182,7 @@ ROLES = {
     "q_join_asof_nearest": "bidirectional strict as-of, one shuffle + two sorts, tie->prior",
     "q_weighted_median": "exact weighted median, band-localized (no whole-group sort)",
     "q_profile_table": "one-pass per-column profile (nulls/distinct/min/max, long format)",
+    "q_join_pit": "SCD2 point-in-time join via carried max-struct (one shuffle)",
     "q_sink_orc": "parallel ORC directory write + vectorized readback",
     "q_join_bloom": "explicit bloom runtime filter; map-side fact pruning",
     "q_corr_matrix": "all-pairs Pearson corr from one sufficient-stats pass",
