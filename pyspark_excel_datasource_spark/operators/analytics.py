@@ -1391,7 +1391,12 @@ def q_join_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit ROW_NUMBER, so the carried-state plan is verified against
     the declarative definition.
     """
-    ev = table(spark, sf_dir, "events")
+    return pit_join(table(spark, sf_dir, "events"))
+
+
+def pit_join(ev: DataFrame) -> DataFrame:
+    """Point-in-time join plan over an events frame (shared with
+    ``tools/scale_stress.py``)."""
     order = [F.col("ts").asc(), F.col("event_id").asc()]
     island = F.row_number().over(
         W.partitionBy("user_id").orderBy(*order)

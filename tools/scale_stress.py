@@ -273,6 +273,7 @@ def main() -> None:
 
     from pyspark_excel_datasource_spark.operators.analytics import (
         lateness_audit,
+        pit_join,
         rolling_dau,
     )
     from pyspark_excel_datasource_spark.operators.extras import weighted_median
@@ -417,6 +418,10 @@ def main() -> None:
         "weighted_median": (
             weighted_median(li1),
             weighted_median(li10),
+        ),
+        "pit_join": (
+            pit_join(ev1),
+            pit_join(ev10),
         ),
     }
     wanted = set(sys.argv[1:])
