@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..catalog import table
+from ..functions.determinism import canon, dround, sql_canon, sql_dround
 from ..plans.registry import query
 
 #: Session gap threshold: a new session starts after 6 h of inactivity
@@ -1450,4 +1451,159 @@ def pit_join(ev: DataFrame) -> DataFrame:
         F.col("st.st").alias("state_type"),
         F.col("st.since").alias("state_since"),
         age_s.cast("long").alias("state_age_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-to-convert distribution (funnel latency histogram)
+# ---------------------------------------------------------------------------
+
+#: histogram cap: delays at or beyond 48h collapse into one tail bucket
+_TTC_CAP_H = 48
+
+
+@query(
+    "q_funnel_ttc",
+    oracle=f"""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(ts) FILTER (event_type = 'click') AS c,
+               MIN(ts) FILTER (event_type = 'purchase') AS p
+        FROM events GROUP BY user_id
+    ),
+    delays AS (
+        SELECT CASE WHEN p < c THEN -1
+                    ELSE LEAST((epoch_us(p) - epoch_us(c)) // 3600000000,
+                               {_TTC_CAP_H}) END AS bucket_h
+        FROM firsts WHERE c IS NOT NULL AND p IS NOT NULL
+    )
+    SELECT CAST(bucket_h AS BIGINT) AS bucket_h,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER () AS share
+    FROM delays GROUP BY bucket_h
+    """,
+)
+def q_funnel_ttc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: hours between each user's FIRST
+    click and FIRST purchase, bucketed into an hourly histogram with a
+    48h+ tail bucket and a ``-1`` bucket for purchase-before-click users
+    — the funnel-latency readout that sizes attribution windows (and
+    motivated ``q_join_asof_tolerance``'s 1-hour choice).
+
+    One conditional-min aggregation per user (a single shuffle on
+    user_id computes both firsts — no self-join, no two passes), then a
+    histogram aggregate whose key space is ≤50 buckets; the share
+    normalization is an unbounded window over that tiny histogram, not
+    the data. Time math is integer microseconds; share is one IEEE
+    division of exact integers.
+    """
+    ev = table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("c"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("p"),
+    )
+    both = firsts.filter(F.col("c").isNotNull() & F.col("p").isNotNull())
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    bucket = F.when(F.col("p") < F.col("c"), F.lit(-1)).otherwise(
+        F.least(
+            F.expr(
+                "(unix_micros(cast(p as timestamp))"
+                " - unix_micros(cast(c as timestamp))) DIV 3600000000"
+            ),
+            F.lit(_TTC_CAP_H),
+        )
+    )
+    hist = both.select(bucket.cast("long").alias("bucket_h")).groupBy(
+        "bucket_h"
+    ).agg(F.count("*").cast("long").alias("n_users"))
+    total_w = W.partitionBy()
+    return hist.select(
+        "bucket_h",
+        "n_users",
+        (F.col("n_users").cast("double") / F.sum("n_users").over(total_w)).alias(
+            "share"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal (day-of-week) baseline + residual anomaly census
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_seasonal_baseline",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type, DAYOFWEEK(ts) AS dow, value,
+               CAST(value AS DECIMAL(18,2)) AS vq
+        FROM events
+    ),
+    stats AS (
+        SELECT event_type, dow, COUNT(*) AS n,
+               CAST(SUM(vq) AS DOUBLE) / COUNT(*) AS mean,
+               SQRT(CAST(SUM(vq * vq) AS DOUBLE) / COUNT(*)
+                    - (CAST(SUM(vq) AS DOUBLE) / COUNT(*))
+                      * (CAST(SUM(vq) AS DOUBLE) / COUNT(*))) AS std
+        FROM base GROUP BY event_type, dow
+    )
+    SELECT b.event_type, CAST(b.dow AS INT) AS dow,
+           CAST(s.n AS BIGINT) AS n,
+           {sql_canon(sql_dround("ANY_VALUE(s.mean)", 6))} AS mean,
+           {sql_canon(sql_dround("ANY_VALUE(s.std)", 6))} AS std,
+           CAST(SUM(CASE WHEN ABS(b.value - s.mean) > 3 * s.std
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM base b JOIN stats s
+      ON b.event_type = s.event_type AND b.dow = s.dow
+    GROUP BY b.event_type, b.dow, s.n
+    """,
+)
+def q_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal day-of-week baseline per event type — mean/std of the
+    event value for each (type, weekday) cell — plus a 3σ residual
+    anomaly census against that profile. Where ``q_anomaly_zscore``
+    scores against a global per-type distribution, this is the
+    seasonality-aware variant: a Saturday spike is judged against
+    Saturdays.
+
+    Same exact-moment machinery as ``q_embed_norm``: the testdata value
+    column lives on the 2-decimal grid, so sums of DECIMAL(18,2) are
+    exact and order-independent; mean/std derive from (Σv, Σv², n) with
+    identical operand order in both engines, and the 5×7-cell stats
+    table broadcasts back for the residual census (a map-side join).
+    Key space is |types|×7 — bounded and skew-free at any scale.
+    """
+    ev = table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        (F.dayofweek("ts") - 1).alias("dow"),
+        "value",
+        F.col("value").cast("decimal(18,2)").alias("vq"),
+    )
+    dec = lambda c: F.sum(c).cast("double")  # noqa: E731
+    mean = dec(F.col("vq")) / F.count("*")
+    stats = base.groupBy("event_type", "dow").agg(
+        F.count("*").alias("n"),
+        mean.alias("mean"),
+        F.sqrt(
+            dec(F.col("vq") * F.col("vq")) / F.count("*") - mean * mean
+        ).alias("std"),
+    )
+    joined = base.join(F.broadcast(stats), ["event_type", "dow"])
+    is_anom = F.abs(F.col("value") - F.col("mean")) > 3 * F.col("std")
+    return (
+        joined.groupBy("event_type", "dow", "n")
+        .agg(
+            canon(dround(F.first("mean"), 6)).alias("mean"),
+            canon(dround(F.first("std"), 6)).alias("std"),
+            F.sum(F.when(is_anom, 1).otherwise(0)).cast("long").alias("n_anomalies"),
+        )
+        .select(
+            "event_type",
+            F.col("dow").cast("int").alias("dow"),
+            F.col("n").cast("long").alias("n"),
+            "mean",
+            "std",
+            "n_anomalies",
+        )
     )

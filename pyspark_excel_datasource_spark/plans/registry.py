@@ -208,6 +208,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_weighted_median",
     "q_profile_table",
     "q_join_pit",
+    "q_funnel_ttc",
+    "q_seasonal_baseline",
     # E2. overflow: oracle-backed greens most recently touched, in case
     #    the driver widens the window further; remaining greens follow in
     #    registration order after these.

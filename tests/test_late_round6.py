@@ -426,3 +426,22 @@ def test_join_pit_no_future_leakage(spark):
     for r in rows:
         assert r.state_since <= r.purchase_ts  # never a future state
         assert r.state_age_s >= 0
+
+
+def test_funnel_ttc_shares_sum_to_one(spark):
+    rows = _q("q_funnel_ttc")(spark, SF).collect()
+    assert rows
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-9
+    assert all(-1 <= r.bucket_h <= 48 for r in rows)
+
+
+def test_seasonal_baseline_cells_and_anomaly_rate(spark):
+    rows = _q("q_seasonal_baseline")(spark, SF).collect()
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    assert sum(r.n for r in rows) == ev.count()
+    types = {r[0] for r in ev.select("event_type").distinct().collect()}
+    assert {r.event_type for r in rows} == types
+    for r in rows:
+        assert 0 <= r.dow <= 6
+        assert float(r.std) >= 0
+        assert r.n_anomalies <= max(2, 0.05 * r.n)  # 3-sigma is rare

@@ -111,6 +111,8 @@ def test_round6_window_composition():
         "q_weighted_median",
         "q_profile_table",
         "q_join_pit",
+        "q_funnel_ttc",
+        "q_seasonal_baseline",
     }
     # names[50] is q_topk (the 51st-slot bench pad); late-authored head
     # the ordering right after it

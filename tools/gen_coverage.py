@@ -96,6 +96,7 @@ SECTIONS = {
         "q_pattern_sequence", "q_ewma", "q_attribution", "q_agg_countmin",
         "q_delta_lag", "q_resample_timeseries", "q_window_deltas_vs_baseline",
         "q_path_topk", "q_late_data_audit", "q_rolling_dau",
+        "q_funnel_ttc", "q_seasonal_baseline", "q_join_pit",
     ],
     "Incremental / DML patterns": [
         "q_rollup_hierarchical", "q_merge_upsert", "q_cdc_changelog",
@@ -183,6 +184,8 @@ ROLES = {
     "q_weighted_median": "exact weighted median, band-localized (no whole-group sort)",
     "q_profile_table": "one-pass per-column profile (nulls/distinct/min/max, long format)",
     "q_join_pit": "SCD2 point-in-time join via carried max-struct (one shuffle)",
+    "q_funnel_ttc": "first-click to first-purchase latency histogram (one shuffle)",
+    "q_seasonal_baseline": "per-(type,dow) mean/std profile + 3-sigma residual census",
     "q_sink_orc": "parallel ORC directory write + vectorized readback",
     "q_join_bloom": "explicit bloom runtime filter; map-side fact pruning",
     "q_corr_matrix": "all-pairs Pearson corr from one sufficient-stats pass",
