@@ -1026,3 +1026,61 @@ def curriculum_schedule(d: DataFrame) -> DataFrame:
         .cast("long")
         .alias("sched_pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# In-plan observability (df.observe metrics riding a filter stage)
+# ---------------------------------------------------------------------------
+
+#: quality gate the observed filter applies (chars per word floor — docs
+#: below it are fragment spam)
+_OBS_MIN_CHARS = 150
+
+
+def observed_quality_filter(d: DataFrame):
+    """Quality filter with an ``Observation`` attached: returns
+    ``(filtered_df, observation)``. The metrics (rows in, rows kept,
+    chars kept) are computed INSIDE the same pass that filters — zero
+    extra scans, exactly how a production pipeline exports health
+    counters without a second job. The caller reads
+    ``observation.get`` after an action."""
+    from pyspark.sql import Observation
+
+    obs = Observation("quality_gate")
+    observed = d.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_in"),
+        F.sum((F.col("n_chars") >= _OBS_MIN_CHARS).cast("long")).alias(
+            "rows_kept"
+        ),
+        F.sum(
+            F.when(F.col("n_chars") >= _OBS_MIN_CHARS, F.col("n_chars")).otherwise(
+                0
+            )
+        ).alias("chars_kept"),
+    )
+    return observed.filter(F.col("n_chars") >= _OBS_MIN_CHARS), obs
+
+
+@query(
+    "q_observe_metrics",
+    oracle=f"""
+    SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents WHERE n_chars >= {_OBS_MIN_CHARS}
+    """,
+)
+def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality filter with ``df.observe`` pipeline-health metrics riding
+    the SAME scan: the returned rows are the filtered documents (what
+    the gate verifies); the attached ``Observation`` exports
+    rows-in/rows-kept/chars-kept counters computed in-plan — Spark's
+    native accumulator surface for production observability, with no
+    second job and no extra pass (``tests`` assert the counters match
+    an independent recomputation). At 100 TB this is the difference
+    between free health metrics and doubling the pipeline's scan bill.
+    """
+    d = table(spark, sf_dir, "documents")
+    filtered, _obs = observed_quality_filter(d)
+    return filtered.select(
+        "doc_id", "lang", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )

@@ -210,6 +210,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_join_pit",
     "q_funnel_ttc",
     "q_seasonal_baseline",
+    "q_observe_metrics",
     # E2. overflow: oracle-backed greens most recently touched, in case
     #    the driver widens the window further; remaining greens follow in
     #    registration order after these.

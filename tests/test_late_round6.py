@@ -445,3 +445,22 @@ def test_seasonal_baseline_cells_and_anomaly_rate(spark):
         assert 0 <= r.dow <= 6
         assert float(r.std) >= 0
         assert r.n_anomalies <= max(2, 0.05 * r.n)  # 3-sigma is rare
+
+
+def test_observe_metrics_counters_match_recompute(spark):
+    from pyspark_excel_datasource_spark.operators.pipeline import (
+        observed_quality_filter,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    filtered, obs = observed_quality_filter(d)
+    kept_rows = filtered.count()  # action materializes the observation
+    m = obs.get
+    assert m["rows_in"] == d.count()
+    assert m["rows_kept"] == kept_rows
+    want_chars = (
+        d.filter(F.col("n_chars") >= 150)
+        .agg(F.sum("n_chars"))
+        .first()[0]
+    )
+    assert m["chars_kept"] == want_chars

@@ -113,6 +113,7 @@ def test_round6_window_composition():
         "q_join_pit",
         "q_funnel_ttc",
         "q_seasonal_baseline",
+        "q_observe_metrics",
     }
     # names[50] is q_topk (the 51st-slot bench pad); late-authored head
     # the ordering right after it

@@ -88,7 +88,7 @@ SECTIONS = {
         "q_pipeline_llm_prep", "q_validate_constraints", "q_mix_budget",
         "q_dedup_weights", "q_quality_tiers", "q_winsorize_by_group",
         "q_sample_exact_pergroup", "q_agg_incremental", "q_mix_temperature",
-        "q_skyline_pareto", "q_curriculum_interleave",
+        "q_skyline_pareto", "q_curriculum_interleave", "q_observe_metrics",
     ],
     "Event analytics": [
         "q_sessionize", "q_funnel", "q_retention", "q_scd2_intervals", "q_event_transitions",
@@ -186,6 +186,7 @@ ROLES = {
     "q_join_pit": "SCD2 point-in-time join via carried max-struct (one shuffle)",
     "q_funnel_ttc": "first-click to first-purchase latency histogram (one shuffle)",
     "q_seasonal_baseline": "per-(type,dow) mean/std profile + 3-sigma residual census",
+    "q_observe_metrics": "df.observe health counters riding the filter scan (zero extra passes)",
     "q_sink_orc": "parallel ORC directory write + vectorized readback",
     "q_join_bloom": "explicit bloom runtime filter; map-side fact pruning",
     "q_corr_matrix": "all-pairs Pearson corr from one sufficient-stats pass",
