@@ -211,6 +211,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_funnel_ttc",
     "q_seasonal_baseline",
     "q_observe_metrics",
+    "q_scan_file_lineage",
     # E2. overflow: oracle-backed greens most recently touched, in case
     #    the driver widens the window further; remaining greens follow in
     #    registration order after these.

@@ -107,3 +107,43 @@ def q_sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src.write.mode("overwrite").option("compression", "snappy").orc(out)
     return spark.read.orc(out)
+
+
+@query(
+    "q_scan_file_lineage",
+    oracle="""
+    SELECT 'documents.parquet' AS file_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM documents
+    """,
+)
+def q_scan_file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level file lineage via Spark's hidden ``_metadata`` column:
+    every row reports which physical file produced it, aggregated to a
+    per-file census — the provenance primitive that debugging a bad
+    row at 100 TB starts from (which of the 10⁵ input files shipped
+    it?).
+
+    ``_metadata.file_path`` is populated by the scan itself — no join,
+    no extra read, constant-width per row; the census aggregates on
+    file names (key space = file count). The oracle pins the testdata
+    layout's single-file-per-table shape, so the hash check proves the
+    lineage column reports the real file.
+    """
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return (
+        d.select(
+            F.regexp_extract(
+                F.col("_metadata.file_path"), r"([^/]+\.parquet)", 1
+            ).alias("file_name"),
+            "doc_id",
+        )
+        .groupBy("file_name")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+    )

@@ -464,3 +464,11 @@ def test_observe_metrics_counters_match_recompute(spark):
         .first()[0]
     )
     assert m["chars_kept"] == want_chars
+
+
+def test_scan_file_lineage_reports_real_file(spark):
+    rows = _q("q_scan_file_lineage")(spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.file_name == "documents.parquet"
+    assert r.n_rows == spark.read.parquet(f"{SF}/documents.parquet").count()

@@ -17,7 +17,7 @@ SECTIONS = {
         "q_scan_parquet", "q_scan_excel", "q_sink_excel", "q_scan_multifile",
         "q_sink_parquet_partitioned", "q_scan_evolving", "q_scan_csv",
         "q_sink_csv", "q_scan_jsonl", "q_scan_orc", "q_sink_orc",
-        "q_scan_text", "q_sink_text",
+        "q_scan_text", "q_sink_text", "q_scan_file_lineage",
     ],
     "Projection / filter": ["q_project", "q_filter_basic", "q_filter_complex"],
     "Joins": [
@@ -187,6 +187,7 @@ ROLES = {
     "q_funnel_ttc": "first-click to first-purchase latency histogram (one shuffle)",
     "q_seasonal_baseline": "per-(type,dow) mean/std profile + 3-sigma residual census",
     "q_observe_metrics": "df.observe health counters riding the filter scan (zero extra passes)",
+    "q_scan_file_lineage": "_metadata.file_path row provenance census (no extra read)",
     "q_sink_orc": "parallel ORC directory write + vectorized readback",
     "q_join_bloom": "explicit bloom runtime filter; map-side fact pruning",
     "q_corr_matrix": "all-pairs Pearson corr from one sufficient-stats pass",
