@@ -1126,3 +1126,79 @@ def strip_boilerplate(d: DataFrame) -> DataFrame:
             )
         ).alias("cleaned_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lexicon-based sentiment scoring (the EDBT'16 Spark-sentiment shape)
+# ---------------------------------------------------------------------------
+
+#: word → polarity lexicon (deterministic; the corpus vocabulary's
+#: evaluative terms). A production lexicon (VADER/SentiWordNet) swaps in
+#: as the same broadcast table.
+_SENTI_LEX: tuple[tuple[str, int], ...] = (
+    ("fast", 1),
+    ("big", 1),
+    ("small", -1),
+    ("slow", -1),
+)
+
+
+@query(
+    "q_text_sentiment",
+    oracle=f"""
+    WITH lex(tok, pol) AS (VALUES {", ".join(f"('{w}', {p})" for w, p in _SENTI_LEX)}),
+    toks AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+    ),
+    scored AS (
+        SELECT t.doc_id,
+               COUNT(*) AS n_toks,
+               SUM(COALESCE(l.pol, 0)) AS polarity,
+               SUM(CASE WHEN l.pol IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+        FROM toks t LEFT JOIN lex l ON t.tok = l.tok
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, CAST(polarity AS BIGINT) AS polarity,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           CAST(polarity AS DOUBLE) / n_toks AS score,
+           CASE WHEN polarity > 0 THEN 'pos'
+                WHEN polarity < 0 THEN 'neg' ELSE 'neutral' END AS label
+    FROM scored
+    """,
+)
+def q_text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based document sentiment (the classic large-scale Spark
+    sentiment shape — EDBT'16 "Large Scale Sentiment Analysis with
+    Spark"): tokens left-join a broadcast polarity lexicon, per-doc sum
+    gives raw polarity, hit count, a length-normalized score, and a
+    3-way label.
+
+    Scale shape: the lexicon is a broadcast map-side join (a production
+    VADER-size lexicon is ~7k rows — still broadcast); the only shuffle
+    re-aggregates per doc_id with map-side partials. Score is one IEEE
+    division of exact integers. No Python anywhere.
+    """
+    d = spread(table(spark, sf_dir, "documents"))
+    lex = spark.createDataFrame(list(_SENTI_LEX), "tok string, pol int")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    scored = (
+        toks.join(F.broadcast(lex), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.sum(F.coalesce(F.col("pol"), F.lit(0))).alias("polarity"),
+            F.sum(F.when(F.col("pol").isNotNull(), 1).otherwise(0)).alias(
+                "n_hits"
+            ),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        F.col("polarity").cast("long").alias("polarity"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        (F.col("polarity").cast("double") / F.col("n_toks")).alias("score"),
+        F.when(F.col("polarity") > 0, "pos")
+        .when(F.col("polarity") < 0, "neg")
+        .otherwise("neutral")
+        .alias("label"),
+    )

@@ -472,3 +472,16 @@ def test_scan_file_lineage_reports_real_file(spark):
     r = rows[0]
     assert r.file_name == "documents.parquet"
     assert r.n_rows == spark.read.parquet(f"{SF}/documents.parquet").count()
+
+
+def test_text_sentiment_label_consistency(spark):
+    rows = _q("q_text_sentiment")(spark, SF).collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(rows) == n_docs
+    labels = {r.label for r in rows}
+    assert labels <= {"pos", "neg", "neutral"}
+    assert len(labels) >= 2  # the corpus contains both polarities
+    for r in rows[:100]:
+        assert (r.polarity > 0) == (r.label == "pos")
+        assert (r.polarity < 0) == (r.label == "neg")
+        assert r.n_hits >= abs(r.polarity)

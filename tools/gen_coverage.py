@@ -80,7 +80,7 @@ SECTIONS = {
         "q_text_fingerprint", "q_text_winnow", "q_text_winnow_pairs",
         "q_text_tfidf", "q_tokenize", "q_text_lm_score", "q_contamination",
         "q_pii_redact", "q_strip_markup", "q_bm25", "q_pii_luhn",
-        "q_inverted_index", "q_strip_boilerplate",
+        "q_inverted_index", "q_strip_boilerplate", "q_text_sentiment",
     ],
     "North-star: multimodal": ["q_multimodal_cols", "q_multimodal_features", "q_multimodal_dedup", "q_multimodal_frames"],
     "North-star: pipeline composition": [
@@ -188,6 +188,7 @@ ROLES = {
     "q_seasonal_baseline": "per-(type,dow) mean/std profile + 3-sigma residual census",
     "q_observe_metrics": "df.observe health counters riding the filter scan (zero extra passes)",
     "q_scan_file_lineage": "_metadata.file_path row provenance census (no extra read)",
+    "q_text_sentiment": "broadcast-lexicon polarity scoring (pos/neg/neutral label)",
     "q_sink_orc": "parallel ORC directory write + vectorized readback",
     "q_join_bloom": "explicit bloom runtime filter; map-side fact pruning",
     "q_corr_matrix": "all-pairs Pearson corr from one sufficient-stats pass",
