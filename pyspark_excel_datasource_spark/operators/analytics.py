@@ -1607,3 +1607,130 @@ def q_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_anomalies",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Trajectory similarity search (REPOSE/ICDE'21-shaped top-k, long format)
+# ---------------------------------------------------------------------------
+
+#: fixed-point scale for the trajectory features (hour-of-day avg value)
+_TRAJ_FP = 1_000_000
+#: query users and neighbors returned per query
+_TRAJ_QUERIES = (0, 1, 2)
+_TRAJ_K = 5
+
+
+@query(
+    "q_trajectory_topk",
+    oracle=f"""
+    WITH traj AS (
+        SELECT user_id, EXTRACT(HOUR FROM ts) AS b,
+               CAST(FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                          / COUNT(*) * {_TRAJ_FP} + 0.5) AS BIGINT) AS fp
+        FROM events GROUP BY user_id, EXTRACT(HOUR FROM ts)
+    ),
+    norms AS (
+        SELECT user_id, SUM(fp * fp) AS n2 FROM traj GROUP BY user_id
+    ),
+    dots AS (
+        SELECT q.user_id AS q_user, c.user_id AS c_user,
+               SUM(q.fp * c.fp) AS dot
+        FROM traj q JOIN traj c ON q.b = c.b
+        WHERE q.user_id IN {_TRAJ_QUERIES} AND c.user_id != q.user_id
+        GROUP BY q.user_id, c.user_id
+    ),
+    scored AS (
+        SELECT d.q_user, d.c_user,
+               CAST(d.dot AS DOUBLE)
+                   / SQRT(CAST(nq.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE))
+                   AS cos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY d.q_user
+                   ORDER BY CAST(d.dot AS DOUBLE)
+                       / SQRT(CAST(nq.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE))
+                       DESC, d.c_user
+               ) AS rn
+        FROM dots d
+        JOIN norms nq ON d.q_user = nq.user_id
+        JOIN norms nc ON d.c_user = nc.user_id
+    )
+    SELECT q_user, c_user, CAST(rn AS INT) AS rank,
+           {sql_canon(sql_dround("cos", 9))} AS cos
+    FROM scored WHERE rn <= {_TRAJ_K}
+    """,
+)
+def q_trajectory_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k trajectory similarity search (the REPOSE/ICDE'21 problem
+    shape): each user's activity trajectory is their hour-of-day value
+    profile; for each query user, the 5 most cosine-similar other
+    users — behavioral twin matching over time-series profiles.
+
+    Long-format throughout — trajectories never assemble into arrays:
+    the dot product is an equi-join on the (bounded, 24-value) bucket
+    key grouped by user pair, and norms are a per-user aggregate, so
+    every shuffle keys on user ids or hour buckets with map-side
+    partials. The query side is filtered to the 3 query users BEFORE
+    the join (at 100 TB the optimizer broadcasts those ≤72 rows into
+    the scan). Determinism: bucket averages quantize to fixed-point
+    BIGINT (one identical rounding both engines); dot/norms are exact
+    integer sums (DECIMAL(38,0)/HUGEINT); cosine is division +
+    IEEE-correctly-rounded sqrt of identical operands; ranks tie-break
+    on user id; presentation canon(dround(·, 9)).
+    """
+    ev = table(spark, sf_dir, "events")
+    traj = (
+        ev.select(
+            "user_id",
+            F.hour("ts").alias("b"),
+            F.col("value").cast("decimal(18,2)").alias("vq"),
+        )
+        .groupBy("user_id", "b")
+        .agg(
+            F.floor(
+                F.sum("vq").cast("double") / F.count("*") * _TRAJ_FP + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("fp")
+        )
+    )
+    norms = traj.groupBy("user_id").agg(
+        F.sum((F.col("fp") * F.col("fp")).cast("decimal(38,0)")).alias("n2")
+    )
+    q = traj.filter(F.col("user_id").isin(*_TRAJ_QUERIES)).select(
+        F.col("user_id").alias("q_user"), "b", F.col("fp").alias("q_fp")
+    )
+    dots = (
+        F.broadcast(q)
+        .join(
+            traj.select(F.col("user_id").alias("c_user"), "b", "fp"),
+            "b",
+        )
+        .filter(F.col("c_user") != F.col("q_user"))
+        .groupBy("q_user", "c_user")
+        .agg(
+            F.sum((F.col("q_fp") * F.col("fp")).cast("decimal(38,0)")).alias("dot")
+        )
+    )
+    nq = norms.select(F.col("user_id").alias("q_user"), F.col("n2").alias("nq2"))
+    nc = norms.select(F.col("user_id").alias("c_user"), F.col("n2").alias("nc2"))
+    cos = F.col("dot").cast("double") / F.sqrt(
+        F.col("nq2").cast("double") * F.col("nc2").cast("double")
+    )
+    scored = (
+        dots.join(F.broadcast(nq), "q_user")
+        .join(nc, "c_user")
+        .select("q_user", "c_user", cos.alias("cos"))
+    )
+    rn = F.row_number().over(
+        W.partitionBy("q_user").orderBy(F.col("cos").desc(), F.col("c_user").asc())
+    )
+    return (
+        scored.withColumn("rank", rn)
+        .filter(F.col("rank") <= _TRAJ_K)
+        .select(
+            "q_user",
+            "c_user",
+            F.col("rank").cast("int").alias("rank"),
+            canon(dround(F.col("cos"), 9)).alias("cos"),
+        )
+    )

@@ -213,6 +213,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_observe_metrics",
     "q_scan_file_lineage",
     "q_text_sentiment",
+    "q_trajectory_topk",
     # E2. overflow: oracle-backed greens most recently touched, in case
     #    the driver widens the window further; remaining greens follow in
     #    registration order after these.

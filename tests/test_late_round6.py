@@ -485,3 +485,15 @@ def test_text_sentiment_label_consistency(spark):
         assert (r.polarity > 0) == (r.label == "pos")
         assert (r.polarity < 0) == (r.label == "neg")
         assert r.n_hits >= abs(r.polarity)
+
+
+def test_trajectory_topk_contract(spark):
+    rows = _q("q_trajectory_topk")(spark, SF).collect()
+    assert {r.q_user for r in rows} == {0, 1, 2}
+    for qu in (0, 1, 2):
+        sub = sorted((r for r in rows if r.q_user == qu), key=lambda r: r.rank)
+        assert [r.rank for r in sub] == list(range(1, len(sub) + 1))
+        coss = [float(r.cos) for r in sub]
+        assert coss == sorted(coss, reverse=True)
+        assert all(-1.0 <= c <= 1.0 + 1e-9 for c in coss)
+        assert all(r.c_user != qu for r in sub)

@@ -73,7 +73,7 @@ SECTIONS = {
     ],
     "North-star: similarity search": [
         "q_sim_topk", "q_sim_selfjoin", "q_sim_ann_lsh", "q_sim_ann_ivf",
-        "q_sim_ann_pq", "q_rank_fusion",
+        "q_sim_ann_pq", "q_rank_fusion", "q_trajectory_topk",
     ],
     "North-star: text analysis": [
         "q_text_stats", "q_text_quality", "q_text_langid",
@@ -189,6 +189,7 @@ ROLES = {
     "q_observe_metrics": "df.observe health counters riding the filter scan (zero extra passes)",
     "q_scan_file_lineage": "_metadata.file_path row provenance census (no extra read)",
     "q_text_sentiment": "broadcast-lexicon polarity scoring (pos/neg/neutral label)",
+    "q_trajectory_topk": "hour-profile trajectory cosine top-k, long-format dot products",
     "q_sink_orc": "parallel ORC directory write + vectorized readback",
     "q_join_bloom": "explicit bloom runtime filter; map-side fact pruning",
     "q_corr_matrix": "all-pairs Pearson corr from one sufficient-stats pass",
