@@ -1225,3 +1225,55 @@ def asof_nearest(ev: DataFrame) -> DataFrame:
         side.alias("side"),
         gap_sel.alias("gap_s"),
     )
+
+
+@query(
+    "q_join_null_safe",
+    oracle="""
+    WITH l AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                    ELSE o_custkey % 100 END AS k
+        FROM orders
+    ),
+    r AS (
+        SELECT CASE WHEN g % 10 = 0 THEN NULL ELSE g END AS k,
+               'grp_' || CAST(g AS VARCHAR) AS tag
+        FROM (SELECT UNNEST(RANGE(0, 100)) AS g)
+    )
+    SELECT l.o_orderkey, r.tag
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    """,
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): NULL
+    keys MATCH each other instead of silently dropping — the semantics
+    a late-arriving-dimension pipeline wants when "unknown" is itself a
+    joinable bucket (every NULL-keyed fact lands on the NULL dimension
+    row, not on the floor).
+
+    Catalyst plans ``eqNullSafe`` as a hash join on a null-safe key
+    wrapper — still a broadcast here (100-row dim), still a plain
+    shuffle-hash join at scale; NO fallback to nested-loop. The NULL
+    bucket is a deliberate skew point at 100 TB (every null fact hits
+    one key): the standard mitigation is pre-splitting the NULL slice,
+    which `q_join_skew_salted` demonstrates; here the dim side is
+    broadcast so the skew never shuffles at all. Keys are synthesized
+    deterministically from order/custkey arithmetic in both engines.
+    """
+    o = table(spark, sf_dir, "orders")
+    l = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("o_custkey") % 100)
+        .alias("k"),
+    )
+    r = spark.range(0, 100).select(
+        F.when(F.col("id") % 10 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("id"))
+        .alias("k"),
+        F.concat(F.lit("grp_"), F.col("id").cast("string")).alias("tag"),
+    )
+    return l.join(F.broadcast(r), l.k.eqNullSafe(r.k)).select(
+        "o_orderkey", "tag"
+    )

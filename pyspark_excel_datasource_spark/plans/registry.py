@@ -214,6 +214,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_scan_file_lineage",
     "q_text_sentiment",
     "q_trajectory_topk",
+    "q_join_null_safe",
     # E2. overflow: oracle-backed greens most recently touched, in case
     #    the driver widens the window further; remaining greens follow in
     #    registration order after these.

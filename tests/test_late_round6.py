@@ -497,3 +497,15 @@ def test_trajectory_topk_contract(spark):
         assert coss == sorted(coss, reverse=True)
         assert all(-1.0 <= c <= 1.0 + 1e-9 for c in coss)
         assert all(r.c_user != qu for r in sub)
+
+
+def test_null_safe_join_matches_null_bucket(spark):
+    rows = _q("q_join_null_safe")(spark, SF).collect()
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    n_null_facts = orders.filter(F.col("o_orderkey") % 7 == 0).count()
+    null_tags = {r.tag for r in rows
+                 if r.o_orderkey % 7 == 0}
+    # every NULL-keyed fact matched each of the 10 NULL dim rows
+    got_null_rows = sum(1 for r in rows if r.o_orderkey % 7 == 0)
+    assert got_null_rows == n_null_facts * 10
+    assert null_tags == {f"grp_{g}" for g in range(0, 100, 10)}

@@ -117,6 +117,7 @@ def test_round6_window_composition():
         "q_scan_file_lineage",
         "q_text_sentiment",
         "q_trajectory_topk",
+        "q_join_null_safe",
     }
     # names[50] is q_topk (the 51st-slot bench pad); late-authored head
     # the ordering right after it

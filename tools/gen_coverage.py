@@ -25,7 +25,7 @@ SECTIONS = {
         "q_join_full", "q_join_semi", "q_join_anti", "q_join_theta",
         "q_join_star3", "q_join_asof", "q_join_asof_tolerance",
         "q_join_bucketed", "q_join_skew_salted",
-        "q_join_asof_nearest", "q_join_pit",
+        "q_join_asof_nearest", "q_join_pit", "q_join_null_safe",
         "q_join_range", "q_join_interval_overlap", "q_skew_keys",
         "q_join_dpp", "q_zorder_layout", "q_join_bloom", "q_join_spatial_grid",
         "q_compaction_plan",
@@ -190,6 +190,7 @@ ROLES = {
     "q_scan_file_lineage": "_metadata.file_path row provenance census (no extra read)",
     "q_text_sentiment": "broadcast-lexicon polarity scoring (pos/neg/neutral label)",
     "q_trajectory_topk": "hour-profile trajectory cosine top-k, long-format dot products",
+    "q_join_null_safe": "eqNullSafe join: NULL keys match the NULL dim bucket (broadcast)",
     "q_sink_orc": "parallel ORC directory write + vectorized readback",
     "q_join_bloom": "explicit bloom runtime filter; map-side fact pruning",
     "q_corr_matrix": "all-pairs Pearson corr from one sufficient-stats pass",
