@@ -173,9 +173,11 @@ _PRIORITY: tuple[str, ...] = (
     #      17 round-6 operators + 5 bench pads) ----
     "q_topk",
     # E1. authored late in round 6 AFTER the 50-slot window froze (same
-    #     situation as round 5's 24): local-parity green at sf0.001 +
-    #     sf0.01, first in line for the round-7 rotation — and first
-    #     checked if the driver widens its window this round.
+    #     situation as round 5's 24): every name below is local-parity
+    #     green at sf0.001 AND sf0.01 (tools/run_parity.py, 0 failures),
+    #     first in line for the round-7 rotation — and first checked if
+    #     the driver widens its window this round. 39 names by end of
+    #     round 6; tests/test_registry_order.py pins the exact set.
     "q_tpch_q7ish",
     "q_tpch_q18ish",
     "q_fn_url",
