@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import spread, table
 from ..plans.registry import query
 
 try:  # real image decode lights up when a codec library exists
@@ -409,4 +409,80 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("byte_offset").cast("int").alias("byte_offset"),
         F.col("frame_size").cast("int").alias("frame_size"),
         "frame_md5",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (the storage-dedup boundary primitive)
+# ---------------------------------------------------------------------------
+
+#: rolling 4-byte polynomial (base-31) and the boundary modulus — a chunk
+#: boundary lands wherever hash % 64 == 0, giving ~64-byte expected chunks
+_CDC_MOD = 64
+
+
+@query(
+    "q_content_chunking",
+    oracle=f"""
+    WITH c AS (
+        SELECT doc_id,
+               LIST_TRANSFORM(STRING_SPLIT(text, ''), ch -> ASCII(ch))
+                   AS codes
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, LEN(codes) AS n_bytes,
+               LIST_FILTER(RANGE(4, LEN(codes) + 1),
+                   i -> (codes[i-3]*29791 + codes[i-2]*961
+                         + codes[i-1]*31 + codes[i]) % {_CDC_MOD} = 0)
+                   AS bnd
+        FROM c
+    )
+    SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+           CAST(LEN(bnd) + 1 AS BIGINT) AS n_chunks,
+           CAST(n_bytes AS DOUBLE) / (LEN(bnd) + 1) AS avg_chunk,
+           MD5(COALESCE(ARRAY_TO_STRING(bnd, ','), '')) AS layout_hash
+    FROM b
+    """,
+)
+def q_content_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (Rabin-style): chunk boundaries land
+    wherever a rolling 4-byte polynomial hash ≡ 0 (mod 64), so
+    boundaries follow CONTENT, not offsets — insert one byte and only
+    the chunks around the edit change, which is what makes dedup
+    storage (and multimodal payload dedup beyond exact-match) work.
+    Reported per payload: size, chunk count, mean chunk size, and an
+    md5 of the boundary layout (hash-verifying the exact cut points
+    without shipping them).
+
+    Entirely row-local higher-order array math — ONE pass builds the
+    byte-code array (O(n) via char split, no quadratic substring
+    scanning), one filtered index sequence finds boundaries; no
+    shuffle, no Python: a map-only stage at scan bandwidth, like every
+    payload op in this module. Payloads are the documents' utf-8 bytes
+    (the module convention); a binary column chunks identically.
+    """
+    d = spread(table(spark, sf_dir, "documents"))
+    codes = F.expr("transform(split(text, ''), ch -> ascii(ch))")
+    with_codes = d.select("doc_id", codes.alias("codes"))
+    bnd = F.expr(
+        f"filter(sequence(4, size(codes)),"
+        f" i -> (element_at(codes, i-3)*29791 + element_at(codes, i-2)*961"
+        f"       + element_at(codes, i-1)*31 + element_at(codes, i))"
+        f" % {_CDC_MOD} = 0)"
+    )
+    out = with_codes.select(
+        "doc_id",
+        F.size("codes").cast("long").alias("n_bytes"),
+        bnd.alias("bnd"),
+    )
+    n_chunks = F.size("bnd") + 1
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        n_chunks.cast("long").alias("n_chunks"),
+        (F.col("n_bytes").cast("double") / n_chunks).alias("avg_chunk"),
+        F.md5(F.concat_ws(",", F.transform(F.col("bnd"), lambda i: i.cast("string")))).alias(
+            "layout_hash"
+        ),
     )

@@ -509,3 +509,24 @@ def test_null_safe_join_matches_null_bucket(spark):
     got_null_rows = sum(1 for r in rows if r.o_orderkey % 7 == 0)
     assert got_null_rows == n_null_facts * 10
     assert null_tags == {f"grp_{g}" for g in range(0, 100, 10)}
+
+
+def test_content_chunking_boundaries_follow_content(spark):
+    rows = {r.doc_id: r for r in _q("q_content_chunking")(spark, SF).collect()}
+    docs = {r.doc_id: r.text
+            for r in spark.read.parquet(f"{SF}/documents.parquet").collect()}
+    import hashlib
+
+    for doc_id in list(docs)[:50]:
+        codes = [ord(c) for c in docs[doc_id]]
+        bnd = [
+            i
+            for i in range(4, len(codes) + 1)
+            if (codes[i - 4] * 29791 + codes[i - 3] * 961
+                + codes[i - 2] * 31 + codes[i - 1]) % 64 == 0
+        ]
+        r = rows[doc_id]
+        assert r.n_bytes == len(codes)
+        assert r.n_chunks == len(bnd) + 1
+        want = hashlib.md5(",".join(map(str, bnd)).encode()).hexdigest()
+        assert r.layout_hash == want
