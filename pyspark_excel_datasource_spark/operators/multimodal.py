@@ -486,3 +486,96 @@ def q_content_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             "layout_hash"
         ),
     )
+
+
+@query(
+    "q_chunk_dedup",
+    oracle=f"""
+    WITH c AS (
+        SELECT doc_id, source, text,
+               LIST_TRANSFORM(STRING_SPLIT(text, ''), ch -> ASCII(ch))
+                   AS codes
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, source, text, LEN(codes) AS n,
+               LIST_PREPEND(1, LIST_TRANSFORM(
+                   LIST_FILTER(RANGE(4, LEN(codes) + 1),
+                       i -> (codes[i-3]*29791 + codes[i-2]*961
+                             + codes[i-1]*31 + codes[i]) % {_CDC_MOD} = 0),
+                   x -> x + 1)) AS starts
+        FROM c
+    ),
+    ch AS (
+        SELECT source,
+               MD5(SUBSTR(text, starts[k],
+                          COALESCE(starts[k+1], n+1) - starts[k])) AS h,
+               COALESCE(starts[k+1], n+1) - starts[k] AS clen
+        FROM b CROSS JOIN UNNEST(RANGE(1, LEN(starts) + 1)) AS t(k)
+        WHERE COALESCE(starts[k+1], n+1) - starts[k] > 0
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT h) AS BIGINT) AS uniq_chunks,
+           CAST(SUM(clen) AS BIGINT) AS total_bytes,
+           1.0 - CAST(COUNT(DISTINCT h) AS DOUBLE) / COUNT(*) AS dup_ratio
+    FROM ch GROUP BY source
+    """,
+)
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup census over the content-defined chunks of
+    ``q_content_chunking``: per source, how many chunks exist, how many
+    are distinct, and the duplicate ratio — the number that says what a
+    content-addressed store would actually save (exact-doc dedup sees
+    0% here; chunk-level sees the shared substrings inside near-dups).
+
+    Chunks never leave their task as text: each one reduces to its md5
+    at the scan and the census shuffles 16-byte hashes keyed per
+    source. The boundary pass is the same O(n) higher-order scan as
+    ``q_content_chunking``; chunk extraction here re-substrings per
+    chunk (fine at document sizes — a production payload pipeline
+    fuses boundary + extract in one ``mapInArrow`` pass, which
+    ``byte_histogram_features`` demonstrates the plumbing for).
+    """
+    d = spread(table(spark, sf_dir, "documents"))
+    # One self-contained expression computes the whole chunk list per doc.
+    # The single-element-array + lambda trick (transform(array(e), v -> ...))
+    # BINDS each intermediate (codes, starts) to a lambda variable so it is
+    # evaluated once per document -- without it, projection collapse inlines
+    # the O(n) boundary scan into every element_at reference (measured 20x
+    # slower). The generator then explodes the finished struct array. Note
+    # the [0] subscripts: Spark's [] operator is 0-based (element_at is the
+    # 1-based one).
+    chunks = F.expr(
+        f"""
+        transform(array(transform(split(text, ''), ch -> ascii(ch))), codes ->
+          transform(array(concat(array(1), transform(
+              filter(sequence(4, size(codes)),
+                  i -> (element_at(codes, i-3)*29791 + element_at(codes, i-2)*961
+                        + element_at(codes, i-1)*31 + element_at(codes, i))
+                       % {_CDC_MOD} = 0),
+              x -> x + 1))), starts ->
+            transform(sequence(1, size(starts)), k ->
+              named_struct(
+                'clen', coalesce(try_element_at(starts, k+1), size(codes)+1)
+                        - element_at(starts, k),
+                'h', md5(substring(text, element_at(starts, k),
+                         coalesce(try_element_at(starts, k+1), size(codes)+1)
+                         - element_at(starts, k)))))
+          )[0]
+        )[0]
+        """
+    )
+    ch = (
+        d.select("source", F.explode(chunks).alias("c"))
+        .select("source", F.col("c.clen").alias("clen"), F.col("c.h").alias("h"))
+        .filter(F.col("clen") > 0)
+    )
+    return ch.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.count_distinct("h").cast("long").alias("uniq_chunks"),
+        F.sum("clen").cast("long").alias("total_bytes"),
+        (1.0 - F.count_distinct("h").cast("double") / F.count("*")).alias(
+            "dup_ratio"
+        ),
+    )

@@ -530,3 +530,24 @@ def test_content_chunking_boundaries_follow_content(spark):
         assert r.n_chunks == len(bnd) + 1
         want = hashlib.md5(",".join(map(str, bnd)).encode()).hexdigest()
         assert r.layout_hash == want
+
+
+def test_chunk_dedup_census_consistent_with_chunking(spark):
+    census = {r.source: r for r in _q("q_chunk_dedup")(spark, SF).collect()}
+    per_doc = _q("q_content_chunking")(spark, SF).collect()
+    docs = {r.doc_id: r.source
+            for r in spark.read.parquet(f"{SF}/documents.parquet").collect()}
+    import collections
+
+    want_chunks = collections.Counter()
+    want_bytes = collections.Counter()
+    for r in per_doc:
+        src = docs[r.doc_id]
+        want_chunks[src] += r.n_chunks
+        want_bytes[src] += r.n_bytes
+    for src, r in census.items():
+        assert r.n_chunks == want_chunks[src]
+        assert r.total_bytes == want_bytes[src]
+        assert 0 <= r.uniq_chunks <= r.n_chunks
+        assert abs(r.dup_ratio - (1 - r.uniq_chunks / r.n_chunks)) < 1e-12
+    assert any(r.dup_ratio > 0 for r in census.values())

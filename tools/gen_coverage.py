@@ -82,7 +82,7 @@ SECTIONS = {
         "q_pii_redact", "q_strip_markup", "q_bm25", "q_pii_luhn",
         "q_inverted_index", "q_strip_boilerplate", "q_text_sentiment",
     ],
-    "North-star: multimodal": ["q_multimodal_cols", "q_multimodal_features", "q_multimodal_dedup", "q_multimodal_frames", "q_content_chunking"],
+    "North-star: multimodal": ["q_multimodal_cols", "q_multimodal_features", "q_multimodal_dedup", "q_multimodal_frames", "q_content_chunking", "q_chunk_dedup"],
     "North-star: pipeline composition": [
         "q_split_assign", "q_sample_hash", "q_sample_stratified", "q_sample_weighted",
         "q_pipeline_llm_prep", "q_validate_constraints", "q_mix_budget",
@@ -192,6 +192,7 @@ ROLES = {
     "q_trajectory_topk": "hour-profile trajectory cosine top-k, long-format dot products",
     "q_join_null_safe": "eqNullSafe join: NULL keys match the NULL dim bucket (broadcast)",
     "q_content_chunking": "Rabin-style content-defined chunk boundaries, map-only, layout-hashed",
+    "q_chunk_dedup": "chunk-level dup census per source (16-byte hash shuffle only)",
     "q_sink_orc": "parallel ORC directory write + vectorized readback",
     "q_join_bloom": "explicit bloom runtime filter; map-side fact pruning",
     "q_corr_matrix": "all-pairs Pearson corr from one sufficient-stats pass",
