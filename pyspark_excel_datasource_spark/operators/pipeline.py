@@ -1084,3 +1084,65 @@ def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filtered.select(
         "doc_id", "lang", "source", F.col("n_chars").cast("long").alias("n_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# Coordinated (join-consistent) sampling across tables
+# ---------------------------------------------------------------------------
+
+#: keep a customer iff md5(custkey) starts below this 2-hex threshold
+#: ('1a' = 26/256 ~ 10%) — the same rule applied to every table keyed by
+#: the entity, so samples stay join-consistent
+_COORD_MAX_HEX = "1a"
+
+
+@query(
+    "q_sample_coordinated",
+    oracle=f"""
+    WITH sc AS (
+        SELECT c_custkey FROM customer
+        WHERE SUBSTR(MD5(CAST(c_custkey AS VARCHAR)), 1, 2) < '{_COORD_MAX_HEX}'
+    ),
+    so AS (
+        SELECT o_custkey, o_totalprice FROM orders
+        WHERE SUBSTR(MD5(CAST(o_custkey AS VARCHAR)), 1, 2) < '{_COORD_MAX_HEX}'
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sc) AS n_customers,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM so) AS n_orders,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM so
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM sc)) AS n_orphans
+    """,
+)
+def q_sample_coordinated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coordinated sampling: the SAME content-addressed rule —
+    ``md5(entity_key) < threshold`` — applied independently to every
+    table keyed by the entity, so a ~10% customer sample and its orders
+    stay join-consistent WITHOUT any coordination join (random
+    per-table sampling breaks every FK; sampling one table and
+    semi-joining the rest costs a shuffle per table). The orphan count
+    is the verification: it must be exactly 0 whenever the base data
+    has no orphans, because membership is a pure function of the key.
+
+    Each table filters at its own scan — map-only, embarrassingly
+    parallel, stable under data growth (the md5 rule never resamples
+    existing keys). The final census is three scalar aggregates.
+    """
+    bucket = lambda c: F.substring(F.md5(c.cast("string")), 1, 2)  # noqa: E731
+    sc = (
+        table(spark, sf_dir, "customer")
+        .filter(bucket(F.col("c_custkey")) < _COORD_MAX_HEX)
+        .select("c_custkey")
+    )
+    so = (
+        table(spark, sf_dir, "orders")
+        .filter(bucket(F.col("o_custkey")) < _COORD_MAX_HEX)
+        .select("o_custkey")
+    )
+    orphans = so.join(
+        sc, so.o_custkey == sc.c_custkey, "left_anti"
+    )
+    return (
+        sc.agg(F.count("*").cast("long").alias("n_customers"))
+        .crossJoin(so.agg(F.count("*").cast("long").alias("n_orders")))
+        .crossJoin(orphans.agg(F.count("*").cast("long").alias("n_orphans")))
+    )

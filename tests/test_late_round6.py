@@ -551,3 +551,10 @@ def test_chunk_dedup_census_consistent_with_chunking(spark):
         assert 0 <= r.uniq_chunks <= r.n_chunks
         assert abs(r.dup_ratio - (1 - r.uniq_chunks / r.n_chunks)) < 1e-12
     assert any(r.dup_ratio > 0 for r in census.values())
+
+
+def test_sample_coordinated_join_consistent(spark):
+    r = _q("q_sample_coordinated")(spark, SF).first()
+    assert r.n_orphans == 0  # membership is a pure function of the key
+    n_cust = spark.read.parquet(f"{SF}/customer.parquet").count()
+    assert 0 < r.n_customers < 0.25 * n_cust  # ~10% sample actually sampled

@@ -89,6 +89,7 @@ SECTIONS = {
         "q_dedup_weights", "q_quality_tiers", "q_winsorize_by_group",
         "q_sample_exact_pergroup", "q_agg_incremental", "q_mix_temperature",
         "q_skyline_pareto", "q_curriculum_interleave", "q_observe_metrics",
+        "q_sample_coordinated",
     ],
     "Event analytics": [
         "q_sessionize", "q_funnel", "q_retention", "q_scd2_intervals", "q_event_transitions",
@@ -193,6 +194,7 @@ ROLES = {
     "q_join_null_safe": "eqNullSafe join: NULL keys match the NULL dim bucket (broadcast)",
     "q_content_chunking": "Rabin-style content-defined chunk boundaries, map-only, layout-hashed",
     "q_chunk_dedup": "chunk-level dup census per source (16-byte hash shuffle only)",
+    "q_sample_coordinated": "md5-rule coordinated sampling; FK-consistency proven by orphan=0",
     "q_sink_orc": "parallel ORC directory write + vectorized readback",
     "q_join_bloom": "explicit bloom runtime filter; map-side fact pruning",
     "q_corr_matrix": "all-pairs Pearson corr from one sufficient-stats pass",
