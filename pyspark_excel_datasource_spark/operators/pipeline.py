@@ -1146,3 +1146,100 @@ def q_sample_coordinated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(so.agg(F.count("*").cast("long").alias("n_orders")))
         .crossJoin(orphans.agg(F.count("*").cast("long").alias("n_orphans")))
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization across sources (distribution alignment)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_quantile_normalize",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, source, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS r,
+               COUNT(*) OVER (PARTITION BY source) AS n_s
+        FROM documents
+    ),
+    g AS (
+        SELECT n_chars AS q_value,
+               ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS gidx,
+               COUNT(*) OVER () AS n
+        FROM documents
+    )
+    SELECT r.doc_id, r.source, CAST(r.n_chars AS BIGINT) AS n_chars,
+           CAST(g.q_value AS BIGINT) AS q_value
+    FROM ranked r
+    JOIN g ON g.gidx = CASE WHEN r.n_s = 1 THEN (g.n + 1) // 2
+                            ELSE (r.r - 1) * (g.n - 1) // (r.n_s - 1) + 1 END
+    """,
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization: each document's length maps to the GLOBAL
+    length distribution's value at the same within-source rank fraction
+    — the distribution-alignment step that makes per-source scores
+    comparable before mixing (microarray-style quantile normalization,
+    applied to corpus features).
+
+    Scale shape: BOTH rank passes use the band trick — fixed-width
+    length bands, per-band counts to running offsets (tiny windows),
+    in-band ``row_number`` parallel across bands — so neither the
+    per-source rank nor the GLOBAL rank ever runs a single-task window
+    over the corpus (a bare global ``row_number`` is the textbook
+    scale-killer this plan replaces; same machinery as
+    ``q_curriculum_interleave``). The target index is pure integer
+    arithmetic — ``(r−1)(N−1) div (n_s−1) + 1`` — engine-exact, and
+    the final lookup is an equi-join on that index. The oracle states
+    the naive two-window definition.
+    """
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    ).withColumn("band", (F.col("n_chars") / _CURR_BAND_W).cast("long"))
+
+    def banded_rank(df: DataFrame, part_cols: list[str]) -> DataFrame:
+        """row_number over (part_cols ORDER BY n_chars, doc_id) without a
+        single-task window: per-(part, band) counts -> running offsets +
+        in-band ranks."""
+        key = part_cols + ["band"]
+        counts = df.groupBy(*key).agg(F.count("*").alias("c"))
+        off_w = (
+            W.partitionBy(*part_cols) if part_cols else W.partitionBy()
+        )
+        offsets = counts.withColumn(
+            "off",
+            F.coalesce(
+                F.sum("c").over(
+                    off_w.orderBy("band").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        ).select(*key, "off")
+        in_band = F.row_number().over(
+            W.partitionBy(*key).orderBy("n_chars", "doc_id")
+        )
+        return (
+            df.withColumn("band_rank", in_band)
+            .join(F.broadcast(offsets), key)
+            .withColumn("r", (F.col("off") + F.col("band_rank")).cast("long"))
+            .drop("band_rank", "off")
+        )
+
+    per_source = banded_rank(base, ["source"])
+    n_s = base.groupBy("source").agg(F.count("*").alias("n_s"))
+    ranked = per_source.join(F.broadcast(n_s), "source")
+    g = banded_rank(base, []).select(
+        F.col("r").alias("gidx"), F.col("n_chars").alias("q_value")
+    )
+    n_total = base.agg(F.count("*").alias("n"))
+    ti = F.when(
+        F.col("n_s") == 1, F.expr("(n + 1) div 2")
+    ).otherwise(F.expr("(r - 1) * (n - 1) div (n_s - 1) + 1"))
+    return (
+        ranked.crossJoin(F.broadcast(n_total))
+        .withColumn("ti", ti)
+        .join(g, F.col("ti") == g.gidx)
+        .select("doc_id", "source", "n_chars", "q_value")
+    )

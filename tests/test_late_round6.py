@@ -558,3 +558,19 @@ def test_sample_coordinated_join_consistent(spark):
     assert r.n_orphans == 0  # membership is a pure function of the key
     n_cust = spark.read.parquet(f"{SF}/customer.parquet").count()
     assert 0 < r.n_customers < 0.25 * n_cust  # ~10% sample actually sampled
+
+
+def test_quantile_normalize_preserves_order_and_marginals(spark):
+    rows = _q("q_quantile_normalize")(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert len(rows) == docs.count()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append((r.n_chars, r.doc_id, r.q_value))
+    global_vals = sorted(r.n_chars for r in rows)
+    for vals in by_src.values():
+        vals.sort()
+        qs = [q for _, _, q in vals]
+        assert qs == sorted(qs)  # monotone map within source
+        assert qs[0] == global_vals[0]  # rank-1 maps to the global min
+        assert qs[-1] == global_vals[-1]  # top rank maps to the global max

@@ -89,7 +89,7 @@ SECTIONS = {
         "q_dedup_weights", "q_quality_tiers", "q_winsorize_by_group",
         "q_sample_exact_pergroup", "q_agg_incremental", "q_mix_temperature",
         "q_skyline_pareto", "q_curriculum_interleave", "q_observe_metrics",
-        "q_sample_coordinated",
+        "q_sample_coordinated", "q_quantile_normalize",
     ],
     "Event analytics": [
         "q_sessionize", "q_funnel", "q_retention", "q_scd2_intervals", "q_event_transitions",
@@ -195,6 +195,7 @@ ROLES = {
     "q_content_chunking": "Rabin-style content-defined chunk boundaries, map-only, layout-hashed",
     "q_chunk_dedup": "chunk-level dup census per source (16-byte hash shuffle only)",
     "q_sample_coordinated": "md5-rule coordinated sampling; FK-consistency proven by orphan=0",
+    "q_quantile_normalize": "within-source rank -> global quantile value, banded ranks both sides",
     "q_sink_orc": "parallel ORC directory write + vectorized readback",
     "q_join_bloom": "explicit bloom runtime filter; map-side fact pruning",
     "q_corr_matrix": "all-pairs Pearson corr from one sufficient-stats pass",
