@@ -537,7 +537,13 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fuses boundary + extract in one ``mapInArrow`` pass, which
     ``byte_histogram_features`` demonstrates the plumbing for).
     """
-    d = spread(table(spark, sf_dir, "documents"))
+    return chunk_census(spread(table(spark, sf_dir, "documents")))
+
+
+def chunk_frame(d: DataFrame) -> DataFrame:
+    """(doc_id, source, chunk md5, chunk length) rows from the
+    content-defined chunking of each document (shared plan: the census
+    and the chunk-based near-dup both build on it)."""
     # One self-contained expression computes the whole chunk list per doc.
     # The single-element-array + lambda trick (transform(array(e), v -> ...))
     # BINDS each intermediate (codes, starts) to a lambda variable so it is
@@ -566,11 +572,21 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )[0]
         """
     )
-    ch = (
-        d.select("source", F.explode(chunks).alias("c"))
-        .select("source", F.col("c.clen").alias("clen"), F.col("c.h").alias("h"))
+    return (
+        d.select("doc_id", "source", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            "source",
+            F.col("c.clen").alias("clen"),
+            F.col("c.h").alias("h"),
+        )
         .filter(F.col("clen") > 0)
     )
+
+
+def chunk_census(d: DataFrame) -> DataFrame:
+    """Per-source chunk dedup census over ``chunk_frame``."""
+    ch = chunk_frame(d)
     return ch.groupBy("source").agg(
         F.count("*").cast("long").alias("n_chunks"),
         F.count_distinct("h").cast("long").alias("uniq_chunks"),
@@ -579,3 +595,100 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_ratio"
         ),
     )
+
+
+#: posting-list cap for chunk-based candidate generation: chunks shared by
+#: more docs than this are boilerplate and generate quadratic pairs
+_CHUNK_MAX_DF = 32
+#: containment floor for a reported near-dup pair
+_CHUNK_CONTAIN = 0.5
+
+
+@query(
+    "q_dedup_chunks",
+    oracle=f"""
+    WITH c AS (
+        SELECT doc_id, text,
+               LIST_TRANSFORM(STRING_SPLIT(text, ''), ch -> ASCII(ch))
+                   AS codes
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, text, LEN(codes) AS n,
+               LIST_PREPEND(1, LIST_TRANSFORM(
+                   LIST_FILTER(RANGE(4, LEN(codes) + 1),
+                       i -> (codes[i-3]*29791 + codes[i-2]*961
+                             + codes[i-1]*31 + codes[i]) % {_CDC_MOD} = 0),
+                   x -> x + 1)) AS starts
+        FROM c
+    ),
+    ch AS (
+        SELECT DISTINCT doc_id,
+               MD5(SUBSTR(text, starts[k],
+                          COALESCE(starts[k+1], n+1) - starts[k])) AS h
+        FROM b CROSS JOIN UNNEST(RANGE(1, LEN(starts) + 1)) AS t(k)
+        WHERE COALESCE(starts[k+1], n+1) - starts[k] > 0
+    ),
+    df AS (SELECT h, COUNT(*) AS df FROM ch GROUP BY h),
+    rare AS (
+        SELECT ch.doc_id, ch.h FROM ch JOIN df ON ch.h = df.h
+        WHERE df.df <= {_CHUNK_MAX_DF}
+    ),
+    counts AS (SELECT doc_id, COUNT(*) AS nc FROM ch GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS shared
+        FROM rare a JOIN rare b2 ON a.h = b2.h AND a.doc_id < b2.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b, p.shared,
+           CAST(p.shared AS DOUBLE) / ca.nc AS containment
+    FROM pairs p JOIN counts ca ON p.doc_a = ca.doc_id
+    WHERE CAST(p.shared AS DOUBLE) / ca.nc >= {_CHUNK_CONTAIN}
+    """,
+)
+def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-based near-dup detection — the storage-level sibling of
+    MinHash: two documents are near-dups when they SHARE most of their
+    content-defined chunks (containment = shared ÷ doc_a's chunks ≥
+    0.5). Because boundaries follow content, an edited copy still
+    shares every chunk outside the edit — the same property that makes
+    ``q_chunk_dedup``'s store save bytes finds the neighbors here.
+
+    Scale shape: candidates come ONLY from shared-chunk posting lists
+    (an equi-join on 16-byte chunk hashes — never all pairs), and
+    posting lists are df-capped at 32 (a chunk shared by more docs is
+    boilerplate; its pairs are quadratic noise — the same cap strategy
+    as the char-gram and inverted-index operators, mirrored in the
+    oracle). Per-doc chunk sets are DISTINCT'd before joining so a
+    repeated chunk inside one doc can't double-count containment.
+    """
+    d = spread(table(spark, sf_dir, "documents"))
+    ch = chunk_frame(d).select("doc_id", "h").distinct()
+    df_tbl = ch.groupBy("h").agg(F.count("*").alias("df"))
+    rare = ch.join(
+        df_tbl.filter(F.col("df") <= _CHUNK_MAX_DF), "h"
+    ).select("doc_id", "h")
+    counts = ch.groupBy("doc_id").agg(F.count("*").alias("nc"))
+    a = rare.alias("a")
+    b = rare.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("long").alias("shared"))
+    )
+    contained = pairs.join(
+        F.broadcast(counts.withColumnRenamed("doc_id", "doc_a")), "doc_a"
+    ).select(
+        "doc_a",
+        "doc_b",
+        "shared",
+        (F.col("shared").cast("double") / F.col("nc")).alias("containment"),
+    )
+    return contained.filter(F.col("containment") >= _CHUNK_CONTAIN)

@@ -574,3 +574,35 @@ def test_quantile_normalize_preserves_order_and_marginals(spark):
         assert qs == sorted(qs)  # monotone map within source
         assert qs[0] == global_vals[0]  # rank-1 maps to the global min
         assert qs[-1] == global_vals[-1]  # top rank maps to the global max
+
+
+def test_dedup_chunks_pairs_are_real_neighbors(spark):
+    rows = _q("q_dedup_chunks")(spark, SF).collect()
+    assert rows
+    docs = {r.doc_id: r.text
+            for r in spark.read.parquet(f"{SF}/documents.parquet").collect()}
+
+    def chunk_set(text):
+        codes = [ord(c) for c in text]
+        bnd = [
+            i + 1
+            for i in range(4, len(codes) + 1)
+            if (codes[i - 4] * 29791 + codes[i - 3] * 961
+                + codes[i - 2] * 31 + codes[i - 1]) % 64 == 0
+        ]
+        starts = [1] + bnd
+        out = set()
+        for j, st in enumerate(starts):
+            en = starts[j + 1] if j + 1 < len(starts) else len(codes) + 1
+            if en > st:
+                out.add(text[st - 1 : en - 1])
+        return out
+
+    for r in rows[:10]:
+        assert 0.5 <= r.containment <= 1.0 + 1e-12
+        assert r.doc_a < r.doc_b
+        ca, cb = chunk_set(docs[r.doc_a]), chunk_set(docs[r.doc_b])
+        # the df cap can only REMOVE shared chunks from the candidate
+        # count, so the reported shared is a lower bound of true overlap
+        assert r.shared <= len(ca & cb)
+        assert abs(r.containment - r.shared / len(ca)) < 1e-12

@@ -122,6 +122,7 @@ def test_round6_window_composition():
         "q_chunk_dedup",
         "q_sample_coordinated",
         "q_quantile_normalize",
+        "q_dedup_chunks",
     }
     # names[50] is q_topk (the 51st-slot bench pad); late-authored head
     # the ordering right after it

@@ -70,6 +70,7 @@ SECTIONS = {
         "q_dedup_incremental", "q_dedup_incremental_lsh", "q_graph_degree",
         "q_dedup_prefix", "q_dedup_ngram_jaccard", "q_minhash_union_sketch",
         "q_dedup_url", "q_fuzzy_match", "q_dedup_cross_source",
+        "q_dedup_chunks",
     ],
     "North-star: similarity search": [
         "q_sim_topk", "q_sim_selfjoin", "q_sim_ann_lsh", "q_sim_ann_ivf",
@@ -196,6 +197,7 @@ ROLES = {
     "q_chunk_dedup": "chunk-level dup census per source (16-byte hash shuffle only)",
     "q_sample_coordinated": "md5-rule coordinated sampling; FK-consistency proven by orphan=0",
     "q_quantile_normalize": "within-source rank -> global quantile value, banded ranks both sides",
+    "q_dedup_chunks": "chunk-containment near-dup pairs from df-capped posting lists",
     "q_sink_orc": "parallel ORC directory write + vectorized readback",
     "q_join_bloom": "explicit bloom runtime filter; map-side fact pruning",
     "q_corr_matrix": "all-pairs Pearson corr from one sufficient-stats pass",
