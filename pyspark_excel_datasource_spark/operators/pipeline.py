@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..catalog import table
+from ..catalog import spread, table
 from ..functions.determinism import sql_canon, sql_dround
 from ..plans.registry import query
 
@@ -1242,4 +1242,110 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ti", ti)
         .join(g, F.col("ti") == g.gidx)
         .select("doc_id", "source", "n_chars", "q_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-prep pipeline v2: the round-6 operators composed as ONE plan
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_pipeline_corpus_v2",
+    oracle=f"""
+    WITH segs AS (
+        SELECT doc_id, k,
+               ARRAY_TO_STRING(wd[k*4+1 : k*4+4], ' ') AS seg
+        FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS wd FROM documents)
+        CROSS JOIN UNNEST(RANGE(0, (LEN(wd)-1) // 4 + 1)) AS t(k)
+    ),
+    segdf AS (
+        SELECT MD5(seg) AS h, COUNT(DISTINCT doc_id) AS df
+        FROM segs GROUP BY MD5(seg)
+    ),
+    boiler AS (
+        SELECT s.doc_id,
+               SUM(CASE WHEN d.df >= 3 THEN 1 ELSE 0 END) AS dropped,
+               COUNT(*) AS segs
+        FROM segs s JOIN segdf d ON MD5(s.seg) = d.h
+        GROUP BY s.doc_id
+    ),
+    clean AS (
+        SELECT doc_id FROM boiler WHERE dropped * 2 <= segs
+    ),
+    keep AS (
+        SELECT doc_id FROM (
+            SELECT d.doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY MD5(d.text)
+                       ORDER BY COALESCE(TRY_CAST(REGEXP_EXTRACT(
+                           d.source, '([0-9]+)', 1) AS INT), 999),
+                           d.doc_id
+                   ) AS rn
+            FROM documents d JOIN clean c ON d.doc_id = c.doc_id
+        ) WHERE rn = 1
+    ),
+    final AS (
+        SELECT d.doc_id, d.source, d.n_chars
+        FROM documents d JOIN keep k ON d.doc_id = k.doc_id
+        WHERE d.n_chars >= 150
+    ),
+    ranked AS (
+        SELECT doc_id, source, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS src_rank
+        FROM final
+    ),
+    srcs AS (
+        SELECT source,
+               ROW_NUMBER() OVER (ORDER BY source) AS src_idx,
+               COUNT(*) OVER () AS n_sources
+        FROM (SELECT DISTINCT source FROM final)
+    )
+    SELECT r.doc_id, r.source, CAST(r.n_chars AS BIGINT) AS n_chars,
+           CAST((r.src_rank - 1) * s.n_sources + s.src_idx AS BIGINT)
+               AS sched_pos
+    FROM ranked r JOIN srcs s ON r.source = s.source
+    """,
+)
+def q_pipeline_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-6 corpus-prep chain as ONE declarative plan:
+    (1) corpus-frequency boilerplate gate — drop documents that are
+    mostly repeated segments (the ``q_strip_boilerplate`` df machinery
+    as a document filter); (2) cross-source exact dedup with the
+    curated-source keep rule (``q_dedup_cross_source``); (3) a length
+    quality floor; (4) the curriculum schedule over the survivors
+    (``q_curriculum_interleave``'s two-level banded rank). Catalyst
+    sees the whole chain: the boilerplate df shuffle keys on md5
+    segments, the dedup window on md5 docs, and the curriculum rank on
+    (source, band) — each stage's filter shrinks the next stage's
+    input, and nothing re-reads the corpus between stages. This v2
+    supersedes ``q_pipeline_llm_prep``'s quality→dedup→split chain
+    with the round-6 operator generation.
+    """
+    d = table(spark, sf_dir, "documents")
+    # stage 1: boilerplate-dominated docs out (>50% repeated segments)
+    from .text import strip_boilerplate
+
+    census = strip_boilerplate(spread(d)).select("doc_id", "n_segs", "n_dropped")
+    clean = census.filter(
+        F.col("n_dropped") * 2 <= F.col("n_segs")
+    ).select("doc_id")
+    survivors = d.join(clean, "doc_id")
+    # stage 2: cross-source priority dedup (keep the curated copy)
+    prio = F.coalesce(
+        F.regexp_extract(F.col("source"), r"([0-9]+)", 1).try_cast("int"),
+        F.lit(999),
+    )
+    rn = F.row_number().over(
+        W.partitionBy(F.md5(F.col("text"))).orderBy(prio.asc(), F.col("doc_id").asc())
+    )
+    kept = survivors.withColumn("rn", rn).filter(F.col("rn") == 1)
+    # stage 3: quality floor; stage 4: curriculum schedule
+    final = kept.filter(F.col("n_chars") >= 150).select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    sched = curriculum_schedule(final)
+    return sched.join(final.select("doc_id", "n_chars"), "doc_id").select(
+        "doc_id", "source", "n_chars", "sched_pos"
     )

@@ -606,3 +606,11 @@ def test_dedup_chunks_pairs_are_real_neighbors(spark):
         # count, so the reported shared is a lower bound of true overlap
         assert r.shared <= len(ca & cb)
         assert abs(r.containment - r.shared / len(ca)) < 1e-12
+
+
+def test_pipeline_corpus_v2_stages_compose(spark):
+    rows = _q("q_pipeline_corpus_v2")(spark, SF).collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert 0 < len(rows) < n_docs  # every stage filtered something
+    assert len({r.sched_pos for r in rows}) == len(rows)  # total order
+    assert all(r.n_chars >= 150 for r in rows)

@@ -123,6 +123,7 @@ def test_round6_window_composition():
         "q_sample_coordinated",
         "q_quantile_normalize",
         "q_dedup_chunks",
+        "q_pipeline_corpus_v2",
     }
     # names[50] is q_topk (the 51st-slot bench pad); late-authored head
     # the ordering right after it

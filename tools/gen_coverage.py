@@ -91,6 +91,7 @@ SECTIONS = {
         "q_sample_exact_pergroup", "q_agg_incremental", "q_mix_temperature",
         "q_skyline_pareto", "q_curriculum_interleave", "q_observe_metrics",
         "q_sample_coordinated", "q_quantile_normalize",
+        "q_pipeline_corpus_v2",
     ],
     "Event analytics": [
         "q_sessionize", "q_funnel", "q_retention", "q_scd2_intervals", "q_event_transitions",
@@ -198,6 +199,7 @@ ROLES = {
     "q_sample_coordinated": "md5-rule coordinated sampling; FK-consistency proven by orphan=0",
     "q_quantile_normalize": "within-source rank -> global quantile value, banded ranks both sides",
     "q_dedup_chunks": "chunk-containment near-dup pairs from df-capped posting lists",
+    "q_pipeline_corpus_v2": "boilerplate gate -> cross-source dedup -> quality -> curriculum, one plan",
     "q_sink_orc": "parallel ORC directory write + vectorized readback",
     "q_join_bloom": "explicit bloom runtime filter; map-side fact pruning",
     "q_corr_matrix": "all-pairs Pearson corr from one sufficient-stats pass",
