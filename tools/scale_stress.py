@@ -258,7 +258,10 @@ def main() -> None:
         vocab_coverage,
     )
     from pyspark_excel_datasource_spark.operators.dedup import chargram_pairs
-    from pyspark_excel_datasource_spark.operators.multimodal import payload_dedup
+    from pyspark_excel_datasource_spark.operators.multimodal import (
+        chunk_census,
+        payload_dedup,
+    )
     from pyspark_excel_datasource_spark.operators.scale import interval_overlap
 
     docs_full1 = table(spark, SF, "documents")
@@ -422,6 +425,21 @@ def main() -> None:
         "pit_join": (
             pit_join(ev1),
             pit_join(ev10),
+        ),
+        # content-defined chunking family: boundary scan is per-byte map
+        # work; census shuffles 16-byte hashes; near-dup candidates come
+        # from df-capped posting lists (replicas are byte-decorrelated by
+        # the char rotation, so candidates stay within each replica)
+        "chunk_census": (
+            chunk_census(docs_full1),
+            chunk_census(
+                replicate_docs_chars(
+                    table(spark, SF, "documents").select(
+                        "doc_id", "text", "source", "lang", "n_chars"
+                    ),
+                    FACTOR,
+                )
+            ),
         ),
     }
     wanted = set(sys.argv[1:])
