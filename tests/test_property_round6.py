@@ -96,3 +96,57 @@ def test_skyline_equals_bruteforce(spark, rows):
     vals = {pts[i] for i in frontier}
     want = {i for i, p in pts.items() if p in vals}
     assert got == want, (rows, got, want)
+
+
+_uid = st.integers(min_value=0, max_value=2)
+_ts = st.integers(min_value=0, max_value=12)  # dense -> many exact ties
+_etype = st.sampled_from(["click", "purchase", "view"])
+_ev_rows = st.lists(st.tuples(_uid, _ts, _etype), min_size=1, max_size=25)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_ev_rows)
+def test_asof_nearest_ties_equal_bruteforce(spark, rows):
+    """The strict-both-sides tie semantics (a simultaneous click is
+    neither prior nor later) must hold under dense timestamp ties —
+    the case the sort-order trick exists for."""
+    import datetime
+
+    from pyspark_excel_datasource_spark.operators.relational import asof_nearest
+
+    base = datetime.datetime(2024, 1, 1)
+    data = [
+        (i, u, base + datetime.timedelta(seconds=t), e)
+        for i, (u, t, e) in enumerate(rows)
+    ]
+    ev = spark.createDataFrame(
+        data, "event_id long, user_id long, ts timestamp_ntz, event_type string"
+    )
+    got = {
+        r.event_id: (r.nearest_click, r.side, r.gap_s)
+        for r in asof_nearest(ev).collect()
+    }
+    clicks = {}
+    for i, u, t, e in data:
+        if e == "click":
+            clicks.setdefault(u, []).append(t)
+    n_purch = 0
+    for i, u, t, e in data:
+        if e != "purchase":
+            continue
+        n_purch += 1
+        cs = clicks.get(u, [])
+        back = max((c for c in cs if c < t), default=None)
+        fwd = min((c for c in cs if c > t), default=None)
+        if back is None and fwd is None:
+            want = (None, "none", -1)
+        elif fwd is None or (back is not None and t - back <= fwd - t):
+            want = (back, "prior", int((t - back).total_seconds()))
+        else:
+            want = (fwd, "later", int((fwd - t).total_seconds()))
+        assert got[i] == want, (i, data)
+    assert len(got) == n_purch
