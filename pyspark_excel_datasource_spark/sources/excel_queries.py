@@ -191,3 +191,66 @@ def q_stream_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_regionkey").alias("regionkey"),
         F.col("r_name").alias("region_name"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-sheet workbook: sheet selection against a REAL multi-sheet file
+# ---------------------------------------------------------------------------
+
+
+def _materialize_dims_workbook(sf_dir: str) -> str:
+    """nation + region as TWO sheets of ONE workbook (idempotent). The
+    other Excel fixtures are single-sheet, so this is the file that
+    actually exercises sheet resolution."""
+    out = os.path.join(_fixture_dir(sf_dir), "dims.xlsx")
+    if not os.path.exists(out):
+        nation = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+        region = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+        tmp = out + ".tmp"
+        minixlsx.write_xlsx_multi(tmp, {"nation": nation, "region": region})
+        os.replace(tmp, out)
+    return out
+
+
+@query(
+    "q_scan_excel_sheets",
+    oracle="""
+    SELECT r.r_name AS region_name,
+           CAST(COUNT(*) AS BIGINT) AS n_nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q_scan_excel_sheets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sheet-addressed reads from ONE multi-sheet workbook: the nation
+    and region sheets load as two independent scans of the same file
+    (``sheetName`` option → workbook.xml rel resolution,
+    ``minixlsx._sheet_member``), then join — the multi-tab spreadsheet
+    shape every real Excel ingest eventually meets. The reference
+    accepts a ``sheetName`` option but its own tests never exercise a
+    workbook with more than one sheet (reference
+    ``tests/test_excel_connector.py``); here the fixture has two and
+    the oracle checks the join against the original parquet dims.
+    """
+    register_excel(spark)
+    path = _materialize_dims_workbook(sf_dir)
+    nation = (
+        spark.read.format("excel")
+        .option("path", path)
+        .option("sheetName", "nation")
+        .load()
+    )
+    region = (
+        spark.read.format("excel")
+        .option("path", path)
+        .option("sheetName", "region")
+        .load()
+    )
+    return (
+        nation.join(
+            F.broadcast(region),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(F.count("*").cast("long").alias("n_nations"))
+    )

@@ -128,13 +128,8 @@ def _cell_xml(ref: str, value: object) -> str | None:
     return f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{text}</t></is></c>'
 
 
-def write_xlsx(
-    path: str,
-    frame: pd.DataFrame,
-    sheet_name: str = "Sheet1",
-    header: bool = True,
-) -> None:
-    """Write one pandas frame as a single-sheet .xlsx file."""
+def _sheet_xml(frame: pd.DataFrame, header: bool) -> str:
+    """SpreadsheetML worksheet XML for one frame."""
     rows_xml: list[str] = []
     r = 1
     if header:
@@ -150,26 +145,78 @@ def write_xlsx(
         ]
         rows_xml.append(f'<row r="{r}">' + "".join(c for c in cells if c) + "</row>")
         r += 1
-
-    sheet = (
+    return (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
         "<sheetData>" + "".join(rows_xml) + "</sheetData></worksheet>"
+    )
+
+
+def write_xlsx_multi(
+    path: str,
+    sheets: dict[str, pd.DataFrame],
+    header: bool = True,
+) -> None:
+    """Write a MULTI-sheet .xlsx workbook (one worksheet per dict entry,
+    in dict order). The single-sheet ``write_xlsx`` is the one-entry
+    special case."""
+    if not sheets:
+        raise ValueError("write_xlsx_multi needs at least one sheet")
+    names = list(sheets)
+    ct_overrides = "".join(
+        f'<Override PartName="/xl/worksheets/sheet{i+1}.xml" '
+        'ContentType="application/vnd.openxmlformats-officedocument.'
+        'spreadsheetml.worksheet+xml"/>'
+        for i in range(len(names))
+    )
+    content_types = _CONTENT_TYPES.replace(
+        '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>',
+        ct_overrides,
+    )
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        + "".join(
+            f'<Relationship Id="rId{i+1}" Type="http://schemas.openxmlformats.org/'
+            f'officeDocument/2006/relationships/worksheet" '
+            f'Target="worksheets/sheet{i+1}.xml"/>'
+            for i in range(len(names))
+        )
+        + f'<Relationship Id="rId{len(names)+1}" Type="http://schemas.openxml'
+        'formats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/>'
+        "</Relationships>"
     )
     workbook = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
         'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
-        f'<sheets><sheet name="{escape(sheet_name)}" sheetId="1" r:id="rId1"/></sheets>'
-        "</workbook>"
+        "<sheets>"
+        + "".join(
+            f'<sheet name="{escape(n)}" sheetId="{i+1}" r:id="rId{i+1}"/>'
+            for i, n in enumerate(names)
+        )
+        + "</sheets></workbook>"
     )
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
-        zf.writestr("[Content_Types].xml", _CONTENT_TYPES)
+        zf.writestr("[Content_Types].xml", content_types)
         zf.writestr("_rels/.rels", _ROOT_RELS)
         zf.writestr("xl/workbook.xml", workbook)
-        zf.writestr("xl/_rels/workbook.xml.rels", _WORKBOOK_RELS)
+        zf.writestr("xl/_rels/workbook.xml.rels", wb_rels)
         zf.writestr("xl/styles.xml", _STYLES)
-        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+        for i, n in enumerate(names):
+            zf.writestr(
+                f"xl/worksheets/sheet{i+1}.xml", _sheet_xml(sheets[n], header)
+            )
+
+
+def write_xlsx(
+    path: str,
+    frame: pd.DataFrame,
+    sheet_name: str = "Sheet1",
+    header: bool = True,
+) -> None:
+    """Write one pandas frame as a single-sheet .xlsx file."""
+    write_xlsx_multi(path, {sheet_name: frame}, header=header)
 
 
 # ---------------------------------------------------------------------------

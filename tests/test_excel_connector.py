@@ -437,3 +437,32 @@ def test_chunk_scale_staged_write_and_chunked_readback(spark, tmp_path):
     assert back.rdd.getNumPartitions() > 16  # chunk planner split the parts
     total, distinct = back.count(), back.select("id").distinct().count()
     assert total == n and distinct == n
+
+
+def test_multisheet_workbook_roundtrip(spark, tmp_path):
+    """write_xlsx_multi produces a workbook whose sheets resolve by name
+    AND by 0-based index through the datasource."""
+    import pandas as pd
+
+    from pyspark_excel_datasource_spark.sources import minixlsx
+    from pyspark_excel_datasource_spark.sources.excel import register_excel
+
+    path = str(tmp_path / "multi.xlsx")
+    minixlsx.write_xlsx_multi(
+        path,
+        {
+            "alpha": pd.DataFrame({"a": [1, 2, 3], "s": ["x", "y", "z"]}),
+            "beta": pd.DataFrame({"b": [10.5, 20.25], "t": ["p", "q"]}),
+        },
+    )
+    register_excel(spark)
+    by_name = (
+        spark.read.format("excel").option("path", path)
+        .option("sheetName", "beta").load()
+    )
+    assert sorted(r.b for r in by_name.collect()) == [10.5, 20.25]
+    by_index = (
+        spark.read.format("excel").option("path", path)
+        .option("sheetName", "0").load()
+    )
+    assert sorted(r.a for r in by_index.collect()) == [1, 2, 3]

@@ -18,6 +18,7 @@ SECTIONS = {
         "q_sink_parquet_partitioned", "q_scan_evolving", "q_scan_csv",
         "q_sink_csv", "q_scan_jsonl", "q_scan_orc", "q_sink_orc",
         "q_scan_text", "q_sink_text", "q_scan_file_lineage",
+        "q_scan_excel_sheets",
     ],
     "Projection / filter": ["q_project", "q_filter_basic", "q_filter_complex"],
     "Joins": [
@@ -200,6 +201,7 @@ ROLES = {
     "q_quantile_normalize": "within-source rank -> global quantile value, banded ranks both sides",
     "q_dedup_chunks": "chunk-containment near-dup pairs from df-capped posting lists",
     "q_pipeline_corpus_v2": "boilerplate gate -> cross-source dedup -> quality -> curriculum, one plan",
+    "q_scan_excel_sheets": "two sheet-addressed scans of ONE multi-sheet workbook, joined",
     "q_sink_orc": "parallel ORC directory write + vectorized readback",
     "q_join_bloom": "explicit bloom runtime filter; map-side fact pruning",
     "q_corr_matrix": "all-pairs Pearson corr from one sufficient-stats pass",
