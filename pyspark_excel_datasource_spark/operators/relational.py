@@ -1277,3 +1277,34 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.join(F.broadcast(r), l.k.eqNullSafe(r.k)).select(
         "o_orderkey", "tag"
     )
+
+
+@query(
+    "q_win_ntile",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(NTILE(4) OVER (PARTITION BY l_suppkey
+                               ORDER BY l_extendedprice, l_orderkey,
+                                        l_linenumber) AS INT)
+               AS price_quartile
+    FROM lineitem
+    """,
+)
+def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE bucketing: each supplier's line items split into price
+    quartiles — the within-partition equi-count binning the window
+    family was missing (``q_quantile_bins`` is its global, scan-level
+    sibling). Deterministic under ties via the full (price, orderkey,
+    linenumber) ordering; one shuffle on the supplier key, same cost
+    envelope as every other window op here.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_suppkey").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.ntile(4).over(w).cast("int").alias("price_quartile"),
+    )

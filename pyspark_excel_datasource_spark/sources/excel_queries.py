@@ -254,3 +254,69 @@ def q_scan_excel_sheets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("r_name").alias("region_name"))
         .agg(F.count("*").cast("long").alias("n_nations"))
     )
+
+
+@query(
+    "q_sink_excel_sheets",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                AS DECIMAL(38,2)) AS VARCHAR) AS total_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_sink_excel_sheets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sheet-per-group Excel sink roundtrip: a per-priority aggregate
+    lands as ONE workbook with one sheet per priority (the report
+    layout spreadsheet consumers actually ask for), then every sheet
+    reads back through the datasource and re-unions — the oracle checks
+    the union against the original aggregation, so the multi-sheet
+    write→resolve→decode path is proven lossless.
+
+    The collect feeding the writer is the AGGREGATED result (|priorities|
+    rows — bounded at any SF, the same bounded-collect rule as the bloom
+    and PQ builders); the fan-in is a driver-side workbook assembly of
+    that tiny frame, never of data.
+    """
+    import pandas as pd
+
+    register_excel(spark)
+    agg = (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .cast("string")
+            .alias("total_price"),
+        )
+    )
+    rows = agg.collect()  # bounded: one row per priority
+    out = os.path.join(_fixture_dir(sf_dir), "orders_by_priority.xlsx")
+    sheets = {
+        r.o_orderpriority: pd.DataFrame(
+            {
+                "o_orderpriority": [r.o_orderpriority],
+                "n_orders": [r.n_orders],
+                "total_price": [r.total_price],
+            }
+        )
+        for r in sorted(rows, key=lambda r: r.o_orderpriority)
+    }
+    tmp = out + ".tmp"
+    minixlsx.write_xlsx_multi(tmp, sheets)
+    os.replace(tmp, out)
+    parts = [
+        spark.read.format("excel")
+        .option("path", out)
+        .option("sheetName", name)
+        .schema("o_orderpriority string, n_orders long, total_price string")
+        .load()
+        for name in sheets
+    ]
+    result = parts[0]
+    for p in parts[1:]:
+        result = result.unionByName(p)
+    return result

@@ -125,6 +125,8 @@ def test_round6_window_composition():
         "q_dedup_chunks",
         "q_pipeline_corpus_v2",
         "q_scan_excel_sheets",
+        "q_sink_excel_sheets",
+        "q_win_ntile",
     }
     # names[50] is q_topk (the 51st-slot bench pad); late-authored head
     # the ordering right after it

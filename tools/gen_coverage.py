@@ -18,7 +18,7 @@ SECTIONS = {
         "q_sink_parquet_partitioned", "q_scan_evolving", "q_scan_csv",
         "q_sink_csv", "q_scan_jsonl", "q_scan_orc", "q_sink_orc",
         "q_scan_text", "q_sink_text", "q_scan_file_lineage",
-        "q_scan_excel_sheets",
+        "q_scan_excel_sheets", "q_sink_excel_sheets",
     ],
     "Projection / filter": ["q_project", "q_filter_basic", "q_filter_complex"],
     "Joins": [
@@ -38,7 +38,7 @@ SECTIONS = {
         "q_dedup_exact",
         "q_dedup_keep_first", "q_pivot", "q_unpivot", "q_quantile_bins",
     ],
-    "Window functions": ["q_win_rank", "q_win_analytic", "q_win_frame", "q_win_range_frame", "q_win_cume", "q_win_median", "q_weighted_median"],
+    "Window functions": ["q_win_rank", "q_win_analytic", "q_win_frame", "q_win_range_frame", "q_win_cume", "q_win_median", "q_weighted_median", "q_win_ntile"],
     "Sorts / limits / top-k": ["q_sort_multi", "q_topk", "q_topk_group"],
     "Set operations": ["q_union_all", "q_union_dist", "q_intersect", "q_except"],
     "Scalar functions": [
@@ -202,6 +202,8 @@ ROLES = {
     "q_dedup_chunks": "chunk-containment near-dup pairs from df-capped posting lists",
     "q_pipeline_corpus_v2": "boilerplate gate -> cross-source dedup -> quality -> curriculum, one plan",
     "q_scan_excel_sheets": "two sheet-addressed scans of ONE multi-sheet workbook, joined",
+    "q_sink_excel_sheets": "sheet-per-group workbook sink (bounded aggregate fan-in), lossless",
+    "q_win_ntile": "NTILE quartiles per supplier (tie-stable full ordering)",
     "q_sink_orc": "parallel ORC directory write + vectorized readback",
     "q_join_bloom": "explicit bloom runtime filter; map-side fact pruning",
     "q_corr_matrix": "all-pairs Pearson corr from one sufficient-stats pass",
