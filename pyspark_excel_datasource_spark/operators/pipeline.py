@@ -1194,7 +1194,12 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final lookup is an equi-join on that index. The oracle states
     the naive two-window definition.
     """
-    d = table(spark, sf_dir, "documents")
+    return quantile_normalize(table(spark, sf_dir, "documents"))
+
+
+def quantile_normalize(d: DataFrame) -> DataFrame:
+    """Quantile-normalization plan over a documents frame (shared with
+    ``tools/scale_stress.py``)."""
     base = d.select(
         "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
     ).withColumn("band", (F.col("n_chars") / _CURR_BAND_W).cast("long"))

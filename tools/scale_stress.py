@@ -289,6 +289,7 @@ def main() -> None:
     from pyspark_excel_datasource_spark.operators.dedup import cross_source_census
     from pyspark_excel_datasource_spark.operators.pipeline import (
         curriculum_schedule,
+        quantile_normalize,
         skyline_select,
     )
     from pyspark_excel_datasource_spark.operators.vectors import embed_norm_stats
@@ -430,6 +431,10 @@ def main() -> None:
         # work; census shuffles 16-byte hashes; near-dup candidates come
         # from df-capped posting lists (replicas are byte-decorrelated by
         # the char rotation, so candidates stay within each replica)
+        "quantile_norm": (
+            quantile_normalize(docs_full1),
+            quantile_normalize(docs_full10),
+        ),
         "chunk_census": (
             chunk_census(docs_full1),
             chunk_census(
