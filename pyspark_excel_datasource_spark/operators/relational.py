@@ -1308,3 +1308,64 @@ def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.ntile(4).over(w).cast("int").alias("price_quartile"),
     )
+
+
+#: fixed priority domain for the transpose demo (column set must be
+#: deterministic for the schema check)
+_PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+
+@query(
+    "q_transpose",
+    oracle=f"""
+    SELECT 'n_orders' AS key,
+           {", ".join(
+               'CAST(SUM(CASE WHEN o_orderpriority = ' + repr(p)
+               + ' THEN 1 ELSE 0 END) AS BIGINT) AS "' + p + '"'
+               for p in ("1-URGENT", "2-HIGH", "3-MEDIUM",
+                          "4-NOT SPECIFIED", "5-LOW"))}
+    FROM orders
+    UNION ALL
+    SELECT 'n_high_value',
+           {", ".join(
+               'CAST(SUM(CASE WHEN o_orderpriority = ' + repr(p)
+               + ' AND o_totalprice > 150000.0 THEN 1 ELSE 0 END) AS BIGINT)'
+               for p in ("1-URGENT", "2-HIGH", "3-MEDIUM",
+                          "4-NOT SPECIFIED", "5-LOW"))}
+    FROM orders
+    """,
+)
+def q_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix transpose of a small aggregate (Spark 4's new
+    ``DataFrame.transpose``): per-priority metrics flip to metric rows ×
+    priority columns — the report orientation BI consumers ask for,
+    and the pivot family's missing fourth member (pivot/unpivot/
+    transpose).
+
+    ``transpose`` collects the frame to the driver by necessity (its
+    output SCHEMA depends on the data), so the input here is the
+    |priorities|-row aggregate — the same bounded-collect rule as every
+    driver-side builder in this repo; never transpose a fact table. The
+    metric columns are summed conditionally in one pass before the
+    flip, and the priority domain is fixed so the output schema is
+    deterministic.
+    """
+    o = table(spark, sf_dir, "orders")
+    agg = (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(
+                F.when(F.col("o_totalprice") > 150000.0, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_high_value"),
+        )
+        .orderBy("o_orderpriority")
+    )
+    t = agg.transpose()
+    # schema determinism: select the fixed priority domain in order
+    return t.select(
+        F.col("key"),
+        *[F.col(f"`{p}`").cast("long").alias(p) for p in _PRIORITIES],
+    )

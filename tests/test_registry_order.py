@@ -127,6 +127,7 @@ def test_round6_window_composition():
         "q_scan_excel_sheets",
         "q_sink_excel_sheets",
         "q_win_ntile",
+        "q_transpose",
     }
     # names[50] is q_topk (the 51st-slot bench pad); late-authored head
     # the ordering right after it

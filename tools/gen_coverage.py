@@ -36,7 +36,7 @@ SECTIONS = {
         "q_agg_cube", "q_agg_gsets", "q_agg_approx", "q_agg_percentile",
         "q_agg_histogram", "q_agg_argmax", "q_agg_mode", "q_agg_approx_quantile",
         "q_dedup_exact",
-        "q_dedup_keep_first", "q_pivot", "q_unpivot", "q_quantile_bins",
+        "q_dedup_keep_first", "q_pivot", "q_unpivot", "q_transpose", "q_quantile_bins",
     ],
     "Window functions": ["q_win_rank", "q_win_analytic", "q_win_frame", "q_win_range_frame", "q_win_cume", "q_win_median", "q_weighted_median", "q_win_ntile"],
     "Sorts / limits / top-k": ["q_sort_multi", "q_topk", "q_topk_group"],
@@ -204,6 +204,7 @@ ROLES = {
     "q_scan_excel_sheets": "two sheet-addressed scans of ONE multi-sheet workbook, joined",
     "q_sink_excel_sheets": "sheet-per-group workbook sink (bounded aggregate fan-in), lossless",
     "q_win_ntile": "NTILE quartiles per supplier (tie-stable full ordering)",
+    "q_transpose": "Spark 4 DataFrame.transpose on a bounded aggregate (pivot family's 4th member)",
     "q_sink_orc": "parallel ORC directory write + vectorized readback",
     "q_join_bloom": "explicit bloom runtime filter; map-side fact pruning",
     "q_corr_matrix": "all-pairs Pearson corr from one sufficient-stats pass",
