@@ -1369,3 +1369,38 @@ def q_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key"),
         *[F.col(f"`{p}`").cast("long").alias(p) for p in _PRIORITIES],
     )
+
+
+@query(
+    "q_agg_listagg",
+    oracle="""
+    SELECT o_orderpriority,
+           STRING_AGG(o_orderstatus, ',' ORDER BY o_orderstatus)
+               AS statuses,
+           CAST(COUNT(*) AS BIGINT) AS n_statuses
+    FROM (SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (SQL:2016 LISTAGG ... WITHIN GROUP,
+    new in Spark 4): each priority's distinct order statuses as one
+    deterministic CSV — the report-cell concatenation every BI export
+    needs, with the WITHIN GROUP ordering making it hash-stable (an
+    unordered listagg would be shuffle-order-dependent and could never
+    oracle-match).
+
+    The DISTINCT pre-aggregation bounds the aggregated strings (states
+    per group ≤ |status domain|), so the concatenation state is O(1)
+    per group at any scale — the same bounded-state rule as the
+    inverted-index postings.
+    """
+    o = table(spark, sf_dir, "orders")
+    pairs = o.select("o_orderpriority", "o_orderstatus").distinct()
+    return pairs.groupBy("o_orderpriority").agg(
+        F.expr(
+            "listagg(o_orderstatus, ',')"
+            " WITHIN GROUP (ORDER BY o_orderstatus)"
+        ).alias("statuses"),
+        F.count("*").cast("long").alias("n_statuses"),
+    )

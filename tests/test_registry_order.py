@@ -128,6 +128,7 @@ def test_round6_window_composition():
         "q_sink_excel_sheets",
         "q_win_ntile",
         "q_transpose",
+        "q_agg_listagg",
     }
     # names[50] is q_topk (the 51st-slot bench pad); late-authored head
     # the ordering right after it

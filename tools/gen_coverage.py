@@ -34,7 +34,7 @@ SECTIONS = {
     "Aggregations": [
         "q_agg_group", "q_agg_distinct", "q_agg_stats", "q_agg_rollup",
         "q_agg_cube", "q_agg_gsets", "q_agg_approx", "q_agg_percentile",
-        "q_agg_histogram", "q_agg_argmax", "q_agg_mode", "q_agg_approx_quantile",
+        "q_agg_histogram", "q_agg_argmax", "q_agg_mode", "q_agg_listagg", "q_agg_approx_quantile",
         "q_dedup_exact",
         "q_dedup_keep_first", "q_pivot", "q_unpivot", "q_transpose", "q_quantile_bins",
     ],
@@ -205,6 +205,7 @@ ROLES = {
     "q_sink_excel_sheets": "sheet-per-group workbook sink (bounded aggregate fan-in), lossless",
     "q_win_ntile": "NTILE quartiles per supplier (tie-stable full ordering)",
     "q_transpose": "Spark 4 DataFrame.transpose on a bounded aggregate (pivot family's 4th member)",
+    "q_agg_listagg": "SQL:2016 LISTAGG WITHIN GROUP (ordered, hash-stable concatenation)",
     "q_sink_orc": "parallel ORC directory write + vectorized readback",
     "q_join_bloom": "explicit bloom runtime filter; map-side fact pruning",
     "q_corr_matrix": "all-pairs Pearson corr from one sufficient-stats pass",
