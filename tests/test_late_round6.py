@@ -614,3 +614,59 @@ def test_pipeline_corpus_v2_stages_compose(spark):
     assert 0 < len(rows) < n_docs  # every stage filtered something
     assert len({r.sched_pos for r in rows}) == len(rows)  # total order
     assert all(r.n_chars >= 150 for r in rows)
+
+
+def test_win_ntile_quartiles_balanced(spark):
+    rows = _q("q_win_ntile")(spark, SF).collect()
+    import collections
+
+    per_supp = collections.defaultdict(collections.Counter)
+    for r in rows:
+        per_supp[r.l_suppkey][r.price_quartile] += 1
+    for supp, c in per_supp.items():
+        assert set(c) <= {1, 2, 3, 4}
+        n = sum(c.values())
+        if n >= 4:  # NTILE(4) bucket sizes differ by at most 1
+            sizes = [c.get(q, 0) for q in (1, 2, 3, 4)]
+            assert max(sizes) - min(sizes) <= 1
+
+
+def test_transpose_orientation(spark):
+    rows = _q("q_transpose")(spark, SF).collect()
+    assert {r.key for r in rows} == {"n_orders", "n_high_value"}
+    n_orders = next(r for r in rows if r.key == "n_orders")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    want = dict(
+        orders.groupBy("o_orderpriority").count().collect()
+    )
+    for p, n in want.items():
+        assert n_orders[p] == n
+
+
+def test_sink_excel_sheets_lossless(spark):
+    rows = {r.o_orderpriority: (r.n_orders, r.total_price)
+            for r in _q("q_sink_excel_sheets")(spark, SF).collect()}
+    import pyspark.sql.functions as FF
+
+    want = {
+        r.o_orderpriority: (r.n, r.t)
+        for r in spark.read.parquet(f"{SF}/orders.parquet")
+        .groupBy("o_orderpriority")
+        .agg(
+            FF.count("*").alias("n"),
+            FF.sum(FF.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .cast("string")
+            .alias("t"),
+        )
+        .collect()
+    }
+    assert rows == want
+
+
+def test_listagg_is_ordered(spark):
+    rows = _q("q_agg_listagg")(spark, SF).collect()
+    for r in rows:
+        parts = r.statuses.split(",")
+        assert parts == sorted(parts)
+        assert len(parts) == r.n_statuses
