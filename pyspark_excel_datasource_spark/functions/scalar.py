@@ -397,3 +397,61 @@ def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("REF")).alias("fragment"),
         F.parse_url(url, F.lit("QUERY"), F.lit("id")).alias("id_param"),
     )
+
+
+@query(
+    "q_fn_xml",
+    oracle="""
+    WITH x AS (
+        SELECT o_orderkey,
+               '<order id="' || o_orderkey || '"><priority>'
+                   || o_orderpriority || '</priority><total>'
+                   || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+                   || '</total></order>' AS doc
+        FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT o_orderkey,
+           CAST(REGEXP_EXTRACT(doc, 'id="([0-9]+)"', 1) AS BIGINT) AS xml_id,
+           REGEXP_EXTRACT(doc, '<priority>([^<]*)</priority>', 1)
+               AS priority,
+           CAST(CAST(REGEXP_EXTRACT(doc, '<total>([^<]*)</total>', 1)
+                AS DECIMAL(18,2)) AS VARCHAR) AS total
+    FROM x
+    """,
+)
+def q_fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML field extraction (Spark's Hive-inherited ``xpath_*`` family
+    plus the Spark 4 ``from_xml`` parser): a synthesized XML payload —
+    the message-bus format older enterprise feeds still ship — parses
+    back to typed columns entirely JVM-side.
+
+    ``from_xml`` binds an explicit schema (the same
+    no-inference-at-scale rule as the CSV/JSONL scans); ``xpath_string``
+    pulls the attribute the schema'd parser doesn't cover. DuckDB has
+    no XML support, so the oracle extracts the same fields with
+    anchored regexps over the identical synthesized document — the
+    round-trip (build → parse → compare) is what the hash check
+    verifies. Map-only, no shuffle, no Python.
+    """
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    doc = F.concat(
+        F.lit('<order id="'),
+        F.col("o_orderkey").cast("string"),
+        F.lit('"><priority>'),
+        F.col("o_orderpriority"),
+        F.lit("</priority><total>"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        F.lit("</total></order>"),
+    )
+    x = o.select("o_orderkey", doc.alias("doc"))
+    parsed = x.select(
+        "o_orderkey",
+        F.expr("xpath_string(doc, '/order/@id')").cast("long").alias("xml_id"),
+        F.expr("from_xml(doc, 'priority STRING, total DECIMAL(18,2)')").alias("s"),
+    )
+    return parsed.select(
+        "o_orderkey",
+        "xml_id",
+        F.col("s.priority").alias("priority"),
+        F.col("s.total").cast("string").alias("total"),
+    )

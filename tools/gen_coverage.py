@@ -44,7 +44,7 @@ SECTIONS = {
     "Scalar functions": [
         "q_fn_string", "q_fn_date", "q_fn_math", "q_fn_cond", "q_fn_array",
         "q_fn_array_agg", "q_fn_explode", "q_fn_json", "q_fn_map", "q_fn_bitwise",
-        "q_fn_editdist", "q_fn_variant", "q_fn_url",
+        "q_fn_editdist", "q_fn_variant", "q_fn_xml", "q_fn_url",
     ],
     "Subqueries / CTE": [
         "q_subquery_scalar", "q_subquery_correlated", "q_subquery_in", "q_cte",
@@ -206,6 +206,7 @@ ROLES = {
     "q_win_ntile": "NTILE quartiles per supplier (tie-stable full ordering)",
     "q_transpose": "Spark 4 DataFrame.transpose on a bounded aggregate (pivot family's 4th member)",
     "q_agg_listagg": "SQL:2016 LISTAGG WITHIN GROUP (ordered, hash-stable concatenation)",
+    "q_fn_xml": "xpath_* + Spark 4 from_xml typed extraction (regex-oracled round-trip)",
     "q_sink_orc": "parallel ORC directory write + vectorized readback",
     "q_join_bloom": "explicit bloom runtime filter; map-side fact pruning",
     "q_corr_matrix": "all-pairs Pearson corr from one sufficient-stats pass",
