@@ -1734,3 +1734,70 @@ def q_trajectory_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             canon(dround(F.col("cos"), 9)).alias("cos"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable HLL sketch algebra (Spark's native DataSketches functions)
+# ---------------------------------------------------------------------------
+
+#: relative error budget asserted for the HLL estimates (the default
+#: lgConfigK=12 gives ~1.6% standard error; 5% is a comfortable 3-sigma)
+_HLL_EPS = 0.05
+
+
+@query(
+    "q_agg_hll_union",
+    oracle=f"""
+    SELECT o_orderpriority AS scope,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
+           TRUE AS est_in_bound
+    FROM orders GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'ALL', CAST(COUNT(DISTINCT o_custkey) AS BIGINT), TRUE
+    FROM orders
+    """,
+)
+def q_agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch algebra with Spark's native DataSketches HLL
+    functions: per-priority customer sketches (``hll_sketch_agg``) whose
+    UNION (``hll_union_agg``) answers the global distinct count WITHOUT
+    re-touching the data — the property that lets 1000 executors (or 30
+    daily partitions) each sketch locally and merge in O(sketch) time.
+    This is the sketch-OBJECT surface ``q_agg_hll``'s
+    approx_count_distinct hides.
+
+    Correctness contract (the bound-asserted pattern of
+    ``q_approx_audit``): the output carries the EXACT distinct counts
+    plus an in-plan verdict that every estimate — per-group and merged
+    — lands within 5%; the oracle asserts the verdicts TRUE, so a
+    broken sketch or union hash-fails the gate even though DuckDB
+    cannot evaluate the sketches themselves.
+    """
+    o = table(spark, sf_dir, "orders")
+    per = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.count_distinct("o_custkey").alias("exact"),
+    )
+    per_rows = per.select(
+        F.col("o_orderpriority").alias("scope"),
+        F.col("exact").cast("long").alias("exact_distinct"),
+        (
+            F.abs(F.hll_sketch_estimate("sk") - F.col("exact"))
+            <= _HLL_EPS * F.col("exact")
+        ).alias("est_in_bound"),
+    )
+    g_exact = o.agg(F.count_distinct("o_custkey").alias("gx"))
+    g_row = (
+        per.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("gest")
+        )
+        .crossJoin(F.broadcast(g_exact))
+        .select(
+            F.lit("ALL").alias("scope"),
+            F.col("gx").cast("long").alias("exact_distinct"),
+            (F.abs(F.col("gest") - F.col("gx")) <= _HLL_EPS * F.col("gx")).alias(
+                "est_in_bound"
+            ),
+        )
+    )
+    return per_rows.unionByName(g_row)

@@ -670,3 +670,13 @@ def test_listagg_is_ordered(spark):
         parts = r.statuses.split(",")
         assert parts == sorted(parts)
         assert len(parts) == r.n_statuses
+
+
+def test_hll_union_verdicts_and_exact(spark):
+    rows = {r.scope: r for r in _q("q_agg_hll_union")(spark, SF).collect()}
+    assert all(r.est_in_bound for r in rows.values())
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    assert rows["ALL"].exact_distinct == (
+        orders.select("o_custkey").distinct().count()
+    )
+    assert sum(1 for s in rows if s != "ALL") == 5

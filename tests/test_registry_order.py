@@ -130,6 +130,7 @@ def test_round6_window_composition():
         "q_transpose",
         "q_agg_listagg",
         "q_fn_xml",
+        "q_agg_hll_union",
     }
     # names[50] is q_topk (the 51st-slot bench pad); late-authored head
     # the ordering right after it

@@ -120,7 +120,7 @@ SECTIONS = {
         "q_embed_norm",
     ],
     "Approximate-structure contract audits": [
-        "q_sim_ann_recall", "q_approx_audit",
+        "q_sim_ann_recall", "q_approx_audit", "q_agg_hll_union",
     ],
 }
 
@@ -207,6 +207,7 @@ ROLES = {
     "q_transpose": "Spark 4 DataFrame.transpose on a bounded aggregate (pivot family's 4th member)",
     "q_agg_listagg": "SQL:2016 LISTAGG WITHIN GROUP (ordered, hash-stable concatenation)",
     "q_fn_xml": "xpath_* + Spark 4 from_xml typed extraction (regex-oracled round-trip)",
+    "q_agg_hll_union": "native DataSketches HLL per-group + union-merge, bound-asserted",
     "q_sink_orc": "parallel ORC directory write + vectorized readback",
     "q_join_bloom": "explicit bloom runtime filter; map-side fact pruning",
     "q_corr_matrix": "all-pairs Pearson corr from one sufficient-stats pass",
