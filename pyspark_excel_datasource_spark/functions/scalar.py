@@ -455,3 +455,59 @@ def q_fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.priority").alias("priority"),
         F.col("s.total").cast("string").alias("total"),
     )
+
+
+@query(
+    "q_fn_collation",
+    oracle="""
+    WITH mangled AS (
+        SELECT CASE WHEN o_orderkey % 2 = 0 THEN UPPER(o_orderpriority)
+                    ELSE LOWER(o_orderpriority) END AS pri,
+               o_totalprice
+        FROM orders
+    )
+    SELECT LOWER(pri) AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                AS DECIMAL(38,2)) AS VARCHAR) AS total_price
+    FROM mangled GROUP BY LOWER(pri)
+    """,
+)
+def q_fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive aggregation via Spark 4 COLLATIONS: the group key
+    is the raw mixed-case string under ``COLLATE UTF8_LCASE`` — the
+    engine's comparator, not a ``lower()`` rewrite, does the folding,
+    which is the correct tool when the data arrives case-mangled from
+    heterogeneous feeds (and generalizes to locale-aware collations no
+    ``lower()`` call can express).
+
+    The case-mangling is synthesized deterministically (orderkey
+    parity), and the OUTPUT key is presented lowercased so the result
+    is representative-independent (which concrete casing a collated
+    group keeps is engine-internal). The oracle folds with LOWER —
+    same groups, same counts, exact decimal sums.
+    """
+    o = table(spark, sf_dir, "orders")
+    mangled = o.select(
+        F.when(
+            F.col("o_orderkey") % 2 == 0, F.upper("o_orderpriority")
+        )
+        .otherwise(F.lower("o_orderpriority"))
+        .alias("pri"),
+        "o_totalprice",
+    )
+    return (
+        mangled.groupBy(F.expr("pri COLLATE UTF8_LCASE").alias("prik"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .cast("string")
+            .alias("total_price"),
+        )
+        .select(
+            F.lower(F.col("prik")).cast("string").alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
