@@ -1404,3 +1404,43 @@ def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("statuses"),
         F.count("*").cast("long").alias("n_statuses"),
     )
+
+
+@query(
+    "q_sql_pipe",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_canon(sql_dsum('l_quantity', 0))} AS sum_qty,
+           {sql_canon(sql_dsum('l_extendedprice', 2))} AS sum_price,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship pricing aggregate expressed in Spark 4's SQL PIPE
+    syntax (`FROM … |> WHERE … |> AGGREGATE … GROUP BY …`) with a
+    PARAMETERIZED cutoff (named ``:cutoff`` argument — no string
+    interpolation, the injection-safe way to template production SQL).
+    Same Catalyst plan as the DataFrame flagship — pipe syntax is pure
+    surface — so every pushdown/partial-agg property carries over; the
+    point demonstrated is that the engine's newest SQL dialect runs the
+    engine's oldest benchmark shape unchanged.
+    """
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_pipe")
+    return spark.sql(
+        """
+        FROM lineitem_pipe
+        |> WHERE l_shipdate <= :cutoff
+        |> AGGREGATE
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,0)))
+                  AS DECIMAL(38,0)) AS STRING) AS sum_qty,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                  AS DECIMAL(38,2)) AS STRING) AS sum_price,
+             COUNT(*) AS n_items
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, sum_qty, sum_price, n_items
+        """,
+        args={"cutoff": "1998-09-02 00:00:00"},
+    )

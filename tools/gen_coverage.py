@@ -63,6 +63,7 @@ SECTIONS = {
     "Flagship / composite analytics": [
         "q_flagship_pricing", "q_tpch_q5ish", "q_tpch_q10ish", "q_tpch_q3ish",
         "q_tpch_q7ish", "q_tpch_q18ish", "q_tpch_q2ish", "q_tpch_q20ish",
+        "q_sql_pipe",
     ],
     "North-star: dedup (SURVEY §2.4)": [
         "q_dedup_near", "q_dedup_clusters", "q_dedup_minhash",
@@ -209,6 +210,7 @@ ROLES = {
     "q_fn_xml": "xpath_* + Spark 4 from_xml typed extraction (regex-oracled round-trip)",
     "q_agg_hll_union": "native DataSketches HLL per-group + union-merge, bound-asserted",
     "q_fn_collation": "Spark 4 UTF8_LCASE collated grouping (comparator-level case folding)",
+    "q_sql_pipe": "flagship in Spark 4 SQL pipe syntax + parameterized :cutoff",
     "q_sink_orc": "parallel ORC directory write + vectorized readback",
     "q_join_bloom": "explicit bloom runtime filter; map-side fact pruning",
     "q_corr_matrix": "all-pairs Pearson corr from one sufficient-stats pass",
