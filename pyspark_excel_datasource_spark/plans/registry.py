@@ -44,6 +44,7 @@ _QUERY_MODULES = (
     "pyspark_excel_datasource_spark.operators.udf_surface",
     "pyspark_excel_datasource_spark.streaming.windows",
     "pyspark_excel_datasource_spark.streaming.stateful",
+    "pyspark_excel_datasource_spark.streaming.tws",
     "pyspark_excel_datasource_spark.operators.dedup",
     "pyspark_excel_datasource_spark.operators.similarity",
     "pyspark_excel_datasource_spark.operators.vectors",

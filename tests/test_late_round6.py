@@ -680,3 +680,19 @@ def test_hll_union_verdicts_and_exact(spark):
         orders.select("o_custkey").distinct().count()
     )
     assert sum(1 for s in rows if s != "ALL") == 5
+
+
+def test_stream_tws_gated_on_protobuf(spark):
+    """transformWithStateInPandas needs a working google.protobuf (the
+    state-server wire format). The query must register exactly when the
+    dependency imports — never register-and-crash."""
+    from pyspark_excel_datasource_spark.plans.registry import load_all_queries
+    from pyspark_excel_datasource_spark.streaming import tws
+
+    registered = "q_stream_tws" in load_all_queries()
+    assert registered == tws._HAVE_TWS
+    if tws._HAVE_TWS:
+        df = load_all_queries()["q_stream_tws"](
+            spark, "/root/testdata/sf0.001"
+        )
+        assert df.count() > 0
