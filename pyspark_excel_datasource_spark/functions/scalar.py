@@ -511,3 +511,82 @@ def q_fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_price",
         )
     )
+
+
+@query(
+    "q_fn_try",
+    oracle="""
+    WITH dirty AS (
+        SELECT o_orderkey,
+               CASE o_orderkey % 5
+                   WHEN 0 THEN CAST(o_orderkey AS VARCHAR)
+                   WHEN 1 THEN ' ' || CAST(o_orderkey AS VARCHAR) || ' '
+                   WHEN 2 THEN 'id-' || CAST(o_orderkey AS VARCHAR)
+                   WHEN 3 THEN ''
+                   ELSE CAST(o_orderkey AS VARCHAR) || 'x'
+               END AS raw_id,
+               CASE o_orderkey % 3
+                   WHEN 0 THEN '2024-01-' || LPAD(CAST(o_orderkey % 28 + 1
+                                                       AS VARCHAR), 2, '0')
+                   WHEN 1 THEN 'not-a-date'
+                   ELSE '2024-13-40'
+               END AS raw_date
+        FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(TRY_CAST(raw_id AS BIGINT)) AS BIGINT) AS ok_ids,
+           CAST(SUM(COALESCE(TRY_CAST(raw_id AS BIGINT), 0)) AS BIGINT)
+               AS id_sum,
+           CAST(COUNT(TRY_CAST(raw_date AS DATE)) AS BIGINT) AS ok_dates,
+           CAST(MAX(TRY_CAST(raw_date AS DATE)) AS VARCHAR) AS max_date
+    FROM dirty
+    """,
+)
+def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe casting (`try_cast`): a deterministically dirtied feed
+    — padded numbers, prefixed ids, empties, decimals-where-ints,
+    malformed dates — parses to NULL-on-failure instead of job-failure,
+    the ANSI-mode ingest behavior every raw feed needs (a single bad
+    row must never kill a 100 TB load; quarantine counts, don't crash).
+    Reported as a parse-health census: rows, parseable ids/dates, the
+    sum over parsed ids, and the max parsed date.
+
+    Every dirty value is synthesized from ``o_orderkey`` arithmetic, so
+    both engines dirty and re-parse the identical strings — the hash
+    check pins that Spark's and DuckDB's TRY_CAST agree on every edge
+    class (whitespace YES, prefix NO, empty NO, trailing-garbage NO,
+    out-of-range date NO. One edge the engines genuinely DISAGREE on —
+    decimal strings into integers, which DuckDB rounds and Spark nulls
+    — is deliberately excluded; a portable pipeline must cast through
+    DECIMAL for that class). Map-only, one aggregate.
+    """
+    o = table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    raw_id = (
+        F.when(k % 5 == 0, k.cast("string"))
+        .when(k % 5 == 1, F.concat(F.lit(" "), k.cast("string"), F.lit(" ")))
+        .when(k % 5 == 2, F.concat(F.lit("id-"), k.cast("string")))
+        .when(k % 5 == 3, F.lit(""))
+        .otherwise(F.concat(k.cast("string"), F.lit("x")))
+    )
+    raw_date = (
+        F.when(
+            k % 3 == 0,
+            F.concat(
+                F.lit("2024-01-"),
+                F.lpad((k % 28 + 1).cast("string"), 2, "0"),
+            ),
+        )
+        .when(k % 3 == 1, F.lit("not-a-date"))
+        .otherwise(F.lit("2024-13-40"))
+    )
+    dirty = o.select(raw_id.alias("raw_id"), raw_date.alias("raw_date"))
+    tid = F.col("raw_id").try_cast("long")
+    tdt = F.col("raw_date").try_cast("date")
+    return dirty.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.count(tid).cast("long").alias("ok_ids"),
+        F.sum(F.coalesce(tid, F.lit(0))).cast("long").alias("id_sum"),
+        F.count(tdt).cast("long").alias("ok_dates"),
+        F.max(tdt).cast("string").alias("max_date"),
+    )

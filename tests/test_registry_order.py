@@ -133,6 +133,7 @@ def test_round6_window_composition():
         "q_agg_hll_union",
         "q_fn_collation",
         "q_sql_pipe",
+        "q_fn_try",
     }
     # names[50] is q_topk (the 51st-slot bench pad); late-authored head
     # the ordering right after it

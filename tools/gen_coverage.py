@@ -44,7 +44,7 @@ SECTIONS = {
     "Scalar functions": [
         "q_fn_string", "q_fn_date", "q_fn_math", "q_fn_cond", "q_fn_array",
         "q_fn_array_agg", "q_fn_explode", "q_fn_json", "q_fn_map", "q_fn_bitwise",
-        "q_fn_editdist", "q_fn_variant", "q_fn_xml", "q_fn_collation", "q_fn_url",
+        "q_fn_editdist", "q_fn_variant", "q_fn_xml", "q_fn_collation", "q_fn_try", "q_fn_url",
     ],
     "Subqueries / CTE": [
         "q_subquery_scalar", "q_subquery_correlated", "q_subquery_in", "q_cte",
@@ -211,6 +211,7 @@ ROLES = {
     "q_agg_hll_union": "native DataSketches HLL per-group + union-merge, bound-asserted",
     "q_fn_collation": "Spark 4 UTF8_LCASE collated grouping (comparator-level case folding)",
     "q_sql_pipe": "flagship in Spark 4 SQL pipe syntax + parameterized :cutoff",
+    "q_fn_try": "try_cast parse-health census over a deterministically dirtied feed",
     "q_sink_orc": "parallel ORC directory write + vectorized readback",
     "q_join_bloom": "explicit bloom runtime filter; map-side fact pruning",
     "q_corr_matrix": "all-pairs Pearson corr from one sufficient-stats pass",
