@@ -1801,3 +1801,81 @@ def q_agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_rows.unionByName(g_row)
+
+
+# ---------------------------------------------------------------------------
+# Lag-1 autocorrelation of the daily series (time-series health stat)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_event_autocorr",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    lagged AS (
+        SELECT event_type, c AS y,
+               LAG(c) OVER (PARTITION BY event_type ORDER BY day) AS x
+        FROM daily
+    ),
+    moments AS (
+        SELECT event_type, COUNT(*) AS n,
+               SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+               SUM(x*x) AS sxx, SUM(y*y) AS syy
+        FROM lagged WHERE x IS NOT NULL
+        GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+           {sql_canon(sql_dround(
+               "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+               " / SQRT((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+               " * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))", 9))}
+               AS lag1_autocorr
+    FROM moments
+    """,
+)
+def q_event_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each event type's daily count series —
+    the is-this-series-momentum-or-noise statistic that decides whether
+    yesterday predicts today (capacity planning, anomaly baselining).
+
+    Exactness: the daily counts are INTEGERS, so every moment sum (Σx,
+    Σy, Σxy, Σx², Σy²) accumulates exactly and order-independently; the
+    Pearson formula then runs as one fixed sequence of IEEE ops on
+    identical operands in both engines (sqrt is correctly rounded),
+    presented via canon(dround(·, 9)). Plan: a (type × day) aggregate —
+    bounded key space — then a lag window over the ~30-row-per-type
+    daily series and a moments aggregate; nothing touches raw events
+    after the first map-side-combining pass.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").cast("long").alias("c"))
+    w = W.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        F.col("c").alias("y"),
+        F.lag("c").over(w).alias("x"),
+    ).filter(F.col("x").isNotNull())
+    m = lagged.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    corr = (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / F.sqrt(
+        (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * (nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_pairs"),
+        canon(dround(corr, 9)).alias("lag1_autocorr"),
+    )

@@ -696,3 +696,26 @@ def test_stream_tws_gated_on_protobuf(spark):
             spark, "/root/testdata/sf0.001"
         )
         assert df.count() > 0
+
+
+def test_event_autocorr_in_range_and_matches_numpy(spark):
+    rows = _q("q_event_autocorr")(spark, SF).collect()
+    assert rows
+    import collections
+
+    import numpy as np
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_type", F.to_date(F.col("ts").cast("timestamp")).alias("day")
+    ).collect()
+    daily = collections.Counter((e.event_type, e.day) for e in ev)
+    series = collections.defaultdict(dict)
+    for (t, d), c in daily.items():
+        series[t][d] = c
+    for r in rows:
+        days = sorted(series[r.event_type])
+        xs = [series[r.event_type][d] for d in days]
+        x, y = np.array(xs[:-1], float), np.array(xs[1:], float)
+        want = np.corrcoef(x, y)[0, 1]
+        assert abs(float(r.lag1_autocorr) - want) < 1e-6
+        assert -1.0 - 1e-9 <= float(r.lag1_autocorr) <= 1.0 + 1e-9

@@ -212,6 +212,7 @@ ROLES = {
     "q_fn_collation": "Spark 4 UTF8_LCASE collated grouping (comparator-level case folding)",
     "q_sql_pipe": "flagship in Spark 4 SQL pipe syntax + parameterized :cutoff",
     "q_fn_try": "try_cast parse-health census over a deterministically dirtied feed",
+    "q_event_autocorr": "lag-1 autocorrelation of daily counts (exact integer moments)",
     "q_sink_orc": "parallel ORC directory write + vectorized readback",
     "q_join_bloom": "explicit bloom runtime filter; map-side fact pruning",
     "q_corr_matrix": "all-pairs Pearson corr from one sufficient-stats pass",
