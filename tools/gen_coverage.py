@@ -101,7 +101,7 @@ SECTIONS = {
         "q_pattern_sequence", "q_ewma", "q_attribution", "q_agg_countmin",
         "q_delta_lag", "q_resample_timeseries", "q_window_deltas_vs_baseline",
         "q_path_topk", "q_late_data_audit", "q_rolling_dau",
-        "q_funnel_ttc", "q_seasonal_baseline",
+        "q_funnel_ttc", "q_seasonal_baseline", "q_event_autocorr",
     ],
     "Incremental / DML patterns": [
         "q_rollup_hierarchical", "q_merge_upsert", "q_cdc_changelog",
