@@ -1879,3 +1879,84 @@ def q_event_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_pairs"),
         canon(dround(corr, 9)).alias("lag1_autocorr"),
     )
+
+
+@query(
+    "q_session_entry_exit",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id)
+                         > {6 * 3600 * 1_000_000}
+                    OR LAG(ts) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id)
+                         IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ),
+    numbered AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flagged
+    ),
+    sessions AS (
+        SELECT user_id, session_seq,
+               ARG_MIN(event_type, CAST(epoch_us(ts) AS HUGEINT)
+                        * 1000000000 + event_id) AS entry_type,
+               ARG_MAX(event_type, CAST(epoch_us(ts) AS HUGEINT)
+                        * 1000000000 + event_id) AS exit_type,
+               COUNT(*) AS n
+        FROM numbered GROUP BY user_id, session_seq
+    )
+    SELECT entry_type, exit_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounces
+    FROM sessions GROUP BY entry_type, exit_type
+    """,
+)
+def q_session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry/exit analysis over gap-sessionized activity: for every
+    (first event type, last event type) pair, how many sessions flow
+    that way and how many are single-event bounces — the landing→exit
+    funnel census product analytics reads daily.
+
+    Reuses the 6h gap-sessionization shuffle (ONE user_id exchange for
+    the lag flag + running sum), then ``min_by``/``max_by`` on the
+    (time, event_id) total order pick each session's endpoints inside
+    the same per-session aggregate that counts the bounce flag; the
+    final census keys on |types|² pairs. Endpoint ties are impossible
+    by construction (event_id is unique within the order).
+    """
+    ev = table(spark, sf_dir, "events")
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    per_user = W.partitionBy("user_id").orderBy(*order)
+    us = _micros("ts")
+    lag_us = F.lag(us).over(per_user)
+    is_new = F.when(
+        lag_us.isNull() | ((us - lag_us) > F.lit(6 * 3600 * 1_000_000)), 1
+    ).otherwise(0)
+    running = per_user.rowsBetween(W.unboundedPreceding, W.currentRow)
+    numbered = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        us.alias("us"),
+        F.sum(is_new).over(running).alias("session_seq"),
+    )
+    # packed (time, id) total-order key in exact decimal — HUGEINT on
+    # the DuckDB side; event ids stay below the 1e9 packing radix
+    key = F.col("us").cast("decimal(38,0)") * 1_000_000_000 + F.col("event_id")
+    sessions = numbered.groupBy("user_id", "session_seq").agg(
+        F.min_by("event_type", key).alias("entry_type"),
+        F.max_by("event_type", key).alias("exit_type"),
+        F.count("*").alias("n"),
+    )
+    return sessions.groupBy("entry_type", "exit_type").agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bounces"),
+    )

@@ -719,3 +719,17 @@ def test_event_autocorr_in_range_and_matches_numpy(spark):
         want = np.corrcoef(x, y)[0, 1]
         assert abs(float(r.lag1_autocorr) - want) < 1e-6
         assert -1.0 - 1e-9 <= float(r.lag1_autocorr) <= 1.0 + 1e-9
+
+
+def test_session_entry_exit_census_sums(spark):
+    rows = _q("q_session_entry_exit")(spark, SF).collect()
+    from pyspark_excel_datasource_spark.operators.analytics import sessionize
+    from pyspark_excel_datasource_spark.catalog import table as _t
+
+    n_sessions = sessionize(_t(spark, SF, "events")).count()
+    assert sum(r.n_sessions for r in rows) == n_sessions
+    for r in rows:
+        assert 0 <= r.n_bounces <= r.n_sessions
+        # a bounce's entry IS its exit
+        if r.entry_type != r.exit_type:
+            assert r.n_bounces == 0

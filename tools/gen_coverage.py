@@ -102,6 +102,7 @@ SECTIONS = {
         "q_delta_lag", "q_resample_timeseries", "q_window_deltas_vs_baseline",
         "q_path_topk", "q_late_data_audit", "q_rolling_dau",
         "q_funnel_ttc", "q_seasonal_baseline", "q_event_autocorr",
+        "q_session_entry_exit",
     ],
     "Incremental / DML patterns": [
         "q_rollup_hierarchical", "q_merge_upsert", "q_cdc_changelog",
@@ -213,6 +214,7 @@ ROLES = {
     "q_sql_pipe": "flagship in Spark 4 SQL pipe syntax + parameterized :cutoff",
     "q_fn_try": "try_cast parse-health census over a deterministically dirtied feed",
     "q_event_autocorr": "lag-1 autocorrelation of daily counts (exact integer moments)",
+    "q_session_entry_exit": "landing->exit session census + bounce counts (one user shuffle)",
     "q_sink_orc": "parallel ORC directory write + vectorized readback",
     "q_join_bloom": "explicit bloom runtime filter; map-side fact pruning",
     "q_corr_matrix": "all-pairs Pearson corr from one sufficient-stats pass",
