@@ -1354,3 +1354,98 @@ def q_pipeline_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sched.join(final.select("doc_id", "n_chars"), "doc_id").select(
         "doc_id", "source", "n_chars", "sched_pos"
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation (fixed-threshold scoring)
+# ---------------------------------------------------------------------------
+
+#: fixed scoring thresholds (recency in days since the corpus' last
+#: order; frequency in orders; monetary in total price). Fixed bands —
+#: not percentiles — keep the scoring stable as the corpus grows and
+#: the whole operator scan-shaped; a percentile-banded variant would
+#: reuse the q_quantile_normalize banded-rank machinery.
+_RFM_R_DAYS = (180, 540)
+_RFM_F_ORDERS = (5, 12)
+_RFM_M_PRICE = (1_000_000.0, 3_000_000.0)
+
+
+@query(
+    "q_rfm_segments",
+    oracle=f"""
+    WITH cust AS (
+        SELECT o_custkey,
+               DATE_DIFF('day', CAST(MAX(o_orderdate) AS DATE),
+                         (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders))
+                   AS r_days,
+               COUNT(*) AS f,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT o_custkey,
+               CASE WHEN r_days <= {_RFM_R_DAYS[0]} THEN 3
+                    WHEN r_days <= {_RFM_R_DAYS[1]} THEN 2 ELSE 1 END AS r,
+               CASE WHEN f >= {_RFM_F_ORDERS[1]} THEN 3
+                    WHEN f >= {_RFM_F_ORDERS[0]} THEN 2 ELSE 1 END AS fs,
+               CASE WHEN m >= {_RFM_M_PRICE[1]} THEN 3
+                    WHEN m >= {_RFM_M_PRICE[0]} THEN 2 ELSE 1 END AS ms,
+               m
+        FROM cust
+    )
+    SELECT CAST(r AS INT) || CAST(fs AS INT) || CAST(ms AS INT) AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(CAST(SUM(m) AS DECIMAL(38,2)) AS VARCHAR) AS total_monetary
+    FROM scored GROUP BY segment
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: every customer scores 1-3 on Recency
+    (days since their last order, relative to the corpus' last order),
+    Frequency (order count), and Monetary (exact decimal total), and
+    the 27 possible "RFM cells" report their population and value — the
+    segmentation grid CRM targeting runs on.
+
+    One pass: a per-customer aggregate (max date, count, exact decimal
+    sum — map-side partials on the customer key), the corpus max date
+    as a broadcast scalar, then pure CASE arithmetic and a ≤27-key
+    census. Fixed thresholds keep it scan-shaped and growth-stable
+    (percentile bands would reuse the ``q_quantile_normalize``
+    machinery). Day arithmetic is integer DATE_DIFF in both engines.
+    """
+    o = table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_day"),
+        F.count("*").alias("f"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("m"),
+    )
+    gmax = o.agg(F.max(F.to_date("o_orderdate")).alias("gday"))
+    scored = cust.crossJoin(F.broadcast(gmax)).select(
+        F.datediff(F.col("gday"), F.col("last_day")).alias("r_days"),
+        "f",
+        "m",
+    )
+    r = (
+        F.when(F.col("r_days") <= _RFM_R_DAYS[0], 3)
+        .when(F.col("r_days") <= _RFM_R_DAYS[1], 2)
+        .otherwise(1)
+    )
+    fs = (
+        F.when(F.col("f") >= _RFM_F_ORDERS[1], 3)
+        .when(F.col("f") >= _RFM_F_ORDERS[0], 2)
+        .otherwise(1)
+    )
+    ms = (
+        F.when(F.col("m") >= _RFM_M_PRICE[1], 3)
+        .when(F.col("m") >= _RFM_M_PRICE[0], 2)
+        .otherwise(1)
+    )
+    seg = F.concat(r.cast("string"), fs.cast("string"), ms.cast("string"))
+    return (
+        scored.select(seg.alias("segment"), "m")
+        .groupBy("segment")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("m").cast("decimal(38,2)").cast("string").alias("total_monetary"),
+        )
+    )

@@ -733,3 +733,15 @@ def test_session_entry_exit_census_sums(spark):
         # a bounce's entry IS its exit
         if r.entry_type != r.exit_type:
             assert r.n_bounces == 0
+
+
+def test_rfm_segments_partition_customers(spark):
+    rows = _q("q_rfm_segments")(spark, SF).collect()
+    n_cust = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .select("o_custkey").distinct().count()
+    )
+    assert sum(r.n_customers for r in rows) == n_cust
+    for r in rows:
+        assert len(r.segment) == 3
+        assert set(r.segment) <= set("123")
