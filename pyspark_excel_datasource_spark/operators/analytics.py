@@ -1960,3 +1960,80 @@ def q_session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_bounces"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV triangle (acquisition month × months-since revenue)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+        SELECT o_custkey,
+               MIN(DATE_TRUNC('month', CAST(o_orderdate AS DATE)))
+                   AS cohort_month
+        FROM orders GROUP BY o_custkey
+    ),
+    placed AS (
+        SELECT f.cohort_month,
+               (EXTRACT(YEAR FROM o.o_orderdate)
+                - EXTRACT(YEAR FROM f.cohort_month)) * 12
+               + (EXTRACT(MONTH FROM o.o_orderdate)
+                  - EXTRACT(MONTH FROM f.cohort_month)) AS month_offset,
+               o.o_custkey, o.o_totalprice
+        FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    )
+    SELECT CAST(cohort_month AS VARCHAR) AS cohort_month,
+           CAST(month_offset AS INT) AS month_offset,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_active,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                AS DECIMAL(38,2)) AS VARCHAR) AS revenue
+    FROM placed
+    WHERE month_offset < 12
+    GROUP BY cohort_month, month_offset
+    """,
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cohort LTV triangle: customers grouped by acquisition month
+    (their first order's month), revenue and active-customer counts per
+    months-since-acquisition offset — the lifetime-value readout
+    (``q_retention`` is its event-count sibling; this is the money
+    version over orders), clipped to the first year.
+
+    Two passes on the customer key sharing one shuffle shape: the
+    first-order aggregate, then a broadcast-friendly join back (the
+    cohort table is one row per customer — at 100 TB this is the
+    shuffle join on the natural key both sides already hash by).
+    Month arithmetic is integer year/month extraction — no date
+    subtraction ambiguity — and revenue sums in exact decimal.
+    """
+    o = table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.min(F.trunc(F.to_date("o_orderdate"), "month")).alias("cohort_month")
+    )
+    joined = o.join(firsts, "o_custkey")
+    offset = (
+        (F.year(F.to_date("o_orderdate")) - F.year("cohort_month")) * 12
+        + F.month(F.to_date("o_orderdate"))
+        - F.month("cohort_month")
+    )
+    placed = joined.select(
+        F.col("cohort_month"),
+        offset.alias("month_offset"),
+        "o_custkey",
+        "o_totalprice",
+    ).filter(F.col("month_offset") < 12)
+    return placed.groupBy("cohort_month", "month_offset").agg(
+        F.count_distinct("o_custkey").cast("long").alias("n_active"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .cast("string")
+        .alias("revenue"),
+    ).select(
+        F.col("cohort_month").cast("string").alias("cohort_month"),
+        F.col("month_offset").cast("int").alias("month_offset"),
+        "n_active",
+        "revenue",
+    )

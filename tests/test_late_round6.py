@@ -745,3 +745,16 @@ def test_rfm_segments_partition_customers(spark):
     for r in rows:
         assert len(r.segment) == 3
         assert set(r.segment) <= set("123")
+
+
+def test_cohort_ltv_offset_zero_covers_all_customers(spark):
+    rows = _q("q_cohort_ltv")(spark, SF).collect()
+    zero = [r for r in rows if r.month_offset == 0]
+    n_cust = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .select("o_custkey").distinct().count()
+    )
+    # every customer is active in their own acquisition month
+    assert sum(r.n_active for r in zero) == n_cust
+    for r in rows:
+        assert 0 <= r.month_offset < 12

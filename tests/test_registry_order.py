@@ -137,6 +137,7 @@ def test_round6_window_composition():
         "q_event_autocorr",
         "q_session_entry_exit",
         "q_rfm_segments",
+        "q_cohort_ltv",
     }
     # names[50] is q_topk (the 51st-slot bench pad); late-authored head
     # the ordering right after it
