@@ -2037,3 +2037,90 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_active",
         "revenue",
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket pair affinity (support / lift)
+# ---------------------------------------------------------------------------
+
+#: minimum co-occurrence support for a reported pair
+_BASKET_MIN_AB = 3
+
+
+@query(
+    "q_market_basket",
+    oracle=f"""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS total FROM op),
+    part_n AS (SELECT l_partkey, COUNT(*) AS n FROM op GROUP BY l_partkey),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               COUNT(*) AS n_ab
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {_BASKET_MIN_AB}
+    )
+    SELECT p.part_a, p.part_b, CAST(p.n_ab AS BIGINT) AS n_ab,
+           {sql_canon(sql_dround(
+               "CAST(p.n_ab AS DOUBLE) * t.total / (na.n * nb.n)", 9))}
+               AS lift
+    FROM pairs p
+    JOIN part_n na ON p.part_a = na.l_partkey
+    JOIN part_n nb ON p.part_b = nb.l_partkey
+    CROSS JOIN n_orders t
+    """,
+)
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair affinity: parts co-purchased in the same order,
+    scored by lift = P(ab) / (P(a)·P(b)) — >1 means the pair attracts,
+    <1 repels — the association-mining readout behind
+    bought-together recommendations (``q_topic_cooccur`` is its
+    text-token sibling).
+
+    Scale shape: candidates come from a SAME-ORDER self-join — Σ per
+    order |items|², bounded by the ~7-line order size, so pair volume
+    is linear in orders (never all-parts²); the (order, part) frame is
+    DISTINCT'd first so duplicate lines can't inflate support. Lift is
+    one ratio of exact integers times the order-count scalar
+    (broadcast), presented via canon(dround(·, 9)).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    total = op.agg(
+        F.count_distinct("l_orderkey").alias("total")
+    )
+    part_n = op.groupBy("l_partkey").agg(F.count("*").alias("n"))
+    a = op.alias("a")
+    b = op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= _BASKET_MIN_AB)
+    )
+    na = part_n.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("na"))
+    nb = part_n.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("nb"))
+    lift = F.col("n_ab").cast("double") * F.col("total") / (
+        F.col("na") * F.col("nb")
+    )
+    return (
+        pairs.join(F.broadcast(na), "part_a")
+        .join(F.broadcast(nb), "part_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            canon(dround(lift, 9)).alias("lift"),
+        )
+    )

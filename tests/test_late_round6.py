@@ -758,3 +758,12 @@ def test_cohort_ltv_offset_zero_covers_all_customers(spark):
     assert sum(r.n_active for r in zero) == n_cust
     for r in rows:
         assert 0 <= r.month_offset < 12
+
+
+def test_market_basket_lift_sanity(spark):
+    rows = _q("q_market_basket")(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.part_a < r.part_b
+        assert r.n_ab >= 3
+        assert float(r.lift) > 0

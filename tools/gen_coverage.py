@@ -103,6 +103,7 @@ SECTIONS = {
         "q_path_topk", "q_late_data_audit", "q_rolling_dau",
         "q_funnel_ttc", "q_seasonal_baseline", "q_event_autocorr",
         "q_session_entry_exit", "q_rfm_segments", "q_cohort_ltv",
+        "q_market_basket",
     ],
     "Incremental / DML patterns": [
         "q_rollup_hierarchical", "q_merge_upsert", "q_cdc_changelog",
@@ -217,6 +218,7 @@ ROLES = {
     "q_session_entry_exit": "landing->exit session census + bounce counts (one user shuffle)",
     "q_rfm_segments": "RFM 27-cell segmentation grid (fixed bands, one customer-key pass)",
     "q_cohort_ltv": "acquisition-month x months-since LTV triangle (exact decimal revenue)",
+    "q_market_basket": "same-order pair affinity with lift (bounded |order|^2 candidates)",
     "q_sink_orc": "parallel ORC directory write + vectorized readback",
     "q_join_bloom": "explicit bloom runtime filter; map-side fact pruning",
     "q_corr_matrix": "all-pairs Pearson corr from one sufficient-stats pass",
