@@ -1064,3 +1064,80 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (forensic data-quality screening)
+# ---------------------------------------------------------------------------
+
+#: Benford expected first-digit probabilities log10(1 + 1/d), precomputed
+#: as LITERALS so neither engine's log implementation enters the hash
+_BENFORD_P = (
+    0.301029995664, 0.176091259056, 0.124938736608, 0.096910013008,
+    0.079181246048, 0.066946789631, 0.057991946978, 0.051152522447,
+    0.045757490561,
+)
+
+
+@query(
+    "q_benford_audit",
+    oracle=f"""
+    WITH digits AS (
+        SELECT CAST(SUBSTR(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                    AS VARCHAR), 1, 1) AS INT) AS d
+        FROM orders WHERE o_totalprice >= 1.0
+    ),
+    counts AS (
+        SELECT d, COUNT(*) AS n, SUM(COUNT(*)) OVER () AS total
+        FROM digits GROUP BY d
+    )
+    SELECT d, CAST(n AS BIGINT) AS n_obs,
+           {sql_canon(sql_dround(
+               "CAST(total AS DOUBLE) * (CASE d "
+               + " ".join(f"WHEN {d} THEN {p!r}" for d, p in enumerate(_BENFORD_P, start=1))
+               + " END)", 6))} AS n_expected,
+           {sql_canon(sql_dround(
+               "(CAST(n AS DOUBLE) - CAST(total AS DOUBLE) * (CASE d "
+               + " ".join(f"WHEN {d} THEN {p!r}" for d, p in enumerate(_BENFORD_P, start=1))
+               + " END)) * (CAST(n AS DOUBLE) - CAST(total AS DOUBLE) * (CASE d "
+               + " ".join(f"WHEN {d} THEN {p!r}" for d, p in enumerate(_BENFORD_P, start=1))
+               + " END)) / (CAST(total AS DOUBLE) * (CASE d "
+               + " ".join(f"WHEN {d} THEN {p!r}" for d, p in enumerate(_BENFORD_P, start=1))
+               + " END))", 6))} AS chi2_contrib
+    FROM counts
+    """,
+)
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of the order totals — the
+    forensic screen for fabricated or systematically clipped numeric
+    feeds (organic multi-scale amounts follow log10(1+1/d); fraud and
+    generator artifacts don't). Per digit: observed count, Benford
+    expectation, and the chi-square contribution.
+
+    First digits come from the DECIMAL string form (identical spelling
+    both engines — no float formatting in the hash path); the Benford
+    probabilities are PRECOMPUTED literals so neither engine's log
+    enters the comparison; the expectation/chi-square arithmetic is one
+    fixed IEEE sequence on identical operands, presented via
+    canon(dround(·, 6)). One scan, 9-key census, a window over 9 rows.
+    """
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1.0)
+    d = F.substring(
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+    ).cast("int")
+    counts = o.select(d.alias("d")).groupBy("d").agg(F.count("*").alias("n"))
+    total = F.sum("n").over(W.partitionBy())
+    p = F.col("d")
+    expected_p = F.when(p == 1, _BENFORD_P[0])
+    for dd in range(2, 10):
+        expected_p = expected_p.when(p == dd, _BENFORD_P[dd - 1])
+    exp = total.cast("double") * expected_p
+    chi = (F.col("n").cast("double") - exp) * (
+        F.col("n").cast("double") - exp
+    ) / exp
+    return counts.select(
+        "d",
+        F.col("n").cast("long").alias("n_obs"),
+        canon(dround(exp, 6)).alias("n_expected"),
+        canon(dround(chi, 6)).alias("chi2_contrib"),
+    )

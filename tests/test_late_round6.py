@@ -767,3 +767,16 @@ def test_market_basket_lift_sanity(spark):
         assert r.part_a < r.part_b
         assert r.n_ab >= 3
         assert float(r.lift) > 0
+
+
+def test_benford_counts_and_chi2(spark):
+    rows = _q("q_benford_audit")(spark, SF).collect()
+    n_orders = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .filter(F.col("o_totalprice") >= 1.0).count()
+    )
+    assert sum(r.n_obs for r in rows) == n_orders
+    assert {r.d for r in rows} <= set(range(1, 10))
+    for r in rows:
+        assert float(r.chi2_contrib) >= 0
+        assert float(r.n_expected) > 0
