@@ -1141,3 +1141,93 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         canon(dround(exp, 6)).alias("n_expected"),
         canon(dround(chi, 6)).alias("chi2_contrib"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact Gini concentration of customer revenue (banded global rank)
+# ---------------------------------------------------------------------------
+
+#: revenue band width in cents for the distributed ranking (10k dollars)
+_GINI_BAND = 1_000_000
+
+
+@query(
+    "q_gini_concentration",
+    oracle=f"""
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(18,0)))
+                    AS DECIMAL(38,0)) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT cents,
+               ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i,
+               COUNT(*) OVER () AS n,
+               SUM(cents) OVER () AS total
+        FROM cust
+    )
+    SELECT CAST(ANY_VALUE(n) AS BIGINT) AS n_customers,
+           CAST(CAST(ANY_VALUE(total) AS DECIMAL(38,0)) AS VARCHAR)
+               AS total_cents,
+           {sql_canon(sql_dround(
+               "2.0 * CAST(SUM(i * cents) AS DOUBLE)"
+               " / (CAST(ANY_VALUE(n) AS DOUBLE)"
+               "    * CAST(ANY_VALUE(total) AS DOUBLE))"
+               " - (CAST(ANY_VALUE(n) AS DOUBLE) + 1.0)"
+               "   / CAST(ANY_VALUE(n) AS DOUBLE)", 9))} AS gini
+    FROM ranked
+    """,
+)
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of customer revenue — the concentration
+    number behind "top X% of customers drive Y% of revenue" — via the
+    rank formula G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over revenue-sorted
+    customers.
+
+    Scale shape: the global rank uses the banded machinery (fixed-width
+    cent bands → per-band counts → running offsets over the small band
+    table + in-band row_number, parallel across bands) — never a
+    single-task window over all customers; Σ(i·xᵢ) accumulates in
+    DECIMAL(38,0) (exact, order-independent: i ≤ n, xᵢ in cents), and
+    the final Gini is one fixed IEEE expression of three exact
+    integers. The oracle states the naive global ROW_NUMBER
+    definition.
+    """
+    o = table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum((F.col("o_totalprice") * 100).cast("decimal(18,0)"))
+        .cast("decimal(38,0)")
+        .alias("cents")
+    )
+    base = cust.withColumn(
+        "band", (F.col("cents") / _GINI_BAND).cast("long")
+    )
+    counts = base.groupBy("band").agg(F.count("*").alias("c"))
+    off_w = W.orderBy("band").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("c").over(off_w), F.lit(0))
+    ).select("band", "off")
+    in_band = F.row_number().over(
+        W.partitionBy("band").orderBy("cents", "o_custkey")
+    )
+    ranked = (
+        base.withColumn("br", in_band)
+        .join(F.broadcast(offsets), "band")
+        .select("cents", (F.col("off") + F.col("br")).alias("i"))
+    )
+    agg = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("cents").cast("decimal(38,0)").alias("total"),
+        F.sum(F.col("i") * F.col("cents")).cast("decimal(38,0)").alias("sic"),
+    )
+    nd = F.col("n").cast("double")
+    gini = (
+        2.0 * F.col("sic").cast("double") / (nd * F.col("total").cast("double"))
+        - (nd + 1.0) / nd
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("total").cast("string").alias("total_cents"),
+        canon(dround(gini, 9)).alias("gini"),
+    )

@@ -780,3 +780,24 @@ def test_benford_counts_and_chi2(spark):
     for r in rows:
         assert float(r.chi2_contrib) >= 0
         assert float(r.n_expected) > 0
+
+
+def test_gini_matches_bruteforce(spark):
+    r = _q("q_gini_concentration")(spark, SF).first()
+    cents = sorted(
+        int(row.c)
+        for row in spark.read.parquet(f"{SF}/orders.parquet")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum((F.col("o_totalprice") * 100).cast("decimal(18,0)")).alias("c")
+        )
+        .collect()
+    )
+    n, total = len(cents), sum(cents)
+    want = 2.0 * sum((i + 1) * x for i, x in enumerate(cents)) / (n * total) - (
+        n + 1.0
+    ) / n
+    assert r.n_customers == n
+    assert int(r.total_cents) == total
+    assert abs(float(r.gini) - want) < 1e-9
+    assert 0 <= float(r.gini) < 1

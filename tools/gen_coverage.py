@@ -110,7 +110,7 @@ SECTIONS = {
     ],
     "In-plan statistics / ML": [
         "q_regression_by_group", "q_corr_matrix", "q_ab_ttest",
-        "q_profile_table", "q_benford_audit",
+        "q_profile_table", "q_benford_audit", "q_gini_concentration",
     ],
     "North-star: corpus prep (chunking / tokenizer / shards)": [
         "q_text_repetition", "q_chunk_tokens", "q_bpe_pair_counts",
@@ -220,6 +220,7 @@ ROLES = {
     "q_cohort_ltv": "acquisition-month x months-since LTV triangle (exact decimal revenue)",
     "q_market_basket": "same-order pair affinity with lift (bounded |order|^2 candidates)",
     "q_benford_audit": "Benford first-digit chi-square screen (literal probs, decimal-string digits)",
+    "q_gini_concentration": "exact Gini via banded global rank + DECIMAL(38,0) rank-weighted sum",
     "q_sink_orc": "parallel ORC directory write + vectorized readback",
     "q_join_bloom": "explicit bloom runtime filter; map-side fact pruning",
     "q_corr_matrix": "all-pairs Pearson corr from one sufficient-stats pass",
