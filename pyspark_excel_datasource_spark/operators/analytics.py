@@ -2124,3 +2124,67 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             canon(dround(lift, 9)).alias("lift"),
         )
     )
+
+
+@query(
+    "q_peak_detection",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    ctx AS (
+        SELECT event_type, day, c,
+               LAG(c) OVER w AS prev_c,
+               LEAD(c) OVER w AS next_c,
+               AVG(c) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+                   AS trail
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type, day, c,
+           CAST(prev_c AS BIGINT) AS prev_c,
+           CAST(next_c AS BIGINT) AS next_c
+    FROM ctx
+    WHERE prev_c IS NOT NULL AND next_c IS NOT NULL
+      AND c > prev_c AND c > next_c
+      AND CAST(c AS DOUBLE) > 1.2 * trail
+    """,
+)
+def q_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-peak detection over each event type's daily series: a day
+    is a peak when it beats both neighbors AND runs >20% above its own
+    7-day trailing mean — the spike-alerting primitive monitoring
+    systems page on (strict local maximum filters plateau noise; the
+    trailing-mean gate filters low-amplitude wiggle).
+
+    One (type × day) aggregate then three window expressions over the
+    SAME per-type ordering (one partition sort serves lag, lead, and
+    the trailing frame). The trailing AVG divides an exact integer sum
+    by an exact count in window-frame order — both engines evaluate
+    the identical frame, so the 1.2× comparison classifies
+    identically; outputs are all integers.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").cast("long").alias("c"))
+    w = W.partitionBy("event_type").orderBy("day")
+    trail = W.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    ctx = daily.select(
+        "event_type",
+        "day",
+        "c",
+        F.lag("c").over(w).alias("prev_c"),
+        F.lead("c").over(w).alias("next_c"),
+        F.avg("c").over(trail).alias("trail"),
+    )
+    return ctx.filter(
+        F.col("prev_c").isNotNull()
+        & F.col("next_c").isNotNull()
+        & (F.col("c") > F.col("prev_c"))
+        & (F.col("c") > F.col("next_c"))
+        & (F.col("c").cast("double") > 1.2 * F.col("trail"))
+    ).select("event_type", "day", "c", "prev_c", "next_c")

@@ -801,3 +801,10 @@ def test_gini_matches_bruteforce(spark):
     assert int(r.total_cents) == total
     assert abs(float(r.gini) - want) < 1e-9
     assert 0 <= float(r.gini) < 1
+
+
+def test_peak_detection_peaks_are_local_maxima(spark):
+    rows = _q("q_peak_detection")(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.c > r.prev_c and r.c > r.next_c

@@ -141,6 +141,7 @@ def test_round6_window_composition():
         "q_market_basket",
         "q_benford_audit",
         "q_gini_concentration",
+        "q_peak_detection",
     }
     # names[50] is q_topk (the 51st-slot bench pad); late-authored head
     # the ordering right after it
