@@ -2188,3 +2188,52 @@ def q_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c") > F.col("next_c"))
         & (F.col("c").cast("double") > 1.2 * F.col("trail"))
     ).select("event_type", "day", "c", "prev_c", "next_c")
+
+
+@query(
+    "q_repurchase_intervals",
+    oracle="""
+    WITH gaps AS (
+        SELECT o_custkey,
+               DATE_DIFF('day',
+                   LAG(CAST(o_orderdate AS DATE)) OVER
+                       (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey),
+                   CAST(o_orderdate AS DATE)) AS gap_days
+        FROM orders
+    )
+    SELECT CAST(gap_days // 30 AS INT) AS gap_month_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(MIN(gap_days) AS BIGINT) AS min_days,
+           CAST(MAX(gap_days) AS BIGINT) AS max_days
+    FROM gaps WHERE gap_days IS NOT NULL
+    GROUP BY gap_days // 30
+    """,
+)
+def q_repurchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repurchase-cycle distribution: days between each customer's
+    consecutive orders, bucketed into 30-day bands — the
+    inter-purchase-time histogram that sets reorder-reminder timing and
+    churn thresholds (a customer past their band's max is churning).
+
+    One customer-key shuffle serves the per-customer lag (orderkey
+    tie-break pins equal-date orders); the census keys on ~50 month
+    buckets. All integer date arithmetic.
+    """
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    gaps = o.select(
+        F.datediff(
+            F.to_date("o_orderdate"),
+            F.lag(F.to_date("o_orderdate")).over(w),
+        ).alias("gap_days")
+    ).filter(F.col("gap_days").isNotNull())
+    return gaps.groupBy(
+        F.expr("gap_days DIV 30").cast("int").alias("gap_month_bucket")
+    ).agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.min("gap_days").cast("long").alias("min_days"),
+        F.max("gap_days").cast("long").alias("max_days"),
+    )

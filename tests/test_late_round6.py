@@ -808,3 +808,16 @@ def test_peak_detection_peaks_are_local_maxima(spark):
     assert rows
     for r in rows:
         assert r.c > r.prev_c and r.c > r.next_c
+
+
+def test_repurchase_intervals_cover_all_gaps(spark):
+    rows = _q("q_repurchase_intervals")(spark, SF).collect()
+    n_orders = spark.read.parquet(f"{SF}/orders.parquet").count()
+    n_cust = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .select("o_custkey").distinct().count()
+    )
+    assert sum(r.n_gaps for r in rows) == n_orders - n_cust
+    for r in rows:
+        assert r.gap_month_bucket * 30 <= r.min_days <= r.max_days
+        assert r.max_days < (r.gap_month_bucket + 1) * 30

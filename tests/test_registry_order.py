@@ -142,6 +142,7 @@ def test_round6_window_composition():
         "q_benford_audit",
         "q_gini_concentration",
         "q_peak_detection",
+        "q_repurchase_intervals",
     }
     # names[50] is q_topk (the 51st-slot bench pad); late-authored head
     # the ordering right after it

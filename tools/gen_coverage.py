@@ -103,7 +103,7 @@ SECTIONS = {
         "q_path_topk", "q_late_data_audit", "q_rolling_dau",
         "q_funnel_ttc", "q_seasonal_baseline", "q_event_autocorr",
         "q_session_entry_exit", "q_rfm_segments", "q_cohort_ltv",
-        "q_market_basket", "q_peak_detection",
+        "q_market_basket", "q_peak_detection", "q_repurchase_intervals",
     ],
     "Incremental / DML patterns": [
         "q_rollup_hierarchical", "q_merge_upsert", "q_cdc_changelog",
@@ -222,6 +222,7 @@ ROLES = {
     "q_benford_audit": "Benford first-digit chi-square screen (literal probs, decimal-string digits)",
     "q_gini_concentration": "exact Gini via banded global rank + DECIMAL(38,0) rank-weighted sum",
     "q_peak_detection": "strict local maxima >1.2x trailing mean (one per-type ordering)",
+    "q_repurchase_intervals": "inter-purchase gap histogram (30-day bands, one customer shuffle)",
     "q_sink_orc": "parallel ORC directory write + vectorized readback",
     "q_join_bloom": "explicit bloom runtime filter; map-side fact pruning",
     "q_corr_matrix": "all-pairs Pearson corr from one sufficient-stats pass",
