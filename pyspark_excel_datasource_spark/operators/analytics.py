@@ -2087,7 +2087,12 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     one ratio of exact integers times the order-count scalar
     (broadcast), presented via canon(dround(·, 9)).
     """
-    li = table(spark, sf_dir, "lineitem")
+    return market_basket(table(spark, sf_dir, "lineitem"))
+
+
+def market_basket(li: DataFrame) -> DataFrame:
+    """Basket-affinity plan over a lineitem frame (shared with
+    ``tools/scale_stress.py``)."""
     op = li.select("l_orderkey", "l_partkey").distinct()
     total = op.agg(
         F.count_distinct("l_orderkey").alias("total")

@@ -276,6 +276,7 @@ def main() -> None:
 
     from pyspark_excel_datasource_spark.operators.analytics import (
         lateness_audit,
+        market_basket,
         pit_join,
         rolling_dau,
     )
@@ -431,6 +432,10 @@ def main() -> None:
         # work; census shuffles 16-byte hashes; near-dup candidates come
         # from df-capped posting lists (replicas are byte-decorrelated by
         # the char rotation, so candidates stay within each replica)
+        "market_basket": (
+            market_basket(li1),
+            market_basket(li10),
+        ),
         "quantile_norm": (
             quantile_normalize(docs_full1),
             quantile_normalize(docs_full10),
