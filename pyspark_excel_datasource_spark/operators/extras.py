@@ -1231,3 +1231,55 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total").cast("string").alias("total_cents"),
         canon(dround(gini, 9)).alias("gini"),
     )
+
+
+@query(
+    "q_hhi_concentration",
+    oracle=f"""
+    WITH rev AS (
+        SELECT p.p_type, l.l_suppkey,
+               CAST(SUM(CAST(l.l_extendedprice * 100 AS DECIMAL(18,0)))
+                    AS DECIMAL(38,0)) AS cents
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_type, l.l_suppkey
+    )
+    SELECT p_type,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           {sql_canon(sql_dround(
+               "CAST(SUM(cents * cents) AS DOUBLE)"
+               " / (CAST(SUM(cents) AS DOUBLE) * CAST(SUM(cents) AS DOUBLE))",
+               9))} AS hhi
+    FROM rev GROUP BY p_type
+    """,
+)
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman supplier-concentration index per part type
+    — HHI = Σ shareᵢ² ∈ (1/n, 1], the antitrust-style is-this-market-
+    captured number (1/n = perfectly even, →1 = single supplier) that
+    complements ``q_gini_concentration``'s customer-side view.
+
+    Both Σcents² and Σcents accumulate in exact DECIMAL(38,0) (cents²
+    fits: 10¹⁷ per term at petabyte revenue), so HHI reduces to ONE
+    fixed IEEE expression of two exact integers — no per-share
+    division, no ordering sensitivity. Plan: one fact shuffle on the
+    (type, supplier) key with the part dim broadcast, then a |types|-
+    key census.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_type", "l_suppkey")
+        .agg(
+            F.sum((F.col("l_extendedprice") * 100).cast("decimal(18,0)"))
+            .cast("decimal(38,0)")
+            .alias("cents")
+        )
+    )
+    hhi = F.sum(F.col("cents") * F.col("cents")).cast("double") / (
+        F.sum("cents").cast("double") * F.sum("cents").cast("double")
+    )
+    return rev.groupBy("p_type").agg(
+        F.count("*").cast("long").alias("n_suppliers"),
+        canon(dround(hhi, 9)).alias("hhi"),
+    )

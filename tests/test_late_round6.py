@@ -821,3 +821,11 @@ def test_repurchase_intervals_cover_all_gaps(spark):
     for r in rows:
         assert r.gap_month_bucket * 30 <= r.min_days <= r.max_days
         assert r.max_days < (r.gap_month_bucket + 1) * 30
+
+
+def test_hhi_bounds(spark):
+    rows = _q("q_hhi_concentration")(spark, SF).collect()
+    assert rows
+    for r in rows:
+        h = float(r.hhi)
+        assert 1.0 / r.n_suppliers - 1e-9 <= h <= 1.0 + 1e-9
