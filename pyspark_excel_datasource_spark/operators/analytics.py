@@ -2242,3 +2242,89 @@ def q_repurchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gap_days").cast("long").alias("min_days"),
         F.max("gap_days").cast("long").alias("max_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonality strength: share of daily variance explained by the weekday
+# profile (one-way ANOVA R-squared)
+# ---------------------------------------------------------------------------
+
+#: fixed-order between-group sum written out per weekday so BOTH engines
+#: evaluate the identical 7-term IEEE expression (no fold, no group-order
+#: sensitivity); missing weekdays contribute exactly 0
+_SEAS_TERMS = " + ".join(
+    f"(CASE WHEN nd{d} > 0 THEN CAST(sd{d} AS DOUBLE) * sd{d} / nd{d}"
+    f" ELSE 0.0 END)"
+    for d in range(7)
+)
+_SEAS_COLS_SQL = ", ".join(
+    f"SUM(CASE WHEN dow = {d} THEN c ELSE 0 END) AS sd{d},"
+    f" SUM(CASE WHEN dow = {d} THEN 1 ELSE 0 END) AS nd{d}"
+    for d in range(7)
+)
+_SEAS_R2 = (
+    f"(({_SEAS_TERMS}) - CAST(tot_s AS DOUBLE) * tot_s / nrows)"
+    " / (CAST(tot_s2 AS DOUBLE) - CAST(tot_s AS DOUBLE) * tot_s / nrows)"
+)
+
+
+@query(
+    "q_seasonality_strength",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, DAYOFWEEK(ts) AS dow,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY event_type, CAST(ts AS DATE), DAYOFWEEK(ts)
+    ),
+    m AS (
+        SELECT event_type, COUNT(*) AS nrows, SUM(c) AS tot_s,
+               SUM(c * c) AS tot_s2,
+               {_SEAS_COLS_SQL}
+        FROM daily GROUP BY event_type
+    )
+    SELECT event_type, CAST(nrows AS BIGINT) AS n_days,
+           {sql_canon(sql_dround(_SEAS_R2, 9))} AS r2
+    FROM m
+    """,
+)
+def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality strength per event type: the one-way-ANOVA R² of the
+    weekday profile over daily counts — SS_between/SS_total, the share
+    of day-to-day variance the weekly rhythm explains (≈1: schedule-
+    driven; ≈0: weekday tells you nothing). The decision input for
+    whether ``q_seasonal_baseline``'s profile is worth conditioning on.
+
+    Determinism: every moment is an exact integer sum (daily counts are
+    integers), and the between-group sum is UNROLLED into a fixed
+    7-term expression — one per weekday, missing days contributing
+    exactly 0 — so both engines evaluate the identical IEEE sequence
+    with no group-order sensitivity; presented via canon(dround(·, 9)).
+    Plan: a (type × day) aggregate, then a |types|-key census carrying
+    16 conditional sums.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        (F.dayofweek("ts") - 1).alias("dow"),
+    ).agg(F.count("*").cast("long").alias("c"))
+    aggs = [
+        F.count("*").alias("nrows"),
+        F.sum("c").alias("tot_s"),
+        F.sum(F.col("c") * F.col("c")).alias("tot_s2"),
+    ]
+    for d in range(7):
+        aggs.append(
+            F.sum(F.when(F.col("dow") == d, F.col("c")).otherwise(0)).alias(
+                f"sd{d}"
+            )
+        )
+        aggs.append(
+            F.sum(F.when(F.col("dow") == d, 1).otherwise(0)).alias(f"nd{d}")
+        )
+    m = daily.groupBy("event_type").agg(*aggs)
+    return m.select(
+        "event_type",
+        F.col("nrows").cast("long").alias("n_days"),
+        canon(dround(F.expr(_SEAS_R2), 9)).alias("r2"),
+    )

@@ -829,3 +829,10 @@ def test_hhi_bounds(spark):
     for r in rows:
         h = float(r.hhi)
         assert 1.0 / r.n_suppliers - 1e-9 <= h <= 1.0 + 1e-9
+
+
+def test_seasonality_strength_in_unit_interval(spark):
+    rows = _q("q_seasonality_strength")(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert -1e-9 <= float(r.r2) <= 1.0 + 1e-9

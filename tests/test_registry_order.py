@@ -144,6 +144,7 @@ def test_round6_window_composition():
         "q_peak_detection",
         "q_repurchase_intervals",
         "q_hhi_concentration",
+        "q_seasonality_strength",
     }
     # names[50] is q_topk (the 51st-slot bench pad); late-authored head
     # the ordering right after it

@@ -104,6 +104,7 @@ SECTIONS = {
         "q_funnel_ttc", "q_seasonal_baseline", "q_event_autocorr",
         "q_session_entry_exit", "q_rfm_segments", "q_cohort_ltv",
         "q_market_basket", "q_peak_detection", "q_repurchase_intervals",
+        "q_seasonality_strength",
     ],
     "Incremental / DML patterns": [
         "q_rollup_hierarchical", "q_merge_upsert", "q_cdc_changelog",
@@ -225,6 +226,7 @@ ROLES = {
     "q_peak_detection": "strict local maxima >1.2x trailing mean (one per-type ordering)",
     "q_repurchase_intervals": "inter-purchase gap histogram (30-day bands, one customer shuffle)",
     "q_hhi_concentration": "Herfindahl supplier-concentration per part type (exact decimal moments)",
+    "q_seasonality_strength": "weekday-profile ANOVA R-squared (unrolled fixed-order terms)",
     "q_sink_orc": "parallel ORC directory write + vectorized readback",
     "q_join_bloom": "explicit bloom runtime filter; map-side fact pruning",
     "q_corr_matrix": "all-pairs Pearson corr from one sufficient-stats pass",
