@@ -1283,3 +1283,79 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_suppliers"),
         canon(dround(hhi, 9)).alias("hhi"),
     )
+
+
+@query(
+    "q_abc_classification",
+    oracle="""
+    WITH rev AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_extendedprice * 100 AS DECIMAL(18,0)))
+                    AS DECIMAL(38,0)) AS cents
+        FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+        SELECT l_partkey, cents,
+               SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(cents) OVER () AS total
+        FROM rev
+    ),
+    classed AS (
+        SELECT CASE WHEN cum * 100 <= total * 80 THEN 'A'
+                    WHEN cum * 100 <= total * 95 THEN 'B'
+                    ELSE 'C' END AS abc,
+               cents
+        FROM ranked
+    )
+    SELECT abc, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(CAST(SUM(cents) AS DECIMAL(38,0)) AS VARCHAR)
+               AS revenue_cents
+    FROM classed GROUP BY abc
+    """,
+)
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory classification: parts ranked by revenue,
+    class A while the running share ≤80%, B to 95%, C after — the
+    stocking-policy segmentation ops teams run weekly.
+
+    The cumulative window runs over the PART DIMENSION (revenue per
+    part — one fact shuffle with map-side partials reduces 100 TB of
+    lineitem to |parts| rows first), so the unpartitioned window is
+    dim-bounded, not fact-bounded — the legitimate case for a global
+    window. Thresholds compare exact integers cross-multiplied
+    (cum·100 ≤ total·80) — no share division anywhere, so class
+    boundaries are engine-exact even at ties (the (cents DESC,
+    partkey) order pins tie placement).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum((F.col("l_extendedprice") * 100).cast("decimal(18,0)"))
+        .cast("decimal(38,0)")
+        .alias("cents")
+    )
+    w_cum = W.orderBy(F.col("cents").desc(), F.col("l_partkey").asc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_all = W.partitionBy()
+    ranked = rev.select(
+        "cents",
+        F.sum("cents").over(w_cum).alias("cum"),
+        F.sum("cents").over(w_all).alias("total"),
+    )
+    abc = (
+        F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.select(abc.alias("abc"), "cents")
+        .groupBy("abc")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum("cents")
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("revenue_cents"),
+        )
+    )

@@ -836,3 +836,17 @@ def test_seasonality_strength_in_unit_interval(spark):
     assert rows
     for r in rows:
         assert -1e-9 <= float(r.r2) <= 1.0 + 1e-9
+
+
+def test_abc_classes_partition_parts(spark):
+    rows = {r.abc: r for r in _q("q_abc_classification")(spark, SF).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    n_parts = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select("l_partkey").distinct().count()
+    )
+    assert sum(r.n_parts for r in rows.values()) == n_parts
+    total = sum(int(r.revenue_cents) for r in rows.values())
+    assert int(rows["A"].revenue_cents) <= 0.8 * total + int(
+        rows["A"].revenue_cents
+    ) / rows["A"].n_parts  # A stops at the first part crossing 80%

@@ -112,7 +112,7 @@ SECTIONS = {
     "In-plan statistics / ML": [
         "q_regression_by_group", "q_corr_matrix", "q_ab_ttest",
         "q_profile_table", "q_benford_audit", "q_gini_concentration",
-        "q_hhi_concentration",
+        "q_hhi_concentration", "q_abc_classification",
     ],
     "North-star: corpus prep (chunking / tokenizer / shards)": [
         "q_text_repetition", "q_chunk_tokens", "q_bpe_pair_counts",
@@ -227,6 +227,7 @@ ROLES = {
     "q_repurchase_intervals": "inter-purchase gap histogram (30-day bands, one customer shuffle)",
     "q_hhi_concentration": "Herfindahl supplier-concentration per part type (exact decimal moments)",
     "q_seasonality_strength": "weekday-profile ANOVA R-squared (unrolled fixed-order terms)",
+    "q_abc_classification": "Pareto ABC part classes (cross-multiplied exact thresholds, dim-bounded window)",
     "q_sink_orc": "parallel ORC directory write + vectorized readback",
     "q_join_bloom": "explicit bloom runtime filter; map-side fact pruning",
     "q_corr_matrix": "all-pairs Pearson corr from one sufficient-stats pass",
