@@ -488,3 +488,60 @@ def q_tpch_q20ish(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("qty").cast("long").alias("total_qty"),
         )
     )
+
+
+@query(
+    "q_fulfillment_latency",
+    oracle="""
+    WITH firsts AS (
+        SELECT l_orderkey, MIN(CAST(l_shipdate AS DATE)) AS first_ship
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    gaps AS (
+        SELECT o.o_orderpriority,
+               DATE_DIFF('day', CAST(o.o_orderdate AS DATE), f.first_ship)
+                   AS lat_days
+        FROM orders o JOIN firsts f ON o.o_orderkey = f.l_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(lat_days) AS BIGINT) AS min_days,
+           CAST(MAX(lat_days) AS BIGINT) AS max_days,
+           CAST(SUM(lat_days) AS BIGINT) AS total_days,
+           CAST(SUM(CASE WHEN lat_days <= 7 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_within_week
+    FROM gaps GROUP BY o_orderpriority
+    """,
+)
+def q_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-first-shipment latency per priority class — the
+    fulfillment SLA readout (does URGENT actually ship faster?), with
+    the ≤7-day SLA hit count alongside min/max/total days.
+
+    One lineitem aggregate on its natural orderkey (map-side partials
+    reduce the fact to one row per order) feeding the orders join —
+    both sides hash by the same key, so at scale this is the
+    exchange-reuse join every order-grain metric shares. Integer date
+    arithmetic throughout; the mean is recoverable exactly as
+    total_days / n_orders downstream (kept as exact integers here).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    firsts = li.groupBy("l_orderkey").agg(
+        F.min(F.to_date("l_shipdate")).alias("first_ship")
+    )
+    o = table(spark, sf_dir, "orders")
+    gaps = o.join(firsts, o.o_orderkey == firsts.l_orderkey).select(
+        "o_orderpriority",
+        F.datediff(F.col("first_ship"), F.to_date("o_orderdate")).alias(
+            "lat_days"
+        ),
+    )
+    return gaps.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.min("lat_days").cast("long").alias("min_days"),
+        F.max("lat_days").cast("long").alias("max_days"),
+        F.sum("lat_days").cast("long").alias("total_days"),
+        F.sum(F.when(F.col("lat_days") <= 7, 1).otherwise(0))
+        .cast("long")
+        .alias("n_within_week"),
+    )

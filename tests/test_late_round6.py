@@ -850,3 +850,15 @@ def test_abc_classes_partition_parts(spark):
     assert int(rows["A"].revenue_cents) <= 0.8 * total + int(
         rows["A"].revenue_cents
     ) / rows["A"].n_parts  # A stops at the first part crossing 80%
+
+
+def test_fulfillment_latency_covers_shipped_orders(spark):
+    rows = _q("q_fulfillment_latency")(spark, SF).collect()
+    n_shipped_orders = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select("l_orderkey").distinct().count()
+    )
+    assert sum(r.n_orders for r in rows) == n_shipped_orders
+    for r in rows:
+        assert r.min_days <= r.max_days
+        assert 0 <= r.n_within_week <= r.n_orders

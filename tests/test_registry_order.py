@@ -146,6 +146,7 @@ def test_round6_window_composition():
         "q_hhi_concentration",
         "q_seasonality_strength",
         "q_abc_classification",
+        "q_fulfillment_latency",
     }
     # names[50] is q_topk (the 51st-slot bench pad); late-authored head
     # the ordering right after it
