@@ -545,3 +545,49 @@ def q_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_within_week"),
     )
+
+
+@query(
+    "q_return_rates",
+    oracle="""
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_returned,
+           CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS return_rate,
+           CAST(CAST(SUM(CASE WHEN l.l_returnflag = 'R'
+                    THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(38,2))
+                AS VARCHAR) AS returned_value
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def q_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-rate quality screen per part brand: share of line items
+    flagged returned and the exact value they represent — the
+    supplier/brand quality metric a merchandising team reviews weekly
+    (a brand whose return rate departs from the fleet gets audited).
+
+    One fact scan with the part dim broadcast; all counters are
+    conditional aggregates in the same partial+final pass (no second
+    scan for the returned slice); rate is one IEEE division of exact
+    integers and value sums in exact decimal.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    ret = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    ret_val = F.when(
+        F.col("l_returnflag") == "R",
+        F.col("l_extendedprice").cast("decimal(18,2)"),
+    ).otherwise(F.lit(0).cast("decimal(18,2)"))
+    return j.groupBy("p_brand").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(ret).cast("long").alias("n_returned"),
+        (F.sum(ret).cast("double") / F.count("*")).alias("return_rate"),
+        F.sum(ret_val).cast("decimal(38,2)").cast("string").alias(
+            "returned_value"
+        ),
+    )

@@ -862,3 +862,13 @@ def test_fulfillment_latency_covers_shipped_orders(spark):
     for r in rows:
         assert r.min_days <= r.max_days
         assert 0 <= r.n_within_week <= r.n_orders
+
+
+def test_return_rates_consistent(spark):
+    rows = _q("q_return_rates")(spark, SF).collect()
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    assert sum(r.n_lines for r in rows) == li.count()
+    total_ret = li.filter(F.col("l_returnflag") == "R").count()
+    assert sum(r.n_returned for r in rows) == total_ret
+    for r in rows:
+        assert abs(r.return_rate - r.n_returned / r.n_lines) < 1e-12
