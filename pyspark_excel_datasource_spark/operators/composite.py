@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..functions.determinism import canon, dsum, sql_canon, sql_dround, sql_dsum
+from ..functions.determinism import canon, davg, dsum, sql_canon, sql_davg, sql_dround, sql_dsum
 from ..plans.registry import query
 from .relational import ts
 
@@ -590,4 +590,41 @@ def q_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(ret_val).cast("decimal(38,2)").cast("string").alias(
             "returned_value"
         ),
+    )
+
+
+@query(
+    "q_discount_lift",
+    oracle=f"""
+    SELECT CAST(ROUND(l_discount * 100) AS INT) AS discount_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           {sql_canon(sql_dsum("l_quantity", 0))} AS total_qty,
+           {sql_davg("l_quantity", 0)} AS avg_qty,
+           {sql_canon(sql_dsum("l_extendedprice * (1 - l_discount)", 4))}
+               AS net_revenue
+    FROM lineitem
+    GROUP BY CAST(ROUND(l_discount * 100) AS INT)
+    """,
+)
+def q_discount_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount-band lift table: per discount percentage, line volume,
+    exact and average quantity, and exact net revenue — the
+    price-promotion readout (does a deeper discount actually move more
+    units, and at what revenue cost?) behind TPC-H Q19-style pricing
+    questions.
+
+    The discount column lives on the 2-decimal grid, so the band key
+    (ROUND(d·100)) is an exact integer in both engines; quantities and
+    net revenue use the dsum/davg exact-decimal conventions. One
+    partial+final aggregation over ~12 band keys.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    band = F.round(F.col("l_discount") * 100).cast("int")
+    return li.groupBy(band.alias("discount_pct")).agg(
+        F.count("*").cast("long").alias("n_lines"),
+        canon(dsum("l_quantity", 0)).alias("total_qty"),
+        davg("l_quantity", 0).alias("avg_qty"),
+        canon(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+        ).alias("net_revenue"),
     )

@@ -177,7 +177,7 @@ _PRIORITY: tuple[str, ...] = (
     #     situation as round 5's 24): every name below is local-parity
     #     green at sf0.001 AND sf0.01 (tools/run_parity.py, 0 failures),
     #     first in line for the round-7 rotation — and first checked if
-    #     the driver widens its window this round. 69 names by end of
+    #     the driver widens its window this round. 70 names by end of
     #     round 6; tests/test_registry_order.py pins the exact set.
     "q_tpch_q7ish",
     "q_tpch_q18ish",
@@ -248,6 +248,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_abc_classification",
     "q_fulfillment_latency",
     "q_return_rates",
+    "q_discount_lift",
     # E2. overflow: oracle-backed greens most recently touched, in case
     #    the driver widens the window further; remaining greens follow in
     #    registration order after these.

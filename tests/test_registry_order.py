@@ -148,6 +148,7 @@ def test_round6_window_composition():
         "q_abc_classification",
         "q_fulfillment_latency",
         "q_return_rates",
+        "q_discount_lift",
     }
     # names[50] is q_topk (the 51st-slot bench pad); late-authored head
     # the ordering right after it

@@ -64,6 +64,7 @@ SECTIONS = {
         "q_flagship_pricing", "q_tpch_q5ish", "q_tpch_q10ish", "q_tpch_q3ish",
         "q_tpch_q7ish", "q_tpch_q18ish", "q_tpch_q2ish", "q_tpch_q20ish",
         "q_sql_pipe", "q_fulfillment_latency", "q_return_rates",
+        "q_discount_lift",
     ],
     "North-star: dedup (SURVEY §2.4)": [
         "q_dedup_near", "q_dedup_clusters", "q_dedup_minhash",
@@ -230,6 +231,7 @@ ROLES = {
     "q_abc_classification": "Pareto ABC part classes (cross-multiplied exact thresholds, dim-bounded window)",
     "q_fulfillment_latency": "order-to-first-ship SLA latency per priority (exchange-reuse join)",
     "q_return_rates": "per-brand return share + exact returned value (one conditional pass)",
+    "q_discount_lift": "discount-band volume/revenue lift table (exact 2-dec grid keys)",
     "q_sink_orc": "parallel ORC directory write + vectorized readback",
     "q_join_bloom": "explicit bloom runtime filter; map-side fact pruning",
     "q_corr_matrix": "all-pairs Pearson corr from one sufficient-stats pass",
