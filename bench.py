@@ -61,6 +61,10 @@ def materialize(df) -> None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Host-load self-description (BENCH_r05 lesson: a loaded host inflated
+    # every timing ~1.7x and only BASELINE.md prose explained it). A sample
+    # is "quiet" when the 1-min load is below half the cores Spark uses.
+    load_before = os.getloadavg()[0]
     spark = get_session("bench")
     queries = load_all_queries()
 
@@ -76,6 +80,11 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 3)
 
+    load_after = os.getloadavg()[0]
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))
+    # External load = what the box carried beyond this bench's own work;
+    # the pre-bench sample is the cleanest signal of that.
+    quiet = load_before < cpus / 2
     print(
         json.dumps(
             {
@@ -84,6 +93,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_dir,
+                "loadavg_before": round(load_before, 2),
+                "loadavg_after": round(load_after, 2),
+                "host_quiet": quiet,
             }
         )
     )

@@ -100,85 +100,19 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 #: Driver-facing evaluation order. The driver's correctness gate walks
 #: ``queries()`` in registration order with a 50-query cutoff (observed in
-#: rounds 1-5), so this list IS the audit window. Round-6 rotation policy:
-#: rounds 1-5 accumulated verdicts for 148 of 172 registered queries; the
-#: 24 never-yet-checked queries (authored in round 5 after that window was
-#: frozen) fill slots 1-24 — all pass the local DuckDB oracle at sf0.001 +
-#: sf0.01 via ``tools/run_parity.py``. Next come the round-6 re-verdicts:
-#: queries whose contract changed this round (rows-only sketches converted
-#: to bound-asserted hash oracles, the fixed multimodal-features output,
-#: the canon'd vector queries — which are also in the never-checked 24).
-#: New round-6 operators follow, then regression pads for code paths
-#: touched this round. Prior greens keep their recorded verdicts and
-#: follow in registration order. (The round-2/3 decimal probes were
-#: retired this round — the canon() convention they motivated is pinned
-#: by every real query.)
+#: rounds 1-6), so this list IS the audit window. Round-7 rotation policy
+#: (VERDICT_r6 "Next round #1"): 70 queries authored late in round 6 have
+#: never appeared in any CORRECTNESS_r*.json — the judge verified all 70
+#: green via local parity, but the driver's own record should hold the
+#: verdicts. Slots 1-50 are the first 50 of that backlog (in their
+#: round-6 queue order); the remaining 20 fill slots 51-70 and head the
+#: round-8 rotation if the driver doesn't widen. New round-7 operators
+#: queue immediately after (same precedent as rounds 5 and 6). All prior
+#: greens keep their recorded verdicts and follow in registration order.
 _PRIORITY: tuple[str, ...] = (
-    # A. never driver-verdicted (authored round 5; all local-parity green)
-    "q_tpch_q3ish",
-    "q_winsorize_by_group",
-    "q_corr_matrix",
-    "q_udf_cogroup",
-    "q_udf_mapinarrow",
-    "q_stream_join",
-    "q_stream_foreachbatch",
-    "q_dedup_prefix",
-    "q_embed_centroids",
-    "q_embed_quantize",
-    "q_pii_redact",
-    "q_strip_markup",
-    "q_multimodal_dedup",
-    "q_scan_csv",
-    "q_sink_csv",
-    "q_scan_jsonl",
-    "q_join_interval_overlap",
-    "q_join_bloom",
-    "q_robust_zscore",
-    "q_attribution",
-    "q_agg_countmin",
-    "q_delta_lag",
-    "q_vocab_coverage",
-    "q_corpus_stats",
-    # B. round-6 re-verdicts: rows-only sketches converted to
-    #    bound-asserted hash oracles + the fixed multimodal features
-    "q_agg_approx",
-    "q_agg_approx_quantile",
-    "q_agg_hll",
-    "q_multimodal_features",
-    # C. new round-6 operators (each name added here as it lands)
-    "q_resample_timeseries",
-    "q_window_deltas_vs_baseline",
-    "q_quantile_bins",
-    "q_join_asof_tolerance",
-    "q_drift_kl",
-    "q_entropy_ngrams",
-    "q_topic_cooccur",
-    "q_dedup_ngram_jaccard",
-    "q_minhash_union_sketch",
-    "q_sim_ann_recall",
-    "q_embed_assign",
-    "q_stream_rate_limit",
-    "q_multimodal_frames",
-    "q_sample_exact_pergroup",
-    "q_cdc_changelog",
-    "q_bm25",
-    "q_approx_audit",
-    # D. regression pads (6 slots): the headline bench queries — greens
-    #    re-confirmed because round 6 must also re-prove the bench band
-    "q_flagship_pricing",
-    "q_tpch_q5ish",
-    "q_join_star3",
-    "q_agg_rollup",
-    "q_win_frame",
-    # ---- end of the 50-slot window (24 backlog + 4 re-verdicts +
-    #      17 round-6 operators + 5 bench pads) ----
-    "q_topk",
-    # E1. authored late in round 6 AFTER the 50-slot window froze (same
-    #     situation as round 5's 24): every name below is local-parity
-    #     green at sf0.001 AND sf0.01 (tools/run_parity.py, 0 failures),
-    #     first in line for the round-7 rotation — and first checked if
-    #     the driver widens its window this round. 70 names by end of
-    #     round 6; tests/test_registry_order.py pins the exact set.
+    # A. round-7 gate window: first 50 of the 70 never-driver-verdicted
+    #    queries (authored round 6 after that window froze; all
+    #    local-parity green at sf0.001 and sf0.01, judge-verified r6)
     "q_tpch_q7ish",
     "q_tpch_q18ish",
     "q_fn_url",
@@ -229,6 +163,9 @@ _PRIORITY: tuple[str, ...] = (
     "q_win_ntile",
     "q_transpose",
     "q_agg_listagg",
+    # ---- end of the 50-slot round-7 window ----
+    # B. remainder of the never-verdicted backlog (20): next in line if
+    #    the driver widens its window; otherwise the round-8 rotation head
     "q_fn_xml",
     "q_agg_hll_union",
     "q_fn_collation",
@@ -249,9 +186,63 @@ _PRIORITY: tuple[str, ...] = (
     "q_fulfillment_latency",
     "q_return_rates",
     "q_discount_lift",
-    # E2. overflow: oracle-backed greens most recently touched, in case
-    #    the driver widens the window further; remaining greens follow in
-    #    registration order after these.
+    # C. authored in round 7 (each name appended here as it lands);
+    #    local-parity green before registration, queued for the
+    #    round-8 gate window behind section B
+    # D. prior greens, most recently re-verdicted first (round-6 window),
+    #    in case the driver widens further; remaining greens follow in
+    #    registration order.
+    "q_tpch_q3ish",
+    "q_winsorize_by_group",
+    "q_corr_matrix",
+    "q_udf_cogroup",
+    "q_udf_mapinarrow",
+    "q_stream_join",
+    "q_stream_foreachbatch",
+    "q_dedup_prefix",
+    "q_embed_centroids",
+    "q_embed_quantize",
+    "q_pii_redact",
+    "q_strip_markup",
+    "q_multimodal_dedup",
+    "q_scan_csv",
+    "q_sink_csv",
+    "q_scan_jsonl",
+    "q_join_interval_overlap",
+    "q_join_bloom",
+    "q_robust_zscore",
+    "q_attribution",
+    "q_agg_countmin",
+    "q_delta_lag",
+    "q_vocab_coverage",
+    "q_corpus_stats",
+    "q_agg_approx",
+    "q_agg_approx_quantile",
+    "q_agg_hll",
+    "q_multimodal_features",
+    "q_resample_timeseries",
+    "q_window_deltas_vs_baseline",
+    "q_quantile_bins",
+    "q_join_asof_tolerance",
+    "q_drift_kl",
+    "q_entropy_ngrams",
+    "q_topic_cooccur",
+    "q_dedup_ngram_jaccard",
+    "q_minhash_union_sketch",
+    "q_sim_ann_recall",
+    "q_embed_assign",
+    "q_stream_rate_limit",
+    "q_multimodal_frames",
+    "q_sample_exact_pergroup",
+    "q_cdc_changelog",
+    "q_bm25",
+    "q_approx_audit",
+    "q_flagship_pricing",
+    "q_tpch_q5ish",
+    "q_join_star3",
+    "q_agg_rollup",
+    "q_win_frame",
+    "q_topk",
     "q_sim_topk",
     "q_dedup_near",
     "q_text_tfidf",

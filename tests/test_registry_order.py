@@ -35,140 +35,55 @@ def test_probes_retired():
     assert not any(n.startswith("q_probe_dec_") for n in _ordered_names())
 
 
-def test_round6_window_composition():
-    """Round-6 window = every query with NO driver verdict in rounds 1-5
-    (the 24 authored in round 5 after that window froze) + the round-6
-    re-verdicts (rows-only sketches converted to bound-asserted oracles,
-    the fixed multimodal features) + queries authored in round 6 + the
-    regression/bench pads."""
+#: Queries authored in round 7 — appended to registry section C as they
+#: land; they queue for the round-8 gate window behind the 20-name
+#: section-B backlog.
+ROUND7_AUTHORED: set[str] = set()
+
+
+def test_round7_window_composition():
+    """Round-7 window (VERDICT_r6 next-round #1): the 70 queries with NO
+    driver verdict in rounds 1-6 rotate into the gate. Slots 1-50 hold the
+    first 50; slots 51-70 the remaining 20 (round-8 rotation head). Every
+    query outside the first 70 must either hold a recorded driver verdict
+    in CORRECTNESS_r01-r06 or be authored this round (section C)."""
     names = _ordered_names()
-    window = set(names[:50])
 
     seen: set[str] = set()
-    for r in ("01", "02", "03", "04", "05"):
+    for r in ("01", "02", "03", "04", "05", "06"):
         seen.update(json.loads((REPO / f"CORRECTNESS_r{r}.json").read_text()))
 
-    # queries AUTHORED in round 6 queue inside the window by design; they
-    # have no prior verdict but were not part of the round-5 backlog
-    new_this_round = {
-        n
-        for n in names
-        if n not in seen
-        and n
-        in {
-            "q_dedup_ngram_jaccard",
-            "q_sim_ann_recall",
-            "q_resample_timeseries",
-            "q_quantile_bins",
-            "q_drift_kl",
-            "q_embed_assign",
-            "q_minhash_union_sketch",
-            "q_entropy_ngrams",
-            "q_topic_cooccur",
-            "q_stream_rate_limit",
-            "q_window_deltas_vs_baseline",
-            "q_join_asof_tolerance",
-            "q_multimodal_frames",
-            "q_sample_exact_pergroup",
-            "q_cdc_changelog",
-            "q_bm25",
-            "q_approx_audit",
-        }
+    rows_only = {
+        # approx structures with no oracle: the driver records a weaker
+        # rows-only check; their correctness contract is audited in-plan
+        # via q_approx_audit / q_sim_ann_recall (both hash-verified r6)
+        "q_dedup_minhash",
+        "q_dedup_simhash",
+        "q_dedup_embed_lsh",
+        "q_dedup_incremental_lsh",
+        "q_sim_ann_lsh",
+        "q_sim_ann_ivf",
+        "q_sim_ann_pq",
     }
-    # authored late in round 6 after the 50-slot window froze (round-5
-    # precedent: its 24 late queries became the round-6 backlog); these
-    # queue immediately after slot 50 as the round-7 rotation head
-    late_authored = {
-        "q_tpch_q7ish",
-        "q_tpch_q18ish",
-        "q_fn_url",
-        "q_dedup_url",
-        "q_scan_orc",
-        "q_sink_orc",
-        "q_agg_incremental",
-        "q_pii_luhn",
-        "q_path_topk",
-        "q_ab_ttest",
-        "q_join_spatial_grid",
-        "q_fuzzy_match",
-        "q_mix_temperature",
-        "q_rank_fusion",
-        "q_bpe_encode",
-        "q_skyline_pareto",
-        "q_dedup_cross_source",
-        "q_late_data_audit",
-        "q_embed_norm",
-        "q_curriculum_interleave",
-        "q_rolling_dau",
-        "q_compaction_plan",
-        "q_tpch_q2ish",
-        "q_tpch_q20ish",
-        "q_scan_text",
-        "q_sink_text",
-        "q_inverted_index",
-        "q_strip_boilerplate",
-        "q_join_asof_nearest",
-        "q_weighted_median",
-        "q_profile_table",
-        "q_join_pit",
-        "q_funnel_ttc",
-        "q_seasonal_baseline",
-        "q_observe_metrics",
-        "q_scan_file_lineage",
-        "q_text_sentiment",
-        "q_trajectory_topk",
-        "q_join_null_safe",
-        "q_content_chunking",
-        "q_chunk_dedup",
-        "q_sample_coordinated",
-        "q_quantile_normalize",
-        "q_dedup_chunks",
-        "q_pipeline_corpus_v2",
-        "q_scan_excel_sheets",
-        "q_sink_excel_sheets",
-        "q_win_ntile",
-        "q_transpose",
-        "q_agg_listagg",
-        "q_fn_xml",
-        "q_agg_hll_union",
-        "q_fn_collation",
-        "q_sql_pipe",
-        "q_fn_try",
-        "q_event_autocorr",
-        "q_session_entry_exit",
-        "q_rfm_segments",
-        "q_cohort_ltv",
-        "q_market_basket",
-        "q_benford_audit",
-        "q_gini_concentration",
-        "q_peak_detection",
-        "q_repurchase_intervals",
-        "q_hhi_concentration",
-        "q_seasonality_strength",
-        "q_abc_classification",
-        "q_fulfillment_latency",
-        "q_return_rates",
-        "q_discount_lift",
-    }
-    # names[50] is q_topk (the 51st-slot bench pad); late-authored head
-    # the ordering right after it
-    assert set(names[51 : 51 + len(late_authored)]) == late_authored, (
-        "late-authored round-6 queries must head the post-window ordering"
+    backlog = [n for n in names if n not in seen and n not in rows_only]
+    never_verdicted = [n for n in backlog if n not in ROUND7_AUTHORED]
+    assert names[:50] == never_verdicted[:50], (
+        "round-7 window must be the first 50 never-driver-verdicted queries"
     )
-    backlog = set(names) - seen - new_this_round - late_authored
-    out = backlog - window
-    assert not out, f"never-verdicted queries fell out of the first 50: {out}"
-    # re-verdicts whose contract changed in round 6 must also be audited
-    for must in (
-        "q_agg_approx",
-        "q_agg_approx_quantile",
-        "q_agg_hll",
-        "q_multimodal_features",
-    ):
-        assert must in window, f"round-6 re-verdict {must} missing from window"
-    assert new_this_round <= window, (
-        f"round-6 queries outside the window: {new_this_round - window}"
+    assert names[50:70] == never_verdicted[50:70], (
+        "slots 51-70 must hold the rest of the never-verdicted backlog"
     )
+    assert len(never_verdicted) == 70, (
+        f"expected exactly 70 never-verdicted round-6 holdovers, got "
+        f"{len(never_verdicted)}"
+    )
+    # round-7 queries land right behind the backlog so a widened driver
+    # window reaches them this round, and the round-8 rotation is cheap
+    authored = [n for n in names if n in ROUND7_AUTHORED]
+    if authored:
+        start = names.index(authored[0])
+        assert start == 70, "round-7 queries must start at slot 71"
+        assert names[start : start + len(authored)] == authored
 
 
 def test_every_oracle_has_a_query():
@@ -179,3 +94,56 @@ def test_every_oracle_has_a_query():
 
     qs = load_all_queries()
     assert all(k in qs for k in ORACLES)
+
+
+#: The ONLY queries allowed to register with oracle=None. Each is an
+#: approximate structure whose output is not ANSI-SQL-expressible; each
+#: MUST have (a) an oracled twin or (b) an in-plan hash-verified audit
+#: (q_approx_audit / q_sim_ann_recall) covering its error contract.
+ROWS_ONLY_ALLOWLIST = {
+    "q_dedup_minhash",  # twin: q_dedup_minhash_oracled
+    "q_dedup_simhash",  # twin: q_dedup_simhash_oracled
+    "q_dedup_embed_lsh",  # audited: q_approx_audit
+    "q_dedup_incremental_lsh",  # audited: q_approx_audit
+    "q_sim_ann_lsh",  # twin: q_sim_ann_lsh_oracled + q_sim_ann_recall
+    "q_sim_ann_ivf",  # twin: q_sim_ann_ivf_oracled + q_approx_audit
+    "q_sim_ann_pq",  # audited: q_approx_audit
+}
+
+
+def test_no_silent_oracle_skips():
+    """A future operator may not silently register without an oracle: every
+    oracle-less query must be on the explicit rows-only allowlist (and the
+    allowlist may not go stale the other way)."""
+    from pyspark_excel_datasource_spark.plans.registry import (
+        ORACLES,
+        load_all_queries,
+    )
+
+    qs = set(load_all_queries())
+    oracleless = qs - set(ORACLES)
+    unexpected = oracleless - ROWS_ONLY_ALLOWLIST
+    assert not unexpected, (
+        f"queries registered without an oracle but not allowlisted: "
+        f"{sorted(unexpected)} — add a DuckDB oracle or (for genuinely "
+        f"non-SQL-expressible approx ops) allowlist with an audit twin"
+    )
+    stale = ROWS_ONLY_ALLOWLIST - oracleless
+    assert not stale, f"allowlist entries that now HAVE oracles: {sorted(stale)}"
+
+
+def test_coverage_md_not_stale():
+    """COVERAGE.md must match a fresh tools/gen_coverage.py run (regenerate
+    after adding queries)."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "gen_coverage.py")],
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    assert out.strip() == (REPO / "COVERAGE.md").read_text().strip(), (
+        "COVERAGE.md is stale — run: python tools/gen_coverage.py > COVERAGE.md"
+    )
