@@ -189,6 +189,8 @@ _PRIORITY: tuple[str, ...] = (
     # C. authored in round 7 (each name appended here as it lands);
     #    local-parity green before registration, queued for the
     #    round-8 gate window behind section B
+    "q_scan_excel_recursive",
+    "q_scan_excel_allsheets",
     # D. prior greens, most recently re-verdicted first (round-6 window),
     #    in case the driver widens further; remaining greens follow in
     #    registration order.

@@ -165,6 +165,14 @@ def _count_rows(path: str, sheet: str | int, header: bool) -> int:
     return minixlsx.count_data_rows(path, sheet=sheet, header=header)
 
 
+def _sheet_names(path: str) -> list[str]:
+    """All sheet names of one workbook (``sheetName="*"`` planning)."""
+    if _HAVE_OPENPYXL:
+        with pd.ExcelFile(path) as xf:
+            return [str(n) for n in xf.sheet_names]
+    return minixlsx.list_sheets(path)
+
+
 # ---------------------------------------------------------------------------
 # Options / helpers
 # ---------------------------------------------------------------------------
@@ -183,6 +191,12 @@ class ExcelOptions:
     prefer_ntz: bool = False
     write_sheet: str = "Sheet1"
     columns: list[str] | None = None
+    recursive: bool = False
+
+    @property
+    def all_sheets(self) -> bool:
+        """``sheetName="*"`` — union every sheet of every workbook."""
+        return self.sheet == "*"
 
     @classmethod
     def from_options(cls, options: dict) -> "ExcelOptions":
@@ -214,24 +228,35 @@ class ExcelOptions:
             multi_file=b("multifile", False),
             prefer_ntz=b("prefertimestampntz", False),
             write_sheet=str(options.get("sheetname", options.get("sheetName", "Sheet1"))),
+            recursive=b("recursivefilelookup", False),
         )
 
 
-def _list_input_files(path: str) -> list[str]:
-    """One file, or the non-recursive ``*.xlsx`` listing of a directory
-    (case-insensitive extension, as the reference: connector.py:150-152)."""
+def _list_input_files(path: str, recursive: bool = False) -> list[str]:
+    """One file, a directory's ``*.xlsx`` listing (non-recursive by
+    default, as the reference: connector.py:150-152; ``os.walk`` with
+    ``recursiveFileLookup=true`` — nested drop directories), or a glob
+    pattern (``**`` segments honored when recursive)."""
     if os.path.isfile(path):
         return [path]
     if os.path.isdir(path):
-        files = sorted(
-            os.path.join(path, f)
-            for f in os.listdir(path)
-            if f.lower().endswith(".xlsx") and os.path.isfile(os.path.join(path, f))
-        )
+        if recursive:
+            files = sorted(
+                os.path.join(root, f)
+                for root, _dirs, fnames in os.walk(path)
+                for f in fnames
+                if f.lower().endswith(".xlsx")
+            )
+        else:
+            files = sorted(
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.lower().endswith(".xlsx") and os.path.isfile(os.path.join(path, f))
+            )
         if not files:
             raise AnalysisException(f"no .xlsx files found in directory: {path}")
         return files
-    matches = sorted(glob.glob(path))
+    matches = sorted(glob.glob(path, recursive=recursive))
     if matches:
         return [m for m in matches if os.path.isfile(m)]
     raise AnalysisException(f"path does not exist: {path}")
@@ -363,25 +388,42 @@ def _apply_filters(frame: pd.DataFrame, filters: list[Filter]) -> pd.DataFrame:
 
 
 class ExcelInputPartition(InputPartition):
-    def __init__(self, file_path: str, skip_rows: int = 0, n_rows: int | None = None):
+    def __init__(
+        self,
+        file_path: str,
+        skip_rows: int = 0,
+        n_rows: int | None = None,
+        sheet: str | int | None = None,
+    ):
         self.file_path = file_path
         self.skip_rows = skip_rows
         self.n_rows = n_rows
+        #: per-partition sheet override (all-sheets mode plans one
+        #: partition per (file, sheet)); None → the options' sheet
+        self.sheet = sheet
 
 
 def _plan_file_partitions(f: str, opts: ExcelOptions) -> list[InputPartition]:
-    """Partitions for ONE file: whole-file, or ``chunkRows``-sized row
-    ranges — shared by the batch and streaming planners so the chunk math
-    can never diverge between them."""
-    if not opts.chunk_rows:
-        return [ExcelInputPartition(f)]
-    total = _count_rows(f, opts.sheet, opts.header)
-    if total == 0:
-        return [ExcelInputPartition(f)]
-    return [
-        ExcelInputPartition(f, start, min(opts.chunk_rows, total - start))
-        for start in range(0, total, opts.chunk_rows)
-    ]
+    """Partitions for ONE file: whole-file, per-sheet (``sheetName="*"``),
+    or ``chunkRows``-sized row ranges — shared by the batch and streaming
+    planners so the chunk math can never diverge between them."""
+    sheets: list[str | int | None] = (
+        list(_sheet_names(f)) if opts.all_sheets else [None]
+    )
+    parts: list[InputPartition] = []
+    for sh in sheets:
+        if not opts.chunk_rows:
+            parts.append(ExcelInputPartition(f, sheet=sh))
+            continue
+        total = _count_rows(f, opts.sheet if sh is None else sh, opts.header)
+        if total == 0:
+            parts.append(ExcelInputPartition(f, sheet=sh))
+            continue
+        parts.extend(
+            ExcelInputPartition(f, start, min(opts.chunk_rows, total - start), sheet=sh)
+            for start in range(0, total, opts.chunk_rows)
+        )
+    return parts
 
 
 class ExcelDataSourceReader(DataSourceReader):
@@ -399,7 +441,7 @@ class ExcelDataSourceReader(DataSourceReader):
     def partitions(self) -> list[InputPartition]:
         return [
             p
-            for f in _list_input_files(self.opts.path)
+            for f in _list_input_files(self.opts.path, self.opts.recursive)
             for p in _plan_file_partitions(f, self.opts)
         ]
 
@@ -410,9 +452,10 @@ class ExcelDataSourceReader(DataSourceReader):
         # columns, so the pruning signal is the user-bound schema, not the
         # query's projection.) Missing-column errors still surface from
         # _frame_to_batches, which sees the permissively-pruned frame.
+        part_sheet = getattr(partition, "sheet", None)
         frame = _read_frame(
             partition.file_path,
-            self.opts.sheet,
+            self.opts.sheet if part_sheet is None else part_sheet,
             self.opts.header,
             skip_rows=partition.skip_rows,
             n_rows=partition.n_rows,
@@ -483,9 +526,10 @@ class ExcelStreamReader(DataSourceStreamReader):
         ]
 
     def read(self, partition: ExcelInputPartition):
+        part_sheet = getattr(partition, "sheet", None)
         frame = _read_frame(
             partition.file_path,
-            self.opts.sheet,
+            self.opts.sheet if part_sheet is None else part_sheet,
             self.opts.header,
             skip_rows=partition.skip_rows,
             n_rows=partition.n_rows,
@@ -674,13 +718,17 @@ class ExcelDataSource(DataSource):
     ``spark.readStream.format("excel")``.
 
     Options: ``path`` (required), ``sheetName`` (name or index; default 0
-    for read, "Sheet1" for write), ``header`` (default true),
-    ``inferSchema`` (default true; sample-based), ``sampleRows`` (default
-    200), ``enableArrow`` (default **true**), ``chunkRows`` (split big
-    files into row-range partitions), ``multiFile`` (write one xlsx per
-    partition into a directory), ``preferTimestampNTZ``, ``columns``
-    (comma-separated projection: narrows the inferred schema AND the
-    decode — unknown names raise).
+    for read, "Sheet1" for write; ``"*"`` unions EVERY sheet of every
+    workbook — one partition per (file, sheet), schema bound from the
+    first sheet), ``header`` (default true), ``inferSchema`` (default
+    true; sample-based), ``sampleRows`` (default 200), ``enableArrow``
+    (default **true**), ``chunkRows`` (split big files into row-range
+    partitions), ``multiFile`` (write one xlsx per partition into a
+    directory), ``preferTimestampNTZ``, ``columns`` (comma-separated
+    projection: narrows the inferred schema AND the decode — unknown
+    names raise), ``recursiveFileLookup`` (default false; walk nested
+    directories / honor ``**`` globs — the reference is non-recursive,
+    connector.py:148-156).
     """
 
     def __init__(self, options):
@@ -693,15 +741,22 @@ class ExcelDataSource(DataSource):
 
     def schema(self):
         opts = self.opts
+        # all-sheets mode ("*") infers from the first sheet; every other
+        # sheet must bind to that schema (the schema-binding layer raises
+        # on mismatch, same contract as multi-file unions)
+        infer_sheet: str | int = 0 if opts.all_sheets else opts.sheet
         if not opts.infer_schema:
             frame = _read_frame(
-                _list_input_files(opts.path)[0], opts.sheet, opts.header, n_rows=0
+                _list_input_files(opts.path, opts.recursive)[0],
+                infer_sheet,
+                opts.header,
+                n_rows=0,
             )
             fields = [T.StructField(c, T.StringType(), True) for c in frame.columns]
         else:
             frame = _read_frame(
-                _list_input_files(opts.path)[0],
-                opts.sheet,
+                _list_input_files(opts.path, opts.recursive)[0],
+                infer_sheet,
                 opts.header,
                 n_rows=opts.sample_rows,
             )

@@ -269,6 +269,14 @@ def _load_date_styles(zf: zipfile.ZipFile) -> dict[int, bool]:
     return date_xfs
 
 
+def list_sheets(path: str) -> list[str]:
+    """Workbook sheet names, in workbook order (the ``sheetName="*"``
+    all-sheets union mode needs the full roster before planning)."""
+    with zipfile.ZipFile(path) as zf:
+        wb = ET.fromstring(zf.read("xl/workbook.xml"))
+        return [sh.get("name") for sh in wb.iter(f"{_NS}sheet")]
+
+
 def _sheet_member(zf: zipfile.ZipFile, sheet: str | int) -> str:
     """Resolve a sheet name or 0-based index to its zip member path."""
     wb = ET.fromstring(zf.read("xl/workbook.xml"))

@@ -466,3 +466,123 @@ def test_multisheet_workbook_roundtrip(spark, tmp_path):
         .option("sheetName", "0").load()
     )
     assert sorted(r.a for r in by_index.collect()) == [1, 2, 3]
+
+
+def test_recursive_lookup_walks_nested_dirs(spark, tmp_path):
+    """recursiveFileLookup=true unions workbooks from nested directories;
+    the default (reference parity, connector.py:148-156) sees only the
+    top level."""
+    d = tmp_path / "drop"
+    (d / "2026" / "08").mkdir(parents=True)
+    _write(str(d / "top.xlsx"), [(1, "top")], ["id", "name"])
+    _write(str(d / "2026" / "mid.xlsx"), [(2, "mid")], ["id", "name"])
+    _write(str(d / "2026" / "08" / "leaf.xlsx"), [(3, "leaf")], ["id", "name"])
+    (d / "2026" / "notes.txt").write_text("decoy")
+
+    flat = (
+        spark.read.format("excel")
+        .schema("id long, name string")
+        .option("path", str(d))
+        .load()
+    )
+    assert sorted(r.id for r in flat.collect()) == [1]
+
+    deep = (
+        spark.read.format("excel")
+        .schema("id long, name string")
+        .option("path", str(d))
+        .option("recursiveFileLookup", "true")
+        .load()
+    )
+    assert sorted(map(tuple, deep.collect())) == [
+        (1, "top"), (2, "mid"), (3, "leaf"),
+    ]
+    assert deep.rdd.getNumPartitions() == 3  # one per discovered file
+
+
+def test_recursive_glob_double_star(spark, tmp_path):
+    """A ``**`` glob pattern resolves through the recursive lister."""
+    d = tmp_path / "g"
+    (d / "a" / "b").mkdir(parents=True)
+    _write(str(d / "a" / "x.xlsx"), [(1, "x")], ["id", "name"])
+    _write(str(d / "a" / "b" / "y.xlsx"), [(2, "y")], ["id", "name"])
+    df = (
+        spark.read.format("excel")
+        .schema("id long, name string")
+        .option("path", str(d / "**" / "*.xlsx"))
+        .option("recursiveFileLookup", "true")
+        .load()
+    )
+    assert sorted(r.id for r in df.collect()) == [1, 2]
+
+
+def test_all_sheets_union(spark, tmp_path):
+    """sheetName="*" unions every sheet; one partition per (file, sheet);
+    inferred schema comes from the first sheet."""
+    path = str(tmp_path / "wb.xlsx")
+    minixlsx.write_xlsx_multi(
+        path,
+        {
+            "jan": pd.DataFrame({"id": [1, 2], "name": ["a", "b"]}),
+            "feb": pd.DataFrame({"id": [3], "name": ["c"]}),
+            "mar": pd.DataFrame({"id": [4, 5], "name": ["d", "e"]}),
+        },
+    )
+    df = (
+        spark.read.format("excel")
+        .option("path", path)
+        .option("sheetName", "*")
+        .load()
+    )
+    assert df.schema.simpleString() == "struct<id:bigint,name:string>"
+    assert sorted(r.id for r in df.collect()) == [1, 2, 3, 4, 5]
+    assert df.rdd.getNumPartitions() == 3
+
+
+def test_all_sheets_chunked_partitions(spark, tmp_path):
+    """chunkRows composes with all-sheets: row-range chunks are planned
+    per sheet, and the union stays exact."""
+    path = str(tmp_path / "wbc.xlsx")
+    minixlsx.write_xlsx_multi(
+        path,
+        {
+            "s1": pd.DataFrame({"id": list(range(5))}),
+            "s2": pd.DataFrame({"id": list(range(5, 8))}),
+        },
+    )
+    df = (
+        spark.read.format("excel")
+        .option("path", path)
+        .option("sheetName", "*")
+        .option("chunkRows", "2")
+        .load()
+    )
+    # s1: ceil(5/2)=3 chunks, s2: ceil(3/2)=2 chunks
+    assert df.rdd.getNumPartitions() == 5
+    assert sorted(r.id for r in df.collect()) == list(range(8))
+
+
+def test_all_sheets_across_files(spark, tmp_path):
+    """all-sheets × multi-file directory: every sheet of every workbook."""
+    d = tmp_path / "many"
+    d.mkdir()
+    minixlsx.write_xlsx_multi(
+        str(d / "w1.xlsx"),
+        {
+            "a": pd.DataFrame({"id": [1]}),
+            "b": pd.DataFrame({"id": [2]}),
+        },
+    )
+    minixlsx.write_xlsx_multi(
+        str(d / "w2.xlsx"),
+        {"only": pd.DataFrame({"id": [3]})},
+    )
+    df = (
+        spark.read.format("excel")
+        .schema("id long")
+        .option("path", str(d))
+        .option("sheetName", "*")
+        .load()
+    )
+    assert sorted(r.id for r in df.collect()) == [1, 2, 3]
+    assert df.rdd.getNumPartitions() == 3

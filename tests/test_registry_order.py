@@ -38,7 +38,10 @@ def test_probes_retired():
 #: Queries authored in round 7 — appended to registry section C as they
 #: land; they queue for the round-8 gate window behind the 20-name
 #: section-B backlog.
-ROUND7_AUTHORED: set[str] = set()
+ROUND7_AUTHORED: set[str] = {
+    "q_scan_excel_recursive",
+    "q_scan_excel_allsheets",
+}
 
 
 def test_round7_window_composition():

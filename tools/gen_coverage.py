@@ -19,6 +19,7 @@ SECTIONS = {
         "q_sink_csv", "q_scan_jsonl", "q_scan_orc", "q_sink_orc",
         "q_scan_text", "q_sink_text", "q_scan_file_lineage",
         "q_scan_excel_sheets", "q_sink_excel_sheets",
+        "q_scan_excel_recursive", "q_scan_excel_allsheets",
     ],
     "Projection / filter": ["q_project", "q_filter_basic", "q_filter_complex"],
     "Joins": [
@@ -208,6 +209,8 @@ ROLES = {
     "q_dedup_chunks": "chunk-containment near-dup pairs from df-capped posting lists",
     "q_pipeline_corpus_v2": "boilerplate gate -> cross-source dedup -> quality -> curriculum, one plan",
     "q_scan_excel_sheets": "two sheet-addressed scans of ONE multi-sheet workbook, joined",
+    "q_scan_excel_recursive": "recursiveFileLookup walk of a nested drop directory (reference is top-level only)",
+    "q_scan_excel_allsheets": 'sheetName="*": union every sheet, one partition per (file, sheet)',
     "q_sink_excel_sheets": "sheet-per-group workbook sink (bounded aggregate fan-in), lossless",
     "q_win_ntile": "NTILE quartiles per supplier (tie-stable full ordering)",
     "q_transpose": "Spark 4 DataFrame.transpose on a bounded aggregate (pivot family's 4th member)",
