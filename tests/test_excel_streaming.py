@@ -478,3 +478,93 @@ def test_stream_chunked_partitions(spark, tmp_path):
         q.stop()
     rows = spark.table("chunk_sink").collect()
     assert sorted(r.id for r in rows) == list(range(10))
+
+
+def test_crash_recovery_torn_commit_zero_reprocessing(spark, tmp_path):
+    """Kill-and-restart proof for the replayable-offset claim (the
+    reference's counter offsets reprocess the whole directory on restart,
+    connector.py:228-243).
+
+    Simulates the classic torn crash point — the sink committed the batch
+    and THEN the process died before the checkpoint commit log was
+    written — by deleting the last entry of ``ckpt/commits`` while
+    leaving ``ckpt/offsets`` intact. On restart Spark re-runs that batch
+    from the WAL'd offsets; with manifest offsets the re-run derives the
+    exact same file set (asserted on the offsets log), and the file
+    sink's own batchId log makes the replay a no-op, so no row
+    duplicates and no file is read into the output twice.
+    """
+    import glob as _glob
+    import json
+
+    src = tmp_path / "crash_src"
+    src.mkdir()
+    ckpt = tmp_path / "crash_ckpt"
+    out = str(tmp_path / "crash_out")
+    _write(str(src / "f1.xlsx"), [(1, "a")])
+    _write(str(src / "f2.xlsx"), [(2, "b")])
+
+    def start():
+        stream = (
+            spark.readStream.format("excel")
+            .schema("id long, name string")
+            .option("path", str(src))
+            .load()
+        )
+        return (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(processingTime="1 second")
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(tuple(r) for r in spark.read.parquet(out).collect()) == [
+        (1, "a"),
+        (2, "b"),
+    ]
+
+    # ---- simulate the crash: offset WAL present, commit log torn ----
+    commits = sorted(_glob.glob(os.path.join(str(ckpt), "commits", "[0-9]*")))
+    offsets = sorted(_glob.glob(os.path.join(str(ckpt), "offsets", "[0-9]*")))
+    assert commits and offsets
+    torn_batch = os.path.basename(commits[-1])
+    os.remove(commits[-1])
+    # the local checksum fs keeps a .crc sidecar; a torn commit would not
+    # leave one behind either, and Spark's rewrite refuses to clobber it
+    crc = os.path.join(os.path.dirname(commits[-1]), f".{torn_batch}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    def manifest(path):
+        # offset log entry: version line, metadata line, then one offset
+        # JSON per source — the manifest is the excel source's offset
+        with open(path) as fh:
+            lines = [ln.strip() for ln in fh if ln.strip()]
+        return json.loads(lines[-1])
+
+    before = manifest(os.path.join(str(ckpt), "offsets", torn_batch))
+
+    # a file arriving BETWEEN crash and restart must not leak into the
+    # replayed batch (replay = WAL'd manifest, not directory state)
+    _write(str(src / "f3.xlsx"), [(3, "c")])
+
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    after = manifest(os.path.join(str(ckpt), "offsets", torn_batch))
+    assert before == after, "replayed batch must re-derive the identical manifest"
+    assert "f3.xlsx" not in json.dumps(after.get("files", after))
+
+    # end-to-end exactly-once: replay deduped by the sink, f3 appended once
+    final = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert final == [(1, "a"), (2, "b"), (3, "c")]
