@@ -782,3 +782,283 @@ def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(rrf, 9).cast("decimal(38,9)").cast("string").alias("rrf"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 7: oracled twins for the ANN paths (VERDICT_r6 #3) — the md5 hash
+# family that made q_dedup_minhash_oracled bit-identical in DuckDB, applied
+# to sign-LSH bands and to the IVF bucket-probe-rerank pipeline.
+# ---------------------------------------------------------------------------
+
+_ORACLED_LSH_BANDS = 8
+_ORACLED_LSH_BITS = 4
+_ORACLED_PLANES = _ORACLED_LSH_BANDS * _ORACLED_LSH_BITS
+_ORACLED_IVF_K = 16
+_ORACLED_IVF_PROBES = 2
+#: fixed-point quantization step for the cross-engine integer dot: both
+#: engines compute FLOOR(e*1000) on the same float64, so the quantized
+#: vectors are bit-identical and every signature/bucket decision is exact
+#: int64 arithmetic — no float sign-bit divergence can exist.
+_Q_SCALE = 1000
+
+
+def _md5_weight(*parts: object) -> int:
+    """(md5 of ':'-joined parts → first 15 hex digits) % 2001 - 1000 —
+    the same value DuckDB computes as
+    ``(('0x'||SUBSTR(MD5(a||':'||b),1,15))::UBIGINT::BIGINT % 2001) - 1000``."""
+    import hashlib
+
+    digest = hashlib.md5(":".join(str(p) for p in parts).encode()).hexdigest()
+    return int(digest[:15], 16) % 2001 - 1000
+
+
+def _md5_matrix(prefix: list[object], rows: int, dim: int) -> np.ndarray:
+    return np.asarray(
+        [[_md5_weight(*prefix, i, j) for j in range(dim)] for i in range(rows)],
+        dtype=np.int64,
+    )
+
+
+def _quantize(E: np.ndarray) -> np.ndarray:
+    return np.floor(E * float(_Q_SCALE)).astype(np.int64)
+
+
+def _oracled_band_udf(dim: int):
+    """Band values from md5-derived integer hyperplanes: bit r of band b =
+    sign of the int64 dot with plane (4b+r). Arrow-vectorized matmul —
+    same batch shape as the float flagship's ``band_signature_udf``."""
+    from pyspark.sql.functions import pandas_udf
+
+    W_ = _md5_matrix([], _ORACLED_PLANES, dim)  # planes × dim
+    weights = (2 ** np.arange(_ORACLED_LSH_BITS)).astype(np.int64)
+
+    @pandas_udf("array<int>")
+    def sig(col: pd.Series) -> pd.Series:
+        Q = _quantize(np.stack(col.to_numpy()))  # batch × dim int64
+        bits = (Q @ W_.T) >= 0  # batch × planes
+        bands = (
+            bits.reshape(len(Q), _ORACLED_LSH_BANDS, _ORACLED_LSH_BITS) @ weights
+        )
+        return pd.Series([row.astype(np.int32).tolist() for row in bands])
+
+    return sig
+
+
+def _lsh_weight_sql(plane: str, dim_idx: str) -> str:
+    return (
+        f"((CAST(('0x' || SUBSTR(MD5({plane} || ':' || {dim_idx}), 1, 15)) "
+        f"AS UBIGINT)::BIGINT % 2001) - 1000)"
+    )
+
+
+@query(
+    "q_sim_ann_lsh_oracled",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT vec_id, e,
+                 [CAST(FLOOR(x * {_Q_SCALE}) AS BIGINT) for x in e] AS qv
+          FROM v),
+    dots AS (
+        SELECT q.vec_id, t.i AS plane,
+               LIST_SUM([{_lsh_weight_sql('t.i', '(j - 1)')} * qv[j]
+                         for j in RANGE(1, LEN(qv) + 1)]) AS dot
+        FROM q, RANGE(0, {_ORACLED_PLANES}) t(i)
+    ),
+    bands AS (
+        SELECT vec_id, plane // {_ORACLED_LSH_BITS} AS band,
+               SUM(CASE WHEN dot >= 0
+                        THEN 1 << (plane % {_ORACLED_LSH_BITS}) ELSE 0 END) AS bval
+        FROM dots GROUP BY vec_id, plane // {_ORACLED_LSH_BITS}
+    ),
+    cand AS (
+        SELECT DISTINCT qb.vec_id AS query_id, db.vec_id AS vec_id
+        FROM bands qb
+        JOIN bands db ON qb.band = db.band AND qb.bval = db.bval
+        WHERE qb.vec_id IN {_QUERY_VEC_IDS} AND db.vec_id <> qb.vec_id
+    ),
+    scored AS (
+        SELECT c.query_id, c.vec_id,
+               CAST(ROUND({_SQL_COS.format(a='qq.e', b='dd.e')}, 8)
+                    AS DECIMAL(38,8)) AS cosine
+        FROM cand c
+        JOIN v qq ON qq.vec_id = c.query_id
+        JOIN v dd ON dd.vec_id = c.vec_id
+    )
+    SELECT query_id, vec_id, CAST(cosine AS VARCHAR) AS cosine,
+           CAST(rn AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, vec_id) AS rn FROM scored)
+    WHERE rn <= {_TOP_K}
+    """,
+)
+def q_sim_ann_lsh_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN with a CROSS-ENGINE hash family — the whole pipeline
+    (quantize → md5 integer hyperplanes → 8×4 banding → bucket equi-join
+    candidates → exact cosine re-rank → top-k) hash-verifies against
+    DuckDB end to end.
+
+    The float flagship (``q_sim_ann_lsh``) stays the bench path: its
+    seeded-Gaussian hyperplanes are numpy-only, capping the driver's
+    check at rows-only. Here the hyperplane entries come from md5 (same
+    trick as ``q_dedup_minhash_oracled``) and the sign decision is int64
+    arithmetic on FLOOR(e*1000)-quantized vectors, so no float summation
+    order can flip a bit between engines. Same plan shape as the
+    flagship: one Arrow-vectorized signature pass, posexplode inverted
+    index, broadcast bucket equi-join, candidates-only exact scoring.
+    (The oracle spells the band join over all (vec, band) rows because
+    DuckDB has no partitioned-index idiom — the Spark side is the real
+    banded design.)
+    """
+    emb = _embeddings(spark, sf_dir)
+    dim = len(emb.select("e").first()["e"])
+    signed = emb.withColumn(
+        "bands", _oracled_band_udf(dim)(F.col("e"))
+    ).cache()
+    buckets = signed.select(
+        "vec_id", F.posexplode("bands").alias("band", "bval")
+    )
+    qvec = signed.filter(F.col("vec_id").isin(*_QUERY_VEC_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("n").alias("qn"),
+        F.col("bands").alias("qbands"),
+    )
+    qbuckets = qvec.select(
+        "query_id", F.posexplode("qbands").alias("band", "bval")
+    )
+    candidates = (
+        buckets.join(F.broadcast(qbuckets), ["band", "bval"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    scored = (
+        candidates.join(signed.select("vec_id", "e", "n"), "vec_id")
+        .join(F.broadcast(qvec.select("query_id", "qe", "qn")), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(_dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("n")), 8)
+            .cast("decimal(38,8)")
+            .alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "vec_id", canon("cosine").alias("cosine"), "rank")
+    )
+
+
+def _anchor_assign_udf(dim: int, top: int):
+    """Top-``top`` md5-anchor buckets per vector by int64 dot (dot desc,
+    anchor id asc — stable argsort matches the SQL ROW_NUMBER order)."""
+    from pyspark.sql.functions import pandas_udf
+
+    A = _md5_matrix(["a"], _ORACLED_IVF_K, dim)  # k × dim
+
+    @pandas_udf("array<int>")
+    def nearest(col: pd.Series) -> pd.Series:
+        Q = _quantize(np.stack(col.to_numpy()))
+        dots = Q @ A.T  # batch × k, exact int64
+        order = np.argsort(-dots, axis=1, kind="stable")[:, :top]
+        return pd.Series([row.astype(np.int32).tolist() for row in order])
+
+    return nearest
+
+
+@query(
+    "q_sim_ann_ivf_oracled",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT vec_id, e,
+                 [CAST(FLOOR(x * {_Q_SCALE}) AS BIGINT) for x in e] AS qv
+          FROM v),
+    adots AS (
+        SELECT q.vec_id, t.c AS anchor,
+               LIST_SUM([{_lsh_weight_sql("'a:' || t.c", '(j - 1)')} * qv[j]
+                         for j in RANGE(1, LEN(qv) + 1)]) AS dot
+        FROM q, RANGE(0, {_ORACLED_IVF_K}) t(c)
+    ),
+    ranked AS (
+        SELECT vec_id, anchor,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dot DESC, anchor) AS rn
+        FROM adots
+    ),
+    buckets AS (SELECT vec_id, anchor FROM ranked WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, anchor FROM ranked
+               WHERE rn <= {_ORACLED_IVF_PROBES}
+                 AND vec_id IN {_QUERY_VEC_IDS}),
+    cand AS (
+        SELECT DISTINCT p.query_id, b.vec_id
+        FROM probes p JOIN buckets b ON b.anchor = p.anchor
+        WHERE b.vec_id <> p.query_id
+    ),
+    scored AS (
+        SELECT c.query_id, c.vec_id,
+               CAST(ROUND({_SQL_COS.format(a='qq.e', b='dd.e')}, 8)
+                    AS DECIMAL(38,8)) AS cosine
+        FROM cand c
+        JOIN v qq ON qq.vec_id = c.query_id
+        JOIN v dd ON dd.vec_id = c.vec_id
+    )
+    SELECT query_id, vec_id, CAST(cosine AS VARCHAR) AS cosine,
+           CAST(rn AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, vec_id) AS rn FROM scored)
+    WHERE rn <= {_TOP_K}
+    """,
+)
+def q_sim_ann_ivf_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF bucket-probe-rerank with a CROSS-ENGINE anchor family: bucket
+    assignment is argmax over {_ORACLED_IVF_K} md5-derived integer anchor
+    vectors (int64 dots on quantized embeddings — exact in both engines),
+    queries probe their top-{_ORACLED_IVF_PROBES} anchors, candidates get
+    the exact cosine re-rank. Hash-verifies the inverted-file pipeline
+    end to end.
+
+    The k-means flagship (``q_sim_ann_ivf``) stays the quality path —
+    Lloyd-trained centroids cluster better than hash anchors — but its
+    float centroid iteration is engine-local, capping its check at
+    rows-only + the q_approx_audit recall contract. The pipeline under
+    test here (partition-once by bucket, probe nprobe/k of the table,
+    re-rank candidates only) is identical.
+    """
+    emb = _embeddings(spark, sf_dir)
+    dim = len(emb.select("e").first()["e"])
+    assigned = emb.select(
+        "vec_id",
+        "e",
+        "n",
+        _anchor_assign_udf(dim, 1)(F.col("e"))[0].alias("bucket"),
+    )
+    probes = (
+        emb.filter(F.col("vec_id").isin(*_QUERY_VEC_IDS))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.col("n").alias("qn"),
+            F.explode(
+                _anchor_assign_udf(dim, _ORACLED_IVF_PROBES)(F.col("e"))
+            ).alias("bucket"),
+        )
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(_dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("n")), 8)
+            .cast("decimal(38,8)")
+            .alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "vec_id", canon("cosine").alias("cosine"), "rank")
+    )

@@ -191,6 +191,8 @@ _PRIORITY: tuple[str, ...] = (
     #    round-8 gate window behind section B
     "q_scan_excel_recursive",
     "q_scan_excel_allsheets",
+    "q_sim_ann_lsh_oracled",
+    "q_sim_ann_ivf_oracled",
     # D. prior greens, most recently re-verdicted first (round-6 window),
     #    in case the driver widens further; remaining greens follow in
     #    registration order.

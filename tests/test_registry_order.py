@@ -41,6 +41,8 @@ def test_probes_retired():
 ROUND7_AUTHORED: set[str] = {
     "q_scan_excel_recursive",
     "q_scan_excel_allsheets",
+    "q_sim_ann_lsh_oracled",
+    "q_sim_ann_ivf_oracled",
 }
 
 

@@ -78,6 +78,7 @@ SECTIONS = {
     ],
     "North-star: similarity search": [
         "q_sim_topk", "q_sim_selfjoin", "q_sim_ann_lsh", "q_sim_ann_ivf",
+        "q_sim_ann_lsh_oracled", "q_sim_ann_ivf_oracled",
         "q_sim_ann_pq", "q_rank_fusion", "q_trajectory_topk",
     ],
     "North-star: text analysis": [
@@ -142,6 +143,8 @@ ROLES = {
     "q_dedup_minhash": "scale path for q_dedup_near",
     "q_sim_ann_lsh": "scale path for q_sim_topk/q_sim_selfjoin",
     "q_sim_ann_ivf": "scale path for q_sim_topk (centroid buckets)",
+    "q_sim_ann_lsh_oracled": "md5 integer hyperplanes → whole sign-LSH pipeline hash-verified",
+    "q_sim_ann_ivf_oracled": "md5 integer anchors → bucket-probe-rerank hash-verified",
     "q_join_bucketed": "exchange-free join via bucketBy layout",
     "q_join_skew_salted": "hot-key salting; result == unsalted join",
     "q_text_winnow": "rolling-hash winnowing fingerprints",
