@@ -8,26 +8,77 @@ backends agree bit-for-bit on the exact-cents accumulation.
 
 from __future__ import annotations
 
+import os
+import sys
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from ..plans.registry import query
 
-try:  # Spark 4 API + its protobuf wire dependency. The state server
-    # speaks protobuf to the Python worker, so a runtime without a
-    # working google.protobuf cannot run transformWithState AT ALL —
-    # the query below registers only when both imports succeed (the
-    # applyInPandasWithState twin in stateful.py carries the contract
-    # everywhere else).
+#: vendored minimal protobuf runtime (``_vendor/protoshim``): the state
+#: server speaks protobuf to the Python worker, and this container has
+#: no ``google.protobuf``. APPENDED to sys.path so a real protobuf
+#: install always wins; workers get it via ``addPyFile`` of a zip (see
+#: ``_ship_protoshim``).
+_PROTOSHIM = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "_vendor",
+    "protoshim",
+)
+
+try:
+    import google.protobuf.descriptor  # noqa: F401
+except ImportError:
+    if os.path.isdir(_PROTOSHIM) and _PROTOSHIM not in sys.path:
+        sys.path.append(_PROTOSHIM)
+
+try:  # Spark 4 API + a working protobuf runtime (real or shim)
     import google.protobuf.descriptor  # noqa: F401
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 
     _HAVE_TWS = True
-except ImportError:  # pragma: no cover - this container lacks protobuf
+except ImportError:  # pragma: no cover - shim missing AND no protobuf
     StatefulProcessor = object
     StatefulProcessorHandle = None
     _HAVE_TWS = False
+
+
+def _ship_protoshim(spark) -> None:
+    """Make ``google.protobuf`` importable in Python workers: zip the
+    vendored shim once per fixture root and addPyFile it (idempotent —
+    Spark ignores re-adds of the same path). Workers prepend pyFiles to
+    sys.path, so if a real protobuf ever lands in the image, remove the
+    shim directory and this becomes a no-op."""
+    import zipfile
+
+    import google.protobuf
+
+    if "protoshim" not in getattr(google.protobuf, "__file__", ""):
+        return  # real protobuf present everywhere; nothing to ship
+    # TWS spawns a schema-validation "driver worker" python process that
+    # gets PYTHONPATH from the worker env, not from pyFiles — inject the
+    # shim there too (captured into the UDF's PythonFunction.envVars when
+    # transformWithStateInPandas builds, so call this BEFORE building)
+    env = spark.sparkContext.environment
+    current = env.get("PYTHONPATH", os.environ.get("PYTHONPATH", ""))
+    if _PROTOSHIM not in current.split(os.pathsep):
+        env["PYTHONPATH"] = (
+            current + os.pathsep + _PROTOSHIM if current else _PROTOSHIM
+        )
+    zip_path = "/root/repo/.fixtures/protoshim.zip"
+    if not os.path.exists(zip_path):
+        os.makedirs(os.path.dirname(zip_path), exist_ok=True)
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for root, _dirs, files in os.walk(_PROTOSHIM):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        zf.write(full, os.path.relpath(full, _PROTOSHIM))
+        os.replace(tmp, zip_path)
+    spark.sparkContext.addPyFile(zip_path)
 
 #: memory-sink view of the previous run (see stateful.py rationale)
 _LAST_SINK: str | None = None
@@ -110,7 +161,6 @@ def q_stream_tws(spark, sf_dir: str) -> DataFrame:
     state APIs agree bit-for-bit on the accumulation, which is exactly
     the invariant a production migration between them needs.
     """
-    import os
     import shutil
     import uuid
 
@@ -118,6 +168,7 @@ def q_stream_tws(spark, sf_dir: str) -> DataFrame:
 
     from ..catalog import sf_tag
 
+    _ship_protoshim(spark)
     src_dir = os.path.join("/root/repo/.fixtures", sf_tag(sf_dir), "events_stream_tws")
     src = os.path.join(sf_dir, "events.parquet")
     dst = os.path.join(src_dir, "events.parquet")
@@ -141,18 +192,33 @@ def q_stream_tws(spark, sf_dir: str) -> DataFrame:
         spark.catalog.dropTempView(_LAST_SINK)
     sink = f"stream_tws_{uuid.uuid4().hex[:10]}"
     _LAST_SINK = sink
-    q = (
-        out.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
+    # transformWithState requires the RocksDB state store (ships in
+    # Spark's jars); scope the provider switch to this one query so the
+    # applyInPandasWithState twins keep running on the default provider
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
     try:
-        if not q.awaitTermination(180):
-            raise TimeoutError("q_stream_tws: drain did not finish in 180s")
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(180):
+                raise TimeoutError("q_stream_tws: drain did not finish in 180s")
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)
     return (
         spark.table(sink)
         .groupBy("user_id")

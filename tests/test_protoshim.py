@@ -1,0 +1,136 @@
+"""Unit tests for the vendored minimal protobuf runtime
+(``_vendor/protoshim``) against the REAL protoc-generated
+``StateMessage_pb2`` module PySpark ships — the shim must make that
+untouched generated file importable and wire-correct, because the JVM
+state server parses what it serializes."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+_SHIM = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "pyspark_excel_datasource_spark",
+    "_vendor",
+    "protoshim",
+)
+
+
+@pytest.fixture(scope="module")
+def sm():
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+    except ImportError:
+        sys.path.append(_SHIM)
+    import pyspark.sql.streaming.proto.StateMessage_pb2 as stateMessage
+
+    return stateMessage
+
+
+def test_generated_module_loads(sm):
+    assert hasattr(sm, "StateRequest")
+    assert hasattr(sm, "StateResponse")
+    # file-level enum values exported as module constants
+    assert (sm.PRE_INIT, sm.CREATED, sm.INITIALIZED) == (0, 1, 2)
+    assert (sm.DATA_PROCESSED, sm.TIMER_PROCESSED, sm.CLOSED) == (3, 4, 5)
+
+
+def test_nested_autovivify_and_roundtrip(sm):
+    cmd = sm.StateCallCommand()
+    cmd.stateName = "totals"
+    cmd.schema = '{"type":"struct","fields":[]}'
+    cmd.ttl.durationMs = 60000  # the generated-code nested-write pattern
+    msg = sm.StateRequest(
+        statefulProcessorCall=sm.StatefulProcessorCall(getValueState=cmd)
+    )
+    data = msg.SerializeToString()
+    assert isinstance(data, bytes) and data
+
+    back = sm.StateRequest()
+    back.ParseFromString(data)
+    got = back.statefulProcessorCall.getValueState
+    assert got.stateName == "totals"
+    assert got.schema == '{"type":"struct","fields":[]}'
+    assert got.ttl.durationMs == 60000
+
+
+def test_proto3_defaults_not_serialized(sm):
+    # scalar defaults are omitted on the wire (proto3 implicit presence)
+    assert sm.StateResponse(statusCode=0, errorMessage="", value=b"") \
+        .SerializeToString() == b""
+    assert sm.SetHandleState(state=sm.PRE_INIT).SerializeToString() == b""
+    # ...but non-defaults serialize and parse back
+    r = sm.StateResponse()
+    r.ParseFromString(
+        sm.StateResponse(statusCode=2, errorMessage="boom", value=b"\x01").SerializeToString()
+    )
+    assert (r.statusCode, r.errorMessage, r.value) == (2, "boom", b"\x01")
+
+
+def test_negative_int64_varint(sm):
+    t = sm.TimerInfo(timestampMs=-987654321)
+    r = sm.TimerInfo()
+    r.ParseFromString(t.SerializeToString())
+    assert r.timestampMs == -987654321
+    # 10-byte two's-complement varint, as the spec requires
+    assert len(t.SerializeToString()) == 1 + 10
+
+
+def test_repeated_bytes_and_bool(sm):
+    resp = sm.StateResponseWithListGet(
+        statusCode=0, value=[b"row1", b"row2", b""], requireNextFetch=True
+    )
+    r = sm.StateResponseWithListGet()
+    r.ParseFromString(resp.SerializeToString())
+    assert list(r.value) == [b"row1", b"row2", b""]
+    assert r.requireNextFetch is True
+    # unset repeated reads as empty
+    assert list(sm.StateResponseWithListGet().value) == []
+
+
+def test_repeated_nested_messages(sm):
+    resp = sm.StateResponseWithMapIterator(
+        statusCode=0,
+        kvPair=[
+            sm.KeyAndValuePair(key=b"k1", value=b"v1"),
+            sm.KeyAndValuePair(key=b"k2", value=b"v2"),
+        ],
+        requireNextFetch=False,
+    )
+    r = sm.StateResponseWithMapIterator()
+    r.ParseFromString(resp.SerializeToString())
+    assert [(p.key, p.value) for p in r.kvPair] == [(b"k1", b"v1"), (b"k2", b"v2")]
+
+
+def test_unknown_fields_skipped(sm):
+    # a future server may add fields; parsing must skip, not crash:
+    # append an unknown varint field (#15) and an unknown len field (#14)
+    base = sm.StateResponse(statusCode=1, errorMessage="e").SerializeToString()
+    extra = bytes([15 << 3 | 0, 42, 14 << 3 | 2, 3]) + b"xyz"
+    r = sm.StateResponse()
+    r.ParseFromString(base + extra)
+    assert (r.statusCode, r.errorMessage) == (1, "e")
+
+
+def test_oneof_style_requests_serialize_one_branch(sm):
+    # oneof members are plain fields on the wire; the client only ever
+    # sets one — verify a single branch appears
+    req = sm.StateRequest(
+        implicitGroupingKeyRequest=sm.ImplicitGroupingKeyRequest(
+            removeImplicitKey=sm.RemoveImplicitKey()
+        )
+    )
+    data = req.SerializeToString()
+    back = sm.StateRequest()
+    back.ParseFromString(data)
+    assert back.HasField("implicitGroupingKeyRequest")
+    assert not back.HasField("statefulProcessorCall")
+
+
+def test_descriptor_annotations_applied(sm):
+    # the generated module sets _serialized_start/_end on _UPPER descriptors
+    assert sm._STATEREQUEST._serialized_start > 0
+    assert sm._HANDLESTATE._serialized_end > sm._HANDLESTATE._serialized_start

@@ -43,6 +43,7 @@ ROUND7_AUTHORED: set[str] = {
     "q_scan_excel_allsheets",
     "q_sim_ann_lsh_oracled",
     "q_sim_ann_ivf_oracled",
+    "q_stream_tws",
 }
 
 

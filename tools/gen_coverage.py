@@ -55,7 +55,7 @@ SECTIONS = {
         "q_stream_discover", "q_stream_tumbling", "q_stream_sliding",
         "q_stream_session", "q_stream_watermark", "q_stream_dedup",
         "q_stream_stateful", "q_stream_enrich", "q_stream_join",
-        "q_stream_foreachbatch", "q_stream_rate_limit",
+        "q_stream_foreachbatch", "q_stream_rate_limit", "q_stream_tws",
     ],
     "UDF / UDAF / UDTF": [
         "q_udf_scalar", "q_udaf_grouped", "q_udtf", "q_udf_mapinpandas",
@@ -151,6 +151,7 @@ ROLES = {
     "q_text_winnow_pairs": "partial-overlap pairs via fingerprint equi-join",
     "q_join_range": "interval join via time-bucket banding (2-probe equi-join)",
     "q_stream_stateful": "real applyInPandasWithState micro-batch run, SQL-oracled",
+    "q_stream_tws": "Spark 4 transformWithStateInPandas (RocksDB + vendored protobuf wire shim), bit-agrees with the applyInPandasWithState twin",
     "q_split_assign": "content-addressed train/val/test split (no RNG)",
     "q_sample_hash": "deterministic ~10% downsample by content hash",
     "q_pipeline_llm_prep": "quality gate → dedup → split as one plan",
