@@ -120,3 +120,128 @@ def test_tws_agrees_with_apply_in_pandas_with_state(spark, tmp_path):
 
     assert old_api == new_api
     assert new_api == {1: (3, 400), 2: (2, 966), 3: (1, 501)}
+
+
+def test_tws_list_and_map_state_through_shim(spark, tmp_path):
+    """Exercise the REST of the TWS state-server surface through the
+    protobuf shim: ListState (put/appendValue/get), MapState
+    (updateValue/getValue/containsKey/iterator) and timer listing — the
+    message families (ListStatePut, AppendValue, MapStateCall, Keys,
+    Iterator) that the value-state query never touches."""
+    import pytest
+
+    from pyspark_excel_datasource_spark.streaming import tws
+
+    if not tws._HAVE_TWS:
+        pytest.skip("no protobuf runtime (real or shim)")
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    register_excel(spark)
+    tws._ship_protoshim(spark)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_list", T.LongType()),
+            T.StructField("list_sum_cents", T.LongType()),
+            T.StructField("n_map_keys", T.LongType()),
+            T.StructField("max_bucket_cents", T.LongType()),
+        ]
+    )
+
+    class ListMapTotals(tws.StatefulProcessor):
+        """Every observed value appends to a ListState; a MapState keeps
+        per-cent-bucket (value // 1) running sums; output summarizes both
+        so each state backend is provably read back."""
+
+        def init(self, handle):
+            self._vals = handle.getListState(
+                "vals", T.StructType([T.StructField("cents", T.LongType())])
+            )
+            self._buckets = handle.getMapState(
+                "buckets",
+                T.StructType([T.StructField("b", T.LongType())]),
+                T.StructType([T.StructField("sum_cents", T.LongType())]),
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            for pdf in rows:
+                for v in pdf["value"]:
+                    cents = int(round(float(v) * 100))
+                    self._vals.appendValue((cents,))
+                    bucket = cents // 100
+                    prev = (
+                        self._buckets.getValue((bucket,))
+                        if self._buckets.containsKey((bucket,))
+                        else (0,)
+                    )
+                    self._buckets.updateValue((bucket,), (prev[0] + cents,))
+            all_vals = [t[0] for t in self._vals.get()]
+            pairs = [(k[0], v[0]) for k, v in self._buckets.iterator()]
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_list": [len(all_vals)],
+                    "list_sum_cents": [sum(all_vals)],
+                    "n_map_keys": [len(pairs)],
+                    "max_bucket_cents": [max(v for _, v in pairs)],
+                }
+            )
+
+        def close(self):
+            pass
+
+    src = tmp_path / "evts_listmap"
+    src.mkdir()
+    _write(str(src / "b1.xlsx"), [(1, 1.50), (1, 2.25), (1, 1.10), (2, 10.00)])
+    _write(str(src / "b2.xlsx"), [(1, 0.25), (2, 10.50)])
+
+    stream = (
+        spark.readStream.format("excel")
+        .schema("user_id long, value double")
+        .option("path", str(src))
+        .load()
+    )
+    out = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=ListMapTotals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName("listmap_tws")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_listmap"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(180)
+        finally:
+            q.stop()
+    finally:
+        spark.conf.unset(provider_key)
+
+    latest = {}
+    for r in spark.table("listmap_tws").collect():
+        cur = latest.get(r.user_id)
+        if cur is None or r.n_list > cur[0]:
+            latest[r.user_id] = (
+                r.n_list,
+                r.list_sum_cents,
+                r.n_map_keys,
+                r.max_bucket_cents,
+            )
+    # user 1: cents 150,225,110,25 → list sum 510; buckets 1→260, 2→225, 0→25
+    # user 2: cents 1000,1050 → sum 2050; buckets 10→2050
+    assert latest[1] == (4, 510, 3, 260)
+    assert latest[2] == (2, 2050, 1, 2050)

@@ -8,10 +8,15 @@ plan (explode over a sequence), so no data is written anywhere.
 
 Usage: python tools/scale_stress.py [shape_name ...]
 (no args = all shapes; names filter for budgeted runs)
+
+Env overrides: STRESS_SF (base dataset dir, default sf0.1) and
+STRESS_FACTOR (replication factor, default 10) — e.g. the round-7
+100x point runs STRESS_SF=/root/testdata/sf0.001 STRESS_FACTOR=100.
 """
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -23,8 +28,8 @@ from pyspark_excel_datasource_spark.catalog import table
 from pyspark_excel_datasource_spark.functions.determinism import davg, dsum
 from pyspark_excel_datasource_spark.session import get_session
 
-SF = "/root/testdata/sf0.1"
-FACTOR = 10
+SF = os.environ.get("STRESS_SF", "/root/testdata/sf0.1")
+FACTOR = int(os.environ.get("STRESS_FACTOR", "10"))
 
 
 def replicate(df, n: int):
