@@ -104,6 +104,8 @@ ARROW_ALLOWED = {
     "q_sim_ann_lsh",
     "q_sim_ann_ivf",
     "q_sim_ann_pq",
+    "q_sim_ann_lsh_oracled",  # md5 integer hyperplane signature pandas_udf
+    "q_sim_ann_ivf_oracled",  # md5 integer anchor assignment pandas_udf
     "q_sim_ann_recall",  # reuses the banded-LSH signature pandas_udf
     "q_approx_audit",  # drives the LSH/IVF/PQ structures it audits
     "q_multimodal_features",
