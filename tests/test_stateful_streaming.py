@@ -245,3 +245,110 @@ def test_tws_list_and_map_state_through_shim(spark, tmp_path):
     # user 2: cents 1000,1050 → sum 2050; buckets 10→2050
     assert latest[1] == (4, 510, 3, 260)
     assert latest[2] == (2, 2050, 1, 2050)
+
+
+def test_tws_processing_time_timers_through_shim(spark, tmp_path):
+    """Processing-time timers through the shim: registerTimer +
+    listTimers in handleInputRows, handleExpiredTimer fired in a
+    follow-up micro-batch of the same availableNow run — the
+    TimerStateCallCommand / TimerRequest / StateResponseWithTimer
+    message families. (availableNow is used deliberately: a TWS memory
+    sink query refuses checkpoint recovery, and a continuous
+    processing-time trigger never lets processAllAvailable settle while
+    timers are pending.)"""
+    import pytest
+
+    from pyspark_excel_datasource_spark.streaming import tws
+
+    if not tws._HAVE_TWS:
+        pytest.skip("no protobuf runtime (real or shim)")
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    register_excel(spark)
+    tws._ship_protoshim(spark)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    class TimerTotals(tws.StatefulProcessor):
+        def init(self, handle):
+            self._handle = handle
+            self._count = handle.getValueState(
+                "cnt", T.StructType([T.StructField("n", T.LongType())])
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self._count.get()[0] if self._count.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._count.update((n,))
+            # already-expired timer -> fires in a follow-up batch
+            self._handle.registerTimer(
+                timerValues.getCurrentProcessingTimeInMs() - 1
+            )
+            n_timers = len(list(self._handle.listTimers()))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "kind": ["data"], "n": [n * 10 + n_timers]}
+            )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            fired = int(expiredTimerInfo.getExpiryTimeInMs() > 0)
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "kind": ["timer"], "n": [fired]}
+            )
+
+        def close(self):
+            pass
+
+    src = tmp_path / "evts_timer"
+    src.mkdir()
+    _write(str(src / "b1.xlsx"), [(1, 1.0), (1, 2.0), (2, 3.0)])
+
+    stream = (
+        spark.readStream.format("excel")
+        .schema("user_id long, value double")
+        .option("path", str(src))
+        .load()
+    )
+    out = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=TimerTotals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="ProcessingTime",
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName("timer_tws")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_timer"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(180)
+        finally:
+            q.stop()
+    finally:
+        spark.conf.unset(provider_key)
+
+    rows = spark.table("timer_tws").collect()
+    data = {(r.user_id, r.n) for r in rows if r.kind == "data"}
+    timer_fired = {r.user_id for r in rows if r.kind == "timer" and r.n == 1}
+    # data rows: n*10 + n_timers (exactly one live timer at emit time)
+    assert (1, 21) in data and (2, 11) in data
+    # the expired timers registered during the data batch fire for both
+    # keys in the availableNow run's follow-up batch
+    assert timer_fired == {1, 2}
