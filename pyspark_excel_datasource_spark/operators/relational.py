@@ -1444,3 +1444,53 @@ def q_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"cutoff": "1998-09-02 00:00:00"},
     )
+
+
+@query(
+    "q_sql_scripting",
+    oracle="""
+    WITH ks AS (SELECT 100 * (1 << k) AS thr FROM RANGE(0, 32) t(k)),
+    stop AS (
+        SELECT MIN(thr) AS thr FROM ks
+        WHERE (SELECT COUNT(*) FROM orders WHERE o_totalprice > ks.thr) < 100
+    )
+    SELECT o_orderpriority,
+           (SELECT thr FROM stop) AS threshold,
+           CAST(COUNT(*) FILTER (o_totalprice > (SELECT thr FROM stop))
+                AS BIGINT) AS n_above,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL scripting (BEGIN…END, DECLARE, WHILE): a
+    driver-orchestrated doubling search for the smallest power-of-two
+    price threshold with fewer than 100 orders above it, then a
+    per-priority census at that threshold. Control flow is driver-side
+    BY DESIGN (that is what SQL scripting is); every statement the loop
+    issues is still a full distributed query, and the loop runs
+    O(log(max_price)) iterations regardless of row count — so the shape
+    scales like any other iterative index build. Thresholds stay BIGINT
+    so the doubling sequence is bit-exact across engines; the oracle
+    unrolls the loop as a MIN over the same power-of-two series
+    (monotonicity of the count makes the two equivalent).
+    """
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_script")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE thr BIGINT DEFAULT 100;
+          WHILE (SELECT COUNT(*) FROM orders_script WHERE o_totalprice > thr) >= 100 DO
+            SET thr = thr * 2;
+          END WHILE;
+          SELECT o_orderpriority,
+                 thr AS threshold,
+                 CAST(COUNT_IF(o_totalprice > thr) AS BIGINT) AS n_above,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders
+          FROM orders_script
+          GROUP BY o_orderpriority;
+        END
+        """
+    )

@@ -194,6 +194,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_sim_ann_lsh_oracled",
     "q_sim_ann_ivf_oracled",
     "q_stream_tws",
+    "q_sql_scripting",
     # D. prior greens, most recently re-verdicted first (round-6 window),
     #    in case the driver widens further; remaining greens follow in
     #    registration order.

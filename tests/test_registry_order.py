@@ -44,6 +44,7 @@ ROUND7_AUTHORED: set[str] = {
     "q_sim_ann_lsh_oracled",
     "q_sim_ann_ivf_oracled",
     "q_stream_tws",
+    "q_sql_scripting",
 }
 
 
