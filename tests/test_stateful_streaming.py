@@ -352,3 +352,116 @@ def test_tws_processing_time_timers_through_shim(spark, tmp_path):
     # the expired timers registered during the data batch fire for both
     # keys in the availableNow run's follow-up batch
     assert timer_fired == {1, 2}
+
+
+def test_tws_initial_state_through_shim(spark, tmp_path):
+    """The last TWS surface: a batch DataFrame seeds per-key state
+    (``initialState`` + ``handleInitialState``) — the warm-start pattern
+    a production migration from applyInPandasWithState uses to carry
+    existing state into the new API. Seeded totals must accumulate with
+    streamed rows exactly."""
+    import pytest
+
+    from pyspark_excel_datasource_spark.streaming import tws
+
+    if not tws._HAVE_TWS:
+        pytest.skip("no protobuf runtime (real or shim)")
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    register_excel(spark)
+    tws._ship_protoshim(spark)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_cents", T.LongType()),
+        ]
+    )
+
+    class SeededTotals(tws.StatefulProcessor):
+        def init(self, handle):
+            self._state = handle.getValueState(
+                "totals",
+                T.StructType(
+                    [
+                        T.StructField("n", T.LongType()),
+                        T.StructField("cents", T.LongType()),
+                    ]
+                ),
+            )
+
+        def handleInitialState(self, key, initialState, timerValues):
+            # one pandas row per key from the seed DataFrame
+            self._state.update(
+                (int(initialState["n"].iloc[0]), int(initialState["cents"].iloc[0]))
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            prev = self._state.get() if self._state.exists() else (0, 0)
+            n, cents = int(prev[0]), int(prev[1])
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(round(float(pdf["value"].sum()) * 100))
+            self._state.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+            )
+
+        def close(self):
+            pass
+
+    seed = spark.createDataFrame(
+        [(1, 5, 1000), (3, 2, 50)], "user_id long, n long, cents long"
+    ).groupBy("user_id")
+
+    src = tmp_path / "evts_seed"
+    src.mkdir()
+    _write(str(src / "b1.xlsx"), [(1, 1.00), (2, 2.00)])
+
+    stream = (
+        spark.readStream.format("excel")
+        .schema("user_id long, value double")
+        .option("path", str(src))
+        .load()
+    )
+    out = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=SeededTotals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+        initialState=seed,
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName("seeded_tws")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_seed"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(180)
+        finally:
+            q.stop()
+    finally:
+        spark.conf.unset(provider_key)
+
+    got = {
+        r.user_id: (r.n_events, r.total_cents)
+        for r in spark.table("seeded_tws").collect()
+    }
+    # user 1: seed (5, 1000) + one 1.00 event → (6, 1100)
+    # user 2: no seed + one 2.00 event → (1, 200)
+    # user 3: seed only, no stream rows → no output row (update mode)
+    assert got[1] == (6, 1100)
+    assert got[2] == (1, 200)
+    assert 3 not in got
