@@ -1652,3 +1652,248 @@ def cross_source_census(d: DataFrame) -> DataFrame:
         F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("long").alias("n_kept"),
         F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).cast("long").alias("n_dropped"),
     )
+
+
+def _embed_lsh_oracled_sql() -> str:
+    """DuckDB twin of the md5-integer-hyperplane embedding dedup (built
+    here to keep the import of similarity's band constants local)."""
+    from .similarity import (
+        _ORACLED_LSH_BITS,
+        _ORACLED_PLANES,
+        _Q_SCALE,
+        _SQL_COS,
+        _lsh_weight_sql,
+    )
+
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT vec_id, e,
+                 [CAST(FLOOR(x * {_Q_SCALE}) AS BIGINT) for x in e] AS qv
+          FROM v),
+    dots AS (
+        SELECT q.vec_id, t.i AS plane,
+               LIST_SUM([{_lsh_weight_sql('t.i', '(j - 1)')} * qv[j]
+                         for j in RANGE(1, LEN(qv) + 1)]) AS dot
+        FROM q, RANGE(0, {_ORACLED_PLANES}) t(i)
+    ),
+    bands AS (
+        SELECT vec_id, plane // {_ORACLED_LSH_BITS} AS band,
+               SUM(CASE WHEN dot >= 0
+                        THEN 1 << (plane % {_ORACLED_LSH_BITS}) ELSE 0 END) AS bval
+        FROM dots GROUP BY vec_id, plane // {_ORACLED_LSH_BITS}
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bval = b.bval
+        WHERE a.vec_id <> b.vec_id
+    ),
+    pairs AS (
+        SELECT c.va, c.vb
+        FROM cand c
+        JOIN v x ON x.vec_id = c.va
+        JOIN v y ON y.vec_id = c.vb
+        WHERE {_SQL_COS.format(a='x.e', b='y.e')} >= 0.45
+    )
+    SELECT v.vec_id,
+           LEAST(v.vec_id, COALESCE(MIN(p.vb), v.vec_id)) AS canonical_id
+    FROM v LEFT JOIN pairs p ON p.va = v.vec_id
+    GROUP BY v.vec_id
+    """
+
+
+@query("q_dedup_embed_lsh_oracled", oracle=_embed_lsh_oracled_sql())
+def q_dedup_embed_lsh_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding min-id canonicalization on the CROSS-ENGINE integer
+    sign-LSH family: the whole pipeline — quantize → md5 hyperplane
+    banding → undirected bucket self-join → exact cosine verify (≥0.45)
+    → min-neighbor canonical ids — hash-verifies against DuckDB.
+
+    ``q_dedup_embed_lsh`` (seeded Gaussian hyperplanes, rows-only +
+    ≥95%-agreement test vs the exact operator) stays the bench/quality
+    path; this twin pins the operator's *mechanics* bit-for-bit, so the
+    family's driver record is no longer rows-only everywhere. Same plan
+    shape: one Arrow signature pass, one (band, bval) self-join,
+    candidates-only cosine.
+    """
+    from .similarity import _dot, _norm, _oracled_band_udf
+
+    emb = (
+        spread(table(spark, sf_dir, "embeddings"))
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .withColumn("nrm", _norm(F.col("e")))
+    )
+    dim = len(emb.select("e").first()["e"])
+    signed = emb.withColumn("bands", _oracled_band_udf(dim)(F.col("e"))).cache()
+    buckets = signed.select(
+        "vec_id", F.posexplode("bands").alias("band", "bval")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"))
+        .distinct()
+    )
+    sa = signed.select(
+        F.col("vec_id").alias("va"), F.col("e").alias("ea"), F.col("nrm").alias("na")
+    )
+    sb = signed.select(
+        F.col("vec_id").alias("vb"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
+    )
+    pairs = (
+        cand.join(sa, "va")
+        .join(sb, "vb")
+        .withColumn(
+            "cos", _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+        )
+        .filter(F.col("cos") >= 0.45)
+        .select("va", "vb")
+    )
+    return (
+        signed.select("vec_id")
+        .join(pairs, signed.vec_id == pairs.va, "left")
+        .groupBy("vec_id")
+        .agg(
+            F.least(
+                F.col("vec_id"), F.coalesce(F.min("vb"), F.col("vec_id"))
+            ).alias("canonical_id")
+        )
+    )
+
+
+def _incremental_lsh_oracled_sql() -> str:
+    """Generated DuckDB twin: md5-minhash sigs, corpus/batch split by
+    md5(doc_id) (the q_dedup_incremental convention), band-match
+    candidates restricted to straddling pairs, exact-Jaccard verify."""
+    hs = ",\n               ".join(
+        f"CAST(MIN(CAST(('0x' || SUBSTR(MD5('{i}:' || s), 1, 15)) "
+        f"AS UBIGINT)) AS BIGINT) AS h{i}"
+        for i in range(32)
+    )
+    bands = "\n            OR ".join(
+        "("
+        + " AND ".join(f"b.h{4 * g + r} = c.h{4 * g + r}" for r in range(4))
+        + ")"
+        for g in range(8)
+    )
+    return f"""
+    WITH sh AS (
+        SELECT doc_id,
+               LIST_DISTINCT([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in RANGE(1, LEN(w) - 1)]) AS shingles
+        FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents)
+        WHERE LEN(w) >= 3
+    ),
+    toks AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+    sigs AS (
+        SELECT doc_id,
+               {hs}
+        FROM toks GROUP BY doc_id
+    ),
+    side AS (
+        SELECT doc_id,
+               SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' AS in_corpus
+        FROM documents
+    ),
+    cand AS (
+        SELECT DISTINCT b.doc_id AS new_id, c.doc_id AS corpus_id
+        FROM sigs b
+        JOIN side sb ON sb.doc_id = b.doc_id AND NOT sb.in_corpus
+        JOIN sigs c ON ({bands})
+        JOIN side sc ON sc.doc_id = c.doc_id AND sc.in_corpus
+    )
+    SELECT new_id, corpus_id,
+           CAST(LEN(LIST_INTERSECT(s1.shingles, s2.shingles)) AS DOUBLE)
+               / LEN(LIST_DISTINCT(s1.shingles || s2.shingles)) AS jaccard
+    FROM cand
+    JOIN sh s1 ON new_id = s1.doc_id
+    JOIN sh s2 ON corpus_id = s2.doc_id
+    WHERE CAST(LEN(LIST_INTERSECT(s1.shingles, s2.shingles)) AS DOUBLE)
+              / LEN(LIST_DISTINCT(s1.shingles || s2.shingles)) >= 0.5
+    """
+
+
+@query("q_dedup_incremental_lsh_oracled", oracle=_incremental_lsh_oracled_sql())
+def q_dedup_incremental_lsh_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (nightly-batch) LSH dedup on the CROSS-ENGINE md5
+    hash family: the corpus side's band-bucket index is probed by the
+    new batch's signatures, candidates straddling the split are
+    exact-Jaccard verified — the whole index-probe pipeline
+    hash-verifies against DuckDB, completing the oracled-twin family
+    (minhash, simhash, embedding-LSH, sign-LSH ANN, IVF, PQ, and now
+    the incremental probe).
+
+    Same plan shape as the xxhash64 flagship
+    (``q_dedup_incremental_lsh``): signatures once per doc, the (band,
+    bucket) equi-join touches the corpus only through its index keys,
+    exact verification on candidates only.
+    """
+    shingled = _shingles(table(spark, sf_dir, "documents")).cache()
+    toks = shingled.select("doc_id", F.explode("shingles").alias("s"))
+
+    def h(i: int) -> F.Column:
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("s"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+
+    sig = toks.groupBy("doc_id").agg(
+        *[F.min(h(i)).alias(f"h{i}") for i in range(32)]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.struct(
+                            *[
+                                F.col(f"h{b * 4 + r}").alias(f"r{r}")
+                                for r in range(4)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(8)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    in_corpus = (
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "cd"
+    )
+    side = table(spark, sf_dir, "documents").select(
+        "doc_id", in_corpus.alias("in_corpus")
+    )
+    corpus_index = bands.join(
+        side.filter("in_corpus").select("doc_id"), "doc_id"
+    ).select(F.col("doc_id").alias("corpus_id"), "band", "bucket")
+    batch_probe = bands.join(
+        side.filter(~F.col("in_corpus")).select("doc_id"), "doc_id"
+    ).select(F.col("doc_id").alias("new_id"), "band", "bucket")
+    candidates = (
+        batch_probe.join(corpus_index, ["band", "bucket"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    s1 = shingled.select(F.col("doc_id").alias("new_id"), F.col("shingles").alias("sh1"))
+    s2 = shingled.select(F.col("doc_id").alias("corpus_id"), F.col("shingles").alias("sh2"))
+    return (
+        candidates.join(s1, "new_id")
+        .join(s2, "corpus_id")
+        .select(
+            "new_id",
+            "corpus_id",
+            (
+                F.size(F.array_intersect("sh1", "sh2")).cast("double")
+                / F.size(F.array_union("sh1", "sh2"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= _NEAR_DUP_THRESHOLD)
+    )

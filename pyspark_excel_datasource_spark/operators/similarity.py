@@ -1062,3 +1062,177 @@ def q_sim_ann_ivf_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOP_K)
         .select("query_id", "vec_id", canon("cosine").alias("cosine"), "rank")
     )
+
+
+_OPQ_M = 4        # subspaces (64-dim → 4 sub-vectors of 16 dims)
+_OPQ_DSUB = 16
+_OPQ_K = 16       # centroids per subspace
+_OPQ_REFINE = 4   # shortlist = REFINE * k
+
+
+def _opq_codebooks(dim: int) -> np.ndarray:
+    """md5-derived integer codebooks, shape (M, K, d_sub) — the same
+    cross-engine weight family as the hyperplanes/anchors, addressed as
+    md5('pq:<m>:<k>:<j>')."""
+    assert dim == _OPQ_M * _OPQ_DSUB
+    return np.asarray(
+        [
+            [
+                [_md5_weight("pq", m, k, j) for j in range(_OPQ_DSUB)]
+                for k in range(_OPQ_K)
+            ]
+            for m in range(_OPQ_M)
+        ],
+        dtype=np.int64,
+    )
+
+
+def _opq_encode_udf(books: np.ndarray):
+    """codes[m] = argmin_k ||qv_sub_m - C[m,k]||² on int64 — exact, ties
+    to the lowest k (np.argmin takes the first minimum)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def enc(col: pd.Series) -> pd.Series:
+        Q = _quantize(np.stack(col.to_numpy())).reshape(
+            -1, _OPQ_M, _OPQ_DSUB
+        )  # batch × M × d
+        # dists: batch × M × K
+        d = ((Q[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=3)
+        codes = np.argmin(d, axis=2).astype(np.int32)
+        return pd.Series([row.tolist() for row in codes])
+
+    return enc
+
+
+def _opq_weight_sql(m: str, k: str, j: str) -> str:
+    return _lsh_weight_sql(f"'pq:' || {m} || ':' || {k}", j)
+
+
+@query(
+    "q_sim_ann_pq_oracled",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT vec_id, e,
+                 [CAST(FLOOR(x * {_Q_SCALE}) AS BIGINT) for x in e] AS qv
+          FROM v),
+    dists AS (
+        SELECT q.vec_id, t.m AS m, s.k AS k,
+               LIST_SUM([(qv[t.m * {_OPQ_DSUB} + j]
+                          - {_opq_weight_sql('t.m', 's.k', '(j - 1)')})
+                         * (qv[t.m * {_OPQ_DSUB} + j]
+                            - {_opq_weight_sql('t.m', 's.k', '(j - 1)')})
+                         for j in RANGE(1, {_OPQ_DSUB} + 1)]) AS dist
+        FROM q, RANGE(0, {_OPQ_M}) t(m), RANGE(0, {_OPQ_K}) s(k)
+    ),
+    codes AS (
+        SELECT vec_id, m, k AS code
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                           ORDER BY dist, k) AS rn
+              FROM dists)
+        WHERE rn = 1
+    ),
+    adc AS (
+        SELECT qq.vec_id AS query_id, c.vec_id,
+               SUM(LIST_SUM([qq.qv[c.m * {_OPQ_DSUB} + j]
+                             * {_opq_weight_sql('c.m', 'c.code', '(j - 1)')}
+                             for j in RANGE(1, {_OPQ_DSUB} + 1)])) AS adc_ip
+        FROM codes c
+        JOIN q qq ON qq.vec_id IN {_QUERY_VEC_IDS}
+        WHERE c.vec_id <> qq.vec_id
+        GROUP BY qq.vec_id, c.vec_id
+    ),
+    shortlist AS (
+        SELECT query_id, vec_id
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY adc_ip DESC, vec_id) AS arank FROM adc)
+        WHERE arank <= {_OPQ_REFINE * _TOP_K}
+    ),
+    scored AS (
+        SELECT s.query_id, s.vec_id,
+               CAST(ROUND({_SQL_COS.format(a='qq.e', b='dd.e')}, 8)
+                    AS DECIMAL(38,8)) AS cosine
+        FROM shortlist s
+        JOIN v qq ON qq.vec_id = s.query_id
+        JOIN v dd ON dd.vec_id = s.vec_id
+    )
+    SELECT query_id, vec_id, CAST(cosine AS VARCHAR) AS cosine,
+           CAST(rn AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, vec_id) AS rn FROM scored)
+    WHERE rn <= {_TOP_K}
+    """,
+)
+def q_sim_ann_pq_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN with a CROSS-ENGINE integer codebook: md5
+    integer centroids per subspace, int64 argmin encoding, exact integer
+    inner-product ADC, shortlist → exact cosine refine — the whole
+    compress/score/refine pipeline hash-verifies against DuckDB.
+
+    The trained flagship (``q_sim_ann_pq``, sample-trained float
+    codebooks) stays the quality path with its recall audited by
+    ``q_approx_audit``; this twin pins the PQ mechanics bit-for-bit.
+    Plan shape matches the flagship: one Arrow encode pass producing the
+    persisted code table, per-query integer LUT folded over codes as a
+    built-in aggregate expression (no Python in scoring), ADC shortlist
+    window, candidates-only exact re-rank.
+    """
+    emb = _embeddings(spark, sf_dir).cache()
+    dim = len(emb.select("e").first()["e"])
+    books = _opq_codebooks(dim)
+    codes = emb.select(
+        "vec_id", "n", _opq_encode_udf(books)(F.col("e")).alias("codes")
+    )
+    # per-query integer LUTs: lut[m*K + k] = <qv_sub_m, C[m,k]> (exact)
+    qrows = (
+        emb.filter(F.col("vec_id").isin(*_QUERY_VEC_IDS))
+        .select("vec_id", "e", "n")
+        .collect()
+    )
+    lut_rows = []
+    for r in qrows:
+        qv = np.floor(np.asarray(r.e, dtype=np.float64) * _Q_SCALE).astype(
+            np.int64
+        ).reshape(_OPQ_M, _OPQ_DSUB)
+        lut = np.einsum("ms,mks->mk", qv, books).reshape(-1)
+        lut_rows.append((r.vec_id, r.n, lut.tolist()))
+    luts = spark.createDataFrame(
+        lut_rows, "query_id long, qn double, lut array<long>"
+    )
+    adc = F.expr(
+        f"aggregate(sequence(0, {_OPQ_M - 1}), CAST(0 AS BIGINT),"
+        f" (acc, m) -> acc + lut[m * {_OPQ_K} + element_at(codes, m + 1)])"
+    )
+    approx = codes.join(
+        F.broadcast(luts), F.col("vec_id") != F.col("query_id")
+    ).select("query_id", "vec_id", adc.alias("adc_ip"))
+    wa = W.partitionBy("query_id").orderBy(
+        F.col("adc_ip").desc(), F.col("vec_id").asc()
+    )
+    shortlist = (
+        approx.withColumn("arank", F.row_number().over(wa))
+        .filter(F.col("arank") <= _OPQ_REFINE * _TOP_K)
+        .select("query_id", "vec_id")
+    )
+    qvec = emb.filter(F.col("vec_id").isin(*_QUERY_VEC_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("n").alias("qn"),
+    )
+    scored = (
+        shortlist.join(emb.select("vec_id", "e", "n"), "vec_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(_dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("n")), 8)
+            .cast("decimal(38,8)")
+            .alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "vec_id", canon("cosine").alias("cosine"), "rank")
+    )

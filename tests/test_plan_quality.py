@@ -106,6 +106,8 @@ ARROW_ALLOWED = {
     "q_sim_ann_pq",
     "q_sim_ann_lsh_oracled",  # md5 integer hyperplane signature pandas_udf
     "q_sim_ann_ivf_oracled",  # md5 integer anchor assignment pandas_udf
+    "q_sim_ann_pq_oracled",  # md5 integer codebook encode pandas_udf
+    "q_dedup_embed_lsh_oracled",  # md5 integer hyperplane signature pandas_udf
     "q_sim_ann_recall",  # reuses the banded-LSH signature pandas_udf
     "q_approx_audit",  # drives the LSH/IVF/PQ structures it audits
     "q_multimodal_features",

@@ -45,6 +45,9 @@ ROUND7_AUTHORED: set[str] = {
     "q_sim_ann_ivf_oracled",
     "q_stream_tws",
     "q_sql_scripting",
+    "q_dedup_embed_lsh_oracled",
+    "q_sim_ann_pq_oracled",
+    "q_dedup_incremental_lsh_oracled",
 }
 
 

@@ -34,6 +34,7 @@ ALLOWED_NESTED_LOOP = {
     # IS the PQ scoring pass (every (query, code) pair is scored by
     # design, like q_sim_topk's brute-force contract)
     "q_sim_ann_pq",
+    "q_sim_ann_pq_oracled",  # same ADC broadcast, md5 integer codebooks
     # the dim-side × 8-row salt table replication IS the salting technique
     # (a broadcast of 8 integers); the fact side still hash-joins on
     # (key, salt)

@@ -71,7 +71,8 @@ SECTIONS = {
         "q_dedup_near", "q_dedup_clusters", "q_dedup_minhash",
         "q_dedup_simhash", "q_dedup_minhash_oracled", "q_dedup_simhash_oracled",
         "q_dedup_embed", "q_dedup_embed_lsh",
-        "q_dedup_incremental", "q_dedup_incremental_lsh", "q_graph_degree",
+        "q_dedup_incremental", "q_dedup_incremental_lsh",
+        "q_dedup_incremental_lsh_oracled", "q_dedup_embed_lsh_oracled", "q_graph_degree",
         "q_dedup_prefix", "q_dedup_ngram_jaccard", "q_minhash_union_sketch",
         "q_dedup_url", "q_fuzzy_match", "q_dedup_cross_source",
         "q_dedup_chunks",
@@ -79,7 +80,7 @@ SECTIONS = {
     "North-star: similarity search": [
         "q_sim_topk", "q_sim_selfjoin", "q_sim_ann_lsh", "q_sim_ann_ivf",
         "q_sim_ann_lsh_oracled", "q_sim_ann_ivf_oracled",
-        "q_sim_ann_pq", "q_rank_fusion", "q_trajectory_topk",
+        "q_sim_ann_pq", "q_sim_ann_pq_oracled", "q_rank_fusion", "q_trajectory_topk",
     ],
     "North-star: text analysis": [
         "q_text_stats", "q_text_quality", "q_text_langid",
@@ -145,6 +146,9 @@ ROLES = {
     "q_sim_ann_ivf": "scale path for q_sim_topk (centroid buckets)",
     "q_sim_ann_lsh_oracled": "md5 integer hyperplanes → whole sign-LSH pipeline hash-verified",
     "q_sim_ann_ivf_oracled": "md5 integer anchors → bucket-probe-rerank hash-verified",
+    "q_sim_ann_pq_oracled": "md5 integer codebooks → PQ encode/ADC/refine hash-verified",
+    "q_dedup_embed_lsh_oracled": "md5 integer hyperplanes → embedding canonicalization hash-verified",
+    "q_dedup_incremental_lsh_oracled": "md5 minhash index probe → incremental dedup hash-verified",
     "q_join_bucketed": "exchange-free join via bucketBy layout",
     "q_join_skew_salted": "hot-key salting; result == unsalted join",
     "q_text_winnow": "rolling-hash winnowing fingerprints",
