@@ -1494,3 +1494,42 @@ def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+@query(
+    "q_execute_immediate",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                AS DECIMAL(38,2)) AS VARCHAR) AS revenue
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    GROUP BY o_orderstatus
+    """,
+)
+def q_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``EXECUTE IMMEDIATE``: the statement text lives in a SQL
+    variable and binds a named parameter via ``USING`` — the
+    injection-safe dynamic-SQL surface (template catalogs, BI tools)
+    next to ``q_sql_pipe``'s parameterized-literal form. The executed
+    statement compiles to the identical Catalyst plan as writing the
+    query directly, so pushdown and partial aggregation carry over
+    unchanged.
+    """
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_exec")
+    spark.sql(
+        """
+        DECLARE OR REPLACE VARIABLE stmt STRING DEFAULT
+          'SELECT o_orderstatus,
+                  CAST(COUNT(*) AS BIGINT) AS n_orders,
+                  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                       AS DECIMAL(38,2)) AS STRING) AS revenue
+           FROM orders_exec
+           WHERE o_orderdate >= :cutoff
+           GROUP BY o_orderstatus'
+        """
+    )
+    return spark.sql(
+        "EXECUTE IMMEDIATE stmt USING TIMESTAMP '1995-01-01 00:00:00' AS cutoff"
+    )

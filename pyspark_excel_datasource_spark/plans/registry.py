@@ -198,6 +198,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_dedup_embed_lsh_oracled",
     "q_sim_ann_pq_oracled",
     "q_dedup_incremental_lsh_oracled",
+    "q_execute_immediate",
     # D. prior greens, most recently re-verdicted first (round-6 window),
     #    in case the driver widens further; remaining greens follow in
     #    registration order.

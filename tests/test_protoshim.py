@@ -134,3 +134,69 @@ def test_descriptor_annotations_applied(sm):
     # the generated module sets _serialized_start/_end on _UPPER descriptors
     assert sm._STATEREQUEST._serialized_start > 0
     assert sm._HANDLESTATE._serialized_end > sm._HANDLESTATE._serialized_start
+
+
+# ---------------------------------------------------------------------------
+# Property fuzz: wire roundtrips over the full StateMessage schema
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+if _HAVE_HYP:
+    _INT64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+    _INT32 = st.integers(min_value=-(2**31), max_value=2**31 - 1)
+    _BYTES = st.binary(max_size=64)
+    _TEXT = st.text(max_size=64)
+
+    @settings(max_examples=200, deadline=None)
+    @given(status=_INT32, err=_TEXT, value=st.lists(_BYTES, max_size=8),
+           more=st.booleans())
+    def test_fuzz_list_get_roundtrip(sm, status, err, value, more):
+        msg = sm.StateResponseWithListGet(
+            statusCode=status, errorMessage=err, value=value,
+            requireNextFetch=more,
+        )
+        back = sm.StateResponseWithListGet()
+        back.ParseFromString(msg.SerializeToString())
+        assert back.statusCode == status
+        assert back.errorMessage == err
+        assert list(back.value) == value
+        assert back.requireNextFetch == more
+
+    @settings(max_examples=200, deadline=None)
+    @given(ts=st.lists(_INT64, max_size=6), keys=st.lists(_BYTES, max_size=6))
+    def test_fuzz_timer_roundtrip(sm, ts, keys):
+        timers = [sm.TimerInfo(timestampMs=t) for t in ts] + [
+            sm.TimerInfo(key=k, timestampMs=0) for k in keys
+        ]
+        msg = sm.StateResponseWithTimer(statusCode=1, timer=timers)
+        back = sm.StateResponseWithTimer()
+        back.ParseFromString(msg.SerializeToString())
+        assert [x.timestampMs for x in back.timer[: len(ts)]] == ts
+        assert [x.key for x in back.timer[len(ts):]] == keys
+
+    @settings(max_examples=200, deadline=None)
+    @given(name=_TEXT, schema=_TEXT, ttl=st.one_of(st.none(),
+           st.integers(min_value=0, max_value=2**62)))
+    def test_fuzz_state_call_roundtrip(sm, name, schema, ttl):
+        cmd = sm.StateCallCommand()
+        cmd.stateName = name
+        cmd.schema = schema
+        if ttl is not None:
+            cmd.ttl.durationMs = ttl
+        req = sm.StateRequest(
+            statefulProcessorCall=sm.StatefulProcessorCall(getListState=cmd)
+        )
+        back = sm.StateRequest()
+        back.ParseFromString(req.SerializeToString())
+        got = back.statefulProcessorCall.getListState
+        assert got.stateName == name
+        assert got.schema == schema
+        if ttl is not None:
+            assert got.ttl.durationMs == ttl

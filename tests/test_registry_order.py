@@ -48,6 +48,7 @@ ROUND7_AUTHORED: set[str] = {
     "q_dedup_embed_lsh_oracled",
     "q_sim_ann_pq_oracled",
     "q_dedup_incremental_lsh_oracled",
+    "q_execute_immediate",
 }
 
 

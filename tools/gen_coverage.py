@@ -64,7 +64,8 @@ SECTIONS = {
     "Flagship / composite analytics": [
         "q_flagship_pricing", "q_tpch_q5ish", "q_tpch_q10ish", "q_tpch_q3ish",
         "q_tpch_q7ish", "q_tpch_q18ish", "q_tpch_q2ish", "q_tpch_q20ish",
-        "q_sql_pipe", "q_sql_scripting", "q_fulfillment_latency", "q_return_rates",
+        "q_sql_pipe", "q_sql_scripting", "q_execute_immediate",
+        "q_fulfillment_latency", "q_return_rates",
         "q_discount_lift",
     ],
     "North-star: dedup (SURVEY §2.4)": [
@@ -228,6 +229,7 @@ ROLES = {
     "q_fn_collation": "Spark 4 UTF8_LCASE collated grouping (comparator-level case folding)",
     "q_sql_pipe": "flagship in Spark 4 SQL pipe syntax + parameterized :cutoff",
     "q_sql_scripting": "Spark 4 SQL scripting (BEGIN/DECLARE/WHILE) doubling-search, loop unrolled in the oracle",
+    "q_execute_immediate": "Spark 4 EXECUTE IMMEDIATE: statement in a SQL variable, named USING parameter",
     "q_fn_try": "try_cast parse-health census over a deterministically dirtied feed",
     "q_event_autocorr": "lag-1 autocorrelation of daily counts (exact integer moments)",
     "q_session_entry_exit": "landing->exit session census + bounce counts (one user shuffle)",
