@@ -51,6 +51,7 @@ _QUERY_MODULES = (
     "pyspark_excel_datasource_spark.operators.text",
     "pyspark_excel_datasource_spark.operators.multimodal",
     "pyspark_excel_datasource_spark.sources.excel_queries",
+    "pyspark_excel_datasource_spark.sources.tarshard_queries",
     "pyspark_excel_datasource_spark.sources.text_formats",
     "pyspark_excel_datasource_spark.sources.columnar_formats",
     "pyspark_excel_datasource_spark.operators.scale",
@@ -199,6 +200,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_sim_ann_pq_oracled",
     "q_dedup_incremental_lsh_oracled",
     "q_execute_immediate",
+    "q_scan_tarshard",
+    "q_sink_tarshard",
     # D. prior greens, most recently re-verdicted first (round-6 window),
     #    in case the driver widens further; remaining greens follow in
     #    registration order.

@@ -1,0 +1,300 @@
+"""WebDataset-style tar-shard DataSource: ``spark.read.format("tarshard")``
+/ ``df.write.format("tarshard")``.
+
+Tar archives of keyed members (``000123.txt``, ``000123.json``,
+``000123.jpg`` → one training sample ``000123`` with one member per
+extension) are the de-facto shard format for large multimodal training
+corpora (the public WebDataset convention). This source makes them a
+first-class Spark table:
+
+- **one input partition per tar file** — the shard is the unit of
+  parallelism, exactly how these corpora are laid out for training
+  loaders; a directory of 10k shards becomes 10k tasks with zero
+  planning state beyond the file list;
+- **streaming decode** — members are read sequentially from the tar
+  (stdlib ``tarfile`` in stream mode), never extracted to disk, and
+  payload bytes flow straight into Arrow ``binary`` columns (the repo's
+  multimodal column convention, ``operators/multimodal.py``);
+- **two read modes**: ``members`` (one row per tar member) and
+  ``samples`` (one row per key with a ``map<string,binary>`` of
+  extension → payload — the sample-centric view training pipelines
+  consume);
+- **staged-commit writer** — each task writes ``part-<id>.tar`` into a
+  staging directory; commit renames it into place, abort removes it
+  (same crash contract as the Excel writer; the reference's
+  last-partition-wins bug, connector.py:296-319, cannot recur here).
+
+Scale: the reader holds one member in memory at a time; the writer
+streams rows into the tar. Shard count = partition count, controlled by
+the caller's ``repartition`` — the idiomatic Spark contract for file
+fan-out. Compression: ``.tar`` and ``.tar.gz``/``.tgz`` are detected by
+extension (gz shards are not splittable — the shard is already the
+split, as in the WebDataset layout).
+
+Options: ``path`` (file, directory, or glob; required), ``mode``
+(``members`` | ``samples``, read), ``recursiveFileLookup`` (walk nested
+directories), ``compression`` (``none`` | ``gzip``, write).
+"""
+
+from __future__ import annotations
+
+import glob
+import io
+import os
+import tarfile
+import uuid
+from dataclasses import dataclass
+
+from pyspark.errors import AnalysisException
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+
+FORMAT_NAME = "tarshard"
+
+MEMBERS_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.StringType(), False),
+        T.StructField("key", T.StringType(), False),
+        T.StructField("ext", T.StringType(), False),
+        T.StructField("member", T.StringType(), False),
+        T.StructField("size", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+SAMPLES_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.StringType(), False),
+        T.StructField("key", T.StringType(), False),
+        T.StructField("data", T.MapType(T.StringType(), T.BinaryType()), False),
+        T.StructField("n_members", T.LongType(), False),
+        T.StructField("total_bytes", T.LongType(), False),
+    ]
+)
+
+_TAR_EXTS = (".tar", ".tar.gz", ".tgz")
+
+
+@dataclass
+class TarShardOptions:
+    path: str
+    mode: str = "members"
+    recursive: bool = False
+    compression: str = "none"
+
+    @classmethod
+    def from_options(cls, options: dict) -> "TarShardOptions":
+        path = options.get("path")
+        if not path:
+            raise AnalysisException(
+                "the 'path' option is required for the tarshard source"
+            )
+        mode = str(options.get("mode", "members")).lower()
+        if mode not in ("members", "samples"):
+            raise AnalysisException(
+                f"tarshard mode must be 'members' or 'samples', got {mode!r}"
+            )
+        compression = str(options.get("compression", "none")).lower()
+        if compression not in ("none", "gzip"):
+            raise AnalysisException(
+                f"tarshard compression must be 'none' or 'gzip', got {compression!r}"
+            )
+        recursive = str(
+            options.get("recursivefilelookup", options.get("recursiveFileLookup", False))
+        ).lower() in ("true", "1", "yes")
+        return cls(path=path, mode=mode, recursive=recursive, compression=compression)
+
+
+def _is_tar(name: str) -> bool:
+    return name.lower().endswith(_TAR_EXTS)
+
+
+def _list_shards(path: str, recursive: bool) -> list[str]:
+    if os.path.isfile(path):
+        return [path]
+    if os.path.isdir(path):
+        if recursive:
+            files = sorted(
+                os.path.join(root, f)
+                for root, _dirs, fnames in os.walk(path)
+                for f in fnames
+                if _is_tar(f)
+            )
+        else:
+            files = sorted(
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if _is_tar(f) and os.path.isfile(os.path.join(path, f))
+            )
+        if not files:
+            raise AnalysisException(f"no tar shards found in directory: {path}")
+        return files
+    matches = sorted(glob.glob(path, recursive=recursive))
+    if matches:
+        return [m for m in matches if os.path.isfile(m)]
+    raise AnalysisException(f"path does not exist: {path}")
+
+
+def _split_member(name: str) -> tuple[str, str]:
+    """WebDataset key split: everything before the FIRST dot of the
+    basename is the sample key; the rest is the extension."""
+    base = os.path.basename(name)
+    if "." in base:
+        key, ext = base.split(".", 1)
+    else:
+        key, ext = base, ""
+    return key, ext
+
+
+class TarShardPartition(InputPartition):
+    def __init__(self, shard_path: str):
+        self.shard_path = shard_path
+
+
+class TarShardReader(DataSourceReader):
+    def __init__(self, schema: "T.StructType", opts: TarShardOptions):
+        self.bound_schema = schema
+        self.opts = opts
+
+    def partitions(self) -> list[InputPartition]:
+        return [
+            TarShardPartition(p)
+            for p in _list_shards(self.opts.path, self.opts.recursive)
+        ]
+
+    def _iter_members(self, shard_path: str):
+        shard = os.path.basename(shard_path)
+        # stream mode ("r|*") reads the archive sequentially without
+        # seeking — one member's bytes in memory at a time
+        with tarfile.open(shard_path, "r|*") as tf:
+            for info in tf:
+                if not info.isfile():
+                    continue
+                fh = tf.extractfile(info)
+                payload = fh.read() if fh is not None else b""
+                key, ext = _split_member(info.name)
+                yield shard, key, ext, info.name, len(payload), payload
+
+    def read(self, partition: TarShardPartition):
+        if self.opts.mode == "members":
+            yield from self._iter_members(partition.shard_path)
+            return
+        # samples mode: group consecutive members by key. WebDataset
+        # layout keeps a sample's members adjacent; to be robust against
+        # non-adjacent members we accumulate per key in a dict — bounded
+        # by the sample count of ONE shard, the format's design unit.
+        samples: dict[str, dict[str, bytes]] = {}
+        shard = os.path.basename(partition.shard_path)
+        for _shard, key, ext, _member, _size, payload in self._iter_members(
+            partition.shard_path
+        ):
+            samples.setdefault(key, {})[ext] = payload
+        for key in sorted(samples):
+            data = samples[key]
+            yield (
+                shard,
+                key,
+                data,
+                len(data),
+                sum(len(v) for v in data.values()),
+            )
+
+
+@dataclass
+class TarShardCommitMessage(WriterCommitMessage):
+    part_path: str
+    members: int
+
+
+class TarShardWriter(DataSourceWriter):
+    """One tar per task, staged then committed (rename) — a failed or
+    speculative task can never leave a half-written shard in place."""
+
+    def __init__(self, schema: "T.StructType", overwrite: bool, opts: TarShardOptions):
+        names = [f.name for f in schema.fields]
+        if not {"key", "data"} <= set(names):
+            raise AnalysisException(
+                "tarshard writer needs columns 'key' (string) and 'data' "
+                f"(map<string,binary>); got {names}"
+            )
+        self.schema = schema
+        self.overwrite = overwrite
+        self.opts = opts
+        self.staging = self.opts.path.rstrip("/") + f"_staging_{uuid.uuid4().hex[:10]}"
+
+    def write(self, iterator) -> TarShardCommitMessage:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.staging, exist_ok=True)
+        suffix = ".tar.gz" if self.opts.compression == "gzip" else ".tar"
+        part = os.path.join(self.staging, f"part-{pid:05d}{suffix}")
+        tar_mode = "w:gz" if self.opts.compression == "gzip" else "w"
+        members = 0
+        with tarfile.open(part, tar_mode) as tf:
+            for row in iterator:
+                key = row["key"]
+                data = row["data"] or {}
+                for ext in sorted(data):
+                    payload = bytes(data[ext]) if data[ext] is not None else b""
+                    info = tarfile.TarInfo(name=f"{key}.{ext}" if ext else key)
+                    info.size = len(payload)
+                    info.mtime = 0  # deterministic shards byte-for-byte
+                    tf.addfile(info, io.BytesIO(payload))
+                    members += 1
+        return TarShardCommitMessage(part_path=part, members=members)
+
+    def commit(self, messages) -> None:
+        import shutil
+
+        out = self.opts.path
+        if os.path.exists(out):
+            if not self.overwrite:
+                self._cleanup()
+                raise AnalysisException(
+                    f"path {out} already exists and mode is not overwrite"
+                )
+            shutil.rmtree(out)
+        os.replace(self.staging, out)
+
+    def abort(self, messages) -> None:
+        self._cleanup()
+
+    def _cleanup(self) -> None:
+        import shutil
+
+        if os.path.exists(self.staging):
+            shutil.rmtree(self.staging, ignore_errors=True)
+
+
+class TarShardDataSource(DataSource):
+    def __init__(self, options):
+        super().__init__(options)
+        self.opts = TarShardOptions.from_options(dict(options))
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self):
+        return SAMPLES_SCHEMA if self.opts.mode == "samples" else MEMBERS_SCHEMA
+
+    def reader(self, schema: "T.StructType") -> TarShardReader:
+        return TarShardReader(schema, self.opts)
+
+    def writer(self, schema: "T.StructType", overwrite: bool) -> TarShardWriter:
+        return TarShardWriter(schema, overwrite, self.opts)
+
+
+def register_tarshard(spark) -> None:
+    """Register the tarshard format on a session (idempotent)."""
+    from ..session import configure
+
+    configure(spark)
+    spark.dataSource.register(TarShardDataSource)

@@ -1,0 +1,144 @@
+"""Tar-shard (WebDataset-layout) connector queries.
+
+Bridge-fixture pattern as for the Excel connector: the same rows
+materialized as tar shards (read through the tarshard source) and as
+the original ``documents`` parquet (read by the DuckDB oracle), so the
+scan and the write→readback roundtrip are hash-verified end to end.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import tarfile
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from .excel_queries import _fixture_dir
+from .tarshard import register_tarshard
+
+_N_SHARDS = 4
+
+
+def _materialize_doc_shards(sf_dir: str) -> str:
+    """documents → ``_N_SHARDS`` tar shards, WebDataset layout: sample
+    key = zero-padded doc_id, members ``<key>.txt`` (utf-8 text) and
+    ``<key>.cls`` (lang label). Deterministic (sorted keys, mtime=0)."""
+    out_dir = os.path.join(_fixture_dir(sf_dir), "doc_shards")
+    done = os.path.join(out_dir, "_done")
+    if not os.path.exists(done):
+        os.makedirs(out_dir, exist_ok=True)
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text", "lang"],
+        )
+        rows = sorted(
+            zip(
+                tbl.column("doc_id").to_pylist(),
+                tbl.column("text").to_pylist(),
+                tbl.column("lang").to_pylist(),
+            )
+        )
+        tars = [
+            tarfile.open(os.path.join(out_dir, f"shard-{i:05d}.tar"), "w")
+            for i in range(_N_SHARDS)
+        ]
+        try:
+            for doc_id, text, lang in rows:
+                tf = tars[doc_id % _N_SHARDS]
+                key = f"{doc_id:09d}"
+                for ext, payload in (("txt", text), ("cls", lang)):
+                    raw = payload.encode("utf-8")
+                    info = tarfile.TarInfo(name=f"{key}.{ext}")
+                    info.size = len(raw)
+                    info.mtime = 0
+                    tf.addfile(info, io.BytesIO(raw))
+        finally:
+            for tf in tars:
+                tf.close()
+        open(done, "w").close()
+    return out_dir
+
+
+@query(
+    "q_scan_tarshard",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_scan_tarshard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset tar-shard scan in ``samples`` mode: each tar is one
+    input partition; each sample row carries a ``map<string,binary>`` of
+    its members, decoded in-plan with built-in functions (no Python past
+    the source). The per-lang census must match the parquet the shards
+    were derived from — proving the shard → sample → typed-column path
+    is lossless. This is the ingest format large multimodal training
+    corpora actually ship in; the reference has no analogue.
+    """
+    register_tarshard(spark)
+    d = _materialize_doc_shards(sf_dir)
+    samples = spark.read.format("tarshard").option("mode", "samples").load(d)
+    return (
+        samples.select(
+            F.decode(F.col("data")["cls"], "UTF-8").alias("lang"),
+            F.length(F.decode(F.col("data")["txt"], "UTF-8")).alias("chars"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "q_sink_tarshard",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           MD5(text) AS text_hash
+    FROM documents
+    WHERE doc_id % 7 = 0
+    """,
+)
+def q_sink_tarshard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tar-shard sink roundtrip: a documents subset is written as tar
+    shards (one per task via the staged-commit writer, 4 partitions),
+    read back in ``members`` mode, and every document's md5 — computed
+    from the payload BYTES that came out of the tar — must match the
+    md5 DuckDB computes on the original parquet text. Byte-lossless
+    write→read, including the multi-partition fan-out the reference's
+    single-file writer corrupts (connector.py:296-319).
+    """
+    from ..catalog import table
+
+    register_tarshard(spark)
+    out = os.path.join(_fixture_dir(sf_dir), "doc_shards_roundtrip")
+    src = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 0)
+        .select(
+            F.format_string("%09d", F.col("doc_id")).alias("key"),
+            F.create_map(
+                F.lit("txt"), F.encode(F.col("text"), "UTF-8")
+            ).alias("data"),
+        )
+    )
+    (
+        src.repartition(4)
+        .write.format("tarshard")
+        .option("path", out)
+        .mode("overwrite")
+        .save()
+    )
+    members = spark.read.format("tarshard").load(out)
+    return members.filter(F.col("ext") == "txt").select(
+        F.col("key").cast("long").alias("doc_id"),
+        F.md5(F.col("payload")).alias("text_hash"),
+    )

@@ -49,6 +49,8 @@ ROUND7_AUTHORED: set[str] = {
     "q_sim_ann_pq_oracled",
     "q_dedup_incremental_lsh_oracled",
     "q_execute_immediate",
+    "q_scan_tarshard",
+    "q_sink_tarshard",
 }
 
 

@@ -1,0 +1,152 @@
+"""Tar-shard (WebDataset-layout) connector unit tests: member/sample
+read modes, partition-per-shard planning, gzip shards, recursive
+lookup, the staged-commit writer, and write→read byte losslessness."""
+
+from __future__ import annotations
+
+import io
+import os
+import tarfile
+
+import pytest
+
+from pyspark_excel_datasource_spark.sources.tarshard import register_tarshard
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register_tarshard(spark)
+
+
+def _make_shard(path, samples, mode="w"):
+    """samples: list of (key, {ext: bytes})."""
+    with tarfile.open(path, mode) as tf:
+        for key, members in samples:
+            for ext, payload in members.items():
+                info = tarfile.TarInfo(name=f"{key}.{ext}" if ext else key)
+                info.size = len(payload)
+                info.mtime = 0
+                tf.addfile(info, io.BytesIO(payload))
+
+
+def test_members_mode_rows_and_partitions(spark, tmp_path):
+    d = tmp_path / "shards"
+    d.mkdir()
+    _make_shard(str(d / "s0.tar"), [("a", {"txt": b"hello", "cls": b"en"})])
+    _make_shard(str(d / "s1.tar"), [("b", {"txt": b"welt"})])
+    df = spark.read.format("tarshard").load(str(d))
+    rows = {(r.shard, r.key, r.ext, r.size, bytes(r.payload)) for r in df.collect()}
+    assert rows == {
+        ("s0.tar", "a", "txt", 5, b"hello"),
+        ("s0.tar", "a", "cls", 2, b"en"),
+        ("s1.tar", "b", "txt", 4, b"welt"),
+    }
+    assert df.rdd.getNumPartitions() == 2  # one per shard
+
+
+def test_samples_mode_groups_members(spark, tmp_path):
+    d = tmp_path / "shards2"
+    d.mkdir()
+    _make_shard(
+        str(d / "s.tar"),
+        [
+            ("k1", {"txt": b"x", "json": b"{}"}),
+            ("k2", {"txt": b"yy"}),
+        ],
+    )
+    df = spark.read.format("tarshard").option("mode", "samples").load(str(d))
+    got = {r.key: (dict(r.data), r.n_members, r.total_bytes) for r in df.collect()}
+    assert got["k1"] == ({"txt": b"x", "json": b"{}"}, 2, 3)
+    assert got["k2"] == ({"txt": b"yy"}, 1, 2)
+
+
+def test_gzip_shards_and_recursive_lookup(spark, tmp_path):
+    d = tmp_path / "nested"
+    (d / "sub").mkdir(parents=True)
+    _make_shard(str(d / "top.tar"), [("t", {"txt": b"top"})])
+    _make_shard(str(d / "sub" / "deep.tar.gz"), [("u", {"txt": b"deep"})], mode="w:gz")
+    flat = spark.read.format("tarshard").load(str(d))
+    assert {r.key for r in flat.collect()} == {"t"}
+    deep = (
+        spark.read.format("tarshard")
+        .option("recursiveFileLookup", "true")
+        .load(str(d))
+    )
+    assert {(r.key, bytes(r.payload)) for r in deep.collect()} == {
+        ("t", b"top"),
+        ("u", b"deep"),
+    }
+
+
+def test_writer_roundtrip_multi_partition(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "out_shards")
+    src = spark.range(20).select(
+        F.format_string("%05d", F.col("id")).alias("key"),
+        F.create_map(
+            F.lit("txt"), F.encode(F.concat(F.lit("doc-"), F.col("id")), "UTF-8")
+        ).alias("data"),
+    )
+    src.repartition(3).write.format("tarshard").option("path", out).mode(
+        "overwrite"
+    ).save()
+    parts = sorted(os.listdir(out))
+    assert len([p for p in parts if p.endswith(".tar")]) == 3
+    back = spark.read.format("tarshard").load(out)
+    got = {r.key: bytes(r.payload) for r in back.collect()}
+    assert got == {f"{i:05d}": f"doc-{i}".encode() for i in range(20)}
+
+
+def test_writer_refuses_existing_without_overwrite(spark, tmp_path):
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "exists_shards")
+    src = spark.range(1).select(
+        F.lit("k").alias("key"),
+        F.create_map(F.lit("txt"), F.encode(F.lit("v"), "UTF-8")).alias("data"),
+    )
+    src.write.format("tarshard").option("path", out).mode("overwrite").save()
+    # Spark only offers Append/Overwrite to Python data sources; append
+    # into an existing shard directory is refused by the committer (a
+    # shard set is immutable once committed)
+    with pytest.raises(Exception) as exc:
+        src.write.format("tarshard").option("path", out).mode("append").save()
+    assert "exists" in str(exc.value)
+    # the failed attempt must not leave staging directories behind
+    parent = os.path.dirname(out)
+    assert not [p for p in os.listdir(parent) if "_staging_" in p]
+
+
+def test_writer_rejects_wrong_schema(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    src = spark.range(1).select(F.lit("k").alias("wrong"))
+    with pytest.raises(Exception) as exc:
+        src.write.format("tarshard").option(
+            "path", str(tmp_path / "bad_shards")
+        ).mode("overwrite").save()
+    assert "key" in str(exc.value) and "data" in str(exc.value)
+
+
+def test_deterministic_shard_bytes(spark, tmp_path):
+    """mtime=0 + sorted member order ⇒ writing the same rows twice gives
+    byte-identical shards (content-addressable outputs)."""
+    from pyspark.sql import functions as F
+
+    src = spark.range(5).select(
+        F.format_string("%03d", F.col("id")).alias("key"),
+        F.create_map(
+            F.lit("txt"), F.encode(F.col("id").cast("string"), "UTF-8")
+        ).alias("data"),
+    )
+    outs = []
+    for tag in ("a", "b"):
+        out = str(tmp_path / f"det_{tag}")
+        src.coalesce(1).write.format("tarshard").option("path", out).mode(
+            "overwrite"
+        ).save()
+        (part,) = [p for p in os.listdir(out) if p.endswith(".tar")]
+        outs.append(open(os.path.join(out, part), "rb").read())
+    assert outs[0] == outs[1]
