@@ -202,6 +202,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_execute_immediate",
     "q_scan_tarshard",
     "q_sink_tarshard",
+    "q_stream_tarshard",
     # D. prior greens, most recently re-verdicted first (round-6 window),
     #    in case the driver widens further; remaining greens follow in
     #    registration order.

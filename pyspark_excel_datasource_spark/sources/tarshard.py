@@ -50,6 +50,7 @@ from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -206,6 +207,54 @@ class TarShardReader(DataSourceReader):
             )
 
 
+class TarShardStreamReader(DataSourceStreamReader):
+    """Micro-batch shard-arrival watcher with replayable manifest
+    offsets — the same exactly-once design as the Excel stream reader
+    (offset = manifest of shards seen; a batch is the manifest diff, so
+    checkpoint recovery re-reads exactly the same shards). This is the
+    training-data ingest loop: shard files land in a drop directory and
+    each becomes one task of the next micro-batch."""
+
+    def __init__(self, schema: "T.StructType", opts: TarShardOptions):
+        self.bound_schema = schema
+        self.opts = opts
+        self._batch = TarShardReader(schema, opts)
+
+    def _current_shards(self) -> list[str]:
+        path = self.opts.path
+        if not os.path.isdir(path):
+            raise AnalysisException(
+                f"streaming tarshard path must be a directory: {path}"
+            )
+        return sorted(
+            f
+            for f in os.listdir(path)
+            if _is_tar(f) and os.path.isfile(os.path.join(path, f))
+        )
+
+    def initialOffset(self) -> dict:
+        return {"shards": {}}
+
+    def latestOffset(self) -> dict:
+        return {"shards": {name: 1 for name in self._current_shards()}}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        seen = set(start.get("shards", {}))
+        new = [n for n in sorted(end.get("shards", {})) if n not in seen]
+        return [
+            TarShardPartition(os.path.join(self.opts.path, n)) for n in new
+        ]
+
+    def read(self, partition: TarShardPartition):
+        yield from self._batch.read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # manifest offsets need no source-side cleanup
+
+    def stop(self) -> None:
+        pass
+
+
 @dataclass
 class TarShardCommitMessage(WriterCommitMessage):
     part_path: str
@@ -290,6 +339,9 @@ class TarShardDataSource(DataSource):
 
     def writer(self, schema: "T.StructType", overwrite: bool) -> TarShardWriter:
         return TarShardWriter(schema, overwrite, self.opts)
+
+    def streamReader(self, schema: "T.StructType") -> TarShardStreamReader:
+        return TarShardStreamReader(schema, self.opts)
 
 
 def register_tarshard(spark) -> None:

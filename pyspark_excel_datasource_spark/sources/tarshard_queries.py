@@ -142,3 +142,52 @@ def q_sink_tarshard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key").cast("long").alias("doc_id"),
         F.md5(F.col("payload")).alias("text_hash"),
     )
+
+
+@query(
+    "q_stream_tarshard",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_stream_tarshard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-arrival micro-batch stream: the drop directory of tar
+    shards drains through ``readStream.format("tarshard")`` (replayable
+    manifest offsets, one task per arriving shard — the training-data
+    ingest loop), and the per-lang census of the streamed members must
+    match the parquet the shards were derived from. Exactly-once
+    restart behavior is pinned in ``tests/test_tarshard.py``."""
+    import uuid
+
+    register_tarshard(spark)
+    d = _materialize_doc_shards(sf_dir)
+    sink = f"stream_tarshard_{uuid.uuid4().hex[:10]}"
+    stream = (
+        spark.readStream.format("tarshard")
+        .schema(
+            "shard string, key string, ext string, member string,"
+            " size long, payload binary"
+        )
+        .load(d)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(120):
+            raise TimeoutError("q_stream_tarshard: drain did not finish in 120s")
+    finally:
+        q.stop()
+    return (
+        spark.table(sink)
+        .filter(F.col("ext") == "cls")
+        .select(F.decode(F.col("payload"), "UTF-8").alias("lang"))
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )

@@ -51,6 +51,7 @@ ROUND7_AUTHORED: set[str] = {
     "q_execute_immediate",
     "q_scan_tarshard",
     "q_sink_tarshard",
+    "q_stream_tarshard",
 }
 
 

@@ -150,3 +150,56 @@ def test_deterministic_shard_bytes(spark, tmp_path):
         (part,) = [p for p in os.listdir(out) if p.endswith(".tar")]
         outs.append(open(os.path.join(out, part), "rb").read())
     assert outs[0] == outs[1]
+
+
+def test_stream_discovers_and_survives_restart(spark, tmp_path):
+    """Manifest-offset stream over arriving shards: shards that land
+    while the query is down are picked up exactly once on restart from
+    the checkpoint; already-processed shards are never re-read."""
+    src = tmp_path / "drop"
+    src.mkdir()
+    ckpt = tmp_path / "ckpt_tar"
+    out = str(tmp_path / "out_parquet")
+    _make_shard(str(src / "s0.tar"), [("a", {"txt": b"one"})])
+    _make_shard(str(src / "s1.tar"), [("b", {"txt": b"two"})])
+
+    def start():
+        stream = (
+            spark.readStream.format("tarshard")
+            .schema(
+                "shard string, key string, ext string, member string,"
+                " size long, payload binary"
+            )
+            .load(str(src))
+        )
+        return (
+            stream.selectExpr("key", "CAST(payload AS STRING) AS text")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(processingTime="1 second")
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(tuple(r) for r in spark.read.parquet(out).collect()) == [
+        ("a", "one"),
+        ("b", "two"),
+    ]
+
+    _make_shard(str(src / "s2.tar"), [("c", {"txt": b"three"})])
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert sorted(tuple(r) for r in spark.read.parquet(out).collect()) == [
+        ("a", "one"),
+        ("b", "two"),
+        ("c", "three"),
+    ]

@@ -20,7 +20,7 @@ SECTIONS = {
         "q_scan_text", "q_sink_text", "q_scan_file_lineage",
         "q_scan_excel_sheets", "q_sink_excel_sheets",
         "q_scan_excel_recursive", "q_scan_excel_allsheets",
-        "q_scan_tarshard", "q_sink_tarshard",
+        "q_scan_tarshard", "q_sink_tarshard", "q_stream_tarshard",
     ],
     "Projection / filter": ["q_project", "q_filter_basic", "q_filter_complex"],
     "Joins": [
@@ -223,6 +223,7 @@ ROLES = {
     "q_scan_excel_allsheets": 'sheetName="*": union every sheet, one partition per (file, sheet)',
     "q_scan_tarshard": "WebDataset tar-shard scan: partition per shard, map<ext,binary> samples",
     "q_sink_tarshard": "tar-shard sink: one tar per task, staged commit, byte-lossless roundtrip",
+    "q_stream_tarshard": "shard-arrival micro-batch stream, replayable manifest offsets",
     "q_sink_excel_sheets": "sheet-per-group workbook sink (bounded aggregate fan-in), lossless",
     "q_win_ntile": "NTILE quartiles per supplier (tie-stable full ordering)",
     "q_transpose": "Spark 4 DataFrame.transpose on a bounded aggregate (pivot family's 4th member)",
