@@ -203,6 +203,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_scan_tarshard",
     "q_sink_tarshard",
     "q_stream_tarshard",
+    "q_multimodal_tarshard",
     # D. prior greens, most recently re-verdicted first (round-6 window),
     #    in case the driver widens further; remaining greens follow in
     #    registration order.

@@ -191,3 +191,107 @@ def q_stream_tarshard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count("*").cast("long").alias("n_docs"))
     )
+
+
+def _materialize_image_shards(sf_dir: str) -> str:
+    """Synthetic PNG shards: for each doc_id < 300, a valid PNG
+    signature + IHDR whose dimensions derive deterministically from the
+    id (width 32+id%97, height 16+id%53, color type cycling gray/RGB/
+    RGBA) plus id%31 payload padding — so the oracle can recompute every
+    header field with arithmetic. 2 shards, WebDataset layout."""
+    import struct
+    import zlib
+
+    out_dir = os.path.join(_fixture_dir(sf_dir), "img_shards")
+    done = os.path.join(out_dir, "_done")
+    if not os.path.exists(done):
+        os.makedirs(out_dir, exist_ok=True)
+        ids = sorted(
+            i
+            for i in pq.read_table(
+                os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+            ).column("doc_id").to_pylist()
+            if i < 300
+        )
+        tars = [
+            tarfile.open(os.path.join(out_dir, f"img-{i:05d}.tar"), "w")
+            for i in range(2)
+        ]
+        try:
+            for doc_id in ids:
+                w = 32 + doc_id % 97
+                h = 16 + doc_id % 53
+                color_type = (0, 2, 6)[doc_id % 3]
+                ihdr_data = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+                ihdr = (
+                    struct.pack(">I", len(ihdr_data))
+                    + b"IHDR"
+                    + ihdr_data
+                    + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr_data))
+                )
+                payload = b"\x89PNG\r\n\x1a\n" + ihdr + b"\x00" * (doc_id % 31)
+                info = tarfile.TarInfo(name=f"{doc_id:09d}.png")
+                info.size = len(payload)
+                info.mtime = 0
+                tars[doc_id % 2].addfile(info, io.BytesIO(payload))
+        finally:
+            for tf in tars:
+                tf.close()
+        open(done, "w").close()
+    return out_dir
+
+
+@query(
+    "q_multimodal_tarshard",
+    oracle="""
+    WITH imgs AS (
+        SELECT doc_id,
+               32 + doc_id % 97 AS w,
+               16 + doc_id % 53 AS h,
+               CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS channels,
+               33 + doc_id % 31 AS n_bytes
+        FROM documents WHERE doc_id < 300
+    )
+    SELECT CAST(channels AS INT) AS channels,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(SUM(w) AS BIGINT) AS total_width,
+           CAST(MAX(h) AS BIGINT) AS max_height,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
+    FROM imgs GROUP BY channels
+    """,
+)
+def q_multimodal_tarshard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-shard ingest, decoded ENTIRELY JVM-side: tar shards of PNG
+    payloads stream through the tarshard source and the IHDR header
+    fields (big-endian width/height at byte offsets 17/21, color type at
+    26) are extracted with built-in byte functions — substring + hex +
+    conv — no Python past the source. This is the shards-of-images →
+    typed-feature-table hop of a multimodal training pipeline; the
+    oracle recomputes every header field from the deterministic
+    synthesis arithmetic, so a single wrong byte offset fails the hash.
+    (PNG total length = 8-byte signature + 25-byte IHDR chunk + padding
+    = 33 + doc_id % 31 bytes — also hash-checked via total_bytes.)
+    """
+    register_tarshard(spark)
+    d = _materialize_image_shards(sf_dir)
+    members = spark.read.format("tarshard").load(d)
+
+    def be32(offset: int) -> F.Column:
+        return F.conv(F.hex(F.substring(F.col("payload"), offset, 4)), 16, 10).cast(
+            "long"
+        )
+
+    color = F.conv(F.hex(F.substring(F.col("payload"), 26, 1)), 16, 10).cast("int")
+    imgs = members.filter(F.col("ext") == "png").select(
+        be32(17).alias("w"),
+        be32(21).alias("h"),
+        # PNG color type → channel count (gray/RGB/RGBA used here)
+        F.when(color == 0, 1).when(color == 2, 3).otherwise(4).alias("channels"),
+        F.col("size").alias("n_bytes"),
+    )
+    return imgs.groupBy("channels").agg(
+        F.count("*").cast("long").alias("n_images"),
+        F.sum("w").cast("long").alias("total_width"),
+        F.max("h").cast("long").alias("max_height"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+    )

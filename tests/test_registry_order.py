@@ -52,6 +52,7 @@ ROUND7_AUTHORED: set[str] = {
     "q_scan_tarshard",
     "q_sink_tarshard",
     "q_stream_tarshard",
+    "q_multimodal_tarshard",
 }
 
 

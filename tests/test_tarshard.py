@@ -203,3 +203,51 @@ def test_stream_discovers_and_survives_restart(spark, tmp_path):
         ("b", "two"),
         ("c", "three"),
     ]
+
+
+def test_jvm_png_decode_agrees_with_stdlib_parser(spark, tmp_path):
+    """The JVM-side IHDR extraction used by q_multimodal_tarshard
+    (substring+hex+conv) must agree with the Python stdlib header parser
+    (operators/multimodal.parse_image_header) on the same bytes."""
+    import struct
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    from pyspark_excel_datasource_spark.operators.multimodal import (
+        parse_image_header,
+    )
+
+    payloads = []
+    for w, h, ct in ((640, 480, 2), (1, 1, 0), (4096, 2160, 6)):
+        ihdr_data = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)
+        ihdr = (
+            struct.pack(">I", len(ihdr_data))
+            + b"IHDR"
+            + ihdr_data
+            + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr_data))
+        )
+        payloads.append(b"\x89PNG\r\n\x1a\n" + ihdr)
+
+    d = tmp_path / "png_shards"
+    d.mkdir()
+    _make_shard(
+        str(d / "p.tar"),
+        [(f"k{i}", {"png": p}) for i, p in enumerate(payloads)],
+    )
+    members = spark.read.format("tarshard").load(str(d))
+
+    def be32(offset):
+        return F.conv(F.hex(F.substring(F.col("payload"), offset, 4)), 16, 10).cast(
+            "long"
+        )
+
+    got = {
+        r.key: (int(r.h), int(r.w), bytes(r.payload))
+        for r in members.select(
+            "key", be32(21).alias("h"), be32(17).alias("w"), "payload"
+        ).collect()
+    }
+    for key, (h, w, payload) in got.items():
+        ph, pw, _pc = parse_image_header(payload)
+        assert (ph, pw) == (h, w), key

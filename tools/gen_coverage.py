@@ -91,7 +91,7 @@ SECTIONS = {
         "q_pii_redact", "q_strip_markup", "q_bm25", "q_pii_luhn",
         "q_inverted_index", "q_strip_boilerplate", "q_text_sentiment",
     ],
-    "North-star: multimodal": ["q_multimodal_cols", "q_multimodal_features", "q_multimodal_dedup", "q_multimodal_frames", "q_content_chunking", "q_chunk_dedup"],
+    "North-star: multimodal": ["q_multimodal_cols", "q_multimodal_features", "q_multimodal_dedup", "q_multimodal_frames", "q_multimodal_tarshard", "q_content_chunking", "q_chunk_dedup"],
     "North-star: pipeline composition": [
         "q_split_assign", "q_sample_hash", "q_sample_stratified", "q_sample_weighted",
         "q_pipeline_llm_prep", "q_validate_constraints", "q_mix_budget",
@@ -224,6 +224,7 @@ ROLES = {
     "q_scan_tarshard": "WebDataset tar-shard scan: partition per shard, map<ext,binary> samples",
     "q_sink_tarshard": "tar-shard sink: one tar per task, staged commit, byte-lossless roundtrip",
     "q_stream_tarshard": "shard-arrival micro-batch stream, replayable manifest offsets",
+    "q_multimodal_tarshard": "PNG shards → feature table; IHDR decoded JVM-side (substring+hex+conv)",
     "q_sink_excel_sheets": "sheet-per-group workbook sink (bounded aggregate fan-in), lossless",
     "q_win_ntile": "NTILE quartiles per supplier (tie-stable full ordering)",
     "q_transpose": "Spark 4 DataFrame.transpose on a bounded aggregate (pivot family's 4th member)",
