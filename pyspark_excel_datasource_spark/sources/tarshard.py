@@ -88,6 +88,7 @@ class TarShardOptions:
     mode: str = "members"
     recursive: bool = False
     compression: str = "none"
+    max_bytes_per_shard: int | None = None
 
     @classmethod
     def from_options(cls, options: dict) -> "TarShardOptions":
@@ -109,7 +110,14 @@ class TarShardOptions:
         recursive = str(
             options.get("recursivefilelookup", options.get("recursiveFileLookup", False))
         ).lower() in ("true", "1", "yes")
-        return cls(path=path, mode=mode, recursive=recursive, compression=compression)
+        max_bytes = options.get("maxbytespershard", options.get("maxBytesPerShard"))
+        return cls(
+            path=path,
+            mode=mode,
+            recursive=recursive,
+            compression=compression,
+            max_bytes_per_shard=int(max_bytes) if max_bytes else None,
+        )
 
 
 def _is_tar(name: str) -> bool:
@@ -283,13 +291,35 @@ class TarShardWriter(DataSourceWriter):
         pid = TaskContext.get().partitionId()
         os.makedirs(self.staging, exist_ok=True)
         suffix = ".tar.gz" if self.opts.compression == "gzip" else ".tar"
-        part = os.path.join(self.staging, f"part-{pid:05d}{suffix}")
         tar_mode = "w:gz" if self.opts.compression == "gzip" else "w"
+        cap = self.opts.max_bytes_per_shard
         members = 0
-        with tarfile.open(part, tar_mode) as tf:
+        seq = 0
+        written = 0
+        tf = None
+        part = None
+
+        def roll():
+            nonlocal tf, part, seq, written
+            if tf is not None:
+                tf.close()
+            part = os.path.join(self.staging, f"part-{pid:05d}-{seq:04d}{suffix}")
+            tf = tarfile.open(part, tar_mode)
+            seq += 1
+            written = 0
+
+        roll()
+        try:
             for row in iterator:
                 key = row["key"]
                 data = row["data"] or {}
+                # a SAMPLE never splits across shards (the WebDataset
+                # contract): roll before the sample, not mid-sample
+                sample_bytes = sum(
+                    len(v) for v in data.values() if v is not None
+                )
+                if cap and written > 0 and written + sample_bytes > cap:
+                    roll()
                 for ext in sorted(data):
                     payload = bytes(data[ext]) if data[ext] is not None else b""
                     info = tarfile.TarInfo(name=f"{key}.{ext}" if ext else key)
@@ -297,6 +327,10 @@ class TarShardWriter(DataSourceWriter):
                     info.mtime = 0  # deterministic shards byte-for-byte
                     tf.addfile(info, io.BytesIO(payload))
                     members += 1
+                written += sample_bytes
+        finally:
+            if tf is not None:
+                tf.close()
         return TarShardCommitMessage(part_path=part, members=members)
 
     def commit(self, messages) -> None:

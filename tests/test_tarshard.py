@@ -251,3 +251,33 @@ def test_jvm_png_decode_agrees_with_stdlib_parser(spark, tmp_path):
     for key, (h, w, payload) in got.items():
         ph, pw, _pc = parse_image_header(payload)
         assert (ph, pw) == (h, w), key
+
+
+def test_size_capped_rolling_shards(spark, tmp_path):
+    """maxBytesPerShard rolls to a new tar when the payload cap is hit;
+    a sample never splits across shards, and the readback is lossless."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "capped_shards")
+    # 10 samples of 100 payload bytes in ONE partition, 250-byte cap
+    # → ceil-ish packing: shards of 2 samples each ⇒ 5 shards
+    src = spark.range(10).select(
+        F.format_string("%03d", F.col("id")).alias("key"),
+        F.create_map(
+            F.lit("bin"), F.encode(F.rpad(F.col("id").cast("string"), 100, "x"), "UTF-8")
+        ).alias("data"),
+    )
+    src.coalesce(1).write.format("tarshard").option("path", out).option(
+        "maxBytesPerShard", "250"
+    ).mode("overwrite").save()
+    shards = sorted(p for p in os.listdir(out) if p.endswith(".tar"))
+    assert len(shards) == 5, shards
+    back = spark.read.format("tarshard").option("mode", "samples").load(out)
+    rows = back.collect()
+    assert len(rows) == 10
+    per_shard: dict = {}
+    for r in rows:
+        per_shard.setdefault(r.shard, []).append(r.key)
+    assert all(len(keys) == 2 for keys in per_shard.values()), per_shard
+    got = {r.key: bytes(dict(r.data)["bin"]) for r in rows}
+    assert got["003"] == b"3" + b"x" * 99
