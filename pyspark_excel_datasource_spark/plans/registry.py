@@ -204,6 +204,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_sink_tarshard",
     "q_stream_tarshard",
     "q_multimodal_tarshard",
+    "q_pipeline_tarshard_ingest",
     # D. prior greens, most recently re-verdicted first (round-6 window),
     #    in case the driver widens further; remaining greens follow in
     #    registration order.

@@ -295,3 +295,41 @@ def q_multimodal_tarshard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("h").cast("long").alias("max_height"),
         F.sum("n_bytes").cast("long").alias("total_bytes"),
     )
+
+
+@query(
+    "q_pipeline_tarshard_ingest",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT MD5(text)) AS BIGINT) AS n_unique,
+           CAST(SUM(CASE WHEN LENGTH(text) >= 100 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pass_gate,
+           CAST(MAX(LENGTH(text)) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_pipeline_tarshard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-shards → pipeline report card in ONE plan: tar samples decode
+    to (lang, text), then a single aggregation computes the ingest
+    health metrics a corpus pipeline gates on — document counts, exact
+    near-dup pressure (distinct md5 of the payload bytes), a length
+    quality gate, and the max-length outlier probe. One scan of the
+    shards, one shuffle; the oracle recomputes everything from the
+    source parquet, so the whole decode→measure hop is hash-proven.
+    """
+    register_tarshard(spark)
+    d = _materialize_doc_shards(sf_dir)
+    samples = spark.read.format("tarshard").option("mode", "samples").load(d)
+    docs = samples.select(
+        F.decode(F.col("data")["cls"], "UTF-8").alias("lang"),
+        F.decode(F.col("data")["txt"], "UTF-8").alias("text"),
+        F.md5(F.col("data")["txt"]).alias("text_md5"),
+    )
+    return docs.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("text_md5").cast("long").alias("n_unique"),
+        F.sum((F.length("text") >= 100).cast("int")).cast("long").alias("n_pass_gate"),
+        F.max(F.length("text")).cast("long").alias("max_chars"),
+    )

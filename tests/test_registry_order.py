@@ -53,6 +53,7 @@ ROUND7_AUTHORED: set[str] = {
     "q_sink_tarshard",
     "q_stream_tarshard",
     "q_multimodal_tarshard",
+    "q_pipeline_tarshard_ingest",
 }
 
 

@@ -99,7 +99,7 @@ SECTIONS = {
         "q_sample_exact_pergroup", "q_agg_incremental", "q_mix_temperature",
         "q_skyline_pareto", "q_curriculum_interleave", "q_observe_metrics",
         "q_sample_coordinated", "q_quantile_normalize",
-        "q_pipeline_corpus_v2",
+        "q_pipeline_corpus_v2", "q_pipeline_tarshard_ingest",
     ],
     "Event analytics": [
         "q_sessionize", "q_funnel", "q_retention", "q_scd2_intervals", "q_event_transitions",
@@ -225,6 +225,7 @@ ROLES = {
     "q_sink_tarshard": "tar-shard sink: one tar per task, staged commit, byte-lossless roundtrip",
     "q_stream_tarshard": "shard-arrival micro-batch stream, replayable manifest offsets",
     "q_multimodal_tarshard": "PNG shards → feature table; IHDR decoded JVM-side (substring+hex+conv)",
+    "q_pipeline_tarshard_ingest": "raw shards → decode → dedup-pressure/quality-gate report, one plan",
     "q_sink_excel_sheets": "sheet-per-group workbook sink (bounded aggregate fan-in), lossless",
     "q_win_ntile": "NTILE quartiles per supplier (tie-stable full ordering)",
     "q_transpose": "Spark 4 DataFrame.transpose on a bounded aggregate (pivot family's 4th member)",
