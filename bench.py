@@ -50,6 +50,10 @@ HEADLINE = (
     # their absolute cost is the proof the clever plan stays cheap
     "q_skyline_pareto",
     "q_rolling_dau",
+    # round-7 addition: the Python-data-source ingest path (tar shards →
+    # typed columns) so a worker-side regression in the custom source
+    # surfaces per-round like the JVM plans do
+    "q_scan_tarshard",
 )
 
 RUNS = 3
