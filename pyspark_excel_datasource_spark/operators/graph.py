@@ -1,0 +1,239 @@
+"""Distributed graph analytics over relationship graphs mined from the
+relational tables (SURVEY.md §2.4 north-star extensions; beyond-reference).
+
+Training-data pipelines and commerce analytics both end up running graph
+algorithms over entity graphs mined from the base tables — link-based
+quality scores (PageRank over a citation/co-purchase graph), community
+sanity checks (triangle counts detect dense near-duplicate clusters the
+pair view under-reports). The reference engine has no graph operators at
+all (its surface stops at the connector, `connector.py:162-322`); these
+are pure exceed-the-reference extensions, built as plain DataFrame
+join/agg pipelines so Catalyst plans them like any other query — no GraphX,
+no RDDs.
+
+Determinism convention (same as ``corpus.q_drift_kl``): every per-edge
+double is quantized to fixed-point BIGINT *before* any aggregation, so
+all reductions are integer sums (associative, order-independent) and the
+results are bit-identical between Spark and the DuckDB oracle. The only
+double arithmetic is a single multiply+divide per edge with an identical
+expression shape in both engines — IEEE 754 makes that deterministic.
+
+Scale notes (100 TB):
+
+- ``q_graph_pagerank``: each iteration is one shuffle join of the rank
+  vector (|V| rows) against the edge list (|E| rows) keyed on src, plus
+  one groupBy dst — the standard distributed PageRank shape. The rank
+  vector is tiny relative to the edges and co-partitions with them after
+  the first iteration (AQE reuses the exchange). Fixed iteration count
+  (3) keeps the oracle expressible as unrolled CTEs; the operator itself
+  takes ``iterations`` as a parameter.
+- ``q_graph_triangles``: edges are oriented low-id → high-id before the
+  two-hop join, which (a) halves the edge list and (b) counts each
+  triangle exactly once without a post-hoc /6. At 100 TB you'd orient by
+  (degree, id) instead — the standard trick that bounds the join fan-out
+  by sqrt(|E|) per vertex — the plan shape (two shuffle joins on vertex
+  keys + one explode-free aggregation) is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..plans.registry import query
+
+#: PageRank fixed-point scale: ranks live in [0, 1]; 1e12 gives 12 exact
+#: decimals while 0.85 * SCALE stays far inside double-exact integer range.
+_PR_SCALE = 1_000_000_000_000
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric customer↔supplier edge list from orders ⋈ lineitem.
+
+    Node ids are disambiguated arithmetically (customer 2k, supplier
+    2k+1) so both partitions share one BIGINT key space — cheaper to
+    shuffle than a tagged string key.
+    """
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    cs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+    return cs.select("u", "v").unionAll(cs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
+def pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """Fixed-point PageRank over a symmetric edge list (u, v).
+
+    Returns (id, pr_fp) where pr_fp is the rank scaled by ``_PR_SCALE``.
+    Per-edge contributions are quantized with FLOOR before the integer
+    sum, so the result is exactly reproducible regardless of partition
+    count or reduction order — the property that lets a 1000-executor
+    run and the single-node oracle agree bit-for-bit.
+    """
+    deg = edges.groupBy("u").agg(F.count("*").alias("outdeg"))
+    n = deg.agg(F.count("*").alias("n"))
+    # rank vector and the (edges ⋈ deg) message frame are reused every
+    # iteration — cache the static part once
+    ed = edges.join(deg, "u").cache()
+    pr = deg.crossJoin(F.broadcast(n)).select(
+        F.col("u").alias("id"),
+        F.floor(F.lit(float(_PR_SCALE)) / F.col("n")).cast("long").alias("pr"),
+    )
+    base = F.floor(F.lit(0.15 * _PR_SCALE) / F.col("n")).cast("long")
+    for _ in range(iterations):
+        contrib = ed.join(pr, ed.u == pr.id).select(
+            F.col("v").alias("dst"),
+            F.floor(F.col("pr") * F.lit(0.85) / F.col("outdeg"))
+            .cast("long")
+            .alias("c"),
+        )
+        pr = (
+            contrib.groupBy("dst")
+            .agg(F.sum("c").alias("recv"))
+            .crossJoin(F.broadcast(n))
+            .select(
+                F.col("dst").alias("id"),
+                (base + F.col("recv")).cast("long").alias("pr"),
+            )
+        )
+    return pr
+
+
+@query(
+    "q_graph_pagerank",
+    oracle=f"""
+    WITH cs AS (
+        SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (SELECT u, v FROM cs UNION ALL SELECT v, u FROM cs),
+    deg AS (SELECT u, COUNT(*) AS outdeg FROM edges GROUP BY u),
+    n AS (SELECT COUNT(*) AS n FROM deg),
+    pr0 AS (
+        SELECT u AS id, CAST(FLOOR({_PR_SCALE}.0 / n.n) AS BIGINT) AS pr
+        FROM deg CROSS JOIN n
+    ),
+    it1 AS (
+        SELECT e.v AS id,
+               CAST(FLOOR({0.15 * _PR_SCALE} / n.n) AS BIGINT)
+               + SUM(CAST(FLOOR(p.pr * 0.85 / d.outdeg) AS BIGINT)) AS pr
+        FROM edges e JOIN pr0 p ON e.u = p.id JOIN deg d ON e.u = d.u
+        CROSS JOIN n GROUP BY e.v, n.n
+    ),
+    it2 AS (
+        SELECT e.v AS id,
+               CAST(FLOOR({0.15 * _PR_SCALE} / n.n) AS BIGINT)
+               + SUM(CAST(FLOOR(p.pr * 0.85 / d.outdeg) AS BIGINT)) AS pr
+        FROM edges e JOIN it1 p ON e.u = p.id JOIN deg d ON e.u = d.u
+        CROSS JOIN n GROUP BY e.v, n.n
+    ),
+    it3 AS (
+        SELECT e.v AS id,
+               CAST(FLOOR({0.15 * _PR_SCALE} / n.n) AS BIGINT)
+               + SUM(CAST(FLOOR(p.pr * 0.85 / d.outdeg) AS BIGINT)) AS pr
+        FROM edges e JOIN it2 p ON e.u = p.id JOIN deg d ON e.u = d.u
+        CROSS JOIN n GROUP BY e.v, n.n
+    )
+    SELECT id AS node_id,
+           CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+           CAST(pr AS BIGINT) AS pr_fp
+    FROM it3
+    """,
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank over the customer↔supplier co-purchase graph.
+
+    The link-quality score you'd compute over a web/citation graph at
+    100 TB to weight training documents (as in Common Crawl curation);
+    here exercised on the commerce bipartite graph the test data offers.
+    ``pr_fp`` is the rank in 1e-12 units — bit-identical to the unrolled
+    DuckDB oracle because every reduction happens on quantized integers.
+    """
+    pr = pagerank(_copurchase_edges(spark, sf_dir), iterations=3)
+    return pr.select(
+        F.col("id").alias("node_id"),
+        F.when(F.col("id") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.col("pr").alias("pr_fp"),
+    )
+
+
+@query(
+    "q_graph_triangles",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    tri AS (
+        SELECT e1.x AS a, e1.y AS b, e2.y AS c
+        FROM pairs e1
+        JOIN pairs e2 ON e1.y = e2.x
+        JOIN pairs e3 ON e3.x = e1.x AND e3.y = e2.y
+    ),
+    member AS (
+        SELECT a AS part FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT part AS partkey, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM member GROUP BY part
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle participation in the co-purchase graph.
+
+    Triangles (three parts pairwise co-ordered) flag densely connected
+    product clusters — the same statistic that, over a near-duplicate
+    document graph, distinguishes isolated dup *pairs* from template
+    *families* that need cluster-level dedup. Edges are oriented
+    low-id → high-id so each triangle is generated exactly once by the
+    two-hop join; at 100 TB orient by (degree, id) instead to bound the
+    wedge fan-out per vertex (same plan shape).
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y"))
+        .distinct()
+        .cache()  # scanned by all three join legs of the triangle enumeration
+    )
+    e1 = pairs.alias("e1")
+    e2 = pairs.alias("e2")
+    e3 = pairs.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.y") == F.col("e2.x"))
+        .join(
+            e3,
+            (F.col("e3.x") == F.col("e1.x")) & (F.col("e3.y") == F.col("e2.y")),
+        )
+        .select(
+            F.col("e1.x").alias("a"),
+            F.col("e1.y").alias("b"),
+            F.col("e2.y").alias("c"),
+        )
+    )
+    member = (
+        tri.select(F.col("a").alias("part"))
+        .unionAll(tri.select(F.col("b").alias("part")))
+        .unionAll(tri.select(F.col("c").alias("part")))
+    )
+    return member.groupBy("part").agg(
+        F.count("*").cast("long").alias("n_triangles")
+    ).select(F.col("part").alias("partkey"), "n_triangles")

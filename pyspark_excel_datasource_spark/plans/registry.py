@@ -58,6 +58,7 @@ _QUERY_MODULES = (
     "pyspark_excel_datasource_spark.operators.pipeline",
     "pyspark_excel_datasource_spark.operators.analytics",
     "pyspark_excel_datasource_spark.operators.corpus",
+    "pyspark_excel_datasource_spark.operators.graph",
     # audit must import last: its oracle embeds other queries' oracles
     "pyspark_excel_datasource_spark.operators.audit",
 )
@@ -205,6 +206,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_stream_tarshard",
     "q_multimodal_tarshard",
     "q_pipeline_tarshard_ingest",
+    "q_graph_pagerank",
+    "q_graph_triangles",
     # D. prior greens, most recently re-verdicted first (round-6 window),
     #    in case the driver widens further; remaining greens follow in
     #    registration order.

@@ -1,0 +1,120 @@
+"""Semantic properties of the graph operators (round 7). Cross-engine
+value parity is the driver's / tools/run_parity.py's job; these pin the
+invariants the oracle comparison can't see — mass conservation, exact
+reproducibility across partition counts, triangle-count ground truth on
+a hand-built graph."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pagerank_mass_conservation(spark):
+    """Sum of ranks stays ≈ SCALE (total probability mass 1.0): each
+    iteration redistributes, never creates, mass. FLOOR quantization only
+    leaks mass downward, bounded by one ulp per (edge + node)."""
+    from pyspark_excel_datasource_spark.operators.graph import (
+        _PR_SCALE,
+        _copurchase_edges,
+        pagerank,
+    )
+
+    edges = _copurchase_edges(spark, SF)
+    n_edges = edges.count()
+    pr = pagerank(edges, iterations=3)
+    n_nodes = pr.count()
+    total = pr.agg(F.sum("pr")).collect()[0][0]
+    assert total <= _PR_SCALE
+    # floor-loss: < 1 unit per edge contribution per iteration + base term
+    assert total >= _PR_SCALE - 3 * (n_edges + n_nodes) - n_nodes
+
+
+def test_pagerank_partition_invariant(spark):
+    """The fixed-point quantization makes the result EXACTLY identical
+    under different partitioning — the property that lets a
+    1000-executor run agree with the oracle bit-for-bit."""
+    from pyspark_excel_datasource_spark.operators.graph import (
+        _copurchase_edges,
+        pagerank,
+    )
+
+    edges = _copurchase_edges(spark, SF)
+    a = {(r.id, r.pr) for r in pagerank(edges, iterations=2).collect()}
+    b = {
+        (r.id, r.pr)
+        for r in pagerank(edges.repartition(13), iterations=2).collect()
+    }
+    assert a == b
+
+
+def test_pagerank_uniform_on_regular_graph(spark):
+    """On a k-regular graph (a cycle), PageRank is exactly uniform at
+    every iteration — a closed-form check of the update rule."""
+    from pyspark_excel_datasource_spark.operators.graph import (
+        _PR_SCALE,
+        pagerank,
+    )
+
+    n = 8
+    cyc = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)] + [((i + 1) % n, i) for i in range(n)],
+        "u long, v long",
+    )
+    rows = pagerank(cyc, iterations=3).collect()
+    assert len(rows) == n
+    vals = {r.pr for r in rows}
+    assert len(vals) == 1, f"cycle graph must stay uniform, got {vals}"
+    # uniform value ≈ SCALE/n (floor losses only)
+    assert abs(vals.pop() - _PR_SCALE // n) <= 3
+
+
+def test_triangles_ground_truth(spark):
+    """Hand-built orders: {p1,p2,p3} together twice and {p1,p4} once →
+    exactly one triangle {p1,p2,p3}, each member participating once
+    (distinct edges collapse the repeat)."""
+    from pyspark_excel_datasource_spark.operators.graph import q_graph_triangles
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        li = spark.createDataFrame(
+            [
+                (1, 101),
+                (1, 102),
+                (1, 103),
+                (2, 101),
+                (2, 102),
+                (2, 103),
+                (3, 101),
+                (3, 104),
+            ],
+            "l_orderkey long, l_partkey long",
+        )
+        li.write.parquet(os.path.join(td, "lineitem.parquet"))
+        out = {
+            (r.partkey, r.n_triangles)
+            for r in q_graph_triangles(spark, td).collect()
+        }
+    assert out == {(101, 1), (102, 1), (103, 1)}
+
+
+def test_pagerank_plan_has_no_python_stages(spark):
+    """PageRank must stay entirely JVM-side — joins + integer aggs, no
+    Python workers in the hot path."""
+    import contextlib
+    import io
+
+    from pyspark_excel_datasource_spark.operators.graph import (
+        _copurchase_edges,
+        pagerank,
+    )
+
+    df = pagerank(_copurchase_edges(spark, SF), iterations=2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

@@ -54,6 +54,8 @@ ROUND7_AUTHORED: set[str] = {
     "q_stream_tarshard",
     "q_multimodal_tarshard",
     "q_pipeline_tarshard_ingest",
+    "q_graph_pagerank",
+    "q_graph_triangles",
 }
 
 
