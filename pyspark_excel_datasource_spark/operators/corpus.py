@@ -754,3 +754,180 @@ def bpe_encode(docs: DataFrame) -> DataFrame:
         n_tokens.alias("n_tokens"),
         (n_tokens.cast("double") / n_words).alias("fertility"),
     )
+
+
+#: OLS fixed-point scale for q_zipf_slope: ln() values are quantized at
+#: 1e5 so the second-moment integer sums stay far inside int64 even at
+#: web-corpus vocabulary sizes (x_fp ≤ ~3e6, Σx² ≤ 1e7·1e13 ≈ 1e20 needs
+#: care — the sums here are per-source vocab ≤ ~1e6 rows, Σx² ≤ 1e19/10).
+_OLS_FP = 100_000
+
+
+@query(
+    "q_zipf_slope",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok
+        FROM documents
+    ),
+    cnt AS (SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+    ranked AS (
+        SELECT source, c,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY c DESC, tok) AS r
+        FROM cnt
+    ),
+    fp AS (
+        SELECT source,
+               CAST(FLOOR(LN(CAST(r AS DOUBLE)) * {_OLS_FP} + 0.5) AS BIGINT) AS x,
+               CAST(FLOOR(LN(CAST(c AS DOUBLE)) * {_OLS_FP} + 0.5) AS BIGINT) AS y
+        FROM ranked
+    ),
+    sums AS (
+        SELECT source, COUNT(*) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        FROM fp GROUP BY source
+    )
+    SELECT source, CAST(n AS BIGINT) AS n_vocab,
+           CAST(FLOOR(
+               (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+               * 1000000 + 0.5) AS BIGINT) AS slope_fp
+    FROM sums
+    """,
+)
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law exponent per source: OLS slope of ln(freq) on ln(rank).
+
+    The corpus-health diagnostic: natural language sits near slope −1;
+    machine-generated or templated spam drifts far off (flat head or
+    cliff tail), so a source whose slope leaves [−1.5, −0.7] gets
+    flagged before entering a training mix. Determinism: ln() values are
+    quantized to fixed-point BIGINT, so all five OLS sums are exact
+    integer reductions (order-independent); the single closing division
+    runs on identical integers in both engines. The rank window
+    partitions by source over its vocabulary — vocab grows ~log(corpus),
+    so the window stays bounded at 100 TB (and the heavy lifting, the
+    token count, is an ordinary map-side-combine groupBy).
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    cnt = toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    r = F.row_number().over(
+        W.partitionBy("source").orderBy(F.col("c").desc(), F.col("tok"))
+    )
+    fp = cnt.select(
+        "source",
+        F.floor(F.log(r.cast("double")) * _OLS_FP + F.lit(0.5))
+        .cast("long")
+        .alias("x"),
+        F.floor(F.log(F.col("c").cast("double")) * _OLS_FP + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    )
+    sums = fp.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    slope = (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / (
+        nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    )
+    return sums.select(
+        "source",
+        F.col("n").cast("long").alias("n_vocab"),
+        F.floor(slope * 1000000 + F.lit(0.5)).cast("long").alias("slope_fp"),
+    )
+
+
+@query(
+    "q_pmi_collocations",
+    oracle=f"""
+    WITH words AS (
+        SELECT STRING_SPLIT(LOWER(text), ' ') AS w FROM documents
+    ),
+    bi AS (
+        SELECT UNNEST([w[i]     for i in RANGE(1, LEN(w))]) AS w1,
+               UNNEST([w[i + 1] for i in RANGE(1, LEN(w))]) AS w2
+        FROM words WHERE LEN(w) >= 2
+    ),
+    uni AS (
+        SELECT tok, COUNT(*) AS c
+        FROM (SELECT UNNEST(w) AS tok FROM words) GROUP BY tok
+    ),
+    bic AS (SELECT w1, w2, COUNT(*) AS c_xy FROM bi GROUP BY 1, 2),
+    nb AS (SELECT SUM(c_xy) AS n_bi FROM bic),
+    nu AS (SELECT SUM(c) AS n_uni FROM uni)
+    SELECT b.w1, b.w2, CAST(b.c_xy AS BIGINT) AS c_xy,
+           CAST(FLOOR(LN(
+               (CAST(b.c_xy AS DOUBLE) * n_uni * n_uni)
+               / (CAST(n_bi AS DOUBLE) * u1.c * u2.c)
+           ) * {_LOG_FP} + 0.5) AS BIGINT) AS pmi_fp
+    FROM bic b
+    JOIN uni u1 ON b.w1 = u1.tok
+    JOIN uni u2 ON b.w2 = u2.tok
+    CROSS JOIN nb CROSS JOIN nu
+    WHERE b.c_xy >= 5
+    """,
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of adjacent word pairs (collocations).
+
+    The phrase-mining statistic (Mikolov et al. 2013 word2vec §4 uses
+    the same score to merge phrases before training): high-PMI bigrams
+    become single vocabulary units; very low PMI across a whole source
+    signals word-salad spam. One bigram explode feeds the pair counts;
+    unigram totals join back on the two word keys (vocab-sized shuffle);
+    the corpus totals are broadcast scalars. ``pmi_fp`` is ln-PMI in
+    1e-6 units, engine-exact because the only double math is one
+    identical multiply/divide/ln chain per surviving bigram (count ≥ 5),
+    quantized before any further use.
+    """
+    d = table(spark, sf_dir, "documents")
+    w = F.split(F.lower("text"), " ")
+    words = spread(d).select(w.alias("w"))
+    pair = F.transform(
+        F.sequence(F.lit(0), F.size("w") - 2),
+        lambda i: F.struct(
+            F.element_at(F.col("w"), i + 1).alias("w1"),
+            F.element_at(F.col("w"), i + 2).alias("w2"),
+        ),
+    )
+    bi = (
+        words.filter(F.size("w") >= 2)
+        .select(F.explode(pair).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    uni = (
+        words.select(F.explode("w").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    bic = bi.groupBy("w1", "w2").agg(F.count("*").alias("c_xy"))
+    nb = bic.agg(F.sum("c_xy").alias("n_bi"))
+    nu = uni.agg(F.sum("c").alias("n_uni"))
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.log(
+        (F.col("c_xy").cast("double") * F.col("n_uni") * F.col("n_uni"))
+        / (F.col("n_bi").cast("double") * F.col("c1") * F.col("c2"))
+    )
+    return (
+        bic.filter(F.col("c_xy") >= 5)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_xy").cast("long").alias("c_xy"),
+            F.floor(pmi * _LOG_FP + F.lit(0.5)).cast("long").alias("pmi_fp"),
+        )
+    )

@@ -68,8 +68,11 @@ def _shingles(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select("doc_id", sh.alias("shingles"))
 
 
-def _exact_pairs(shingled: DataFrame, threshold: float) -> DataFrame:
-    """Exact Jaccard pairs via inverted-index self-join on shingles.
+def _pair_overlap(shingled: DataFrame) -> DataFrame:
+    """Shingle-set overlap per doc pair: (d1, d2, n1, n2, inter) via
+    inverted-index self-join — the shared base of every exact set-overlap
+    statistic (Jaccard in ``_exact_pairs``, containment in
+    ``q_dedup_containment``).
 
     The join key is ``xxhash64(shingle)`` (8-byte long), not the shingle
     string — same shuffle topology, ~4x less shuffle volume and cheap
@@ -97,7 +100,14 @@ def _exact_pairs(shingled: DataFrame, threshold: float) -> DataFrame:
             F.col("a.n").alias("n1"),
             F.col("b.n").alias("n2"),
         )
-        .agg(F.count("*").alias("inter"))
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+
+
+def _exact_pairs(shingled: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard pairs (see ``_pair_overlap`` for the join shape)."""
+    return (
+        _pair_overlap(shingled)
         .select(
             "d1",
             "d2",
@@ -1896,4 +1906,59 @@ def q_dedup_incremental_lsh_oracled(spark: SparkSession, sf_dir: str) -> DataFra
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= _NEAR_DUP_THRESHOLD)
+    )
+
+
+@query(
+    "q_dedup_containment",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               LIST_DISTINCT([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in RANGE(1, LEN(w) - 1)]) AS shingles
+        FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents)
+        WHERE LEN(w) >= 3
+    ),
+    toks AS (SELECT doc_id, LEN(shingles) AS n, UNNEST(shingles) AS s FROM sh),
+    pairs AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, a.n AS n1, b.n AS n2,
+               COUNT(*) AS inter
+        FROM toks a JOIN toks b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT d1, d2,
+           CAST(inter AS BIGINT) AS inter,
+           CAST((inter * 1000000) // LEAST(n1, n2) AS BIGINT)
+               AS containment_fp
+    FROM pairs
+    WHERE inter * 10 >= 8 * LEAST(n1, n2)
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-SUBSET detection: containment |A∩B| / min(|A|,|B|) ≥ 0.8.
+
+    Jaccard misses the quote/excerpt case — a short document wholly
+    contained in a long one scores low Jaccard but containment ≈ 1. This
+    is the statistic LLM-corpus pipelines use to catch boilerplate
+    inclusions and quoted reposts (Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better" uses the same family).
+    Same one-shuffle inverted-index shape as ``_pair_overlap``; both the
+    threshold predicate and the reported score are pure integer
+    arithmetic (scaled by 1e6), so the result is engine-exact with no
+    float rounding convention needed.
+    """
+    overlap = _pair_overlap(_shingles(table(spark, sf_dir, "documents")))
+    return (
+        overlap.filter(
+            F.col("inter") * 10 >= 8 * F.least("n1", "n2")
+        ).select(
+            "d1",
+            "d2",
+            "inter",
+            # integer DIV, not `/` + cast: keeps the fixed-point score an
+            # exact rational floor in both engines (no double rounding)
+            F.expr("CAST((inter * 1000000) DIV LEAST(n1, n2) AS BIGINT)").alias(
+                "containment_fp"
+            ),
+        )
     )

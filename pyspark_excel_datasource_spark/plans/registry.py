@@ -208,6 +208,9 @@ _PRIORITY: tuple[str, ...] = (
     "q_pipeline_tarshard_ingest",
     "q_graph_pagerank",
     "q_graph_triangles",
+    "q_dedup_containment",
+    "q_zipf_slope",
+    "q_pmi_collocations",
     # D. prior greens, most recently re-verdicted first (round-6 window),
     #    in case the driver widens further; remaining greens follow in
     #    registration order.

@@ -56,6 +56,9 @@ ROUND7_AUTHORED: set[str] = {
     "q_pipeline_tarshard_ingest",
     "q_graph_pagerank",
     "q_graph_triangles",
+    "q_dedup_containment",
+    "q_zipf_slope",
+    "q_pmi_collocations",
 }
 
 

@@ -77,7 +77,7 @@ SECTIONS = {
         "q_dedup_incremental_lsh_oracled", "q_dedup_embed_lsh_oracled", "q_graph_degree",
         "q_dedup_prefix", "q_dedup_ngram_jaccard", "q_minhash_union_sketch",
         "q_dedup_url", "q_fuzzy_match", "q_dedup_cross_source",
-        "q_dedup_chunks",
+        "q_dedup_chunks", "q_dedup_containment",
     ],
     "North-star: similarity search": [
         "q_sim_topk", "q_sim_selfjoin", "q_sim_ann_lsh", "q_sim_ann_ivf",
@@ -124,11 +124,14 @@ SECTIONS = {
         "q_text_repetition", "q_chunk_tokens", "q_bpe_pair_counts",
         "q_shuffle_shard", "q_pack_context", "q_vocab_coverage",
         "q_corpus_stats", "q_drift_kl", "q_entropy_ngrams", "q_topic_cooccur",
-        "q_bpe_encode",
+        "q_bpe_encode", "q_zipf_slope", "q_pmi_collocations",
     ],
     "North-star: embedding aggregates / clustering": [
         "q_embed_centroids", "q_embed_quantize", "q_embed_assign",
         "q_embed_norm",
+    ],
+    "North-star: graph analytics": [
+        "q_graph_pagerank", "q_graph_triangles",
     ],
     "Approximate-structure contract audits": [
         "q_sim_ann_recall", "q_approx_audit", "q_agg_hll_union",
