@@ -48,15 +48,15 @@ from ..plans.registry import query
 _PR_SCALE = 1_000_000_000_000
 
 
-def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def copurchase_edges(o: DataFrame, li: DataFrame) -> DataFrame:
     """Symmetric customer↔supplier edge list from orders ⋈ lineitem.
 
     Node ids are disambiguated arithmetically (customer 2k, supplier
     2k+1) so both partitions share one BIGINT key space — cheaper to
     shuffle than a tagged string key.
     """
-    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = o.select("o_orderkey", "o_custkey")
+    li = li.select("l_orderkey", "l_suppkey")
     cs = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(
@@ -66,6 +66,12 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return cs.select("u", "v").unionAll(cs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return copurchase_edges(
+        table(spark, sf_dir, "orders"), table(spark, sf_dir, "lineitem")
+    )
 
 
 def pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
@@ -201,7 +207,12 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-hop join; at 100 TB orient by (degree, id) instead to bound the
     wedge fan-out per vertex (same plan shape).
     """
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return triangle_counts(table(spark, sf_dir, "lineitem"))
+
+
+def triangle_counts(li: DataFrame) -> DataFrame:
+    """Per-part triangle participation (see ``q_graph_triangles``)."""
+    li = li.select("l_orderkey", "l_partkey")
     a = li.alias("a")
     b = li.alias("b")
     pairs = (

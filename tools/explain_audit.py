@@ -45,6 +45,12 @@ ALLOWED_NESTED_LOOP = {
     # broadcast of the 1-row (q1,q2,q3) quartile bounds — same scalar-
     # attach shape; the alternative (global ntile) is the real smell
     "q_quality_tiers",
+    # broadcast of the 1-row node count (base-rank term) each iteration —
+    # the same scalar-attach shape as q_text_lm_score
+    "q_graph_pagerank",
+    # broadcast of the 1-row corpus bigram/unigram totals onto the
+    # surviving-bigram frame — scalar attach, not a join smell
+    "q_pmi_collocations",
 }
 
 

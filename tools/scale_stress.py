@@ -309,6 +309,33 @@ def main() -> None:
         "yi",
     )
 
+    from pyspark_excel_datasource_spark.operators.graph import (
+        copurchase_edges,
+        pagerank,
+        triangle_counts,
+    )
+
+    # graph replication: entity keys carry the replica id so each replica
+    # is a disjoint subgraph (disjoint union = linear growth in nodes,
+    # edges, AND triangles — the right null model for throughput checks)
+    li_g1 = li1.select("l_orderkey", "l_suppkey", "l_partkey")
+    orders_g1 = orders1.select("o_orderkey", "o_custkey")
+    li_g10 = (
+        li1.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(FACTOR - 1))))
+        .select(
+            (F.col("l_orderkey") * FACTOR + F.col("rep")).alias("l_orderkey"),
+            (F.col("l_suppkey") * FACTOR + F.col("rep")).alias("l_suppkey"),
+            (F.col("l_partkey") * FACTOR + F.col("rep")).alias("l_partkey"),
+        )
+    )
+    orders_g10 = (
+        orders1.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(FACTOR - 1))))
+        .select(
+            (F.col("o_orderkey") * FACTOR + F.col("rep")).alias("o_orderkey"),
+            (F.col("o_custkey") * FACTOR + F.col("rep")).alias("o_custkey"),
+        )
+    )
+
     shapes = {
         "flagship_agg": (flagship(li1), flagship(li10)),
         "window_frame": (window_frame(li1), window_frame(li10)),
@@ -444,6 +471,19 @@ def main() -> None:
         "quantile_norm": (
             quantile_normalize(docs_full1),
             quantile_normalize(docs_full10),
+        ),
+        # round-7 graph ops: replicas are key-disjoint (custkey/suppkey/
+        # partkey carry the replica id), so nodes, edges, and triangles
+        # all grow linearly — per-row throughput must stay flat while the
+        # per-iteration shuffle structure (join on src + groupBy dst)
+        # stays constant
+        "pagerank": (
+            pagerank(copurchase_edges(orders_g1, li_g1), iterations=2),
+            pagerank(copurchase_edges(orders_g10, li_g10), iterations=2),
+        ),
+        "triangles": (
+            triangle_counts(li_g1),
+            triangle_counts(li_g10),
         ),
         "chunk_census": (
             chunk_census(docs_full1),
