@@ -628,3 +628,210 @@ def q_discount_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
         ).alias("net_revenue"),
     )
+
+
+@query(
+    "q_tpch_q14ish",
+    oracle=f"""
+    SELECT CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS ship_year,
+           CAST(EXTRACT(MONTH FROM l.l_shipdate) AS BIGINT) AS ship_month,
+           {sql_canon("CAST(SUM(CAST(CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END AS DECIMAL(18,4))) AS DECIMAL(38,4))")} AS promo_revenue,
+           {sql_canon(sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 4))} AS total_revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2
+    """,
+)
+def q_tpch_q14ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): per ship month, revenue from
+    PROMO-type parts next to total revenue. The classic fact⋈dimension
+    broadcast join with a conditional aggregate; the share division is
+    left to the consumer so both reported sums stay exact decimals
+    (ratio-of-decimals rounding differs between engines; the sums don't).
+
+    Scale notes: part broadcasts (dimension), the shipdate range pushes
+    to the parquet scan, and the aggregate is a 24-group partial→final —
+    no shuffle grows with the fact table beyond the one broadcast-join
+    stage.
+    """
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < ts("1998-01-01 00:00:00"))
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+            F.month("l_shipdate").cast("long").alias("ship_month"),
+        )
+        .agg(
+            canon(
+                F.sum(promo.cast("decimal(18,4)")).cast("decimal(38,4)")
+            ).alias("promo_revenue"),
+            canon(dsum(rev, 4)).alias("total_revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q12ish",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY 1
+    """,
+)
+def q_tpch_q12ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-delay audit, adapted): lines shipped
+    more than 90 days after their order date, split by priority class
+    per return flag. (The testdata schema carries no shipmode/commit/
+    receipt dates, so the delay predicate compares shipdate against
+    orderdate — same join + theta-predicate + pivoted conditional-count
+    shape as the original.)
+
+    Scale notes: the only shuffle is lineitem⋈orders on orderkey; the
+    delay predicate evaluates post-join (it references both sides); the
+    aggregate pivots into two conditional counts over a 3-group key.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q21ish",
+    oracle="""
+    WITH r_lines AS (
+        SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM r_lines l1
+    JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+    WHERE EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+            SELECT 1 FROM r_lines l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY 1
+    """,
+)
+def q_tpch_q21ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): count, per
+    supplier, the returned ('R') line items in multi-supplier orders
+    where that supplier was the ONLY one with a return — the classic
+    EXISTS + NOT EXISTS correlated pair, expressed as one semi join and
+    one anti join on (orderkey, ≠suppkey).
+
+    Scale notes: both the semi and the anti join shuffle on l_orderkey
+    (the natural co-partitioning key, reused across all three legs under
+    AQE); the supplier dimension broadcasts; no correlated per-row
+    subquery execution survives into the physical plan.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    r = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    l1 = r.alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = r.alias("l3")
+    waited = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waited.join(F.broadcast(s), waited.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+    )
+
+
+@query(
+    "q_tpch_q8ish",
+    oracle=f"""
+    SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+           {sql_canon("CAST(SUM(CAST(CASE WHEN ns.n_name = 'NATION_3' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END AS DECIMAL(18,4))) AS DECIMAL(38,4))")} AS nation_revenue,
+           {sql_canon(sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 4))} AS total_revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+    JOIN region r   ON nc.n_regionkey = r.r_regionkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY 1
+    """,
+)
+def q_tpch_q8ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): within ASIA-region
+    customers' orders, the revenue supplied by NATION_3 next to total
+    revenue per order year — the deepest dimension chain in the suite
+    (6 joins, nation twice). The share division is left to the consumer
+    so both sums stay exact decimals.
+
+    Scale notes: all five dimension legs broadcast (region 5 rows,
+    nation 25, customer and supplier dimension-sized); the one
+    fact-scaled shuffle is lineitem⋈orders; the region filter prunes
+    through the customer-nation chain before the fact join under AQE.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nc = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_region")
+    )
+    rg = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    ns = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("ns_name")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nat = F.when(F.col("ns_name") == "NATION_3", rev).otherwise(F.lit(0))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .join(F.broadcast(rg), F.col("nc_region") == rg.r_regionkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            canon(
+                F.sum(nat.cast("decimal(18,4)")).cast("decimal(38,4)")
+            ).alias("nation_revenue"),
+            canon(dsum(rev, 4)).alias("total_revenue"),
+        )
+    )

@@ -211,6 +211,10 @@ _PRIORITY: tuple[str, ...] = (
     "q_dedup_containment",
     "q_zipf_slope",
     "q_pmi_collocations",
+    "q_tpch_q14ish",
+    "q_tpch_q12ish",
+    "q_tpch_q21ish",
+    "q_tpch_q8ish",
     # D. prior greens, most recently re-verdicted first (round-6 window),
     #    in case the driver widens further; remaining greens follow in
     #    registration order.

@@ -59,6 +59,10 @@ ROUND7_AUTHORED: set[str] = {
     "q_dedup_containment",
     "q_zipf_slope",
     "q_pmi_collocations",
+    "q_tpch_q14ish",
+    "q_tpch_q12ish",
+    "q_tpch_q21ish",
+    "q_tpch_q8ish",
 }
 
 

@@ -65,6 +65,7 @@ SECTIONS = {
     "Flagship / composite analytics": [
         "q_flagship_pricing", "q_tpch_q5ish", "q_tpch_q10ish", "q_tpch_q3ish",
         "q_tpch_q7ish", "q_tpch_q18ish", "q_tpch_q2ish", "q_tpch_q20ish",
+        "q_tpch_q14ish", "q_tpch_q12ish", "q_tpch_q21ish", "q_tpch_q8ish",
         "q_sql_pipe", "q_sql_scripting", "q_execute_immediate",
         "q_fulfillment_latency", "q_return_rates",
         "q_discount_lift",
