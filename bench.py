@@ -54,6 +54,10 @@ HEADLINE = (
     # typed columns) so a worker-side regression in the custom source
     # surfaces per-round like the JVM plans do
     "q_scan_tarshard",
+    # round-7 addition: the fixed-point PageRank — an iterative
+    # multi-join plan whose per-iteration shuffle cost is the scale
+    # story for every graph op in the module
+    "q_graph_pagerank",
 )
 
 RUNS = 3

@@ -215,6 +215,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_tpch_q12ish",
     "q_tpch_q21ish",
     "q_tpch_q8ish",
+    "q_sink_parquet_bloom",
     # D. prior greens, most recently re-verdicted first (round-6 window),
     #    in case the driver widens further; remaining greens follow in
     #    registration order.

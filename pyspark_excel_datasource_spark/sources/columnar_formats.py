@@ -23,6 +23,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..catalog import table
 from ..plans.registry import query
 from .excel_queries import _fixture_dir
 
@@ -146,4 +147,53 @@ def q_scan_file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("long").alias("min_doc"),
             F.max("doc_id").cast("long").alias("max_doc"),
         )
+    )
+
+
+@query(
+    "q_sink_parquet_bloom",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events WHERE user_id IN (1, 2, 3)
+    """,
+)
+def q_sink_parquet_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filtered, stat-clustered parquet layout + point-lookup scan.
+
+    The point-lookup layout decision at 100 TB: rewrite the fact table
+    clustered by the lookup key (``repartition(key)`` +
+    ``sortWithinPartitions``) so min/max row-group stats become
+    selective, AND embed parquet bloom filters on that key
+    (``parquet.bloom.filter.enabled#user_id``) so row groups whose
+    stat range covers the probe but don't contain it are skipped by the
+    bloom probe instead of decoded. The readback pushes ``In(user_id,
+    ...)`` into the scan (visible as PushedFilters); at 100 TB this is
+    the difference between touching 3 row groups and decoding the
+    whole table. Write path is idempotent-overwrite into the
+    sf-namespaced fixture dir (same convention as
+    ``q_sink_parquet_partitioned``).
+
+    Note parquet-mr only EMITS a bloom for chunks that fall out of
+    dictionary encoding (a fully dictionary-encoded chunk already
+    filters point probes exactly via its dictionary) — so small test
+    fixtures carry dictionaries, 100 TB row groups carry blooms, and the
+    probe path is covered either way (mechanism proven by size delta in
+    ``tests/test_round7_ops.py``).
+    """
+    out = os.path.join(_fixture_dir(sf_dir), "events_bloom_by_user")
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    (
+        ev.repartition(4, F.col("user_id"))
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#user_id", "true")
+        .option("parquet.bloom.filter.expected.ndv#user_id", "100000")
+        .parquet(out)
+    )
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("user_id").isin(1, 2, 3))
+        .select("event_id", "user_id", "event_type", "value")
     )

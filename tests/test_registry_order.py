@@ -63,6 +63,7 @@ ROUND7_AUTHORED: set[str] = {
     "q_tpch_q12ish",
     "q_tpch_q21ish",
     "q_tpch_q8ish",
+    "q_sink_parquet_bloom",
 }
 
 

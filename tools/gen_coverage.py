@@ -21,6 +21,7 @@ SECTIONS = {
         "q_scan_excel_sheets", "q_sink_excel_sheets",
         "q_scan_excel_recursive", "q_scan_excel_allsheets",
         "q_scan_tarshard", "q_sink_tarshard", "q_stream_tarshard",
+        "q_sink_parquet_bloom",
     ],
     "Projection / filter": ["q_project", "q_filter_basic", "q_filter_complex"],
     "Joins": [
