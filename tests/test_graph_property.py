@@ -1,0 +1,65 @@
+"""Property test: the distributed fixed-point PageRank agrees EXACTLY
+(every bit of every fixed-point rank) with a sequential pure-Python
+reference on random symmetric graphs.
+
+This is the strongest statement the fixed-point design makes: because
+every per-edge contribution is floor-quantized to an integer before the
+sum, the distributed reduction has no float order-dependence at all —
+so a 4-thread Spark run, a 1000-executor run, and a Python for-loop all
+produce the identical integer vector. The reference below mirrors the
+operator's arithmetic (ulp-for-ulp: one double multiply, one double
+divide, one floor per edge) without mirroring its code."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+hypothesis = pytest.importorskip("hypothesis")
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+from pyspark_excel_datasource_spark.operators.graph import (  # noqa: E402
+    _PR_SCALE,
+    pagerank,
+)
+
+# undirected edges over ≤12 nodes; at least one edge
+_edges = st.lists(
+    st.tuples(st.integers(0, 11), st.integers(0, 11)).filter(lambda t: t[0] != t[1]),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _reference(sym_edges: list[tuple[int, int]], iterations: int) -> dict[int, int]:
+    outdeg: dict[int, int] = {}
+    for u, _ in sym_edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    n = len(outdeg)
+    pr = {u: math.floor(float(_PR_SCALE) / n) for u in outdeg}
+    base = math.floor(0.15 * _PR_SCALE / n)
+    for _ in range(iterations):
+        recv: dict[int, int] = {}
+        for u, v in sym_edges:
+            c = math.floor(pr[u] * 0.85 / outdeg[u])
+            recv[v] = recv.get(v, 0) + c
+        pr = {v: base + s for v, s in recv.items()}
+    return pr
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(raw=_edges, iterations=st.integers(1, 3))
+def test_pagerank_bit_identical_to_sequential_reference(spark, raw, iterations):
+    # symmetrize + dedup exactly like copurchase_edges' union shape
+    und = {tuple(sorted(t)) for t in raw}
+    sym = [(u, v) for u, v in und] + [(v, u) for u, v in und]
+    edges = spark.createDataFrame(sym, "u long, v long")
+    got = {r.id: r.pr for r in pagerank(edges, iterations=iterations).collect()}
+    want = _reference(sym, iterations)
+    assert got == want
