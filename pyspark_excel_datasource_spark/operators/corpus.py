@@ -931,3 +931,62 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(pmi * _LOG_FP + F.lit(0.5)).cast("long").alias("pmi_fp"),
         )
     )
+
+
+@query(
+    "q_text_ngram_novelty",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               LIST_DISTINCT([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in RANGE(1, LEN(w) - 1)]) AS shingles
+        FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents)
+        WHERE LEN(w) >= 3
+    ),
+    toks AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+    first AS (SELECT s, MIN(doc_id) AS first_doc FROM toks GROUP BY s)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS novel_shingles,
+           CAST((SUM(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END)
+                 * 1000000) // COUNT(*) AS BIGINT) AS novelty_fp
+    FROM toks t JOIN first f ON t.s = f.s
+    GROUP BY t.doc_id
+    """,
+)
+def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's 3-gram
+    shingles first seen (by min doc_id ingestion order) in THAT doc.
+
+    The curriculum/diversity signal a corpus pipeline orders sources by:
+    late documents full of already-seen n-grams (novelty → 0) are
+    redundant with the mix so far; a novelty cliff across a source marks
+    template spam even when no single pair crosses a dedup threshold.
+    One shingle explode feeds a first-occurrence aggregation (min over
+    doc_id per shingle — map-side combinable) and joins back on the
+    shingle key: the same one-shuffle inverted-index shape as the dedup
+    family. The score is integer fixed-point (1e-6), engine-exact.
+    """
+    docs = table(spark, sf_dir, "documents")
+    from .dedup import _shingles
+
+    toks = _shingles(docs).select("doc_id", F.explode("shingles").alias("s"))
+    first = toks.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        toks.join(first, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(novel).cast("long").alias("novel_shingles"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "novel_shingles",
+            F.expr(
+                "CAST((novel_shingles * 1000000) DIV n_shingles AS BIGINT)"
+            ).alias("novelty_fp"),
+        )
+    )

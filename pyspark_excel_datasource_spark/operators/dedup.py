@@ -1962,3 +1962,65 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_dedup_semantic_cluster",
+    oracle="""
+    WITH RECURSIVE v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE LIST_SUM(LIST_TRANSFORM(LIST_ZIP(a.e, b.e), t -> t[1] * t[2]))
+              / (SQRT(LIST_SUM(LIST_TRANSFORM(a.e, x -> x * x)))
+                 * SQRT(LIST_SUM(LIST_TRANSFORM(b.e, x -> x * x)))) >= 0.45
+    ),
+    nodes AS (SELECT va AS id FROM pairs UNION SELECT vb FROM pairs),
+    edges AS (SELECT va AS a, vb AS b FROM pairs UNION SELECT vb, va FROM pairs),
+    reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
+    )
+    SELECT id AS vec_id, MIN(r) AS cluster_id,
+           (MIN(r) = id) AS is_kept
+    FROM reach GROUP BY id
+    """,
+)
+def q_dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic duplicate CLUSTERS: transitive closure over the cosine ≥
+    0.45 pair graph, one survivor (min vec_id) per component.
+
+    ``q_dedup_embed``'s canonicalization only looks one hop (min direct
+    neighbor), which splits chains A~B~C into two survivors; cluster
+    labels give the correct one-per-group semantics — the embedding-side
+    mirror of ``q_dedup_clusters``. Exact all-pairs is the sf-capped
+    oracle baseline; at 100 TB the pair stage swaps for the banded-LSH
+    candidate join (``q_dedup_embed_lsh``) and the label propagation —
+    one |V|-row shuffle join per diameter round — is unchanged. Cosine
+    uses the same sequential double accumulation in both engines, so the
+    threshold compare is bit-stable.
+    """
+    from .similarity import _dot, _norm
+
+    emb = spread(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = _dot(F.col("a.e"), F.col("b.e")) / (
+        _norm(F.col("a.e")) * _norm(F.col("b.e"))
+    )
+    pairs = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(cos >= 0.45)
+        .select(F.col("a.vec_id").alias("d1"), F.col("b.vec_id").alias("d2"))
+    )
+    labels = connected_min_labels(pairs)
+    return labels.select(
+        F.col("id").alias("vec_id"),
+        "cluster_id",
+        (F.col("cluster_id") == F.col("id")).alias("is_kept"),
+    )

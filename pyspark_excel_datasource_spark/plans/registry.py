@@ -216,6 +216,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_tpch_q21ish",
     "q_tpch_q8ish",
     "q_sink_parquet_bloom",
+    "q_dedup_semantic_cluster",
+    "q_text_ngram_novelty",
     # D. prior greens, most recently re-verdicted first (round-6 window),
     #    in case the driver widens further; remaining greens follow in
     #    registration order.

@@ -64,6 +64,8 @@ ROUND7_AUTHORED: set[str] = {
     "q_tpch_q21ish",
     "q_tpch_q8ish",
     "q_sink_parquet_bloom",
+    "q_dedup_semantic_cluster",
+    "q_text_ngram_novelty",
 }
 
 

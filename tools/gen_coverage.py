@@ -79,7 +79,7 @@ SECTIONS = {
         "q_dedup_incremental_lsh_oracled", "q_dedup_embed_lsh_oracled", "q_graph_degree",
         "q_dedup_prefix", "q_dedup_ngram_jaccard", "q_minhash_union_sketch",
         "q_dedup_url", "q_fuzzy_match", "q_dedup_cross_source",
-        "q_dedup_chunks", "q_dedup_containment",
+        "q_dedup_chunks", "q_dedup_containment", "q_dedup_semantic_cluster",
     ],
     "North-star: similarity search": [
         "q_sim_topk", "q_sim_selfjoin", "q_sim_ann_lsh", "q_sim_ann_ivf",
@@ -127,6 +127,7 @@ SECTIONS = {
         "q_shuffle_shard", "q_pack_context", "q_vocab_coverage",
         "q_corpus_stats", "q_drift_kl", "q_entropy_ngrams", "q_topic_cooccur",
         "q_bpe_encode", "q_zipf_slope", "q_pmi_collocations",
+        "q_text_ngram_novelty",
     ],
     "North-star: embedding aggregates / clustering": [
         "q_embed_centroids", "q_embed_quantize", "q_embed_assign",
