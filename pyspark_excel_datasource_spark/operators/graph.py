@@ -211,11 +211,22 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def triangle_counts(li: DataFrame) -> DataFrame:
-    """Per-part triangle participation (see ``q_graph_triangles``)."""
+    """Per-part triangle participation via DEGREE-ORDERED wedge
+    enumeration (see ``q_graph_triangles``).
+
+    Every undirected edge is oriented from its lower-(degree, id)
+    endpoint to the higher one; wedges are enumerated only from each
+    edge's lower-ranked endpoint, which bounds the per-vertex fan-out by
+    O(sqrt(|E|)) even on power-law graphs — the standard trick that
+    keeps the wedge stage from exploding on hub vertices at 100 TB. A
+    triangle's membership counts are orientation-independent, so the
+    output (and the DuckDB oracle, which uses the simpler id
+    orientation) is unchanged.
+    """
     li = li.select("l_orderkey", "l_partkey")
     a = li.alias("a")
     b = li.alias("b")
-    pairs = (
+    und = (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -223,21 +234,47 @@ def triangle_counts(li: DataFrame) -> DataFrame:
         )
         .select(F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y"))
         .distinct()
-        .cache()  # scanned by all three join legs of the triangle enumeration
     )
-    e1 = pairs.alias("e1")
-    e2 = pairs.alias("e2")
-    e3 = pairs.alias("e3")
+    deg = (
+        und.select(F.col("x").alias("id"))
+        .unionAll(und.select(F.col("y").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    dx = deg.select(F.col("id").alias("x"), F.col("deg").alias("degx"))
+    dy = deg.select(F.col("id").alias("y"), F.col("deg").alias("degy"))
+    ranked = und.join(dx, "x").join(dy, "y")
+    # rank(v) = (deg, id) packed into one orderable struct-free long pair:
+    # orient from lower rank to higher rank
+    lower_first = (F.col("degx") < F.col("degy")) | (
+        (F.col("degx") == F.col("degy")) & (F.col("x") < F.col("y"))
+    )
+    oriented = ranked.select(
+        F.when(lower_first, F.col("x")).otherwise(F.col("y")).alias("u"),
+        F.when(lower_first, F.col("y")).otherwise(F.col("x")).alias("v"),
+        F.when(lower_first, F.col("degy")).otherwise(F.col("degx")).alias("degv"),
+        F.when(lower_first, F.col("y")).otherwise(F.col("x")).alias("idv"),
+    ).cache()  # scanned by both wedge legs and the closing-edge leg
+    e1 = oriented.alias("e1")
+    e2 = oriented.alias("e2")
+    e3 = oriented.select("u", "v").alias("e3")
+    # wedges out of the lower-ranked endpoint u, second leg strictly
+    # higher-ranked than the first so each triangle closes exactly once
+    wedge_order = (F.col("e1.degv") < F.col("e2.degv")) | (
+        (F.col("e1.degv") == F.col("e2.degv"))
+        & (F.col("e1.idv") < F.col("e2.idv"))
+    )
     tri = (
-        e1.join(e2, F.col("e1.y") == F.col("e2.x"))
+        e1.join(e2, (F.col("e1.u") == F.col("e2.u")) & wedge_order)
         .join(
             e3,
-            (F.col("e3.x") == F.col("e1.x")) & (F.col("e3.y") == F.col("e2.y")),
+            (F.col("e3.u") == F.col("e1.v")) & (F.col("e3.v") == F.col("e2.v")),
+            "left_semi",
         )
         .select(
-            F.col("e1.x").alias("a"),
-            F.col("e1.y").alias("b"),
-            F.col("e2.y").alias("c"),
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
         )
     )
     member = (

@@ -235,3 +235,105 @@ def q_sink_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("kv", 2).cast("long").alias("n_docs"),
         F.element_at("kv", 3).cast("long").alias("total_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# XML source / sink (Spark 4 native XML data source)
+# ---------------------------------------------------------------------------
+
+
+def _materialize_customer_xml(sf_dir: str) -> str:
+    """customer.parquet → customer.xml (one <row> element per record),
+    idempotent. Values are written with Python's shortest-repr str() so
+    doubles survive the text roundtrip bit-exactly (same rationale as
+    the CSV/JSONL bridges)."""
+    from xml.sax.saxutils import escape
+
+    out = os.path.join(_fixture_dir(sf_dir), "customer.xml")
+    if not os.path.exists(out):
+        cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+        rows = pq.read_table(
+            os.path.join(sf_dir, "customer.parquet"), columns=cols
+        ).to_pylist()
+        with open(out + ".tmp", "w", encoding="utf-8") as fh:
+            fh.write("<customers>\n")
+            for r in rows:
+                fh.write("  <row>")
+                for c in cols:
+                    fh.write(f"<{c}>{escape(str(r[c]))}</{c}>")
+                fh.write("</row>\n")
+            fh.write("</customers>\n")
+        os.replace(out + ".tmp", out)
+    return out
+
+
+@query(
+    "q_scan_xml",
+    oracle="""
+    SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           c_acctbal, c_mktsegment
+    FROM customer
+    WHERE c_acctbal > 5000
+    """,
+)
+def q_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML scan (Spark 4's built-in ``xml`` format, rowTag mode)
+    with a bound schema — the enterprise-ingest format the reference's
+    spreadsheet users hit next most often after Excel itself.
+
+    Bound schema skips inference (a full extra parse pass at 100 TB)
+    and pins cross-engine types; the balance filter applies post-decode
+    (text formats have no stats to push into). Unlike CSV/JSONL, XML
+    with multi-line records is NOT byte-splittable — at 100 TB you shard
+    by FILES (many moderate XML files → one per task), which is exactly
+    how this fixture reads.
+    """
+    path = _materialize_customer_xml(sf_dir)
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "row")
+        .schema(
+            "c_custkey long, c_name string, c_nationkey long,"
+            " c_acctbal double, c_mktsegment string"
+        )
+        .load(path)
+        .filter(F.col("c_acctbal") > 5000)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    )
+
+
+@query(
+    "q_sink_xml",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS total_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q_sink_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink roundtrip: aggregate → parallel XML directory write →
+    bound-schema readback. One XML file per partition (no driver
+    funnel), same layout contract as the CSV sink; the decimal total
+    travels as its canonical string so the text roundtrip is exact.
+    """
+    out = os.path.join(_fixture_dir(sf_dir), "segment_balances_xml")
+    src = (
+        spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .cast("string")
+            .alias("total_bal"),
+        )
+    )
+    src.write.mode("overwrite").format("xml").option("rowTag", "row").save(out)
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "row")
+        .schema("c_mktsegment string, n_customers long, total_bal string")
+        .load(out)
+    )
