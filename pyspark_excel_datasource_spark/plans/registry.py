@@ -218,6 +218,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_sink_parquet_bloom",
     "q_dedup_semantic_cluster",
     "q_text_ngram_novelty",
+    "q_scan_xml",
+    "q_sink_xml",
     # D. prior greens, most recently re-verdicted first (round-6 window),
     #    in case the driver widens further; remaining greens follow in
     #    registration order.

@@ -66,6 +66,8 @@ ROUND7_AUTHORED: set[str] = {
     "q_sink_parquet_bloom",
     "q_dedup_semantic_cluster",
     "q_text_ngram_novelty",
+    "q_scan_xml",
+    "q_sink_xml",
 }
 
 

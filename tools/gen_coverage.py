@@ -21,7 +21,7 @@ SECTIONS = {
         "q_scan_excel_sheets", "q_sink_excel_sheets",
         "q_scan_excel_recursive", "q_scan_excel_allsheets",
         "q_scan_tarshard", "q_sink_tarshard", "q_stream_tarshard",
-        "q_sink_parquet_bloom",
+        "q_sink_parquet_bloom", "q_scan_xml", "q_sink_xml",
     ],
     "Projection / filter": ["q_project", "q_filter_basic", "q_filter_complex"],
     "Joins": [
@@ -204,6 +204,8 @@ ROLES = {
     "q_tpch_q2ish": "per-part min-cost supplier argmin (Q2 shape, lineitem-derived cost)",
     "q_tpch_q20ish": "nested semi-join chain to excess-volume suppliers (Q20 shape)",
     "q_scan_text": "raw text-line scan + in-plan tab parse (lossless vs parquet oracle)",
+    "q_scan_xml": "Spark 4 native XML scan, bound schema, rowTag mode",
+    "q_sink_xml": "parallel XML directory sink + bound-schema readback roundtrip",
     "q_sink_text": "text-line sink roundtrip (per-partition write, no driver funnel)",
     "q_inverted_index": "pruned posting lists: df floor + top-5-by-tf per term, bounded state",
     "q_strip_boilerplate": "drop segments repeating across >=3 docs; md5-keyed df shuffle",
