@@ -172,6 +172,140 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def personalized_pagerank(
+    edges: DataFrame, seeds: DataFrame, iterations: int = 3
+) -> DataFrame:
+    """Fixed-point personalized PageRank: the teleport mass restarts to a
+    SEED SET instead of uniformly, so rank measures proximity to the
+    seeds (the construction behind "find documents like this labeled set"
+    in corpus curation, and behind-seed recommendation at commerce scale).
+
+    ``seeds`` is a one-column (id) frame. Ranks start uniform over the
+    seeds and every iteration redeposits ``0.15/|S|`` on each seed only.
+    Same quantize-before-sum discipline as :func:`pagerank`: per-edge
+    contributions FLOOR to BIGINT before the integer sum, so the result
+    is reduction-order independent and bit-identical to the unrolled
+    DuckDB oracle.
+
+    Scale: seeds are a tiny frame — broadcast both into the init and the
+    per-iteration redeposit; each iteration is the same one shuffle join
+    (rank ⋈ edges on src) + one groupBy dst as uniform PageRank, and the
+    rank vector stays |V| rows. Nothing here grows with |S|.
+    """
+    deg = edges.groupBy("u").agg(F.count("*").alias("outdeg"))
+    seeds = seeds.join(deg, seeds.id == deg.u, "left_semi").select("id")
+    ns = seeds.agg(F.count("*").alias("ns"))
+    ed = edges.join(deg, "u").cache()
+    seed_marked = (
+        deg.select(F.col("u").alias("id"))
+        .join(F.broadcast(seeds.withColumn("is_seed", F.lit(1))), "id", "left")
+        .select("id", F.coalesce("is_seed", F.lit(0)).alias("is_seed"))
+    )
+    pr = seed_marked.crossJoin(F.broadcast(ns)).select(
+        "id",
+        (
+            F.col("is_seed")
+            * F.floor(F.lit(float(_PR_SCALE)) / F.col("ns")).cast("long")
+        ).alias("pr"),
+    )
+    for _ in range(iterations):
+        recv = (
+            ed.join(pr, ed.u == pr.id)
+            .select(
+                F.col("v").alias("dst"),
+                F.floor(F.col("pr") * F.lit(0.85) / F.col("outdeg"))
+                .cast("long")
+                .alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("recv"))
+        )
+        pr = (
+            seed_marked.join(recv, seed_marked.id == recv.dst, "left")
+            .crossJoin(F.broadcast(ns))
+            .select(
+                "id",
+                (
+                    F.col("is_seed")
+                    * F.floor(F.lit(0.15 * _PR_SCALE) / F.col("ns")).cast("long")
+                    + F.coalesce(F.col("recv"), F.lit(0))
+                ).cast("long").alias("pr"),
+            )
+        )
+    return pr
+
+
+_PPR_ORACLE_ITER = """
+    it{k} AS (
+        SELECT m.id,
+               CAST(m.is_seed * FLOOR({teleport} / ns.ns) AS BIGINT)
+               + COALESCE(r.recv, 0) AS pr
+        FROM marked m CROSS JOIN ns
+        LEFT JOIN (
+            SELECT e.v AS dst,
+                   SUM(CAST(FLOOR(p.pr * 0.85 / d.outdeg) AS BIGINT)) AS recv
+            FROM edges e JOIN it{prev} p ON e.u = p.id JOIN deg d ON e.u = d.u
+            GROUP BY e.v
+        ) r ON m.id = r.dst
+    )"""
+
+
+@query(
+    "q_graph_ppr",
+    oracle=f"""
+    WITH cs AS (
+        SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (SELECT u, v FROM cs UNION ALL SELECT v, u FROM cs),
+    deg AS (SELECT u, COUNT(*) AS outdeg FROM edges GROUP BY u),
+    seeds AS (
+        SELECT DISTINCT c_custkey * 2 AS id FROM customer
+        WHERE c_mktsegment = 'BUILDING'
+          AND c_custkey * 2 IN (SELECT u FROM deg)
+    ),
+    ns AS (SELECT COUNT(*) AS ns FROM seeds),
+    marked AS (
+        SELECT d.u AS id, CASE WHEN s.id IS NULL THEN 0 ELSE 1 END AS is_seed
+        FROM deg d LEFT JOIN seeds s ON d.u = s.id
+    ),
+    it0 AS (
+        SELECT m.id,
+               CAST(m.is_seed * FLOOR({_PR_SCALE}.0 / ns.ns) AS BIGINT) AS pr
+        FROM marked m CROSS JOIN ns
+    ),
+    {_PPR_ORACLE_ITER.format(k=1, prev=0, teleport=0.15 * _PR_SCALE).lstrip()},
+    {_PPR_ORACLE_ITER.format(k=2, prev=1, teleport=0.15 * _PR_SCALE).lstrip()},
+    {_PPR_ORACLE_ITER.format(k=3, prev=2, teleport=0.15 * _PR_SCALE).lstrip()}
+    SELECT id AS node_id,
+           CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+           CAST(pr AS BIGINT) AS ppr_fp
+    FROM it3
+    WHERE pr > 0
+    """,
+)
+def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration personalized PageRank seeded on BUILDING-segment
+    customers over the customer↔supplier co-purchase graph — proximity-
+    to-seed-set scoring (corpus curation's "expand this labeled set",
+    commerce's "suppliers close to this customer cohort"). Bit-identical
+    to the unrolled DuckDB oracle via the fixed-point discipline; rows
+    with rank exactly 0 (unreached vertices) are dropped.
+    """
+    cust = table(spark, sf_dir, "customer")
+    seeds = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        (F.col("c_custkey") * 2).alias("id")
+    ).distinct()
+    pr = personalized_pagerank(_copurchase_edges(spark, sf_dir), seeds, iterations=3)
+    return pr.filter(F.col("pr") > 0).select(
+        F.col("id").alias("node_id"),
+        F.when(F.col("id") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.col("pr").alias("ppr_fp"),
+    )
+
+
 @query(
     "q_graph_triangles",
     oracle="""

@@ -220,6 +220,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_text_ngram_novelty",
     "q_scan_xml",
     "q_sink_xml",
+    "q_graph_ppr",
     # D. prior greens, most recently re-verdicted first (round-6 window),
     #    in case the driver widens further; remaining greens follow in
     #    registration order.

@@ -23,6 +23,7 @@ from hypothesis import strategies as st  # noqa: E402
 from pyspark_excel_datasource_spark.operators.graph import (  # noqa: E402
     _PR_SCALE,
     pagerank,
+    personalized_pagerank,
 )
 
 # undirected edges over ≤12 nodes; at least one edge
@@ -62,4 +63,51 @@ def test_pagerank_bit_identical_to_sequential_reference(spark, raw, iterations):
     edges = spark.createDataFrame(sym, "u long, v long")
     got = {r.id: r.pr for r in pagerank(edges, iterations=iterations).collect()}
     want = _reference(sym, iterations)
+    assert got == want
+
+
+def _reference_ppr(
+    sym_edges: list[tuple[int, int]], seed_ids: set[int], iterations: int
+) -> dict[int, int]:
+    outdeg: dict[int, int] = {}
+    for u, _ in sym_edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    seeds = {s for s in seed_ids if s in outdeg}
+    ns = len(seeds)
+    pr = {u: (math.floor(float(_PR_SCALE) / ns) if u in seeds else 0) for u in outdeg}
+    base = math.floor(0.15 * _PR_SCALE / ns)
+    for _ in range(iterations):
+        recv: dict[int, int] = {}
+        for u, v in sym_edges:
+            c = math.floor(pr[u] * 0.85 / outdeg[u])
+            recv[v] = recv.get(v, 0) + c
+        pr = {u: recv.get(u, 0) + (base if u in seeds else 0) for u in outdeg}
+    return pr
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    raw=_edges,
+    seed_ids=st.sets(st.integers(0, 11), min_size=1, max_size=4),
+    iterations=st.integers(1, 3),
+)
+def test_ppr_bit_identical_to_sequential_reference(spark, raw, seed_ids, iterations):
+    und = {tuple(sorted(t)) for t in raw}
+    sym = [(u, v) for u, v in und] + [(v, u) for u, v in und]
+    present = {u for u, _ in sym}
+    # ensure at least one seed touches the graph (the operator semi-joins
+    # seeds to vertices; an empty effective seed set is a caller error)
+    if not (seed_ids & present):
+        seed_ids = seed_ids | {next(iter(present))}
+    edges = spark.createDataFrame(sym, "u long, v long")
+    seeds = spark.createDataFrame([(s,) for s in seed_ids], "id long")
+    got = {
+        r.id: r.pr
+        for r in personalized_pagerank(edges, seeds, iterations=iterations).collect()
+    }
+    want = _reference_ppr(sym, seed_ids, iterations)
     assert got == want

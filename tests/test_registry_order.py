@@ -68,6 +68,7 @@ ROUND7_AUTHORED: set[str] = {
     "q_text_ngram_novelty",
     "q_scan_xml",
     "q_sink_xml",
+    "q_graph_ppr",
 }
 
 
