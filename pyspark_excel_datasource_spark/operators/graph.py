@@ -419,3 +419,257 @@ def triangle_counts(li: DataFrame) -> DataFrame:
     return member.groupBy("part").agg(
         F.count("*").cast("long").alias("n_triangles")
     ).select(F.col("part").alias("partkey"), "n_triangles")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic random walks (node2vec-style corpus sampling)
+# ---------------------------------------------------------------------------
+
+_WALK_STEPS = 3
+
+
+def _md5_idx(*parts) -> "F.Column":
+    """First 15 hex digits of md5(':'-joined parts) as a BIGINT — the
+    md5-hash-family bridge (same construction as ``q_dedup_minhash_oracled``,
+    dedup.py:832): identical in Spark (`conv(substr(md5(..),1,15),16,10)`)
+    and DuckDB (`CAST('0x'||SUBSTR(MD5(..),1,15) AS UBIGINT)`), so the
+    "random" choices are bit-reproducible across engines AND across
+    cluster sizes — a walk is a pure function of (walk_id, step, node)."""
+    joined = F.concat_ws(":", *[p.cast("string") for p in parts])
+    return F.conv(F.substring(F.md5(joined), 1, 15), 16, 10).cast("long")
+
+
+def random_walks(edges: DataFrame, starts: DataFrame, steps: int = _WALK_STEPS) -> DataFrame:
+    """Hash-deterministic uniform random walks over a symmetric edge list.
+
+    ``starts`` is a one-column (walk_id) frame of start nodes. At step t
+    from node ``cur`` the walk moves to neighbor number
+    ``md5(walk_id, t, cur) mod outdeg(cur)`` in the id-sorted adjacency
+    list — uniform in distribution, yet a pure function of the walk
+    state, so reruns, retried tasks, and the DuckDB oracle all emit the
+    identical paths (the property PRNG-seeded samplers lose under
+    task retry).
+
+    Scale: adjacency is one sorted array per vertex (`sort_array ∘
+    collect_list`), so each step is a 1:1 shuffle join of the walk
+    frontier (|walks| rows) against the adjacency table — no per-edge
+    fan-out. At 100 TB the hub-vertex arrays are the pressure point;
+    the standard fix (reservoir-cap the list at ~10k neighbors with the
+    same hash family) keeps rows bounded without breaking determinism.
+    """
+    adj = edges.groupBy("u").agg(
+        F.sort_array(F.collect_list("v")).alias("nbrs"),
+        F.count("*").alias("outdeg"),
+    )
+    walk = starts.select(
+        F.col("walk_id"),
+        F.col("walk_id").alias("cur"),
+        F.array(F.col("walk_id")).alias("path"),
+    )
+    for t in range(steps):
+        walk = (
+            walk.join(adj, walk.cur == adj.u)
+            .select(
+                "walk_id",
+                F.element_at(
+                    "nbrs",
+                    (_md5_idx(F.lit("w"), F.col("walk_id"), F.lit(t), F.col("cur"))
+                     % F.col("outdeg")).cast("int") + 1,
+                ).alias("cur"),
+                "path",
+            )
+            .select(
+                "walk_id",
+                "cur",
+                F.array_append("path", F.col("cur")).alias("path"),
+            )
+        )
+    return walk.select("walk_id", "path")
+
+
+_WALK_ORACLE_STEP = """
+    w{k} AS (
+        SELECT w.walk_id,
+               a.nbrs[CAST(CAST(('0x' || SUBSTR(
+                   MD5('w:' || CAST(w.walk_id AS VARCHAR) || ':{t}:'
+                       || CAST(w.cur AS VARCHAR)), 1, 15)) AS UBIGINT)
+                   % a.outdeg AS INTEGER) + 1] AS cur
+        FROM w{prev} w JOIN adj a ON w.cur = a.u
+    )"""
+
+
+@query(
+    "q_graph_randomwalk",
+    oracle=f"""
+    WITH cs AS (
+        SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (SELECT u, v FROM cs UNION ALL SELECT v, u FROM cs),
+    adj AS (
+        SELECT u, LIST(v ORDER BY v) AS nbrs, COUNT(*) AS outdeg
+        FROM edges GROUP BY u
+    ),
+    w0 AS (
+        SELECT u AS walk_id, u AS cur FROM adj
+        WHERE u % 2 = 0 AND (u / 2) % 10 = 0
+    ),
+    {_WALK_ORACLE_STEP.format(k=1, prev=0, t=0).lstrip()},
+    {_WALK_ORACLE_STEP.format(k=2, prev=1, t=1).lstrip()},
+    {_WALK_ORACLE_STEP.format(k=3, prev=2, t=2).lstrip()}
+    SELECT w0.walk_id, w0.cur AS s0, w1.cur AS s1, w2.cur AS s2, w3.cur AS s3
+    FROM w0 JOIN w1 USING (walk_id) JOIN w2 USING (walk_id)
+    JOIN w3 USING (walk_id)
+    """,
+)
+def q_graph_randomwalk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-step deterministic uniform random walks from every 10th customer
+    node over the co-purchase graph — the sampling primitive behind
+    DeepWalk/node2vec graph embeddings in training-data pipelines. The
+    md5 hash family makes every step choice bit-reproducible, so the
+    full paths (not just counts) hash-match the DuckDB oracle.
+    """
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = edges.groupBy("u").agg(F.count("*").alias("outdeg"))
+    starts = deg.filter(
+        (F.col("u") % 2 == 0) & ((F.col("u") / 2) % 10 == 0)
+    ).select(F.col("u").alias("walk_id"))
+    w = random_walks(edges, starts, steps=_WALK_STEPS)
+    return w.select(
+        "walk_id",
+        *[F.element_at("path", i + 1).alias(f"s{i}") for i in range(_WALK_STEPS + 1)],
+    )
+
+
+# ---------------------------------------------------------------------------
+# K-core decomposition (fixed-round peel)
+# ---------------------------------------------------------------------------
+
+_KCORE_ROUNDS = 6
+
+
+def kcore_peel(edges: DataFrame, kdf: DataFrame, rounds: int = _KCORE_ROUNDS) -> DataFrame:
+    """K-core via ``rounds`` synchronous peel rounds: repeatedly drop
+    vertices whose degree within the surviving set is < k, where k is a
+    one-row (k BIGINT) frame so callers can derive it from the data
+    in-plan (``q_graph_kcore`` uses the lower-median initial degree).
+
+    Returns (id, core_deg, stable) for round-``rounds`` survivors, where
+    ``stable`` = 1 iff the vertex's in-core degree did not change in the
+    final round — an in-plan convergence verdict, so "this IS the k-core"
+    (not "k-core after R rounds") is itself part of the hash-checked
+    output whenever all rows carry stable=1.
+
+    Scale: each round is one degree count over edges semi-joined to the
+    surviving set (two shuffle joins on vertex keys) — the synchronous
+    form of distributed k-core peeling; k broadcasts as a 1-row frame.
+    Rounds needed = peel depth, which is tiny on real graphs (power-law
+    graphs shed low-degree shells in 2-4 rounds); production peeling at
+    100 TB keeps the same round shape and iterates until the in-plan
+    verdict reports stability.
+    """
+    edges = edges.cache()
+    active = edges.select("u").distinct()
+    prev_deg = None
+    deg = None
+    for _ in range(rounds):
+        prev_deg = deg
+        # localCheckpoint (eager) truncates lineage each round: ``active``
+        # feeds BOTH semi joins, so without it the logical plan doubles
+        # per round (2^rounds copies of the base scan) and analysis alone
+        # dominates. Same discipline as dedup.connected_min_labels.
+        deg = (
+            edges.join(active.select(F.col("u").alias("au")), F.col("u") == F.col("au"), "left_semi")
+            .join(active.select(F.col("u").alias("av")), F.col("v") == F.col("av"), "left_semi")
+            .groupBy("u")
+            .agg(F.count("*").alias("core_deg"))
+            .crossJoin(F.broadcast(kdf))
+            .filter(F.col("core_deg") >= F.col("k"))
+            .drop("k")
+            .localCheckpoint()
+        )
+        active = deg.select("u")
+    out = deg.alias("d").join(
+        prev_deg.select(F.col("u").alias("pu"), F.col("core_deg").alias("prev_deg")).alias("p"),
+        F.col("d.u") == F.col("p.pu"),
+        "left",
+    )
+    return out.select(
+        F.col("d.u").alias("id"),
+        F.col("d.core_deg").alias("core_deg"),
+        F.when(F.col("p.prev_deg") == F.col("d.core_deg"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("stable"),
+    )
+
+
+_KCORE_ORACLE_ROUND = """
+    d{r} AS (
+        SELECT e.u, COUNT(*) AS core_deg
+        FROM edges e
+        JOIN a{prev} x ON e.u = x.u
+        JOIN a{prev} y ON e.v = y.u
+        GROUP BY e.u
+        HAVING COUNT(*) >= (SELECT k FROM kk)
+    ),
+    a{r} AS (SELECT u FROM d{r})"""
+
+
+@query(
+    "q_graph_kcore",
+    oracle=f"""
+    WITH cs AS (
+        SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (SELECT u, v FROM cs UNION ALL SELECT v, u FROM cs),
+    d0 AS (SELECT u, COUNT(*) AS d FROM edges GROUP BY u),
+    ranked AS (
+        SELECT d, ROW_NUMBER() OVER (ORDER BY d, u) AS rn FROM d0
+    ),
+    kk AS (
+        SELECT d AS k FROM ranked
+        WHERE rn = ((SELECT COUNT(*) FROM d0) + 1) // 2
+    ),
+    a0 AS (SELECT DISTINCT u FROM edges),
+    {",".join(_KCORE_ORACLE_ROUND.format(r=r, prev=r - 1).lstrip() for r in range(1, _KCORE_ROUNDS + 1))}
+    SELECT d.u AS node_id,
+           CASE WHEN d.u % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+           CAST(d.core_deg AS BIGINT) AS core_deg,
+           CAST(CASE WHEN p.core_deg = d.core_deg THEN 1 ELSE 0 END AS INTEGER)
+               AS stable
+    FROM d{_KCORE_ROUNDS} d
+    LEFT JOIN d{_KCORE_ROUNDS - 1} p ON d.u = p.u
+    """,
+)
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-scaling k-core of the co-purchase graph: k = the lower-median
+    initial degree (computed in-plan with a total-order ROW_NUMBER, so it
+    is identical in both engines and the peel bites at every scale
+    factor), 6 peel rounds, with a per-node stability verdict. The
+    dense-subgraph screen used both for commerce anomaly detection
+    (collusive rings) and corpus curation (boilerplate template farms
+    show up as unexpectedly dense k-cores in doc-similarity graphs).
+    """
+    edges = _copurchase_edges(spark, sf_dir)
+    from pyspark.sql import Window
+
+    d0 = edges.groupBy("u").agg(F.count("*").alias("d"))
+    ranked = d0.select(
+        "d",
+        F.row_number().over(Window.orderBy("d", "u")).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    kdf = ranked.filter(
+        F.col("rn") == F.floor((F.col("n") + 1) / 2).cast("long")
+    ).select(F.col("d").alias("k"))
+    res = kcore_peel(edges, kdf, rounds=_KCORE_ROUNDS)
+    return res.select(
+        F.col("id").alias("node_id"),
+        F.when(F.col("id") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.col("core_deg").cast("long").alias("core_deg"),
+        F.col("stable"),
+    )

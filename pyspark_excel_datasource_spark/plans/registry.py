@@ -221,6 +221,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_scan_xml",
     "q_sink_xml",
     "q_graph_ppr",
+    "q_graph_randomwalk",
+    "q_graph_kcore",
     # D. prior greens, most recently re-verdicted first (round-6 window),
     #    in case the driver widens further; remaining greens follow in
     #    registration order.

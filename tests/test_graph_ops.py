@@ -118,3 +118,54 @@ def test_pagerank_plan_has_no_python_stages(spark):
     plan = buf.getvalue()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_random_walks_are_valid_and_partition_invariant(spark):
+    """Every consecutive walk pair must be a real edge, and the paths must
+    be identical under a different partitioning (the determinism claim:
+    a walk is a pure function of (walk_id, step, node))."""
+    from pyspark_excel_datasource_spark.operators.graph import random_walks
+
+    sym = [(1, 2), (2, 1), (1, 3), (3, 1), (2, 3), (3, 2), (3, 4), (4, 3)]
+    edges = spark.createDataFrame(sym, "u long, v long")
+    starts = spark.createDataFrame([(1,), (4,)], "walk_id long")
+    got = {r.walk_id: r.path for r in random_walks(edges, starts, steps=3).collect()}
+    assert set(got) == {1, 4}
+    eset = set(sym)
+    for path in got.values():
+        assert len(path) == 4
+        for a, b in zip(path, path[1:]):
+            assert (a, b) in eset, f"walk used a non-edge {(a, b)}"
+    got2 = {
+        r.walk_id: r.path
+        for r in random_walks(edges.repartition(7), starts, steps=3).collect()
+    }
+    assert got == got2
+
+
+def test_kcore_matches_sequential_peel_to_fixpoint(spark):
+    """Round-based peel with a stable verdict must agree with a sequential
+    peel-to-fixpoint reference whenever every row reports stable=1."""
+    from pyspark_excel_datasource_spark.operators.graph import kcore_peel
+
+    und = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (1, 4), (2, 4), (5, 6)]
+    sym = und + [(b, a) for a, b in und]
+    k = 3
+    # sequential reference: peel to fixpoint
+    active = {u for u, _ in sym}
+    while True:
+        deg = {}
+        for a, b in sym:
+            if a in active and b in active:
+                deg[a] = deg.get(a, 0) + 1
+        nxt = {u for u, d in deg.items() if d >= k}
+        if nxt == active:
+            break
+        active = nxt
+    want = {u: deg[u] for u in active}
+
+    edges = spark.createDataFrame(sym, "u long, v long")
+    kdf = spark.createDataFrame([(k,)], "k long")
+    rows = kcore_peel(edges, kdf, rounds=5).collect()
+    assert all(r.stable == 1 for r in rows)
+    assert {r.id: r.core_deg for r in rows} == want

@@ -69,6 +69,8 @@ ROUND7_AUTHORED: set[str] = {
     "q_scan_xml",
     "q_sink_xml",
     "q_graph_ppr",
+    "q_graph_randomwalk",
+    "q_graph_kcore",
 }
 
 

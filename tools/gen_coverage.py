@@ -135,6 +135,7 @@ SECTIONS = {
     ],
     "North-star: graph analytics": [
         "q_graph_pagerank", "q_graph_triangles", "q_graph_ppr",
+        "q_graph_randomwalk", "q_graph_kcore",
     ],
     "Approximate-structure contract audits": [
         "q_sim_ann_recall", "q_approx_audit", "q_agg_hll_union",
@@ -205,6 +206,8 @@ ROLES = {
     "q_tpch_q20ish": "nested semi-join chain to excess-volume suppliers (Q20 shape)",
     "q_scan_text": "raw text-line scan + in-plan tab parse (lossless vs parquet oracle)",
     "q_graph_ppr": "personalized PageRank (seed-restart), bit-exact fixed-point",
+    "q_graph_randomwalk": "hash-deterministic uniform random walks (DeepWalk sampling), full paths oracled",
+    "q_graph_kcore": "self-scaling k-core peel with in-plan convergence verdict",
     "q_scan_xml": "Spark 4 native XML scan, bound schema, rowTag mode",
     "q_sink_xml": "parallel XML directory sink + bound-schema readback roundtrip",
     "q_sink_text": "text-line sink roundtrip (per-partition write, no driver funnel)",
