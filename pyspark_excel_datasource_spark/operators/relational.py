@@ -1476,24 +1476,36 @@ def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolls the loop as a MIN over the same power-of-two series
     (monotonicity of the count makes the two equivalent).
     """
-    spark.conf.set("spark.sql.scripting.enabled", "true")
+    # scope the scripting flag to this query (restore-in-finally, same
+    # discipline as the stateStore provider override in streaming/tws.py);
+    # the script executes eagerly inside spark.sql, so restoring before
+    # returning the final statement's DataFrame is safe
+    key = "spark.sql.scripting.enabled"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders_script")
-    return spark.sql(
-        """
-        BEGIN
-          DECLARE thr BIGINT DEFAULT 100;
-          WHILE (SELECT COUNT(*) FROM orders_script WHERE o_totalprice > thr) >= 100 DO
-            SET thr = thr * 2;
-          END WHILE;
-          SELECT o_orderpriority,
-                 thr AS threshold,
-                 CAST(COUNT_IF(o_totalprice > thr) AS BIGINT) AS n_above,
-                 CAST(COUNT(*) AS BIGINT) AS n_orders
-          FROM orders_script
-          GROUP BY o_orderpriority;
-        END
-        """
-    )
+    try:
+        return spark.sql(
+            """
+            BEGIN
+              DECLARE thr BIGINT DEFAULT 100;
+              WHILE (SELECT COUNT(*) FROM orders_script WHERE o_totalprice > thr) >= 100 DO
+                SET thr = thr * 2;
+              END WHILE;
+              SELECT o_orderpriority,
+                     thr AS threshold,
+                     CAST(COUNT_IF(o_totalprice > thr) AS BIGINT) AS n_above,
+                     CAST(COUNT(*) AS BIGINT) AS n_orders
+              FROM orders_script
+              GROUP BY o_orderpriority;
+            END
+            """
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 @query(

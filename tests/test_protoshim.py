@@ -200,3 +200,104 @@ if _HAVE_HYP:
         assert got.schema == schema
         if ttl is not None:
             assert got.ttl.durationMs == ttl
+
+
+# ---------------------------------------------------------------------------
+# Wire-level regression tests (round-8 ADVICE items): zigzag sign handling,
+# packed sint/bool decode, and presence-on-read of nested messages. These
+# exercise shim internals directly — StateMessage declares no sint fields,
+# so only a synthetic descriptor can reach those paths.
+# ---------------------------------------------------------------------------
+
+
+def _wire():
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+    except ImportError:
+        sys.path.append(_SHIM)
+    import google.protobuf as gp
+
+    if "protoshim" not in getattr(gp, "__file__", ""):
+        pytest.skip("real protobuf installed; shim internals not in use")
+    from google.protobuf import _wire as wire
+
+    return wire
+
+
+def _sint_message_cls(wire, repeated=False):
+    desc = wire.Descriptor(
+        "Synth",
+        "synth.Synth",
+        [
+            wire.FieldDescriptor("s64", 1, wire.TYPE_SINT64, repeated, ""),
+            wire.FieldDescriptor("s32", 2, wire.TYPE_SINT32, repeated, ""),
+            wire.FieldDescriptor("flag", 3, wire.TYPE_BOOL, repeated, ""),
+        ],
+    )
+    return type("Synth", (wire.ShimMessage,), {"DESCRIPTOR": desc})
+
+
+def test_negative_sint_roundtrip():
+    wire = _wire()
+    cls = _sint_message_cls(wire)
+    for v in (-1, -2, -987654321, -(2**62), 2**62, 0, 1):
+        m = cls(s64=v, s32=max(-(2**31), min(2**31 - 1, v)))
+        back = cls()
+        back.ParseFromString(m.SerializeToString())
+        assert back.s64 == v
+        assert back.s32 == max(-(2**31), min(2**31 - 1, v))
+    # zigzag keeps small negatives small on the wire (the spec's point)
+    assert len(cls(s64=-1).SerializeToString()) == 2
+
+
+def test_zigzag_encode_masks_before_xor():
+    wire = _wire()
+    # the old precedence bug made this negative → encode_varint hung
+    for v in (-1, -5, -(2**63)):
+        enc = wire._zigzag_encode(v)
+        assert enc >= 0
+        assert wire._zigzag_decode(enc) == v
+
+
+def test_packed_sint_and_bool_decode():
+    wire = _wire()
+    cls = _sint_message_cls(wire, repeated=True)
+    vals = [-3, -1, 0, 1, 7, -(2**40)]
+    payload = b"".join(wire.encode_varint(wire._zigzag_encode(v)) for v in vals)
+    flags_payload = b"".join(wire.encode_varint(int(b)) for b in (True, False, True))
+    buf = (
+        wire._tag(1, 2) + wire.encode_varint(len(payload)) + payload
+        + wire._tag(3, 2) + wire.encode_varint(len(flags_payload)) + flags_payload
+    )
+    m = cls()
+    m.ParseFromString(buf)
+    assert list(m.s64) == vals
+    assert list(m.flag) == [True, False, True]
+    assert all(isinstance(b, bool) for b in m.flag)
+
+
+def test_reading_nested_message_does_not_set_presence(sm):
+    req = sm.StateCallCommand()
+    # a bare READ of an unset nested message must not flip HasField or
+    # change the serialized form (the JVM's hasTtl() would see a phantom)
+    _ = req.ttl
+    _ = req.ttl.durationMs
+    assert not req.HasField("ttl")
+    assert req.SerializeToString() == b""
+    # ...but the generated-code nested-WRITE pattern still attaches,
+    # including through a cached transient read handle
+    handle = req.ttl
+    handle.durationMs = 5
+    assert req.HasField("ttl")
+    assert req.ttl.durationMs == 5
+    back = sm.StateCallCommand()
+    back.ParseFromString(req.SerializeToString())
+    assert back.ttl.durationMs == 5
+
+
+def test_transient_child_parse_attaches(sm):
+    req = sm.StateCallCommand()
+    src = sm.TTLConfig(durationMs=99)
+    req.ttl.ParseFromString(src.SerializeToString())
+    assert req.HasField("ttl")
+    assert req.ttl.durationMs == 99
