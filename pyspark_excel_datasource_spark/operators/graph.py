@@ -82,49 +82,92 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: integer teleport mass per iteration: 0.15 * _PR_SCALE, exact
+_PR_TELEPORT = 150_000_000_000
+
+
 def pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
-    """Fixed-point PageRank over a symmetric edge list (u, v).
+    """Fixed-point PageRank over an arbitrary (u, v) edge list — general
+    digraphs included: the vertex set is u ∪ v, and the rank mass of
+    dangling nodes (no out-edges) is redistributed uniformly each
+    iteration, so total mass is conserved the way standard PageRank
+    defines it (not silently lost through the edge join).
 
     Returns (id, pr_fp) where pr_fp is the rank scaled by ``_PR_SCALE``.
-    Per-edge contributions are quantized with FLOOR before the integer
-    sum, so the result is exactly reproducible regardless of partition
-    count or reduction order — the property that lets a 1000-executor
-    run and the single-node oracle agree bit-for-bit.
+    All arithmetic is exact int64 — per-edge contribution
+    ``(pr * 85) div (outdeg * 100)`` (pr ≤ 1e12 so pr*85 ≤ 8.5e13, far
+    inside int64) — so there is no float step anywhere in the pipeline:
+    the result is exactly reproducible regardless of partition count,
+    reduction order, or engine (the earlier FLOOR(pr*0.85/outdeg) form
+    differed from DuckDB by 1 ulp on some inputs because DuckDB routes
+    the product through DECIMAL).
+
+    Scale: the dangling path costs one extra |sinks|-keyed semi join +
+    1-row aggregate per iteration, and is SKIPPED entirely when a single
+    cheap setup probe finds no sinks (symmetric graphs — the common
+    case). With sinks present, the rank vector is localCheckpoint-ed per
+    iteration because it feeds two subtrees (contributions + dangling
+    sum) and lineage would otherwise double per round.
     """
     deg = edges.groupBy("u").agg(F.count("*").alias("outdeg")).cache()
+    verts = (
+        edges.select(F.col("u").alias("id"))
+        .unionAll(edges.select(F.col("v").alias("id")))
+        .distinct()
+        .cache()
+    )
     # one tiny driver-side count decides broadcast vs shuffle for the
-    # per-iteration rank join (deg is cached and reused below, so this
+    # per-iteration rank join (verts is cached and reused below, so this
     # costs one pass it was going to pay anyway)
-    n_vertices = deg.count()
+    n_vertices = verts.count()
     maybe_broadcast = (
         F.broadcast if n_vertices <= _PR_BROADCAST_MAX_VERTICES else (lambda df: df)
     )
-    n = deg.agg(F.count("*").alias("n"))
-    # rank vector and the (edges ⋈ deg) message frame are reused every
-    # iteration — cache the static part once
-    ed = edges.join(deg, "u").cache()
-    pr = deg.crossJoin(F.broadcast(n)).select(
-        F.col("u").alias("id"),
-        F.floor(F.lit(float(_PR_SCALE)) / F.col("n")).cast("long").alias("pr"),
+    sinks = verts.join(deg, verts.id == deg.u, "left_anti").select(
+        F.col("id").alias("sid")
     )
-    base = F.floor(F.lit(0.15 * _PR_SCALE) / F.col("n")).cast("long")
+    has_sinks = sinks.limit(1).count() > 0
+    n = verts.agg(F.count("*").alias("n"))
+    # the (edges ⋈ deg) message frame is reused every iteration — cache
+    # the static part once
+    ed = edges.join(deg, "u").cache()
+    pr = verts.crossJoin(F.broadcast(n)).select(
+        "id", F.expr(f"{_PR_SCALE} div n").cast("long").alias("pr")
+    )
     for _ in range(iterations):
-        pr = maybe_broadcast(pr)
-        contrib = ed.join(pr, ed.u == pr.id).select(
-            F.col("v").alias("dst"),
-            F.floor(F.col("pr") * F.lit(0.85) / F.col("outdeg"))
-            .cast("long")
-            .alias("c"),
-        )
-        pr = (
-            contrib.groupBy("dst")
-            .agg(F.sum("c").alias("recv"))
-            .crossJoin(F.broadcast(n))
+        prb = maybe_broadcast(pr)
+        recv = (
+            ed.join(prb, ed.u == prb.id)
             .select(
-                F.col("dst").alias("id"),
-                (base + F.col("recv")).cast("long").alias("pr"),
+                F.col("v").alias("dst"),
+                F.expr("(pr * 85) div (outdeg * 100)").alias("c"),
             )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("recv"))
         )
+        nxt = verts.join(recv, verts.id == recv.dst, "left").crossJoin(
+            F.broadcast(n)
+        )
+        if has_sinks:
+            dang = pr.join(F.broadcast(sinks), pr.id == sinks.sid, "left_semi").agg(
+                F.coalesce(F.sum("pr"), F.lit(0)).alias("dm")
+            )
+            pr = nxt.crossJoin(F.broadcast(dang)).select(
+                "id",
+                F.expr(
+                    f"({_PR_TELEPORT} div n) + coalesce(recv, 0L)"
+                    " + ((dm * 85) div (n * 100))"
+                )
+                .cast("long")
+                .alias("pr"),
+            ).localCheckpoint()
+        else:
+            pr = nxt.select(
+                "id",
+                F.expr(f"({_PR_TELEPORT} div n) + coalesce(recv, 0L)")
+                .cast("long")
+                .alias("pr"),
+            )
     return pr
 
 
@@ -139,27 +182,27 @@ def pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
     deg AS (SELECT u, COUNT(*) AS outdeg FROM edges GROUP BY u),
     n AS (SELECT COUNT(*) AS n FROM deg),
     pr0 AS (
-        SELECT u AS id, CAST(FLOOR({_PR_SCALE}.0 / n.n) AS BIGINT) AS pr
+        SELECT u AS id, CAST({_PR_SCALE} // n.n AS BIGINT) AS pr
         FROM deg CROSS JOIN n
     ),
     it1 AS (
         SELECT e.v AS id,
-               CAST(FLOOR({0.15 * _PR_SCALE} / n.n) AS BIGINT)
-               + SUM(CAST(FLOOR(p.pr * 0.85 / d.outdeg) AS BIGINT)) AS pr
+               CAST({_PR_TELEPORT} // n.n AS BIGINT)
+               + SUM((p.pr * 85) // (d.outdeg * 100)) AS pr
         FROM edges e JOIN pr0 p ON e.u = p.id JOIN deg d ON e.u = d.u
         CROSS JOIN n GROUP BY e.v, n.n
     ),
     it2 AS (
         SELECT e.v AS id,
-               CAST(FLOOR({0.15 * _PR_SCALE} / n.n) AS BIGINT)
-               + SUM(CAST(FLOOR(p.pr * 0.85 / d.outdeg) AS BIGINT)) AS pr
+               CAST({_PR_TELEPORT} // n.n AS BIGINT)
+               + SUM((p.pr * 85) // (d.outdeg * 100)) AS pr
         FROM edges e JOIN it1 p ON e.u = p.id JOIN deg d ON e.u = d.u
         CROSS JOIN n GROUP BY e.v, n.n
     ),
     it3 AS (
         SELECT e.v AS id,
-               CAST(FLOOR({0.15 * _PR_SCALE} / n.n) AS BIGINT)
-               + SUM(CAST(FLOOR(p.pr * 0.85 / d.outdeg) AS BIGINT)) AS pr
+               CAST({_PR_TELEPORT} // n.n AS BIGINT)
+               + SUM((p.pr * 85) // (d.outdeg * 100)) AS pr
         FROM edges e JOIN it2 p ON e.u = p.id JOIN deg d ON e.u = d.u
         CROSS JOIN n GROUP BY e.v, n.n
     )
@@ -206,65 +249,85 @@ def personalized_pagerank(
     Scale: seeds are a tiny frame — broadcast both into the init and the
     per-iteration redeposit; each iteration is the same one shuffle join
     (rank ⋈ edges on src) + one groupBy dst as uniform PageRank, and the
-    rank vector stays |V| rows. Nothing here grows with |S|.
+    rank vector stays |V| rows. Nothing here grows with |S|. Dangling
+    (no-out-edge) mass redeposits on the SEEDS — the standard PPR restart
+    semantics — via the same probe-once/skip-when-absent path as
+    :func:`pagerank`.
     """
     deg = edges.groupBy("u").agg(F.count("*").alias("outdeg")).cache()
-    n_vertices = deg.count()
+    verts = (
+        edges.select(F.col("u").alias("id"))
+        .unionAll(edges.select(F.col("v").alias("id")))
+        .distinct()
+        .cache()
+    )
+    n_vertices = verts.count()
     maybe_broadcast = (
         F.broadcast if n_vertices <= _PR_BROADCAST_MAX_VERTICES else (lambda df: df)
     )
-    seeds = seeds.join(deg, seeds.id == deg.u, "left_semi").select("id")
+    sinks = verts.join(deg, verts.id == deg.u, "left_anti").select(
+        F.col("id").alias("sid")
+    )
+    has_sinks = sinks.limit(1).count() > 0
+    seeds = seeds.join(verts, "id", "left_semi")
     ns = seeds.agg(F.count("*").alias("ns"))
     ed = edges.join(deg, "u").cache()
     seed_marked = (
-        deg.select(F.col("u").alias("id"))
-        .join(F.broadcast(seeds.withColumn("is_seed", F.lit(1))), "id", "left")
+        verts.join(F.broadcast(seeds.withColumn("is_seed", F.lit(1))), "id", "left")
         .select("id", F.coalesce("is_seed", F.lit(0)).alias("is_seed"))
     )
     pr = seed_marked.crossJoin(F.broadcast(ns)).select(
         "id",
-        (
-            F.col("is_seed")
-            * F.floor(F.lit(float(_PR_SCALE)) / F.col("ns")).cast("long")
-        ).alias("pr"),
+        F.expr(f"is_seed * ({_PR_SCALE} div ns)").cast("long").alias("pr"),
     )
     for _ in range(iterations):
-        pr = maybe_broadcast(pr)
+        prb = maybe_broadcast(pr)
         recv = (
-            ed.join(pr, ed.u == pr.id)
+            ed.join(prb, ed.u == prb.id)
             .select(
                 F.col("v").alias("dst"),
-                F.floor(F.col("pr") * F.lit(0.85) / F.col("outdeg"))
-                .cast("long")
-                .alias("c"),
+                F.expr("(pr * 85) div (outdeg * 100)").alias("c"),
             )
             .groupBy("dst")
             .agg(F.sum("c").alias("recv"))
         )
-        pr = (
-            seed_marked.join(recv, seed_marked.id == recv.dst, "left")
-            .crossJoin(F.broadcast(ns))
-            .select(
-                "id",
-                (
-                    F.col("is_seed")
-                    * F.floor(F.lit(0.15 * _PR_SCALE) / F.col("ns")).cast("long")
-                    + F.coalesce(F.col("recv"), F.lit(0))
-                ).cast("long").alias("pr"),
-            )
+        nxt = seed_marked.join(recv, seed_marked.id == recv.dst, "left").crossJoin(
+            F.broadcast(ns)
         )
+        if has_sinks:
+            dang = pr.join(F.broadcast(sinks), pr.id == sinks.sid, "left_semi").agg(
+                F.coalesce(F.sum("pr"), F.lit(0)).alias("dm")
+            )
+            pr = nxt.crossJoin(F.broadcast(dang)).select(
+                "id",
+                F.expr(
+                    f"is_seed * (({_PR_TELEPORT} div ns)"
+                    " + ((dm * 85) div (ns * 100))) + coalesce(recv, 0L)"
+                )
+                .cast("long")
+                .alias("pr"),
+            ).localCheckpoint()
+        else:
+            pr = nxt.select(
+                "id",
+                F.expr(
+                    f"is_seed * ({_PR_TELEPORT} div ns) + coalesce(recv, 0L)"
+                )
+                .cast("long")
+                .alias("pr"),
+            )
     return pr
 
 
 _PPR_ORACLE_ITER = """
     it{k} AS (
         SELECT m.id,
-               CAST(m.is_seed * FLOOR({teleport} / ns.ns) AS BIGINT)
+               CAST(m.is_seed * ({teleport} // ns.ns) AS BIGINT)
                + COALESCE(r.recv, 0) AS pr
         FROM marked m CROSS JOIN ns
         LEFT JOIN (
             SELECT e.v AS dst,
-                   SUM(CAST(FLOOR(p.pr * 0.85 / d.outdeg) AS BIGINT)) AS recv
+                   SUM((p.pr * 85) // (d.outdeg * 100)) AS recv
             FROM edges e JOIN it{prev} p ON e.u = p.id JOIN deg d ON e.u = d.u
             GROUP BY e.v
         ) r ON m.id = r.dst
@@ -292,12 +355,12 @@ _PPR_ORACLE_ITER = """
     ),
     it0 AS (
         SELECT m.id,
-               CAST(m.is_seed * FLOOR({_PR_SCALE}.0 / ns.ns) AS BIGINT) AS pr
+               CAST(m.is_seed * ({_PR_SCALE} // ns.ns) AS BIGINT) AS pr
         FROM marked m CROSS JOIN ns
     ),
-    {_PPR_ORACLE_ITER.format(k=1, prev=0, teleport=0.15 * _PR_SCALE).lstrip()},
-    {_PPR_ORACLE_ITER.format(k=2, prev=1, teleport=0.15 * _PR_SCALE).lstrip()},
-    {_PPR_ORACLE_ITER.format(k=3, prev=2, teleport=0.15 * _PR_SCALE).lstrip()}
+    {_PPR_ORACLE_ITER.format(k=1, prev=0, teleport=_PR_TELEPORT).lstrip()},
+    {_PPR_ORACLE_ITER.format(k=2, prev=1, teleport=_PR_TELEPORT).lstrip()},
+    {_PPR_ORACLE_ITER.format(k=3, prev=2, teleport=_PR_TELEPORT).lstrip()}
     SELECT id AS node_id,
            CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
            CAST(pr AS BIGINT) AS ppr_fp
