@@ -62,6 +62,13 @@ HEADLINE = (
 
 RUNS = 3
 
+#: full-suite passes; the recorded per-query number is the MIN of the
+#: per-pass medians. Two time-separated passes plus min-taking make a
+#: transient ambient-load spike visible (the passes disagree) instead of
+#: silently inflating the record (the round-7 lesson: one sample taken at
+#: loadavg 3.4 read uniformly ~1.2x high and only prose explained it).
+PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -69,40 +76,50 @@ def materialize(df) -> None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    # Host-load self-description (BENCH_r05 lesson: a loaded host inflated
-    # every timing ~1.7x and only BASELINE.md prose explained it). A sample
-    # is "quiet" when the 1-min load is below half the cores Spark uses.
-    load_before = os.getloadavg()[0]
     spark = get_session("bench")
     queries = load_all_queries()
 
     materialize(queries["q_flagship_pricing"](spark, sf_dir))  # JVM warmup
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        materialize(queries[name](spark, sf_dir))  # per-query warmup
-        samples = []
-        for _ in range(RUNS):
-            t0 = time.perf_counter()
-            materialize(queries[name](spark, sf_dir))
-            samples.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(samples), 3)
+    passes: list[dict] = []
+    for _ in range(PASSES):
+        load_before = os.getloadavg()[0]
+        timings: dict[str, float] = {}
+        for name in HEADLINE:
+            materialize(queries[name](spark, sf_dir))  # per-query warmup
+            samples = []
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                materialize(queries[name](spark, sf_dir))
+                samples.append(time.perf_counter() - t0)
+            timings[name] = round(statistics.median(samples), 3)
+        passes.append(
+            {
+                "queries": timings,
+                "loadavg_before": round(load_before, 2),
+                "loadavg_after": round(os.getloadavg()[0], 2),
+            }
+        )
 
-    load_after = os.getloadavg()[0]
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))
-    # External load = what the box carried beyond this bench's own work;
-    # the pre-bench sample is the cleanest signal of that.
-    quiet = load_before < cpus / 2
+    best = {
+        name: min(p["queries"][name] for p in passes) for name in HEADLINE
+    }
+    # External load = what the box carried beyond this bench's own work.
+    # The old cpus/2 threshold passed a loadavg-3.4 host that measurably
+    # inflated every query ~1.2x; < 2 is the truthful bar (VERDICT r7 #7).
+    min_load = min(p["loadavg_before"] for p in passes)
+    quiet = min_load < 2
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall_sec",
-                "value": round(sum(timings.values()), 3),
+                "value": round(sum(best.values()), 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": best,
                 "sf": sf_dir,
-                "loadavg_before": round(load_before, 2),
-                "loadavg_after": round(load_after, 2),
+                "samples": passes,
+                "loadavg_before": passes[0]["loadavg_before"],
+                "loadavg_after": passes[-1]["loadavg_after"],
                 "host_quiet": quiet,
             }
         )

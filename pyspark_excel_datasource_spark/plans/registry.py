@@ -102,19 +102,76 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 #: Driver-facing evaluation order. The driver's correctness gate walks
 #: ``queries()`` in registration order with a 50-query cutoff (observed in
-#: rounds 1-6), so this list IS the audit window. Round-7 rotation policy
-#: (VERDICT_r6 "Next round #1"): 70 queries authored late in round 6 have
-#: never appeared in any CORRECTNESS_r*.json — the judge verified all 70
-#: green via local parity, but the driver's own record should hold the
-#: verdicts. Slots 1-50 are the first 50 of that backlog (in their
-#: round-6 queue order); the remaining 20 fill slots 51-70 and head the
-#: round-8 rotation if the driver doesn't widen. New round-7 operators
-#: queue immediately after (same precedent as rounds 5 and 6). All prior
-#: greens keep their recorded verdicts and follow in registration order.
+#: rounds 1-7), so this list IS the audit window. Round-8 rotation policy
+#: (VERDICT r7 "Next round #1"): after the round-7 window landed 50/50
+#: green, exactly 52 registered queries still have no driver verdict —
+#: the 20-query round-6 remainder plus the 32 round-7 additions (all
+#: judge-verified green via local parity, r7). Slots 1-50 are the first
+#: 50 of that backlog; the 2 overflow plus round-8's new operators head
+#: the round-9 rotation. All prior greens keep their recorded verdicts
+#: and follow in registration order.
 _PRIORITY: tuple[str, ...] = (
-    # A. round-7 gate window: first 50 of the 70 never-driver-verdicted
-    #    queries (authored round 6 after that window froze; all
-    #    local-parity green at sf0.001 and sf0.01, judge-verified r6)
+    # A. round-8 gate window: the never-driver-verdicted backlog.
+    # A1. round-6 remainder (20)
+    "q_fn_xml",
+    "q_agg_hll_union",
+    "q_fn_collation",
+    "q_sql_pipe",
+    "q_fn_try",
+    "q_event_autocorr",
+    "q_session_entry_exit",
+    "q_rfm_segments",
+    "q_cohort_ltv",
+    "q_market_basket",
+    "q_benford_audit",
+    "q_gini_concentration",
+    "q_peak_detection",
+    "q_repurchase_intervals",
+    "q_hhi_concentration",
+    "q_seasonality_strength",
+    "q_abc_classification",
+    "q_fulfillment_latency",
+    "q_return_rates",
+    "q_discount_lift",
+    # A2. round-7 additions (32); the last 2 overflow a 50-slot window
+    #     and head round 9 together with section B
+    "q_scan_excel_recursive",
+    "q_scan_excel_allsheets",
+    "q_sim_ann_lsh_oracled",
+    "q_sim_ann_ivf_oracled",
+    "q_stream_tws",
+    "q_sql_scripting",
+    "q_dedup_embed_lsh_oracled",
+    "q_sim_ann_pq_oracled",
+    "q_dedup_incremental_lsh_oracled",
+    "q_execute_immediate",
+    "q_scan_tarshard",
+    "q_sink_tarshard",
+    "q_stream_tarshard",
+    "q_multimodal_tarshard",
+    "q_pipeline_tarshard_ingest",
+    "q_graph_pagerank",
+    "q_graph_triangles",
+    "q_dedup_containment",
+    "q_zipf_slope",
+    "q_pmi_collocations",
+    "q_tpch_q14ish",
+    "q_tpch_q12ish",
+    "q_tpch_q21ish",
+    "q_tpch_q8ish",
+    "q_sink_parquet_bloom",
+    "q_dedup_semantic_cluster",
+    "q_text_ngram_novelty",
+    "q_scan_xml",
+    "q_sink_xml",
+    "q_graph_ppr",
+    "q_graph_randomwalk",
+    "q_graph_kcore",
+    # B. authored in round 8 (each name appended here as it lands);
+    #    local-parity green before registration, queued for the round-9
+    #    gate window behind A's overflow
+    # C. prior greens: the round-7 window first (re-verdicted r7), then
+    #    the round-6 window, then remaining greens in registration order
     "q_tpch_q7ish",
     "q_tpch_q18ish",
     "q_fn_url",
@@ -165,67 +222,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_win_ntile",
     "q_transpose",
     "q_agg_listagg",
-    # ---- end of the 50-slot round-7 window ----
-    # B. remainder of the never-verdicted backlog (20): next in line if
-    #    the driver widens its window; otherwise the round-8 rotation head
-    "q_fn_xml",
-    "q_agg_hll_union",
-    "q_fn_collation",
-    "q_sql_pipe",
-    "q_fn_try",
-    "q_event_autocorr",
-    "q_session_entry_exit",
-    "q_rfm_segments",
-    "q_cohort_ltv",
-    "q_market_basket",
-    "q_benford_audit",
-    "q_gini_concentration",
-    "q_peak_detection",
-    "q_repurchase_intervals",
-    "q_hhi_concentration",
-    "q_seasonality_strength",
-    "q_abc_classification",
-    "q_fulfillment_latency",
-    "q_return_rates",
-    "q_discount_lift",
-    # C. authored in round 7 (each name appended here as it lands);
-    #    local-parity green before registration, queued for the
-    #    round-8 gate window behind section B
-    "q_scan_excel_recursive",
-    "q_scan_excel_allsheets",
-    "q_sim_ann_lsh_oracled",
-    "q_sim_ann_ivf_oracled",
-    "q_stream_tws",
-    "q_sql_scripting",
-    "q_dedup_embed_lsh_oracled",
-    "q_sim_ann_pq_oracled",
-    "q_dedup_incremental_lsh_oracled",
-    "q_execute_immediate",
-    "q_scan_tarshard",
-    "q_sink_tarshard",
-    "q_stream_tarshard",
-    "q_multimodal_tarshard",
-    "q_pipeline_tarshard_ingest",
-    "q_graph_pagerank",
-    "q_graph_triangles",
-    "q_dedup_containment",
-    "q_zipf_slope",
-    "q_pmi_collocations",
-    "q_tpch_q14ish",
-    "q_tpch_q12ish",
-    "q_tpch_q21ish",
-    "q_tpch_q8ish",
-    "q_sink_parquet_bloom",
-    "q_dedup_semantic_cluster",
-    "q_text_ngram_novelty",
-    "q_scan_xml",
-    "q_sink_xml",
-    "q_graph_ppr",
-    "q_graph_randomwalk",
-    "q_graph_kcore",
-    # D. prior greens, most recently re-verdicted first (round-6 window),
-    #    in case the driver widens further; remaining greens follow in
-    #    registration order.
     "q_tpch_q3ish",
     "q_winsorize_by_group",
     "q_corr_matrix",

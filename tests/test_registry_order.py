@@ -35,55 +35,23 @@ def test_probes_retired():
     assert not any(n.startswith("q_probe_dec_") for n in _ordered_names())
 
 
-#: Queries authored in round 7 — appended to registry section C as they
-#: land; they queue for the round-8 gate window behind the 20-name
-#: section-B backlog.
-ROUND7_AUTHORED: set[str] = {
-    "q_scan_excel_recursive",
-    "q_scan_excel_allsheets",
-    "q_sim_ann_lsh_oracled",
-    "q_sim_ann_ivf_oracled",
-    "q_stream_tws",
-    "q_sql_scripting",
-    "q_dedup_embed_lsh_oracled",
-    "q_sim_ann_pq_oracled",
-    "q_dedup_incremental_lsh_oracled",
-    "q_execute_immediate",
-    "q_scan_tarshard",
-    "q_sink_tarshard",
-    "q_stream_tarshard",
-    "q_multimodal_tarshard",
-    "q_pipeline_tarshard_ingest",
-    "q_graph_pagerank",
-    "q_graph_triangles",
-    "q_dedup_containment",
-    "q_zipf_slope",
-    "q_pmi_collocations",
-    "q_tpch_q14ish",
-    "q_tpch_q12ish",
-    "q_tpch_q21ish",
-    "q_tpch_q8ish",
-    "q_sink_parquet_bloom",
-    "q_dedup_semantic_cluster",
-    "q_text_ngram_novelty",
-    "q_scan_xml",
-    "q_sink_xml",
-    "q_graph_ppr",
-    "q_graph_randomwalk",
-    "q_graph_kcore",
-}
+#: Queries authored in round 8 — appended to registry section B as they
+#: land; they queue for the round-9 gate window behind the 2-name
+#: overflow of section A.
+ROUND8_AUTHORED: set[str] = set()
 
 
-def test_round7_window_composition():
-    """Round-7 window (VERDICT_r6 next-round #1): the 70 queries with NO
-    driver verdict in rounds 1-6 rotate into the gate. Slots 1-50 hold the
-    first 50; slots 51-70 the remaining 20 (round-8 rotation head). Every
-    query outside the first 70 must either hold a recorded driver verdict
-    in CORRECTNESS_r01-r06 or be authored this round (section C)."""
+def test_round8_window_composition():
+    """Round-8 window (VERDICT r7 next-round #1): the 52 queries with NO
+    driver verdict in rounds 1-7 rotate into the gate. Slots 1-50 hold the
+    first 50; slots 51-52 the overflow (round-9 rotation head, followed by
+    round-8's own additions). Every query outside the first 52 must either
+    hold a recorded driver verdict in CORRECTNESS_r01-r07 or be authored
+    this round (section B)."""
     names = _ordered_names()
 
     seen: set[str] = set()
-    for r in ("01", "02", "03", "04", "05", "06"):
+    for r in ("01", "02", "03", "04", "05", "06", "07"):
         seen.update(json.loads((REPO / f"CORRECTNESS_r{r}.json").read_text()))
 
     rows_only = {
@@ -99,23 +67,23 @@ def test_round7_window_composition():
         "q_sim_ann_pq",
     }
     backlog = [n for n in names if n not in seen and n not in rows_only]
-    never_verdicted = [n for n in backlog if n not in ROUND7_AUTHORED]
+    never_verdicted = [n for n in backlog if n not in ROUND8_AUTHORED]
     assert names[:50] == never_verdicted[:50], (
-        "round-7 window must be the first 50 never-driver-verdicted queries"
+        "round-8 window must be the first 50 never-driver-verdicted queries"
     )
-    assert names[50:70] == never_verdicted[50:70], (
-        "slots 51-70 must hold the rest of the never-verdicted backlog"
+    assert names[50:52] == never_verdicted[50:52], (
+        "slots 51-52 must hold the rest of the never-verdicted backlog"
     )
-    assert len(never_verdicted) == 70, (
-        f"expected exactly 70 never-verdicted round-6 holdovers, got "
+    assert len(never_verdicted) == 52, (
+        f"expected exactly 52 never-verdicted holdovers, got "
         f"{len(never_verdicted)}"
     )
-    # round-7 queries land right behind the backlog so a widened driver
-    # window reaches them this round, and the round-8 rotation is cheap
-    authored = [n for n in names if n in ROUND7_AUTHORED]
+    # round-8 queries land right behind the backlog so a widened driver
+    # window reaches them this round, and the round-9 rotation is cheap
+    authored = [n for n in names if n in ROUND8_AUTHORED]
     if authored:
         start = names.index(authored[0])
-        assert start == 70, "round-7 queries must start at slot 71"
+        assert start == 52, "round-8 queries must start at slot 53"
         assert names[start : start + len(authored)] == authored
 
 
