@@ -1,130 +1,20 @@
 #!/usr/bin/env python
-"""Benchmark the headline queries (BASELINE.md v1 table).
-
-Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]``. Protocol per BASELINE.md: warm the JVM with
-a discarded flagship run, then median of 3 wall-clock timings per query.
-Each timing forces full materialization through the noop sink (count()
-would let Catalyst prune the compute).
-
-Prints ONE JSON line:
-  {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <dir>}
+"""Driver-contract shim: the benchmark lives in
+``pyspark_excel_datasource_spark.benchmark`` (also exposed as the
+``pyspark-graft-bench`` console script once the package is installed);
+this root-level entry keeps the driver's ``python bench.py`` invocation
+working from a bare checkout. Prints ONE JSON line — see the module
+docstring for the schema.
 """
 
 from __future__ import annotations
 
-import json
 import os
-import statistics
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pyspark_excel_datasource_spark.plans.registry import load_all_queries
-from pyspark_excel_datasource_spark.session import get_session
-
-#: q_dedup_minhash (not q_dedup_near) is the timed dedup path: the exact
-#: inverted-index join costs Σ_shingle df² and the module itself documents
-#: it as the correctness baseline, not the operator to run at scale. The
-#: exact path stays cross-checked by the sf0.01 correctness gate.
-HEADLINE = (
-    "q_flagship_pricing",
-    "q_tpch_q5ish",
-    "q_join_star3",
-    "q_agg_rollup",
-    "q_win_frame",
-    "q_topk",
-    "q_sim_topk",
-    "q_dedup_minhash",
-    "q_text_tfidf",
-    # round-5 additions: the newest scale paths (PQ-compressed ANN and
-    # greedy context packing) so regressions on them surface per-round
-    "q_sim_ann_pq",
-    "q_pack_context",
-    "q_join_bloom",
-    "q_attribution",
-    # round-6 additions: the distributed-skyline prune and the interval
-    # rolling-DAU plan — both replace naive O(n²)/O(n·days) forms, so
-    # their absolute cost is the proof the clever plan stays cheap
-    "q_skyline_pareto",
-    "q_rolling_dau",
-    # round-7 addition: the Python-data-source ingest path (tar shards →
-    # typed columns) so a worker-side regression in the custom source
-    # surfaces per-round like the JVM plans do
-    "q_scan_tarshard",
-    # round-7 addition: the fixed-point PageRank — an iterative
-    # multi-join plan whose per-iteration shuffle cost is the scale
-    # story for every graph op in the module
-    "q_graph_pagerank",
-)
-
-RUNS = 3
-
-#: full-suite passes; the recorded per-query number is the MIN of the
-#: per-pass medians. Two time-separated passes plus min-taking make a
-#: transient ambient-load spike visible (the passes disagree) instead of
-#: silently inflating the record (the round-7 lesson: one sample taken at
-#: loadavg 3.4 read uniformly ~1.2x high and only prose explained it).
-PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
-
-
-def materialize(df) -> None:
-    df.write.format("noop").mode("overwrite").save()
-
-
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_session("bench")
-    queries = load_all_queries()
-
-    materialize(queries["q_flagship_pricing"](spark, sf_dir))  # JVM warmup
-
-    passes: list[dict] = []
-    for _ in range(PASSES):
-        load_before = os.getloadavg()[0]
-        timings: dict[str, float] = {}
-        for name in HEADLINE:
-            materialize(queries[name](spark, sf_dir))  # per-query warmup
-            samples = []
-            for _ in range(RUNS):
-                t0 = time.perf_counter()
-                materialize(queries[name](spark, sf_dir))
-                samples.append(time.perf_counter() - t0)
-            timings[name] = round(statistics.median(samples), 3)
-        passes.append(
-            {
-                "queries": timings,
-                "loadavg_before": round(load_before, 2),
-                "loadavg_after": round(os.getloadavg()[0], 2),
-            }
-        )
-
-    best = {
-        name: min(p["queries"][name] for p in passes) for name in HEADLINE
-    }
-    # External load = what the box carried beyond this bench's own work.
-    # The old cpus/2 threshold passed a loadavg-3.4 host that measurably
-    # inflated every query ~1.2x; < 2 is the truthful bar (VERDICT r7 #7).
-    min_load = min(p["loadavg_before"] for p in passes)
-    quiet = min_load < 2
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_sec",
-                "value": round(sum(best.values()), 3),
-                "unit": "sec",
-                "queries": best,
-                "sf": sf_dir,
-                "samples": passes,
-                "loadavg_before": passes[0]["loadavg_before"],
-                "loadavg_after": passes[-1]["loadavg_after"],
-                "host_quiet": quiet,
-            }
-        )
-    )
-
+from pyspark_excel_datasource_spark.benchmark import main
 
 if __name__ == "__main__":
     main()
