@@ -170,6 +170,8 @@ _PRIORITY: tuple[str, ...] = (
     # B. authored in round 8 (each name appended here as it lands);
     #    local-parity green before registration, queued for the round-9
     #    gate window behind A's overflow
+    "q_scan_avro",
+    "q_sink_avro",
     # C. prior greens: the round-7 window first (re-verdicted r7), then
     #    the round-6 window, then remaining greens in registration order
     "q_tpch_q7ish",

@@ -1,6 +1,6 @@
-"""ORC source + sink queries (SURVEY §2.3 source-matrix breadth beyond
-the reference's single Excel format; see also ``text_formats`` for the
-line-delimited half of the matrix).
+"""ORC + Avro source/sink queries (SURVEY §2.3 source-matrix breadth
+beyond the reference's single Excel format; see also ``text_formats``
+for the line-delimited half of the matrix).
 
 ORC is Spark's second first-class columnar format: like parquet it has
 stripe-level min/max statistics (so predicate pushdown skips stripes),
@@ -197,3 +197,114 @@ def q_sink_parquet_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id").isin(1, 2, 3))
         .select("event_id", "user_id", "event_type", "value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Avro (pyavro Python DataSource, sources/avrofile.py)
+# ---------------------------------------------------------------------------
+
+
+def _materialize_orders_avro(spark: SparkSession, sf_dir: str) -> str:
+    """orders.parquet → orders.avro/ (multi-part directory written by the
+    pyavro staged-commit writer), idempotent per SF."""
+    from .avrofile import register_pyavro
+
+    register_pyavro(spark)
+    out = os.path.join(_fixture_dir(sf_dir), "orders.avro")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (
+            spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+            .repartition(4)
+            .write.format("pyavro")
+            .mode("overwrite")
+            .save(out)
+        )
+    return out
+
+
+@query(
+    "q_scan_avro",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                AS DECIMAL(38,2)) AS VARCHAR) AS sum_price,
+           CAST(MIN(o_orderdate) AS VARCHAR) AS first_order
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_scan_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro scan through the pure-Python ``pyavro`` container-file source
+    (``sources/avrofile.py``: spec-clean codec, sync-marker byte-range
+    splits, Arrow-batch decode), then a filtered grouped aggregate. The
+    fixture is written by the pyavro writer itself from the original
+    parquet, and the DuckDB oracle reads that original parquet — so the
+    hash check exercises the FULL Avro encode+decode path including the
+    timestamp-micros logical type (surfaced via the min-order-date
+    column). Filters/pruning stay Spark-side (the Python DataSource API
+    has no pushdown hook yet); the scan parallelism comes from
+    file × byte-range splits like the JVM file formats.
+    """
+    from .avrofile import register_pyavro
+
+    register_pyavro(spark)
+    path = _materialize_orders_avro(spark, sf_dir)
+    return (
+        spark.read.format("pyavro")
+        .load(path)
+        .filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .cast("string")
+            .alias("sum_price"),
+            F.min("o_orderdate").cast("string").alias("first_order"),
+        )
+    )
+
+
+@query(
+    "q_sink_avro",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                AS DECIMAL(38,2)) AS VARCHAR) AS sum_price
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_sink_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro sink roundtrip: aggregate → deflate-compressed Avro directory
+    write (staged parts + commit rename, so a failed task never leaves a
+    half-written file) → read back through the splittable reader. The
+    deflate codec path and the decimal-as-string row values make any
+    encode corruption hash-visible; the upstream aggregate keeps the
+    fixture small while still exercising one file per partition.
+    """
+    from .avrofile import register_pyavro
+
+    register_pyavro(spark)
+    out = os.path.join(_fixture_dir(sf_dir), "pricing_summary_avro")
+    src = (
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .cast("string")
+            .alias("sum_price"),
+        )
+    )
+    (
+        src.write.format("pyavro")
+        .mode("overwrite")
+        .option("compression", "deflate")
+        .save(out)
+    )
+    return spark.read.format("pyavro").load(out)

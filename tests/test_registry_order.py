@@ -38,7 +38,10 @@ def test_probes_retired():
 #: Queries authored in round 8 — appended to registry section B as they
 #: land; they queue for the round-9 gate window behind the 2-name
 #: overflow of section A.
-ROUND8_AUTHORED: set[str] = set()
+ROUND8_AUTHORED: set[str] = {
+    "q_scan_avro",
+    "q_sink_avro",
+}
 
 
 def test_round8_window_composition():
