@@ -392,9 +392,11 @@ def connected_min_labels(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     return labels
 
 
-@query(
-    "q_dedup_clusters",
-    oracle=f"""
+#: Recursive-CTE reachability oracle for cluster labels over the exact
+#: near-dup pair graph — shared by ``q_dedup_clusters`` (min-label
+#: propagation) and ``graph.q_graph_cc`` (large-star/small-star), which
+#: must produce BIT-IDENTICAL labels by construction.
+CLUSTERS_ORACLE = f"""
     WITH RECURSIVE sh AS (
         SELECT doc_id,
                LIST_DISTINCT([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
@@ -425,8 +427,10 @@ def connected_min_labels(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     SELECT id AS doc_id, MIN(r) AS cluster_id,
            (MIN(r) = id) AS is_kept
     FROM reach GROUP BY id
-    """,
-)
+    """
+
+
+@query("q_dedup_clusters", oracle=CLUSTERS_ORACLE)
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup *clusters*: transitive closure over the exact pair list,
     keep-min-doc_id-per-cluster (SURVEY §2.4's connected-components-lite).

@@ -757,3 +757,129 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("core_deg").cast("long").alias("core_deg"),
         F.col("stable"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components: alternating large-star / small-star
+# ---------------------------------------------------------------------------
+
+
+def connected_components_star(
+    edges: DataFrame, max_rounds: int = 30, stats: dict | None = None
+) -> DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR
+    rounds — the O(log n)-round MapReduce CC construction (Kiveris,
+    Lattanzi, Mirrokni, Rastogi, Vassilvitskii: "Connected Components in
+    MapReduce and Beyond", ACM SoCC 2014; public algorithm, reimplemented
+    here as plain DataFrame aggregations).
+
+    Returns (id, cluster_id) with cluster_id = the component's minimum
+    node id — the SAME labels as ``dedup.connected_min_labels``, whose
+    min-label propagation needs O(diameter) rounds: on chain-shaped
+    (adversarial) graphs that is O(n) shuffles, while the star
+    alternation provably collapses any component in O(log n) rounds.
+    This is the 100 TB-safe spelling; the property test pins the round
+    count on chains.
+
+    Per round each star op is one groupBy(min) over the current edge
+    set plus one join back — two shuffles keyed on node id, edge count
+    never grows above the input (plus one parent pointer per node). The
+    edge frame is localCheckpoint-ed per round (it feeds both ops and
+    the convergence probe), and convergence is detected by a (count,
+    order-insensitive xxhash checksum) signature — one tiny job per
+    round, no data to the driver.
+
+    ``stats``, when provided, receives {"rounds": r, "converged": bool}.
+    """
+    # drop self-loops and orient (max, min): small-star's canonical form,
+    # which both star ops preserve (all emitted edges point u -> smaller)
+    e = (
+        edges.filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    rounds = 0
+    converged = False
+    for _ in range(max_rounds):
+        rounds += 1
+        # LARGE-STAR: symmetrize, then connect every neighbor v > u to
+        # m = min(N(u) ∪ {u}) — hub nodes hand their big neighborhoods
+        # to their minimum in one round
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        e = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # SMALL-STAR: per node u over its ≤-neighbors Γ(u), connect
+        # everything (u included) to m = min(Γ(u) ∪ {u})
+        o = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).filter(F.col("u") != F.col("v"))
+        mins = o.groupBy("u").agg(F.min("v").alias("m"))
+        e = (
+            o.join(mins, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins.select("u", F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint()
+        )
+        sig = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+        ).first()
+        sig = (sig["n"], sig["h"])
+        if sig == prev_sig:
+            converged = True
+            break
+        prev_sig = sig
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["converged"] = converged
+    # converged edge set is a star forest u -> component min; roots
+    # appear only on the v side and label themselves
+    return e.select(F.col("u").alias("id"), F.col("v").alias("cluster_id")).unionByName(
+        e.select(F.col("v").alias("id"), F.col("v").alias("cluster_id"))
+    ).distinct()
+
+
+def _cc_oracle() -> str:
+    from .dedup import CLUSTERS_ORACLE
+
+    return CLUSTERS_ORACLE
+
+
+@query("q_graph_cc", oracle=_cc_oracle())
+def q_graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the exact near-duplicate pair graph via
+    large-star/small-star — same labels, same oracle, same output schema
+    as ``q_dedup_clusters``'s min-label propagation, but in O(log n)
+    rounds instead of O(diameter): the spelling that survives
+    adversarial chain-shaped duplicate graphs at 100 TB. Nodes outside
+    any pair are absent (exactly like the propagation form); is_kept
+    marks each cluster's surviving minimum doc.
+    """
+    from .dedup import _NEAR_DUP_THRESHOLD, _exact_pairs, _shingles
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = _exact_pairs(_shingles(docs), _NEAR_DUP_THRESHOLD).select(
+        F.col("d1").alias("u"), F.col("d2").alias("v")
+    )
+    labels = connected_components_star(pairs)
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        "cluster_id",
+        (F.col("cluster_id") == F.col("id")).alias("is_kept"),
+    )

@@ -172,6 +172,7 @@ _PRIORITY: tuple[str, ...] = (
     #    gate window behind A's overflow
     "q_scan_avro",
     "q_sink_avro",
+    "q_graph_cc",
     # C. prior greens: the round-7 window first (re-verdicted r7), then
     #    the round-6 window, then remaining greens in registration order
     "q_tpch_q7ish",

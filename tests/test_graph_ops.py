@@ -169,3 +169,93 @@ def test_kcore_matches_sequential_peel_to_fixpoint(spark):
     rows = kcore_peel(edges, kdf, rounds=5).collect()
     assert all(r.stable == 1 for r in rows)
     assert {r.id: r.core_deg for r in rows} == want
+
+
+# ---------------------------------------------------------------------------
+# Large-star / small-star connected components
+# ---------------------------------------------------------------------------
+
+
+def _union_find_labels(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_cc_star_matches_union_find(spark):
+    from pyspark_excel_datasource_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    raw = [(1, 2), (2, 3), (7, 8), (9, 9), (10, 11), (11, 12), (12, 10), (5, 4)]
+    edges = spark.createDataFrame(raw, "u long, v long")
+    stats = {}
+    got = {
+        r.id: r.cluster_id
+        for r in connected_components_star(edges, stats=stats).collect()
+    }
+    want = _union_find_labels([(a, b) for a, b in raw if a != b])
+    assert got == want
+    assert stats["converged"]
+
+
+def test_cc_star_chain_converges_in_log_rounds(spark):
+    """The whole point of the star alternation: a 256-node chain (diameter
+    255 — min-label propagation would need ~255 rounds) collapses in
+    O(log n) rounds."""
+    from pyspark_excel_datasource_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    n = 256
+    chain = [(i, i + 1) for i in range(n - 1)]
+    edges = spark.createDataFrame(chain, "u long, v long")
+    stats = {}
+    labels = {
+        r.id: r.cluster_id
+        for r in connected_components_star(edges, stats=stats).collect()
+    }
+    assert labels == {i: 0 for i in range(n)}
+    assert stats["converged"]
+    # provable O(log n); allow head-room over log2(256)=8 for the
+    # orientation warm-up rounds
+    assert stats["rounds"] <= 12, f"took {stats['rounds']} rounds"
+
+
+def test_cc_star_bit_identical_to_min_label_propagation(spark):
+    from pyspark_excel_datasource_spark.operators.dedup import (
+        connected_min_labels,
+    )
+    from pyspark_excel_datasource_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    import random
+
+    rng = random.Random(8)
+    raw = [(rng.randrange(60), rng.randrange(60)) for _ in range(70)]
+    raw = [(a, b) for a, b in raw if a != b]
+    star = {
+        r.id: r.cluster_id
+        for r in connected_components_star(
+            spark.createDataFrame(raw, "u long, v long")
+        ).collect()
+    }
+    prop = {
+        r.id: r.cluster_id
+        for r in connected_min_labels(
+            spark.createDataFrame(raw, "d1 long, d2 long")
+        ).collect()
+    }
+    assert star == prop

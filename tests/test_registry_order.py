@@ -41,6 +41,7 @@ def test_probes_retired():
 ROUND8_AUTHORED: set[str] = {
     "q_scan_avro",
     "q_sink_avro",
+    "q_graph_cc",
 }
 
 
