@@ -465,3 +465,127 @@ def test_tws_initial_state_through_shim(spark, tmp_path):
     assert got[1] == (6, 1100)
     assert got[2] == (1, 200)
     assert 3 not in got
+
+
+def test_tws_event_time_timers_through_shim(spark, tmp_path):
+    """Event-time timers — the watermark-driven half of the TWS timer
+    API (timeMode='EventTime'): a timer registered just past the current
+    watermark fires once a LATER batch runs under the advanced watermark
+    (batch 1's max event time minus the delay). Two availableNow runs
+    share one checkpoint (foreachBatch sink, which unlike the memory
+    sink supports TWS checkpoint recovery), mirroring how production
+    restarts drive watermark-based expiry. Complements the
+    processing-time twin above, so both timer clocks are exercised
+    end-to-end through the shim."""
+    import pytest
+
+    from pyspark_excel_datasource_spark.streaming import tws
+
+    if not tws._HAVE_TWS:
+        pytest.skip("no protobuf runtime (real or shim)")
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    register_excel(spark)
+    tws._ship_protoshim(spark)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    class EventTimeTimers(tws.StatefulProcessor):
+        def init(self, handle):
+            self._handle = handle
+            self._count = handle.getValueState(
+                "cnt", T.StructType([T.StructField("n", T.LongType())])
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self._count.get()[0] if self._count.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._count.update((n,))
+            # run 1: watermark is still 0 -> expiry 1 ms; batch 1's max
+            # event time (100 s, 0 s delay) then advances the watermark
+            # past it, so the timer fires under run 2's batch
+            self._handle.registerTimer(
+                timerValues.getCurrentWatermarkInMs() + 1
+            )
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "kind": ["data"], "n": [n]}
+            )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            # the watermark the timer fired under — proves the expiry was
+            # watermark-driven, not wall-clock
+            wm = timerValues.getCurrentWatermarkInMs()
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "kind": ["timer"], "n": [wm]}
+            )
+
+        def close(self):
+            pass
+
+    src = tmp_path / "evts_evtime"
+    src.mkdir()
+    # value doubles as the event time in seconds
+    _write(str(src / "b1.xlsx"), [(1, 10.0), (1, 20.0), (2, 100.0)])
+
+    collected: list[tuple] = []
+
+    def run_once():
+        stream = (
+            spark.readStream.format("excel")
+            .schema("user_id long, value double")
+            .option("path", str(src))
+            .load()
+            .withColumn("ts", F.timestamp_seconds(F.col("value")))
+            .withWatermark("ts", "0 seconds")
+        )
+        out = stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=EventTimeTimers(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="EventTime",
+        )
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, _bid: collected.extend(
+                    (r.user_id, r.kind, r.n) for r in df.collect()
+                )
+            )
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_evtime"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(180)
+        finally:
+            q.stop()
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        run_once()
+        assert {(u, n) for u, k, n in collected if k == "data"} >= {(1, 2), (2, 1)}
+        assert not [t for t in collected if t[1] == "timer"]  # not yet expired
+        # batch 2: one late-ish event; run 2 executes under the advanced
+        # watermark (100 s) and fires BOTH keys' pending timers
+        _write(str(src / "b2.xlsx"), [(1, 150.0)])
+        run_once()
+    finally:
+        spark.conf.unset(provider_key)
+
+    timers = {u: n for u, k, n in collected if k == "timer"}
+    assert set(timers) == {1, 2}, collected
+    assert all(wm == 100_000 for wm in timers.values()), timers
