@@ -73,10 +73,14 @@ def q_approx_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import dedup, similarity
 
     # 1. embed-LSH canonicalization agreement vs exact all-pairs
-    exact_c = dedup.q_dedup_embed(spark, sf_dir).select(
+    # (raw helpers, not the registered queries: the flagships were
+    # converted hll-style in round 8 and now emit the exact values plus
+    # their own verdicts — the audit must keep judging the RAW LSH path)
+    emb = dedup._embed_vectors(spark, sf_dir).cache()
+    exact_c = dedup.embed_exact_canonical(emb).select(
         "vec_id", F.col("canonical_id").alias("c_exact")
     )
-    lsh_c = dedup.q_dedup_embed_lsh(spark, sf_dir).select(
+    lsh_c = dedup.embed_lsh_canonical(emb).select(
         "vec_id", F.col("canonical_id").alias("c_lsh")
     )
     embed = exact_c.join(lsh_c, "vec_id").agg(
@@ -103,10 +107,10 @@ def q_approx_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # 3. incremental band-index recall vs exact cross-set pairs
-    inc_e = dedup.q_dedup_incremental(spark, sf_dir).select(
+    inc_e = dedup.incremental_exact_pairs(spark, sf_dir).select(
         "new_id", "corpus_id"
     )
-    inc_l = dedup.q_dedup_incremental_lsh(spark, sf_dir).select(
+    inc_l = dedup.incremental_lsh_pairs(spark, sf_dir).select(
         "new_id", "corpus_id"
     )
     inc_hits = inc_e.join(inc_l, ["new_id", "corpus_id"], "left_semi").count()

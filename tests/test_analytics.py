@@ -156,9 +156,13 @@ def test_hll_estimates_bracket_exact_counts(spark):
 
 
 def test_incremental_dedup_lsh_matches_exact(spark):
-    """The banded-probe scale path must find the same cross-set pairs as
-    the exact inverted-index baseline on this corpus (planted near-dups
-    have jaccard ≥ 0.5, well above the banding knee)."""
+    """The RAW banded-probe scale path (helper — the registered flagship
+    now emits the exact pairs plus its in-plan verdict) must find the
+    same cross-set pairs as the exact inverted-index baseline on this
+    corpus (planted near-dups have jaccard ≥ 0.5, well above the
+    banding knee)."""
+    from pyspark_excel_datasource_spark.operators import dedup
+
     qs = load_all_queries()
     exact = {
         (r.new_id, r.corpus_id)
@@ -166,10 +170,14 @@ def test_incremental_dedup_lsh_matches_exact(spark):
     }
     lsh = {
         (r.new_id, r.corpus_id)
-        for r in qs["q_dedup_incremental_lsh"](spark, SF).collect()
+        for r in dedup.incremental_lsh_pairs(spark, SF).collect()
     }
     assert exact, "fixture should contain cross-set near-dups"
     assert lsh == exact
+    # the converted flagship: exact pairs + an all-TRUE verdict
+    flag = qs["q_dedup_incremental_lsh"](spark, SF).collect()
+    assert {(r.new_id, r.corpus_id) for r in flag} == exact
+    assert all(r.band_recall_ok for r in flag)
 
 
 def test_fill_forward_semantics(spark):

@@ -210,22 +210,31 @@ def test_winnowing_guarantee_shared_run(spark):
 
 
 def test_embed_lsh_canonicalization_matches_exact(spark, queries):
-    """The LSH-candidate canonicalizer must agree with the exact all-pairs
-    operator on ≥95% of vectors (banding recall at cos 0.45); disagreement
-    can only be a MISSED merge (canonical_id higher than exact), never a
-    false merge, because candidates are exactly verified."""
+    """The RAW LSH-candidate canonicalizer (helper — the registered
+    flagship now emits the exact values plus its in-plan verdict) must
+    agree with the exact all-pairs operator on ≥95% of vectors (banding
+    recall at cos 0.45); disagreement can only be a MISSED merge
+    (canonical_id higher than exact), never a false merge, because
+    candidates are exactly verified."""
+    from pyspark_excel_datasource_spark.operators import dedup
+
+    emb = dedup._embed_vectors(spark, SF).cache()
     exact = {
         r.vec_id: r.canonical_id
-        for r in queries["q_dedup_embed"](spark, SF).collect()
+        for r in dedup.embed_exact_canonical(emb).collect()
     }
     lsh = {
         r.vec_id: r.canonical_id
-        for r in queries["q_dedup_embed_lsh"](spark, SF).collect()
+        for r in dedup.embed_lsh_canonical(emb).collect()
     }
     assert set(lsh) == set(exact)
     agree = sum(lsh[v] == exact[v] for v in exact)
     assert agree / len(exact) >= 0.95
     assert all(lsh[v] >= exact[v] for v in exact), "false merge impossible"
+    # the converted flagship: exact canonicals + an all-TRUE verdict
+    flag = queries["q_dedup_embed_lsh"](spark, SF).collect()
+    assert {r.vec_id: r.canonical_id for r in flag} == exact
+    assert all(r.lsh_agrees for r in flag)
 
 
 def test_simhash_banding_recall_complete(spark):

@@ -64,8 +64,6 @@ def test_round8_window_composition():
         # via q_approx_audit / q_sim_ann_recall (both hash-verified r6)
         "q_dedup_minhash",
         "q_dedup_simhash",
-        "q_dedup_embed_lsh",
-        "q_dedup_incremental_lsh",
         "q_sim_ann_lsh",
         "q_sim_ann_ivf",
         "q_sim_ann_pq",
@@ -108,8 +106,8 @@ def test_every_oracle_has_a_query():
 ROWS_ONLY_ALLOWLIST = {
     "q_dedup_minhash",  # twin: q_dedup_minhash_oracled
     "q_dedup_simhash",  # twin: q_dedup_simhash_oracled
-    "q_dedup_embed_lsh",  # audited: q_approx_audit
-    "q_dedup_incremental_lsh",  # audited: q_approx_audit
+    # (q_dedup_embed_lsh / q_dedup_incremental_lsh converted to
+    # hash-oracled hll-style verdict outputs in round 8)
     "q_sim_ann_lsh",  # twin: q_sim_ann_lsh_oracled + q_sim_ann_recall
     "q_sim_ann_ivf",  # twin: q_sim_ann_ivf_oracled + q_approx_audit
     "q_sim_ann_pq",  # audited: q_approx_audit
