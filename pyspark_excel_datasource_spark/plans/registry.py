@@ -173,6 +173,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_scan_avro",
     "q_sink_avro",
     "q_graph_cc",
+    "q_stream_avro",
     # C. prior greens: the round-7 window first (re-verdicted r7), then
     #    the round-6 window, then remaining greens in registration order
     "q_tpch_q7ish",

@@ -56,6 +56,7 @@ from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -631,6 +632,60 @@ class AvroReader(DataSourceReader):
             yield _columns_to_batch(cols, self.bound_schema)
 
 
+class AvroStreamReader(DataSourceStreamReader):
+    """Micro-batch file-arrival watcher with replayable manifest offsets
+    — the same exactly-once design as the Excel and tarshard stream
+    readers (offset = manifest of .avro files seen; a batch is the
+    manifest diff, so checkpoint recovery re-reads exactly the same
+    files). The Kafka-adjacent ingest loop: Avro files land in a drop
+    directory and each becomes one (or more, via byte-range splits)
+    tasks of the next micro-batch."""
+
+    def __init__(self, schema: T.StructType, opts: AvroOptions):
+        self.bound_schema = schema
+        self.opts = opts
+        self._batch = AvroReader(schema, opts)
+
+    def _current_files(self) -> list[str]:
+        path = self.opts.path
+        if not os.path.isdir(path):
+            raise AnalysisException(
+                f"streaming pyavro path must be a directory: {path}"
+            )
+        return sorted(
+            f
+            for f in os.listdir(path)
+            if f.endswith(".avro") and os.path.isfile(os.path.join(path, f))
+        )
+
+    def initialOffset(self) -> dict:
+        return {"files": {}}
+
+    def latestOffset(self) -> dict:
+        return {"files": {name: 1 for name in self._current_files()}}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        seen = set(start.get("files", {}))
+        new = [n for n in sorted(end.get("files", {})) if n not in seen]
+        parts: list[InputPartition] = []
+        for n in new:
+            f = os.path.join(self.opts.path, n)
+            size = os.path.getsize(f)
+            step = max(1, self.opts.max_split_bytes)
+            for s in range(0, max(size, 1), step):
+                parts.append(AvroPartition(f, s, min(s + step, size)))
+        return parts
+
+    def read(self, partition: AvroPartition):
+        yield from self._batch.read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # manifest offsets need no source-side cleanup
+
+    def stop(self) -> None:
+        pass
+
+
 # ---------------------------------------------------------------------------
 # Writer
 # ---------------------------------------------------------------------------
@@ -744,6 +799,9 @@ class AvroDataSource(DataSource):
 
     def writer(self, schema: T.StructType, overwrite: bool) -> AvroWriter:
         return AvroWriter(schema, overwrite, self.opts)
+
+    def streamReader(self, schema: T.StructType) -> AvroStreamReader:
+        return AvroStreamReader(schema, self.opts)
 
 
 def register_pyavro(spark) -> None:

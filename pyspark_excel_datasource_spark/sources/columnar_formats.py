@@ -308,3 +308,65 @@ def q_sink_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
         .save(out)
     )
     return spark.read.format("pyavro").load(out)
+
+
+@query(
+    "q_stream_avro",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                AS DECIMAL(38,2)) AS VARCHAR) AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_stream_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro file-arrival micro-batch stream: the directory of pyavro
+    part files drains through ``readStream.format("pyavro")``
+    (replayable manifest offsets + the same byte-range splits as the
+    batch reader — one task per file range), and the per-status census
+    of the streamed rows must match the parquet the files were derived
+    from. Exactly-once restart behavior is pinned in
+    ``tests/test_avro.py``; this is the Kafka-adjacent drop-directory
+    ingest loop for the Avro ecosystem.
+    """
+    import uuid
+
+    from .avrofile import register_pyavro
+
+    register_pyavro(spark)
+    d = _materialize_orders_avro(spark, sf_dir)
+    sink = f"stream_avro_{uuid.uuid4().hex[:10]}"
+    stream = (
+        spark.readStream.format("pyavro")
+        .schema(
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate timestamp_ntz,"
+            " o_orderpriority string"
+        )
+        .load(d)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(120):
+            raise TimeoutError("q_stream_avro: drain did not finish in 120s")
+    finally:
+        q.stop()
+    return (
+        spark.table(sink)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .cast("string")
+            .alias("sum_price"),
+        )
+    )

@@ -249,3 +249,59 @@ def test_no_overwrite_raises_and_stages_clean(registered, tmp_path):
     residue = [d for d in os.listdir(tmp_path) if "_staging_" in d]
     assert residue == []
     assert os.path.exists(os.path.join(out, "_SUCCESS"))
+
+
+def test_stream_discovers_and_survives_restart(registered, tmp_path):
+    """Manifest-offset stream over arriving .avro files: files that land
+    while the query is down are picked up exactly once on restart from
+    the checkpoint; already-processed files are never re-read."""
+    spark = registered
+    src = tmp_path / "drop"
+    src.mkdir()
+    ckpt = tmp_path / "ckpt_avro"
+    out = str(tmp_path / "out_parquet")
+
+    def land(name, lo, hi):
+        spark.range(lo, hi).selectExpr(
+            "id", "CAST(id AS STRING) AS s"
+        ).coalesce(1).write.format("pyavro").mode("overwrite").save(
+            str(tmp_path / name)
+        )
+        # move the single part into the drop dir under a stable name
+        d = tmp_path / name
+        (part,) = [f for f in os.listdir(d) if f.endswith(".avro")]
+        os.replace(os.path.join(d, part), src / f"{name}.avro")
+
+    land("f0", 0, 5)
+    land("f1", 5, 9)
+
+    def start():
+        stream = (
+            spark.readStream.format("pyavro")
+            .schema("id long, s string")
+            .load(str(src))
+        )
+        return (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(processingTime="1 second")
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) == list(range(9))
+
+    land("f2", 9, 12)
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert got == list(range(12)), got

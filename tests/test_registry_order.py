@@ -42,6 +42,7 @@ ROUND8_AUTHORED: set[str] = {
     "q_scan_avro",
     "q_sink_avro",
     "q_graph_cc",
+    "q_stream_avro",
 }
 
 
