@@ -54,6 +54,10 @@ HEADLINE = (
     # multi-join plan whose per-iteration shuffle cost is the scale
     # story for every graph op in the module
     "q_graph_pagerank",
+    # round-8 addition: the pure-Python Avro container scan (byte-range
+    # sync-marker splits + Arrow-batch decode) so a decode-path
+    # regression in the new source surfaces per-round like tarshard's
+    "q_scan_avro",
 )
 
 RUNS = 3

@@ -195,6 +195,10 @@ def q18_semi(li, orders):
 
 def timed(name, df):
     t0 = time.perf_counter()
+    if callable(df):
+        # eager operators (driver-side iteration with localCheckpoint,
+        # e.g. connected components) — build + execute inside the timing
+        df = df()
     df.write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
 
@@ -310,10 +314,14 @@ def main() -> None:
     )
 
     from pyspark_excel_datasource_spark.operators.graph import (
+        connected_components_star,
         copurchase_edges,
         pagerank,
         triangle_counts,
     )
+
+    def _cc(edges):
+        return connected_components_star(edges)
 
     # graph replication: entity keys carry the replica id so each replica
     # is a disjoint subgraph (disjoint union = linear growth in nodes,
@@ -484,6 +492,14 @@ def main() -> None:
         "triangles": (
             triangle_counts(li_g1),
             triangle_counts(li_g10),
+        ),
+        # round-8: large-star/small-star CC — eager (per-round
+        # localCheckpoint), so the shape is a thunk and the timing covers
+        # the whole alternation; disjoint replicas keep components and
+        # round count constant while edges grow linearly
+        "cc_star": (
+            lambda: _cc(copurchase_edges(orders_g1, li_g1)),
+            lambda: _cc(copurchase_edges(orders_g10, li_g10)),
         ),
         "chunk_census": (
             chunk_census(docs_full1),
