@@ -1545,3 +1545,56 @@ def q_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "EXECUTE IMMEDIATE stmt USING TIMESTAMP '1995-01-01 00:00:00' AS cutoff"
     )
+
+
+@query(
+    "q_sql_udf",
+    oracle="""
+    WITH per_order AS (
+        SELECT o_orderkey, o_orderpriority,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(SUM(CASE WHEN cents > 10000000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_large
+    FROM per_order
+    GROUP BY o_orderpriority
+    """,
+)
+def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL user-defined functions (Spark 4 ``CREATE FUNCTION ... RETURN``):
+    a scalar SQL UDF (exact-cents conversion) and a predicate SQL UDF
+    (large-order flag) declared in pure SQL and used inside an aggregate.
+    SQL UDFs are INLINED by the analyzer — the plan is identical to
+    writing the expressions directly (no per-row function-call overhead,
+    full codegen, pushdown unaffected), which is exactly why they are
+    the right spelling for shared business logic at 100 TB: reuse
+    without leaving the JVM. The oracle writes the same logic inline.
+    """
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_sqludf")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION exact_cents(x DOUBLE)
+        RETURNS BIGINT RETURN CAST(ROUND(x * 100) AS BIGINT)
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION is_large(cents BIGINT)
+        RETURNS BOOLEAN RETURN cents > 10000000
+        """
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(exact_cents(o_totalprice)) AS BIGINT) AS total_cents,
+               CAST(SUM(CASE WHEN is_large(exact_cents(o_totalprice))
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_large
+        FROM orders_sqludf
+        GROUP BY o_orderpriority
+        """
+    )

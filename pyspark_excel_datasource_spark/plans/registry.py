@@ -45,6 +45,7 @@ _QUERY_MODULES = (
     "pyspark_excel_datasource_spark.streaming.windows",
     "pyspark_excel_datasource_spark.streaming.stateful",
     "pyspark_excel_datasource_spark.streaming.tws",
+    "pyspark_excel_datasource_spark.streaming.state_reader",
     "pyspark_excel_datasource_spark.operators.dedup",
     "pyspark_excel_datasource_spark.operators.similarity",
     "pyspark_excel_datasource_spark.operators.vectors",
@@ -174,6 +175,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_sink_avro",
     "q_graph_cc",
     "q_stream_avro",
+    "q_sql_udf",
+    "q_state_reader",
     # C. prior greens: the round-7 window first (re-verdicted r7), then
     #    the round-6 window, then remaining greens in registration order
     "q_tpch_q7ish",

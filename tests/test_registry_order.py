@@ -43,6 +43,8 @@ ROUND8_AUTHORED: set[str] = {
     "q_sink_avro",
     "q_graph_cc",
     "q_stream_avro",
+    "q_sql_udf",
+    "q_state_reader",
 }
 
 
