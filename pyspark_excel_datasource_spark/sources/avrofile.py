@@ -13,9 +13,10 @@ written against the spec's binary-encoding section only.
 
 Supported schema subset (raises loudly beyond it): null, boolean, int,
 long, float, double, bytes, string, records, ``["null", T]`` unions,
-arrays, string-keyed maps, and the ``date`` / ``timestamp-micros``
-logical types — the closure of what Spark's own relational types need.
-Codecs: ``null`` and ``deflate`` (stdlib zlib, raw stream).
+arrays, string-keyed maps, and the ``date`` / ``timestamp-micros`` /
+``decimal``-over-bytes logical types — the closure of what Spark's own
+relational types need. Codecs: ``null`` and ``deflate`` (stdlib zlib,
+raw stream).
 
 Scale design:
 
@@ -58,7 +59,16 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceStreamReader,
     DataSourceWriter,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
     InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
     WriterCommitMessage,
 )
 
@@ -134,6 +144,13 @@ def _spark_type_to_avro(dt: T.DataType):
         return _PRIMITIVE_TO_AVRO[dt]
     if dt in _LOGICAL_TO_AVRO:
         return dict(_LOGICAL_TO_AVRO[dt])
+    if isinstance(dt, T.DecimalType):
+        return {
+            "type": "bytes",
+            "logicalType": "decimal",
+            "precision": dt.precision,
+            "scale": dt.scale,
+        }
     if isinstance(dt, T.ArrayType):
         item = _spark_type_to_avro(dt.elementType)
         if dt.containsNull:
@@ -175,6 +192,8 @@ def _avro_type_to_spark(at) -> tuple[T.DataType, bool]:
             return T.DateType(), False
         if lt == "timestamp-micros" and at.get("type") == "long":
             return T.TimestampNTZType(), False
+        if lt == "decimal" and at.get("type") == "bytes":
+            return T.DecimalType(at["precision"], at["scale"]), False
         if at.get("type") == "array":
             item, nullable = _avro_type_to_spark(at["items"])
             return T.ArrayType(item, nullable), False
@@ -229,6 +248,19 @@ def _make_encoder(at):
         return enc_union
     if isinstance(at, dict):
         lt = at.get("logicalType")
+        if lt == "decimal":
+            scale = at["scale"]
+
+            def enc_decimal(v, out):
+                from decimal import Decimal
+
+                unscaled = int(Decimal(v).scaleb(scale).to_integral_value())
+                raw = unscaled.to_bytes(
+                    max(1, (unscaled.bit_length() + 8) // 8), "big", signed=True
+                )
+                out += _encode_bytes(raw)
+
+            return enc_decimal
         if lt == "date":
             return lambda v, out: out.__iadd__(
                 _encode_long((v - _EPOCH_DATE).days)
@@ -310,6 +342,17 @@ def _make_decoder(at):
         lt = at.get("logicalType")
         if lt in ("date", "timestamp-micros"):
             return _decode_long
+        if lt == "decimal":
+            scale = at["scale"]
+
+            def dec_decimal(buf, pos):
+                from decimal import Decimal
+
+                n, pos = _decode_long(buf, pos)
+                unscaled = int.from_bytes(buf[pos : pos + n], "big", signed=True)
+                return Decimal(unscaled).scaleb(-scale), pos + n
+
+            return dec_decimal
         if at.get("type") == "array":
             item = _make_decoder(at["items"])
 
@@ -461,6 +504,8 @@ def _arrow_type(dt: T.DataType):
     }
     if dt in simple:
         return simple[dt]
+    if isinstance(dt, T.DecimalType):
+        return pa.decimal128(dt.precision, dt.scale)
     if isinstance(dt, T.ArrayType):
         return pa.list_(_arrow_type(dt.elementType))
     if isinstance(dt, T.MapType):
@@ -553,10 +598,54 @@ class AvroPartition(InputPartition):
         self.end = end
 
 
+def _batch_filter_mask(batch: pa.RecordBatch, filters: list[Filter]):
+    """Best-effort pyarrow.compute mask for the pushed filters. Spark
+    re-evaluates every filter (pushFilters re-yields them), so this only
+    reduces Python→JVM Arrow traffic and can never change semantics."""
+    import pyarrow.compute as pc
+
+    mask = None
+    for f in filters:
+        try:
+            name = f.attribute[-1]
+            if name not in batch.schema.names:
+                continue
+            col = batch.column(name)
+            if isinstance(f, IsNull):
+                m = pc.is_null(col)
+            elif isinstance(f, IsNotNull):
+                m = pc.is_valid(col)
+            elif isinstance(f, In):
+                m = pc.is_in(col, value_set=pa.array(list(f.values)))
+            elif isinstance(f, EqualTo):
+                m = pc.equal(col, f.value)
+            elif isinstance(f, GreaterThan):
+                m = pc.greater(col, f.value)
+            elif isinstance(f, GreaterThanOrEqual):
+                m = pc.greater_equal(col, f.value)
+            elif isinstance(f, LessThan):
+                m = pc.less(col, f.value)
+            elif isinstance(f, LessThanOrEqual):
+                m = pc.less_equal(col, f.value)
+            else:
+                continue
+            m = pc.fill_null(m, False)
+            mask = m if mask is None else pc.and_(mask, m)
+        except Exception:
+            continue  # pushdown is advisory; Spark re-filters
+    return mask
+
+
 class AvroReader(DataSourceReader):
     def __init__(self, schema: T.StructType, opts: AvroOptions):
         self.bound_schema = schema
         self.opts = opts
+        self.pushed: list[Filter] = []
+
+    def pushFilters(self, filters: list[Filter]):
+        for f in filters:
+            self.pushed.append(f)
+            yield f  # Spark re-evaluates everything (safe partial pushdown)
 
     def partitions(self) -> list[InputPartition]:
         parts: list[InputPartition] = []
@@ -625,11 +714,17 @@ class AvroReader(DataSourceReader):
                     cols[i].append(row[j])
             n_buffered += count
             if n_buffered >= 8192:
-                yield _columns_to_batch(cols, self.bound_schema)
+                yield self._emit(_columns_to_batch(cols, self.bound_schema))
                 cols = [[] for _ in proj]
                 n_buffered = 0
         if n_buffered:
-            yield _columns_to_batch(cols, self.bound_schema)
+            yield self._emit(_columns_to_batch(cols, self.bound_schema))
+
+    def _emit(self, batch: pa.RecordBatch) -> pa.RecordBatch:
+        if not self.pushed:
+            return batch
+        mask = _batch_filter_mask(batch, self.pushed)
+        return batch.filter(mask) if mask is not None else batch
 
 
 class AvroStreamReader(DataSourceStreamReader):
@@ -805,5 +900,12 @@ class AvroDataSource(DataSource):
 
 
 def register_pyavro(spark) -> None:
-    """Register the pyavro format on a session (idempotent)."""
+    """Register the pyavro format on a session (idempotent). Pins the
+    session confs the source needs — in particular
+    ``spark.sql.python.filterPushdown.enabled``: Spark refuses to plan a
+    Python data source that implements ``pushFilters`` while that conf
+    is off."""
+    from ..session import configure
+
+    configure(spark)
     spark.dataSource.register(AvroDataSource)

@@ -305,3 +305,53 @@ def test_stream_discovers_and_survives_restart(registered, tmp_path):
         q2.stop()
     got = sorted(r.id for r in spark.read.parquet(out).collect())
     assert got == list(range(12)), got
+
+
+def test_push_filters_reduce_rows_but_not_results(registered, tmp_path):
+    """pushFilters is advisory pre-filtering inside the Python reader:
+    results must equal the unfiltered-read-then-filter plan for every
+    supported predicate class, including on the timestamp logical type."""
+    spark = registered
+    df = spark.range(1000).selectExpr(
+        "id",
+        "CAST(id % 5 AS STRING) AS s",
+        "timestamp_seconds(id * 60) AS ts",
+        "CASE WHEN id % 7 = 0 THEN NULL ELSE id * 1.5 END AS v",
+    )
+    out = str(tmp_path / "pf.avro")
+    df.write.format("pyavro").mode("overwrite").save(out)
+    back = spark.read.format("pyavro").load(out)
+    cases = [
+        "id > 900",
+        "id <= 3",
+        "s = '2'",
+        "s IN ('1', '3')",
+        "v IS NULL",
+        "v IS NOT NULL AND v < 30",
+        "ts >= timestamp_seconds(59000)",
+    ]
+    for cond in cases:
+        got = sorted(r.id for r in back.filter(cond).collect())
+        want = sorted(r.id for r in df.filter(cond).collect())
+        assert got == want, cond
+
+
+def test_decimal_logical_type_roundtrip(registered, tmp_path):
+    """Avro decimal-over-bytes logical type: exact money values survive
+    the write→read roundtrip with their (precision, scale), including
+    negatives (two's-complement unscaled bytes) and nulls."""
+    spark = registered
+    df = spark.sql(
+        """
+        SELECT * FROM VALUES
+          (1L, CAST(12345.67 AS DECIMAL(18,2)), CAST(-0.003 AS DECIMAL(10,3))),
+          (2L, CAST(-99999999999999.99 AS DECIMAL(18,2)), NULL),
+          (3L, CAST(0 AS DECIMAL(18,2)), CAST(1.001 AS DECIMAL(10,3)))
+        AS t(id, money, tiny)
+        """
+    )
+    out = str(tmp_path / "dec.avro")
+    df.write.format("pyavro").mode("overwrite").save(out)
+    back = spark.read.format("pyavro").load(out)
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
