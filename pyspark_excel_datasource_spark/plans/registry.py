@@ -177,6 +177,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_stream_avro",
     "q_sql_udf",
     "q_state_reader",
+    "q_stream_join_outer",
     # C. prior greens: the round-7 window first (re-verdicted r7), then
     #    the round-6 window, then remaining greens in registration order
     "q_tpch_q7ish",

@@ -295,6 +295,68 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_join_outer",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id,
+           EPOCH_US(p.ts) - EPOCH_US(c.ts) AS delay_us,
+           CAST(CASE WHEN c.event_id IS NULL THEN 1 ELSE 0 END AS INT)
+               AS organic
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 15 MINUTE AND c.ts < p.ts
+    """,
+)
+def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER time-bounded join, batch twin: every
+    purchase with its prior-15-minute clicks, PLUS a null-click row for
+    purchases with no attributable click (``organic`` = 1) — the other
+    half of the attribution contract ``q_stream_join`` covers.
+
+    In Structured Streaming this is the watermarked left-outer join:
+    matched pairs emit immediately, unmatched purchases emit exactly
+    once when the watermark passes the end of their click window (state
+    eviction — bounded by the 15-minute constraint). The genuine
+    two-stream run incl. the delayed null-row emission is pinned in
+    ``tests/test_streaming.py::test_stream_stream_outer_join_equals_batch``.
+    Batch plan: filters pushed into both scans, hash equi-join on
+    user_id, range predicate post-match.
+    """
+    ev = table(spark, sf_dir, "events")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    return (
+        p.join(
+            c,
+            (p.user_id == c.c_user)
+            & (c.c_ts >= F.col("p_ts") - F.expr("INTERVAL 15 MINUTES"))
+            & (c.c_ts < F.col("p_ts")),
+            "left",
+        )
+        .select(
+            "purchase_id",
+            "click_id",
+            "user_id",
+            (us("p_ts") - us("c_ts")).alias("delay_us"),
+            F.when(F.col("click_id").isNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("organic"),
+        )
+    )
+
+
+@query(
     "q_stream_foreachbatch",
     oracle=f"""
     SELECT user_id,

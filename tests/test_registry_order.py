@@ -45,6 +45,7 @@ ROUND8_AUTHORED: set[str] = {
     "q_stream_avro",
     "q_sql_udf",
     "q_state_reader",
+    "q_stream_join_outer",
 }
 
 

@@ -453,3 +453,75 @@ def test_stream_rate_limit_equals_batch(spark, tmp_path):
     # one of the drops arrived in the second micro-batch
     assert 13 not in streamed and 14 not in streamed
     assert len([e for e in streamed if e // 10 == 1]) == _RATE_MAX
+
+
+def test_stream_stream_outer_join_equals_batch(spark, tmp_path):
+    """Watermarked LEFT OUTER stream-stream join: matched pairs emit
+    immediately; a purchase with no click in its window emits its null
+    row exactly once, AFTER the click-side watermark passes the window
+    end (state eviction) — and the final result set equals the batch
+    left join."""
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+    # u1 purchase@10 matches clicks@2,8; u2 purchase@20 has NO click in
+    # (5, 20) -> must surface as the organic null row after eviction
+    purchases = [(10, 1, 1.0), (20, 2, 2.0)]
+    clicks1 = [(2, 1, 0.1), (8, 1, 0.2)]
+    late_clicks = [(40, 3, 0.5)]  # advances the watermark, matches nothing
+    later_clicks = [(55, 3, 0.6)]  # forces a batch that flushes evictions
+    pdir, cdir = tmp_path / "op", tmp_path / "oc"
+    pdir.mkdir(); cdir.mkdir()
+    minixlsx.write_xlsx(str(pdir / "a.xlsx"), _events(t0, purchases))
+    minixlsx.write_xlsx(str(cdir / "a.xlsx"), _events(t0, clicks1))
+
+    schema = "ts timestamp, user_id long, value double"
+
+    def load(kind, path):
+        reader = (
+            spark.readStream if kind == "stream" else spark.read
+        ).format("excel").schema(schema).option("path", str(path))
+        return reader.load()
+
+    def joined(p, c):
+        p = p.select(F.col("ts").alias("p_ts"), F.col("user_id"), F.col("value").alias("pv"))
+        c = c.select(F.col("ts").alias("c_ts"), F.col("user_id").alias("c_user"), F.col("value").alias("cv"))
+        if hasattr(p, "isStreaming") and p.isStreaming:
+            p = p.withWatermark("p_ts", "0 seconds")
+            c = c.withWatermark("c_ts", "0 seconds")
+        return p.join(
+            c,
+            (p.user_id == c.c_user)
+            & (c.c_ts >= F.col("p_ts") - F.expr("INTERVAL 15 MINUTES"))
+            & (c.c_ts < F.col("p_ts")),
+            "left",
+        ).select("user_id", "pv", "cv")
+
+    q = (
+        joined(load("stream", pdir), load("stream", cdir))
+        .writeStream.format("memory")
+        .queryName("ssjoin_outer_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_outer"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = {(r.user_id, r.pv, r.cv) for r in spark.table("ssjoin_outer_sink").collect()}
+        # matched pairs are out; the organic row for u2 is NOT (its
+        # window end of minute 20 hasn't been passed by the watermark)
+        assert (1, 1.0, 0.1) in got1 and (1, 1.0, 0.2) in got1
+        assert (2, 2.0, None) not in got1
+        minixlsx.write_xlsx(str(cdir / "b.xlsx"), _events(t0, late_clicks))
+        q.processAllAvailable()
+        minixlsx.write_xlsx(str(cdir / "c.xlsx"), _events(t0, later_clicks))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {(r.user_id, r.pv, r.cv) for r in spark.table("ssjoin_outer_sink").collect()}
+    expect = {
+        (r.user_id, r.pv, r.cv)
+        for r in joined(load("batch", pdir), load("batch", cdir)).collect()
+    }
+    assert (2, 2.0, None) in got, "evicted organic row must surface"
+    assert got == expect
