@@ -2091,11 +2091,16 @@ def q_dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels give the correct one-per-group semantics — the embedding-side
     mirror of ``q_dedup_clusters``. Exact all-pairs is the sf-capped
     oracle baseline; at 100 TB the pair stage swaps for the banded-LSH
-    candidate join (``q_dedup_embed_lsh``) and the label propagation —
-    one |V|-row shuffle join per diameter round — is unchanged. Cosine
-    uses the same sequential double accumulation in both engines, so the
+    candidate join (``q_dedup_embed_lsh``). The component labels come
+    from the LARGE-STAR/SMALL-STAR alternation
+    (``graph.connected_components_star``, round 8) — O(log n) rounds on
+    any component shape, vs the O(diameter) min-label propagation that
+    ``q_dedup_clusters`` keeps registered as the comparison spelling;
+    both produce identical min-id labels by construction. Cosine uses
+    the same sequential double accumulation in both engines, so the
     threshold compare is bit-stable.
     """
+    from .graph import connected_components_star
     from .similarity import _dot, _norm
 
     emb = spread(table(spark, sf_dir, "embeddings")).select(
@@ -2109,9 +2114,9 @@ def q_dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .filter(cos >= 0.45)
-        .select(F.col("a.vec_id").alias("d1"), F.col("b.vec_id").alias("d2"))
+        .select(F.col("a.vec_id").alias("u"), F.col("b.vec_id").alias("v"))
     )
-    labels = connected_min_labels(pairs)
+    labels = connected_components_star(pairs)
     return labels.select(
         F.col("id").alias("vec_id"),
         "cluster_id",
