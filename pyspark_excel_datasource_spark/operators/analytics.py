@@ -2328,3 +2328,68 @@ def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrows").cast("long").alias("n_days"),
         canon(dround(F.expr(_SEAS_R2), 9)).alias("r2"),
     )
+
+
+@query(
+    "q_agg_approx_topk",
+    oracle="""
+    WITH keyed AS (
+        SELECT CASE WHEN l_orderkey % 10 < 7 THEN l_orderkey % 3
+                    ELSE l_orderkey END AS k
+        FROM lineitem
+    ),
+    exact AS (
+        SELECT k, COUNT(*) AS c FROM keyed
+        GROUP BY k ORDER BY c DESC, k LIMIT 3
+    )
+    SELECT k AS item, CAST(c AS BIGINT) AS exact_count, TRUE AS within_bounds
+    FROM exact
+    """,
+)
+def q_agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter detection via Spark 4.1's ``approx_top_k``
+    (space-saving sketch: bounded tracked-item state, mergeable map-side
+    partials — the frequency analogue of the HLL sketches). The key
+    space is skewed in-plan (70% of rows fold onto 3 hot keys, the rest
+    stay unique) so the sketch genuinely evicts cold items.
+
+    hll-style verdict output (the ``q_agg_hll`` conversion): the emitted
+    rows are the EXACT top-3 counts (DuckDB reproduces them; ties
+    impossible by construction) and the sketch feeds a per-item
+    ``within_bounds`` verdict — the sketch must report each true heavy
+    hitter within 1% of N, else the hash-checked TRUE flips (a missed
+    item nulls the estimate and flips it too). The exact side costs one
+    aggregation at gate scale; the O(capacity)-state sketch is the
+    100 TB story.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    keyed = li.select(
+        F.expr(
+            "CASE WHEN l_orderkey % 10 < 7 THEN l_orderkey % 3"
+            " ELSE l_orderkey END"
+        ).alias("k")
+    )
+    sk = keyed.agg(
+        F.expr("approx_top_k(k, 3, 100)").alias("tk"),
+        F.count("*").alias("n"),
+    )
+    est = sk.select(F.explode("tk").alias("e"), "n").select(
+        F.col("e.item").alias("item"),
+        F.col("e.count").alias("est"),
+        "n",
+    )
+    exact = (
+        keyed.groupBy("k")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "k")
+        .limit(3)
+    )
+    return exact.join(F.broadcast(est), exact.k == est.item, "left").select(
+        F.col("k").alias("item"),
+        F.col("c").cast("long").alias("exact_count"),
+        F.coalesce(
+            F.abs(F.col("est") - F.col("c"))
+            <= F.lit(0.01) * F.col("n"),
+            F.lit(False),
+        ).alias("within_bounds"),
+    )

@@ -296,3 +296,61 @@ def q_udf_mapinarrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         net_batches,
         "l_orderkey long, l_linenumber int, net double, net_cents long",
     )
+
+
+@query(
+    "q_udtf_analyze",
+    oracle="""
+    WITH src AS (
+        SELECT o_orderkey, o_orderpriority AS s FROM orders
+        WHERE o_orderkey % 100 = 0
+    ),
+    params AS (
+        SELECT *, CAST(CEIL(LEN(s) / 3.0) AS INT) AS step FROM src
+    )
+    SELECT o_orderkey,
+           SUBSTR(s, 1, step) AS c0,
+           SUBSTR(s, step + 1, step) AS c1,
+           SUBSTR(s, 2 * step + 1, step) AS c2
+    FROM params
+    """,
+)
+def q_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4 ``analyze()``): the output schema
+    — here the number of chunk columns — is computed at ANALYSIS time
+    from the literal argument, the API behind schema-shaping table
+    functions (dynamic unpivots, configurable feature splitters) that a
+    fixed-returnType UDTF cannot express. The UDTF splits each string
+    into n equal chunks as columns c0..c{n-1}; the oracle spells the
+    same arithmetic with SUBSTR. Per-row work is trivial by design —
+    the surface under test is the analyze-time schema derivation and
+    the LATERAL correlation, not throughput (Arrow batches still carry
+    the rows)."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class SplitFixed:
+        @staticmethod
+        def analyze(s: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            schema = StructType()
+            for i in range(n.value):
+                schema = schema.add(f"c{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, s, n):
+            step = -(-len(s) // n) if s else 1
+            yield tuple(
+                (s or "")[i * step : (i + 1) * step] for i in range(n)
+            )
+
+    spark.udtf.register("split_fixed_r8", SplitFixed)
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_udtf")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, s.*
+        FROM orders_udtf o, LATERAL split_fixed_r8(o.o_orderpriority, 3) s
+        WHERE o.o_orderkey % 100 = 0
+        """
+    )

@@ -178,6 +178,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_sql_udf",
     "q_state_reader",
     "q_stream_join_outer",
+    "q_agg_approx_topk",
+    "q_udtf_analyze",
     # C. prior greens: the round-7 window first (re-verdicted r7), then
     #    the round-6 window, then remaining greens in registration order
     "q_tpch_q7ish",

@@ -46,6 +46,8 @@ ROUND8_AUTHORED: set[str] = {
     "q_sql_udf",
     "q_state_reader",
     "q_stream_join_outer",
+    "q_agg_approx_topk",
+    "q_udtf_analyze",
 }
 
 
