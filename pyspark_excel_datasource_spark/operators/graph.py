@@ -127,6 +127,13 @@ def pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
         F.col("id").alias("sid")
     )
     has_sinks = sinks.limit(1).count() > 0
+    # a SOURCE (no in-edges) receives nothing, so with sources present
+    # the rank frame must be rebuilt from verts each iteration (left
+    # join); with neither sinks nor sources (symmetric graphs — the
+    # common case) recv already covers every vertex and the extra join
+    # is skipped — restoring the one-join-one-groupBy iteration shape
+    dsts = edges.select(F.col("v").alias("id")).distinct().cache()
+    has_sources = verts.join(dsts, "id", "left_anti").limit(1).count() > 0
     n = verts.agg(F.count("*").alias("n"))
     # the (edges ⋈ deg) message frame is reused every iteration — cache
     # the static part once
@@ -145,9 +152,14 @@ def pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
             .groupBy("dst")
             .agg(F.sum("c").alias("recv"))
         )
-        nxt = verts.join(recv, verts.id == recv.dst, "left").crossJoin(
-            F.broadcast(n)
-        )
+        if has_sources or has_sinks:
+            nxt = verts.join(recv, verts.id == recv.dst, "left").crossJoin(
+                F.broadcast(n)
+            )
+        else:
+            nxt = recv.select(F.col("dst").alias("id"), "recv").crossJoin(
+                F.broadcast(n)
+            )
         if has_sinks:
             dang = pr.join(F.broadcast(sinks), pr.id == sinks.sid, "left_semi").agg(
                 F.coalesce(F.sum("pr"), F.lit(0)).alias("dm")
