@@ -2393,3 +2393,66 @@ def q_agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(False),
         ).alias("within_bounds"),
     )
+
+
+@query(
+    "q_agg_topk_union",
+    oracle="""
+    WITH keyed AS (
+        SELECT CASE WHEN l_orderkey % 10 < 7 THEN l_orderkey % 3
+                    ELSE l_orderkey END AS k
+        FROM lineitem
+    ),
+    exact AS (
+        SELECT k, COUNT(*) AS c FROM keyed
+        GROUP BY k ORDER BY c DESC, k LIMIT 3
+    )
+    SELECT k AS item, CAST(c AS BIGINT) AS exact_count, TRUE AS merge_exactly
+    FROM exact
+    """,
+)
+def q_agg_topk_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE heavy-hitter sketches: ``approx_top_k_accumulate`` one
+    sketch per return-flag partition, ``approx_top_k_combine`` them, and
+    ``approx_top_k_estimate`` the merged top-3 — the
+    persist-partial-sketches-then-union pattern (the frequency analogue
+    of ``q_agg_hll_union``): at 100 TB you store one tiny sketch per
+    day/partition and answer "top items this quarter" without
+    rescanning. Same skewed key space and hll-style verdict as
+    ``q_agg_approx_topk``; here the verdict additionally pins that the
+    MERGED estimate equals the exact count (capacity 100 per partial
+    keeps the 3 heavy hitters exact through the merge), so a sketch-
+    combine regression flips a hash-checked TRUE.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    keyed = li.select(
+        "l_returnflag",
+        F.expr(
+            "CASE WHEN l_orderkey % 10 < 7 THEN l_orderkey % 3"
+            " ELSE l_orderkey END"
+        ).alias("k"),
+    )
+    per_group = keyed.groupBy("l_returnflag").agg(
+        F.expr("approx_top_k_accumulate(k, 100)").alias("sk")
+    )
+    merged = per_group.agg(
+        F.expr("approx_top_k_estimate(approx_top_k_combine(sk, 100), 3)").alias(
+            "top3"
+        )
+    )
+    est = merged.select(F.explode("top3").alias("e")).select(
+        F.col("e.item").alias("item"), F.col("e.count").alias("est")
+    )
+    exact = (
+        keyed.groupBy("k")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "k")
+        .limit(3)
+    )
+    return exact.join(F.broadcast(est), exact.k == est.item, "left").select(
+        F.col("k").alias("item"),
+        F.col("c").cast("long").alias("exact_count"),
+        F.coalesce(F.col("est") == F.col("c"), F.lit(False)).alias(
+            "merge_exactly"
+        ),
+    )

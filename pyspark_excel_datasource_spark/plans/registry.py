@@ -180,6 +180,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_stream_join_outer",
     "q_agg_approx_topk",
     "q_udtf_analyze",
+    "q_agg_topk_union",
     # C. prior greens: the round-7 window first (re-verdicted r7), then
     #    the round-6 window, then remaining greens in registration order
     "q_tpch_q7ish",

@@ -48,6 +48,7 @@ ROUND8_AUTHORED: set[str] = {
     "q_stream_join_outer",
     "q_agg_approx_topk",
     "q_udtf_analyze",
+    "q_agg_topk_union",
 }
 
 
