@@ -330,7 +330,7 @@ def q_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.types import StringType, StructType
     from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
 
-    @udtf
+    @udtf(useArrow=True)
     class SplitFixed:
         @staticmethod
         def analyze(s: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:

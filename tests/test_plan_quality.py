@@ -100,6 +100,7 @@ ARROW_ALLOWED = {
     "q_udf_scalar",
     "q_udaf_grouped",
     "q_udtf",
+    "q_udtf_analyze",  # polymorphic analyze() UDTF, Arrow-batched
     "q_dedup_embed_lsh",
     "q_sim_ann_lsh",
     "q_sim_ann_ivf",
