@@ -58,6 +58,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     Filter,
@@ -792,6 +793,51 @@ class AvroCommitMessage(WriterCommitMessage):
     rows: int
 
 
+def _write_avro_part(
+    path: str, avro_schema: dict, compression: str, iterator, block_records: int
+) -> int:
+    """Encode rows into one Avro container file (shared by the batch and
+    streaming writers). The sync marker derives from (schema, basename),
+    so output bytes are a pure function of schema + name + content."""
+    import hashlib
+
+    schema_json = json.dumps(avro_schema)
+    sync = hashlib.md5(
+        (schema_json + ":" + os.path.basename(path)).encode("utf-8")
+    ).digest()
+    encs = [_make_encoder(f["type"]) for f in avro_schema["fields"]]
+    rows = 0
+    with open(path, "wb") as fh:
+        fh.write(_write_header(schema_json, compression, sync))
+        block = bytearray()
+        n_block = 0
+
+        def flush():
+            nonlocal block, n_block
+            if not n_block:
+                return
+            payload = bytes(block)
+            if compression == "deflate":
+                co = zlib.compressobj(wbits=-15)
+                payload = co.compress(payload) + co.flush()
+            fh.write(_encode_long(n_block))
+            fh.write(_encode_long(len(payload)))
+            fh.write(payload)
+            fh.write(sync)
+            block = bytearray()
+            n_block = 0
+
+        for row in iterator:
+            for i, e in enumerate(encs):
+                e(row[i], block)
+            n_block += 1
+            rows += 1
+            if n_block >= block_records:
+                flush()
+        flush()
+    return rows
+
+
 class AvroWriter(DataSourceWriter):
     def __init__(self, schema: T.StructType, overwrite: bool, opts: AvroOptions):
         self.schema = schema
@@ -803,50 +849,18 @@ class AvroWriter(DataSourceWriter):
         )
 
     def write(self, iterator) -> AvroCommitMessage:
-        import hashlib
-
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
         os.makedirs(self.staging, exist_ok=True)
-        part_name = f"part-{pid:05d}.avro"
-        schema_json = json.dumps(self.avro_schema)
-        # deterministic sync marker: output bytes are a pure function of
-        # (schema, part, content) — reruns produce identical files
-        sync = hashlib.md5(
-            (schema_json + ":" + part_name).encode("utf-8")
-        ).digest()
-        encs = [_make_encoder(f["type"]) for f in self.avro_schema["fields"]]
-        part = os.path.join(self.staging, part_name)
-        rows = 0
-        with open(part, "wb") as fh:
-            fh.write(_write_header(schema_json, self.opts.compression, sync))
-            block = bytearray()
-            n_block = 0
-
-            def flush():
-                nonlocal block, n_block
-                if not n_block:
-                    return
-                payload = bytes(block)
-                if self.opts.compression == "deflate":
-                    co = zlib.compressobj(wbits=-15)
-                    payload = co.compress(payload) + co.flush()
-                fh.write(_encode_long(n_block))
-                fh.write(_encode_long(len(payload)))
-                fh.write(payload)
-                fh.write(sync)
-                block = bytearray()
-                n_block = 0
-
-            for row in iterator:
-                for i, e in enumerate(encs):
-                    e(row[i], block)
-                n_block += 1
-                rows += 1
-                if n_block >= self.opts.block_records:
-                    flush()
-            flush()
+        part = os.path.join(self.staging, f"part-{pid:05d}.avro")
+        rows = _write_avro_part(
+            part,
+            self.avro_schema,
+            self.opts.compression,
+            iterator,
+            self.opts.block_records,
+        )
         return AvroCommitMessage(part_path=part, rows=rows)
 
     def commit(self, messages) -> None:
@@ -874,6 +888,82 @@ class AvroWriter(DataSourceWriter):
             shutil.rmtree(self.staging, ignore_errors=True)
 
 
+class AvroStreamWriter(DataSourceStreamWriter):
+    """Streaming sink: each micro-batch commits its task part files as
+    ``batch-<id>-part-<pid>.avro`` under the target directory (staged
+    per task, renamed at commit — no driver merge, the parallel layout
+    is the point). Replay-idempotent: re-committing a batch after
+    failure recovery first removes that batch id's files, so
+    exactly-once output holds per batch."""
+
+    def __init__(self, schema: T.StructType, opts: AvroOptions):
+        self.schema = schema
+        self.opts = opts
+        self.avro_schema = spark_to_avro_schema(schema)
+        os.makedirs(opts.path, exist_ok=True)
+        # created lazily by the first task of a batch, removed at
+        # commit/abort — a stopped query leaves no residue
+        self.staging = os.path.join(
+            opts.path, f".staging-{uuid.uuid4().hex[:8]}"
+        )
+
+    def write(self, iterator) -> AvroCommitMessage:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        os.makedirs(self.staging, exist_ok=True)
+        part = os.path.join(
+            self.staging, f"part-{pid:05d}-{uuid.uuid4().hex[:6]}.avro"
+        )
+        rows = _write_avro_part(
+            part,
+            self.avro_schema,
+            self.opts.compression,
+            iterator,
+            self.opts.block_records,
+        )
+        return AvroCommitMessage(part_path=part, rows=rows)
+
+    def commit(self, messages, batchId: int) -> None:
+        out = self.opts.path
+        prefix = f"batch-{batchId:06d}-"
+        for f in os.listdir(out):  # replay: replace the whole batch
+            if f.startswith(prefix):
+                os.remove(os.path.join(out, f))
+        live = [m for m in messages if m is not None]
+        for i, m in enumerate(sorted(live, key=lambda m: m.part_path)):
+            if m.rows == 0:
+                continue
+            os.replace(
+                m.part_path, os.path.join(out, f"{prefix}part-{i:05d}.avro")
+            )
+        self._cleanup_staging([m.part_path for m in live])
+
+    def abort(self, messages, batchId: int) -> None:
+        self._cleanup_staging(
+            [m.part_path for m in messages if m is not None]
+        )
+
+    def _cleanup_staging(self, parts: list[str]) -> None:
+        """Remove this batch's staging dirs AND any orphaned siblings:
+        Spark constructs separate writer instances for planning, the
+        executor tasks, and the commit phase, each with its own staging
+        uuid — so the dirs holding this batch's parts come from the
+        commit messages, not ``self.staging``. Orphans under the sink
+        dir are residue of a crashed run (the micro-batch engine is
+        serial per query); sweep them here. Same contract as the Excel
+        stream writer's cleanup."""
+        import shutil
+
+        used = {os.path.dirname(p) for p in parts} | {self.staging}
+        for f in os.listdir(self.opts.path):
+            if f.startswith(".staging-"):
+                used.add(os.path.join(self.opts.path, f))
+        for d in used:
+            shutil.rmtree(d, ignore_errors=True)
+
+
 class AvroDataSource(DataSource):
     def __init__(self, options):
         super().__init__(options)
@@ -897,6 +987,9 @@ class AvroDataSource(DataSource):
 
     def streamReader(self, schema: T.StructType) -> AvroStreamReader:
         return AvroStreamReader(schema, self.opts)
+
+    def streamWriter(self, schema: T.StructType, overwrite: bool) -> AvroStreamWriter:
+        return AvroStreamWriter(schema, self.opts)
 
 
 def register_pyavro(spark) -> None:

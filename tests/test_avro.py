@@ -355,3 +355,57 @@ def test_decimal_logical_type_roundtrip(registered, tmp_path):
     back = spark.read.format("pyavro").load(out)
     assert back.schema == df.schema
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_stream_sink_commits_batches(registered, tmp_path):
+    """Streaming Avro sink: each micro-batch lands as
+    batch-<id>-part-*.avro files, later batches append new batch files,
+    and the directory reads back through the batch reader as the union
+    of everything streamed."""
+    spark = registered
+    src = tmp_path / "sink_src"
+    src.mkdir()
+    out = str(tmp_path / "sink_out")
+    ckpt = str(tmp_path / "sink_ckpt")
+
+    def land(name, lo, hi):
+        spark.range(lo, hi).coalesce(1).selectExpr(
+            "id", "CAST(id AS STRING) AS s"
+        ).write.mode("overwrite").parquet(str(tmp_path / name))
+        d = tmp_path / name
+        (part,) = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        os.replace(os.path.join(d, part), src / f"{name}.parquet")
+
+    land("p0", 0, 6)
+
+    def start():
+        stream = (
+            spark.readStream.schema("id long, s string")
+            .format("parquet")
+            .load(str(src))
+        )
+        return (
+            stream.writeStream.format("pyavro")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(processingTime="1 second")
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+        land("p1", 6, 10)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    files = sorted(f for f in os.listdir(out) if f.endswith(".avro"))
+    assert files and all(f.startswith("batch-") for f in files)
+    batch_ids = {f.split("-")[1] for f in files}
+    assert len(batch_ids) == 2, files
+    back = spark.read.format("pyavro").load(out)
+    assert sorted(r.id for r in back.collect()) == list(range(10))
+    # no staging residue
+    assert not [f for f in os.listdir(out) if f.startswith(".staging")]
