@@ -51,6 +51,14 @@ ALLOWED_NESTED_LOOP = {
     # broadcast of the 1-row corpus bigram/unigram totals onto the
     # surviving-bigram frame — scalar attach, not a join smell
     "q_pmi_collocations",
+    # broadcast of the 1-row state-metadata probe (fails loudly if the
+    # checkpoint loses its operator) — scalar attach
+    "q_state_reader",
+    # broadcast of the 1-row hll-style verdict (lsh_agrees /
+    # band_recall_ok) onto the exact rows — scalar attach, round-8
+    # flagship conversions
+    "q_dedup_embed_lsh",
+    "q_dedup_incremental_lsh",
 }
 
 
