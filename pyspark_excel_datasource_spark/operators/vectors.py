@@ -338,3 +338,154 @@ def embed_norm_stats(emb: DataFrame) -> DataFrame:
         canon(dround(F.first("std"), 9)).alias("std"),
         F.sum(F.when(is_out, 1).otherwise(0)).cast("long").alias("n_outliers"),
     ).select("dim", F.col("n").cast("long").alias("n"), "mean", "std", "n_outliers")
+
+
+def _centroid_arrays(grouped: DataFrame, key: str) -> DataFrame:
+    """(key, dim, s DECIMAL, n) → (key, c: array<double>) with the array
+    assembled in dim order and each element the ONE exact-integer-sum
+    division both engines share (the ``q_embed_assign`` discipline)."""
+    return grouped.groupBy(key).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("dim"),
+                        (
+                            F.col("s").cast("double") / (F.col("n") * float(_FP))
+                        ).alias("c"),
+                    )
+                )
+            ),
+            lambda t: t["c"],
+        ).alias("c")
+    )
+
+
+def _assign_step(v: DataFrame, cent: DataFrame, key: str) -> DataFrame:
+    """E-step: nearest centroid per vector with the packed-integer argmin
+    tiebreak; cent is (key, c) and broadcasts (k × dims, tiny)."""
+    dist2 = F.aggregate(
+        F.zip_with(F.col("e"), F.col("c"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    scored = v.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        F.col(key).alias("k"),
+        F.floor(dist2 * F.lit(1_000_000_000) + F.lit(0.5))
+        .cast("long")
+        .alias("dist_fp"),
+    )
+    return scored.groupBy("vec_id").agg(
+        F.min_by("k", F.col("dist_fp") * 100 + F.col("k")).alias("k"),
+        F.min("dist_fp").alias("dist_fp"),
+    )
+
+
+_KMEANS_SCORED = """
+        SELECT v.vec_id, c.{key} AS k,
+               CAST(FLOOR(LIST_SUM(LIST_TRANSFORM(
+                        LIST_ZIP(v.e, c.c), t -> (t[1] - t[2]) * (t[1] - t[2])
+                    )) * 1000000000 + 0.5) AS BIGINT) AS dist_fp
+        FROM vv v CROSS JOIN {cent} c"""
+
+
+@query(
+    "q_kmeans_lloyd",
+    oracle=f"""
+    WITH ex AS (
+        SELECT vec_id, label, g.i - 1 AS dim,
+               CAST(FLOOR(CAST(embedding[g.i] AS DOUBLE) * {_FP} + 0.5)
+                    AS BIGINT) AS vq
+        FROM embeddings,
+             UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS g(i)
+    ),
+    vv AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cent0 AS (
+        SELECT label, LIST(CAST(s AS DOUBLE) / (n * {_FP}.0) ORDER BY dim) AS c
+        FROM (SELECT label, dim, SUM(vq) AS s, COUNT(*) AS n
+              FROM ex GROUP BY label, dim)
+        GROUP BY label
+    ),
+    scored0 AS ({_KMEANS_SCORED.format(key="label", cent="cent0")}),
+    a0 AS (
+        SELECT vec_id, ARG_MIN(k, dist_fp * 100 + k) AS k0
+        FROM scored0 GROUP BY vec_id
+    ),
+    cent1 AS (
+        SELECT k0, LIST(CAST(s AS DOUBLE) / (n * {_FP}.0) ORDER BY dim) AS c
+        FROM (SELECT a.k0, e.dim, SUM(e.vq) AS s, COUNT(*) AS n
+              FROM a0 a JOIN ex e ON a.vec_id = e.vec_id
+              GROUP BY a.k0, e.dim)
+        GROUP BY k0
+    ),
+    scored1 AS ({_KMEANS_SCORED.format(key="k0", cent="cent1")}),
+    a1 AS (
+        SELECT vec_id, ARG_MIN(k, dist_fp * 100 + k) AS k1,
+               MIN(dist_fp) AS dist_fp
+        FROM scored1 GROUP BY vec_id
+    )
+    SELECT a1.vec_id,
+           CAST(a1.k1 AS INT) AS label_final,
+           CAST(a1.dist_fp AS BIGINT) AS dist_fp,
+           CAST(CASE WHEN a1.k1 <> a0.k0 THEN 1 ELSE 0 END AS INT) AS moved
+    FROM a1 JOIN a0 ON a1.vec_id = a0.vec_id
+    """,
+)
+def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two full Lloyd iterations of k-means over the embedding column —
+    E-step (nearest centroid), M-step (recompute means over the NEW
+    assignments), E-step again — seeded from the per-label means so the
+    whole loop is deterministic with no RNG. The semantic-clustering
+    refinement pass a curation pipeline runs after a coarse label
+    assignment; ``moved`` marks vectors whose cluster changed between
+    iterations (the convergence signal production loops watch).
+
+    Scale shape per iteration: the centroid table is k × dims (tiny at
+    any corpus size) and broadcasts; assignment is map-only inside
+    codegen'd higher-order functions; the M-step is one posexplode +
+    (cluster, dim)-keyed partial+final aggregate — bounded, skew-free
+    keys. Bit-exact cross-engine via the module's fixed-point
+    discipline: integer element sums (DECIMAL(38,0)/HUGEINT), ONE
+    double division per centroid element, array-ordered distance folds,
+    packed-integer argmin tiebreaks.
+    """
+    emb = spread(table(spark, sf_dir, "embeddings"))
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    ).cache()
+    exv = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "val"),
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.floor(F.col("val") * _FP + F.lit(0.5)).cast("long").alias("vq"),
+    ).cache()
+    dec_sum = F.sum(F.col("vq").cast("decimal(38,0)")).alias("s")
+    cent0 = _centroid_arrays(
+        exv.groupBy(F.col("label"), F.col("dim")).agg(
+            dec_sum, F.count("*").alias("n")
+        ),
+        "label",
+    )
+    a0 = _assign_step(v, cent0, "label").select(
+        "vec_id", F.col("k").alias("k0")
+    )
+    cent1 = _centroid_arrays(
+        a0.join(exv.drop("label"), "vec_id")
+        .groupBy(F.col("k0"), F.col("dim"))
+        .agg(dec_sum, F.count("*").alias("n")),
+        "k0",
+    )
+    a1 = _assign_step(v, cent1, "k0")
+    return a1.join(a0, "vec_id").select(
+        "vec_id",
+        F.col("k").cast("int").alias("label_final"),
+        F.col("dist_fp"),
+        F.when(F.col("k") != F.col("k0"), 1).otherwise(0).cast("int").alias(
+            "moved"
+        ),
+    )

@@ -181,6 +181,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_agg_approx_topk",
     "q_udtf_analyze",
     "q_agg_topk_union",
+    "q_kmeans_lloyd",
     # C. prior greens: the round-7 window first (re-verdicted r7), then
     #    the round-6 window, then remaining greens in registration order
     "q_tpch_q7ish",

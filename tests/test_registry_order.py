@@ -49,6 +49,7 @@ ROUND8_AUTHORED: set[str] = {
     "q_agg_approx_topk",
     "q_udtf_analyze",
     "q_agg_topk_union",
+    "q_kmeans_lloyd",
 }
 
 
