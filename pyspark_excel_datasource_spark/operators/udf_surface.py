@@ -354,3 +354,51 @@ def q_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o.o_orderkey % 100 = 0
         """
     )
+
+
+@query(
+    "q_udtf_table_arg",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+    FROM events
+    """,
+)
+def q_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLE-argument Python UDTF (Spark 4):
+    ``f(TABLE(t) PARTITION BY user_id ORDER BY ts)`` hands the UDTF one
+    ordered partition per instance — SQL-native custom per-group
+    sequential logic (the surface for per-entity simulations/parsers
+    that window functions can't express). Here the sequential body is a
+    running exact-cents balance, deliberately chosen because a window
+    oracle CAN express it — proving the partition/order contract, the
+    per-partition state reset, and the Arrow row transport end-to-end.
+    Scale: one shuffle on the PARTITION BY key, then per-partition
+    Arrow-batched Python — the same topology as applyInPandas, with
+    SQL-level ergonomics.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="event_id bigint, user_id bigint, running_cents bigint",
+        useArrow=True,
+    )
+    class RunningCents:
+        def __init__(self):
+            self.total = 0
+
+        def eval(self, row):
+            self.total += int(round(row["value"] * 100))
+            yield row["event_id"], row["user_id"], self.total
+
+    spark.udtf.register("running_cents_r8", RunningCents)
+    table(spark, sf_dir, "events").createOrReplaceTempView("events_udtf_ta")
+    return spark.sql(
+        """
+        SELECT * FROM running_cents_r8(
+            TABLE(events_udtf_ta) PARTITION BY user_id ORDER BY (ts, event_id)
+        )
+        """
+    )

@@ -182,6 +182,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_udtf_analyze",
     "q_agg_topk_union",
     "q_kmeans_lloyd",
+    "q_udtf_table_arg",
     # C. prior greens: the round-7 window first (re-verdicted r7), then
     #    the round-6 window, then remaining greens in registration order
     "q_tpch_q7ish",

@@ -101,6 +101,7 @@ ARROW_ALLOWED = {
     "q_udaf_grouped",
     "q_udtf",
     "q_udtf_analyze",  # polymorphic analyze() UDTF, Arrow-batched
+    "q_udtf_table_arg",  # TABLE-argument UDTF, Arrow-batched
     "q_dedup_embed_lsh",
     "q_sim_ann_lsh",
     "q_sim_ann_ivf",

@@ -50,6 +50,7 @@ ROUND8_AUTHORED: set[str] = {
     "q_udtf_analyze",
     "q_agg_topk_union",
     "q_kmeans_lloyd",
+    "q_udtf_table_arg",
 }
 
 
