@@ -13,7 +13,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..functions.determinism import canon, davg, dsum, sql_canon, sql_davg, sql_dround, sql_dsum
+from ..functions.determinism import (
+    canon,
+    davg,
+    dround,
+    dsum,
+    sql_canon,
+    sql_davg,
+    sql_dround,
+    sql_dsum,
+)
 from ..plans.registry import query
 from .relational import ts
 
@@ -833,5 +842,516 @@ def q_tpch_q8ish(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(nat.cast("decimal(18,4)")).cast("decimal(38,4)")
             ).alias("nation_revenue"),
             canon(dsum(rev, 4)).alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q6ish",
+    oracle=f"""
+    SELECT {sql_canon(sql_dsum('l_extendedprice * l_discount', 4))} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount >= 0.045 AND l_discount <= 0.075
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): a pure
+    scan-filter-aggregate with three range predicates and no join — the
+    canonical predicate-pushdown benchmark (reference parity: the Excel
+    connector pushes no filters, `connector.py:162-203`; our parquet
+    path pushes all three).
+
+    Scale notes: all three predicates reach the parquet scan as
+    PushedFilters (shipdate min/max prune whole row groups at 100 TB
+    when the data is date-sorted); the aggregate is a single partial →
+    final reduction with no groupBy key, so the shuffle moves exactly
+    one row per partition. The discount bounds sit between the 2-decimal
+    grid points (0.045/0.075) so float boundary ties cannot occur.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= ts("1997-01-01 00:00:00"))
+            & (F.col("l_shipdate") < ts("1998-01-01 00:00:00"))
+            & (F.col("l_discount") >= 0.045)
+            & (F.col("l_discount") <= 0.075)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            canon(dsum(F.col("l_extendedprice") * F.col("l_discount"), 4)).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q4ish",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_tpch_q4ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): a correlated EXISTS
+    against the fact table — orders in a quarter window that had at
+    least one line item shipped more than 90 days after the order date
+    (the schema has no commitdate/receiptdate, so "late" derives from
+    shipdate vs orderdate). Counted per priority bucket.
+
+    Scale notes: the EXISTS compiles to a LEFT SEMI join keyed on
+    orderkey — the semi join short-circuits per key, never materializes
+    the match multiplicity, and the orderdate window filter pushes to
+    the orders scan before the shuffle. Both sides shuffle on orderkey
+    only; the 5-row priority aggregate is map-side partial.
+    """
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= ts("1997-01-01 00:00:00"))
+        & (F.col("o_orderdate") < ts("1997-10-01 00:00:00"))
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        o.join(li, late, "leftsemi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "q_tpch_q9ish",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+           {sql_canon(sql_dsum(
+               'l.l_extendedprice * (1 - l.l_discount)'
+               ' - 0.5 * p.p_retailprice * l.l_quantity', 4))} AS sum_profit
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+)
+def q_tpch_q9ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product type profit): profit per supplier nation
+    per order year over a part-name slice. The schema has no partsupp,
+    so supply cost is modeled as half the part's retail price per unit —
+    preserving Q9's defining structure: a 5-table join where the
+    aggregate mixes fact columns (price, discount, quantity) with a
+    dimension column (retailprice) through the join.
+
+    Scale notes: part/supplier/nation broadcast at any SF (the name
+    LIKE filter shrinks part before the join); the fact-fact shuffle is
+    lineitem⋈orders on orderkey. The profit expression is row-local
+    IEEE arithmetic on the 2-decimal money grid (products land on the
+    4-decimal grid), summed in exact decimal — bit-identical across
+    engines, same layout as q_tpch_q7ish's revenue.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(canon(dsum(profit, 4)).alias("sum_profit"))
+    )
+
+
+@query(
+    "q_tpch_q11ish",
+    oracle=f"""
+    WITH traded AS (
+        SELECT l.l_partkey,
+               {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS value
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name IN ('NATION_3', 'NATION_7')
+        GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, {sql_canon('value')} AS value
+    FROM traded
+    WHERE CAST(value AS DOUBLE) >
+          (SELECT CAST(SUM(value) AS DOUBLE) FROM traded) * 0.001
+    """,
+)
+def q_tpch_q11ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification): per-part traded
+    value within a nation slice, kept only when it exceeds a fraction of
+    the slice's TOTAL value — the canonical HAVING-against-global-scalar
+    query. No partsupp table, so "stock value" is observed traded value
+    (price × (1-discount)), aggregated from lineitem.
+
+    Scale notes: one fact-scaled shuffle (groupBy partkey with map-side
+    partials, after the broadcast supplier/nation semi-chain prunes
+    rows); the global total re-aggregates the ALREADY-GROUPED frame (a
+    one-row second pass over part-count rows, not the fact), attached as
+    a 1-row broadcast. The grouped frame is cached because both the
+    per-part values and their total read it — one fact scan, not two.
+    The threshold compare happens on doubles cast from the same exact
+    decimals in both engines.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    traded = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("value"))
+        .cache()
+    )
+    total = traded.agg(
+        F.sum("value").cast("double").alias("grand_total")
+    )
+    return (
+        traded.join(F.broadcast(total))
+        .filter(F.col("value").cast("double") > F.col("grand_total") * 0.001)
+        .select("l_partkey", canon("value").alias("value"))
+    )
+
+
+@query(
+    "q_tpch_q13ish",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q_tpch_q13ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer distribution): how many customers
+    placed 0, 1, 2, … non-priority orders — the canonical outer-join +
+    double-aggregation query. The join filter lives in the ON clause
+    (not WHERE) so customers with zero qualifying orders survive with
+    count 0, exactly Q13's defining subtlety.
+
+    Scale notes: one shuffle joins customer⋈orders on custkey (the
+    priority filter prunes the orders side BEFORE the shuffle since it
+    references only that side); the per-customer count is map-side
+    partial on the join's partitioning (no extra exchange under AQE);
+    the second aggregate groups ~50 distinct counts — a broadcast-sized
+    reduction.
+    """
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    cond = (F.col("c_custkey") == F.col("o_custkey")) & (
+        ~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    return (
+        c.join(o, cond, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@query(
+    "q_tpch_q15ish",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey,
+               {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, {sql_canon('r.total_revenue')} AS total_revenue
+    FROM revenue r
+    JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q_tpch_q15ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): the supplier(s) whose quarterly
+    revenue equals the maximum quarterly revenue — the canonical
+    view-reused-twice query (revenue CTE feeds both the ranking scalar
+    and the final join). Ties all surface, exactly like the reference
+    query; equality is on exact decimals so no float tie ambiguity.
+
+    Scale notes: the revenue aggregation is the only fact-scaled
+    shuffle (shipdate window pushed to the scan, map-side partials);
+    the MAX re-aggregates the grouped frame (supplier-count rows) into
+    one row attached by broadcast; supplier is a broadcast dimension.
+    The grouped frame is cached — one fact scan feeds both consumers.
+    """
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= ts("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < ts("1997-04-01 00:00:00"))
+    )
+    revenue = (
+        li.groupBy("l_suppkey")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("total_revenue"))
+        .cache()
+    )
+    best = revenue.agg(F.max("total_revenue").alias("best_revenue"))
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(best))
+        .filter(F.col("total_revenue") == F.col("best_revenue"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", canon("total_revenue").alias("total_revenue"))
+    )
+
+
+@query(
+    "q_tpch_q16ish",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#13'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 3, 9, 14, 19, 23, 36, 45)
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q_tpch_q16ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): distinct supplier
+    counts per (brand, type, size) bucket, excluding an out-of-favor
+    supplier set via NOT IN — the canonical COUNT(DISTINCT) + anti-join
+    query. "Complaints" (no comment column) proxies as negative account
+    balance.
+
+    Scale notes: the excluded-supplier list is a broadcast anti join
+    (6 rows; NOT IN is safe here because s_suppkey is non-null by
+    construction); the part slice broadcasts into the lineitem scan;
+    the COUNT(DISTINCT) expands to a two-phase aggregate — first
+    distinct (brand, type, size, suppkey), then count — both map-side
+    partial on the same shuffle keys.
+    """
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 3, 9, 14, 19, 23, 36, 45))
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q_tpch_q17ish",
+    oracle=f"""
+    WITH brand_lines AS (
+        SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand = 'Brand#13'
+    ),
+    part_avg AS (
+        SELECT l_partkey,
+               {sql_davg('l_quantity', 0)} AS avg_qty
+        FROM brand_lines
+        GROUP BY l_partkey
+    )
+    SELECT {sql_dround(
+        f"CAST({sql_dsum('b.l_extendedprice', 2)} AS DOUBLE) / 7.0", 4)} AS avg_yearly,
+           COUNT(*) AS n_small
+    FROM brand_lines b
+    JOIN part_avg a ON b.l_partkey = a.l_partkey
+    WHERE b.l_quantity < 0.2 * a.avg_qty
+    """,
+)
+def q_tpch_q17ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): line items whose
+    quantity is below 20% of their part's average quantity, within one
+    brand — the canonical correlated-average query, decorrelated into a
+    groupBy + self-join exactly as Catalyst would rewrite the subquery.
+
+    Scale notes: the brand slice broadcasts into the lineitem scan and
+    the surviving rows are cached — the per-part average and the final
+    filter both read that one slice (one fact scan). The per-part
+    average is a map-side-partial groupBy on partkey; joining it back
+    keys on the same partkey so AQE reuses the partitioning. The 20%
+    threshold compares doubles derived identically in both engines
+    (exact decimal sum / count), so the strict inequality is
+    deterministic.
+    """
+    p = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    brand_lines = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .cache()
+    )
+    part_avg = brand_lines.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        davg("l_quantity", 0).alias("avg_qty")
+    )
+    return (
+        brand_lines.join(part_avg, F.col("l_partkey") == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            dround(dsum("l_extendedprice", 2).cast("double") / 7.0, 4).alias(
+                "avg_yearly"
+            ),
+            F.count("*").alias("n_small"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q19ish",
+    oracle=f"""
+    SELECT {sql_canon(sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 4))}
+               AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#24' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_tpch_q19ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue): three disjunctive
+    (brand, size-range, quantity-range) clause groups spanning BOTH join
+    sides — the canonical OR-predicate join the optimizer must not
+    naively push (each conjunct references a different table). The
+    common join key stays an equi-join; only the residual disjunction
+    evaluates post-join.
+
+    Scale notes: Catalyst extracts the implied single-side disjunctions
+    (brand IN (...), size <= 15, quantity <= 30) and pushes them to the
+    respective scans, so both inputs shrink before the broadcast join;
+    the residual OR runs in whole-stage codegen. At 100 TB the part
+    side still broadcasts (brand/size slice), keeping the fact scan
+    shuffle-free.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#24")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(clause)
+        .agg(
+            canon(
+                dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q22ish",
+    oracle=f"""
+    WITH avg_bal AS (
+        SELECT {sql_davg('c_acctbal', 2)} AS threshold
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT (c.c_nationkey % 5) AS cntrycode,
+           COUNT(*) AS numcust,
+           {sql_canon(sql_dsum('c.c_acctbal', 2))} AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.threshold
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+    GROUP BY 1
+    """,
+)
+def q_tpch_q22ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): well-funded customers
+    (account balance above the positive-balance average) with no RECENT
+    orders, bucketed by country code — the canonical
+    scalar-subquery + anti-join query. The schema has no phone column,
+    so the country code derives from nationkey, and "never ordered"
+    tightens to "no order since 1999" (the testdata gives every
+    customer at least one order overall).
+
+    Scale notes: the average is a 1-row broadcast attached to the
+    customer scan (scalar-attach shape, allowlisted); the anti join
+    shuffles on custkey with the orderdate filter pushed to the orders
+    scan first; the 5-bucket aggregate is map-side partial. The
+    threshold compare is on doubles computed identically in both
+    engines (exact decimal sum / count → one IEEE division).
+    """
+    cust = table(spark, sf_dir, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        davg("c_acctbal", 2).alias("threshold")
+    )
+    recent = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= ts("1999-01-01 00:00:00")
+    ).select("o_custkey")
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("threshold"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy((F.col("c_nationkey") % 5).alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            canon(dsum("c_acctbal", 2)).alias("totacctbal"),
         )
     )

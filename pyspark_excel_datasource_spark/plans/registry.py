@@ -183,6 +183,16 @@ _PRIORITY: tuple[str, ...] = (
     "q_agg_topk_union",
     "q_kmeans_lloyd",
     "q_udtf_table_arg",
+    "q_tpch_q6ish",
+    "q_tpch_q4ish",
+    "q_tpch_q9ish",
+    "q_tpch_q11ish",
+    "q_tpch_q13ish",
+    "q_tpch_q15ish",
+    "q_tpch_q16ish",
+    "q_tpch_q17ish",
+    "q_tpch_q19ish",
+    "q_tpch_q22ish",
     # C. prior greens: the round-7 window first (re-verdicted r7), then
     #    the round-6 window, then remaining greens in registration order
     "q_tpch_q7ish",

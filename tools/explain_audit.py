@@ -59,6 +59,12 @@ ALLOWED_NESTED_LOOP = {
     # flagship conversions
     "q_dedup_embed_lsh",
     "q_dedup_incremental_lsh",
+    # TPC-H scalar-subquery shapes: a 1-row global aggregate (total value
+    # / max revenue / avg balance) broadcast onto the grouped or scanned
+    # frame — the same scalar-attach pattern as q_text_lm_score
+    "q_tpch_q11ish",
+    "q_tpch_q15ish",
+    "q_tpch_q22ish",
 }
 
 
