@@ -55,6 +55,7 @@ _QUERY_MODULES = (
     "pyspark_excel_datasource_spark.sources.tarshard_queries",
     "pyspark_excel_datasource_spark.sources.text_formats",
     "pyspark_excel_datasource_spark.sources.columnar_formats",
+    "pyspark_excel_datasource_spark.sources.delta_queries",
     "pyspark_excel_datasource_spark.operators.scale",
     "pyspark_excel_datasource_spark.operators.pipeline",
     "pyspark_excel_datasource_spark.operators.analytics",

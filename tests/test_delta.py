@@ -1,0 +1,173 @@
+"""Delta transaction-log source/sink: snapshot reconstruction, time
+travel, checkpoints, log-level partition pruning, atomic commits."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_excel_datasource_spark.sources.deltalog import (
+    DeltaConcurrentCommitError,
+    DeltaProtocolError,
+    delete_partitions,
+    history,
+    read_delta,
+    snapshot,
+    write_delta,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _nation(spark):
+    return spark.read.parquet(os.path.join(SF, "nation.parquet"))
+
+
+@pytest.fixture()
+def three_version_table(spark, tmp_path):
+    """v0: regions 0-1 (append) · v1: regions 2-4 (append) · v2: DELETE
+    partition n_regionkey=0. Partitioned by n_regionkey."""
+    path = str(tmp_path / "nation_delta")
+    n = _nation(spark)
+    write_delta(
+        spark, n.filter(F.col("n_regionkey") < 2), path,
+        mode="append", partition_by=("n_regionkey",),
+    )
+    write_delta(
+        spark, n.filter(F.col("n_regionkey") >= 2), path,
+        mode="append", partition_by=("n_regionkey",),
+    )
+    delete_partitions(path, {"n_regionkey": "0"})
+    return path
+
+
+def test_versions_and_latest(spark, three_version_table):
+    n = _nation(spark)
+    total = n.count()
+    r0 = n.filter(F.col("n_regionkey") == 0).count()
+    latest = read_delta(spark, three_version_table)
+    assert latest.count() == total - r0
+    assert latest.filter(F.col("n_regionkey") == 0).count() == 0
+    # full rows (including the log-attached partition column) match source
+    got = {tuple(r) for r in latest.collect()}
+    want = {
+        tuple(r) for r in n.filter(F.col("n_regionkey") != 0)
+        .select(*latest.columns).collect()
+    }
+    assert got == want
+
+
+def test_time_travel_each_version(spark, three_version_table):
+    n = _nation(spark)
+    v0 = read_delta(spark, three_version_table, version=0)
+    assert v0.count() == n.filter(F.col("n_regionkey") < 2).count()
+    v1 = read_delta(spark, three_version_table, version=1)
+    assert v1.count() == n.count()
+    v2 = read_delta(spark, three_version_table, version=2)
+    assert v2.count() == n.filter(F.col("n_regionkey") != 0).count()
+    with pytest.raises(ValueError):
+        read_delta(spark, three_version_table, version=3)
+
+
+def test_checkpoint_is_used(spark, three_version_table):
+    """v2 wrote a checkpoint; dropping the pre-checkpoint JSON commits
+    must not affect the latest read (it starts from the checkpoint),
+    while time travel BELOW the checkpoint now correctly fails."""
+    log = os.path.join(three_version_table, "_delta_log")
+    assert os.path.exists(os.path.join(log, f"{2:020d}.checkpoint.parquet"))
+    last = json.load(open(os.path.join(log, "_last_checkpoint")))
+    assert last["version"] == 2
+    n_latest = read_delta(spark, three_version_table).count()
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+    os.remove(os.path.join(log, f"{1:020d}.json"))
+    assert read_delta(spark, three_version_table).count() == n_latest
+    with pytest.raises(FileNotFoundError):
+        read_delta(spark, three_version_table, version=1)
+
+
+def test_log_level_partition_pruning(spark, three_version_table):
+    pruned = read_delta(
+        spark, three_version_table, partition_filter={"n_regionkey": {"3"}}
+    )
+    n = _nation(spark)
+    assert pruned.count() == n.filter(F.col("n_regionkey") == 3).count()
+    # pruning happened BEFORE the scan: only the matching files are read
+    all_files = set(read_delta(spark, three_version_table).inputFiles())
+    assert set(pruned.inputFiles()) < all_files
+    snap = snapshot(three_version_table)
+    live_r3 = [p for p, pv in snap.files.items() if pv["n_regionkey"] == "3"]
+    assert len(pruned.inputFiles()) == len(live_r3)
+    with pytest.raises(ValueError):
+        read_delta(spark, three_version_table, partition_filter={"n_name": {"x"}})
+
+
+def test_concurrent_commit_conflict(spark, tmp_path):
+    """Two writers racing for the SAME version: the loser's O_EXCL
+    create must fail (put-if-absent is the protocol's atomicity
+    primitive). A later writer that snapshots first simply claims the
+    next free version — that path is exercised everywhere else."""
+    from pyspark_excel_datasource_spark.sources.deltalog import _commit
+
+    path = str(tmp_path / "t")
+    write_delta(spark, _nation(spark), path)
+    with pytest.raises(DeltaConcurrentCommitError):
+        _commit(path, 0, [{"commitInfo": {"operation": "WRITE"}}])
+
+
+def test_unpartitioned_overwrite_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "t")
+    n = _nation(spark)
+    v = write_delta(spark, n, path)
+    assert v == 0
+    v = write_delta(spark, n.limit(7), path, mode="overwrite")
+    assert v == 1
+    assert read_delta(spark, path).count() == 7
+    assert read_delta(spark, path, version=0).count() == n.count()
+
+
+def test_null_partition_value_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "id int, k string"
+    )
+    write_delta(spark, df, path, partition_by=("k",))
+    back = read_delta(spark, path)
+    assert {tuple(r) for r in back.collect()} == {(1, "a"), (2, None), (3, "b")}
+    snap = snapshot(path)
+    assert any(pv["k"] is None for pv in snap.files.values())
+
+
+def test_history_operations(spark, three_version_table):
+    h = history(three_version_table)
+    assert [r["version"] for r in h] == [2, 1, 0]
+    assert [r["operation"] for r in h] == ["DELETE", "WRITE", "WRITE"]
+
+
+def test_protocol_gate(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta(spark, _nation(spark), path)
+    log = os.path.join(path, "_delta_log")
+    with open(os.path.join(log, f"{1:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"protocol": {"minReaderVersion": 3}}) + "\n")
+    with pytest.raises(DeltaProtocolError):
+        read_delta(spark, path)
+    # older versions stay readable
+    assert read_delta(spark, path, version=0).count() > 0
+
+
+def test_append_partitioning_mismatch_rejected(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta(spark, _nation(spark), path, partition_by=("n_regionkey",))
+    with pytest.raises(ValueError):
+        write_delta(spark, _nation(spark), path, mode="append")
+
+
+def test_empty_partition_filter_returns_typed_empty(spark, three_version_table):
+    df = read_delta(
+        spark, three_version_table, partition_filter={"n_regionkey": {"99"}}
+    )
+    assert df.count() == 0
+    assert "n_regionkey" in df.columns and "n_name" in df.columns
