@@ -27,7 +27,15 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..plans.registry import query
-from .deltalog import delete_partitions, read_delta, write_delta
+from .deltalog import (
+    delete_partitions,
+    merge_delta,
+    optimize,
+    read_change_feed,
+    read_delta,
+    snapshot,
+    write_delta,
+)
 from .excel_queries import _fixture_dir
 
 
@@ -153,3 +161,149 @@ def q_sink_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, src, out, mode="overwrite", partition_by=("l_returnflag",)
     )
     return read_delta(spark, out)
+
+
+@query(
+    "q_delta_cdf",
+    oracle="""
+    SELECT 'insert' AS _change_type, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+    FROM orders
+    WHERE o_orderkey % 3 = 0 AND o_orderstatus <> 'P'
+    GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'delete' AS _change_type, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+    FROM orders
+    WHERE o_orderkey % 3 <> 0 AND o_orderstatus = 'P'
+    GROUP BY o_orderstatus
+    """,
+)
+def q_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed v0→v2, derived purely from the log: the file-set
+    diff of the two snapshots yields inserts (files live at v2 only —
+    the v1 append minus what v2 deleted) and deletes (files live at v0
+    only — the P partition's v0 files); files added at v1 and removed
+    at v2 cancel, per net-change semantics. Only the CHANGED files are
+    scanned — the unchanged bulk of the table is never read, which is
+    what makes log-derived CDF incremental at 100 TB.
+    """
+    path = _materialize_orders_delta(spark, sf_dir)
+    return (
+        read_change_feed(spark, path, from_version=0, to_version=2)
+        .groupBy("_change_type", "o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+        )
+    )
+
+
+@query(
+    "q_delta_merge",
+    oracle="""
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(CAST(SUM(CAST(
+                CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 1000
+                     ELSE c_acctbal END AS DECIMAL(18,2)))
+                AS DECIMAL(38,2)) AS VARCHAR) AS sum_bal
+    FROM customer
+    WHERE c_custkey % 2 = 0 OR c_custkey % 3 = 0
+    GROUP BY c_nationkey
+    """,
+)
+def q_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE: target = even-keyed customers, source =
+    every third customer with +1000 balance. Matched targets take the
+    source balance (update), unmatched sources insert, the rest of the
+    target survives — one full-outer join + one atomic OVERWRITE commit
+    (``deltalog.merge_delta``), so readers see pre- or post-merge state,
+    never a mix. The oracle recomputes the merged state relationally
+    from the base table, pinning all three MERGE branches at once.
+    """
+    out = os.path.join(_fixture_dir(sf_dir), "customer_merge_delta")
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    write_delta(
+        spark, cust.filter(F.col("c_custkey") % 2 == 0), out, mode="overwrite"
+    )
+    source = cust.filter(F.col("c_custkey") % 3 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 1000
+    )
+    merge_delta(spark, source, out, on=["c_custkey"])
+    return (
+        read_delta(spark, out)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("long").alias("n_cust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .cast("string")
+            .alias("sum_bal"),
+        )
+    )
+
+
+@query(
+    "q_delta_optimize",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS sum_id,
+           CAST(1 AS BIGINT) AS n_files
+    FROM events
+    WHERE event_id % 7 = 0
+    GROUP BY event_type
+    """,
+)
+def q_delta_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE (small-files compaction): two fragmented appends (3
+    part files each, per partition) then a bin-packing rewrite to one
+    file per partition, published as a single ``dataChange=false``
+    commit. The output joins the post-OPTIMIZE per-partition FILE COUNT
+    from the log against the row census, and the oracle pins it at
+    exactly 1 — so the hash check proves both that compaction happened
+    and that it changed no data. At 100 TB this is the maintenance job
+    that keeps scan task counts proportional to bytes, not to commit
+    history.
+    """
+    import shutil as _sh
+
+    out = os.path.join(_fixture_dir(sf_dir), "events_optimize_delta")
+    _sh.rmtree(out, ignore_errors=True)
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 7 == 0)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    odd = F.col("event_id") % 2 == 1
+    write_delta(
+        spark, ev.filter(~odd).repartition(3), out,
+        mode="append", partition_by=("event_type",),
+    )
+    write_delta(
+        spark, ev.filter(odd).repartition(3), out,
+        mode="append", partition_by=("event_type",),
+    )
+    optimize(spark, out)
+    snap = snapshot(out)
+    counts: dict[str, int] = {}
+    for pv in snap.files.values():
+        counts[pv["event_type"]] = counts.get(pv["event_type"], 0) + 1
+    files_df = spark.createDataFrame(
+        [(k, v) for k, v in counts.items()], "event_type string, n_files long"
+    )
+    return (
+        read_delta(spark, out)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("event_id").cast("long").alias("sum_id"),
+        )
+        .join(F.broadcast(files_df), "event_type")
+        .select("event_type", "n_events", "sum_id", "n_files")
+    )

@@ -239,7 +239,18 @@ def read_delta(
             for p, pv in files.items()
             if all(pv.get(c) in allowed for c, allowed in partition_filter.items())
         }
+    return _read_files(spark, table_path, files, schema, pcols)
 
+
+def _read_files(
+    spark: SparkSession,
+    table_path: str,
+    files: dict[str, dict[str, str | None]],
+    schema: StructType,
+    pcols: list[str],
+) -> DataFrame:
+    """One parquet scan over an explicit live-file set, with partition
+    columns re-attached from the log's per-file partitionValues."""
     data_schema = StructType([f for f in schema.fields if f.name not in pcols])
     if not files:
         return spark.createDataFrame([], schema)
@@ -384,6 +395,7 @@ def write_delta(
     mode: str = "append",
     partition_by: tuple[str, ...] = (),
     checkpoint_interval: int = 2,
+    operation: str = "WRITE",
 ) -> int:
     """Write ``df`` as one atomic Delta commit; returns the new version.
 
@@ -454,7 +466,7 @@ def write_delta(
     actions: list[dict[str, Any]] = [
         {
             "commitInfo": {
-                "operation": "WRITE",
+                "operation": operation,
                 "operationParameters": {"mode": mode.upper()},
             }
         }
@@ -485,6 +497,142 @@ def write_delta(
     if checkpoint_interval and version > 0 and version % checkpoint_interval == 0:
         _write_checkpoint(table_path, snapshot(table_path, version))
     return version
+
+
+def read_change_feed(
+    spark: SparkSession,
+    table_path: str,
+    from_version: int,
+    to_version: int,
+) -> DataFrame:
+    """Net row-level changes between two snapshots, derived from the log
+    alone: files live at ``to`` but not at ``from`` carry inserts, files
+    live at ``from`` but not at ``to`` carry deletes, and a file both
+    added and removed inside the range cancels (it is in neither
+    endpoint) — exactly the net-change contract of a change data feed.
+    Emits the table columns plus ``_change_type`` ('insert'|'delete').
+
+    Scale shape: the diff is a set operation over file PATHS (log
+    metadata, driver-side by protocol design); the data read is one
+    parquet scan per side over only the changed files — a table that
+    changed 0.1% between versions reads 0.1% of its files.
+    """
+    if from_version > to_version:
+        raise ValueError("from_version must be <= to_version")
+    lo = snapshot(table_path, from_version)
+    hi = snapshot(table_path, to_version)
+    schema = hi.schema
+    pcols = hi.partition_columns
+    added = {p: pv for p, pv in hi.files.items() if p not in lo.files}
+    removed = {p: pv for p, pv in lo.files.items() if p not in hi.files}
+    ins = _read_files(spark, table_path, added, schema, pcols).withColumn(
+        "_change_type", F.lit("insert")
+    )
+    dels = _read_files(spark, table_path, removed, schema, pcols).withColumn(
+        "_change_type", F.lit("delete")
+    )
+    return ins.unionByName(dels)
+
+
+def optimize(spark: SparkSession, table_path: str) -> int:
+    """OPTIMIZE (bin-packing compaction): rewrite each partition's live
+    files into one file and publish the swap as a single
+    ``dataChange=false`` commit — readers see identical rows before and
+    after, streams consuming the log know no data changed, and time
+    travel to pre-compaction versions still works (old files remain on
+    disk until a vacuum). The rewrite is a parallel Spark job (one task
+    per partition via ``repartition(partition cols)``), never a driver
+    funnel; at 100 TB this is the small-files maintenance job that keeps
+    scan task counts proportional to data, not to commit history.
+    """
+    prev = snapshot(table_path)
+    pcols = prev.partition_columns
+    df = _read_files(spark, table_path, prev.files, prev.schema, pcols)
+    df = df.repartition(*[F.col(c) for c in pcols]) if pcols else df.coalesce(1)
+
+    staging = os.path.join(table_path, f".staging-{uuid.uuid4().hex[:12]}")
+    writer = df.write.mode("overwrite")
+    if pcols:
+        writer = writer.partitionBy(*pcols)
+    writer.parquet(staging)
+
+    actions: list[dict[str, Any]] = [
+        {"commitInfo": {"operation": "OPTIMIZE", "operationParameters": {}}}
+    ]
+    for root, _dirs, names in os.walk(staging):
+        for name in names:
+            if not name.endswith(".parquet"):
+                continue
+            src = os.path.join(root, name)
+            reldir = os.path.relpath(root, staging)
+            base = f"part-{uuid.uuid4().hex}.snappy.parquet"
+            rel = base if reldir == "." else os.path.join(reldir, base)
+            dst = os.path.join(table_path, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(src, dst)
+            actions.append(
+                {
+                    "add": {
+                        "path": _encode_path(rel),
+                        "partitionValues": _pv_from_relpath(rel, pcols),
+                        "size": os.path.getsize(dst),
+                        "modificationTime": int(os.path.getmtime(dst) * 1000),
+                        "dataChange": False,
+                    }
+                }
+            )
+    shutil.rmtree(staging, ignore_errors=True)
+    for rel in sorted(prev.files):
+        actions.append(
+            {"remove": {"path": _encode_path(rel), "dataChange": False}}
+        )
+    version = prev.version + 1
+    _commit(table_path, version, actions)
+    return version
+
+
+def merge_delta(
+    spark: SparkSession,
+    source: DataFrame,
+    table_path: str,
+    on: list[str],
+    checkpoint_interval: int = 2,
+) -> int:
+    """Copy-on-write MERGE (upsert): matched target rows take the source
+    row's values, unmatched source rows insert, unmatched target rows
+    are kept. Spelled as one full-outer join on the key + coalesce —
+    Catalyst picks the join strategy (broadcast for small sources) —
+    and published as a single OVERWRITE-semantics commit, so concurrent
+    readers see pre- or post-merge state, never a mix. At scale a real
+    engine rewrites only matched FILES; the declarative join spelling
+    here is the Spark-first equivalent with the same atomicity contract.
+    """
+    prev = snapshot(table_path)
+    pcols = prev.partition_columns
+    target = _read_files(spark, table_path, prev.files, prev.schema, pcols)
+    cols = target.columns
+    if sorted(source.columns) != sorted(cols):
+        raise ValueError(
+            f"merge source columns {sorted(source.columns)} != target {sorted(cols)}"
+        )
+    t = target.alias("t")
+    s = source.alias("s")
+    merged = t.join(s, on=on, how="full_outer").select(
+        *[
+            (F.col(c) if c in on else F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")))
+            .alias(c)
+            for c in cols
+        ]
+    )
+    return write_delta(
+        spark,
+        merged,
+        table_path,
+        mode="overwrite",
+        partition_by=tuple(pcols),
+        checkpoint_interval=checkpoint_interval,
+        operation="MERGE",
+    )
 
 
 def delete_partitions(

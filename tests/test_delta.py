@@ -14,6 +14,9 @@ from pyspark_excel_datasource_spark.sources.deltalog import (
     DeltaProtocolError,
     delete_partitions,
     history,
+    merge_delta,
+    optimize,
+    read_change_feed,
     read_delta,
     snapshot,
     write_delta,
@@ -163,6 +166,70 @@ def test_append_partitioning_mismatch_rejected(spark, tmp_path):
     write_delta(spark, _nation(spark), path, partition_by=("n_regionkey",))
     with pytest.raises(ValueError):
         write_delta(spark, _nation(spark), path, mode="append")
+
+
+def test_change_feed_net_semantics(spark, three_version_table):
+    n = _nation(spark)
+    # v0→v2: inserts = regions 2-4 minus deleted region 0 (none of 2-4
+    # is 0, so all of the v1 append); deletes = region-0 rows from v0
+    cdf = read_change_feed(spark, three_version_table, 0, 2)
+    ins = cdf.filter(F.col("_change_type") == "insert")
+    dels = cdf.filter(F.col("_change_type") == "delete")
+    assert ins.count() == n.filter(F.col("n_regionkey") >= 2).count()
+    assert dels.count() == n.filter(F.col("n_regionkey") == 0).count()
+    # adjacent range v1→v2 sees ONLY the delete
+    cdf12 = read_change_feed(spark, three_version_table, 1, 2)
+    assert cdf12.filter(F.col("_change_type") == "insert").count() == 0
+    assert (
+        cdf12.filter(F.col("_change_type") == "delete").count()
+        == n.filter(F.col("n_regionkey") == 0).count()
+    )
+    # empty range
+    assert read_change_feed(spark, three_version_table, 2, 2).count() == 0
+
+
+def test_optimize_compacts_without_changing_data(spark, tmp_path):
+    path = str(tmp_path / "t")
+    n = _nation(spark)
+    write_delta(spark, n.repartition(4), path, partition_by=("n_regionkey",))
+    write_delta(
+        spark, n.repartition(4), path, mode="append",
+        partition_by=("n_regionkey",),
+    )
+    before = snapshot(path)
+    rows_before = {tuple(r) for r in read_delta(spark, path).collect()}
+    v = optimize(spark, path)
+    after = snapshot(path)
+    assert after.version == v
+    # one file per partition value, data identical
+    per_part: dict[str, int] = {}
+    for pv in after.files.values():
+        per_part[pv["n_regionkey"]] = per_part.get(pv["n_regionkey"], 0) + 1
+    assert set(per_part.values()) == {1}
+    assert len(after.files) < len(before.files)
+    assert {tuple(r) for r in read_delta(spark, path).collect()} == rows_before
+    # time travel to the fragmented pre-OPTIMIZE version still works
+    assert read_delta(spark, path, version=1).count() == read_delta(spark, path).count()
+    assert [h["operation"] for h in history(path)][0] == "OPTIMIZE"
+
+
+def test_merge_upsert_branches(spark, tmp_path):
+    path = str(tmp_path / "t")
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "id int, k string, v double"
+    )
+    write_delta(spark, target, path)
+    source = spark.createDataFrame(
+        [(2, "b2", 99.0), (3, "c", 30.0)], "id int, k string, v double"
+    )
+    merge_delta(spark, source, path, on=["id"])
+    got = {tuple(r) for r in read_delta(spark, path).collect()}
+    assert got == {(1, "a", 10.0), (2, "b2", 99.0), (3, "c", 30.0)}
+    # pre-merge version intact; history says MERGE
+    assert read_delta(spark, path, version=0).count() == 2
+    assert history(path)[0]["operation"] == "MERGE"
+    with pytest.raises(ValueError):
+        merge_delta(spark, source.drop("v"), path, on=["id"])
 
 
 def test_empty_partition_filter_returns_typed_empty(spark, three_version_table):
