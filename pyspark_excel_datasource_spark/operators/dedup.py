@@ -2122,3 +2122,125 @@ def q_dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         (F.col("cluster_id") == F.col("id")).alias("is_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# exact duplicated-substring spans (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better": remove verbatim token
+# spans that repeat across documents — the highest-leverage exact-dedup
+# pass after whole-document hashing)
+# ---------------------------------------------------------------------------
+
+#: token-gram width for substring dedup: spans shorter than this many
+#: whitespace tokens are noise (stock phrases); the paper uses 50 BPE
+#: tokens, scaled here to the synthetic corpus' short documents
+_SUBSTR_K = 8
+
+
+@query(
+    "q_dedup_substring",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i, MD5(ARRAY_TO_STRING(ws[i:i+{_SUBSTR_K - 1}], ' ')) AS gk
+      FROM words, UNNEST(GENERATE_SERIES(1, LEN(ws) - {_SUBSTR_K - 1})) AS t(i)
+      WHERE LEN(ws) >= {_SUBSTR_K}
+    ),
+    dup AS (
+      SELECT doc_id, i FROM grams
+      WHERE gk IN (SELECT gk FROM grams GROUP BY gk
+                   HAVING COUNT(DISTINCT doc_id) >= 2)
+    ),
+    lagged AS (
+      SELECT doc_id, i,
+             COALESCE(LAG(i) OVER (PARTITION BY doc_id ORDER BY i),
+                      -{_SUBSTR_K + 10}) AS prev_i
+      FROM dup
+    ),
+    islands AS (
+      SELECT doc_id, i,
+             SUM(CASE WHEN i - prev_i > {_SUBSTR_K} THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY i) AS island
+      FROM lagged
+    ),
+    spans AS (
+      SELECT doc_id, island, MIN(i) AS s, MAX(i) + {_SUBSTR_K - 1} AS e
+      FROM islands GROUP BY doc_id, island
+    )
+    SELECT sp.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens,
+           CAST(ANY_VALUE(LEN(w.ws)) AS BIGINT) AS total_tokens
+    FROM spans sp JOIN words w ON sp.doc_id = w.doc_id
+    GROUP BY sp.doc_id
+    """,
+)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring detection: every ``_SUBSTR_K``-token
+    gram that appears verbatim in >= 2 distinct documents marks its
+    positions as duplicated; per document, overlapping/adjacent
+    duplicated grams merge into MAXIMAL spans (gaps-and-islands over
+    gram start positions), reported as (span count, duplicated tokens,
+    total tokens). This is the exact-substring pass of Lee et al. 2022
+    — the dedup stage that catches boilerplate shared across otherwise
+    distinct pages, which whole-doc hashing (``q_dedup_exact``) and
+    MinHash (``q_dedup_minhash``) both miss.
+
+    Scale plan (the suffix-array of the paper, re-expressed as three
+    linear shuffles): (1) gram positions stream out of the scan stage
+    via ``transform(sequence(...))`` + ``posexplode`` — JVM codegen,
+    no Python; (2) the duplicated-gram set is one groupBy on 16-byte
+    md5 keys with a partial-agg count-distinct (documents never move,
+    only hashes); (3) membership is a semi join back on the same key;
+    (4) the island merge is one window partitioned by ``doc_id`` —
+    bounded by document length, never corpus-wide. At 100 TB each
+    shuffle carries (doc_id, pos, 16-byte key) rows; the Zipf-heavy
+    head (a gram shared by millions of docs) costs one partial-agg
+    count per partition, not a fan-out, because only the COUNT leaves
+    the groupBy.
+    """
+    d = table(spark, sf_dir, "documents")
+    k = _SUBSTR_K
+    words = d.select("doc_id", F.split(F.col("text"), " ").alias("ws")).filter(
+        F.size("ws") >= k
+    )
+    grams = words.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("total_tokens"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(ws) - {k - 1}),"
+                f" i -> md5(concat_ws(' ', slice(ws, i, {k}))))"
+            )
+        ).alias("p", "gk"),
+    ).select("doc_id", "total_tokens", (F.col("p") + 1).alias("i"), "gk")
+
+    dup_keys = (
+        grams.groupBy("gk")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("gk")
+    )
+    dup = grams.join(dup_keys, "gk", "left_semi")
+
+    w_doc = W.partitionBy("doc_id").orderBy("i")
+    islands = dup.withColumn(
+        "prev_i", F.coalesce(F.lag("i").over(w_doc), F.lit(-(k + 10)))
+    ).withColumn(
+        "island",
+        F.sum(F.when(F.col("i") - F.col("prev_i") > k, 1).otherwise(0)).over(
+            w_doc.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    spans = islands.groupBy("doc_id", "island").agg(
+        F.min("i").alias("s"),
+        (F.max("i") + (k - 1)).alias("e"),
+        F.first("total_tokens").alias("total_tokens"),
+    )
+    return spans.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_tokens"),
+        F.first("total_tokens").cast("long").alias("total_tokens"),
+    )
