@@ -58,6 +58,12 @@ HEADLINE = (
     # sync-marker splits + Arrow-batch decode) so a decode-path
     # regression in the new source surfaces per-round like tarshard's
     "q_scan_avro",
+    # round-8 additions: the Delta-log snapshot scan (checkpoint replay +
+    # broadcast partition-attach over a plain parquet scan) and the
+    # exact duplicated-substring pass (explode → 16-byte-hash groupBy →
+    # semi join → per-doc window), the heaviest new text-dedup plan
+    "q_scan_delta",
+    "q_dedup_substring",
 )
 
 RUNS = 3

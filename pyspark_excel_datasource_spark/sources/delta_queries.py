@@ -307,3 +307,58 @@ def q_delta_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(files_df), "event_type")
         .select("event_type", "n_events", "sum_id", "n_files")
     )
+
+
+@query(
+    "q_stream_delta",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_stream_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-streaming drain of the Delta log (``pydelta`` source):
+    offsets are LOG VERSIONS, each micro-batch reads exactly the
+    dataChange ADD files of its version range — one task per file, no
+    table re-listing, replayable by construction. The fixture's two
+    append commits stream through (the v2 partition DELETE is skipped
+    via ignoreDeletes, per the append-only stream contract), so the
+    drained census equals the FULL base table — P partition included —
+    which is exactly what distinguishes streaming the LOG from scanning
+    the latest SNAPSHOT (``q_scan_delta``'s oracle excludes P).
+    """
+    import uuid
+
+    from .delta_stream import register_pydelta
+
+    register_pydelta(spark)
+    path = _materialize_orders_delta(spark, sf_dir)
+    sink = f"stream_delta_{uuid.uuid4().hex[:10]}"
+    stream = (
+        spark.readStream.format("pydelta")
+        .option("ignoreDeletes", "true")
+        .load(path)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(120):
+            raise TimeoutError("q_stream_delta: drain did not finish in 120s")
+    finally:
+        q.stop()
+    return (
+        spark.table(sink)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+        )
+    )

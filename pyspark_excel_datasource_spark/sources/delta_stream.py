@@ -1,0 +1,158 @@
+"""Streaming reader over the Delta transaction log (``pydelta``).
+
+The log IS the offset ledger: a micro-batch is the half-open version
+range ``(start, end]``, and its input files are exactly the
+``dataChange=true`` ADD actions of those commits — so offsets are
+replayable by construction (same range → same files → same rows, the
+exactly-once property checkpoint recovery needs), appends stream
+incrementally without ever re-listing the table, and compaction
+commits (``dataChange=false``, see ``deltalog.optimize``) are invisible
+to the stream, exactly as the Delta streaming contract specifies.
+
+DELETE/OVERWRITE commits carry ``dataChange=true`` REMOVE actions; a
+stream positioned before them must either fail loudly (default — the
+source is append-only unless told otherwise) or skip them
+(``ignoreDeletes=true``), mirroring the public Delta source options.
+
+Scale: one input partition per added data file (at 100 TB a version's
+commit lists thousands of files → thousands of parallel tasks); the
+worker reads its single parquet file via Arrow and attaches the
+partition columns from the log's per-file ``partitionValues`` — no
+join, no driver funnel, the driver only ever parses JSON commits.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import pyarrow as pa
+import pyarrow.parquet as papq
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from .deltalog import _list_log, _log_dir, snapshot
+
+
+@dataclass
+class DeltaFilePartition(InputPartition):
+    path: str
+    partition_values: str  # JSON {col: string|null}
+
+
+def _arrow_field_type(dt: T.DataType):
+    if isinstance(dt, T.LongType):
+        return pa.int64()
+    if isinstance(dt, T.IntegerType):
+        return pa.int32()
+    if isinstance(dt, T.DoubleType):
+        return pa.float64()
+    if isinstance(dt, T.StringType):
+        return pa.string()
+    if isinstance(dt, T.TimestampNTZType):
+        return pa.timestamp("us")
+    if isinstance(dt, T.TimestampType):
+        return pa.timestamp("us", tz="UTC")
+    if isinstance(dt, T.DateType):
+        return pa.date32()
+    if isinstance(dt, T.BooleanType):
+        return pa.bool_()
+    raise NotImplementedError(f"pydelta stream: unsupported type {dt}")
+
+
+class DeltaStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: T.StructType, options: dict):
+        self.bound_schema = schema
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("pydelta stream requires a table path")
+        self.ignore_deletes = str(
+            options.get("ignoreDeletes", options.get("ignoredeletes", "false"))
+        ).lower() in ("true", "1")
+        snap = snapshot(self.path)
+        self.pcols = snap.partition_columns
+
+    def initialOffset(self) -> dict:
+        return {"version": -1}
+
+    def latestOffset(self) -> dict:
+        js, cps = _list_log(self.path)
+        return {"version": max(js + cps)}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        parts: list[InputPartition] = []
+        for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
+            p = os.path.join(_log_dir(self.path), f"{v:020d}.json")
+            with open(p, encoding="utf-8") as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    act = json.loads(line)
+                    if "add" in act and act["add"].get("dataChange", True):
+                        a = act["add"]
+                        parts.append(
+                            DeltaFilePartition(
+                                os.path.join(self.path, a["path"]),
+                                json.dumps(a.get("partitionValues") or {}),
+                            )
+                        )
+                    elif "remove" in act and act["remove"].get("dataChange", True):
+                        if not self.ignore_deletes:
+                            raise RuntimeError(
+                                f"pydelta stream: version {v} contains a "
+                                "dataChange remove (DELETE/OVERWRITE); the "
+                                "source is append-only — set "
+                                "ignoreDeletes=true to skip such commits"
+                            )
+        return parts
+
+    def read(self, partition: DeltaFilePartition):
+        pv = json.loads(partition.partition_values)
+        tbl = papq.read_table(partition.path)
+        n = tbl.num_rows
+        cols, names = [], []
+        for f in self.bound_schema.fields:
+            at = _arrow_field_type(f.dataType)
+            if f.name in pv:
+                val = pv[f.name]
+                arr = pa.array([val] * n, type=pa.string()).cast(at)
+            else:
+                arr = tbl.column(f.name).combine_chunks().cast(at)
+            cols.append(arr)
+            names.append(f.name)
+        out = pa.table(dict(zip(names, cols)))
+        yield from out.to_batches(max_chunksize=1 << 16)
+
+    def commit(self, end: dict) -> None:
+        pass  # version offsets live in the log; nothing to clean up
+
+    def stop(self) -> None:
+        pass
+
+
+class DeltaStreamDataSource(DataSource):
+    """``spark.readStream.format("pydelta").load(table_path)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pydelta"
+
+    def schema(self) -> T.StructType:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("pydelta requires a table path")
+        return snapshot(path).schema
+
+    def streamReader(self, schema: T.StructType) -> DeltaStreamReader:
+        return DeltaStreamReader(schema, dict(self.options))
+
+
+def register_pydelta(spark: SparkSession) -> None:
+    spark.dataSource.register(DeltaStreamDataSource)

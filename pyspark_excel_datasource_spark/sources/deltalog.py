@@ -635,6 +635,29 @@ def merge_delta(
     )
 
 
+def vacuum(table_path: str) -> int:
+    """Physically delete data files no longer referenced by the LATEST
+    snapshot; returns the number removed. This is the storage-reclaim
+    half of the copy-on-write contract: OVERWRITE/DELETE/OPTIMIZE only
+    logically remove files so time travel keeps working — vacuum trades
+    that history for space (time travel to versions that referenced the
+    removed files now fails, the latest snapshot is untouched). The
+    walk is O(files on disk), metadata-only, no data read.
+    """
+    live = set(snapshot(table_path).files)
+    removed = 0
+    for root, dirs, names in os.walk(table_path):
+        dirs[:] = [d for d in dirs if d != _LOG and not d.startswith(".staging-")]
+        for name in names:
+            if not name.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(os.path.join(root, name), table_path)
+            if rel not in live:
+                os.remove(os.path.join(root, name))
+                removed += 1
+    return removed
+
+
 def delete_partitions(
     table_path: str, where: dict[str, str], checkpoint_interval: int = 2
 ) -> int:

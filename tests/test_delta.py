@@ -232,6 +232,85 @@ def test_merge_upsert_branches(spark, tmp_path):
         merge_delta(spark, source.drop("v"), path, on=["id"])
 
 
+def test_vacuum_reclaims_only_dead_files(spark, tmp_path):
+    from pyspark_excel_datasource_spark.sources.deltalog import vacuum
+
+    path = str(tmp_path / "t")
+    n = _nation(spark)
+    write_delta(spark, n, path)
+    write_delta(spark, n.limit(5), path, mode="overwrite")
+    latest_rows = {tuple(r) for r in read_delta(spark, path).collect()}
+    removed = vacuum(path)
+    assert removed > 0
+    # latest snapshot untouched; pre-overwrite time travel now fails
+    assert {tuple(r) for r in read_delta(spark, path).collect()} == latest_rows
+    with pytest.raises(Exception):
+        read_delta(spark, path, version=0).collect()
+    # vacuum is idempotent
+    assert vacuum(path) == 0
+
+
+def test_stream_reads_appends_and_respects_offsets(spark, tmp_path):
+    """pydelta stream: drains appends exactly once across restarts and
+    skips dataChange=false OPTIMIZE commits."""
+    from pyspark_excel_datasource_spark.sources.delta_stream import (
+        register_pydelta,
+    )
+
+    register_pydelta(spark)
+    path = str(tmp_path / "t")
+    n = _nation(spark)
+    write_delta(spark, n.filter(F.col("n_nationkey") < 10), path)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.format("pydelta")
+            .load(path)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        q.stop()
+
+    drain()
+    assert spark.read.parquet(out).count() == 10
+    # append + compact, then resume from the checkpoint: only the new
+    # rows arrive (OPTIMIZE's dataChange=false rewrite adds nothing)
+    write_delta(spark, n.filter(F.col("n_nationkey") >= 10), path, mode="append")
+    optimize(spark, path)
+    drain()
+    got = spark.read.parquet(out)
+    assert got.count() == n.count()
+    assert {r.n_nationkey for r in got.collect()} == {
+        r.n_nationkey for r in n.collect()
+    }
+
+
+def test_stream_fails_on_delete_unless_ignored(spark, tmp_path):
+    from pyspark_excel_datasource_spark.sources.delta_stream import (
+        DeltaStreamReader,
+    )
+
+    path = str(tmp_path / "t")
+    n = _nation(spark)
+    write_delta(spark, n, path, partition_by=("n_regionkey",))
+    delete_partitions(path, {"n_regionkey": "0"})
+    r = DeltaStreamReader(snapshot(path).schema, {"path": path})
+    with pytest.raises(RuntimeError, match="append-only"):
+        r.partitions({"version": -1}, {"version": 1})
+    r2 = DeltaStreamReader(
+        snapshot(path).schema, {"path": path, "ignoreDeletes": "true"}
+    )
+    parts = r2.partitions({"version": -1}, {"version": 1})
+    assert len(parts) == len(snapshot(path, 0).files)
+
+
 def test_empty_partition_filter_returns_typed_empty(spark, three_version_table):
     df = read_delta(
         spark, three_version_table, partition_filter={"n_regionkey": {"99"}}
