@@ -194,6 +194,16 @@ _PRIORITY: tuple[str, ...] = (
     "q_tpch_q17ish",
     "q_tpch_q19ish",
     "q_tpch_q22ish",
+    "q_scan_delta",
+    "q_scan_delta_timetravel",
+    "q_sink_delta",
+    "q_delta_cdf",
+    "q_delta_merge",
+    "q_delta_optimize",
+    "q_dedup_substring",
+    "q_stream_delta",
+    "q_delta_schema_evolution",
+    "q_federated_join",
     # C. prior greens: the round-7 window first (re-verdicted r7), then
     #    the round-6 window, then remaining greens in registration order
     "q_tpch_q7ish",

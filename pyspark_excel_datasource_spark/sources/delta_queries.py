@@ -362,3 +362,103 @@ def q_stream_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_orderkey").cast("long").alias("sum_key"),
         )
     )
+
+
+@query(
+    "q_delta_schema_evolution",
+    oracle="""
+    SELECT s_suppkey, s_name,
+           CASE WHEN s_suppkey % 2 = 1
+                THEN CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS VARCHAR)
+           END AS bal_str
+    FROM supplier
+    """,
+)
+def q_delta_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on append: v0 writes (s_suppkey, s_name) for
+    even keys; v1 appends odd keys WITH a new s_acctbal column under
+    ``merge_schema=True``, which widens the table's metaData schema in
+    the same atomic commit. The reader serves the EVOLVED schema for
+    every file — pre-evolution rows surface s_acctbal as null (the
+    parquet scan simply lacks the column), which the oracle's CASE
+    reproduces exactly. Without the opt-in flag the same append is
+    rejected (silently dropping a new column on read is the bug the
+    guard prevents) — pinned in ``tests/test_delta.py``.
+    """
+    out = os.path.join(_fixture_dir(sf_dir), "supplier_evolve_delta")
+    done = os.path.join(out, "_delta_log", f"{1:020d}.json")
+    if not os.path.exists(done):
+        shutil.rmtree(out, ignore_errors=True)
+        sup = table(spark, sf_dir, "supplier")
+        even = F.col("s_suppkey") % 2 == 0
+        write_delta(
+            spark, sup.filter(even).select("s_suppkey", "s_name"), out
+        )
+        write_delta(
+            spark,
+            sup.filter(~even).select("s_suppkey", "s_name", "s_acctbal"),
+            out,
+            mode="append",
+            merge_schema=True,
+        )
+    return read_delta(spark, out).select(
+        "s_suppkey",
+        "s_name",
+        F.col("s_acctbal").cast("decimal(18,2)").cast("string").alias("bal_str"),
+    )
+
+
+@query(
+    "q_federated_join",
+    oracle="""
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                AS DECIMAL(38,2)) AS VARCHAR) AS sum_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus <> 'P'
+    GROUP BY n.n_name
+    """,
+)
+def q_federated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One declarative plan across THREE storage systems: the fact side
+    streams from the Delta table's latest snapshot (post-DELETE, so the
+    P partition never leaves the log), the customer dimension is a
+    plain parquet scan, and the 25-row nation dimension arrives through
+    the Excel connector and broadcasts. Catalyst treats all three as
+    ordinary relations — pushdown, join reordering, and broadcast
+    selection work unchanged — which is the point of building every
+    source as a DataFrame-producing connector rather than a bespoke
+    reader: federation costs nothing at the plan level.
+    """
+    from .excel import register_excel
+    from .excel_queries import _materialize_nation_xlsx
+
+    register_excel(spark)
+    path = _materialize_orders_delta(spark, sf_dir)
+    orders = read_delta(spark, path).select(
+        "o_custkey", "o_totalprice"
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = (
+        spark.read.format("excel")
+        .option("path", _materialize_nation_xlsx(sf_dir))
+        .load()
+        .select(
+            F.col("n_nationkey").cast("int").alias("n_nationkey"), "n_name"
+        )
+    )
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .cast("string")
+            .alias("sum_price"),
+        )
+    )

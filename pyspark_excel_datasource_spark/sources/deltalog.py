@@ -396,6 +396,7 @@ def write_delta(
     partition_by: tuple[str, ...] = (),
     checkpoint_interval: int = 2,
     operation: str = "WRITE",
+    merge_schema: bool = False,
 ) -> int:
     """Write ``df`` as one atomic Delta commit; returns the new version.
 
@@ -424,6 +425,30 @@ def write_delta(
             f"append with partition_by={pcols} but table is partitioned "
             f"by {prev.partition_columns}"
         )
+
+    # schema evolution: an append may WIDEN the table schema (new columns
+    # get appended to the metaData schema; rows in pre-evolution files
+    # read back as null for them) but only with explicit opt-in —
+    # silently dropping an appended column on read is the failure mode
+    # this guard exists to prevent. Same-name type changes always reject.
+    evolved_schema = None
+    if prev is not None and mode == "append":
+        tbl_fields = {f.name: f for f in prev.schema.fields}
+        for f in df.schema.fields:
+            if f.name in tbl_fields and f.dataType != tbl_fields[f.name].dataType:
+                raise ValueError(
+                    f"append changes type of column {f.name!r}: "
+                    f"{tbl_fields[f.name].dataType} -> {f.dataType}"
+                )
+        new_fields = [f for f in df.schema.fields if f.name not in tbl_fields]
+        if new_fields:
+            if not merge_schema:
+                raise ValueError(
+                    f"append adds columns {[f.name for f in new_fields]} "
+                    "not in the table schema; pass merge_schema=True to "
+                    "evolve the schema (old rows read as null)"
+                )
+            evolved_schema = StructType(list(prev.schema.fields) + new_fields)
 
     # 1. parallel data-file write into staging, then move into the table
     staging = os.path.join(table_path, f".staging-{uuid.uuid4().hex[:12]}")
@@ -486,6 +511,10 @@ def write_delta(
                 }
             }
         )
+    if evolved_schema is not None:
+        md = dict(prev.metadata)
+        md["schemaString"] = evolved_schema.json()
+        actions.append({"metaData": md})
     if mode == "overwrite" and prev is not None:
         for rel in sorted(prev.files):
             actions.append(

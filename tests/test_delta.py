@@ -311,6 +311,28 @@ def test_stream_fails_on_delete_unless_ignored(spark, tmp_path):
     assert len(parts) == len(snapshot(path, 0).files)
 
 
+def test_schema_evolution_requires_opt_in(spark, tmp_path):
+    path = str(tmp_path / "t")
+    n = _nation(spark)
+    write_delta(spark, n.select("n_nationkey", "n_name"), path)
+    widened = n.select("n_nationkey", "n_name", "n_regionkey")
+    # silent column drop is forbidden
+    with pytest.raises(ValueError, match="merge_schema"):
+        write_delta(spark, widened, path, mode="append")
+    # type change is always forbidden
+    retyped = n.select(
+        F.col("n_nationkey").cast("string").alias("n_nationkey"), "n_name"
+    )
+    with pytest.raises(ValueError, match="changes type"):
+        write_delta(spark, retyped, path, mode="append", merge_schema=True)
+    # with opt-in: schema widens, old rows read null for the new column
+    write_delta(spark, widened.limit(3), path, mode="append", merge_schema=True)
+    got = read_delta(spark, path)
+    assert got.columns == ["n_nationkey", "n_name", "n_regionkey"]
+    assert got.filter(F.col("n_regionkey").isNull()).count() == n.count()
+    assert got.filter(F.col("n_regionkey").isNotNull()).count() == 3
+
+
 def test_empty_partition_filter_returns_typed_empty(spark, three_version_table):
     df = read_delta(
         spark, three_version_table, partition_filter={"n_regionkey": {"99"}}

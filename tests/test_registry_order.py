@@ -51,6 +51,28 @@ ROUND8_AUTHORED: set[str] = {
     "q_agg_topk_union",
     "q_kmeans_lloyd",
     "q_udtf_table_arg",
+    # TPC-H shape completion
+    "q_tpch_q4ish",
+    "q_tpch_q6ish",
+    "q_tpch_q9ish",
+    "q_tpch_q11ish",
+    "q_tpch_q13ish",
+    "q_tpch_q15ish",
+    "q_tpch_q16ish",
+    "q_tpch_q17ish",
+    "q_tpch_q19ish",
+    "q_tpch_q22ish",
+    # Delta-log source family + substring dedup + federation
+    "q_scan_delta",
+    "q_scan_delta_timetravel",
+    "q_sink_delta",
+    "q_delta_cdf",
+    "q_delta_merge",
+    "q_delta_optimize",
+    "q_dedup_substring",
+    "q_stream_delta",
+    "q_delta_schema_evolution",
+    "q_federated_join",
 }
 
 
