@@ -2,59 +2,18 @@
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-from pyspark.sql.window import Window as W
-
-from pyspark_excel_datasource_spark.operators.dedup import _SUBSTR_K
+from pyspark_excel_datasource_spark.operators.dedup import (
+    _SUBSTR_K,
+    substring_spans,
+)
 
 
 def _spans(spark, docs):
-    """Run the same plan as q_dedup_substring over an in-memory corpus."""
-    k = _SUBSTR_K
+    """Run the registered operator's plan over an in-memory corpus."""
     d = spark.createDataFrame(docs, "doc_id long, text string")
-    words = d.select("doc_id", F.split("text", " ").alias("ws")).filter(
-        F.size("ws") >= k
-    )
-    grams = words.select(
-        "doc_id",
-        F.size("ws").cast("long").alias("total_tokens"),
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, size(ws) - {k - 1}),"
-                f" i -> md5(concat_ws(' ', slice(ws, i, {k}))))"
-            )
-        ).alias("p", "gk"),
-    ).select("doc_id", "total_tokens", (F.col("p") + 1).alias("i"), "gk")
-    dup_keys = (
-        grams.groupBy("gk")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter("nd >= 2")
-        .select("gk")
-    )
-    dup = grams.join(dup_keys, "gk", "left_semi")
-    w = W.partitionBy("doc_id").orderBy("i")
-    islands = dup.withColumn(
-        "prev_i", F.coalesce(F.lag("i").over(w), F.lit(-(k + 10)))
-    ).withColumn(
-        "island",
-        F.sum(F.when(F.col("i") - F.col("prev_i") > k, 1).otherwise(0)).over(
-            w.rowsBetween(W.unboundedPreceding, W.currentRow)
-        ),
-    )
-    spans = islands.groupBy("doc_id", "island").agg(
-        F.min("i").alias("s"),
-        (F.max("i") + (k - 1)).alias("e"),
-        F.first("total_tokens").alias("t"),
-    )
     return {
-        (r.doc_id): (r.n_spans, r.dup_tokens, r.total_tokens)
-        for r in spans.groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_spans"),
-            F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
-            F.first("t").alias("total_tokens"),
-        )
-        .collect()
+        r.doc_id: (r.n_spans, r.dup_tokens, r.total_tokens)
+        for r in substring_spans(d).collect()
     }
 
 

@@ -204,7 +204,10 @@ def timed(name, df):
 
 
 def main() -> None:
-    from pyspark_excel_datasource_spark.operators.dedup import minhash_pairs
+    from pyspark_excel_datasource_spark.operators.dedup import (
+        minhash_pairs,
+        substring_spans,
+    )
     from pyspark_excel_datasource_spark.operators.similarity import (
         _norm,
         ann_lsh_topk,
@@ -349,6 +352,13 @@ def main() -> None:
         "window_frame": (window_frame(li1), window_frame(li10)),
         "join_agg": (join_agg(li1, orders1), join_agg(li10, orders10)),
         "minhash_dedup": (minhash_pairs(docs1), minhash_pairs(docs10)),
+        # round-8: duplicated-substring spans — replicate_docs' per-replica
+        # token prefixes keep replicas gram-disjoint, so the duplicated-
+        # gram index and the semi join must both grow ~linearly
+        "substring_spans": (
+            substring_spans(docs1),
+            substring_spans(docs10),
+        ),
         "ann_lsh_topk": (
             ann_lsh_topk(emb1, qids1),
             ann_lsh_topk(emb10, qids10),
