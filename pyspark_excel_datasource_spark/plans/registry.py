@@ -204,6 +204,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_stream_delta",
     "q_delta_schema_evolution",
     "q_federated_join",
+    "q_delta_delete_rows",
+    "q_stream_delta_upsert",
     # C. prior greens: the round-7 window first (re-verdicted r7), then
     #    the round-6 window, then remaining greens in registration order
     "q_tpch_q7ish",

@@ -462,3 +462,125 @@ def q_federated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_price"),
         )
     )
+
+
+@query(
+    "q_delta_delete_rows",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+    FROM orders
+    WHERE NOT (o_orderkey <= (SELECT MAX(o_orderkey) // 4 FROM orders))
+    GROUP BY o_orderstatus
+    """,
+)
+def q_delta_delete_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE with file-granular copy-on-write: the table is
+    range-clustered on ``o_orderkey``, so the bottom-quartile predicate
+    matches rows in only SOME files; ``deltalog.delete_where`` rewrites
+    exactly those (surviving rows re-packed) and leaves the rest
+    byte-identical on disk, publishing removes+adds as one atomic
+    commit. The oracle recomputes the post-delete state relationally;
+    the untouched-file guarantee is pinned in ``tests/test_delta.py``.
+    """
+    from .deltalog import delete_where
+
+    out = os.path.join(_fixture_dir(sf_dir), "orders_delete_delta")
+    shutil.rmtree(out, ignore_errors=True)
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    write_delta(
+        spark,
+        orders.repartitionByRange(4, "o_orderkey"),
+        out,
+        checkpoint_interval=0,
+    )
+    cut = orders.agg(F.expr("max(o_orderkey) div 4").alias("c")).collect()[0].c
+    delete_where(spark, out, f"o_orderkey <= {cut}")
+    return (
+        read_delta(spark, out)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+        )
+    )
+
+
+@query(
+    "q_stream_delta_upsert",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                AS DECIMAL(38,2)) AS VARCHAR) AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_stream_delta_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply: the pydelta stream drains the orders log and
+    ``foreachBatch`` MERGEs each micro-batch into a second Delta table
+    whose seed rows carry a stale sentinel price (-1). Every commit is
+    tagged with a ``txn`` (appId, batchId) action, so a replayed batch
+    after a crash is a NO-OP — the log itself is the exactly-once
+    ledger, the same mechanism real Delta sinks use. The oracle is the
+    plain base-table census: it hashes green only if every stale row
+    was overwritten by its streamed value and every missing key was
+    inserted exactly once.
+    """
+    import uuid as _uuid
+
+    from .delta_stream import register_pydelta
+    from .deltalog import merge_delta
+
+    register_pydelta(spark)
+    src = _materialize_orders_delta(spark, sf_dir)
+    out = os.path.join(_fixture_dir(sf_dir), "orders_upsert_delta")
+    shutil.rmtree(out, ignore_errors=True)
+    orders = table(spark, sf_dir, "orders")
+    seed = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_orderstatus", F.lit(-1.0).alias("o_totalprice")
+    )
+    write_delta(spark, seed, out)
+    app_id = "q_stream_delta_upsert"
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        merge_delta(
+            batch_df.sparkSession,
+            batch_df.select("o_orderkey", "o_orderstatus", "o_totalprice"),
+            out,
+            on=["o_orderkey"],
+            txn=(app_id, batch_id),
+        )
+
+    q = (
+        spark.readStream.format("pydelta")
+        .option("ignoreDeletes", "true")
+        .load(src)
+        .writeStream.foreachBatch(apply_batch)
+        .option(
+            "checkpointLocation",
+            os.path.join(_fixture_dir(sf_dir), f"upsert_ckpt_{_uuid.uuid4().hex[:8]}"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(180):
+            raise TimeoutError("q_stream_delta_upsert: drain did not finish")
+    finally:
+        q.stop()
+    return (
+        read_delta(spark, out)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .cast("string")
+            .alias("sum_price"),
+        )
+    )

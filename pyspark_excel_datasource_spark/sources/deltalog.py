@@ -248,21 +248,26 @@ def _read_files(
     files: dict[str, dict[str, str | None]],
     schema: StructType,
     pcols: list[str],
+    file_column: str | None = None,
 ) -> DataFrame:
     """One parquet scan over an explicit live-file set, with partition
-    columns re-attached from the log's per-file partitionValues."""
+    columns re-attached from the log's per-file partitionValues.
+    ``file_column`` optionally exposes each row's source file RELATIVE
+    path (the log key) — the identity row-level DML needs."""
     data_schema = StructType([f for f in schema.fields if f.name not in pcols])
     if not files:
-        return spark.createDataFrame([], schema)
+        out = spark.createDataFrame([], schema)
+        return out.withColumn(file_column, F.lit(None).cast("string")) if file_column else out
 
     paths = [os.path.join(table_path, p) for p in files]
     df = spark.read.schema(data_schema).parquet(*paths)
-    if not pcols:
+    if not pcols and not file_column:
         return df.select(*[f.name for f in schema.fields])
 
-    # file-basename → partition values map (file-count rows, broadcast)
+    # file-basename → (rel path, partition values) map (file-count rows,
+    # broadcast); basenames are table-unique by writer construction
     rows = [
-        (os.path.basename(p), *[pv.get(c) for c in pcols])
+        (os.path.basename(p), p, *[pv.get(c) for c in pcols])
         for p, pv in files.items()
     ]
     map_schema = StructType.fromJson(
@@ -270,7 +275,8 @@ def _read_files(
             "type": "struct",
             "fields": [
                 {"name": n, "type": "string", "nullable": True, "metadata": {}}
-                for n in ["__delta_file"] + [f"__pv_{c}" for c in pcols]
+                for n in ["__delta_file", "__delta_rel"]
+                + [f"__pv_{c}" for c in pcols]
             ],
         }
     )
@@ -282,7 +288,11 @@ def _read_files(
     by_name = {f.name: f.dataType for f in schema.fields}
     for c in pcols:
         df = df.withColumn(c, F.col(f"__pv_{c}").cast(by_name[c]))
-    return df.select(*[f.name for f in schema.fields])
+    out_cols = [f.name for f in schema.fields]
+    if file_column:
+        df = df.withColumn(file_column, F.col("__delta_rel"))
+        out_cols = out_cols + [file_column]
+    return df.select(*out_cols)
 
 
 # ---------------------------------------------------------------------------
@@ -397,6 +407,7 @@ def write_delta(
     checkpoint_interval: int = 2,
     operation: str = "WRITE",
     merge_schema: bool = False,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Write ``df`` as one atomic Delta commit; returns the new version.
 
@@ -412,6 +423,12 @@ def write_delta(
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     os.makedirs(table_path, exist_ok=True)
+
+    # exactly-once ledger: a (appId, version) tag at or below the last
+    # committed one means this is a replayed batch — skip without writing
+    if txn is not None and os.path.isdir(_log_dir(table_path)):
+        if int(txn[1]) <= last_txn_version(table_path, txn[0]):
+            return snapshot(table_path).version
 
     prev: DeltaSnapshot | None
     try:
@@ -510,6 +527,10 @@ def write_delta(
                     "configuration": {},
                 }
             }
+        )
+    if txn is not None:
+        actions.append(
+            {"txn": {"appId": txn[0], "version": int(txn[1])}}
         )
     if evolved_schema is not None:
         md = dict(prev.metadata)
@@ -626,6 +647,7 @@ def merge_delta(
     table_path: str,
     on: list[str],
     checkpoint_interval: int = 2,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Copy-on-write MERGE (upsert): matched target rows take the source
     row's values, unmatched source rows insert, unmatched target rows
@@ -636,6 +658,8 @@ def merge_delta(
     engine rewrites only matched FILES; the declarative join spelling
     here is the Spark-first equivalent with the same atomicity contract.
     """
+    if txn is not None and int(txn[1]) <= last_txn_version(table_path, txn[0]):
+        return snapshot(table_path).version  # replayed batch: no-op
     prev = snapshot(table_path)
     pcols = prev.partition_columns
     target = _read_files(spark, table_path, prev.files, prev.schema, pcols)
@@ -661,7 +685,116 @@ def merge_delta(
         partition_by=tuple(pcols),
         checkpoint_interval=checkpoint_interval,
         operation="MERGE",
+        txn=txn,
     )
+
+
+def delete_where(
+    spark: SparkSession,
+    table_path: str,
+    condition,
+    checkpoint_interval: int = 2,
+) -> tuple[int, int, int]:
+    """Row-level DELETE, file-granular copy-on-write: only the files
+    that CONTAIN a matching row are rewritten (surviving rows re-packed
+    per partition); untouched files stay in place byte-identical. One
+    atomic commit removes the matched files and adds the rewrites.
+    Returns (version, files_rewritten, files_untouched).
+
+    Scale shape: the match probe is one filtered scan projecting only
+    the file identity (distinct file list — bounded by file count, the
+    same metadata scale the log itself assumes); the rewrite reads and
+    writes only the matched files. A predicate touching 0.1% of files
+    costs 0.1% of a table rewrite — this is why engines do COW at file,
+    not table, granularity. Rows where the predicate is NULL are kept
+    (DELETE removes only rows where it is TRUE, per SQL semantics).
+    """
+    prev = snapshot(table_path)
+    pcols = prev.partition_columns
+    full = _read_files(
+        spark, table_path, prev.files, prev.schema, pcols, file_column="__f"
+    )
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    matched = {
+        r["__f"] for r in full.filter(cond).select("__f").distinct().collect()
+    }
+    if not matched:
+        return prev.version, 0, len(prev.files)
+
+    survivors = (
+        full.filter(F.col("__f").isin(*matched))
+        .filter(~F.coalesce(cond, F.lit(False)))
+        .drop("__f")
+    )
+    staging = os.path.join(table_path, f".staging-{uuid.uuid4().hex[:12]}")
+    writer = survivors.write.mode("overwrite")
+    if pcols:
+        writer = writer.partitionBy(*pcols)
+    writer.parquet(staging)
+
+    actions: list[dict[str, Any]] = [
+        {
+            "commitInfo": {
+                "operation": "DELETE",
+                "operationParameters": {
+                    "predicate": condition if isinstance(condition, str) else str(condition)
+                },
+            }
+        }
+    ]
+    for root, _dirs, names in os.walk(staging):
+        for name in names:
+            if not name.endswith(".parquet"):
+                continue
+            src = os.path.join(root, name)
+            reldir = os.path.relpath(root, staging)
+            base = f"part-{uuid.uuid4().hex}.snappy.parquet"
+            rel = base if reldir == "." else os.path.join(reldir, base)
+            dst = os.path.join(table_path, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(src, dst)
+            actions.append(
+                {
+                    "add": {
+                        "path": _encode_path(rel),
+                        "partitionValues": _pv_from_relpath(rel, pcols),
+                        "size": os.path.getsize(dst),
+                        "modificationTime": int(os.path.getmtime(dst) * 1000),
+                        "dataChange": True,
+                    }
+                }
+            )
+    shutil.rmtree(staging, ignore_errors=True)
+    for rel in sorted(matched):
+        actions.append(
+            {"remove": {"path": _encode_path(rel), "dataChange": True}}
+        )
+    version = prev.version + 1
+    _commit(table_path, version, actions)
+    if checkpoint_interval and version % checkpoint_interval == 0:
+        _write_checkpoint(table_path, snapshot(table_path, version))
+    return version, len(matched), len(prev.files) - len(matched)
+
+
+def last_txn_version(table_path: str, app_id: str) -> int:
+    """Highest ``txn`` version committed for ``app_id`` (-1 if none) —
+    the idempotence ledger for exactly-once sinks: a writer that tags
+    each commit with (appId, batchId) can skip replayed batches after a
+    crash by consulting this before committing."""
+    js, _ = _list_log(table_path)
+    best = -1
+    for v in js:
+        p = os.path.join(_log_dir(table_path), f"{v:020d}.json")
+        with open(p, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                act = json.loads(line)
+                t = act.get("txn")
+                if t and t.get("appId") == app_id:
+                    best = max(best, int(t["version"]))
+    return best
 
 
 def vacuum(table_path: str) -> int:

@@ -333,6 +333,67 @@ def test_schema_evolution_requires_opt_in(spark, tmp_path):
     assert got.filter(F.col("n_regionkey").isNotNull()).count() == 3
 
 
+def test_delete_where_is_file_granular(spark, tmp_path):
+    from pyspark_excel_datasource_spark.sources.deltalog import delete_where
+
+    path = str(tmp_path / "t")
+    cust = spark.read.parquet(os.path.join(SF, "customer.parquet")).select(
+        "c_custkey", "c_acctbal"
+    )
+    write_delta(spark, cust.repartitionByRange(4, "c_custkey"), path)
+    before = snapshot(path)
+    cut = cust.agg(F.expr("max(c_custkey) div 4")).collect()[0][0]
+    v, rewritten, untouched = delete_where(spark, path, f"c_custkey <= {cut}")
+    after = snapshot(path)
+    # range clustering => the predicate touches only the low-range files
+    assert rewritten >= 1 and untouched >= 1
+    assert rewritten + untouched == len(before.files)
+    # untouched files keep their exact paths across the commit
+    assert len(set(before.files) & set(after.files)) == untouched
+    got = read_delta(spark, path)
+    assert got.count() == cust.filter(F.col("c_custkey") > cut).count()
+    assert got.filter(F.col("c_custkey") <= cut).count() == 0
+    # no matching rows => no-op, version unchanged
+    v2, r2, u2 = delete_where(spark, path, f"c_custkey <= {cut}")
+    assert (v2, r2) == (v, 0)
+    assert history(path)[0]["operation"] == "DELETE"
+
+
+def test_delete_where_null_predicate_keeps_rows(spark, tmp_path):
+    from pyspark_excel_datasource_spark.sources.deltalog import delete_where
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 50.0)], "id int, v double"
+    )
+    write_delta(spark, df, path)
+    delete_where(spark, path, "v > 10")  # NULL > 10 is NULL -> row kept
+    got = {r.id for r in read_delta(spark, path).collect()}
+    assert got == {1, 2}
+
+
+def test_txn_makes_commits_idempotent(spark, tmp_path):
+    from pyspark_excel_datasource_spark.sources.deltalog import (
+        last_txn_version,
+        merge_delta,
+    )
+
+    path = str(tmp_path / "t")
+    target = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id int, v double")
+    write_delta(spark, target, path)
+    src = spark.createDataFrame([(2, 99.0), (3, 30.0)], "id int, v double")
+    v1 = merge_delta(spark, src, path, on=["id"], txn=("app", 0))
+    assert last_txn_version(path, "app") == 0
+    state = {tuple(r) for r in read_delta(spark, path).collect()}
+    # replayed batch 0: no new version, no state change
+    assert merge_delta(spark, src, path, on=["id"], txn=("app", 0)) == v1
+    assert {tuple(r) for r in read_delta(spark, path).collect()} == state
+    # a different app's ledger is independent
+    assert last_txn_version(path, "other") == -1
+    v2 = merge_delta(spark, src, path, on=["id"], txn=("other", 0))
+    assert v2 == v1 + 1
+
+
 def test_empty_partition_filter_returns_typed_empty(spark, three_version_table):
     df = read_delta(
         spark, three_version_table, partition_filter={"n_regionkey": {"99"}}

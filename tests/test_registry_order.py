@@ -73,6 +73,8 @@ ROUND8_AUTHORED: set[str] = {
     "q_stream_delta",
     "q_delta_schema_evolution",
     "q_federated_join",
+    "q_delta_delete_rows",
+    "q_stream_delta_upsert",
 }
 
 
