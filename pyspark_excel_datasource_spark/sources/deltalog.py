@@ -542,7 +542,23 @@ def write_delta(
                 {"remove": {"path": _encode_path(rel), "dataChange": True}}
             )
     actions.extend(adds)
-    _commit(table_path, version, actions)
+
+    # optimistic concurrency: an APPEND conflicts with nothing an
+    # interleaved commit can do to it (its adds are fresh uuid files and
+    # it removes nothing), so on losing the version race it simply
+    # re-reads the head and re-commits the same actions at the next
+    # version — the standard Delta OCC retry. OVERWRITE's remove set was
+    # computed against a snapshot that just changed, so it must NOT
+    # retry blindly; the caller re-runs with a fresh snapshot.
+    attempts = 8 if mode == "append" else 1
+    for attempt in range(attempts):
+        try:
+            _commit(table_path, version, actions)
+            break
+        except DeltaConcurrentCommitError:
+            if attempt == attempts - 1:
+                raise
+            version = snapshot(table_path).version + 1
 
     if checkpoint_interval and version > 0 and version % checkpoint_interval == 0:
         _write_checkpoint(table_path, snapshot(table_path, version))

@@ -394,6 +394,41 @@ def test_txn_makes_commits_idempotent(spark, tmp_path):
     assert v2 == v1 + 1
 
 
+def test_concurrent_appends_both_commit(spark, tmp_path):
+    """Two appenders racing the same head: the version-race loser must
+    retry at the next version (append conflicts with nothing), so both
+    land and no rows are lost."""
+    import threading
+
+    path = str(tmp_path / "t")
+    n = _nation(spark)
+    write_delta(spark, n.limit(0), path)
+    errs: list[Exception] = []
+    barrier = threading.Barrier(2)
+
+    def appender(lo: int, hi: int) -> None:
+        try:
+            barrier.wait()
+            write_delta(
+                spark,
+                n.filter(
+                    (F.col("n_nationkey") >= lo) & (F.col("n_nationkey") < hi)
+                ),
+                path,
+                mode="append",
+            )
+        except Exception as e:  # noqa: BLE001 - collected for the assert
+            errs.append(e)
+
+    t1 = threading.Thread(target=appender, args=(0, 10))
+    t2 = threading.Thread(target=appender, args=(10, 30))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+    snap = snapshot(path)
+    assert snap.version == 2
+    assert read_delta(spark, path).count() == n.count()
+
+
 def test_empty_partition_filter_returns_typed_empty(spark, three_version_table):
     df = read_delta(
         spark, three_version_table, partition_filter={"n_regionkey": {"99"}}
