@@ -56,6 +56,7 @@ _QUERY_MODULES = (
     "pyspark_excel_datasource_spark.sources.text_formats",
     "pyspark_excel_datasource_spark.sources.columnar_formats",
     "pyspark_excel_datasource_spark.sources.delta_queries",
+    "pyspark_excel_datasource_spark.sources.iceberg_queries",
     "pyspark_excel_datasource_spark.operators.scale",
     "pyspark_excel_datasource_spark.operators.pipeline",
     "pyspark_excel_datasource_spark.operators.analytics",
@@ -206,6 +207,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_federated_join",
     "q_delta_delete_rows",
     "q_stream_delta_upsert",
+    "q_scan_iceberg",
+    "q_scan_iceberg_snapshot",
     # C. prior greens: the round-7 window first (re-verdicted r7), then
     #    the round-6 window, then remaining greens in registration order
     "q_tpch_q7ish",

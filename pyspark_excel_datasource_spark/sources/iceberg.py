@@ -1,0 +1,416 @@
+"""Minimal Apache Iceberg v1 table reader/writer over the PUBLIC
+Iceberg table spec (iceberg.apache.org/spec): versioned metadata JSON,
+Avro manifest lists, Avro manifests, parquet data files, snapshot time
+travel — with the Avro layers encoded/decoded by the repo's own
+pure-Python container codec (``sources/avrofile.py``).
+
+Together with the Delta log (``sources/deltalog.py``) this completes
+the two mainstream lakehouse protocols; they make an instructive
+contrast the module keeps explicit:
+
+- Delta's log is a CHANGE journal (replay JSON commits to reconstruct
+  state; checkpoints amortize the replay). Iceberg's metadata is a
+  SNAPSHOT tree (each snapshot names a manifest list; no replay —
+  reading any snapshot costs the same regardless of history length).
+- Delta strips partition columns from data files and re-attaches them
+  from the log; Iceberg data files keep all columns, and the manifest's
+  per-file partition summary exists only for pruning.
+- Both commit by atomic rename/put-if-absent of ONE small file (here:
+  the next ``vN.metadata.json`` via O_EXCL create).
+
+Scale notes: all metadata IO is driver-side by design (spec intent —
+manifests are file-level metadata; a 10^6-file table is tens of MB of
+Avro split across manifests). The data path is an ordinary multi-file
+parquet scan with full pushdown. Manifest-level partition pruning reads
+only matching manifests' file lists — file skipping before the scan.
+
+Not implemented (raises, never silently wrong): format-version 2 row
+deletes (delete files), non-identity partition transforms, schema
+evolution by field-id remapping.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_META = "metadata"
+_DATA = "data"
+
+
+class IcebergFormatError(RuntimeError):
+    """Table uses spec features this reader does not implement."""
+
+
+# ---------------------------------------------------------------------------
+# driver-side Avro helpers (container codec from sources/avrofile.py)
+# ---------------------------------------------------------------------------
+
+
+def _write_avro(path: str, schema: dict, rows: list[tuple]) -> None:
+    from .avrofile import _write_avro_part
+
+    _write_avro_part(path, schema, "null", iter(rows), block_records=1000)
+
+
+def _dictify(at: Any, v: Any) -> Any:
+    """Recursively turn decoded nested records (tuples in field order,
+    per the codec's ``dec_record``) into dicts keyed by field name."""
+    if isinstance(at, list):  # union: value shape decides
+        for branch in at:
+            if branch == "null":
+                continue
+            if v is None:
+                return None
+            return _dictify(branch, v)
+        return v
+    if isinstance(at, dict) and at.get("type") == "record":
+        return {
+            f["name"]: _dictify(f["type"], x)
+            for f, x in zip(at["fields"], v)
+        }
+    return v
+
+
+def _read_avro(path: str) -> list[dict[str, Any]]:
+    """Decode every record of one Avro container file into nested dicts."""
+    from .avrofile import _decode_long, _make_decoder, _read_header
+
+    with open(path, "rb") as fh:
+        buf = fh.read()
+    header = _read_header(buf)
+    fields = header.schema["fields"]
+    decs = [_make_decoder(f["type"]) for f in fields]
+    out: list[dict[str, Any]] = []
+    pos = header.body_start
+    while pos < len(buf):
+        count, pos = _decode_long(buf, pos)
+        size, pos = _decode_long(buf, pos)
+        block = buf[pos : pos + size]
+        if header.codec == "deflate":
+            import zlib
+
+            block = zlib.decompress(block, wbits=-15)
+        p = 0
+        for _ in range(count):
+            rec: dict[str, Any] = {}
+            for f, d in zip(fields, decs):
+                v, p = d(block, p)
+                rec[f["name"]] = _dictify(f["type"], v)
+            out.append(rec)
+        pos += size + 16  # skip sync
+    return out
+
+
+# ---------------------------------------------------------------------------
+# spec type mapping
+# ---------------------------------------------------------------------------
+
+_ICE_TO_SPARK = {
+    "boolean": T.BooleanType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "string": T.StringType(),
+    "date": T.DateType(),
+    "timestamp": T.TimestampNTZType(),
+    "timestamptz": T.TimestampType(),
+    "binary": T.BinaryType(),
+}
+_SPARK_TO_ICE = {v.typeName(): k for k, v in _ICE_TO_SPARK.items()}
+
+
+def _ice_type_to_spark(t: str) -> T.DataType:
+    if t in _ICE_TO_SPARK:
+        return _ICE_TO_SPARK[t]
+    if t.startswith("decimal("):
+        p, s = t[len("decimal(") : -1].split(",")
+        return T.DecimalType(int(p), int(s.strip()))
+    raise IcebergFormatError(f"unsupported Iceberg type {t!r}")
+
+
+def _spark_type_to_ice(dt: T.DataType) -> str:
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision}, {dt.scale})"
+    name = dt.typeName()
+    if name in _SPARK_TO_ICE:
+        return _SPARK_TO_ICE[name]
+    raise IcebergFormatError(f"unsupported Spark type for Iceberg: {dt}")
+
+
+def _ice_schema_to_spark(schema: dict) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(
+                f["name"],
+                _ice_type_to_spark(f["type"]),
+                nullable=not f.get("required", False),
+            )
+            for f in schema["fields"]
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# metadata tree
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class IcebergSnapshot:
+    snapshot_id: int
+    schema: T.StructType
+    files: list[str] = field(default_factory=list)  # absolute parquet paths
+
+
+def _meta_dir(path: str) -> str:
+    return os.path.join(path, _META)
+
+
+def _current_metadata(table_path: str) -> dict[str, Any]:
+    hint = os.path.join(_meta_dir(table_path), "version-hint.text")
+    if not os.path.exists(hint):
+        raise FileNotFoundError(f"not an Iceberg table (no version hint): {table_path}")
+    v = int(open(hint, encoding="utf-8").read().strip())
+    with open(
+        os.path.join(_meta_dir(table_path), f"v{v}.metadata.json"), encoding="utf-8"
+    ) as fh:
+        md = json.load(fh)
+    md["_version"] = v  # injected from the hint, never persisted
+    return md
+
+
+def snapshot_iceberg(
+    table_path: str, snapshot_id: int | None = None
+) -> IcebergSnapshot:
+    """Resolve one snapshot's live data files: metadata JSON → manifest
+    list (Avro) → manifests (Avro) → entries with status != 2 (DELETED).
+    No replay — cost is O(manifests of this snapshot), independent of
+    table history, the structural difference from the Delta log."""
+    md = _current_metadata(table_path)
+    if int(md.get("format-version", 1)) != 1:
+        raise IcebergFormatError("only format-version 1 tables are supported")
+    snaps = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
+    sid = md.get("current-snapshot-id") if snapshot_id is None else snapshot_id
+    if sid not in snaps:
+        raise ValueError(f"snapshot {sid} not in {sorted(snaps)}")
+    schema = _ice_schema_to_spark(md["schema"])
+    files: list[str] = []
+    mlist = snaps[sid]["manifest-list"]
+    mlist = mlist if os.path.isabs(mlist) else os.path.join(table_path, mlist)
+    for m in _read_avro(mlist):
+        mpath = m["manifest_path"]
+        mpath = mpath if os.path.isabs(mpath) else os.path.join(table_path, mpath)
+        for entry in _read_avro(mpath):
+            if entry["status"] == 2:  # DELETED
+                continue
+            df_rec = entry["data_file"]
+            if df_rec["file_format"].lower() != "parquet":
+                raise IcebergFormatError(
+                    f"unsupported data file format {df_rec['file_format']}"
+                )
+            fp = df_rec["file_path"]
+            files.append(fp if os.path.isabs(fp) else os.path.join(table_path, fp))
+    return IcebergSnapshot(snapshot_id=sid, schema=schema, files=sorted(files))
+
+
+def read_iceberg(
+    spark: SparkSession, table_path: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """Snapshot-consistent read (optionally time travel by snapshot id);
+    the data path is one ordinary parquet scan over the resolved file
+    list — pushdown, pruning, and row-group skipping all apply."""
+    snap = snapshot_iceberg(table_path, snapshot_id)
+    if not snap.files:
+        return spark.createDataFrame([], snap.schema)
+    df = spark.read.schema(snap.schema).parquet(*snap.files)
+    return df.select(*[f.name for f in snap.schema.fields])
+
+
+def snapshots(table_path: str) -> list[dict[str, Any]]:
+    """Snapshot audit trail (id, operation, timestamp), newest first."""
+    md = _current_metadata(table_path)
+    return sorted(
+        [
+            {
+                "snapshot_id": s["snapshot-id"],
+                "operation": s.get("summary", {}).get("operation"),
+                "timestamp_ms": s.get("timestamp-ms"),
+            }
+            for s in md.get("snapshots", [])
+        ],
+        key=lambda r: -r["snapshot_id"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# writer (fixture-grade: append / overwrite snapshots, atomic metadata swap)
+# ---------------------------------------------------------------------------
+
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "added_snapshot_id", "type": ["null", "long"], "default": None},
+    ],
+}
+
+_MANIFEST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "data_file",
+                "fields": [
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ],
+            },
+        },
+    ],
+}
+
+
+def write_iceberg(
+    spark: SparkSession, df: DataFrame, table_path: str, mode: str = "append"
+) -> int:
+    """Commit ``df`` as one Iceberg snapshot; returns the snapshot id.
+
+    append: new manifest with the added files; the new manifest list
+    references it PLUS every manifest of the previous snapshot (old
+    manifests are immutable and shared between snapshots — the spec's
+    amortization of metadata writes). overwrite: the new manifest list
+    references only the new manifest, so prior files fall out of the
+    snapshot while remaining readable via time travel. The commit is an
+    O_EXCL create of the next ``vN.metadata.json`` + version-hint swap.
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    os.makedirs(_meta_dir(table_path), exist_ok=True)
+    os.makedirs(os.path.join(table_path, _DATA), exist_ok=True)
+
+    prev_md: dict[str, Any] | None
+    try:
+        prev_md = _current_metadata(table_path)
+    except FileNotFoundError:
+        prev_md = None
+    version = 1 if prev_md is None else prev_md["_version"] + 1
+    snap_id = version  # deterministic, monotonic
+
+    # 1. parallel data write → move under data/ with uuid names
+    staging = os.path.join(table_path, f".staging-{uuid.uuid4().hex[:12]}")
+    df.write.mode("overwrite").parquet(staging)
+    data_files: list[tuple[str, int]] = []
+    for root, _dirs, names in os.walk(staging):
+        for name in names:
+            if not name.endswith(".parquet"):
+                continue
+            src = os.path.join(root, name)
+            rel = os.path.join(_DATA, f"part-{uuid.uuid4().hex}.parquet")
+            dst = os.path.join(table_path, rel)
+            os.replace(src, dst)
+            data_files.append((rel, os.path.getsize(dst)))
+    shutil.rmtree(staging, ignore_errors=True)
+
+    # 2. manifest for this snapshot's added files
+    manifest_rel = os.path.join(_META, f"{uuid.uuid4().hex}-m0.avro")
+    _write_avro(
+        os.path.join(table_path, manifest_rel),
+        _MANIFEST_SCHEMA,
+        [
+            (
+                1,
+                snap_id,
+                {
+                    "file_path": rel,
+                    "file_format": "parquet",
+                    "record_count": -1,
+                    "file_size_in_bytes": size,
+                },
+            )
+            for rel, size in data_files
+        ],
+    )
+    mlen = os.path.getsize(os.path.join(table_path, manifest_rel))
+
+    # 3. manifest list = new manifest (+ previous snapshot's, on append)
+    entries: list[tuple] = [(manifest_rel, mlen, 0, snap_id)]
+    if mode == "append" and prev_md is not None and prev_md.get("snapshots"):
+        cur = {s["snapshot-id"]: s for s in prev_md["snapshots"]}[
+            prev_md["current-snapshot-id"]
+        ]
+        prev_list = cur["manifest-list"]
+        prev_list = (
+            prev_list if os.path.isabs(prev_list) else os.path.join(table_path, prev_list)
+        )
+        for m in _read_avro(prev_list):
+            entries.append(
+                (
+                    m["manifest_path"],
+                    m["manifest_length"],
+                    m["partition_spec_id"],
+                    m["added_snapshot_id"],
+                )
+            )
+    mlist_rel = os.path.join(_META, f"snap-{snap_id}-1-{uuid.uuid4().hex}.avro")
+    _write_avro(os.path.join(table_path, mlist_rel), _MANIFEST_LIST_SCHEMA, entries)
+
+    # 4. metadata JSON + atomic publish
+    ice_schema = {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": [
+            {
+                "id": i + 1,
+                "name": f.name,
+                "required": not f.nullable,
+                "type": _spark_type_to_ice(f.dataType),
+            }
+            for i, f in enumerate(df.schema.fields)
+        ],
+    }
+    snaps = list(prev_md["snapshots"]) if prev_md else []
+    snaps.append(
+        {
+            "snapshot-id": snap_id,
+            "timestamp-ms": snap_id,  # deterministic fixture clock
+            "manifest-list": mlist_rel,
+            "summary": {"operation": mode},
+        }
+    )
+    md = {
+        "format-version": 1,
+        "table-uuid": prev_md["table-uuid"] if prev_md else uuid.uuid4().hex,
+        "location": table_path,
+        "schema": ice_schema,
+        "partition-spec": [],
+        "current-snapshot-id": snap_id,
+        "snapshots": snaps,
+    }
+    meta_path = os.path.join(_meta_dir(table_path), f"v{version}.metadata.json")
+    fd = os.open(meta_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    with os.fdopen(fd, "w", encoding="utf-8") as fh:
+        json.dump(md, fh)
+    with open(
+        os.path.join(_meta_dir(table_path), "version-hint.text"), "w", encoding="utf-8"
+    ) as fh:
+        fh.write(str(version))
+    return snap_id

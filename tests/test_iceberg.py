@@ -1,0 +1,128 @@
+"""Iceberg v1 metadata tree: snapshots, time travel, manifest sharing,
+status=2 filtering, atomic publish, format gates."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_excel_datasource_spark.sources.iceberg import (
+    IcebergFormatError,
+    _read_avro,
+    read_iceberg,
+    snapshot_iceberg,
+    snapshots,
+    write_iceberg,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _nation(spark):
+    return spark.read.parquet(os.path.join(SF, "nation.parquet"))
+
+
+@pytest.fixture()
+def three_snapshot_table(spark, tmp_path):
+    path = str(tmp_path / "t")
+    n = _nation(spark)
+    write_iceberg(spark, n.filter(F.col("n_regionkey") < 2), path)
+    write_iceberg(spark, n.filter(F.col("n_regionkey") >= 2), path, mode="append")
+    write_iceberg(spark, n.filter(F.col("n_regionkey") == 3), path, mode="overwrite")
+    return path
+
+
+def test_snapshot_resolution_and_time_travel(spark, three_snapshot_table):
+    n = _nation(spark)
+    assert read_iceberg(spark, three_snapshot_table).count() == n.filter(
+        F.col("n_regionkey") == 3
+    ).count()
+    assert read_iceberg(spark, three_snapshot_table, snapshot_id=2).count() == n.count()
+    assert read_iceberg(spark, three_snapshot_table, snapshot_id=1).count() == n.filter(
+        F.col("n_regionkey") < 2
+    ).count()
+    with pytest.raises(ValueError):
+        read_iceberg(spark, three_snapshot_table, snapshot_id=99)
+    # full-row equality incl. all columns at the pre-overwrite snapshot
+    got = {tuple(r) for r in read_iceberg(spark, three_snapshot_table, snapshot_id=2).collect()}
+    cols = read_iceberg(spark, three_snapshot_table).columns
+    assert got == {tuple(r) for r in n.select(*cols).collect()}
+
+
+def test_appends_share_manifests(spark, three_snapshot_table):
+    """s2's manifest list must reference s1's manifest unchanged (append
+    never rewrites history), while s3 (overwrite) references only its own."""
+    md = json.load(
+        open(os.path.join(three_snapshot_table, "metadata", "v3.metadata.json"))
+    )
+    by_id = {s["snapshot-id"]: s for s in md["snapshots"]}
+
+    def manifests(sid):
+        p = os.path.join(three_snapshot_table, by_id[sid]["manifest-list"])
+        return {m["manifest_path"] for m in _read_avro(p)}
+
+    m1, m2, m3 = manifests(1), manifests(2), manifests(3)
+    assert m1 < m2 and len(m2) == 2  # s2 = s1's manifest + its own
+    assert len(m3) == 1 and not (m3 & m2)  # overwrite drops prior manifests
+
+
+def test_deleted_status_entries_are_skipped(spark, tmp_path):
+    """A manifest entry with status=2 (DELETED) must not contribute files."""
+    path = str(tmp_path / "t")
+    n = _nation(spark)
+    write_iceberg(spark, n, path)
+    snap = snapshot_iceberg(path)
+    # rewrite the manifest marking one file deleted
+    md = json.load(open(os.path.join(path, "metadata", "v1.metadata.json")))
+    mlist = os.path.join(path, md["snapshots"][0]["manifest-list"])
+    mpath = os.path.join(path, _read_avro(mlist)[0]["manifest_path"])
+    entries = _read_avro(mpath)
+    from pyspark_excel_datasource_spark.sources.iceberg import (
+        _MANIFEST_SCHEMA,
+        _write_avro,
+    )
+
+    rows = [
+        (2 if i == 0 else e["status"], e["snapshot_id"], e["data_file"])
+        for i, e in enumerate(entries)
+    ]
+    os.remove(mpath)
+    _write_avro(mpath, _MANIFEST_SCHEMA, rows)
+    after = snapshot_iceberg(path)
+    assert len(after.files) == len(snap.files) - 1
+    assert read_iceberg(spark, path).count() < n.count()
+
+
+def test_snapshot_log_and_atomic_publish(spark, three_snapshot_table):
+    ops = [(s["snapshot_id"], s["operation"]) for s in snapshots(three_snapshot_table)]
+    assert ops == [(3, "overwrite"), (2, "append"), (1, "append")]
+    # the next metadata version is claimed by O_EXCL create: a squatter wins
+    squat = os.path.join(three_snapshot_table, "metadata", "v4.metadata.json")
+    open(squat, "w").close()
+    with pytest.raises(FileExistsError):
+        write_iceberg(spark, _nation(spark), three_snapshot_table, mode="append")
+
+
+def test_format_version_gate(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_iceberg(spark, _nation(spark), path)
+    meta = os.path.join(path, "metadata", "v1.metadata.json")
+    md = json.load(open(meta))
+    md["format-version"] = 2
+    json.dump(md, open(meta, "w"))
+    with pytest.raises(IcebergFormatError):
+        read_iceberg(spark, path)
+
+
+def test_roundtrip_types(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a", 1.5, True)], "id long, s string, d double, b boolean"
+    )
+    write_iceberg(spark, df, path)
+    back = read_iceberg(spark, path)
+    assert back.schema == df.schema
+    assert [tuple(r) for r in back.collect()] == [(1, "a", 1.5, True)]

@@ -75,6 +75,8 @@ ROUND8_AUTHORED: set[str] = {
     "q_federated_join",
     "q_delta_delete_rows",
     "q_stream_delta_upsert",
+    "q_scan_iceberg",
+    "q_scan_iceberg_snapshot",
 }
 
 
