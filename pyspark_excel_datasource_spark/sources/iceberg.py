@@ -168,7 +168,10 @@ def _ice_schema_to_spark(schema: dict) -> T.StructType:
 class IcebergSnapshot:
     snapshot_id: int
     schema: T.StructType
-    files: list[str] = field(default_factory=list)  # absolute parquet paths
+    #: file path (relative to the table root, or absolute) → identity
+    #: partition values as strings (empty for unpartitioned tables)
+    files: dict[str, dict[str, str | None]] = field(default_factory=dict)
+    partition_columns: list[str] = field(default_factory=list)
 
 
 def _meta_dir(path: str) -> str:
@@ -203,7 +206,17 @@ def snapshot_iceberg(
     if sid not in snaps:
         raise ValueError(f"snapshot {sid} not in {sorted(snaps)}")
     schema = _ice_schema_to_spark(md["schema"])
-    files: list[str] = []
+    field_names = {
+        f["id"]: f["name"] for f in md["schema"]["fields"]
+    }
+    pcols: list[str] = []
+    for spec in md.get("partition-spec", []):
+        if spec.get("transform") != "identity":
+            raise IcebergFormatError(
+                f"unsupported partition transform {spec.get('transform')!r}"
+            )
+        pcols.append(field_names.get(spec["source-id"], spec["name"]))
+    files: dict[str, dict[str, str | None]] = {}
     mlist = snaps[sid]["manifest-list"]
     mlist = mlist if os.path.isabs(mlist) else os.path.join(table_path, mlist)
     for m in _read_avro(mlist):
@@ -217,22 +230,43 @@ def snapshot_iceberg(
                 raise IcebergFormatError(
                     f"unsupported data file format {df_rec['file_format']}"
                 )
-            fp = df_rec["file_path"]
-            files.append(fp if os.path.isabs(fp) else os.path.join(table_path, fp))
-    return IcebergSnapshot(snapshot_id=sid, schema=schema, files=sorted(files))
+            files[df_rec["file_path"]] = dict(df_rec.get("partition") or {})
+    return IcebergSnapshot(
+        snapshot_id=sid, schema=schema, files=files, partition_columns=pcols
+    )
 
 
 def read_iceberg(
-    spark: SparkSession, table_path: str, snapshot_id: int | None = None
+    spark: SparkSession,
+    table_path: str,
+    snapshot_id: int | None = None,
+    partition_filter: dict[str, set[str]] | None = None,
 ) -> DataFrame:
-    """Snapshot-consistent read (optionally time travel by snapshot id);
-    the data path is one ordinary parquet scan over the resolved file
-    list — pushdown, pruning, and row-group skipping all apply."""
+    """Snapshot-consistent read (optionally time travel by snapshot id).
+
+    ``partition_filter`` = {col: allowed string values} prunes at the
+    MANIFEST-ENTRY level — excluded files are never listed, opened, or
+    scheduled. Identity partition columns are stored only in manifest
+    metadata (legal per the spec's identity-transform rule) and are
+    re-attached via the same broadcast file-map join as the Delta
+    reader; the data path is one ordinary parquet scan with full
+    pushdown either way."""
+    from .deltalog import _read_files
+
     snap = snapshot_iceberg(table_path, snapshot_id)
-    if not snap.files:
-        return spark.createDataFrame([], snap.schema)
-    df = spark.read.schema(snap.schema).parquet(*snap.files)
-    return df.select(*[f.name for f in snap.schema.fields])
+    files = snap.files
+    if partition_filter:
+        unknown = set(partition_filter) - set(snap.partition_columns)
+        if unknown:
+            raise ValueError(f"partition_filter on non-partition columns: {unknown}")
+        files = {
+            p: pv
+            for p, pv in files.items()
+            if all(pv.get(c) in allowed for c, allowed in partition_filter.items())
+        }
+    return _read_files(
+        spark, table_path, files, snap.schema, snap.partition_columns
+    )
 
 
 def snapshots(table_path: str) -> list[dict[str, Any]]:
@@ -266,31 +300,56 @@ _MANIFEST_LIST_SCHEMA = {
     ],
 }
 
-_MANIFEST_SCHEMA = {
-    "type": "record",
-    "name": "manifest_entry",
-    "fields": [
-        {"name": "status", "type": "int"},
-        {"name": "snapshot_id", "type": ["null", "long"], "default": None},
-        {
-            "name": "data_file",
-            "type": {
-                "type": "record",
+def _manifest_schema(pcols: tuple[str, ...] = ()) -> dict:
+    """Manifest-entry Avro schema; the data_file.partition record carries
+    one nullable string field per identity partition column."""
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+            {
                 "name": "data_file",
-                "fields": [
-                    {"name": "file_path", "type": "string"},
-                    {"name": "file_format", "type": "string"},
-                    {"name": "record_count", "type": "long"},
-                    {"name": "file_size_in_bytes", "type": "long"},
-                ],
+                "type": {
+                    "type": "record",
+                    "name": "data_file",
+                    "fields": [
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {
+                            "name": "partition",
+                            "type": {
+                                "type": "record",
+                                "name": "r102",
+                                "fields": [
+                                    {
+                                        "name": c,
+                                        "type": ["null", "string"],
+                                        "default": None,
+                                    }
+                                    for c in pcols
+                                ],
+                            },
+                        },
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                    ],
+                },
             },
-        },
-    ],
-}
+        ],
+    }
+
+
+_MANIFEST_SCHEMA = _manifest_schema(())
 
 
 def write_iceberg(
-    spark: SparkSession, df: DataFrame, table_path: str, mode: str = "append"
+    spark: SparkSession,
+    df: DataFrame,
+    table_path: str,
+    mode: str = "append",
+    partition_by: tuple[str, ...] = (),
 ) -> int:
     """Commit ``df`` as one Iceberg snapshot; returns the snapshot id.
 
@@ -315,26 +374,38 @@ def write_iceberg(
     version = 1 if prev_md is None else prev_md["_version"] + 1
     snap_id = version  # deterministic, monotonic
 
-    # 1. parallel data write → move under data/ with uuid names
+    # 1. parallel data write → move under data/ with uuid names; identity
+    # partition values come from the hive-layout staging dirs (the data
+    # files omit the partition columns — legal per the spec's identity
+    # transform, the reader fills them from manifest metadata)
+    from .deltalog import _pv_from_relpath
+
+    pcols = tuple(partition_by)
     staging = os.path.join(table_path, f".staging-{uuid.uuid4().hex[:12]}")
-    df.write.mode("overwrite").parquet(staging)
-    data_files: list[tuple[str, int]] = []
+    writer = df.write.mode("overwrite")
+    if pcols:
+        writer = writer.partitionBy(*pcols)
+    writer.parquet(staging)
+    data_files: list[tuple[str, int, dict[str, str | None]]] = []
     for root, _dirs, names in os.walk(staging):
         for name in names:
             if not name.endswith(".parquet"):
                 continue
             src = os.path.join(root, name)
+            pv = _pv_from_relpath(
+                os.path.relpath(src, staging), list(pcols)
+            )
             rel = os.path.join(_DATA, f"part-{uuid.uuid4().hex}.parquet")
             dst = os.path.join(table_path, rel)
             os.replace(src, dst)
-            data_files.append((rel, os.path.getsize(dst)))
+            data_files.append((rel, os.path.getsize(dst), pv))
     shutil.rmtree(staging, ignore_errors=True)
 
     # 2. manifest for this snapshot's added files
     manifest_rel = os.path.join(_META, f"{uuid.uuid4().hex}-m0.avro")
     _write_avro(
         os.path.join(table_path, manifest_rel),
-        _MANIFEST_SCHEMA,
+        _manifest_schema(pcols),
         [
             (
                 1,
@@ -342,11 +413,12 @@ def write_iceberg(
                 {
                     "file_path": rel,
                     "file_format": "parquet",
+                    "partition": pv,
                     "record_count": -1,
                     "file_size_in_bytes": size,
                 },
             )
-            for rel, size in data_files
+            for rel, size, pv in data_files
         ],
     )
     mlen = os.path.getsize(os.path.join(table_path, manifest_rel))
@@ -387,6 +459,26 @@ def write_iceberg(
             for i, f in enumerate(df.schema.fields)
         ],
     }
+    name_to_id = {f["name"]: f["id"] for f in ice_schema["fields"]}
+    unknown = [c for c in pcols if c not in name_to_id]
+    if unknown:
+        raise ValueError(f"partition_by columns not in schema: {unknown}")
+    if prev_md is not None and mode == "append":
+        prev_pcols = [s["name"] for s in prev_md.get("partition-spec", [])]
+        if prev_pcols != list(pcols):
+            raise ValueError(
+                f"append with partition_by={list(pcols)} but table spec "
+                f"is {prev_pcols}"
+            )
+    spec = [
+        {
+            "name": c,
+            "transform": "identity",
+            "source-id": name_to_id[c],
+            "field-id": 1000 + i,
+        }
+        for i, c in enumerate(pcols)
+    ]
     snaps = list(prev_md["snapshots"]) if prev_md else []
     snaps.append(
         {
@@ -401,7 +493,7 @@ def write_iceberg(
         "table-uuid": prev_md["table-uuid"] if prev_md else uuid.uuid4().hex,
         "location": table_path,
         "schema": ice_schema,
-        "partition-spec": [],
+        "partition-spec": spec,
         "current-snapshot-id": snap_id,
         "snapshots": snaps,
     }

@@ -126,3 +126,26 @@ def test_roundtrip_types(spark, tmp_path):
     back = read_iceberg(spark, path)
     assert back.schema == df.schema
     assert [tuple(r) for r in back.collect()] == [(1, "a", 1.5, True)]
+
+
+def test_identity_partitions_roundtrip_and_prune(spark, tmp_path):
+    path = str(tmp_path / "t")
+    n = _nation(spark)
+    write_iceberg(spark, n, path, partition_by=("n_regionkey",))
+    write_iceberg(spark, n, path, mode="append", partition_by=("n_regionkey",))
+    back = read_iceberg(spark, path)
+    assert back.count() == 2 * n.count()
+    # the partition column (absent from the data files) attaches losslessly
+    got = {tuple(r) for r in back.distinct().collect()}
+    assert got == {tuple(r) for r in n.select(*back.columns).collect()}
+    # manifest-entry pruning: only region-3 files are listed and scanned
+    pruned = read_iceberg(spark, path, partition_filter={"n_regionkey": {"3"}})
+    assert pruned.count() == 2 * n.filter(F.col("n_regionkey") == 3).count()
+    snap = snapshot_iceberg(path)
+    r3 = [p for p, pv in snap.files.items() if pv["n_regionkey"] == "3"]
+    assert len(pruned.inputFiles()) == len(r3)
+    with pytest.raises(ValueError):
+        read_iceberg(spark, path, partition_filter={"n_name": {"x"}})
+    # append with a different spec is rejected
+    with pytest.raises(ValueError, match="partition_by"):
+        write_iceberg(spark, n, path, mode="append")
