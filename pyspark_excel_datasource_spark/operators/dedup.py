@@ -2208,7 +2208,19 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 def substring_spans(d: DataFrame, k: int = _SUBSTR_K) -> DataFrame:
     """Reusable plan behind ``q_dedup_substring`` (also the
     ``substring_spans`` scale-stress shape): duplicated k-token-gram
-    spans per document over any (doc_id, text) frame."""
+    spans per document over any (doc_id, text) frame, aggregated to one
+    row per affected document."""
+    spans = dup_span_ranges(d, k)
+    return spans.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_tokens"),
+        F.first("total_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+def dup_span_ranges(d: DataFrame, k: int = _SUBSTR_K) -> DataFrame:
+    """Maximal duplicated-span token ranges per document:
+    (doc_id, s, e, total_tokens), 1-based inclusive token positions."""
     words = d.select("doc_id", F.split(F.col("text"), " ").alias("ws")).filter(
         F.size("ws") >= k
     )
@@ -2244,13 +2256,12 @@ def substring_spans(d: DataFrame, k: int = _SUBSTR_K) -> DataFrame:
             w_doc.rowsBetween(W.unboundedPreceding, W.currentRow)
         ),
     )
-    spans = islands.groupBy("doc_id", "island").agg(
-        F.min("i").alias("s"),
-        (F.max("i") + (k - 1)).alias("e"),
-        F.first("total_tokens").alias("total_tokens"),
-    )
-    return spans.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_spans"),
-        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_tokens"),
-        F.first("total_tokens").cast("long").alias("total_tokens"),
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("i").alias("s"),
+            (F.max("i") + (k - 1)).alias("e"),
+            F.first("total_tokens").alias("total_tokens"),
+        )
+        .select("doc_id", "s", "e", "total_tokens")
     )

@@ -1202,3 +1202,103 @@ def q_text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("neutral")
         .alias("label"),
     )
+
+
+#: must equal dedup._SUBSTR_K (module-level import would be circular —
+#: dedup → similarity → text); pinned by an assert in the query body
+_CLEAN_K = 8
+
+
+@query(
+    "q_text_substring_clean",
+    oracle=f"""
+    WITH words0 AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents
+    ),
+    tokens AS (
+      SELECT doc_id, i, ws[i] AS w
+      FROM words0, UNNEST(GENERATE_SERIES(1, LEN(ws))) AS t(i)
+    ),
+    grams AS (
+      SELECT doc_id, i, MD5(ARRAY_TO_STRING(ws[i:i+{_CLEAN_K - 1}], ' ')) AS gk
+      FROM words0, UNNEST(GENERATE_SERIES(1, LEN(ws) - {_CLEAN_K - 1})) AS t(i)
+      WHERE LEN(ws) >= {_CLEAN_K}
+    ),
+    dup AS (
+      SELECT doc_id, i FROM grams
+      WHERE gk IN (SELECT gk FROM grams GROUP BY gk
+                   HAVING COUNT(DISTINCT doc_id) >= 2)
+    ),
+    lagged AS (
+      SELECT doc_id, i,
+             COALESCE(LAG(i) OVER (PARTITION BY doc_id ORDER BY i), -{_CLEAN_K + 10})
+                 AS prev_i
+      FROM dup
+    ),
+    islands AS (
+      SELECT doc_id, i,
+             SUM(CASE WHEN i - prev_i > {_CLEAN_K} THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY i) AS island
+      FROM lagged
+    ),
+    spans AS (
+      SELECT doc_id, island, MIN(i) AS s, MAX(i) + {_CLEAN_K - 1} AS e
+      FROM islands GROUP BY doc_id, island
+    ),
+    kept AS (
+      SELECT t.doc_id, t.i, t.w FROM tokens t
+      WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                        WHERE sp.doc_id = t.doc_id
+                          AND t.i BETWEEN sp.s AND sp.e)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           MD5(STRING_AGG(w, ' ' ORDER BY i)) AS clean_md5
+    FROM kept GROUP BY doc_id
+    """,
+)
+def q_text_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable half of the exact-substring pass (Lee et al.
+    2022): CUT every cross-document duplicated span out of each
+    document and re-assemble the surviving tokens in order — the
+    transform a training-data pipeline actually applies after
+    ``q_dedup_substring`` measures the damage. Documents whose every
+    token is duplicated drop out entirely.
+
+    Plan: span ranges come from ``dedup.dup_span_ranges`` (one gram
+    shuffle + one doc window); tokens anti-join the spans on doc_id
+    with the position-range predicate as the join residual (span count
+    per doc is small — the fan-in is bounded); reassembly is
+    ``array_sort(collect_list(struct(pos, word)))`` per doc — one
+    doc-keyed shuffle, never a global sort. Output carries
+    md5(clean_text) instead of the text so the verified artifact stays
+    row-sized; the md5 pins byte-exact reconstruction across engines.
+    """
+    from .dedup import _SUBSTR_K, dup_span_ranges
+
+    assert _CLEAN_K == _SUBSTR_K, "oracle k drifted from dedup._SUBSTR_K"
+    d = table(spark, sf_dir, "documents")
+    tokens = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("p", "w"),
+    ).select("doc_id", (F.col("p") + 1).alias("i"), "w")
+    spans = dup_span_ranges(d).select("doc_id", "s", "e")
+    kept = tokens.join(
+        spans,
+        (tokens.doc_id == spans.doc_id)
+        & (tokens.i >= spans.s)
+        & (tokens.i <= spans.e),
+        "left_anti",
+    )
+    return kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "w"))),
+                    lambda x: x.w,
+                ),
+                " ",
+            )
+        ).alias("clean_md5"),
+    )

@@ -77,6 +77,7 @@ ROUND8_AUTHORED: set[str] = {
     "q_stream_delta_upsert",
     "q_scan_iceberg",
     "q_scan_iceberg_snapshot",
+    "q_text_substring_clean",
 }
 
 
