@@ -1449,3 +1449,106 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("m").cast("decimal(38,2)").cast("string").alias("total_monetary"),
         )
     )
+
+
+#: DSIR-style importance weights: hashed-unigram bucket count, add-1
+#: smoothing, fixed-point log-ratio scale (same 1e6 convention as
+#: q_drift_kl — quantize each term BEFORE summation so the reduction is
+#: integer and order-free)
+_DSIR_BUCKETS = 256
+_DSIR_FP = 1_000_000
+
+
+@query(
+    "q_sample_importance",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || SUBSTR(MD5(UNNEST(STRING_SPLIT(LOWER(text), ' '))),
+                     1, 15)) AS UBIGINT)::BIGINT % {_DSIR_BUCKETS} AS b
+        FROM documents
+    ),
+    raw_b AS (SELECT b, COUNT(*) AS n_raw FROM toks GROUP BY b),
+    tgt_b AS (SELECT b, COUNT(*) AS n_tgt FROM toks WHERE lang = 'en' GROUP BY b),
+    tots AS (
+        SELECT (SELECT COUNT(*) FROM toks) AS n_raw_tot,
+               (SELECT COUNT(*) FROM toks WHERE lang = 'en') AS n_tgt_tot
+    ),
+    ratios AS (
+        SELECT r.b,
+               CAST(FLOOR(LN(
+                   ((COALESCE(t.n_tgt, 0) + 1.0)
+                        / (tots.n_tgt_tot + {_DSIR_BUCKETS}))
+                   / ((r.n_raw + 1.0) / (tots.n_raw_tot + {_DSIR_BUCKETS}))
+               ) * {_DSIR_FP} + 0.5) AS BIGINT) AS lr_fp
+        FROM raw_b r LEFT JOIN tgt_b t USING (b) CROSS JOIN tots
+    )
+    SELECT toks.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(ratios.lr_fp) AS BIGINT) AS logweight_fp
+    FROM toks JOIN ratios USING (b)
+    GROUP BY toks.doc_id
+    """,
+)
+def q_sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023):
+    score every document by how much its hashed-unigram distribution
+    looks like the TARGET domain (here: the ``lang='en'`` slice) vs the
+    raw corpus — ``logweight_fp`` is the per-doc sum of per-token
+    log(p_target/p_raw) over {_DSIR_BUCKETS} hashed buckets with add-1
+    smoothing, the exact statistic DSIR resamples by to select
+    web-scale pretraining data that matches a high-quality target.
+
+    Scale/determinism: ONE token explode feeds both bucket censuses
+    (target is a filtered re-aggregation, not a rescan); the 256-row
+    log-ratio table broadcasts back onto the token stream; each
+    log-ratio is quantized to fixed-point BIGINT BEFORE the per-doc sum
+    (integer reduction — order-free and engine-identical, the
+    ``q_drift_kl`` convention). Bucket hashing is md5-based, so the
+    weights are content-addressed and stable under corpus growth.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower("text"), " ")).alias("tok"),
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+            % _DSIR_BUCKETS
+        ).alias("b"),
+    )
+    raw_b = toks.groupBy("b").agg(F.count("*").alias("n_raw"))
+    tgt_b = (
+        toks.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count("*").alias("n_tgt"))
+    )
+    tots = toks.agg(
+        F.count("*").alias("n_raw_tot"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_tgt_tot"),
+    )
+    p_t = (F.coalesce(F.col("n_tgt"), F.lit(0)) + 1.0) / (
+        F.col("n_tgt_tot") + _DSIR_BUCKETS
+    )
+    p_r = (F.col("n_raw") + 1.0) / (F.col("n_raw_tot") + _DSIR_BUCKETS)
+    ratios = (
+        raw_b.join(tgt_b, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            F.floor(F.log(p_t / p_r) * _DSIR_FP + F.lit(0.5))
+            .cast("long")
+            .alias("lr_fp"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(ratios), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("lr_fp").cast("long").alias("logweight_fp"),
+        )
+    )

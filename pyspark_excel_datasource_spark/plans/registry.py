@@ -210,6 +210,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_scan_iceberg",
     "q_scan_iceberg_snapshot",
     "q_text_substring_clean",
+    "q_sample_importance",
     # C. prior greens: the round-7 window first (re-verdicted r7), then
     #    the round-6 window, then remaining greens in registration order
     "q_tpch_q7ish",

@@ -78,6 +78,7 @@ ROUND8_AUTHORED: set[str] = {
     "q_scan_iceberg",
     "q_scan_iceberg_snapshot",
     "q_text_substring_clean",
+    "q_sample_importance",
 }
 
 
