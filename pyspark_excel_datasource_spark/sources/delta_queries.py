@@ -584,3 +584,49 @@ def q_stream_delta_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_price"),
         )
     )
+
+
+@query(
+    "q_delta_zorder",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS sum_eid,
+           CAST(SUM(user_id) AS BIGINT) AS sum_uid
+    FROM events
+    WHERE event_id % 5 = 0
+    GROUP BY event_type
+    """,
+)
+def q_delta_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER OPTIMIZE: the fragmented table is rewritten range-
+    partitioned by the bit-interleaved z-value of (user_id, event_id),
+    so each file covers a tight rectangle in that 2-D key space and
+    min/max file stats prune probes on EITHER column — the layout
+    maintenance a point-lookup-heavy 100 TB table needs beyond
+    single-column clustering (``q_sink_parquet_bloom`` is the
+    one-dimensional sibling). Published as one ``dataChange=false``
+    commit like plain OPTIMIZE. The oracle pins that clustering changed
+    NO data; the disjoint-z-rectangle property is pinned in
+    ``tests/test_delta.py``.
+    """
+    from .deltalog import optimize
+
+    out = os.path.join(_fixture_dir(sf_dir), "events_zorder_delta")
+    shutil.rmtree(out, ignore_errors=True)
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 5 == 0)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    write_delta(spark, ev.repartition(8), out, checkpoint_interval=0)
+    optimize(spark, out, zorder_by=("user_id", "event_id"))
+    return (
+        read_delta(spark, out)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("event_id").cast("long").alias("sum_eid"),
+            F.sum("user_id").cast("long").alias("sum_uid"),
+        )
+    )

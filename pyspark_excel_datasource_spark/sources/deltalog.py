@@ -600,21 +600,52 @@ def read_change_feed(
     return ins.unionByName(dels)
 
 
-def optimize(spark: SparkSession, table_path: str) -> int:
-    """OPTIMIZE (bin-packing compaction): rewrite each partition's live
-    files into one file and publish the swap as a single
+def optimize(
+    spark: SparkSession,
+    table_path: str,
+    zorder_by: tuple[str, str] | None = None,
+    target_files: int = 4,
+) -> int:
+    """OPTIMIZE: rewrite the live files and publish the swap as a single
     ``dataChange=false`` commit — readers see identical rows before and
     after, streams consuming the log know no data changed, and time
     travel to pre-compaction versions still works (old files remain on
-    disk until a vacuum). The rewrite is a parallel Spark job (one task
-    per partition via ``repartition(partition cols)``), never a driver
-    funnel; at 100 TB this is the small-files maintenance job that keeps
-    scan task counts proportional to data, not to commit history.
+    disk until a vacuum).
+
+    Default mode is bin-packing compaction (one file per partition via
+    ``repartition(partition cols)``). ``zorder_by=(colA, colB)``
+    instead Z-ORDER-clusters an UNPARTITIONED table: rows are range-
+    partitioned into ``target_files`` files by the bit-interleaved
+    z-value of the two columns, so each file covers a tight rectangle
+    in (colA, colB) space and min/max file stats prune point/range
+    probes on EITHER column — the multi-dimensional layout maintenance
+    that a single-column sort cannot give. The rewrite is a parallel
+    Spark job either way; at 100 TB this is the maintenance pass that
+    keeps scan task counts proportional to bytes and stats selective.
     """
     prev = snapshot(table_path)
     pcols = prev.partition_columns
     df = _read_files(spark, table_path, prev.files, prev.schema, pcols)
-    df = df.repartition(*[F.col(c) for c in pcols]) if pcols else df.coalesce(1)
+    if zorder_by is not None:
+        if pcols:
+            raise ValueError("zorder_by supports unpartitioned tables only")
+        if len(zorder_by) != 2:
+            raise ValueError("zorder_by takes exactly two columns")
+        from ..operators.scale import _Z_BITS, _z_interleave_sql
+
+        a, b = zorder_by
+        zexpr = _z_interleave_sql(
+            f"(CAST({a} AS BIGINT) % {1 << _Z_BITS})",
+            f"(CAST({b} AS BIGINT) % {1 << _Z_BITS})",
+        )
+        df = (
+            df.withColumn("__z", F.expr(zexpr))
+            .repartitionByRange(target_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    else:
+        df = df.repartition(*[F.col(c) for c in pcols]) if pcols else df.coalesce(1)
 
     staging = os.path.join(table_path, f".staging-{uuid.uuid4().hex[:12]}")
     writer = df.write.mode("overwrite")

@@ -435,3 +435,44 @@ def test_empty_partition_filter_returns_typed_empty(spark, three_version_table):
     )
     assert df.count() == 0
     assert "n_regionkey" in df.columns and "n_name" in df.columns
+
+
+def test_zorder_optimize_clusters_disjoint_rectangles(spark, tmp_path):
+    from pyspark_excel_datasource_spark.operators.scale import (
+        _Z_BITS,
+        _z_interleave_sql,
+    )
+    from pyspark_excel_datasource_spark.sources.deltalog import optimize
+
+    path = str(tmp_path / "t")
+    ev = (
+        spark.read.parquet(os.path.join(SF, "events.parquet"))
+        .select("event_id", "user_id", "event_type")
+        .limit(4000)
+    )
+    write_delta(spark, ev.repartition(6), path)
+    rows_before = read_delta(spark, path).count()
+    v = optimize(spark, path, zorder_by=("user_id", "event_id"), target_files=4)
+    snap = snapshot(path)
+    assert snap.version == v and 1 < len(snap.files) <= 4
+    assert read_delta(spark, path).count() == rows_before
+    # per-file z ranges are disjoint (range partitioning by z-value)
+    zexpr = _z_interleave_sql(
+        f"(CAST(user_id AS BIGINT) % {1 << _Z_BITS})",
+        f"(CAST(event_id AS BIGINT) % {1 << _Z_BITS})",
+    )
+    per_file = (
+        spark.read.parquet(*[os.path.join(path, p) for p in snap.files])
+        .withColumn("__z", F.expr(zexpr))
+        .groupBy(F.col("_metadata.file_path").alias("f"))
+        .agg(F.min("__z").alias("lo"), F.max("__z").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    for prev_r, cur in zip(per_file, per_file[1:]):
+        assert prev_r.hi <= cur.lo
+    # zorder on a partitioned table is rejected
+    p2 = str(tmp_path / "t2")
+    write_delta(spark, ev, p2, partition_by=("event_type",))
+    with pytest.raises(ValueError, match="unpartitioned"):
+        optimize(spark, p2, zorder_by=("user_id", "event_id"))

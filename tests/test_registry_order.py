@@ -79,6 +79,7 @@ ROUND8_AUTHORED: set[str] = {
     "q_scan_iceberg_snapshot",
     "q_text_substring_clean",
     "q_sample_importance",
+    "q_delta_zorder",
 }
 
 

@@ -65,6 +65,9 @@ ALLOWED_NESTED_LOOP = {
     "q_tpch_q11ish",
     "q_tpch_q15ish",
     "q_tpch_q22ish",
+    # broadcast of the 1-row (n_raw_tot, n_tgt_tot) totals onto the
+    # 256-row bucket frame — scalar attach, same shape as q_drift_kl
+    "q_sample_importance",
 }
 
 
