@@ -768,8 +768,23 @@ def delete_where(
     if not matched:
         return prev.version, 0, len(prev.files)
 
+    # membership via a broadcast semi join, not an In literal — at 1e5+
+    # matched files an isin() literal bloats the plan; a file-count-sized
+    # broadcast joins in O(1) per row
+    matched_df = spark.createDataFrame(
+        [(m,) for m in sorted(matched)],
+        StructType.fromJson(
+            {
+                "type": "struct",
+                "fields": [
+                    {"name": "__f", "type": "string", "nullable": False,
+                     "metadata": {}}
+                ],
+            }
+        ),
+    )
     survivors = (
-        full.filter(F.col("__f").isin(*matched))
+        full.join(F.broadcast(matched_df), "__f", "left_semi")
         .filter(~F.coalesce(cond, F.lit(False)))
         .drop("__f")
     )
