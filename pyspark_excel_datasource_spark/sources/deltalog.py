@@ -264,10 +264,19 @@ def _read_files(
     if not pcols and not file_column:
         return df.select(*[f.name for f in schema.fields])
 
-    # file-basename → (rel path, partition values) map (file-count rows,
-    # broadcast); basenames are table-unique by writer construction
+    # rel-path → partition values map (file-count rows, broadcast). The
+    # join key is the file's LOG key (path relative to the table root),
+    # recovered from the scan's _metadata.file_path — NOT the basename:
+    # external partitionBy writers reuse one basename per task across
+    # every partition dir (a=1/part-00000-…, a=2/part-00000-…), and a
+    # basename join would fan each row out to every colliding partition.
+    import re as _re
+
+    # absolute log keys (Iceberg allows them) stay absolute — the scan
+    # column below is only root-stripped when the prefix matches
     rows = [
-        (os.path.basename(p), p, *[pv.get(c) for c in pcols])
+        (p if not os.path.isabs(p) else os.path.abspath(p),
+         *[pv.get(c) for c in pcols])
         for p, pv in files.items()
     ]
     map_schema = StructType.fromJson(
@@ -275,16 +284,19 @@ def _read_files(
             "type": "struct",
             "fields": [
                 {"name": n, "type": "string", "nullable": True, "metadata": {}}
-                for n in ["__delta_file", "__delta_rel"]
-                + [f"__pv_{c}" for c in pcols]
+                for n in ["__delta_rel"] + [f"__pv_{c}" for c in pcols]
             ],
         }
     )
     map_df = spark.createDataFrame(rows, map_schema)
+    abs_root = os.path.abspath(table_path)
+    norm = F.regexp_replace(
+        F.col("_metadata.file_path"), r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/+", "/"
+    )
     df = df.withColumn(
-        "__delta_file",
-        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
-    ).join(F.broadcast(map_df), "__delta_file")
+        "__delta_rel",
+        F.regexp_replace(norm, "^" + _re.escape(abs_root + "/"), ""),
+    ).join(F.broadcast(map_df), "__delta_rel")
     by_name = {f.name: f.dataType for f in schema.fields}
     for c in pcols:
         df = df.withColumn(c, F.col(f"__pv_{c}").cast(by_name[c]))
@@ -389,6 +401,50 @@ def _write_checkpoint(table_path: str, snap: DeltaSnapshot) -> None:
         json.dump({"version": snap.version, "size": len(rows)}, fh)
 
 
+def _stage_and_move(
+    df: DataFrame,
+    table_path: str,
+    pcols: list[str],
+    data_change: bool,
+) -> list[dict[str, Any]]:
+    """Parallel staged parquet write → move into the table under fresh
+    uuid basenames → return the add actions. The rename matters: Spark's
+    partitionBy writer reuses ONE name per task across every partition
+    dir, and the reader's file-map join requires table-unique paths.
+    Shared by write_delta / optimize / delete_where so the move rule
+    lives in exactly one place."""
+    staging = os.path.join(table_path, f".staging-{uuid.uuid4().hex[:12]}")
+    writer = df.write.mode("overwrite")
+    if pcols:
+        writer = writer.partitionBy(*pcols)
+    writer.parquet(staging)
+    adds: list[dict[str, Any]] = []
+    for root, _dirs, names in os.walk(staging):
+        for name in names:
+            if not name.endswith(".parquet"):
+                continue
+            src = os.path.join(root, name)
+            reldir = os.path.relpath(root, staging)
+            base = f"part-{uuid.uuid4().hex}.snappy.parquet"
+            rel = base if reldir == "." else os.path.join(reldir, base)
+            dst = os.path.join(table_path, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(src, dst)
+            adds.append(
+                {
+                    "add": {
+                        "path": _encode_path(rel),
+                        "partitionValues": _pv_from_relpath(rel, pcols),
+                        "size": os.path.getsize(dst),
+                        "modificationTime": int(os.path.getmtime(dst) * 1000),
+                        "dataChange": data_change,
+                    }
+                }
+            )
+    shutil.rmtree(staging, ignore_errors=True)
+    return adds
+
+
 def _pv_from_relpath(rel: str, pcols: list[str]) -> dict[str, str | None]:
     pv: dict[str, str | None] = {}
     for seg in rel.split("/")[:-1]:
@@ -468,41 +524,7 @@ def write_delta(
             evolved_schema = StructType(list(prev.schema.fields) + new_fields)
 
     # 1. parallel data-file write into staging, then move into the table
-    staging = os.path.join(table_path, f".staging-{uuid.uuid4().hex[:12]}")
-    writer = df.write.mode("overwrite")
-    if pcols:
-        writer = writer.partitionBy(*pcols)
-    writer.parquet(staging)
-
-    adds: list[dict[str, Any]] = []
-    for root, _dirs, names in os.walk(staging):
-        for name in names:
-            if not name.endswith(".parquet"):
-                continue
-            src = os.path.join(root, name)
-            # Spark's partitionBy writer reuses ONE name per task across
-            # every partition dir (part-00000-<job-uuid>…), so basenames
-            # collide between partitions; the reader joins partition
-            # values on basename, which must be table-unique → re-key
-            # each file with its own uuid.
-            reldir = os.path.relpath(root, staging)
-            base = f"part-{uuid.uuid4().hex}.snappy.parquet"
-            rel = base if reldir == "." else os.path.join(reldir, base)
-            dst = os.path.join(table_path, rel)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            os.replace(src, dst)
-            adds.append(
-                {
-                    "add": {
-                        "path": _encode_path(rel),
-                        "partitionValues": _pv_from_relpath(rel, pcols),
-                        "size": os.path.getsize(dst),
-                        "modificationTime": int(os.path.getmtime(dst) * 1000),
-                        "dataChange": True,
-                    }
-                }
-            )
-    shutil.rmtree(staging, ignore_errors=True)
+    adds = _stage_and_move(df, table_path, pcols, data_change=True)
 
     # 2. assemble the commit
     actions: list[dict[str, Any]] = [
@@ -543,14 +565,16 @@ def write_delta(
             )
     actions.extend(adds)
 
-    # optimistic concurrency: an APPEND conflicts with nothing an
-    # interleaved commit can do to it (its adds are fresh uuid files and
-    # it removes nothing), so on losing the version race it simply
-    # re-reads the head and re-commits the same actions at the next
-    # version — the standard Delta OCC retry. OVERWRITE's remove set was
-    # computed against a snapshot that just changed, so it must NOT
-    # retry blindly; the caller re-runs with a fresh snapshot.
-    attempts = 8 if mode == "append" else 1
+    # optimistic concurrency: an APPEND to an EXISTING table conflicts
+    # with nothing an interleaved commit can do to it (its adds are
+    # fresh uuid files and it removes nothing), so on losing the version
+    # race it re-reads the head and re-commits the same actions at the
+    # next version — the standard Delta OCC retry. Two cases must NOT
+    # retry blindly: OVERWRITE (its remove set was computed against a
+    # snapshot that just changed) and table CREATION (the retry would
+    # re-commit this writer's protocol+metaData over the race winner's
+    # schema); both fail fast for the caller to re-run fresh.
+    attempts = 8 if (mode == "append" and prev is not None) else 1
     for attempt in range(attempts):
         try:
             _commit(table_path, version, actions)
@@ -571,26 +595,58 @@ def read_change_feed(
     from_version: int,
     to_version: int,
 ) -> DataFrame:
-    """Net row-level changes between two snapshots, derived from the log
-    alone: files live at ``to`` but not at ``from`` carry inserts, files
-    live at ``from`` but not at ``to`` carry deletes, and a file both
-    added and removed inside the range cancels (it is in neither
-    endpoint) — exactly the net-change contract of a change data feed.
-    Emits the table columns plus ``_change_type`` ('insert'|'delete').
+    """Net row-level changes over ``(from, to]``, derived from the log
+    alone by replaying only ``dataChange=true`` actions: a file added
+    then removed inside the range cancels (net nothing), and
+    ``dataChange=false`` commits — OPTIMIZE/Z-ORDER rewrites — are
+    INVISIBLE, exactly as their commit contract promises ("no rows
+    changed"); a snapshot file-set diff would misreport a compaction as
+    the whole table deleted and re-inserted. Emits the table columns
+    plus ``_change_type`` ('insert'|'delete').
 
-    Scale shape: the diff is a set operation over file PATHS (log
-    metadata, driver-side by protocol design); the data read is one
-    parquet scan per side over only the changed files — a table that
-    changed 0.1% between versions reads 0.1% of its files.
+    Scale shape: the replay is O(actions in range) of driver-side log
+    metadata; the data read is one parquet scan per side over only the
+    NET-changed files — a table that changed 0.1% between versions
+    reads 0.1% of its files.
     """
     if from_version > to_version:
         raise ValueError("from_version must be <= to_version")
     lo = snapshot(table_path, from_version)
     hi = snapshot(table_path, to_version)
+    added: dict[str, dict[str, str | None]] = {}
+    removed: dict[str, dict[str, str | None]] = {}
+    for v in range(from_version + 1, to_version + 1):
+        p = os.path.join(_log_dir(table_path), f"{v:020d}.json")
+        if not os.path.exists(p):
+            raise FileNotFoundError(f"missing Delta log version {v}")
+        with open(p, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                act = json.loads(line)
+                if "add" in act and act["add"] is not None:
+                    a = act["add"]
+                    if not a.get("dataChange", True):
+                        continue
+                    rel = unquote(a["path"])
+                    if rel in removed:
+                        removed.pop(rel)
+                    else:
+                        added[rel] = _pv_norm(a.get("partitionValues"))
+                elif "remove" in act and act["remove"] is not None:
+                    r = act["remove"]
+                    if not r.get("dataChange", True):
+                        continue
+                    rel = unquote(r["path"])
+                    if rel in added:
+                        added.pop(rel)
+                    else:
+                        # pv is not carried on removes; the file was live
+                        # at the range start, so the start snapshot has it
+                        removed[rel] = lo.files.get(rel, {})
     schema = hi.schema
     pcols = hi.partition_columns
-    added = {p: pv for p, pv in hi.files.items() if p not in lo.files}
-    removed = {p: pv for p, pv in lo.files.items() if p not in hi.files}
     ins = _read_files(spark, table_path, added, schema, pcols).withColumn(
         "_change_type", F.lit("insert")
     )
@@ -647,38 +703,10 @@ def optimize(
     else:
         df = df.repartition(*[F.col(c) for c in pcols]) if pcols else df.coalesce(1)
 
-    staging = os.path.join(table_path, f".staging-{uuid.uuid4().hex[:12]}")
-    writer = df.write.mode("overwrite")
-    if pcols:
-        writer = writer.partitionBy(*pcols)
-    writer.parquet(staging)
-
     actions: list[dict[str, Any]] = [
         {"commitInfo": {"operation": "OPTIMIZE", "operationParameters": {}}}
     ]
-    for root, _dirs, names in os.walk(staging):
-        for name in names:
-            if not name.endswith(".parquet"):
-                continue
-            src = os.path.join(root, name)
-            reldir = os.path.relpath(root, staging)
-            base = f"part-{uuid.uuid4().hex}.snappy.parquet"
-            rel = base if reldir == "." else os.path.join(reldir, base)
-            dst = os.path.join(table_path, rel)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            os.replace(src, dst)
-            actions.append(
-                {
-                    "add": {
-                        "path": _encode_path(rel),
-                        "partitionValues": _pv_from_relpath(rel, pcols),
-                        "size": os.path.getsize(dst),
-                        "modificationTime": int(os.path.getmtime(dst) * 1000),
-                        "dataChange": False,
-                    }
-                }
-            )
-    shutil.rmtree(staging, ignore_errors=True)
+    actions.extend(_stage_and_move(df, table_path, pcols, data_change=False))
     for rel in sorted(prev.files):
         actions.append(
             {"remove": {"path": _encode_path(rel), "dataChange": False}}
@@ -715,12 +743,22 @@ def merge_delta(
         raise ValueError(
             f"merge source columns {sorted(source.columns)} != target {sorted(cols)}"
         )
+    # matched-takes-source must hold even when the source VALUE is null
+    # (clearing a field) — coalesce(s.c, t.c) would silently keep the
+    # stale target value, so presence is carried by an explicit marker
+    # column, never inferred from value nullness
     t = target.alias("t")
-    s = source.alias("s")
+    s = source.withColumn("__src", F.lit(True)).alias("s")
+    src_present = F.col("s.__src").isNotNull()
     merged = t.join(s, on=on, how="full_outer").select(
         *[
-            (F.col(c) if c in on else F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")))
-            .alias(c)
+            (
+                F.col(c)
+                if c in on
+                else F.when(src_present, F.col(f"s.{c}")).otherwise(
+                    F.col(f"t.{c}")
+                )
+            ).alias(c)
             for c in cols
         ]
     )
@@ -788,12 +826,6 @@ def delete_where(
         .filter(~F.coalesce(cond, F.lit(False)))
         .drop("__f")
     )
-    staging = os.path.join(table_path, f".staging-{uuid.uuid4().hex[:12]}")
-    writer = survivors.write.mode("overwrite")
-    if pcols:
-        writer = writer.partitionBy(*pcols)
-    writer.parquet(staging)
-
     actions: list[dict[str, Any]] = [
         {
             "commitInfo": {
@@ -804,29 +836,7 @@ def delete_where(
             }
         }
     ]
-    for root, _dirs, names in os.walk(staging):
-        for name in names:
-            if not name.endswith(".parquet"):
-                continue
-            src = os.path.join(root, name)
-            reldir = os.path.relpath(root, staging)
-            base = f"part-{uuid.uuid4().hex}.snappy.parquet"
-            rel = base if reldir == "." else os.path.join(reldir, base)
-            dst = os.path.join(table_path, rel)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            os.replace(src, dst)
-            actions.append(
-                {
-                    "add": {
-                        "path": _encode_path(rel),
-                        "partitionValues": _pv_from_relpath(rel, pcols),
-                        "size": os.path.getsize(dst),
-                        "modificationTime": int(os.path.getmtime(dst) * 1000),
-                        "dataChange": True,
-                    }
-                }
-            )
-    shutil.rmtree(staging, ignore_errors=True)
+    actions.extend(_stage_and_move(survivors, table_path, pcols, data_change=True))
     for rel in sorted(matched):
         actions.append(
             {"remove": {"path": _encode_path(rel), "dataChange": True}}
@@ -859,7 +869,7 @@ def last_txn_version(table_path: str, app_id: str) -> int:
     return best
 
 
-def vacuum(table_path: str) -> int:
+def vacuum(table_path: str, retention_seconds: float = 0.0) -> int:
     """Physically delete data files no longer referenced by the LATEST
     snapshot; returns the number removed. This is the storage-reclaim
     half of the copy-on-write contract: OVERWRITE/DELETE/OPTIMIZE only
@@ -867,17 +877,29 @@ def vacuum(table_path: str) -> int:
     that history for space (time travel to versions that referenced the
     removed files now fails, the latest snapshot is untouched). The
     walk is O(files on disk), metadata-only, no data read.
+
+    ``retention_seconds`` guards the write/commit window: a concurrent
+    ``write_delta`` moves data files into the table BEFORE publishing
+    its log commit, and an unguarded vacuum in that window would delete
+    them and corrupt the about-to-land version (real Delta's retention
+    period exists for exactly this race). Set it above the longest
+    expected write when other writers may be active; 0 is only safe
+    single-writer.
     """
+    import time as _time
+
     live = set(snapshot(table_path).files)
+    cutoff = _time.time() - retention_seconds
     removed = 0
     for root, dirs, names in os.walk(table_path):
         dirs[:] = [d for d in dirs if d != _LOG and not d.startswith(".staging-")]
         for name in names:
             if not name.endswith(".parquet"):
                 continue
-            rel = os.path.relpath(os.path.join(root, name), table_path)
-            if rel not in live:
-                os.remove(os.path.join(root, name))
+            full = os.path.join(root, name)
+            rel = os.path.relpath(full, table_path)
+            if rel not in live and os.path.getmtime(full) <= cutoff:
+                os.remove(full)
                 removed += 1
     return removed
 
@@ -888,8 +910,17 @@ def delete_partitions(
     """Metadata-only DELETE of whole partitions (no data rewrite): one
     commit of remove actions for every live file whose partitionValues
     match ``where`` — the O(files-matched) fast path real engines use
-    for partition-aligned retention deletes."""
+    for partition-aligned retention deletes. ``where`` keys must be
+    partition columns (a typo'd key would otherwise match nothing and
+    commit a silent no-op); matching zero FILES on a valid key is legal
+    (SQL DELETE matching nothing) and still commits."""
     prev = snapshot(table_path)
+    unknown = set(where) - set(prev.partition_columns)
+    if unknown:
+        raise ValueError(
+            f"delete_partitions keys {sorted(unknown)} are not partition "
+            f"columns {prev.partition_columns}"
+        )
     version = prev.version + 1
     hit = [
         rel

@@ -49,6 +49,10 @@ class IcebergFormatError(RuntimeError):
     """Table uses spec features this reader does not implement."""
 
 
+class IcebergConcurrentCommitError(RuntimeError):
+    """Another writer published the target metadata version first."""
+
+
 # ---------------------------------------------------------------------------
 # driver-side Avro helpers (container codec from sources/avrofile.py)
 # ---------------------------------------------------------------------------
@@ -205,19 +209,35 @@ def snapshot_iceberg(
     sid = md.get("current-snapshot-id") if snapshot_id is None else snapshot_id
     if sid not in snaps:
         raise ValueError(f"snapshot {sid} not in {sorted(snaps)}")
-    schema = _ice_schema_to_spark(md["schema"])
-    field_names = {
-        f["id"]: f["name"] for f in md["schema"]["fields"]
-    }
+    snap_md = snaps[sid]
+
+    # schema/spec are resolved PER SNAPSHOT, not from the table head —
+    # after an overwrite changed the schema or partitioning, time travel
+    # with the current definitions would silently misread old files
+    # (null partition columns, vanished fields). The spec's "schemas" /
+    # "partition-specs" lists exist for exactly this; the top-level
+    # "schema" / "partition-spec" remain the current ones.
+    ice_schema = md["schema"]
+    if "schema-id" in snap_md and md.get("schemas"):
+        by_id = {s["schema-id"]: s for s in md["schemas"]}
+        ice_schema = by_id.get(snap_md["schema-id"], ice_schema)
+    schema = _ice_schema_to_spark(ice_schema)
+    field_names = {f["id"]: f["name"] for f in ice_schema["fields"]}
+    spec_fields = md.get("partition-spec", [])
+    if "spec-id" in snap_md and md.get("partition-specs"):
+        by_id = {s["spec-id"]: s for s in md["partition-specs"]}
+        spec_fields = by_id.get(snap_md["spec-id"], {"fields": spec_fields})[
+            "fields"
+        ]
     pcols: list[str] = []
-    for spec in md.get("partition-spec", []):
+    for spec in spec_fields:
         if spec.get("transform") != "identity":
             raise IcebergFormatError(
                 f"unsupported partition transform {spec.get('transform')!r}"
             )
         pcols.append(field_names.get(spec["source-id"], spec["name"]))
     files: dict[str, dict[str, str | None]] = {}
-    mlist = snaps[sid]["manifest-list"]
+    mlist = snap_md["manifest-list"]
     mlist = mlist if os.path.isabs(mlist) else os.path.join(table_path, mlist)
     for m in _read_avro(mlist):
         mpath = m["manifest_path"]
@@ -470,6 +490,20 @@ def write_iceberg(
                 f"append with partition_by={list(pcols)} but table spec "
                 f"is {prev_pcols}"
             )
+        # appends reuse the previous snapshot's manifests, whose files
+        # were written under the TABLE schema — a silently replaced
+        # schema would misread them (dropped/renamed columns vanish,
+        # retyped columns corrupt). Exact (name, type) match required;
+        # changing the schema takes an overwrite, which versions it.
+        prev_sig = [
+            (f["name"], f["type"]) for f in prev_md["schema"]["fields"]
+        ]
+        new_sig = [(f["name"], f["type"]) for f in ice_schema["fields"]]
+        if prev_sig != new_sig:
+            raise ValueError(
+                f"append schema {new_sig} != table schema {prev_sig}; "
+                "schema changes require mode='overwrite'"
+            )
     spec = [
         {
             "name": c,
@@ -479,6 +513,32 @@ def write_iceberg(
         }
         for i, c in enumerate(pcols)
     ]
+
+    # versioned schema/spec registries: time travel resolves a snapshot
+    # through its own schema-id/spec-id, so an overwrite that changes
+    # either never rewrites how OLD snapshots read (finding: resolving
+    # old manifests with the head's definitions nulls their partition
+    # columns and drops their fields)
+    schemas = list(prev_md.get("schemas", [])) if prev_md else []
+    sig_of = lambda s: [(f["name"], f["type"]) for f in s["fields"]]  # noqa: E731
+    match = next(
+        (s for s in schemas if sig_of(s) == sig_of(ice_schema)), None
+    )
+    if match is None:
+        schema_id = max((s["schema-id"] for s in schemas), default=-1) + 1
+        ice_schema = {**ice_schema, "schema-id": schema_id}
+        schemas.append(ice_schema)
+    else:
+        schema_id = match["schema-id"]
+        ice_schema = match
+    specs = list(prev_md.get("partition-specs", [])) if prev_md else []
+    smatch = next((s for s in specs if s["fields"] == spec), None)
+    if smatch is None:
+        spec_id = max((s["spec-id"] for s in specs), default=-1) + 1
+        specs.append({"spec-id": spec_id, "fields": spec})
+    else:
+        spec_id = smatch["spec-id"]
+
     snaps = list(prev_md["snapshots"]) if prev_md else []
     snaps.append(
         {
@@ -486,6 +546,8 @@ def write_iceberg(
             "timestamp-ms": snap_id,  # deterministic fixture clock
             "manifest-list": mlist_rel,
             "summary": {"operation": mode},
+            "schema-id": schema_id,
+            "spec-id": spec_id,
         }
     )
     md = {
@@ -493,16 +555,28 @@ def write_iceberg(
         "table-uuid": prev_md["table-uuid"] if prev_md else uuid.uuid4().hex,
         "location": table_path,
         "schema": ice_schema,
+        "schemas": schemas,
         "partition-spec": spec,
+        "partition-specs": specs,
         "current-snapshot-id": snap_id,
         "snapshots": snaps,
     }
     meta_path = os.path.join(_meta_dir(table_path), f"v{version}.metadata.json")
-    fd = os.open(meta_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    try:
+        fd = os.open(meta_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError as e:
+        raise IcebergConcurrentCommitError(
+            f"metadata version {version} already committed in {table_path}"
+        ) from e
     with os.fdopen(fd, "w", encoding="utf-8") as fh:
         json.dump(md, fh)
-    with open(
-        os.path.join(_meta_dir(table_path), "version-hint.text"), "w", encoding="utf-8"
-    ) as fh:
+        fh.flush()
+        os.fsync(fh.fileno())
+    # hint swap is atomic (write-temp + rename) so a concurrent reader
+    # never sees a truncated/empty hint mid-write
+    hint = os.path.join(_meta_dir(table_path), "version-hint.text")
+    tmp = hint + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w", encoding="utf-8") as fh:
         fh.write(str(version))
+    os.replace(tmp, hint)
     return snap_id

@@ -476,3 +476,48 @@ def test_zorder_optimize_clusters_disjoint_rectangles(spark, tmp_path):
     write_delta(spark, ev, p2, partition_by=("event_type",))
     with pytest.raises(ValueError, match="unpartitioned"):
         optimize(spark, p2, zorder_by=("user_id", "event_id"))
+
+
+def test_merge_source_null_clears_target_value(spark, tmp_path):
+    """Matched-takes-source must hold when the source VALUE is null."""
+    path = str(tmp_path / "t")
+    write_delta(
+        spark,
+        spark.createDataFrame([(1, "keep"), (2, "stale")], "id int, v string"),
+        path,
+    )
+    src = spark.createDataFrame([(2, None)], "id int, v string")
+    merge_delta(spark, src, path, on=["id"])
+    got = {tuple(r) for r in read_delta(spark, path).collect()}
+    assert got == {(1, "keep"), (2, None)}
+
+
+def test_change_feed_invisible_across_optimize(spark, tmp_path):
+    """dataChange=false rewrites contribute NOTHING to the change feed."""
+    path = str(tmp_path / "t")
+    n = _nation(spark)
+    write_delta(spark, n.repartition(4), path)
+    v = optimize(spark, path)
+    assert read_change_feed(spark, path, 0, v).count() == 0
+    # an append after the optimize still streams normally
+    write_delta(spark, n.limit(3), path, mode="append")
+    cdf = read_change_feed(spark, path, v, v + 1)
+    assert cdf.filter(F.col("_change_type") == "insert").count() == 3
+    assert cdf.filter(F.col("_change_type") == "delete").count() == 0
+
+
+def test_vacuum_retention_protects_recent_files(spark, tmp_path):
+    from pyspark_excel_datasource_spark.sources.deltalog import vacuum
+
+    path = str(tmp_path / "t")
+    n = _nation(spark)
+    write_delta(spark, n, path)
+    write_delta(spark, n.limit(5), path, mode="overwrite")
+    # everything on disk is seconds old: a retention window spares it all
+    assert vacuum(path, retention_seconds=3600) == 0
+    assert vacuum(path) > 0  # explicit zero-retention reclaims
+
+
+def test_delete_partitions_validates_keys(spark, three_version_table):
+    with pytest.raises(ValueError, match="not partition columns"):
+        delete_partitions(three_version_table, {"n_name": "x"})

@@ -100,9 +100,13 @@ def test_snapshot_log_and_atomic_publish(spark, three_snapshot_table):
     ops = [(s["snapshot_id"], s["operation"]) for s in snapshots(three_snapshot_table)]
     assert ops == [(3, "overwrite"), (2, "append"), (1, "append")]
     # the next metadata version is claimed by O_EXCL create: a squatter wins
+    from pyspark_excel_datasource_spark.sources.iceberg import (
+        IcebergConcurrentCommitError,
+    )
+
     squat = os.path.join(three_snapshot_table, "metadata", "v4.metadata.json")
     open(squat, "w").close()
-    with pytest.raises(FileExistsError):
+    with pytest.raises(IcebergConcurrentCommitError):
         write_iceberg(spark, _nation(spark), three_snapshot_table, mode="append")
 
 
@@ -149,3 +153,48 @@ def test_identity_partitions_roundtrip_and_prune(spark, tmp_path):
     # append with a different spec is rejected
     with pytest.raises(ValueError, match="partition_by"):
         write_iceberg(spark, n, path, mode="append")
+
+
+def test_time_travel_survives_schema_and_spec_change(spark, tmp_path):
+    """Overwriting with a different schema AND partitioning must not
+    change how OLD snapshots read: each snapshot resolves through its
+    own schema-id / spec-id."""
+    path = str(tmp_path / "t")
+    n = _nation(spark)
+    write_iceberg(
+        spark, n.select("n_nationkey", "n_name", "n_regionkey"), path,
+        partition_by=("n_regionkey",),
+    )
+    write_iceberg(
+        spark, n.select("n_nationkey", "n_name"), path, mode="overwrite"
+    )
+    # head: new schema, unpartitioned
+    head = read_iceberg(spark, path)
+    assert head.columns == ["n_nationkey", "n_name"]
+    # snapshot 1: old schema incl. the partition column, fully populated
+    old = read_iceberg(spark, path, snapshot_id=1)
+    assert old.columns == ["n_nationkey", "n_name", "n_regionkey"]
+    assert old.filter(F.col("n_regionkey").isNull()).count() == 0
+    got = {tuple(r) for r in old.collect()}
+    assert got == {
+        tuple(r) for r in n.select("n_nationkey", "n_name", "n_regionkey").collect()
+    }
+
+
+def test_append_schema_mismatch_rejected(spark, tmp_path):
+    path = str(tmp_path / "t")
+    n = _nation(spark)
+    write_iceberg(spark, n.select("n_nationkey", "n_name"), path)
+    with pytest.raises(ValueError, match="overwrite"):
+        write_iceberg(
+            spark, n.select("n_nationkey", "n_name", "n_regionkey"), path,
+            mode="append",
+        )
+    with pytest.raises(ValueError, match="overwrite"):
+        write_iceberg(
+            spark,
+            n.select(F.col("n_nationkey").cast("string").alias("n_nationkey"),
+                     "n_name"),
+            path,
+            mode="append",
+        )
