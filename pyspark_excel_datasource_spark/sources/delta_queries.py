@@ -182,13 +182,14 @@ def q_sink_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Change data feed v0→v2, derived purely from the log: the file-set
-    diff of the two snapshots yields inserts (files live at v2 only —
-    the v1 append minus what v2 deleted) and deletes (files live at v0
-    only — the P partition's v0 files); files added at v1 and removed
-    at v2 cancel, per net-change semantics. Only the CHANGED files are
-    scanned — the unchanged bulk of the table is never read, which is
-    what makes log-derived CDF incremental at 100 TB.
+    """Change data feed v0→v2, derived purely from the log by replaying
+    dataChange actions: v1's adds yield inserts (minus the P-partition
+    files v2 then removed — add-then-remove inside the range cancels,
+    per net-change semantics), v2's removes of v0 files yield deletes,
+    and dataChange=false commits (OPTIMIZE) are invisible. Only the
+    net-changed files are scanned — the unchanged bulk of the table is
+    never read, which is what makes log-derived CDF incremental at
+    100 TB.
     """
     path = _materialize_orders_delta(spark, sf_dir)
     return (
