@@ -212,6 +212,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_text_substring_clean",
     "q_sample_importance",
     "q_delta_zorder",
+    "q_delta_history",
     # C. prior greens: the round-7 window first (re-verdicted r7), then
     #    the round-6 window, then remaining greens in registration order
     "q_tpch_q7ish",

@@ -631,3 +631,29 @@ def q_delta_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("user_id").cast("long").alias("sum_uid"),
         )
     )
+
+
+@query(
+    "q_delta_history",
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(2 AS BIGINT), 'DELETE'),
+        (CAST(1 AS BIGINT), 'WRITE'),
+        (CAST(0 AS BIGINT), 'WRITE')
+    ) AS t(version, operation)
+    """,
+)
+def q_delta_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY: the table's commit audit trail straight from
+    the log's commitInfo actions — version and operation per commit,
+    newest first. The fixture's lifecycle (append, append, partition
+    DELETE) is deterministic, so the oracle is a literal VALUES table;
+    a wrong operation tag or a lost/extra commit hash-mismatches. The
+    listing is driver-side O(commits) metadata, the same scale class as
+    snapshot reconstruction itself.
+    """
+    from .deltalog import history
+
+    path = _materialize_orders_delta(spark, sf_dir)
+    rows = [(int(h["version"]), h["operation"]) for h in history(path)]
+    return spark.createDataFrame(rows, "version long, operation string")

@@ -80,6 +80,7 @@ ROUND8_AUTHORED: set[str] = {
     "q_text_substring_clean",
     "q_sample_importance",
     "q_delta_zorder",
+    "q_delta_history",
 }
 
 
