@@ -29,6 +29,8 @@ from ..catalog import table
 from ..plans.registry import query
 from .deltalog import (
     delete_partitions,
+    delete_where,
+    history,
     merge_delta,
     optimize,
     read_change_feed,
@@ -272,10 +274,8 @@ def q_delta_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
     that keeps scan task counts proportional to bytes, not to commit
     history.
     """
-    import shutil as _sh
-
     out = os.path.join(_fixture_dir(sf_dir), "events_optimize_delta")
-    _sh.rmtree(out, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
     ev = (
         table(spark, sf_dir, "events")
         .filter(F.col("event_id") % 7 == 0)
@@ -485,8 +485,6 @@ def q_delta_delete_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     commit. The oracle recomputes the post-delete state relationally;
     the untouched-file guarantee is pinned in ``tests/test_delta.py``.
     """
-    from .deltalog import delete_where
-
     out = os.path.join(_fixture_dir(sf_dir), "orders_delete_delta")
     shutil.rmtree(out, ignore_errors=True)
     orders = table(spark, sf_dir, "orders").select(
@@ -532,15 +530,17 @@ def q_stream_delta_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     was overwritten by its streamed value and every missing key was
     inserted exactly once.
     """
-    import uuid as _uuid
-
     from .delta_stream import register_pydelta
-    from .deltalog import merge_delta
 
     register_pydelta(spark)
     src = _materialize_orders_delta(spark, sf_dir)
     out = os.path.join(_fixture_dir(sf_dir), "orders_upsert_delta")
+    # fixed checkpoint path: the target is rebuilt per run and the txn
+    # ledger makes replays no-ops, so a stable checkpoint can't
+    # double-apply — and per-run uuid paths would pile up forever
+    ckpt = os.path.join(_fixture_dir(sf_dir), "orders_upsert_ckpt")
     shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
     orders = table(spark, sf_dir, "orders")
     seed = orders.filter(F.col("o_orderkey") % 3 != 0).select(
         "o_orderkey", "o_orderstatus", F.lit(-1.0).alias("o_totalprice")
@@ -562,10 +562,7 @@ def q_stream_delta_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("ignoreDeletes", "true")
         .load(src)
         .writeStream.foreachBatch(apply_batch)
-        .option(
-            "checkpointLocation",
-            os.path.join(_fixture_dir(sf_dir), f"upsert_ckpt_{_uuid.uuid4().hex[:8]}"),
-        )
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
@@ -611,8 +608,6 @@ def q_delta_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     NO data; the disjoint-z-rectangle property is pinned in
     ``tests/test_delta.py``.
     """
-    from .deltalog import optimize
-
     out = os.path.join(_fixture_dir(sf_dir), "events_zorder_delta")
     shutil.rmtree(out, ignore_errors=True)
     ev = (
@@ -652,8 +647,6 @@ def q_delta_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     listing is driver-side O(commits) metadata, the same scale class as
     snapshot reconstruction itself.
     """
-    from .deltalog import history
-
     path = _materialize_orders_delta(spark, sf_dir)
     rows = [(int(h["version"]), h["operation"]) for h in history(path)]
     return spark.createDataFrame(rows, "version long, operation string")

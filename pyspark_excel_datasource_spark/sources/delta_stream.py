@@ -9,10 +9,14 @@ incrementally without ever re-listing the table, and compaction
 commits (``dataChange=false``, see ``deltalog.optimize``) are invisible
 to the stream, exactly as the Delta streaming contract specifies.
 
-DELETE/OVERWRITE commits carry ``dataChange=true`` REMOVE actions; a
-stream positioned before them must either fail loudly (default — the
-source is append-only unless told otherwise) or skip them
-(``ignoreDeletes=true``), mirroring the public Delta source options.
+Non-append commits mirror the public Delta source options: delete-only
+commits (partition/row DELETEs with no adds) fail loudly unless
+``ignoreDeletes=true`` skips them; REWRITE commits (removes AND adds —
+OVERWRITE/MERGE/row-DELETE rewrites) fail unless ``ignoreChanges=true``
+streams their rewritten files (rows may repeat, the documented
+trade-off) — skipping only the removes would half-apply the commit. A
+mid-stream protocol upgrade fails the batch rather than streaming files
+whose rows the reader can no longer interpret.
 
 Scale: one input partition per added data file (at 100 TB a version's
 commit lists thousands of files → thousands of parallel tasks); the
@@ -26,6 +30,7 @@ from __future__ import annotations
 import json
 import os
 from dataclasses import dataclass
+from urllib.parse import unquote
 
 import pyarrow as pa
 import pyarrow.parquet as papq
@@ -72,11 +77,16 @@ class DeltaStreamReader(DataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("pydelta stream requires a table path")
-        self.ignore_deletes = str(
-            options.get("ignoreDeletes", options.get("ignoredeletes", "false"))
-        ).lower() in ("true", "1")
-        snap = snapshot(self.path)
-        self.pcols = snap.partition_columns
+
+        def _flag(*names: str) -> bool:
+            for n in names:
+                if n in options:
+                    return str(options[n]).lower() in ("true", "1")
+            return False
+
+        self.ignore_deletes = _flag("ignoreDeletes", "ignoredeletes")
+        self.ignore_changes = _flag("ignoreChanges", "ignorechanges")
+        snapshot(self.path)  # validates table existence + protocol gate
 
     def initialOffset(self) -> dict:
         return {"version": -1}
@@ -86,43 +96,82 @@ class DeltaStreamReader(DataSourceStreamReader):
         return {"version": max(js + cps)}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        from .deltalog import _check_protocol
+
         parts: list[InputPartition] = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             p = os.path.join(_log_dir(self.path), f"{v:020d}.json")
+            adds: list[dict] = []
+            has_dc_remove = False
             with open(p, encoding="utf-8") as fh:
                 for line in fh:
                     line = line.strip()
                     if not line:
                         continue
                     act = json.loads(line)
-                    if "add" in act and act["add"].get("dataChange", True):
-                        a = act["add"]
-                        parts.append(
-                            DeltaFilePartition(
-                                os.path.join(self.path, a["path"]),
-                                json.dumps(a.get("partitionValues") or {}),
-                            )
-                        )
-                    elif "remove" in act and act["remove"].get("dataChange", True):
-                        if not self.ignore_deletes:
-                            raise RuntimeError(
-                                f"pydelta stream: version {v} contains a "
-                                "dataChange remove (DELETE/OVERWRITE); the "
-                                "source is append-only — set "
-                                "ignoreDeletes=true to skip such commits"
-                            )
+                    if "protocol" in act and act["protocol"] is not None:
+                        # a mid-stream protocol upgrade (deletion vectors,
+                        # column mapping) must fail loudly, not stream
+                        # files whose rows we can no longer interpret
+                        _check_protocol(act["protocol"])
+                    elif "add" in act and act["add"].get("dataChange", True):
+                        adds.append(act["add"])
+                    elif "remove" in act and act["remove"].get(
+                        "dataChange", True
+                    ):
+                        has_dc_remove = True
+            # classify the commit, mirroring the public Delta source
+            # options: delete-only commits need ignoreDeletes; REWRITE
+            # commits (removes AND adds: OVERWRITE/MERGE/row DELETE)
+            # need the stronger ignoreChanges and re-emit their rewritten
+            # files (documented duplicate semantics) — silently skipping
+            # only the removes would half-apply the commit
+            if has_dc_remove:
+                if adds and not self.ignore_changes:
+                    raise RuntimeError(
+                        f"pydelta stream: version {v} rewrites data "
+                        "(removes + adds: OVERWRITE/MERGE/DELETE rewrite); "
+                        "set ignoreChanges=true to stream the rewritten "
+                        "files (rows may repeat) or start a fresh stream"
+                    )
+                if not adds and not (self.ignore_deletes or self.ignore_changes):
+                    raise RuntimeError(
+                        f"pydelta stream: version {v} contains a "
+                        "dataChange remove (DELETE); the source is "
+                        "append-only — set ignoreDeletes=true to skip "
+                        "delete-only commits"
+                    )
+            for a in adds:
+                parts.append(
+                    DeltaFilePartition(
+                        # log paths are percent-encoded (deltalog
+                        # _encode_path); disk paths are not
+                        os.path.join(self.path, unquote(a["path"])),
+                        json.dumps(a.get("partitionValues") or {}),
+                    )
+                )
         return parts
 
     def read(self, partition: DeltaFilePartition):
         pv = json.loads(partition.partition_values)
         tbl = papq.read_table(partition.path)
         n = tbl.num_rows
+        file_cols = set(tbl.schema.names)
         cols, names = [], []
         for f in self.bound_schema.fields:
             at = _arrow_field_type(f.dataType)
             if f.name in pv:
                 val = pv[f.name]
-                arr = pa.array([val] * n, type=pa.string()).cast(at)
+                # constant column: stay native-Arrow, no n-element
+                # Python list (pa.nulls / repeated scalar + cast)
+                if val is None:
+                    arr = pa.nulls(n, at)
+                else:
+                    arr = pa.repeat(pa.scalar(val, type=pa.string()), n).cast(at)
+            elif f.name not in file_cols:
+                # pre-schema-evolution file: the column doesn't exist on
+                # disk; the snapshot reader fills null, so must we
+                arr = pa.nulls(n, at)
             else:
                 arr = tbl.column(f.name).combine_chunks().cast(at)
             cols.append(arr)

@@ -521,3 +521,50 @@ def test_vacuum_retention_protects_recent_files(spark, tmp_path):
 def test_delete_partitions_validates_keys(spark, three_version_table):
     with pytest.raises(ValueError, match="not partition columns"):
         delete_partitions(three_version_table, {"n_name": "x"})
+
+
+def test_stream_rewrite_commit_needs_ignore_changes(spark, tmp_path):
+    from pyspark_excel_datasource_spark.sources.delta_stream import (
+        DeltaStreamReader,
+    )
+
+    path = str(tmp_path / "t")
+    n = _nation(spark)
+    write_delta(spark, n, path)
+    write_delta(spark, n.limit(5), path, mode="overwrite")  # removes + adds
+    sch = snapshot(path).schema
+    # ignoreDeletes alone is NOT enough: skipping only the removes would
+    # half-apply the rewrite
+    r = DeltaStreamReader(sch, {"path": path, "ignoreDeletes": "true"})
+    with pytest.raises(RuntimeError, match="ignoreChanges"):
+        r.partitions({"version": 0}, {"version": 1})
+    # ignoreChanges streams the rewritten files
+    r2 = DeltaStreamReader(sch, {"path": path, "ignoreChanges": "true"})
+    parts = r2.partitions({"version": 0}, {"version": 1})
+    assert len(parts) == len(snapshot(path, 1).files)
+
+
+def test_stream_reads_pre_evolution_files_with_nulls(spark, tmp_path):
+    from pyspark_excel_datasource_spark.sources.delta_stream import (
+        DeltaStreamReader,
+    )
+
+    path = str(tmp_path / "t")
+    n = _nation(spark)
+    write_delta(spark, n.select("n_nationkey", "n_name"), path)
+    write_delta(
+        spark,
+        n.select("n_nationkey", "n_name", "n_regionkey").limit(3),
+        path,
+        mode="append",
+        merge_schema=True,
+    )
+    sch = snapshot(path).schema  # evolved: includes n_regionkey
+    r = DeltaStreamReader(sch, {"path": path})
+    rows = []
+    for part in r.partitions({"version": -1}, {"version": 1}):
+        for batch in r.read(part):
+            rows.extend(batch.to_pylist())
+    assert len(rows) == n.count() + 3
+    # pre-evolution rows surface the new column as null, not a crash
+    assert sum(1 for x in rows if x["n_regionkey"] is None) == n.count()
