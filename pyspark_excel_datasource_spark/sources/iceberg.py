@@ -370,6 +370,7 @@ def write_iceberg(
     table_path: str,
     mode: str = "append",
     partition_by: tuple[str, ...] = (),
+    operation: str | None = None,
 ) -> int:
     """Commit ``df`` as one Iceberg snapshot; returns the snapshot id.
 
@@ -380,6 +381,11 @@ def write_iceberg(
     references only the new manifest, so prior files fall out of the
     snapshot while remaining readable via time travel. The commit is an
     O_EXCL create of the next ``vN.metadata.json`` + version-hint swap.
+
+    ``operation`` overrides the snapshot-summary operation label (spec
+    vocabulary: append/overwrite/replace/delete); ``rewrite_data_files``
+    uses it to record compaction as ``replace``, the spec's name for a
+    commit that changes files but not table content.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -545,7 +551,7 @@ def write_iceberg(
             "snapshot-id": snap_id,
             "timestamp-ms": snap_id,  # deterministic fixture clock
             "manifest-list": mlist_rel,
-            "summary": {"operation": mode},
+            "summary": {"operation": operation or mode},
             "schema-id": schema_id,
             "spec-id": spec_id,
         }
@@ -561,6 +567,16 @@ def write_iceberg(
         "current-snapshot-id": snap_id,
         "snapshots": snaps,
     }
+    _publish_metadata(table_path, md, version)
+    return snap_id
+
+
+def _publish_metadata(table_path: str, md: dict[str, Any], version: int) -> None:
+    """Atomic metadata publish: O_EXCL create of ``vN.metadata.json``
+    (put-if-absent — the loser of a concurrent commit race gets
+    ``IcebergConcurrentCommitError``, never a silent overwrite) followed
+    by an atomic version-hint swap so a concurrent reader never sees a
+    truncated/empty hint mid-write."""
     meta_path = os.path.join(_meta_dir(table_path), f"v{version}.metadata.json")
     try:
         fd = os.open(meta_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -572,11 +588,137 @@ def write_iceberg(
         json.dump(md, fh)
         fh.flush()
         os.fsync(fh.fileno())
-    # hint swap is atomic (write-temp + rename) so a concurrent reader
-    # never sees a truncated/empty hint mid-write
     hint = os.path.join(_meta_dir(table_path), "version-hint.text")
     tmp = hint + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w", encoding="utf-8") as fh:
         fh.write(str(version))
     os.replace(tmp, hint)
-    return snap_id
+
+
+# ---------------------------------------------------------------------------
+# table maintenance: compaction + snapshot expiry
+# ---------------------------------------------------------------------------
+
+
+def rewrite_data_files(
+    spark: SparkSession, table_path: str, target_files: int = 1
+) -> dict[str, int]:
+    """Compaction (Iceberg's ``rewrite_data_files`` action): read the
+    CURRENT snapshot, rewrite its content into ``target_files`` files
+    (per partition, for partitioned tables), and commit the result as a
+    ``replace`` snapshot — same rows, fewer files. Prior snapshots stay
+    readable via time travel; ``expire_snapshots`` later reclaims their
+    storage.
+
+    Scale: the data rewrite is one distributed read + repartition +
+    write (linear, no driver funnel); only file-level metadata touches
+    the driver, per the spec's design. At 100 TB this is the job that
+    keeps scan-task counts proportional to bytes, not to commit count —
+    a table fed by many small appends otherwise degrades every reader.
+
+    Returns ``{"snapshot_id", "files_before", "files_after"}``.
+    """
+    if target_files < 1:
+        raise ValueError(f"target_files must be >= 1, got {target_files}")
+    prev = snapshot_iceberg(table_path)
+    df = read_iceberg(spark, table_path)
+    pcols = tuple(prev.partition_columns)
+    if pcols:
+        # one shuffle keyed on the partition columns: each identity
+        # partition lands in `target_files` tasks → that many files
+        df = df.repartition(target_files, *[df[c] for c in pcols])
+    else:
+        df = df.repartition(target_files)
+    snap_id = write_iceberg(
+        spark, df, table_path, mode="overwrite",
+        partition_by=pcols, operation="replace",
+    )
+    new = snapshot_iceberg(table_path)
+    return {
+        "snapshot_id": snap_id,
+        "files_before": len(prev.files),
+        "files_after": len(new.files),
+    }
+
+
+def _reachable(table_path: str, snaps: list[dict[str, Any]]) -> tuple[set, set]:
+    """(manifest rel-paths, data-file rel-paths) referenced by ``snaps``."""
+    manifests: set[str] = set()
+    data: set[str] = set()
+    for s in snaps:
+        mlist = s["manifest-list"]
+        mlist_abs = mlist if os.path.isabs(mlist) else os.path.join(table_path, mlist)
+        for m in _read_avro(mlist_abs):
+            manifests.add(m["manifest_path"])
+            mpath = m["manifest_path"]
+            mpath = mpath if os.path.isabs(mpath) else os.path.join(table_path, mpath)
+            for entry in _read_avro(mpath):
+                data.add(entry["data_file"]["file_path"])
+    return manifests, data
+
+
+def expire_snapshots(table_path: str, keep_last: int = 1) -> dict[str, int]:
+    """Expire all but the newest ``keep_last`` snapshots: commit a new
+    metadata version whose snapshot list retains only those, then delete
+    every manifest list, manifest, and data file reachable ONLY from the
+    expired ones (manifests are shared across snapshots, so reachability
+    from the retained set is computed first — an append-chain's shared
+    manifests survive their older siblings' expiry).
+
+    Time travel to an expired snapshot id now raises (it is gone from
+    the metadata), while the current snapshot's content is untouched.
+    This is the storage-reclamation half of the maintenance pair with
+    ``rewrite_data_files``, mirroring Delta's VACUUM — the difference
+    (journal GC vs snapshot-tree GC) being that Iceberg expiry is purely
+    a reachability computation over immutable metadata, no tombstone
+    retention window.
+
+    Returns ``{"expired_snapshots", "deleted_manifests", "deleted_data_files"}``.
+    """
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    md = _current_metadata(table_path)
+    snaps = sorted(md.get("snapshots", []), key=lambda s: s["snapshot-id"])
+    retained, expired = snaps[len(snaps) - keep_last :], snaps[: len(snaps) - keep_last]
+    cur = md.get("current-snapshot-id")
+    if cur not in {s["snapshot-id"] for s in retained}:
+        raise ValueError(
+            f"keep_last={keep_last} would expire the current snapshot {cur}"
+        )
+    if not expired:
+        return {"expired_snapshots": 0, "deleted_manifests": 0, "deleted_data_files": 0}
+
+    live_manifests, live_data = _reachable(table_path, retained)
+    dead_manifests, dead_data = _reachable(table_path, expired)
+    dead_manifests -= live_manifests
+    dead_data -= live_data
+
+    # publish first (readers must never observe files vanishing from a
+    # still-reachable snapshot), then delete physical files
+    version = md["_version"] + 1
+    new_md = {k: v for k, v in md.items() if k != "_version"}
+    new_md["snapshots"] = retained
+    _publish_metadata(table_path, new_md, version)
+
+    deleted_data = 0
+    for rel in dead_data:
+        p = rel if os.path.isabs(rel) else os.path.join(table_path, rel)
+        if os.path.exists(p):
+            os.remove(p)
+            deleted_data += 1
+    deleted_manifests = 0
+    for rel in dead_manifests:
+        p = rel if os.path.isabs(rel) else os.path.join(table_path, rel)
+        if os.path.exists(p):
+            os.remove(p)
+            deleted_manifests += 1
+    for s in expired:  # the expired snapshots' manifest LISTS
+        mlist = s["manifest-list"]
+        p = mlist if os.path.isabs(mlist) else os.path.join(table_path, mlist)
+        if os.path.exists(p):
+            os.remove(p)
+    return {
+        "expired_snapshots": len(expired),
+        "deleted_manifests": deleted_manifests,
+        "deleted_data_files": deleted_data,
+    }

@@ -20,7 +20,13 @@ from pyspark.sql import functions as F
 from ..catalog import table
 from ..plans.registry import query
 from .excel_queries import _fixture_dir
-from .iceberg import read_iceberg, write_iceberg
+from .iceberg import (
+    expire_snapshots,
+    read_iceberg,
+    rewrite_data_files,
+    snapshots,
+    write_iceberg,
+)
 
 
 def _materialize_orders_iceberg(spark: SparkSession, sf_dir: str) -> str:
@@ -102,5 +108,132 @@ def q_scan_iceberg_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("long").alias("n_orders"),
             F.sum("o_orderkey").cast("long").alias("sum_key"),
+        )
+    )
+
+
+@query(
+    "q_iceberg_compact",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(1 AS BIGINT) AS n_files
+    FROM orders
+    WHERE o_orderkey % 5 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def q_iceberg_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg compaction (``rewrite_data_files``): two fragmented
+    appends (3 files each, per partition) then a rewrite to ONE file per
+    identity partition, committed as a ``replace`` snapshot. The output
+    joins the post-compaction per-partition FILE COUNT (from the new
+    snapshot's manifests) against the row census, and the oracle pins
+    the count at exactly 1 — the hash check proves compaction happened
+    AND changed no data. Counterpart of Delta's OPTIMIZE
+    (``q_delta_optimize``): same maintenance contract, expressed as a
+    snapshot-tree replace instead of a dataChange=false journal commit.
+    """
+    import shutil
+
+    from .iceberg import snapshot_iceberg
+
+    out = os.path.join(_fixture_dir(sf_dir), "orders_compact_iceberg")
+    shutil.rmtree(out, ignore_errors=True)
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 5 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    odd = F.col("o_orderkey") % 2 == 1
+    write_iceberg(
+        spark, o.filter(~odd).repartition(3), out,
+        partition_by=("o_orderstatus",),
+    )
+    write_iceberg(
+        spark, o.filter(odd).repartition(3), out,
+        mode="append", partition_by=("o_orderstatus",),
+    )
+    stats = rewrite_data_files(spark, out, target_files=1)
+    assert stats["files_after"] < stats["files_before"], stats
+    snap = snapshot_iceberg(out)
+    counts: dict[str, int] = {}
+    for pv in snap.files.values():
+        counts[pv["o_orderstatus"]] = counts.get(pv["o_orderstatus"], 0) + 1
+    files_df = spark.createDataFrame(
+        [(k, v) for k, v in counts.items()], "o_orderstatus string, n_files long"
+    )
+    return (
+        read_iceberg(spark, out)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+        )
+        .join(F.broadcast(files_df), "o_orderstatus")
+        .select("o_orderstatus", "n_orders", "sum_key", "n_files")
+    )
+
+
+@query(
+    "q_iceberg_expire",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(2 AS BIGINT) AS expired_snapshots,
+           CAST(4 AS BIGINT) AS deleted_data_files,
+           CAST(1 AS BIGINT) AS snapshots_after,
+           CAST(1 AS INT) AS timetravel_gone
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    """,
+)
+def q_iceberg_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot expiry: a 3-snapshot history (append 2 files, append 2
+    more, OVERWRITE to F-status only) expired down to ``keep_last=1``.
+    Reachability GC: the overwrite snapshot references only its own
+    manifest, so the two appends' 4 data files become unreachable and
+    are deleted — the oracle pins ``expired_snapshots=2``,
+    ``deleted_data_files=4``, ``snapshots_after=1``, and
+    ``timetravel_gone=1`` (reading snapshot 1 now raises), while the
+    current-read census proves the retained snapshot is byte-identical.
+    Iceberg's twin of Delta VACUUM (``q_delta_optimize``/VACUUM pair):
+    pure metadata reachability, no tombstone retention window.
+    """
+    import shutil
+
+    out = os.path.join(_fixture_dir(sf_dir), "orders_expire_iceberg")
+    shutil.rmtree(out, ignore_errors=True)
+    o = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    third = F.col("o_orderkey") % 3 == 0
+    write_iceberg(spark, o.filter(~third).repartition(2), out)
+    write_iceberg(spark, o.filter(third).repartition(2), out, mode="append")
+    write_iceberg(
+        spark, o.filter(F.col("o_orderstatus") == "F"), out, mode="overwrite"
+    )
+    stats = expire_snapshots(out, keep_last=1)
+    trail = snapshots(out)
+    gone = 0
+    try:
+        read_iceberg(spark, out, snapshot_id=1)
+    except ValueError:
+        gone = 1
+    return (
+        read_iceberg(spark, out)
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+        )
+        .select(
+            "n_orders",
+            "sum_key",
+            F.lit(stats["expired_snapshots"]).cast("long").alias("expired_snapshots"),
+            F.lit(stats["deleted_data_files"]).cast("long").alias("deleted_data_files"),
+            F.lit(len(trail)).cast("long").alias("snapshots_after"),
+            F.lit(gone).cast("int").alias("timetravel_gone"),
         )
     )

@@ -198,3 +198,95 @@ def test_append_schema_mismatch_rejected(spark, tmp_path):
             path,
             mode="append",
         )
+
+
+def test_rewrite_data_files_compacts_without_changing_rows(spark, tmp_path):
+    from pyspark_excel_datasource_spark.sources.iceberg import rewrite_data_files
+
+    path = str(tmp_path / "compact")
+    n = _nation(spark)
+    write_iceberg(spark, n.repartition(4), path)
+    write_iceberg(spark, n.repartition(4), path, mode="append")
+    before = {tuple(r) for r in read_iceberg(spark, path).collect()}
+    stats = rewrite_data_files(spark, path, target_files=1)
+    assert stats["files_before"] == 8
+    assert stats["files_after"] == 1
+    after = {tuple(r) for r in read_iceberg(spark, path).collect()}
+    assert after == before  # as a set: the append duplicated every row
+    assert read_iceberg(spark, path).count() == 2 * n.count()
+    # recorded as a `replace` snapshot, and history is still navigable
+    trail = snapshots(path)
+    assert trail[0]["operation"] == "replace"
+    assert read_iceberg(spark, path, snapshot_id=1).count() == n.count()
+
+
+def test_rewrite_data_files_partitioned_one_file_per_partition(spark, tmp_path):
+    from pyspark_excel_datasource_spark.sources.iceberg import rewrite_data_files
+
+    path = str(tmp_path / "compact_part")
+    n = _nation(spark).select("n_nationkey", "n_name", "n_regionkey")
+    part = n.withColumn("rk", F.col("n_regionkey").cast("string")).drop("n_regionkey")
+    write_iceberg(spark, part.repartition(3), path, partition_by=("rk",))
+    write_iceberg(spark, part.repartition(3), path, mode="append", partition_by=("rk",))
+    rewrite_data_files(spark, path, target_files=1)
+    snap = snapshot_iceberg(path)
+    per_part: dict[str, int] = {}
+    for pv in snap.files.values():
+        per_part[pv["rk"]] = per_part.get(pv["rk"], 0) + 1
+    assert set(per_part.values()) == {1}
+    assert read_iceberg(spark, path).count() == 2 * n.count()
+    # partition values still attach (manifest-metadata path, not file data)
+    got = read_iceberg(spark, path, partition_filter={"rk": {"3"}})
+    assert got.count() == 2 * n.filter(F.col("n_regionkey") == 3).count()
+
+
+def test_expire_snapshots_reachability_gc(spark, tmp_path, three_snapshot_table):
+    from pyspark_excel_datasource_spark.sources.iceberg import expire_snapshots
+
+    path = three_snapshot_table
+    cur_before = {tuple(r) for r in read_iceberg(spark, path).collect()}
+    data_dir = os.path.join(path, "data")
+    files_before = len(os.listdir(data_dir))
+    stats = expire_snapshots(path, keep_last=1)
+    assert stats["expired_snapshots"] == 2
+    assert stats["deleted_data_files"] > 0
+    # current snapshot untouched, expired ids now unknown
+    assert {tuple(r) for r in read_iceberg(spark, path).collect()} == cur_before
+    for sid in (1, 2):
+        with pytest.raises(ValueError):
+            read_iceberg(spark, path, snapshot_id=sid)
+    assert len(snapshots(path)) == 1
+    assert len(os.listdir(data_dir)) == files_before - stats["deleted_data_files"]
+    # expiring again is a no-op
+    again = expire_snapshots(path, keep_last=1)
+    assert again == {
+        "expired_snapshots": 0,
+        "deleted_manifests": 0,
+        "deleted_data_files": 0,
+    }
+
+
+def test_expire_snapshots_keeps_shared_manifests_alive(spark, tmp_path):
+    """An append chain shares manifests: expiring s1 while keeping s2+s3
+    must delete NOTHING s2/s3 still reference (s1's manifest and files
+    are reachable from both retained snapshots)."""
+    from pyspark_excel_datasource_spark.sources.iceberg import expire_snapshots
+
+    path = str(tmp_path / "chain")
+    n = _nation(spark)
+    write_iceberg(spark, n.filter(F.col("n_regionkey") < 2), path)
+    write_iceberg(spark, n.filter(F.col("n_regionkey") >= 2), path, mode="append")
+    write_iceberg(spark, n.limit(0), path, mode="append")
+    full = read_iceberg(spark, path).count()
+    stats = expire_snapshots(path, keep_last=2)
+    assert stats["expired_snapshots"] == 1
+    assert stats["deleted_data_files"] == 0
+    assert stats["deleted_manifests"] == 0
+    assert read_iceberg(spark, path).count() == full == n.count()
+
+
+def test_expire_snapshots_guards(spark, three_snapshot_table):
+    from pyspark_excel_datasource_spark.sources.iceberg import expire_snapshots
+
+    with pytest.raises(ValueError):
+        expire_snapshots(three_snapshot_table, keep_last=0)
