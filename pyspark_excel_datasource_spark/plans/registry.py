@@ -215,6 +215,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_delta_history",
     "q_iceberg_compact",
     "q_iceberg_expire",
+    "q_stream_join_full",
     # C. prior greens: the round-7 window first (re-verdicted r7), then
     #    the round-6 window, then remaining greens in registration order
     "q_tpch_q7ish",

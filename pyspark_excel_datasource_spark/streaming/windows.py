@@ -438,3 +438,67 @@ def q_stream_rate_limit(spark, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("nth_in_window") <= _RATE_MAX)
     )
+
+
+@query(
+    "q_stream_join_full",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           COALESCE(p.user_id, c.user_id) AS user_id,
+           CAST(CASE WHEN c.event_id IS NULL THEN 1
+                     WHEN p.event_id IS NULL THEN 2
+                     ELSE 0 END AS INT) AS side
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 15 MINUTE AND c.ts < p.ts
+    """,
+)
+def q_stream_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER time-bounded join, batch twin: matched
+    purchase↔click pairs (side=0), organic purchases with no prior-15-min
+    click (side=1, the left-outer half ``q_stream_join_outer`` covers),
+    AND unattributed clicks that led to no purchase within 15 minutes
+    (side=2) — the wasted-spend rows only the full join surfaces.
+
+    In Structured Streaming (supported since Spark 3.1) both sides are
+    watermarked; matched pairs emit immediately and each side's
+    unmatched rows emit exactly once when the OTHER side's watermark
+    passes their join-window end — state on both sides is bounded by
+    the 15-minute constraint. The genuine two-stream run incl. both
+    delayed null-row emissions is pinned in
+    ``tests/test_streaming.py::test_stream_stream_full_outer_join_equals_batch``.
+    Batch plan: filters pushed into both scans, hash equi-join on
+    user_id, range predicate post-match; output is linear in
+    matches + both unmatched sides (never a product).
+    """
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    return (
+        p.join(
+            c,
+            (p.p_user == c.c_user)
+            & (c.c_ts >= F.col("p_ts") - F.expr("INTERVAL 15 MINUTES"))
+            & (c.c_ts < F.col("p_ts")),
+            "full",
+        )
+        .select(
+            "purchase_id",
+            "click_id",
+            F.coalesce("p_user", "c_user").alias("user_id"),
+            F.when(F.col("click_id").isNull(), 1)
+            .when(F.col("purchase_id").isNull(), 2)
+            .otherwise(0)
+            .cast("int")
+            .alias("side"),
+        )
+    )

@@ -525,3 +525,80 @@ def test_stream_stream_outer_join_equals_batch(spark, tmp_path):
     }
     assert (2, 2.0, None) in got, "evicted organic row must surface"
     assert got == expect
+
+
+def test_stream_stream_full_outer_join_equals_batch(spark, tmp_path):
+    """Watermarked FULL OUTER stream-stream join: matched pairs emit
+    immediately; an unmatched PURCHASE emits its null-click row once the
+    click-side watermark passes its window end, and an unmatched CLICK
+    emits its null-purchase row once the watermark passes click.ts+15min
+    — both evictions verified mid-stream, and the final result set
+    equals the batch full join. Watermark-advancing events are MATCHED
+    pairs (u8, u9) so they emit immediately and leave no stuck state."""
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+    # u1 purchase@10 matches clicks@2,8 · u2 purchase@20 has no click
+    # (organic) · u4 click@12 has no purchase in [12, 27) (unattributed)
+    purchases1 = [(10, 1, 1.0), (20, 2, 2.0)]
+    clicks1 = [(2, 1, 0.1), (8, 1, 0.2), (12, 4, 0.3)]
+    purchases2, clicks2 = [(60, 8, 8.0)], [(55, 8, 0.8)]   # matched pair
+    purchases3, clicks3 = [(100, 9, 9.0)], [(95, 9, 0.9)]  # matched pair
+    pdir, cdir = tmp_path / "fp", tmp_path / "fc"
+    pdir.mkdir(); cdir.mkdir()
+    minixlsx.write_xlsx(str(pdir / "a.xlsx"), _events(t0, purchases1))
+    minixlsx.write_xlsx(str(cdir / "a.xlsx"), _events(t0, clicks1))
+
+    schema = "ts timestamp, user_id long, value double"
+
+    def load(kind, path):
+        reader = (
+            spark.readStream if kind == "stream" else spark.read
+        ).format("excel").schema(schema).option("path", str(path))
+        return reader.load()
+
+    def joined(p, c):
+        p = p.select(F.col("ts").alias("p_ts"), F.col("user_id").alias("p_user"), F.col("value").alias("pv"))
+        c = c.select(F.col("ts").alias("c_ts"), F.col("user_id").alias("c_user"), F.col("value").alias("cv"))
+        if hasattr(p, "isStreaming") and p.isStreaming:
+            p = p.withWatermark("p_ts", "0 seconds")
+            c = c.withWatermark("c_ts", "0 seconds")
+        return p.join(
+            c,
+            (p.p_user == c.c_user)
+            & (c.c_ts >= F.col("p_ts") - F.expr("INTERVAL 15 MINUTES"))
+            & (c.c_ts < F.col("p_ts")),
+            "full",
+        ).select(F.coalesce("p_user", "c_user").alias("user_id"), "pv", "cv")
+
+    q = (
+        joined(load("stream", pdir), load("stream", cdir))
+        .writeStream.format("memory")
+        .queryName("ssjoin_full_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_full"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = {(r.user_id, r.pv, r.cv) for r in spark.table("ssjoin_full_sink").collect()}
+        # matched pairs out immediately; neither eviction row yet (the
+        # global watermark is min(p=20, c=12) = 12 < both window ends)
+        assert (1, 1.0, 0.1) in got1 and (1, 1.0, 0.2) in got1
+        assert (2, 2.0, None) not in got1 and (4, None, 0.3) not in got1
+        minixlsx.write_xlsx(str(pdir / "b.xlsx"), _events(t0, purchases2))
+        minixlsx.write_xlsx(str(cdir / "b.xlsx"), _events(t0, clicks2))
+        q.processAllAvailable()
+        minixlsx.write_xlsx(str(pdir / "c.xlsx"), _events(t0, purchases3))
+        minixlsx.write_xlsx(str(cdir / "c.xlsx"), _events(t0, clicks3))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {(r.user_id, r.pv, r.cv) for r in spark.table("ssjoin_full_sink").collect()}
+    expect = {
+        (r.user_id, r.pv, r.cv)
+        for r in joined(load("batch", pdir), load("batch", cdir)).collect()
+    }
+    assert (2, 2.0, None) in got, "evicted organic-purchase row must surface"
+    assert (4, None, 0.3) in got, "evicted unattributed-click row must surface"
+    assert got == expect
