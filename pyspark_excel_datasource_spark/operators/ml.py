@@ -1,0 +1,317 @@
+"""Distributed classical-ML operators: the model-based scoring stages a
+large-scale training-data pipeline runs over its corpus (quality
+classifiers, importance models) — expressed as pure DataFrame algebra,
+no MLlib, no iteration beyond what closed forms avoid.
+
+Two families here:
+
+- ``q_nb_classify`` — multinomial naive Bayes text classification
+  (train on half the corpus, score the other half). This is the shape
+  of fastText-style quality/language filters used to curate LLM
+  pretraining data (CCNet, GPT-3's WebText classifier, FineWeb-edu):
+  a bag-of-words model whose TRAINING is one aggregation pass and whose
+  SCORING is a broadcast join — both embarrassingly parallel.
+- ``q_regression_multi`` — multi-feature OLS in closed form via normal
+  equations + Cramer's rule, the k-feature generalization of
+  ``q_regression_by_group`` (extras.py): one exact-decimal aggregation
+  pass collects the Gram matrix, the solve is a pure projection.
+
+Determinism conventions (see operators/relational.py docstring):
+integer/decimal sufficient statistics are exact and order-independent;
+every double expression is a FIXED scalar tree evaluated identically in
+Spark and DuckDB; per-key double SUMS fold in ascending value order
+(Spark ``array_sort`` + ``aggregate``, DuckDB ``LIST(... ORDER BY)`` +
+``LIST_SUM``), the convention proven by ``q_text_lm_score``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..catalog import spread, table
+from ..plans.registry import query
+
+
+@query(
+    "q_nb_classify",
+    oracle="""
+    WITH train AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+    test AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+    tr AS (SELECT lang, unnest(string_split(lower(text), ' ')) AS tok
+           FROM train),
+    te AS (SELECT doc_id, lang AS true_lang,
+                  unnest(string_split(lower(text), ' ')) AS tok
+           FROM test),
+    counts AS (SELECT lang, tok, COUNT(*) AS cnt FROM tr GROUP BY 1, 2),
+    totals AS (SELECT lang, COUNT(*) AS n_toks FROM tr GROUP BY 1),
+    vocab AS (SELECT COUNT(DISTINCT tok) AS v FROM tr),
+    classes AS (SELECT lang, COUNT(*) AS n_docs FROM train GROUP BY 1),
+    nd AS (SELECT COUNT(*) AS nd FROM train),
+    tok_scores AS (
+        SELECT te.doc_id, te.true_lang, t.lang AS cls,
+               LN(CAST(COALESCE(c.cnt, 0) + 1 AS DOUBLE)
+                  / CAST(t.n_toks + v.v AS DOUBLE)) AS lnp
+        FROM te
+        CROSS JOIN totals t
+        CROSS JOIN vocab v
+        LEFT JOIN counts c ON c.lang = t.lang AND c.tok = te.tok),
+    doc_scores AS (
+        SELECT doc_id, true_lang, cls,
+               LIST_SUM(LIST(lnp ORDER BY lnp)) AS sum_lnp
+        FROM tok_scores GROUP BY 1, 2, 3),
+    with_prior AS (
+        SELECT d.doc_id, d.true_lang, d.cls,
+               d.sum_lnp
+                 + LN(CAST(k.n_docs AS DOUBLE) / CAST(n.nd AS DOUBLE))
+                 AS score
+        FROM doc_scores d
+        JOIN classes k ON k.lang = d.cls
+        CROSS JOIN nd n),
+    ranked AS (
+        SELECT doc_id, true_lang, cls,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, cls) AS rn
+        FROM with_prior)
+    SELECT doc_id, cls AS pred_lang, true_lang,
+           CAST(CASE WHEN cls = true_lang THEN 1 ELSE 0 END AS INT)
+               AS correct
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes language classifier: train on even
+    doc_ids, predict the language of odd doc_ids (Laplace +1 smoothing,
+    log-space scores, argmax with lexicographic tie-break).
+
+    This is the model-based corpus-filter shape (fastText quality /
+    language classifiers in CCNet, GPT-3, FineWeb): TRAINING is one
+    groupBy pass over train tokens (cnt(tok, class), class totals,
+    vocab size, priors — all exact integers); SCORING broadcasts the
+    model (|vocab|x|classes| rows, bounded by vocabulary, never by
+    corpus) against the test token stream, folds per-(doc, class)
+    log-likelihoods in ascending order (bit-deterministic — the
+    ``q_text_lm_score`` convention), adds the log-prior, and takes the
+    per-doc argmax. OOV test tokens get the smoothed 1/(total+V) mass
+    via the left join's NULL→0.
+
+    Scale: token explode → model groupBy is the only corpus-sized
+    shuffle in training; scoring shuffles once on (doc, class) for the
+    fold. The model broadcast stays small at any corpus size (vocab
+    caps it); no driver collect anywhere.
+    """
+    d = spread(table(spark, sf_dir, "documents"))
+    train = d.filter(F.col("doc_id") % 2 == 0)
+    test = d.filter(F.col("doc_id") % 2 == 1)
+    tok = lambda df: F.explode(F.split(F.lower(df["text"]), " ")).alias("tok")  # noqa: E731
+
+    tr = train.select("lang", tok(train))
+    counts = tr.groupBy("lang", "tok").agg(F.count("*").alias("cnt"))
+    totals = tr.groupBy("lang").agg(F.count("*").alias("n_toks"))
+    vocab = tr.agg(F.countDistinct("tok").alias("v"))
+    classes = train.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    nd = train.agg(F.count("*").alias("nd"))
+
+    te = test.select(
+        "doc_id", F.col("lang").alias("true_lang"), tok(test)
+    )
+    model_cls = (
+        totals.withColumnRenamed("lang", "cls")
+        .crossJoin(F.broadcast(vocab))
+    )
+    cnts = counts.select(
+        F.col("lang").alias("mcls"), F.col("tok").alias("mtok"), "cnt"
+    )
+    tok_scores = (
+        te.crossJoin(F.broadcast(model_cls))
+        .join(
+            F.broadcast(cnts),
+            (F.col("cls") == F.col("mcls")) & (F.col("tok") == F.col("mtok")),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "true_lang",
+            "cls",
+            F.log(
+                (F.coalesce(F.col("cnt"), F.lit(0)) + 1).cast("double")
+                / (F.col("n_toks") + F.col("v")).cast("double")
+            ).alias("lnp"),
+        )
+    )
+    priors = (
+        classes.crossJoin(F.broadcast(nd))
+        .select(
+            F.col("lang").alias("cls"),
+            F.log(
+                F.col("n_docs").cast("double") / F.col("nd").cast("double")
+            ).alias("ln_prior"),
+        )
+    )
+    doc_scores = (
+        tok_scores.groupBy("doc_id", "true_lang", "cls")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list("lnp")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("sum_lnp")
+        )
+        .join(F.broadcast(priors), "cls")
+        .select(
+            "doc_id",
+            "true_lang",
+            "cls",
+            (F.col("sum_lnp") + F.col("ln_prior")).alias("score"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("cls").asc())
+    return (
+        doc_scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("cls").alias("pred_lang"),
+            "true_lang",
+            F.when(F.col("cls") == F.col("true_lang"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("correct"),
+        )
+    )
+
+
+@query(
+    "q_regression_multi",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,0)))
+                    AS DECIMAL(38,0)) AS DOUBLE) AS s1,
+               CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,2)))
+                    AS DECIMAL(38,2)) AS DOUBLE) AS s2,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    AS DECIMAL(38,2)) AS DOUBLE) AS sy,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,0))
+                             * CAST(l_quantity AS DECIMAL(18,0)))
+                    AS DECIMAL(38,0)) AS DOUBLE) AS s11,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,0))
+                             * CAST(l_discount AS DECIMAL(18,2)))
+                    AS DECIMAL(38,2)) AS DOUBLE) AS s12,
+               CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+                             * CAST(l_discount AS DECIMAL(18,2)))
+                    AS DECIMAL(38,4)) AS DOUBLE) AS s22,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,0))
+                             * CAST(l_extendedprice AS DECIMAL(18,2)))
+                    AS DECIMAL(38,2)) AS DOUBLE) AS s1y,
+               CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+                             * CAST(l_extendedprice AS DECIMAL(18,2)))
+                    AS DECIMAL(38,4)) AS DOUBLE) AS s2y,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                             * CAST(l_extendedprice AS DECIMAL(18,2)))
+                    AS DECIMAL(38,4)) AS DOUBLE) AS syy
+        FROM lineitem GROUP BY l_returnflag
+    ), d AS (
+        SELECT *,
+            n * (s11 * s22 - s12 * s12)
+              - s1 * (s1 * s22 - s12 * s2)
+              + s2 * (s1 * s12 - s11 * s2) AS det,
+            sy * (s11 * s22 - s12 * s12)
+              - s1 * (s1y * s22 - s12 * s2y)
+              + s2 * (s1y * s12 - s11 * s2y) AS det0,
+            n * (s1y * s22 - s12 * s2y)
+              - sy * (s1 * s22 - s12 * s2)
+              + s2 * (s1 * s2y - s1y * s2) AS det1,
+            n * (s11 * s2y - s1y * s12)
+              - s1 * (s1 * s2y - s1y * s2)
+              + sy * (s1 * s12 - s11 * s2) AS det2
+        FROM s
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           det0 / det AS b0,
+           det1 / det AS b_qty,
+           det2 / det AS b_disc,
+           1 - (syy - ((det0 / det) * sy + (det1 / det) * s1y
+                       + (det2 / det) * s2y))
+             / (syy - sy * sy / n) AS r2
+    FROM d
+    """,
+)
+def q_regression_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group multi-feature OLS (price ~ quantity + discount per
+    return flag) in closed form: one aggregation pass collects the
+    exact-decimal Gram matrix (n, Σx, Σxxᵀ, Σxy, Σy²), then Cramer's
+    rule solves the 3x3 normal equations as a pure projection — plus
+    R² from the same statistics. The k-feature generalization of
+    ``q_regression_by_group``; at 100 TB this fits millions of small
+    per-group models with map-side partial aggregation and ZERO
+    iteration or driver participation.
+
+    Determinism: all nine sufficient statistics are exact decimals
+    (order-independent sums of exact products); determinants and
+    coefficients then assemble through a FIXED double expression tree
+    written identically in both engines — bit-equal output with no
+    rounding convention.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    x1 = F.col("l_quantity").cast("decimal(18,0)")
+    x2 = F.col("l_discount").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x1).cast("decimal(38,0)").cast("double").alias("s1"),
+        F.sum(x2).cast("decimal(38,2)").cast("double").alias("s2"),
+        F.sum(y).cast("decimal(38,2)").cast("double").alias("sy"),
+        F.sum(x1 * x1).cast("decimal(38,0)").cast("double").alias("s11"),
+        F.sum(x1 * x2).cast("decimal(38,2)").cast("double").alias("s12"),
+        F.sum(x2 * x2).cast("decimal(38,4)").cast("double").alias("s22"),
+        F.sum(x1 * y).cast("decimal(38,2)").cast("double").alias("s1y"),
+        F.sum(x2 * y).cast("decimal(38,4)").cast("double").alias("s2y"),
+        F.sum(y * y).cast("decimal(38,4)").cast("double").alias("syy"),
+    )
+    c = F.col
+    d = s.select(
+        "*",
+        (
+            c("n") * (c("s11") * c("s22") - c("s12") * c("s12"))
+            - c("s1") * (c("s1") * c("s22") - c("s12") * c("s2"))
+            + c("s2") * (c("s1") * c("s12") - c("s11") * c("s2"))
+        ).alias("det"),
+        (
+            c("sy") * (c("s11") * c("s22") - c("s12") * c("s12"))
+            - c("s1") * (c("s1y") * c("s22") - c("s12") * c("s2y"))
+            + c("s2") * (c("s1y") * c("s12") - c("s11") * c("s2y"))
+        ).alias("det0"),
+        (
+            c("n") * (c("s1y") * c("s22") - c("s12") * c("s2y"))
+            - c("sy") * (c("s1") * c("s22") - c("s12") * c("s2"))
+            + c("s2") * (c("s1") * c("s2y") - c("s1y") * c("s2"))
+        ).alias("det1"),
+        (
+            c("n") * (c("s11") * c("s2y") - c("s1y") * c("s12"))
+            - c("s1") * (c("s1") * c("s2y") - c("s1y") * c("s2"))
+            + c("sy") * (c("s1") * c("s12") - c("s11") * c("s2"))
+        ).alias("det2"),
+    )
+    return d.select(
+        "l_returnflag",
+        c("n").cast("long").alias("n"),
+        (c("det0") / c("det")).alias("b0"),
+        (c("det1") / c("det")).alias("b_qty"),
+        (c("det2") / c("det")).alias("b_disc"),
+        (
+            F.lit(1)
+            - (
+                c("syy")
+                - (
+                    (c("det0") / c("det")) * c("sy")
+                    + (c("det1") / c("det")) * c("s1y")
+                    + (c("det2") / c("det")) * c("s2y")
+                )
+            )
+            / (c("syy") - c("sy") * c("sy") / c("n"))
+        ).alias("r2"),
+    )

@@ -62,6 +62,7 @@ _QUERY_MODULES = (
     "pyspark_excel_datasource_spark.operators.analytics",
     "pyspark_excel_datasource_spark.operators.corpus",
     "pyspark_excel_datasource_spark.operators.graph",
+    "pyspark_excel_datasource_spark.operators.ml",
     # audit must import last: its oracle embeds other queries' oracles
     "pyspark_excel_datasource_spark.operators.audit",
 )
@@ -216,6 +217,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_iceberg_compact",
     "q_iceberg_expire",
     "q_stream_join_full",
+    "q_nb_classify",
+    "q_regression_multi",
     # C. prior greens: the round-7 window first (re-verdicted r7), then
     #    the round-6 window, then remaining greens in registration order
     "q_tpch_q7ish",

@@ -1,0 +1,159 @@
+"""Classical-ML operators (operators/ml.py): naive Bayes classification
+quality + OOV handling, and closed-form multi-feature OLS vs numpy."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from pyspark_excel_datasource_spark.operators.ml import (
+    q_nb_classify,
+    q_regression_multi,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _python_nb(train, test):
+    """Reference multinomial NB (Laplace +1, ascending-order log-prob
+    fold, lexicographic tie-break) in pure Python."""
+    import math
+    from collections import Counter, defaultdict
+
+    counts: dict[str, Counter] = defaultdict(Counter)
+    totals: Counter = Counter()
+    class_docs: Counter = Counter()
+    vocab: set[str] = set()
+    for lang, text in train:
+        toks = text.lower().split(" ")
+        counts[lang].update(toks)
+        totals[lang] += len(toks)
+        class_docs[lang] += 1
+        vocab.update(toks)
+    v = len(vocab)
+    nd = sum(class_docs.values())
+    preds = {}
+    for doc_id, _lang, text in test:
+        best = None
+        for cls in sorted(class_docs):
+            lnps = sorted(
+                math.log((counts[cls][t] + 1) / (totals[cls] + v))
+                for t in text.lower().split(" ")
+            )
+            score = 0.0
+            for x in lnps:
+                score += x
+            score += math.log(class_docs[cls] / nd)
+            if best is None or score > best[0]:
+                best = (score, cls)
+        preds[doc_id] = best[1]
+    return preds
+
+
+def test_nb_classify_matches_pure_python_reference(spark):
+    """Exactness on the real corpus: every one of the 250 predictions
+    must equal a from-scratch Python NB with the same smoothing, fold
+    order, and tie-break — independent of whether the corpus labels are
+    actually learnable (they are random w.r.t. the text here, so
+    accuracy itself is ~prior; the MATH is what this pins)."""
+    out = {r.doc_id: r for r in q_nb_classify(spark, SF).collect()}
+    assert len(out) == 250  # odd doc_ids of 500
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    train = [(r.lang, r.text) for r in docs if r.doc_id % 2 == 0]
+    test = [(r.doc_id, r.lang, r.text) for r in docs if r.doc_id % 2 == 1]
+    expect = _python_nb(train, test)
+    mismatches = {
+        k: (out[k].pred_lang, expect[k])
+        for k in expect
+        if out[k].pred_lang != expect[k]
+    }
+    assert not mismatches, f"{len(mismatches)} diverge: {list(mismatches.items())[:5]}"
+    truth = {d: l for d, l, _ in test}
+    assert all(r.correct == int(r.pred_lang == truth[d]) for d, r in out.items())
+
+
+def test_nb_classify_separable_fixture_is_perfect(spark):
+    """On a vocabulary-separable fixture NB must reach 100% accuracy."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    rows = []
+    words = {"en": ["dog", "cat", "fish"], "fr": ["chien", "chat", "poisson"]}
+    for i in range(40):
+        lang = "en" if (i // 2) % 2 == 0 else "fr"
+        w = words[lang]
+        rows.append((i, f"{w[i % 3]} {w[(i + 1) % 3]} {w[i % 3]}", lang))
+    docs = pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    docs["source"] = "s"
+    docs["n_chars"] = docs.text.str.len()
+    with tempfile.TemporaryDirectory() as td:
+        docs.to_parquet(os.path.join(td, "documents.parquet"))
+        out = q_nb_classify(spark, td).collect()
+    assert len(out) == 20
+    assert all(r.correct == 1 for r in out)
+
+
+def test_nb_oov_tokens_get_smoothed_mass(spark):
+    """A test document made ENTIRELY of unseen tokens must still score
+    finitely under every class (Laplace smoothing) and predict the class
+    with the largest prior (all per-token OOV odds tie, modulo class
+    totals) — never drop or null out."""
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 2, 4, 6, 1],
+            "text": [
+                "aa bb aa",
+                "aa bb bb",
+                "cc dd cc",
+                "cc dd dd",
+                "zz qq yy",  # test doc: fully OOV
+            ],
+            "lang": ["en", "en", "fr", "fr", "en"],
+            "source": ["s"] * 5,
+            "n_chars": [8] * 5,
+        }
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        docs_path = os.path.join(td, "documents.parquet")
+        docs.to_parquet(docs_path)
+        # the query reads <sf_dir>/documents.parquet
+        out = q_nb_classify(spark, td).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.doc_id == 1
+    # en and fr have equal priors and equal class token totals, so the
+    # fully-OOV doc ties and the lexicographic tie-break picks 'en'
+    assert r.pred_lang == "en"
+
+
+def test_regression_multi_matches_numpy_lstsq(spark):
+    got = {r.l_returnflag: r for r in q_regression_multi(spark, SF).collect()}
+    li = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select("l_returnflag", "l_quantity", "l_discount", "l_extendedprice")
+        .toPandas()
+    )
+    for flag, grp in li.groupby("l_returnflag"):
+        X = np.column_stack(
+            [np.ones(len(grp)), grp.l_quantity.values, grp.l_discount.values]
+        )
+        y = grp.l_extendedprice.values
+        beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+        r = got[flag]
+        assert r.n == len(grp)
+        np.testing.assert_allclose(
+            [r.b0, r.b_qty, r.b_disc], beta, rtol=1e-6,
+            err_msg=f"flag {flag}",
+        )
+        pred = X @ beta
+        ss_res = float(((y - pred) ** 2).sum())
+        ss_tot = float(((y - y.mean()) ** 2).sum())
+        np.testing.assert_allclose(r.r2, 1 - ss_res / ss_tot, rtol=1e-6)
+        assert 0.0 < r.r2 < 1.0

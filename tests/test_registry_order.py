@@ -81,6 +81,12 @@ ROUND8_AUTHORED: set[str] = {
     "q_sample_importance",
     "q_delta_zorder",
     "q_delta_history",
+    # Iceberg maintenance + full-outer stream join + classical-ML ops
+    "q_iceberg_compact",
+    "q_iceberg_expire",
+    "q_stream_join_full",
+    "q_nb_classify",
+    "q_regression_multi",
 }
 
 
