@@ -2456,3 +2456,240 @@ def q_agg_topk_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             "merge_exactly"
         ),
     )
+
+
+#: KMV/theta sketch size (retained minimum hash values per set) and the
+#: hash range: 60-bit md5 prefixes, so M = 16^15. Constants shared with
+#: the oracle string so both engines build the identical sketch.
+_THETA_K = 128
+_THETA_M = 1 << 60
+
+_THETA_SQL = f"""
+    WITH cust AS (
+        SELECT o_orderstatus AS st, o_custkey,
+               CAST(CAST(('0x' || SUBSTR(MD5(CAST(o_custkey AS VARCHAR)), 1, 15))
+                    AS UBIGINT) AS BIGINT) AS h
+        FROM orders WHERE o_orderstatus IN ('F', 'O')
+        GROUP BY 1, 2, 3
+    ),
+    ka AS (SELECT DISTINCT h FROM cust WHERE st = 'F' ORDER BY h LIMIT {_THETA_K}),
+    kb AS (SELECT DISTINCT h FROM cust WHERE st = 'O' ORDER BY h LIMIT {_THETA_K}),
+    ku AS (SELECT DISTINCT h FROM cust ORDER BY h LIMIT {_THETA_K}),
+    st AS (
+        SELECT
+            (SELECT COUNT(*) FROM ka) AS na,
+            (SELECT MAX(h) FROM ka) AS mha,
+            (SELECT COUNT(*) FROM kb) AS nb,
+            (SELECT MAX(h) FROM kb) AS mhb,
+            (SELECT COUNT(*) FROM ku) AS nu,
+            (SELECT MAX(h) FROM ku) AS mhu,
+            (SELECT COUNT(DISTINCT o_custkey) FROM cust WHERE st = 'F') AS xa,
+            (SELECT COUNT(DISTINCT o_custkey) FROM cust WHERE st = 'O') AS xb,
+            (SELECT COUNT(DISTINCT o_custkey) FROM cust) AS xu,
+            (SELECT COUNT(*) FROM (SELECT o_custkey FROM cust WHERE st = 'F'
+                                   INTERSECT
+                                   SELECT o_custkey FROM cust WHERE st = 'O')) AS xi,
+            (SELECT COUNT(*) FROM (SELECT o_custkey FROM cust WHERE st = 'F'
+                                   EXCEPT
+                                   SELECT o_custkey FROM cust WHERE st = 'O')) AS xd
+    ),
+    th AS (
+        SELECT *,
+            CASE WHEN na < {_THETA_K} THEN {_THETA_M} ELSE mha END AS ta,
+            CASE WHEN nb < {_THETA_K} THEN {_THETA_M} ELSE mhb END AS tb
+        FROM st
+    ),
+    th2 AS (
+        SELECT *,
+            CASE WHEN ta < tb THEN ta ELSE tb END AS ti,
+            (SELECT COUNT(*) FROM ka WHERE h IN (SELECT h FROM kb)
+               AND h < (CASE WHEN (SELECT CASE WHEN s.na < {_THETA_K}
+                                   THEN {_THETA_M} ELSE s.mha END FROM st s)
+                             < (SELECT CASE WHEN s.nb < {_THETA_K}
+                                   THEN {_THETA_M} ELSE s.mhb END FROM st s)
+                        THEN (SELECT CASE WHEN s.na < {_THETA_K}
+                                   THEN {_THETA_M} ELSE s.mha END FROM st s)
+                        ELSE (SELECT CASE WHEN s.nb < {_THETA_K}
+                                   THEN {_THETA_M} ELSE s.mhb END FROM st s) END)
+            ) AS ci,
+            (SELECT COUNT(*) FROM ka WHERE h NOT IN (SELECT h FROM kb)
+               AND h < (CASE WHEN (SELECT CASE WHEN s.na < {_THETA_K}
+                                   THEN {_THETA_M} ELSE s.mha END FROM st s)
+                             < (SELECT CASE WHEN s.nb < {_THETA_K}
+                                   THEN {_THETA_M} ELSE s.mhb END FROM st s)
+                        THEN (SELECT CASE WHEN s.na < {_THETA_K}
+                                   THEN {_THETA_M} ELSE s.mha END FROM st s)
+                        ELSE (SELECT CASE WHEN s.nb < {_THETA_K}
+                                   THEN {_THETA_M} ELSE s.mhb END FROM st s) END)
+            ) AS cd
+        FROM th
+    )
+    SELECT measure, exact_count, estimate FROM (
+        SELECT 'a_f_status' AS measure, CAST(xa AS BIGINT) AS exact_count,
+               CASE WHEN na < {_THETA_K} THEN CAST(na AS DOUBLE)
+                    ELSE CAST({_THETA_K - 1} AS DOUBLE) * CAST({_THETA_M} AS DOUBLE)
+                         / CAST(mha AS DOUBLE) END AS estimate
+        FROM th2
+        UNION ALL
+        SELECT 'b_o_status', CAST(xb AS BIGINT),
+               CASE WHEN nb < {_THETA_K} THEN CAST(nb AS DOUBLE)
+                    ELSE CAST({_THETA_K - 1} AS DOUBLE) * CAST({_THETA_M} AS DOUBLE)
+                         / CAST(mhb AS DOUBLE) END
+        FROM th2
+        UNION ALL
+        SELECT 'union', CAST(xu AS BIGINT),
+               CASE WHEN nu < {_THETA_K} THEN CAST(nu AS DOUBLE)
+                    ELSE CAST({_THETA_K - 1} AS DOUBLE) * CAST({_THETA_M} AS DOUBLE)
+                         / CAST(mhu AS DOUBLE) END
+        FROM th2
+        UNION ALL
+        SELECT 'intersect', CAST(xi AS BIGINT),
+               CAST(ci AS DOUBLE) * CAST({_THETA_M} AS DOUBLE) / CAST(ti AS DOUBLE)
+        FROM th2
+        UNION ALL
+        SELECT 'diff_a_minus_b', CAST(xd AS BIGINT),
+               CAST(cd AS DOUBLE) * CAST({_THETA_M} AS DOUBLE) / CAST(ti AS DOUBLE)
+        FROM th2
+    )
+"""
+
+
+@query("q_agg_theta", oracle=_THETA_SQL)
+def q_agg_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/KMV sketch SET ALGEBRA over distinct-customer sets: union,
+    intersection, and difference ESTIMATES from two k-minimum-values
+    sketches (k=128, 60-bit md5 hashes), next to the exact counts — the
+    capability HLL lacks (HLL unions but cannot intersect; theta
+    sketches support the full algebra, which is why warehouse engines
+    ship them for audience-overlap queries).
+
+    Sketch math (Beyer et al. 2007 KMV; Dasgupta et al. 2016 theta):
+    each set keeps its k smallest hash values; θ = k-th smallest (or M
+    when unsaturated). Cardinality ≈ (k-1)·M/θ. Union: k smallest of
+    the merged stream. Intersection/difference: count retained values
+    below θ = min(θA, θB) that appear in both / only in A, scaled by
+    M/θ. Everything is exact integer/double arithmetic on md5 hashes,
+    so the DuckDB oracle hash-verifies the ESTIMATES bit-for-bit, not
+    just the exact counts; the error-bound contract (rel. err within
+    ~4/√k for the saturated sets) is asserted in
+    ``tests/test_sketch_bounds.py``.
+
+    Scale: per-set sketch building is ``ORDER BY h LIMIT k`` =
+    TakeOrderedAndProject (per-partition top-k, merge of k-row
+    partials — never a global sort); set algebra then runs on ≤k-row
+    broadcast frames. At 100 TB the sketches are the only thing that
+    moves: 128 longs per set, mergeable across days/shards.
+    """
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("F", "O")
+    )
+    cust = o.select(
+        F.col("o_orderstatus").alias("st"),
+        "o_custkey",
+        F.conv(
+            F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15), 16, 10
+        )
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+
+    k, m = _THETA_K, _THETA_M
+    ka = cust.filter(F.col("st") == "F").select("h").distinct().orderBy("h").limit(k)
+    kb = cust.filter(F.col("st") == "O").select("h").distinct().orderBy("h").limit(k)
+    ku = cust.select("h").distinct().orderBy("h").limit(k)
+
+    def sketch_stats(kdf, prefix):
+        return kdf.agg(
+            F.count("*").alias(f"n{prefix}"), F.max("h").alias(f"mh{prefix}")
+        )
+
+    stats = (
+        sketch_stats(ka, "a")
+        .crossJoin(F.broadcast(sketch_stats(kb, "b")))
+        .crossJoin(F.broadcast(sketch_stats(ku, "u")))
+        .withColumn(
+            "ta", F.when(F.col("na") < k, F.lit(m)).otherwise(F.col("mha"))
+        )
+        .withColumn(
+            "tb", F.when(F.col("nb") < k, F.lit(m)).otherwise(F.col("mhb"))
+        )
+        .withColumn("ti", F.least("ta", "tb"))
+    )
+    # retained-set algebra below θ = min(θA, θB); sketches are ≤k rows
+    theta_i = stats.select("ti")
+    common = (
+        ka.join(kb, "h", "semi")
+        .crossJoin(F.broadcast(theta_i))
+        .filter(F.col("h") < F.col("ti"))
+        .agg(F.count("*").alias("ci"))
+    )
+    only_a = (
+        ka.join(kb, "h", "anti")
+        .crossJoin(F.broadcast(theta_i))
+        .filter(F.col("h") < F.col("ti"))
+        .agg(F.count("*").alias("cd"))
+    )
+
+    a_users = cust.filter(F.col("st") == "F").select("o_custkey").distinct()
+    b_users = cust.filter(F.col("st") == "O").select("o_custkey").distinct()
+    exact = (
+        a_users.agg(F.count("*").alias("xa"))
+        .crossJoin(F.broadcast(b_users.agg(F.count("*").alias("xb"))))
+        .crossJoin(
+            F.broadcast(
+                cust.select("o_custkey").distinct().agg(F.count("*").alias("xu"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                a_users.join(b_users, "o_custkey", "semi").agg(
+                    F.count("*").alias("xi")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                a_users.join(b_users, "o_custkey", "anti").agg(
+                    F.count("*").alias("xd")
+                )
+            )
+        )
+    )
+
+    row = (
+        stats.crossJoin(F.broadcast(common))
+        .crossJoin(F.broadcast(only_a))
+        .crossJoin(F.broadcast(exact))
+    )
+    md = F.lit(float(m))
+    kd = F.lit(float(k - 1))
+
+    def kmv_est(n, mh):
+        return F.when(F.col(n) < k, F.col(n).cast("double")).otherwise(
+            kd * md / F.col(mh).cast("double")
+        )
+
+    measures = [
+        ("a_f_status", F.col("xa"), kmv_est("na", "mha")),
+        ("b_o_status", F.col("xb"), kmv_est("nb", "mhb")),
+        ("union", F.col("xu"), kmv_est("nu", "mhu")),
+        (
+            "intersect",
+            F.col("xi"),
+            F.col("ci").cast("double") * md / F.col("ti").cast("double"),
+        ),
+        (
+            "diff_a_minus_b",
+            F.col("xd"),
+            F.col("cd").cast("double") * md / F.col("ti").cast("double"),
+        ),
+    ]
+    out = None
+    for name, ex, est in measures:
+        part = row.select(
+            F.lit(name).alias("measure"),
+            ex.cast("long").alias("exact_count"),
+            est.alias("estimate"),
+        )
+        out = part if out is None else out.unionAll(part)
+    return out

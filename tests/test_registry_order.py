@@ -87,6 +87,7 @@ ROUND8_AUTHORED: set[str] = {
     "q_stream_join_full",
     "q_nb_classify",
     "q_regression_multi",
+    "q_agg_theta",
 }
 
 

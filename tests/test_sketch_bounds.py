@@ -215,3 +215,41 @@ def test_agg_countmin_error_bounds(spark, queries):
     rows = queries["q_agg_countmin"](spark, SF).collect()
     assert len(rows) == 20
     assert all(r.est_ge_exact and r.overshoot_ok for r in rows)
+
+
+def test_agg_theta_error_bounds(spark, queries):
+    """KMV/theta set algebra: saturated-set estimates within 4/sqrt(k)
+    relative error (k=128 → 35%; actual is ~5% on this data — the bound
+    is a deterministic regression tripwire), and the exact columns are
+    re-derived here from the raw table with independent code."""
+    import math
+
+    from pyspark_excel_datasource_spark.operators.analytics import _THETA_K
+
+    out = {r.measure: r for r in queries["q_agg_theta"](spark, SF).collect()}
+    assert set(out) == {
+        "a_f_status", "b_o_status", "union", "intersect", "diff_a_minus_b"
+    }
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    a = {r.o_custkey for r in o.filter("o_orderstatus = 'F'").collect()}
+    b = {r.o_custkey for r in o.filter("o_orderstatus = 'O'").collect()}
+    expect = {
+        "a_f_status": len(a),
+        "b_o_status": len(b),
+        "union": len(a | b),
+        "intersect": len(a & b),
+        "diff_a_minus_b": len(a - b),
+    }
+    for m, x in expect.items():
+        assert out[m].exact_count == x, m
+
+    bound = 4 / math.sqrt(_THETA_K)
+    for m in ("a_f_status", "b_o_status", "union", "intersect"):
+        r = out[m]
+        rel = abs(r.estimate - r.exact_count) / r.exact_count
+        assert rel < bound, f"{m}: rel err {rel:.3f} >= {bound:.3f}"
+    # the difference is a small set (|A\B| ~ 2 at sf0.001): KMV noise is
+    # absolute ~union/k there, so assert the additive bound instead
+    r = out["diff_a_minus_b"]
+    assert 0 <= r.estimate <= r.exact_count + 4 * expect["union"] / _THETA_K
