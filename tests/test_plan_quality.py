@@ -204,3 +204,35 @@ def test_weighted_median_sorts_only_in_band(spark):
     ]
     assert len(rowwin) == 1
     assert "BroadcastHashJoin" in rowwin[0], rowwin[0][:1200]
+
+
+def test_theta_sketch_build_is_take_ordered(spark):
+    """q_agg_theta's per-set k-minimum extraction must compile to
+    TakeOrderedAndProject (per-partition top-k + k-row merge), never a
+    global Sort before the limit — the property that keeps sketch
+    building one pass at 100 TB."""
+    plan = _plan(_q(spark, "q_agg_theta"))
+    ops = _ops(plan)
+    assert "TakeOrderedAndProject" in ops, plan[:2000]
+    # no global sort anywhere: every orderBy in the query is a LIMIT k
+    assert "Sort" not in ops, [o for o in ops if "Sort" in o]
+
+
+def test_nb_classify_broadcasts_model_not_corpus(spark):
+    """The NB model side (vocab x classes) must broadcast; the token
+    stream must never be broadcast. Python stays out of the plan."""
+    plan = _plan(_q(spark, "q_nb_classify"))
+    ops = _ops(plan)
+    assert "BroadcastHashJoin" in ops or "BroadcastNestedLoopJoin" in ops
+    assert not any("Python" in o for o in ops), [o for o in ops if "Python" in o]
+
+
+def test_regression_multi_is_one_aggregation_pass(spark):
+    """Closed-form OLS: exactly one partial+final HashAggregate pair over
+    the fact scan (the Gram matrix), with the solve a pure projection —
+    no joins, no windows, no second pass."""
+    plan = _plan(_q(spark, "q_regression_multi"))
+    ops = _ops(plan)
+    assert ops.count("HashAggregate") == 2, ops
+    assert not any("Join" in o for o in ops), ops
+    assert not any("Window" in o for o in ops), ops
