@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..catalog import spread, table
+from ..functions.determinism import dround, sql_dround
 from ..plans.registry import query
 
 
@@ -314,4 +315,261 @@ def q_regression_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             / (c("syy") - c("sy") * c("sy") / c("n"))
         ).alias("r2"),
+    )
+
+
+_CV_FOLDS = 4
+
+_CV_STATS = """
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS s1,
+        CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s2,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sy,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,0))
+                 * CAST(l_quantity AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS s11,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,0))
+                 * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s12,
+        CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+                 * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS s22,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,0))
+                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s1y,
+        CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS s2y,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS syy
+"""
+
+
+@query(
+    "q_regression_cv",
+    oracle=f"""
+    WITH folds AS (
+        SELECT *,
+            CAST(CAST(('0x' || SUBSTR(MD5(CAST(l_orderkey AS VARCHAR) || ':'
+                 || CAST(l_linenumber AS VARCHAR)), 1, 15)) AS UBIGINT)
+                 % {_CV_FOLDS} AS BIGINT) AS fold
+        FROM lineitem
+    ), fs AS (
+        SELECT fold, {_CV_STATS}
+        FROM folds GROUP BY fold
+    ), tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS tn,
+               CAST(SUM(s1) AS DECIMAL(38,0)) AS t1,
+               CAST(SUM(s2) AS DECIMAL(38,2)) AS t2,
+               CAST(SUM(sy) AS DECIMAL(38,2)) AS ty,
+               CAST(SUM(s11) AS DECIMAL(38,0)) AS t11,
+               CAST(SUM(s12) AS DECIMAL(38,2)) AS t12,
+               CAST(SUM(s22) AS DECIMAL(38,4)) AS t22,
+               CAST(SUM(s1y) AS DECIMAL(38,2)) AS t1y,
+               CAST(SUM(s2y) AS DECIMAL(38,4)) AS t2y,
+               CAST(SUM(syy) AS DECIMAL(38,4)) AS tyy
+        FROM fs
+    ), tr AS (
+        SELECT fold,
+               CAST(fs.n AS BIGINT) AS n_test,
+               CAST(tot.tn - fs.n AS BIGINT) AS n_train,
+               CAST(tot.tn - fs.n AS DOUBLE) AS n,
+               CAST(CAST(tot.t1 - fs.s1 AS DECIMAL(38,0)) AS DOUBLE) AS s1,
+               CAST(CAST(tot.t2 - fs.s2 AS DECIMAL(38,2)) AS DOUBLE) AS s2,
+               CAST(CAST(tot.ty - fs.sy AS DECIMAL(38,2)) AS DOUBLE) AS sy,
+               CAST(CAST(tot.t11 - fs.s11 AS DECIMAL(38,0)) AS DOUBLE) AS s11,
+               CAST(CAST(tot.t12 - fs.s12 AS DECIMAL(38,2)) AS DOUBLE) AS s12,
+               CAST(CAST(tot.t22 - fs.s22 AS DECIMAL(38,4)) AS DOUBLE) AS s22,
+               CAST(CAST(tot.t1y - fs.s1y AS DECIMAL(38,2)) AS DOUBLE) AS s1y,
+               CAST(CAST(tot.t2y - fs.s2y AS DECIMAL(38,4)) AS DOUBLE) AS s2y,
+               CAST(fs.n AS DOUBLE) AS en,
+               CAST(fs.s1 AS DOUBLE) AS e1,
+               CAST(fs.s2 AS DOUBLE) AS e2,
+               CAST(fs.sy AS DOUBLE) AS ey,
+               CAST(fs.s11 AS DOUBLE) AS e11,
+               CAST(fs.s12 AS DOUBLE) AS e12,
+               CAST(fs.s22 AS DOUBLE) AS e22,
+               CAST(fs.s1y AS DOUBLE) AS e1y,
+               CAST(fs.s2y AS DOUBLE) AS e2y,
+               CAST(fs.syy AS DOUBLE) AS eyy
+        FROM fs CROSS JOIN tot
+    ), solved AS (
+        SELECT *,
+            n * (s11 * s22 - s12 * s12)
+              - s1 * (s1 * s22 - s12 * s2)
+              + s2 * (s1 * s12 - s11 * s2) AS det,
+            sy * (s11 * s22 - s12 * s12)
+              - s1 * (s1y * s22 - s12 * s2y)
+              + s2 * (s1y * s12 - s11 * s2y) AS det0,
+            n * (s1y * s22 - s12 * s2y)
+              - sy * (s1 * s22 - s12 * s2)
+              + s2 * (s1 * s2y - s1y * s2) AS det1,
+            n * (s11 * s2y - s1y * s12)
+              - s1 * (s1 * s2y - s1y * s2)
+              + sy * (s1 * s12 - s11 * s2) AS det2
+        FROM tr
+    ), coef AS (
+        SELECT fold, n_train, n_test,
+               en, e1, e2, ey, e11, e12, e22, e1y, e2y, eyy,
+               det0 / det AS b0, det1 / det AS b1, det2 / det AS b2
+        FROM solved
+    )
+    SELECT fold, n_train, n_test,
+           b0, b1 AS b_qty, b2 AS b_disc,
+           {sql_dround('''SQRT((eyy - 2 * b0 * ey - 2 * b1 * e1y - 2 * b2 * e2y
+                 + b0 * b0 * en + 2 * b0 * b1 * e1 + 2 * b0 * b2 * e2
+                 + b1 * b1 * e11 + 2 * b1 * b2 * e12 + b2 * b2 * e22)
+                / en)''', 4)} AS rmse
+    FROM coef
+    """,
+)
+def q_regression_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validated OLS (price ~ quantity + discount,
+    {_CV_FOLDS} md5-hash folds) computed from ONE aggregation pass:
+    per-fold exact-decimal sufficient statistics; each fold's TRAIN
+    statistics are totals − fold (exact decimal subtraction — the
+    leave-one-fold-out trick that makes k-fold CV cost one scan instead
+    of k); coefficients via Cramer's rule; out-of-fold RMSE from the
+    algebraic SSE expansion Σ(y−ŷ)² = Σy² − 2βᵀXᵀy + βᵀXᵀXβ evaluated on
+    the TEST fold's statistics — so evaluation needs no second data
+    pass either.
+
+    At 100 TB this is the honest way to cross-validate: hash-fold
+    assignment is stateless and reshuffle-free, the single groupBy(fold)
+    aggregation has map-side partials, and everything after is algebra
+    on {_CV_FOLDS} rows. Determinism: exact decimal statistics, fixed
+    double expression trees; rmse rounds via ``dround(4)`` because the
+    Σy² decimal's scaled integer exceeds 2^53 at sf0.01+, where the two
+    engines' decimal→double conversions can differ by 1 ulp (observed:
+    2-ulp rmse drift; every other statistic stays within the exact
+    integer range and the coefficients hash bit-equal unrounded).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    x1 = F.col("l_quantity").cast("decimal(18,0)")
+    x2 = F.col("l_discount").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    folds = li.withColumn(
+        "fold",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("l_orderkey").cast("string"),
+                            F.lit(":"),
+                            F.col("l_linenumber").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CV_FOLDS
+        ),
+    )
+    fs = folds.groupBy("fold").agg(
+        F.count("*").alias("n"),
+        F.sum(x1).cast("decimal(38,0)").alias("s1"),
+        F.sum(x2).cast("decimal(38,2)").alias("s2"),
+        F.sum(y).cast("decimal(38,2)").alias("sy"),
+        F.sum(x1 * x1).cast("decimal(38,0)").alias("s11"),
+        F.sum(x1 * x2).cast("decimal(38,2)").alias("s12"),
+        F.sum(x2 * x2).cast("decimal(38,4)").alias("s22"),
+        F.sum(x1 * y).cast("decimal(38,2)").alias("s1y"),
+        F.sum(x2 * y).cast("decimal(38,4)").alias("s2y"),
+        F.sum(y * y).cast("decimal(38,4)").alias("syy"),
+    )
+    tot = fs.agg(
+        F.sum("n").alias("tn"),
+        F.sum("s1").cast("decimal(38,0)").alias("t1"),
+        F.sum("s2").cast("decimal(38,2)").alias("t2"),
+        F.sum("sy").cast("decimal(38,2)").alias("ty"),
+        F.sum("s11").cast("decimal(38,0)").alias("t11"),
+        F.sum("s12").cast("decimal(38,2)").alias("t12"),
+        F.sum("s22").cast("decimal(38,4)").alias("t22"),
+        F.sum("s1y").cast("decimal(38,2)").alias("t1y"),
+        F.sum("s2y").cast("decimal(38,4)").alias("t2y"),
+        F.sum("syy").cast("decimal(38,4)").alias("tyy"),
+    )
+    c = F.col
+    tr = fs.crossJoin(F.broadcast(tot)).select(
+        "fold",
+        c("n").cast("long").alias("n_test"),
+        (c("tn") - c("n")).cast("long").alias("n_train"),
+        (c("tn") - c("n")).cast("double").alias("n"),
+        (c("t1") - c("s1")).cast("decimal(38,0)").cast("double").alias("s1d"),
+        (c("t2") - c("s2")).cast("decimal(38,2)").cast("double").alias("s2d"),
+        (c("ty") - c("sy")).cast("decimal(38,2)").cast("double").alias("syd"),
+        (c("t11") - c("s11")).cast("decimal(38,0)").cast("double").alias("s11d"),
+        (c("t12") - c("s12")).cast("decimal(38,2)").cast("double").alias("s12d"),
+        (c("t22") - c("s22")).cast("decimal(38,4)").cast("double").alias("s22d"),
+        (c("t1y") - c("s1y")).cast("decimal(38,2)").cast("double").alias("s1yd"),
+        (c("t2y") - c("s2y")).cast("decimal(38,4)").cast("double").alias("s2yd"),
+        c("n").cast("double").alias("en"),
+        c("s1").cast("double").alias("e1"),
+        c("s2").cast("double").alias("e2"),
+        c("sy").cast("double").alias("ey"),
+        c("s11").cast("double").alias("e11"),
+        c("s12").cast("double").alias("e12"),
+        c("s22").cast("double").alias("e22"),
+        c("s1y").cast("double").alias("e1y"),
+        c("s2y").cast("double").alias("e2y"),
+        c("syy").cast("double").alias("eyy"),
+    )
+    # Cramer on the TRAIN statistics — the same fixed tree as
+    # q_regression_multi, with (s1..s2y) -> the *d train columns
+    solved = tr.select(
+        "*",
+        (
+            c("n") * (c("s11d") * c("s22d") - c("s12d") * c("s12d"))
+            - c("s1d") * (c("s1d") * c("s22d") - c("s12d") * c("s2d"))
+            + c("s2d") * (c("s1d") * c("s12d") - c("s11d") * c("s2d"))
+        ).alias("det"),
+        (
+            c("syd") * (c("s11d") * c("s22d") - c("s12d") * c("s12d"))
+            - c("s1d") * (c("s1yd") * c("s22d") - c("s12d") * c("s2yd"))
+            + c("s2d") * (c("s1yd") * c("s12d") - c("s11d") * c("s2yd"))
+        ).alias("det0"),
+        (
+            c("n") * (c("s1yd") * c("s22d") - c("s12d") * c("s2yd"))
+            - c("syd") * (c("s1d") * c("s22d") - c("s12d") * c("s2d"))
+            + c("s2d") * (c("s1d") * c("s2yd") - c("s1yd") * c("s2d"))
+        ).alias("det1"),
+        (
+            c("n") * (c("s11d") * c("s2yd") - c("s1yd") * c("s12d"))
+            - c("s1d") * (c("s1d") * c("s2yd") - c("s1yd") * c("s2d"))
+            + c("syd") * (c("s1d") * c("s12d") - c("s11d") * c("s2d"))
+        ).alias("det2"),
+    )
+    coef = solved.select(
+        "fold",
+        "n_train",
+        "n_test",
+        "en", "e1", "e2", "ey", "e11", "e12", "e22", "e1y", "e2y", "eyy",
+        (c("det0") / c("det")).alias("b0"),
+        (c("det1") / c("det")).alias("b1"),
+        (c("det2") / c("det")).alias("b2"),
+    )
+    return coef.select(
+        "fold",
+        "n_train",
+        "n_test",
+        "b0",
+        c("b1").alias("b_qty"),
+        c("b2").alias("b_disc"),
+        dround(
+            F.sqrt(
+                (
+                    c("eyy")
+                    - F.lit(2) * c("b0") * c("ey")
+                    - F.lit(2) * c("b1") * c("e1y")
+                    - F.lit(2) * c("b2") * c("e2y")
+                    + c("b0") * c("b0") * c("en")
+                    + F.lit(2) * c("b0") * c("b1") * c("e1")
+                    + F.lit(2) * c("b0") * c("b2") * c("e2")
+                    + c("b1") * c("b1") * c("e11")
+                    + F.lit(2) * c("b1") * c("b2") * c("e12")
+                    + c("b2") * c("b2") * c("e22")
+                )
+                / c("en")
+            ),
+            4,
+        ).alias("rmse"),
     )

@@ -220,6 +220,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_nb_classify",
     "q_regression_multi",
     "q_agg_theta",
+    "q_regression_cv",
     # C. prior greens: the round-7 window first (re-verdicted r7), then
     #    the round-6 window, then remaining greens in registration order
     "q_tpch_q7ish",

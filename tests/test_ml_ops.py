@@ -157,3 +157,39 @@ def test_regression_multi_matches_numpy_lstsq(spark):
         ss_tot = float(((y - y.mean()) ** 2).sum())
         np.testing.assert_allclose(r.r2, 1 - ss_res / ss_tot, rtol=1e-6)
         assert 0.0 < r.r2 < 1.0
+
+
+def test_regression_cv_matches_numpy_per_fold(spark):
+    """Each fold's coefficients must equal numpy lstsq on the OTHER
+    folds' rows, and the RMSE must equal the held-out residual RMS —
+    verifying both the totals-minus-fold train statistics and the
+    algebraic SSE expansion."""
+    import hashlib
+
+    from pyspark_excel_datasource_spark.operators.ml import q_regression_cv
+
+    got = {r.fold: r for r in q_regression_cv(spark, SF).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    li = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+                "l_extendedprice")
+        .toPandas()
+    )
+    li["fold"] = [
+        int(hashlib.md5(f"{o}:{l}".encode()).hexdigest()[:15], 16) % 4
+        for o, l in zip(li.l_orderkey, li.l_linenumber)
+    ]
+    for f in range(4):
+        tr, te = li[li.fold != f], li[li.fold == f]
+        X = np.column_stack([np.ones(len(tr)), tr.l_quantity, tr.l_discount])
+        beta, *_ = np.linalg.lstsq(X, tr.l_extendedprice.values, rcond=None)
+        r = got[f]
+        assert (r.n_train, r.n_test) == (len(tr), len(te))
+        np.testing.assert_allclose([r.b0, r.b_qty, r.b_disc], beta, rtol=1e-6)
+        Xt = np.column_stack([np.ones(len(te)), te.l_quantity, te.l_discount])
+        resid = te.l_extendedprice.values - Xt @ beta
+        np.testing.assert_allclose(
+            float(r.rmse), float(np.sqrt((resid ** 2).mean())),
+            rtol=1e-6, atol=1e-4,  # rmse ships as dround(4) decimal
+        )

@@ -88,6 +88,7 @@ ROUND8_AUTHORED: set[str] = {
     "q_nb_classify",
     "q_regression_multi",
     "q_agg_theta",
+    "q_regression_cv",
 }
 
 
