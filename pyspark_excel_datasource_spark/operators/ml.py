@@ -100,11 +100,19 @@ def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: token explode → model groupBy is the only corpus-sized
     shuffle in training; scoring shuffles once on (doc, class) for the
     fold. The model broadcast stays small at any corpus size (vocab
-    caps it); no driver collect anywhere.
+    caps it); no driver collect anywhere — measured: the ``nb_classify``
+    shape in ``tools/scale_stress.py``.
     """
     d = spread(table(spark, sf_dir, "documents"))
-    train = d.filter(F.col("doc_id") % 2 == 0)
-    test = d.filter(F.col("doc_id") % 2 == 1)
+    return nb_predictions(
+        d.filter(F.col("doc_id") % 2 == 0), d.filter(F.col("doc_id") % 2 == 1)
+    )
+
+
+def nb_predictions(train: DataFrame, test: DataFrame) -> DataFrame:
+    """Train multinomial NB on ``train`` (columns doc_id, text, lang) and
+    return one prediction row per ``test`` doc: (doc_id, pred_lang,
+    true_lang, correct). Plan shape documented on ``q_nb_classify``."""
     tok = lambda df: F.explode(F.split(F.lower(df["text"]), " ")).alias("tok")  # noqa: E731
 
     tr = train.select("lang", tok(train))

@@ -281,6 +281,41 @@ def main() -> None:
         docs_full1.select("doc_id", "text", "source", "lang", "n_chars"), FACTOR
     )
 
+    # round-8: naive Bayes train+score — token prefixes make replica
+    # vocabularies disjoint, so model size AND token stream both grow
+    # linearly (the harsher variant of real vocab saturation)
+    from pyspark_excel_datasource_spark.operators.ml import nb_predictions
+
+    def nb_shape(docs):
+        return nb_predictions(
+            docs.filter(F.col("doc_id") % 2 == 0),
+            docs.filter(F.col("doc_id") % 2 == 1),
+        ).agg(F.count("*").alias("n"), F.sum("correct").alias("n_correct"))
+
+    # round-8: KMV/theta sketch build — TakeOrdered(k) over a distinct
+    # key stream whose cardinality grows linearly (replica-salted keys)
+    def cust_keys(orders, n):
+        out = orders.filter(F.col("o_orderstatus").isin("F", "O"))
+        if n > 1:
+            out = out.withColumn(
+                "rep", F.explode(F.sequence(F.lit(0), F.lit(n - 1)))
+            ).withColumn(
+                "o_custkey", F.col("o_custkey") * n + F.col("rep")
+            )
+        return out.select(
+            F.conv(
+                F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h")
+        ).distinct()
+
+    def theta_union(keys):
+        ku = keys.orderBy("h").limit(128)
+        return ku.agg(F.count("*").alias("nu"), F.max("h").alias("mhu"))
+
     from pyspark_excel_datasource_spark.operators.scale import (
         spatial_neighbor_pairs,
         spatial_points,
@@ -383,6 +418,11 @@ def main() -> None:
         "vocab_coverage": (
             vocab_coverage(docs_full1),
             vocab_coverage(docs_full10),
+        ),
+        "nb_classify": (nb_shape(docs_full1), nb_shape(docs_full10)),
+        "theta_sketch": (
+            theta_union(cust_keys(orders1, 1)),
+            theta_union(cust_keys(orders1, FACTOR)),
         ),
         "payload_dedup": (
             payload_dedup(docs_full1),
