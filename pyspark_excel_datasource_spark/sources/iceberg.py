@@ -412,7 +412,9 @@ def write_iceberg(
     if pcols:
         writer = writer.partitionBy(*pcols)
     writer.parquet(staging)
-    data_files: list[tuple[str, int, dict[str, str | None]]] = []
+    import pyarrow.parquet as _pq
+
+    data_files: list[tuple[str, int, int, dict[str, str | None]]] = []
     for root, _dirs, names in os.walk(staging):
         for name in names:
             if not name.endswith(".parquet"):
@@ -424,7 +426,12 @@ def write_iceberg(
             rel = os.path.join(_DATA, f"part-{uuid.uuid4().hex}.parquet")
             dst = os.path.join(table_path, rel)
             os.replace(src, dst)
-            data_files.append((rel, os.path.getsize(dst), pv))
+            # record_count is required by the spec (manifests drive scan
+            # planning); a footer-only read costs O(files) tiny IO on the
+            # committer, the same place a real Iceberg writer collects
+            # its per-task stats
+            nrows = _pq.read_metadata(dst).num_rows
+            data_files.append((rel, os.path.getsize(dst), nrows, pv))
     shutil.rmtree(staging, ignore_errors=True)
 
     # 2. manifest for this snapshot's added files
@@ -440,11 +447,11 @@ def write_iceberg(
                     "file_path": rel,
                     "file_format": "parquet",
                     "partition": pv,
-                    "record_count": -1,
+                    "record_count": nrows,
                     "file_size_in_bytes": size,
                 },
             )
-            for rel, size, pv in data_files
+            for rel, size, nrows, pv in data_files
         ],
     )
     mlen = os.path.getsize(os.path.join(table_path, manifest_rel))

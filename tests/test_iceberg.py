@@ -290,3 +290,23 @@ def test_expire_snapshots_guards(spark, three_snapshot_table):
 
     with pytest.raises(ValueError):
         expire_snapshots(three_snapshot_table, keep_last=0)
+
+
+def test_manifest_record_counts_are_real(spark, three_snapshot_table):
+    """Every manifest entry's record_count must equal the data file's
+    actual row count (the spec field scan planners size tasks with)."""
+    import glob
+
+    total = 0
+    for m in glob.glob(
+        os.path.join(three_snapshot_table, "metadata", "*-m0.avro")
+    ):
+        for entry in _read_avro(m):
+            df_rec = entry["data_file"]
+            path = os.path.join(three_snapshot_table, df_rec["file_path"])
+            import pyarrow.parquet as pq
+
+            assert df_rec["record_count"] == pq.read_metadata(path).num_rows
+            assert df_rec["record_count"] >= 0
+            total += df_rec["record_count"]
+    assert total > 0
