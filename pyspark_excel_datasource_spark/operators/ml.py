@@ -35,11 +35,15 @@ from ..functions.determinism import dround, sql_dround
 from ..plans.registry import query
 
 
-@query(
-    "q_nb_classify",
-    oracle="""
+def nb_pred_sql(test_select: str) -> str:
+    """The naive-Bayes prediction pipeline as a DuckDB CTE chain,
+    parameterized on the test-set SELECT — shared by the standalone
+    classifier oracle and the classifier-filter composite's oracle so
+    both engines' models stay definitionally identical. Yields columns
+    (doc_id, pred_lang, true_lang, correct)."""
+    return f"""
     WITH train AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
-    test AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+    test AS ({test_select}),
     tr AS (SELECT lang, unnest(string_split(lower(text), ' ')) AS tok
            FROM train),
     te AS (SELECT doc_id, lang AS true_lang,
@@ -79,7 +83,12 @@ from ..plans.registry import query
            CAST(CASE WHEN cls = true_lang THEN 1 ELSE 0 END AS INT)
                AS correct
     FROM ranked WHERE rn = 1
-    """,
+    """
+
+
+@query(
+    "q_nb_classify",
+    oracle=nb_pred_sql("SELECT * FROM documents WHERE doc_id % 2 = 1"),
 )
 def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial naive Bayes language classifier: train on even
@@ -580,4 +589,87 @@ def q_regression_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             4,
         ).alias("rmse"),
+    )
+
+
+_FILTER_MIN_TOK = 20
+_FILTER_MAX_TOK = 80
+_FILTER_PREFIX = 16
+_FILTER_LANG = "en"
+
+
+@query(
+    "q_pipeline_classifier_filter",
+    oracle=f"""
+    WITH preds AS (
+        SELECT doc_id, pred_lang FROM (
+            {nb_pred_sql("SELECT * FROM documents")}
+        )
+    ),
+    gated AS (
+        SELECT d.doc_id, d.source, d.text,
+               CAST(len(string_split(lower(d.text), ' ')) AS BIGINT) AS ntok
+        FROM documents d
+        JOIN preds p ON p.doc_id = d.doc_id
+        WHERE p.pred_lang = '{_FILTER_LANG}'
+          AND len(string_split(lower(d.text), ' '))
+              BETWEEN {_FILTER_MIN_TOK} AND {_FILTER_MAX_TOK}
+    ),
+    deduped AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY MD5(SUBSTR(text, 1, {_FILTER_PREFIX}))
+                ORDER BY doc_id) AS rn
+            FROM gated
+        ) WHERE rn = 1
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS n_tokens
+    FROM deduped GROUP BY source
+    """,
+)
+def q_pipeline_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based corpus filter, end to end — the CCNet/FineWeb curation
+    chain as ONE declarative plan: (1) train the NB classifier on the
+    labeled half and score EVERY document; (2) keep docs the model
+    assigns to the target language ('{_FILTER_LANG}'); (3) length gate
+    ({_FILTER_MIN_TOK}–{_FILTER_MAX_TOK} tokens); (4) exact prefix
+    dedup (md5 of the first {_FILTER_PREFIX} chars, keep-first by
+    doc_id); (5) per-source census of surviving docs and tokens — the
+    numbers a data-mixing stage consumes.
+
+    Sharing ``nb_predictions`` / ``nb_pred_sql`` with ``q_nb_classify``
+    keeps the model definitionally identical in both engines, so the
+    whole chain hash-verifies. Scale: the classifier stages are the
+    NB plan (broadcast model, measured sublinear in
+    ``tools/scale_stress.py``); gates are row-local; the dedup shuffles
+    a 16-byte key; the census is a partial-agg groupBy on a
+    low-cardinality key.
+    """
+    d = spread(table(spark, sf_dir, "documents"))
+    preds = nb_predictions(d.filter(F.col("doc_id") % 2 == 0), d).select(
+        "doc_id", "pred_lang"
+    )
+    ntok = F.size(F.split(F.lower(F.col("text")), " ")).cast("long")
+    gated = (
+        d.join(preds, "doc_id")
+        .filter(F.col("pred_lang") == _FILTER_LANG)
+        .withColumn("ntok", ntok)
+        .filter(
+            (F.col("ntok") >= _FILTER_MIN_TOK)
+            & (F.col("ntok") <= _FILTER_MAX_TOK)
+        )
+        .select("doc_id", "source", "text", "ntok")
+    )
+    w = W.partitionBy(
+        F.md5(F.substring(F.col("text"), 1, _FILTER_PREFIX))
+    ).orderBy(F.col("doc_id").asc())
+    deduped = (
+        gated.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return deduped.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("ntok").cast("long").alias("n_tokens"),
     )

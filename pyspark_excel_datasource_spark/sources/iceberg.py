@@ -289,6 +289,41 @@ def read_iceberg(
     )
 
 
+def files_meta(
+    table_path: str, snapshot_id: int | None = None
+) -> list[dict[str, Any]]:
+    """The ``files`` metadata table: one row per live data file of a
+    snapshot — path, identity partition values, record_count, size —
+    read purely from manifests (no data file is opened). This is how
+    Iceberg answers layout/maintenance questions (file counts, row
+    skew, compaction targets) at metadata cost.
+    """
+    md = _current_metadata(table_path)
+    snaps = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
+    sid = md.get("current-snapshot-id") if snapshot_id is None else snapshot_id
+    if sid not in snaps:
+        raise ValueError(f"snapshot {sid} not in {sorted(snaps)}")
+    mlist = snaps[sid]["manifest-list"]
+    mlist = mlist if os.path.isabs(mlist) else os.path.join(table_path, mlist)
+    out: list[dict[str, Any]] = []
+    for m in _read_avro(mlist):
+        mpath = m["manifest_path"]
+        mpath = mpath if os.path.isabs(mpath) else os.path.join(table_path, mpath)
+        for entry in _read_avro(mpath):
+            if entry["status"] == 2:
+                continue
+            rec = entry["data_file"]
+            out.append(
+                {
+                    "file_path": rec["file_path"],
+                    "partition": dict(rec.get("partition") or {}),
+                    "record_count": rec["record_count"],
+                    "file_size_in_bytes": rec["file_size_in_bytes"],
+                }
+            )
+    return out
+
+
 def snapshots(table_path: str) -> list[dict[str, Any]]:
     """Snapshot audit trail (id, operation, timestamp), newest first."""
     md = _current_metadata(table_path)

@@ -237,3 +237,66 @@ def q_iceberg_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(gone).cast("int").alias("timetravel_gone"),
         )
     )
+
+
+@query(
+    "q_iceberg_files",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(2 AS BIGINT) AS n_files,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS manifest_rows
+    FROM orders
+    WHERE o_orderkey % 7 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def q_iceberg_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``files`` metadata table: per-partition file count and row
+    count read from MANIFESTS ONLY (no data file opened), joined against
+    a real data-side census. The oracle pins n_files at exactly 2 (two
+    appends, each hash-partitioned so every status lands in one task =
+    one file) and requires ``manifest_rows`` (sum of the manifests'
+    record_count) to equal the scanned ``n_rows`` — the hash check
+    proves the committer's footer-collected statistics agree with the
+    data, which is what lets planners size scans and compaction from
+    metadata alone at 100 TB.
+    """
+    import shutil
+
+    from .iceberg import files_meta
+
+    out = os.path.join(_fixture_dir(sf_dir), "orders_files_iceberg")
+    shutil.rmtree(out, ignore_errors=True)
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    odd = F.col("o_orderkey") % 2 == 1
+    for i, part in enumerate((o.filter(~odd), o.filter(odd))):
+        write_iceberg(
+            spark,
+            part.repartition(2, F.col("o_orderstatus")),
+            out,
+            mode="append" if i else "overwrite",
+            partition_by=("o_orderstatus",),
+        )
+    meta = files_meta(out)
+    files_df = spark.createDataFrame(
+        [
+            (r["partition"]["o_orderstatus"], r["record_count"])
+            for r in meta
+        ],
+        "o_orderstatus string, record_count long",
+    ).groupBy("o_orderstatus").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum("record_count").cast("long").alias("manifest_rows"),
+    )
+    return (
+        read_iceberg(spark, out)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").cast("long").alias("n_rows"))
+        .join(F.broadcast(files_df), "o_orderstatus")
+        .select("o_orderstatus", "n_files", "n_rows", "manifest_rows")
+    )

@@ -89,6 +89,8 @@ ROUND8_AUTHORED: set[str] = {
     "q_regression_multi",
     "q_agg_theta",
     "q_regression_cv",
+    "q_iceberg_files",
+    "q_pipeline_classifier_filter",
 }
 
 
