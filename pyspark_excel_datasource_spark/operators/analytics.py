@@ -2499,30 +2499,16 @@ _THETA_SQL = f"""
             CASE WHEN nb < {_THETA_K} THEN {_THETA_M} ELSE mhb END AS tb
         FROM st
     ),
+    ti AS (
+        SELECT CASE WHEN ta < tb THEN ta ELSE tb END AS ti FROM th
+    ),
     th2 AS (
-        SELECT *,
-            CASE WHEN ta < tb THEN ta ELSE tb END AS ti,
+        SELECT th.*, ti.ti,
             (SELECT COUNT(*) FROM ka WHERE h IN (SELECT h FROM kb)
-               AND h < (CASE WHEN (SELECT CASE WHEN s.na < {_THETA_K}
-                                   THEN {_THETA_M} ELSE s.mha END FROM st s)
-                             < (SELECT CASE WHEN s.nb < {_THETA_K}
-                                   THEN {_THETA_M} ELSE s.mhb END FROM st s)
-                        THEN (SELECT CASE WHEN s.na < {_THETA_K}
-                                   THEN {_THETA_M} ELSE s.mha END FROM st s)
-                        ELSE (SELECT CASE WHEN s.nb < {_THETA_K}
-                                   THEN {_THETA_M} ELSE s.mhb END FROM st s) END)
-            ) AS ci,
+               AND h < ti.ti) AS ci,
             (SELECT COUNT(*) FROM ka WHERE h NOT IN (SELECT h FROM kb)
-               AND h < (CASE WHEN (SELECT CASE WHEN s.na < {_THETA_K}
-                                   THEN {_THETA_M} ELSE s.mha END FROM st s)
-                             < (SELECT CASE WHEN s.nb < {_THETA_K}
-                                   THEN {_THETA_M} ELSE s.mhb END FROM st s)
-                        THEN (SELECT CASE WHEN s.na < {_THETA_K}
-                                   THEN {_THETA_M} ELSE s.mha END FROM st s)
-                        ELSE (SELECT CASE WHEN s.nb < {_THETA_K}
-                                   THEN {_THETA_M} ELSE s.mhb END FROM st s) END)
-            ) AS cd
-        FROM th
+               AND h < ti.ti) AS cd
+        FROM th CROSS JOIN ti
     )
     SELECT measure, exact_count, estimate FROM (
         SELECT 'a_f_status' AS measure, CAST(xa AS BIGINT) AS exact_count,

@@ -203,13 +203,8 @@ def snapshot_iceberg(
     No replay — cost is O(manifests of this snapshot), independent of
     table history, the structural difference from the Delta log."""
     md = _current_metadata(table_path)
-    if int(md.get("format-version", 1)) != 1:
-        raise IcebergFormatError("only format-version 1 tables are supported")
-    snaps = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
-    sid = md.get("current-snapshot-id") if snapshot_id is None else snapshot_id
-    if sid not in snaps:
-        raise ValueError(f"snapshot {sid} not in {sorted(snaps)}")
-    snap_md = snaps[sid]
+    snap_md = _resolve_snapshot_md(md, snapshot_id)
+    sid = snap_md["snapshot-id"]
 
     # schema/spec are resolved PER SNAPSHOT, not from the table head —
     # after an overwrite changed the schema or partitioning, time travel
@@ -237,6 +232,30 @@ def snapshot_iceberg(
             )
         pcols.append(field_names.get(spec["source-id"], spec["name"]))
     files: dict[str, dict[str, str | None]] = {}
+    for df_rec in _live_data_files(table_path, snap_md):
+        files[df_rec["file_path"]] = dict(df_rec.get("partition") or {})
+    return IcebergSnapshot(
+        snapshot_id=sid, schema=schema, files=files, partition_columns=pcols
+    )
+
+
+def _resolve_snapshot_md(md: dict[str, Any], snapshot_id: int | None) -> dict[str, Any]:
+    """Shared snapshot lookup + format gate (the module's 'raises, never
+    silently wrong' contract lives here so every metadata reader gets it)."""
+    if int(md.get("format-version", 1)) != 1:
+        raise IcebergFormatError("only format-version 1 tables are supported")
+    snaps = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
+    sid = md.get("current-snapshot-id") if snapshot_id is None else snapshot_id
+    if sid not in snaps:
+        raise ValueError(f"snapshot {sid} not in {sorted(snaps)}")
+    return snaps[sid]
+
+
+def _live_data_files(table_path: str, snap_md: dict[str, Any]):
+    """Walk one snapshot's manifest list → manifests, yielding each LIVE
+    (status != DELETED) data_file record after the parquet gate. The one
+    copy of the metadata-tree walk that snapshot_iceberg and files_meta
+    share."""
     mlist = snap_md["manifest-list"]
     mlist = mlist if os.path.isabs(mlist) else os.path.join(table_path, mlist)
     for m in _read_avro(mlist):
@@ -250,10 +269,7 @@ def snapshot_iceberg(
                 raise IcebergFormatError(
                     f"unsupported data file format {df_rec['file_format']}"
                 )
-            files[df_rec["file_path"]] = dict(df_rec.get("partition") or {})
-    return IcebergSnapshot(
-        snapshot_id=sid, schema=schema, files=files, partition_columns=pcols
-    )
+            yield df_rec
 
 
 def read_iceberg(
@@ -299,29 +315,16 @@ def files_meta(
     skew, compaction targets) at metadata cost.
     """
     md = _current_metadata(table_path)
-    snaps = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
-    sid = md.get("current-snapshot-id") if snapshot_id is None else snapshot_id
-    if sid not in snaps:
-        raise ValueError(f"snapshot {sid} not in {sorted(snaps)}")
-    mlist = snaps[sid]["manifest-list"]
-    mlist = mlist if os.path.isabs(mlist) else os.path.join(table_path, mlist)
-    out: list[dict[str, Any]] = []
-    for m in _read_avro(mlist):
-        mpath = m["manifest_path"]
-        mpath = mpath if os.path.isabs(mpath) else os.path.join(table_path, mpath)
-        for entry in _read_avro(mpath):
-            if entry["status"] == 2:
-                continue
-            rec = entry["data_file"]
-            out.append(
-                {
-                    "file_path": rec["file_path"],
-                    "partition": dict(rec.get("partition") or {}),
-                    "record_count": rec["record_count"],
-                    "file_size_in_bytes": rec["file_size_in_bytes"],
-                }
-            )
-    return out
+    snap_md = _resolve_snapshot_md(md, snapshot_id)
+    return [
+        {
+            "file_path": rec["file_path"],
+            "partition": dict(rec.get("partition") or {}),
+            "record_count": rec["record_count"],
+            "file_size_in_bytes": rec["file_size_in_bytes"],
+        }
+        for rec in _live_data_files(table_path, snap_md)
+    ]
 
 
 def snapshots(table_path: str) -> list[dict[str, Any]]:
@@ -406,6 +409,7 @@ def write_iceberg(
     mode: str = "append",
     partition_by: tuple[str, ...] = (),
     operation: str | None = None,
+    base_version: int | None = None,
 ) -> int:
     """Commit ``df`` as one Iceberg snapshot; returns the snapshot id.
 
@@ -421,6 +425,14 @@ def write_iceberg(
     vocabulary: append/overwrite/replace/delete); ``rewrite_data_files``
     uses it to record compaction as ``replace``, the spec's name for a
     commit that changes files but not table content.
+
+    ``base_version`` pins the metadata version this commit must build
+    on: the writer reads THAT version and publishes base+1, so the
+    O_EXCL create turns a concurrent commit into
+    ``IcebergConcurrentCommitError`` instead of silently building on
+    newer state. Read-modify-write callers (``rewrite_data_files``)
+    pass the version they resolved their content from — the validation
+    real Iceberg's rewrite action performs.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -428,10 +440,18 @@ def write_iceberg(
     os.makedirs(os.path.join(table_path, _DATA), exist_ok=True)
 
     prev_md: dict[str, Any] | None
-    try:
-        prev_md = _current_metadata(table_path)
-    except FileNotFoundError:
-        prev_md = None
+    if base_version is not None:
+        with open(
+            os.path.join(_meta_dir(table_path), f"v{base_version}.metadata.json"),
+            encoding="utf-8",
+        ) as fh:
+            prev_md = json.load(fh)
+        prev_md["_version"] = base_version
+    else:
+        try:
+            prev_md = _current_metadata(table_path)
+        except FileNotFoundError:
+            prev_md = None
     version = 1 if prev_md is None else prev_md["_version"] + 1
     snap_id = version  # deterministic, monotonic
 
@@ -647,10 +667,13 @@ def rewrite_data_files(
 ) -> dict[str, int]:
     """Compaction (Iceberg's ``rewrite_data_files`` action): read the
     CURRENT snapshot, rewrite its content into ``target_files`` files
-    (per partition, for partitioned tables), and commit the result as a
-    ``replace`` snapshot — same rows, fewer files. Prior snapshots stay
-    readable via time travel; ``expire_snapshots`` later reclaims their
-    storage.
+    (up to ``target_files`` per identity partition, for partitioned
+    tables), and commit the result as a ``replace`` snapshot — same
+    rows, fewer files. Prior snapshots stay readable via time travel;
+    ``expire_snapshots`` later reclaims their storage. The commit pins
+    the metadata version the content was read from, so a concurrent
+    append between read and publish raises
+    ``IcebergConcurrentCommitError`` instead of being silently erased.
 
     Scale: the data rewrite is one distributed read + repartition +
     write (linear, no driver funnel); only file-level metadata touches
@@ -662,18 +685,38 @@ def rewrite_data_files(
     """
     if target_files < 1:
         raise ValueError(f"target_files must be >= 1, got {target_files}")
+    base_version = _current_metadata(table_path)["_version"]
     prev = snapshot_iceberg(table_path)
     df = read_iceberg(spark, table_path)
     pcols = tuple(prev.partition_columns)
-    if pcols:
+    if pcols and target_files == 1:
         # one shuffle keyed on the partition columns: each identity
-        # partition lands in `target_files` tasks → that many files
-        df = df.repartition(target_files, *[df[c] for c in pcols])
+        # partition's rows land in exactly one task → one file each
+        df = df.repartition(*[df[c] for c in pcols])
+    elif pcols:
+        # target_files > 1: a salt splits each identity partition across
+        # up to `target_files` tasks (hashing on pcols alone would put a
+        # whole partition in ONE task, silently ignoring target_files);
+        # the salt never reaches the written files
+        from pyspark.sql import functions as F
+
+        spread = max(
+            target_files, spark.sparkContext.defaultParallelism
+        ) * target_files
+        df = (
+            df.withColumn(
+                "_rdf_salt",
+                (F.monotonically_increasing_id() % target_files).cast("int"),
+            )
+            .repartition(spread, *[F.col(c) for c in pcols], F.col("_rdf_salt"))
+            .drop("_rdf_salt")
+        )
     else:
         df = df.repartition(target_files)
     snap_id = write_iceberg(
         spark, df, table_path, mode="overwrite",
         partition_by=pcols, operation="replace",
+        base_version=base_version,
     )
     new = snapshot_iceberg(table_path)
     return {
@@ -715,7 +758,9 @@ def expire_snapshots(table_path: str, keep_last: int = 1) -> dict[str, int]:
     a reachability computation over immutable metadata, no tombstone
     retention window.
 
-    Returns ``{"expired_snapshots", "deleted_manifests", "deleted_data_files"}``.
+    Returns ``{"expired_snapshots", "deleted_manifests", "deleted_data_files"}``
+    (``deleted_manifests`` counts manifests AND the expired snapshots'
+    manifest-list files — everything reclaimed under ``metadata/``).
     """
     if keep_last < 1:
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
@@ -754,11 +799,12 @@ def expire_snapshots(table_path: str, keep_last: int = 1) -> dict[str, int]:
         if os.path.exists(p):
             os.remove(p)
             deleted_manifests += 1
-    for s in expired:  # the expired snapshots' manifest LISTS
+    for s in expired:  # the expired snapshots' manifest LISTS count too
         mlist = s["manifest-list"]
         p = mlist if os.path.isabs(mlist) else os.path.join(table_path, mlist)
         if os.path.exists(p):
             os.remove(p)
+            deleted_manifests += 1
     return {
         "expired_snapshots": len(expired),
         "deleted_manifests": deleted_manifests,

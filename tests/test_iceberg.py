@@ -281,7 +281,8 @@ def test_expire_snapshots_keeps_shared_manifests_alive(spark, tmp_path):
     stats = expire_snapshots(path, keep_last=2)
     assert stats["expired_snapshots"] == 1
     assert stats["deleted_data_files"] == 0
-    assert stats["deleted_manifests"] == 0
+    # only s1's manifest LIST goes; its manifest itself is shared/live
+    assert stats["deleted_manifests"] == 1
     assert read_iceberg(spark, path).count() == full == n.count()
 
 
@@ -310,3 +311,66 @@ def test_manifest_record_counts_are_real(spark, three_snapshot_table):
             assert df_rec["record_count"] >= 0
             total += df_rec["record_count"]
     assert total > 0
+
+
+def test_rewrite_data_files_target_gt_one_partitioned(spark, tmp_path):
+    """target_files > 1 on a partitioned table must actually split each
+    identity partition across multiple files (salted shuffle), not
+    silently collapse to one file per partition."""
+    from pyspark_excel_datasource_spark.sources.iceberg import rewrite_data_files
+
+    path = str(tmp_path / "compact_split")
+    n = _nation(spark).select("n_nationkey", "n_name", "n_regionkey")
+    part = n.withColumn("rk", F.col("n_regionkey").cast("string")).drop("n_regionkey")
+    write_iceberg(spark, part.repartition(6), path, partition_by=("rk",))
+    rewrite_data_files(spark, path, target_files=3)
+    snap = snapshot_iceberg(path)
+    per_part: dict[str, int] = {}
+    for pv in snap.files.values():
+        per_part[pv["rk"]] = per_part.get(pv["rk"], 0) + 1
+    assert all(1 <= v <= 3 for v in per_part.values()), per_part
+    assert max(per_part.values()) > 1, f"salt had no effect: {per_part}"
+    assert read_iceberg(spark, path).count() == n.count()
+
+
+def test_rewrite_data_files_concurrent_append_raises(spark, tmp_path):
+    """Read-modify-write OCC: an append landing between the rewrite's
+    content read and its publish must fail the rewrite loudly instead of
+    silently erasing the appended rows."""
+    from pyspark_excel_datasource_spark.sources.iceberg import (
+        IcebergConcurrentCommitError,
+        _current_metadata,
+    )
+
+    path = str(tmp_path / "race")
+    n = _nation(spark)
+    write_iceberg(spark, n.filter(F.col("n_regionkey") < 2), path)
+    base = _current_metadata(path)["_version"]
+    df = read_iceberg(spark, path)
+    # concurrent writer commits between read and publish
+    write_iceberg(spark, n.filter(F.col("n_regionkey") >= 2), path, mode="append")
+    with pytest.raises(IcebergConcurrentCommitError):
+        write_iceberg(
+            spark, df, path, mode="overwrite",
+            operation="replace", base_version=base,
+        )
+    # the loser changed nothing: both writers' rows are present
+    assert read_iceberg(spark, path).count() == n.count()
+
+
+def test_files_meta_format_gate(spark, tmp_path):
+    """files_meta shares snapshot_iceberg's guards: a format-version-2
+    table raises instead of being silently misread."""
+    from pyspark_excel_datasource_spark.sources.iceberg import (
+        IcebergFormatError,
+        files_meta,
+    )
+
+    path = str(tmp_path / "v2gate")
+    write_iceberg(spark, _nation(spark), path)
+    meta = os.path.join(path, "metadata", "v1.metadata.json")
+    md = json.load(open(meta))
+    md["format-version"] = 2
+    json.dump(md, open(meta, "w"))
+    with pytest.raises(IcebergFormatError):
+        files_meta(path)
