@@ -3,7 +3,7 @@ large-scale training-data pipeline runs over its corpus (quality
 classifiers, importance models) — expressed as pure DataFrame algebra,
 no MLlib, no iteration beyond what closed forms avoid.
 
-Two families here:
+The families here:
 
 - ``q_nb_classify`` — multinomial naive Bayes text classification
   (train on half the corpus, score the other half). This is the shape
@@ -11,10 +11,17 @@ Two families here:
   pretraining data (CCNet, GPT-3's WebText classifier, FineWeb-edu):
   a bag-of-words model whose TRAINING is one aggregation pass and whose
   SCORING is a broadcast join — both embarrassingly parallel.
+- ``q_pipeline_classifier_filter`` — the classifier embedded in the
+  full curation chain (language gate → length gate → prefix dedup →
+  per-source census), sharing the model definition via
+  ``nb_predictions`` / ``nb_pred_sql``.
 - ``q_regression_multi`` — multi-feature OLS in closed form via normal
   equations + Cramer's rule, the k-feature generalization of
   ``q_regression_by_group`` (extras.py): one exact-decimal aggregation
   pass collects the Gram matrix, the solve is a pure projection.
+- ``q_regression_cv`` — k-fold cross-validation of that model from the
+  SAME single pass: per-fold statistics, train = totals − fold, and
+  out-of-fold RMSE by algebraic SSE expansion.
 
 Determinism conventions (see operators/relational.py docstring):
 integer/decimal sufficient statistics are exact and order-independent;

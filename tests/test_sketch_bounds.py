@@ -253,3 +253,42 @@ def test_agg_theta_error_bounds(spark, queries):
     # absolute ~union/k there, so assert the additive bound instead
     r = out["diff_a_minus_b"]
     assert 0 <= r.estimate <= r.exact_count + 4 * expect["union"] / _THETA_K
+
+
+def test_agg_theta_estimates_match_pure_python_kmv(spark, queries):
+    """Independent-code exactness: rebuild both KMV sketches in pure
+    Python (hashlib md5, k smallest, same estimator trees) and require
+    the query's ESTIMATES to match to float equality — a bug that
+    shifted both engines' sketch identically (they share the md5/k
+    definitions) would still trip here."""
+    import hashlib
+
+    from pyspark_excel_datasource_spark.operators.analytics import (
+        _THETA_K,
+        _THETA_M,
+    )
+
+    out = {r.measure: r for r in queries["q_agg_theta"](spark, SF).collect()}
+    o = spark.read.parquet(f"{SF}/orders.parquet").collect()
+    h = lambda k: int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)  # noqa: E731
+    a = sorted({h(r.o_custkey) for r in o if r.o_orderstatus == "F"})
+    b = sorted({h(r.o_custkey) for r in o if r.o_orderstatus == "O"})
+    u = sorted(set(a) | set(b))
+
+    def kmv_est(hs):
+        kept = hs[:_THETA_K]
+        if len(kept) < _THETA_K:
+            return float(len(kept))
+        return float(_THETA_K - 1) * float(_THETA_M) / float(kept[-1])
+
+    assert out["a_f_status"].estimate == kmv_est(a)
+    assert out["b_o_status"].estimate == kmv_est(b)
+    assert out["union"].estimate == kmv_est(u)
+    ta = _THETA_M if len(a) < _THETA_K else a[:_THETA_K][-1]
+    tb = _THETA_M if len(b) < _THETA_K else b[:_THETA_K][-1]
+    ti = min(ta, tb)
+    ka, kb = set(a[:_THETA_K]), set(b[:_THETA_K])
+    ci = sum(1 for x in ka & kb if x < ti)
+    cd = sum(1 for x in ka - kb if x < ti)
+    assert out["intersect"].estimate == float(ci) * float(_THETA_M) / float(ti)
+    assert out["diff_a_minus_b"].estimate == float(cd) * float(_THETA_M) / float(ti)
