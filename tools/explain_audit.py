@@ -68,6 +68,17 @@ ALLOWED_NESTED_LOOP = {
     # broadcast of the 1-row (n_raw_tot, n_tgt_tot) totals onto the
     # 256-row bucket frame — scalar attach, same shape as q_drift_kl
     "q_sample_importance",
+    # NB model attach: the |classes|-row totals frame and the 1-row vocab
+    # size broadcast onto the token stream — the model side is bounded by
+    # vocabulary, never by corpus (measured sublinear in scale_stress)
+    "q_nb_classify",
+    "q_pipeline_classifier_filter",
+    # broadcast of the 1-row fold-totals frame onto the 4-row per-fold
+    # statistics — scalar attach on a k-row frame
+    "q_regression_cv",
+    # the ≤k-row sketch frames and 1-row theta cross-join each other —
+    # every side is O(k)=128 rows by construction
+    "q_agg_theta",
 }
 
 
