@@ -300,3 +300,69 @@ def q_iceberg_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(files_df), "o_orderstatus")
         .select("o_orderstatus", "n_files", "n_rows", "manifest_rows")
     )
+
+
+@query(
+    "q_stream_iceberg",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+    FROM orders
+    WHERE o_orderkey % 3 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def q_stream_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-streaming drain of an Iceberg table
+    (``pyiceberg_stream`` source): offsets are SNAPSHOT IDS, each
+    micro-batch reads exactly the manifest entries ADDED by its snapshot
+    range — shared manifests from earlier appends are never re-emitted,
+    and the fixture's final ``replace`` snapshot (rewrite_data_files
+    compaction) is INVISIBLE to the stream, the snapshot-tree analog of
+    Delta's dataChange=false OPTIMIZE (``q_stream_delta``). The drained
+    census therefore equals the two appends' union exactly — a re-emit
+    of the compacted files would double every count and fail the hash.
+    """
+    import uuid
+
+    from .iceberg import rewrite_data_files
+    from .iceberg_stream import register_pyiceberg_stream
+
+    register_pyiceberg_stream(spark)
+    out = os.path.join(_fixture_dir(sf_dir), "orders_stream_iceberg")
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 3 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    odd = F.col("o_orderkey") % 2 == 1
+    write_iceberg(spark, o.filter(~odd).repartition(2), out)
+    write_iceberg(spark, o.filter(odd).repartition(2), out, mode="append")
+    rewrite_data_files(spark, out, target_files=1)
+
+    sink = f"stream_iceberg_{uuid.uuid4().hex[:10]}"
+    stream = spark.readStream.format("pyiceberg_stream").load(out)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(120):
+            raise TimeoutError("q_stream_iceberg: drain did not finish in 120s")
+    finally:
+        q.stop()
+    return (
+        spark.table(sink)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+        )
+    )

@@ -1,0 +1,182 @@
+"""Streaming reader over Iceberg snapshots (``pyiceberg_stream``).
+
+The snapshot list IS the offset ledger: a micro-batch is the half-open
+snapshot-id range ``(start, end]``, and its input files are exactly the
+manifest entries ADDED by those snapshots (status=1 with the matching
+``snapshot_id`` — old manifests shared into an append's manifest list
+carry their original ids, so re-listing a table never re-emits rows).
+Offsets are replayable by construction: same range → same manifest
+entries → same files.
+
+Commit classification mirrors the Delta stream source
+(``delta_stream.py``), translated to snapshot-tree vocabulary:
+
+- ``append`` snapshots stream their added files incrementally;
+- ``replace`` snapshots (``rewrite_data_files`` compaction) are
+  INVISIBLE — same rows, different files — exactly like Delta's
+  ``dataChange=false`` OPTIMIZE commits;
+- ``overwrite`` snapshots rewrite data and fail loudly unless
+  ``ignoreChanges=true`` streams their added files (rows may repeat —
+  the documented trade-off, same as Delta's ignoreChanges);
+- a start offset naming a snapshot that ``expire_snapshots`` has since
+  removed fails loudly (continuity can no longer be proven) instead of
+  silently skipping data — the analog of streaming a VACUUMed Delta log.
+
+Scale: one input partition per added data file; the worker reads its
+single parquet file via Arrow and attaches identity partition columns
+from the manifest's partition record (data files legally omit them) —
+no join, no driver funnel; the driver only ever walks Avro manifests.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import pyarrow as pa
+import pyarrow.parquet as papq
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from .delta_stream import _arrow_field_type
+from .iceberg import _current_metadata, _read_avro, snapshot_iceberg
+
+
+@dataclass
+class IcebergFilePartition(InputPartition):
+    path: str
+    partition_values: str  # JSON {col: string|null}
+
+
+def _added_files(table_path: str, snap_md: dict) -> list[tuple[str, dict]]:
+    """(file_path, partition values) for entries this snapshot ADDED."""
+    sid = snap_md["snapshot-id"]
+    mlist = snap_md["manifest-list"]
+    mlist = mlist if os.path.isabs(mlist) else os.path.join(table_path, mlist)
+    out: list[tuple[str, dict]] = []
+    for m in _read_avro(mlist):
+        if m.get("added_snapshot_id") not in (None, sid):
+            continue  # a shared manifest from an earlier snapshot
+        mpath = m["manifest_path"]
+        mpath = mpath if os.path.isabs(mpath) else os.path.join(table_path, mpath)
+        for entry in _read_avro(mpath):
+            if entry["status"] != 1 or entry.get("snapshot_id") != sid:
+                continue
+            rec = entry["data_file"]
+            out.append((rec["file_path"], dict(rec.get("partition") or {})))
+    return out
+
+
+class IcebergStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: T.StructType, options: dict):
+        self.bound_schema = schema
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("pyiceberg_stream requires a table path")
+
+        def _flag(*names: str) -> bool:
+            for n in names:
+                if n in options:
+                    return str(options[n]).lower() in ("true", "1")
+            return False
+
+        self.ignore_changes = _flag("ignoreChanges", "ignorechanges")
+        snapshot_iceberg(self.path)  # validates table + format gate
+
+    def initialOffset(self) -> dict:
+        return {"snapshot_id": 0}
+
+    def latestOffset(self) -> dict:
+        md = _current_metadata(self.path)
+        ids = [s["snapshot-id"] for s in md.get("snapshots", [])]
+        return {"snapshot_id": max(ids) if ids else 0}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        lo, hi = int(start["snapshot_id"]), int(end["snapshot_id"])
+        md = _current_metadata(self.path)
+        snaps = sorted(
+            md.get("snapshots", []), key=lambda s: s["snapshot-id"]
+        )
+        ids = {s["snapshot-id"] for s in snaps}
+        if lo != 0 and lo not in ids:
+            raise RuntimeError(
+                f"pyiceberg_stream: start snapshot {lo} was expired from "
+                f"{self.path} (retained: {sorted(ids)}); continuity cannot "
+                "be proven — start a fresh stream"
+            )
+        parts: list[InputPartition] = []
+        for s in snaps:
+            sid = s["snapshot-id"]
+            if not (lo < sid <= hi):
+                continue
+            op = s.get("summary", {}).get("operation", "append")
+            if op == "replace":
+                continue  # compaction: same rows, different files
+            if op == "overwrite" and not self.ignore_changes:
+                raise RuntimeError(
+                    f"pyiceberg_stream: snapshot {sid} is an OVERWRITE "
+                    "(data rewrite); set ignoreChanges=true to stream its "
+                    "added files (rows may repeat) or start a fresh stream"
+                )
+            for rel, pv in _added_files(self.path, s):
+                p = rel if os.path.isabs(rel) else os.path.join(self.path, rel)
+                parts.append(IcebergFilePartition(p, json.dumps(pv)))
+        return parts
+
+    def read(self, partition: IcebergFilePartition):
+        pv = json.loads(partition.partition_values)
+        tbl = papq.read_table(partition.path)
+        n = tbl.num_rows
+        file_cols = set(tbl.schema.names)
+        cols, names = [], []
+        for f in self.bound_schema.fields:
+            at = _arrow_field_type(f.dataType)
+            if f.name in pv:
+                val = pv[f.name]
+                if val is None:
+                    arr = pa.nulls(n, at)
+                else:
+                    arr = pa.repeat(pa.scalar(val, type=pa.string()), n).cast(at)
+            elif f.name not in file_cols:
+                # pre-schema-evolution file: fill null like the snapshot
+                # reader does
+                arr = pa.nulls(n, at)
+            else:
+                arr = tbl.column(f.name).combine_chunks().cast(at)
+            cols.append(arr)
+            names.append(f.name)
+        out = pa.table(dict(zip(names, cols)))
+        yield from out.to_batches(max_chunksize=1 << 16)
+
+    def commit(self, end: dict) -> None:
+        pass  # snapshot offsets live in the metadata; nothing to clean up
+
+    def stop(self) -> None:
+        pass
+
+
+class IcebergStreamDataSource(DataSource):
+    """``spark.readStream.format("pyiceberg_stream").load(table_path)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pyiceberg_stream"
+
+    def schema(self) -> T.StructType:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("pyiceberg_stream requires a table path")
+        return snapshot_iceberg(path).schema
+
+    def streamReader(self, schema: T.StructType) -> IcebergStreamReader:
+        return IcebergStreamReader(schema, dict(self.options))
+
+
+def register_pyiceberg_stream(spark: SparkSession) -> None:
+    spark.dataSource.register(IcebergStreamDataSource)

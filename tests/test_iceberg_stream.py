@@ -1,0 +1,121 @@
+"""Iceberg streaming source (pyiceberg_stream): incremental snapshot
+consumption, compaction invisibility, overwrite gating, expiry guard."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_excel_datasource_spark.sources.iceberg import (
+    expire_snapshots,
+    rewrite_data_files,
+    write_iceberg,
+)
+from pyspark_excel_datasource_spark.sources.iceberg_stream import (
+    IcebergStreamReader,
+    register_pyiceberg_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _nation(spark):
+    return spark.read.parquet(os.path.join(SF, "nation.parquet"))
+
+
+def _drain(spark, path, name, **opts):
+    register_pyiceberg_stream(spark)
+    reader = spark.readStream.format("pyiceberg_stream")
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load(path)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(120)
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def test_appends_stream_incrementally_with_checkpoint(spark, tmp_path):
+    """Each append becomes its own micro-batch against a persistent
+    checkpoint: restarting the stream after a new append emits ONLY the
+    new snapshot's rows (offset replay, no duplicates)."""
+    path = str(tmp_path / "t")
+    n = _nation(spark)
+    write_iceberg(spark, n.filter(F.col("n_regionkey") < 2), path)
+    register_pyiceberg_stream(spark)
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.format("pyiceberg_stream")
+            .load(path)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(120)
+        finally:
+            q.stop()
+
+    drain()
+    first = n.filter(F.col("n_regionkey") < 2).count()
+    assert spark.read.parquet(out).count() == first
+    write_iceberg(spark, n.filter(F.col("n_regionkey") >= 2), path, mode="append")
+    drain()
+    got = spark.read.parquet(out)
+    assert got.count() == n.count(), "restart must emit ONLY the new snapshot"
+    assert {r.n_nationkey for r in got.collect()} == {
+        r.n_nationkey for r in n.collect()
+    }
+
+
+def test_replace_snapshot_is_invisible(spark, tmp_path):
+    path = str(tmp_path / "t")
+    n = _nation(spark)
+    write_iceberg(spark, n.repartition(4), path)
+    rewrite_data_files(spark, path, target_files=1)
+    got = _drain(spark, path, "ice_replace_sink")
+    assert got.count() == n.count()  # compaction emitted nothing extra
+
+
+def test_overwrite_requires_ignore_changes(spark, tmp_path):
+    path = str(tmp_path / "t")
+    n = _nation(spark)
+    write_iceberg(spark, n.filter(F.col("n_regionkey") < 2), path)
+    write_iceberg(
+        spark, n.filter(F.col("n_regionkey") == 3), path, mode="overwrite"
+    )
+    with pytest.raises(Exception, match="ignoreChanges"):
+        _drain(spark, path, "ice_ow_fail")
+    got = _drain(spark, path, "ice_ow_ok", ignoreChanges="true")
+    # both snapshots' added files stream (documented duplicate semantics)
+    assert got.count() == (
+        n.filter(F.col("n_regionkey") < 2).count()
+        + n.filter(F.col("n_regionkey") == 3).count()
+    )
+
+
+def test_expired_start_offset_fails_loudly(spark, tmp_path):
+    path = str(tmp_path / "t")
+    n = _nation(spark)
+    write_iceberg(spark, n.filter(F.col("n_regionkey") < 2), path)
+    write_iceberg(spark, n.filter(F.col("n_regionkey") >= 2), path, mode="append")
+    reader = IcebergStreamReader(None, {"path": path})
+    # snapshot 1 consumed, then expired away
+    expire_snapshots(path, keep_last=1)
+    with pytest.raises(RuntimeError, match="expired"):
+        reader.partitions({"snapshot_id": 1}, {"snapshot_id": 2})

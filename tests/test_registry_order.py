@@ -91,6 +91,7 @@ ROUND8_AUTHORED: set[str] = {
     "q_regression_cv",
     "q_iceberg_files",
     "q_pipeline_classifier_filter",
+    "q_stream_iceberg",
 }
 
 
