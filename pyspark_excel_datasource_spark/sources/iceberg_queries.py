@@ -366,3 +366,44 @@ def q_stream_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_orderkey").cast("long").alias("sum_key"),
         )
     )
+
+
+@query(
+    "q_iceberg_incremental",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+    FROM orders
+    WHERE o_orderkey % 3 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def q_iceberg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch INCREMENTAL read between snapshots (Iceberg's
+    incremental-append scan): the rows ADDED by snapshot 2 of the shared
+    3-snapshot fixture, resolved purely from manifest entries with
+    status=ADDED and the matching snapshot id — shared manifests from
+    snapshot 1 contribute nothing, so the result is exactly the second
+    append's input (the ``o_orderkey % 3 = 0`` remainder), not the
+    table. This is the batch twin of the ``pyiceberg_stream`` source's
+    per-snapshot micro-batches: same ledger, same added-files rule,
+    consumed as one DataFrame for backfill-style jobs.
+    """
+    from .deltalog import _read_files
+    from .iceberg import _current_metadata, snapshot_iceberg
+    from .iceberg_stream import _added_files
+
+    path = _materialize_orders_iceberg(spark, sf_dir)
+    md = _current_metadata(path)
+    snaps = {s["snapshot-id"]: s for s in md["snapshots"]}
+    added = dict(_added_files(path, snaps[2]))
+    snap = snapshot_iceberg(path, snapshot_id=2)
+    return (
+        _read_files(spark, path, added, snap.schema, snap.partition_columns)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+        )
+    )

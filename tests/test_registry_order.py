@@ -92,6 +92,7 @@ ROUND8_AUTHORED: set[str] = {
     "q_iceberg_files",
     "q_pipeline_classifier_filter",
     "q_stream_iceberg",
+    "q_iceberg_incremental",
 }
 
 
