@@ -663,7 +663,10 @@ def _publish_metadata(table_path: str, md: dict[str, Any], version: int) -> None
 
 
 def rewrite_data_files(
-    spark: SparkSession, table_path: str, target_files: int = 1
+    spark: SparkSession,
+    table_path: str,
+    target_files: int = 1,
+    sort_by: tuple[str, ...] = (),
 ) -> dict[str, int]:
     """Compaction (Iceberg's ``rewrite_data_files`` action): read the
     CURRENT snapshot, rewrite its content into ``target_files`` files
@@ -674,6 +677,14 @@ def rewrite_data_files(
     the metadata version the content was read from, so a concurrent
     append between read and publish raises
     ``IcebergConcurrentCommitError`` instead of being silently erased.
+
+    ``sort_by`` implements Iceberg's sort-order rewrite: rows sort
+    WITHIN each output task on the given columns before writing, so the
+    rewritten files carry tight per-file min/max ranges on those columns
+    — the property that makes post-compaction scans prunable by footer
+    statistics (Spark's parquet row-group skipping; Iceberg
+    lower/upper_bounds on real writers). Local sorts only, never a
+    global exchange.
 
     Scale: the data rewrite is one distributed read + repartition +
     write (linear, no driver funnel); only file-level metadata touches
@@ -711,8 +722,14 @@ def rewrite_data_files(
             .repartition(spread, *[F.col(c) for c in pcols], F.col("_rdf_salt"))
             .drop("_rdf_salt")
         )
+    elif sort_by:
+        # range partitioning + local sort = globally sorted layout with
+        # DISJOINT per-file ranges — maximal footer-stat pruning
+        df = df.repartitionByRange(target_files, *[df[c] for c in sort_by])
     else:
         df = df.repartition(target_files)
+    if sort_by:
+        df = df.sortWithinPartitions(*[df[c] for c in sort_by])
     snap_id = write_iceberg(
         spark, df, table_path, mode="overwrite",
         partition_by=pcols, operation="replace",

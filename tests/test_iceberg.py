@@ -374,3 +374,35 @@ def test_files_meta_format_gate(spark, tmp_path):
     json.dump(md, open(meta, "w"))
     with pytest.raises(IcebergFormatError):
         files_meta(path)
+
+
+def test_rewrite_data_files_sorted_layout(spark, tmp_path):
+    """sort_by compaction: range partitioning + local sort yields files
+    that are internally sorted with DISJOINT key ranges (the layout
+    footer-stat pruning needs), with content unchanged."""
+    import pyarrow.parquet as pq
+
+    from pyspark_excel_datasource_spark.sources.iceberg import (
+        files_meta,
+        rewrite_data_files,
+    )
+
+    path = str(tmp_path / "sorted")
+    n = _nation(spark)
+    write_iceberg(spark, n.repartition(5), path)
+    before = {tuple(r) for r in read_iceberg(spark, path).collect()}
+    stats = rewrite_data_files(
+        spark, path, target_files=3, sort_by=("n_nationkey",)
+    )
+    assert stats["files_after"] == 3
+    ranges = []
+    for f in files_meta(path):
+        keys = pq.read_table(
+            os.path.join(path, f["file_path"]), columns=["n_nationkey"]
+        )["n_nationkey"].to_pylist()
+        assert keys == sorted(keys), "file not internally sorted"
+        ranges.append((min(keys), max(keys)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"overlapping file ranges: {ranges}"
+    assert {tuple(r) for r in read_iceberg(spark, path).collect()} == before
