@@ -225,6 +225,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_pipeline_classifier_filter",
     "q_stream_iceberg",
     "q_iceberg_incremental",
+    "q_iceberg_history",
     # C. prior greens: the round-7 window first (re-verdicted r7), then
     #    the round-6 window, then remaining greens in registration order
     "q_tpch_q7ish",

@@ -407,3 +407,29 @@ def q_iceberg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_orderkey").cast("long").alias("sum_key"),
         )
     )
+
+
+@query(
+    "q_iceberg_history",
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(3 AS BIGINT), 'overwrite'),
+        (CAST(2 AS BIGINT), 'append'),
+        (CAST(1 AS BIGINT), 'append')
+    ) AS t(snapshot_id, operation)
+    """,
+)
+def q_iceberg_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The snapshot audit trail (Iceberg's ``history``/``snapshots``
+    metadata tables), newest first — the snapshot-tree twin of
+    ``q_delta_history``'s commit journal. The shared 3-snapshot fixture's
+    lifecycle (append, append, overwrite) is deterministic, so the
+    oracle is a literal VALUES table; a lost snapshot, an extra one, or
+    a mislabeled operation hash-mismatches. Driver-side O(snapshots)
+    metadata, like snapshot resolution itself.
+    """
+    path = _materialize_orders_iceberg(spark, sf_dir)
+    rows = [
+        (int(s["snapshot_id"]), s["operation"]) for s in snapshots(path)
+    ]
+    return spark.createDataFrame(rows, "snapshot_id long, operation string")

@@ -93,6 +93,7 @@ ROUND8_AUTHORED: set[str] = {
     "q_pipeline_classifier_filter",
     "q_stream_iceberg",
     "q_iceberg_incremental",
+    "q_iceberg_history",
 }
 
 
