@@ -42,12 +42,13 @@ from ..functions.determinism import dround, sql_dround
 from ..plans.registry import query
 
 
-def nb_pred_sql(test_select: str) -> str:
-    """The naive-Bayes prediction pipeline as a DuckDB CTE chain,
-    parameterized on the test-set SELECT — shared by the standalone
-    classifier oracle and the classifier-filter composite's oracle so
-    both engines' models stay definitionally identical. Yields columns
-    (doc_id, pred_lang, true_lang, correct)."""
+def nb_scores_sql(test_select: str) -> str:
+    """The naive-Bayes SCORING pipeline as DuckDB CTEs, parameterized on
+    the test-set SELECT. Yields the CTE preamble whose final CTE
+    ``with_prior`` has columns (doc_id, true_lang, cls, score) — callers
+    append their own SELECT (argmax, AUC ranks, per-class metrics).
+    Shared by every NB-family oracle so the model stays definitionally
+    identical across queries and engines."""
     return f"""
     WITH train AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
     test AS ({test_select}),
@@ -80,7 +81,14 @@ def nb_pred_sql(test_select: str) -> str:
                  AS score
         FROM doc_scores d
         JOIN classes k ON k.lang = d.cls
-        CROSS JOIN nd n),
+        CROSS JOIN nd n)
+    """
+
+
+def nb_pred_sql(test_select: str) -> str:
+    """Argmax layer over ``nb_scores_sql``: one prediction row per test
+    doc with columns (doc_id, pred_lang, true_lang, correct)."""
+    return f"""{nb_scores_sql(test_select)},
     ranked AS (
         SELECT doc_id, true_lang, cls,
                ROW_NUMBER() OVER (
@@ -129,6 +137,27 @@ def nb_predictions(train: DataFrame, test: DataFrame) -> DataFrame:
     """Train multinomial NB on ``train`` (columns doc_id, text, lang) and
     return one prediction row per ``test`` doc: (doc_id, pred_lang,
     true_lang, correct). Plan shape documented on ``q_nb_classify``."""
+    doc_scores = nb_scores(train, test)
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("cls").asc())
+    return (
+        doc_scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("cls").alias("pred_lang"),
+            "true_lang",
+            F.when(F.col("cls") == F.col("true_lang"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("correct"),
+        )
+    )
+
+
+def nb_scores(train: DataFrame, test: DataFrame) -> DataFrame:
+    """The NB scoring frame: one row per (test doc, class) with columns
+    (doc_id, true_lang, cls, score) — the Spark twin of
+    ``nb_scores_sql``'s ``with_prior`` CTE."""
     tok = lambda df: F.explode(F.split(F.lower(df["text"]), " ")).alias("tok")  # noqa: E731
 
     tr = train.select("lang", tok(train))
@@ -174,7 +203,7 @@ def nb_predictions(train: DataFrame, test: DataFrame) -> DataFrame:
             ).alias("ln_prior"),
         )
     )
-    doc_scores = (
+    return (
         tok_scores.groupBy("doc_id", "true_lang", "cls")
         .agg(
             F.aggregate(
@@ -189,20 +218,6 @@ def nb_predictions(train: DataFrame, test: DataFrame) -> DataFrame:
             "true_lang",
             "cls",
             (F.col("sum_lnp") + F.col("ln_prior")).alias("score"),
-        )
-    )
-    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("cls").asc())
-    return (
-        doc_scores.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "doc_id",
-            F.col("cls").alias("pred_lang"),
-            "true_lang",
-            F.when(F.col("cls") == F.col("true_lang"), 1)
-            .otherwise(0)
-            .cast("int")
-            .alias("correct"),
         )
     )
 
@@ -679,4 +694,183 @@ def q_pipeline_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deduped.groupBy("source").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("ntok").cast("long").alias("n_tokens"),
+    )
+
+
+@query(
+    "q_eval_confusion",
+    oracle=f"""
+    WITH preds AS (
+        SELECT * FROM (
+            {nb_pred_sql("SELECT * FROM documents WHERE doc_id % 2 = 1")}
+        )
+    ),
+    tp AS (SELECT pred_lang AS cls, COUNT(*) AS tp
+           FROM preds WHERE pred_lang = true_lang GROUP BY 1),
+    by_pred AS (SELECT pred_lang AS cls, COUNT(*) AS n_pred
+                FROM preds GROUP BY 1),
+    by_true AS (SELECT true_lang AS cls, COUNT(*) AS n_true
+                FROM preds GROUP BY 1),
+    m AS (
+        SELECT t.cls,
+               CAST(COALESCE(p.tp, 0) AS BIGINT) AS tp,
+               CAST(COALESCE(bp.n_pred, 0) AS BIGINT) AS n_pred,
+               CAST(t.n_true AS BIGINT) AS n_true,
+               CASE WHEN COALESCE(bp.n_pred, 0) = 0 THEN CAST(0 AS DOUBLE)
+                    ELSE CAST(COALESCE(p.tp, 0) AS DOUBLE)
+                         / CAST(bp.n_pred AS DOUBLE) END AS precision,
+               CAST(COALESCE(p.tp, 0) AS DOUBLE)
+                   / CAST(t.n_true AS DOUBLE) AS recall
+        FROM by_true t
+        LEFT JOIN tp p ON p.cls = t.cls
+        LEFT JOIN by_pred bp ON bp.cls = t.cls
+    )
+    SELECT cls, tp, n_pred, n_true, precision, recall,
+           CASE WHEN precision + recall = 0 THEN CAST(0 AS DOUBLE)
+                ELSE 2 * precision * recall / (precision + recall)
+           END AS f1
+    FROM m
+    """,
+)
+def q_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class classifier evaluation (precision / recall / F1) over
+    the NB predictions — the confusion-matrix summary every model-based
+    corpus filter is judged by before it gates terabytes. One row per
+    TRUE class; classes the model never predicts get precision 0 by the
+    guarded division. All inputs are integer counts; precision/recall
+    are single IEEE divisions of identical integers and F1 a fixed tree,
+    so the metrics hash bit-equal. Scale: three count aggregations over
+    the prediction frame (itself scale-shaped, see ``q_nb_classify``)
+    joined on the ≤|classes| key."""
+    d = spread(table(spark, sf_dir, "documents"))
+    preds = nb_predictions(
+        d.filter(F.col("doc_id") % 2 == 0), d.filter(F.col("doc_id") % 2 == 1)
+    )
+    tp = (
+        preds.filter(F.col("pred_lang") == F.col("true_lang"))
+        .groupBy(F.col("pred_lang").alias("cls"))
+        .agg(F.count("*").alias("tp"))
+    )
+    by_pred = preds.groupBy(F.col("pred_lang").alias("cls")).agg(
+        F.count("*").alias("n_pred")
+    )
+    by_true = preds.groupBy(F.col("true_lang").alias("cls")).agg(
+        F.count("*").alias("n_true")
+    )
+    m = (
+        by_true.join(F.broadcast(tp), "cls", "left")
+        .join(F.broadcast(by_pred), "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+            F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
+            F.col("n_true").cast("long").alias("n_true"),
+        )
+        .withColumn(
+            "precision",
+            F.when(F.col("n_pred") == 0, F.lit(0.0)).otherwise(
+                F.col("tp").cast("double") / F.col("n_pred").cast("double")
+            ),
+        )
+        .withColumn(
+            "recall",
+            F.col("tp").cast("double") / F.col("n_true").cast("double"),
+        )
+    )
+    return m.select(
+        "cls",
+        "tp",
+        "n_pred",
+        "n_true",
+        "precision",
+        "recall",
+        F.when(F.col("precision") + F.col("recall") == 0, F.lit(0.0))
+        .otherwise(
+            F.lit(2) * F.col("precision") * F.col("recall")
+            / (F.col("precision") + F.col("recall"))
+        )
+        .alias("f1"),
+    )
+
+
+@query(
+    "q_eval_auc",
+    oracle=f"""
+    WITH scored AS (
+        SELECT * FROM (
+            {nb_scores_sql("SELECT * FROM documents WHERE doc_id % 2 = 1")}
+            SELECT doc_id,
+                   CAST(CASE WHEN true_lang = 'en' THEN 1 ELSE 0 END AS INT)
+                       AS pos,
+                   score
+            FROM with_prior WHERE cls = 'en'
+        )
+    ),
+    ranked AS (
+        SELECT pos,
+               ROW_NUMBER() OVER (ORDER BY score, doc_id) AS r
+        FROM scored
+    ),
+    agg AS (
+        SELECT CAST(SUM(CASE WHEN pos = 1 THEN r ELSE 0 END) AS BIGINT)
+                   AS rank_sum,
+               CAST(SUM(pos) AS BIGINT) AS n_pos,
+               CAST(SUM(1 - pos) AS BIGINT) AS n_neg
+        FROM ranked
+    )
+    SELECT n_pos, n_neg,
+           (CAST(rank_sum AS DOUBLE)
+              - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1) / 2)
+             / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc
+    FROM agg
+    """,
+)
+def q_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of the NB 'en' score as a one-vs-rest detector, via the
+    rank statistic (Mann–Whitney U): AUC = (Σ ranks of positives −
+    n⁺(n⁺+1)/2) / (n⁺ n⁻). Ranks are integers under a total order
+    (score, doc_id) — scores are bit-deterministic (``q_text_lm_score``
+    fold convention), the doc_id tiebreak makes ranking exact, and the
+    final expression is one fixed double tree, so the AUC itself
+    hash-verifies bit-for-bit. The threshold-free quality number for a
+    corpus-filter model, complementing ``q_eval_confusion``'s
+    threshold-bound view. Scale: scoring is the NB plan; the rank is
+    one global sort of |test docs| rows (a top-level window on a frame
+    already reduced from tokens to docs — the unavoidable O(n log n) of
+    exact AUC; sampled AUC is the relaxation at extreme scale)."""
+    d = spread(table(spark, sf_dir, "documents"))
+    scored = (
+        nb_scores(
+            d.filter(F.col("doc_id") % 2 == 0),
+            d.filter(F.col("doc_id") % 2 == 1),
+        )
+        .filter(F.col("cls") == "en")
+        .select(
+            "doc_id",
+            F.when(F.col("true_lang") == "en", 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("pos"),
+            "score",
+        )
+    )
+    ranked = scored.withColumn(
+        "r",
+        F.row_number().over(W.orderBy(F.col("score").asc(), F.col("doc_id").asc())),
+    )
+    agg = ranked.agg(
+        F.sum(F.when(F.col("pos") == 1, F.col("r")).otherwise(0))
+        .cast("long")
+        .alias("rank_sum"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("pos")).cast("long").alias("n_neg"),
+    )
+    np_, nn = F.col("n_pos").cast("double"), F.col("n_neg").cast("double")
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        (
+            (F.col("rank_sum").cast("double") - np_ * (np_ + F.lit(1)) / F.lit(2))
+            / (np_ * nn)
+        ).alias("auc"),
     )

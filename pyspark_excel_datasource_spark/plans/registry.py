@@ -226,6 +226,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_stream_iceberg",
     "q_iceberg_incremental",
     "q_iceberg_history",
+    "q_eval_confusion",
+    "q_eval_auc",
     # C. prior greens: the round-7 window first (re-verdicted r7), then
     #    the round-6 window, then remaining greens in registration order
     "q_tpch_q7ish",

@@ -193,3 +193,62 @@ def test_regression_cv_matches_numpy_per_fold(spark):
             float(r.rmse), float(np.sqrt((resid ** 2).mean())),
             rtol=1e-6, atol=1e-4,  # rmse ships as dround(4) decimal
         )
+
+
+def test_eval_confusion_matches_sklearnfree_reference(spark):
+    """Precision/recall/F1 per class recomputed from the prediction set
+    with independent code."""
+    from pyspark_excel_datasource_spark.operators.ml import (
+        q_eval_confusion,
+        q_nb_classify,
+    )
+
+    preds = [(r.pred_lang, r.true_lang) for r in q_nb_classify(spark, SF).collect()]
+    got = {r.cls: r for r in q_eval_confusion(spark, SF).collect()}
+    classes = {t for _, t in preds}
+    assert set(got) == classes
+    for cls in classes:
+        tp = sum(1 for p, t in preds if p == cls and t == cls)
+        n_pred = sum(1 for p, _ in preds if p == cls)
+        n_true = sum(1 for _, t in preds if t == cls)
+        r = got[cls]
+        assert (r.tp, r.n_pred, r.n_true) == (tp, n_pred, n_true)
+        prec = tp / n_pred if n_pred else 0.0
+        rec = tp / n_true
+        assert r.precision == prec and r.recall == rec
+        f1 = 0.0 if prec + rec == 0 else 2 * prec * rec / (prec + rec)
+        np.testing.assert_allclose(r.f1, f1, rtol=1e-12)
+
+
+def test_eval_auc_matches_pairwise_definition(spark):
+    """AUC via the rank statistic must equal the O(n^2) pairwise
+    definition P(score+ > score-) + 0.5 P(tie), computed independently
+    on the collected scores (with the doc_id tiebreak applied, ties are
+    ordered, so the rank form counts each tied pair per the tiebreak)."""
+    from pyspark_excel_datasource_spark.operators.ml import nb_scores, q_eval_auc
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    scored = (
+        nb_scores(d.filter("doc_id % 2 = 0"), d.filter("doc_id % 2 = 1"))
+        .filter("cls = 'en'")
+        .select("doc_id", "true_lang", "score")
+        .collect()
+    )
+    # replicate the tiebroken total order, then the pairwise count over it
+    ordered = sorted(scored, key=lambda r: (r.score, r.doc_id))
+    pos_ranks = [
+        i + 1 for i, r in enumerate(ordered) if r.true_lang == "en"
+    ]
+    n_pos = len(pos_ranks)
+    n_neg = len(ordered) - n_pos
+    expect = (sum(pos_ranks) - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+    # independent pairwise count on the same total order
+    pairwise = 0
+    for i, r in enumerate(ordered):
+        if r.true_lang == "en":
+            pairwise += sum(1 for q in ordered[:i] if q.true_lang != "en")
+    assert pairwise / (n_pos * n_neg) == expect
+    row = q_eval_auc(spark, SF).collect()[0]
+    assert (row.n_pos, row.n_neg) == (n_pos, n_neg)
+    np.testing.assert_allclose(row.auc, expect, rtol=1e-12)
+    assert 0.0 <= row.auc <= 1.0

@@ -94,6 +94,8 @@ ROUND8_AUTHORED: set[str] = {
     "q_stream_iceberg",
     "q_iceberg_incremental",
     "q_iceberg_history",
+    "q_eval_confusion",
+    "q_eval_auc",
 }
 
 
