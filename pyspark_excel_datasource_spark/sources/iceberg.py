@@ -827,3 +827,112 @@ def expire_snapshots(table_path: str, keep_last: int = 1) -> dict[str, int]:
         "deleted_manifests": deleted_manifests,
         "deleted_data_files": deleted_data,
     }
+
+
+def convert_delta_to_iceberg(
+    spark: SparkSession, delta_path: str, iceberg_path: str
+) -> int:
+    """Metadata-only table-format migration (Iceberg's ``snapshot``/
+    ``migrate`` procedure, Delta's CONVERT in reverse): commit the Delta
+    table's CURRENT live file set as Iceberg snapshot 1 — zero data
+    files are read or rewritten; manifests reference the original
+    parquet by ABSOLUTE path (legal per the spec, and ``_read_files``
+    keeps absolute keys absolute). Identity partition values transfer
+    from the Delta log's per-file partitionValues to manifest partition
+    records — both formats store partition columns outside the data
+    files, so the reader contract is unchanged.
+
+    The result is a first-class Iceberg table: subsequent
+    ``write_iceberg(mode='append')`` snapshots put NEW files under the
+    Iceberg location while sharing the converted manifest, and all
+    maintenance (compaction, expiry) applies. At 100 TB this is the
+    migration story — converting petabytes by rewriting them is not.
+
+    Returns the created snapshot id.
+    """
+    import pyarrow.parquet as _pq
+
+    from .deltalog import snapshot as delta_snapshot
+
+    snap = delta_snapshot(delta_path)
+    schema = snap.schema
+    pcols = tuple(snap.partition_columns)
+    os.makedirs(_meta_dir(iceberg_path), exist_ok=True)
+    os.makedirs(os.path.join(iceberg_path, _DATA), exist_ok=True)
+    if os.path.exists(os.path.join(_meta_dir(iceberg_path), "version-hint.text")):
+        raise ValueError(f"{iceberg_path} is already an Iceberg table")
+
+    snap_id = 1
+    entries = []
+    for rel, pv in snap.files.items():
+        ap = os.path.abspath(os.path.join(delta_path, rel))
+        entries.append(
+            (
+                1,
+                snap_id,
+                {
+                    "file_path": ap,
+                    "file_format": "parquet",
+                    "partition": {c: pv.get(c) for c in pcols},
+                    "record_count": _pq.read_metadata(ap).num_rows,
+                    "file_size_in_bytes": os.path.getsize(ap),
+                },
+            )
+        )
+    manifest_rel = os.path.join(_META, f"{uuid.uuid4().hex}-m0.avro")
+    _write_avro(
+        os.path.join(iceberg_path, manifest_rel), _manifest_schema(pcols), entries
+    )
+    mlen = os.path.getsize(os.path.join(iceberg_path, manifest_rel))
+    mlist_rel = os.path.join(_META, f"snap-{snap_id}-1-{uuid.uuid4().hex}.avro")
+    _write_avro(
+        os.path.join(iceberg_path, mlist_rel),
+        _MANIFEST_LIST_SCHEMA,
+        [(manifest_rel, mlen, 0, snap_id)],
+    )
+
+    ice_schema = {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": [
+            {
+                "id": i + 1,
+                "name": f.name,
+                "required": not f.nullable,
+                "type": _spark_type_to_ice(f.dataType),
+            }
+            for i, f in enumerate(schema.fields)
+        ],
+    }
+    name_to_id = {f["name"]: f["id"] for f in ice_schema["fields"]}
+    spec = [
+        {
+            "name": c,
+            "transform": "identity",
+            "source-id": name_to_id[c],
+            "field-id": 1000 + i,
+        }
+        for i, c in enumerate(pcols)
+    ]
+    md = {
+        "format-version": 1,
+        "table-uuid": uuid.uuid4().hex,
+        "location": iceberg_path,
+        "schema": ice_schema,
+        "schemas": [ice_schema],
+        "partition-spec": spec,
+        "partition-specs": [{"spec-id": 0, "fields": spec}],
+        "current-snapshot-id": snap_id,
+        "snapshots": [
+            {
+                "snapshot-id": snap_id,
+                "timestamp-ms": snap_id,
+                "manifest-list": mlist_rel,
+                "summary": {"operation": "append"},
+                "schema-id": 0,
+                "spec-id": 0,
+            }
+        ],
+    }
+    _publish_metadata(iceberg_path, md, 1)
+    return snap_id

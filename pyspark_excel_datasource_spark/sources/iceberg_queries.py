@@ -433,3 +433,67 @@ def q_iceberg_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         (int(s["snapshot_id"]), s["operation"]) for s in snapshots(path)
     ]
     return spark.createDataFrame(rows, "snapshot_id long, operation string")
+
+
+@query(
+    "q_convert_delta_to_iceberg",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_orderkey % 11 = 0 AND o_orderstatus = 'F')
+                AS BIGINT) AS pruned_f_rows
+    FROM orders
+    WHERE o_orderkey % 11 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def q_convert_delta_to_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only Delta→Iceberg migration: a partitioned Delta table
+    (two appends) converts to Iceberg WITHOUT touching a data file —
+    the new manifests reference the original parquet absolutely and
+    carry the log's partitionValues. The output census reads the table
+    THROUGH THE ICEBERG READER (partition columns attached from
+    manifests), plus a manifest-PRUNED count of the F partition — so the
+    hash check proves both lossless conversion and that pruning works on
+    converted metadata. The 100 TB migration story: converting petabytes
+    by rewriting them is not one.
+    """
+    import shutil
+
+    from .deltalog import write_delta
+    from .iceberg import convert_delta_to_iceberg
+
+    base = _fixture_dir(sf_dir)
+    dsrc = os.path.join(base, "orders_convert_delta")
+    idst = os.path.join(base, "orders_converted_iceberg")
+    shutil.rmtree(dsrc, ignore_errors=True)
+    shutil.rmtree(idst, ignore_errors=True)
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 11 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    odd = F.col("o_orderkey") % 2 == 1
+    write_delta(
+        spark, o.filter(~odd), dsrc, mode="append",
+        partition_by=("o_orderstatus",),
+    )
+    write_delta(
+        spark, o.filter(odd), dsrc, mode="append",
+        partition_by=("o_orderstatus",),
+    )
+    convert_delta_to_iceberg(spark, dsrc, idst)
+    pruned = read_iceberg(
+        spark, idst, partition_filter={"o_orderstatus": {"F"}}
+    ).count()
+    return (
+        read_iceberg(spark, idst)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+        )
+        .withColumn("pruned_f_rows", F.lit(pruned).cast("long"))
+    )

@@ -406,3 +406,50 @@ def test_rewrite_data_files_sorted_layout(spark, tmp_path):
     for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2, f"overlapping file ranges: {ranges}"
     assert {tuple(r) for r in read_iceberg(spark, path).collect()} == before
+
+
+def test_convert_delta_to_iceberg_lossless_and_first_class(spark, tmp_path):
+    """Metadata-only migration: identical row sets through both readers
+    with zero data files copied; the converted table accepts NATIVE
+    Iceberg appends afterwards (new files under the Iceberg location,
+    shared converted manifest), time-travels across the conversion
+    boundary, and refuses to convert onto an existing table."""
+    from pyspark_excel_datasource_spark.sources.deltalog import (
+        read_delta,
+        write_delta,
+    )
+    from pyspark_excel_datasource_spark.sources.iceberg import (
+        convert_delta_to_iceberg,
+    )
+
+    dsrc, idst = str(tmp_path / "d"), str(tmp_path / "i")
+    n = _nation(spark).select("n_nationkey", "n_name", "n_regionkey")
+    part = n.withColumn("rk", F.col("n_regionkey").cast("string")).drop(
+        "n_regionkey"
+    )
+    write_delta(spark, part.filter("n_nationkey < 10"), dsrc,
+                mode="append", partition_by=("rk",))
+    write_delta(spark, part.filter("n_nationkey >= 10"), dsrc,
+                mode="append", partition_by=("rk",))
+    sid = convert_delta_to_iceberg(spark, dsrc, idst)
+    assert sid == 1
+    via_delta = {tuple(r) for r in read_delta(spark, dsrc).collect()}
+    cols = read_delta(spark, dsrc).columns
+    via_ice = {
+        tuple(r) for r in read_iceberg(spark, idst).select(*cols).collect()
+    }
+    assert via_ice == via_delta
+    # zero data files under the Iceberg location (metadata only)
+    assert os.listdir(os.path.join(idst, "data")) == []
+    # manifest pruning works on converted partition values
+    got = read_iceberg(spark, idst, partition_filter={"rk": {"3"}})
+    assert got.count() == n.filter(F.col("n_regionkey") == 3).count()
+    # native append after conversion: first-class Iceberg table
+    write_iceberg(spark, part.limit(5), idst, mode="append",
+                  partition_by=("rk",))
+    assert read_iceberg(spark, idst).count() == n.count() + 5
+    assert read_iceberg(spark, idst, snapshot_id=1).count() == n.count()
+    assert len(os.listdir(os.path.join(idst, "data"))) > 0
+    # refuse double-conversion
+    with pytest.raises(ValueError, match="already an Iceberg table"):
+        convert_delta_to_iceberg(spark, dsrc, idst)

@@ -96,6 +96,7 @@ ROUND8_AUTHORED: set[str] = {
     "q_iceberg_history",
     "q_eval_confusion",
     "q_eval_auc",
+    "q_convert_delta_to_iceberg",
 }
 
 
