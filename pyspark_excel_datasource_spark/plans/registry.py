@@ -229,6 +229,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_eval_confusion",
     "q_eval_auc",
     "q_convert_delta_to_iceberg",
+    "q_convert_iceberg_to_delta",
     # C. prior greens: the round-7 window first (re-verdicted r7), then
     #    the round-6 window, then remaining greens in registration order
     "q_tpch_q7ish",

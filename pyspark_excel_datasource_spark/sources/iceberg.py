@@ -936,3 +936,63 @@ def convert_delta_to_iceberg(
     }
     _publish_metadata(iceberg_path, md, 1)
     return snap_id
+
+
+def convert_iceberg_to_delta(
+    spark: SparkSession, iceberg_path: str, delta_path: str
+) -> int:
+    """The reverse metadata-only migration (Delta's CONVERT TO DELTA):
+    commit the Iceberg table's CURRENT snapshot as Delta version 0 —
+    protocol + metaData + one absolute-path ``add`` per live data file,
+    partition values copied from the manifests into ``partitionValues``.
+    No data file is read or rewritten (only footers, for the add sizes);
+    the result accepts native Delta commits, MERGE, OPTIMIZE, VACUUM,
+    time travel and the change feed from version 0 onward.
+
+    Returns the created Delta version (always 0).
+    """
+    from .deltalog import _commit, _encode_path
+    from .deltalog import _log_dir as delta_log_dir
+
+    snap = snapshot_iceberg(iceberg_path)
+    pcols = snap.partition_columns
+    if os.path.isdir(delta_log_dir(delta_path)):
+        raise ValueError(f"{delta_path} is already a Delta table")
+    os.makedirs(delta_path, exist_ok=True)
+
+    actions: list[dict[str, Any]] = [
+        {
+            "commitInfo": {
+                "operation": "CONVERT",
+                "operationParameters": {"source": iceberg_path},
+            }
+        },
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": uuid.uuid4().hex,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": snap.schema.json(),
+                "partitionColumns": pcols,
+                "configuration": {},
+            }
+        },
+    ]
+    for rel in sorted(snap.files):
+        pv = snap.files[rel]
+        ap = rel if os.path.isabs(rel) else os.path.abspath(
+            os.path.join(iceberg_path, rel)
+        )
+        actions.append(
+            {
+                "add": {
+                    "path": _encode_path(ap),
+                    "partitionValues": {c: pv.get(c) for c in pcols},
+                    "size": os.path.getsize(ap),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            }
+        )
+    _commit(delta_path, 0, actions)
+    return 0

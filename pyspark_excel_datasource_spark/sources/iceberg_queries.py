@@ -497,3 +497,58 @@ def q_convert_delta_to_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("pruned_f_rows", F.lit(pruned).cast("long"))
     )
+
+
+@query(
+    "q_convert_iceberg_to_delta",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(0 AS BIGINT) AS delta_version
+    FROM orders
+    WHERE o_orderkey % 13 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def q_convert_iceberg_to_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse metadata-only migration (CONVERT TO DELTA): an Iceberg
+    table (two appends, identity-partitioned) becomes Delta version 0
+    without touching a data file; the census reads the converted table
+    THROUGH THE DELTA READER, partition columns re-attached from the
+    log's partitionValues that were copied out of the manifests. With
+    ``q_convert_delta_to_iceberg`` this closes the migration loop both
+    ways — the round trip with zero data movement is pinned in
+    ``tests/test_iceberg.py``.
+    """
+    import shutil
+
+    from .deltalog import read_delta
+    from .iceberg import convert_iceberg_to_delta
+
+    base = _fixture_dir(sf_dir)
+    isrc = os.path.join(base, "orders_convert_iceberg")
+    ddst = os.path.join(base, "orders_converted_delta")
+    shutil.rmtree(isrc, ignore_errors=True)
+    shutil.rmtree(ddst, ignore_errors=True)
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 13 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    odd = F.col("o_orderkey") % 2 == 1
+    write_iceberg(spark, o.filter(~odd), isrc, partition_by=("o_orderstatus",))
+    write_iceberg(
+        spark, o.filter(odd), isrc, mode="append",
+        partition_by=("o_orderstatus",),
+    )
+    v = convert_iceberg_to_delta(spark, isrc, ddst)
+    return (
+        read_delta(spark, ddst)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+        )
+        .withColumn("delta_version", F.lit(v).cast("long"))
+    )

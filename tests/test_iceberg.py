@@ -453,3 +453,63 @@ def test_convert_delta_to_iceberg_lossless_and_first_class(spark, tmp_path):
     # refuse double-conversion
     with pytest.raises(ValueError, match="already an Iceberg table"):
         convert_delta_to_iceberg(spark, dsrc, idst)
+
+
+def test_convert_iceberg_to_delta_lossless_and_first_class(spark, tmp_path):
+    """Reverse migration: Iceberg snapshot → Delta v0, identical rows
+    through both readers, native Delta append + time travel afterwards,
+    double-conversion refused."""
+    from pyspark_excel_datasource_spark.sources.deltalog import (
+        read_delta,
+        write_delta,
+    )
+    from pyspark_excel_datasource_spark.sources.iceberg import (
+        convert_iceberg_to_delta,
+    )
+
+    isrc, ddst = str(tmp_path / "i"), str(tmp_path / "d")
+    n = _nation(spark).select("n_nationkey", "n_name", "n_regionkey")
+    part = n.withColumn("rk", F.col("n_regionkey").cast("string")).drop(
+        "n_regionkey"
+    )
+    write_iceberg(spark, part.filter("n_nationkey < 10"), isrc,
+                  partition_by=("rk",))
+    write_iceberg(spark, part.filter("n_nationkey >= 10"), isrc,
+                  mode="append", partition_by=("rk",))
+    assert convert_iceberg_to_delta(spark, isrc, ddst) == 0
+    cols = read_iceberg(spark, isrc).columns
+    via_ice = {tuple(r) for r in read_iceberg(spark, isrc).collect()}
+    via_delta = {
+        tuple(r) for r in read_delta(spark, ddst).select(*cols).collect()
+    }
+    assert via_delta == via_ice
+    # native Delta append works on the converted table
+    write_delta(spark, part.limit(5), ddst, mode="append",
+                partition_by=("rk",))
+    assert read_delta(spark, ddst).count() == n.count() + 5
+    assert read_delta(spark, ddst, version=0).count() == n.count()
+    with pytest.raises(ValueError, match="already a Delta table"):
+        convert_iceberg_to_delta(spark, isrc, ddst)
+
+
+def test_convert_roundtrip_delta_iceberg_delta(spark, tmp_path):
+    """Delta → Iceberg → Delta round trip preserves the exact row set
+    with zero data movement at every hop."""
+    from pyspark_excel_datasource_spark.sources.deltalog import (
+        read_delta,
+        write_delta,
+    )
+    from pyspark_excel_datasource_spark.sources.iceberg import (
+        convert_delta_to_iceberg,
+        convert_iceberg_to_delta,
+    )
+
+    d0, i1, d2 = (str(tmp_path / x) for x in ("d0", "i1", "d2"))
+    n = _nation(spark)
+    write_delta(spark, n, d0, mode="append")
+    convert_delta_to_iceberg(spark, d0, i1)
+    convert_iceberg_to_delta(spark, i1, d2)
+    a = {tuple(r) for r in read_delta(spark, d0).collect()}
+    c = {tuple(r) for r in read_delta(spark, d2).select(*read_delta(spark, d0).columns).collect()}
+    assert a == c
+    assert os.listdir(os.path.join(i1, "data")) == []

@@ -97,6 +97,7 @@ ROUND8_AUTHORED: set[str] = {
     "q_eval_confusion",
     "q_eval_auc",
     "q_convert_delta_to_iceberg",
+    "q_convert_iceberg_to_delta",
 }
 
 
