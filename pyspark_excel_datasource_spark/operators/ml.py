@@ -746,16 +746,28 @@ def q_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     preds = nb_predictions(
         d.filter(F.col("doc_id") % 2 == 0), d.filter(F.col("doc_id") % 2 == 1)
     )
+    # ONE corpus-scale pass: the confusion matrix is ≤|classes|² rows;
+    # materializing it on the driver (bounded by construction, like the
+    # bloom bit array / PQ LUT collects) lets tp / n_pred / n_true all
+    # derive without Catalyst re-executing the NB scoring plan 3x
+    cm_rows = (
+        preds.groupBy("pred_lang", "true_lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    cm = spark.createDataFrame(
+        [(r.pred_lang, r.true_lang, r.n) for r in cm_rows],
+        "pred_lang string, true_lang string, n long",
+    )
     tp = (
-        preds.filter(F.col("pred_lang") == F.col("true_lang"))
-        .groupBy(F.col("pred_lang").alias("cls"))
-        .agg(F.count("*").alias("tp"))
+        cm.filter(F.col("pred_lang") == F.col("true_lang"))
+        .select(F.col("true_lang").alias("cls"), F.col("n").alias("tp"))
     )
-    by_pred = preds.groupBy(F.col("pred_lang").alias("cls")).agg(
-        F.count("*").alias("n_pred")
+    by_pred = cm.groupBy(F.col("pred_lang").alias("cls")).agg(
+        F.sum("n").alias("n_pred")
     )
-    by_true = preds.groupBy(F.col("true_lang").alias("cls")).agg(
-        F.count("*").alias("n_true")
+    by_true = cm.groupBy(F.col("true_lang").alias("cls")).agg(
+        F.sum("n").alias("n_true")
     )
     m = (
         by_true.join(F.broadcast(tp), "cls", "left")
@@ -808,30 +820,32 @@ def q_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ranked AS (
         SELECT pos,
-               ROW_NUMBER() OVER (ORDER BY score, doc_id) AS r
+               2 * RANK() OVER (ORDER BY score)
+                 + COUNT(*) OVER (PARTITION BY score) - 1 AS mid2
         FROM scored
     ),
     agg AS (
-        SELECT CAST(SUM(CASE WHEN pos = 1 THEN r ELSE 0 END) AS BIGINT)
-                   AS rank_sum,
+        SELECT CAST(SUM(CASE WHEN pos = 1 THEN mid2 ELSE 0 END) AS BIGINT)
+                   AS rank_sum2,
                CAST(SUM(pos) AS BIGINT) AS n_pos,
                CAST(SUM(1 - pos) AS BIGINT) AS n_neg
         FROM ranked
     )
     SELECT n_pos, n_neg,
-           (CAST(rank_sum AS DOUBLE)
-              - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1) / 2)
-             / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc
+           (CAST(rank_sum2 AS DOUBLE)
+              - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1))
+             / (2 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc
     FROM agg
     """,
 )
 def q_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROC-AUC of the NB 'en' score as a one-vs-rest detector, via the
-    rank statistic (Mann–Whitney U): AUC = (Σ ranks of positives −
-    n⁺(n⁺+1)/2) / (n⁺ n⁻). Ranks are integers under a total order
-    (score, doc_id) — scores are bit-deterministic (``q_text_lm_score``
-    fold convention), the doc_id tiebreak makes ranking exact, and the
-    final expression is one fixed double tree, so the AUC itself
+    Mann–Whitney rank statistic WITH mid-rank tie handling (tied
+    positive/negative pairs credit 0.5, the ROC definition): doubling
+    the mid-ranks keeps them integers — mid2 = 2·rank + tie_count − 1 —
+    so the sum is exact and AUC = (Σ mid2 over positives − n⁺(n⁺+1)) /
+    (2 n⁺ n⁻) is one fixed double tree over exact integers; scores are
+    bit-deterministic (``q_text_lm_score`` fold convention), so the AUC
     hash-verifies bit-for-bit. The threshold-free quality number for a
     corpus-filter model, complementing ``q_eval_confusion``'s
     threshold-bound view. Scale: scoring is the NB plan; the rank is
@@ -855,13 +869,15 @@ def q_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ranked = scored.withColumn(
-        "r",
-        F.row_number().over(W.orderBy(F.col("score").asc(), F.col("doc_id").asc())),
+        "mid2",
+        F.lit(2) * F.rank().over(W.orderBy(F.col("score").asc()))
+        + F.count("*").over(W.partitionBy("score"))
+        - F.lit(1),
     )
     agg = ranked.agg(
-        F.sum(F.when(F.col("pos") == 1, F.col("r")).otherwise(0))
+        F.sum(F.when(F.col("pos") == 1, F.col("mid2")).otherwise(0))
         .cast("long")
-        .alias("rank_sum"),
+        .alias("rank_sum2"),
         F.sum("pos").cast("long").alias("n_pos"),
         F.sum(F.lit(1) - F.col("pos")).cast("long").alias("n_neg"),
     )
@@ -870,7 +886,7 @@ def q_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pos",
         "n_neg",
         (
-            (F.col("rank_sum").cast("double") - np_ * (np_ + F.lit(1)) / F.lit(2))
-            / (np_ * nn)
+            (F.col("rank_sum2").cast("double") - np_ * (np_ + F.lit(1)))
+            / (F.lit(2) * np_ * nn)
         ).alias("auc"),
     )

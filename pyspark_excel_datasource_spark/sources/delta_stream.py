@@ -71,21 +71,54 @@ def _arrow_field_type(dt: T.DataType):
     raise NotImplementedError(f"pydelta stream: unsupported type {dt}")
 
 
+def _opt_flag(options: dict, *names: str) -> bool:
+    """Case-tolerant boolean option lookup (Spark lowercases option keys
+    in some paths); shared by the Delta and Iceberg stream readers."""
+    for n in names:
+        if n in options:
+            return str(options[n]).lower() in ("true", "1")
+    return False
+
+
+def _read_parquet_with_pv(path: str, pv: dict, bound_schema: T.StructType):
+    """Worker-side single-file read shared by the Delta and Iceberg
+    stream readers: Arrow-scan one parquet file, attach the metadata
+    layer's partition values as constant columns, fill nulls for
+    pre-schema-evolution columns, and yield record batches."""
+    tbl = papq.read_table(path)
+    n = tbl.num_rows
+    file_cols = set(tbl.schema.names)
+    cols, names = [], []
+    for f in bound_schema.fields:
+        at = _arrow_field_type(f.dataType)
+        if f.name in pv:
+            val = pv[f.name]
+            # constant column: stay native-Arrow, no n-element
+            # Python list (pa.nulls / repeated scalar + cast)
+            if val is None:
+                arr = pa.nulls(n, at)
+            else:
+                arr = pa.repeat(pa.scalar(val, type=pa.string()), n).cast(at)
+        elif f.name not in file_cols:
+            # pre-schema-evolution file: the column doesn't exist on
+            # disk; the snapshot reader fills null, so must we
+            arr = pa.nulls(n, at)
+        else:
+            arr = tbl.column(f.name).combine_chunks().cast(at)
+        cols.append(arr)
+        names.append(f.name)
+    out = pa.table(dict(zip(names, cols)))
+    yield from out.to_batches(max_chunksize=1 << 16)
+
+
 class DeltaStreamReader(DataSourceStreamReader):
     def __init__(self, schema: T.StructType, options: dict):
         self.bound_schema = schema
         self.path = options.get("path")
         if not self.path:
             raise ValueError("pydelta stream requires a table path")
-
-        def _flag(*names: str) -> bool:
-            for n in names:
-                if n in options:
-                    return str(options[n]).lower() in ("true", "1")
-            return False
-
-        self.ignore_deletes = _flag("ignoreDeletes", "ignoredeletes")
-        self.ignore_changes = _flag("ignoreChanges", "ignorechanges")
+        self.ignore_deletes = _opt_flag(options, "ignoreDeletes", "ignoredeletes")
+        self.ignore_changes = _opt_flag(options, "ignoreChanges", "ignorechanges")
         snapshot(self.path)  # validates table existence + protocol gate
 
     def initialOffset(self) -> dict:
@@ -153,31 +186,10 @@ class DeltaStreamReader(DataSourceStreamReader):
         return parts
 
     def read(self, partition: DeltaFilePartition):
-        pv = json.loads(partition.partition_values)
-        tbl = papq.read_table(partition.path)
-        n = tbl.num_rows
-        file_cols = set(tbl.schema.names)
-        cols, names = [], []
-        for f in self.bound_schema.fields:
-            at = _arrow_field_type(f.dataType)
-            if f.name in pv:
-                val = pv[f.name]
-                # constant column: stay native-Arrow, no n-element
-                # Python list (pa.nulls / repeated scalar + cast)
-                if val is None:
-                    arr = pa.nulls(n, at)
-                else:
-                    arr = pa.repeat(pa.scalar(val, type=pa.string()), n).cast(at)
-            elif f.name not in file_cols:
-                # pre-schema-evolution file: the column doesn't exist on
-                # disk; the snapshot reader fills null, so must we
-                arr = pa.nulls(n, at)
-            else:
-                arr = tbl.column(f.name).combine_chunks().cast(at)
-            cols.append(arr)
-            names.append(f.name)
-        out = pa.table(dict(zip(names, cols)))
-        yield from out.to_batches(max_chunksize=1 << 16)
+        yield from _read_parquet_with_pv(
+            partition.path, json.loads(partition.partition_values),
+            self.bound_schema,
+        )
 
     def commit(self, end: dict) -> None:
         pass  # version offsets live in the log; nothing to clean up

@@ -804,16 +804,27 @@ def expire_snapshots(table_path: str, keep_last: int = 1) -> dict[str, int]:
     new_md["snapshots"] = retained
     _publish_metadata(table_path, new_md, version)
 
+    # EXTERNAL files (absolute paths outside the table root — e.g.
+    # manifests written by convert_delta_to_iceberg referencing the
+    # source Delta table's parquet) are NEVER deleted: they are not this
+    # table's storage to reclaim. Real Iceberg's snapshot/migrate
+    # procedure documents the same GC protection.
+    root = os.path.abspath(table_path) + os.sep
+
+    def _owned(rel: str) -> str | None:
+        p = rel if os.path.isabs(rel) else os.path.join(table_path, rel)
+        return p if os.path.abspath(p).startswith(root) else None
+
     deleted_data = 0
     for rel in dead_data:
-        p = rel if os.path.isabs(rel) else os.path.join(table_path, rel)
-        if os.path.exists(p):
+        p = _owned(rel)
+        if p and os.path.exists(p):
             os.remove(p)
             deleted_data += 1
     deleted_manifests = 0
     for rel in dead_manifests:
-        p = rel if os.path.isabs(rel) else os.path.join(table_path, rel)
-        if os.path.exists(p):
+        p = _owned(rel)
+        if p and os.path.exists(p):
             os.remove(p)
             deleted_manifests += 1
     for s in expired:  # the expired snapshots' manifest LISTS count too
@@ -834,13 +845,16 @@ def convert_delta_to_iceberg(
 ) -> int:
     """Metadata-only table-format migration (Iceberg's ``snapshot``/
     ``migrate`` procedure, Delta's CONVERT in reverse): commit the Delta
-    table's CURRENT live file set as Iceberg snapshot 1 — zero data
-    files are read or rewritten; manifests reference the original
-    parquet by ABSOLUTE path (legal per the spec, and ``_read_files``
-    keeps absolute keys absolute). Identity partition values transfer
-    from the Delta log's per-file partitionValues to manifest partition
-    records — both formats store partition columns outside the data
-    files, so the reader contract is unchanged.
+    table's CURRENT live file set as Iceberg snapshot 1 — no data is
+    rewritten or row-read (the committer does read each file's parquet
+    FOOTER for the manifests' required record_count: O(files) tiny IO);
+    manifests reference the original parquet by ABSOLUTE path (legal per
+    the spec, and ``_read_files`` keeps absolute keys absolute —
+    ``expire_snapshots`` never deletes files outside the table root, so
+    the source table's storage is GC-protected). Identity partition
+    values transfer from the Delta log's per-file partitionValues to
+    manifest partition records — both formats store partition columns
+    outside the data files, so the reader contract is unchanged.
 
     The result is a first-class Iceberg table: subsequent
     ``write_iceberg(mode='append')`` snapshots put NEW files under the
@@ -945,9 +959,11 @@ def convert_iceberg_to_delta(
     commit the Iceberg table's CURRENT snapshot as Delta version 0 —
     protocol + metaData + one absolute-path ``add`` per live data file,
     partition values copied from the manifests into ``partitionValues``.
-    No data file is read or rewritten (only footers, for the add sizes);
-    the result accepts native Delta commits, MERGE, OPTIMIZE, VACUUM,
-    time travel and the change feed from version 0 onward.
+    No data file is opened at all — the add actions' sizes come from
+    ``os.path.getsize`` (file-system metadata), so this direction is
+    strictly cheaper than Delta→Iceberg's footer reads. The result
+    accepts native Delta commits, MERGE, OPTIMIZE, VACUUM, time travel
+    and the change feed from version 0 onward.
 
     Returns the created Delta version (always 0).
     """

@@ -34,8 +34,6 @@ import json
 import os
 from dataclasses import dataclass
 
-import pyarrow as pa
-import pyarrow.parquet as papq
 from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
@@ -44,7 +42,7 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
-from .delta_stream import _arrow_field_type
+from .delta_stream import _opt_flag, _read_parquet_with_pv
 from .iceberg import _current_metadata, _read_avro, snapshot_iceberg
 
 
@@ -79,14 +77,7 @@ class IcebergStreamReader(DataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("pyiceberg_stream requires a table path")
-
-        def _flag(*names: str) -> bool:
-            for n in names:
-                if n in options:
-                    return str(options[n]).lower() in ("true", "1")
-            return False
-
-        self.ignore_changes = _flag("ignoreChanges", "ignorechanges")
+        self.ignore_changes = _opt_flag(options, "ignoreChanges", "ignorechanges")
         snapshot_iceberg(self.path)  # validates table + format gate
 
     def initialOffset(self) -> dict:
@@ -117,42 +108,59 @@ class IcebergStreamReader(DataSourceStreamReader):
                 continue
             op = s.get("summary", {}).get("operation", "append")
             if op == "replace":
-                continue  # compaction: same rows, different files
+                # compaction: same rows, different files — but its
+                # manifests must still be orphan-checked below, because
+                # after expiry the replace snapshot may be the ONLY
+                # holder of rows whose adding snapshot is gone
+                self._check_orphans(s, lo, ids)
+                continue
             if op == "overwrite" and not self.ignore_changes:
                 raise RuntimeError(
                     f"pyiceberg_stream: snapshot {sid} is an OVERWRITE "
                     "(data rewrite); set ignoreChanges=true to stream its "
                     "added files (rows may repeat) or start a fresh stream"
                 )
+            self._check_orphans(s, lo, ids)
             for rel, pv in _added_files(self.path, s):
                 p = rel if os.path.isabs(rel) else os.path.join(self.path, rel)
                 parts.append(IcebergFilePartition(p, json.dumps(pv)))
         return parts
 
+    def _check_orphans(self, snap_md: dict, lo: int, ids: set) -> None:
+        """Fail loudly if a snapshot in range references rows whose
+        ADDING snapshot was expired: ``_added_files`` attributes rows to
+        their adding snapshot id, so such rows can never be emitted by
+        any batch — a fresh stream (lo=0) over a table whose early
+        snapshots were expired would otherwise silently drop them."""
+        mlist = snap_md["manifest-list"]
+        mlist = mlist if os.path.isabs(mlist) else os.path.join(self.path, mlist)
+        for m in _read_avro(mlist):
+            mpath = m["manifest_path"]
+            mpath = (
+                mpath if os.path.isabs(mpath) else os.path.join(self.path, mpath)
+            )
+            for entry in _read_avro(mpath):
+                esid = entry.get("snapshot_id")
+                if (
+                    entry["status"] == 1
+                    and esid is not None
+                    and esid > lo
+                    and esid not in ids
+                ):
+                    raise RuntimeError(
+                        f"pyiceberg_stream: snapshot "
+                        f"{snap_md['snapshot-id']} holds rows added by "
+                        f"expired snapshot {esid}; those rows cannot be "
+                        "attributed to any offset range — backfill with a "
+                        "batch read (read_iceberg) and start the stream "
+                        "from the current snapshot"
+                    )
+
     def read(self, partition: IcebergFilePartition):
-        pv = json.loads(partition.partition_values)
-        tbl = papq.read_table(partition.path)
-        n = tbl.num_rows
-        file_cols = set(tbl.schema.names)
-        cols, names = [], []
-        for f in self.bound_schema.fields:
-            at = _arrow_field_type(f.dataType)
-            if f.name in pv:
-                val = pv[f.name]
-                if val is None:
-                    arr = pa.nulls(n, at)
-                else:
-                    arr = pa.repeat(pa.scalar(val, type=pa.string()), n).cast(at)
-            elif f.name not in file_cols:
-                # pre-schema-evolution file: fill null like the snapshot
-                # reader does
-                arr = pa.nulls(n, at)
-            else:
-                arr = tbl.column(f.name).combine_chunks().cast(at)
-            cols.append(arr)
-            names.append(f.name)
-        out = pa.table(dict(zip(names, cols)))
-        yield from out.to_batches(max_chunksize=1 << 16)
+        yield from _read_parquet_with_pv(
+            partition.path, json.loads(partition.partition_values),
+            self.bound_schema,
+        )
 
     def commit(self, end: dict) -> None:
         pass  # snapshot offsets live in the metadata; nothing to clean up

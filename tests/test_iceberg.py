@@ -513,3 +513,34 @@ def test_convert_roundtrip_delta_iceberg_delta(spark, tmp_path):
     c = {tuple(r) for r in read_delta(spark, d2).select(*read_delta(spark, d0).columns).collect()}
     assert a == c
     assert os.listdir(os.path.join(i1, "data")) == []
+
+
+def test_expire_never_deletes_converted_source_files(spark, tmp_path):
+    """GC protection for metadata-only conversions: compacting and then
+    expiring the CONVERTED table must not touch the source Delta table's
+    data files (absolute external paths are never this table's storage
+    to reclaim)."""
+    from pyspark_excel_datasource_spark.sources.deltalog import (
+        read_delta,
+        write_delta,
+    )
+    from pyspark_excel_datasource_spark.sources.iceberg import (
+        convert_delta_to_iceberg,
+        expire_snapshots,
+        rewrite_data_files,
+    )
+
+    dsrc, idst = str(tmp_path / "d"), str(tmp_path / "i")
+    n = _nation(spark)
+    write_delta(spark, n, dsrc, mode="append")
+    before = {tuple(r) for r in read_delta(spark, dsrc).collect()}
+    convert_delta_to_iceberg(spark, dsrc, idst)
+    rewrite_data_files(spark, idst, target_files=1)  # replace snapshot
+    stats = expire_snapshots(idst, keep_last=1)
+    assert stats["expired_snapshots"] == 1
+    # the converted snapshot's files were external -> nothing deleted
+    assert stats["deleted_data_files"] == 0
+    # the source Delta table is fully intact
+    assert {tuple(r) for r in read_delta(spark, dsrc).collect()} == before
+    # and the compacted Iceberg head still reads
+    assert read_iceberg(spark, idst).count() == n.count()

@@ -119,3 +119,17 @@ def test_expired_start_offset_fails_loudly(spark, tmp_path):
     expire_snapshots(path, keep_last=1)
     with pytest.raises(RuntimeError, match="expired"):
         reader.partitions({"snapshot_id": 1}, {"snapshot_id": 2})
+
+
+def test_fresh_stream_after_expiry_fails_loudly(spark, tmp_path):
+    """A FRESH stream (offset 0) over a table whose early snapshots were
+    expired must raise — the expired snapshots' rows can no longer be
+    attributed to any offset range, and silently dropping them is the
+    failure mode the orphan check exists to prevent."""
+    path = str(tmp_path / "t")
+    n = _nation(spark)
+    write_iceberg(spark, n.filter(F.col("n_regionkey") < 2), path)
+    write_iceberg(spark, n.filter(F.col("n_regionkey") >= 2), path, mode="append")
+    expire_snapshots(path, keep_last=1)  # s1 gone; its rows live in s2
+    with pytest.raises(Exception, match="expired snapshot"):
+        _drain(spark, path, "ice_orphan_sink")

@@ -221,34 +221,25 @@ def test_eval_confusion_matches_sklearnfree_reference(spark):
 
 
 def test_eval_auc_matches_pairwise_definition(spark):
-    """AUC via the rank statistic must equal the O(n^2) pairwise
+    """AUC via the mid-rank statistic must equal the O(n^2) pairwise ROC
     definition P(score+ > score-) + 0.5 P(tie), computed independently
-    on the collected scores (with the doc_id tiebreak applied, ties are
-    ordered, so the rank form counts each tied pair per the tiebreak)."""
+    on the collected scores."""
     from pyspark_excel_datasource_spark.operators.ml import nb_scores, q_eval_auc
 
     d = spark.read.parquet(f"{SF}/documents.parquet")
     scored = (
         nb_scores(d.filter("doc_id % 2 = 0"), d.filter("doc_id % 2 = 1"))
         .filter("cls = 'en'")
-        .select("doc_id", "true_lang", "score")
+        .select("true_lang", "score")
         .collect()
     )
-    # replicate the tiebroken total order, then the pairwise count over it
-    ordered = sorted(scored, key=lambda r: (r.score, r.doc_id))
-    pos_ranks = [
-        i + 1 for i, r in enumerate(ordered) if r.true_lang == "en"
-    ]
-    n_pos = len(pos_ranks)
-    n_neg = len(ordered) - n_pos
-    expect = (sum(pos_ranks) - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
-    # independent pairwise count on the same total order
-    pairwise = 0
-    for i, r in enumerate(ordered):
-        if r.true_lang == "en":
-            pairwise += sum(1 for q in ordered[:i] if q.true_lang != "en")
-    assert pairwise / (n_pos * n_neg) == expect
+    pos = [r.score for r in scored if r.true_lang == "en"]
+    neg = [r.score for r in scored if r.true_lang != "en"]
+    pairwise = sum(
+        1.0 if p > q else (0.5 if p == q else 0.0) for p in pos for q in neg
+    )
+    expect = pairwise / (len(pos) * len(neg))
     row = q_eval_auc(spark, SF).collect()[0]
-    assert (row.n_pos, row.n_neg) == (n_pos, n_neg)
+    assert (row.n_pos, row.n_neg) == (len(pos), len(neg))
     np.testing.assert_allclose(row.auc, expect, rtol=1e-12)
     assert 0.0 <= row.auc <= 1.0
