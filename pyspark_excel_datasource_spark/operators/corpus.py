@@ -369,12 +369,14 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     training corpus.
 
     Scale shape: token counting is the canonical wordcount (map-side
-    partials, one shuffle on token). The top-K rank then runs over the
-    DISTINCT-token table — sublinear in corpus size (vocab domain, not
-    rows) — and its single-partition window holds only that table; the
-    resulting {_VOCAB_K}-row vocab BROADCASTS to the scoring join, so
-    per-token scoring never shuffles the exploded corpus a second time
-    (the doc_id re-agg reuses one shuffle). Rank ties break on the token
+    partials, one shuffle on token). The top-K is an
+    ``orderBy().limit()`` → TakeOrderedAndProject: every partition keeps
+    its local top-{_VOCAB_K} and only those tiny heads reach the driver
+    — never a single-task window over the full distinct-token table
+    (at 100 TB that table is billions of rows); the resulting
+    {_VOCAB_K}-row vocab BROADCASTS to the scoring join, so per-token
+    scoring never shuffles the exploded corpus a second time (the
+    doc_id re-agg reuses one shuffle). Ordering ties break on the token
     string → fully deterministic vocab. oov_rate is one IEEE division
     of exact integers → bit-equal cross-engine, no rounding convention.
     """
@@ -388,14 +390,14 @@ def vocab_coverage(d: DataFrame) -> DataFrame:
         "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
     )
     counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    # top-K via orderBy().limit() → TakeOrderedAndProject (parallel
+    # per-partition partial top-K), NOT row_number over an unpartitioned
+    # window — that would funnel the whole distinct-token table through
+    # one task. Same rows: the (c DESC, tok ASC) total order is
+    # tie-free, so "first K of the total order" ≡ "rank <= K".
     vocab = (
-        counts.withColumn(
-            "rk",
-            F.row_number().over(
-                W.orderBy(F.col("c").desc(), F.col("tok").asc())
-            ),
-        )
-        .filter(F.col("rk") <= _VOCAB_K)
+        counts.orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(_VOCAB_K)
         .select("tok")
     )
     scored = toks.join(

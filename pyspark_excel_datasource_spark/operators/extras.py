@@ -696,6 +696,12 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: price band width (dollars) for the banded global rank — lineitem
+#: extended prices span ~[900, 105000], so ~105 bands: the band table is
+#: tiny (window-safe) while each band still splits the sort across tasks
+_QBIN_BAND = 1000.0
+
+
 @query(
     "q_quantile_bins",
     oracle=f"""
@@ -719,17 +725,54 @@ def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties: the NTILE ordering carries the (l_orderkey, l_linenumber)
     primary key as tiebreak, so both engines assign identical bins.
 
-    Scale note: a global NTILE is a total sort — correct but
-    shuffle-bound at 100 TB. The scale path is the two-pass variant this
-    module's ``q_agg_approx_quantile`` pins: approx_percentile boundaries
-    (one pass, mergeable sketches) + a broadcast ``width_bucket`` map
-    stage — same outputs within sketch tolerance, no global sort. This
-    query keeps the exact form so the oracle can hash-verify bin edges.
+    Scale note: the EXACT global rank runs on the banded machinery
+    (``q_gini_concentration``'s template): fixed-width price bands →
+    per-band counts → running offsets over the tiny band table +
+    per-band row_number → rn = offset + in-band rank, parallel across
+    bands — never a single-task NTILE sort of all of lineitem. The bin
+    is then pure arithmetic on (rn, n) reproducing SQL NTILE's
+    first-(n mod k)-buckets-get-the-extra-row rule, so the output (and
+    the DuckDB oracle, which states the naive NTILE) is bit-identical.
+    The approximate relaxation stays ``q_agg_approx_quantile``
+    (approx_percentile boundaries + broadcast width_bucket).
     """
     li = table(spark, sf_dir, "lineitem")
-    w = W.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    base = li.select(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    ).withColumn(
+        "band", F.floor(F.col("l_extendedprice") / _QBIN_BAND).cast("long")
+    )
+    counts = base.groupBy("band").agg(F.count("*").alias("c"))
+    off_w = W.orderBy("band").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("c").over(off_w), F.lit(0))
+    ).withColumn("n", F.sum("c").over(W.partitionBy())).select(
+        "band", "off", "n"
+    )
+    in_band = F.row_number().over(
+        W.partitionBy("band").orderBy(
+            "l_extendedprice", "l_orderkey", "l_linenumber"
+        )
+    )
+    ranked = (
+        base.withColumn("br", in_band)
+        .join(F.broadcast(offsets), "band")
+        .select(
+            "l_extendedprice",
+            (F.col("off") + F.col("br")).alias("rn"),
+            "n",
+        )
+    )
+    # SQL NTILE(k): q = n DIV k, r = n MOD k; the first r buckets hold
+    # q+1 rows, the rest q — from the exact global rn this is closed-form
+    k = F.lit(10)
+    q, r = (F.col("n") / k).cast("long"), F.col("n") % k
+    big = (q + 1) * r  # rows living in the oversized buckets
+    bin_col = F.when(
+        F.col("rn") <= big, F.ceil(F.col("rn") / (q + 1))
+    ).otherwise(r + F.ceil((F.col("rn") - big) / F.greatest(q, F.lit(1))))
     return (
-        li.select("l_extendedprice", F.ntile(10).over(w).alias("bin"))
+        ranked.select("l_extendedprice", bin_col.cast("int").alias("bin"))
         .groupBy("bin")
         .agg(
             F.count("*").alias("n"),

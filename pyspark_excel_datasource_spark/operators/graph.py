@@ -741,25 +741,58 @@ _KCORE_ORACLE_ROUND = """
 )
 def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-scaling k-core of the co-purchase graph: k = the lower-median
-    initial degree (computed in-plan with a total-order ROW_NUMBER, so it
-    is identical in both engines and the peel bites at every scale
-    factor), 6 peel rounds, with a per-node stability verdict. The
+    initial degree, 6 peel rounds, with a per-node stability verdict. The
     dense-subgraph screen used both for commerce anomaly detection
     (collusive rings) and corpus curation (boilerplate template farms
     show up as unexpectedly dense k-cores in doc-similarity graphs).
+
+    The median pick never sorts the vertex table through one task: the
+    oracle's ROW_NUMBER orders by (d, u), but the median row's DEGREE
+    depends only on how many vertices hold each degree value, so the
+    plan reduces to per-degree counts, bands the degree axis
+    (``q_gini_concentration``'s template: per-band counts → exclusive
+    offsets over the tiny band table → in-band running sums), and picks
+    the degree whose cumulative range covers row (n+1) DIV 2 — identical
+    k, every window bounded or band-partitioned.
     """
     edges = _copurchase_edges(spark, sf_dir)
     from pyspark.sql import Window
 
     d0 = edges.groupBy("u").agg(F.count("*").alias("d"))
-    ranked = d0.select(
-        "d",
-        F.row_number().over(Window.orderBy("d", "u")).alias("rn"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
+    # per-degree census; distinct degrees ≤ O(sqrt(2|E|)) but band anyway
+    # so no unpartitioned window ever exceeds the band table
+    dc = d0.groupBy("d").agg(F.count("*").alias("c")).withColumn(
+        "band", F.expr("d DIV 1024")
     )
-    kdf = ranked.filter(
-        F.col("rn") == F.floor((F.col("n") + 1) / 2).cast("long")
-    ).select(F.col("d").alias("k"))
+    bc = dc.groupBy("band").agg(F.sum("c").alias("bc"))
+    off_w = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bc.withColumn(
+        "off", F.coalesce(F.sum("bc").over(off_w), F.lit(0))
+    ).withColumn(
+        "n", F.sum("bc").over(Window.partitionBy())
+    ).select("band", "off", "n")
+    cum_w = (
+        Window.partitionBy("band")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        dc.withColumn("cum_in", F.sum("c").over(cum_w))
+        .join(F.broadcast(offsets), "band")
+        .select(
+            "d",
+            "c",
+            (F.col("off") + F.col("cum_in")).alias("cum"),
+            F.expr("(n + 1) DIV 2").alias("target"),
+        )
+    )
+    # localCheckpoint the 1-row k: every peel round cross-joins it, and
+    # without truncation the whole degree-census subtree re-executes
+    # per round (same discipline as the peel's own per-round checkpoint)
+    kdf = cum.filter(
+        (F.col("cum") - F.col("c") < F.col("target"))
+        & (F.col("target") <= F.col("cum"))
+    ).select(F.col("d").alias("k")).localCheckpoint()
     res = kcore_peel(edges, kdf, rounds=_KCORE_ROUNDS)
     return res.select(
         F.col("id").alias("node_id"),

@@ -805,6 +805,51 @@ def q_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _auc_agg(scored: DataFrame) -> DataFrame:
+    """One-row (rank_sum2, n_pos, n_neg) Mann–Whitney aggregate of a
+    (pos, score) frame via the banded reduction (see ``q_eval_auc``):
+    RANK(score) and the tie count are functions of the score alone, so
+    docs first reduce to per-distinct-score aggregates, then the
+    distinct-score table ranks with unit-log-score bands — per-band
+    counts, exclusive offsets over the tiny band table, in-band running
+    sums. rank(s) = 1 + rows-below-s, mid2 = 2·rank + n_s − 1. Every
+    window is either partitioned by band or runs over the bounded band
+    table; shared by ``q_eval_auc`` and ``q_eval_auc_sampled``."""
+    per = (
+        scored.groupBy("score")
+        .agg(
+            F.count("*").alias("n_s"),
+            F.sum("pos").cast("long").alias("pos_s"),
+        )
+        .withColumn("band", F.floor(F.col("score")).cast("long"))
+    )
+    bcounts = per.groupBy("band").agg(F.sum("n_s").alias("c"))
+    off_w = W.orderBy("band").rowsBetween(W.unboundedPreceding, -1)
+    offsets = bcounts.withColumn(
+        "off", F.coalesce(F.sum("c").over(off_w), F.lit(0))
+    ).select("band", "off")
+    in_w = (
+        W.partitionBy("band")
+        .orderBy("score")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ranked = (
+        per.withColumn(
+            "below_in", F.coalesce(F.sum("n_s").over(in_w), F.lit(0))
+        )
+        .join(F.broadcast(offsets), "band")
+        .withColumn("rnk", F.col("off") + F.col("below_in") + F.lit(1))
+        .withColumn(
+            "mid2", F.lit(2) * F.col("rnk") + F.col("n_s") - F.lit(1)
+        )
+    )
+    return ranked.agg(
+        F.sum(F.col("pos_s") * F.col("mid2")).cast("long").alias("rank_sum2"),
+        F.sum("pos_s").cast("long").alias("n_pos"),
+        F.sum(F.col("n_s") - F.col("pos_s")).cast("long").alias("n_neg"),
+    )
+
+
 @query(
     "q_eval_auc",
     oracle=f"""
@@ -848,10 +893,20 @@ def q_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-deterministic (``q_text_lm_score`` fold convention), so the AUC
     hash-verifies bit-for-bit. The threshold-free quality number for a
     corpus-filter model, complementing ``q_eval_confusion``'s
-    threshold-bound view. Scale: scoring is the NB plan; the rank is
-    one global sort of |test docs| rows (a top-level window on a frame
-    already reduced from tokens to docs — the unavoidable O(n log n) of
-    exact AUC; sampled AUC is the relaxation at extreme scale)."""
+    threshold-bound view.
+
+    Scale: the global sort is unavoidable for exact AUC — the single
+    task is not. RANK(score) and the per-score tie count are both
+    functions of the score alone, so the plan first reduces docs to
+    PER-SCORE aggregates (n_s rows, Σpos per distinct score) and then
+    ranks the distinct-score table with the banded machinery
+    (``q_gini_concentration``'s template: unit-log-score bands →
+    per-band counts → offsets over the tiny band table → in-band
+    running sums): rank(s) = 1 + #rows below s, mid2 = 2·rank + n_s − 1,
+    and rank_sum2 = Σ_s pos_s·mid2 — no unpartitioned window ever sees
+    more than the band table. Identical output to the naive global-rank
+    oracle. Sampled AUC (``q_eval_auc_sampled``) is the further
+    relaxation at extreme scale."""
     d = spread(table(spark, sf_dir, "documents"))
     scored = (
         nb_scores(
@@ -868,19 +923,7 @@ def q_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "score",
         )
     )
-    ranked = scored.withColumn(
-        "mid2",
-        F.lit(2) * F.rank().over(W.orderBy(F.col("score").asc()))
-        + F.count("*").over(W.partitionBy("score"))
-        - F.lit(1),
-    )
-    agg = ranked.agg(
-        F.sum(F.when(F.col("pos") == 1, F.col("mid2")).otherwise(0))
-        .cast("long")
-        .alias("rank_sum2"),
-        F.sum("pos").cast("long").alias("n_pos"),
-        F.sum(F.lit(1) - F.col("pos")).cast("long").alias("n_neg"),
-    )
+    agg = _auc_agg(scored)
     np_, nn = F.col("n_pos").cast("double"), F.col("n_neg").cast("double")
     return agg.select(
         "n_pos",

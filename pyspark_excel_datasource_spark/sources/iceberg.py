@@ -31,6 +31,7 @@ evolution by field-id remapping.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
@@ -410,6 +411,7 @@ def write_iceberg(
     partition_by: tuple[str, ...] = (),
     operation: str | None = None,
     base_version: int | None = None,
+    summary_extra: dict[str, Any] | None = None,
 ) -> int:
     """Commit ``df`` as one Iceberg snapshot; returns the snapshot id.
 
@@ -432,7 +434,15 @@ def write_iceberg(
     ``IcebergConcurrentCommitError`` instead of silently building on
     newer state. Read-modify-write callers (``rewrite_data_files``)
     pass the version they resolved their content from — the validation
-    real Iceberg's rewrite action performs.
+    real Iceberg's rewrite action performs. On a LOST race the staged
+    data files, manifest, and manifest list written for the failed
+    commit are deleted (they are referenced by no published metadata)
+    so retries never leave permanent orphans under ``data/``.
+
+    ``summary_extra`` merges extra keys into the snapshot summary —
+    ``rewrite_data_files`` records ``replaced-snapshot-ids`` there, the
+    provenance the streaming source needs to detect that a compaction
+    is the only surviving holder of expired snapshots' rows.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -613,7 +623,10 @@ def write_iceberg(
             "snapshot-id": snap_id,
             "timestamp-ms": snap_id,  # deterministic fixture clock
             "manifest-list": mlist_rel,
-            "summary": {"operation": operation or mode},
+            "summary": {
+                "operation": operation or mode,
+                **(summary_extra or {}),
+            },
             "schema-id": schema_id,
             "spec-id": spec_id,
         }
@@ -629,7 +642,21 @@ def write_iceberg(
         "current-snapshot-id": snap_id,
         "snapshots": snaps,
     }
-    _publish_metadata(table_path, md, version)
+    try:
+        _publish_metadata(table_path, md, version)
+    except IcebergConcurrentCommitError:
+        # the loser of the commit race must not leave orphans: its data
+        # files, manifest, and manifest list are referenced by no
+        # published metadata (the winner built on the same base), so a
+        # raced rewrite would otherwise strand a full copy of the table
+        for rel, _size, _nrows, _pv in data_files:
+            with contextlib.suppress(OSError):
+                os.remove(os.path.join(table_path, rel))
+        with contextlib.suppress(OSError):
+            os.remove(os.path.join(table_path, manifest_rel))
+        with contextlib.suppress(OSError):
+            os.remove(os.path.join(table_path, mlist_rel))
+        raise
     return snap_id
 
 
@@ -696,9 +723,36 @@ def rewrite_data_files(
     """
     if target_files < 1:
         raise ValueError(f"target_files must be >= 1, got {target_files}")
-    base_version = _current_metadata(table_path)["_version"]
+    base_md = _current_metadata(table_path)
+    base_version = base_md["_version"]
     prev = snapshot_iceberg(table_path)
     df = read_iceberg(spark, table_path)
+
+    # provenance: the snapshot ids whose rows this replace will be
+    # carrying — the live entries' adding snapshots, expanded through
+    # any earlier replace's own recorded provenance (already
+    # transitive, so one level suffices). The streaming source uses
+    # this to fail loudly when expire_snapshots later makes the replace
+    # the ONLY holder of some snapshot's rows (which _added_files can
+    # no longer attribute to any offset range).
+    snap_md = _resolve_snapshot_md(base_md, None)
+    live_ids: set[int] = set()
+    mlist = snap_md["manifest-list"]
+    mlist = mlist if os.path.isabs(mlist) else os.path.join(table_path, mlist)
+    for m in _read_avro(mlist):
+        mpath = m["manifest_path"]
+        mpath = mpath if os.path.isabs(mpath) else os.path.join(table_path, mpath)
+        for entry in _read_avro(mpath):
+            if entry["status"] != 2 and entry.get("snapshot_id") is not None:
+                live_ids.add(entry["snapshot_id"])
+    summaries = {
+        s["snapshot-id"]: s.get("summary", {})
+        for s in base_md.get("snapshots", [])
+    }
+    replaced: set[int] = set()
+    for sid in live_ids:
+        replaced.add(sid)
+        replaced.update(summaries.get(sid, {}).get("replaced-snapshot-ids", []))
     pcols = tuple(prev.partition_columns)
     if pcols and target_files == 1:
         # one shuffle keyed on the partition columns: each identity
@@ -708,7 +762,13 @@ def rewrite_data_files(
         # target_files > 1: a salt splits each identity partition across
         # up to `target_files` tasks (hashing on pcols alone would put a
         # whole partition in ONE task, silently ignoring target_files);
-        # the salt never reaches the written files
+        # the salt never reaches the written files. Derived from ROW
+        # CONTENT (xxhash64 of every column), not from the physical
+        # partition layout, so repeated rewrites of the same snapshot
+        # produce the same file assignment regardless of how the read
+        # happened to parallelize. ``target_files`` is an UPPER BOUND
+        # per identity partition: content hashing may leave some salt
+        # buckets empty.
         from pyspark.sql import functions as F
 
         spread = max(
@@ -717,7 +777,10 @@ def rewrite_data_files(
         df = (
             df.withColumn(
                 "_rdf_salt",
-                (F.monotonically_increasing_id() % target_files).cast("int"),
+                F.pmod(
+                    F.xxhash64(*[F.col(c) for c in df.columns]),
+                    F.lit(target_files),
+                ).cast("int"),
             )
             .repartition(spread, *[F.col(c) for c in pcols], F.col("_rdf_salt"))
             .drop("_rdf_salt")
@@ -734,6 +797,7 @@ def rewrite_data_files(
         spark, df, table_path, mode="overwrite",
         partition_by=pcols, operation="replace",
         base_version=base_version,
+        summary_extra={"replaced-snapshot-ids": sorted(replaced)},
     )
     new = snapshot_iceberg(table_path)
     return {

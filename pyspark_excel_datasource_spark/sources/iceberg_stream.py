@@ -20,7 +20,13 @@ Commit classification mirrors the Delta stream source
   the documented trade-off, same as Delta's ignoreChanges);
 - a start offset naming a snapshot that ``expire_snapshots`` has since
   removed fails loudly (continuity can no longer be proven) instead of
-  silently skipping data — the analog of streaming a VACUUMed Delta log.
+  silently skipping data — the analog of streaming a VACUUMed Delta log;
+- compaction + expiry together fail loudly too: a rewrite records the
+  snapshot ids it carries rows for in its summary
+  (``replaced-snapshot-ids``), so a fresh stream over a table whose
+  pre-compaction snapshots were expired raises instead of returning an
+  empty table (the replace's own manifest entries carry the replace's
+  id, which IS retained — the summary is what makes the loss visible).
 
 Scale: one input partition per added data file; the worker reads its
 single parquet file via Arrow and attaches identity partition columns
@@ -52,19 +58,46 @@ class IcebergFilePartition(InputPartition):
     partition_values: str  # JSON {col: string|null}
 
 
-def _added_files(table_path: str, snap_md: dict) -> list[tuple[str, dict]]:
-    """(file_path, partition values) for entries this snapshot ADDED."""
+def _added_files(
+    table_path: str,
+    snap_md: dict,
+    lo: int | None = None,
+    ids: set | None = None,
+) -> list[tuple[str, dict]]:
+    """(file_path, partition values) for entries this snapshot ADDED.
+
+    When ``lo``/``ids`` are given, the SAME walk doubles as the orphan
+    check (one manifest pass per snapshot, not two): any live entry
+    whose adding snapshot is in range but expired raises — those rows
+    can never be attributed to an offset range, so a fresh stream would
+    silently drop them."""
     sid = snap_md["snapshot-id"]
     mlist = snap_md["manifest-list"]
     mlist = mlist if os.path.isabs(mlist) else os.path.join(table_path, mlist)
     out: list[tuple[str, dict]] = []
     for m in _read_avro(mlist):
-        if m.get("added_snapshot_id") not in (None, sid):
+        shared = m.get("added_snapshot_id") not in (None, sid)
+        if shared and ids is None:
             continue  # a shared manifest from an earlier snapshot
         mpath = m["manifest_path"]
         mpath = mpath if os.path.isabs(mpath) else os.path.join(table_path, mpath)
         for entry in _read_avro(mpath):
-            if entry["status"] != 1 or entry.get("snapshot_id") != sid:
+            esid = entry.get("snapshot_id")
+            if (
+                ids is not None
+                and entry["status"] == 1
+                and esid is not None
+                and esid > lo
+                and esid not in ids
+            ):
+                raise RuntimeError(
+                    f"pyiceberg_stream: snapshot {sid} holds rows added "
+                    f"by expired snapshot {esid}; those rows cannot be "
+                    "attributed to any offset range — backfill with a "
+                    "batch read (read_iceberg) and start the stream "
+                    "from the current snapshot"
+                )
+            if shared or entry["status"] != 1 or esid != sid:
                 continue
             rec = entry["data_file"]
             out.append((rec["file_path"], dict(rec.get("partition") or {})))
@@ -108,11 +141,31 @@ class IcebergStreamReader(DataSourceStreamReader):
                 continue
             op = s.get("summary", {}).get("operation", "append")
             if op == "replace":
-                # compaction: same rows, different files — but its
-                # manifests must still be orphan-checked below, because
-                # after expiry the replace snapshot may be the ONLY
-                # holder of rows whose adding snapshot is gone
-                self._check_orphans(s, lo, ids)
+                # compaction: same rows, different files — INVISIBLE,
+                # but only while every snapshot it carries rows for is
+                # still streamable. A rewrite writes its entries under
+                # its OWN snapshot id, so after expire_snapshots removes
+                # the original appends the manifest walk alone cannot
+                # see the loss; the rewrite records the carried
+                # snapshot ids in its summary (replaced-snapshot-ids)
+                # exactly for this check. Legacy replace snapshots
+                # without the summary fall back to the manifest walk.
+                rids = s.get("summary", {}).get("replaced-snapshot-ids")
+                if rids is not None:
+                    missing = sorted(
+                        r for r in rids if r > lo and r not in ids
+                    )
+                    if missing:
+                        raise RuntimeError(
+                            f"pyiceberg_stream: replace snapshot {sid} is "
+                            f"the only holder of rows added by expired "
+                            f"snapshot(s) {missing}; those rows cannot be "
+                            "attributed to any offset range — backfill "
+                            "with a batch read (read_iceberg) and start "
+                            "the stream from the current snapshot"
+                        )
+                else:
+                    _added_files(self.path, s, lo, ids)
                 continue
             if op == "overwrite" and not self.ignore_changes:
                 raise RuntimeError(
@@ -120,41 +173,13 @@ class IcebergStreamReader(DataSourceStreamReader):
                     "(data rewrite); set ignoreChanges=true to stream its "
                     "added files (rows may repeat) or start a fresh stream"
                 )
-            self._check_orphans(s, lo, ids)
-            for rel, pv in _added_files(self.path, s):
+            # one walk lists the added files AND orphan-checks every
+            # entry (shared manifests included) — a fresh stream over a
+            # table whose early snapshots were expired fails here
+            for rel, pv in _added_files(self.path, s, lo, ids):
                 p = rel if os.path.isabs(rel) else os.path.join(self.path, rel)
                 parts.append(IcebergFilePartition(p, json.dumps(pv)))
         return parts
-
-    def _check_orphans(self, snap_md: dict, lo: int, ids: set) -> None:
-        """Fail loudly if a snapshot in range references rows whose
-        ADDING snapshot was expired: ``_added_files`` attributes rows to
-        their adding snapshot id, so such rows can never be emitted by
-        any batch — a fresh stream (lo=0) over a table whose early
-        snapshots were expired would otherwise silently drop them."""
-        mlist = snap_md["manifest-list"]
-        mlist = mlist if os.path.isabs(mlist) else os.path.join(self.path, mlist)
-        for m in _read_avro(mlist):
-            mpath = m["manifest_path"]
-            mpath = (
-                mpath if os.path.isabs(mpath) else os.path.join(self.path, mpath)
-            )
-            for entry in _read_avro(mpath):
-                esid = entry.get("snapshot_id")
-                if (
-                    entry["status"] == 1
-                    and esid is not None
-                    and esid > lo
-                    and esid not in ids
-                ):
-                    raise RuntimeError(
-                        f"pyiceberg_stream: snapshot "
-                        f"{snap_md['snapshot-id']} holds rows added by "
-                        f"expired snapshot {esid}; those rows cannot be "
-                        "attributed to any offset range — backfill with a "
-                        "batch read (read_iceberg) and start the stream "
-                        "from the current snapshot"
-                    )
 
     def read(self, partition: IcebergFilePartition):
         yield from _read_parquet_with_pv(

@@ -358,6 +358,74 @@ def test_rewrite_data_files_concurrent_append_raises(spark, tmp_path):
     assert read_iceberg(spark, path).count() == n.count()
 
 
+def test_lost_commit_race_leaves_no_orphan_files(spark, tmp_path):
+    """The loser of a commit race must clean up the data files,
+    manifest, and manifest list it staged: nothing (expire_snapshots
+    included — it only deletes files reachable from expired snapshots)
+    would ever reclaim them otherwise, and a raced rewrite would strand
+    a full duplicate copy of the table's data."""
+    from pyspark_excel_datasource_spark.sources.iceberg import (
+        IcebergConcurrentCommitError,
+        _current_metadata,
+        _reachable,
+    )
+
+    path = str(tmp_path / "race_gc")
+    n = _nation(spark)
+    write_iceberg(spark, n.filter(F.col("n_regionkey") < 2), path)
+    base = _current_metadata(path)["_version"]
+    df = read_iceberg(spark, path)
+    write_iceberg(spark, n.filter(F.col("n_regionkey") >= 2), path, mode="append")
+    with pytest.raises(IcebergConcurrentCommitError):
+        write_iceberg(
+            spark, df, path, mode="overwrite",
+            operation="replace", base_version=base,
+        )
+    # every physical file under the table root is reachable from some
+    # retained snapshot — the failed commit left no orphans
+    md = _current_metadata(path)
+    manifests, data = _reachable(path, md["snapshots"])
+    mlists = {s["manifest-list"] for s in md["snapshots"]}
+    on_disk_data = {
+        os.path.join("data", f) for f in os.listdir(os.path.join(path, "data"))
+    }
+    on_disk_avro = {
+        os.path.join("metadata", f)
+        for f in os.listdir(os.path.join(path, "metadata"))
+        if f.endswith(".avro")
+    }
+    assert on_disk_data == {os.path.normpath(p) for p in data}
+    assert on_disk_avro == {
+        os.path.normpath(p) for p in (manifests | mlists)
+    }
+
+
+def test_rewrite_twice_same_content_same_layout(spark, tmp_path):
+    """The compaction salt derives from row content, not physical
+    partition layout: rewriting identical content twice produces the
+    same per-identity-partition file counts."""
+    from pyspark_excel_datasource_spark.sources.iceberg import (
+        files_meta,
+        rewrite_data_files,
+    )
+
+    path = str(tmp_path / "det_salt")
+    n = _nation(spark)
+    write_iceberg(spark, n.repartition(7), path, partition_by=("n_regionkey",))
+
+    def layout():
+        counts: dict = {}
+        for f in files_meta(path):
+            key = tuple(sorted(f["partition"].items()))
+            counts[key] = counts.get(key, 0) + 1
+        return counts
+
+    rewrite_data_files(spark, path, target_files=3)
+    first = layout()
+    rewrite_data_files(spark, path, target_files=3)
+    assert layout() == first
+
+
 def test_files_meta_format_gate(spark, tmp_path):
     """files_meta shares snapshot_iceberg's guards: a format-version-2
     table raises instead of being silently misread."""

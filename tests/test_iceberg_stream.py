@@ -121,6 +121,58 @@ def test_expired_start_offset_fails_loudly(spark, tmp_path):
         reader.partitions({"snapshot_id": 1}, {"snapshot_id": 2})
 
 
+def test_fresh_stream_after_compaction_and_expiry_fails_loudly(spark, tmp_path):
+    """The round-8 advisor finding: rewrite_data_files writes its
+    manifest entries under the REPLACE snapshot's own id, so after the
+    original appends are expired a manifest walk sees nothing wrong and
+    a fresh stream returned 0 rows on a live table. The rewrite now
+    records replaced-snapshot-ids in its summary; the stream must RAISE,
+    never silently drop."""
+    path = str(tmp_path / "t")
+    n = _nation(spark)
+    write_iceberg(spark, n.filter(F.col("n_regionkey") < 2), path)
+    write_iceberg(spark, n.filter(F.col("n_regionkey") >= 2), path, mode="append")
+    rewrite_data_files(spark, path, target_files=1)
+    expire_snapshots(path, keep_last=1)  # only the replace remains
+    with pytest.raises(Exception, match="expired"):
+        _drain(spark, path, "ice_compact_expire_sink")
+
+
+def test_stream_past_replace_survives_expiry(spark, tmp_path):
+    """A stream that already consumed through the replace snapshot keeps
+    working after expiry: the lost provenance is entirely <= its start
+    offset, so nothing in range is unattributable."""
+    path = str(tmp_path / "t")
+    n = _nation(spark)
+    write_iceberg(spark, n.filter(F.col("n_regionkey") < 2), path)
+    rewrite_data_files(spark, path, target_files=1)
+    expire_snapshots(path, keep_last=1)
+    reader = IcebergStreamReader(None, {"path": path})
+    hi = reader.latestOffset()["snapshot_id"]
+    assert reader.partitions({"snapshot_id": hi}, {"snapshot_id": hi}) == []
+    # and new appends stream normally from there
+    write_iceberg(spark, n.filter(F.col("n_regionkey") >= 2), path, mode="append")
+    parts = reader.partitions(
+        {"snapshot_id": hi}, reader.latestOffset()
+    )
+    assert len(parts) >= 1
+
+
+def test_chained_rewrites_keep_transitive_provenance(spark, tmp_path):
+    """replace-of-replace: the second rewrite's summary must still name
+    the ORIGINAL appends, so expiring everything below it fails a fresh
+    stream instead of dropping the appends' rows."""
+    path = str(tmp_path / "t")
+    n = _nation(spark)
+    write_iceberg(spark, n.filter(F.col("n_regionkey") < 2), path)
+    write_iceberg(spark, n.filter(F.col("n_regionkey") >= 2), path, mode="append")
+    rewrite_data_files(spark, path, target_files=2)
+    rewrite_data_files(spark, path, target_files=1)
+    expire_snapshots(path, keep_last=1)
+    with pytest.raises(Exception, match="expired"):
+        _drain(spark, path, "ice_chain_expire_sink")
+
+
 def test_fresh_stream_after_expiry_fails_loudly(spark, tmp_path):
     """A FRESH stream (offset 0) over a table whose early snapshots were
     expired must raise — the expired snapshots' rows can no longer be
