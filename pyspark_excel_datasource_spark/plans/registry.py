@@ -106,17 +106,82 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 #: Driver-facing evaluation order. The driver's correctness gate walks
 #: ``queries()`` in registration order with a 50-query cutoff (observed in
-#: rounds 1-7), so this list IS the audit window. Round-8 rotation policy
-#: (VERDICT r7 "Next round #1"): after the round-7 window landed 50/50
-#: green, exactly 52 registered queries still have no driver verdict —
-#: the 20-query round-6 remainder plus the 32 round-7 additions (all
-#: judge-verified green via local parity, r7). Slots 1-50 are the first
-#: 50 of that backlog; the 2 overflow plus round-8's new operators head
-#: the round-9 rotation. All prior greens keep their recorded verdicts
+#: rounds 1-8), so this list IS the audit window. Round-9 rotation policy
+#: (VERDICT r8 "Next round #3"): after the round-8 window landed 50/50
+#: green, exactly 58 registered queries still had no driver verdict.
+#: Slots 1-50 are 50 of those 58 — the full 23-query lakehouse family
+#: first (the least driver-exercised subsystem), then the two queries
+#: whose plans were reworked this round (q_eval_auc, q_graph_kcore — the
+#: banded-rank rewrites need a driver hash behind them), then the oldest
+#: backlog in registration order. The 8 overflow head round 10 together
+#: with round-9 additions. All prior greens keep their recorded verdicts
 #: and follow in registration order.
 _PRIORITY: tuple[str, ...] = (
-    # A. round-8 gate window: the never-driver-verdicted backlog.
-    # A1. round-6 remainder (20)
+    # A. round-9 gate window (50): never-driver-verdicted backlog.
+    # A1. the lakehouse family (23)
+    "q_scan_delta",
+    "q_scan_delta_timetravel",
+    "q_sink_delta",
+    "q_delta_cdf",
+    "q_delta_merge",
+    "q_delta_optimize",
+    "q_stream_delta",
+    "q_delta_schema_evolution",
+    "q_federated_join",
+    "q_delta_delete_rows",
+    "q_stream_delta_upsert",
+    "q_scan_iceberg",
+    "q_scan_iceberg_snapshot",
+    "q_delta_zorder",
+    "q_delta_history",
+    "q_iceberg_compact",
+    "q_iceberg_expire",
+    "q_iceberg_files",
+    "q_stream_iceberg",
+    "q_iceberg_incremental",
+    "q_iceberg_history",
+    "q_convert_delta_to_iceberg",
+    "q_convert_iceberg_to_delta",
+    # A2. plans reworked in round 9 (banded rank)
+    "q_eval_auc",
+    "q_graph_kcore",
+    # A3. oldest remaining backlog, registration order
+    "q_graph_randomwalk",
+    "q_scan_avro",
+    "q_sink_avro",
+    "q_graph_cc",
+    "q_stream_avro",
+    "q_sql_udf",
+    "q_state_reader",
+    "q_stream_join_outer",
+    "q_agg_approx_topk",
+    "q_udtf_analyze",
+    "q_agg_topk_union",
+    "q_kmeans_lloyd",
+    "q_udtf_table_arg",
+    "q_tpch_q6ish",
+    "q_tpch_q4ish",
+    "q_tpch_q9ish",
+    "q_tpch_q11ish",
+    "q_tpch_q13ish",
+    "q_tpch_q15ish",
+    "q_tpch_q16ish",
+    "q_tpch_q17ish",
+    "q_tpch_q19ish",
+    "q_tpch_q22ish",
+    "q_dedup_substring",
+    "q_text_substring_clean",
+    # B. overflow (8) — heads the round-10 window, followed by
+    #    round-9 additions appended here as they land
+    "q_sample_importance",
+    "q_stream_join_full",
+    "q_nb_classify",
+    "q_regression_multi",
+    "q_agg_theta",
+    "q_regression_cv",
+    "q_pipeline_classifier_filter",
+    "q_eval_confusion",
+    # C. prior greens, verdicts on record, prior window order
     "q_fn_xml",
     "q_agg_hll_union",
     "q_fn_collation",
@@ -137,8 +202,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_fulfillment_latency",
     "q_return_rates",
     "q_discount_lift",
-    # A2. round-7 additions (32); the last 2 overflow a 50-slot window
-    #     and head round 9 together with section B
     "q_scan_excel_recursive",
     "q_scan_excel_allsheets",
     "q_sim_ann_lsh_oracled",
@@ -169,69 +232,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_scan_xml",
     "q_sink_xml",
     "q_graph_ppr",
-    "q_graph_randomwalk",
-    "q_graph_kcore",
-    # B. authored in round 8 (each name appended here as it lands);
-    #    local-parity green before registration, queued for the round-9
-    #    gate window behind A's overflow
-    "q_scan_avro",
-    "q_sink_avro",
-    "q_graph_cc",
-    "q_stream_avro",
-    "q_sql_udf",
-    "q_state_reader",
-    "q_stream_join_outer",
-    "q_agg_approx_topk",
-    "q_udtf_analyze",
-    "q_agg_topk_union",
-    "q_kmeans_lloyd",
-    "q_udtf_table_arg",
-    "q_tpch_q6ish",
-    "q_tpch_q4ish",
-    "q_tpch_q9ish",
-    "q_tpch_q11ish",
-    "q_tpch_q13ish",
-    "q_tpch_q15ish",
-    "q_tpch_q16ish",
-    "q_tpch_q17ish",
-    "q_tpch_q19ish",
-    "q_tpch_q22ish",
-    "q_scan_delta",
-    "q_scan_delta_timetravel",
-    "q_sink_delta",
-    "q_delta_cdf",
-    "q_delta_merge",
-    "q_delta_optimize",
-    "q_dedup_substring",
-    "q_stream_delta",
-    "q_delta_schema_evolution",
-    "q_federated_join",
-    "q_delta_delete_rows",
-    "q_stream_delta_upsert",
-    "q_scan_iceberg",
-    "q_scan_iceberg_snapshot",
-    "q_text_substring_clean",
-    "q_sample_importance",
-    "q_delta_zorder",
-    "q_delta_history",
-    "q_iceberg_compact",
-    "q_iceberg_expire",
-    "q_stream_join_full",
-    "q_nb_classify",
-    "q_regression_multi",
-    "q_agg_theta",
-    "q_regression_cv",
-    "q_iceberg_files",
-    "q_pipeline_classifier_filter",
-    "q_stream_iceberg",
-    "q_iceberg_incremental",
-    "q_iceberg_history",
-    "q_eval_confusion",
-    "q_eval_auc",
-    "q_convert_delta_to_iceberg",
-    "q_convert_iceberg_to_delta",
-    # C. prior greens: the round-7 window first (re-verdicted r7), then
-    #    the round-6 window, then remaining greens in registration order
     "q_tpch_q7ish",
     "q_tpch_q18ish",
     "q_fn_url",

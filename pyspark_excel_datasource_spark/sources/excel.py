@@ -142,14 +142,22 @@ def _read_frame(
         else:
             frame.columns = [str(c) for c in frame.columns]
         return frame
-    return minixlsx.read_xlsx(
-        path,
-        sheet=sheet,
-        header=header,
-        skip_rows=skip_rows,
-        n_rows=n_rows,
-        usecols=usecols,
-    )
+    try:
+        return minixlsx.read_xlsx(
+            path,
+            sheet=sheet,
+            header=header,
+            skip_rows=skip_rows,
+            n_rows=n_rows,
+            usecols=usecols,
+        )
+    except ValueError as e:
+        if "unsupported xlsx" in str(e):
+            # dialect guard (1904 dates, uncached formulas): surface as
+            # the connector's error contract, naming file and feature —
+            # never a bare parse crash
+            raise AnalysisException(f"{e} (file: {path})") from e
+        raise
 
 
 def _write_frame(path: str, frame: pd.DataFrame, sheet_name: str, header: bool = True) -> None:

@@ -11,6 +11,14 @@ Supported cell types: string (inline + shared), number (int/float), bool,
 datetime/date (Excel serial numbers with date number-formats). Values
 round-trip exactly: floats are serialized with ``repr`` (shortest
 round-trip), datetimes at microsecond resolution.
+
+Dialect boundary (vs openpyxl, which accepts more): workbooks using the
+legacy 1904 date system and formula cells carrying no cached value are
+NOT silently misread — both raise a ``ValueError`` naming the feature
+(``_check_dialect`` / ``_parse_row``), which the connector surfaces as
+the query error. Formula cells WITH a cached ``<v>`` read fine (the
+cached value is the value, same as pandas' default ``data_only``
+behavior). See README "Excel dialect" for the support matrix.
 """
 
 from __future__ import annotations
@@ -224,6 +232,24 @@ def write_xlsx(
 # ---------------------------------------------------------------------------
 
 
+def _check_dialect(zf: zipfile.ZipFile) -> None:
+    """Fail loudly on workbook-level features this codec would otherwise
+    silently misread. Today that is exactly one: the legacy 1904 date
+    system (``workbookPr date1904``), under which every date serial this
+    codec converts with the 1900 epoch would be ~4 years off."""
+    try:
+        wb = zf.read("xl/workbook.xml").decode("utf-8", "replace")
+    except KeyError:
+        return
+    if re.search(r'date1904\s*=\s*"(?:1|true)"', wb):
+        raise ValueError(
+            "unsupported xlsx dialect: workbook uses the 1904 date system "
+            "(workbookPr date1904); minixlsx supports the 1900 epoch only "
+            "— re-save the workbook in the 1900 date system, or read it "
+            "via the pandas/openpyxl path"
+        )
+
+
 def _load_shared_strings(zf: zipfile.ZipFile) -> list[str]:
     try:
         data = zf.read("xl/sharedStrings.xml")
@@ -325,6 +351,13 @@ def _parse_row(
         style = int(c.get("s", "0"))
         v = c.find(f"{_NS}v")
         text = v.text if v is not None else None
+        if text is None and ctype != "inlineStr" and c.find(f"{_NS}f") is not None:
+            raise ValueError(
+                f"unsupported xlsx feature: formula cell {ref or idx} has no "
+                "cached value (<f> without <v>); minixlsx does not evaluate "
+                "formulas — re-save the workbook with calculated values, or "
+                "read it via the pandas/openpyxl path"
+            )
         if ctype == "s" and text is not None:
             cells[idx] = shared[int(text)]
         elif ctype == "inlineStr":
@@ -383,6 +416,7 @@ def read_xlsx(
         None if n_rows is None else n_header + skip_rows + n_rows
     )
     with zipfile.ZipFile(path) as zf:
+        _check_dialect(zf)
         shared = _load_shared_strings(zf)
         date_xfs = _load_date_styles(zf)
         member = _sheet_member(zf, sheet)

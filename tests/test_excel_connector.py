@@ -586,3 +586,81 @@ def test_all_sheets_across_files(spark, tmp_path):
     )
     assert sorted(r.id for r in df.collect()) == [1, 2, 3]
     assert df.rdd.getNumPartitions() == 3
+
+
+# ---------------------------------------------------------------------------
+# Dialect guards: unsupported workbook features fail loudly, naming the
+# feature (README "Excel dialect"; openpyxl accepts these, minixlsx
+# refuses rather than misread)
+# ---------------------------------------------------------------------------
+
+
+def _patch_zip_member(path: str, member: str, transform) -> None:
+    """Rewrite one member of an xlsx zip in place (test fixture forge)."""
+    import zipfile
+
+    src = zipfile.ZipFile(path)
+    items = {n: src.read(n) for n in src.namelist()}
+    src.close()
+    items[member] = transform(items[member])
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as out:
+        for n, data in items.items():
+            out.writestr(n, data)
+
+
+def test_minixlsx_1904_date_system_fails_loudly(tmp_path):
+    """A workbook in the legacy 1904 date system must raise naming the
+    feature — converting its serials with the 1900 epoch would silently
+    shift every date by ~4 years."""
+    p = str(tmp_path / "mac.xlsx")
+    _write(p, [(1, dt.datetime(2024, 3, 1, 12, 0))], ["id", "ts"])
+    _patch_zip_member(
+        p,
+        "xl/workbook.xml",
+        lambda b: b.replace(b"<workbook", b"<workbook", 1).replace(
+            b"<sheets>", b'<workbookPr date1904="1"/><sheets>', 1
+        ),
+    )
+    with pytest.raises(ValueError, match="date1904"):
+        minixlsx.read_xlsx(p)
+
+
+def test_minixlsx_uncached_formula_fails_loudly(tmp_path):
+    """A formula cell with no cached value must raise naming the cell —
+    minixlsx does not evaluate formulas, and returning null would be a
+    silent data change."""
+    p = str(tmp_path / "formula.xlsx")
+    _write(p, [(1, 2.0)], ["id", "v"])
+    _patch_zip_member(
+        p,
+        "xl/worksheets/sheet1.xml",
+        lambda b: b.replace(
+            b'<c r="B2"><v>2.0</v></c>', b'<c r="B2"><f>A2*2</f></c>', 1
+        ),
+    )
+    with pytest.raises(ValueError, match="formula cell"):
+        minixlsx.read_xlsx(p)
+
+
+def test_connector_surfaces_dialect_error_as_analysis_exception(spark, tmp_path):
+    """Through the connector the dialect guard keeps the reference's error
+    contract: AnalysisException text naming the feature and the file, not
+    a parse crash."""
+    p = str(tmp_path / "mac2.xlsx")
+    _write(p, [(1, "x")], ["id", "name"])
+    _patch_zip_member(
+        p,
+        "xl/workbook.xml",
+        lambda b: b.replace(b"<sheets>", b'<workbookPr date1904="1"/><sheets>', 1),
+    )
+    df = (
+        spark.read.format("excel")
+        .schema("id long, name string")
+        .option("path", p)
+        .load()
+    )
+    with pytest.raises(Exception, match="date1904") as exc_info:
+        df.collect()
+    assert "AnalysisException" in str(exc_info.value) or "unsupported xlsx" in str(
+        exc_info.value
+    )

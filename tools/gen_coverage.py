@@ -268,9 +268,9 @@ ROLES = {
     "q_join_bloom": "explicit bloom runtime filter; map-side fact pruning",
     "q_corr_matrix": "all-pairs Pearson corr from one sufficient-stats pass",
     "q_udf_cogroup": "cogroup().applyInPandas per-key two-table reconcile",
-    "q_vocab_coverage": "top-K vocab build + per-doc OOV rate, one plan",
+    "q_vocab_coverage": "TakeOrdered top-K vocab build + per-doc OOV rate, one plan",
     "q_join_asof_tolerance": "as-of join + attribution-window tolerance (one plan)",
-    "q_quantile_bins": "exact decile binning; scale path: approx boundaries + width_bucket",
+    "q_quantile_bins": "exact decile binning via banded global rank + NTILE arithmetic",
     "q_stream_rate_limit": "per-key per-window cap; deterministic throttle",
     "q_resample_timeseries": "hourly downsample + gap-filled dense spine",
     "q_window_deltas_vs_baseline": "per-entity trailing-24h baseline (RANGE frame, exact cents)",
