@@ -103,44 +103,60 @@ def pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
     the product through DECIMAL).
 
     Scale: the dangling path costs one extra |sinks|-keyed semi join +
-    1-row aggregate per iteration, and is SKIPPED entirely when a single
-    cheap setup probe finds no sinks (symmetric graphs — the common
-    case). With sinks present, the rank vector is localCheckpoint-ed per
+    1-row aggregate per iteration, and is SKIPPED entirely when the
+    setup probe finds no sinks (symmetric graphs — the common case).
+    With sinks present, the rank vector is localCheckpoint-ed per
     iteration because it feeds two subtrees (contributions + dangling
-    sum) and lineage would otherwise double per round.
+    sum) and lineage would otherwise double per round. ALL setup
+    questions — vertex count, sink existence, source existence — come
+    from ONE aggregate over one degree-flag census (previously three
+    separate jobs), and n becomes a driver-side literal so the teleport
+    and init terms are constants folded into the plan instead of a
+    1-row broadcast joined every iteration.
     """
     deg = edges.groupBy("u").agg(F.count("*").alias("outdeg")).cache()
-    verts = (
-        edges.select(F.col("u").alias("id"))
-        .unionAll(edges.select(F.col("v").alias("id")))
-        .distinct()
+    # degree-flag census: one shuffle answers |V|, sinks?, sources?
+    flags = (
+        edges.select(
+            F.col("u").alias("id"),
+            F.lit(1).alias("has_out"),
+            F.lit(0).alias("has_in"),
+        )
+        .unionAll(
+            edges.select(
+                F.col("v").alias("id"),
+                F.lit(0).alias("has_out"),
+                F.lit(1).alias("has_in"),
+            )
+        )
+        .groupBy("id")
+        .agg(
+            F.max("has_out").alias("has_out"),
+            F.max("has_in").alias("has_in"),
+        )
         .cache()
     )
-    # one tiny driver-side count decides broadcast vs shuffle for the
-    # per-iteration rank join (verts is cached and reused below, so this
-    # costs one pass it was going to pay anyway)
-    n_vertices = verts.count()
+    probe = flags.agg(
+        F.count("*").alias("n"),
+        F.sum(F.lit(1) - F.col("has_out")).alias("n_sinks"),
+        F.sum(F.lit(1) - F.col("has_in")).alias("n_sources"),
+    ).collect()[0]
+    n_vertices = int(probe.n)
+    verts = flags.select("id")
+    if n_vertices == 0:
+        return verts.select("id", F.lit(0).cast("long").alias("pr"))
+    has_sinks = int(probe.n_sinks) > 0
+    has_sources = int(probe.n_sources) > 0
     maybe_broadcast = (
         F.broadcast if n_vertices <= _PR_BROADCAST_MAX_VERTICES else (lambda df: df)
     )
-    sinks = verts.join(deg, verts.id == deg.u, "left_anti").select(
-        F.col("id").alias("sid")
-    )
-    has_sinks = sinks.limit(1).count() > 0
-    # a SOURCE (no in-edges) receives nothing, so with sources present
-    # the rank frame must be rebuilt from verts each iteration (left
-    # join); with neither sinks nor sources (symmetric graphs — the
-    # common case) recv already covers every vertex and the extra join
-    # is skipped — restoring the one-join-one-groupBy iteration shape
-    dsts = edges.select(F.col("v").alias("id")).distinct().cache()
-    has_sources = verts.join(dsts, "id", "left_anti").limit(1).count() > 0
-    n = verts.agg(F.count("*").alias("n"))
+    sinks = flags.filter(F.col("has_out") == 0).select(F.col("id").alias("sid"))
     # the (edges ⋈ deg) message frame is reused every iteration — cache
-    # the static part once
+    # the static part once; init/teleport are exact int literals
+    # (identical floor-div arithmetic to the previous in-plan `div n`)
     ed = edges.join(deg, "u").cache()
-    pr = verts.crossJoin(F.broadcast(n)).select(
-        "id", F.expr(f"{_PR_SCALE} div n").cast("long").alias("pr")
-    )
+    init, tp = _PR_SCALE // n_vertices, _PR_TELEPORT // n_vertices
+    pr = verts.select("id", F.lit(init).cast("long").alias("pr"))
     for _ in range(iterations):
         prb = maybe_broadcast(pr)
         recv = (
@@ -153,13 +169,11 @@ def pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
             .agg(F.sum("c").alias("recv"))
         )
         if has_sources or has_sinks:
-            nxt = verts.join(recv, verts.id == recv.dst, "left").crossJoin(
-                F.broadcast(n)
-            )
+            # a SOURCE receives nothing: rebuild the rank frame from the
+            # full vertex set so its teleport-only row survives
+            nxt = verts.join(recv, verts.id == recv.dst, "left")
         else:
-            nxt = recv.select(F.col("dst").alias("id"), "recv").crossJoin(
-                F.broadcast(n)
-            )
+            nxt = recv.select(F.col("dst").alias("id"), "recv")
         if has_sinks:
             dang = pr.join(F.broadcast(sinks), pr.id == sinks.sid, "left_semi").agg(
                 F.coalesce(F.sum("pr"), F.lit(0)).alias("dm")
@@ -167,8 +181,8 @@ def pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
             pr = nxt.crossJoin(F.broadcast(dang)).select(
                 "id",
                 F.expr(
-                    f"({_PR_TELEPORT} div n) + coalesce(recv, 0L)"
-                    " + ((dm * 85) div (n * 100))"
+                    f"{tp} + coalesce(recv, 0L)"
+                    f" + ((dm * 85) div {n_vertices * 100})"
                 )
                 .cast("long")
                 .alias("pr"),
@@ -176,9 +190,7 @@ def pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
         else:
             pr = nxt.select(
                 "id",
-                F.expr(f"({_PR_TELEPORT} div n) + coalesce(recv, 0L)")
-                .cast("long")
-                .alias("pr"),
+                F.expr(f"{tp} + coalesce(recv, 0L)").cast("long").alias("pr"),
             )
     return pr
 

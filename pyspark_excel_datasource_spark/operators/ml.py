@@ -907,8 +907,23 @@ def q_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     more than the band table. Identical output to the naive global-rank
     oracle. Sampled AUC (``q_eval_auc_sampled``) is the further
     relaxation at extreme scale."""
+    agg = _auc_agg(_nb_en_scored(spark, sf_dir))
+    np_, nn = F.col("n_pos").cast("double"), F.col("n_neg").cast("double")
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        (
+            (F.col("rank_sum2").cast("double") - np_ * (np_ + F.lit(1)))
+            / (F.lit(2) * np_ * nn)
+        ).alias("auc"),
+    )
+
+
+def _nb_en_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc_id, pos, score) test-set frame the AUC family ranks —
+    shared by ``q_eval_auc`` and ``q_eval_auc_sampled``."""
     d = spread(table(spark, sf_dir, "documents"))
-    scored = (
+    return (
         nb_scores(
             d.filter(F.col("doc_id") % 2 == 0),
             d.filter(F.col("doc_id") % 2 == 1),
@@ -923,13 +938,102 @@ def q_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "score",
         )
     )
-    agg = _auc_agg(scored)
-    np_, nn = F.col("n_pos").cast("double"), F.col("n_neg").cast("double")
-    return agg.select(
+
+
+def _auc_of(rs: str, np_: str, nn: str):
+    """AUC = (Σmid2⁺ − n⁺(n⁺+1)) / (2 n⁺ n⁻) as a fixed double tree."""
+    npd, nnd = F.col(np_).cast("double"), F.col(nn).cast("double")
+    return (F.col(rs).cast("double") - npd * (npd + F.lit(1))) / (
+        F.lit(2) * npd * nnd
+    )
+
+
+_AUC_SQL_AGG = """
+    SELECT CAST(SUM(CASE WHEN pos = 1 THEN mid2 ELSE 0 END) AS BIGINT)
+               AS rs,
+           CAST(SUM(pos) AS BIGINT) AS np,
+           CAST(SUM(1 - pos) AS BIGINT) AS nn
+    FROM (SELECT pos,
+                 2 * RANK() OVER (ORDER BY score)
+                   + COUNT(*) OVER (PARTITION BY score) - 1 AS mid2
+          FROM {src})"""
+
+_AUC_SQL_EXPR = (
+    "(CAST({a}.rs AS DOUBLE)"
+    " - CAST({a}.np AS DOUBLE) * (CAST({a}.np AS DOUBLE) + 1))"
+    " / (2 * CAST({a}.np AS DOUBLE) * CAST({a}.nn AS DOUBLE))"
+)
+
+
+@query(
+    "q_eval_auc_sampled",
+    oracle=f"""
+    WITH scored AS (
+        SELECT * FROM (
+            {nb_scores_sql("SELECT * FROM documents WHERE doc_id % 2 = 1")}
+            SELECT doc_id,
+                   CAST(CASE WHEN true_lang = 'en' THEN 1 ELSE 0 END AS INT)
+                       AS pos,
+                   score
+            FROM with_prior WHERE cls = 'en'
+        )
+    ),
+    samp AS (
+        SELECT * FROM scored
+        WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 9, 2) < '80'
+    ),
+    af AS ({_AUC_SQL_AGG.format(src="scored")}),
+    asmp AS ({_AUC_SQL_AGG.format(src="samp")}),
+    m AS (
+        SELECT asmp.np AS n_pos, asmp.nn AS n_neg,
+               {_AUC_SQL_EXPR.format(a="asmp")} AS auc_sampled,
+               {_AUC_SQL_EXPR.format(a="af")} AS auc_exact
+        FROM asmp, af
+    )
+    SELECT n_pos, n_neg, auc_sampled, auc_exact,
+           ABS(auc_sampled - auc_exact) AS abs_err,
+           ABS(auc_sampled - auc_exact)
+             <= 5.0 * SQRT(0.25 / CAST(n_pos AS DOUBLE)
+                           + 0.25 / CAST(n_neg AS DOUBLE)) AS within_bound
+    FROM m
+    """,
+)
+def q_eval_auc_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled AUC — the 100 TB spelling ``q_eval_auc`` promises: a
+    content-addressed ~50% subsample (md5 hex chars 9-10 of doc_id —
+    disjoint from the split/sample/weight hash ranges, so sample
+    membership is uncorrelated with everything else) ranks through the
+    SAME banded Mann–Whitney reduction, and the exact AUC rides along as
+    the in-plan error audit: ``abs_err`` and a ``within_bound`` verdict
+    against the 5-sigma worst-case U-statistic bound
+    5·√(0.25/n⁺ + 0.25/n⁻). Both AUCs are fixed double trees over exact
+    integers, so the whole row — including the verdict — hash-matches
+    the oracle. At extreme scale the exact side drops and the bound
+    becomes the contract (the same audit convention as
+    ``q_sim_ann_recall``); here both sides run so the bound is PROVEN,
+    not assumed."""
+    scored = _nb_en_scored(spark, sf_dir)
+    samp = scored.filter(  # ~50%: hex pair < '80' = 128/256 of the domain
+        F.substring(F.md5(F.col("doc_id").cast("string")), 9, 2) < "80"
+    )
+    full = _auc_agg(scored).select(
+        F.col("rank_sum2").alias("rs_f"),
+        F.col("n_pos").alias("np_f"),
+        F.col("n_neg").alias("nn_f"),
+    )
+    # 1-row × 1-row scalar attach (broadcast NLJ by design)
+    out = _auc_agg(samp).crossJoin(F.broadcast(full))
+    auc_s = _auc_of("rank_sum2", "n_pos", "n_neg")
+    auc_f = _auc_of("rs_f", "np_f", "nn_f")
+    bound = F.lit(5.0) * F.sqrt(
+        F.lit(0.25) / F.col("n_pos").cast("double")
+        + F.lit(0.25) / F.col("n_neg").cast("double")
+    )
+    return out.select(
         "n_pos",
         "n_neg",
-        (
-            (F.col("rank_sum2").cast("double") - np_ * (np_ + F.lit(1)))
-            / (F.lit(2) * np_ * nn)
-        ).alias("auc"),
+        auc_s.alias("auc_sampled"),
+        auc_f.alias("auc_exact"),
+        F.abs(auc_s - auc_f).alias("abs_err"),
+        (F.abs(auc_s - auc_f) <= bound).alias("within_bound"),
     )

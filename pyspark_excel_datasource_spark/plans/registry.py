@@ -181,6 +181,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_regression_cv",
     "q_pipeline_classifier_filter",
     "q_eval_confusion",
+    # B2. authored in round 9 (appended as they land)
+    "q_eval_auc_sampled",
     # C. prior greens, verdicts on record, prior window order
     "q_fn_xml",
     "q_agg_hll_union",

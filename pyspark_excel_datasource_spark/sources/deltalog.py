@@ -273,11 +273,25 @@ def _read_files(
     import re as _re
 
     # absolute log keys (Iceberg allows them) stay absolute — the scan
-    # column below is only root-stripped when the prefix matches
+    # column below is only root-stripped when the prefix matches.
+    #
+    # ``_metadata.file_path`` is a Hadoop Path URI: its path component is
+    # RFC 3986 percent-encoded (space → %20, %% → %25; sub-delims like
+    # + = , stay raw — verified against Spark's local scan), while the
+    # log key is the RAW path. A raw-only join key silently DROPPED every
+    # row of a partition whose value needs encoding ("4-NOT SPECIFIED"
+    # lost all rows, found round 9). The map carries BOTH spellings of
+    # each key — raw and RFC 3986-encoded — so the join matches whichever
+    # form the scan emits, and an encoding-rule drift can only produce a
+    # duplicate map row (deduped below), never silent loss.
+    def _keys(p: str) -> set[str]:
+        enc = quote(p, safe="/-._~!$&'()*+,;=:@")
+        return {p, enc}
+
     rows = [
-        (p if not os.path.isabs(p) else os.path.abspath(p),
-         *[pv.get(c) for c in pcols])
+        (k, *[pv.get(c) for c in pcols])
         for p, pv in files.items()
+        for k in _keys(p if not os.path.isabs(p) else os.path.abspath(p))
     ]
     map_schema = StructType.fromJson(
         {
@@ -290,13 +304,18 @@ def _read_files(
     )
     map_df = spark.createDataFrame(rows, map_schema)
     abs_root = os.path.abspath(table_path)
+    enc_root = quote(abs_root, safe="/-._~!$&'()*+,;=:@")
     norm = F.regexp_replace(
         F.col("_metadata.file_path"), r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/+", "/"
     )
-    df = df.withColumn(
-        "__delta_rel",
-        F.regexp_replace(norm, "^" + _re.escape(abs_root + "/"), ""),
-    ).join(F.broadcast(map_df), "__delta_rel")
+    # strip the table root in BOTH spellings (a root containing chars the
+    # Path URI encodes arrives percent-encoded in the scan column)
+    rel = F.regexp_replace(norm, "^" + _re.escape(abs_root + "/"), "")
+    if enc_root != abs_root:
+        rel = F.regexp_replace(rel, "^" + _re.escape(enc_root + "/"), "")
+    df = df.withColumn("__delta_rel", rel).join(
+        F.broadcast(map_df), "__delta_rel"
+    )
     by_name = {f.name: f.dataType for f in schema.fields}
     for c in pcols:
         df = df.withColumn(c, F.col(f"__pv_{c}").cast(by_name[c]))

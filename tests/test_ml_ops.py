@@ -243,3 +243,24 @@ def test_eval_auc_matches_pairwise_definition(spark):
     assert (row.n_pos, row.n_neg) == (len(pos), len(neg))
     np.testing.assert_allclose(row.auc, expect, rtol=1e-12)
     assert 0.0 <= row.auc <= 1.0
+
+
+def test_eval_auc_sampled_within_bound_and_deterministic(spark):
+    """Sampled AUC: the exact side must equal q_eval_auc's number, the
+    sample must be a genuine subset (~50%), the error must satisfy the
+    in-plan 5-sigma bound, and the whole row must be run-to-run
+    deterministic (content-addressed sample, no RNG)."""
+    from pyspark_excel_datasource_spark.operators.ml import (
+        q_eval_auc,
+        q_eval_auc_sampled,
+    )
+
+    exact = q_eval_auc(spark, SF).collect()[0]
+    row = q_eval_auc_sampled(spark, SF).collect()[0]
+    np.testing.assert_allclose(row.auc_exact, exact.auc, rtol=0)
+    assert 0 < row.n_pos < exact.n_pos or 0 < row.n_neg < exact.n_neg
+    bound = 5.0 * (0.25 / row.n_pos + 0.25 / row.n_neg) ** 0.5
+    assert row.abs_err <= bound
+    assert bool(row.within_bound) is True
+    again = q_eval_auc_sampled(spark, SF).collect()[0]
+    assert again == row

@@ -79,6 +79,9 @@ ALLOWED_NESTED_LOOP = {
     # the ≤k-row sketch frames and 1-row theta cross-join each other —
     # every side is O(k)=128 rows by construction
     "q_agg_theta",
+    # 1-row sampled-AUC aggregate × 1-row exact-AUC aggregate — the
+    # in-plan error-audit scalar attach
+    "q_eval_auc_sampled",
 }
 
 
