@@ -764,13 +764,16 @@ def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # SQL NTILE(k): q = n DIV k, r = n MOD k; the first r buckets hold
-    # q+1 rows, the rest q — from the exact global rn this is closed-form
-    k = F.lit(10)
-    q, r = (F.col("n") / k).cast("long"), F.col("n") % k
-    big = (q + 1) * r  # rows living in the oversized buckets
-    bin_col = F.when(
-        F.col("rn") <= big, F.ceil(F.col("rn") / (q + 1))
-    ).otherwise(r + F.ceil((F.col("rn") - big) / F.greatest(q, F.lit(1))))
+    # q+1 rows, the rest q — from the exact global rn this is closed-form.
+    # Pure int64 arithmetic (ceil(a/b) spelled (a+b-1) DIV b): no double
+    # division anywhere, so bucket boundaries are exact at any n.
+    bin_col = F.expr(
+        "CASE WHEN rn <= ((n DIV 10) + 1) * (n % 10)"
+        " THEN (rn + (n DIV 10)) DIV ((n DIV 10) + 1)"
+        " ELSE (n % 10) + (rn - ((n DIV 10) + 1) * (n % 10)"
+        "                  + greatest(n DIV 10, 1) - 1)"
+        "                 DIV greatest(n DIV 10, 1) END"
+    )
     return (
         ranked.select("l_extendedprice", bin_col.cast("int").alias("bin"))
         .groupBy("bin")

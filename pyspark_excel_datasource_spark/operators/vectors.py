@@ -489,3 +489,215 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             "moved"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA top component by power iteration (whitening/OPQ preprocessing)
+# ---------------------------------------------------------------------------
+
+_PCA_ITERS = 3
+
+_PCA_IT_SQL = """
+    w{r} AS (
+        SELECT cf.i AS dim,
+               LIST_SUM(LIST(cf.c * v.v ORDER BY cf.j)) AS w
+        FROM covf cf JOIN v{p} v ON cf.j = v.dim GROUP BY cf.i
+    ),
+    n{r} AS (SELECT SQRT(LIST_SUM(LIST(w * w ORDER BY dim))) AS nrm
+             FROM w{r}),
+    v{r} AS (SELECT dim, w / n.nrm AS v FROM w{r}, n{r} n)"""
+
+
+def _ofold(key, term):
+    """Order-canonical double fold: sort (key, term) structs by key, then
+    a sequential left-fold sum — the ``q_text_lm_score`` convention that
+    makes cross-row float sums bit-equal to DuckDB's
+    ``LIST_SUM(LIST(term ORDER BY key))``."""
+    return F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(key, term.alias("t")))),
+            lambda s: s["t"],
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+
+@query(
+    "q_embed_pca_power",
+    oracle=f"""
+    WITH ex AS (
+        SELECT vec_id, g.i - 1 AS dim,
+               CAST(FLOOR(CAST(embedding[g.i] AS DOUBLE) * {_FP} + 0.5)
+                    AS BIGINT) AS vq
+        FROM embeddings,
+             UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS g(i)
+    ),
+    pairs AS (
+        SELECT a.dim AS i, b.dim AS j,
+               SUM(a.vq * b.vq) AS sp, COUNT(*) AS n
+        FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+        GROUP BY 1, 2
+    ),
+    means AS (SELECT dim, SUM(vq) AS s, COUNT(*) AS n FROM ex GROUP BY dim),
+    cov AS (
+        SELECT p.i, p.j,
+               CAST(p.sp AS DOUBLE) / p.n / ({_FP}.0 * {_FP}.0)
+               - (CAST(mi.s AS DOUBLE) / mi.n / {_FP}.0)
+                 * (CAST(mj.s AS DOUBLE) / mj.n / {_FP}.0) AS c
+        FROM pairs p
+        JOIN means mi ON p.i = mi.dim
+        JOIN means mj ON p.j = mj.dim
+    ),
+    covf AS (
+        SELECT i, j, c FROM cov
+        UNION ALL SELECT j AS i, i AS j, c FROM cov WHERE i <> j
+    ),
+    v0 AS (SELECT DISTINCT i AS dim, 1.0 AS v FROM covf),
+    {",".join(_PCA_IT_SQL.format(r=r, p=r - 1).lstrip() for r in range(1, _PCA_ITERS + 1))},
+    lamw AS (
+        SELECT cf.i AS dim, LIST_SUM(LIST(cf.c * v.v ORDER BY cf.j)) AS w
+        FROM covf cf JOIN v{_PCA_ITERS} v ON cf.j = v.dim GROUP BY cf.i
+    ),
+    lam AS (
+        SELECT LIST_SUM(LIST(v.v * w.w ORDER BY v.dim)) AS lam
+        FROM v{_PCA_ITERS} v JOIN lamw w ON v.dim = w.dim
+    ),
+    tr AS (SELECT LIST_SUM(LIST(c ORDER BY i)) AS tr FROM cov WHERE i = j)
+    SELECT v.dim::INT AS dim,
+           {sql_canon(sql_dround("v.v", 6))} AS loading,
+           {sql_canon(sql_dround("lam.lam", 6))} AS eigenvalue,
+           {sql_canon(sql_dround("lam.lam / tr.tr", 6))} AS var_share
+    FROM v{_PCA_ITERS} v, lam, tr
+    """,
+)
+def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by {_PCA_ITERS}
+    power-iteration steps over the exact covariance matrix — the
+    whitening / OPQ-rotation preprocessing an ANN index runs before
+    trusting inner products. Returns one row per dimension: the
+    component loading, the Rayleigh-quotient eigenvalue, and the
+    explained-variance share (eigenvalue / trace).
+
+    Scale shape: covariance sufficient statistics are ONE pass — each
+    vector expands to its d(d+1)/2 upper-triangle fixed-point products
+    (map-side partial aggregation collapses them to the d² key space
+    immediately, so the shuffle is bounded by dims², never rows), and
+    the mean cross-terms are subtracted AFTER aggregation, exact-int
+    moments in, fixed double tree out. The power iteration then runs
+    entirely on the d²-row covariance frame: each step is one broadcast
+    join + one d-key aggregation with order-canonical folds (the
+    ``q_text_lm_score`` convention), so every float sum is bit-equal to
+    the oracle's LIST_SUM spelling. No row-scale data is ever touched
+    after the first pass; at 100 TB the first pass IS the job, and it
+    is embarrassingly parallel. Spelling note: moments divide by n
+    BEFORE the fixed-point descale (sp/n/FP²), so nothing overflows
+    double precision at any corpus size."""
+    emb = spread(table(spark, sf_dir, "embeddings"))
+    vq = (
+        "CAST(FLOOR(CAST(embedding[{k}] AS DOUBLE) * 1000000 + 0.5)"
+        " AS BIGINT)"
+    )
+    pairs = emb.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, size(embedding) - 1), i -> "
+                "transform(sequence(i, size(embedding) - 1), j -> "
+                "struct(i, j, " + vq.format(k="i") + " * "
+                + vq.format(k="j") + " AS p))))"
+            )
+        ).alias("t")
+    ).select("t.i", "t.j", "t.p")
+    moments = pairs.groupBy("i", "j").agg(
+        F.sum(F.col("p").cast("decimal(38,0)")).alias("sp"),
+        F.count("*").alias("n"),
+    )
+    ex = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v")
+    ).select(
+        "dim", F.floor(F.col("v") * _FP + F.lit(0.5)).cast("long").alias("vq")
+    )
+    means = ex.groupBy("dim").agg(
+        F.sum(F.col("vq").cast("decimal(38,0)")).alias("s"),
+        F.count("*").alias("n"),
+    )
+    mean_of = lambda s, n: F.col(s).cast("double") / F.col(n) / float(_FP)  # noqa: E731
+    cov = (
+        moments.join(
+            F.broadcast(
+                means.select(
+                    F.col("dim").alias("i"),
+                    F.col("s").alias("si"),
+                    F.col("n").alias("ni"),
+                )
+            ),
+            "i",
+        )
+        .join(
+            F.broadcast(
+                means.select(
+                    F.col("dim").alias("j"),
+                    F.col("s").alias("sj"),
+                    F.col("n").alias("nj"),
+                )
+            ),
+            "j",
+        )
+        .select(
+            "i",
+            "j",
+            (
+                F.col("sp").cast("double") / F.col("n") / (float(_FP) * float(_FP))
+                - mean_of("si", "ni") * mean_of("sj", "nj")
+            ).alias("c"),
+        )
+    )
+    covf = cov.select("i", "j", "c").unionByName(
+        cov.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "c"
+        )
+    ).localCheckpoint()  # d^2 rows; reused by every iteration + trace
+
+    def matvec(v: DataFrame) -> DataFrame:
+        term = (F.col("c") * F.col("v")).alias("t")
+        return (
+            covf.join(F.broadcast(v), covf.j == v.dim)
+            .select("i", "j", term)
+            .groupBy("i")
+            .agg(_ofold(F.col("j"), F.col("t")).alias("w"))
+            .select(F.col("i").alias("dim"), "w")
+        )
+
+    v = covf.select("i").distinct().select(
+        F.col("i").alias("dim"), F.lit(1.0).alias("v")
+    )
+    for _ in range(_PCA_ITERS):
+        # localCheckpoint (64 rows, eager): w feeds BOTH the norm and
+        # the update, so without truncation the iteration subtree
+        # doubles per round (the kcore_peel discipline)
+        w = matvec(v).localCheckpoint()
+        nrm = w.agg(
+            F.sqrt(_ofold(F.col("dim"), (F.col("w") * F.col("w")).alias("t")))
+            .alias("nrm")
+        )
+        v = w.crossJoin(F.broadcast(nrm)).select(
+            "dim", (F.col("w") / F.col("nrm")).alias("v")
+        )
+    lamw = matvec(v)
+    lam = (
+        v.join(lamw.select(F.col("dim"), F.col("w")), "dim")
+        .agg(_ofold(F.col("dim"), (F.col("v") * F.col("w")).alias("t")).alias("lam"))
+    )
+    tr = cov.filter(F.col("i") == F.col("j")).agg(
+        _ofold(F.col("i"), F.col("c").alias("t")).alias("tr")
+    )
+    return (
+        v.crossJoin(F.broadcast(lam))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            canon(dround(F.col("v"), 6)).alias("loading"),
+            canon(dround(F.col("lam"), 6)).alias("eigenvalue"),
+            canon(dround(F.col("lam") / F.col("tr"), 6)).alias("var_share"),
+        )
+    )

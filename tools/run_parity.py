@@ -29,7 +29,15 @@ def main() -> int:
     if names:
         queries = {k: v for k, v in queries.items() if k in names}
 
-    spark = get_session("parity", cpus=8, shuffle_partitions=8)
+    # SPARK_GRAFT_SHUFFLE overrides the partition count — the
+    # cluster-shape smoke (`=200`, the multi-executor default) proves no
+    # query's determinism depends on the local partitioning (the
+    # md5/decimal conventions make results partition-count-invariant;
+    # this is the sweep that checks it)
+    import os
+
+    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8"))
+    spark = get_session("parity", cpus=8, shuffle_partitions=shuffle)
     failures = 0
     for name, fn in queries.items():
         t0 = time.perf_counter()
