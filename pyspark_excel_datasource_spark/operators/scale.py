@@ -389,6 +389,12 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one range shuffle, exactly how a real z-order writer lays files
     out). Integer bit math end-to-end — exact in both engines; the
     per-file envelope widths are the clustering-quality metric.
+
+    The file split is the exact NTILE over the curve order, computed
+    with the banded global rank (``q_quantile_bins``'s template: zval
+    DIV 64 bands → per-band counts → offsets over the ≤1024-row band
+    table → in-band row_number; bin = pure int64 NTILE arithmetic on
+    (rn, n)) — never a single-task sort of the whole fact table.
     """
     li = table(spark, sf_dir, "lineitem")
     mask = (1 << _Z_BITS) - 1
@@ -401,12 +407,30 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         F.expr(zexpr).alias("zval"),
+    ).withColumn("band", F.expr("zval DIV 64"))
+    counts = z.groupBy("band").agg(F.count("*").alias("c"))
+    off_w = W.orderBy("band").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("c").over(off_w), F.lit(0))
+    ).withColumn("n", F.sum("c").over(W.partitionBy())).select(
+        "band", "off", "n"
     )
-    filed = z.withColumn(
+    in_band = F.row_number().over(
+        W.partitionBy("band").orderBy("zval", "l_orderkey", "l_linenumber")
+    )
+    ranked = z.withColumn("br", in_band).join(
+        F.broadcast(offsets), "band"
+    ).withColumn("rn", F.col("off") + F.col("br"))
+    k = _Z_FILES
+    filed = ranked.withColumn(
         "file_id",
-        F.ntile(_Z_FILES)
-        .over(W.partitionBy().orderBy("zval", "l_orderkey", "l_linenumber"))
-        .cast("int"),
+        F.expr(
+            f"CAST(CASE WHEN rn <= ((n DIV {k}) + 1) * (n % {k})"
+            f" THEN (rn + (n DIV {k})) DIV ((n DIV {k}) + 1)"
+            f" ELSE (n % {k}) + (rn - ((n DIV {k}) + 1) * (n % {k})"
+            f"                   + greatest(n DIV {k}, 1) - 1)"
+            f"                  DIV greatest(n DIV {k}, 1) END AS INT)"
+        ),
     )
     pk = F.col("l_partkey") % (mask + 1)
     sk = F.col("l_suppkey") % (mask + 1)

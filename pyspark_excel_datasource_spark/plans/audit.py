@@ -22,6 +22,12 @@ from __future__ import annotations
 
 import contextlib
 import io
+import re
+
+#: detail-section header of a WindowExec node, exactly — substring
+#: matching would also catch WindowGroupLimit (the partitioned top-k
+#: pushdown whose Arguments are [partitionSpec], [orderSpec], ...)
+_WINDOW_HEADER = re.compile(r"^\(\d+\) Window$")
 
 
 def top_level_groups(s: str) -> list[str]:
@@ -47,7 +53,7 @@ def unpartitioned_windows(plan: str) -> list[str]:
     out: list[str] = []
     lines = plan.splitlines()
     for i, line in enumerate(lines):
-        if not line.strip().startswith("(") or ") Window" not in line:
+        if not _WINDOW_HEADER.match(line.strip()):
             continue
         for j in range(i + 1, min(i + 6, len(lines))):
             if lines[j].startswith("Arguments: "):

@@ -116,15 +116,58 @@ ARROW_ALLOWED = {
 }
 
 
-def test_no_cartesian_or_row_python_in_any_plan(spark):
-    """Repo-wide invariant over all registered queries: no CartesianProduct
-    (quadratic shuffle-free disaster at scale) and no BatchEvalPython
-    (row-at-a-time Python, 10-100x slower than Arrow) anywhere; Arrow
-    Python stages only in the designed UDF-surface queries."""
+#: Queries whose plans legitimately contain Window nodes with an EMPTY
+#: partition spec (single-task window). Every entry must justify WHY the
+#: window's input is bounded — the audit (`tools/window_audit.py`, round-9
+#: full-registry sweep) proved these are the ONLY occurrences, and this
+#: map is the gate that keeps new row-scale single-task windows out.
+#: value = (max node count, justification).
+UNPARTITIONED_WINDOW_OK: dict[str, tuple[int, str]] = {
+    "q_eval_auc": (1, "offsets over the score-band table (bounded bands)"),
+    "q_eval_auc_sampled": (2, "score-band offsets for sample AND full AUC"),
+    "q_benford_audit": (1, "total over the 9-row first-digit census"),
+    "q_gini_concentration": (1, "offsets over the cent-band table"),
+    "q_abc_classification": (
+        2,
+        "rank+total over per-part revenue aggregates (dim-bounded)",
+    ),
+    "q_rank_fusion": (2, "ranks over two 50-row TakeOrdered result tops"),
+    "q_skyline_pareto": (1, "final pass over bucket-pruned Pareto survivors"),
+    "q_curriculum_interleave": (
+        2,
+        "per-source rank over |sources| aggregate + global doc-count",
+    ),
+    "q_compaction_plan": (1, "next-fit over file metadata (file-count rows)"),
+    "q_funnel_ttc": (1, "total over the latency-histogram band census"),
+    "q_quantile_normalize": (1, "offsets over the value-band table"),
+    "q_pipeline_corpus_v2": (
+        2,
+        "source rank + doc-count over tiny aggregates (r8 verdict audit)",
+    ),
+    "q_quantile_bins": (2, "price-band offsets + n total over the band table"),
+    "q_skew_keys": (3, "share/cum-share diagnostics over TakeOrdered top keys"),
+    "q_zorder_layout": (2, "zval-band offsets + n total over <=1024 bands"),
+    "q_mix_budget": (1, "budget arithmetic over the |domains| aggregate"),
+}
+
+
+def test_no_cartesian_row_python_or_unjustified_global_window(spark):
+    """Repo-wide invariants over every registered query's physical plan:
+    no CartesianProduct (quadratic shuffle-free disaster at scale), no
+    BatchEvalPython (row-at-a-time Python, 10-100x slower than Arrow),
+    Arrow Python stages only in the designed UDF-surface queries, and —
+    the round-9 addition — every Window with an EMPTY partition spec
+    (single-task at 100 TB) carries a written boundedness justification
+    in UNPARTITIONED_WINDOW_OK. WindowGroupLimit nodes are exempt by
+    construction: they are the partitioned top-k pushdown."""
+    from pyspark_excel_datasource_spark.plans.audit import (
+        unpartitioned_windows,
+    )
     from pyspark_excel_datasource_spark.plans.registry import load_all_queries
 
     violations: list[tuple[str, str]] = []
     arrow_users: set[str] = set()
+    window_offenders: dict[str, int] = {}
     for name, fn in load_all_queries().items():
         plan = _plan(fn(spark, SF))
         if "CartesianProduct" in plan:
@@ -136,9 +179,22 @@ def test_no_cartesian_or_row_python_in_any_plan(spark):
             for tok in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
         ):
             arrow_users.add(name)
+        hits = unpartitioned_windows(plan)
+        if hits:
+            window_offenders[name] = len(hits)
     assert not violations, violations
     unexpected = arrow_users - ARROW_ALLOWED
     assert not unexpected, f"new Python stages outside the allowlist: {unexpected}"
+    unjustified = {
+        n: c
+        for n, c in window_offenders.items()
+        if n not in UNPARTITIONED_WINDOW_OK or c > UNPARTITIONED_WINDOW_OK[n][0]
+    }
+    assert not unjustified, (
+        "unpartitioned (single-task) Window without a justification in "
+        f"UNPARTITIONED_WINDOW_OK: {unjustified} — either partition it, "
+        "band it (q_gini_concentration template), or justify boundedness"
+    )
 
 
 def test_sim_topk_broadcasts_query_vectors(spark):
