@@ -183,6 +183,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_eval_confusion",
     # B2. authored in round 9 (appended as they land)
     "q_eval_auc_sampled",
+    "q_embed_pca_power",
     # C. prior greens, verdicts on record, prior window order
     "q_fn_xml",
     "q_agg_hll_union",

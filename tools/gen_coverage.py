@@ -23,6 +23,21 @@ SECTIONS = {
         "q_scan_tarshard", "q_sink_tarshard", "q_stream_tarshard",
         "q_sink_parquet_bloom", "q_scan_xml", "q_sink_xml",
     ],
+    "Lakehouse: Delta (scan / DML / maintenance / stream)": [
+        "q_scan_delta", "q_scan_delta_timetravel", "q_sink_delta",
+        "q_delta_cdf", "q_delta_merge", "q_delta_optimize",
+        "q_delta_zorder", "q_delta_delete_rows", "q_delta_schema_evolution",
+        "q_delta_history", "q_stream_delta", "q_stream_delta_upsert",
+        "q_federated_join", "q_convert_delta_to_iceberg",
+    ],
+    "Lakehouse: Iceberg (scan / maintenance / stream / conversion)": [
+        "q_scan_iceberg", "q_scan_iceberg_snapshot", "q_iceberg_compact",
+        "q_iceberg_expire", "q_iceberg_files", "q_iceberg_incremental",
+        "q_iceberg_history", "q_stream_iceberg", "q_convert_iceberg_to_delta",
+    ],
+    "Avro source / sink / stream": [
+        "q_scan_avro", "q_sink_avro", "q_stream_avro",
+    ],
     "Projection / filter": ["q_project", "q_filter_basic", "q_filter_complex"],
     "Joins": [
         "q_join_inner", "q_join_broadcast", "q_join_left", "q_join_right",
@@ -58,15 +73,20 @@ SECTIONS = {
         "q_stream_session", "q_stream_watermark", "q_stream_dedup",
         "q_stream_stateful", "q_stream_enrich", "q_stream_join",
         "q_stream_foreachbatch", "q_stream_rate_limit", "q_stream_tws",
+        "q_stream_join_outer", "q_stream_join_full", "q_state_reader",
     ],
     "UDF / UDAF / UDTF": [
         "q_udf_scalar", "q_udaf_grouped", "q_udtf", "q_udf_mapinpandas",
-        "q_udf_cogroup", "q_udf_mapinarrow",
+        "q_udf_cogroup", "q_udf_mapinarrow", "q_sql_udf",
+        "q_udtf_analyze", "q_udtf_table_arg",
     ],
     "Flagship / composite analytics": [
         "q_flagship_pricing", "q_tpch_q5ish", "q_tpch_q10ish", "q_tpch_q3ish",
         "q_tpch_q7ish", "q_tpch_q18ish", "q_tpch_q2ish", "q_tpch_q20ish",
         "q_tpch_q14ish", "q_tpch_q12ish", "q_tpch_q21ish", "q_tpch_q8ish",
+        "q_tpch_q4ish", "q_tpch_q6ish", "q_tpch_q9ish", "q_tpch_q11ish",
+        "q_tpch_q13ish", "q_tpch_q15ish", "q_tpch_q16ish", "q_tpch_q17ish",
+        "q_tpch_q19ish", "q_tpch_q22ish",
         "q_sql_pipe", "q_sql_scripting", "q_execute_immediate",
         "q_fulfillment_latency", "q_return_rates",
         "q_discount_lift",
@@ -80,6 +100,7 @@ SECTIONS = {
         "q_dedup_prefix", "q_dedup_ngram_jaccard", "q_minhash_union_sketch",
         "q_dedup_url", "q_fuzzy_match", "q_dedup_cross_source",
         "q_dedup_chunks", "q_dedup_containment", "q_dedup_semantic_cluster",
+        "q_dedup_substring",
     ],
     "North-star: similarity search": [
         "q_sim_topk", "q_sim_selfjoin", "q_sim_ann_lsh", "q_sim_ann_ivf",
@@ -92,6 +113,7 @@ SECTIONS = {
         "q_text_tfidf", "q_tokenize", "q_text_lm_score", "q_contamination",
         "q_pii_redact", "q_strip_markup", "q_bm25", "q_pii_luhn",
         "q_inverted_index", "q_strip_boilerplate", "q_text_sentiment",
+        "q_text_substring_clean",
     ],
     "North-star: multimodal": ["q_multimodal_cols", "q_multimodal_features", "q_multimodal_dedup", "q_multimodal_frames", "q_multimodal_tarshard", "q_content_chunking", "q_chunk_dedup"],
     "North-star: pipeline composition": [
@@ -102,6 +124,7 @@ SECTIONS = {
         "q_skyline_pareto", "q_curriculum_interleave", "q_observe_metrics",
         "q_sample_coordinated", "q_quantile_normalize",
         "q_pipeline_corpus_v2", "q_pipeline_tarshard_ingest",
+        "q_sample_importance",
     ],
     "Event analytics": [
         "q_sessionize", "q_funnel", "q_retention", "q_scd2_intervals", "q_event_transitions",
@@ -121,6 +144,10 @@ SECTIONS = {
         "q_regression_by_group", "q_corr_matrix", "q_ab_ttest",
         "q_profile_table", "q_benford_audit", "q_gini_concentration",
         "q_hhi_concentration", "q_abc_classification",
+        "q_nb_classify", "q_pipeline_classifier_filter",
+        "q_regression_multi", "q_regression_cv",
+        "q_eval_confusion", "q_eval_auc", "q_eval_auc_sampled",
+        "q_agg_theta",
     ],
     "North-star: corpus prep (chunking / tokenizer / shards)": [
         "q_text_repetition", "q_chunk_tokens", "q_bpe_pair_counts",
@@ -131,14 +158,15 @@ SECTIONS = {
     ],
     "North-star: embedding aggregates / clustering": [
         "q_embed_centroids", "q_embed_quantize", "q_embed_assign",
-        "q_embed_norm",
+        "q_embed_norm", "q_embed_pca_power", "q_kmeans_lloyd",
     ],
     "North-star: graph analytics": [
         "q_graph_pagerank", "q_graph_triangles", "q_graph_ppr",
-        "q_graph_randomwalk", "q_graph_kcore",
+        "q_graph_randomwalk", "q_graph_kcore", "q_graph_cc",
     ],
     "Approximate-structure contract audits": [
         "q_sim_ann_recall", "q_approx_audit", "q_agg_hll_union",
+        "q_agg_approx_topk", "q_agg_topk_union",
     ],
 }
 
