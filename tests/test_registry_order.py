@@ -35,9 +35,17 @@ def test_probes_retired():
     assert not any(n.startswith("q_probe_dec_") for n in _ordered_names())
 
 
-#: Queries authored in round 8 — appended to registry section B as they
-#: land; they queue for the round-9 gate window behind the 2-name
-#: overflow of section A.
+#: Queries authored in round 9 — appended to registry section B2 as they
+#: land; they queue for the round-10 gate window behind the 8-name
+#: overflow of section B.
+ROUND9_AUTHORED: set[str] = {
+    "q_eval_auc_sampled",
+    "q_embed_pca_power",
+}
+
+
+#: Queries authored in round 8 (kept for provenance; all now inside the
+#: round-9 rotation sections).
 ROUND8_AUTHORED: set[str] = {
     "q_scan_avro",
     "q_sink_avro",
@@ -101,48 +109,58 @@ ROUND8_AUTHORED: set[str] = {
 }
 
 
-def test_round8_window_composition():
-    """Round-8 window (VERDICT r7 next-round #1): the 52 queries with NO
-    driver verdict in rounds 1-7 rotate into the gate. Slots 1-50 hold the
-    first 50; slots 51-52 the overflow (round-9 rotation head, followed by
-    round-8's own additions). Every query outside the first 52 must either
-    hold a recorded driver verdict in CORRECTNESS_r01-r07 or be authored
-    this round (section B)."""
+def test_round9_window_composition():
+    """Round-9 window (VERDICT r8 next-round #3): the 58 queries with NO
+    driver verdict in rounds 1-8 rotate into the gate. Slots 1-50 are 50
+    of them — the full lakehouse family FIRST (the least driver-exercised
+    subsystem), then the oldest backlog; slots 51-58 hold the 8 overflow
+    (round-10 rotation head), followed by round-9's own additions. Every
+    query in the first 58 slots must be never-driver-verdicted, and the
+    window must start with the 23 lakehouse queries."""
     names = _ordered_names()
 
     seen: set[str] = set()
-    for r in ("01", "02", "03", "04", "05", "06", "07"):
+    for r in ("01", "02", "03", "04", "05", "06", "07", "08"):
         seen.update(json.loads((REPO / f"CORRECTNESS_r{r}.json").read_text()))
 
+    window = names[:50]
+    overflow = names[50:58]
+    assert not (set(window) & seen), (
+        f"verdicted queries inside the 50-slot window: "
+        f"{sorted(set(window) & seen)}"
+    )
+    assert not (set(overflow) & seen), (
+        f"verdicted queries in the overflow slots: "
+        f"{sorted(set(overflow) & seen)}"
+    )
+    lake = [
+        n
+        for n in names
+        if ("delta" in n or "iceberg" in n or n == "q_federated_join")
+        and n not in seen
+        and not n.startswith("q_delta_lag")
+    ]
+    assert window[: len(lake)] == lake[: len(lake)], (
+        "the lakehouse family must lead the round-9 window"
+    )
+    # every never-verdicted, non-rows-only query not in the first 58 must
+    # be a round-9 addition (they queue behind the overflow for round 10)
     rows_only = {
-        # approx structures with no oracle: the driver records a weaker
-        # rows-only check; their correctness contract is audited in-plan
-        # via q_approx_audit / q_sim_ann_recall (both hash-verified r6)
         "q_dedup_minhash",
         "q_dedup_simhash",
         "q_sim_ann_lsh",
         "q_sim_ann_ivf",
         "q_sim_ann_pq",
     }
-    backlog = [n for n in names if n not in seen and n not in rows_only]
-    never_verdicted = [n for n in backlog if n not in ROUND8_AUTHORED]
-    assert names[:50] == never_verdicted[:50], (
-        "round-8 window must be the first 50 never-driver-verdicted queries"
+    tail_unverdicted = {
+        n
+        for n in names[58:]
+        if n not in seen and n not in rows_only
+    }
+    assert tail_unverdicted <= ROUND9_AUTHORED, (
+        f"never-verdicted queries stranded behind the rotation: "
+        f"{sorted(tail_unverdicted - ROUND9_AUTHORED)}"
     )
-    assert names[50:52] == never_verdicted[50:52], (
-        "slots 51-52 must hold the rest of the never-verdicted backlog"
-    )
-    assert len(never_verdicted) == 52, (
-        f"expected exactly 52 never-verdicted holdovers, got "
-        f"{len(never_verdicted)}"
-    )
-    # round-8 queries land right behind the backlog so a widened driver
-    # window reaches them this round, and the round-9 rotation is cheap
-    authored = [n for n in names if n in ROUND8_AUTHORED]
-    if authored:
-        start = names.index(authored[0])
-        assert start == 52, "round-8 queries must start at slot 53"
-        assert names[start : start + len(authored)] == authored
 
 
 def test_every_oracle_has_a_query():
