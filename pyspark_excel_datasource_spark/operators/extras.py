@@ -736,46 +736,18 @@ def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     The approximate relaxation stays ``q_agg_approx_quantile``
     (approx_percentile boundaries + broadcast width_bucket).
     """
+    from .banding import banded_row_number, ntile_expr
+
     li = table(spark, sf_dir, "lineitem")
-    base = li.select(
-        "l_extendedprice", "l_orderkey", "l_linenumber"
-    ).withColumn(
-        "band", F.floor(F.col("l_extendedprice") / _QBIN_BAND).cast("long")
-    )
-    counts = base.groupBy("band").agg(F.count("*").alias("c"))
-    off_w = W.orderBy("band").rowsBetween(W.unboundedPreceding, -1)
-    offsets = counts.withColumn(
-        "off", F.coalesce(F.sum("c").over(off_w), F.lit(0))
-    ).withColumn("n", F.sum("c").over(W.partitionBy())).select(
-        "band", "off", "n"
-    )
-    in_band = F.row_number().over(
-        W.partitionBy("band").orderBy(
-            "l_extendedprice", "l_orderkey", "l_linenumber"
-        )
-    )
-    ranked = (
-        base.withColumn("br", in_band)
-        .join(F.broadcast(offsets), "band")
-        .select(
-            "l_extendedprice",
-            (F.col("off") + F.col("br")).alias("rn"),
-            "n",
-        )
-    )
-    # SQL NTILE(k): q = n DIV k, r = n MOD k; the first r buckets hold
-    # q+1 rows, the rest q — from the exact global rn this is closed-form.
-    # Pure int64 arithmetic (ceil(a/b) spelled (a+b-1) DIV b): no double
-    # division anywhere, so bucket boundaries are exact at any n.
-    bin_col = F.expr(
-        "CASE WHEN rn <= ((n DIV 10) + 1) * (n % 10)"
-        " THEN (rn + (n DIV 10)) DIV ((n DIV 10) + 1)"
-        " ELSE (n % 10) + (rn - ((n DIV 10) + 1) * (n % 10)"
-        "                  + greatest(n DIV 10, 1) - 1)"
-        "                 DIV greatest(n DIV 10, 1) END"
+    ranked = banded_row_number(
+        li.select("l_extendedprice", "l_orderkey", "l_linenumber"),
+        F.floor(F.col("l_extendedprice") / _QBIN_BAND).cast("long"),
+        ["l_extendedprice", "l_orderkey", "l_linenumber"],
     )
     return (
-        ranked.select("l_extendedprice", bin_col.cast("int").alias("bin"))
+        ranked.select(
+            "l_extendedprice", ntile_expr(10).cast("int").alias("bin")
+        )
         .groupBy("bin")
         .agg(
             F.count("*").alias("n"),

@@ -401,36 +401,20 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     zexpr = _z_interleave_sql(
         f"(l_partkey % {1 << _Z_BITS})", f"(l_suppkey % {1 << _Z_BITS})"
     )
+    from .banding import banded_row_number, ntile_expr
+
     z = li.select(
         "l_partkey",
         "l_suppkey",
         "l_orderkey",
         "l_linenumber",
         F.expr(zexpr).alias("zval"),
-    ).withColumn("band", F.expr("zval DIV 64"))
-    counts = z.groupBy("band").agg(F.count("*").alias("c"))
-    off_w = W.orderBy("band").rowsBetween(W.unboundedPreceding, -1)
-    offsets = counts.withColumn(
-        "off", F.coalesce(F.sum("c").over(off_w), F.lit(0))
-    ).withColumn("n", F.sum("c").over(W.partitionBy())).select(
-        "band", "off", "n"
     )
-    in_band = F.row_number().over(
-        W.partitionBy("band").orderBy("zval", "l_orderkey", "l_linenumber")
+    ranked = banded_row_number(
+        z, F.expr("zval DIV 64"), ["zval", "l_orderkey", "l_linenumber"]
     )
-    ranked = z.withColumn("br", in_band).join(
-        F.broadcast(offsets), "band"
-    ).withColumn("rn", F.col("off") + F.col("br"))
-    k = _Z_FILES
     filed = ranked.withColumn(
-        "file_id",
-        F.expr(
-            f"CAST(CASE WHEN rn <= ((n DIV {k}) + 1) * (n % {k})"
-            f" THEN (rn + (n DIV {k})) DIV ((n DIV {k}) + 1)"
-            f" ELSE (n % {k}) + (rn - ((n DIV {k}) + 1) * (n % {k})"
-            f"                   + greatest(n DIV {k}, 1) - 1)"
-            f"                  DIV greatest(n DIV {k}, 1) END AS INT)"
-        ),
+        "file_id", ntile_expr(_Z_FILES).cast("int")
     )
     pk = F.col("l_partkey") % (mask + 1)
     sk = F.col("l_suppkey") % (mask + 1)

@@ -382,7 +382,91 @@ def main() -> None:
         )
     )
 
+    # round-9: the banded global-rank machinery (exact NTILE without a
+    # single-task sort) — rank axis rows grow linearly with the fact
+    from pyspark_excel_datasource_spark.operators.banding import (
+        banded_row_number,
+        ntile_expr,
+    )
+
+    def banded_ntile(li):
+        ranked = banded_row_number(
+            li.select("l_extendedprice", "l_orderkey", "l_linenumber"),
+            F.floor(F.col("l_extendedprice") / 1000.0).cast("long"),
+            ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        )
+        return (
+            ranked.select(
+                "l_extendedprice", ntile_expr(10).cast("int").alias("bin")
+            )
+            .groupBy("bin")
+            .agg(
+                F.count("*").alias("n"),
+                F.min("l_extendedprice").alias("lo"),
+                F.max("l_extendedprice").alias("hi"),
+            )
+        )
+
+    # round-9: banded Mann-Whitney mid-rank AUC — per-event distinct
+    # scores make the per-score census grow linearly with events
+    from pyspark_excel_datasource_spark.operators.ml import _auc_agg
+
+    def auc_rank(ev):
+        scored = ev.select(
+            (F.col("event_id") % 2).cast("int").alias("pos"),
+            (F.col("value") + (F.col("event_id") % 1000000)).alias("score"),
+        )
+        return _auc_agg(scored)
+
+    # round-9: banded median-degree pick (the q_graph_kcore k selection)
+    # over a vertex population that grows 10x
+    def kcore_median(orders, n):
+        deg = orders
+        if n > 1:
+            deg = deg.withColumn(
+                "rep", F.explode(F.sequence(F.lit(0), F.lit(n - 1)))
+            ).withColumn("o_custkey", F.col("o_custkey") * n + F.col("rep"))
+        d0 = deg.groupBy("o_custkey").agg(F.count("*").alias("d"))
+        from pyspark.sql import Window
+
+        dc = d0.groupBy("d").agg(F.count("*").alias("c")).withColumn(
+            "band", F.expr("d DIV 1024")
+        )
+        bc = dc.groupBy("band").agg(F.sum("c").alias("bc"))
+        off_w = Window.orderBy("band").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = bc.withColumn(
+            "off", F.coalesce(F.sum("bc").over(off_w), F.lit(0))
+        ).withColumn("n", F.sum("bc").over(Window.partitionBy())).select(
+            "band", "off", "n"
+        )
+        cum_w = (
+            Window.partitionBy("band")
+            .orderBy("d")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum = (
+            dc.withColumn("cum_in", F.sum("c").over(cum_w))
+            .join(F.broadcast(offsets), "band")
+            .select(
+                "d", "c",
+                (F.col("off") + F.col("cum_in")).alias("cum"),
+                F.expr("(n + 1) DIV 2").alias("target"),
+            )
+        )
+        return cum.filter(
+            (F.col("cum") - F.col("c") < F.col("target"))
+            & (F.col("target") <= F.col("cum"))
+        ).select(F.col("d").alias("k"))
+
     shapes = {
+        "banded_ntile": (banded_ntile(li1), banded_ntile(li10)),
+        "auc_rank": (auc_rank(ev1), auc_rank(ev10)),
+        "kcore_median": (
+            kcore_median(orders1, 1),
+            kcore_median(orders1, FACTOR),
+        ),
         "flagship_agg": (flagship(li1), flagship(li10)),
         "window_frame": (window_frame(li1), window_frame(li10)),
         "join_agg": (join_agg(li1, orders1), join_agg(li10, orders10)),
