@@ -184,6 +184,8 @@ _PRIORITY: tuple[str, ...] = (
     # B2. authored in round 9 (appended as they land)
     "q_eval_auc_sampled",
     "q_embed_pca_power",
+    "q_scan_delta_pruned",
+    "q_scan_iceberg_pruned",
     # C. prior greens, verdicts on record, prior window order
     "q_fn_xml",
     "q_agg_hll_union",

@@ -98,6 +98,39 @@ def q_scan_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_scan_delta_pruned",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_scan_delta_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-level partition-pruned Delta scan: ``partition_filter``
+    resolves the file set from partitionValues in the LOG — the other
+    partitions' files are never listed, opened, or scheduled (the scan
+    plans ~1/|partitions| of the table's files; pinned by
+    tests/test_delta.py::test_scan_delta_pruned_plans_fraction_of_files).
+    This is the 100 TB access path for partition-selective reads: cost
+    proportional to the data asked for, not the table size. The oracle
+    states the same predicate as a plain filter — identical rows prove
+    pruning lost nothing.
+    """
+    path = _materialize_orders_delta(spark, sf_dir)
+    return (
+        read_delta(spark, path, partition_filter={"o_orderstatus": {"F"}})
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+        )
+    )
+
+
+@query(
     "q_scan_delta_timetravel",
     oracle="""
     SELECT o_orderstatus,

@@ -83,6 +83,61 @@ def q_scan_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _materialize_orders_iceberg_part(spark: SparkSession, sf_dir: str) -> str:
+    """orders.parquet → 2-snapshot identity-partitioned Iceberg table."""
+    import shutil
+
+    out = os.path.join(_fixture_dir(sf_dir), "orders_iceberg_part")
+    done = os.path.join(out, "metadata", "v2.metadata.json")
+    if os.path.exists(done):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    third = F.col("o_orderkey") % 3 == 0
+    write_iceberg(
+        spark, orders.filter(~third), out, partition_by=("o_orderstatus",)
+    )
+    write_iceberg(
+        spark, orders.filter(third), out, mode="append",
+        partition_by=("o_orderstatus",),
+    )
+    return out
+
+
+@query(
+    "q_scan_iceberg_pruned",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_scan_iceberg_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-entry partition-pruned Iceberg scan: ``partition_filter``
+    drops the other identity partitions' files while walking the
+    manifests — they are never listed, opened, or scheduled, so the scan
+    plans ~1/|partitions| of the table's files (the Iceberg twin of
+    ``q_scan_delta_pruned``; pinned by tests/test_iceberg.py::
+    test_scan_iceberg_pruned_plans_fraction_of_files). The oracle states
+    the same predicate as a plain filter — identical rows prove the
+    manifest-level pruning lost nothing.
+    """
+    path = _materialize_orders_iceberg_part(spark, sf_dir)
+    return (
+        read_iceberg(spark, path, partition_filter={"o_orderstatus": {"O"}})
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+        )
+    )
+
+
 @query(
     "q_scan_iceberg_snapshot",
     oracle="""

@@ -588,3 +588,22 @@ def test_partition_values_needing_uri_encoding_round_trip(spark, tmp_path):
     # log-level pruning still exact on an encoded value
     one = read_delta(spark, path, partition_filter={"part": {"has space"}})
     assert [r.id for r in one.collect()] == [1]
+
+
+def test_scan_delta_pruned_plans_fraction_of_files(spark):
+    """q_scan_delta_pruned's partition_filter must prune at the LOG
+    level: the planned file set is the F partition's files only (~1/2
+    of the live table after the P delete, exactly the F fraction)."""
+    from pyspark_excel_datasource_spark.sources.delta_queries import (
+        _materialize_orders_delta,
+    )
+
+    path = _materialize_orders_delta(spark, "/root/testdata/sf0.001")
+    full = read_delta(spark, path)
+    pruned = read_delta(
+        spark, path, partition_filter={"o_orderstatus": {"F"}}
+    )
+    n_full, n_pruned = len(full.inputFiles()), len(pruned.inputFiles())
+    assert 0 < n_pruned < n_full
+    # live statuses after the P delete are F and O; F is one of two
+    assert n_pruned <= n_full - n_pruned + 1, (n_pruned, n_full)

@@ -612,3 +612,21 @@ def test_expire_never_deletes_converted_source_files(spark, tmp_path):
     assert {tuple(r) for r in read_delta(spark, dsrc).collect()} == before
     # and the compacted Iceberg head still reads
     assert read_iceberg(spark, idst).count() == n.count()
+
+
+def test_scan_iceberg_pruned_plans_fraction_of_files(spark):
+    """q_scan_iceberg_pruned's partition_filter must prune at the
+    manifest-entry level: only the O partition's files are planned."""
+    from pyspark_excel_datasource_spark.sources.iceberg_queries import (
+        _materialize_orders_iceberg_part,
+    )
+
+    path = _materialize_orders_iceberg_part(spark, "/root/testdata/sf0.001")
+    full = read_iceberg(spark, path)
+    pruned = read_iceberg(
+        spark, path, partition_filter={"o_orderstatus": {"O"}}
+    )
+    n_full, n_pruned = len(full.inputFiles()), len(pruned.inputFiles())
+    assert 0 < n_pruned < n_full
+    # three live statuses (F/O/P): O's share must be well under half
+    assert n_pruned * 2 < n_full, (n_pruned, n_full)

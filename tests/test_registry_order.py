@@ -41,6 +41,8 @@ def test_probes_retired():
 ROUND9_AUTHORED: set[str] = {
     "q_eval_auc_sampled",
     "q_embed_pca_power",
+    "q_scan_delta_pruned",
+    "q_scan_iceberg_pruned",
 }
 
 
@@ -138,7 +140,7 @@ def test_round9_window_composition():
         for n in names
         if ("delta" in n or "iceberg" in n or n == "q_federated_join")
         and n not in seen
-        and not n.startswith("q_delta_lag")
+        and n not in ROUND9_AUTHORED  # round-9 additions queue for r10
     ]
     assert window[: len(lake)] == lake[: len(lake)], (
         "the lakehouse family must lead the round-9 window"

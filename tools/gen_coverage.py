@@ -29,11 +29,13 @@ SECTIONS = {
         "q_delta_zorder", "q_delta_delete_rows", "q_delta_schema_evolution",
         "q_delta_history", "q_stream_delta", "q_stream_delta_upsert",
         "q_federated_join", "q_convert_delta_to_iceberg",
+        "q_scan_delta_pruned",
     ],
     "Lakehouse: Iceberg (scan / maintenance / stream / conversion)": [
         "q_scan_iceberg", "q_scan_iceberg_snapshot", "q_iceberg_compact",
         "q_iceberg_expire", "q_iceberg_files", "q_iceberg_incremental",
         "q_iceberg_history", "q_stream_iceberg", "q_convert_iceberg_to_delta",
+        "q_scan_iceberg_pruned",
     ],
     "Avro source / sink / stream": [
         "q_scan_avro", "q_sink_avro", "q_stream_avro",
@@ -236,6 +238,10 @@ ROLES = {
     "q_graph_ppr": "personalized PageRank (seed-restart), bit-exact fixed-point",
     "q_graph_randomwalk": "hash-deterministic uniform random walks (DeepWalk sampling), full paths oracled",
     "q_graph_kcore": "self-scaling k-core peel with in-plan convergence verdict",
+    "q_scan_delta_pruned": "log-level partition-pruned Delta scan (files never listed)",
+    "q_scan_iceberg_pruned": "manifest-entry partition-pruned Iceberg scan",
+    "q_eval_auc_sampled": "content-addressed sampled AUC + in-plan 5-sigma bound vs exact",
+    "q_embed_pca_power": "top principal component: dims^2-bounded moments + power iteration",
     "q_scan_xml": "Spark 4 native XML scan, bound schema, rowTag mode",
     "q_sink_xml": "parallel XML directory sink + bound-schema readback roundtrip",
     "q_sink_text": "text-line sink roundtrip (per-partition write, no driver funnel)",
