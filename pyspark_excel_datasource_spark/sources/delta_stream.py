@@ -175,12 +175,26 @@ class DeltaStreamReader(DataSourceStreamReader):
                         "delete-only commits"
                     )
             for a in adds:
+                # log paths are percent-encoded (deltalog _encode_path);
+                # disk paths are not
+                p = os.path.join(self.path, unquote(a["path"]))
+                if not os.path.exists(p):
+                    # VACUUM after OPTIMIZE/OVERWRITE physically removed a
+                    # file this version added: the rows can no longer be
+                    # attributed to any offset range. Fail loudly at PLAN
+                    # time with the remedy, never a worker FileNotFound
+                    # (the Delta analog of the Iceberg stream's
+                    # expired-provenance guard).
+                    raise RuntimeError(
+                        f"pydelta stream: version {v} adds {a['path']} but "
+                        "the file was removed (VACUUM after a rewrite); "
+                        "those rows cannot be streamed — backfill with a "
+                        "batch read (read_delta) and start the stream from "
+                        "the current version"
+                    )
                 parts.append(
                     DeltaFilePartition(
-                        # log paths are percent-encoded (deltalog
-                        # _encode_path); disk paths are not
-                        os.path.join(self.path, unquote(a["path"])),
-                        json.dumps(a.get("partitionValues") or {}),
+                        p, json.dumps(a.get("partitionValues") or {})
                     )
                 )
         return parts

@@ -607,3 +607,28 @@ def test_scan_delta_pruned_plans_fraction_of_files(spark):
     assert 0 < n_pruned < n_full
     # live statuses after the P delete are F and O; F is one of two
     assert n_pruned <= n_full - n_pruned + 1, (n_pruned, n_full)
+
+
+def test_fresh_stream_after_optimize_vacuum_fails_loudly(spark, tmp_path):
+    """The Delta analog of the Iceberg compaction+expiry guard: OPTIMIZE
+    rewrites files (dataChange=false, invisible to the stream), VACUUM
+    then physically removes the originals — a FRESH stream can no longer
+    attribute those rows to any offset, so partitions() must raise a
+    clear planning-time error (never silently return fewer rows, never a
+    worker FileNotFound)."""
+    from pyspark_excel_datasource_spark.sources.delta_stream import (
+        DeltaStreamReader,
+    )
+    from pyspark_excel_datasource_spark.sources.deltalog import vacuum
+
+    path = str(tmp_path / "t")
+    n = _nation(spark)
+    write_delta(spark, n.repartition(4), path)
+    optimize(spark, path)
+    assert vacuum(path) > 0  # the original 4 files are gone
+    r = DeltaStreamReader(snapshot(path).schema, {"path": path})
+    with pytest.raises(RuntimeError, match="VACUUM"):
+        r.partitions({"version": -1}, {"version": snapshot(path).version})
+    # a stream starting at the current version is unaffected
+    v = snapshot(path).version
+    assert r.partitions({"version": v}, {"version": v}) == []
