@@ -64,6 +64,12 @@ HEADLINE = (
     # semi join → per-doc window), the heaviest new text-dedup plan
     "q_scan_delta",
     "q_dedup_substring",
+    # round-9 additions: the banded exact-NTILE rework (the template that
+    # replaced every single-task window this round — its absolute cost is
+    # the proof the parallel spelling stays cheap) and the Iceberg
+    # manifest-walk scan, the second lakehouse read path
+    "q_quantile_bins",
+    "q_scan_iceberg",
 )
 
 RUNS = 3
