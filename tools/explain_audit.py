@@ -82,6 +82,9 @@ ALLOWED_NESTED_LOOP = {
     # 1-row sampled-AUC aggregate × 1-row exact-AUC aggregate — the
     # in-plan error-audit scalar attach
     "q_eval_auc_sampled",
+    # 1-row norm/eigenvalue/trace aggregates broadcast onto the 64-row
+    # eigenvector frame each power-iteration step — scalar attach
+    "q_embed_pca_power",
 }
 
 
