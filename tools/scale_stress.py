@@ -460,7 +460,34 @@ def main() -> None:
             & (F.col("target") <= F.col("cum"))
         ).select(F.col("d").alias("k"))
 
+
+    # round-9: PCA covariance sufficient statistics — the one row-scale
+    # pass of q_embed_pca_power (the power iteration is dims^2-bounded)
+    def pca_moments(emb):
+        vq = (
+            "CAST(FLOOR(CAST(embedding[{k}] AS DOUBLE) * 1000000 + 0.5)"
+            " AS BIGINT)"
+        )
+        pairs = emb.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(0, size(embedding) - 1), i -> "
+                    "transform(sequence(i, size(embedding) - 1), j -> "
+                    "struct(i, j, " + vq.format(k="i") + " * "
+                    + vq.format(k="j") + " AS p))))"
+                )
+            ).alias("t")
+        ).select("t.i", "t.j", "t.p")
+        return pairs.groupBy("i", "j").agg(
+            F.sum(F.col("p").cast("decimal(38,0)")).alias("sp"),
+            F.count("*").alias("n"),
+        )
+
     shapes = {
+        "pca_moments": (
+            pca_moments(vecs1),
+            pca_moments(replicate_vecs(vecs1, FACTOR)),
+        ),
         "banded_ntile": (banded_ntile(li1), banded_ntile(li10)),
         "auc_rank": (auc_rank(ev1), auc_rank(ev10)),
         "kcore_median": (
