@@ -9,10 +9,12 @@ splits the order axis into fixed-width bands, counts rows per band
 table (a window over #bands rows — bounded), ranks within each band in
 parallel, and adds the offset: identical ranks, no single-task stage.
 
-Used by ``q_quantile_bins``/``q_zorder_layout`` (exact NTILE),
-``q_gini_concentration`` (rank-weighted sum), ``q_eval_auc`` (mid-rank
-ties via per-score censuses), ``q_graph_kcore`` (median pick), and
-``tools/scale_stress.py``.
+Direct users: ``q_quantile_bins``/``q_zorder_layout`` (exact NTILE via
+``banded_row_number`` + ``ntile_expr``), ``q_graph_kcore`` and
+``tools/scale_stress.py`` (``banded_lower_median``).
+``q_gini_concentration`` (rank-weighted sum) and ``q_eval_auc``
+(mid-rank ties over per-score censuses) implement the same template
+inline because their band aggregates differ from a plain row_number.
 """
 
 from __future__ import annotations
@@ -65,3 +67,43 @@ def ntile_expr(k: int) -> Column:
         f"                   + greatest(n DIV {k}, 1) - 1)"
         f"                  DIV greatest(n DIV {k}, 1) END"
     )
+
+
+def banded_lower_median(
+    census: DataFrame, value_col: str, count_col: str, band_width: int = 1024
+) -> DataFrame:
+    """One-row frame holding the LOWER MEDIAN of the expanded census —
+    the ``value`` whose cumulative count range covers global rank
+    (n + 1) DIV 2 when each census row (value, count) stands for
+    ``count`` identical rows. Never materializes the expansion: per-band
+    counts → exclusive offsets over the bounded band table → in-band
+    running sums → one range filter. Used by ``q_graph_kcore``'s
+    self-scaling k pick and ``tools/scale_stress.py``.
+    """
+    dc = census.withColumn("__band", F.expr(f"{value_col} DIV {band_width}"))
+    bc = dc.groupBy("__band").agg(F.sum(count_col).alias("__bc"))
+    off_w = W.orderBy("__band").rowsBetween(W.unboundedPreceding, -1)
+    offsets = (
+        bc.withColumn("__off", F.coalesce(F.sum("__bc").over(off_w), F.lit(0)))
+        .withColumn("__n", F.sum("__bc").over(W.partitionBy()))
+        .select("__band", "__off", "__n")
+    )
+    cum_w = (
+        W.partitionBy("__band")
+        .orderBy(value_col)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = (
+        dc.withColumn("__cum_in", F.sum(count_col).over(cum_w))
+        .join(F.broadcast(offsets), "__band")
+        .select(
+            value_col,
+            F.col(count_col).alias("__c"),
+            (F.col("__off") + F.col("__cum_in")).alias("__cum"),
+            F.expr("(__n + 1) DIV 2").alias("__target"),
+        )
+    )
+    return cum.filter(
+        (F.col("__cum") - F.col("__c") < F.col("__target"))
+        & (F.col("__target") <= F.col("__cum"))
+    ).select(value_col)

@@ -768,43 +768,20 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     k, every window bounded or band-partitioned.
     """
     edges = _copurchase_edges(spark, sf_dir)
-    from pyspark.sql import Window
+    from .banding import banded_lower_median
 
     d0 = edges.groupBy("u").agg(F.count("*").alias("d"))
-    # per-degree census; distinct degrees ≤ O(sqrt(2|E|)) but band anyway
-    # so no unpartitioned window ever exceeds the band table
-    dc = d0.groupBy("d").agg(F.count("*").alias("c")).withColumn(
-        "band", F.expr("d DIV 1024")
-    )
-    bc = dc.groupBy("band").agg(F.sum("c").alias("bc"))
-    off_w = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = bc.withColumn(
-        "off", F.coalesce(F.sum("bc").over(off_w), F.lit(0))
-    ).withColumn(
-        "n", F.sum("bc").over(Window.partitionBy())
-    ).select("band", "off", "n")
-    cum_w = (
-        Window.partitionBy("band")
-        .orderBy("d")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = (
-        dc.withColumn("cum_in", F.sum("c").over(cum_w))
-        .join(F.broadcast(offsets), "band")
-        .select(
-            "d",
-            "c",
-            (F.col("off") + F.col("cum_in")).alias("cum"),
-            F.expr("(n + 1) DIV 2").alias("target"),
-        )
-    )
+    # per-degree census; distinct degrees ≤ O(sqrt(2|E|)) but the helper
+    # bands anyway so no unpartitioned window ever exceeds the band table.
     # localCheckpoint the 1-row k: every peel round cross-joins it, and
     # without truncation the whole degree-census subtree re-executes
     # per round (same discipline as the peel's own per-round checkpoint)
-    kdf = cum.filter(
-        (F.col("cum") - F.col("c") < F.col("target"))
-        & (F.col("target") <= F.col("cum"))
-    ).select(F.col("d").alias("k")).localCheckpoint()
+    dc = d0.groupBy("d").agg(F.count("*").alias("c"))
+    kdf = (
+        banded_lower_median(dc, "d", "c")
+        .select(F.col("d").alias("k"))
+        .localCheckpoint()
+    )
     res = kcore_peel(edges, kdf, rounds=_KCORE_ROUNDS)
     return res.select(
         F.col("id").alias("node_id"),

@@ -1012,7 +1012,10 @@ def q_eval_auc_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     becomes the contract (the same audit convention as
     ``q_sim_ann_recall``); here both sides run so the bound is PROVEN,
     not assumed."""
-    scored = _nb_en_scored(spark, sf_dir)
+    # localCheckpoint: `scored` (the full NB scoring pipeline — the
+    # heaviest part of this query) feeds BOTH the sampled and the exact
+    # AUC subtrees; without truncation Spark executes it twice per run
+    scored = _nb_en_scored(spark, sf_dir).localCheckpoint()
     samp = scored.filter(  # ~50%: hex pair < '80' = 128/256 of the domain
         F.substring(F.md5(F.col("doc_id").cast("string")), 9, 2) < "80"
     )

@@ -688,7 +688,10 @@ def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.join(lamw.select(F.col("dim"), F.col("w")), "dim")
         .agg(_ofold(F.col("dim"), (F.col("v") * F.col("w")).alias("t")).alias("lam"))
     )
-    tr = cov.filter(F.col("i") == F.col("j")).agg(
+    # trace from the CHECKPOINTED covf (diagonal appears exactly once
+    # there) — reading it off `cov` would re-execute the whole row-scale
+    # moments pass a second time
+    tr = covf.filter(F.col("i") == F.col("j")).agg(
         _ofold(F.col("i"), F.col("c").alias("t")).alias("tr")
     )
     return (

@@ -5,7 +5,8 @@ whole input through one task — fine on a bounded band/census table,
 fatal on row-scale data at 100 TB (Spark's runtime warning is ``No
 Partition Defined for Window operation``). These helpers detect the
 shape at PLAN time from formatted-explain text, so the repo-wide test
-(``tests/test_plan_quality.py::test_unpartitioned_windows_are_justified``)
+(``tests/test_plan_quality.py::
+test_no_cartesian_row_python_or_unjustified_global_window``)
 can force every occurrence to carry a written justification.
 
 Formatted-explain encoding (verified against Spark 4.1): a Window

@@ -282,17 +282,27 @@ def _read_files(
     # row of a partition whose value needs encoding ("4-NOT SPECIFIED"
     # lost all rows, found round 9). The map carries BOTH spellings of
     # each key — raw and RFC 3986-encoded — so the join matches whichever
-    # form the scan emits, and an encoding-rule drift can only produce a
-    # duplicate map row (deduped below), never silent loss.
+    # form the scan emits. A key COLLISION across two different files
+    # (one file's encoded spelling equals another's raw spelling, e.g.
+    # partitions 'a b' and 'a%20b' with reused basenames) would duplicate
+    # rows with wrong partition values — fail loudly instead.
     def _keys(p: str) -> set[str]:
         enc = quote(p, safe="/-._~!$&'()*+,;=:@")
         return {p, enc}
 
-    rows = [
-        (k, *[pv.get(c) for c in pcols])
-        for p, pv in files.items()
-        for k in _keys(p if not os.path.isabs(p) else os.path.abspath(p))
-    ]
+    by_key: dict[str, tuple] = {}
+    for p, pv in files.items():
+        vals = tuple(pv.get(c) for c in pcols)
+        for k in _keys(p if not os.path.isabs(p) else os.path.abspath(p)):
+            prev = by_key.get(k)
+            if prev is not None and prev != vals:
+                raise ValueError(
+                    f"ambiguous file-map key {k!r}: two files' raw/encoded "
+                    "spellings collide with different partition values "
+                    f"({prev} vs {vals}); rename one partition directory"
+                )
+            by_key[k] = vals
+    rows = [(k, *vals) for k, vals in by_key.items()]
     map_schema = StructType.fromJson(
         {
             "type": "struct",

@@ -241,7 +241,9 @@ def _check_dialect(zf: zipfile.ZipFile) -> None:
         wb = zf.read("xl/workbook.xml").decode("utf-8", "replace")
     except KeyError:
         return
-    if re.search(r'date1904\s*=\s*"(?:1|true)"', wb):
+    # either XML quote style, any case (producers emit date1904='1',
+    # date1904="TRUE", ...) — a missed match here is a silent 4-year shift
+    if re.search(r"""date1904\s*=\s*['"](?:1|true)['"]""", wb, re.IGNORECASE):
         raise ValueError(
             "unsupported xlsx dialect: workbook uses the 1904 date system "
             "(workbookPr date1904); minixlsx supports the 1900 epoch only "
@@ -351,7 +353,10 @@ def _parse_row(
         style = int(c.get("s", "0"))
         v = c.find(f"{_NS}v")
         text = v.text if v is not None else None
-        if text is None and ctype != "inlineStr" and c.find(f"{_NS}f") is not None:
+        # a MISSING <v> element on a formula cell means no cached value
+        # (an empty <v></v> is a cached empty string — fine, reads as
+        # None/empty like any other empty cell)
+        if v is None and ctype != "inlineStr" and c.find(f"{_NS}f") is not None:
             raise ValueError(
                 f"unsupported xlsx feature: formula cell {ref or idx} has no "
                 "cached value (<f> without <v>); minixlsx does not evaluate "

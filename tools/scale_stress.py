@@ -421,44 +421,20 @@ def main() -> None:
     # round-9: banded median-degree pick (the q_graph_kcore k selection)
     # over a vertex population that grows 10x
     def kcore_median(orders, n):
+        from pyspark_excel_datasource_spark.operators.banding import (
+            banded_lower_median,
+        )
+
         deg = orders
         if n > 1:
             deg = deg.withColumn(
                 "rep", F.explode(F.sequence(F.lit(0), F.lit(n - 1)))
             ).withColumn("o_custkey", F.col("o_custkey") * n + F.col("rep"))
         d0 = deg.groupBy("o_custkey").agg(F.count("*").alias("d"))
-        from pyspark.sql import Window
-
-        dc = d0.groupBy("d").agg(F.count("*").alias("c")).withColumn(
-            "band", F.expr("d DIV 1024")
+        dc = d0.groupBy("d").agg(F.count("*").alias("c"))
+        return banded_lower_median(dc, "d", "c").select(
+            F.col("d").alias("k")
         )
-        bc = dc.groupBy("band").agg(F.sum("c").alias("bc"))
-        off_w = Window.orderBy("band").rowsBetween(
-            Window.unboundedPreceding, -1
-        )
-        offsets = bc.withColumn(
-            "off", F.coalesce(F.sum("bc").over(off_w), F.lit(0))
-        ).withColumn("n", F.sum("bc").over(Window.partitionBy())).select(
-            "band", "off", "n"
-        )
-        cum_w = (
-            Window.partitionBy("band")
-            .orderBy("d")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        cum = (
-            dc.withColumn("cum_in", F.sum("c").over(cum_w))
-            .join(F.broadcast(offsets), "band")
-            .select(
-                "d", "c",
-                (F.col("off") + F.col("cum_in")).alias("cum"),
-                F.expr("(n + 1) DIV 2").alias("target"),
-            )
-        )
-        return cum.filter(
-            (F.col("cum") - F.col("c") < F.col("target"))
-            & (F.col("target") <= F.col("cum"))
-        ).select(F.col("d").alias("k"))
 
 
     # round-9: PCA covariance sufficient statistics — the one row-scale

@@ -14,8 +14,8 @@ and 1-2 when not ([exprs] / [exprs], [orderSpec]) — verified against
 Spark 4.1 formatted output for all three spellings.
 
 The enforcement gate lives in tests/test_plan_quality.py::
-test_unpartitioned_windows_are_justified — every query with such a node
-must carry a justification in its UNPARTITIONED_WINDOW_OK map.
+test_no_cartesian_row_python_or_unjustified_global_window — every query
+with such a node must carry a justification in UNPARTITIONED_WINDOW_OK.
 
 Usage: python tools/window_audit.py [query ...]
 """
