@@ -9,6 +9,14 @@ shape at PLAN time from formatted-explain text, so the repo-wide test
 test_no_cartesian_row_python_or_unjustified_global_window``)
 can force every occurrence to carry a written justification.
 
+Blind spot, by design: a subtree materialized during query CONSTRUCTION
+(``localCheckpoint`` — the iterative operators' lineage-truncation
+discipline) is replaced by a scan of its result in the returned plan,
+so windows inside it are invisible here. Those subtrees are bounded by
+construction (1-row k picks, 64-row eigenvectors, band tables) and
+their shapes are pinned at source (tests/test_banding.py,
+tools/window_audit.py single-query runs before checkpointing landed).
+
 Formatted-explain encoding (verified against Spark 4.1): a Window
 node's ``Arguments:`` line carries three top-level bracket groups when
 partitioned AND ordered (``[exprs], [partitionSpec], [orderSpec]``);
