@@ -38,10 +38,13 @@ from pyspark_excel_datasource_spark.session import get_session
 from pyspark_excel_datasource_spark.sources import deltalog
 from pyspark_excel_datasource_spark.sources import iceberg as ice
 
-SF = "/root/testdata/sf0.01"
+import os
+
+SF = os.environ.get("STRESS_SF", "/root/testdata/sf0.01")
 COMMITS = 4
 FILES_BASE = 8  # per commit → 32 files
-FACTOR = 10     # scaled: 80 per commit → 320 files
+#: file-count scale factor (LH_STRESS_FACTOR=100 → 16000 scaled files)
+FACTOR = int(os.environ.get("LH_STRESS_FACTOR", "10"))
 
 
 def build_delta(spark, src, path: str, files_per_commit: int) -> None:
