@@ -61,3 +61,28 @@ def test_banded_row_number_equals_global(spark, n):
     }
     assert got == want
     assert all(r.n == n for r in ranked.collect())
+
+
+@pytest.mark.parametrize("counts", [
+    [(1, 1)],
+    [(5, 3), (2, 4)],
+    [(10, 1), (20, 1)],            # even total: lower median
+    [(0, 7), (4096, 7), (9000, 1)],  # cross-band, odd total
+    [(3, 1000000)],                # one heavy value
+])
+def test_banded_lower_median_matches_expanded_multiset(spark, counts):
+    from pyspark_excel_datasource_spark.operators.banding import (
+        banded_lower_median,
+    )
+
+    df = spark.createDataFrame(counts, "d long, c long")
+    got = banded_lower_median(df, "d", "c").collect()
+    assert len(got) == 1
+    expanded = sorted(v for v, c in counts for _ in range(min(c, 100000)))
+    # lower median = element at rank (n+1) DIV 2 (1-based)
+    if any(c > 100000 for _, c in counts):
+        # the heavy-value case: median is trivially that value
+        assert got[0].d == 3
+    else:
+        n = len(expanded)
+        assert got[0].d == expanded[(n + 1) // 2 - 1]
