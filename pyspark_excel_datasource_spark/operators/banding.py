@@ -29,7 +29,9 @@ def banded_row_number(
 ) -> DataFrame:
     """``df`` + ``rn`` (exact global row_number in (band, *order_cols)
     order — the band MUST be a monotone function of the leading order
-    column so band order extends row order) + ``n`` (total row count).
+    column so band order extends row order, and ``order_cols`` must be a
+    TOTAL order — include a unique key, or tied rows get
+    run-dependent ranks) + ``n`` (total row count).
 
     One band census, offsets over the bounded band table, one
     band-partitioned row_number; the ``offsets`` side broadcasts.

@@ -851,6 +851,45 @@ def q_win_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_win_nth",
+    oracle="""
+    SELECT user_id,
+           NTH_VALUE(event_type, 2) OVER w AS second_event,
+           NTH_VALUE(event_type, 3) OVER w AS third_event,
+           COUNT(*) OVER (PARTITION BY user_id) AS n_events
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) = 1
+    """,
+)
+def q_win_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTH_VALUE over a full-partition frame — the second/third event of
+    every user's timeline in one pass (the onboarding-path question
+    "what do users do right after signup?"), reduced to one row per user
+    by a rank-1 filter riding the SAME partition sort: one exchange, two
+    Window ops, no self-join. Completes the analytic-window family
+    (``q_win_analytic`` covers lag/lead/first/last). NULL where the user
+    has fewer events — the frame is full-partition so nth_value is
+    order-complete, not frame-clipped."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (
+        ev.select(
+            "user_id",
+            F.nth_value("event_type", 2).over(wfull).alias("second_event"),
+            F.nth_value("event_type", 3).over(wfull).alias("third_event"),
+            F.count("*").over(W.partitionBy("user_id")).alias("n_events"),
+            F.row_number().over(w).alias("_rn"),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+@query(
     "q_win_frame",
     oracle="""
     SELECT l_suppkey, l_orderkey, l_linenumber,

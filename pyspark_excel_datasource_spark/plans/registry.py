@@ -186,6 +186,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_embed_pca_power",
     "q_scan_delta_pruned",
     "q_scan_iceberg_pruned",
+    "q_win_nth",
     # C. prior greens, verdicts on record, prior window order
     "q_fn_xml",
     "q_agg_hll_union",

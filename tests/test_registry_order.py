@@ -43,6 +43,7 @@ ROUND9_AUTHORED: set[str] = {
     "q_embed_pca_power",
     "q_scan_delta_pruned",
     "q_scan_iceberg_pruned",
+    "q_win_nth",
 }
 
 

@@ -58,7 +58,7 @@ SECTIONS = {
         "q_dedup_exact",
         "q_dedup_keep_first", "q_pivot", "q_unpivot", "q_transpose", "q_quantile_bins",
     ],
-    "Window functions": ["q_win_rank", "q_win_analytic", "q_win_frame", "q_win_range_frame", "q_win_cume", "q_win_median", "q_weighted_median", "q_win_ntile"],
+    "Window functions": ["q_win_rank", "q_win_analytic", "q_win_frame", "q_win_range_frame", "q_win_cume", "q_win_median", "q_weighted_median", "q_win_ntile", "q_win_nth"],
     "Sorts / limits / top-k": ["q_sort_multi", "q_topk", "q_topk_group"],
     "Set operations": ["q_union_all", "q_union_dist", "q_intersect", "q_except"],
     "Scalar functions": [
@@ -242,6 +242,7 @@ ROLES = {
     "q_scan_iceberg_pruned": "manifest-entry partition-pruned Iceberg scan",
     "q_eval_auc_sampled": "content-addressed sampled AUC + in-plan 5-sigma bound vs exact",
     "q_embed_pca_power": "top principal component: dims^2-bounded moments + power iteration",
+    "q_win_nth": "NTH_VALUE second/third event per user, rank-1 reduce on one sort",
     "q_scan_xml": "Spark 4 native XML scan, bound schema, rowTag mode",
     "q_sink_xml": "parallel XML directory sink + bound-schema readback roundtrip",
     "q_sink_text": "text-line sink roundtrip (per-partition write, no driver funnel)",
