@@ -1,0 +1,73 @@
+"""Gate-window rotation guard (VERDICT r9 ask #8).
+
+The driver's correctness gate only hashes the first 50 entries of
+``__spark_entry__.queries()`` each round, so a registry row the window
+never reaches keeps a stale (or no) driver verdict forever.
+``tools/gen_provenance.py`` now emits the mechanical "stalest 50"
+proposal; this test pins the live ``_PRIORITY`` head to it so rotation
+can't silently drift:
+
+- every query with NO driver verdict at all must be in the window;
+- every ORACLED query whose only driver verdict is rows-only must be in
+  the window (its hash has never been gate-checked);
+- at least 40 of the stalest-50 must be in the window (the remaining
+  slots are for deliberate additions: queries authored this round, or a
+  targeted refresh the round's VERDICT asked for).
+
+No SparkSession needed — this is pure registry + JSON-record logic.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+
+from gen_provenance import collect, stalest_window  # noqa: E402
+
+from pyspark_excel_datasource_spark.plans.registry import (  # noqa: E402
+    ORACLES,
+    load_all_queries,
+)
+
+WINDOW_SIZE = 50
+
+
+def _window() -> list[str]:
+    return list(load_all_queries())[:WINDOW_SIZE]
+
+
+def test_window_contains_every_never_verdicted_query():
+    queries = load_all_queries()
+    best = collect()
+    window = set(_window())
+    pending = [n for n in queries if n not in best]
+    missing = [n for n in pending if n not in window]
+    assert not missing, f"never-driver-verdicted queries outside the gate window: {missing}"
+
+
+def test_window_contains_every_rows_only_oracled_query():
+    queries = load_all_queries()
+    best = collect()
+    window = set(_window())
+    unhashed = [
+        n
+        for n in queries
+        if n in ORACLES and n in best and best[n][0] == "driver rows-only"
+    ]
+    missing = [n for n in unhashed if n not in window]
+    assert not missing, f"oracled-but-never-hash-checked queries outside the window: {missing}"
+
+
+def test_window_mostly_matches_stalest_50():
+    queries = load_all_queries()
+    best = collect()
+    window = set(_window())
+    stalest = stalest_window(queries, best, n=WINDOW_SIZE)
+    overlap = sum(1 for n in stalest if n in window)
+    assert overlap >= 40, (
+        f"gate window shares only {overlap}/50 slots with the stalest-50 "
+        f"proposal; rotation has drifted from staleness. "
+        f"Stalest entries missing: {[n for n in stalest if n not in window]}"
+    )
