@@ -595,9 +595,9 @@ def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     double precision at any corpus size."""
     emb = spread(table(spark, sf_dir, "embeddings"))
     vq = (
-        "CAST(FLOOR(CAST(embedding[{k}] AS DOUBLE) * 1000000 + 0.5)"
+        "CAST(FLOOR(CAST(embedding[{{k}}] AS DOUBLE) * {fp} + 0.5)"
         " AS BIGINT)"
-    )
+    ).format(fp=_FP)
     pairs = emb.select(
         F.explode(
             F.expr(

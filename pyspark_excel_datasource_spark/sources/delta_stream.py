@@ -177,8 +177,8 @@ class DeltaStreamReader(DataSourceStreamReader):
             for a in adds:
                 # log paths are percent-encoded (deltalog _encode_path);
                 # disk paths are not
-                p = os.path.join(self.path, unquote(a["path"]))
-                if not os.path.exists(p):
+                fpath = os.path.join(self.path, unquote(a["path"]))
+                if not os.path.exists(fpath):
                     # VACUUM after OPTIMIZE/OVERWRITE physically removed a
                     # file this version added: the rows can no longer be
                     # attributed to any offset range. Fail loudly at PLAN
@@ -194,7 +194,7 @@ class DeltaStreamReader(DataSourceStreamReader):
                     )
                 parts.append(
                     DeltaFilePartition(
-                        p, json.dumps(a.get("partitionValues") or {})
+                        fpath, json.dumps(a.get("partitionValues") or {})
                     )
                 )
         return parts

@@ -743,8 +743,28 @@ def rewrite_data_files(
         mpath = m["manifest_path"]
         mpath = mpath if os.path.isabs(mpath) else os.path.join(table_path, mpath)
         for entry in _read_avro(mpath):
-            if entry["status"] != 2 and entry.get("snapshot_id") is not None:
-                live_ids.add(entry["snapshot_id"])
+            if entry["status"] == 2:
+                continue
+            # spec: a null entry snapshot_id means snapshot-id
+            # INHERITANCE — the entry was added by the snapshot that
+            # added the manifest (manifest-list added_snapshot_id).
+            # Externally-produced tables use this; dropping such
+            # entries would let their rows escape the stream's
+            # compaction+expiry loss guard, so if neither id is
+            # present we refuse rather than under-record provenance.
+            sid = entry.get("snapshot_id")
+            if sid is None:
+                sid = m.get("added_snapshot_id")
+            if sid is None:
+                raise RuntimeError(
+                    "pyiceberg-lite rewrite_data_files: live manifest "
+                    f"entry in {mpath} has no snapshot_id and its "
+                    "manifest-list entry has no added_snapshot_id; "
+                    "cannot record replaced-snapshot provenance (the "
+                    "streaming loss guard depends on it) — compact this "
+                    "externally-produced table with its own writer"
+                )
+            live_ids.add(sid)
     summaries = {
         s["snapshot-id"]: s.get("summary", {})
         for s in base_md.get("snapshots", [])

@@ -12,13 +12,16 @@ datetime/date (Excel serial numbers with date number-formats). Values
 round-trip exactly: floats are serialized with ``repr`` (shortest
 round-trip), datetimes at microsecond resolution.
 
-Dialect boundary (vs openpyxl, which accepts more): workbooks using the
-legacy 1904 date system and formula cells carrying no cached value are
-NOT silently misread — both raise a ``ValueError`` naming the feature
-(``_check_dialect`` / ``_parse_row``), which the connector surfaces as
-the query error. Formula cells WITH a cached ``<v>`` read fine (the
-cached value is the value, same as pandas' default ``data_only``
-behavior). See README "Excel dialect" for the support matrix.
+Dialect boundary (vs openpyxl, which accepts more): both Excel date
+systems are supported — 1900 (default) and the Mac-legacy 1904 system
+(``workbookPr date1904``, a 1,462-day epoch offset, ``_workbook_epoch``).
+Formula cells carrying no cached value are NOT silently misread: they
+raise a ``ValueError`` naming the cell (``_parse_row``), which the
+connector surfaces as the query error; formula cells WITH a cached
+``<v>`` read fine (the cached value is the value, same as pandas'
+default ``data_only`` behavior). An unrecognized ``date1904`` attribute
+value also fails loudly rather than guessing the epoch. See README
+"Excel dialect" for the support matrix.
 """
 
 from __future__ import annotations
@@ -34,6 +37,9 @@ import pandas as pd
 
 _NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
 _EPOCH = dt.datetime(1899, 12, 30)  # Excel 1900 date system epoch
+#: Mac-legacy 1904 date system epoch (``workbookPr date1904``): serial 0 is
+#: 1904-01-01, exactly 1,462 days after the 1900 system's serial 0
+_EPOCH_1904 = dt.datetime(1904, 1, 1)
 #: builtin numFmtIds that render as dates/times (ECMA-376 §18.8.30)
 _DATE_FMT_IDS = set(range(14, 23)) | set(range(45, 48))
 _DATE_FMT_CHARS = re.compile(r"[ymdhs]")
@@ -66,10 +72,12 @@ def _serial(value: dt.datetime | dt.date) -> float:
     return float((dt.datetime(value.year, value.month, value.day) - _EPOCH).days)
 
 
-def _from_serial(serial: float, date_only: bool) -> dt.datetime | dt.date:
+def _from_serial(
+    serial: float, date_only: bool, epoch: dt.datetime = _EPOCH
+) -> dt.datetime | dt.date:
     days = int(serial)
     frac = serial - days
-    base = _EPOCH + dt.timedelta(days=days)
+    base = epoch + dt.timedelta(days=days)
     if date_only and frac == 0.0:
         return base.date()
     # round to microseconds to undo float representation noise
@@ -232,24 +240,36 @@ def write_xlsx(
 # ---------------------------------------------------------------------------
 
 
-def _check_dialect(zf: zipfile.ZipFile) -> None:
-    """Fail loudly on workbook-level features this codec would otherwise
-    silently misread. Today that is exactly one: the legacy 1904 date
-    system (``workbookPr date1904``), under which every date serial this
-    codec converts with the 1900 epoch would be ~4 years off."""
+def _workbook_epoch(zf: zipfile.ZipFile) -> dt.datetime:
+    """The workbook's date-serial epoch: 1900 system by default, the
+    Mac-legacy 1904 system when ``workbookPr date1904`` is set.
+
+    Parsed as a real XML attribute (not a byte grep), so either quote
+    style and any producer casing work. ECMA-376 transitional ST_OnOff
+    admits 1/true/on and 0/false/off — an UNRECOGNIZED value still fails
+    loudly, because guessing the epoch is a silent ~4-year shift of every
+    date in the workbook (the exact failure this guard exists to block)."""
     try:
-        wb = zf.read("xl/workbook.xml").decode("utf-8", "replace")
+        wb = ET.fromstring(zf.read("xl/workbook.xml"))
     except KeyError:
-        return
-    # either XML quote style, any case (producers emit date1904='1',
-    # date1904="TRUE", ...) — a missed match here is a silent 4-year shift
-    if re.search(r"""date1904\s*=\s*['"](?:1|true)['"]""", wb, re.IGNORECASE):
-        raise ValueError(
-            "unsupported xlsx dialect: workbook uses the 1904 date system "
-            "(workbookPr date1904); minixlsx supports the 1900 epoch only "
-            "— re-save the workbook in the 1900 date system, or read it "
-            "via the pandas/openpyxl path"
-        )
+        return _EPOCH
+    pr = wb.find(f"{_NS}workbookPr")
+    if pr is None:
+        return _EPOCH
+    raw = pr.get("date1904")
+    if raw is None:
+        return _EPOCH
+    val = raw.strip().lower()
+    if val in ("1", "true", "on"):
+        return _EPOCH_1904
+    if val in ("0", "false", "off", ""):
+        return _EPOCH
+    raise ValueError(
+        f"unsupported xlsx dialect: workbookPr date1904={raw!r} is not a "
+        "recognized ST_OnOff value (1/true/on/0/false/off); refusing to "
+        "guess the date epoch — re-save the workbook, or read it via the "
+        "pandas/openpyxl path"
+    )
 
 
 def _load_shared_strings(zf: zipfile.ZipFile) -> list[str]:
@@ -334,6 +354,7 @@ def _sheet_member(zf: zipfile.ZipFile, sheet: str | int) -> str:
 def _parse_row(
     row, shared: list[str], date_xfs: dict[int, bool],
     want: set[int] | None = None,
+    epoch: dt.datetime = _EPOCH,
 ) -> dict[int, object]:
     """One <row> element → {0-based column index: python value}.
 
@@ -379,7 +400,9 @@ def _parse_row(
         elif text is not None:
             num = float(text)
             if style in date_xfs:
-                cells[idx] = _from_serial(num, date_only=not date_xfs[style])
+                cells[idx] = _from_serial(
+                    num, date_only=not date_xfs[style], epoch=epoch
+                )
             elif (
                 math.isfinite(num)
                 and num == int(num)
@@ -421,7 +444,7 @@ def read_xlsx(
         None if n_rows is None else n_header + skip_rows + n_rows
     )
     with zipfile.ZipFile(path) as zf:
-        _check_dialect(zf)
+        epoch = _workbook_epoch(zf)
         shared = _load_shared_strings(zf)
         date_xfs = _load_date_styles(zf)
         member = _sheet_member(zf, sheet)
@@ -440,7 +463,9 @@ def read_xlsx(
                     continue
                 # header row is always decoded in full (it defines the
                 # name→index map); `want` kicks in from the first data row
-                raw_rows.append(_parse_row(row, shared, date_xfs, want=want))
+                raw_rows.append(
+                    _parse_row(row, shared, date_xfs, want=want, epoch=epoch)
+                )
                 row.clear()
                 if usecols is not None and header and len(raw_rows) == 1:
                     hdr = raw_rows[0]

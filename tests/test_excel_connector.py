@@ -608,21 +608,73 @@ def _patch_zip_member(path: str, member: str, transform) -> None:
             out.writestr(n, data)
 
 
-def test_minixlsx_1904_date_system_fails_loudly(tmp_path):
-    """A workbook in the legacy 1904 date system must raise naming the
-    feature — converting its serials with the 1900 epoch would silently
-    shift every date by ~4 years."""
+@pytest.mark.parametrize("flag", ["1", "true", "on", "TRUE", "On"])
+def test_minixlsx_1904_date_system_reads_correctly(tmp_path, flag):
+    """A workbook in the Mac-legacy 1904 date system reads with the
+    1904-01-01 epoch (a 1,462-day offset vs the 1900 system): the writer
+    emits 1900-system serials, so after stamping date1904 the same serial
+    must decode 1,462 days LATER — proving the epoch switch is applied,
+    for every ST_OnOff spelling of the flag."""
     p = str(tmp_path / "mac.xlsx")
-    _write(p, [(1, dt.datetime(2024, 3, 1, 12, 0))], ["id", "ts"])
+    ts = dt.datetime(2024, 3, 1, 12, 0)
+    _write(p, [(1, ts)], ["id", "ts"])
     _patch_zip_member(
         p,
         "xl/workbook.xml",
-        lambda b: b.replace(b"<workbook", b"<workbook", 1).replace(
-            b"<sheets>", b'<workbookPr date1904="1"/><sheets>', 1
+        lambda b: b.replace(
+            b"<sheets>", f'<workbookPr date1904="{flag}"/><sheets>'.encode(), 1
+        ),
+    )
+    out = minixlsx.read_xlsx(p)
+    assert out["ts"][0] == ts + dt.timedelta(days=1462)
+
+
+def test_minixlsx_1904_roundtrip_serial(tmp_path):
+    """A 1904-system serial decodes to the calendar date it means: serial
+    0 is 1904-01-01 (vs 1899-12-30 in the 1900 system)."""
+    p = str(tmp_path / "mac0.xlsx")
+    _write(p, [(1, dt.date(1904, 1, 2))], ["id", "d"])  # 1900-serial 1464
+    _patch_zip_member(
+        p,
+        "xl/workbook.xml",
+        lambda b: b.replace(b"<sheets>", b'<workbookPr date1904="1"/><sheets>', 1),
+    )
+    out = minixlsx.read_xlsx(p)
+    # 1900-serial 1464 re-read as a 1904 serial: 1904-01-01 + 1464 days
+    assert out["d"][0] == dt.date(1904, 1, 2) + dt.timedelta(days=1462)
+
+
+def test_minixlsx_date1904_unrecognized_value_fails_loudly(tmp_path):
+    """An ST_OnOff value outside 1/true/on/0/false/off must raise naming
+    the attribute — guessing the epoch would silently shift every date by
+    ~4 years."""
+    p = str(tmp_path / "mac3.xlsx")
+    _write(p, [(1, dt.datetime(2024, 3, 1))], ["id", "ts"])
+    _patch_zip_member(
+        p,
+        "xl/workbook.xml",
+        lambda b: b.replace(
+            b"<sheets>", b'<workbookPr date1904="yes"/><sheets>', 1
         ),
     )
     with pytest.raises(ValueError, match="date1904"):
         minixlsx.read_xlsx(p)
+
+
+def test_minixlsx_date1904_false_spellings_keep_1900_epoch(tmp_path):
+    """Explicit off/false/0 keep the 1900 epoch — values read unchanged."""
+    ts = dt.datetime(2024, 3, 1, 6, 30)
+    for i, flag in enumerate(["0", "false", "off"]):
+        p = str(tmp_path / f"win{i}.xlsx")
+        _write(p, [(1, ts)], ["id", "ts"])
+        _patch_zip_member(
+            p,
+            "xl/workbook.xml",
+            lambda b, flag=flag: b.replace(
+                b"<sheets>", f'<workbookPr date1904="{flag}"/><sheets>'.encode(), 1
+            ),
+        )
+        assert minixlsx.read_xlsx(p)["ts"][0] == ts
 
 
 def test_minixlsx_uncached_formula_fails_loudly(tmp_path):
@@ -642,16 +694,39 @@ def test_minixlsx_uncached_formula_fails_loudly(tmp_path):
         minixlsx.read_xlsx(p)
 
 
-def test_connector_surfaces_dialect_error_as_analysis_exception(spark, tmp_path):
-    """Through the connector the dialect guard keeps the reference's error
-    contract: AnalysisException text naming the feature and the file, not
-    a parse crash."""
+def test_connector_reads_1904_workbook(spark, tmp_path):
+    """Through the connector a 1904-system workbook reads with the epoch
+    switch applied (the writer emitted 1900-system serials, so the stamped
+    re-read lands 1,462 days later) — no dialect error."""
     p = str(tmp_path / "mac2.xlsx")
-    _write(p, [(1, "x")], ["id", "name"])
+    ts = dt.datetime(2024, 3, 1, 12, 0)
+    _write(p, [(1, ts)], ["id", "ts"])
     _patch_zip_member(
         p,
         "xl/workbook.xml",
         lambda b: b.replace(b"<sheets>", b'<workbookPr date1904="1"/><sheets>', 1),
+    )
+    rows = (
+        spark.read.format("excel")
+        .schema("id long, ts timestamp")
+        .option("path", p)
+        .load()
+        .collect()
+    )
+    assert rows[0]["ts"] == ts + dt.timedelta(days=1462)
+
+
+def test_connector_surfaces_dialect_error_as_analysis_exception(spark, tmp_path):
+    """Through the connector the dialect guard keeps the reference's error
+    contract: AnalysisException text naming the feature and the file, not
+    a parse crash. (The guard now fires only on an UNRECOGNIZED date1904
+    value — both real date systems are supported.)"""
+    p = str(tmp_path / "mac4.xlsx")
+    _write(p, [(1, "x")], ["id", "name"])
+    _patch_zip_member(
+        p,
+        "xl/workbook.xml",
+        lambda b: b.replace(b"<sheets>", b'<workbookPr date1904="maybe"/><sheets>', 1),
     )
     df = (
         spark.read.format("excel")

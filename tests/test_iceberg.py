@@ -630,3 +630,66 @@ def test_scan_iceberg_pruned_plans_fraction_of_files(spark):
     assert 0 < n_pruned < n_full
     # three live statuses (F/O/P): O's share must be well under half
     assert n_pruned * 2 < n_full, (n_pruned, n_full)
+
+
+def test_rewrite_provenance_inherits_null_snapshot_ids(spark, tmp_path):
+    """Externally-produced tables may rely on snapshot-id INHERITANCE:
+    manifest entries carry a null snapshot_id and the manifest-list's
+    added_snapshot_id supplies it. rewrite_data_files must still record
+    those snapshots in replaced-snapshot-ids (the streaming loss guard
+    keys off them), not silently drop the rows from provenance."""
+    import json
+    import os
+
+    from pyspark_excel_datasource_spark.sources.iceberg import (
+        _current_metadata,
+        _manifest_schema,
+        _read_avro,
+        _resolve_snapshot_md,
+        _write_avro,
+        rewrite_data_files,
+    )
+
+    path = str(tmp_path / "inherit")
+    n = _nation(spark)
+    write_iceberg(spark, n, path)
+    write_iceberg(spark, n, path, mode="append")
+
+    # simulate the external writer: null every manifest entry's
+    # snapshot_id (inheritance form) — the manifest-list keeps
+    # added_snapshot_id
+    md = _current_metadata(path)
+    snap_md = _resolve_snapshot_md(md, None)
+    mlist = snap_md["manifest-list"]
+    mlist = mlist if os.path.isabs(mlist) else os.path.join(path, mlist)
+    for m in _read_avro(mlist):
+        assert m["added_snapshot_id"] is not None
+        mpath = m["manifest_path"]
+        mpath = mpath if os.path.isabs(mpath) else os.path.join(path, mpath)
+        rows = []
+        for e in _read_avro(mpath):
+            d = e["data_file"]
+            # top level is positional (tuple), nested records are
+            # name-keyed dicts — matching _write_avro's encoder shape
+            rows.append(
+                (
+                    e["status"],
+                    None,  # inherited
+                    {
+                        "file_path": d["file_path"],
+                        "file_format": d["file_format"],
+                        "partition": {},
+                        "record_count": d["record_count"],
+                        "file_size_in_bytes": d["file_size_in_bytes"],
+                    },
+                )
+            )
+        _write_avro(mpath, _manifest_schema(()), rows)
+
+    stats = rewrite_data_files(spark, path, target_files=1)
+    md2 = _current_metadata(path)
+    snap = next(
+        s for s in md2["snapshots"] if s["snapshot-id"] == stats["snapshot_id"]
+    )
+    assert set(snap["summary"]["replaced-snapshot-ids"]) == {1, 2}
+    assert read_iceberg(spark, path).count() == 2 * n.count()
