@@ -70,6 +70,15 @@ HEADLINE = (
     # manifest-walk scan, the second lakehouse read path
     "q_quantile_bins",
     "q_scan_iceberg",
+    # round-10 additions (VERDICT r9 #4): the set previously had zero
+    # DML / stream coverage, so a regression in the MERGE COW rewrite
+    # or the stream reader's log walk could not surface between rounds.
+    # q_delta_merge = write + full-outer-join MERGE + atomic overwrite
+    # + re-read; q_stream_delta = availableNow drain of the Delta log
+    # (version-offset micro-batches). Both do their work eagerly inside
+    # the timed call, so the recorded number covers the whole pipeline.
+    "q_delta_merge",
+    "q_stream_delta",
 )
 
 RUNS = 3
