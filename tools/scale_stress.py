@@ -459,10 +459,79 @@ def main() -> None:
             F.count("*").alias("n"),
         )
 
+    # round-10 (VERDICT r9 #2): sampled-AUC with the in-plan exact audit —
+    # the scored frame feeds both subtrees, so the shape is a thunk (the
+    # localCheckpoint runs inside the timing, like q_eval_auc_sampled)
+    def auc_sampled(ev):
+        scored = ev.select(
+            (F.col("event_id") % 2).cast("int").alias("pos"),
+            (F.col("value") + (F.col("event_id") % 1000000)).alias("score"),
+            F.col("event_id"),
+        ).localCheckpoint()
+        samp = scored.filter(
+            F.substring(F.md5(F.col("event_id").cast("string")), 9, 2) < "80"
+        )
+        full = _auc_agg(scored).select(
+            F.col("rank_sum2").alias("rs_f"),
+            F.col("n_pos").alias("np_f"),
+            F.col("n_neg").alias("nn_f"),
+        )
+        return _auc_agg(samp).crossJoin(F.broadcast(full))
+
+    # round-10 (VERDICT r9 #2): NTH_VALUE full-partition frame + rank-1
+    # filter on the same sort — q_win_nth's single-exchange claim, run
+    # against SKEWED user growth (see replicate_events_skewed)
+    def win_nth(ev):
+        from pyspark.sql.window import Window as W
+
+        w = W.partitionBy("user_id").orderBy(
+            F.col("ts").asc(), F.col("event_id").asc()
+        )
+        wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        return (
+            ev.select(
+                "user_id",
+                F.nth_value("event_type", 2).over(wfull).alias("second_event"),
+                F.nth_value("event_type", 3).over(wfull).alias("third_event"),
+                F.count("*").over(W.partitionBy("user_id")).alias("n_events"),
+                F.row_number().over(w).alias("_rn"),
+            )
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def replicate_events_skewed(ev, n: int):
+        """n copies where every 10th user KEEPS its id across replicas —
+        those partitions grow n-fold (hot keys) while the rest grow in
+        population only. The dishonest-skew stress for per-user Window
+        shapes: a plan that only survives uniform user growth fails
+        here."""
+        return (
+            ev.withColumn(
+                "rep", F.explode(F.sequence(F.lit(0), F.lit(n - 1)))
+            )
+            .withColumn(
+                "user_id",
+                F.when(F.col("user_id") % 10 == 0, F.col("user_id")).otherwise(
+                    F.col("user_id") * n + F.col("rep")
+                ),
+            )
+            .withColumn("event_id", F.col("event_id") * n + F.col("rep"))
+            .drop("rep")
+        )
+
     shapes = {
         "pca_moments": (
             pca_moments(vecs1),
             pca_moments(replicate_vecs(vecs1, FACTOR)),
+        ),
+        "auc_sampled": (
+            lambda: auc_sampled(ev1),
+            lambda: auc_sampled(replicate_events(ev1, FACTOR)),
+        ),
+        "win_nth_skew": (
+            win_nth(ev1),
+            win_nth(replicate_events_skewed(ev1, FACTOR)),
         ),
         "banded_ntile": (banded_ntile(li1), banded_ntile(li10)),
         "auc_rank": (auc_rank(ev1), auc_rank(ev10)),
