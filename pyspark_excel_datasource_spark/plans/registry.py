@@ -142,6 +142,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_dedup_embed_lsh",
     "q_dedup_incremental_lsh",
     # D. authored in round 10 (appended as they land)
+    "q_scan_delta_mapped",
     # E. stalest prior greens (re-verification fill): r1 vintage (10)
     "q_agg_argmax",
     "q_agg_histogram",
@@ -327,16 +328,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_win_frame",
     "q_topk",
     "q_sim_topk",
-    "q_dedup_near",
     "q_text_tfidf",
     "q_scan_excel",
-    "q_sink_excel",
-    "q_stream_discover",
-    "q_dedup_keep_first",
-    "q_subquery_scalar",
-    "q_subquery_correlated",
-    "q_subquery_in",
-    "q_sink_parquet_partitioned",
 )
 
 

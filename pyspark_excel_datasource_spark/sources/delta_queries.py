@@ -683,3 +683,137 @@ def q_delta_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _materialize_orders_delta(spark, sf_dir)
     rows = [(int(h["version"]), h["operation"]) for h in history(path)]
     return spark.createDataFrame(rows, "version long, operation string")
+
+
+def _materialize_mapped_delta(spark: SparkSession, sf_dir: str) -> str:
+    """customer → a COLUMN-MAPPED Delta table (mode=name), the layout an
+    external delta-spark writer produces after enabling mapping: parquet
+    files store PHYSICAL column names (col-…), the log's schemaString
+    carries the logical→physical binding in field metadata, and per-file
+    partitionValues are keyed by physical name. Idempotent per SF."""
+    import json
+
+    out = os.path.join(_fixture_dir(sf_dir), "customer_mapped_delta")
+    done = os.path.join(out, "_delta_log", f"{0:020d}.json")
+    if os.path.exists(done):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    staging = out + "_staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("col-ck01"),
+        F.col("c_acctbal").cast("double").alias("col-ab02"),
+        F.col("c_mktsegment").alias("col-ms03"),
+    )
+    # one distributed hive-partitioned write; files then enter the log
+    # under their partition-dir-relative paths (Delta does not require
+    # hive layout — partitionValues in the log are authoritative — but
+    # reusing it keeps the fixture one write job)
+    cust.write.partitionBy("col-ms03").parquet(staging)
+    os.makedirs(os.path.join(out, "_delta_log"))
+    adds = []
+    for dirpath, _, names in os.walk(staging):
+        for name in names:
+            if not name.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(os.path.join(dirpath, name), staging)
+            seg = os.path.basename(os.path.dirname(rel)).split("=", 1)[1]
+            dst = os.path.join(out, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.move(os.path.join(dirpath, name), dst)
+            adds.append(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": {"col-ms03": seg},
+                        "size": os.path.getsize(dst),
+                        "modificationTime": 0,
+                        "dataChange": True,
+                    }
+                }
+            )
+    shutil.rmtree(staging, ignore_errors=True)
+
+    def fld(name: str, typ: str, phys: str, fid: int) -> dict:
+        return {
+            "name": name,
+            "type": typ,
+            "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": fid,
+                "delta.columnMapping.physicalName": phys,
+            },
+        }
+
+    schema = {
+        "type": "struct",
+        "fields": [
+            fld("c_custkey", "long", "col-ck01", 1),
+            fld("c_acctbal", "double", "col-ab02", 2),
+            fld("c_mktsegment", "string", "col-ms03", 3),
+        ],
+    }
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {
+            "metaData": {
+                "id": "customer-mapped",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(schema),
+                "partitionColumns": ["c_mktsegment"],
+                "configuration": {
+                    "delta.columnMapping.mode": "name",
+                    "delta.columnMapping.maxColumnId": "3",
+                },
+            }
+        },
+        *sorted(adds, key=lambda a: a["add"]["path"]),
+    ]
+    with open(done, "w", encoding="utf-8") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    return out
+
+
+@query(
+    "q_scan_delta_mapped",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                AS DECIMAL(38,2)) AS VARCHAR) AS sum_bal,
+           CAST(SUM(c_custkey) AS BIGINT) AS sum_key
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    GROUP BY c_mktsegment
+    """,
+)
+def q_scan_delta_mapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-mapped Delta read (PROTOCOL.md "Column Mapping", reader
+    version 2): the fixture's parquet files store PHYSICAL names
+    (col-ck01/…) and the log keys partitionValues by physical name, as
+    an external writer with mapping enabled produces. The scan binds
+    physical names and aliases back to logical; ``partition_filter``
+    takes the LOGICAL key and prunes at the log level through the
+    mapping. The oracle restates the filter over the original customer
+    table — identical rows prove the rebinding and the translated
+    pruning both lost nothing. Scale: identical to q_scan_delta_pruned
+    (pruning before listing, one parquet scan, broadcast pv attach);
+    the mapping adds zero per-row work — it is a plan-time rename."""
+    path = _materialize_mapped_delta(spark, sf_dir)
+    return (
+        read_delta(
+            spark,
+            path,
+            partition_filter={"c_mktsegment": {"BUILDING", "MACHINERY"}},
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_cust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .cast("string")
+            .alias("sum_bal"),
+            F.sum("c_custkey").cast("long").alias("sum_key"),
+        )
+    )

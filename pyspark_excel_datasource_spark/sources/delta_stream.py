@@ -119,7 +119,12 @@ class DeltaStreamReader(DataSourceStreamReader):
             raise ValueError("pydelta stream requires a table path")
         self.ignore_deletes = _opt_flag(options, "ignoreDeletes", "ignoredeletes")
         self.ignore_changes = _opt_flag(options, "ignoreChanges", "ignorechanges")
-        snapshot(self.path)  # validates table existence + protocol gate
+        from .deltalog import _require_unmapped
+
+        snap = snapshot(self.path)  # validates table existence + protocol gate
+        # the stream decodes files by LOGICAL column name; a
+        # column-mapped table stores physical names — reject up front
+        _require_unmapped(snap, "pydelta stream")
 
     def initialOffset(self) -> dict:
         return {"version": -1}

@@ -32,9 +32,22 @@ Scale notes (100 TB):
   the same optimistic-concurrency primitive real Delta uses on
   filesystems with atomic put-if-absent.
 
+Column mapping (PROTOCOL.md "Column Mapping", reader version 2, or 3
+with the ``columnMapping`` reader feature) is supported on the BATCH
+read path: the scan binds the parquet files' PHYSICAL column names
+(``delta.columnMapping.physicalName`` in the schema-string field
+metadata) and aliases back to logical names at the end; per-file
+``partitionValues`` — which the protocol keys by physical name — are
+translated at the log level. ``name`` and ``id`` mode tables both read
+this way (writers in both modes store data under the physical name;
+field-id resolution is a redundant path for the tables this reader
+accepts). Time travel across a column RENAME works by construction:
+each version's metaData carries its own logical→physical binding.
+
 Not implemented (raises, never silently wrong): deletion vectors,
-column mapping, generated columns — any table whose protocol action
-demands ``minReaderVersion > 1`` is rejected up front.
+generated columns, nested fields under column mapping, and WRITES —
+including DML and the CDF/stream readers — against a column-mapped
+table (this reader's write path is protocol writer version 2).
 """
 
 from __future__ import annotations
@@ -50,7 +63,7 @@ from urllib.parse import quote, unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 _LOG = "_delta_log"
 _JSON_RE = re.compile(r"^(\d{20})\.json$")
@@ -87,6 +100,63 @@ class DeltaSnapshot:
     def partition_columns(self) -> list[str]:
         return list(self.metadata.get("partitionColumns") or [])
 
+    @property
+    def column_mapping_mode(self) -> str:
+        conf = self.metadata.get("configuration") or {}
+        return conf.get("delta.columnMapping.mode", "none")
+
+    def physical_names(self) -> dict[str, str]:
+        """logical column name → physical (parquet) column name, from the
+        ``delta.columnMapping.physicalName`` field metadata. Top-level
+        fields only — a NESTED field carrying a physical name means the
+        table uses mapping below the root, which this reader does not
+        rebind; fail loudly rather than return misnamed inner fields."""
+        fields = json.loads(self.metadata["schemaString"])["fields"]
+        out: dict[str, str] = {}
+        for f in fields:
+            md = f.get("metadata") or {}
+            out[f["name"]] = md.get("delta.columnMapping.physicalName", f["name"])
+            t = f.get("type")
+            if isinstance(t, dict) and _nested_has_mapping(t):
+                raise DeltaProtocolError(
+                    f"column {f['name']!r} maps nested fields "
+                    "(delta.columnMapping.physicalName below the root); "
+                    "nested column mapping is not implemented"
+                )
+        return out
+
+
+def _nested_has_mapping(t: Any) -> bool:
+    """True if any field BELOW a top-level column carries a
+    delta.columnMapping.physicalName annotation."""
+    if isinstance(t, dict):
+        if t.get("type") == "struct":
+            for f in t.get("fields", []):
+                md = f.get("metadata") or {}
+                if "delta.columnMapping.physicalName" in md:
+                    return True
+                if _nested_has_mapping(f.get("type")):
+                    return True
+            return False
+        return any(
+            _nested_has_mapping(t.get(k))
+            for k in ("elementType", "keyType", "valueType")
+        )
+    return False
+
+
+def _require_unmapped(snap: "DeltaSnapshot", op: str) -> None:
+    """Writes/DML/CDF/stream against a column-mapped table are rejected:
+    this module's write path emits logical-named files and logical
+    partitionValues, which would corrupt a mapped table."""
+    if snap.column_mapping_mode != "none":
+        raise DeltaProtocolError(
+            f"{op} on a column-mapped table "
+            f"(delta.columnMapping.mode={snap.column_mapping_mode!r}) is "
+            "not implemented; this reader supports column mapping on the "
+            "batch read path only"
+        )
+
 
 def _log_dir(table_path: str) -> str:
     return os.path.join(table_path, _LOG)
@@ -106,13 +176,33 @@ def _list_log(table_path: str) -> tuple[list[int], list[int]]:
     return sorted(js), sorted(cps)
 
 
+#: reader features this module implements (protocol reader version 3).
+#: timestampNtz is a pure type-system feature — the parquet scan reads
+#: TIMESTAMP(isAdjustedToUTC=false) natively as TIMESTAMP_NTZ already.
+_SUPPORTED_READER_FEATURES = {"columnMapping", "timestampNtz"}
+
+
 def _check_protocol(action: dict[str, Any]) -> None:
-    if int(action.get("minReaderVersion", 1)) > 1:
-        raise DeltaProtocolError(
-            "table requires minReaderVersion "
-            f"{action['minReaderVersion']} (deletion vectors / column "
-            "mapping); this reader implements protocol reader version 1"
-        )
+    mrv = int(action.get("minReaderVersion", 1))
+    if mrv <= 2:
+        # reader version 2 = column mapping, handled at read time via
+        # the physical-name binding (see read_delta)
+        return
+    if mrv == 3:
+        feats = set(action.get("readerFeatures") or [])
+        unsupported = feats - _SUPPORTED_READER_FEATURES
+        if unsupported:
+            raise DeltaProtocolError(
+                "table requires reader features "
+                f"{sorted(unsupported)}; this reader implements "
+                f"{sorted(_SUPPORTED_READER_FEATURES)} only"
+            )
+        return
+    raise DeltaProtocolError(
+        f"table requires minReaderVersion {mrv}; this reader implements "
+        "protocol reader versions 1-3 (readerFeatures: "
+        f"{sorted(_SUPPORTED_READER_FEATURES)})"
+    )
 
 
 def _pv_norm(pv: Any) -> dict[str, str | None]:
@@ -229,6 +319,16 @@ def read_delta(
     schema = snap.schema
     pcols = snap.partition_columns
 
+    # column mapping: the scan runs entirely in PHYSICAL name space
+    # (parquet column names, partitionValues keys) and aliases back to
+    # logical names in the final select. Done per-snapshot, so time
+    # travel across a column RENAME binds each version's own mapping.
+    phys = (
+        snap.physical_names()
+        if snap.column_mapping_mode != "none"
+        else {f.name: f.name for f in schema.fields}
+    )
+
     files = snap.files
     if partition_filter:
         unknown = set(partition_filter) - set(pcols)
@@ -237,9 +337,22 @@ def read_delta(
         files = {
             p: pv
             for p, pv in files.items()
-            if all(pv.get(c) in allowed for c, allowed in partition_filter.items())
+            if all(
+                pv.get(phys[c]) in allowed
+                for c, allowed in partition_filter.items()
+            )
         }
-    return _read_files(spark, table_path, files, schema, pcols)
+    if snap.column_mapping_mode == "none":
+        return _read_files(spark, table_path, files, schema, pcols)
+    phys_schema = StructType(
+        [StructField(phys[f.name], f.dataType, f.nullable) for f in schema.fields]
+    )
+    df = _read_files(
+        spark, table_path, files, phys_schema, [phys[c] for c in pcols]
+    )
+    return df.select(
+        *[F.col(phys[f.name]).alias(f.name) for f in schema.fields]
+    )
 
 
 def _read_files(
@@ -520,6 +633,8 @@ def write_delta(
         prev = snapshot(table_path)
     except FileNotFoundError:
         prev = None
+    if prev is not None:
+        _require_unmapped(prev, "write_delta")
     version = 0 if prev is None else prev.version + 1
     pcols = list(partition_by)
     if prev is not None and prev.partition_columns != pcols and mode == "append":
@@ -642,6 +757,7 @@ def read_change_feed(
         raise ValueError("from_version must be <= to_version")
     lo = snapshot(table_path, from_version)
     hi = snapshot(table_path, to_version)
+    _require_unmapped(hi, "read_change_feed")
     added: dict[str, dict[str, str | None]] = {}
     removed: dict[str, dict[str, str | None]] = {}
     for v in range(from_version + 1, to_version + 1):
@@ -709,6 +825,7 @@ def optimize(
     keeps scan task counts proportional to bytes and stats selective.
     """
     prev = snapshot(table_path)
+    _require_unmapped(prev, "optimize")
     pcols = prev.partition_columns
     df = _read_files(spark, table_path, prev.files, prev.schema, pcols)
     if zorder_by is not None:
@@ -765,6 +882,7 @@ def merge_delta(
     if txn is not None and int(txn[1]) <= last_txn_version(table_path, txn[0]):
         return snapshot(table_path).version  # replayed batch: no-op
     prev = snapshot(table_path)
+    _require_unmapped(prev, "merge_delta")
     pcols = prev.partition_columns
     target = _read_files(spark, table_path, prev.files, prev.schema, pcols)
     cols = target.columns
@@ -824,6 +942,7 @@ def delete_where(
     (DELETE removes only rows where it is TRUE, per SQL semantics).
     """
     prev = snapshot(table_path)
+    _require_unmapped(prev, "delete_where")
     pcols = prev.partition_columns
     full = _read_files(
         spark, table_path, prev.files, prev.schema, pcols, file_column="__f"
@@ -944,6 +1063,7 @@ def delete_partitions(
     commit a silent no-op); matching zero FILES on a valid key is legal
     (SQL DELETE matching nothing) and still commits."""
     prev = snapshot(table_path)
+    _require_unmapped(prev, "delete_partitions")
     unknown = set(where) - set(prev.partition_columns)
     if unknown:
         raise ValueError(

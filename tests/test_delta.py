@@ -150,15 +150,37 @@ def test_history_operations(spark, three_version_table):
 
 
 def test_protocol_gate(spark, tmp_path):
+    """Reader versions beyond 3, and v3 reader features this reader does
+    not implement, are rejected; versions at-or-below the gate (1-2, and
+    3 with only supported features) stay readable. (Column mapping moved
+    v2 inside the gate in round 10 — see test_delta_column_mapping.py.)"""
     path = str(tmp_path / "t")
     write_delta(spark, _nation(spark), path)
     log = os.path.join(path, "_delta_log")
     with open(os.path.join(log, f"{1:020d}.json"), "w") as fh:
-        fh.write(json.dumps({"protocol": {"minReaderVersion": 3}}) + "\n")
-    with pytest.raises(DeltaProtocolError):
+        fh.write(
+            json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "readerFeatures": ["deletionVectors"],
+                    }
+                }
+            )
+            + "\n"
+        )
+    with pytest.raises(DeltaProtocolError, match="deletionVectors"):
         read_delta(spark, path)
     # older versions stay readable
     assert read_delta(spark, path, version=0).count() > 0
+    # a reader version beyond anything implemented fails even with no
+    # feature list
+    path2 = str(tmp_path / "t2")
+    write_delta(spark, _nation(spark), path2)
+    with open(os.path.join(path2, "_delta_log", f"{1:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"protocol": {"minReaderVersion": 4}}) + "\n")
+    with pytest.raises(DeltaProtocolError, match="minReaderVersion 4"):
+        read_delta(spark, path2)
 
 
 def test_append_partitioning_mismatch_rejected(spark, tmp_path):
