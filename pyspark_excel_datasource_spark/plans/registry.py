@@ -143,6 +143,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_dedup_incremental_lsh",
     # D. authored in round 10 (appended as they land)
     "q_scan_delta_mapped",
+    "q_scan_delta_dv",
     # E. stalest prior greens (re-verification fill): r1 vintage (10)
     "q_agg_argmax",
     "q_agg_histogram",

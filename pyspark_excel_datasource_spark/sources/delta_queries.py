@@ -817,3 +817,121 @@ def q_scan_delta_mapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c_custkey").cast("long").alias("sum_key"),
         )
     )
+
+
+def _materialize_dv_delta(spark: SparkSession, sf_dir: str) -> str:
+    """customer → a Delta table whose v1 attaches a DELETION VECTOR, as
+    an external delta-spark writer with DVs enabled produces: v0 writes
+    one file sorted by c_custkey, v1 re-adds it with an inline Z85
+    roaring bitmap soft-deleting every row whose position holds a
+    ``c_custkey % 7 == 0`` key (positions are computable because the
+    file is key-sorted, which is what makes the fixture SQL-oracleable).
+    Idempotent per SF."""
+    import json
+    import struct
+
+    from .dvbitmap import DV_MAGIC, z85_encode
+
+    out = os.path.join(_fixture_dir(sf_dir), "customer_dv_delta")
+    done = os.path.join(out, "_delta_log", f"{1:020d}.json")
+    if os.path.exists(done):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    cust = (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_acctbal", "c_mktsegment")
+        .orderBy("c_custkey")
+        .coalesce(1)
+        .sortWithinPartitions("c_custkey")
+    )
+    write_delta(spark, cust, out)
+    snap = snapshot(out)
+    (rel,) = snap.files
+    keys = [
+        r.c_custkey
+        for r in read_delta(spark, out).orderBy("c_custkey").select("c_custkey").collect()
+    ]
+    deleted = [i for i, k in enumerate(keys) if k % 7 == 0]
+
+    # inline DV: portable no-run roaring container(s) over the positions
+    by_key: dict[int, list[int]] = {}
+    for v in deleted:
+        by_key.setdefault(v >> 16, []).append(v & 0xFFFF)
+    ks = sorted(by_key)
+    bm = struct.pack("<i", 12346) + struct.pack("<i", len(ks))
+    for k in ks:
+        bm += struct.pack("<HH", k, len(by_key[k]) - 1)
+    pos = 8 + 8 * len(ks)
+    offs, data = b"", b""
+    for k in ks:
+        offs += struct.pack("<I", pos)
+        chunk = struct.pack(f"<{len(by_key[k])}H", *by_key[k])
+        data += chunk
+        pos += len(chunk)
+    blob = struct.pack("<i", DV_MAGIC) + struct.pack("<q", 1) + bm + offs + data
+    padded = blob + b"\x00" * (-len(blob) % 4)
+    descriptor = {
+        "storageType": "i",
+        "pathOrInlineDv": z85_encode(padded),
+        "sizeInBytes": len(blob),
+        "cardinality": len(deleted),
+    }
+    actions = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }
+        },
+        {
+            "add": {
+                "path": rel,
+                "partitionValues": {},
+                "size": 1,
+                "modificationTime": 0,
+                "dataChange": True,
+                "deletionVector": descriptor,
+            }
+        },
+    ]
+    with open(done, "w", encoding="utf-8") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    return out
+
+
+@query(
+    "q_scan_delta_dv",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(c_custkey) AS BIGINT) AS sum_key
+    FROM customer
+    WHERE c_custkey % 7 <> 0
+    GROUP BY c_mktsegment
+    """,
+)
+def q_scan_delta_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector Delta read (PROTOCOL.md "Deletion Vectors",
+    reader feature ``deletionVectors``): the fixture's v1 re-adds its
+    data file with an inline Z85 roaring bitmap soft-deleting the rows
+    at ``c_custkey % 7 == 0`` positions; the scan decodes the bitmap
+    driver-side and subtracts those positions via a broadcast anti-join
+    on ``_metadata.row_index`` (sources/dvbitmap.py). The oracle states
+    the deletion as a plain predicate over the base table — identical
+    aggregates prove the bitmap decode and the positional subtraction
+    lost (and resurrected) nothing. Scale: the DV is metadata-sized by
+    the format's design intent (writers rewrite files whose DVs grow);
+    the anti-join broadcasts file-count × cardinality keys and the fact
+    side never reshuffles."""
+    path = _materialize_dv_delta(spark, sf_dir)
+    return (
+        read_delta(spark, path)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_cust"),
+            F.sum("c_custkey").cast("long").alias("sum_key"),
+        )
+    )

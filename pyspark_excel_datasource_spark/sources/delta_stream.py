@@ -119,12 +119,15 @@ class DeltaStreamReader(DataSourceStreamReader):
             raise ValueError("pydelta stream requires a table path")
         self.ignore_deletes = _opt_flag(options, "ignoreDeletes", "ignoredeletes")
         self.ignore_changes = _opt_flag(options, "ignoreChanges", "ignorechanges")
-        from .deltalog import _require_unmapped
+        from .deltalog import _require_no_dv, _require_unmapped
 
         snap = snapshot(self.path)  # validates table existence + protocol gate
         # the stream decodes files by LOGICAL column name; a
         # column-mapped table stores physical names — reject up front
         _require_unmapped(snap, "pydelta stream")
+        # deletion vectors soft-delete rows INSIDE files the stream
+        # would re-emit whole — reject up front (batch reads apply them)
+        _require_no_dv(snap, "pydelta stream")
 
     def initialOffset(self) -> dict:
         return {"version": -1}
@@ -153,6 +156,13 @@ class DeltaStreamReader(DataSourceStreamReader):
                         # files whose rows we can no longer interpret
                         _check_protocol(act["protocol"])
                     elif "add" in act and act["add"].get("dataChange", True):
+                        if act["add"].get("deletionVector") is not None:
+                            raise RuntimeError(
+                                f"pydelta stream: version {v} attaches a "
+                                "deletion vector; streaming a DV commit "
+                                "would re-emit soft-deleted rows — read "
+                                "the table in batch mode instead"
+                            )
                         adds.append(act["add"])
                     elif "remove" in act and act["remove"].get(
                         "dataChange", True

@@ -44,10 +44,19 @@ field-id resolution is a redundant path for the tables this reader
 accepts). Time travel across a column RENAME works by construction:
 each version's metaData carries its own logical→physical binding.
 
-Not implemented (raises, never silently wrong): deletion vectors,
-generated columns, nested fields under column mapping, and WRITES —
-including DML and the CDF/stream readers — against a column-mapped
-table (this reader's write path is protocol writer version 2).
+Deletion vectors (reader feature ``deletionVectors``) are supported on
+the BATCH read path: each live file's DV descriptor — inline Z85 or a
+``.bin`` DV file, per PROTOCOL.md — decodes driver-side to a roaring
+bitmap of deleted ROW INDEXES (``sources/dvbitmap.py``), and the scan
+subtracts those positions via a broadcast anti-join against
+``_metadata.row_index``. Framing, magic, and CRC are all verified; a
+misparse raises instead of resurrecting deleted rows.
+
+Not implemented (raises, never silently wrong): generated columns,
+nested fields under column mapping, and WRITES — including DML, the
+CDF/stream readers, and VACUUM — against a column-mapped table or a
+table with live deletion vectors (this reader's write path is protocol
+writer version 2; vacuum would reap DV ``.bin`` files as orphans).
 """
 
 from __future__ import annotations
@@ -91,6 +100,8 @@ class DeltaSnapshot:
     version: int
     metadata: dict[str, Any]
     files: dict[str, dict[str, str | None]] = field(default_factory=dict)
+    #: file → deletionVector descriptor, for files with soft-deleted rows
+    dvs: dict[str, dict[str, Any]] = field(default_factory=dict)
 
     @property
     def schema(self) -> StructType:
@@ -158,6 +169,20 @@ def _require_unmapped(snap: "DeltaSnapshot", op: str) -> None:
         )
 
 
+def _require_no_dv(snap: "DeltaSnapshot", op: str) -> None:
+    """Writes/DML/CDF/stream/VACUUM against a table with live deletion
+    vectors are rejected: this module's write path is copy-on-write and
+    its commits (and checkpoints) would drop or half-apply the DV state;
+    vacuum would delete the ``.bin`` DV files as orphans (they are not
+    in the snapshot's data-file set). Batch reads apply DVs exactly."""
+    if snap.dvs:
+        raise DeltaProtocolError(
+            f"{op} on a table with live deletion vectors "
+            f"({len(snap.dvs)} file(s)) is not implemented; this reader "
+            "supports deletion vectors on the batch read path only"
+        )
+
+
 def _log_dir(table_path: str) -> str:
     return os.path.join(table_path, _LOG)
 
@@ -179,7 +204,7 @@ def _list_log(table_path: str) -> tuple[list[int], list[int]]:
 #: reader features this module implements (protocol reader version 3).
 #: timestampNtz is a pure type-system feature — the parquet scan reads
 #: TIMESTAMP(isAdjustedToUTC=false) natively as TIMESTAMP_NTZ already.
-_SUPPORTED_READER_FEATURES = {"columnMapping", "timestampNtz"}
+_SUPPORTED_READER_FEATURES = {"columnMapping", "timestampNtz", "deletionVectors"}
 
 
 def _check_protocol(action: dict[str, Any]) -> None:
@@ -217,9 +242,19 @@ def _pv_norm(pv: Any) -> dict[str, str | None]:
 def _apply(snap: DeltaSnapshot, action: dict[str, Any]) -> None:
     if "add" in action and action["add"] is not None:
         a = action["add"]
-        snap.files[unquote(a["path"])] = _pv_norm(a.get("partitionValues"))
+        path = unquote(a["path"])
+        snap.files[path] = _pv_norm(a.get("partitionValues"))
+        # a re-add of the same path REPLACES its deletion vector (adding
+        # one, widening one, or — if absent — clearing it), per protocol
+        dv = a.get("deletionVector")
+        if dv is not None:
+            snap.dvs[path] = dict(dv)
+        else:
+            snap.dvs.pop(path, None)
     elif "remove" in action and action["remove"] is not None:
-        snap.files.pop(unquote(action["remove"]["path"]), None)
+        rpath = unquote(action["remove"]["path"])
+        snap.files.pop(rpath, None)
+        snap.dvs.pop(rpath, None)
     elif "metaData" in action and action["metaData"] is not None:
         snap.metadata = dict(action["metaData"])
     elif "protocol" in action and action["protocol"] is not None:
@@ -343,12 +378,19 @@ def read_delta(
             )
         }
     if snap.column_mapping_mode == "none":
-        return _read_files(spark, table_path, files, schema, pcols)
+        return _read_files(
+            spark, table_path, files, schema, pcols, dvs=snap.dvs
+        )
     phys_schema = StructType(
         [StructField(phys[f.name], f.dataType, f.nullable) for f in schema.fields]
     )
     df = _read_files(
-        spark, table_path, files, phys_schema, [phys[c] for c in pcols]
+        spark,
+        table_path,
+        files,
+        phys_schema,
+        [phys[c] for c in pcols],
+        dvs=snap.dvs,
     )
     return df.select(
         *[F.col(phys[f.name]).alias(f.name) for f in schema.fields]
@@ -362,19 +404,25 @@ def _read_files(
     schema: StructType,
     pcols: list[str],
     file_column: str | None = None,
+    dvs: dict[str, dict[str, Any]] | None = None,
 ) -> DataFrame:
     """One parquet scan over an explicit live-file set, with partition
     columns re-attached from the log's per-file partitionValues.
     ``file_column`` optionally exposes each row's source file RELATIVE
-    path (the log key) — the identity row-level DML needs."""
+    path (the log key) — the identity row-level DML needs. ``dvs``
+    (file → deletionVector descriptor) soft-deletes rows: each DV's
+    bitmap of per-file ROW INDEXES is decoded driver-side (bounded like
+    the log itself) and subtracted via a broadcast anti-join against
+    the scan's ``_metadata.row_index``."""
     data_schema = StructType([f for f in schema.fields if f.name not in pcols])
+    dvs = {k: v for k, v in (dvs or {}).items() if k in files}
     if not files:
         out = spark.createDataFrame([], schema)
         return out.withColumn(file_column, F.lit(None).cast("string")) if file_column else out
 
     paths = [os.path.join(table_path, p) for p in files]
     df = spark.read.schema(data_schema).parquet(*paths)
-    if not pcols and not file_column:
+    if not pcols and not file_column and not dvs:
         return df.select(*[f.name for f in schema.fields])
 
     # rel-path → partition values map (file-count rows, broadcast). The
@@ -436,9 +484,28 @@ def _read_files(
     rel = F.regexp_replace(norm, "^" + _re.escape(abs_root + "/"), "")
     if enc_root != abs_root:
         rel = F.regexp_replace(rel, "^" + _re.escape(enc_root + "/"), "")
-    df = df.withColumn("__delta_rel", rel).join(
-        F.broadcast(map_df), "__delta_rel"
-    )
+    df = df.withColumn("__delta_rel", rel)
+    if dvs:
+        # deletion vectors: decode each file's bitmap of deleted row
+        # indexes (driver-side, bounded) and subtract those positions
+        # via a broadcast anti-join on (file key, _metadata.row_index).
+        # Row indexes are absolute file positions, so this is correct
+        # under row-group skipping and predicate pushdown.
+        from .dvbitmap import deleted_row_indexes
+
+        df = df.withColumn("__delta_ridx", F.col("_metadata.row_index"))
+        del_rows = []
+        for p, desc in dvs.items():
+            idxs = deleted_row_indexes(table_path, desc)
+            for k in _keys(p if not os.path.isabs(p) else os.path.abspath(p)):
+                del_rows.extend((k, int(i)) for i in idxs)
+        del_df = spark.createDataFrame(
+            del_rows, "__delta_rel string, __delta_ridx long"
+        )
+        df = df.join(
+            F.broadcast(del_df), ["__delta_rel", "__delta_ridx"], "left_anti"
+        )
+    df = df.join(F.broadcast(map_df), "__delta_rel")
     by_name = {f.name: f.dataType for f in schema.fields}
     for c in pcols:
         df = df.withColumn(c, F.col(f"__pv_{c}").cast(by_name[c]))
@@ -635,6 +702,7 @@ def write_delta(
         prev = None
     if prev is not None:
         _require_unmapped(prev, "write_delta")
+        _require_no_dv(prev, "write_delta")
     version = 0 if prev is None else prev.version + 1
     pcols = list(partition_by)
     if prev is not None and prev.partition_columns != pcols and mode == "append":
@@ -758,6 +826,7 @@ def read_change_feed(
     lo = snapshot(table_path, from_version)
     hi = snapshot(table_path, to_version)
     _require_unmapped(hi, "read_change_feed")
+    _require_no_dv(hi, "read_change_feed")
     added: dict[str, dict[str, str | None]] = {}
     removed: dict[str, dict[str, str | None]] = {}
     for v in range(from_version + 1, to_version + 1):
@@ -826,6 +895,7 @@ def optimize(
     """
     prev = snapshot(table_path)
     _require_unmapped(prev, "optimize")
+    _require_no_dv(prev, "optimize")
     pcols = prev.partition_columns
     df = _read_files(spark, table_path, prev.files, prev.schema, pcols)
     if zorder_by is not None:
@@ -883,6 +953,7 @@ def merge_delta(
         return snapshot(table_path).version  # replayed batch: no-op
     prev = snapshot(table_path)
     _require_unmapped(prev, "merge_delta")
+    _require_no_dv(prev, "merge_delta")
     pcols = prev.partition_columns
     target = _read_files(spark, table_path, prev.files, prev.schema, pcols)
     cols = target.columns
@@ -943,6 +1014,7 @@ def delete_where(
     """
     prev = snapshot(table_path)
     _require_unmapped(prev, "delete_where")
+    _require_no_dv(prev, "delete_where")
     pcols = prev.partition_columns
     full = _read_files(
         spark, table_path, prev.files, prev.schema, pcols, file_column="__f"
@@ -1036,7 +1108,9 @@ def vacuum(table_path: str, retention_seconds: float = 0.0) -> int:
     """
     import time as _time
 
-    live = set(snapshot(table_path).files)
+    _snap = snapshot(table_path)
+    _require_no_dv(_snap, "vacuum")  # DV .bin files would look like orphans
+    live = set(_snap.files)
     cutoff = _time.time() - retention_seconds
     removed = 0
     for root, dirs, names in os.walk(table_path):
@@ -1064,6 +1138,7 @@ def delete_partitions(
     (SQL DELETE matching nothing) and still commits."""
     prev = snapshot(table_path)
     _require_unmapped(prev, "delete_partitions")
+    _require_no_dv(prev, "delete_partitions")
     unknown = set(where) - set(prev.partition_columns)
     if unknown:
         raise ValueError(

@@ -163,13 +163,13 @@ def test_protocol_gate(spark, tmp_path):
                 {
                     "protocol": {
                         "minReaderVersion": 3,
-                        "readerFeatures": ["deletionVectors"],
+                        "readerFeatures": ["v2Checkpoint"],
                     }
                 }
             )
             + "\n"
         )
-    with pytest.raises(DeltaProtocolError, match="deletionVectors"):
+    with pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
         read_delta(spark, path)
     # older versions stay readable
     assert read_delta(spark, path, version=0).count() > 0

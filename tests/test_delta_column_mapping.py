@@ -134,8 +134,8 @@ def test_reader_v3_with_column_mapping_feature(spark, tmp_path):
 
 
 def test_unsupported_reader_feature_raises(spark, tmp_path):
-    path = _mapped_table(tmp_path, features=["deletionVectors"])
-    with pytest.raises(DeltaProtocolError, match="deletionVectors"):
+    path = _mapped_table(tmp_path, features=["v2Checkpoint"])
+    with pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
         read_delta(spark, path)
 
 

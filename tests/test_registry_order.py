@@ -116,6 +116,7 @@ ROUND8_AUTHORED: set[str] = {
 #: inside the gate window the round it lands.
 ROUND10_AUTHORED: set[str] = {
     "q_scan_delta_mapped",
+    "q_scan_delta_dv",
 }
 
 
