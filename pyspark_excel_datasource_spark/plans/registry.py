@@ -144,6 +144,7 @@ _PRIORITY: tuple[str, ...] = (
     # D. authored in round 10 (appended as they land)
     "q_scan_delta_mapped",
     "q_scan_delta_dv",
+    "q_scan_iceberg_posdel",
     # E. stalest prior greens (re-verification fill): r1 vintage (10)
     "q_agg_argmax",
     "q_agg_histogram",

@@ -377,9 +377,18 @@ def read_delta(
                 for c, allowed in partition_filter.items()
             )
         }
+    # decode DV descriptors driver-side (bounded like the log itself)
+    from .dvbitmap import deleted_row_indexes
+
+    positions = {
+        p: deleted_row_indexes(table_path, desc)
+        for p, desc in snap.dvs.items()
+        if p in files
+    }
     if snap.column_mapping_mode == "none":
         return _read_files(
-            spark, table_path, files, schema, pcols, dvs=snap.dvs
+            spark, table_path, files, schema, pcols,
+            deleted_positions=positions,
         )
     phys_schema = StructType(
         [StructField(phys[f.name], f.dataType, f.nullable) for f in schema.fields]
@@ -390,7 +399,7 @@ def read_delta(
         files,
         phys_schema,
         [phys[c] for c in pcols],
-        dvs=snap.dvs,
+        deleted_positions=positions,
     )
     return df.select(
         *[F.col(phys[f.name]).alias(f.name) for f in schema.fields]
@@ -404,25 +413,28 @@ def _read_files(
     schema: StructType,
     pcols: list[str],
     file_column: str | None = None,
-    dvs: dict[str, dict[str, Any]] | None = None,
+    deleted_positions: dict[str, list[int]] | None = None,
 ) -> DataFrame:
     """One parquet scan over an explicit live-file set, with partition
     columns re-attached from the log's per-file partitionValues.
     ``file_column`` optionally exposes each row's source file RELATIVE
-    path (the log key) — the identity row-level DML needs. ``dvs``
-    (file → deletionVector descriptor) soft-deletes rows: each DV's
-    bitmap of per-file ROW INDEXES is decoded driver-side (bounded like
-    the log itself) and subtracted via a broadcast anti-join against
-    the scan's ``_metadata.row_index``."""
+    path (the log key) — the identity row-level DML needs.
+    ``deleted_positions`` (file → sorted per-file ROW INDEXES)
+    soft-deletes rows via a broadcast anti-join against the scan's
+    ``_metadata.row_index`` — the shared positional-delete mechanism
+    behind Delta deletion vectors AND Iceberg v2 position deletes (each
+    caller decodes its own metadata format driver-side first)."""
     data_schema = StructType([f for f in schema.fields if f.name not in pcols])
-    dvs = {k: v for k, v in (dvs or {}).items() if k in files}
+    deleted_positions = {
+        k: v for k, v in (deleted_positions or {}).items() if k in files and v
+    }
     if not files:
         out = spark.createDataFrame([], schema)
         return out.withColumn(file_column, F.lit(None).cast("string")) if file_column else out
 
     paths = [os.path.join(table_path, p) for p in files]
     df = spark.read.schema(data_schema).parquet(*paths)
-    if not pcols and not file_column and not dvs:
+    if not pcols and not file_column and not deleted_positions:
         return df.select(*[f.name for f in schema.fields])
 
     # rel-path → partition values map (file-count rows, broadcast). The
@@ -485,18 +497,14 @@ def _read_files(
     if enc_root != abs_root:
         rel = F.regexp_replace(rel, "^" + _re.escape(enc_root + "/"), "")
     df = df.withColumn("__delta_rel", rel)
-    if dvs:
-        # deletion vectors: decode each file's bitmap of deleted row
-        # indexes (driver-side, bounded) and subtract those positions
+    if deleted_positions:
+        # positional deletes: subtract each file's deleted row indexes
         # via a broadcast anti-join on (file key, _metadata.row_index).
         # Row indexes are absolute file positions, so this is correct
         # under row-group skipping and predicate pushdown.
-        from .dvbitmap import deleted_row_indexes
-
         df = df.withColumn("__delta_ridx", F.col("_metadata.row_index"))
         del_rows = []
-        for p, desc in dvs.items():
-            idxs = deleted_row_indexes(table_path, desc)
+        for p, idxs in deleted_positions.items():
             for k in _keys(p if not os.path.isabs(p) else os.path.abspath(p)):
                 del_rows.extend((k, int(i)) for i in idxs)
         del_df = spark.createDataFrame(

@@ -24,9 +24,22 @@ Avro split across manifests). The data path is an ordinary multi-file
 parquet scan with full pushdown. Manifest-level partition pruning reads
 only matching manifests' file lists — file skipping before the scan.
 
-Not implemented (raises, never silently wrong): format-version 2 row
-deletes (delete files), non-identity partition transforms, schema
-evolution by field-id remapping.
+Format-version 2 is supported on the BATCH read path, including
+POSITION DELETES: delete manifests (manifest-list ``content=1``) are
+walked like data manifests, their position-delete parquet files
+(``file_path``, ``pos`` columns, per spec) are read driver-side, and
+the scan subtracts those row positions via the same broadcast
+anti-join on ``_metadata.row_index`` the Delta deletion-vector path
+uses (``deltalog._read_files``). Position deletes name their target
+file by exact path, so path-matching alone applies them correctly
+(sequence numbers only order EQUALITY deletes, which are rejected).
+
+Not implemented (raises, never silently wrong): equality deletes,
+WRITES — including compaction, snapshot expiry, the streaming source,
+and metadata-only conversion to Delta — against format-version 2
+tables (this writer emits v1 metadata; a metadata-only conversion of a
+v2 table would silently drop its delete files), non-identity partition
+transforms, schema evolution by field-id remapping.
 """
 
 from __future__ import annotations
@@ -52,6 +65,19 @@ class IcebergFormatError(RuntimeError):
 
 class IcebergConcurrentCommitError(RuntimeError):
     """Another writer published the target metadata version first."""
+
+
+def _require_v1(md: dict, op: str) -> None:
+    """Mutations (and the stream / metadata-only conversion) require a
+    v1 table: this writer emits v1 metadata, and appending v1 snapshots
+    to — or expiring/compacting/converting — a v2 table would silently
+    drop or misorder its delete files. Batch reads accept v2."""
+    fv = int(md.get("format-version", 1))
+    if fv != 1:
+        raise IcebergFormatError(
+            f"{op} on a format-version {fv} table is not implemented; "
+            "v2 is supported on the batch read path only"
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -177,6 +203,8 @@ class IcebergSnapshot:
     #: partition values as strings (empty for unpartitioned tables)
     files: dict[str, dict[str, str | None]] = field(default_factory=dict)
     partition_columns: list[str] = field(default_factory=list)
+    #: v2 position deletes: data-file path → sorted deleted row indexes
+    deleted_positions: dict[str, list[int]] = field(default_factory=dict)
 
 
 def _meta_dir(path: str) -> str:
@@ -235,16 +263,40 @@ def snapshot_iceberg(
     files: dict[str, dict[str, str | None]] = {}
     for df_rec in _live_data_files(table_path, snap_md):
         files[df_rec["file_path"]] = dict(df_rec.get("partition") or {})
+    # v2 position deletes: normalize each delete's target path to the
+    # exact files-map key (deletes may spell the path absolute while
+    # the data manifest stored it relative, or vice versa); targets
+    # matching no live file are ignored (the spec allows dangling
+    # references after a rewrite removed the file)
+    raw = _position_deletes(table_path, snap_md)
+    abs_root = os.path.abspath(table_path)
+    deleted: dict[str, list[int]] = {}
+    for target, idxs in raw.items():
+        key = target
+        if key not in files and key.startswith(abs_root + "/"):
+            key = key[len(abs_root) + 1 :]
+        if key not in files and not os.path.isabs(key):
+            alt = os.path.join(abs_root, key)
+            key = alt if alt in files else key
+        if key in files:
+            deleted[key] = idxs
     return IcebergSnapshot(
-        snapshot_id=sid, schema=schema, files=files, partition_columns=pcols
+        snapshot_id=sid,
+        schema=schema,
+        files=files,
+        partition_columns=pcols,
+        deleted_positions=deleted,
     )
 
 
 def _resolve_snapshot_md(md: dict[str, Any], snapshot_id: int | None) -> dict[str, Any]:
     """Shared snapshot lookup + format gate (the module's 'raises, never
     silently wrong' contract lives here so every metadata reader gets it)."""
-    if int(md.get("format-version", 1)) != 1:
-        raise IcebergFormatError("only format-version 1 tables are supported")
+    if int(md.get("format-version", 1)) not in (1, 2):
+        raise IcebergFormatError(
+            f"unsupported format-version {md.get('format-version')} "
+            "(this reader implements v1 fully and v2 batch reads)"
+        )
     snaps = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
     sid = md.get("current-snapshot-id") if snapshot_id is None else snapshot_id
     if sid not in snaps:
@@ -260,17 +312,71 @@ def _live_data_files(table_path: str, snap_md: dict[str, Any]):
     mlist = snap_md["manifest-list"]
     mlist = mlist if os.path.isabs(mlist) else os.path.join(table_path, mlist)
     for m in _read_avro(mlist):
+        if int(m.get("content") or 0) == 1:
+            continue  # v2 delete manifest — see _position_deletes
         mpath = m["manifest_path"]
         mpath = mpath if os.path.isabs(mpath) else os.path.join(table_path, mpath)
         for entry in _read_avro(mpath):
             if entry["status"] == 2:  # DELETED
                 continue
             df_rec = entry["data_file"]
+            if int(df_rec.get("content") or 0) != 0:
+                raise IcebergFormatError(
+                    "delete file found in a DATA manifest "
+                    f"(content={df_rec.get('content')}): {df_rec['file_path']}"
+                )
             if df_rec["file_format"].lower() != "parquet":
                 raise IcebergFormatError(
                     f"unsupported data file format {df_rec['file_format']}"
                 )
             yield df_rec
+
+
+def _position_deletes(
+    table_path: str, snap_md: dict[str, Any]
+) -> dict[str, list[int]]:
+    """v2 position deletes for one snapshot: walk the delete manifests
+    (manifest-list ``content=1``), read each live position-delete
+    parquet file driver-side (the spec's two-column ``file_path``/
+    ``pos`` layout), and group positions by target data-file path.
+    Equality deletes (``data_file.content == 2``) are rejected — their
+    application order depends on sequence numbers, which this reader
+    does not track. Driver-side like the rest of the metadata tree:
+    position-delete files are delete-count-sized, and real writers
+    compact data files whose delete ratio grows."""
+    import pyarrow.parquet as papq
+
+    out: dict[str, list[int]] = {}
+    mlist = snap_md["manifest-list"]
+    mlist = mlist if os.path.isabs(mlist) else os.path.join(table_path, mlist)
+    for m in _read_avro(mlist):
+        if int(m.get("content") or 0) != 1:
+            continue
+        mpath = m["manifest_path"]
+        mpath = mpath if os.path.isabs(mpath) else os.path.join(table_path, mpath)
+        for entry in _read_avro(mpath):
+            if entry["status"] == 2:
+                continue
+            rec = entry["data_file"]
+            content = int(rec.get("content") or 0)
+            if content == 2:
+                raise IcebergFormatError(
+                    "equality deletes are not implemented "
+                    f"(delete file {rec['file_path']})"
+                )
+            if content != 1:
+                raise IcebergFormatError(
+                    "non-delete file in a DELETE manifest "
+                    f"(content={content}): {rec['file_path']}"
+                )
+            dpath = rec["file_path"]
+            dpath = dpath if os.path.isabs(dpath) else os.path.join(table_path, dpath)
+            tbl = papq.read_table(dpath, columns=["file_path", "pos"])
+            for target, pos in zip(
+                tbl.column("file_path").to_pylist(), tbl.column("pos").to_pylist()
+            ):
+                out.setdefault(target, []).append(int(pos))
+    return {k: sorted(set(v)) for k, v in out.items()}
 
 
 def read_iceberg(
@@ -302,7 +408,12 @@ def read_iceberg(
             if all(pv.get(c) in allowed for c, allowed in partition_filter.items())
         }
     return _read_files(
-        spark, table_path, files, snap.schema, snap.partition_columns
+        spark,
+        table_path,
+        files,
+        snap.schema,
+        snap.partition_columns,
+        deleted_positions=snap.deleted_positions,
     )
 
 
@@ -462,6 +573,8 @@ def write_iceberg(
             prev_md = _current_metadata(table_path)
         except FileNotFoundError:
             prev_md = None
+    if prev_md is not None:
+        _require_v1(prev_md, "write_iceberg")
     version = 1 if prev_md is None else prev_md["_version"] + 1
     snap_id = version  # deterministic, monotonic
 
@@ -724,6 +837,7 @@ def rewrite_data_files(
     if target_files < 1:
         raise ValueError(f"target_files must be >= 1, got {target_files}")
     base_md = _current_metadata(table_path)
+    _require_v1(base_md, "rewrite_data_files")
     base_version = base_md["_version"]
     prev = snapshot_iceberg(table_path)
     df = read_iceberg(spark, table_path)
@@ -866,6 +980,7 @@ def expire_snapshots(table_path: str, keep_last: int = 1) -> dict[str, int]:
     if keep_last < 1:
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
     md = _current_metadata(table_path)
+    _require_v1(md, "expire_snapshots")
     snaps = sorted(md.get("snapshots", []), key=lambda s: s["snapshot-id"])
     retained, expired = snaps[len(snaps) - keep_last :], snaps[: len(snaps) - keep_last]
     cur = md.get("current-snapshot-id")
@@ -1054,6 +1169,7 @@ def convert_iceberg_to_delta(
     from .deltalog import _commit, _encode_path
     from .deltalog import _log_dir as delta_log_dir
 
+    _require_v1(_current_metadata(iceberg_path), "convert_iceberg_to_delta")
     snap = snapshot_iceberg(iceberg_path)
     pcols = snap.partition_columns
     if os.path.isdir(delta_log_dir(delta_path)):

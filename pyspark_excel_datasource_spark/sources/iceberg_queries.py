@@ -607,3 +607,173 @@ def q_convert_iceberg_to_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("delta_version", F.lit(v).cast("long"))
     )
+
+
+def _materialize_posdel_iceberg(spark: SparkSession, sf_dir: str) -> str:
+    """customer → a format-version 2 Iceberg table with POSITION
+    DELETES, shaped exactly as an external v2 writer leaves it on disk:
+    one key-sorted data file, a delete manifest (manifest-list
+    content=1) listing a two-column (file_path, pos) parquet that
+    soft-deletes every row whose position holds a ``c_custkey % 5 == 0``
+    key. Key-sorting makes positions == key ranks, which is what makes
+    the fixture SQL-oracleable. Idempotent per SF."""
+    import json
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .iceberg import _read_avro, _write_avro, snapshot_iceberg
+
+    out = os.path.join(_fixture_dir(sf_dir), "customer_posdel_iceberg")
+    done = os.path.join(out, "data", "pos-delete-0.parquet")
+    if os.path.exists(done):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    cust = (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_acctbal", "c_mktsegment")
+        .orderBy("c_custkey")
+        .coalesce(1)
+        .sortWithinPartitions("c_custkey")
+    )
+    write_iceberg(spark, cust, out)
+    snap = snapshot_iceberg(out)
+    (target,) = snap.files
+    keys = [
+        r.c_custkey
+        for r in read_iceberg(spark, out).orderBy("c_custkey").select("c_custkey").collect()
+    ]
+    positions = [i for i, k in enumerate(keys) if k % 5 == 0]
+
+    pq.write_table(
+        pa.table(
+            {
+                "file_path": pa.array([target] * len(positions), pa.string()),
+                "pos": pa.array(positions, pa.int64()),
+            }
+        ),
+        done,
+    )
+    meta_dir = os.path.join(out, "metadata")
+    v = int(open(os.path.join(meta_dir, "version-hint.text")).read().strip())
+    md_path = os.path.join(meta_dir, f"v{v}.metadata.json")
+    md = json.load(open(md_path))
+    md["format-version"] = 2
+    snap_md = next(
+        s for s in md["snapshots"] if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    mlist = snap_md["manifest-list"]
+    mlist_abs = mlist if os.path.isabs(mlist) else os.path.join(out, mlist)
+    del_manifest = os.path.join(meta_dir, "delete-m0.avro")
+    _write_avro(
+        del_manifest,
+        {
+            "type": "record",
+            "name": "manifest_entry",
+            "fields": [
+                {"name": "status", "type": "int"},
+                {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+                {
+                    "name": "data_file",
+                    "type": {
+                        "type": "record",
+                        "name": "data_file",
+                        "fields": [
+                            {"name": "content", "type": "int"},
+                            {"name": "file_path", "type": "string"},
+                            {"name": "file_format", "type": "string"},
+                            {"name": "record_count", "type": "long"},
+                            {"name": "file_size_in_bytes", "type": "long"},
+                        ],
+                    },
+                },
+            ],
+        },
+        [
+            (
+                1,
+                md["current-snapshot-id"],
+                {
+                    "content": 1,
+                    "file_path": os.path.join("data", "pos-delete-0.parquet"),
+                    "file_format": "PARQUET",
+                    "record_count": len(positions),
+                    "file_size_in_bytes": os.path.getsize(done),
+                },
+            )
+        ],
+    )
+    rows = [
+        (
+            m["manifest_path"],
+            m["manifest_length"],
+            m["partition_spec_id"],
+            m["added_snapshot_id"],
+            0,
+        )
+        for m in _read_avro(mlist_abs)
+    ]
+    rows.append(
+        (
+            del_manifest,
+            os.path.getsize(del_manifest),
+            0,
+            md["current-snapshot-id"],
+            1,
+        )
+    )
+    _write_avro(
+        mlist_abs,
+        {
+            "type": "record",
+            "name": "manifest_file",
+            "fields": [
+                {"name": "manifest_path", "type": "string"},
+                {"name": "manifest_length", "type": "long"},
+                {"name": "partition_spec_id", "type": "int"},
+                {
+                    "name": "added_snapshot_id",
+                    "type": ["null", "long"],
+                    "default": None,
+                },
+                {"name": "content", "type": "int"},
+            ],
+        },
+        rows,
+    )
+    json.dump(md, open(md_path, "w"))
+    return out
+
+
+@query(
+    "q_scan_iceberg_posdel",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(c_custkey) AS BIGINT) AS sum_key
+    FROM customer
+    WHERE c_custkey % 5 <> 0
+    GROUP BY c_mktsegment
+    """,
+)
+def q_scan_iceberg_posdel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg format-version 2 read with POSITION DELETES: the delete
+    manifest's (file_path, pos) parquet soft-deletes the rows at
+    ``c_custkey % 5 == 0`` positions of the key-sorted data file, and
+    the scan subtracts them via the shared broadcast anti-join on
+    ``_metadata.row_index`` (the same mechanism as Delta deletion
+    vectors — q_scan_delta_dv). The oracle states the deletion as a
+    plain predicate over the base table: identical aggregates prove the
+    delete-manifest walk, the position decode, and the positional
+    subtraction lost nothing. Scale: delete files are delete-count-
+    sized metadata; the data path stays one pushed-down parquet scan."""
+    path = _materialize_posdel_iceberg(spark, sf_dir)
+    return (
+        read_iceberg(spark, path)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_cust"),
+            F.sum("c_custkey").cast("long").alias("sum_key"),
+        )
+    )

@@ -111,7 +111,13 @@ class IcebergStreamReader(DataSourceStreamReader):
         if not self.path:
             raise ValueError("pyiceberg_stream requires a table path")
         self.ignore_changes = _opt_flag(options, "ignoreChanges", "ignorechanges")
+        from .iceberg import _require_v1
+
         snapshot_iceberg(self.path)  # validates table + format gate
+        # the stream re-emits whole data files; v2 position deletes
+        # soft-delete rows INSIDE them — reject up front (batch reads
+        # apply the deletes)
+        _require_v1(_current_metadata(self.path), "pyiceberg stream")
 
     def initialOffset(self) -> dict:
         return {"snapshot_id": 0}

@@ -111,13 +111,21 @@ def test_snapshot_log_and_atomic_publish(spark, three_snapshot_table):
 
 
 def test_format_version_gate(spark, tmp_path):
+    """v2 became BATCH-readable in round 10 (position deletes — see
+    test_iceberg_v2_deletes.py); v3+ still raises, and v2 MUTATIONS
+    raise."""
     path = str(tmp_path / "t")
     write_iceberg(spark, _nation(spark), path)
     meta = os.path.join(path, "metadata", "v1.metadata.json")
     md = json.load(open(meta))
     md["format-version"] = 2
     json.dump(md, open(meta, "w"))
-    with pytest.raises(IcebergFormatError):
+    assert read_iceberg(spark, path).count() == _nation(spark).count()
+    with pytest.raises(IcebergFormatError, match="format-version 2"):
+        write_iceberg(spark, _nation(spark), path, mode="append")
+    md["format-version"] = 3
+    json.dump(md, open(meta, "w"))
+    with pytest.raises(IcebergFormatError, match="format-version"):
         read_iceberg(spark, path)
 
 
@@ -427,8 +435,8 @@ def test_rewrite_twice_same_content_same_layout(spark, tmp_path):
 
 
 def test_files_meta_format_gate(spark, tmp_path):
-    """files_meta shares snapshot_iceberg's guards: a format-version-2
-    table raises instead of being silently misread."""
+    """files_meta shares snapshot resolution's guards: v2 is readable
+    (round 10), v3+ raises instead of being silently misread."""
     from pyspark_excel_datasource_spark.sources.iceberg import (
         IcebergFormatError,
         files_meta,
@@ -439,6 +447,9 @@ def test_files_meta_format_gate(spark, tmp_path):
     meta = os.path.join(path, "metadata", "v1.metadata.json")
     md = json.load(open(meta))
     md["format-version"] = 2
+    json.dump(md, open(meta, "w"))
+    assert len(files_meta(path)) >= 1
+    md["format-version"] = 3
     json.dump(md, open(meta, "w"))
     with pytest.raises(IcebergFormatError):
         files_meta(path)

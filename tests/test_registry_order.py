@@ -117,6 +117,7 @@ ROUND8_AUTHORED: set[str] = {
 ROUND10_AUTHORED: set[str] = {
     "q_scan_delta_mapped",
     "q_scan_delta_dv",
+    "q_scan_iceberg_posdel",
 }
 
 
