@@ -31,7 +31,7 @@ pytestmark = pytest.mark.cluster_shape
 
 SF_DIR = os.environ.get("SPARK_GRAFT_CLUSTER_SHAPE_SF", "/root/testdata/sf0.001")
 
-#: one representative per operator family: relational agg/window/join,
+#: representatives across the operator families: relational agg/window/join,
 #: skew machinery, banded rank, MinHash/substring dedup, tf-idf text,
 #: similarity (exact + anchor-IVF), PCA moments, AUC, iterative graph,
 #: TPC-H composite, both lakehouse scans, streaming window, and the
@@ -57,6 +57,9 @@ SLICE = (
     "q_scan_iceberg",
     "q_stream_tumbling",
     "q_weighted_median",
+    # round-10: the positional-delete read path (broadcast anti-join on
+    # _metadata.row_index) must stay partition-count-invariant too
+    "q_scan_delta_dv",
 )
 
 
