@@ -40,6 +40,13 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.parquet.inferTimestampNTZ.enabled": "true",
     # Let Python data sources (our Excel connector) receive pushed filters.
     "spark.sql.python.filterPushdown.enabled": "true",
+    # Parquet field-id resolution (Iceberg-style schema evolution): reads
+    # resolve columns by parquet.field.id METADATA when the read schema
+    # carries it (only the Iceberg reader builds such schemas), and
+    # writes stamp ids into the footer when the write schema carries it.
+    # No-ops for every schema without the metadata.
+    "spark.sql.parquet.fieldId.read.enabled": "true",
+    "spark.sql.parquet.fieldId.write.enabled": "true",
 }
 
 

@@ -53,6 +53,7 @@ from dataclasses import dataclass, field
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _META = "metadata"
@@ -177,17 +178,34 @@ def _spark_type_to_ice(dt: T.DataType) -> str:
     raise IcebergFormatError(f"unsupported Spark type for Iceberg: {dt}")
 
 
-def _ice_schema_to_spark(schema: dict) -> T.StructType:
+def _ice_schema_to_spark(schema: dict, with_field_ids: bool = False) -> T.StructType:
+    """Iceberg schema → Spark schema. With ``with_field_ids`` each field
+    carries ``parquet.field.id`` metadata, so the parquet scan resolves
+    columns by the spec's FIELD IDS instead of by name — the mechanism
+    that makes reads correct across column renames (the files keep
+    their write-time names; the ids never change)."""
     return T.StructType(
         [
             T.StructField(
                 f["name"],
                 _ice_type_to_spark(f["type"]),
                 nullable=not f.get("required", False),
+                metadata={"parquet.field.id": f["id"]} if with_field_ids else None,
             )
             for f in schema["fields"]
         ]
     )
+
+
+#: table property set by this writer when every data file of the table
+#: carries parquet field ids (true for tables it creates; an append to a
+#: pre-property table keeps it unset, because the OLD files lack ids and
+#: id-based resolution would fail loudly on them)
+_FIELD_IDS_PROP = "pyiceberg-lite.field-ids"
+
+
+def _has_field_ids(md: dict[str, Any]) -> bool:
+    return (md.get("properties") or {}).get(_FIELD_IDS_PROP) == "true"
 
 
 # ---------------------------------------------------------------------------
@@ -235,17 +253,21 @@ def snapshot_iceberg(
     snap_md = _resolve_snapshot_md(md, snapshot_id)
     sid = snap_md["snapshot-id"]
 
-    # schema/spec are resolved PER SNAPSHOT, not from the table head —
-    # after an overwrite changed the schema or partitioning, time travel
-    # with the current definitions would silently misread old files
-    # (null partition columns, vanished fields). The spec's "schemas" /
-    # "partition-specs" lists exist for exactly this; the top-level
-    # "schema" / "partition-spec" remain the current ones.
+    # Schema resolution follows the spec's read semantics: reading the
+    # LATEST state uses the table's CURRENT schema (md["schema"]) — that
+    # is what makes a metadata-only column RENAME visible without a new
+    # snapshot — while TIME TRAVEL resolves the snapshot through its own
+    # schema-id, so an overwrite that changed the schema never rewrites
+    # how OLD snapshots read (null partition columns, vanished fields).
     ice_schema = md["schema"]
-    if "schema-id" in snap_md and md.get("schemas"):
+    if (
+        snapshot_id is not None
+        and "schema-id" in snap_md
+        and md.get("schemas")
+    ):
         by_id = {s["schema-id"]: s for s in md["schemas"]}
         ice_schema = by_id.get(snap_md["schema-id"], ice_schema)
-    schema = _ice_schema_to_spark(ice_schema)
+    schema = _ice_schema_to_spark(ice_schema, with_field_ids=_has_field_ids(md))
     field_names = {f["id"]: f["name"] for f in ice_schema["fields"]}
     spec_fields = md.get("partition-spec", [])
     if "spec-id" in snap_md and md.get("partition-specs"):
@@ -407,7 +429,7 @@ def read_iceberg(
             for p, pv in files.items()
             if all(pv.get(c) in allowed for c, allowed in partition_filter.items())
         }
-    return _read_files(
+    out = _read_files(
         spark,
         table_path,
         files,
@@ -415,6 +437,14 @@ def read_iceberg(
         snap.partition_columns,
         deleted_positions=snap.deleted_positions,
     )
+    if any(f.metadata for f in snap.schema.fields):
+        # the parquet.field.id metadata did its job at the scan; strip
+        # it from the RESULT so downstream schema comparisons see the
+        # same plain schema as a name-resolved read
+        out = out.select(
+            *[F.col(c).alias(c, metadata={}) for c in out.columns]
+        )
+    return out
 
 
 def files_meta(
@@ -437,6 +467,62 @@ def files_meta(
         }
         for rec in _live_data_files(table_path, snap_md)
     ]
+
+
+def rename_column_iceberg(table_path: str, old: str, new: str) -> int:
+    """ALTER TABLE … RENAME COLUMN as Iceberg defines it: a METADATA-ONLY
+    commit. The field keeps its ID and type; a new schema (new
+    schema-id) binds the new name; no snapshot is created and no data
+    file is touched. Reads of the LATEST state immediately show the new
+    name — the parquet scan resolves columns by ``parquet.field.id``
+    (``_ice_schema_to_spark(with_field_ids=True)``), so files written
+    under the OLD name keep reading correctly — while time travel to
+    pre-rename snapshots still shows the old name through the snapshot's
+    own schema-id.
+
+    Requires the ``pyiceberg-lite.field-ids`` table property (tables
+    this writer created/overwrote): without footer field ids, id-based
+    resolution would fail on every file. Partition-column renames are
+    rejected — manifests key their partition records by NAME, so a
+    renamed partition column would orphan every recorded partition
+    value. Returns the new metadata version."""
+    md = _current_metadata(table_path)
+    _require_v1(md, "rename_column_iceberg")
+    if not _has_field_ids(md):
+        raise IcebergFormatError(
+            "rename_column_iceberg requires the field-id table property "
+            f"({_FIELD_IDS_PROP}); this table's data files were written "
+            "without parquet field ids, so renamed columns could not be "
+            "resolved — rewrite the table (mode='overwrite') first"
+        )
+    names = [f["name"] for f in md["schema"]["fields"]]
+    if old not in names:
+        raise ValueError(f"column {old!r} not in schema {names}")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists in schema {names}")
+    if old in {s["name"] for s in md.get("partition-spec", [])}:
+        raise IcebergFormatError(
+            f"renaming partition column {old!r} is not implemented "
+            "(manifest partition records are keyed by name)"
+        )
+    schemas = list(md.get("schemas", []))
+    new_schema = {
+        "type": "struct",
+        "schema-id": max((s["schema-id"] for s in schemas), default=-1) + 1,
+        "fields": [
+            {**f, "name": new if f["name"] == old else f["name"]}
+            for f in md["schema"]["fields"]
+        ],
+    }
+    schemas.append(new_schema)
+    version = md["_version"] + 1
+    new_md = {
+        k: v for k, v in md.items() if k != "_version"
+    }
+    new_md["schema"] = new_schema
+    new_md["schemas"] = schemas
+    _publish_metadata(table_path, new_md, version)
+    return version
 
 
 def snapshots(table_path: str) -> list[dict[str, Any]]:
@@ -585,6 +671,14 @@ def write_iceberg(
     from .deltalog import _pv_from_relpath
 
     pcols = tuple(partition_by)
+    # stamp parquet field ids (same positional ids the metadata schema
+    # below assigns) so files resolve by ID across future column renames
+    df = df.select(
+        *[
+            F.col(f.name).alias(f.name, metadata={"parquet.field.id": i + 1})
+            for i, f in enumerate(df.schema.fields)
+        ]
+    )
     staging = os.path.join(table_path, f".staging-{uuid.uuid4().hex[:12]}")
     writer = df.write.mode("overwrite")
     if pcols:
@@ -744,6 +838,13 @@ def write_iceberg(
             "spec-id": spec_id,
         }
     )
+    # field-id property: tables this writer CREATES (and overwrites,
+    # which replace every file) are fully id-stamped → id-based reads
+    # and renames are safe; appends to a pre-property table keep it
+    # unset because the old files lack ids
+    props = dict((prev_md.get("properties") or {}) if prev_md else {})
+    if prev_md is None or mode == "overwrite":
+        props[_FIELD_IDS_PROP] = "true"
     md = {
         "format-version": 1,
         "table-uuid": prev_md["table-uuid"] if prev_md else uuid.uuid4().hex,
@@ -754,6 +855,7 @@ def write_iceberg(
         "partition-specs": specs,
         "current-snapshot-id": snap_id,
         "snapshots": snaps,
+        "properties": props,
     }
     try:
         _publish_metadata(table_path, md, version)

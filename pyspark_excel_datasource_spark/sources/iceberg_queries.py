@@ -777,3 +777,72 @@ def q_scan_iceberg_posdel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c_custkey").cast("long").alias("sum_key"),
         )
     )
+
+
+def _materialize_renamed_iceberg(spark: SparkSession, sf_dir: str) -> str:
+    """customer → Iceberg table exercising field-id schema evolution:
+    s1 writes the even keys under the original column names,
+    rename_column_iceberg turns ``c_acctbal`` into ``account_balance``
+    (metadata-only — no snapshot, no data movement), then s2 appends the
+    odd keys under the NEW name. The live table mixes files written
+    under both names; only parquet field-id resolution reads them as one
+    column. Idempotent per SF."""
+    import shutil
+
+    from .iceberg import rename_column_iceberg
+
+    out = os.path.join(_fixture_dir(sf_dir), "customer_renamed_iceberg")
+    done = os.path.join(out, "metadata", "v3.metadata.json")
+    if os.path.exists(done):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    write_iceberg(spark, cust.filter(F.col("c_custkey") % 2 == 0), out)
+    rename_column_iceberg(out, "c_acctbal", "account_balance")
+    write_iceberg(
+        spark,
+        cust.filter(F.col("c_custkey") % 2 == 1).withColumnRenamed(
+            "c_acctbal", "account_balance"
+        ),
+        out,
+        mode="append",
+    )
+    return out
+
+
+@query(
+    "q_iceberg_rename",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                AS DECIMAL(38,2)) AS VARCHAR) AS sum_balance
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q_iceberg_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-id schema evolution (ALTER … RENAME COLUMN, the Iceberg
+    spec's id-remapping semantics): the fixture renames ``c_acctbal`` →
+    ``account_balance`` between two appends, so the live file set mixes
+    both write-time names and ONLY parquet field-id resolution
+    (``parquet.field.id`` stamped at write, bound at scan) reads them as
+    one column — name-based resolution would null half the table. The
+    oracle aggregates the original column over the full base table:
+    identical sums prove no row lost its balance across the rename.
+    Scale: the rename is one metadata commit (no snapshot, no data
+    movement); reads stay one pushed-down parquet scan."""
+    path = _materialize_renamed_iceberg(spark, sf_dir)
+    return (
+        read_iceberg(spark, path)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_cust"),
+            F.sum(F.col("account_balance").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .cast("string")
+            .alias("sum_balance"),
+        )
+    )
