@@ -146,6 +146,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_scan_delta_dv",
     "q_scan_iceberg_posdel",
     "q_iceberg_rename",
+    "q_delta_constraints",
     # E. stalest prior greens (re-verification fill): r1 vintage (10)
     "q_agg_argmax",
     "q_agg_histogram",

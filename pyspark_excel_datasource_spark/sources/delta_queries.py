@@ -935,3 +935,77 @@ def q_scan_delta_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c_custkey").cast("long").alias("sum_key"),
         )
     )
+
+
+def _materialize_constrained_delta(spark: SparkSession, sf_dir: str) -> str:
+    """customer → a CHECK-constrained Delta table: v0 writes the even
+    keys, v1 ADD CONSTRAINT ``bal_floor`` (c_acctbal >= -1000 — TPC-H
+    balances live in [-999.99, 9999.99], so the full table satisfies
+    it), v2 appends the odd keys THROUGH the constraint, and a violating
+    append (balances shifted -10000) must be REJECTED leaving no partial
+    state. Final content therefore equals the full base table.
+    Idempotent per SF."""
+    out = os.path.join(_fixture_dir(sf_dir), "customer_constrained_delta")
+    done = os.path.join(out, "_delta_log", f"{2:020d}.json")
+    if os.path.exists(done):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    from .deltalog import DeltaConstraintViolationError, add_check_constraint
+
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    write_delta(spark, cust.filter(F.col("c_custkey") % 2 == 0), out)
+    add_check_constraint(spark, out, "bal_floor", "c_acctbal >= -1000")
+    write_delta(
+        spark, cust.filter(F.col("c_custkey") % 2 == 1), out, mode="append"
+    )
+    try:
+        write_delta(
+            spark,
+            cust.limit(10).withColumn(
+                "c_acctbal", F.col("c_acctbal") - 10000
+            ),
+            out,
+            mode="append",
+        )
+    except DeltaConstraintViolationError:
+        pass
+    else:  # pragma: no cover - the gate must reject
+        raise AssertionError("violating append was not rejected")
+    return out
+
+
+@query(
+    "q_delta_constraints",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                AS DECIMAL(38,2)) AS VARCHAR) AS sum_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q_delta_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK-constraint writer enforcement (protocol writer version 3):
+    the fixture's constrained table accepted two valid appends and
+    REJECTED a violating one atomically (no partial state — the failed
+    write's staged files never entered the log). The oracle aggregates
+    the full base table: matching sums prove the accepted writes landed
+    completely and the rejected write landed not at all. Scale: the
+    validation is ONE fused predicate pass over the incoming frame
+    before staging (all constraints + NOT NULL invariants in a single
+    scan)."""
+    path = _materialize_constrained_delta(spark, sf_dir)
+    return (
+        read_delta(spark, path)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_cust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .cast("string")
+            .alias("sum_bal"),
+        )
+    )

@@ -102,6 +102,10 @@ class DeltaSnapshot:
     files: dict[str, dict[str, str | None]] = field(default_factory=dict)
     #: file → deletionVector descriptor, for files with soft-deleted rows
     dvs: dict[str, dict[str, Any]] = field(default_factory=dict)
+    #: latest protocol action seen (writer-version gate for mutations)
+    protocol: dict[str, Any] = field(
+        default_factory=lambda: {"minReaderVersion": 1, "minWriterVersion": 2}
+    )
 
     @property
     def schema(self) -> StructType:
@@ -183,6 +187,89 @@ def _require_no_dv(snap: "DeltaSnapshot", op: str) -> None:
         )
 
 
+class DeltaConstraintViolationError(RuntimeError):
+    """A row being written violates a CHECK constraint or NOT NULL
+    invariant the table declares."""
+
+
+#: highest protocol writer version this module implements: 2 (column
+#: invariants — NOT NULL enforced below) and 3 (CHECK constraints)
+_MAX_WRITER_VERSION = 3
+
+
+def _require_writer_ok(snap: "DeltaSnapshot", op: str) -> None:
+    wv = int(snap.protocol.get("minWriterVersion", 2))
+    if wv > _MAX_WRITER_VERSION:
+        raise DeltaProtocolError(
+            f"{op} requires protocol writer version {wv}; this writer "
+            f"implements versions 1-{_MAX_WRITER_VERSION} (invariants + "
+            "CHECK constraints)"
+        )
+
+
+def _check_constraints(metadata: dict[str, Any]) -> dict[str, str]:
+    """CHECK constraints from table configuration (delta.constraints.*)."""
+    conf = metadata.get("configuration") or {}
+    pre = "delta.constraints."
+    return {k[len(pre):]: v for k, v in conf.items() if k.startswith(pre)}
+
+
+def _enforce_write_contract(
+    df: DataFrame, metadata: dict[str, Any], op: str
+) -> None:
+    """The Delta protocol's WRITER duties this module implements: CHECK
+    constraints (``delta.constraints.<name>`` in configuration, writer
+    version 3), NOT NULL column invariants (non-nullable schema fields,
+    writer version 2), and the generated-columns gate (a writer that
+    cannot compute ``delta.generationExpression`` must not write).
+
+    All predicates fuse into ONE validation pass over ``df`` (a single
+    extra scan before the staging write; a fused-into-the-write-job
+    check is the at-scale refinement). A row violates a CHECK constraint
+    when the expression is not TRUE (false or NULL — the strict reading,
+    matching Delta's invariant checker)."""
+    fields = json.loads(metadata["schemaString"])["fields"]
+    for f in fields:
+        fmd = f.get("metadata") or {}
+        if "delta.generationExpression" in fmd:
+            raise DeltaProtocolError(
+                f"{op} on a table with generated column {f['name']!r} "
+                "is not implemented (this writer cannot compute "
+                "delta.generationExpression values)"
+            )
+    checks: list[tuple[str, Any]] = []
+    for name, expr in sorted(_check_constraints(metadata).items()):
+        checks.append(
+            (f"CHECK constraint {name} ({expr})", F.expr(expr).cast("boolean"))
+        )
+    df_cols = set(df.columns)
+    for f in fields:
+        if f.get("nullable") is False and f["name"] in df_cols:
+            checks.append(
+                (f"NOT NULL column {f['name']}", F.col(f["name"]).isNotNull())
+            )
+    if not checks:
+        return
+    flags = [
+        F.coalesce(cond, F.lit(False)).alias(f"__c{i}")
+        for i, (_, cond) in enumerate(checks)
+    ]
+    bad = df.select(*df.columns, *flags).filter(
+        ~F.expr(" AND ".join(f"__c{i}" for i in range(len(checks))))
+    )
+    rows = bad.limit(1).collect()
+    if rows:
+        row = rows[0].asDict()
+        broken = [
+            label
+            for i, (label, _) in enumerate(checks)
+            if row.pop(f"__c{i}") is False
+        ] or [c for c, _ in checks]
+        raise DeltaConstraintViolationError(
+            f"{op}: row violates {'; '.join(broken)}: {row}"
+        )
+
+
 def _log_dir(table_path: str) -> str:
     return os.path.join(table_path, _LOG)
 
@@ -257,8 +344,15 @@ def _apply(snap: DeltaSnapshot, action: dict[str, Any]) -> None:
         snap.dvs.pop(rpath, None)
     elif "metaData" in action and action["metaData"] is not None:
         snap.metadata = dict(action["metaData"])
+        # checkpoint rows decode map<string,string> as key/value pairs;
+        # JSON commits carry a dict — normalize so configuration readers
+        # (constraints, column mapping) see one shape
+        conf = snap.metadata.get("configuration")
+        if conf is not None and not isinstance(conf, dict):
+            snap.metadata["configuration"] = dict(conf)
     elif "protocol" in action and action["protocol"] is not None:
         _check_protocol(action["protocol"])
+        snap.protocol = dict(action["protocol"])
 
 
 def _read_checkpoint(table_path: str, version: int) -> DeltaSnapshot:
@@ -583,7 +677,12 @@ def _write_checkpoint(table_path: str, snap: DeltaSnapshot) -> None:
 
     md = snap.metadata
     rows: list[dict[str, Any]] = [
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "protocol": {
+                "minReaderVersion": int(snap.protocol.get("minReaderVersion", 1)),
+                "minWriterVersion": int(snap.protocol.get("minWriterVersion", 2)),
+            }
+        },
         {
             "metaData": {
                 "id": md.get("id"),
@@ -711,6 +810,21 @@ def write_delta(
     if prev is not None:
         _require_unmapped(prev, "write_delta")
         _require_no_dv(prev, "write_delta")
+        _require_writer_ok(prev, "write_delta")
+        # writer duties: CHECK constraints come from the TABLE's
+        # configuration (carried across overwrite, like real Delta);
+        # NOT NULL invariants come from the schema the rows land under
+        contract_schema = (
+            prev.metadata["schemaString"] if mode == "append" else df.schema.json()
+        )
+        _enforce_write_contract(
+            df,
+            {
+                "schemaString": contract_schema,
+                "configuration": prev.metadata.get("configuration") or {},
+            },
+            "write_delta",
+        )
     version = 0 if prev is None else prev.version + 1
     pcols = list(partition_by)
     if prev is not None and prev.partition_columns != pcols and mode == "append":
@@ -756,9 +870,17 @@ def write_delta(
         }
     ]
     if prev is None or mode == "overwrite":
-        actions.append(
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        carried_conf = (
+            dict(prev.metadata.get("configuration") or {})
+            if prev is not None
+            else {}
         )
+        proto = (
+            dict(prev.protocol)
+            if prev is not None
+            else {"minReaderVersion": 1, "minWriterVersion": 2}
+        )
+        actions.append({"protocol": proto})
         actions.append(
             {
                 "metaData": {
@@ -766,7 +888,9 @@ def write_delta(
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": df.schema.json(),
                     "partitionColumns": pcols,
-                    "configuration": {},
+                    # table configuration (incl. CHECK constraints)
+                    # survives a dataframe overwrite, like real Delta
+                    "configuration": carried_conf,
                 }
             }
         )
@@ -904,6 +1028,7 @@ def optimize(
     prev = snapshot(table_path)
     _require_unmapped(prev, "optimize")
     _require_no_dv(prev, "optimize")
+    _require_writer_ok(prev, "optimize")
     pcols = prev.partition_columns
     df = _read_files(spark, table_path, prev.files, prev.schema, pcols)
     if zorder_by is not None:
@@ -962,6 +1087,7 @@ def merge_delta(
     prev = snapshot(table_path)
     _require_unmapped(prev, "merge_delta")
     _require_no_dv(prev, "merge_delta")
+    _require_writer_ok(prev, "merge_delta")
     pcols = prev.partition_columns
     target = _read_files(spark, table_path, prev.files, prev.schema, pcols)
     cols = target.columns
@@ -1023,6 +1149,7 @@ def delete_where(
     prev = snapshot(table_path)
     _require_unmapped(prev, "delete_where")
     _require_no_dv(prev, "delete_where")
+    _require_writer_ok(prev, "delete_where")
     pcols = prev.partition_columns
     full = _read_files(
         spark, table_path, prev.files, prev.schema, pcols, file_column="__f"
@@ -1074,6 +1201,85 @@ def delete_where(
     if checkpoint_interval and version % checkpoint_interval == 0:
         _write_checkpoint(table_path, snapshot(table_path, version))
     return version, len(matched), len(prev.files) - len(matched)
+
+
+def add_check_constraint(
+    spark: SparkSession, table_path: str, name: str, expr: str
+) -> int:
+    """ALTER TABLE … ADD CONSTRAINT: validates EXISTING rows against the
+    expression (one scan — real Delta does the same), then commits a
+    metadata-only version recording ``delta.constraints.<name>`` and
+    raising the protocol to writer version 3 (the feature's requirement).
+    Every subsequent write validates against it (write_delta /
+    merge_delta funnel). Returns the committed version."""
+    prev = snapshot(table_path)
+    _require_unmapped(prev, "add_check_constraint")
+    _require_no_dv(prev, "add_check_constraint")
+    _require_writer_ok(prev, "add_check_constraint")
+    if not name.isidentifier():
+        raise ValueError(f"constraint name must be an identifier: {name!r}")
+    if name in _check_constraints(prev.metadata):
+        raise ValueError(f"constraint {name!r} already exists")
+    existing = _read_files(
+        spark, table_path, prev.files, prev.schema, prev.partition_columns
+    )
+    _enforce_write_contract(
+        existing,
+        {
+            "schemaString": prev.metadata["schemaString"],
+            "configuration": {f"delta.constraints.{name}": expr},
+        },
+        "add_check_constraint (existing rows)",
+    )
+    md = dict(prev.metadata)
+    conf = dict(md.get("configuration") or {})
+    conf[f"delta.constraints.{name}"] = expr
+    md["configuration"] = conf
+    proto = dict(prev.protocol)
+    proto["minWriterVersion"] = max(int(proto.get("minWriterVersion", 2)), 3)
+    version = prev.version + 1
+    _commit(
+        table_path,
+        version,
+        [
+            {
+                "commitInfo": {
+                    "operation": "ADD CONSTRAINT",
+                    "operationParameters": {"name": name, "expr": expr},
+                }
+            },
+            {"protocol": proto},
+            {"metaData": md},
+        ],
+    )
+    return version
+
+
+def drop_check_constraint(table_path: str, name: str) -> int:
+    """ALTER TABLE … DROP CONSTRAINT (metadata-only)."""
+    prev = snapshot(table_path)
+    _require_unmapped(prev, "drop_check_constraint")
+    if name not in _check_constraints(prev.metadata):
+        raise ValueError(f"no such constraint {name!r}")
+    md = dict(prev.metadata)
+    conf = dict(md.get("configuration") or {})
+    del conf[f"delta.constraints.{name}"]
+    md["configuration"] = conf
+    version = prev.version + 1
+    _commit(
+        table_path,
+        version,
+        [
+            {
+                "commitInfo": {
+                    "operation": "DROP CONSTRAINT",
+                    "operationParameters": {"name": name},
+                }
+            },
+            {"metaData": md},
+        ],
+    )
+    return version
 
 
 def last_txn_version(table_path: str, app_id: str) -> int:
@@ -1147,6 +1353,7 @@ def delete_partitions(
     prev = snapshot(table_path)
     _require_unmapped(prev, "delete_partitions")
     _require_no_dv(prev, "delete_partitions")
+    _require_writer_ok(prev, "delete_partitions")
     unknown = set(where) - set(prev.partition_columns)
     if unknown:
         raise ValueError(

@@ -119,6 +119,7 @@ ROUND10_AUTHORED: set[str] = {
     "q_scan_delta_dv",
     "q_scan_iceberg_posdel",
     "q_iceberg_rename",
+    "q_delta_constraints",
 }
 
 
