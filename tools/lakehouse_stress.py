@@ -122,6 +122,101 @@ def main() -> None:
         f"({np_/nf:.2f}); rows {got} (exact {exact}) "
         f"{'OK' if got == exact and np_ * 3 < nf else 'FAIL'}"
     )
+    # Deletion-vector read stress (round 10): soft-delete 10% of every
+    # file's rows via inline DVs, then compare the DV-filtered read
+    # against the plain read at BOTH file counts. The DV decode is
+    # driver-side per file and the positional anti-join broadcasts
+    # (files × deleted-positions) keys — both must scale ~linearly in
+    # file count, and the per-row scan cost must not regress.
+    import json as _json
+    import struct as _struct
+
+    import pyarrow.parquet as _pq
+
+    from pyspark_excel_datasource_spark.sources.dvbitmap import (
+        DV_MAGIC,
+        z85_encode,
+    )
+
+    def _inline_dv(positions: list[int]) -> dict:
+        by_key: dict[int, list[int]] = {}
+        for v in positions:
+            by_key.setdefault(v >> 16, []).append(v & 0xFFFF)
+        ks = sorted(by_key)
+        bm = _struct.pack("<i", 12346) + _struct.pack("<i", len(ks))
+        for k in ks:
+            bm += _struct.pack("<HH", k, len(by_key[k]) - 1)
+        pos = 8 + 8 * len(ks)
+        offs, data = b"", b""
+        for k in ks:
+            offs += _struct.pack("<I", pos)
+            chunk = _struct.pack(f"<{len(by_key[k])}H", *by_key[k])
+            data += chunk
+            pos += len(chunk)
+        blob = _struct.pack("<i", DV_MAGIC) + _struct.pack("<q", 1) + bm + offs + data
+        return {
+            "storageType": "i",
+            "pathOrInlineDv": z85_encode(blob + b"\x00" * (-len(blob) % 4)),
+            "sizeInBytes": len(blob),
+            "cardinality": len(positions),
+        }
+
+    def _attach_dvs(p: str) -> int:
+        snap = deltalog.snapshot(p)
+        v = snap.version + 1
+        deleted = 0
+        acts = [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": ["deletionVectors"],
+                }
+            }
+        ]
+        for rel, pv in snap.files.items():
+            nrows = _pq.read_metadata(os.path.join(p, rel)).num_rows
+            positions = list(range(0, nrows, 10))
+            deleted += len(positions)
+            acts.append(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": pv,
+                        "size": 1,
+                        "modificationTime": 0,
+                        "dataChange": True,
+                        "deletionVector": _inline_dv(positions),
+                    }
+                }
+            )
+        with open(
+            os.path.join(p, "_delta_log", f"{v:020d}.json"), "w"
+        ) as fh:
+            for a in acts:
+                fh.write(_json.dumps(a) + "\n")
+        return deleted
+
+    dv_times = {}
+    for label, p in (("base", f"{work}/delta_base"), (f"x{FACTOR}", ps)):
+        t_plain = timed(lambda: deltalog.read_delta(spark, p).count(), reps=3)
+        n_del = _attach_dvs(p)
+        t_dv = timed(lambda: deltalog.read_delta(spark, p).count(), reps=3)
+        n_files = len(deltalog.snapshot(p).files)
+        dv_times[label] = (t_plain, t_dv)
+        print(
+            f"delta DV {label}: {n_files} files, {n_del} deleted positions; "
+            f"read {t_plain*1000:.0f}ms plain -> {t_dv*1000:.0f}ms with DVs "
+            f"({t_dv/t_plain:.2f}x overhead)"
+        )
+    ratio = dv_times[f"x{FACTOR}"][1] / dv_times["base"][1]
+    print(
+        f"delta DV scale: DV-read {dv_times['base'][1]*1000:.0f}ms -> "
+        f"{dv_times[f'x{FACTOR}'][1]*1000:.0f}ms = {ratio:.1f}x at {FACTOR}x "
+        f"files ({'OK' if ratio < FACTOR * 1.6 else 'SUPRALINEAR'})"
+    )
+
     if work.startswith(tempfile.gettempdir()):
         shutil.rmtree(work, ignore_errors=True)
 
