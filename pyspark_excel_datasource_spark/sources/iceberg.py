@@ -34,12 +34,21 @@ uses (``deltalog._read_files``). Position deletes name their target
 file by exact path, so path-matching alone applies them correctly
 (sequence numbers only order EQUALITY deletes, which are rejected).
 
+Schema evolution by FIELD-ID remapping is supported for tables this
+writer creates: every data file is written with ``parquet.field.id``
+footers, so ``rename_column_iceberg`` is one metadata-only commit (new
+schema-id, same ids, no snapshot) and mixed-name file sets read
+correctly by id; time travel shows each snapshot under its own schema.
+Writers also enforce the spec's ``required`` (non-null) fields on
+append, validated in one fused predicate pass BEFORE any data lands.
+
 Not implemented (raises, never silently wrong): equality deletes,
 WRITES — including compaction, snapshot expiry, the streaming source,
 and metadata-only conversion to Delta — against format-version 2
 tables (this writer emits v1 metadata; a metadata-only conversion of a
 v2 table would silently drop its delete files), non-identity partition
-transforms, schema evolution by field-id remapping.
+transforms, renames of partition columns or on tables whose files lack
+field ids.
 """
 
 from __future__ import annotations
@@ -664,6 +673,64 @@ def write_iceberg(
     version = 1 if prev_md is None else prev_md["_version"] + 1
     snap_id = version  # deterministic, monotonic
 
+    # 0. schema + contract validation BEFORE any data lands: a failed
+    # append must not strand freshly-moved data files under data/
+    ice_schema = {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": [
+            {
+                "id": i + 1,
+                "name": f.name,
+                "required": not f.nullable,
+                "type": _spark_type_to_ice(f.dataType),
+            }
+            for i, f in enumerate(df.schema.fields)
+        ],
+    }
+    name_to_id = {f["name"]: f["id"] for f in ice_schema["fields"]}
+    unknown = [c for c in partition_by if c not in name_to_id]
+    if unknown:
+        raise ValueError(f"partition_by columns not in schema: {unknown}")
+    if prev_md is not None and mode == "append":
+        prev_pcols = [s["name"] for s in prev_md.get("partition-spec", [])]
+        if prev_pcols != list(partition_by):
+            raise ValueError(
+                f"append with partition_by={list(partition_by)} but table "
+                f"spec is {prev_pcols}"
+            )
+        # appends reuse the previous snapshot's manifests, whose files
+        # were written under the TABLE schema — a silently replaced
+        # schema would misread them (dropped/renamed columns vanish,
+        # retyped columns corrupt). Exact (name, type) match required;
+        # changing the schema takes an overwrite, which versions it.
+        prev_sig = [
+            (f["name"], f["type"]) for f in prev_md["schema"]["fields"]
+        ]
+        new_sig = [(f["name"], f["type"]) for f in ice_schema["fields"]]
+        if prev_sig != new_sig:
+            raise ValueError(
+                f"append schema {new_sig} != table schema {prev_sig}; "
+                "schema changes require mode='overwrite'"
+            )
+        # writer duty (spec: "required" fields must be non-null): the
+        # TABLE schema's required flags win — Spark nullability is a
+        # static over-approximation, so validate the rows themselves,
+        # all required fields fused into one predicate pass
+        req = [
+            f["name"]
+            for f in prev_md["schema"]["fields"]
+            if f.get("required")
+        ]
+        if req:
+            cond = " OR ".join(f"{c} IS NULL" for c in req)
+            bad = df.filter(F.expr(cond)).limit(1).collect()
+            if bad:
+                raise ValueError(
+                    f"append violates required (non-null) fields {req}: "
+                    f"{bad[0].asDict()}"
+                )
+
     # 1. parallel data write → move under data/ with uuid names; identity
     # partition values come from the hive-layout staging dirs (the data
     # files omit the partition columns — legal per the spec's identity
@@ -751,44 +818,6 @@ def write_iceberg(
     _write_avro(os.path.join(table_path, mlist_rel), _MANIFEST_LIST_SCHEMA, entries)
 
     # 4. metadata JSON + atomic publish
-    ice_schema = {
-        "type": "struct",
-        "schema-id": 0,
-        "fields": [
-            {
-                "id": i + 1,
-                "name": f.name,
-                "required": not f.nullable,
-                "type": _spark_type_to_ice(f.dataType),
-            }
-            for i, f in enumerate(df.schema.fields)
-        ],
-    }
-    name_to_id = {f["name"]: f["id"] for f in ice_schema["fields"]}
-    unknown = [c for c in pcols if c not in name_to_id]
-    if unknown:
-        raise ValueError(f"partition_by columns not in schema: {unknown}")
-    if prev_md is not None and mode == "append":
-        prev_pcols = [s["name"] for s in prev_md.get("partition-spec", [])]
-        if prev_pcols != list(pcols):
-            raise ValueError(
-                f"append with partition_by={list(pcols)} but table spec "
-                f"is {prev_pcols}"
-            )
-        # appends reuse the previous snapshot's manifests, whose files
-        # were written under the TABLE schema — a silently replaced
-        # schema would misread them (dropped/renamed columns vanish,
-        # retyped columns corrupt). Exact (name, type) match required;
-        # changing the schema takes an overwrite, which versions it.
-        prev_sig = [
-            (f["name"], f["type"]) for f in prev_md["schema"]["fields"]
-        ]
-        new_sig = [(f["name"], f["type"]) for f in ice_schema["fields"]]
-        if prev_sig != new_sig:
-            raise ValueError(
-                f"append schema {new_sig} != table schema {prev_sig}; "
-                "schema changes require mode='overwrite'"
-            )
     spec = [
         {
             "name": c,

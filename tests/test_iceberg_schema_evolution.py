@@ -106,3 +106,40 @@ def test_result_schema_stays_plain(spark, tmp_path):
     write_iceberg(spark, df, path)
     back = read_iceberg(spark, path)
     assert back.schema == df.schema
+
+
+def test_required_fields_enforced_on_append(spark, tmp_path):
+    """The spec's `required` fields are a WRITER duty: an append whose
+    rows carry nulls in a required column is rejected BEFORE any data
+    file lands (no orphans under data/)."""
+    path = str(tmp_path / "req")
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    # non-nullable k: build via schema with nullable=False
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    strict = StructType(
+        [
+            StructField("k", LongType(), False),
+            StructField("s", StringType(), True),
+        ]
+    )
+    df = spark.createDataFrame([(1, "a")], strict)
+    write_iceberg(spark, df, path)
+    data_files_before = sorted(os.listdir(os.path.join(path, "data")))
+    bad = spark.createDataFrame([(None, "b")], "k long, s string")
+    with pytest.raises(ValueError, match="required"):
+        write_iceberg(spark, bad.select(F.col("k").cast("long"), "s"), path, mode="append")
+    # nothing landed
+    assert sorted(os.listdir(os.path.join(path, "data"))) == data_files_before
+
+
+def test_append_schema_mismatch_leaves_no_orphans(spark, tmp_path):
+    """The hoisted validation: a schema-mismatched append fails before
+    the staging write, so data/ is untouched."""
+    path = str(tmp_path / "orphan")
+    write_iceberg(spark, _nation(spark), path)
+    before = sorted(os.listdir(os.path.join(path, "data")))
+    wrong = _nation(spark).withColumnRenamed("n_name", "zzz")
+    with pytest.raises(ValueError, match="append schema"):
+        write_iceberg(spark, wrong, path, mode="append")
+    assert sorted(os.listdir(os.path.join(path, "data"))) == before
