@@ -353,3 +353,32 @@ def test_dv_on_partitioned_table(spark, tmp_path):
     # partition a lost its 1st and 5th rows BY POSITION within the file
     assert len(got) == 8
     assert sorted(r.k for r in read_delta(spark, path, partition_filter={"p": {"b"}}).collect()) == [5, 6, 7, 8, 9]
+
+
+# ---------------------------------------------------------------------------
+# property: parse(serialize(S)) == sorted(S) across container types
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.one_of(
+            # array containers (sparse), possibly multiple 16-bit keys
+            st.sets(st.integers(0, 1 << 20), max_size=300),
+            # bitmap containers (dense low range)
+            st.sets(st.integers(0, 9000), min_size=4097, max_size=6000),
+            # 64-bit buckets
+            st.sets(
+                st.integers(0, (1 << 33) - 1).map(lambda v: v), max_size=50
+            ),
+        )
+    )
+    def test_dv_blob_roundtrip_property(values):
+        vals = sorted(values)
+        assert parse_dv_blob(_dv_blob(vals)) == vals
+
+except ImportError:  # pragma: no cover
+    pass
