@@ -147,6 +147,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_scan_iceberg_posdel",
     "q_iceberg_rename",
     "q_delta_constraints",
+    "q_delta_restore",
+    "q_iceberg_rollback",
     # E. stalest prior greens (re-verification fill): r1 vintage (10)
     "q_agg_argmax",
     "q_agg_histogram",

@@ -1009,3 +1009,50 @@ def q_delta_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_bal"),
         )
     )
+
+
+@query(
+    "q_delta_restore",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(c_custkey) AS BIGINT) AS sum_key
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q_delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE … TO VERSION AS OF: v0 writes the full customer
+    table, v1 overwrites it down to one segment, v2 RESTOREs to v0 — a
+    metadata-only forward commit that re-ADDs v0's surviving files and
+    REMOVEs v1's, touching no data bytes and keeping every version
+    time-travelable. The oracle aggregates the full base table: matching
+    sums prove the restore reproduced v0's content exactly (an
+    incomplete re-add or a missed remove both shift the counts). Scale:
+    O(changed files) log actions, zero data IO — the rollback primitive
+    a 100 TB pipeline needs after a bad backfill."""
+    from .deltalog import restore_table
+
+    out = os.path.join(_fixture_dir(sf_dir), "customer_restore_delta")
+    done = os.path.join(out, "_delta_log", f"{2:020d}.json")
+    if not os.path.exists(done):
+        shutil.rmtree(out, ignore_errors=True)
+        cust = table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal", "c_mktsegment"
+        )
+        write_delta(spark, cust, out)
+        write_delta(
+            spark,
+            cust.filter(F.col("c_mktsegment") == "BUILDING"),
+            out,
+            mode="overwrite",
+        )
+        restore_table(spark, out, 0)
+    return (
+        read_delta(spark, out)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_cust"),
+            F.sum("c_custkey").cast("long").alias("sum_key"),
+        )
+    )

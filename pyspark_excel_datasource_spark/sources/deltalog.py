@@ -1340,6 +1340,81 @@ def vacuum(table_path: str, retention_seconds: float = 0.0) -> int:
     return removed
 
 
+def restore_table(spark: SparkSession, table_path: str, version: int) -> int:
+    """RESTORE TABLE … TO VERSION AS OF: commit a new version whose live
+    file set equals the TARGET version's — re-ADD files the target had
+    that the head lost, REMOVE files the head gained since. Metadata-only
+    (no data file is read, moved, or rewritten; file sizes come from the
+    filesystem), history-preserving (the rolled-back versions stay
+    time-travelable — this is a forward commit, not a log truncation),
+    and atomic like every other commit. The target version's files must
+    still exist on disk: a VACUUM that reaped them makes the restore
+    impossible and raises up front, never a half-restored table.
+
+    Returns the committed version."""
+    prev = snapshot(table_path)
+    _require_unmapped(prev, "restore_table")
+    _require_no_dv(prev, "restore_table")
+    _require_writer_ok(prev, "restore_table")
+    if version >= prev.version:
+        raise ValueError(
+            f"restore target {version} is not before the current "
+            f"version {prev.version}"
+        )
+    target = snapshot(table_path, version)
+    _require_no_dv(target, "restore_table (target version)")
+    missing = [
+        rel
+        for rel in target.files
+        if not os.path.exists(os.path.join(table_path, rel))
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"restore to version {version} impossible: {len(missing)} of "
+            f"its data files were physically removed (VACUUM), e.g. "
+            f"{missing[0]!r}"
+        )
+    if target.metadata.get("partitionColumns") != prev.metadata.get(
+        "partitionColumns"
+    ):
+        # partition-spec changes ride metaData actions; re-adding old
+        # files under the head's spec would mis-key their pv attach
+        restore_md = dict(target.metadata)
+    else:
+        restore_md = None
+    actions: list[dict[str, Any]] = [
+        {
+            "commitInfo": {
+                "operation": "RESTORE",
+                "operationParameters": {"version": version},
+            }
+        }
+    ]
+    if restore_md is not None or target.metadata.get("schemaString") != prev.metadata.get("schemaString"):
+        # the target's schema/spec must govern the restored rows
+        actions.append({"metaData": dict(target.metadata)})
+    for rel in sorted(set(prev.files) - set(target.files)):
+        actions.append(
+            {"remove": {"path": _encode_path(rel), "dataChange": True}}
+        )
+    for rel in sorted(set(target.files) - set(prev.files)):
+        ap = os.path.join(table_path, rel)
+        actions.append(
+            {
+                "add": {
+                    "path": _encode_path(rel),
+                    "partitionValues": target.files[rel],
+                    "size": os.path.getsize(ap),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            }
+        )
+    new_version = prev.version + 1
+    _commit(table_path, new_version, actions)
+    return new_version
+
+
 def delete_partitions(
     table_path: str, where: dict[str, str], checkpoint_interval: int = 2
 ) -> int:

@@ -534,6 +534,32 @@ def rename_column_iceberg(table_path: str, old: str, new: str) -> int:
     return version
 
 
+def rollback_iceberg(table_path: str, snapshot_id: int) -> int:
+    """Roll the table back to an earlier snapshot (Iceberg's
+    ``rollback_to_snapshot``): a metadata-only commit that points
+    ``current-snapshot-id`` at the target. History-preserving — every
+    snapshot stays in the metadata and time travel still reaches the
+    rolled-back ones (``expire_snapshots`` is the separate, explicit way
+    to drop them). The target's manifests/files must still be reachable,
+    which the metadata tree guarantees unless expiry removed the
+    snapshot — that case fails the lookup loudly. Returns the new
+    metadata version."""
+    md = _current_metadata(table_path)
+    _require_v1(md, "rollback_iceberg")
+    snaps = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
+    if snapshot_id not in snaps:
+        raise ValueError(
+            f"snapshot {snapshot_id} not in table history {sorted(snaps)}"
+        )
+    if snapshot_id == md.get("current-snapshot-id"):
+        raise ValueError(f"snapshot {snapshot_id} is already current")
+    version = md["_version"] + 1
+    new_md = {k: v for k, v in md.items() if k != "_version"}
+    new_md["current-snapshot-id"] = snapshot_id
+    _publish_metadata(table_path, new_md, version)
+    return version
+
+
 def snapshots(table_path: str) -> list[dict[str, Any]]:
     """Snapshot audit trail (id, operation, timestamp), newest first."""
     md = _current_metadata(table_path)

@@ -846,3 +846,49 @@ def q_iceberg_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_balance"),
         )
     )
+
+
+@query(
+    "q_iceberg_rollback",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+    FROM orders
+    WHERE o_orderkey % 3 <> 0
+    GROUP BY o_orderstatus
+    """,
+)
+def q_iceberg_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rollback_to_snapshot: s1 writes ``o_orderkey % 3 != 0``, s2
+    overwrites with a different slice, the rollback re-points
+    current-snapshot-id at s1 — one metadata commit, no manifest or
+    data file touched, s2 still time-travelable. The oracle restates
+    s1's predicate over the base table: matching aggregates prove the
+    rollback resolves exactly s1's file set through the untouched
+    manifest tree. Scale: O(1) metadata IO regardless of table size."""
+    from .iceberg import rollback_iceberg
+
+    out = os.path.join(_fixture_dir(sf_dir), "orders_rollback_iceberg")
+    done = os.path.join(out, "metadata", "v3.metadata.json")
+    if not os.path.exists(done):
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        orders = table(spark, sf_dir, "orders")
+        write_iceberg(spark, orders.filter(F.col("o_orderkey") % 3 != 0), out)
+        write_iceberg(
+            spark,
+            orders.filter(F.col("o_orderstatus") == "F"),
+            out,
+            mode="overwrite",
+        )
+        rollback_iceberg(out, 1)
+    return (
+        read_iceberg(spark, out)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+        )
+    )

@@ -120,6 +120,8 @@ ROUND10_AUTHORED: set[str] = {
     "q_scan_iceberg_posdel",
     "q_iceberg_rename",
     "q_delta_constraints",
+    "q_delta_restore",
+    "q_iceberg_rollback",
 }
 
 
