@@ -243,3 +243,53 @@ def test_unmapped_tables_unaffected(spark, tmp_path):
     write_delta(spark, df, out, partition_by=("p",))
     got = read_delta(spark, out, partition_filter={"p": {"b"}})
     assert {(r.k, r.v, r.p) for r in got.collect()} == {(2, "y", "b")}
+
+
+def test_mapped_table_with_deletion_vector(spark, tmp_path):
+    """Real v3 tables often enable column mapping AND deletion vectors
+    together; the read path must compose them: physical-name binding for
+    the scan, positional anti-join for the DV, logical names out."""
+    import struct
+
+    from pyspark_excel_datasource_spark.sources.dvbitmap import (
+        DV_MAGIC,
+        z85_encode,
+    )
+
+    path = _mapped_table(
+        tmp_path, features=["columnMapping", "deletionVectors"]
+    )
+    # inline DV deleting row 0 of part-0.parquet (k=1)
+    blob = (
+        struct.pack("<i", DV_MAGIC)
+        + struct.pack("<q", 1)
+        + struct.pack("<i", 12346)
+        + struct.pack("<i", 1)
+        + struct.pack("<HH", 0, 0)
+        + struct.pack("<I", 16)
+        + struct.pack("<H", 0)
+    )
+    desc = {
+        "storageType": "i",
+        "pathOrInlineDv": z85_encode(blob + b"\x00" * (-len(blob) % 4)),
+        "sizeInBytes": len(blob),
+        "cardinality": 1,
+    }
+    with open(os.path.join(path, "_delta_log", f"{1:020d}.json"), "w") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "add": {
+                        "path": "part-0.parquet",
+                        "partitionValues": {"col-p3": "a"},
+                        "size": 1,
+                        "modificationTime": 0,
+                        "dataChange": True,
+                        "deletionVector": desc,
+                    }
+                }
+            )
+            + "\n"
+        )
+    rows = {(r.k, r.v, r.p) for r in read_delta(spark, path).collect()}
+    assert rows == {(2, "y", "a"), (3, "z", "b")}
