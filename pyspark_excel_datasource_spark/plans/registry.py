@@ -149,6 +149,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_delta_constraints",
     "q_delta_restore",
     "q_iceberg_rollback",
+    "q_scan_iceberg_eqdel",
     # E. stalest prior greens (re-verification fill): r1 vintage (10)
     "q_agg_argmax",
     "q_agg_histogram",

@@ -24,15 +24,22 @@ Avro split across manifests). The data path is an ordinary multi-file
 parquet scan with full pushdown. Manifest-level partition pruning reads
 only matching manifests' file lists — file skipping before the scan.
 
-Format-version 2 is supported on the BATCH read path, including
-POSITION DELETES: delete manifests (manifest-list ``content=1``) are
-walked like data manifests, their position-delete parquet files
-(``file_path``, ``pos`` columns, per spec) are read driver-side, and
-the scan subtracts those row positions via the same broadcast
-anti-join on ``_metadata.row_index`` the Delta deletion-vector path
-uses (``deltalog._read_files``). Position deletes name their target
-file by exact path, so path-matching alone applies them correctly
-(sequence numbers only order EQUALITY deletes, which are rejected).
+Format-version 2 is supported on the BATCH read path, with BOTH
+row-delete encodings:
+
+- POSITION deletes: delete manifests (manifest-list ``content=1``)
+  carry (``file_path``, ``pos``) parquet files, read driver-side; the
+  scan subtracts those row positions via the same broadcast anti-join
+  on ``_metadata.row_index`` the Delta deletion-vector path uses
+  (``deltalog._read_files``); targets are matched by exact path.
+- EQUALITY deletes (``content=2``): applied with the spec's
+  sequence-number ordering — a delete hits only data files whose data
+  sequence number is STRICTLY LOWER (with manifest-list inheritance).
+  The live file set partitions into classes by which delete groups
+  apply; each class is one pushed-down scan followed by null-safe
+  broadcast anti-joins on the ``equality_ids`` columns, unioned back
+  (class count bounded; fails loudly past 16 groups — maintenance
+  folds deletes into data long before that).
 
 Schema evolution by FIELD-ID remapping is supported for tables this
 writer creates: every data file is written with ``parquet.field.id``
@@ -42,8 +49,7 @@ correctly by id; time travel shows each snapshot under its own schema.
 Writers also enforce the spec's ``required`` (non-null) fields on
 append, validated in one fused predicate pass BEFORE any data lands.
 
-Not implemented (raises, never silently wrong): equality deletes,
-WRITES — including compaction, snapshot expiry, the streaming source,
+Not implemented (raises, never silently wrong): WRITES — including compaction, snapshot expiry, the streaming source,
 and metadata-only conversion to Delta — against format-version 2
 tables (this writer emits v1 metadata; a metadata-only conversion of a
 v2 table would silently drop its delete files), non-identity partition
@@ -232,6 +238,15 @@ class IcebergSnapshot:
     partition_columns: list[str] = field(default_factory=list)
     #: v2 position deletes: data-file path → sorted deleted row indexes
     deleted_positions: dict[str, list[int]] = field(default_factory=dict)
+    #: v2 data sequence number per data file (0 for v1 tables)
+    files_seq: dict[str, int] = field(default_factory=dict)
+    #: v2 equality deletes: (delete seq, equality field-id tuple,
+    #: [delete parquet paths]) sorted by seq
+    equality_deletes: list[tuple[int, tuple[int, ...], list[str]]] = field(
+        default_factory=list
+    )
+    #: spec field id → column name, from the snapshot's resolved schema
+    field_names_by_id: dict[int, str] = field(default_factory=dict)
 
 
 def _meta_dir(path: str) -> str:
@@ -277,7 +292,7 @@ def snapshot_iceberg(
         by_id = {s["schema-id"]: s for s in md["schemas"]}
         ice_schema = by_id.get(snap_md["schema-id"], ice_schema)
     schema = _ice_schema_to_spark(ice_schema, with_field_ids=_has_field_ids(md))
-    field_names = {f["id"]: f["name"] for f in ice_schema["fields"]}
+    field_names: dict[int, str] = {f["id"]: f["name"] for f in ice_schema["fields"]}
     spec_fields = md.get("partition-spec", [])
     if "spec-id" in snap_md and md.get("partition-specs"):
         by_id = {s["spec-id"]: s for s in md["partition-specs"]}
@@ -292,14 +307,16 @@ def snapshot_iceberg(
             )
         pcols.append(field_names.get(spec["source-id"], spec["name"]))
     files: dict[str, dict[str, str | None]] = {}
-    for df_rec in _live_data_files(table_path, snap_md):
+    files_seq: dict[str, int] = {}
+    for df_rec, seq in _live_data_files(table_path, snap_md):
         files[df_rec["file_path"]] = dict(df_rec.get("partition") or {})
+        files_seq[df_rec["file_path"]] = seq
     # v2 position deletes: normalize each delete's target path to the
     # exact files-map key (deletes may spell the path absolute while
     # the data manifest stored it relative, or vice versa); targets
     # matching no live file are ignored (the spec allows dangling
     # references after a rewrite removed the file)
-    raw = _position_deletes(table_path, snap_md)
+    raw, eq_deletes = _delete_files(table_path, snap_md)
     abs_root = os.path.abspath(table_path)
     deleted: dict[str, list[int]] = {}
     for target, idxs in raw.items():
@@ -317,6 +334,9 @@ def snapshot_iceberg(
         files=files,
         partition_columns=pcols,
         deleted_positions=deleted,
+        files_seq=files_seq,
+        equality_deletes=eq_deletes,
+        field_names_by_id=field_names,
     )
 
 
@@ -335,16 +355,29 @@ def _resolve_snapshot_md(md: dict[str, Any], snapshot_id: int | None) -> dict[st
     return snaps[sid]
 
 
+def _entry_seq(entry: dict[str, Any], m: dict[str, Any]) -> int:
+    """v2 data-sequence-number resolution with the spec's inheritance:
+    the entry's own (data_)sequence_number wins; a null on an ADDED
+    entry inherits the manifest-list entry's sequence_number; v1
+    metadata has none of these → 0."""
+    for key in ("data_sequence_number", "sequence_number"):
+        v = entry.get(key)
+        if v is not None:
+            return int(v)
+    v = m.get("sequence_number")
+    return int(v) if v is not None else 0
+
+
 def _live_data_files(table_path: str, snap_md: dict[str, Any]):
     """Walk one snapshot's manifest list → manifests, yielding each LIVE
-    (status != DELETED) data_file record after the parquet gate. The one
-    copy of the metadata-tree walk that snapshot_iceberg and files_meta
-    share."""
+    (status != DELETED) ``(data_file record, data sequence number)``
+    after the parquet gate. The one copy of the metadata-tree walk that
+    snapshot_iceberg and files_meta share."""
     mlist = snap_md["manifest-list"]
     mlist = mlist if os.path.isabs(mlist) else os.path.join(table_path, mlist)
     for m in _read_avro(mlist):
         if int(m.get("content") or 0) == 1:
-            continue  # v2 delete manifest — see _position_deletes
+            continue  # v2 delete manifest — see _delete_files
         mpath = m["manifest_path"]
         mpath = mpath if os.path.isabs(mpath) else os.path.join(table_path, mpath)
         for entry in _read_avro(mpath):
@@ -360,24 +393,31 @@ def _live_data_files(table_path: str, snap_md: dict[str, Any]):
                 raise IcebergFormatError(
                     f"unsupported data file format {df_rec['file_format']}"
                 )
-            yield df_rec
+            yield df_rec, _entry_seq(entry, m)
 
 
-def _position_deletes(
+def _delete_files(
     table_path: str, snap_md: dict[str, Any]
-) -> dict[str, list[int]]:
-    """v2 position deletes for one snapshot: walk the delete manifests
-    (manifest-list ``content=1``), read each live position-delete
-    parquet file driver-side (the spec's two-column ``file_path``/
-    ``pos`` layout), and group positions by target data-file path.
-    Equality deletes (``data_file.content == 2``) are rejected — their
-    application order depends on sequence numbers, which this reader
-    does not track. Driver-side like the rest of the metadata tree:
-    position-delete files are delete-count-sized, and real writers
-    compact data files whose delete ratio grows."""
+) -> tuple[dict[str, list[int]], list[tuple[int, tuple[int, ...], list[str]]]]:
+    """v2 delete files for one snapshot, walked from the delete
+    manifests (manifest-list ``content=1``):
+
+    - POSITION deletes (``data_file.content == 1``): the spec's
+      two-column (``file_path``, ``pos``) parquet, read driver-side and
+      grouped by target path → ``{path: sorted positions}``.
+    - EQUALITY deletes (``content == 2``): grouped by (data sequence
+      number, equality_ids tuple) → ``[(seq, ids, [paths])]`` sorted by
+      seq; the rows themselves are read lazily by ``read_iceberg`` (an
+      equality-delete file can be arbitrarily large, so it joins as a
+      broadcast frame, not a driver list).
+
+    Driver-side like the rest of the metadata tree: delete manifests
+    are file-level metadata, and real writers compact data files whose
+    delete ratio grows."""
     import pyarrow.parquet as papq
 
-    out: dict[str, list[int]] = {}
+    pos_out: dict[str, list[int]] = {}
+    eq_groups: dict[tuple[int, tuple[int, ...]], list[str]] = {}
     mlist = snap_md["manifest-list"]
     mlist = mlist if os.path.isabs(mlist) else os.path.join(table_path, mlist)
     for m in _read_avro(mlist):
@@ -390,24 +430,33 @@ def _position_deletes(
                 continue
             rec = entry["data_file"]
             content = int(rec.get("content") or 0)
-            if content == 2:
-                raise IcebergFormatError(
-                    "equality deletes are not implemented "
-                    f"(delete file {rec['file_path']})"
-                )
-            if content != 1:
+            dpath = rec["file_path"]
+            dpath = dpath if os.path.isabs(dpath) else os.path.join(table_path, dpath)
+            if content == 1:
+                tbl = papq.read_table(dpath, columns=["file_path", "pos"])
+                for target, pos in zip(
+                    tbl.column("file_path").to_pylist(),
+                    tbl.column("pos").to_pylist(),
+                ):
+                    pos_out.setdefault(target, []).append(int(pos))
+            elif content == 2:
+                ids = tuple(int(i) for i in (rec.get("equality_ids") or ()))
+                if not ids:
+                    raise IcebergFormatError(
+                        "equality-delete file without equality_ids: "
+                        f"{rec['file_path']}"
+                    )
+                seq = _entry_seq(entry, m)
+                eq_groups.setdefault((seq, ids), []).append(dpath)
+            else:
                 raise IcebergFormatError(
                     "non-delete file in a DELETE manifest "
                     f"(content={content}): {rec['file_path']}"
                 )
-            dpath = rec["file_path"]
-            dpath = dpath if os.path.isabs(dpath) else os.path.join(table_path, dpath)
-            tbl = papq.read_table(dpath, columns=["file_path", "pos"])
-            for target, pos in zip(
-                tbl.column("file_path").to_pylist(), tbl.column("pos").to_pylist()
-            ):
-                out.setdefault(target, []).append(int(pos))
-    return {k: sorted(set(v)) for k, v in out.items()}
+    eq = sorted(
+        [(seq, ids, sorted(paths)) for (seq, ids), paths in eq_groups.items()]
+    )
+    return {k: sorted(set(v)) for k, v in pos_out.items()}, eq
 
 
 def read_iceberg(
@@ -438,14 +487,68 @@ def read_iceberg(
             for p, pv in files.items()
             if all(pv.get(c) in allowed for c, allowed in partition_filter.items())
         }
-    out = _read_files(
-        spark,
-        table_path,
-        files,
-        snap.schema,
-        snap.partition_columns,
-        deleted_positions=snap.deleted_positions,
-    )
+    if not snap.equality_deletes:
+        out = _read_files(
+            spark,
+            table_path,
+            files,
+            snap.schema,
+            snap.partition_columns,
+            deleted_positions=snap.deleted_positions,
+        )
+    else:
+        # EQUALITY deletes apply to data files STRICTLY OLDER than the
+        # delete (data seq < delete seq — the spec's ordering rule), so
+        # the file set partitions into equivalence classes by which
+        # delete groups apply; each class is one ordinary pushed-down
+        # scan followed by null-safe broadcast anti-joins against the
+        # applicable delete frames, and the classes union back. Class
+        # count is bounded by distinct (seq, ids) delete groups + 1 —
+        # real tables keep this tiny because maintenance rewrites fold
+        # deletes into data files; a runaway count fails loudly rather
+        # than building an unbounded plan.
+        groups = snap.equality_deletes
+        if len(groups) > 16:
+            raise IcebergFormatError(
+                f"{len(groups)} distinct equality-delete groups; this "
+                "reader bounds the class-split plan at 16 — compact the "
+                "table's deletes first"
+            )
+        classes: dict[tuple[bool, ...], dict] = {}
+        for pth, pv in files.items():
+            fseq = snap.files_seq.get(pth, 0)
+            key = tuple(fseq < g_seq for g_seq, _ids, _paths in groups)
+            classes.setdefault(key, {})[pth] = pv
+        parts: list[DataFrame] = []
+        for key, subset in sorted(classes.items()):
+            part = _read_files(
+                spark,
+                table_path,
+                subset,
+                snap.schema,
+                snap.partition_columns,
+                deleted_positions=snap.deleted_positions,
+            )
+            for applies, (g_seq, ids, paths) in zip(key, groups):
+                if not applies:
+                    continue
+                try:
+                    cols = [snap.field_names_by_id[i] for i in ids]
+                except KeyError as e:
+                    raise IcebergFormatError(
+                        f"equality-delete field id {e} not in the "
+                        "snapshot schema"
+                    ) from e
+                dels = spark.read.parquet(*paths).select(*cols).dropDuplicates()
+                cond = None
+                for c in cols:
+                    term = part[c].eqNullSafe(dels[c])
+                    cond = term if cond is None else (cond & term)
+                part = part.join(F.broadcast(dels), cond, "left_anti")
+            parts.append(part)
+        out = parts[0]
+        for p_ in parts[1:]:
+            out = out.unionAll(p_)
     if any(f.metadata for f in snap.schema.fields):
         # the parquet.field.id metadata did its job at the scan; strip
         # it from the RESULT so downstream schema comparisons see the
@@ -474,7 +577,7 @@ def files_meta(
             "record_count": rec["record_count"],
             "file_size_in_bytes": rec["file_size_in_bytes"],
         }
-        for rec in _live_data_files(table_path, snap_md)
+        for rec, _seq in _live_data_files(table_path, snap_md)
     ]
 
 

@@ -892,3 +892,169 @@ def q_iceberg_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_orderkey").cast("long").alias("sum_key"),
         )
     )
+
+
+def _materialize_eqdel_iceberg(spark: SparkSession, sf_dir: str) -> str:
+    """customer → format-version 2 table with an EQUALITY delete: the
+    delete manifest (seq 1, equality_ids=[1]=c_custkey) lists every key
+    divisible by 11; the v1-written data files sit at data seq 0 < 1, so
+    the delete applies to all of them. Idempotent per SF."""
+    import json
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .iceberg import _read_avro, _write_avro
+
+    out = os.path.join(_fixture_dir(sf_dir), "customer_eqdel_iceberg")
+    done = os.path.join(out, "data", "eq-delete-0.parquet")
+    if os.path.exists(done):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    write_iceberg(spark, cust, out)
+    victims = [
+        r.c_custkey
+        for r in cust.filter(F.col("c_custkey") % 11 == 0)
+        .select("c_custkey")
+        .collect()
+    ]
+    pq.write_table(
+        pa.table({"c_custkey": pa.array(sorted(victims), pa.int64())}), done
+    )
+    meta_dir = os.path.join(out, "metadata")
+    v = int(open(os.path.join(meta_dir, "version-hint.text")).read().strip())
+    md_path = os.path.join(meta_dir, f"v{v}.metadata.json")
+    md = json.load(open(md_path))
+    md["format-version"] = 2
+    snap_md = next(
+        s for s in md["snapshots"] if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    mlist = snap_md["manifest-list"]
+    mlist_abs = mlist if os.path.isabs(mlist) else os.path.join(out, mlist)
+    del_manifest = os.path.join(meta_dir, "eq-delete-m0.avro")
+    _write_avro(
+        del_manifest,
+        {
+            "type": "record",
+            "name": "manifest_entry",
+            "fields": [
+                {"name": "status", "type": "int"},
+                {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+                {
+                    "name": "sequence_number",
+                    "type": ["null", "long"],
+                    "default": None,
+                },
+                {
+                    "name": "data_file",
+                    "type": {
+                        "type": "record",
+                        "name": "data_file",
+                        "fields": [
+                            {"name": "content", "type": "int"},
+                            {"name": "file_path", "type": "string"},
+                            {"name": "file_format", "type": "string"},
+                            {"name": "record_count", "type": "long"},
+                            {"name": "file_size_in_bytes", "type": "long"},
+                            {
+                                "name": "equality_ids",
+                                "type": {"type": "array", "items": "int"},
+                            },
+                        ],
+                    },
+                },
+            ],
+        },
+        [
+            (
+                1,
+                md["current-snapshot-id"],
+                1,  # delete data sequence number
+                {
+                    "content": 2,
+                    "file_path": os.path.join("data", "eq-delete-0.parquet"),
+                    "file_format": "PARQUET",
+                    "record_count": len(victims),
+                    "file_size_in_bytes": os.path.getsize(done),
+                    "equality_ids": [1],  # c_custkey
+                },
+            )
+        ],
+    )
+    rows = [
+        (
+            m["manifest_path"],
+            m["manifest_length"],
+            m["partition_spec_id"],
+            m["added_snapshot_id"],
+            0,
+        )
+        for m in _read_avro(mlist_abs)
+    ]
+    rows.append(
+        (
+            del_manifest,
+            os.path.getsize(del_manifest),
+            0,
+            md["current-snapshot-id"],
+            1,
+        )
+    )
+    _write_avro(
+        mlist_abs,
+        {
+            "type": "record",
+            "name": "manifest_file",
+            "fields": [
+                {"name": "manifest_path", "type": "string"},
+                {"name": "manifest_length", "type": "long"},
+                {"name": "partition_spec_id", "type": "int"},
+                {
+                    "name": "added_snapshot_id",
+                    "type": ["null", "long"],
+                    "default": None,
+                },
+                {"name": "content", "type": "int"},
+            ],
+        },
+        rows,
+    )
+    json.dump(md, open(md_path, "w"))
+    return out
+
+
+@query(
+    "q_scan_iceberg_eqdel",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(c_custkey) AS BIGINT) AS sum_key
+    FROM customer
+    WHERE c_custkey % 11 <> 0
+    GROUP BY c_mktsegment
+    """,
+)
+def q_scan_iceberg_eqdel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg format-v2 read with EQUALITY deletes: the delete manifest
+    (data seq 1, equality_ids = c_custkey) lists every key divisible by
+    11, and the data files (seq 0 < 1) lose exactly those rows via a
+    null-safe broadcast anti-join on the equality columns — the spec's
+    sequence-ordered application (``read_iceberg``'s class-split). The
+    oracle restates the deletion as a plain predicate over the base
+    table: identical aggregates prove the sequence resolution, the id →
+    column binding, and the anti-join dropped exactly the deleted keys.
+    Scale: one pushed-down scan per (bounded) class, delete frames are
+    delete-count-sized broadcasts."""
+    path = _materialize_eqdel_iceberg(spark, sf_dir)
+    return (
+        read_iceberg(spark, path)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_cust"),
+            F.sum("c_custkey").cast("long").alias("sum_key"),
+        )
+    )

@@ -263,3 +263,267 @@ def test_v2_partitioned_with_filter(spark, tmp_path):
         read_iceberg(spark, path, partition_filter={"rk": {"1"}}).count()
         == _nation(spark).filter(F.col("n_regionkey") == 1).count()
     )
+
+
+# ---------------------------------------------------------------------------
+# equality deletes (content=2, sequence-number ordered)
+# ---------------------------------------------------------------------------
+
+_EQ_MANIFEST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+        {"name": "sequence_number", "type": ["null", "long"], "default": None},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "data_file",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                    {
+                        "name": "equality_ids",
+                        "type": {"type": "array", "items": "int"},
+                    },
+                ],
+            },
+        },
+    ],
+}
+
+_DATA_MANIFEST_V2_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+        {"name": "sequence_number", "type": ["null", "long"], "default": None},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "data_file",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {
+                        "name": "partition",
+                        "type": {"type": "record", "name": "r102", "fields": []},
+                    },
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ],
+            },
+        },
+    ],
+}
+
+
+def _add_equality_delete(
+    table_path: str,
+    rows: list[dict],
+    equality_ids: list[int],
+    seq: int,
+    fname: str = "eq-delete-0.parquet",
+) -> None:
+    """Forge: format-version 2 + one equality-delete manifest at ``seq``
+    whose parquet carries ``rows`` (dicts of column -> value)."""
+    meta_dir = os.path.join(table_path, "metadata")
+    v = int(open(os.path.join(meta_dir, "version-hint.text")).read().strip())
+    md_path = os.path.join(meta_dir, f"v{v}.metadata.json")
+    md = json.load(open(md_path))
+    md["format-version"] = 2
+    snap = next(
+        s for s in md["snapshots"] if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    mlist = snap["manifest-list"]
+    mlist_abs = mlist if os.path.isabs(mlist) else os.path.join(table_path, mlist)
+
+    del_parquet = os.path.join(table_path, "data", fname)
+    cols = {k: [r.get(k) for r in rows] for k in rows[0]}
+    pq.write_table(pa.table(cols), del_parquet)
+
+    del_manifest = os.path.join(meta_dir, f"eq-{fname}.avro")
+    _write_avro(
+        del_manifest,
+        _EQ_MANIFEST_SCHEMA,
+        [
+            (
+                1,
+                md["current-snapshot-id"],
+                seq,
+                {
+                    "content": 2,
+                    "file_path": os.path.join("data", fname),
+                    "file_format": "PARQUET",
+                    "record_count": len(rows),
+                    "file_size_in_bytes": os.path.getsize(del_parquet),
+                    "equality_ids": equality_ids,
+                },
+            )
+        ],
+    )
+    entries = _read_avro(mlist_abs)
+    out_rows = [
+        (
+            m["manifest_path"],
+            m["manifest_length"],
+            m["partition_spec_id"],
+            m["added_snapshot_id"],
+            m.get("content") or 0,
+        )
+        for m in entries
+    ]
+    out_rows.append(
+        (
+            del_manifest,
+            os.path.getsize(del_manifest),
+            0,
+            md["current-snapshot-id"],
+            1,
+        )
+    )
+    _write_avro(mlist_abs, _MLIST_V2_SCHEMA, out_rows)
+    json.dump(md, open(md_path, "w"))
+
+
+def _append_data_file_at_seq(
+    spark, table_path: str, df, seq: int, fname: str
+) -> None:
+    """Forge a v2 data manifest at ``seq`` adding one parquet file."""
+    meta_dir = os.path.join(table_path, "metadata")
+    v = int(open(os.path.join(meta_dir, "version-hint.text")).read().strip())
+    md_path = os.path.join(meta_dir, f"v{v}.metadata.json")
+    md = json.load(open(md_path))
+    snap = next(
+        s for s in md["snapshots"] if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    mlist = snap["manifest-list"]
+    mlist_abs = mlist if os.path.isabs(mlist) else os.path.join(table_path, mlist)
+
+    fpath = os.path.join(table_path, "data", fname)
+    tbl = pa.Table.from_pandas(df.toPandas())
+    # stamp parquet field ids (positional, like the table's writer) so
+    # the field-id-resolving read schema accepts the forged file
+    tbl = tbl.cast(
+        pa.schema(
+            [
+                f.with_metadata({b"PARQUET:field_id": str(i + 1).encode()})
+                for i, f in enumerate(tbl.schema)
+            ]
+        )
+    )
+    pq.write_table(tbl, fpath)
+    n = df.count()
+    dm = os.path.join(meta_dir, f"dm-{fname}.avro")
+    _write_avro(
+        dm,
+        _DATA_MANIFEST_V2_SCHEMA,
+        [
+            (
+                1,
+                md["current-snapshot-id"],
+                seq,
+                {
+                    "content": 0,
+                    "file_path": os.path.join("data", fname),
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": n,
+                    "file_size_in_bytes": os.path.getsize(fpath),
+                },
+            )
+        ],
+    )
+    entries = _read_avro(mlist_abs)
+    out_rows = [
+        (
+            m["manifest_path"],
+            m["manifest_length"],
+            m["partition_spec_id"],
+            m["added_snapshot_id"],
+            m.get("content") or 0,
+        )
+        for m in entries
+    ]
+    out_rows.append(
+        (dm, os.path.getsize(dm), 0, md["current-snapshot-id"], 0)
+    )
+    _write_avro(mlist_abs, _MLIST_V2_SCHEMA, out_rows)
+
+
+def test_equality_delete_removes_matching_rows(spark, tmp_path):
+    path, _target, keys = _make_table(spark, tmp_path, "eq_basic")
+    # nation schema ids positional: n_nationkey=1, n_name=2, n_regionkey=3
+    victims = [
+        r.n_name
+        for r in read_iceberg(spark, path).filter(F.col("n_nationkey") < 3).collect()
+    ]
+    _add_equality_delete(
+        path, [{"n_name": v} for v in victims], equality_ids=[2], seq=1
+    )
+    got = {r.n_name for r in read_iceberg(spark, path).collect()}
+    assert got.isdisjoint(set(victims))
+    assert len(got) == len(keys) - len(victims)
+
+
+def test_equality_delete_spares_newer_files(spark, tmp_path):
+    """The sequence rule: a delete at seq=1 must NOT touch a data file
+    added at seq=2 even when its rows match the delete values."""
+    path, _t, keys = _make_table(spark, tmp_path, "eq_seq")
+    victim = read_iceberg(spark, path).filter(F.col("n_nationkey") == 0).collect()[0]
+    _add_equality_delete(path, [{"n_name": victim.n_name}], [2], seq=1)
+    assert read_iceberg(spark, path).count() == len(keys) - 1
+    # re-add the same row in a NEWER file (seq 2)
+    readd = spark.createDataFrame(
+        [(victim.n_nationkey, victim.n_name, victim.n_regionkey)],
+        "n_nationkey long, n_name string, n_regionkey long",
+    )
+    _append_data_file_at_seq(spark, path, readd, seq=2, fname="readd.parquet")
+    rows = read_iceberg(spark, path).filter(F.col("n_name") == victim.n_name)
+    assert rows.count() == 1  # the old copy is deleted, the new one lives
+
+
+def test_equality_delete_multi_column_and_nullsafe(spark, tmp_path):
+    path = str(tmp_path / "eq_multi")
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", None), (3, None, 10), (4, "b", 20)],
+        "k long, s string, v int",
+    )
+    write_iceberg(spark, df.coalesce(1), path)
+    # ids positional: k=1, s=2, v=3; delete (s='a', v=NULL) and (s=NULL, v=10)
+    _add_equality_delete(
+        path,
+        [{"s": "a", "v": None}, {"s": None, "v": 10}],
+        equality_ids=[2, 3],
+        seq=1,
+    )
+    got = sorted(r.k for r in read_iceberg(spark, path).collect())
+    assert got == [1, 4]  # null-safe equality removed k=2 and k=3
+
+
+def test_equality_delete_unknown_field_id_raises(spark, tmp_path):
+    path, _t, _k = _make_table(spark, tmp_path, "eq_badid")
+    _add_equality_delete(path, [{"n_name": "x"}], equality_ids=[99], seq=1)
+    with pytest.raises(IcebergFormatError, match="field id"):
+        read_iceberg(spark, path).collect()
+
+
+def test_equality_and_position_deletes_compose(spark, tmp_path):
+    path, target, keys = _make_table(spark, tmp_path, "eq_mixed")
+    rows = read_iceberg(spark, path).orderBy("n_nationkey").collect()
+    _upgrade_with_position_deletes(path, {target: [0]})  # kills rows[0]
+    _add_equality_delete(
+        path, [{"n_name": rows[1].n_name}], [2], seq=1,
+        fname="eq-mixed.parquet",
+    )
+    got = {r.n_name for r in read_iceberg(spark, path).collect()}
+    assert rows[0].n_name not in got and rows[1].n_name not in got
+    assert len(got) == len(keys) - 2

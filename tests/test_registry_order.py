@@ -122,6 +122,7 @@ ROUND10_AUTHORED: set[str] = {
     "q_delta_constraints",
     "q_delta_restore",
     "q_iceberg_rollback",
+    "q_scan_iceberg_eqdel",
 }
 
 
