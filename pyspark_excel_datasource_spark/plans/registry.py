@@ -150,6 +150,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_delta_restore",
     "q_iceberg_rollback",
     "q_scan_iceberg_eqdel",
+    "q_delta_delete_dv",
     # E. stalest prior greens (re-verification fill): r1 vintage (10)
     "q_agg_argmax",
     "q_agg_histogram",

@@ -1056,3 +1056,47 @@ def q_delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c_custkey").cast("long").alias("sum_key"),
         )
     )
+
+
+@query(
+    "q_delta_delete_dv",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(c_custkey) AS BIGINT) AS sum_key
+    FROM customer
+    WHERE NOT (c_acctbal < 0)
+    GROUP BY c_mktsegment
+    """,
+)
+def q_delta_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE via deletion vectors: the fixture deletes
+    every negative-balance customer with
+    ``delete_where(mode="deletion-vectors")`` — the matched files are
+    RE-ADDED with roaring-bitmap descriptors of the matched row
+    positions (``dvbitmap.make_dv_descriptor``) and not one data byte
+    is rewritten. The oracle states the surviving predicate over the
+    base table: identical aggregates prove the position capture, the
+    bitmap encode, and the read-side subtraction compose to exactly a
+    SQL DELETE. Scale: this is the deletion story at 100 TB — deleting
+    0.01% of rows costs bytes of metadata per touched file instead of
+    rewriting the files; ``optimize`` later folds DVs into data."""
+    from .deltalog import delete_where
+
+    out = os.path.join(_fixture_dir(sf_dir), "customer_mor_delete_delta")
+    done = os.path.join(out, "_delta_log", f"{1:020d}.json")
+    if not os.path.exists(done):
+        shutil.rmtree(out, ignore_errors=True)
+        cust = table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal", "c_mktsegment"
+        )
+        write_delta(spark, cust, out)
+        delete_where(spark, out, "c_acctbal < 0", mode="deletion-vectors")
+    return (
+        read_delta(spark, out)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_cust"),
+            F.sum("c_custkey").cast("long").alias("sum_key"),
+        )
+    )

@@ -44,19 +44,24 @@ field-id resolution is a redundant path for the tables this reader
 accepts). Time travel across a column RENAME works by construction:
 each version's metaData carries its own logical→physical binding.
 
-Deletion vectors (reader feature ``deletionVectors``) are supported on
-the BATCH read path: each live file's DV descriptor — inline Z85 or a
-``.bin`` DV file, per PROTOCOL.md — decodes driver-side to a roaring
-bitmap of deleted ROW INDEXES (``sources/dvbitmap.py``), and the scan
-subtracts those positions via a broadcast anti-join against
-``_metadata.row_index``. Framing, magic, and CRC are all verified; a
-misparse raises instead of resurrecting deleted rows.
+Deletion vectors (protocol feature ``deletionVectors``) are supported
+in BOTH directions. Reads: each live file's DV descriptor — inline Z85
+or a ``.bin`` DV file, per PROTOCOL.md — decodes driver-side to a
+roaring bitmap of deleted ROW INDEXES (``sources/dvbitmap.py``), and
+the scan subtracts those positions via a broadcast anti-join against
+``_metadata.row_index``; framing, magic, and CRC are all verified, and
+a misparse raises instead of resurrecting deleted rows. Writes:
+``delete_where(mode="deletion-vectors")`` is the merge-on-read DELETE —
+matched files are re-added with (union-merged) DV descriptors, no data
+file is rewritten; ``optimize`` folds accumulated DVs back into data;
+``vacuum`` keeps live ``.bin`` sidecars; checkpoints persist the
+descriptors; appends/overwrites/MERGE and constraint validation all
+read through the DVs.
 
 Not implemented (raises, never silently wrong): generated columns,
-nested fields under column mapping, and WRITES — including DML, the
-CDF/stream readers, and VACUUM — against a column-mapped table or a
-table with live deletion vectors (this reader's write path is protocol
-writer version 2; vacuum would reap DV ``.bin`` files as orphans).
+nested fields under column mapping, WRITES against a column-mapped
+table, and — on tables with live deletion vectors — the CDF/stream
+readers and RESTORE.
 """
 
 from __future__ import annotations
@@ -174,16 +179,17 @@ def _require_unmapped(snap: "DeltaSnapshot", op: str) -> None:
 
 
 def _require_no_dv(snap: "DeltaSnapshot", op: str) -> None:
-    """Writes/DML/CDF/stream/VACUUM against a table with live deletion
-    vectors are rejected: this module's write path is copy-on-write and
-    its commits (and checkpoints) would drop or half-apply the DV state;
-    vacuum would delete the ``.bin`` DV files as orphans (they are not
-    in the snapshot's data-file set). Batch reads apply DVs exactly."""
+    """The few operations still undefined over live deletion vectors:
+    the CDF/stream readers (a DV commit is a row-level change those
+    paths cannot attribute) and RESTORE (re-adding a version's files
+    without their descriptors would resurrect rows). Everything else —
+    batch reads, appends, overwrite, MERGE, DELETE (both strategies),
+    OPTIMIZE (folds DVs into data), VACUUM (keeps live ``.bin``
+    sidecars), constraints — is DV-aware."""
     if snap.dvs:
         raise DeltaProtocolError(
             f"{op} on a table with live deletion vectors "
-            f"({len(snap.dvs)} file(s)) is not implemented; this reader "
-            "supports deletion vectors on the batch read path only"
+            f"({len(snap.dvs)} file(s)) is not implemented"
         )
 
 
@@ -192,19 +198,39 @@ class DeltaConstraintViolationError(RuntimeError):
     invariant the table declares."""
 
 
-#: highest protocol writer version this module implements: 2 (column
-#: invariants — NOT NULL enforced below) and 3 (CHECK constraints)
-_MAX_WRITER_VERSION = 3
+#: legacy writer versions this module implements outright: 2 (column
+#: invariants — NOT NULL enforced below) and 3 (CHECK constraints).
+#: Versions 4-6 bundle features this writer lacks (generated columns /
+#: CDC, column mapping, identity columns) and are rejected; version 7
+#: (table features) is accepted when every listed writerFeature is in
+#: the supported set.
+_MAX_LEGACY_WRITER_VERSION = 3
+_SUPPORTED_WRITER_FEATURES = {
+    "deletionVectors",
+    "invariants",
+    "checkConstraints",
+    "timestampNtz",
+}
 
 
 def _require_writer_ok(snap: "DeltaSnapshot", op: str) -> None:
     wv = int(snap.protocol.get("minWriterVersion", 2))
-    if wv > _MAX_WRITER_VERSION:
-        raise DeltaProtocolError(
-            f"{op} requires protocol writer version {wv}; this writer "
-            f"implements versions 1-{_MAX_WRITER_VERSION} (invariants + "
-            "CHECK constraints)"
-        )
+    if wv <= _MAX_LEGACY_WRITER_VERSION:
+        return
+    if wv == 7:
+        feats = set(snap.protocol.get("writerFeatures") or [])
+        unsupported = feats - _SUPPORTED_WRITER_FEATURES
+        if unsupported:
+            raise DeltaProtocolError(
+                f"{op} requires writer features {sorted(unsupported)}; "
+                f"this writer implements {sorted(_SUPPORTED_WRITER_FEATURES)}"
+            )
+        return
+    raise DeltaProtocolError(
+        f"{op} requires protocol writer version {wv}; this writer "
+        f"implements versions 1-{_MAX_LEGACY_WRITER_VERSION} and 7 with "
+        f"writerFeatures {sorted(_SUPPORTED_WRITER_FEATURES)}"
+    )
 
 
 def _check_constraints(metadata: dict[str, Any]) -> dict[str, str]:
@@ -268,6 +294,22 @@ def _enforce_write_contract(
         raise DeltaConstraintViolationError(
             f"{op}: row violates {'; '.join(broken)}: {row}"
         )
+
+
+def _snap_positions(
+    table_path: str, snap: "DeltaSnapshot"
+) -> dict[str, list[int]]:
+    """Decode every live file's deletion vector once (driver-side,
+    bounded like the log) — the per-file deleted row positions every
+    DV-aware reader (scan, DML target read, compaction, constraint
+    validation) subtracts."""
+    from .dvbitmap import deleted_row_indexes
+
+    return {
+        p: deleted_row_indexes(table_path, desc)
+        for p, desc in snap.dvs.items()
+        if p in snap.files
+    }
 
 
 def _log_dir(table_path: str) -> str:
@@ -472,12 +514,8 @@ def read_delta(
             )
         }
     # decode DV descriptors driver-side (bounded like the log itself)
-    from .dvbitmap import deleted_row_indexes
-
     positions = {
-        p: deleted_row_indexes(table_path, desc)
-        for p, desc in snap.dvs.items()
-        if p in files
+        p: v for p, v in _snap_positions(table_path, snap).items() if p in files
     }
     if snap.column_mapping_mode == "none":
         return _read_files(
@@ -508,6 +546,7 @@ def _read_files(
     pcols: list[str],
     file_column: str | None = None,
     deleted_positions: dict[str, list[int]] | None = None,
+    row_index_column: str | None = None,
 ) -> DataFrame:
     """One parquet scan over an explicit live-file set, with partition
     columns re-attached from the log's per-file partitionValues.
@@ -524,11 +563,15 @@ def _read_files(
     }
     if not files:
         out = spark.createDataFrame([], schema)
-        return out.withColumn(file_column, F.lit(None).cast("string")) if file_column else out
+        if file_column:
+            out = out.withColumn(file_column, F.lit(None).cast("string"))
+        if row_index_column:
+            out = out.withColumn(row_index_column, F.lit(None).cast("long"))
+        return out
 
     paths = [os.path.join(table_path, p) for p in files]
     df = spark.read.schema(data_schema).parquet(*paths)
-    if not pcols and not file_column and not deleted_positions:
+    if not pcols and not file_column and not deleted_positions and not row_index_column:
         return df.select(*[f.name for f in schema.fields])
 
     # rel-path → partition values map (file-count rows, broadcast). The
@@ -591,6 +634,8 @@ def _read_files(
     if enc_root != abs_root:
         rel = F.regexp_replace(rel, "^" + _re.escape(enc_root + "/"), "")
     df = df.withColumn("__delta_rel", rel)
+    if row_index_column:
+        df = df.withColumn(row_index_column, F.col("_metadata.row_index"))
     if deleted_positions:
         # positional deletes: subtract each file's deleted row indexes
         # via a broadcast anti-join on (file key, _metadata.row_index).
@@ -615,6 +660,8 @@ def _read_files(
     if file_column:
         df = df.withColumn(file_column, F.col("__delta_rel"))
         out_cols = out_cols + [file_column]
+    if row_index_column:
+        out_cols = out_cols + [row_index_column]
     return df.select(*out_cols)
 
 
@@ -652,6 +699,15 @@ def _write_checkpoint(table_path: str, snap: DeltaSnapshot) -> None:
     import pyarrow.parquet as papq
 
     smap = pa.map_(pa.string(), pa.string())
+    dv_t = pa.struct(
+        [
+            ("storageType", pa.string()),
+            ("pathOrInlineDv", pa.string()),
+            ("offset", pa.int64()),
+            ("sizeInBytes", pa.int64()),
+            ("cardinality", pa.int64()),
+        ]
+    )
     add_t = pa.struct(
         [
             ("path", pa.string()),
@@ -659,6 +715,7 @@ def _write_checkpoint(table_path: str, snap: DeltaSnapshot) -> None:
             ("size", pa.int64()),
             ("modificationTime", pa.int64()),
             ("dataChange", pa.bool_()),
+            ("deletionVector", dv_t),
         ]
     )
     meta_t = pa.struct(
@@ -699,6 +756,7 @@ def _write_checkpoint(table_path: str, snap: DeltaSnapshot) -> None:
     ]
     for rel, pv in sorted(snap.files.items()):
         ap = os.path.join(table_path, rel)
+        dv = snap.dvs.get(rel)
         rows.append(
             {
                 "add": {
@@ -707,6 +765,19 @@ def _write_checkpoint(table_path: str, snap: DeltaSnapshot) -> None:
                     "size": os.path.getsize(ap) if os.path.exists(ap) else 0,
                     "modificationTime": 0,
                     "dataChange": False,
+                    # a checkpoint that dropped the DV descriptor would
+                    # RESURRECT the soft-deleted rows on replay
+                    "deletionVector": (
+                        {
+                            "storageType": dv.get("storageType"),
+                            "pathOrInlineDv": dv.get("pathOrInlineDv"),
+                            "offset": dv.get("offset"),
+                            "sizeInBytes": dv.get("sizeInBytes"),
+                            "cardinality": dv.get("cardinality"),
+                        }
+                        if dv
+                        else None
+                    ),
                 }
             }
         )
@@ -809,7 +880,6 @@ def write_delta(
         prev = None
     if prev is not None:
         _require_unmapped(prev, "write_delta")
-        _require_no_dv(prev, "write_delta")
         _require_writer_ok(prev, "write_delta")
         # writer duties: CHECK constraints come from the TABLE's
         # configuration (carried across overwrite, like real Delta);
@@ -1027,10 +1097,19 @@ def optimize(
     """
     prev = snapshot(table_path)
     _require_unmapped(prev, "optimize")
-    _require_no_dv(prev, "optimize")
     _require_writer_ok(prev, "optimize")
     pcols = prev.partition_columns
-    df = _read_files(spark, table_path, prev.files, prev.schema, pcols)
+    # reading through the deletion vectors makes compaction FOLD
+    # accumulated soft-deletes into the rewritten data — the
+    # maintenance half of the merge-on-read contract
+    df = _read_files(
+        spark,
+        table_path,
+        prev.files,
+        prev.schema,
+        pcols,
+        deleted_positions=_snap_positions(table_path, prev),
+    )
     if zorder_by is not None:
         if pcols:
             raise ValueError("zorder_by supports unpartitioned tables only")
@@ -1086,10 +1165,16 @@ def merge_delta(
         return snapshot(table_path).version  # replayed batch: no-op
     prev = snapshot(table_path)
     _require_unmapped(prev, "merge_delta")
-    _require_no_dv(prev, "merge_delta")
     _require_writer_ok(prev, "merge_delta")
     pcols = prev.partition_columns
-    target = _read_files(spark, table_path, prev.files, prev.schema, pcols)
+    target = _read_files(
+        spark,
+        table_path,
+        prev.files,
+        prev.schema,
+        pcols,
+        deleted_positions=_snap_positions(table_path, prev),
+    )
     cols = target.columns
     if sorted(source.columns) != sorted(cols):
         raise ValueError(
@@ -1131,28 +1216,123 @@ def delete_where(
     table_path: str,
     condition,
     checkpoint_interval: int = 2,
+    mode: str = "copy-on-write",
 ) -> tuple[int, int, int]:
-    """Row-level DELETE, file-granular copy-on-write: only the files
-    that CONTAIN a matching row are rewritten (surviving rows re-packed
-    per partition); untouched files stay in place byte-identical. One
-    atomic commit removes the matched files and adds the rewrites.
-    Returns (version, files_rewritten, files_untouched).
+    """Row-level DELETE in either of Delta's two strategies.
 
-    Scale shape: the match probe is one filtered scan projecting only
-    the file identity (distinct file list — bounded by file count, the
-    same metadata scale the log itself assumes); the rewrite reads and
-    writes only the matched files. A predicate touching 0.1% of files
-    costs 0.1% of a table rewrite — this is why engines do COW at file,
-    not table, granularity. Rows where the predicate is NULL are kept
-    (DELETE removes only rows where it is TRUE, per SQL semantics).
+    ``mode="copy-on-write"`` (default): only the files that CONTAIN a
+    matching row are rewritten (surviving rows re-packed per
+    partition); untouched files stay byte-identical. One atomic commit
+    removes the matched files and adds the rewrites. A predicate
+    touching 0.1% of files costs 0.1% of a table rewrite — file-granular
+    COW is why engines never rewrite whole tables for a DELETE.
+
+    ``mode="deletion-vectors"`` (merge-on-read): NO data file is read
+    beyond the match probe or written at all — each matched file is
+    re-added with a roaring-bitmap deletion vector of its matched ROW
+    POSITIONS (``sources/dvbitmap.make_dv_descriptor``: inline Z85 when
+    small, a ``.bin`` sidecar when large), merged by UNION with any DV
+    the file already carries, under the ``deletionVectors`` protocol
+    upgrade. This is the 100 TB deletion story: deleting a few rows
+    from a 1 GB file costs a few hundred BYTES of metadata instead of
+    a 1 GB rewrite; ``optimize`` later folds accumulated DVs back into
+    data. Readers (this module's included) apply the positions exactly.
+
+    Both return (version, files_touched, files_untouched). Rows where
+    the predicate is NULL are kept (DELETE removes only rows where it
+    is TRUE, per SQL semantics).
     """
+    if mode not in ("copy-on-write", "deletion-vectors"):
+        raise ValueError(
+            f"mode must be copy-on-write|deletion-vectors, got {mode!r}"
+        )
     prev = snapshot(table_path)
     _require_unmapped(prev, "delete_where")
-    _require_no_dv(prev, "delete_where")
     _require_writer_ok(prev, "delete_where")
     pcols = prev.partition_columns
+    prev_positions = _snap_positions(table_path, prev)
+
+    if mode == "deletion-vectors":
+        from .dvbitmap import make_dv_descriptor
+
+        full = _read_files(
+            spark,
+            table_path,
+            prev.files,
+            prev.schema,
+            pcols,
+            file_column="__f",
+            deleted_positions=prev_positions,
+            row_index_column="__ridx",
+        )
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        # the match probe projects only (file, position) — the DV is
+        # delete-count-sized by definition, so the collect is bounded
+        # by the rows being deleted, not the table
+        hit_rows = (
+            full.filter(cond).select("__f", "__ridx").distinct().collect()
+        )
+        if not hit_rows:
+            return prev.version, 0, len(prev.files)
+        by_file: dict[str, list[int]] = {}
+        for r in hit_rows:
+            by_file.setdefault(r["__f"], []).append(int(r["__ridx"]))
+        actions: list[dict[str, Any]] = [
+            {
+                "commitInfo": {
+                    "operation": "DELETE",
+                    "operationParameters": {
+                        "predicate": condition
+                        if isinstance(condition, str)
+                        else str(condition),
+                        "strategy": "deletion-vectors",
+                    },
+                }
+            },
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": sorted(
+                        set(prev.protocol.get("readerFeatures") or [])
+                        | {"deletionVectors"}
+                    ),
+                    "writerFeatures": sorted(
+                        set(prev.protocol.get("writerFeatures") or [])
+                        | {"deletionVectors"}
+                    ),
+                }
+            },
+        ]
+        for rel in sorted(by_file):
+            merged = sorted(set(prev_positions.get(rel, [])) | set(by_file[rel]))
+            ap = os.path.join(table_path, rel)
+            actions.append(
+                {
+                    "add": {
+                        "path": _encode_path(rel),
+                        "partitionValues": prev.files[rel],
+                        "size": os.path.getsize(ap),
+                        "modificationTime": 0,
+                        "dataChange": True,
+                        "deletionVector": make_dv_descriptor(table_path, merged),
+                    }
+                }
+            )
+        version = prev.version + 1
+        _commit(table_path, version, actions)
+        if checkpoint_interval and version % checkpoint_interval == 0:
+            _write_checkpoint(table_path, snapshot(table_path, version))
+        return version, len(by_file), len(prev.files) - len(by_file)
+
     full = _read_files(
-        spark, table_path, prev.files, prev.schema, pcols, file_column="__f"
+        spark,
+        table_path,
+        prev.files,
+        prev.schema,
+        pcols,
+        file_column="__f",
+        deleted_positions=prev_positions,
     )
     cond = F.expr(condition) if isinstance(condition, str) else condition
     matched = {
@@ -1214,14 +1394,18 @@ def add_check_constraint(
     merge_delta funnel). Returns the committed version."""
     prev = snapshot(table_path)
     _require_unmapped(prev, "add_check_constraint")
-    _require_no_dv(prev, "add_check_constraint")
     _require_writer_ok(prev, "add_check_constraint")
     if not name.isidentifier():
         raise ValueError(f"constraint name must be an identifier: {name!r}")
     if name in _check_constraints(prev.metadata):
         raise ValueError(f"constraint {name!r} already exists")
     existing = _read_files(
-        spark, table_path, prev.files, prev.schema, prev.partition_columns
+        spark,
+        table_path,
+        prev.files,
+        prev.schema,
+        prev.partition_columns,
+        deleted_positions=_snap_positions(table_path, prev),
     )
     _enforce_write_contract(
         existing,
@@ -1323,14 +1507,23 @@ def vacuum(table_path: str, retention_seconds: float = 0.0) -> int:
     import time as _time
 
     _snap = snapshot(table_path)
-    _require_no_dv(_snap, "vacuum")  # DV .bin files would look like orphans
     live = set(_snap.files)
+    # live "u"-storage deletion vectors are metadata sidecars — their
+    # .bin files must survive vacuum with the data files they annotate
+    from .dvbitmap import dv_relative_path
+
+    for desc in _snap.dvs.values():
+        if desc.get("storageType") == "u":
+            live.add(dv_relative_path(desc["pathOrInlineDv"]))
     cutoff = _time.time() - retention_seconds
     removed = 0
     for root, dirs, names in os.walk(table_path):
         dirs[:] = [d for d in dirs if d != _LOG and not d.startswith(".staging-")]
         for name in names:
-            if not name.endswith(".parquet"):
+            # data files AND deletion-vector sidecars are vacuum's
+            # domain; a .bin is removable once no live descriptor
+            # references it (e.g. after optimize folded the DV)
+            if not (name.endswith(".parquet") or name.endswith(".bin")):
                 continue
             full = os.path.join(root, name)
             rel = os.path.relpath(full, table_path)
@@ -1427,7 +1620,6 @@ def delete_partitions(
     (SQL DELETE matching nothing) and still commits."""
     prev = snapshot(table_path)
     _require_unmapped(prev, "delete_partitions")
-    _require_no_dv(prev, "delete_partitions")
     _require_writer_ok(prev, "delete_partitions")
     unknown = set(where) - set(prev.partition_columns)
     if unknown:

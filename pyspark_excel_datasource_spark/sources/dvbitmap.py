@@ -245,3 +245,92 @@ def deleted_row_indexes(table_path: str, descriptor: dict) -> list[int]:
             f"bitmap holds {len(vals)}"
         )
     return sorted(vals)
+
+
+# ---------------------------------------------------------------------------
+# write side (this module's writer emits DVs for merge-on-read deletes)
+# ---------------------------------------------------------------------------
+
+
+def _serialize_roaring32(values: list[int]) -> bytes:
+    """One 32-bit roaring bitmap, portable no-run serialization. Array
+    containers ≤4096 values, bitset containers above — the canonical
+    encoder choice; run containers are a read-side-only concern here."""
+    by_key: dict[int, list[int]] = {}
+    for v in values:
+        by_key.setdefault(v >> 16, []).append(v & 0xFFFF)
+    keys = sorted(by_key)
+    out = struct.pack("<i", _SERIAL_COOKIE_NO_RUN) + struct.pack("<i", len(keys))
+    for k in keys:
+        out += struct.pack("<HH", k, len(by_key[k]) - 1)
+    pos = 8 + 8 * len(keys)
+    offsets = b""
+    datas = b""
+    for k in keys:
+        offsets += struct.pack("<I", pos)
+        lows = sorted(by_key[k])
+        if len(lows) <= 4096:
+            chunk = struct.pack(f"<{len(lows)}H", *lows)
+        else:
+            words = [0] * 1024
+            for lo in lows:
+                words[lo >> 6] |= 1 << (lo & 63)
+            chunk = struct.pack("<1024Q", *words)
+        datas += chunk
+        pos += len(chunk)
+    return out + offsets + datas
+
+
+def serialize_dv_blob(positions: list[int]) -> bytes:
+    """Sorted row positions → DV blob (magic + RoaringBitmapArray) —
+    the exact inverse of :func:`parse_dv_blob` (property-tested)."""
+    buckets: dict[int, list[int]] = {}
+    for v in positions:
+        if v < 0:
+            raise ValueError(f"negative row position {v}")
+        buckets.setdefault(v >> 32, []).append(v & 0xFFFFFFFF)
+    n = (max(buckets) + 1) if buckets else 0
+    out = struct.pack("<i", DV_MAGIC) + struct.pack("<q", n)
+    for i in range(n):
+        out += _serialize_roaring32(buckets.get(i, []))
+    return out
+
+
+#: inline-vs-file threshold: small DVs ride the log line itself, large
+#: ones go to a .bin sidecar (the log stays metadata-sized either way)
+_INLINE_DV_MAX = 1024
+
+
+def make_dv_descriptor(table_path: str, positions: list[int]) -> dict:
+    """Build a deletionVector descriptor for ``positions`` — inline Z85
+    under ``_INLINE_DV_MAX`` bytes, else a ``deletion_vector_<uuid>.bin``
+    file in the table root (format version byte + BE size frame +
+    CRC-32 trailer, exactly what :func:`read_dv_from_file` verifies)."""
+    import os
+    import uuid as _uuid
+
+    positions = sorted(set(int(p) for p in positions))
+    blob = serialize_dv_blob(positions)
+    if len(blob) <= _INLINE_DV_MAX:
+        padded = blob + b"\x00" * (-len(blob) % 4)
+        return {
+            "storageType": "i",
+            "pathOrInlineDv": z85_encode(padded),
+            "sizeInBytes": len(blob),
+            "cardinality": len(positions),
+        }
+    u = _uuid.uuid4()
+    rel = f"deletion_vector_{u}.bin"
+    with open(os.path.join(table_path, rel), "wb") as fh:
+        fh.write(b"\x01")
+        offset = fh.tell()
+        fh.write(struct.pack(">i", len(blob)))
+        fh.write(blob)
+        fh.write(struct.pack(">I", zlib.crc32(blob) & 0xFFFFFFFF))
+    return {
+        "storageType": "u",
+        "pathOrInlineDv": z85_encode(u.bytes),
+        "offset": offset,
+        "sizeInBytes": len(blob),
+        "cardinality": len(positions),
+    }

@@ -310,20 +310,74 @@ def test_dv_cardinality_mismatch_raises(spark, tmp_path):
         read_delta(spark, path).collect()
 
 
-def test_writes_dml_vacuum_on_dv_table_raise(spark, tmp_path):
-    path, rel = _single_file_table(spark, tmp_path, "dv_guard")
-    _attach_dv(path, rel, _inline_descriptor([0]))
+def test_dv_aware_writes_and_maintenance(spark, tmp_path):
+    """Round-10 second half: writes and maintenance are DV-AWARE rather
+    than refused. Appends add rows without touching DVs; MERGE reads
+    the target through the DVs; OPTIMIZE folds them into data; VACUUM
+    keeps live .bin sidecars. CDF and RESTORE stay refused (their DV
+    semantics are unimplemented)."""
+    path, rel = _single_file_table(spark, tmp_path, "dv_aware")
+    _attach_dv(path, rel, _inline_descriptor([0]))  # k=0 soft-deleted
+    assert read_delta(spark, path).count() == 9
+    # append: new file, DV untouched
     df = spark.createDataFrame([(99, "x")], "k long, v string")
+    write_delta(spark, df, path, mode="append")
+    assert read_delta(spark, path).count() == 10
+    assert sorted(r.k for r in read_delta(spark, path).collect())[0] == 1
+    # merge reads THROUGH the DV: k=0 is not a matchable target row, so
+    # the source row for k=0 INSERTS (once), and the result (an
+    # overwrite) clears all DV state
+    src = spark.createDataFrame([(0, "resurrect?")], "k long, v string")
+    merge_delta(spark, src, path, on=["k"])
+    got = read_delta(spark, path)
+    assert got.filter("k = 0").count() == 1
+    assert snapshot(path).dvs == {}
+    # CDF and RESTORE remain refused on DV tables
+    from pyspark_excel_datasource_spark.sources.deltalog import (
+        read_change_feed,
+        restore_table,
+    )
+
+    path2, rel2 = _single_file_table(spark, tmp_path, "dv_refused")
+    _attach_dv(path2, rel2, _inline_descriptor([0]))
     with pytest.raises(DeltaProtocolError, match="deletion vectors"):
-        write_delta(spark, df, path, mode="append")
+        read_change_feed(spark, path2, 0, 1)
+    write_delta(
+        spark,
+        spark.createDataFrame([(5, "y")], "k long, v string"),
+        path2,
+        mode="append",
+    )
     with pytest.raises(DeltaProtocolError, match="deletion vectors"):
-        merge_delta(spark, df, path, on=["k"])
-    with pytest.raises(DeltaProtocolError, match="deletion vectors"):
-        delete_where(spark, path, "k = 1")
-    with pytest.raises(DeltaProtocolError, match="deletion vectors"):
-        optimize(spark, path)
-    with pytest.raises(DeltaProtocolError, match="deletion vectors"):
-        vacuum(path)
+        restore_table(spark, path2, 0)
+
+
+def test_optimize_folds_dvs_into_data(spark, tmp_path):
+    path, rel = _single_file_table(spark, tmp_path, "dv_fold")
+    _attach_dv(path, rel, _inline_descriptor([0, 5]))
+    assert read_delta(spark, path).count() == 8
+    optimize(spark, path)
+    snap = snapshot(path)
+    assert snap.dvs == {}  # folded: no DV survives compaction
+    assert read_delta(spark, path).count() == 8  # and no row resurrected
+    assert sorted(r.k for r in read_delta(spark, path).collect()) == [
+        1, 2, 3, 4, 6, 7, 8, 9,
+    ]
+
+
+def test_vacuum_keeps_live_dv_sidecars(spark, tmp_path):
+    path, rel = _single_file_table(spark, tmp_path, "dv_vacuum")
+    desc = _file_descriptor(path, [3])
+    _attach_dv(path, rel, desc)
+    binname = next(n for n in os.listdir(path) if n.endswith(".bin"))
+    removed = vacuum(path)
+    assert os.path.exists(os.path.join(path, binname)), "live DV reaped!"
+    assert read_delta(spark, path).count() == 9
+    # after optimize folds the DV, the .bin is unreferenced -> reaped
+    optimize(spark, path)
+    vacuum(path)
+    assert not os.path.exists(os.path.join(path, binname))
+    assert read_delta(spark, path).count() == 9
 
 
 def test_stream_on_dv_table_raises(spark, tmp_path):
@@ -382,3 +436,110 @@ try:
 
 except ImportError:  # pragma: no cover
     pass
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read DELETE (we WRITE deletion vectors)
+# ---------------------------------------------------------------------------
+
+
+def test_delete_where_dv_mode_writes_bitmaps_not_files(spark, tmp_path):
+    path = str(tmp_path / "mor")
+    df = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(20)], "k long, v string"
+    ).coalesce(1)
+    write_delta(spark, df, path)
+    files_before = sorted(snapshot(path).files)
+    v, touched, untouched = delete_where(
+        spark, path, "k % 4 = 0", mode="deletion-vectors"
+    )
+    assert (v, touched, untouched) == (1, 1, 0)
+    snap = snapshot(path)
+    # the SAME data files, now annotated — no rewrite happened
+    assert sorted(snap.files) == files_before
+    assert len(snap.dvs) == 1
+    got = sorted(r.k for r in read_delta(spark, path).collect())
+    assert got == [k for k in range(20) if k % 4 != 0]
+    # time travel still sees the pre-delete rows
+    assert read_delta(spark, path, version=0).count() == 20
+
+
+def test_delete_where_dv_mode_unions_with_existing_dv(spark, tmp_path):
+    path = str(tmp_path / "mor_union")
+    df = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(10)], "k long, v string"
+    ).coalesce(1)
+    write_delta(spark, df, path)
+    delete_where(spark, path, "k = 2", mode="deletion-vectors")
+    delete_where(spark, path, "k = 7", mode="deletion-vectors")
+    got = sorted(r.k for r in read_delta(spark, path).collect())
+    assert got == [0, 1, 3, 4, 5, 6, 8, 9]
+    # one descriptor carrying BOTH positions (the union, not a replace)
+    snap = snapshot(path)
+    (desc,) = snap.dvs.values()
+    assert desc["cardinality"] == 2
+
+
+def test_delete_where_dv_then_optimize_folds(spark, tmp_path):
+    path = str(tmp_path / "mor_fold")
+    df = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(10)], "k long, v string"
+    ).coalesce(1)
+    write_delta(spark, df, path)
+    delete_where(spark, path, "k >= 8", mode="deletion-vectors")
+    optimize(spark, path)
+    snap = snapshot(path)
+    assert snap.dvs == {}
+    assert sorted(r.k for r in read_delta(spark, path).collect()) == list(range(8))
+
+
+def test_delete_where_dv_large_positions_use_bin_file(spark, tmp_path):
+    """Past the inline threshold the descriptor goes to a .bin sidecar
+    with the verified frame (version byte / BE size / CRC)."""
+    path = str(tmp_path / "mor_big")
+    df = spark.createDataFrame(
+        [(i, "x") for i in range(20000)], "k long, v string"
+    ).coalesce(1)
+    write_delta(spark, df, path)
+    delete_where(spark, path, "k % 2 = 0", mode="deletion-vectors")
+    snap = snapshot(path)
+    (desc,) = snap.dvs.values()
+    assert desc["storageType"] == "u"
+    assert any(n.endswith(".bin") for n in os.listdir(path))
+    assert read_delta(spark, path).count() == 10000
+    # and the roundtrip through OUR reader matches the predicate exactly
+    assert read_delta(spark, path).filter("k % 2 = 0").count() == 0
+
+
+def test_delete_where_dv_null_predicate_keeps_rows(spark, tmp_path):
+    path = str(tmp_path / "mor_null")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "k long, v string"
+    ).coalesce(1)
+    write_delta(spark, df, path)
+    delete_where(spark, path, "v = 'a'", mode="deletion-vectors")
+    got = sorted(r.k for r in read_delta(spark, path).collect())
+    assert got == [2, 3]  # NULL predicate result keeps the row
+
+
+def test_delete_where_dv_protocol_upgrade(spark, tmp_path):
+    path = str(tmp_path / "mor_proto")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string").coalesce(1)
+    write_delta(spark, df, path)
+    delete_where(spark, path, "k = 1", mode="deletion-vectors")
+    proto = snapshot(path).protocol
+    assert proto["minReaderVersion"] == 3
+    assert "deletionVectors" in proto["readerFeatures"]
+    assert "deletionVectors" in proto["writerFeatures"]
+    # checkpoints persist the DV: force one and replay from it
+    from pyspark_excel_datasource_spark.sources.deltalog import (
+        _write_checkpoint,
+    )
+
+    snap = snapshot(path)
+    _write_checkpoint(path, snap)
+    os.remove(os.path.join(path, "_delta_log", f"{0:020d}.json"))
+    os.remove(os.path.join(path, "_delta_log", f"{1:020d}.json"))
+    replayed = snapshot(path)
+    assert replayed.dvs and replayed.protocol["minReaderVersion"] == 3
+    assert sorted(r.k for r in read_delta(spark, path).collect()) == [2]

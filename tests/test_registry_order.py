@@ -123,6 +123,7 @@ ROUND10_AUTHORED: set[str] = {
     "q_delta_restore",
     "q_iceberg_rollback",
     "q_scan_iceberg_eqdel",
+    "q_delta_delete_dv",
 }
 
 
