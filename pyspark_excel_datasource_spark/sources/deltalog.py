@@ -600,25 +600,33 @@ def _read_files(
         enc = quote(p, safe="/-._~!$&'()*+,;=:@")
         return {p, enc}
 
-    by_key: dict[str, tuple] = {}
+    # each spelling maps to (CANONICAL LOG KEY, partition values): the
+    # scan may emit either the raw or the percent-encoded form, but
+    # everything downstream — file_column consumers doing row-level DML,
+    # remove actions, DV descriptors — must see the exact key the LOG
+    # uses (found in round 10: a DV delete on an encoded-partition table
+    # re-added a file under its %20 spelling and a COW delete would
+    # double-encode the remove, both corrupting the snapshot)
+    by_key: dict[str, tuple[str, tuple]] = {}
     for p, pv in files.items():
         vals = tuple(pv.get(c) for c in pcols)
         for k in _keys(p if not os.path.isabs(p) else os.path.abspath(p)):
             prev = by_key.get(k)
-            if prev is not None and prev != vals:
+            if prev is not None and prev[0] != p:
                 raise ValueError(
                     f"ambiguous file-map key {k!r}: two files' raw/encoded "
-                    "spellings collide with different partition values "
-                    f"({prev} vs {vals}); rename one partition directory"
+                    f"spellings collide ({prev[0]!r} vs {p!r}); rename one "
+                    "partition directory"
                 )
-            by_key[k] = vals
-    rows = [(k, *vals) for k, vals in by_key.items()]
+            by_key[k] = (p, vals)
+    rows = [(k, logkey, *vals) for k, (logkey, vals) in by_key.items()]
     map_schema = StructType.fromJson(
         {
             "type": "struct",
             "fields": [
                 {"name": n, "type": "string", "nullable": True, "metadata": {}}
-                for n in ["__delta_rel"] + [f"__pv_{c}" for c in pcols]
+                for n in ["__delta_rel", "__delta_key"]
+                + [f"__pv_{c}" for c in pcols]
             ],
         }
     )
@@ -658,7 +666,7 @@ def _read_files(
         df = df.withColumn(c, F.col(f"__pv_{c}").cast(by_name[c]))
     out_cols = [f.name for f in schema.fields]
     if file_column:
-        df = df.withColumn(file_column, F.col("__delta_rel"))
+        df = df.withColumn(file_column, F.col("__delta_key"))
         out_cols = out_cols + [file_column]
     if row_index_column:
         out_cols = out_cols + [row_index_column]

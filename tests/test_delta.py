@@ -654,3 +654,33 @@ def test_fresh_stream_after_optimize_vacuum_fails_loudly(spark, tmp_path):
     # a stream starting at the current version is unaffected
     v = snapshot(path).version
     assert r.partitions({"version": v}, {"version": v}) == []
+
+
+def test_delete_where_on_encoded_partition_values(spark, tmp_path):
+    """Round-10 find: row-level DML on a partition whose hive-dir
+    spelling is URI-encoded ("4-NOT SPECIFIED" → %20). The scan column
+    emits the ENCODED spelling; the file_column consumers (COW removes,
+    DV re-adds) must use the LOG key or the commit corrupts the
+    snapshot (double-encoded remove / re-added ghost file)."""
+    from pyspark_excel_datasource_spark.sources.deltalog import (
+        delete_where,
+        snapshot,
+    )
+
+    for mode in ("copy-on-write", "deletion-vectors"):
+        path = str(tmp_path / f"enc_{mode}")
+        df = spark.createDataFrame(
+            [(i, "4-NOT SPECIFIED" if i % 2 else "1-URGENT") for i in range(10)],
+            "k long, p string",
+        )
+        write_delta(spark, df, path, partition_by=("p",))
+        delete_where(spark, path, "k >= 8", mode=mode)
+        got = sorted(r.k for r in read_delta(spark, path).collect())
+        assert got == list(range(8)), mode
+        snap = snapshot(path)
+        # every live key must be a RAW log key (no %25 double-encoding,
+        # no encoded ghost duplicates)
+        assert all("%2520" not in k and "%20" not in k for k in snap.files), (
+            mode,
+            sorted(snap.files),
+        )

@@ -217,6 +217,34 @@ def main() -> None:
         f"files ({'OK' if ratio < FACTOR * 1.6 else 'SUPRALINEAR'})"
     )
 
+    # MOR-vs-COW delete stress (round 10): delete ~0.8% of rows from
+    # every file. COW rewrites every touched file; the DV strategy
+    # writes bitmap descriptors only. The gap IS the merge-on-read
+    # story, and it must WIDEN with file count.
+    for label, fpc in (("base", FILES_BASE), (f"x{FACTOR}", FILES_BASE * FACTOR)):
+        pc = f"{work}/delta_cow_{label}"
+        pd_ = f"{work}/delta_dv_{label}"
+        build_delta(spark, src, pc, fpc)
+        build_delta(spark, src, pd_, fpc)
+        t0 = time.perf_counter()
+        _v, touched_c, _u = deltalog.delete_where(
+            spark, pc, "o_orderkey % 128 = 0"
+        )
+        t_cow = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _v, touched_d, _u = deltalog.delete_where(
+            spark, pd_, "o_orderkey % 128 = 0", mode="deletion-vectors"
+        )
+        t_dv = time.perf_counter() - t0
+        nc = deltalog.read_delta(spark, pc).count()
+        nd = deltalog.read_delta(spark, pd_).count()
+        print(
+            f"delete {label}: cow {t_cow*1000:.0f}ms ({touched_c} files "
+            f"rewritten) vs dv {t_dv*1000:.0f}ms ({touched_d} files "
+            f"annotated) = {t_cow/t_dv:.1f}x; rows {nc}=={nd} "
+            f"{'OK' if nc == nd else 'FAIL'}"
+        )
+
     if work.startswith(tempfile.gettempdir()):
         shutil.rmtree(work, ignore_errors=True)
 
