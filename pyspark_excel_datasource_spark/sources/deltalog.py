@@ -1575,14 +1575,6 @@ def restore_table(spark: SparkSession, table_path: str, version: int) -> int:
             f"its data files were physically removed (VACUUM), e.g. "
             f"{missing[0]!r}"
         )
-    if target.metadata.get("partitionColumns") != prev.metadata.get(
-        "partitionColumns"
-    ):
-        # partition-spec changes ride metaData actions; re-adding old
-        # files under the head's spec would mis-key their pv attach
-        restore_md = dict(target.metadata)
-    else:
-        restore_md = None
     actions: list[dict[str, Any]] = [
         {
             "commitInfo": {
@@ -1591,8 +1583,14 @@ def restore_table(spark: SparkSession, table_path: str, version: int) -> int:
             }
         }
     ]
-    if restore_md is not None or target.metadata.get("schemaString") != prev.metadata.get("schemaString"):
-        # the target's schema/spec must govern the restored rows
+    # the target's schema AND partition spec must govern the restored
+    # rows: re-adding old files under the head's definitions would
+    # mis-key their pv attach or misread their columns
+    if target.metadata.get("partitionColumns") != prev.metadata.get(
+        "partitionColumns"
+    ) or target.metadata.get("schemaString") != prev.metadata.get(
+        "schemaString"
+    ):
         actions.append({"metaData": dict(target.metadata)})
     for rel in sorted(set(prev.files) - set(target.files)):
         actions.append(

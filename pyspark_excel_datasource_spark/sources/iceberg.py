@@ -852,7 +852,9 @@ def write_iceberg(
             if f.get("required")
         ]
         if req:
-            cond = " OR ".join(f"{c} IS NULL" for c in req)
+            # backtick-quote: a required column named like a keyword or
+            # containing spaces must not break the SQL predicate
+            cond = " OR ".join(f"`{c}` IS NULL" for c in req)
             bad = df.filter(F.expr(cond)).limit(1).collect()
             if bad:
                 raise ValueError(
