@@ -151,6 +151,9 @@ _PRIORITY: tuple[str, ...] = (
     "q_iceberg_rollback",
     "q_scan_iceberg_eqdel",
     "q_delta_delete_dv",
+    # D2. authored in round 11 (appended as they land)
+    "q_delta_update",
+    "q_delta_update_dv",
     # E. stalest prior greens (re-verification fill): r1 vintage (10)
     "q_agg_argmax",
     "q_agg_histogram",

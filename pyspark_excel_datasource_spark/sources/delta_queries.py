@@ -1100,3 +1100,125 @@ def q_delta_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c_custkey").cast("long").alias("sum_key"),
         )
     )
+
+
+@query(
+    "q_delta_update",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                AS DECIMAL(38,2)) AS VARCHAR) AS sum_price
+    FROM (
+        SELECT CASE WHEN o_orderkey <= (SELECT MAX(o_orderkey) // 4 FROM orders)
+                    THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey <= (SELECT MAX(o_orderkey) // 4 FROM orders)
+                    THEN o_totalprice + 100.0 ELSE o_totalprice END
+                   AS o_totalprice
+        FROM orders
+    )
+    GROUP BY o_orderstatus
+    """,
+)
+def q_delta_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level UPDATE with file-granular copy-on-write: the table is
+    range-clustered on ``o_orderkey``, so the bottom-quartile predicate
+    matches rows in only SOME files; ``deltalog.update_where`` rewrites
+    exactly those files — matched rows get the multi-column SET
+    (status → 'U', price += 100) applied in place, unmatched neighbours
+    are carried verbatim — and unmatched FILES stay byte-identical on
+    disk, swapped atomically as removes+adds in one commit. The oracle
+    restates the UPDATE as a CASE projection over the base table;
+    identical group-census hashes prove the rewrite updated exactly the
+    predicate rows and lost none of the carried ones. Scale: UPDATE
+    cost is proportional to files *containing* matches, not table size.
+    """
+    from .deltalog import update_where
+
+    out = os.path.join(_fixture_dir(sf_dir), "orders_update_cow_delta")
+    done = os.path.join(out, "_delta_log", f"{1:020d}.json")
+    if not os.path.exists(done):
+        shutil.rmtree(out, ignore_errors=True)
+        orders = table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        write_delta(
+            spark,
+            orders.repartitionByRange(4, "o_orderkey"),
+            out,
+            checkpoint_interval=0,
+        )
+        cut = orders.agg(F.expr("max(o_orderkey) div 4").alias("c")).collect()[0].c
+        update_where(
+            spark,
+            out,
+            f"o_orderkey <= {cut}",
+            {"o_orderstatus": "'U'", "o_totalprice": "o_totalprice + 100.0"},
+        )
+    return (
+        read_delta(spark, out)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .cast("string")
+            .alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "q_delta_update_dv",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(c_custkey) AS BIGINT) AS sum_key,
+           CAST(CAST(SUM(CAST(ABS(c_acctbal) AS DECIMAL(18,2)))
+                AS DECIMAL(38,2)) AS VARCHAR) AS sum_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q_delta_update_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPDATE via deletion vectors: flipping every
+    negative balance positive (``SET c_acctbal = -c_acctbal WHERE
+    c_acctbal < 0``) rewrites NO data file — each matched file is
+    re-added with a roaring-bitmap DV of the matched row positions and
+    the updated rows are APPENDED as new files in the same atomic
+    commit. The oracle is the plain base-table census with ABS():
+    row count per segment unchanged, key sums unchanged, balance sums
+    equal to the absolute values — which holds only if the DV hid
+    exactly the pre-update rows and the append added exactly their
+    updated twins, once each. Scale: the 100 TB UPDATE story — bytes
+    of bitmap metadata plus a match-sized append instead of rewriting
+    every touched 1 GB file; ``optimize`` later folds the DVs away."""
+    from .deltalog import update_where
+
+    out = os.path.join(_fixture_dir(sf_dir), "customer_mor_update_delta")
+    done = os.path.join(out, "_delta_log", f"{1:020d}.json")
+    if not os.path.exists(done):
+        shutil.rmtree(out, ignore_errors=True)
+        cust = table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal", "c_mktsegment"
+        )
+        write_delta(spark, cust, out)
+        update_where(
+            spark,
+            out,
+            "c_acctbal < 0",
+            {"c_acctbal": "-c_acctbal"},
+            mode="deletion-vectors",
+        )
+    return (
+        read_delta(spark, out)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_cust"),
+            F.sum("c_custkey").cast("long").alias("sum_key"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .cast("string")
+            .alias("sum_bal"),
+        )
+    )

@@ -684,3 +684,168 @@ def test_delete_where_on_encoded_partition_values(spark, tmp_path):
             mode,
             sorted(snap.files),
         )
+
+
+def test_update_where_is_file_granular(spark, tmp_path):
+    from pyspark_excel_datasource_spark.sources.deltalog import update_where
+
+    path = str(tmp_path / "t")
+    cust = spark.read.parquet(os.path.join(SF, "customer.parquet")).select(
+        "c_custkey", "c_acctbal"
+    )
+    write_delta(spark, cust.repartitionByRange(4, "c_custkey"), path)
+    before = snapshot(path)
+    cut = cust.agg(F.expr("max(c_custkey) div 4")).collect()[0][0]
+    v, rewritten, untouched = update_where(
+        spark, path, f"c_custkey <= {cut}", {"c_acctbal": "c_acctbal + 1.0"}
+    )
+    after = snapshot(path)
+    # range clustering => the predicate touches only the low-range files
+    assert rewritten >= 1 and untouched >= 1
+    assert rewritten + untouched == len(before.files)
+    # untouched files keep their exact paths across the commit
+    assert len(set(before.files) & set(after.files)) == untouched
+    got = read_delta(spark, path)
+    # row count preserved; matched rows bumped, carried rows verbatim
+    assert got.count() == cust.count()
+    exp_sum = cust.agg(
+        F.sum(
+            F.when(
+                F.col("c_custkey") <= cut, F.col("c_acctbal") + 1.0
+            ).otherwise(F.col("c_acctbal")).cast("decimal(18,2)")
+        )
+    ).collect()[0][0]
+    assert (
+        got.agg(F.sum(F.col("c_acctbal").cast("decimal(18,2)"))).collect()[0][0]
+        == exp_sum
+    )
+    # no matching rows => no-op, version unchanged
+    v2, r2, _u2 = update_where(
+        spark, path, "c_custkey < 0", {"c_acctbal": "0.0"}
+    )
+    assert (v2, r2) == (v, 0)
+    assert history(path)[0]["operation"] == "UPDATE"
+
+
+def test_update_where_null_predicate_keeps_rows(spark, tmp_path):
+    from pyspark_excel_datasource_spark.sources.deltalog import update_where
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 50.0)], "id int, v double"
+    )
+    write_delta(spark, df, path)
+    update_where(spark, path, "v > 10", {"id": "id + 100"})
+    got = {(r.id, r.v) for r in read_delta(spark, path).collect()}
+    # NULL > 10 is NULL -> row 2 untouched (SQL UPDATE semantics)
+    assert got == {(1, 5.0), (2, None), (103, 50.0)}
+
+
+def test_update_where_dv_writes_no_data_bytes(spark, tmp_path):
+    from pyspark_excel_datasource_spark.sources.deltalog import update_where
+
+    path = str(tmp_path / "t")
+    cust = spark.read.parquet(os.path.join(SF, "customer.parquet")).select(
+        "c_custkey", "c_acctbal"
+    )
+    write_delta(spark, cust.repartitionByRange(4, "c_custkey"), path)
+    before = snapshot(path)
+    sizes_before = {
+        rel: os.path.getsize(os.path.join(path, rel)) for rel in before.files
+    }
+    n_neg = cust.filter(F.col("c_acctbal") < 0).count()
+    assert n_neg > 0
+    v, touched, _ = update_where(
+        spark, path, "c_acctbal < 0", {"c_acctbal": "-c_acctbal"},
+        mode="deletion-vectors",
+    )
+    after = snapshot(path)
+    # every pre-existing data file survives byte-identical
+    for rel, size in sizes_before.items():
+        assert rel in after.files
+        assert os.path.getsize(os.path.join(path, rel)) == size
+    # matched files carry DVs; updated rows arrived as appended files
+    assert touched >= 1 and len(after.dvs) == touched
+    assert set(before.files) <= set(after.files)
+    assert len(after.files) > len(before.files)
+    got = read_delta(spark, path)
+    assert got.count() == cust.count()
+    assert got.filter(F.col("c_acctbal") < 0).count() == 0
+    # a later COW update on the DV'd table must not resurrect hidden rows
+    update_where(spark, path, "c_acctbal >= 0", {"c_acctbal": "c_acctbal"})
+    assert read_delta(spark, path).count() == cust.count()
+
+
+def test_update_where_enforces_check_constraints(spark, tmp_path):
+    from pyspark_excel_datasource_spark.sources.deltalog import (
+        DeltaConstraintViolationError,
+        add_check_constraint,
+        update_where,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 5.0), (2, 7.0)], "id int, v double")
+    write_delta(spark, df, path)
+    add_check_constraint(spark, path, "v_pos", "v > 0")
+    v_before = snapshot(path).version
+    with pytest.raises(DeltaConstraintViolationError):
+        update_where(spark, path, "id = 1", {"v": "-v"})
+    # aborted before any commit; table unchanged
+    assert snapshot(path).version == v_before
+    assert {r.v for r in read_delta(spark, path).collect()} == {5.0, 7.0}
+    with pytest.raises(DeltaConstraintViolationError):
+        update_where(
+            spark, path, "id = 1", {"v": "-v"}, mode="deletion-vectors"
+        )
+    assert snapshot(path).version == v_before
+
+
+def test_update_where_set_is_cast_to_column_type(spark, tmp_path):
+    from pyspark_excel_datasource_spark.sources.deltalog import update_where
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 5.0), (2, 7.0)], "id int, v double")
+    write_delta(spark, df, path)
+    before_schema = read_delta(spark, path).schema
+    # the SET expression is BIGINT; the column stays INT
+    update_where(spark, path, "id = 2", {"id": "CAST(id AS BIGINT) + 40"})
+    got = read_delta(spark, path)
+    assert got.schema == before_schema
+    assert {r.id for r in got.collect()} == {1, 42}
+
+
+def test_update_where_moves_rows_across_partitions(spark, tmp_path):
+    from pyspark_excel_datasource_spark.sources.deltalog import update_where
+
+    path = str(tmp_path / "t")
+    n = _nation(spark)
+    write_delta(spark, n, path, partition_by=("n_regionkey",))
+    update_where(
+        spark, path, "n_regionkey = 0", {"n_regionkey": "9"}
+    )
+    got = read_delta(spark, path)
+    assert got.filter(F.col("n_regionkey") == 0).count() == 0
+    assert (
+        got.filter(F.col("n_regionkey") == 9).count()
+        == n.filter(F.col("n_regionkey") == 0).count()
+    )
+    # moved rows landed under the new hive dir (partition col is
+    # log-only, so the pv map is what must have moved)
+    moved = {
+        rel
+        for rel, pv in snapshot(path).files.items()
+        if pv.get("n_regionkey") == "9"
+    }
+    assert moved
+
+
+def test_update_where_rejects_unknown_set_column(spark, tmp_path):
+    from pyspark_excel_datasource_spark.sources.deltalog import update_where
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 5.0)], "id int, v double")
+    write_delta(spark, df, path)
+    with pytest.raises(ValueError, match="unknown columns"):
+        update_where(spark, path, "id = 1", {"nope": "1"})
+    with pytest.raises(ValueError, match="empty SET"):
+        update_where(spark, path, "id = 1", {})
