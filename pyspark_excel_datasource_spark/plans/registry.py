@@ -154,6 +154,7 @@ _PRIORITY: tuple[str, ...] = (
     # D2. authored in round 11 (appended as they land)
     "q_delta_update",
     "q_delta_update_dv",
+    "q_iceberg_partition_evolution",
     # E. stalest prior greens (re-verification fill): r1 vintage (10)
     "q_agg_argmax",
     "q_agg_histogram",

@@ -247,6 +247,13 @@ class IcebergSnapshot:
     )
     #: spec field id → column name, from the snapshot's resolved schema
     field_names_by_id: dict[int, str] = field(default_factory=dict)
+    #: partition evolution: data-file path → the partition-spec id its
+    #: manifest was written under, and spec id → that spec's identity
+    #: partition column names. A snapshot whose files span >1 spec is
+    #: read per spec class (each file's partition columns come from ITS
+    #: spec's metadata; the other specs' columns live in its data).
+    files_pspec: dict[str, int] = field(default_factory=dict)
+    spec_pcols: dict[int, list[str]] = field(default_factory=dict)
 
 
 def _meta_dir(path: str) -> str:
@@ -299,18 +306,35 @@ def snapshot_iceberg(
         spec_fields = by_id.get(snap_md["spec-id"], {"fields": spec_fields})[
             "fields"
         ]
-    pcols: list[str] = []
-    for spec in spec_fields:
-        if spec.get("transform") != "identity":
-            raise IcebergFormatError(
-                f"unsupported partition transform {spec.get('transform')!r}"
-            )
-        pcols.append(field_names.get(spec["source-id"], spec["name"]))
+    def _identity_cols(fields: list[dict]) -> list[str]:
+        cols = []
+        for sp in fields:
+            if sp.get("transform") != "identity":
+                raise IcebergFormatError(
+                    f"unsupported partition transform {sp.get('transform')!r}"
+                )
+            cols.append(field_names.get(sp["source-id"], sp["name"]))
+        return cols
+
+    pcols = _identity_cols(spec_fields)
+    all_specs = {
+        s["spec-id"]: s["fields"] for s in md.get("partition-specs", [])
+    }
     files: dict[str, dict[str, str | None]] = {}
     files_seq: dict[str, int] = {}
-    for df_rec, seq in _live_data_files(table_path, snap_md):
+    files_pspec: dict[str, int] = {}
+    spec_pcols: dict[int, list[str]] = {}
+    for df_rec, seq, spec_id in _live_data_files(table_path, snap_md):
         files[df_rec["file_path"]] = dict(df_rec.get("partition") or {})
         files_seq[df_rec["file_path"]] = seq
+        files_pspec[df_rec["file_path"]] = spec_id
+        if spec_id not in spec_pcols:
+            # only specs actually referenced by live files are resolved
+            # (and validated identity-only) — a retired exotic spec in
+            # the registry must not fail a read that never touches it
+            spec_pcols[spec_id] = _identity_cols(
+                all_specs.get(spec_id, spec_fields)
+            )
     # v2 position deletes: normalize each delete's target path to the
     # exact files-map key (deletes may spell the path absolute while
     # the data manifest stored it relative, or vice versa); targets
@@ -337,6 +361,8 @@ def snapshot_iceberg(
         files_seq=files_seq,
         equality_deletes=eq_deletes,
         field_names_by_id=field_names,
+        files_pspec=files_pspec,
+        spec_pcols=spec_pcols,
     )
 
 
@@ -370,8 +396,11 @@ def _entry_seq(entry: dict[str, Any], m: dict[str, Any]) -> int:
 
 def _live_data_files(table_path: str, snap_md: dict[str, Any]):
     """Walk one snapshot's manifest list → manifests, yielding each LIVE
-    (status != DELETED) ``(data_file record, data sequence number)``
-    after the parquet gate. The one copy of the metadata-tree walk that
+    (status != DELETED) ``(data_file record, data sequence number,
+    partition spec id)`` after the parquet gate. The spec id comes from
+    the manifest-list entry — a manifest carries files of exactly one
+    spec, which is how mixed-spec snapshots (partition evolution) stay
+    readable. The one copy of the metadata-tree walk that
     snapshot_iceberg and files_meta share."""
     mlist = snap_md["manifest-list"]
     mlist = mlist if os.path.isabs(mlist) else os.path.join(table_path, mlist)
@@ -380,6 +409,7 @@ def _live_data_files(table_path: str, snap_md: dict[str, Any]):
             continue  # v2 delete manifest — see _delete_files
         mpath = m["manifest_path"]
         mpath = mpath if os.path.isabs(mpath) else os.path.join(table_path, mpath)
+        spec_id = int(m.get("partition_spec_id") or 0)
         for entry in _read_avro(mpath):
             if entry["status"] == 2:  # DELETED
                 continue
@@ -393,7 +423,7 @@ def _live_data_files(table_path: str, snap_md: dict[str, Any]):
                 raise IcebergFormatError(
                     f"unsupported data file format {df_rec['file_format']}"
                 )
-            yield df_rec, _entry_seq(entry, m)
+            yield df_rec, _entry_seq(entry, m), spec_id
 
 
 def _delete_files(
@@ -478,24 +508,69 @@ def read_iceberg(
 
     snap = snapshot_iceberg(table_path, snapshot_id)
     files = snap.files
+
+    def _pcols_of(p: str) -> list[str]:
+        return snap.spec_pcols.get(
+            snap.files_pspec.get(p, -1), snap.partition_columns
+        )
+
     if partition_filter:
-        unknown = set(partition_filter) - set(snap.partition_columns)
+        # a filter column must be an identity partition column in at
+        # least one LIVE spec (else the caller misspelled it); files
+        # whose own spec covers the column prune at the manifest level,
+        # files from other specs keep the column in their DATA (it was
+        # a regular column when they were written) and get an in-scan
+        # filter below — same rows either way, pruning where possible
+        spec_cols = set(snap.partition_columns)
+        for cols in snap.spec_pcols.values():
+            spec_cols |= set(cols)
+        unknown = set(partition_filter) - spec_cols
         if unknown:
             raise ValueError(f"partition_filter on non-partition columns: {unknown}")
         files = {
             p: pv
             for p, pv in files.items()
-            if all(pv.get(c) in allowed for c, allowed in partition_filter.items())
+            if all(
+                pv.get(c) in allowed
+                for c, allowed in partition_filter.items()
+                if c in _pcols_of(p)
+            )
         }
+
+    def _scan(subset: dict) -> DataFrame:
+        """One pushed-down scan per partition-spec class (files sharing
+        identity partition columns), unioned back; single-spec tables
+        take the one-scan path unchanged."""
+        groups: dict[tuple[str, ...], dict] = {}
+        for p, pv in subset.items():
+            groups.setdefault(tuple(_pcols_of(p)), {})[p] = pv
+        if not groups:
+            groups[tuple(snap.partition_columns)] = {}
+        frames: list[DataFrame] = []
+        for cols, sub in sorted(groups.items()):
+            part = _read_files(
+                spark,
+                table_path,
+                sub,
+                snap.schema,
+                list(cols),
+                deleted_positions=snap.deleted_positions,
+            )
+            if partition_filter:
+                for c in sorted(set(partition_filter) - set(cols)):
+                    part = part.filter(
+                        F.col(c)
+                        .cast("string")
+                        .isin(sorted(v for v in partition_filter[c] if v is not None))
+                    )
+            frames.append(part)
+        out_ = frames[0]
+        for f_ in frames[1:]:
+            out_ = out_.unionByName(f_)
+        return out_
+
     if not snap.equality_deletes:
-        out = _read_files(
-            spark,
-            table_path,
-            files,
-            snap.schema,
-            snap.partition_columns,
-            deleted_positions=snap.deleted_positions,
-        )
+        out = _scan(files)
     else:
         # EQUALITY deletes apply to data files STRICTLY OLDER than the
         # delete (data seq < delete seq — the spec's ordering rule), so
@@ -521,14 +596,7 @@ def read_iceberg(
             classes.setdefault(key, {})[pth] = pv
         parts: list[DataFrame] = []
         for key, subset in sorted(classes.items()):
-            part = _read_files(
-                spark,
-                table_path,
-                subset,
-                snap.schema,
-                snap.partition_columns,
-                deleted_positions=snap.deleted_positions,
-            )
+            part = _scan(subset)
             for applies, (g_seq, ids, paths) in zip(key, groups):
                 if not applies:
                     continue
@@ -577,7 +645,7 @@ def files_meta(
             "record_count": rec["record_count"],
             "file_size_in_bytes": rec["file_size_in_bytes"],
         }
-        for rec, _seq in _live_data_files(table_path, snap_md)
+        for rec, _seq, _spec in _live_data_files(table_path, snap_md)
     ]
 
 
@@ -635,6 +703,56 @@ def rename_column_iceberg(table_path: str, old: str, new: str) -> int:
     new_md["schemas"] = schemas
     _publish_metadata(table_path, new_md, version)
     return version
+
+
+def evolve_partition_spec(
+    table_path: str, partition_by: tuple[str, ...]
+) -> int:
+    """ALTER TABLE … partition evolution as Iceberg defines it: a
+    METADATA-ONLY commit that registers a new partition spec (new
+    spec-id) and makes it the table default for FUTURE writes. No data
+    moves — existing files stay under the spec they were written with
+    (their manifests keep that spec id), and the reader resolves each
+    file's partition columns through ITS manifest's spec, scanning
+    mixed-spec snapshots as one union of per-spec classes. This is the
+    at-scale answer to "we partitioned by day, we need day+tenant now":
+    a 100 TB table re-specs in one metadata write instead of a rewrite,
+    queries prune new data on the new columns immediately, and old data
+    prunes on whatever its own spec recorded. Returns the new default
+    spec id. Identity transforms only (this writer's surface);
+    evolving TO a spec the table already used re-activates that spec id
+    rather than minting a new one, per the spec's registry semantics.
+    """
+    md = _current_metadata(table_path)
+    _require_v1(md, "evolve_partition_spec")
+    name_to_id = {f["name"]: f["id"] for f in md["schema"]["fields"]}
+    unknown = [c for c in partition_by if c not in name_to_id]
+    if unknown:
+        raise ValueError(f"partition_by columns not in schema: {unknown}")
+    cur = [s["name"] for s in md.get("partition-spec", [])]
+    if list(partition_by) == cur:
+        raise ValueError(f"table is already partitioned by {cur}")
+    spec = [
+        {
+            "name": c,
+            "transform": "identity",
+            "source-id": name_to_id[c],
+            "field-id": 1000 + i,
+        }
+        for i, c in enumerate(partition_by)
+    ]
+    specs = list(md.get("partition-specs", []))
+    smatch = next((s for s in specs if s["fields"] == spec), None)
+    if smatch is None:
+        spec_id = max((s["spec-id"] for s in specs), default=-1) + 1
+        specs.append({"spec-id": spec_id, "fields": spec})
+    else:
+        spec_id = smatch["spec-id"]
+    new_md = {k: v for k, v in md.items() if k != "_version"}
+    new_md["partition-spec"] = spec
+    new_md["partition-specs"] = specs
+    _publish_metadata(table_path, new_md, md["_version"] + 1)
+    return spec_id
 
 
 def rollback_iceberg(table_path: str, snapshot_id: int) -> int:
@@ -862,6 +980,27 @@ def write_iceberg(
                     f"{bad[0].asDict()}"
                 )
 
+    # 0b. resolve this write's partition spec id BEFORE building any
+    # metadata that references it — the manifest-list entry must carry
+    # the REAL spec id (partition evolution makes ids > 0 routine; a
+    # hardcoded 0 mis-attributes every post-evolution manifest)
+    spec = [
+        {
+            "name": c,
+            "transform": "identity",
+            "source-id": name_to_id[c],
+            "field-id": 1000 + i,
+        }
+        for i, c in enumerate(partition_by)
+    ]
+    specs = list(prev_md.get("partition-specs", [])) if prev_md else []
+    smatch = next((s for s in specs if s["fields"] == spec), None)
+    if smatch is None:
+        spec_id = max((s["spec-id"] for s in specs), default=-1) + 1
+        specs.append({"spec-id": spec_id, "fields": spec})
+    else:
+        spec_id = smatch["spec-id"]
+
     # 1. parallel data write → move under data/ with uuid names; identity
     # partition values come from the hive-layout staging dirs (the data
     # files omit the partition columns — legal per the spec's identity
@@ -927,7 +1066,7 @@ def write_iceberg(
     mlen = os.path.getsize(os.path.join(table_path, manifest_rel))
 
     # 3. manifest list = new manifest (+ previous snapshot's, on append)
-    entries: list[tuple] = [(manifest_rel, mlen, 0, snap_id)]
+    entries: list[tuple] = [(manifest_rel, mlen, spec_id, snap_id)]
     if mode == "append" and prev_md is not None and prev_md.get("snapshots"):
         cur = {s["snapshot-id"]: s for s in prev_md["snapshots"]}[
             prev_md["current-snapshot-id"]
@@ -949,16 +1088,6 @@ def write_iceberg(
     _write_avro(os.path.join(table_path, mlist_rel), _MANIFEST_LIST_SCHEMA, entries)
 
     # 4. metadata JSON + atomic publish
-    spec = [
-        {
-            "name": c,
-            "transform": "identity",
-            "source-id": name_to_id[c],
-            "field-id": 1000 + i,
-        }
-        for i, c in enumerate(pcols)
-    ]
-
     # versioned schema/spec registries: time travel resolves a snapshot
     # through its own schema-id/spec-id, so an overwrite that changes
     # either never rewrites how OLD snapshots read (finding: resolving
@@ -976,13 +1105,6 @@ def write_iceberg(
     else:
         schema_id = match["schema-id"]
         ice_schema = match
-    specs = list(prev_md.get("partition-specs", [])) if prev_md else []
-    smatch = next((s for s in specs if s["fields"] == spec), None)
-    if smatch is None:
-        spec_id = max((s["spec-id"] for s in specs), default=-1) + 1
-        specs.append({"spec-id": spec_id, "fields": spec})
-    else:
-        spec_id = smatch["spec-id"]
 
     snaps = list(prev_md["snapshots"]) if prev_md else []
     snaps.append(

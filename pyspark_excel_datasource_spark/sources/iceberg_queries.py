@@ -1058,3 +1058,86 @@ def q_scan_iceberg_eqdel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c_custkey").cast("long").alias("sum_key"),
         )
     )
+
+
+def _materialize_orders_iceberg_evolved(
+    spark: SparkSession, sf_dir: str
+) -> str:
+    """orders → Iceberg table whose TWO snapshots straddle a partition
+    evolution: s1 partitioned by o_orderstatus, metadata-only re-spec
+    to o_orderpriority, s2 appended under the new spec."""
+    import shutil
+
+    from .iceberg import evolve_partition_spec
+
+    out = os.path.join(_fixture_dir(sf_dir), "orders_iceberg_evolved")
+    done = os.path.join(out, "metadata", "v3.metadata.json")
+    if os.path.exists(done):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    third = F.col("o_orderkey") % 3 == 0
+    write_iceberg(
+        spark, orders.filter(~third), out, partition_by=("o_orderstatus",)
+    )
+    evolve_partition_spec(out, ("o_orderpriority",))
+    write_iceberg(
+        spark, orders.filter(third), out, mode="append",
+        partition_by=("o_orderpriority",),
+    )
+    return out
+
+
+@query(
+    "q_iceberg_partition_evolution",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                AS DECIMAL(38,2)) AS VARCHAR) AS sum_price
+    FROM orders
+    WHERE o_orderstatus = 'O'
+      AND o_orderpriority IN ('1-URGENT', '5-LOW')
+    GROUP BY o_orderpriority
+    """,
+)
+def q_iceberg_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition evolution: the fixture re-specs the table from
+    by-status to by-priority in ONE metadata-only commit
+    (``evolve_partition_spec`` — no data moves), then appends under the
+    new spec, so the current snapshot's files span two partition specs.
+    The read resolves each file's partition columns through ITS
+    manifest's spec id and scans the snapshot as a union of per-spec
+    classes; the two-column ``partition_filter`` prunes each class at
+    the manifest level on the column its spec covers and filters
+    in-scan on the other (which lives in that class's DATA — it was a
+    regular column when those files were written). The oracle restates
+    both predicates as plain filters over the base table: identical
+    group censuses prove the mixed-spec scan loses nothing, double
+    prunes nothing, and re-attaches every identity partition value
+    losslessly on both sides of the evolution. Scale: this is how a
+    100 TB table changes partitioning without a rewrite.
+    """
+    path = _materialize_orders_iceberg_evolved(spark, sf_dir)
+    return (
+        read_iceberg(
+            spark,
+            path,
+            partition_filter={
+                "o_orderstatus": {"O"},
+                "o_orderpriority": {"1-URGENT", "5-LOW"},
+            },
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .cast("string")
+            .alias("sum_price"),
+        )
+    )

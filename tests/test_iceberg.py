@@ -704,3 +704,125 @@ def test_rewrite_provenance_inherits_null_snapshot_ids(spark, tmp_path):
     )
     assert set(snap["summary"]["replaced-snapshot-ids"]) == {1, 2}
     assert read_iceberg(spark, path).count() == 2 * n.count()
+
+
+def _evolved_table(spark, tmp_path):
+    from pyspark_excel_datasource_spark.sources.iceberg import (
+        evolve_partition_spec,
+    )
+
+    path = str(tmp_path / "evo")
+    df = spark.createDataFrame(
+        [(i, f"r{i % 2}", f"s{i % 3}", float(i)) for i in range(60)],
+        "id int, region string, seg string, v double",
+    )
+    write_iceberg(spark, df.filter("id < 30"), path, partition_by=("region",))
+    evolve_partition_spec(path, ("seg",))
+    write_iceberg(
+        spark, df.filter("id >= 30"), path, mode="append", partition_by=("seg",)
+    )
+    return path, df
+
+
+def test_partition_evolution_is_metadata_only(spark, tmp_path):
+    from pyspark_excel_datasource_spark.sources.iceberg import (
+        evolve_partition_spec,
+    )
+
+    path = str(tmp_path / "t")
+    n = _nation(spark)
+    write_iceberg(spark, n, path, partition_by=("n_regionkey",))
+    files_before = set(snapshot_iceberg(path).files)
+    snaps_before = len(snapshots(path))
+    evolve_partition_spec(path, ("n_nationkey",))
+    # no new snapshot, no file moved — one metadata version only
+    assert len(snapshots(path)) == snaps_before
+    assert set(snapshot_iceberg(path).files) == files_before
+    with pytest.raises(ValueError, match="already partitioned"):
+        evolve_partition_spec(path, ("n_nationkey",))
+    with pytest.raises(ValueError, match="not in schema"):
+        evolve_partition_spec(path, ("nope",))
+
+
+def test_partition_evolution_mixed_spec_read_and_prune(spark, tmp_path):
+    path, df = _evolved_table(spark, tmp_path)
+    snap = snapshot_iceberg(path)
+    # files genuinely span two specs
+    assert sorted(map(tuple, snap.spec_pcols.values())) == [("region",), ("seg",)]
+    got = read_iceberg(spark, path)
+    assert got.count() == 60
+    assert got.schema.simpleString() == df.schema.simpleString()
+    # census across the evolution boundary is lossless
+    assert sorted(
+        map(tuple, got.groupBy("region", "seg").count().collect())
+    ) == sorted(map(tuple, df.groupBy("region", "seg").count().collect()))
+    # prune on the OLD spec column, the NEW one, and both at once
+    for filt, cond in [
+        ({"region": {"r0"}}, "region='r0'"),
+        ({"seg": {"s1"}}, "seg='s1'"),
+        ({"region": {"r0"}, "seg": {"s1"}}, "region='r0' and seg='s1'"),
+    ]:
+        assert (
+            read_iceberg(spark, path, partition_filter=filt).count()
+            == df.filter(cond).count()
+        ), filt
+
+
+def test_partition_evolution_prunes_new_spec_files_at_manifest_level(
+    spark, tmp_path
+):
+    path, df = _evolved_table(spark, tmp_path)
+    snap = snapshot_iceberg(path)
+    by_spec = {}
+    for p, sid in snap.files_pspec.items():
+        by_spec.setdefault(tuple(snap.spec_pcols[sid]), set()).add(p)
+    # a seg filter keeps every old-spec file (seg lives in their data)
+    # but drops the non-matching new-spec files before any IO
+    seg_files = by_spec[("seg",)]
+    kept = {
+        p
+        for p, pv in snap.files.items()
+        if p not in seg_files or pv.get("seg") == "s1"
+    }
+    assert len(kept) < len(snap.files)
+    got = read_iceberg(spark, path, partition_filter={"seg": {"s1"}})
+    scanned = {
+        os.path.relpath(f.replace("file:", ""), path) for f in got.inputFiles()
+    }
+    assert scanned == kept
+
+
+def test_partition_evolution_time_travel_uses_snapshot_spec(spark, tmp_path):
+    path, df = _evolved_table(spark, tmp_path)
+    # snapshot 1 predates the evolution: single-spec read, old pcols
+    old = read_iceberg(spark, path, snapshot_id=1)
+    assert old.count() == 30
+    assert sorted(map(tuple, old.groupBy("region").count().collect())) == sorted(
+        map(tuple, df.filter("id < 30").groupBy("region").count().collect())
+    )
+    snap1 = snapshot_iceberg(path, snapshot_id=1)
+    assert snap1.partition_columns == ["region"]
+
+
+def test_append_after_evolution_must_use_current_spec(spark, tmp_path):
+    path, _df = _evolved_table(spark, tmp_path)
+    extra = spark.createDataFrame(
+        [(100, "r0", "s0", 1.0)], "id int, region string, seg string, v double"
+    )
+    with pytest.raises(ValueError, match="partition_by"):
+        write_iceberg(
+            spark, extra, path, mode="append", partition_by=("region",)
+        )
+
+
+def test_evolution_back_reactivates_prior_spec_id(spark, tmp_path):
+    from pyspark_excel_datasource_spark.sources.iceberg import (
+        evolve_partition_spec,
+    )
+
+    path = str(tmp_path / "t")
+    n = _nation(spark)
+    write_iceberg(spark, n, path, partition_by=("n_regionkey",))
+    sid_b = evolve_partition_spec(path, ("n_nationkey",))
+    sid_a = evolve_partition_spec(path, ("n_regionkey",))
+    assert sid_b == 1 and sid_a == 0  # registry reuse, not a new id
