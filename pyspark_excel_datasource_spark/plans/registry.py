@@ -155,6 +155,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_delta_update",
     "q_delta_update_dv",
     "q_iceberg_partition_evolution",
+    "q_iceberg_branch",
     # E. stalest prior greens (re-verification fill): r1 vintage (10)
     "q_agg_argmax",
     "q_agg_histogram",

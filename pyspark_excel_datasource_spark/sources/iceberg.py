@@ -274,13 +274,26 @@ def _current_metadata(table_path: str) -> dict[str, Any]:
 
 
 def snapshot_iceberg(
-    table_path: str, snapshot_id: int | None = None
+    table_path: str, snapshot_id: int | None = None, ref: str | None = None
 ) -> IcebergSnapshot:
     """Resolve one snapshot's live data files: metadata JSON → manifest
     list (Avro) → manifests (Avro) → entries with status != 2 (DELETED).
     No replay — cost is O(manifests of this snapshot), independent of
-    table history, the structural difference from the Delta log."""
+    table history, the structural difference from the Delta log.
+
+    ``ref`` resolves a named branch or tag from the metadata ``refs``
+    registry to its head snapshot (then reads exactly like time travel
+    to that snapshot id — the snapshot's own schema/spec)."""
     md = _current_metadata(table_path)
+    if ref is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass snapshot_id or ref, not both")
+        r = (md.get("refs") or {}).get(ref)
+        if r is None:
+            raise ValueError(
+                f"unknown ref {ref!r} (refs: {sorted(md.get('refs') or {})})"
+            )
+        snapshot_id = r["snapshot-id"]
     snap_md = _resolve_snapshot_md(md, snapshot_id)
     sid = snap_md["snapshot-id"]
 
@@ -494,6 +507,7 @@ def read_iceberg(
     table_path: str,
     snapshot_id: int | None = None,
     partition_filter: dict[str, set[str]] | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
     """Snapshot-consistent read (optionally time travel by snapshot id).
 
@@ -506,7 +520,7 @@ def read_iceberg(
     pushdown either way."""
     from .deltalog import _read_files
 
-    snap = snapshot_iceberg(table_path, snapshot_id)
+    snap = snapshot_iceberg(table_path, snapshot_id, ref=ref)
     files = snap.files
 
     def _pcols_of(p: str) -> list[str]:
@@ -705,6 +719,57 @@ def rename_column_iceberg(table_path: str, old: str, new: str) -> int:
     return version
 
 
+def create_ref(
+    table_path: str,
+    name: str,
+    ref_type: str = "branch",
+    snapshot_id: int | None = None,
+) -> int:
+    """Create a named BRANCH (mutable head, advanced by
+    ``write_iceberg(branch=...)``) or TAG (immutable label) pointing at
+    ``snapshot_id`` (default: the current snapshot) — one metadata-only
+    commit to the spec's ``refs`` registry. Branch/tag heads are GC
+    roots: ``expire_snapshots`` never expires a snapshot a ref points
+    at. Returns the referenced snapshot id. This is the audit-branch /
+    reproducible-tag workflow at 100 TB: both cost one metadata write.
+    """
+    if ref_type not in ("branch", "tag"):
+        raise ValueError(f"ref_type must be branch|tag, got {ref_type!r}")
+    if name == "main":
+        raise ValueError("'main' is the table's implicit branch")
+    md = _current_metadata(table_path)
+    _require_v1(md, "create_ref")
+    refs = dict(md.get("refs") or {})
+    if name in refs:
+        raise ValueError(f"ref {name!r} already exists")
+    snaps = {s["snapshot-id"] for s in md.get("snapshots", [])}
+    sid = md.get("current-snapshot-id") if snapshot_id is None else snapshot_id
+    if sid not in snaps:
+        raise ValueError(f"snapshot {sid} not in table history {sorted(snaps)}")
+    refs[name] = {"snapshot-id": sid, "type": ref_type}
+    new_md = {k: v for k, v in md.items() if k != "_version"}
+    new_md["refs"] = refs
+    _publish_metadata(table_path, new_md, md["_version"] + 1)
+    return sid
+
+
+def drop_ref(table_path: str, name: str) -> int:
+    """Remove a branch or tag (metadata-only). The snapshots it pointed
+    at stay in history — eligible for ``expire_snapshots`` once no
+    other ref or the retention window holds them. Returns the snapshot
+    id the dropped ref pointed at."""
+    md = _current_metadata(table_path)
+    _require_v1(md, "drop_ref")
+    refs = dict(md.get("refs") or {})
+    if name not in refs:
+        raise ValueError(f"unknown ref {name!r} (refs: {sorted(refs)})")
+    sid = refs.pop(name)["snapshot-id"]
+    new_md = {k: v for k, v in md.items() if k != "_version"}
+    new_md["refs"] = refs
+    _publish_metadata(table_path, new_md, md["_version"] + 1)
+    return sid
+
+
 def evolve_partition_spec(
     table_path: str, partition_by: tuple[str, ...]
 ) -> int:
@@ -865,8 +930,17 @@ def write_iceberg(
     operation: str | None = None,
     base_version: int | None = None,
     summary_extra: dict[str, Any] | None = None,
+    branch: str | None = None,
 ) -> int:
     """Commit ``df`` as one Iceberg snapshot; returns the snapshot id.
+
+    ``branch`` targets a named branch created by ``create_ref``: the
+    commit's parent is the BRANCH head (an append carries that head's
+    manifests, not main's), and the commit advances ``refs[branch]``
+    while ``current-snapshot-id`` (main) stays untouched — the
+    write-audit-publish pattern: audit a branch, then fast-forward main
+    via ``rollback_iceberg`` or merge tooling. Tags are immutable:
+    writing to one raises.
 
     append: new manifest with the added files; the new manifest list
     references it PLUS every manifest of the previous snapshot (old
@@ -919,6 +993,24 @@ def write_iceberg(
         _require_v1(prev_md, "write_iceberg")
     version = 1 if prev_md is None else prev_md["_version"] + 1
     snap_id = version  # deterministic, monotonic
+
+    # resolve the commit's PARENT snapshot: the branch head when a
+    # branch is targeted, else main (current-snapshot-id)
+    parent_sid: int | None = None
+    if prev_md is not None:
+        if branch is not None:
+            r = (prev_md.get("refs") or {}).get(branch)
+            if r is None:
+                raise ValueError(
+                    f"unknown branch {branch!r}; create_ref() it first"
+                )
+            if r.get("type") != "branch":
+                raise ValueError(f"ref {branch!r} is a tag; tags are immutable")
+            parent_sid = r["snapshot-id"]
+        else:
+            parent_sid = prev_md.get("current-snapshot-id")
+    elif branch is not None:
+        raise ValueError("cannot create a table on a branch; write main first")
 
     # 0. schema + contract validation BEFORE any data lands: a failed
     # append must not strand freshly-moved data files under data/
@@ -1065,12 +1157,11 @@ def write_iceberg(
     )
     mlen = os.path.getsize(os.path.join(table_path, manifest_rel))
 
-    # 3. manifest list = new manifest (+ previous snapshot's, on append)
+    # 3. manifest list = new manifest (+ the PARENT snapshot's, on
+    # append — the branch head's when committing to a branch)
     entries: list[tuple] = [(manifest_rel, mlen, spec_id, snap_id)]
     if mode == "append" and prev_md is not None and prev_md.get("snapshots"):
-        cur = {s["snapshot-id"]: s for s in prev_md["snapshots"]}[
-            prev_md["current-snapshot-id"]
-        ]
+        cur = {s["snapshot-id"]: s for s in prev_md["snapshots"]}[parent_sid]
         prev_list = cur["manifest-list"]
         prev_list = (
             prev_list if os.path.isabs(prev_list) else os.path.join(table_path, prev_list)
@@ -1127,6 +1218,11 @@ def write_iceberg(
     props = dict((prev_md.get("properties") or {}) if prev_md else {})
     if prev_md is None or mode == "overwrite":
         props[_FIELD_IDS_PROP] = "true"
+    # refs carry across every commit; a branch commit advances ITS ref
+    # and leaves main (current-snapshot-id) where it was
+    refs_out = dict((prev_md.get("refs") or {}) if prev_md else {})
+    if branch is not None:
+        refs_out[branch] = {"snapshot-id": snap_id, "type": "branch"}
     md = {
         "format-version": 1,
         "table-uuid": prev_md["table-uuid"] if prev_md else uuid.uuid4().hex,
@@ -1135,9 +1231,12 @@ def write_iceberg(
         "schemas": schemas,
         "partition-spec": spec,
         "partition-specs": specs,
-        "current-snapshot-id": snap_id,
+        "current-snapshot-id": (
+            prev_md["current-snapshot-id"] if branch is not None else snap_id
+        ),
         "snapshots": snaps,
         "properties": props,
+        "refs": refs_out,
     }
     try:
         _publish_metadata(table_path, md, version)
@@ -1366,12 +1465,16 @@ def expire_snapshots(table_path: str, keep_last: int = 1) -> dict[str, int]:
     md = _current_metadata(table_path)
     _require_v1(md, "expire_snapshots")
     snaps = sorted(md.get("snapshots", []), key=lambda s: s["snapshot-id"])
-    retained, expired = snaps[len(snaps) - keep_last :], snaps[: len(snaps) - keep_last]
+    # branch/tag heads are GC roots — a snapshot a ref points at is
+    # retained regardless of its age (the spec's ref-retention rule)
+    keep_ids = {s["snapshot-id"] for s in snaps[len(snaps) - keep_last :]}
+    keep_ids |= {r["snapshot-id"] for r in (md.get("refs") or {}).values()}
+    # main is a root too: a branch commit can hold a NEWER id than
+    # main's head, so "newest keep_last" no longer implies it
     cur = md.get("current-snapshot-id")
-    if cur not in {s["snapshot-id"] for s in retained}:
-        raise ValueError(
-            f"keep_last={keep_last} would expire the current snapshot {cur}"
-        )
+    keep_ids.add(cur)
+    retained = [s for s in snaps if s["snapshot-id"] in keep_ids]
+    expired = [s for s in snaps if s["snapshot-id"] not in keep_ids]
     if not expired:
         return {"expired_snapshots": 0, "deleted_manifests": 0, "deleted_data_files": 0}
 

@@ -1141,3 +1141,75 @@ def q_iceberg_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("sum_price"),
         )
     )
+
+
+@query(
+    "q_iceberg_branch",
+    oracle="""
+    SELECT 'main' AS ref,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(c_custkey) AS BIGINT) AS sum_key
+    FROM customer
+    UNION ALL
+    SELECT 'staging' AS ref,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(c_custkey) AS BIGINT) AS sum_key
+    FROM customer
+    WHERE c_custkey % 2 = 0
+       OR (c_custkey % 2 = 1 AND c_mktsegment = 'BUILDING')
+    UNION ALL
+    SELECT 'v1' AS ref,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(c_custkey) AS BIGINT) AS sum_key
+    FROM customer
+    WHERE c_custkey % 2 = 0
+    """,
+)
+def q_iceberg_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branches and tags (the spec's ``refs`` registry): the fixture
+    writes even-key customers (s1), creates branch ``staging`` and tag
+    ``v1`` there (two metadata-only commits), appends the odd keys to
+    MAIN, and appends the odd BUILDING customers to the BRANCH — whose
+    commit carries the branch head's manifests as parent and advances
+    only ``refs['staging']``, leaving main untouched. The query reads
+    all three lineages (main, branch, immutable tag) and the oracle
+    restates each as a predicate over the base table: identical
+    censuses prove branch isolation in both directions and tag
+    immutability. Branch/tag heads are GC roots for
+    ``expire_snapshots``. This is write-audit-publish at 100 TB —
+    every ref costs one metadata write, no data copies."""
+    import shutil
+
+    from .iceberg import create_ref
+
+    out = os.path.join(_fixture_dir(sf_dir), "customer_iceberg_refs")
+    done = os.path.join(out, "metadata", "v5.metadata.json")
+    if not os.path.exists(done):
+        shutil.rmtree(out, ignore_errors=True)
+        cust = table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        )
+        even = F.col("c_custkey") % 2 == 0
+        write_iceberg(spark, cust.filter(even), out)
+        create_ref(out, "staging", "branch")
+        create_ref(out, "v1", "tag")
+        write_iceberg(spark, cust.filter(~even), out, mode="append")
+        write_iceberg(
+            spark,
+            cust.filter(~even & (F.col("c_mktsegment") == "BUILDING")),
+            out,
+            mode="append",
+            branch="staging",
+        )
+
+    def census(df: DataFrame, ref: str) -> DataFrame:
+        return df.agg(
+            F.count("*").cast("long").alias("n_cust"),
+            F.sum("c_custkey").cast("long").alias("sum_key"),
+        ).select(F.lit(ref).alias("ref"), "n_cust", "sum_key")
+
+    return (
+        census(read_iceberg(spark, out), "main")
+        .unionByName(census(read_iceberg(spark, out, ref="staging"), "staging"))
+        .unionByName(census(read_iceberg(spark, out, ref="v1"), "v1"))
+    )

@@ -826,3 +826,80 @@ def test_evolution_back_reactivates_prior_spec_id(spark, tmp_path):
     sid_b = evolve_partition_spec(path, ("n_nationkey",))
     sid_a = evolve_partition_spec(path, ("n_regionkey",))
     assert sid_b == 1 and sid_a == 0  # registry reuse, not a new id
+
+
+def test_branch_commits_are_isolated_from_main(spark, tmp_path):
+    from pyspark_excel_datasource_spark.sources.iceberg import create_ref
+
+    path = str(tmp_path / "t")
+    n = _nation(spark)
+    write_iceberg(spark, n.filter(F.col("n_regionkey") < 2), path)
+    create_ref(path, "wip", "branch")
+    create_ref(path, "rel", "tag")
+    # main advances; branch stays at its head
+    write_iceberg(spark, n.filter(F.col("n_regionkey") == 2), path, mode="append")
+    # branch advances from ITS head (not main's): carries regions 0-1
+    write_iceberg(
+        spark, n.filter(F.col("n_regionkey") == 4), path,
+        mode="append", branch="wip",
+    )
+    main = read_iceberg(spark, path)
+    wip = read_iceberg(spark, path, ref="wip")
+    rel = read_iceberg(spark, path, ref="rel")
+    assert sorted(r.n_regionkey for r in main.select("n_regionkey").distinct().collect()) == [0, 1, 2]
+    assert sorted(r.n_regionkey for r in wip.select("n_regionkey").distinct().collect()) == [0, 1, 4]
+    assert sorted(r.n_regionkey for r in rel.select("n_regionkey").distinct().collect()) == [0, 1]
+
+
+def test_ref_validation(spark, tmp_path):
+    from pyspark_excel_datasource_spark.sources.iceberg import (
+        create_ref,
+        drop_ref,
+    )
+
+    path = str(tmp_path / "t")
+    write_iceberg(spark, _nation(spark), path)
+    create_ref(path, "b", "branch")
+    create_ref(path, "t1", "tag")
+    with pytest.raises(ValueError, match="already exists"):
+        create_ref(path, "b")
+    with pytest.raises(ValueError, match="implicit branch"):
+        create_ref(path, "main")
+    with pytest.raises(ValueError, match="branch\\|tag"):
+        create_ref(path, "x", "commit")
+    with pytest.raises(ValueError, match="not in table history"):
+        create_ref(path, "x", "branch", snapshot_id=999)
+    with pytest.raises(ValueError, match="is a tag"):
+        write_iceberg(spark, _nation(spark), path, mode="append", branch="t1")
+    with pytest.raises(ValueError, match="unknown branch"):
+        write_iceberg(spark, _nation(spark), path, mode="append", branch="nope")
+    with pytest.raises(ValueError, match="unknown ref"):
+        read_iceberg(spark, path, ref="nope")
+    with pytest.raises(ValueError, match="unknown ref"):
+        drop_ref(path, "nope")
+    with pytest.raises(ValueError, match="not both"):
+        read_iceberg(spark, path, snapshot_id=1, ref="b")
+
+
+def test_expire_retains_ref_heads_until_dropped(spark, tmp_path):
+    from pyspark_excel_datasource_spark.sources.iceberg import (
+        create_ref,
+        drop_ref,
+        expire_snapshots,
+    )
+
+    path = str(tmp_path / "t")
+    n = _nation(spark)
+    write_iceberg(spark, n.filter(F.col("n_regionkey") < 2), path)
+    create_ref(path, "keepme", "tag")
+    write_iceberg(spark, n, path, mode="overwrite")
+    # the tag pins snapshot 1 across an expiry that would drop it
+    res = expire_snapshots(path, keep_last=1)
+    assert res["expired_snapshots"] == 0
+    assert read_iceberg(spark, path, ref="keepme").count() == n.filter(
+        F.col("n_regionkey") < 2
+    ).count()
+    drop_ref(path, "keepme")
+    res2 = expire_snapshots(path, keep_last=1)
+    assert res2["expired_snapshots"] == 1
+    assert read_iceberg(spark, path).count() == n.count()
