@@ -156,6 +156,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_delta_update_dv",
     "q_iceberg_partition_evolution",
     "q_iceberg_branch",
+    "q_iceberg_delete_pos",
     # E. stalest prior greens (re-verification fill): r1 vintage (10)
     "q_agg_argmax",
     "q_agg_histogram",

@@ -96,6 +96,32 @@ def _require_v1(md: dict, op: str) -> None:
         )
 
 
+#: stamped when THIS writer upgrades a table to v2 (first MOR delete);
+#: mutations stay enabled on such tables because every v2 feature
+#: present is one this module wrote and reads back exactly
+_OWN_V2_PROP = "spark-graft.row-deletes"
+
+
+def _require_writable(md: dict, op: str) -> None:
+    """Mutation gate with the round-11 refinement: v1 tables are always
+    writable; a v2 table is writable ONLY when this module upgraded it
+    (``delete_where_iceberg`` stamps ``spark-graft.row-deletes``) — its
+    delete files are position deletes this writer emitted, which every
+    code path here carries and applies exactly. EXTERNAL v2 tables stay
+    read-only: they may hold sequence-number orderings or delete shapes
+    a blind v1-style commit would silently drop or misorder."""
+    fv = int(md.get("format-version", 1))
+    if fv == 1:
+        return
+    if fv == 2 and (md.get("properties") or {}).get(_OWN_V2_PROP) == "true":
+        return
+    raise IcebergFormatError(
+        f"{op} on a format-version {fv} table is not implemented unless "
+        "this writer produced its v2 features (externally-written v2 "
+        "tables are batch-read-only)"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-side Avro helpers (container codec from sources/avrofile.py)
 # ---------------------------------------------------------------------------
@@ -681,7 +707,7 @@ def rename_column_iceberg(table_path: str, old: str, new: str) -> int:
     renamed partition column would orphan every recorded partition
     value. Returns the new metadata version."""
     md = _current_metadata(table_path)
-    _require_v1(md, "rename_column_iceberg")
+    _require_writable(md, "rename_column_iceberg")
     if not _has_field_ids(md):
         raise IcebergFormatError(
             "rename_column_iceberg requires the field-id table property "
@@ -738,7 +764,7 @@ def create_ref(
     if name == "main":
         raise ValueError("'main' is the table's implicit branch")
     md = _current_metadata(table_path)
-    _require_v1(md, "create_ref")
+    _require_writable(md, "create_ref")
     refs = dict(md.get("refs") or {})
     if name in refs:
         raise ValueError(f"ref {name!r} already exists")
@@ -759,7 +785,7 @@ def drop_ref(table_path: str, name: str) -> int:
     other ref or the retention window holds them. Returns the snapshot
     id the dropped ref pointed at."""
     md = _current_metadata(table_path)
-    _require_v1(md, "drop_ref")
+    _require_writable(md, "drop_ref")
     refs = dict(md.get("refs") or {})
     if name not in refs:
         raise ValueError(f"unknown ref {name!r} (refs: {sorted(refs)})")
@@ -789,7 +815,7 @@ def evolve_partition_spec(
     rather than minting a new one, per the spec's registry semantics.
     """
     md = _current_metadata(table_path)
-    _require_v1(md, "evolve_partition_spec")
+    _require_writable(md, "evolve_partition_spec")
     name_to_id = {f["name"]: f["id"] for f in md["schema"]["fields"]}
     unknown = [c for c in partition_by if c not in name_to_id]
     if unknown:
@@ -831,7 +857,7 @@ def rollback_iceberg(table_path: str, snapshot_id: int) -> int:
     snapshot — that case fails the lookup loudly. Returns the new
     metadata version."""
     md = _current_metadata(table_path)
-    _require_v1(md, "rollback_iceberg")
+    _require_writable(md, "rollback_iceberg")
     snaps = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
     if snapshot_id not in snaps:
         raise ValueError(
@@ -874,6 +900,36 @@ _MANIFEST_LIST_SCHEMA = {
         {"name": "manifest_length", "type": "long"},
         {"name": "partition_spec_id", "type": "int"},
         {"name": "added_snapshot_id", "type": ["null", "long"], "default": None},
+        # v2: 0 = data manifest, 1 = delete manifest; the commit's
+        # sequence number inherits to entries with a null seq
+        {"name": "content", "type": "int", "default": 0},
+        {"name": "sequence_number", "type": ["null", "long"], "default": None},
+    ],
+}
+
+#: delete-manifest entry schema (v2): data_file.content distinguishes
+#: position (1) from equality (2) deletes; position-delete parquets are
+#: the spec's two-column (file_path, pos) shape and carry no partition
+_DELETE_MANIFEST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "data_file",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ],
+            },
+        },
     ],
 }
 
@@ -990,7 +1046,7 @@ def write_iceberg(
         except FileNotFoundError:
             prev_md = None
     if prev_md is not None:
-        _require_v1(prev_md, "write_iceberg")
+        _require_writable(prev_md, "write_iceberg")
     version = 1 if prev_md is None else prev_md["_version"] + 1
     snap_id = version  # deterministic, monotonic
 
@@ -1158,8 +1214,11 @@ def write_iceberg(
     mlen = os.path.getsize(os.path.join(table_path, manifest_rel))
 
     # 3. manifest list = new manifest (+ the PARENT snapshot's, on
-    # append — the branch head's when committing to a branch)
-    entries: list[tuple] = [(manifest_rel, mlen, spec_id, snap_id)]
+    # append — the branch head's when committing to a branch). Carried
+    # entries keep their content flag and sequence number: dropping
+    # either would turn a delete manifest into a data manifest or
+    # re-order the row-delete timeline.
+    entries: list[tuple] = [(manifest_rel, mlen, spec_id, snap_id, 0, snap_id)]
     if mode == "append" and prev_md is not None and prev_md.get("snapshots"):
         cur = {s["snapshot-id"]: s for s in prev_md["snapshots"]}[parent_sid]
         prev_list = cur["manifest-list"]
@@ -1173,6 +1232,8 @@ def write_iceberg(
                     m["manifest_length"],
                     m["partition_spec_id"],
                     m["added_snapshot_id"],
+                    int(m.get("content") or 0),
+                    m.get("sequence_number"),
                 )
             )
     mlist_rel = os.path.join(_META, f"snap-{snap_id}-1-{uuid.uuid4().hex}.avro")
@@ -1224,7 +1285,8 @@ def write_iceberg(
     if branch is not None:
         refs_out[branch] = {"snapshot-id": snap_id, "type": "branch"}
     md = {
-        "format-version": 1,
+        # v2 sticks once row-level deletes upgraded the table
+        "format-version": int(prev_md.get("format-version", 1)) if prev_md else 1,
         "table-uuid": prev_md["table-uuid"] if prev_md else uuid.uuid4().hex,
         "location": table_path,
         "schema": ice_schema,
@@ -1320,7 +1382,7 @@ def rewrite_data_files(
     if target_files < 1:
         raise ValueError(f"target_files must be >= 1, got {target_files}")
     base_md = _current_metadata(table_path)
-    _require_v1(base_md, "rewrite_data_files")
+    _require_writable(base_md, "rewrite_data_files")
     base_version = base_md["_version"]
     prev = snapshot_iceberg(table_path)
     df = read_iceberg(spark, table_path)
@@ -1424,6 +1486,172 @@ def rewrite_data_files(
     }
 
 
+def delete_where_iceberg(
+    spark: SparkSession, table_path: str, condition
+) -> dict[str, int]:
+    """Merge-on-read row DELETE via the spec's POSITION DELETES — the
+    Iceberg twin of ``deltalog.delete_where(mode="deletion-vectors")``.
+
+    No data file is read beyond the match probe or written at all: the
+    matched (file, row position) pairs land in one two-column delete
+    parquet under ``data/``, referenced by a new DELETE manifest
+    (content=1) whose manifest list carries the parent snapshot's
+    manifests unchanged. The first MOR delete upgrades the table to
+    format-version 2 and stamps ``spark-graft.row-deletes`` — the
+    marker that keeps the table WRITABLE by this module (external v2
+    tables stay batch-read-only). Readers subtract the positions via
+    the shared positional anti-join; ``rewrite_data_files`` later folds
+    accumulated deletes into data (its overwrite drops the delete
+    manifests, and it reads through them first). At 100 TB: deleting a
+    few rows per 1 GB file costs a delete-count-sized parquet plus one
+    manifest, not a rewrite. Rows with a NULL predicate are kept (SQL
+    DELETE semantics). Returns ``{"snapshot_id", "files_touched",
+    "rows_deleted"}`` (no-op: current snapshot, 0, 0).
+    """
+    from .deltalog import _read_files
+
+    md = _current_metadata(table_path)
+    _require_writable(md, "delete_where_iceberg")
+    prev = snapshot_iceberg(table_path)
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    is_hit = F.coalesce(cond, F.lit(False))
+
+    # match probe per partition-spec class (evolution-safe), projecting
+    # only (file key, row index) — collect size is the delete count
+    groups: dict[tuple[str, ...], dict] = {}
+    for p, pv in prev.files.items():
+        cols = prev.spec_pcols.get(
+            prev.files_pspec.get(p, -1), prev.partition_columns
+        )
+        groups.setdefault(tuple(cols), {})[p] = pv
+    hit_rows = []
+    for cols, sub in sorted(groups.items()):
+        part = _read_files(
+            spark,
+            table_path,
+            sub,
+            prev.schema,
+            list(cols),
+            file_column="__f",
+            deleted_positions=prev.deleted_positions,
+            row_index_column="__ridx",
+        )
+        hit_rows.extend(
+            part.filter(is_hit).select("__f", "__ridx").distinct().collect()
+        )
+    if not hit_rows:
+        return {
+            "snapshot_id": prev.snapshot_id,
+            "files_touched": 0,
+            "rows_deleted": 0,
+        }
+    pairs = sorted((r["__f"], int(r["__ridx"])) for r in hit_rows)
+
+    version = md["_version"] + 1
+    snap_id = version
+
+    # 1. the delete parquet: the spec's (file_path, pos) shape, sorted
+    # by target then position; file_path spells the manifest's key
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    del_rel = os.path.join(_DATA, f"delete-{uuid.uuid4().hex}.parquet")
+    del_abs = os.path.join(table_path, del_rel)
+    papq.write_table(
+        pa.table(
+            {
+                "file_path": pa.array([f for f, _ in pairs], pa.string()),
+                "pos": pa.array([i for _, i in pairs], pa.int64()),
+            }
+        ),
+        del_abs,
+    )
+
+    # 2. the DELETE manifest (content=1 entries)
+    dman_rel = os.path.join(_META, f"{uuid.uuid4().hex}-d0.avro")
+    _write_avro(
+        os.path.join(table_path, dman_rel),
+        _DELETE_MANIFEST_SCHEMA,
+        [
+            (
+                1,
+                snap_id,
+                {
+                    "content": 1,
+                    "file_path": del_rel,
+                    "file_format": "parquet",
+                    "record_count": len(pairs),
+                    "file_size_in_bytes": os.path.getsize(del_abs),
+                },
+            )
+        ],
+    )
+    dman_len = os.path.getsize(os.path.join(table_path, dman_rel))
+
+    # 3. manifest list = parent's manifests + the delete manifest
+    cur_snap = {s["snapshot-id"]: s for s in md["snapshots"]}[
+        md["current-snapshot-id"]
+    ]
+    prev_list = cur_snap["manifest-list"]
+    prev_list = (
+        prev_list if os.path.isabs(prev_list) else os.path.join(table_path, prev_list)
+    )
+    entries: list[tuple] = [
+        (
+            m["manifest_path"],
+            m["manifest_length"],
+            m["partition_spec_id"],
+            m["added_snapshot_id"],
+            int(m.get("content") or 0),
+            m.get("sequence_number"),
+        )
+        for m in _read_avro(prev_list)
+    ]
+    entries.append((dman_rel, dman_len, 0, snap_id, 1, snap_id))
+    mlist_rel = os.path.join(_META, f"snap-{snap_id}-1-{uuid.uuid4().hex}.avro")
+    _write_avro(os.path.join(table_path, mlist_rel), _MANIFEST_LIST_SCHEMA, entries)
+
+    # 4. v2 metadata commit (upgrade + writable marker are sticky)
+    new_md = {k: v for k, v in md.items() if k != "_version"}
+    new_md["format-version"] = 2
+    props = dict(new_md.get("properties") or {})
+    props[_OWN_V2_PROP] = "true"
+    new_md["properties"] = props
+    snaps = list(new_md.get("snapshots", []))
+    snaps.append(
+        {
+            "snapshot-id": snap_id,
+            "timestamp-ms": snap_id,
+            "manifest-list": mlist_rel,
+            "summary": {
+                "operation": "delete",
+                "predicate": condition
+                if isinstance(condition, str)
+                else str(condition),
+            },
+            "schema-id": cur_snap.get("schema-id", 0),
+            "spec-id": cur_snap.get("spec-id", 0),
+        }
+    )
+    new_md["snapshots"] = snaps
+    new_md["current-snapshot-id"] = snap_id
+    try:
+        _publish_metadata(table_path, new_md, version)
+    except IcebergConcurrentCommitError:
+        with contextlib.suppress(OSError):
+            os.remove(del_abs)
+        with contextlib.suppress(OSError):
+            os.remove(os.path.join(table_path, dman_rel))
+        with contextlib.suppress(OSError):
+            os.remove(os.path.join(table_path, mlist_rel))
+        raise
+    return {
+        "snapshot_id": snap_id,
+        "files_touched": len({f for f, _ in pairs}),
+        "rows_deleted": len(pairs),
+    }
+
+
 def _reachable(table_path: str, snaps: list[dict[str, Any]]) -> tuple[set, set]:
     """(manifest rel-paths, data-file rel-paths) referenced by ``snaps``."""
     manifests: set[str] = set()
@@ -1463,7 +1691,7 @@ def expire_snapshots(table_path: str, keep_last: int = 1) -> dict[str, int]:
     if keep_last < 1:
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
     md = _current_metadata(table_path)
-    _require_v1(md, "expire_snapshots")
+    _require_writable(md, "expire_snapshots")
     snaps = sorted(md.get("snapshots", []), key=lambda s: s["snapshot-id"])
     # branch/tag heads are GC roots — a snapshot a ref points at is
     # retained regardless of its age (the spec's ref-retention rule)
@@ -1588,7 +1816,7 @@ def convert_delta_to_iceberg(
     _write_avro(
         os.path.join(iceberg_path, mlist_rel),
         _MANIFEST_LIST_SCHEMA,
-        [(manifest_rel, mlen, 0, snap_id)],
+        [(manifest_rel, mlen, 0, snap_id, 0, snap_id)],
     )
 
     ice_schema = {

@@ -1213,3 +1213,51 @@ def q_iceberg_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(census(read_iceberg(spark, out, ref="staging"), "staging"))
         .unionByName(census(read_iceberg(spark, out, ref="v1"), "v1"))
     )
+
+
+@query(
+    "q_iceberg_delete_pos",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(c_custkey) AS BIGINT) AS sum_key
+    FROM customer
+    WHERE NOT (c_acctbal < 0)
+    GROUP BY c_mktsegment
+    """,
+)
+def q_iceberg_delete_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE via Iceberg POSITION DELETES (the format's
+    twin of ``q_delta_delete_dv``): ``delete_where_iceberg`` writes the
+    matched (file, row position) pairs as one spec-shape two-column
+    delete parquet plus a DELETE manifest (content=1), upgrades the
+    table to format-version 2, and rewrites ZERO data bytes — the
+    parent snapshot's manifests are carried verbatim. The reader
+    subtracts the positions through the shared positional anti-join.
+    The oracle states the surviving predicate over the base table:
+    identical aggregates prove position capture, v2 manifest encoding,
+    and read-side subtraction compose to exactly a SQL DELETE.
+    ``rewrite_data_files`` later folds deletes into data. Scale: the
+    100 TB Iceberg deletion story — bytes of delete metadata per
+    touched file instead of rewriting each."""
+    import shutil
+
+    from .iceberg import delete_where_iceberg
+
+    out = os.path.join(_fixture_dir(sf_dir), "customer_iceberg_mor_delete")
+    done = os.path.join(out, "metadata", "v2.metadata.json")
+    if not os.path.exists(done):
+        shutil.rmtree(out, ignore_errors=True)
+        cust = table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal", "c_mktsegment"
+        )
+        write_iceberg(spark, cust, out)
+        delete_where_iceberg(spark, out, "c_acctbal < 0")
+    return (
+        read_iceberg(spark, out)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_cust"),
+            F.sum("c_custkey").cast("long").alias("sum_key"),
+        )
+    )

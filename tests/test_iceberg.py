@@ -903,3 +903,117 @@ def test_expire_retains_ref_heads_until_dropped(spark, tmp_path):
     res2 = expire_snapshots(path, keep_last=1)
     assert res2["expired_snapshots"] == 1
     assert read_iceberg(spark, path).count() == n.count()
+
+
+def test_mor_delete_writes_no_data_bytes(spark, tmp_path):
+    from pyspark_excel_datasource_spark.sources.iceberg import (
+        delete_where_iceberg,
+    )
+
+    path = str(tmp_path / "t")
+    cust = spark.read.parquet(os.path.join(SF, "customer.parquet")).select(
+        "c_custkey", "c_acctbal"
+    )
+    write_iceberg(spark, cust.repartitionByRange(4, "c_custkey"), path)
+    before = snapshot_iceberg(path)
+    sizes = {p: os.path.getsize(os.path.join(path, p)) for p in before.files}
+    n_neg = cust.filter(F.col("c_acctbal") < 0).count()
+    res = delete_where_iceberg(spark, path, "c_acctbal < 0")
+    assert res["rows_deleted"] == n_neg and res["files_touched"] >= 1
+    after = snapshot_iceberg(path)
+    # same data files, byte-identical; the delete lives in metadata
+    assert set(after.files) == set(before.files)
+    for p, sz in sizes.items():
+        assert os.path.getsize(os.path.join(path, p)) == sz
+    assert sum(len(v) for v in after.deleted_positions.values()) == n_neg
+    got = read_iceberg(spark, path)
+    assert got.count() == cust.count() - n_neg
+    assert got.filter(F.col("c_acctbal") < 0).count() == 0
+    # pre-delete snapshot still reads complete (time travel)
+    assert (
+        read_iceberg(spark, path, snapshot_id=before.snapshot_id).count()
+        == cust.count()
+    )
+    # NULL predicate keeps rows; no-match is a no-op commit
+    res2 = delete_where_iceberg(spark, path, "c_acctbal < -999999")
+    assert res2["rows_deleted"] == 0
+    assert res2["snapshot_id"] == after.snapshot_id
+
+
+def test_mor_deletes_compose_and_append_reads_through(spark, tmp_path):
+    from pyspark_excel_datasource_spark.sources.iceberg import (
+        delete_where_iceberg,
+    )
+
+    path = str(tmp_path / "t")
+    n = _nation(spark)
+    write_iceberg(spark, n, path)
+    delete_where_iceberg(spark, path, "n_regionkey = 0")
+    delete_where_iceberg(spark, path, "n_regionkey = 1")
+    exp = n.filter("n_regionkey >= 2")
+    assert read_iceberg(spark, path).count() == exp.count()
+    # the upgraded (v2 + marker) table stays writable by this module
+    extra = n.filter("n_regionkey = 0").limit(2)
+    write_iceberg(spark, extra, path, mode="append")
+    got = read_iceberg(spark, path)
+    # appended rows are NOT hit by the old position deletes (new files)
+    assert got.count() == exp.count() + 2
+
+
+def test_mor_delete_folds_away_under_compaction_and_expiry(spark, tmp_path):
+    from pyspark_excel_datasource_spark.sources.iceberg import (
+        delete_where_iceberg,
+        expire_snapshots,
+        rewrite_data_files,
+    )
+
+    path = str(tmp_path / "t")
+    cust = spark.read.parquet(os.path.join(SF, "customer.parquet")).select(
+        "c_custkey", "c_acctbal"
+    )
+    write_iceberg(spark, cust.repartition(4), path)
+    delete_where_iceberg(spark, path, "c_acctbal < 0")
+    exp = cust.filter("c_acctbal >= 0").count()
+    rewrite_data_files(spark, path, target_files=2)
+    snap = snapshot_iceberg(path)
+    assert not snap.deleted_positions  # folded into data
+    assert read_iceberg(spark, path).count() == exp
+    res = expire_snapshots(path, keep_last=1)
+    assert res["expired_snapshots"] == 2
+    assert res["deleted_data_files"] >= 5  # 4 data + 1 delete parquet
+    assert read_iceberg(spark, path).count() == exp
+
+
+def test_external_v2_tables_stay_read_only(spark, tmp_path):
+    from pyspark_excel_datasource_spark.sources.iceberg import (
+        delete_where_iceberg,
+    )
+
+    path = str(tmp_path / "t")
+    write_iceberg(spark, _nation(spark), path)
+    meta = os.path.join(path, "metadata", "v1.metadata.json")
+    md = json.load(open(meta))
+    md["format-version"] = 2  # externally-upgraded: no writer marker
+    json.dump(md, open(meta, "w"))
+    assert read_iceberg(spark, path).count() == _nation(spark).count()
+    with pytest.raises(IcebergFormatError, match="format-version 2"):
+        delete_where_iceberg(spark, path, "n_regionkey = 0")
+    with pytest.raises(IcebergFormatError, match="format-version 2"):
+        write_iceberg(spark, _nation(spark), path, mode="append")
+
+
+def test_stream_rejects_mor_deleted_table(spark, tmp_path):
+    from pyspark_excel_datasource_spark.sources.iceberg import (
+        delete_where_iceberg,
+    )
+    from pyspark_excel_datasource_spark.sources.iceberg_stream import (
+        IcebergStreamReader,
+    )
+
+    path = str(tmp_path / "t")
+    write_iceberg(spark, _nation(spark), path)
+    delete_where_iceberg(spark, path, "n_regionkey = 0")
+    # the reader's format gate fires at construction: streaming would
+    # re-emit whole files, resurrecting the position-deleted rows
+    with pytest.raises(IcebergFormatError, match="format-version 2"):
+        IcebergStreamReader(snapshot_iceberg(path).schema, {"path": path})
