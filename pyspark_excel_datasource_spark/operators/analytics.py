@@ -2679,3 +2679,228 @@ def q_agg_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionAll(part)
     return out
+
+
+@query(
+    "q_changepoint_cusum",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), st AS (
+        SELECT event_type, d, c,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+               CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS t
+        FROM daily
+    ), cs AS (
+        SELECT event_type, d, n, t,
+               CAST(SUM(n * c - t) OVER (
+                    PARTITION BY event_type ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS s
+        FROM st
+    )
+    SELECT event_type, CAST(d AS VARCHAR) AS cp_day,
+           s AS cusum_at_cp, n AS n_days, t AS n_events
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY event_type ORDER BY ABS(s) DESC, d) AS rn
+        FROM cs
+    ) WHERE rn = 1
+    """,
+)
+def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline CUSUM changepoint detection per event type: the day where
+    the cumulative deviation from the series' own mean rate peaks — the
+    classic single-changepoint estimator for 'when did the level
+    shift?' over rate telemetry.
+
+    Everything is EXACT integer arithmetic: with per-day counts c_i, n
+    days and total t, the scaled deviation n·c_i − t replaces c_i − t/n
+    (same argmax, no division), so the running sum, the |S| ranking,
+    and the tie-break (earliest day) are bit-identical cross-engine —
+    no float convention needed at all.
+
+    Plan shape: one map-side-combined aggregation collapses the raw
+    scan to (type × day) rows — bounded by the calendar, NOT the row
+    count — and every window after that runs on the collapsed frame
+    partitioned by type. At 100 TB the scan is the whole job; the
+    changepoint math touches a few thousand rows.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count("*").cast("long").alias("c"))
+    wt = W.partitionBy("event_type")
+    st = daily.select(
+        "event_type",
+        "d",
+        "c",
+        F.count("*").over(wt).cast("long").alias("n"),
+        F.sum("c").over(wt).cast("long").alias("t"),
+    )
+    wcum = (
+        W.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cs = st.select(
+        "event_type",
+        "d",
+        "n",
+        "t",
+        F.sum(F.col("n") * F.col("c") - F.col("t"))
+        .over(wcum)
+        .cast("long")
+        .alias("s"),
+    )
+    wpick = W.partitionBy("event_type").orderBy(
+        F.abs(F.col("s")).desc(), F.col("d")
+    )
+    return (
+        cs.withColumn("rn", F.row_number().over(wpick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("d").cast("string").alias("cp_day"),
+            F.col("s").alias("cusum_at_cp"),
+            F.col("n").alias("n_days"),
+            F.col("t").alias("n_events"),
+        )
+    )
+
+
+@query(
+    "q_interpolate_gapfill",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, DATE_TRUNC('hour', ts) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY event_type, DATE_TRUNC('hour', ts)
+    ), bounds AS (
+        SELECT DATE_TRUNC('hour', MIN(ts)) AS lo,
+               DATE_TRUNC('hour', MAX(ts)) AS hi
+        FROM events
+    ), spine AS (
+        SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+        FROM bounds
+    ), types AS (
+        SELECT DISTINCT event_type FROM events
+    ), g AS (
+        SELECT t.event_type, s.bucket, h.c
+        FROM spine s CROSS JOIN types t
+        LEFT JOIN hourly h
+          ON h.event_type = t.event_type AND h.bucket = s.bucket
+    ), f AS (
+        SELECT event_type, bucket, c,
+               LAST_VALUE(c IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+               LAST_VALUE(CASE WHEN c IS NOT NULL THEN epoch_us(bucket) END
+                          IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+               FIRST_VALUE(c IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+               FIRST_VALUE(CASE WHEN c IS NOT NULL THEN epoch_us(bucket) END
+                           IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+        FROM g
+    )
+    SELECT event_type, CAST(bucket AS TIMESTAMP) AS bucket,
+           (c IS NULL) AS filled,
+           CAST(FLOOR(
+               CASE WHEN c IS NOT NULL THEN CAST(c AS DOUBLE)
+                    WHEN pv IS NULL THEN CAST(nv AS DOUBLE)
+                    WHEN nv IS NULL THEN CAST(pv AS DOUBLE)
+                    ELSE CAST(pv AS DOUBLE)
+                         + CAST(nv - pv AS DOUBLE)
+                           * (CAST(epoch_us(bucket) - pb AS DOUBLE)
+                              / CAST(nb - pb AS DOUBLE))
+               END * 1000000 + 0.5) AS BIGINT) AS rate_fp
+    FROM f
+    """,
+)
+def q_interpolate_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-grid gap filling with LINEAR interpolation: hourly event
+    rates per type on a full spine, holes filled by the straight line
+    between the nearest observed neighbours (edges extend flat) — the
+    step beyond ``q_resample_timeseries``'s zero-fill that forecasting
+    and rate-limit pipelines want when a quiet hour means 'no sample',
+    not 'rate zero'.
+
+    Determinism: neighbour values/positions come from IGNORE NULLS
+    window frames (exact), and the interpolated value pv + (nv−pv)·Δ/Δ
+    is evaluated in the same operand order both engines, then
+    fixed-pointed via the repo's FLOOR(x·1e6 + 0.5) convention —
+    integer-valued doubles in, one rounded BIGINT out.
+
+    Plan shape: one aggregation collapses the scan to (type × hour);
+    the spine is two scalar aggregates + a broadcast sequence; the four
+    neighbour windows run on the collapsed calendar-bounded frame. The
+    raw scan is touched once; everything after is O(hours × types).
+    """
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.count("*").cast("long").alias("c"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
+            "bucket"
+        )
+    ).select(F.col("bucket").cast("timestamp_ntz").alias("bucket"))
+    types = ev.select("event_type").distinct()
+    hourly = hourly.select(
+        "event_type", F.col("bucket").cast("timestamp_ntz").alias("bucket"), "c"
+    )
+    g = (
+        spine.crossJoin(F.broadcast(types))
+        .join(hourly, ["event_type", "bucket"], "left")
+    )
+    wp = (
+        W.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wn = (
+        W.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    us = _micros("bucket")
+    mark = F.when(F.col("c").isNotNull(), us)
+    f = g.select(
+        "event_type",
+        "bucket",
+        "c",
+        F.last("c", ignorenulls=True).over(wp).alias("pv"),
+        F.last(mark, ignorenulls=True).over(wp).alias("pb"),
+        F.first("c", ignorenulls=True).over(wn).alias("nv"),
+        F.first(mark, ignorenulls=True).over(wn).alias("nb"),
+    )
+    interp = (
+        F.when(F.col("c").isNotNull(), F.col("c").cast("double"))
+        .when(F.col("pv").isNull(), F.col("nv").cast("double"))
+        .when(F.col("nv").isNull(), F.col("pv").cast("double"))
+        .otherwise(
+            F.col("pv").cast("double")
+            + (F.col("nv") - F.col("pv")).cast("double")
+            * (
+                (us - F.col("pb")).cast("double")
+                / (F.col("nb") - F.col("pb")).cast("double")
+            )
+        )
+    )
+    return f.select(
+        "event_type",
+        "bucket",
+        F.col("c").isNull().alias("filled"),
+        F.floor(interp * 1_000_000 + F.lit(0.5)).cast("long").alias("rate_fp"),
+    )

@@ -157,6 +157,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_iceberg_partition_evolution",
     "q_iceberg_branch",
     "q_iceberg_delete_pos",
+    "q_changepoint_cusum",
+    "q_interpolate_gapfill",
     # E. stalest prior greens (re-verification fill): r1 vintage (10)
     "q_agg_argmax",
     "q_agg_histogram",

@@ -1,0 +1,68 @@
+"""Round-11 operators: CUSUM changepoint + linear-interpolation gapfill
+(the DuckDB hash parity is the exactness gate; these tests pin the
+SEMANTICS against independent pandas recomputations)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_excel_datasource_spark.plans.registry import load_all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return load_all_queries()
+
+
+def test_cusum_matches_pandas_recompute(spark, queries):
+    got = {
+        r.event_type: r.asDict()
+        for r in queries["q_changepoint_cusum"](spark, SF).collect()
+    }
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["d"] = ev["ts"].dt.date
+    for etype, grp in ev.groupby("event_type"):
+        daily = grp.groupby("d").size().sort_index()
+        n, t = len(daily), int(daily.sum())
+        s = (n * daily - t).cumsum()
+        # argmax of |S|, earliest day on ties
+        best = s.abs().sort_values(kind="stable").index[-1]
+        cands = s[s.abs() == s.abs().max()]
+        best = min(cands.index)
+        row = got[etype]
+        assert row["cp_day"] == str(best)
+        assert row["cusum_at_cp"] == int(s[best])
+        assert (row["n_days"], row["n_events"]) == (n, t)
+
+
+def test_gapfill_is_linear_between_neighbours(spark, queries):
+    df = queries["q_interpolate_gapfill"](spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    hours = (
+        ev.assign(bucket=ev["ts"].dt.floor("h"))
+        .groupby(["event_type", "bucket"])
+        .size()
+    )
+    # grid shape: full spine x types
+    lo, hi = ev["ts"].min().floor("h"), ev["ts"].max().floor("h")
+    n_hours = int((hi - lo) / pd.Timedelta(hours=1)) + 1
+    assert len(df) == n_hours * ev["event_type"].nunique()
+    # observed buckets pass through exactly; there ARE gaps to fill
+    assert df["filled"].any()
+    for _, r in df[~df["filled"]].sample(50, random_state=0).iterrows():
+        assert r["rate_fp"] == hours[(r["event_type"], r["bucket"])] * 1_000_000
+    # filled values recompute from the pandas interpolation exactly
+    for etype, grp in df.groupby("event_type"):
+        grp = grp.sort_values("bucket").set_index("bucket")
+        obs = grp[~grp["filled"]]["rate_fp"] / 1_000_000
+        # linear time interpolation with flat edges, on the same grid
+        exp = (
+            obs.reindex(grp.index)
+            .interpolate(method="index", limit_direction="both")
+        )
+        exp_fp = (exp * 1_000_000 + 0.5).pipe(lambda s: s.apply(int))
+        assert (grp["rate_fp"] == exp_fp).all(), etype
