@@ -159,6 +159,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_iceberg_delete_pos",
     "q_changepoint_cusum",
     "q_interpolate_gapfill",
+    "q_delta_clone",
     # E. stalest prior greens (re-verification fill): r1 vintage (10)
     "q_agg_argmax",
     "q_agg_histogram",

@@ -1222,3 +1222,60 @@ def q_delta_update_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_bal"),
         )
     )
+
+
+@query(
+    "q_delta_clone",
+    oracle="""
+    SELECT 'source' AS side, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+    FROM orders
+    WHERE o_orderstatus <> 'P'
+    GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'clone' AS side, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+    FROM orders
+    WHERE o_orderstatus <> 'P' AND o_orderpriority <> '1-URGENT'
+    GROUP BY o_orderstatus
+    """,
+)
+def q_delta_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE + divergence: the clone's v0 references the source
+    fixture's files by absolute path (one metadata write, zero data
+    copied — table size is irrelevant), then a copy-on-write DELETE on
+    the CLONE drops every 1-URGENT order, rewriting only the clone-local
+    files. The query reads both tables; the oracle restates each as a
+    predicate over the base table. Hash-green requires (a) the clone
+    reproduced the source snapshot exactly through absolute-path adds
+    with log-only partition values, and (b) the divergence stayed
+    one-directional — the source census is still the full fixture.
+    Scale: forking a 100 TB table for an experiment costs one commit.
+    """
+    from .deltalog import clone_delta
+
+    src = _materialize_orders_delta(spark, sf_dir)
+    out = os.path.join(_fixture_dir(sf_dir), "orders_clone_delta")
+    done = os.path.join(out, "_delta_log", f"{1:020d}.json")
+    if not os.path.exists(done):
+        shutil.rmtree(out, ignore_errors=True)
+        clone_delta(src, out)
+        from .deltalog import delete_where
+
+        delete_where(spark, out, "o_orderpriority = '1-URGENT'")
+
+    def census(df: DataFrame, side: str) -> DataFrame:
+        return (
+            df.groupBy("o_orderstatus")
+            .agg(
+                F.count("*").cast("long").alias("n_orders"),
+                F.sum("o_orderkey").cast("long").alias("sum_key"),
+            )
+            .select(F.lit(side).alias("side"), "o_orderstatus", "n_orders", "sum_key")
+        )
+
+    return census(read_delta(spark, src), "source").unionByName(
+        census(read_delta(spark, out), "clone")
+    )

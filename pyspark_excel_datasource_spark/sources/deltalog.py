@@ -1827,6 +1827,66 @@ def restore_table(spark: SparkSession, table_path: str, version: int) -> int:
     return new_version
 
 
+def clone_delta(
+    source_path: str, target_path: str, version: int | None = None
+) -> int:
+    """SHALLOW CLONE: a new independent Delta table whose v0 commit
+    references the SOURCE's data files by absolute path — no data is
+    copied; the clone is one metadata write regardless of table size
+    (the 100 TB dev/test-sandbox and experiment-fork story).
+    ``version`` clones a historical snapshot (time-traveled clone).
+
+    Independence: writes to the clone land under the clone's directory
+    and its log; the source never observes them. DML on the clone
+    (DELETE/UPDATE copy-on-write) re-adds rewritten files locally and
+    merely drops the absolute references. VACUUM on the clone only ever
+    scans the clone's own directory, so source files are structurally
+    out of reach. The flip side of sharing is documented Delta
+    semantics: VACUUMing the SOURCE can break a clone's unrewritten
+    references.
+
+    Tables with deletion vectors or column mapping refuse to clone:
+    DV sidecar descriptors resolve relative to the TABLE root, so the
+    clone would mis-resolve them (real Delta ships the DVs; this
+    writer fails loudly instead of corrupting).
+    """
+    src = snapshot(source_path, version)
+    _require_unmapped(src, "clone_delta")
+    _require_no_dv(src, "clone_delta")
+    if _list_log(target_path)[0]:
+        raise ValueError(f"{target_path} is already a Delta table")
+    os.makedirs(target_path, exist_ok=True)
+    abs_src = os.path.abspath(source_path)
+    actions: list[dict[str, Any]] = [
+        {
+            "commitInfo": {
+                "operation": "CLONE",
+                "operationParameters": {
+                    "source": abs_src,
+                    "sourceVersion": src.version,
+                },
+            }
+        },
+        {"protocol": dict(src.protocol)},
+        {"metaData": {**dict(src.metadata), "id": uuid.uuid4().hex}},
+    ]
+    for rel in sorted(src.files):
+        ap = rel if os.path.isabs(rel) else os.path.join(abs_src, rel)
+        actions.append(
+            {
+                "add": {
+                    "path": _encode_path(ap),
+                    "partitionValues": src.files[rel],
+                    "size": os.path.getsize(ap),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            }
+        )
+    _commit(target_path, 0, actions)
+    return 0
+
+
 def delete_partitions(
     table_path: str, where: dict[str, str], checkpoint_interval: int = 2
 ) -> int:

@@ -849,3 +849,75 @@ def test_update_where_rejects_unknown_set_column(spark, tmp_path):
         update_where(spark, path, "id = 1", {"nope": "1"})
     with pytest.raises(ValueError, match="empty SET"):
         update_where(spark, path, "id = 1", {})
+
+
+def test_clone_is_metadata_only_and_independent(spark, tmp_path):
+    from pyspark_excel_datasource_spark.sources.deltalog import (
+        clone_delta,
+        delete_where,
+    )
+
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    n = _nation(spark)
+    write_delta(spark, n, src, partition_by=("n_regionkey",))
+    clone_delta(src, tgt)
+    # zero data files under the clone — pure metadata
+    data_files = [
+        f
+        for root, _d, fs in os.walk(tgt)
+        for f in fs
+        if f.endswith(".parquet") and "_delta_log" not in root
+    ]
+    assert data_files == []
+    got = read_delta(spark, tgt)
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in n.select(*got.columns).collect()
+    }
+    # divergence is one-directional
+    delete_where(spark, tgt, "n_regionkey = 0")
+    assert read_delta(spark, tgt).count() == n.filter("n_regionkey <> 0").count()
+    assert read_delta(spark, src).count() == n.count()
+    write_delta(spark, n.limit(3), src, mode="append", partition_by=("n_regionkey",))
+    assert read_delta(spark, tgt).count() == n.filter("n_regionkey <> 0").count()
+
+
+def test_clone_time_travel_and_guards(spark, tmp_path):
+    from pyspark_excel_datasource_spark.sources.deltalog import (
+        clone_delta,
+        delete_where,
+    )
+
+    src = str(tmp_path / "src")
+    n = _nation(spark)
+    write_delta(spark, n.filter("n_regionkey < 2"), src)
+    write_delta(spark, n.filter("n_regionkey >= 2"), src, mode="append")
+    t0 = str(tmp_path / "t0")
+    clone_delta(src, t0, version=0)
+    assert read_delta(spark, t0).count() == n.filter("n_regionkey < 2").count()
+    with pytest.raises(ValueError, match="already a Delta table"):
+        clone_delta(src, t0)
+    # DV'd sources refuse to clone (descriptors are table-root-relative)
+    delete_where(spark, src, "n_regionkey = 4", mode="deletion-vectors")
+    with pytest.raises(Exception, match="deletion vector|deletionVector"):
+        clone_delta(src, str(tmp_path / "t2"))
+
+
+def test_vacuum_on_clone_never_touches_source(spark, tmp_path):
+    from pyspark_excel_datasource_spark.sources.deltalog import (
+        clone_delta,
+        vacuum,
+    )
+
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    n = _nation(spark)
+    write_delta(spark, n, src)
+    clone_delta(src, tgt)
+    # overwrite the clone so the absolute references become dead
+    write_delta(spark, n.limit(5), tgt, mode="overwrite")
+    before = sum(len(fs) for _r, _d, fs in os.walk(src))
+    vacuum(tgt, retention_seconds=0.0)
+    assert sum(len(fs) for _r, _d, fs in os.walk(src)) == before
+    assert read_delta(spark, tgt).count() == 5
+    assert read_delta(spark, src).count() == n.count()
