@@ -245,6 +245,93 @@ def main() -> None:
             f"{'OK' if nc == nd else 'FAIL'}"
         )
 
+    # UPDATE COW-vs-MOR stress (round 11): bump ~0.8% of rows in every
+    # file. Same story as DELETE — COW rewrites each touched file, the
+    # DV strategy writes bitmaps plus a match-sized append — and the
+    # gap must widen with file count.
+    for label, fpc in (("base", FILES_BASE), (f"x{FACTOR}", FILES_BASE * FACTOR)):
+        pc = f"{work}/delta_upd_cow_{label}"
+        pd_ = f"{work}/delta_upd_dv_{label}"
+        build_delta(spark, src, pc, fpc)
+        build_delta(spark, src, pd_, fpc)
+        t0 = time.perf_counter()
+        _v, touched_c, _u = deltalog.update_where(
+            spark, pc, "o_orderkey % 128 = 0",
+            {"o_totalprice": "o_totalprice + 1.0"},
+        )
+        t_cow = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _v, touched_d, _u = deltalog.update_where(
+            spark, pd_, "o_orderkey % 128 = 0",
+            {"o_totalprice": "o_totalprice + 1.0"},
+            mode="deletion-vectors",
+        )
+        t_dv = time.perf_counter() - t0
+        sc = deltalog.read_delta(spark, pc).agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        ).collect()[0][0]
+        sd = deltalog.read_delta(spark, pd_).agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        ).collect()[0][0]
+        print(
+            f"update {label}: cow {t_cow*1000:.0f}ms ({touched_c} files "
+            f"rewritten) vs dv {t_dv*1000:.0f}ms ({touched_d} files "
+            f"annotated) = {t_cow/t_dv:.1f}x; cents {sc}=={sd} "
+            f"{'OK' if sc == sd else 'FAIL'}"
+        )
+
+    # Iceberg MOR DELETE stress (round 11): position deletes at base and
+    # scaled file counts — wall time must track matched rows + metadata,
+    # never a rewrite; zero data bytes is asserted, not assumed.
+    for label, fpc in (("base", FILES_BASE), (f"x{FACTOR}", FILES_BASE * FACTOR)):
+        pi = f"{work}/ice_mor_{label}"
+        build_iceberg(spark, src, pi, fpc)
+        before = ice.snapshot_iceberg(pi)
+        sizes = {
+            p: os.path.getsize(os.path.join(pi, p)) for p in before.files
+        }
+        t0 = time.perf_counter()
+        res = ice.delete_where_iceberg(spark, pi, "o_orderkey % 128 = 0")
+        t_del = time.perf_counter() - t0
+        after = ice.snapshot_iceberg(pi)
+        untouched = all(
+            os.path.getsize(os.path.join(pi, p)) == sz
+            for p, sz in sizes.items()
+        ) and set(after.files) == set(before.files)
+        got = ice.read_iceberg(spark, pi).count()
+        exact = src.filter(~(F.col("o_orderkey") % 128 == 0)).count()
+        print(
+            f"iceberg MOR delete {label}: {len(before.files)} files, "
+            f"{res['rows_deleted']} positions in {t_del*1000:.0f}ms; "
+            f"data bytes untouched={untouched}; rows {got} (exact {exact}) "
+            f"{'OK' if untouched and got == exact else 'FAIL'}"
+        )
+
+    # Shallow clone cost (round 11): one metadata write regardless of
+    # data volume — wall time may grow with FILE COUNT only.
+    # (clone the COW-update tables — the DV section attached deletion
+    # vectors to delta_base/delta_xN, which clone correctly refuses)
+    for label, srcp in (
+        ("base", f"{work}/delta_upd_cow_base"),
+        (f"x{FACTOR}", f"{work}/delta_upd_cow_x{FACTOR}"),
+    ):
+        tgt = f"{work}/clone_{label}"
+        t0 = time.perf_counter()
+        deltalog.clone_delta(srcp, tgt)
+        t_clone = time.perf_counter() - t0
+        n = len(deltalog.snapshot(tgt).files)
+        data_files = [
+            f
+            for root, _d, fs in os.walk(tgt)
+            for f in fs
+            if f.endswith(".parquet") and "_delta_log" not in root
+        ]
+        print(
+            f"clone {label}: {n} file refs in {t_clone*1000:.0f}ms; "
+            f"data files copied: {len(data_files)} "
+            f"{'OK' if not data_files else 'FAIL'}"
+        )
+
     if work.startswith(tempfile.gettempdir()):
         shutil.rmtree(work, ignore_errors=True)
 
