@@ -2904,3 +2904,121 @@ def q_interpolate_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").isNull().alias("filled"),
         F.floor(interp * 1_000_000 + F.lit(0.5)).cast("long").alias("rate_fp"),
     )
+
+
+@query(
+    "q_drift_ks",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS s1,
+               CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS s2
+        FROM orders WHERE o_orderstatus IN ('F', 'O')
+    ), census AS (
+        SELECT v, CAST(SUM(s1) AS BIGINT) AS c1, CAST(SUM(s2) AS BIGINT) AS c2
+        FROM pts GROUP BY v
+    ), cum AS (
+        SELECT v,
+               SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS f1,
+               SUM(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS f2,
+               SUM(c1) OVER () AS n1,
+               SUM(c2) OVER () AS n2
+        FROM census
+    )
+    SELECT CAST(v AS BIGINT) AS at_cents,
+           CAST(ABS(f1 * n2 - f2 * n1) AS BIGINT) AS d_num,
+           CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(FLOOR(CAST(ABS(f1 * n2 - f2 * n1) AS DOUBLE)
+                / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                * 1000000) AS BIGINT) AS ks_fp
+    FROM cum
+    ORDER BY ABS(f1 * n2 - f2 * n1) DESC, v
+    LIMIT 1
+    """,
+)
+def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift test in EXACT integer
+    arithmetic: the KS statistic between the F- and O-status price
+    distributions is max_v |F1(v)·n2 − F2(v)·n1| / (n1·n2); the argmax
+    and the numerator are computed entirely in int64 (products bounded
+    by n1·n2 — exact to ~3e9 rows per side, the same envelope as the
+    AUC rank products), with the float division deferred to ONE
+    fixed-point presentation column at the very end. Complements
+    ``q_drift_kl``'s binned divergence with the classic
+    distribution-free statistic drift monitors page on.
+
+    Plan shape (the repo's banded-rank template): per-cent-value census
+    (map-side combined, key space = distinct prices), band totals over
+    ``v DIV 2^20`` (price-range-bounded band table — the ONLY
+    unpartitioned window runs on it), within-band running sums in
+    parallel, broadcast offsets + totals, then a TakeOrdered(1) for the
+    argmax. No single-task sort over row-scale data anywhere.
+    """
+    pts = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus").isin("F", "O"))
+        .select(
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("s1"),
+            F.when(F.col("o_orderstatus") == "O", 1).otherwise(0).alias("s2"),
+        )
+    )
+    census = pts.groupBy("v").agg(
+        F.sum("s1").cast("long").alias("c1"),
+        F.sum("s2").cast("long").alias("c2"),
+    ).withColumn("__band", F.expr("v DIV 1048576"))
+    band_tot = census.groupBy("__band").agg(
+        F.sum("c1").alias("b1"), F.sum("c2").alias("b2")
+    )
+    offw = W.orderBy("__band").rowsBetween(W.unboundedPreceding, -1)
+    offsets = band_tot.select(
+        "__band",
+        F.coalesce(F.sum("b1").over(offw), F.lit(0)).cast("long").alias("o1"),
+        F.coalesce(F.sum("b2").over(offw), F.lit(0)).cast("long").alias("o2"),
+    )
+    tot = census.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    inw = (
+        W.partitionBy("__band")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = (
+        census.select(
+            "__band",
+            "v",
+            F.sum("c1").over(inw).alias("w1"),
+            F.sum("c2").over(inw).alias("w2"),
+        )
+        .join(F.broadcast(offsets), "__band")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "v",
+            ((F.col("o1") + F.col("w1")) * F.col("n2")
+             - (F.col("o2") + F.col("w2")) * F.col("n1")).alias("diff"),
+            "n1",
+            "n2",
+        )
+    )
+    return (
+        cum.select(
+            "v", F.abs("diff").cast("long").alias("d_num"), "n1", "n2"
+        )
+        .orderBy(F.col("d_num").desc(), "v")
+        .limit(1)
+        .select(
+            F.col("v").alias("at_cents"),
+            "d_num",
+            "n1",
+            "n2",
+            F.floor(
+                F.col("d_num").cast("double")
+                / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("ks_fp"),
+        )
+    )

@@ -160,6 +160,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_changepoint_cusum",
     "q_interpolate_gapfill",
     "q_delta_clone",
+    "q_drift_ks",
     # E. stalest prior greens (re-verification fill): r1 vintage (10)
     "q_agg_argmax",
     "q_agg_histogram",

@@ -148,6 +148,7 @@ UNPARTITIONED_WINDOW_OK: dict[str, tuple[int, str]] = {
     "q_skew_keys": (3, "share/cum-share diagnostics over TakeOrdered top keys"),
     "q_zorder_layout": (2, "zval-band offsets + n total over <=1024 bands"),
     "q_mix_budget": (1, "budget arithmetic over the |domains| aggregate"),
+    "q_drift_ks": (1, "CDF offsets over the price-band table (bounded bands)"),
 }
 
 

@@ -66,3 +66,27 @@ def test_gapfill_is_linear_between_neighbours(spark, queries):
         )
         exp_fp = (exp * 1_000_000 + 0.5).pipe(lambda s: s.apply(int))
         assert (grp["rate_fp"] == exp_fp).all(), etype
+
+
+def test_ks_matches_pandas_recompute(spark, queries):
+    row = queries["q_drift_ks"](spark, SF).collect()[0]
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    o = o[o["o_orderstatus"].isin(["F", "O"])]
+    v = (o["o_totalprice"] * 100).round().astype("int64")
+    s1 = sorted(v[o["o_orderstatus"] == "F"])
+    s2 = sorted(v[o["o_orderstatus"] == "O"])
+    n1, n2 = len(s1), len(s2)
+    import bisect
+
+    grid = sorted(set(s1) | set(s2))
+    best = max(
+        (
+            abs(bisect.bisect_right(s1, x) * n2 - bisect.bisect_right(s2, x) * n1),
+            -x,
+        )
+        for x in grid
+    )
+    d_num, at = best[0], -best[1]
+    assert (row["d_num"], row["n1"], row["n2"]) == (d_num, n1, n2)
+    assert row["at_cents"] == at
+    assert row["ks_fp"] == int(d_num / (n1 * n2) * 1_000_000)
