@@ -1040,3 +1040,93 @@ def q_eval_auc_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(auc_s - auc_f).alias("abs_err"),
         (F.abs(auc_s - auc_f) <= bound).alias("within_bound"),
     )
+
+
+def _gd_sql(src: str) -> str:
+    """One SQL text shared VERBATIM by the Spark plan and the DuckDB
+    oracle of ``q_classify_gd`` — identical spelling is the determinism
+    mechanism: every per-row double expression evaluates the same IEEE
+    operation sequence in both engines (only +,*,/,ABS — no
+    transcendentals), each row's gradient contribution is fixed-pointed
+    to BIGINT, and the aggregated gradients are exact integers, so the
+    weight recurrences are bit-identical."""
+    z = "(w.a + (w.b * x1) + (w.c * x2))"
+    p = f"(0.5 + ({z} / (2.0 * (1.0 + ABS({z})))))"
+
+    def fp(t: str) -> str:
+        return (
+            f"CAST(SUM(CAST(FLOOR(({t}) * 1000000.0 + 0.5) AS BIGINT))"
+            " AS BIGINT)"
+        )
+
+    e = f"({p} - y)"
+    its = []
+    for i in (1, 2, 3):
+        prev = f"w{i - 1}"
+        its.append(
+            f"""it{i} AS (
+      SELECT w.a AS a, w.b AS b, w.c AS c,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             {fp(e)} AS ga,
+             {fp(f"{e} * x1")} AS gb,
+             {fp(f"{e} * x2")} AS gc
+      FROM pts, {prev} AS w
+      GROUP BY w.a, w.b, w.c
+    ),
+    w{i} AS (
+      SELECT a - (CAST(ga AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE) AS a,
+             b - (CAST(gb AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE) AS b,
+             c - (CAST(gc AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE) AS c
+      FROM it{i}
+    )"""
+        )
+    zf = "(w.a + (w.b * x1) + (w.c * x2))"
+    return f"""
+    WITH pts AS (
+      SELECT CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y,
+             o_totalprice / 300000.0 AS x1,
+             CAST(o_custkey % 100 AS DOUBLE) / 100.0 AS x2
+      FROM {src}
+    ),
+    w0 AS (SELECT CAST(0.0 AS DOUBLE) AS a, CAST(0.0 AS DOUBLE) AS b,
+                  CAST(0.0 AS DOUBLE) AS c),
+    {",".join(its)},
+    acc AS (
+      SELECT CAST(SUM(CASE WHEN ({zf} >= 0.0) = (y = 1.0)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM pts, w3 AS w
+    )
+    SELECT CAST(FLOOR(w.a * 1000000000.0 + 0.5) AS BIGINT) AS bias_fp,
+           CAST(FLOOR(w.b * 1000000000.0 + 0.5) AS BIGINT) AS w_price_fp,
+           CAST(FLOOR(w.c * 1000000000.0 + 0.5) AS BIGINT) AS w_cust_fp,
+           acc.n_correct, acc.n
+    FROM w3 AS w, acc
+    """
+
+
+@query("q_classify_gd", oracle=_gd_sql("orders"))
+def q_classify_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-gradient-descent linear classifier (order status F vs
+    rest ~ price + customer bucket) with a RATIONAL sigmoid link
+    σ(z) = 0.5 + z/(2(1+|z|)) — the 'fast sigmoid'. The link choice is
+    the determinism device: gradient descent needs a per-row nonlinear
+    transform, and unlike exp(), the rational link uses only IEEE
+    +,*,/,ABS, which are correctly-rounded and therefore bit-identical
+    across engines. Each row's gradient contribution is fixed-pointed
+    to BIGINT and summed exactly; weights update through a recurrence
+    on exact integers, so three full iterations stay hash-exact with
+    NO tolerance anywhere (the same SQL text runs on both engines —
+    see ``_gd_sql``).
+
+    Scale shape: each iteration is ONE map-side-combined aggregation
+    over the scan (3 gradient sums + count), weights travel as a
+    1-row broadcast — the classic distributed-GD layout where the
+    driver holds only the parameter vector. 3 iterations + 1 accuracy
+    pass = 4 scans; at 100 TB you'd cache the projected features once
+    and pay 4 passes over 3 doubles/row, all shuffle-free.
+    """
+    table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "q_classify_gd_orders"
+    )
+    return spark.sql(_gd_sql("q_classify_gd_orders"))

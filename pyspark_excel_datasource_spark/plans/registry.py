@@ -161,6 +161,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_interpolate_gapfill",
     "q_delta_clone",
     "q_drift_ks",
+    "q_classify_gd",
     # E. stalest prior greens (re-verification fill): r1 vintage (10)
     "q_agg_argmax",
     "q_agg_histogram",

@@ -90,3 +90,35 @@ def test_ks_matches_pandas_recompute(spark, queries):
     assert (row["d_num"], row["n1"], row["n2"]) == (d_num, n1, n2)
     assert row["at_cents"] == at
     assert row["ks_fp"] == int(d_num / (n1 * n2) * 1_000_000)
+
+
+def test_classify_gd_matches_numpy_recompute(spark, queries):
+    import math
+
+    row = queries["q_classify_gd"](spark, SF).collect()[0]
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    y = (o["o_orderstatus"] == "F").astype(float).to_numpy()
+    x1 = (o["o_totalprice"] / 300000.0).to_numpy()
+    x2 = ((o["o_custkey"] % 100).astype(float) / 100.0).to_numpy()
+    n = len(y)
+    a = b = c = 0.0
+    for _ in range(3):
+        z = a + (b * x1) + (c * x2)
+        p = 0.5 + (z / (2.0 * (1.0 + abs(z))))
+        e = p - y
+        ga = int(sum(int(math.floor(v * 1e6 + 0.5)) for v in e))
+        gb = int(sum(int(math.floor(v * 1e6 + 0.5)) for v in e * x1))
+        gc = int(sum(int(math.floor(v * 1e6 + 0.5)) for v in e * x2))
+        a, b, c = (
+            a - (ga / 1e6) / n,
+            b - (gb / 1e6) / n,
+            c - (gc / 1e6) / n,
+        )
+    assert row["bias_fp"] == int(math.floor(a * 1e9 + 0.5))
+    assert row["w_price_fp"] == int(math.floor(b * 1e9 + 0.5))
+    assert row["w_cust_fp"] == int(math.floor(c * 1e9 + 0.5))
+    z = a + (b * x1) + (c * x2)
+    assert row["n_correct"] == int(((z >= 0.0) == (y == 1.0)).sum())
+    assert row["n"] == n
+    # the model actually learned something beyond the zero vector
+    assert row["w_price_fp"] != 0 and 0 < row["n_correct"] < n
