@@ -159,6 +159,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_delta_clone",
     "q_drift_ks",
     "q_classify_gd",
+    "q_stream_cdf",
     # E. stalest prior greens (re-verification fill): r1 vintage (10)
     "q_agg_argmax",
     "q_agg_histogram",

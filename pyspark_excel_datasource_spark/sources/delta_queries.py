@@ -1279,3 +1279,69 @@ def q_delta_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     return census(read_delta(spark, src), "source").unionByName(
         census(read_delta(spark, out), "clone")
     )
+
+
+@query(
+    "q_stream_cdf",
+    oracle="""
+    SELECT 'insert' AS change_type, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+    FROM orders
+    GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'delete' AS change_type, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+    FROM orders
+    WHERE o_orderstatus = 'P'
+    GROUP BY o_orderstatus
+    """,
+)
+def q_stream_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING change data feed: ``readChangeFeed=true`` turns the
+    pydelta source into a typed change stream — every dataChange ADD
+    emits its rows as ``insert`` and every dataChange REMOVE emits the
+    removed file's rows as ``delete`` (partition values for removed
+    files resolved from the pre-commit snapshot), per commit, with
+    ``_change_type``/``_commit_version`` columns; OPTIMIZE commits stay
+    invisible. Draining the fixture therefore yields every order once
+    as insert (two appends) plus the P partition again as delete (the
+    v2 DELETE) — which the oracle restates over the base table. This
+    is the CDC-pipeline feed shape (downstream MERGE consumers),
+    complementing the batch ``read_change_feed``'s net-diff semantics.
+    """
+    import uuid
+
+    from .delta_stream import register_pydelta
+
+    register_pydelta(spark)
+    path = _materialize_orders_delta(spark, sf_dir)
+    sink = f"stream_cdf_{uuid.uuid4().hex[:10]}"
+    stream = (
+        spark.readStream.format("pydelta")
+        .option("readChangeFeed", "true")
+        .load(path)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(120):
+            raise TimeoutError("q_stream_cdf: drain did not finish in 120s")
+    finally:
+        q.stop()
+    return (
+        spark.table(sink)
+        .groupBy(
+            F.col("_change_type").alias("change_type"), "o_orderstatus"
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+        )
+    )

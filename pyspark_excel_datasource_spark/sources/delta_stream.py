@@ -49,6 +49,9 @@ from .deltalog import _list_log, _log_dir, snapshot
 class DeltaFilePartition(InputPartition):
     path: str
     partition_values: str  # JSON {col: string|null}
+    #: CDF mode: 'insert' | 'delete' and the emitting commit version
+    change_type: str = "insert"
+    version: int = -1
 
 
 def _arrow_field_type(dt: T.DataType):
@@ -119,6 +122,12 @@ class DeltaStreamReader(DataSourceStreamReader):
             raise ValueError("pydelta stream requires a table path")
         self.ignore_deletes = _opt_flag(options, "ignoreDeletes", "ignoredeletes")
         self.ignore_changes = _opt_flag(options, "ignoreChanges", "ignorechanges")
+        self.cdf = _opt_flag(options, "readChangeFeed", "readchangefeed")
+        if self.cdf and (self.ignore_deletes or self.ignore_changes):
+            raise ValueError(
+                "pydelta stream: readChangeFeed streams every change as "
+                "typed rows; ignoreDeletes/ignoreChanges do not compose"
+            )
         from .deltalog import _require_no_dv, _require_unmapped
 
         snap = snapshot(self.path)  # validates table existence + protocol gate
@@ -143,7 +152,7 @@ class DeltaStreamReader(DataSourceStreamReader):
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             p = os.path.join(_log_dir(self.path), f"{v:020d}.json")
             adds: list[dict] = []
-            has_dc_remove = False
+            removes: list[dict] = []
             with open(p, encoding="utf-8") as fh:
                 for line in fh:
                     line = line.strip()
@@ -167,7 +176,11 @@ class DeltaStreamReader(DataSourceStreamReader):
                     elif "remove" in act and act["remove"].get(
                         "dataChange", True
                     ):
-                        has_dc_remove = True
+                        removes.append(act["remove"])
+            if self.cdf:
+                parts.extend(self._cdf_parts(v, adds, removes))
+                continue
+            has_dc_remove = bool(removes)
             # classify the commit, mirroring the public Delta source
             # options: delete-only commits need ignoreDeletes; REWRITE
             # commits (removes AND adds: OVERWRITE/MERGE/row DELETE)
@@ -214,10 +227,56 @@ class DeltaStreamReader(DataSourceStreamReader):
                 )
         return parts
 
+    def _cdf_parts(
+        self, v: int, adds: list[dict], removes: list[dict]
+    ) -> list[DeltaFilePartition]:
+        """Change-data-feed partitions for one commit: every
+        ``dataChange`` ADD streams its rows as ``insert`` and every
+        ``dataChange`` REMOVE streams the removed file's rows as
+        ``delete`` — PER COMMIT, not netted across the range (a row
+        inserted in v1 and deleted in v3 yields both changes; the batch
+        ``read_change_feed`` nets them instead — both semantics are
+        real, this is the streaming one). ``dataChange=false`` commits
+        (OPTIMIZE) stay invisible. Removed-file partition values are
+        resolved from the pre-commit snapshot (driver metadata)."""
+        out: list[DeltaFilePartition] = []
+        prev_files: dict | None = None
+        for change, acts in (("insert", adds), ("delete", removes)):
+            for a in acts:
+                rel = unquote(a["path"])
+                fpath = os.path.join(self.path, rel)
+                if not os.path.exists(fpath):
+                    raise RuntimeError(
+                        f"pydelta stream: version {v} {change}s {a['path']} "
+                        "but the file is gone (VACUUM); those rows cannot "
+                        "be change-streamed — backfill from a batch CDF "
+                        "read over a retained range"
+                    )
+                if change == "insert":
+                    pv = a.get("partitionValues") or {}
+                else:
+                    # removes carry no partitionValues; the file was live
+                    # at v-1, so that snapshot's file map has them
+                    if prev_files is None:
+                        prev_files = snapshot(self.path, v - 1).files
+                    pv = prev_files.get(rel, {})
+                out.append(
+                    DeltaFilePartition(fpath, json.dumps(pv), change, v)
+                )
+        return out
+
     def read(self, partition: DeltaFilePartition):
+        pv = json.loads(partition.partition_values)
+        if self.cdf:
+            # the two CDF columns ride the constant-column mechanism
+            # (cast from string to the bound field's Arrow type)
+            pv = {
+                **pv,
+                "_change_type": partition.change_type,
+                "_commit_version": str(partition.version),
+            }
         yield from _read_parquet_with_pv(
-            partition.path, json.loads(partition.partition_values),
-            self.bound_schema,
+            partition.path, pv, self.bound_schema
         )
 
     def commit(self, end: dict) -> None:
@@ -238,7 +297,16 @@ class DeltaStreamDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("pydelta requires a table path")
-        return snapshot(path).schema
+        base = snapshot(path).schema
+        if _opt_flag(dict(self.options), "readChangeFeed", "readchangefeed"):
+            return T.StructType(
+                list(base.fields)
+                + [
+                    T.StructField("_change_type", T.StringType(), False),
+                    T.StructField("_commit_version", T.LongType(), False),
+                ]
+            )
+        return base
 
     def streamReader(self, schema: T.StructType) -> DeltaStreamReader:
         return DeltaStreamReader(schema, dict(self.options))

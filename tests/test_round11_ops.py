@@ -122,3 +122,75 @@ def test_classify_gd_matches_numpy_recompute(spark, queries):
     assert row["n"] == n
     # the model actually learned something beyond the zero vector
     assert row["w_price_fp"] != 0 and 0 < row["n_correct"] < n
+
+
+def test_stream_cdf_per_commit_semantics(spark, tmp_path):
+    from pyspark_excel_datasource_spark.sources.delta_stream import (
+        register_pydelta,
+    )
+    from pyspark_excel_datasource_spark.sources.deltalog import (
+        delete_where,
+        optimize,
+        write_delta,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "g" + str(i % 2)) for i in range(20)], "id int, g string"
+    )
+    # one task -> ONE file per partition dir, so the COW delete below
+    # matches both files and their full pre-image streams as deletes
+    write_delta(
+        spark, df.repartition(1), path,
+        partition_by=("g",), checkpoint_interval=0,
+    )
+    delete_where(spark, path, "id < 5")
+    optimize(spark, path)  # dataChange=false: must be invisible
+    register_pydelta(spark)
+    sink = "cdf_sem_sink"
+    q = (
+        spark.readStream.format("pydelta")
+        .option("readChangeFeed", "true")
+        .load(path)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    q.stop()
+    got = spark.table(sink)
+    # v0: 20 inserts. v1 (COW delete): matched files re-emitted — the
+    # removes stream their full pre-image as deletes, the rewrites
+    # stream survivors as inserts; OPTIMIZE contributes nothing.
+    by = {
+        (r["_change_type"], r["_commit_version"]): r["n"]
+        for r in got.groupBy("_change_type", "_commit_version")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert by[("insert", 0)] == 20
+    assert by[("delete", 1)] == 20  # both files contained matches
+    assert by[("insert", 1)] == 15  # survivors rewritten
+    assert ("insert", 2) not in by and ("delete", 2) not in by
+    # partition values attach on deletes too
+    assert (
+        got.filter("_change_type = 'delete'")
+        .select("g")
+        .distinct()
+        .count()
+        == 2
+    )
+    # CDF + ignore flags do not compose (the reader gate fires at
+    # construction; drive it directly — .start() reports lazily)
+    from pyspark_excel_datasource_spark.sources.delta_stream import (
+        DeltaStreamReader,
+    )
+    from pyspark_excel_datasource_spark.sources.deltalog import snapshot
+
+    with pytest.raises(ValueError, match="do not compose"):
+        DeltaStreamReader(
+            snapshot(path).schema,
+            {"path": path, "readChangeFeed": "true", "ignoreDeletes": "true"},
+        )
