@@ -160,6 +160,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_drift_ks",
     "q_classify_gd",
     "q_stream_cdf",
+    "q_iceberg_upsert",
     # E. stalest prior greens (re-verification fill): r1 vintage (10)
     "q_agg_argmax",
     "q_agg_histogram",

@@ -909,7 +909,8 @@ _MANIFEST_LIST_SCHEMA = {
 
 #: delete-manifest entry schema (v2): data_file.content distinguishes
 #: position (1) from equality (2) deletes; position-delete parquets are
-#: the spec's two-column (file_path, pos) shape and carry no partition
+#: the spec's two-column (file_path, pos) shape, equality deletes carry
+#: the field ids their rows match on; neither carries a partition
 _DELETE_MANIFEST_SCHEMA = {
     "type": "record",
     "name": "manifest_entry",
@@ -927,6 +928,11 @@ _DELETE_MANIFEST_SCHEMA = {
                     {"name": "file_format", "type": "string"},
                     {"name": "record_count", "type": "long"},
                     {"name": "file_size_in_bytes", "type": "long"},
+                    {
+                        "name": "equality_ids",
+                        "type": ["null", {"type": "array", "items": "int"}],
+                        "default": None,
+                    },
                 ],
             },
         },
@@ -975,6 +981,74 @@ def _manifest_schema(pcols: tuple[str, ...] = ()) -> dict:
 
 
 _MANIFEST_SCHEMA = _manifest_schema(())
+
+
+def _stage_data_manifest(
+    df: DataFrame,
+    table_path: str,
+    pcols: tuple[str, ...],
+    snap_id: int,
+) -> tuple[str, int, list[tuple[str, int, int, dict[str, str | None]]]]:
+    """Parallel staged data write → move under ``data/`` with uuid names
+    → ONE data manifest for the added files. Identity partition values
+    come from the hive-layout staging dirs (the data files omit the
+    partition columns — legal per the spec's identity transform, the
+    reader fills them from manifest metadata). Parquet field ids are
+    stamped positionally (id-based resolution across renames).
+    record_count comes from a footer-only read on the committer, the
+    same place a real Iceberg writer collects per-task stats. Returns
+    ``(manifest_rel, manifest_length, data_files)``. Shared by
+    ``write_iceberg`` and ``upsert_iceberg``."""
+    from .deltalog import _pv_from_relpath
+
+    df = df.select(
+        *[
+            F.col(f.name).alias(f.name, metadata={"parquet.field.id": i + 1})
+            for i, f in enumerate(df.schema.fields)
+        ]
+    )
+    staging = os.path.join(table_path, f".staging-{uuid.uuid4().hex[:12]}")
+    writer = df.write.mode("overwrite")
+    if pcols:
+        writer = writer.partitionBy(*pcols)
+    writer.parquet(staging)
+    import pyarrow.parquet as _pq
+
+    data_files: list[tuple[str, int, int, dict[str, str | None]]] = []
+    for root, _dirs, names in os.walk(staging):
+        for name in names:
+            if not name.endswith(".parquet"):
+                continue
+            src = os.path.join(root, name)
+            pv = _pv_from_relpath(os.path.relpath(src, staging), list(pcols))
+            rel = os.path.join(_DATA, f"part-{uuid.uuid4().hex}.parquet")
+            dst = os.path.join(table_path, rel)
+            os.replace(src, dst)
+            nrows = _pq.read_metadata(dst).num_rows
+            data_files.append((rel, os.path.getsize(dst), nrows, pv))
+    shutil.rmtree(staging, ignore_errors=True)
+
+    manifest_rel = os.path.join(_META, f"{uuid.uuid4().hex}-m0.avro")
+    _write_avro(
+        os.path.join(table_path, manifest_rel),
+        _manifest_schema(pcols),
+        [
+            (
+                1,
+                snap_id,
+                {
+                    "file_path": rel,
+                    "file_format": "parquet",
+                    "partition": pv,
+                    "record_count": nrows,
+                    "file_size_in_bytes": size,
+                },
+            )
+            for rel, size, nrows, pv in data_files
+        ],
+    )
+    mlen = os.path.getsize(os.path.join(table_path, manifest_rel))
+    return manifest_rel, mlen, data_files
 
 
 def write_iceberg(
@@ -1149,69 +1223,11 @@ def write_iceberg(
     else:
         spec_id = smatch["spec-id"]
 
-    # 1. parallel data write → move under data/ with uuid names; identity
-    # partition values come from the hive-layout staging dirs (the data
-    # files omit the partition columns — legal per the spec's identity
-    # transform, the reader fills them from manifest metadata)
-    from .deltalog import _pv_from_relpath
-
+    # 1+2. parallel data write + data manifest (shared with upsert)
     pcols = tuple(partition_by)
-    # stamp parquet field ids (same positional ids the metadata schema
-    # below assigns) so files resolve by ID across future column renames
-    df = df.select(
-        *[
-            F.col(f.name).alias(f.name, metadata={"parquet.field.id": i + 1})
-            for i, f in enumerate(df.schema.fields)
-        ]
+    manifest_rel, mlen, data_files = _stage_data_manifest(
+        df, table_path, pcols, snap_id
     )
-    staging = os.path.join(table_path, f".staging-{uuid.uuid4().hex[:12]}")
-    writer = df.write.mode("overwrite")
-    if pcols:
-        writer = writer.partitionBy(*pcols)
-    writer.parquet(staging)
-    import pyarrow.parquet as _pq
-
-    data_files: list[tuple[str, int, int, dict[str, str | None]]] = []
-    for root, _dirs, names in os.walk(staging):
-        for name in names:
-            if not name.endswith(".parquet"):
-                continue
-            src = os.path.join(root, name)
-            pv = _pv_from_relpath(
-                os.path.relpath(src, staging), list(pcols)
-            )
-            rel = os.path.join(_DATA, f"part-{uuid.uuid4().hex}.parquet")
-            dst = os.path.join(table_path, rel)
-            os.replace(src, dst)
-            # record_count is required by the spec (manifests drive scan
-            # planning); a footer-only read costs O(files) tiny IO on the
-            # committer, the same place a real Iceberg writer collects
-            # its per-task stats
-            nrows = _pq.read_metadata(dst).num_rows
-            data_files.append((rel, os.path.getsize(dst), nrows, pv))
-    shutil.rmtree(staging, ignore_errors=True)
-
-    # 2. manifest for this snapshot's added files
-    manifest_rel = os.path.join(_META, f"{uuid.uuid4().hex}-m0.avro")
-    _write_avro(
-        os.path.join(table_path, manifest_rel),
-        _manifest_schema(pcols),
-        [
-            (
-                1,
-                snap_id,
-                {
-                    "file_path": rel,
-                    "file_format": "parquet",
-                    "partition": pv,
-                    "record_count": nrows,
-                    "file_size_in_bytes": size,
-                },
-            )
-            for rel, size, nrows, pv in data_files
-        ],
-    )
-    mlen = os.path.getsize(os.path.join(table_path, manifest_rel))
 
     # 3. manifest list = new manifest (+ the PARENT snapshot's, on
     # append — the branch head's when committing to a branch). Carried
@@ -1582,6 +1598,7 @@ def delete_where_iceberg(
                     "file_format": "parquet",
                     "record_count": len(pairs),
                     "file_size_in_bytes": os.path.getsize(del_abs),
+                    "equality_ids": None,
                 },
             )
         ],
@@ -1650,6 +1667,148 @@ def delete_where_iceberg(
         "files_touched": len({f for f, _ in pairs}),
         "rows_deleted": len(pairs),
     }
+
+
+def upsert_iceberg(
+    spark: SparkSession,
+    df: DataFrame,
+    table_path: str,
+    on: list[str],
+) -> int:
+    """Merge-on-read UPSERT (the CDC-writer pattern real Iceberg v2
+    engines use): ONE atomic commit containing an EQUALITY-DELETE file
+    of ``df``'s key tuples plus a data manifest of ``df``'s rows. The
+    spec's strictly-older rule makes this an upsert by construction —
+    the equality deletes apply only to data files with a sequence
+    number BELOW the commit's, so the commit's own appended rows
+    survive while every pre-existing row with a matching key vanishes.
+    No existing data file is read or rewritten: cost is the new rows
+    plus a key-list parquet, which is the 100 TB CDC-apply story
+    (contrast ``deltalog.merge_delta``'s join-and-rewrite COW MERGE).
+    NULL keys match null-keyed rows (the reader joins null-safely).
+    The first upsert upgrades the table to format-version 2 with this
+    writer's marker; ``rewrite_data_files`` folds accumulated deletes.
+    Returns the new snapshot id.
+    """
+    md = _current_metadata(table_path)
+    _require_writable(md, "upsert_iceberg")
+    if not on:
+        raise ValueError("upsert_iceberg: empty key list")
+    tbl_sig = [(f["name"], f["type"]) for f in md["schema"]["fields"]]
+    new_sig = [
+        (f.name, _spark_type_to_ice(f.dataType)) for f in df.schema.fields
+    ]
+    if tbl_sig != new_sig:
+        raise ValueError(
+            f"upsert schema {new_sig} != table schema {tbl_sig}"
+        )
+    name_to_id = {f["name"]: f["id"] for f in md["schema"]["fields"]}
+    missing = [c for c in on if c not in name_to_id]
+    if missing:
+        raise ValueError(f"upsert keys not in schema: {missing}")
+    pcols = tuple(s["name"] for s in md.get("partition-spec", []))
+    version = md["_version"] + 1
+    snap_id = version
+
+    # 1. equality-delete parquet: the distinct key tuples, one file
+    keys = df.select(*on).dropDuplicates().coalesce(1)
+    staging = os.path.join(table_path, f".staging-{uuid.uuid4().hex[:12]}")
+    keys.write.mode("overwrite").parquet(staging)
+    del_rel = os.path.join(_DATA, f"eqdelete-{uuid.uuid4().hex}.parquet")
+    del_abs = os.path.join(table_path, del_rel)
+    staged = [
+        os.path.join(r, n)
+        for r, _d, ns in os.walk(staging)
+        for n in ns
+        if n.endswith(".parquet")
+    ]
+    os.replace(staged[0], del_abs)
+    shutil.rmtree(staging, ignore_errors=True)
+    import pyarrow.parquet as _pq
+
+    n_keys = _pq.read_metadata(del_abs).num_rows
+
+    # 2. the DELETE manifest (content=2 entry with the key field ids)
+    dman_rel = os.path.join(_META, f"{uuid.uuid4().hex}-d0.avro")
+    _write_avro(
+        os.path.join(table_path, dman_rel),
+        _DELETE_MANIFEST_SCHEMA,
+        [
+            (
+                1,
+                snap_id,
+                {
+                    "content": 2,
+                    "file_path": del_rel,
+                    "file_format": "parquet",
+                    "record_count": n_keys,
+                    "file_size_in_bytes": os.path.getsize(del_abs),
+                    "equality_ids": [name_to_id[c] for c in on],
+                },
+            )
+        ],
+    )
+    dman_len = os.path.getsize(os.path.join(table_path, dman_rel))
+
+    # 3. the appended rows (same staging + manifest path as write)
+    aman_rel, aman_len, data_files = _stage_data_manifest(
+        df, table_path, pcols, snap_id
+    )
+
+    # 4. manifest list = parent's + delete + data, seq = this commit
+    cur_snap = {s["snapshot-id"]: s for s in md["snapshots"]}[
+        md["current-snapshot-id"]
+    ]
+    prev_list = cur_snap["manifest-list"]
+    prev_list = (
+        prev_list if os.path.isabs(prev_list) else os.path.join(table_path, prev_list)
+    )
+    entries: list[tuple] = [
+        (
+            m["manifest_path"],
+            m["manifest_length"],
+            m["partition_spec_id"],
+            m["added_snapshot_id"],
+            int(m.get("content") or 0),
+            m.get("sequence_number"),
+        )
+        for m in _read_avro(prev_list)
+    ]
+    entries.append((dman_rel, dman_len, 0, snap_id, 1, snap_id))
+    entries.append((aman_rel, aman_len, 0, snap_id, 0, snap_id))
+    mlist_rel = os.path.join(_META, f"snap-{snap_id}-1-{uuid.uuid4().hex}.avro")
+    _write_avro(os.path.join(table_path, mlist_rel), _MANIFEST_LIST_SCHEMA, entries)
+
+    # 5. v2 metadata commit (upgrade + writable marker are sticky)
+    new_md = {k: v for k, v in md.items() if k != "_version"}
+    new_md["format-version"] = 2
+    props = dict(new_md.get("properties") or {})
+    props[_OWN_V2_PROP] = "true"
+    new_md["properties"] = props
+    snaps = list(new_md.get("snapshots", []))
+    snaps.append(
+        {
+            "snapshot-id": snap_id,
+            "timestamp-ms": snap_id,
+            "manifest-list": mlist_rel,
+            "summary": {"operation": "overwrite", "upsert-keys": ",".join(on)},
+            "schema-id": cur_snap.get("schema-id", 0),
+            "spec-id": cur_snap.get("spec-id", 0),
+        }
+    )
+    new_md["snapshots"] = snaps
+    new_md["current-snapshot-id"] = snap_id
+    try:
+        _publish_metadata(table_path, new_md, version)
+    except IcebergConcurrentCommitError:
+        for rel, _size, _n, _pv in data_files:
+            with contextlib.suppress(OSError):
+                os.remove(os.path.join(table_path, rel))
+        for rel in (del_rel, dman_rel, aman_rel, mlist_rel):
+            with contextlib.suppress(OSError):
+                os.remove(os.path.join(table_path, rel))
+        raise
+    return snap_id
 
 
 def _reachable(table_path: str, snaps: list[dict[str, Any]]) -> tuple[set, set]:

@@ -1261,3 +1261,59 @@ def q_iceberg_delete_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c_custkey").cast("long").alias("sum_key"),
         )
     )
+
+
+@query(
+    "q_iceberg_upsert",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(c_custkey) AS BIGINT) AS sum_key,
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                AS DECIMAL(38,2)) AS VARCHAR) AS sum_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q_iceberg_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPSERT via equality deletes (the CDC-apply shape
+    real Iceberg v2 engines write): the fixture seeds the table with
+    two-thirds of the customers carrying a stale sentinel balance, then
+    ``upsert_iceberg`` applies the FULL customer table keyed on
+    ``c_custkey`` — ONE commit holding an equality-delete file of the
+    keys plus the new rows. The spec's strictly-older sequence rule
+    makes the commit's own rows survive while every seeded row with a
+    matching key vanishes; no pre-existing data file is read or
+    rewritten. The oracle is the plain base-table census: it hashes
+    green only if every stale row was replaced exactly once and every
+    missing key inserted exactly once. Contrast ``q_delta_merge``'s
+    COW join-and-rewrite MERGE — this is the write-amplification-free
+    100 TB CDC path, folded later by ``rewrite_data_files``."""
+    import shutil
+
+    from .iceberg import upsert_iceberg
+
+    out = os.path.join(_fixture_dir(sf_dir), "customer_iceberg_upsert")
+    done = os.path.join(out, "metadata", "v2.metadata.json")
+    if not os.path.exists(done):
+        shutil.rmtree(out, ignore_errors=True)
+        cust = table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal", "c_mktsegment"
+        )
+        seed = cust.filter(F.col("c_custkey") % 3 != 0).withColumn(
+            "c_acctbal", F.lit(-999.0)
+        )
+        write_iceberg(spark, seed, out)
+        upsert_iceberg(spark, cust, out, on=["c_custkey"])
+    return (
+        read_iceberg(spark, out)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_cust"),
+            F.sum("c_custkey").cast("long").alias("sum_key"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .cast("string")
+            .alias("sum_bal"),
+        )
+    )

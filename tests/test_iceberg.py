@@ -1017,3 +1017,62 @@ def test_stream_rejects_mor_deleted_table(spark, tmp_path):
     # re-emit whole files, resurrecting the position-deleted rows
     with pytest.raises(IcebergFormatError, match="format-version 2"):
         IcebergStreamReader(snapshot_iceberg(path).schema, {"path": path})
+
+
+def test_upsert_equality_deletes_one_commit(spark, tmp_path):
+    from pyspark_excel_datasource_spark.sources.iceberg import (
+        upsert_iceberg,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "id int, s string"
+    )
+    write_iceberg(spark, df, path)
+    before = snapshot_iceberg(path)
+    sizes = {p: os.path.getsize(os.path.join(path, p)) for p in before.files}
+    up = spark.createDataFrame(
+        [(3, "NEW3"), (7, "NEW7"), (42, "ins42")], "id int, s string"
+    )
+    upsert_iceberg(spark, up, path, on=["id"])
+    after = snapshot_iceberg(path)
+    # pre-existing data files untouched byte-for-byte; one commit only
+    for p, sz in sizes.items():
+        assert p in after.files
+        assert os.path.getsize(os.path.join(path, p)) == sz
+    assert len(snapshots(path)) == 2
+    got = {r.id: r.s for r in read_iceberg(spark, path).collect()}
+    assert got[3] == "NEW3" and got[7] == "NEW7" and got[42] == "ins42"
+    assert got[5] == "v5" and len(got) == 11
+    # the upsert's own rows escape its equality deletes (seq rule)
+    assert 3 in got and 7 in got
+    # time travel to the seed snapshot is unaffected
+    assert read_iceberg(spark, path, snapshot_id=1).count() == 10
+
+
+def test_upsert_validation_and_null_keys(spark, tmp_path):
+    from pyspark_excel_datasource_spark.sources.iceberg import (
+        upsert_iceberg,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "null-key"), (2, "b")], "id int, s string"
+    )
+    write_iceberg(spark, df, path)
+    with pytest.raises(ValueError, match="empty key list"):
+        upsert_iceberg(spark, df, path, on=[])
+    with pytest.raises(ValueError, match="not in schema"):
+        upsert_iceberg(spark, df, path, on=["nope"])
+    with pytest.raises(ValueError, match="!= table schema"):
+        upsert_iceberg(
+            spark,
+            spark.createDataFrame([(1,)], "id int"),
+            path,
+            on=["id"],
+        )
+    # NULL keys replace null-keyed rows (null-safe equality join)
+    up = spark.createDataFrame([(None, "NEWNULL")], "id int, s string")
+    upsert_iceberg(spark, up, path, on=["id"])
+    got = {r.s for r in read_iceberg(spark, path).collect()}
+    assert got == {"a", "b", "NEWNULL"}
