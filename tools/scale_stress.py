@@ -520,7 +520,88 @@ def main() -> None:
             .drop("rep")
         )
 
+    def ks_shape(o):
+        # round-11 q_drift_ks shape: per-cent census → band offsets →
+        # within-band cumsums → TakeOrdered(1); replicas repeat the same
+        # price values, so the census keyspace is CONSTANT and the extra
+        # rows must die in the map-side combine
+        pts = o.filter(F.col("o_orderstatus").isin("F", "O")).select(
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("s1"),
+            F.when(F.col("o_orderstatus") == "O", 1).otherwise(0).alias("s2"),
+        )
+        census = (
+            pts.groupBy("v")
+            .agg(F.sum("s1").alias("c1"), F.sum("s2").alias("c2"))
+            .withColumn("__band", F.expr("v DIV 1048576"))
+        )
+        from pyspark.sql.window import Window as W
+
+        offw = W.orderBy("__band").rowsBetween(W.unboundedPreceding, -1)
+        offsets = (
+            census.groupBy("__band")
+            .agg(F.sum("c1").alias("b1"), F.sum("c2").alias("b2"))
+            .select(
+                "__band",
+                F.coalesce(F.sum("b1").over(offw), F.lit(0)).alias("o1"),
+                F.coalesce(F.sum("b2").over(offw), F.lit(0)).alias("o2"),
+            )
+        )
+        tot = census.agg(
+            F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+        )
+        inw = (
+            W.partitionBy("__band")
+            .orderBy("v")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        return (
+            census.select(
+                "__band", "v",
+                F.sum("c1").over(inw).alias("w1"),
+                F.sum("c2").over(inw).alias("w2"),
+            )
+            .join(F.broadcast(offsets), "__band")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "v",
+                F.abs(
+                    (F.col("o1") + F.col("w1")) * F.col("n2")
+                    - (F.col("o2") + F.col("w2")) * F.col("n1")
+                ).alias("d"),
+            )
+            .orderBy(F.col("d").desc(), "v")
+            .limit(1)
+        )
+
+    def gd_gradient(o):
+        # round-11 q_classify_gd per-iteration shape: one map-side-
+        # combined aggregation of three fixed-point gradient sums —
+        # shuffle-free, output one row; throughput must stay flat
+        z = "(0.1 + (0.2 * x1) + (0.3 * x2))"
+        p = f"(0.5 + ({z} / (2.0 * (1.0 + ABS({z})))))"
+        pts = o.select(
+            (F.col("o_totalprice") / 300000.0).alias("x1"),
+            ((F.col("o_custkey") % 100).cast("double") / 100.0).alias("x2"),
+            F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0).alias("y"),
+        )
+        e = f"({p} - y)"
+        return pts.agg(
+            F.expr(
+                f"SUM(CAST(FLOOR(({e}) * 1000000.0 + 0.5) AS BIGINT))"
+            ).alias("ga"),
+            F.expr(
+                f"SUM(CAST(FLOOR(({e} * x1) * 1000000.0 + 0.5) AS BIGINT))"
+            ).alias("gb"),
+            F.expr(
+                f"SUM(CAST(FLOOR(({e} * x2) * 1000000.0 + 0.5) AS BIGINT))"
+            ).alias("gc"),
+            F.count("*").alias("n"),
+        )
+
     shapes = {
+        "drift_ks": (ks_shape(orders1), ks_shape(orders10)),
+        "gd_gradient": (gd_gradient(orders1), gd_gradient(orders10)),
         "pca_moments": (
             pca_moments(vecs1),
             pca_moments(replicate_vecs(vecs1, FACTOR)),
