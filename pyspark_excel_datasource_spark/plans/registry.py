@@ -161,6 +161,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_classify_gd",
     "q_stream_cdf",
     "q_iceberg_upsert",
+    "q_delta_generated",
     # E. stalest prior greens (re-verification fill): r1 vintage (10)
     "q_agg_argmax",
     "q_agg_histogram",

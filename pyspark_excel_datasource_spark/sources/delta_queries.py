@@ -1345,3 +1345,53 @@ def q_stream_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_orderkey").cast("long").alias("sum_key"),
         )
     )
+
+
+@query(
+    "q_delta_generated",
+    oracle="""
+    SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+    FROM orders
+    GROUP BY CAST(YEAR(o_orderdate) AS INTEGER)
+    """,
+)
+def q_delta_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED COLUMNS as a writer duty: the fixture creates the table
+    with ``generated={"o_year": "year(o_orderdate)"}`` and writes rows
+    WITHOUT that column — the writer computes it (stamping
+    ``delta.generationExpression`` into the schema and the
+    generatedColumns feature into the protocol) — then appends the
+    remainder, which inherits the table's expression. Every write path
+    also VALIDATES supplied values row-wise, so the invariant
+    'o_year == year(o_orderdate)' cannot be broken by an append, an
+    UPDATE, or a MERGE (pinned in tests/test_delta_constraints.py).
+    The oracle recomputes the year from the base column: identical
+    censuses prove the computed column is exactly the expression.
+    Scale: generated columns are the classic partition-derivation
+    device (partition by o_year without the writer trusting callers).
+    """
+    out = os.path.join(_fixture_dir(sf_dir), "orders_generated_delta")
+    done = os.path.join(out, "_delta_log", f"{1:020d}.json")
+    if not os.path.exists(done):
+        shutil.rmtree(out, ignore_errors=True)
+        orders = table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderdate"
+        )
+        third = F.col("o_orderkey") % 3 == 0
+        write_delta(
+            spark,
+            orders.filter(~third),
+            out,
+            generated={"o_year": "year(o_orderdate)"},
+        )
+        write_delta(spark, orders.filter(third), out, mode="append")
+    return (
+        read_delta(spark, out)
+        .groupBy("o_year")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+        )
+    )

@@ -210,6 +210,7 @@ _SUPPORTED_WRITER_FEATURES = {
     "invariants",
     "checkConstraints",
     "timestampNtz",
+    "generatedColumns",
 }
 
 
@@ -231,6 +232,34 @@ def _require_writer_ok(snap: "DeltaSnapshot", op: str) -> None:
         f"implements versions 1-{_MAX_LEGACY_WRITER_VERSION} and 7 with "
         f"writerFeatures {sorted(_SUPPORTED_WRITER_FEATURES)}"
     )
+
+
+def _generated_columns(metadata: dict[str, Any]) -> dict[str, str]:
+    """column name → delta.generationExpression from the schema field
+    metadata (the generated-columns table feature)."""
+    out: dict[str, str] = {}
+    for f in json.loads(metadata["schemaString"])["fields"]:
+        e = (f.get("metadata") or {}).get("delta.generationExpression")
+        if e is not None:
+            out[f["name"]] = e
+    return out
+
+
+def _stamp_generated(schema_json: str, gen: dict[str, str]) -> str:
+    """Inject delta.generationExpression metadata into a schema JSON for
+    the columns in ``gen`` (no-op for an empty map)."""
+    if not gen:
+        return schema_json
+    d = json.loads(schema_json)
+    missing = set(gen) - {f["name"] for f in d["fields"]}
+    if missing:
+        raise ValueError(f"generated columns not in schema: {sorted(missing)}")
+    for f in d["fields"]:
+        if f["name"] in gen:
+            md = dict(f.get("metadata") or {})
+            md["delta.generationExpression"] = gen[f["name"]]
+            f["metadata"] = md
+    return json.dumps(d)
 
 
 def _check_constraints(metadata: dict[str, Any]) -> dict[str, str]:
@@ -255,20 +284,39 @@ def _enforce_write_contract(
     when the expression is not TRUE (false or NULL — the strict reading,
     matching Delta's invariant checker)."""
     fields = json.loads(metadata["schemaString"])["fields"]
+    df_cols = set(df.columns)
+    checks: list[tuple[str, Any]] = []
+    # generated-column duty (writer feature generatedColumns): every row
+    # of a generated column must equal its delta.generationExpression.
+    # write_delta COMPUTES missing generated columns before this runs;
+    # DML rewrites carry full rows, so a SET that breaks a generated
+    # column (or its source) aborts here instead of corrupting the
+    # invariant. Null-safe equality: a null source yielding a null
+    # generated value is consistent.
     for f in fields:
         fmd = f.get("metadata") or {}
-        if "delta.generationExpression" in fmd:
+        gexpr = fmd.get("delta.generationExpression")
+        if gexpr is None:
+            continue
+        if f["name"] not in df_cols:
             raise DeltaProtocolError(
-                f"{op} on a table with generated column {f['name']!r} "
-                "is not implemented (this writer cannot compute "
+                f"{op}: generated column {f['name']!r} missing from the "
+                "written rows (the writer must compute "
                 "delta.generationExpression values)"
             )
-    checks: list[tuple[str, Any]] = []
+        ftype = StructType.fromJson(
+            {"type": "struct", "fields": [f]}
+        ).fields[0].dataType
+        checks.append(
+            (
+                f"generated column {f['name']} ({gexpr})",
+                F.col(f["name"]).eqNullSafe(F.expr(gexpr).cast(ftype)),
+            )
+        )
     for name, expr in sorted(_check_constraints(metadata).items()):
         checks.append(
             (f"CHECK constraint {name} ({expr})", F.expr(expr).cast("boolean"))
         )
-    df_cols = set(df.columns)
     for f in fields:
         if f.get("nullable") is False and f["name"] in df_cols:
             checks.append(
@@ -859,6 +907,7 @@ def write_delta(
     operation: str = "WRITE",
     merge_schema: bool = False,
     txn: tuple[str, int] | None = None,
+    generated: dict[str, str] | None = None,
 ) -> int:
     """Write ``df`` as one atomic Delta commit; returns the new version.
 
@@ -886,6 +935,53 @@ def write_delta(
         prev = snapshot(table_path)
     except FileNotFoundError:
         prev = None
+
+    # generated columns (writer feature generatedColumns): on APPEND the
+    # table's generation expressions win (the spec is part of the
+    # schema); on creation/overwrite they come from ``generated`` and
+    # are stamped into the published schemaString. Columns the caller
+    # did not supply are COMPUTED here — the writer duty real Delta
+    # performs — and supplied values are validated row-wise by
+    # ``_enforce_write_contract`` below.
+    if prev is not None and mode == "append":
+        if generated:
+            raise ValueError(
+                "generated= applies to table creation/overwrite only; "
+                "appends inherit the table's generation expressions"
+            )
+        gen_map = _generated_columns(prev.metadata)
+        tbl_types = {f.name: f.dataType for f in prev.schema.fields}
+        for c, e in sorted(gen_map.items()):
+            if c not in df.columns:
+                df = df.withColumn(c, F.expr(e).cast(tbl_types[c]))
+    else:
+        gen_map = dict(generated or {})
+        if not gen_map and prev is not None:
+            # an overwrite (including MERGE's rewrite) KEEPS the table's
+            # generation expressions for the columns that survive —
+            # silently dropping the metadata would turn a generated
+            # column into a plain one behind the reader's back
+            gen_map = {
+                c: e
+                for c, e in _generated_columns(prev.metadata).items()
+                if c in df.columns
+            }
+        unknown_src = []
+        for c, e in sorted(gen_map.items()):
+            if c not in df.columns:
+                try:
+                    df = df.withColumn(c, F.expr(e))
+                except Exception as exc:  # noqa: BLE001
+                    unknown_src.append((c, str(exc)))
+        if unknown_src:
+            raise ValueError(
+                f"generated columns reference unknown inputs: {unknown_src}"
+            )
+
+    schema_str = _stamp_generated(df.schema.json(), gen_map) if (
+        prev is None or mode == "overwrite"
+    ) else None
+
     if prev is not None:
         _require_unmapped(prev, "write_delta")
         _require_writer_ok(prev, "write_delta")
@@ -893,7 +989,7 @@ def write_delta(
         # configuration (carried across overwrite, like real Delta);
         # NOT NULL invariants come from the schema the rows land under
         contract_schema = (
-            prev.metadata["schemaString"] if mode == "append" else df.schema.json()
+            prev.metadata["schemaString"] if mode == "append" else schema_str
         )
         _enforce_write_contract(
             df,
@@ -902,6 +998,12 @@ def write_delta(
                 "configuration": prev.metadata.get("configuration") or {},
             },
             "write_delta",
+        )
+    elif gen_map:
+        # creation with generated columns: validate any caller-supplied
+        # values against the expressions before the first commit
+        _enforce_write_contract(
+            df, {"schemaString": schema_str, "configuration": {}}, "write_delta"
         )
     version = 0 if prev is None else prev.version + 1
     pcols = list(partition_by)
@@ -958,13 +1060,25 @@ def write_delta(
             if prev is not None
             else {"minReaderVersion": 1, "minWriterVersion": 2}
         )
+        if gen_map and int(proto.get("minWriterVersion", 2)) < 7:
+            # generated columns are a table feature: protocol v7 with
+            # the feature listed, plus the duties this writer already
+            # implements for such tables
+            proto = {
+                "minReaderVersion": proto.get("minReaderVersion", 1),
+                "minWriterVersion": 7,
+                "writerFeatures": sorted(
+                    set(proto.get("writerFeatures") or [])
+                    | {"generatedColumns", "invariants", "checkConstraints"}
+                ),
+            }
         actions.append({"protocol": proto})
         actions.append(
             {
                 "metaData": {
                     "id": uuid.uuid4().hex,
                     "format": {"provider": "parquet", "options": {}},
-                    "schemaString": df.schema.json(),
+                    "schemaString": schema_str,
                     "partitionColumns": pcols,
                     # table configuration (incl. CHECK constraints)
                     # survives a dataframe overwrite, like real Delta

@@ -125,26 +125,47 @@ def test_not_null_invariant_enforced(spark, tmp_path):
     assert read_delta(spark, path).count() == 2
 
 
-def test_generated_column_gate(spark, tmp_path):
+def test_generated_columns_computed_and_enforced(spark, tmp_path):
+    """Round 11: generated columns became a real writer duty — the
+    writer COMPUTES missing delta.generationExpression values and
+    VALIDATES supplied ones row-wise on every write path."""
+    from pyspark.sql import functions as F
+
+    from pyspark_excel_datasource_spark.sources.deltalog import (
+        _generated_columns,
+        snapshot,
+        update_where,
+    )
+
     path = str(tmp_path / "gen")
-    df = spark.createDataFrame([(1, 2024)], "k long, year int")
-    write_delta(spark, df, path)
-    log = os.path.join(path, "_delta_log", f"{0:020d}.json")
-    lines = [json.loads(x) for x in open(log) if x.strip()]
-    for act in lines:
-        if "metaData" in act:
-            sch = json.loads(act["metaData"]["schemaString"])
-            for f in sch["fields"]:
-                if f["name"] == "year":
-                    f["metadata"] = {"delta.generationExpression": "YEAR(ts)"}
-            act["metaData"]["schemaString"] = json.dumps(sch)
-    with open(log, "w") as fh:
-        for act in lines:
-            fh.write(json.dumps(act) + "\n")
-    with pytest.raises(DeltaProtocolError, match="generated column"):
-        write_delta(spark, df, path, mode="append")
-    # reads are unaffected (generated columns are stored physically)
-    assert read_delta(spark, path).count() == 1
+    df = spark.createDataFrame([(1, 10.0), (2, 25.0)], "k long, v double")
+    write_delta(spark, df, path, generated={"v2x": "v * 2"})
+    got = read_delta(spark, path)
+    assert {(r.k, r.v2x) for r in got.collect()} == {(1, 20.0), (2, 50.0)}
+    snap = snapshot(path)
+    assert _generated_columns(snap.metadata) == {"v2x": "v * 2"}
+    assert "generatedColumns" in (snap.protocol.get("writerFeatures") or [])
+    # appends inherit the expression and compute the missing column
+    write_delta(
+        spark,
+        spark.createDataFrame([(3, 1.5)], "k long, v double"),
+        path,
+        mode="append",
+    )
+    assert read_delta(spark, path).filter("v2x <> v * 2").count() == 0
+    # a supplied value that contradicts the expression aborts
+    bad = spark.createDataFrame([(4, 1.0, 99.0)], "k long, v double, v2x double")
+    with pytest.raises(DeltaConstraintViolationError, match="generated column"):
+        write_delta(spark, bad, path, mode="append")
+    # an UPDATE that breaks the source without recomputing aborts too
+    with pytest.raises(DeltaConstraintViolationError, match="generated column"):
+        update_where(spark, path, "k = 1", {"v": "v + 1"})
+    # ...and succeeds when it keeps the pair consistent
+    update_where(spark, path, "k = 1", {"v": "v + 1", "v2x": "(v + 1) * 2"})
+    assert read_delta(spark, path).filter("v2x <> v * 2").count() == 0
+    # generated= on append is a usage error (the table's spec wins)
+    with pytest.raises(ValueError, match="creation/overwrite"):
+        write_delta(spark, df, path, mode="append", generated={"v2x": "v"})
 
 
 def test_writer_version_gate(spark, tmp_path):
