@@ -60,6 +60,14 @@ SLICE = (
     # round-10: the positional-delete read path (broadcast anti-join on
     # _metadata.row_index) must stay partition-count-invariant too
     "q_scan_delta_dv",
+    # round-11: the banded-KS argmax (band offsets + within-band
+    # cumsums), the fixed-point GD recurrence, the mixed-spec
+    # partition-evolution union, and the MOR delete/upsert read paths
+    "q_drift_ks",
+    "q_classify_gd",
+    "q_iceberg_partition_evolution",
+    "q_iceberg_delete_pos",
+    "q_iceberg_upsert",
 )
 
 
