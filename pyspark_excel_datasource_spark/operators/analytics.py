@@ -3022,3 +3022,104 @@ def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ks_fp"),
         )
     )
+
+
+@query(
+    "q_join_scd2",
+    oracle="""
+    WITH status AS (
+        SELECT user_id, event_type, ts, event_id
+        FROM events WHERE event_type IN ('signup', 'purchase', 'error')
+    ), runs AS (
+        SELECT user_id, event_type, island, MIN(ts) AS valid_from
+        FROM (
+            SELECT user_id, event_type, ts,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                 - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) AS island
+            FROM status
+        )
+        GROUP BY user_id, event_type, island
+    ), dim AS (
+        SELECT user_id, event_type, valid_from,
+               LEAD(valid_from) OVER (PARTITION BY user_id
+                                      ORDER BY valid_from, event_type)
+                   AS valid_to
+        FROM runs
+    ), facts AS (
+        SELECT user_id, ts, CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type IN ('click', 'view')
+    )
+    SELECT COALESCE(d.event_type, 'none') AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_facts,
+           CAST(SUM(f.cents) AS BIGINT) AS sum_cents
+    FROM facts f
+    LEFT JOIN dim d
+      ON f.user_id = d.user_id
+     AND f.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    GROUP BY COALESCE(d.event_type, 'none')
+    """,
+)
+def q_join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-SCD2 temporal join: each click/view fact joins the status
+    interval (signup/purchase/error run, gaps-and-islands collapsed)
+    VALID at its event time — the dimension-versioning join every
+    warehouse does when facts must see the attribute as-of the fact,
+    not as-of today. Half-open intervals make the match unique by
+    construction (equal-start collisions produce empty intervals, never
+    overlaps); pre-status facts keep a 'none' bucket via the left join.
+
+    Plan shape: the dimension build is one shuffle on user_id (both
+    row_numbers, the run aggregate, and the lead reuse it); the join is
+    an equi-join ON user_id with the interval bounds as residual
+    filters — per-user interval lists are change-rate-bounded, so the
+    join state per key stays small at any fact volume. Value cents are
+    exact BIGINTs.
+    """
+    ev = table(spark, sf_dir, "events")
+    status = ev.filter(
+        F.col("event_type").isin("signup", "purchase", "error")
+    )
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    island = F.row_number().over(
+        W.partitionBy("user_id").orderBy(*order)
+    ) - F.row_number().over(
+        W.partitionBy("user_id", "event_type").orderBy(*order)
+    )
+    runs = (
+        status.select("user_id", "event_type", "ts", island.alias("island"))
+        .groupBy("user_id", "event_type", "island")
+        .agg(F.min("ts").alias("valid_from"))
+    )
+    dim = runs.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from")
+        .over(
+            W.partitionBy("user_id").orderBy(
+                F.col("valid_from").asc(), F.col("event_type").asc()
+            )
+        )
+        .alias("valid_to"),
+    )
+    facts = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    j = facts.alias("f").join(
+        dim.alias("d"),
+        (F.col("f.user_id") == F.col("d.user_id"))
+        & (F.col("f.ts") >= F.col("d.valid_from"))
+        & (F.col("d.valid_to").isNull() | (F.col("f.ts") < F.col("d.valid_to"))),
+        "left",
+    )
+    return j.groupBy(
+        F.coalesce(F.col("d.event_type"), F.lit("none")).alias("status")
+    ).agg(
+        F.count("*").cast("long").alias("n_facts"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )

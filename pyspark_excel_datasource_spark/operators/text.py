@@ -1302,3 +1302,140 @@ def q_text_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("clean_md5"),
     )
+
+
+#: RAKE breaker words — phrase candidates are maximal runs of tokens
+#: that are none of these (and at least 2 chars long)
+_RAKE_STOP = (
+    "the", "a", "an", "of", "and", "or", "in", "to", "is", "for",
+    "on", "with", "by", "at", "as", "it", "be",
+)
+
+
+@query(
+    "q_text_rake",
+    oracle=f"""
+    WITH arrs AS (
+        SELECT doc_id,
+               string_split_regex(LOWER(text), '[^a-z0-9]+') AS arr
+        FROM documents
+    ), tok AS (
+        SELECT doc_id,
+               UNNEST(arr) AS token,
+               UNNEST(generate_series(1, len(arr))) AS pos,
+               (UNNEST(arr) = '' OR LENGTH(UNNEST(arr)) < 2 OR
+                UNNEST(arr) IN
+                ({", ".join("'" + w + "'" for w in _RAKE_STOP)})) AS brk
+        FROM arrs
+    ), words AS (
+        SELECT doc_id, token, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY pos) AS island
+        FROM tok WHERE NOT brk
+    ), phrases AS (
+        SELECT doc_id, island,
+               STRING_AGG(token, ' ' ORDER BY pos) AS phrase,
+               CAST(COUNT(*) AS BIGINT) AS plen
+        FROM words GROUP BY doc_id, island
+    ), wstats AS (
+        SELECT w.token,
+               CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(SUM(p.plen) AS BIGINT) AS degree
+        FROM words w
+        JOIN phrases p ON w.doc_id = p.doc_id AND w.island = p.island
+        GROUP BY w.token
+    ), scored AS (
+        SELECT p.phrase, p.plen,
+               CAST(SUM(s.degree * 1000000 // s.freq) AS BIGINT) AS score_fp
+        FROM words w
+        JOIN phrases p ON w.doc_id = p.doc_id AND w.island = p.island
+        JOIN wstats s ON s.token = w.token
+        GROUP BY p.doc_id, p.island, p.phrase, p.plen
+    )
+    SELECT phrase, CAST(plen AS BIGINT) AS n_words, score_fp,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM scored
+    GROUP BY phrase, plen, score_fp
+    ORDER BY score_fp DESC, phrase
+    LIMIT 15
+    """,
+)
+def q_text_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al.'s Rapid Automatic Keyword
+    Extraction): candidate phrases are maximal stopword-free token runs
+    (gaps-and-islands over token positions — no word-boundary regex, so
+    both engines tokenize identically with one character-class split);
+    each word scores degree/frequency, where degree sums the lengths of
+    every phrase containing the word; a phrase scores the sum of its
+    members' scores. Scoring is EXACT integer arithmetic — degree·1e6
+    floor-divided by freq, summed as BIGINTs — so the top-15 ranking
+    and its tie-break are bit-identical cross-engine, no float anywhere.
+
+    Plan shape: tokenize in the scan projection, one shuffle to phrase
+    islands (doc-local keys), one token-keyed shuffle for word stats
+    (vocab-bounded), a broadcast-sized stats join back, and a
+    TakeOrdered(15). Corpus passes: exactly one over the text.
+    """
+    stop = [F.lit(w) for w in _RAKE_STOP]
+    d = spread(table(spark, sf_dir, "documents"))
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias(
+            "pos0", "token"
+        ),
+    ).select(
+        "doc_id",
+        "token",
+        # DuckDB's WITH ORDINALITY is 1-based; mirror it
+        (F.col("pos0") + 1).alias("pos"),
+        (
+            (F.col("token") == "")
+            | (F.length("token") < 2)
+            | F.col("token").isin(*[w for w in _RAKE_STOP])
+        ).alias("brk"),
+    )
+    words = tok.filter(~F.col("brk")).select(
+        "doc_id",
+        "token",
+        "pos",
+        (
+            F.col("pos")
+            - F.row_number().over(W.partitionBy("doc_id").orderBy("pos"))
+        ).alias("island"),
+    )
+    phrases = words.groupBy("doc_id", "island").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                lambda x: x["token"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count("*").cast("long").alias("plen"),
+    )
+    wp = words.join(phrases, ["doc_id", "island"])
+    wstats = wp.groupBy("token").agg(
+        F.count("*").cast("long").alias("freq"),
+        F.sum("plen").cast("long").alias("degree"),
+    )
+    scored = (
+        wp.join(F.broadcast(wstats), "token")
+        .groupBy("doc_id", "island", "phrase", "plen")
+        .agg(
+            F.sum(F.expr("degree * 1000000L DIV freq"))
+            .cast("long")
+            .alias("score_fp")
+        )
+    )
+    return (
+        scored.groupBy("phrase", "plen", "score_fp")
+        .agg(F.count("*").cast("long").alias("n_occurrences"))
+        .select(
+            "phrase",
+            F.col("plen").cast("long").alias("n_words"),
+            "score_fp",
+            "n_occurrences",
+        )
+        .orderBy(F.col("score_fp").desc(), "phrase")
+        .limit(15)
+    )

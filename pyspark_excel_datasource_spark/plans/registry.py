@@ -162,6 +162,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_stream_cdf",
     "q_iceberg_upsert",
     "q_delta_generated",
+    "q_join_scd2",
+    "q_text_rake",
     # E. stalest prior greens (re-verification fill): r1 vintage (10)
     "q_agg_argmax",
     "q_agg_histogram",
