@@ -704,3 +704,83 @@ def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             canon(dround(F.col("lam") / F.col("tr"), 6)).alias("var_share"),
         )
     )
+
+
+@query(
+    "q_embed_quantize_int8",
+    oracle="""
+    WITH arrs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS arr FROM embeddings
+    ), ex AS (
+        SELECT vec_id,
+               UNNEST(arr) AS x,
+               UNNEST(generate_series(1, len(arr))) AS dim
+        FROM arrs
+    ), sc AS (
+        SELECT dim, MAX(ABS(x)) / 127.0 AS scale FROM ex GROUP BY dim
+    ), q AS (
+        SELECT e.dim, e.x, s.scale,
+               CASE WHEN s.scale = 0.0 THEN 0.0
+                    ELSE FLOOR(e.x / s.scale + 0.5) END AS qv
+        FROM ex e JOIN sc s ON e.dim = s.dim
+    )
+    SELECT CAST(dim AS INTEGER) AS dim,
+           CAST(FLOOR(MIN(scale) * 1000000000.0 + 0.5) AS BIGINT)
+               AS scale_fp,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ABS(qv) AS BIGINT)) AS BIGINT) AS sum_qabs,
+           CAST(SUM(CAST(FLOOR(((x - (qv * scale)) * (x - (qv * scale)))
+                * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sse_fp
+    FROM q
+    GROUP BY dim
+    """,
+)
+def q_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension symmetric INT8 quantization of the embedding table —
+    the compression step ANN serving stacks apply before indexing (4x
+    smaller vectors, SIMD-dot-product-ready): scale_d = max|x_d|/127,
+    code = FLOOR(x/scale + 0.5) (our fixed quantizer spelling — no
+    engine-dependent ROUND-half behavior), guaranteed in [-127, 127] by
+    the scale construction. Reports per-dimension scale, total code
+    magnitude, and the exact-integer SSE of reconstruction — the
+    quality census a pipeline gates on before swapping fp32 for int8.
+
+    Determinism: the scale is MAX-derived (order-independent), x/scale
+    and the reconstruction error are IEEE-exact identical expressions,
+    and both reported sums quantize per row to BIGINT before summing.
+
+    Plan shape: one posexplode pass → per-dim MAX (64-key aggregate,
+    broadcast back) → one more pass for codes/errors → 64-row result.
+    Two corpus passes total, both map-side combined; at 100 TB the
+    broadcast is dims-bounded and nothing row-scale shuffles.
+    """
+    ex = spread(table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim0", "x"
+        ),
+    ).select((F.col("dim0") + 1).alias("dim"), "x")
+    sc = ex.groupBy("dim").agg(
+        (F.max(F.abs(F.col("x"))) / 127.0).alias("scale")
+    )
+    q = ex.join(F.broadcast(sc), "dim").select(
+        "dim",
+        "x",
+        "scale",
+        F.when(F.col("scale") == 0.0, F.lit(0.0))
+        .otherwise(F.floor(F.col("x") / F.col("scale") + F.lit(0.5)))
+        .alias("qv"),
+    )
+    err = (F.col("x") - (F.col("qv") * F.col("scale")))
+    return q.groupBy(F.col("dim").cast("int").alias("dim")).agg(
+        F.floor(F.min("scale") * 1_000_000_000.0 + F.lit(0.5))
+        .cast("long")
+        .alias("scale_fp"),
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.abs(F.col("qv")).cast("long")).cast("long").alias("sum_qabs"),
+        F.sum(
+            F.floor((err * err) * 1_000_000_000_000.0 + F.lit(0.5)).cast("long")
+        )
+        .cast("long")
+        .alias("sse_fp"),
+    )

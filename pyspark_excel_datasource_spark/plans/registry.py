@@ -164,6 +164,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_delta_generated",
     "q_join_scd2",
     "q_text_rake",
+    "q_embed_quantize_int8",
     # E. stalest prior greens (re-verification fill): r1 vintage (10)
     "q_agg_argmax",
     "q_agg_histogram",

@@ -194,3 +194,27 @@ def test_stream_cdf_per_commit_semantics(spark, tmp_path):
             snapshot(path).schema,
             {"path": path, "readChangeFeed": "true", "ignoreDeletes": "true"},
         )
+
+
+def test_int8_quantization_matches_numpy(spark, queries):
+    import numpy as np
+
+    got = {
+        r.dim: r.asDict()
+        for r in queries["q_embed_quantize_int8"](spark, SF).collect()
+    }
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    for d in range(mat.shape[1]):
+        x = mat[:, d]
+        scale = np.abs(x).max() / 127.0
+        qv = np.floor(x / scale + 0.5) if scale else np.zeros_like(x)
+        assert np.all(np.abs(qv) <= 127)  # int8-representable
+        err = x - qv * scale
+        row = got[d + 1]
+        assert row["scale_fp"] == int(np.floor(scale * 1e9 + 0.5))
+        assert row["n"] == len(x)
+        assert row["sum_qabs"] == int(np.abs(qv).sum())
+        assert row["sse_fp"] == int(
+            sum(int(np.floor(e * e * 1e12 + 0.5)) for e in err)
+        )
