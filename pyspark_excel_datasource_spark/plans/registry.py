@@ -165,6 +165,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_join_scd2",
     "q_text_rake",
     "q_embed_quantize_int8",
+    "q_iceberg_partitions",
     # E. stalest prior greens (re-verification fill): r1 vintage (10)
     "q_agg_argmax",
     "q_agg_histogram",

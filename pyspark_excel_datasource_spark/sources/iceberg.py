@@ -2086,3 +2086,26 @@ def convert_iceberg_to_delta(
         )
     _commit(delta_path, 0, actions)
     return 0
+
+
+def partitions_meta(
+    table_path: str, snapshot_id: int | None = None
+) -> list[dict[str, Any]]:
+    """The ``partitions`` metadata table: one row per identity partition
+    of a snapshot — partition values, live file count, row count, total
+    bytes — aggregated purely from manifests (no data file is opened).
+    The layout census behind compaction targeting, skew diagnosis, and
+    partition-pruning estimates, at metadata cost like ``files_meta``.
+    """
+    out: dict[tuple, dict[str, Any]] = {}
+    for rec in files_meta(table_path, snapshot_id):
+        pv = rec["partition"]
+        key = tuple(sorted(pv.items()))
+        agg = out.setdefault(
+            key,
+            {"partition": dict(pv), "n_files": 0, "n_rows": 0, "n_bytes": 0},
+        )
+        agg["n_files"] += 1
+        agg["n_rows"] += int(rec["record_count"])
+        agg["n_bytes"] += int(rec["file_size_in_bytes"])
+    return [out[k] for k in sorted(out)]

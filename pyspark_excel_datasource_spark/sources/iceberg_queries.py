@@ -1317,3 +1317,56 @@ def q_iceberg_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_bal"),
         )
     )
+
+
+@query(
+    "q_iceberg_partitions",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(2 AS BIGINT) AS n_files,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_iceberg_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``partitions`` metadata table: per-partition file/row census
+    straight from the manifest tree — no data file opened. The fixture
+    writes orders in TWO single-file-per-partition appends (one task
+    each), so the oracle can pin the file count exactly (2 per status)
+    alongside the row census; matching hashes prove record_count and
+    partition values survive the write → manifest → census path
+    losslessly. This is the metadata query behind compaction targeting
+    and skew diagnosis at 100 TB: cost is O(manifests), never O(data).
+    """
+    import shutil
+
+    from .iceberg import partitions_meta
+
+    out = os.path.join(_fixture_dir(sf_dir), "orders_iceberg_parts_meta")
+    done = os.path.join(out, "metadata", "v2.metadata.json")
+    if not os.path.exists(done):
+        shutil.rmtree(out, ignore_errors=True)
+        orders = table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus"
+        )
+        third = F.col("o_orderkey") % 3 == 0
+        write_iceberg(
+            spark, orders.filter(~third).repartition(1), out,
+            partition_by=("o_orderstatus",),
+        )
+        write_iceberg(
+            spark, orders.filter(third).repartition(1), out, mode="append",
+            partition_by=("o_orderstatus",),
+        )
+    rows = [
+        (
+            r["partition"]["o_orderstatus"],
+            int(r["n_files"]),
+            int(r["n_rows"]),
+        )
+        for r in partitions_meta(out)
+    ]
+    return spark.createDataFrame(
+        rows, "o_orderstatus string, n_files long, n_rows long"
+    )
