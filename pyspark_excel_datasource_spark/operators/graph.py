@@ -39,6 +39,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..catalog import table
 from ..plans.registry import query
@@ -963,4 +964,259 @@ def q_graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id"),
         "cluster_id",
         (F.col("cluster_id") == F.col("id")).alias("is_kept"),
+    )
+
+
+#: Link-prediction safety cap: customers whose distinct-supplier degree
+#: exceeds this bound are dropped from PAIR GENERATION (not from the
+#: degree tables) — the df-cap discipline of the dedup family. TPC-H
+#: customer degree is ~O(orders-per-customer × items-per-order), which
+#: is scale-INVARIANT (~40), so the cap only guards pathological skew.
+_LP_MAX_CUST_DEGREE = 256
+
+_CS_SQL = """
+        SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+"""
+
+
+@query(
+    "q_graph_common_neighbors",
+    oracle=f"""
+    WITH cs AS ({_CS_SQL}),
+    degc AS (SELECT cust, CAST(COUNT(*) AS BIGINT) AS dc
+             FROM cs GROUP BY cust),
+    degs AS (SELECT supp, CAST(COUNT(*) AS BIGINT) AS ds
+             FROM cs GROUP BY supp),
+    pairs AS (
+        SELECT a.supp AS s1, b.supp AS s2, a.cust AS cust
+        FROM cs a JOIN cs b ON a.cust = b.cust AND a.supp < b.supp
+        JOIN degc ON degc.cust = a.cust
+        WHERE degc.dc <= {_LP_MAX_CUST_DEGREE}
+    ),
+    scored AS (
+        SELECT s1, s2, CAST(COUNT(*) AS BIGINT) AS cn,
+               CAST(SUM(CAST(FLOOR(1000000.0 / LOG2(CAST(dc AS DOUBLE))
+                    + 0.5) AS BIGINT)) AS BIGINT) AS aa_fp
+        FROM pairs JOIN degc USING (cust)
+        GROUP BY s1, s2
+    )
+    SELECT s1, s2, cn, d1.ds AS deg1, d2.ds AS deg2,
+           CAST(FLOOR(CAST(cn AS DOUBLE)
+                / CAST(d1.ds + d2.ds - cn AS DOUBLE)
+                * 1000000 + 0.5) AS BIGINT) AS jaccard_fp,
+           aa_fp
+    FROM scored
+    JOIN degs d1 ON d1.supp = s1
+    JOIN degs d2 ON d2.supp = s2
+    ORDER BY cn DESC, s1, s2
+    LIMIT 20
+    """,
+)
+def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the co-purchase bipartite graph: for every
+    supplier pair sharing at least one customer, the three classic
+    scores — common-neighbor count, Jaccard over customer sets, and
+    Adamic–Adar (each shared customer weighted 1/log2(degree), so
+    promiscuous customers count less) — top-20 by raw overlap. The
+    "which two nodes will connect next" primitive of recommendation
+    and graph-completion pipelines.
+
+    Determinism: cn/degrees are exact int64; Adamic–Adar quantizes each
+    1/log2(dc) term to BIGINT before the sum (the entropy convention);
+    Jaccard is one double over integers. (cn DESC, s1, s2) is a total
+    order, so the LIMIT is deterministic.
+
+    Scale: pair generation fans out per customer posting list —
+    bounded by the df-cap (``_LP_MAX_CUST_DEGREE``) exactly like the
+    MinHash band joins, never all-pairs: candidate volume is
+    Σ_c deg(c)² ≤ customers × cap², linear in data. The self-join and
+    the Adamic–Adar weight join share one hash partitioning on cust;
+    the top-20 is a distributed TakeOrdered, not a global sort.
+    """
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    cs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_suppkey").alias("supp"),
+        )
+        .distinct()
+    )
+    degc = cs.groupBy("cust").agg(F.count("*").cast("long").alias("dc"))
+    degs = cs.groupBy("supp").agg(F.count("*").cast("long").alias("ds"))
+    a, b = cs.alias("a"), cs.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.cust") == F.col("b.cust")) & (F.col("a.supp") < F.col("b.supp")))
+        .select(
+            F.col("a.supp").alias("s1"),
+            F.col("b.supp").alias("s2"),
+            F.col("a.cust").alias("cust"),
+        )
+        .join(degc, "cust")
+        .filter(F.col("dc") <= _LP_MAX_CUST_DEGREE)
+    )
+    aa_term = F.floor(
+        F.lit(1_000_000.0) / F.log2(F.col("dc").cast("double")) + F.lit(0.5)
+    ).cast("long")
+    scored = pairs.groupBy("s1", "s2").agg(
+        F.count("*").cast("long").alias("cn"),
+        F.sum(aa_term).cast("long").alias("aa_fp"),
+    )
+    d1 = degs.select(F.col("supp").alias("s1"), F.col("ds").alias("deg1"))
+    d2 = degs.select(F.col("supp").alias("s2"), F.col("ds").alias("deg2"))
+    return (
+        scored.join(d1, "s1")
+        .join(d2, "s2")
+        .select(
+            "s1",
+            "s2",
+            "cn",
+            "deg1",
+            "deg2",
+            F.floor(
+                F.col("cn").cast("double")
+                / (F.col("deg1") + F.col("deg2") - F.col("cn")).cast("double")
+                * 1_000_000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("jaccard_fp"),
+            "aa_fp",
+        )
+        .orderBy(F.col("cn").desc(), "s1", "s2")
+        .limit(20)
+    )
+
+
+@query(
+    "q_graph_label_prop",
+    oracle=f"""
+    WITH cs AS ({_CS_SQL}),
+    seeds AS (
+        SELECT s_suppkey AS supp, CAST(s_nationkey AS BIGINT) AS label
+        FROM supplier WHERE s_suppkey % 3 = 0
+    ),
+    votes1 AS (
+        SELECT cs.cust, seeds.label, CAST(COUNT(*) AS BIGINT) AS n
+        FROM cs JOIN seeds ON cs.supp = seeds.supp
+        GROUP BY 1, 2
+    ),
+    cust_lab AS (
+        SELECT cust, label FROM (
+            SELECT cust, label,
+                   ROW_NUMBER() OVER (PARTITION BY cust
+                                      ORDER BY n DESC, label) AS r
+            FROM votes1
+        ) WHERE r = 1
+    ),
+    votes2 AS (
+        SELECT cs.supp, cust_lab.label, CAST(COUNT(*) AS BIGINT) AS n
+        FROM cs JOIN cust_lab ON cs.cust = cust_lab.cust
+        WHERE cs.supp NOT IN (SELECT supp FROM seeds)
+        GROUP BY 1, 2
+    ),
+    spread_lab AS (
+        SELECT supp, label FROM (
+            SELECT supp, label,
+                   ROW_NUMBER() OVER (PARTITION BY supp
+                                      ORDER BY n DESC, label) AS r
+            FROM votes2
+        ) WHERE r = 1
+    )
+    SELECT label,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM seeds s2
+            WHERE s2.label = t.label) AS n_seeds,
+           CAST(SUM(CASE WHEN kind = 'c' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_customers,
+           CAST(SUM(CASE WHEN kind = 's' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_spread_suppliers
+    FROM (
+        SELECT label, 'c' AS kind FROM cust_lab
+        UNION ALL
+        SELECT label, 's' AS kind FROM spread_lab
+    ) t
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation on the co-purchase bipartite
+    graph: a third of the suppliers are seeded with their nation as
+    the label; round 1 labels every customer by the majority label of
+    its seeded suppliers (ties → smallest label — the deterministic
+    tie-break every sync label-prop needs), round 2 labels the
+    UNSEEDED suppliers from their customers' round-1 labels. Output is
+    the per-label census (seeds, labeled customers, spread suppliers)
+    — community structure recovered from 2 hops of message passing,
+    the bounded-round sibling of ``q_graph_cc``'s min-label star
+    contraction.
+
+    Scale: each round is one shuffle keyed on the receiving node
+    (map-side-combined vote counts) plus a PARTITIONED row_number
+    argmax — no global windows, no iteration-count data dependence
+    (fixed 2 rounds), seed table broadcast into round 1.
+    """
+    cs = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .join(
+            table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_suppkey"
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_suppkey").alias("supp"),
+        )
+        .distinct()
+    )
+    sup = table(spark, sf_dir, "supplier")
+    seeds = sup.filter(F.col("s_suppkey") % 3 == 0).select(
+        F.col("s_suppkey").alias("supp"),
+        F.col("s_nationkey").cast("long").alias("label"),
+    )
+    w_cust = W.partitionBy("cust").orderBy(F.col("n").desc(), "label")
+    cust_lab = (
+        cs.join(F.broadcast(seeds), "supp")
+        .groupBy("cust", "label")
+        .agg(F.count("*").cast("long").alias("n"))
+        .withColumn("r", F.row_number().over(w_cust))
+        .filter(F.col("r") == 1)
+        .select("cust", "label")
+    )
+    non_seed = sup.filter(F.col("s_suppkey") % 3 != 0).select(
+        F.col("s_suppkey").alias("supp")
+    )
+    w_supp = W.partitionBy("supp").orderBy(F.col("n").desc(), "label")
+    spread_lab = (
+        cs.join(F.broadcast(non_seed), "supp", "left_semi")
+        .join(cust_lab, "cust")
+        .groupBy("supp", "label")
+        .agg(F.count("*").cast("long").alias("n"))
+        .withColumn("r", F.row_number().over(w_supp))
+        .filter(F.col("r") == 1)
+        .select("supp", "label")
+    )
+    seed_census = seeds.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_seeds")
+    )
+    union = cust_lab.select("label", F.lit("c").alias("kind")).unionByName(
+        spread_lab.select("label", F.lit("s").alias("kind"))
+    )
+    return (
+        union.groupBy("label")
+        .agg(
+            F.sum(F.when(F.col("kind") == "c", 1).otherwise(0))
+            .cast("long")
+            .alias("n_customers"),
+            F.sum(F.when(F.col("kind") == "s", 1).otherwise(0))
+            .cast("long")
+            .alias("n_spread_suppliers"),
+        )
+        .join(F.broadcast(seed_census), "label")
+        .select("label", "n_seeds", "n_customers", "n_spread_suppliers")
+        .orderBy("label")
     )

@@ -1130,3 +1130,173 @@ def q_classify_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_classify_gd_orders"
     )
     return spark.sql(_gd_sql("q_classify_gd_orders"))
+
+
+@query(
+    "q_eval_ap",
+    oracle=f"""
+    WITH scored AS (
+        SELECT * FROM (
+            {nb_scores_sql("SELECT * FROM documents WHERE doc_id % 2 = 1")}
+            SELECT doc_id,
+                   CAST(CASE WHEN true_lang = 'en' THEN 1 ELSE 0 END AS INT)
+                       AS pos,
+                   score
+            FROM with_prior WHERE cls = 'en'
+        )
+    ),
+    ranked AS (
+        SELECT pos, doc_id,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS k,
+               COUNT(*) OVER () AS n
+        FROM scored
+    ),
+    posr AS (
+        SELECT k, n, ROW_NUMBER() OVER (ORDER BY k) AS j
+        FROM ranked WHERE pos = 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pos,
+           CAST(MAX(n) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(CAST(j AS DOUBLE) / CAST(k AS DOUBLE)
+                * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS ap_sum_fp,
+           CAST(FLOOR(CAST(SUM(CAST(FLOOR(CAST(j AS DOUBLE)
+                / CAST(k AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT) AS ap_fp
+    FROM posr
+    """,
+)
+def q_eval_ap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (area under the precision-recall curve, the
+    ranking metric that — unlike AUC — concentrates on the positive
+    class) of the NB 'en' score: AP = (1/n⁺) Σ_{positives} P@k where
+    P@k = (#positives ranked ≤ k)/k under the deterministic total
+    order (score DESC, doc_id). Ties get a defined order, so both
+    engines rank identically; each P@k term is quantized to
+    fixed-point BIGINT before the sum (order-independent), and the
+    final mean is one double over two exact integers.
+
+    Scale: TWO banded global row_numbers (operators/banding.py) — rank
+    all docs by (−score, doc_id) in score bands, then rank the
+    positives by k in rank bands — so the global sort never plans as a
+    single task; everything else is a map-side-combined one-row
+    aggregate. The PR sibling of ``q_eval_auc``'s banded Mann–Whitney.
+    """
+    from .banding import banded_row_number
+
+    scored = _nb_en_scored(spark, sf_dir).withColumn(
+        "neg", -F.col("score")
+    )
+    ranked = banded_row_number(
+        scored, F.floor(F.col("neg")).cast("long"), ["neg", "doc_id"]
+    ).withColumnRenamed("rn", "k").withColumnRenamed("n", "n_total")
+    pos = ranked.filter(F.col("pos") == 1).select("k", "n_total")
+    posr = banded_row_number(
+        pos, F.expr("(k - 1) DIV 1024"), ["k"]
+    ).withColumnRenamed("rn", "j")
+    term_fp = F.floor(
+        F.col("j").cast("double") / F.col("k").cast("double") * 1_000_000
+        + F.lit(0.5)
+    ).cast("long")
+    return posr.agg(
+        F.count("*").cast("long").alias("n_pos"),
+        F.max("n_total").cast("long").alias("n"),
+        F.sum(term_fp).cast("long").alias("ap_sum_fp"),
+        F.floor(
+            F.sum(term_fp).cast("double") / F.count("*").cast("double")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("ap_fp"),
+    )
+
+
+@query(
+    "q_eval_calibration",
+    oracle=f"""
+    WITH scored AS (
+        SELECT * FROM (
+            {nb_scores_sql("SELECT * FROM documents WHERE doc_id % 2 = 1")}
+            SELECT doc_id,
+                   CAST(CASE WHEN true_lang = 'en' THEN 1 ELSE 0 END AS INT)
+                       AS pos,
+                   score
+            FROM with_prior WHERE cls = 'en'
+        )
+    ),
+    mm AS (SELECT MIN(score) AS mn, MAX(score) AS mx FROM scored),
+    binned AS (
+        SELECT LEAST(9, CAST(FLOOR((score - mn) / (mx - mn) * 10)
+                   AS BIGINT)) AS bin,
+               pos,
+               CAST(FLOOR(score * 1000000 + 0.5) AS BIGINT) AS s_fp
+        FROM scored CROSS JOIN mm
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(FLOOR(CAST(SUM(pos) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                * 1000000 + 0.5) AS BIGINT) AS pos_rate_fp,
+           CAST(FLOOR(CAST(SUM(s_fp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                + 0.5) AS BIGINT) AS mean_score_fp
+    FROM binned
+    GROUP BY bin
+    ORDER BY bin
+    """,
+)
+def q_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table (calibration bins) for the NB 'en' score: ten
+    equal-width score bins between the observed min and max, each with
+    its item count, positive count, empirical positive rate, and mean
+    score — the diagnostic that shows whether a filter model's score
+    can be thresholded as a probability proxy or needs recalibration
+    (the companion table to ``q_eval_auc``: AUC says the ORDER is
+    good, calibration says the VALUES mean something).
+
+    Determinism: bin edges derive from min/max (exact doubles, same on
+    both engines); per-row scores quantize to BIGINT before the bin
+    sums, so every output column is either exact int64 or one double
+    over exact integers.
+
+    Scale: one min/max aggregate (broadcast back), one
+    map-side-combined census onto ≤10 keys. Two scans, no shuffle
+    growth with data size.
+    """
+    scored = _nb_en_scored(spark, sf_dir)
+    mm = scored.agg(
+        F.min("score").alias("mn"), F.max("score").alias("mx")
+    )
+    binned = scored.crossJoin(F.broadcast(mm)).select(
+        F.least(
+            F.lit(9),
+            F.floor(
+                (F.col("score") - F.col("mn"))
+                / (F.col("mx") - F.col("mn"))
+                * 10
+            ).cast("long"),
+        ).alias("bin"),
+        "pos",
+        F.floor(F.col("score") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("s_fp"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("pos").cast("long").alias("n_pos"),
+            F.floor(
+                F.sum("pos").cast("double") / F.count("*").cast("double")
+                * 1_000_000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("pos_rate_fp"),
+            F.floor(
+                F.sum("s_fp").cast("double") / F.count("*").cast("double")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("mean_score_fp"),
+        )
+        .orderBy("bin")
+    )

@@ -1439,3 +1439,102 @@ def q_text_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_fp").desc(), "phrase")
         .limit(15)
     )
+
+
+@query(
+    "q_text_readability",
+    oracle=r"""
+    WITH perdoc AS (
+        SELECT source,
+               CAST(LEN(regexp_extract_all(text, '\S+')) AS BIGINT) AS w,
+               GREATEST(1, CAST(LEN(regexp_extract_all(text, '[.!?]+'))
+                   AS BIGINT)) AS s,
+               CAST(LEN(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+                   AS BIGINT) AS y
+        FROM documents
+    ),
+    agg AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(w) AS BIGINT) AS words,
+               CAST(SUM(s) AS BIGINT) AS sentences,
+               CAST(SUM(y) AS BIGINT) AS syllables
+        FROM perdoc GROUP BY source
+    )
+    SELECT source, n_docs, words, sentences, syllables,
+           CAST(FLOOR((0.39 * (CAST(words AS DOUBLE)
+                               / CAST(sentences AS DOUBLE))
+                       + 11.8 * (CAST(syllables AS DOUBLE)
+                                 / CAST(words AS DOUBLE))
+                       - 15.59) * 1000000 + 0.5) AS BIGINT)
+               AS fk_grade_fp,
+           CAST(FLOOR((206.835 - 1.015 * (CAST(words AS DOUBLE)
+                                          / CAST(sentences AS DOUBLE))
+                       - 84.6 * (CAST(syllables AS DOUBLE)
+                                 / CAST(words AS DOUBLE)))
+                * 1000000 + 0.5) AS BIGINT) AS flesch_ease_fp
+    FROM agg
+    ORDER BY source
+    """,
+)
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch–Kincaid grade level and Flesch reading ease per source,
+    from three regex censuses — words (``\\S+`` runs), sentences
+    (``[.!?]+`` runs, floored at 1 per doc), and a vowel-group syllable
+    heuristic (``[aeiouy]+`` runs, the classic approximation) — the
+    corpus-quality signal that ranks sources by linguistic complexity
+    for curriculum mixing (``q_mix_temperature``) and filtering
+    (``q_quality_tiers``). Character classes only, so the pattern
+    semantics are identical in Java regex and RE2.
+
+    Determinism: the three counts are exact int64 summed per source;
+    each score is ONE fixed double tree over those sums, floor-
+    quantized — no per-row floats, no reduction-order dependence.
+
+    Scale: counting happens inside the scan projection (JVM regex, no
+    Python); the shuffle carries |sources| rows of four longs.
+    """
+    d = table(spark, sf_dir, "documents")
+    perdoc = d.select(
+        "source",
+        F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)"))
+        .cast("long")
+        .alias("w"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.size(F.expr(r"regexp_extract_all(text, '[.!?]+', 0)")).cast(
+                "long"
+            ),
+        ).alias("s"),
+        F.size(F.expr(r"regexp_extract_all(text, '[aeiouyAEIOUY]+', 0)"))
+        .cast("long")
+        .alias("y"),
+    )
+    agg = perdoc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("w").cast("long").alias("words"),
+        F.sum("s").cast("long").alias("sentences"),
+        F.sum("y").cast("long").alias("syllables"),
+    )
+    wps = F.col("words").cast("double") / F.col("sentences").cast("double")
+    spw = F.col("syllables").cast("double") / F.col("words").cast("double")
+    return agg.select(
+        "source",
+        "n_docs",
+        "words",
+        "sentences",
+        "syllables",
+        F.floor(
+            (F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59))
+            * 1_000_000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("fk_grade_fp"),
+        F.floor(
+            (F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw)
+            * 1_000_000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("flesch_ease_fp"),
+    ).orderBy("source")

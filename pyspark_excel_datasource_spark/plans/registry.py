@@ -63,6 +63,7 @@ _QUERY_MODULES = (
     "pyspark_excel_datasource_spark.operators.corpus",
     "pyspark_excel_datasource_spark.operators.graph",
     "pyspark_excel_datasource_spark.operators.ml",
+    "pyspark_excel_datasource_spark.operators.stats",
     # audit must import last: its oracle embeds other queries' oracles
     "pyspark_excel_datasource_spark.operators.audit",
 )
@@ -166,6 +167,15 @@ _PRIORITY: tuple[str, ...] = (
     "q_text_rake",
     "q_embed_quantize_int8",
     "q_iceberg_partitions",
+    # D3. authored in round 12 (appended as they land)
+    "q_chi2_independence",
+    "q_mutual_info",
+    "q_survival_km",
+    "q_trend_mann_kendall",
+    "q_eval_ap",
+    "q_eval_calibration",
+    "q_graph_common_neighbors",
+    "q_graph_label_prop",
     # E. stalest prior greens (re-verification fill): r1 vintage (10)
     "q_agg_argmax",
     "q_agg_histogram",

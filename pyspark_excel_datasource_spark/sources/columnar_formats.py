@@ -370,3 +370,71 @@ def q_stream_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_price"),
         )
     )
+
+
+def _materialize_docs_bin(sf_dir: str) -> str:
+    """Every 5th document's text → one UTF-8 ``doc_<id>.txt`` file —
+    the opaque-blob fixture for the binaryFile source (idempotent)."""
+    import pyarrow.parquet as pq
+
+    out_dir = os.path.join(_fixture_dir(sf_dir), "docs_bin")
+    done = os.path.join(out_dir, "_done")
+    if not os.path.exists(done):
+        os.makedirs(out_dir, exist_ok=True)
+        t = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        for doc_id, text in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            if doc_id % 5 != 0:
+                continue
+            with open(
+                os.path.join(out_dir, f"doc_{doc_id}.txt"), "wb"
+            ) as fh:
+                fh.write(text.encode("utf-8"))
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return out_dir
+
+
+@query(
+    "q_scan_binaryfile",
+    oracle="""
+    SELECT doc_id,
+           CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+           MD5(text) AS content_md5
+    FROM documents
+    WHERE doc_id % 5 = 0
+    """,
+)
+def q_scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's ``binaryFile`` source over a directory of opaque blobs —
+    the ingestion front door for multimodal corpora (images, audio,
+    archives) where the payload is bytes and the only structure is the
+    path. Each file arrives as (path, modificationTime, length,
+    content); the query parses the id out of the filename, verifies the
+    byte length, and content-addresses the payload with MD5 — exactly
+    the (id, size, digest) manifest a 100 TB media-ingest job builds
+    first, because every downstream dedup/decode step keys on the
+    digest instead of re-shuffling the bytes (``q_multimodal_dedup``'s
+    convention).
+
+    Scale: binaryFile is a standard FileScan — files split across
+    tasks, ``pathGlobFilter`` prunes at listing time, and the digest
+    reduces each blob to 16 bytes before anything shuffles.
+    """
+    bin_dir = _materialize_docs_bin(sf_dir)
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .load(bin_dir)
+        .select(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.txt", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("length").cast("long").alias("n_bytes"),
+            F.lower(F.md5(F.col("content"))).alias("content_md5"),
+        )
+    )

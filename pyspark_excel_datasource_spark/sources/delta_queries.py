@@ -36,6 +36,7 @@ from .deltalog import (
     read_change_feed,
     read_delta,
     snapshot,
+    vacuum,
     write_delta,
 )
 from .excel_queries import _fixture_dir
@@ -1394,4 +1395,63 @@ def q_delta_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_orders"),
             F.sum("o_orderkey").cast("long").alias("sum_key"),
         )
+    )
+
+
+@query(
+    "q_delta_vacuum",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS sum_id,
+           CAST(6 AS BIGINT) AS n_removed,
+           CAST(1 AS BIGINT) AS n_files_after
+    FROM events
+    WHERE event_id % 9 = 0
+    GROUP BY event_type
+    """,
+)
+def q_delta_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM — the storage-reclaim half of copy-on-write maintenance:
+    two fragmented appends (3 files each) are compacted by OPTIMIZE
+    into one file (``dataChange=false``), which leaves the SIX old
+    files dead-but-on-disk so time travel keeps working; VACUUM at
+    retention 0 then physically deletes exactly those six. The output
+    joins the post-vacuum row census with the removed count AND the
+    on-disk parquet count, and the oracle pins them at 6 and 1 — so
+    the hash check proves vacuum deleted every unreferenced file, kept
+    every referenced one, and changed no data. At 100 TB this is the
+    job that caps storage at live-bytes instead of write-history
+    bytes; the walk is O(files), metadata-only, no data read
+    (``sources/deltalog.py:vacuum`` — the retention window guards the
+    concurrent-writer race exactly like real Delta's).
+    """
+    out = os.path.join(_fixture_dir(sf_dir), "events_vacuum_delta")
+    shutil.rmtree(out, ignore_errors=True)
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 9 == 0)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    odd = F.col("event_id") % 2 == 1
+    write_delta(spark, ev.filter(~odd).repartition(3), out, mode="append")
+    write_delta(spark, ev.filter(odd).repartition(3), out, mode="append")
+    optimize(spark, out, target_files=1)
+    removed = vacuum(out, retention_seconds=0.0)
+    n_disk = sum(
+        1
+        for root, _dirs, names in os.walk(out)
+        if "_delta_log" not in root
+        for f in names
+        if f.endswith(".parquet")
+    )
+    return (
+        read_delta(spark, out)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("event_id").cast("long").alias("sum_id"),
+        )
+        .withColumn("n_removed", F.lit(removed).cast("long"))
+        .withColumn("n_files_after", F.lit(n_disk).cast("long"))
     )

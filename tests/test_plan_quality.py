@@ -149,6 +149,17 @@ UNPARTITIONED_WINDOW_OK: dict[str, tuple[int, str]] = {
     "q_zorder_layout": (2, "zval-band offsets + n total over <=1024 bands"),
     "q_mix_budget": (1, "budget arithmetic over the |domains| aggregate"),
     "q_drift_ks": (1, "CDF offsets over the price-band table (bounded bands)"),
+    "q_survival_km": (
+        2,
+        "at-risk suffix sum + KM prefix sum over the month census "
+        "(time-span-bounded, never row-bounded)",
+    ),
+    "q_eval_ap": (
+        4,
+        "two banded row_numbers (all docs by score, positives by rank): "
+        "each contributes band offsets + a total over its bounded band "
+        "table only",
+    ),
 }
 
 

@@ -1,0 +1,237 @@
+"""Round-12 operators: AP/calibration eval, link prediction, label
+propagation, readability, binaryFile scan, Delta VACUUM. DuckDB hash
+parity is the exactness gate; these tests pin SEMANTICS against
+independent pandas/python recomputes."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import re
+
+import pandas as pd
+import pytest
+
+from pyspark_excel_datasource_spark.plans.registry import load_all_queries
+
+SF = "/root/testdata/sf0.001"
+FP = 1_000_000
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return load_all_queries()
+
+
+def _fp(x: float) -> int:
+    return math.floor(x * FP + 0.5)
+
+
+@pytest.fixture(scope="module")
+def scored(spark):
+    from pyspark_excel_datasource_spark.operators.ml import _nb_en_scored
+
+    return _nb_en_scored(spark, SF).toPandas()
+
+
+def test_eval_ap_matches_pandas_ranking(spark, queries, scored):
+    row = queries["q_eval_ap"](spark, SF).collect()[0]
+    df = scored.sort_values(
+        ["score", "doc_id"], ascending=[False, True]
+    ).reset_index(drop=True)
+    df["k"] = range(1, len(df) + 1)
+    pos = df[df["pos"] == 1].reset_index(drop=True)
+    pos["j"] = range(1, len(pos) + 1)
+    terms = [_fp(j / k) for j, k in zip(pos["j"], pos["k"])]
+    assert row["n"] == len(df)
+    assert row["n_pos"] == len(pos)
+    assert row["ap_sum_fp"] == sum(terms)
+    assert row["ap_fp"] == math.floor(sum(terms) / len(pos) + 0.5)
+    # the ranking is informative: AP beats the prevalence baseline
+    assert row["ap_fp"] > _fp(len(pos) / len(df))
+    assert row["ap_fp"] <= FP
+
+
+def test_eval_calibration_matches_pandas_bins(spark, queries, scored):
+    got = queries["q_eval_calibration"](spark, SF).toPandas()
+    mn, mx = scored["score"].min(), scored["score"].max()
+    bins = (
+        ((scored["score"] - mn) / (mx - mn) * 10)
+        .apply(math.floor)
+        .clip(upper=9)
+    )
+    df = scored.assign(
+        bin=bins, s_fp=scored["score"].apply(lambda s: _fp(s))
+    )
+    exp = (
+        df.groupby("bin")
+        .agg(n=("pos", "size"), n_pos=("pos", "sum"), s=("s_fp", "sum"))
+        .reset_index()
+    )
+    assert list(got["bin"]) == list(exp["bin"])
+    assert list(got["n"]) == list(exp["n"])
+    assert list(got["n_pos"]) == list(exp["n_pos"])
+    for g, (_, e) in zip(got.itertuples(), exp.iterrows()):
+        assert g.pos_rate_fp == _fp(e["n_pos"] / e["n"])
+        assert g.mean_score_fp == math.floor(e["s"] / e["n"] + 0.5)
+    assert got["n"].sum() == len(scored)
+
+
+def _cs_frame() -> pd.DataFrame:
+    o = pd.read_parquet(f"{SF}/orders.parquet")[["o_orderkey", "o_custkey"]]
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[
+        ["l_orderkey", "l_suppkey"]
+    ]
+    return (
+        o.merge(li, left_on="o_orderkey", right_on="l_orderkey")[
+            ["o_custkey", "l_suppkey"]
+        ]
+        .drop_duplicates()
+        .rename(columns={"o_custkey": "cust", "l_suppkey": "supp"})
+    )
+
+
+def test_common_neighbors_matches_bruteforce(spark, queries):
+    got = queries["q_graph_common_neighbors"](spark, SF).toPandas()
+    cs = _cs_frame()
+    by_supp = cs.groupby("supp")["cust"].apply(set)
+    degc = cs.groupby("cust").size()
+    rows = []
+    supps = sorted(by_supp.index)
+    for i, s1 in enumerate(supps):
+        for s2 in supps[i + 1 :]:
+            common = by_supp[s1] & by_supp[s2]
+            common = {c for c in common if degc[c] <= 256}
+            if not common:
+                continue
+            cn = len(common)
+            d1, d2 = len(by_supp[s1]), len(by_supp[s2])
+            aa = sum(_fp(1 / math.log2(degc[c])) for c in common)
+            rows.append(
+                (s1, s2, cn, d1, d2, _fp(cn / (d1 + d2 - cn)), aa)
+            )
+    exp = (
+        pd.DataFrame(
+            rows,
+            columns=["s1", "s2", "cn", "deg1", "deg2", "jaccard_fp", "aa_fp"],
+        )
+        .sort_values(["cn", "s1", "s2"], ascending=[False, True, True])
+        .head(20)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), exp.astype("int64")
+    )
+
+
+def test_label_prop_matches_bruteforce(spark, queries):
+    got = queries["q_graph_label_prop"](spark, SF).toPandas()
+    cs = _cs_frame()
+    sup = pd.read_parquet(f"{SF}/supplier.parquet")
+    seeds = {
+        int(r.s_suppkey): int(r.s_nationkey)
+        for r in sup.itertuples()
+        if r.s_suppkey % 3 == 0
+    }
+
+    def argmax(votes: dict[int, int]) -> int:
+        best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+        return best[0]
+
+    cust_lab = {}
+    for cust, grp in cs.groupby("cust"):
+        votes: dict[int, int] = {}
+        for s in grp["supp"]:
+            if s in seeds:
+                votes[seeds[s]] = votes.get(seeds[s], 0) + 1
+        if votes:
+            cust_lab[cust] = argmax(votes)
+    spread = {}
+    for supp, grp in cs.groupby("supp"):
+        if supp in seeds:
+            continue
+        votes = {}
+        for c in grp["cust"]:
+            if c in cust_lab:
+                votes[cust_lab[c]] = votes.get(cust_lab[c], 0) + 1
+        if votes:
+            spread[supp] = argmax(votes)
+    labels = sorted(set(cust_lab.values()) | set(spread.values()))
+    exp = pd.DataFrame(
+        {
+            "label": labels,
+            "n_seeds": [
+                sum(1 for v in seeds.values() if v == l) for l in labels
+            ],
+            "n_customers": [
+                sum(1 for v in cust_lab.values() if v == l) for l in labels
+            ],
+            "n_spread_suppliers": [
+                sum(1 for v in spread.values() if v == l) for l in labels
+            ],
+        }
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
+
+
+def test_readability_matches_python_re(spark, queries):
+    got = queries["q_text_readability"](spark, SF).toPandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    agg: dict[str, list[int]] = {}
+    for r in docs.itertuples():
+        w = len(re.findall(r"\S+", r.text))
+        s = max(1, len(re.findall(r"[.!?]+", r.text)))
+        y = len(re.findall(r"[aeiouyAEIOUY]+", r.text))
+        a = agg.setdefault(r.source, [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += w
+        a[2] += s
+        a[3] += y
+    for row in got.itertuples():
+        n, w, s, y = agg[row.source]
+        assert (row.n_docs, row.words, row.sentences, row.syllables) == (
+            n,
+            w,
+            s,
+            y,
+        )
+        assert row.fk_grade_fp == _fp(0.39 * (w / s) + 11.8 * (y / w) - 15.59)
+        assert row.flesch_ease_fp == _fp(
+            206.835 - 1.015 * (w / s) - 84.6 * (y / w)
+        )
+    assert set(got["source"]) == set(agg)
+
+
+def test_scan_binaryfile_matches_hashlib(spark, queries):
+    got = queries["q_scan_binaryfile"](spark, SF).toPandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    docs = docs[docs["doc_id"] % 5 == 0]
+    assert len(got) == len(docs)
+    by_id = got.set_index("doc_id")
+    for r in docs.itertuples():
+        raw = r.text.encode("utf-8")
+        assert by_id.loc[r.doc_id, "n_bytes"] == len(raw)
+        assert by_id.loc[r.doc_id, "content_md5"] == hashlib.md5(raw).hexdigest()
+
+
+def test_delta_vacuum_reclaims_and_breaks_time_travel(spark, queries):
+    from pyspark_excel_datasource_spark.sources.deltalog import read_delta
+
+    got = queries["q_delta_vacuum"](spark, SF).toPandas()
+    assert (got["n_removed"] == 6).all()
+    assert (got["n_files_after"] == 1).all()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    sub = ev[ev["event_id"] % 9 == 0]
+    assert got["n_events"].sum() == len(sub)
+    # the vacuumed files are gone: reading v0 (pre-optimize) must fail
+    out = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))
+        ),
+        ".fixtures",
+        "sf0_001",
+        "events_vacuum_delta",
+    )
+    with pytest.raises(Exception):
+        read_delta(spark, out, version=0).collect()
