@@ -1300,3 +1300,106 @@ def q_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "q_knn_classify",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, label
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e AS qe, label AS true_label
+          FROM v WHERE vec_id IN (0, 1, 2, 3, 4)),
+    scored AS (
+        SELECT q.query_id, q.true_label, v.vec_id, v.label,
+               CAST(ROUND(
+                   LIST_SUM(LIST_TRANSFORM(LIST_ZIP(q.qe, v.e),
+                                           t -> t[1] * t[2]))
+                   / (SQRT(LIST_SUM(LIST_TRANSFORM(q.qe, x -> x * x)))
+                      * SQRT(LIST_SUM(LIST_TRANSFORM(v.e, x -> x * x)))),
+                   8) AS DECIMAL(38,8)) AS cosine
+        FROM q JOIN v ON v.vec_id <> q.query_id
+    ),
+    topk AS (
+        SELECT query_id, true_label, label
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id) AS rn FROM scored)
+        WHERE rn <= 10
+    ),
+    votes AS (
+        SELECT query_id, true_label, label,
+               CAST(COUNT(*) AS BIGINT) AS n_votes
+        FROM topk GROUP BY 1, 2, 3
+    )
+    SELECT query_id, CAST(true_label AS BIGINT) AS true_label,
+           CAST(label AS BIGINT) AS pred_label, n_votes,
+           CAST(CAST(true_label AS BIGINT) = CAST(label AS BIGINT)
+                AS INT) AS correct
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY n_votes DESC, label) AS r FROM votes)
+    WHERE r = 1
+    ORDER BY query_id
+    """,
+)
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest-neighbor classification over the embedding table: each
+    held-out query vector takes the majority label of its k=10 exact
+    cosine neighbors (rounded-cosine + vec_id tiebreak = the
+    ``q_sim_topk`` deterministic ranking; vote ties break to the
+    smallest label) — the zero-training classifier every
+    embedding-quality evaluation starts with, and the labeled-data
+    complement of ``q_embed_assign``'s unsupervised E-step.
+
+    Scale: the brute-force scoring here is the ORACLE-EXACT baseline
+    (bounded fixed query set, broadcast against the corpus scan — one
+    map-only pass, no shuffle of embeddings); at 100 TB the same vote
+    logic runs over ``q_sim_ann_lsh``/``_ivf``/``_pq`` shortlists, and
+    ``q_sim_ann_recall`` audits exactly how much the swap costs.
+    """
+    from .similarity import _QUERY_VEC_IDS, _TOP_K, _dot, _embeddings
+
+    emb = _embeddings(spark, sf_dir)
+    q = emb.filter(F.col("vec_id").isin(*_QUERY_VEC_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("n").alias("qn"),
+        F.col("label").cast("long").alias("true_label"),
+    )
+    scored = emb.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "true_label",
+        "vec_id",
+        F.col("label").cast("long").alias("pred_label"),
+        F.round(
+            _dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("n")), 8
+        )
+        .cast("decimal(38,8)")
+        .alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    topk = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _TOP_K
+    )
+    votes = topk.groupBy("query_id", "true_label", "pred_label").agg(
+        F.count("*").cast("long").alias("n_votes")
+    )
+    wv = W.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("pred_label").asc()
+    )
+    return (
+        votes.withColumn("r", F.row_number().over(wv))
+        .filter(F.col("r") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            "pred_label",
+            "n_votes",
+            (F.col("true_label") == F.col("pred_label"))
+            .cast("int")
+            .alias("correct"),
+        )
+        .orderBy("query_id")
+    )

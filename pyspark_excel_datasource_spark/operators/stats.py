@@ -1,6 +1,7 @@
-"""Statistical inference operators: chi-squared independence (with
-Cramér's V), mutual information between categorical columns,
-Kaplan–Meier survival curves, and the Mann–Kendall trend test.
+"""Statistical inference and forecasting operators: chi-squared
+independence (with Cramér's V), mutual information between categorical
+columns, Kaplan–Meier survival curves, the Mann–Kendall trend test, and
+Holt double exponential smoothing.
 
 Every query follows the repo's census-first determinism discipline:
 the only row-scale pass is ONE map-side-combined groupBy onto a
@@ -541,4 +542,126 @@ def q_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit(0).cast("long"))
         .alias("z_fp"),
+    ).orderBy("priority")
+
+
+#: Holt smoothing factors — exactly representable in binary, so the
+#: literal→double conversion is identical in both engines.
+_HOLT_ALPHA = 0.5
+_HOLT_BETA = 0.25
+
+
+@query(
+    "q_forecast_holt",
+    oracle=f"""
+    WITH census AS (
+        SELECT o_orderpriority AS priority,
+               STRFTIME(o_orderdate, '%Y-%m') AS m,
+               CAST(COUNT(*) AS DOUBLE) AS x
+        FROM orders GROUP BY 1, 2
+    ),
+    ordered AS (
+        SELECT priority, LIST(x ORDER BY m) AS vs
+        FROM census GROUP BY priority
+    ),
+    folded AS (
+        SELECT priority, CAST(LEN(vs) AS BIGINT) AS n_months,
+               list_reduce(
+                   list_prepend(
+                       [vs[1], vs[2] - vs[1]],
+                       list_transform(list_slice(vs, 3, LEN(vs)),
+                                      v -> [v, CAST(0 AS DOUBLE)])),
+                   (acc, e) -> [
+                       {_HOLT_ALPHA} * e[1]
+                           + {1.0 - _HOLT_ALPHA} * (acc[1] + acc[2]),
+                       {_HOLT_BETA} * (({_HOLT_ALPHA} * e[1]
+                               + {1.0 - _HOLT_ALPHA} * (acc[1] + acc[2]))
+                               - acc[1])
+                           + {1.0 - _HOLT_BETA} * acc[2]]) AS st
+        FROM ordered
+        WHERE LEN(vs) >= 3
+    )
+    SELECT priority, n_months,
+           CAST(FLOOR(st[1] * 1000000 + 0.5) AS BIGINT) AS level_fp,
+           CAST(FLOOR(st[2] * 1000000 + 0.5) AS BIGINT) AS trend_fp,
+           CAST(FLOOR((st[1] + 1 * st[2]) * 1000000 + 0.5) AS BIGINT)
+               AS fc1_fp,
+           CAST(FLOOR((st[1] + 2 * st[2]) * 1000000 + 0.5) AS BIGINT)
+               AS fc2_fp,
+           CAST(FLOOR((st[1] + 3 * st[2]) * 1000000 + 0.5) AS BIGINT)
+               AS fc3_fp
+    FROM folded
+    ORDER BY priority
+    """,
+)
+def q_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (level + linear trend) over
+    the monthly order-count series per priority, with 1/2/3-month-ahead
+    forecasts — the capacity-planning primitive one step up from
+    ``q_ewma``'s single-state smoothing and the model-based complement
+    of ``q_trend_mann_kendall``'s nonparametric trend verdict.
+
+    Determinism (the ``q_ewma`` convention, extended to 2-state):
+    the coupled recurrence l_t = αx_t + (1−α)(l+b), b_t = β(l_t−l) +
+    (1−β)b is an explicit ordered fold with a 2-slot accumulator —
+    seeded with (l=x₁, b=x₂−x₁), folded left over x₃.. in month order.
+    α=1/2 and β=1/4 are dyadic, every step is IEEE +,*, and both
+    engines fold the same sequence, so the state doubles are
+    bit-identical; presentation quantizes to fixed point at the end.
+    Accumulator spelling differs by engine on purpose: Spark uses a
+    ``named_struct`` (correct), but DuckDB 1.0's ``list_reduce``
+    updates struct-accumulator FIELDS in place — the second field's
+    expression sees the first field's NEW value (verified with a
+    (l:=acc.l+e.l, b:=acc.l) probe) — so the oracle carries the state
+    as a 2-element DOUBLE list, which folds correctly.
+
+    Scale: the fold state is one array per (priority) of MONTHLY
+    aggregates — bounded by the time span, never by row count; the
+    row-scale pass is the same map-side-combined census as the
+    Mann–Kendall test.
+    """
+    a, b = _HOLT_ALPHA, _HOLT_BETA
+    census = (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("m"),
+        )
+        .agg(F.count("*").cast("double").alias("x"))
+    )
+    ordered = census.groupBy("priority").agg(
+        F.array_sort(F.collect_list(F.struct("m", "x"))).alias("mv")
+    )
+    folded = (
+        ordered.withColumn("vs", F.expr("transform(mv, e -> e.x)"))
+        .filter(F.size("vs") >= 3)
+        .select(
+            "priority",
+            F.size("vs").cast("long").alias("n_months"),
+            F.expr(
+                f"aggregate(slice(vs, 3, size(vs) - 2), "
+                f"named_struct('l', element_at(vs, 1), "
+                f"             'b', element_at(vs, 2) - element_at(vs, 1)), "
+                f"(acc, v) -> named_struct("
+                f"  'l', {a}D * v + {1.0 - a}D * (acc.l + acc.b), "
+                f"  'b', {b}D * (({a}D * v + {1.0 - a}D * (acc.l + acc.b))"
+                f"               - acc.l) + {1.0 - b}D * acc.b))"
+            ).alias("st"),
+        )
+    )
+    lv, tr = F.col("st.l"), F.col("st.b")
+    return folded.select(
+        "priority",
+        "n_months",
+        F.floor(lv * 1_000_000 + F.lit(0.5)).cast("long").alias("level_fp"),
+        F.floor(tr * 1_000_000 + F.lit(0.5)).cast("long").alias("trend_fp"),
+        F.floor((lv + 1 * tr) * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("fc1_fp"),
+        F.floor((lv + 2 * tr) * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("fc2_fp"),
+        F.floor((lv + 3 * tr) * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("fc3_fp"),
     ).orderBy("priority")

@@ -176,6 +176,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_eval_calibration",
     "q_graph_common_neighbors",
     "q_graph_label_prop",
+    "q_forecast_holt",
+    "q_knn_classify",
     # E. stalest prior greens (re-verification fill): r1 vintage (10)
     "q_agg_argmax",
     "q_agg_histogram",

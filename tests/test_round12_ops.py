@@ -235,3 +235,63 @@ def test_delta_vacuum_reclaims_and_breaks_time_travel(spark, queries):
     )
     with pytest.raises(Exception):
         read_delta(spark, out, version=0).collect()
+
+
+def test_forecast_holt_matches_python_recurrence(spark, queries):
+    got = {
+        r["priority"]: r.asDict()
+        for r in queries["q_forecast_holt"](spark, SF).collect()
+    }
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    o["m"] = o["o_orderdate"].dt.strftime("%Y-%m")
+    a, b = 0.5, 0.25
+    for pr, grp in o.groupby("o_orderpriority"):
+        vs = [float(v) for v in grp.groupby("m").size().sort_index()]
+        if len(vs) < 3:
+            assert pr not in got
+            continue
+        l, t = vs[0], vs[1] - vs[0]
+        for x in vs[2:]:
+            nl = a * x + (1 - a) * (l + t)
+            t = b * (nl - l) + (1 - b) * t
+            l = nl
+        row = got[pr]
+        assert row["n_months"] == len(vs)
+        assert row["level_fp"] == _fp(l)
+        assert row["trend_fp"] == _fp(t)
+        for h in (1, 2, 3):
+            assert row[f"fc{h}_fp"] == _fp(l + h * t)
+
+
+def test_knn_classify_matches_bruteforce(spark, queries):
+    import numpy as np
+
+    got = {
+        r["query_id"]: r.asDict()
+        for r in queries["q_knn_classify"](spark, SF).collect()
+    }
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    mat = np.array([np.asarray(e, dtype=float) for e in emb["embedding"]])
+    norms = np.linalg.norm(mat, axis=1)
+    ids = emb["vec_id"].to_numpy()
+    labels = emb["label"].to_numpy()
+    for qid in (0, 1, 2, 3, 4):
+        qi = int(np.where(ids == qid)[0][0])
+        cos = mat @ mat[qi] / (norms * norms[qi])
+        cand = [
+            (round(float(c), 8), int(i))
+            for c, i in zip(cos, ids)
+            if i != qid
+        ]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        top = cand[:10]
+        votes: dict[int, int] = {}
+        for _, vid in top:
+            lab = int(labels[ids == vid][0])
+            votes[lab] = votes.get(lab, 0) + 1
+        pred = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        row = got[qid]
+        assert row["pred_label"] == pred
+        assert row["n_votes"] == votes[pred]
+        assert row["true_label"] == int(labels[ids == qid][0])
+        assert row["correct"] == int(pred == row["true_label"])
