@@ -86,6 +86,12 @@ HEADLINE = (
     # with broadcast weights — the iterative-ML cost shape)
     "q_iceberg_delete_pos",
     "q_classify_gd",
+    # round-12 additions: the double-banded exact average-precision rank
+    # (two chained banded global row_numbers — the heaviest new ranking
+    # shape) and the df-capped posting-list link prediction (the pair-
+    # generation cost model every dedup/similarity self-join shares)
+    "q_eval_ap",
+    "q_graph_common_neighbors",
 )
 
 RUNS = 3

@@ -1034,8 +1034,23 @@ def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Adamic–Adar weight join share one hash partitioning on cust;
     the top-20 is a distributed TakeOrdered, not a global sort.
     """
-    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    return common_neighbor_scores(
+        table(spark, sf_dir, "orders"), table(spark, sf_dir, "lineitem")
+    )
+
+
+def common_neighbor_scores(o: DataFrame, li: DataFrame) -> DataFrame:
+    """The link-prediction plan on arbitrary orders/lineitem frames —
+    split out so ``tools/scale_stress.py`` can run the df-capped
+    posting-list shape on replicated input."""
+    o = o.select("o_orderkey", "o_custkey")
+    li = li.select("l_orderkey", "l_suppkey")
+    # localCheckpoint: the distinct co-purchase set feeds THREE
+    # consumers (both pair-join sides via self-join, customer degrees,
+    # supplier degrees) — without it each consumer re-runs the
+    # orders x lineitem join + distinct. One materialized pass of the
+    # (already heavily reduced) distinct set is the right trade at any
+    # scale: the algorithm needs it three times by construction.
     cs = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(
@@ -1043,6 +1058,7 @@ def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_suppkey").alias("supp"),
         )
         .distinct()
+        .localCheckpoint()
     )
     degc = cs.groupBy("cust").agg(F.count("*").cast("long").alias("dc"))
     degs = cs.groupBy("supp").agg(F.count("*").cast("long").alias("ds"))
@@ -1158,6 +1174,8 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax — no global windows, no iteration-count data dependence
     (fixed 2 rounds), seed table broadcast into round 1.
     """
+    # localCheckpoint: both propagation rounds consume the same
+    # distinct co-purchase edge set — materialize it once
     cs = (
         table(spark, sf_dir, "orders")
         .select("o_orderkey", "o_custkey")
@@ -1172,6 +1190,7 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_suppkey").alias("supp"),
         )
         .distinct()
+        .localCheckpoint()
     )
     sup = table(spark, sf_dir, "supplier")
     seeds = sup.filter(F.col("s_suppkey") % 3 == 0).select(

@@ -93,13 +93,24 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     after runs on ≤15 rows (broadcast grid join of two marginal
     tables). No shuffle grows with data size.
     """
+    return chi2_frame(table(spark, sf_dir, "orders"))
+
+
+def chi2_frame(orders: DataFrame) -> DataFrame:
+    """The χ² plan on an arbitrary orders frame — split out so
+    ``tools/scale_stress.py`` can run the census shape on replicated
+    input."""
+    # localCheckpoint: the census is |statuses|x|priorities| rows but
+    # feeds FOUR consumers (rt, ct, n, grid left-join) — without it the
+    # plan re-scans orders once per consumer (seen in PLANS.md)
     cells = (
-        table(spark, sf_dir, "orders")
+        orders
         .groupBy(
             F.col("o_orderstatus").alias("x"),
             F.col("o_orderpriority").alias("y"),
         )
         .agg(F.count("*").cast("long").alias("o"))
+        .localCheckpoint()
     )
     rt = cells.groupBy("x").agg(F.sum("o").cast("long").alias("r"))
     ct = cells.groupBy("y").agg(F.sum("o").cast("long").alias("c"))
@@ -223,7 +234,13 @@ def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = c.join(
         F.broadcast(nn), c.c_nationkey == nn.n_nationkey
     ).select(F.col("c_mktsegment").alias("x"), F.col("n_name").alias("y"))
-    cells = base.groupBy("x", "y").agg(F.count("*").cast("long").alias("nxy"))
+    # localCheckpoint: <=|segments|x|nations| rows, four consumers —
+    # one customer scan instead of four (same rationale as chi2_frame)
+    cells = (
+        base.groupBy("x", "y")
+        .agg(F.count("*").cast("long").alias("nxy"))
+        .localCheckpoint()
+    )
     mx = cells.groupBy("x").agg(F.sum("nxy").cast("long").alias("nx"))
     my = cells.groupBy("y").agg(F.sum("nxy").cast("long").alias("ny"))
     n = cells.agg(F.sum("nxy").cast("long").alias("n"))
@@ -346,9 +363,14 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("t"),
         F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("ev"),
     )
-    census = pts.groupBy("t").agg(
-        F.sum("ev").cast("long").alias("d"),
-        F.sum(F.lit(1) - F.col("ev")).cast("long").alias("censored"),
+    census = (
+        pts.groupBy("t")
+        .agg(
+            F.sum("ev").cast("long").alias("d"),
+            F.sum(F.lit(1) - F.col("ev")).cast("long").alias("censored"),
+        )
+        # |months| rows; both windows and the final select read it
+        .localCheckpoint()
     )
     w_suffix = W.orderBy("t").rowsBetween(W.currentRow, W.unboundedFollowing)
     w_prefix = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
@@ -452,13 +474,23 @@ def q_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB the census is the same size, so the quadratic stage is
     constant-cost by construction.
     """
+    return mann_kendall_frame(table(spark, sf_dir, "orders"))
+
+
+def mann_kendall_frame(orders: DataFrame) -> DataFrame:
+    """The Mann–Kendall plan on an arbitrary orders frame — split out
+    so ``tools/scale_stress.py`` can run the census + bounded-pair-join
+    shape on replicated input."""
+    # localCheckpoint: priority x month census, three consumers (pair
+    # join sides, tie counts, month counts) — one orders scan, not four
     census = (
-        table(spark, sf_dir, "orders")
+        orders
         .groupBy(
             F.col("o_orderpriority").alias("priority"),
             F.date_format("o_orderdate", "yyyy-MM").alias("m"),
         )
         .agg(F.count("*").cast("long").alias("x"))
+        .localCheckpoint()
     )
     a = census.alias("a")
     b = census.alias("b")

@@ -599,7 +599,31 @@ def main() -> None:
             F.count("*").alias("n"),
         )
 
+    from pyspark_excel_datasource_spark.operators.graph import (
+        common_neighbor_scores,
+    )
+    from pyspark_excel_datasource_spark.operators.stats import (
+        chi2_frame,
+        mann_kendall_frame,
+    )
+
     shapes = {
+        # round-12: census-first inference shapes — the census key space
+        # (status x priority cells / priority x month) is constant under
+        # replication, so replicas must die in the map-side combine
+        "chi2_census": (chi2_frame(orders1), chi2_frame(orders10)),
+        "mann_kendall": (
+            mann_kendall_frame(orders1),
+            mann_kendall_frame(orders10),
+        ),
+        # round-12: df-capped posting-list link prediction — replicas
+        # multiply raw (cust, supp) volume but the DISTINCT posting
+        # lists are unchanged, so cost concentrates in the pre-distinct
+        # pass and the pair stage stays constant
+        "common_neighbors": (
+            common_neighbor_scores(orders1, li1),
+            common_neighbor_scores(orders10, li10),
+        ),
         "drift_ks": (ks_shape(orders1), ks_shape(orders10)),
         "gd_gradient": (gd_gradient(orders1), gd_gradient(orders10)),
         "pca_moments": (
