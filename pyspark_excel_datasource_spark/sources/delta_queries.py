@@ -1455,3 +1455,78 @@ def q_delta_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_removed", F.lit(removed).cast("long"))
         .withColumn("n_files_after", F.lit(n_disk).cast("long"))
     )
+
+
+@query(
+    "q_scan_delta_skipped",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(1 AS BIGINT) AS n_files_scanned,
+           CAST(4 AS BIGINT) AS n_files_total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1999-01-01'
+    GROUP BY o_orderstatus
+    """,
+)
+def q_scan_delta_skipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA SKIPPING — file pruning from per-file column statistics,
+    the other half of Delta's scan-reduction story (partition pruning
+    cuts by directory, stats skipping cuts WITHIN partitions): the
+    writer records each file's min/max per column from the parquet
+    FOOTER at commit time (metadata-only, O(files)); the reader proves
+    files irrelevant from the log alone. The fixture writes four
+    date-disjoint files; a two-year range predicate prunes to ONE, and
+    the oracle pins both the census AND the scanned-file count — so
+    the hash check proves skipping read everything it had to and
+    nothing it didn't. At 100 TB on a date-sorted table this is the
+    difference between scanning a slice and scanning the table; the
+    residual predicate still runs, so a stats bug can cost time, never
+    rows (``sources/deltalog.py:read_delta`` stats_filter contract).
+    """
+    out = os.path.join(_fixture_dir(sf_dir), "orders_skipping_delta")
+    shutil.rmtree(out, ignore_errors=True)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate"
+    )
+    slices = (
+        o.filter(F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp_ntz")),
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        ),
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp_ntz"))
+        ),
+        o.filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp_ntz")),
+    )
+    for sl in slices:
+        write_delta(spark, sl.repartition(1), out, mode="append")
+    pruned = read_delta(
+        spark,
+        out,
+        stats_filter={
+            "o_orderdate": ("1997-01-01 00:00:00", "1998-12-31 23:59:59.999999")
+        },
+    )
+    # count the pruned read's file set directly from the scan
+    kept = pruned.select(F.input_file_name().alias("f")).distinct().count()
+    return (
+        pruned.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp_ntz"))
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+        )
+        .withColumn("n_files_scanned", F.lit(kept).cast("long"))
+        .withColumn(
+            "n_files_total",
+            F.lit(len(snapshot(out).files)).cast("long"),
+        )
+    )

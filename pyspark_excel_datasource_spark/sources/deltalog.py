@@ -107,6 +107,11 @@ class DeltaSnapshot:
     files: dict[str, dict[str, str | None]] = field(default_factory=dict)
     #: file → deletionVector descriptor, for files with soft-deleted rows
     dvs: dict[str, dict[str, Any]] = field(default_factory=dict)
+    #: file → parsed per-file statistics ({numRecords, minValues,
+    #: maxValues, nullCount}) — the data-skipping index. Files written
+    #: by other writers may lack stats; every consumer must treat a
+    #: missing entry as "cannot prune".
+    stats: dict[str, dict[str, Any]] = field(default_factory=dict)
     #: latest protocol action seen (writer-version gate for mutations)
     protocol: dict[str, Any] = field(
         default_factory=lambda: {"minReaderVersion": 1, "minWriterVersion": 2}
@@ -428,10 +433,19 @@ def _apply(snap: DeltaSnapshot, action: dict[str, Any]) -> None:
             snap.dvs[path] = dict(dv)
         else:
             snap.dvs.pop(path, None)
+        # per-file stats (JSON string in commits, already-string in
+        # checkpoints); a re-add without stats clears them — stale
+        # bounds on a rewritten file would prune live rows
+        st = a.get("stats")
+        if st:
+            snap.stats[path] = json.loads(st) if isinstance(st, str) else dict(st)
+        else:
+            snap.stats.pop(path, None)
     elif "remove" in action and action["remove"] is not None:
         rpath = unquote(action["remove"]["path"])
         snap.files.pop(rpath, None)
         snap.dvs.pop(rpath, None)
+        snap.stats.pop(rpath, None)
     elif "metaData" in action and action["metaData"] is not None:
         snap.metadata = dict(action["metaData"])
         # checkpoint rows decode map<string,string> as key/value pairs;
@@ -525,6 +539,7 @@ def read_delta(
     table_path: str,
     version: int | None = None,
     partition_filter: dict[str, set[str]] | None = None,
+    stats_filter: dict[str, tuple[Any, Any]] | None = None,
 ) -> DataFrame:
     """Snapshot-consistent read, optionally at a past version.
 
@@ -533,6 +548,15 @@ def read_delta(
     one ordinary parquet scan, and partition columns are re-attached by
     a broadcast join on the scan's ``_metadata.file_path`` (data files
     do not contain partition columns, per the Delta spec).
+
+    ``stats_filter`` = {col: (lo, hi)} inclusive range predicate —
+    DATA SKIPPING: a file is pruned when its logged per-file min/max
+    bounds prove no row can satisfy the range (min > hi or max < lo).
+    Files without stats for the column are conservatively kept, and the
+    caller still applies the real predicate — pruning is a performance
+    contract, never a correctness one. Bound values must compare
+    against the stats-JSON representation (numbers for numerics,
+    ISO-8601 ``YYYY-MM-DD HH:MM:SS`` strings for timestamps).
     """
     snap = snapshot(table_path, version)
     schema = snap.schema
@@ -561,6 +585,28 @@ def read_delta(
                 for c, allowed in partition_filter.items()
             )
         }
+    if stats_filter:
+
+        def _survives(path: str) -> bool:
+            st = snap.stats.get(path)
+            if not st:
+                return True  # no stats → cannot prune
+            for c, (lo, hi) in stats_filter.items():
+                pc = phys.get(c, c)
+                mn = (st.get("minValues") or {}).get(pc)
+                mx = (st.get("maxValues") or {}).get(pc)
+                if mn is None or mx is None:
+                    continue  # column unstatted → keep
+                try:
+                    if (hi is not None and mn > hi) or (
+                        lo is not None and mx < lo
+                    ):
+                        return False
+                except TypeError:
+                    continue  # bound/stat type mismatch → keep
+            return True
+
+        files = {p: pv for p, pv in files.items() if _survives(p)}
     # decode DV descriptors driver-side (bounded like the log itself)
     positions = {
         p: v for p, v in _snap_positions(table_path, snap).items() if p in files
@@ -772,6 +818,7 @@ def _write_checkpoint(table_path: str, snap: DeltaSnapshot) -> None:
             ("modificationTime", pa.int64()),
             ("dataChange", pa.bool_()),
             ("deletionVector", dv_t),
+            ("stats", pa.string()),
         ]
     )
     meta_t = pa.struct(
@@ -834,6 +881,13 @@ def _write_checkpoint(table_path: str, snap: DeltaSnapshot) -> None:
                         if dv
                         else None
                     ),
+                    # stats survive checkpointing, or the data-skipping
+                    # index silently vanishes after log compaction
+                    "stats": (
+                        json.dumps(snap.stats[rel])
+                        if rel in snap.stats
+                        else None
+                    ),
                 }
             }
         )
@@ -842,6 +896,83 @@ def _write_checkpoint(table_path: str, snap: DeltaSnapshot) -> None:
     papq.write_table(tbl, os.path.join(d, f"{snap.version:020d}.checkpoint.parquet"))
     with open(os.path.join(d, "_last_checkpoint"), "w", encoding="utf-8") as fh:
         json.dump({"version": snap.version, "size": len(rows)}, fh)
+
+
+def _json_stat(v: Any) -> Any:
+    """Parquet-footer statistic value → Delta stats-JSON value."""
+    import datetime as _dt
+
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat(sep=" ") if isinstance(v, _dt.datetime) else v.isoformat()
+    if isinstance(v, (bool, int, float, str)) or v is None:
+        return v
+    return None
+
+
+def _footer_stats(path: str) -> str | None:
+    """Per-file Delta stats JSON ({numRecords, minValues, maxValues,
+    nullCount}) assembled from the parquet FOOTER — a metadata-only
+    read, no data pages touched, which is what makes stats collection
+    O(files) at any table size. Top-level primitive columns only;
+    a column is recorded only when every row group has exact min/max
+    (parquet truncates long string stats — a truncated max used as a
+    pruning bound could skip live rows)."""
+    import pyarrow.parquet as papq
+
+    try:
+        md = papq.ParquetFile(path).metadata
+    except Exception:  # noqa: BLE001 — unreadable footer → no stats
+        return None
+    mins: dict[str, Any] = {}
+    maxs: dict[str, Any] = {}
+    nulls: dict[str, Any] = {}
+    ncols = md.num_columns
+    for ci in range(ncols):
+        col_ok = True
+        cmin: Any = None
+        cmax: Any = None
+        cnull = 0
+        name = None
+        for rg in range(md.num_row_groups):
+            cc = md.row_group(rg).column(ci)
+            name = cc.path_in_schema
+            if "." in name:  # nested leaf — skip
+                col_ok = False
+                break
+            st = cc.statistics
+            if st is None or not st.has_min_max:
+                col_ok = False
+                break
+            if not (
+                getattr(st, "is_min_value_exact", True)
+                and getattr(st, "is_max_value_exact", True)
+            ):
+                col_ok = False
+                break
+            lo, hi = _json_stat(st.min), _json_stat(st.max)
+            if lo is None or hi is None:
+                col_ok = False
+                break
+            cmin = lo if cmin is None or lo < cmin else cmin
+            cmax = hi if cmax is None or hi > cmax else cmax
+            cnull += st.null_count or 0
+        if col_ok and name is not None and cmin is not None:
+            mins[name] = cmin
+            maxs[name] = cmax
+            nulls[name] = cnull
+    return json.dumps(
+        {
+            "numRecords": md.num_rows,
+            "minValues": mins,
+            "maxValues": maxs,
+            "nullCount": nulls,
+        }
+    )
 
 
 def _stage_and_move(
@@ -873,17 +1004,17 @@ def _stage_and_move(
             dst = os.path.join(table_path, rel)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             os.replace(src, dst)
-            adds.append(
-                {
-                    "add": {
-                        "path": _encode_path(rel),
-                        "partitionValues": _pv_from_relpath(rel, pcols),
-                        "size": os.path.getsize(dst),
-                        "modificationTime": int(os.path.getmtime(dst) * 1000),
-                        "dataChange": data_change,
-                    }
-                }
-            )
+            add: dict[str, Any] = {
+                "path": _encode_path(rel),
+                "partitionValues": _pv_from_relpath(rel, pcols),
+                "size": os.path.getsize(dst),
+                "modificationTime": int(os.path.getmtime(dst) * 1000),
+                "dataChange": data_change,
+            }
+            stats = _footer_stats(dst)
+            if stats is not None:
+                add["stats"] = stats
+            adds.append({"add": add})
     shutil.rmtree(staging, ignore_errors=True)
     return adds
 

@@ -1,0 +1,129 @@
+"""Delta data skipping: per-file footer stats recorded at commit time,
+reader-side file pruning from the log, conservative fallbacks, and
+checkpoint persistence of the stats index."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_excel_datasource_spark.catalog import table
+from pyspark_excel_datasource_spark.sources.deltalog import (
+    _commit,
+    read_delta,
+    snapshot,
+    write_delta,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def orders(spark):
+    return table(spark, SF, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice"
+    )
+
+
+def _slices(orders):
+    ts = lambda s: F.lit(s).cast("timestamp_ntz")  # noqa: E731
+    return (
+        orders.filter(F.col("o_orderdate") < ts("1997-01-01")),
+        orders.filter(
+            (F.col("o_orderdate") >= ts("1997-01-01"))
+            & (F.col("o_orderdate") < ts("1999-01-01"))
+        ),
+        orders.filter(F.col("o_orderdate") >= ts("1999-01-01")),
+    )
+
+
+def test_writer_records_footer_stats(spark, orders, tmp_path):
+    out = str(tmp_path / "t")
+    for sl in _slices(orders):
+        write_delta(spark, sl.repartition(1), out, mode="append")
+    snap = snapshot(out)
+    assert len(snap.files) == 3
+    assert set(snap.stats) == set(snap.files)
+    total = sum(s["numRecords"] for s in snap.stats.values())
+    assert total == orders.count()
+    for s in snap.stats.values():
+        # every primitive column statted; bounds ordered; nulls counted
+        for c in ("o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice"):
+            assert s["minValues"][c] <= s["maxValues"][c]
+            assert s["nullCount"][c] == 0
+
+
+def test_skipping_prunes_files_but_never_rows(spark, orders, tmp_path):
+    out = str(tmp_path / "t")
+    for sl in _slices(orders):
+        write_delta(spark, sl.repartition(1), out, mode="append")
+    flt = {"o_orderdate": ("1997-06-01 00:00:00", "1998-06-01 00:00:00")}
+    pruned = read_delta(spark, out, stats_filter=flt)
+    assert pruned.select(F.input_file_name()).distinct().count() == 1
+    ts = lambda s: F.lit(s).cast("timestamp_ntz")  # noqa: E731
+    pred = (F.col("o_orderdate") >= ts("1997-06-01")) & (
+        F.col("o_orderdate") <= ts("1998-06-01")
+    )
+    full = read_delta(spark, out).filter(pred)
+    assert sorted(r.o_orderkey for r in pruned.filter(pred).collect()) == sorted(
+        r.o_orderkey for r in full.collect()
+    )
+    # a range matching nothing prunes everything
+    none = read_delta(
+        spark, out, stats_filter={"o_orderkey": (10**15, 10**16)}
+    )
+    assert none.count() == 0
+
+
+def test_file_without_stats_is_kept(spark, orders, tmp_path):
+    out = str(tmp_path / "t")
+    write_delta(
+        spark, orders.limit(10).repartition(1), out, mode="append"
+    )
+    snap = snapshot(out)
+    (rel,) = snap.files
+    # simulate an external writer: re-add the same file with NO stats
+    _commit(
+        out,
+        snap.version + 1,
+        [
+            {"commitInfo": {"operation": "EXTERNAL"}},
+            {"add": {"path": rel, "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": False}},
+        ],
+    )
+    snap2 = snapshot(out)
+    assert rel not in snap2.stats  # re-add cleared stale bounds
+    kept = read_delta(
+        spark, out, stats_filter={"o_orderkey": (10**15, 10**16)}
+    )
+    # cannot prove the file irrelevant without stats -> it is scanned
+    assert kept.count() == 10
+
+
+def test_stats_survive_checkpoint(spark, orders, tmp_path):
+    out = str(tmp_path / "t")
+    a, b, _ = _slices(orders)
+    write_delta(spark, a.repartition(1), out, mode="append")
+    write_delta(  # v1 -> checkpoint_interval=2 writes a checkpoint at v2
+        spark, b.repartition(1), out, mode="append"
+    )
+    write_delta(spark, orders.limit(5).repartition(1), out, mode="append")
+    ckpt = os.path.join(out, "_delta_log", f"{2:020d}.checkpoint.parquet")
+    assert os.path.exists(ckpt)
+    # delete the JSON commits the checkpoint covers: replay must come
+    # from the checkpoint alone and still carry the stats
+    for v in (0, 1):
+        os.remove(os.path.join(out, "_delta_log", f"{v:020d}.json"))
+    snap = snapshot(out)
+    assert set(snap.stats) == set(snap.files)
+    for s in snap.stats.values():
+        assert json.dumps(s)  # parsed dicts, JSON-serializable
+    flt = read_delta(
+        spark, out, stats_filter={"o_orderdate": ("1997-06-01 00:00:00", "1997-07-01 00:00:00")}
+    )
+    # slice a (pre-1997) pruned via checkpoint-carried stats
+    assert flt.select(F.input_file_name()).distinct().count() <= 2
