@@ -179,6 +179,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_forecast_holt",
     "q_knn_classify",
     "q_scan_delta_skipped",
+    "q_scan_iceberg_skipped",
     # E. stalest prior greens (re-verification fill): r1 vintage (10)
     "q_agg_argmax",
     "q_agg_histogram",

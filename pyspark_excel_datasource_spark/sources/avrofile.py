@@ -299,11 +299,20 @@ def _make_encoder(at):
             return enc_map
         if at.get("type") == "record":
             encs = [_make_encoder(f["type"]) for f in at["fields"]]
-            names = [f["name"] for f in at["fields"]]
+            flds = at["fields"]
 
             def enc_record(v, out):
-                for name, e in zip(names, encs):
-                    e(v[name], out)
+                for f, e in zip(flds, encs):
+                    name = f["name"]
+                    # absent key + schema default → write the default
+                    # (Avro writer semantics; a missing REQUIRED field
+                    # still raises loudly via the KeyError below)
+                    if name in v:
+                        e(v[name], out)
+                    elif "default" in f:
+                        e(f["default"], out)
+                    else:
+                        e(v[name], out)
 
             return enc_record
         at = at.get("type")

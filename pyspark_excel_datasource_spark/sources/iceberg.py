@@ -280,6 +280,12 @@ class IcebergSnapshot:
     #: spec's metadata; the other specs' columns live in its data).
     files_pspec: dict[str, int] = field(default_factory=dict)
     spec_pcols: dict[int, list[str]] = field(default_factory=dict)
+    #: per-file column bounds from the manifests (data-skipping index):
+    #: file path → {stringified field id: JSON-decoded min/max value}.
+    #: Files from manifests without bounds are absent — consumers must
+    #: treat a missing entry as "cannot prune".
+    files_lower: dict[str, dict[str, Any]] = field(default_factory=dict)
+    files_upper: dict[str, dict[str, Any]] = field(default_factory=dict)
 
 
 def _meta_dir(path: str) -> str:
@@ -363,10 +369,21 @@ def snapshot_iceberg(
     files_seq: dict[str, int] = {}
     files_pspec: dict[str, int] = {}
     spec_pcols: dict[int, list[str]] = {}
+    files_lower: dict[str, dict[str, Any]] = {}
+    files_upper: dict[str, dict[str, Any]] = {}
     for df_rec, seq, spec_id in _live_data_files(table_path, snap_md):
         files[df_rec["file_path"]] = dict(df_rec.get("partition") or {})
         files_seq[df_rec["file_path"]] = seq
         files_pspec[df_rec["file_path"]] = spec_id
+        for src_key, dst in (
+            ("lower_bounds", files_lower),
+            ("upper_bounds", files_upper),
+        ):
+            b = df_rec.get(src_key)
+            if b:
+                dst[df_rec["file_path"]] = {
+                    k: json.loads(v) for k, v in b.items()
+                }
         if spec_id not in spec_pcols:
             # only specs actually referenced by live files are resolved
             # (and validated identity-only) — a retired exotic spec in
@@ -402,6 +419,8 @@ def snapshot_iceberg(
         field_names_by_id=field_names,
         files_pspec=files_pspec,
         spec_pcols=spec_pcols,
+        files_lower=files_lower,
+        files_upper=files_upper,
     )
 
 
@@ -534,6 +553,7 @@ def read_iceberg(
     snapshot_id: int | None = None,
     partition_filter: dict[str, set[str]] | None = None,
     ref: str | None = None,
+    bounds_filter: dict[str, tuple[Any, Any]] | None = None,
 ) -> DataFrame:
     """Snapshot-consistent read (optionally time travel by snapshot id).
 
@@ -543,11 +563,48 @@ def read_iceberg(
     metadata (legal per the spec's identity-transform rule) and are
     re-attached via the same broadcast file-map join as the Delta
     reader; the data path is one ordinary parquet scan with full
-    pushdown either way."""
+    pushdown either way.
+
+    ``bounds_filter`` = {col: (lo, hi)} inclusive range — DATA
+    SKIPPING from the manifests' per-file lower/upper bounds: a file
+    is pruned when its bounds prove no row can match. Files without
+    bounds (older manifests, other writers) are conservatively kept;
+    the caller still applies the real predicate, so pruning is a
+    performance contract, never a correctness one. Bound values must
+    compare against the bounds' JSON representation (numbers for
+    numerics, ISO-8601 ``YYYY-MM-DD HH:MM:SS`` strings for
+    timestamps) — the Delta reader's ``stats_filter`` contract.
+    """
     from .deltalog import _read_files
 
     snap = snapshot_iceberg(table_path, snapshot_id, ref=ref)
     files = snap.files
+    if bounds_filter:
+        ids_by_name = {v: str(k) for k, v in snap.field_names_by_id.items()}
+        unknown = set(bounds_filter) - set(ids_by_name)
+        if unknown:
+            raise ValueError(f"bounds_filter on unknown columns: {unknown}")
+
+        def _survives(path: str) -> bool:
+            lo_map = snap.files_lower.get(path)
+            hi_map = snap.files_upper.get(path)
+            if not lo_map or not hi_map:
+                return True  # no bounds → cannot prune
+            for c, (lo, hi) in bounds_filter.items():
+                fid = ids_by_name[c]
+                mn, mx = lo_map.get(fid), hi_map.get(fid)
+                if mn is None or mx is None:
+                    continue
+                try:
+                    if (hi is not None and mn > hi) or (
+                        lo is not None and mx < lo
+                    ):
+                        return False
+                except TypeError:
+                    continue  # type mismatch → keep
+            return True
+
+        files = {p: pv for p, pv in files.items() if _survives(p)}
 
     def _pcols_of(p: str) -> list[str]:
         return snap.spec_pcols.get(
@@ -973,6 +1030,23 @@ def _manifest_schema(pcols: tuple[str, ...] = ()) -> dict:
                         },
                         {"name": "record_count", "type": "long"},
                         {"name": "file_size_in_bytes", "type": "long"},
+                        # per-file column bounds for scan planning (the
+                        # spec's lower_bounds/upper_bounds, here keyed
+                        # by STRINGIFIED field id with JSON-encoded
+                        # values instead of binary single-value
+                        # serialization). Nullable: manifests written
+                        # before this field (or by other writers) read
+                        # back as None → the reader cannot prune.
+                        {
+                            "name": "lower_bounds",
+                            "type": ["null", {"type": "map", "values": "string"}],
+                            "default": None,
+                        },
+                        {
+                            "name": "upper_bounds",
+                            "type": ["null", {"type": "map", "values": "string"}],
+                            "default": None,
+                        },
                     ],
                 },
             },
@@ -981,6 +1055,35 @@ def _manifest_schema(pcols: tuple[str, ...] = ()) -> dict:
 
 
 _MANIFEST_SCHEMA = _manifest_schema(())
+
+
+def _bounds_by_field_id(
+    path: str, field_names: list[str]
+) -> tuple[dict[str, str] | None, dict[str, str] | None]:
+    """(lower_bounds, upper_bounds) for one data file, keyed by the
+    stringified POSITIONAL field id (i+1 — identical to the
+    ``parquet.field.id`` stamping the file itself carries), values
+    JSON-encoded so numerics compare as numbers after decode. Reuses
+    the Delta writer's footer-stats collector (metadata-only read;
+    truncated string statistics rejected there)."""
+    from .deltalog import _footer_stats
+
+    raw = _footer_stats(path)
+    if raw is None:
+        return None, None
+    st = json.loads(raw)
+    ids = {name: str(i + 1) for i, name in enumerate(field_names)}
+    lb = {
+        ids[c]: json.dumps(v)
+        for c, v in (st.get("minValues") or {}).items()
+        if c in ids
+    }
+    ub = {
+        ids[c]: json.dumps(v)
+        for c, v in (st.get("maxValues") or {}).items()
+        if c in ids
+    }
+    return (lb or None), (ub or None)
 
 
 def _stage_data_manifest(
@@ -1025,7 +1128,8 @@ def _stage_data_manifest(
             dst = os.path.join(table_path, rel)
             os.replace(src, dst)
             nrows = _pq.read_metadata(dst).num_rows
-            data_files.append((rel, os.path.getsize(dst), nrows, pv))
+            lb, ub = _bounds_by_field_id(dst, df.schema.fieldNames())
+            data_files.append((rel, os.path.getsize(dst), nrows, pv, lb, ub))
     shutil.rmtree(staging, ignore_errors=True)
 
     manifest_rel = os.path.join(_META, f"{uuid.uuid4().hex}-m0.avro")
@@ -1042,9 +1146,11 @@ def _stage_data_manifest(
                     "partition": pv,
                     "record_count": nrows,
                     "file_size_in_bytes": size,
+                    "lower_bounds": lb,
+                    "upper_bounds": ub,
                 },
             )
-            for rel, size, nrows, pv in data_files
+            for rel, size, nrows, pv, lb, ub in data_files
         ],
     )
     mlen = os.path.getsize(os.path.join(table_path, manifest_rel))
@@ -1323,7 +1429,7 @@ def write_iceberg(
         # files, manifest, and manifest list are referenced by no
         # published metadata (the winner built on the same base), so a
         # raced rewrite would otherwise strand a full copy of the table
-        for rel, _size, _nrows, _pv in data_files:
+        for rel, _size, _nrows, _pv, _lb, _ub in data_files:
             with contextlib.suppress(OSError):
                 os.remove(os.path.join(table_path, rel))
         with contextlib.suppress(OSError):
@@ -1801,7 +1907,7 @@ def upsert_iceberg(
     try:
         _publish_metadata(table_path, new_md, version)
     except IcebergConcurrentCommitError:
-        for rel, _size, _n, _pv in data_files:
+        for rel, _size, _n, _pv, _lb, _ub in data_files:
             with contextlib.suppress(OSError):
                 os.remove(os.path.join(table_path, rel))
         for rel in (del_rel, dman_rel, aman_rel, mlist_rel):

@@ -1370,3 +1370,81 @@ def q_iceberg_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "o_orderstatus string, n_files long, n_rows long"
     )
+
+
+@query(
+    "q_scan_iceberg_skipped",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(1 AS BIGINT) AS n_files_scanned,
+           CAST(4 AS BIGINT) AS n_files_total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1999-01-01'
+    GROUP BY o_orderstatus
+    """,
+)
+def q_scan_iceberg_skipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg DATA SKIPPING — manifest-level file pruning from the
+    per-file lower/upper bounds the writer records at commit time (the
+    spec's scan-planning metric; here keyed by field id with JSON
+    values, collected from the parquet footer — metadata-only,
+    O(files)). Four date-disjoint files; a two-year range predicate
+    prunes to ONE from the manifests alone — no data file is listed or
+    opened for the other three — and the oracle pins the census AND
+    the scanned-file count. The Iceberg twin of
+    ``q_scan_delta_skipped``: both lakehouse formats now carry the
+    same stats-pruning contract (files without bounds are
+    conservatively kept; the residual predicate still runs).
+    """
+    import shutil
+
+    out = os.path.join(_fixture_dir(sf_dir), "orders_skipping_iceberg")
+    shutil.rmtree(out, ignore_errors=True)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate"
+    )
+    ts = lambda s: F.lit(s).cast("timestamp_ntz")  # noqa: E731
+    slices = (
+        o.filter(F.col("o_orderdate") < ts("1996-01-01")),
+        o.filter(
+            (F.col("o_orderdate") >= ts("1996-01-01"))
+            & (F.col("o_orderdate") < ts("1997-01-01"))
+        ),
+        o.filter(
+            (F.col("o_orderdate") >= ts("1997-01-01"))
+            & (F.col("o_orderdate") < ts("1999-01-01"))
+        ),
+        o.filter(F.col("o_orderdate") >= ts("1999-01-01")),
+    )
+    for i, sl in enumerate(slices):
+        write_iceberg(
+            spark, sl.repartition(1), out,
+            mode="append" if i else "overwrite",
+        )
+    pruned = read_iceberg(
+        spark,
+        out,
+        bounds_filter={
+            "o_orderdate": ("1997-01-01 00:00:00", "1998-12-31 23:59:59.999999")
+        },
+    )
+    kept = pruned.select(F.input_file_name().alias("f")).distinct().count()
+    from .iceberg import snapshot_iceberg
+
+    n_total = len(snapshot_iceberg(out).files)
+    return (
+        pruned.filter(
+            (F.col("o_orderdate") >= ts("1997-01-01"))
+            & (F.col("o_orderdate") < ts("1999-01-01"))
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+        )
+        .withColumn("n_files_scanned", F.lit(kept).cast("long"))
+        .withColumn("n_files_total", F.lit(n_total).cast("long"))
+    )
