@@ -7,7 +7,11 @@ never reaches keeps a stale (or no) driver verdict forever.
 proposal; this test pins the live ``_PRIORITY`` head to it so rotation
 can't silently drift:
 
-- every query with NO driver verdict at all must be in the window;
+- every query with NO driver verdict at all must be in the window —
+  or, when MORE than 50 queries are pending (possible when a round's
+  driver verify did not record a CORRECTNESS file while authoring
+  continued), every window slot must at least be spent on a pending or
+  rows-only query, never wasted re-checking a hash-verdicted one;
 - every ORACLED query whose only driver verdict is rows-only must be in
   the window (its hash has never been gate-checked);
 - at least 40 of the stalest-50 must be in the window (the remaining
@@ -41,10 +45,28 @@ def _window() -> list[str]:
 def test_window_contains_every_never_verdicted_query():
     queries = load_all_queries()
     best = collect()
-    window = set(_window())
+    window = _window()
     pending = [n for n in queries if n not in best]
-    missing = [n for n in pending if n not in window]
-    assert not missing, f"never-driver-verdicted queries outside the gate window: {missing}"
+    if len(pending) <= WINDOW_SIZE:
+        missing = [n for n in pending if n not in set(window)]
+        assert not missing, (
+            f"never-driver-verdicted queries outside the gate window: {missing}"
+        )
+    else:
+        # more pending than slots: full coverage is impossible this
+        # round, so the invariant degrades to "no slot wasted" — every
+        # window entry is either pending or an oracled rows-only
+        # refresh; the overflow drains over subsequent rotations
+        # a slot is wasted only on a query that already carries a
+        # driver HASH verdict; rows-only records (oracled or native)
+        # are legitimate refresh targets
+        wasted = [
+            n for n in window if best.get(n, ("", ""))[0] == "driver hash"
+        ]
+        assert not wasted, (
+            f"{len(pending)} queries pending but window slots are spent "
+            f"on already-hash-verdicted queries: {wasted}"
+        )
 
 
 def test_window_contains_every_rows_only_oracled_query():

@@ -217,6 +217,82 @@ def main() -> None:
         f"files ({'OK' if ratio < FACTOR * 1.6 else 'SUPRALINEAR'})"
     )
 
+    # Data-skipping stress (round 12): key-RANGE appends (each commit a
+    # disjoint o_orderkey slice), then a stats/bounds range filter for
+    # ONE commit's slice must plan ~1/COMMITS of the files at BOTH file
+    # counts — and the pruning itself is a driver-side O(files) walk
+    # whose cost must scale ~linearly with file count.
+    lo_hi = src.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    klo, khi = int(lo_hi[0]), int(lo_hi[1])
+    step = (khi - klo + COMMITS) // COMMITS
+
+    def build_delta_ranges(path: str, fpc: int) -> None:
+        for i in range(COMMITS):
+            deltalog.write_delta(
+                spark,
+                src.filter(
+                    (F.col("o_orderkey") >= klo + i * step)
+                    & (F.col("o_orderkey") < klo + (i + 1) * step)
+                ).repartition(fpc),
+                path,
+                mode="append" if i else "overwrite",
+            )
+
+    def build_ice_ranges(path: str, fpc: int) -> None:
+        for i in range(COMMITS):
+            ice.write_iceberg(
+                spark,
+                src.filter(
+                    (F.col("o_orderkey") >= klo + i * step)
+                    & (F.col("o_orderkey") < klo + (i + 1) * step)
+                ).repartition(fpc),
+                path,
+                mode="append" if i else "overwrite",
+            )
+
+    skip_flt = (klo, klo + step - 1)
+    for label, fpc in (("base", FILES_BASE), (f"x{FACTOR}", FILES_BASE * FACTOR)):
+        pd_ = f"{work}/delta_skip_{label}"
+        pi_ = f"{work}/ice_skip_{label}"
+        build_delta_ranges(pd_, fpc)
+        build_ice_ranges(pi_, fpc)
+        t_d = timed(
+            lambda: deltalog.read_delta(
+                spark, pd_, stats_filter={"o_orderkey": skip_flt}
+            ),
+            reps=3,
+        )
+        planned_d = len(
+            deltalog.read_delta(
+                spark, pd_, stats_filter={"o_orderkey": skip_flt}
+            ).inputFiles()
+        )
+        total_d = len(deltalog.snapshot(pd_).files)
+        t_i = timed(
+            lambda: ice.read_iceberg(
+                spark, pi_, bounds_filter={"o_orderkey": skip_flt}
+            ),
+            reps=3,
+        )
+        planned_i = len(
+            ice.read_iceberg(
+                spark, pi_, bounds_filter={"o_orderkey": skip_flt}
+            ).inputFiles()
+        )
+        total_i = len(ice.snapshot_iceberg(pi_).files)
+        ok_d = planned_d * (COMMITS - 1) < total_d
+        ok_i = planned_i * (COMMITS - 1) < total_i
+        print(
+            f"delta    skipping {label}: {planned_d}/{total_d} files planned "
+            f"for 1/{COMMITS} key range, plan {t_d*1000:.0f}ms "
+            f"{'OK' if ok_d else 'FAIL'}"
+        )
+        print(
+            f"iceberg  skipping {label}: {planned_i}/{total_i} files planned "
+            f"for 1/{COMMITS} key range, plan {t_i*1000:.0f}ms "
+            f"{'OK' if ok_i else 'FAIL'}"
+        )
+
     # MOR-vs-COW delete stress (round 10): delete ~0.8% of rows from
     # every file. COW rewrites every touched file; the DV strategy
     # writes bitmap descriptors only. The gap IS the merge-on-read
