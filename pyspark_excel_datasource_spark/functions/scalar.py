@@ -590,3 +590,62 @@ def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(tdt).cast("long").alias("ok_dates"),
         F.max(tdt).cast("string").alias("max_date"),
     )
+
+
+@query(
+    "q_fn_higher_order",
+    oracle="""
+    WITH base AS (
+        SELECT s_suppkey,
+               LIST_TRANSFORM(GENERATE_SERIES(1, 1 + s_suppkey % 7),
+                              i -> CAST(s_suppkey * i % 97 AS BIGINT)) AS xs
+        FROM supplier
+    )
+    SELECT s_suppkey,
+           CAST(LEN(xs) AS INT) AS n,
+           ARRAY_TO_STRING(LIST_TRANSFORM(xs, x -> x * 2), ',') AS doubled,
+           CAST(LEN(LIST_FILTER(xs, x -> x % 2 = 0)) AS INT) AS n_even,
+           CAST(LEN(LIST_FILTER(xs, x -> x > 50)) > 0 AS BOOLEAN)
+               AS any_gt50,
+           CAST(LEN(LIST_FILTER(xs, x -> x >= 10)) = LEN(xs) AS BOOLEAN)
+               AS all_ge10,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), xs),
+                            (acc, x) -> acc + x * x) AS BIGINT)
+               AS sum_sq,
+           ARRAY_TO_STRING(
+               LIST_TRANSFORM(LIST_ZIP(xs, LIST_REVERSE(xs)),
+                              t -> t[1] + t[2]), ',') AS zip_sums
+    FROM base
+    """,
+)
+def q_fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order (lambda) array function family — transform, filter,
+    exists, forall, aggregate (fold), zip_with — over a per-supplier
+    deterministic integer array. These are the functions that keep
+    per-row collection logic JVM-side at 100 TB where a Python UDF
+    would fall off the Arrow fast path; all-integer arithmetic, arrays
+    presented as joined strings so the hash never depends on list
+    encoding."""
+    s = table(spark, sf_dir, "supplier")
+    xs = F.expr(
+        "transform(sequence(1, 1 + s_suppkey % 7),"
+        " i -> CAST(s_suppkey * i % 97 AS BIGINT))"
+    )
+    b = s.select("s_suppkey", xs.alias("xs"))
+    return b.select(
+        "s_suppkey",
+        F.size("xs").cast("int").alias("n"),
+        F.array_join(F.expr("transform(xs, x -> x * 2)"), ",").alias(
+            "doubled"
+        ),
+        F.size(F.expr("filter(xs, x -> x % 2 = 0)"))
+        .cast("int")
+        .alias("n_even"),
+        F.expr("exists(xs, x -> x > 50)").alias("any_gt50"),
+        F.expr("forall(xs, x -> x >= 10)").alias("all_ge10"),
+        F.expr("aggregate(xs, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)")
+        .alias("sum_sq"),
+        F.array_join(
+            F.expr("zip_with(xs, reverse(xs), (a, b) -> a + b)"), ","
+        ).alias("zip_sums"),
+    )

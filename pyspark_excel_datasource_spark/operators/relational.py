@@ -1637,3 +1637,49 @@ def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@query(
+    "q_sql_qualify",
+    oracle="""
+    SELECT o_orderstatus,
+           o_orderkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+           CAST(ROW_NUMBER() OVER (
+                    PARTITION BY o_orderstatus
+                    ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk
+    FROM orders
+    QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY o_orderstatus
+                ORDER BY o_totalprice DESC, o_orderkey) <= 3
+    ORDER BY o_orderstatus, rnk
+    """,
+)
+def q_sql_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALIFY-clause semantics (filter on a window result without a
+    derived table) — top-3 orders per status by price with a
+    deterministic tiebreak. Spark has no QUALIFY keyword, so the
+    engine spelling is the window + post-filter Catalyst normalizes a
+    QUALIFY to anyway; the DuckDB oracle uses the literal QUALIFY
+    clause, pinning that the two spellings are the same relation. The
+    plan is the partitioned-window top-k shape: Spark inserts a
+    WindowGroupLimit before the full window, so each partition ships
+    only candidate rows — no global sort, no unbounded frame.
+    """
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "o_orderstatus",
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("price_cents"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+        .orderBy("o_orderstatus", "rnk")
+    )

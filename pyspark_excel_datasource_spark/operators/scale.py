@@ -867,3 +867,46 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("bin"),
     )
+
+
+@query(
+    "q_agg_bitmap",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_agg_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via Spark's bitmap aggregate family
+    (``bitmap_bucket_number`` / ``bitmap_bit_position`` /
+    ``bitmap_construct_agg`` / ``bitmap_count``): keys bucketize into
+    fixed 32 Kib bitmap segments, each (group, bucket) cell reduces to
+    ONE bitmap with map-side combine, and the distinct count is the
+    popcount sum — COUNT(DISTINCT)'s exactness at a fraction of its
+    shuffle. At 100 TB this is the exact middle ground between
+    ``q_agg_distinct`` (expand + double shuffle of raw keys) and
+    ``q_agg_hll`` (approximate): the shuffle carries ≤ 4 KB per
+    (group, bucket) cell regardless of how many keys the cell holds.
+    The oracle is plain COUNT(DISTINCT) — identical counts prove the
+    bitmap path loses nothing.
+    """
+    orders = table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("q_agg_bitmap_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               CAST(SUM(n_rows) AS BIGINT) AS n_orders,
+               CAST(SUM(bitmap_count(b)) AS BIGINT) AS n_cust
+        FROM (
+            SELECT o_orderstatus,
+                   COUNT(*) AS n_rows,
+                   bitmap_construct_agg(bitmap_bit_position(o_custkey)) AS b
+            FROM q_agg_bitmap_orders
+            GROUP BY o_orderstatus, bitmap_bucket_number(o_custkey)
+        )
+        GROUP BY o_orderstatus
+        """
+    )

@@ -180,6 +180,10 @@ _PRIORITY: tuple[str, ...] = (
     "q_knn_classify",
     "q_scan_delta_skipped",
     "q_scan_iceberg_skipped",
+    "q_iceberg_orphans",
+    "q_agg_bitmap",
+    "q_sql_qualify",
+    "q_fn_higher_order",
     # E. stalest prior greens (re-verification fill): r1 vintage (10)
     "q_agg_argmax",
     "q_agg_histogram",

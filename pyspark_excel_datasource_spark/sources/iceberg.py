@@ -2215,3 +2215,61 @@ def partitions_meta(
         agg["n_rows"] += int(rec["record_count"])
         agg["n_bytes"] += int(rec["file_size_in_bytes"])
     return [out[k] for k in sorted(out)]
+
+
+def remove_orphan_files(
+    table_path: str, retention_seconds: float = 0.0
+) -> int:
+    """``remove_orphan_files`` (the Iceberg maintenance procedure that
+    pairs with ``expire_snapshots``, mirroring Delta's VACUUM): delete
+    files under ``data/`` that NO manifest of ANY snapshot references —
+    leftovers of crashed writers, killed tasks, or external copies.
+    Returns the number removed.
+
+    The referenced set is assembled by decoding every manifest Avro
+    under ``metadata/`` (data manifests AND delete manifests share the
+    ``data_file.file_path`` field), so files referenced only by
+    historical snapshots survive — they belong to ``expire_snapshots``,
+    not to orphan cleanup. Metadata-only walk, O(manifest entries), no
+    data file opened.
+
+    ``retention_seconds`` guards the commit window exactly like Delta's
+    VACUUM retention: a concurrent writer moves data files into the
+    table BEFORE publishing its commit, and removing them in that
+    window would corrupt the about-to-land snapshot. 0 is only safe
+    single-writer.
+    """
+    import time as _time
+
+    meta = _meta_dir(table_path)
+    referenced: set[str] = set()
+    for name in sorted(os.listdir(meta)):
+        if not name.endswith(".avro"):
+            continue
+        for rec in _read_avro(os.path.join(meta, name)):
+            dfr = rec.get("data_file")
+            if isinstance(dfr, dict) and dfr.get("file_path"):
+                fp = dfr["file_path"]
+                referenced.add(fp)
+                # manifests may spell paths absolute; normalize both
+                if os.path.isabs(fp):
+                    referenced.add(os.path.relpath(fp, os.path.abspath(table_path)))
+    cutoff = _time.time() - retention_seconds
+    removed = 0
+    data_dir = os.path.join(table_path, _DATA)
+    if not os.path.isdir(data_dir):
+        return 0
+    for root, _dirs, names in os.walk(data_dir):
+        for name in names:
+            if not name.endswith(".parquet"):
+                continue
+            full = os.path.join(root, name)
+            rel = os.path.relpath(full, table_path)
+            if (
+                rel not in referenced
+                and full not in referenced
+                and os.path.getmtime(full) <= cutoff
+            ):
+                os.remove(full)
+                removed += 1
+    return removed

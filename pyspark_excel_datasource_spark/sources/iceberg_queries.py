@@ -1448,3 +1448,61 @@ def q_scan_iceberg_skipped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_files_scanned", F.lit(kept).cast("long"))
         .withColumn("n_files_total", F.lit(n_total).cast("long"))
     )
+
+
+@query(
+    "q_iceberg_orphans",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(2 AS BIGINT) AS n_orphans_removed
+    FROM orders
+    WHERE o_orderkey % 11 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def q_iceberg_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """remove_orphan_files — the Iceberg maintenance procedure that
+    deletes data files NO manifest of ANY snapshot references
+    (crashed-writer leftovers; this repo's own writer stages+moves
+    atomically, so the fixture plants two orphans the way an external
+    copy or a killed foreign writer would). The referenced set comes
+    from decoding every manifest under ``metadata/`` — metadata-only,
+    O(manifest entries) — and files referenced by HISTORICAL snapshots
+    survive (they belong to ``q_iceberg_expire``). The oracle pins the
+    removed count at exactly 2 alongside the untouched row census:
+    cleanup removed the garbage and only the garbage.
+    """
+    import shutil
+
+    from .iceberg import remove_orphan_files
+
+    out = os.path.join(_fixture_dir(sf_dir), "orders_orphan_iceberg")
+    shutil.rmtree(out, ignore_errors=True)
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 11 == 0)
+    write_iceberg(spark, o.filter(F.col("o_orderkey") % 2 == 0), out)
+    write_iceberg(
+        spark, o.filter(F.col("o_orderkey") % 2 != 0), out, mode="append"
+    )
+    # plant two orphans: copies of a live file under fresh names, the
+    # debris a crashed non-atomic writer leaves behind
+    data_dir = os.path.join(out, "data")
+    live = sorted(
+        n for n in os.listdir(data_dir) if n.endswith(".parquet")
+    )[0]
+    for i in (1, 2):
+        shutil.copyfile(
+            os.path.join(data_dir, live),
+            os.path.join(data_dir, f"orphan-{i}.parquet"),
+        )
+    removed = remove_orphan_files(out, retention_seconds=0.0)
+    return (
+        read_iceberg(spark, out)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+        )
+        .withColumn("n_orphans_removed", F.lit(removed).cast("long"))
+    )

@@ -12,6 +12,7 @@ import re
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from pyspark_excel_datasource_spark.plans.registry import load_all_queries
 
@@ -295,3 +296,57 @@ def test_knn_classify_matches_bruteforce(spark, queries):
         assert row["n_votes"] == votes[pred]
         assert row["true_label"] == int(labels[ids == qid][0])
         assert row["correct"] == int(pred == row["true_label"])
+
+
+def test_iceberg_orphans_keeps_historical_files(spark, tmp_path):
+    """Files referenced ONLY by historical snapshots survive orphan
+    cleanup (they belong to expire_snapshots, not orphan removal)."""
+    from pyspark_excel_datasource_spark.catalog import table as _t
+    from pyspark_excel_datasource_spark.sources.iceberg import (
+        read_iceberg,
+        remove_orphan_files,
+        write_iceberg,
+    )
+
+    out = str(tmp_path / "t")
+    o = _t(spark, SF, "orders").select("o_orderkey", "o_orderstatus")
+    write_iceberg(spark, o.filter(F.col("o_orderkey") % 2 == 0), out)
+    # OVERWRITE drops the first snapshot's files from the current view
+    write_iceberg(
+        spark, o.filter(F.col("o_orderkey") % 2 != 0), out, mode="overwrite"
+    )
+    assert remove_orphan_files(out, retention_seconds=0.0) == 0
+    # time travel to the first snapshot still works
+    import json
+
+    meta = os.path.join(out, "metadata")
+    vh = open(os.path.join(meta, "version-hint.text")).read().strip()
+    md = json.load(open(os.path.join(meta, f"v{vh}.metadata.json")))
+    first = min(s["snapshot-id"] for s in md["snapshots"])
+    assert read_iceberg(spark, out, snapshot_id=first).count() > 0
+
+
+def test_agg_bitmap_matches_count_distinct(spark, queries):
+    got = {
+        r["o_orderstatus"]: (r["n_orders"], r["n_cust"])
+        for r in queries["q_agg_bitmap"](spark, SF).collect()
+    }
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    for st, grp in o.groupby("o_orderstatus"):
+        assert got[st] == (len(grp), grp["o_custkey"].nunique())
+
+
+def test_fn_higher_order_semantics(spark, queries):
+    rows = queries["q_fn_higher_order"](spark, SF).collect()
+    for r in rows[:20]:
+        k = r["s_suppkey"]
+        xs = [(k * i) % 97 for i in range(1, 2 + k % 7)]
+        assert r["n"] == len(xs)
+        assert r["doubled"] == ",".join(str(x * 2) for x in xs)
+        assert r["n_even"] == sum(1 for x in xs if x % 2 == 0)
+        assert r["any_gt50"] == any(x > 50 for x in xs)
+        assert r["all_ge10"] == all(x >= 10 for x in xs)
+        assert r["sum_sq"] == sum(x * x for x in xs)
+        assert r["zip_sums"] == ",".join(
+            str(a + b) for a, b in zip(xs, reversed(xs))
+        )
