@@ -86,10 +86,33 @@ def test_window_mostly_matches_stalest_50():
     queries = load_all_queries()
     best = collect()
     window = set(_window())
-    stalest = stalest_window(queries, best, n=WINDOW_SIZE)
-    overlap = sum(1 for n in stalest if n in window)
-    assert overlap >= 40, (
-        f"gate window shares only {overlap}/50 slots with the stalest-50 "
-        f"proposal; rotation has drifted from staleness. "
-        f"Stalest entries missing: {[n for n in stalest if n not in window]}"
-    )
+
+    def cls(name: str) -> int:
+        if name not in best:
+            return 0
+        kind, _rnd = best[name]
+        # anything short of a driver HASH verdict (rows-only on oracled
+        # OR native queries, error records) is a legitimate refresh
+        # target — the same notion as the no-wasted-slot rule above
+        return 2 if kind == "driver hash" else 1
+
+    n_maximally_stale = sum(1 for n in queries if cls(n) <= 1)
+    if n_maximally_stale > WINDOW_SIZE:
+        # more maximally-stale queries (pending / unhashed-oracled)
+        # than slots: the stalest-50 tiebreak among them is alphabetical
+        # (no staleness information), so ANY window drawn entirely from
+        # that pool is an equally valid stalest-50 — require exactly
+        # that instead of overlap with the arbitrary subset
+        outside = [n for n in window if cls(n) > 1]
+        assert not outside, (
+            f"{n_maximally_stale} maximally-stale queries but the window "
+            f"spends slots on fresher ones: {outside}"
+        )
+    else:
+        stalest = stalest_window(queries, best, n=WINDOW_SIZE)
+        overlap = sum(1 for n in stalest if n in window)
+        assert overlap >= 40, (
+            f"gate window shares only {overlap}/50 slots with the "
+            f"stalest-50 proposal; rotation has drifted from staleness. "
+            f"Stalest entries missing: {[n for n in stalest if n not in window]}"
+        )
