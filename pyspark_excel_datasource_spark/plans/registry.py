@@ -184,6 +184,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_agg_bitmap",
     "q_sql_qualify",
     "q_fn_higher_order",
+    "q_scan_delta_timestamp",
+    "q_scan_iceberg_timestamp",
     # E. stalest prior greens (re-verification fill): r1 vintage (10)
     "q_agg_argmax",
     "q_agg_histogram",

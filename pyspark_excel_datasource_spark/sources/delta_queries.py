@@ -1530,3 +1530,49 @@ def q_scan_delta_skipped(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(len(snapshot(out).files)).cast("long"),
         )
     )
+
+
+@query(
+    "q_scan_delta_timestamp",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+    FROM orders
+    WHERE o_orderkey % 2 = 0 AND o_orderkey % 13 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def q_scan_delta_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """timestampAsOf time travel — resolve a version from a wall-clock
+    instant instead of a version number (the spelling audits and
+    reproducibility snapshots actually use: "the table as of last
+    night's run"). The writer stamps every commitInfo with its commit
+    timestamp; resolution picks the latest version at-or-before the
+    instant, with the spec's file-mtime fallback for foreign logs, and
+    an instant before the first commit raises. The fixture captures an
+    instant between two commits: reading at it must see EXACTLY the
+    first commit's rows — the timestamps themselves never enter the
+    output, so the hash stays deterministic.
+    """
+    import time as _time
+
+    out = os.path.join(_fixture_dir(sf_dir), "orders_tstravel_delta")
+    shutil.rmtree(out, ignore_errors=True)
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 13 == 0)
+    write_delta(spark, o.filter(F.col("o_orderkey") % 2 == 0), out)
+    _time.sleep(0.05)
+    t_mid = int(_time.time() * 1000)
+    _time.sleep(0.05)
+    write_delta(
+        spark, o.filter(F.col("o_orderkey") % 2 != 0), out, mode="append"
+    )
+    return (
+        read_delta(spark, out, timestamp_ms=t_mid)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+        )
+    )
+

@@ -534,12 +534,50 @@ def history(table_path: str) -> list[dict[str, Any]]:
 # ---------------------------------------------------------------------------
 
 
+def version_at_timestamp(table_path: str, timestamp_ms: int) -> int:
+    """``timestampAsOf`` resolution: the LATEST version whose commit
+    timestamp is ≤ ``timestamp_ms``. Commit time comes from the
+    commitInfo action's ``timestamp`` (stamped by this writer at
+    commit); log files without one (foreign writers) fall back to file
+    modification time, per the Delta spec's rule. Raises if the table's
+    FIRST commit is already newer — 'before the table existed' must
+    fail loudly, not silently read version 0."""
+    js, _ = _list_log(table_path)
+    if not js:
+        raise FileNotFoundError(f"not a Delta table (no {_LOG}): {table_path}")
+    best: int | None = None
+    for v in js:
+        p = os.path.join(_log_dir(table_path), f"{v:020d}.json")
+        ts = None
+        with open(p, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                act = json.loads(line)
+                ci = act.get("commitInfo")
+                if isinstance(ci, dict) and ci.get("timestamp") is not None:
+                    ts = int(ci["timestamp"])
+                break  # commitInfo is the first action when present
+        if ts is None:
+            ts = int(os.path.getmtime(p) * 1000)
+        if ts <= timestamp_ms:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"timestampAsOf {timestamp_ms} predates the first commit of "
+            f"{table_path}"
+        )
+    return best
+
+
 def read_delta(
     spark: SparkSession,
     table_path: str,
     version: int | None = None,
     partition_filter: dict[str, set[str]] | None = None,
     stats_filter: dict[str, tuple[Any, Any]] | None = None,
+    timestamp_ms: int | None = None,
 ) -> DataFrame:
     """Snapshot-consistent read, optionally at a past version.
 
@@ -557,7 +595,14 @@ def read_delta(
     contract, never a correctness one. Bound values must compare
     against the stats-JSON representation (numbers for numerics,
     ISO-8601 ``YYYY-MM-DD HH:MM:SS`` strings for timestamps).
+
+    ``timestamp_ms`` = timestampAsOf: resolve the version via
+    ``version_at_timestamp`` (mutually exclusive with ``version``).
     """
+    if timestamp_ms is not None:
+        if version is not None:
+            raise ValueError("pass version or timestamp_ms, not both")
+        version = version_at_timestamp(table_path, timestamp_ms)
     snap = snapshot(table_path, version)
     schema = snap.schema
     pcols = snap.partition_columns
@@ -780,8 +825,16 @@ def _commit(
     table_path: str, version: int, actions: list[dict[str, Any]]
 ) -> None:
     """Exclusive-create commit of one log version (put-if-absent)."""
+    import time as _time
+
     d = _log_dir(table_path)
     os.makedirs(d, exist_ok=True)
+    # stamp the commit timestamp into commitInfo (timestampAsOf's
+    # resolution source; the file-mtime fallback covers foreign logs)
+    for a in actions:
+        ci = a.get("commitInfo")
+        if isinstance(ci, dict) and "timestamp" not in ci:
+            ci["timestamp"] = int(_time.time() * 1000)
     final = os.path.join(d, f"{version:020d}.json")
     try:
         fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)

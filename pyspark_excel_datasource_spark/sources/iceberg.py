@@ -305,8 +305,30 @@ def _current_metadata(table_path: str) -> dict[str, Any]:
     return md
 
 
+def snapshot_at_timestamp(table_path: str, timestamp_ms: int) -> int:
+    """``FOR TIMESTAMP AS OF`` resolution: the snapshot with the
+    LATEST ``timestamp-ms`` ≤ the given instant. Raises when the
+    table's first snapshot is already newer — 'before the table
+    existed' fails loudly instead of silently reading something."""
+    md = _current_metadata(table_path)
+    best: int | None = None
+    best_ts = -1
+    for s in md.get("snapshots", []):
+        ts = int(s.get("timestamp-ms", 0))
+        if ts <= timestamp_ms and ts > best_ts:
+            best, best_ts = s["snapshot-id"], ts
+    if best is None:
+        raise ValueError(
+            f"timestamp {timestamp_ms} predates every snapshot of {table_path}"
+        )
+    return best
+
+
 def snapshot_iceberg(
-    table_path: str, snapshot_id: int | None = None, ref: str | None = None
+    table_path: str,
+    snapshot_id: int | None = None,
+    ref: str | None = None,
+    timestamp_ms: int | None = None,
 ) -> IcebergSnapshot:
     """Resolve one snapshot's live data files: metadata JSON → manifest
     list (Avro) → manifests (Avro) → entries with status != 2 (DELETED).
@@ -315,7 +337,15 @@ def snapshot_iceberg(
 
     ``ref`` resolves a named branch or tag from the metadata ``refs``
     registry to its head snapshot (then reads exactly like time travel
-    to that snapshot id — the snapshot's own schema/spec)."""
+    to that snapshot id — the snapshot's own schema/spec).
+    ``timestamp_ms`` is FOR TIMESTAMP AS OF (mutually exclusive with
+    both)."""
+    if timestamp_ms is not None:
+        if snapshot_id is not None or ref is not None:
+            raise ValueError(
+                "pass exactly one of snapshot_id / ref / timestamp_ms"
+            )
+        snapshot_id = snapshot_at_timestamp(table_path, timestamp_ms)
     md = _current_metadata(table_path)
     if ref is not None:
         if snapshot_id is not None:
@@ -554,6 +584,7 @@ def read_iceberg(
     partition_filter: dict[str, set[str]] | None = None,
     ref: str | None = None,
     bounds_filter: dict[str, tuple[Any, Any]] | None = None,
+    timestamp_ms: int | None = None,
 ) -> DataFrame:
     """Snapshot-consistent read (optionally time travel by snapshot id).
 
@@ -577,7 +608,9 @@ def read_iceberg(
     """
     from .deltalog import _read_files
 
-    snap = snapshot_iceberg(table_path, snapshot_id, ref=ref)
+    snap = snapshot_iceberg(
+        table_path, snapshot_id, ref=ref, timestamp_ms=timestamp_ms
+    )
     files = snap.files
     if bounds_filter:
         ids_by_name = {v: str(k) for k, v in snap.field_names_by_id.items()}

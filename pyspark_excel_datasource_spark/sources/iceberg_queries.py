@@ -1506,3 +1506,34 @@ def q_iceberg_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("n_orphans_removed", F.lit(removed).cast("long"))
     )
+
+
+@query(
+    "q_scan_iceberg_timestamp",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_scan_iceberg_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOR TIMESTAMP AS OF — snapshot resolution from an instant via
+    the snapshots' ``timestamp-ms`` (latest at-or-before; an instant
+    before the first snapshot raises). The shared fixture's
+    deterministic snapshot clock (timestamp-ms == snapshot id) makes
+    the instant addressable in the oracle: reading at instant 2 must
+    see exactly snapshot 2 — the FULL orders table, one commit before
+    the F-only overwrite. The Iceberg twin of
+    ``q_scan_delta_timestamp``'s commitInfo-timestamp resolution.
+    """
+    path = _materialize_orders_iceberg(spark, sf_dir)
+    return (
+        read_iceberg(spark, path, timestamp_ms=2)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+        )
+    )

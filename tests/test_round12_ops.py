@@ -350,3 +350,53 @@ def test_fn_higher_order_semantics(spark, queries):
         assert r["zip_sums"] == ",".join(
             str(a + b) for a, b in zip(xs, reversed(xs))
         )
+
+
+def test_delta_timestamp_travel_resolution(spark, tmp_path):
+    import time
+
+    from pyspark_excel_datasource_spark.catalog import table as _t
+    from pyspark_excel_datasource_spark.sources.deltalog import (
+        read_delta,
+        version_at_timestamp,
+        write_delta,
+    )
+
+    out = str(tmp_path / "t")
+    o = _t(spark, SF, "orders").select("o_orderkey", "o_orderstatus")
+    t_before = int(time.time() * 1000) - 10
+    write_delta(spark, o.limit(10), out)
+    time.sleep(0.05)
+    t_mid = int(time.time() * 1000)
+    time.sleep(0.05)
+    write_delta(spark, o.limit(30), out, mode="append")
+    t_after = int(time.time() * 1000) + 10
+    assert version_at_timestamp(out, t_mid) == 0
+    assert version_at_timestamp(out, t_after) == 1
+    assert read_delta(spark, out, timestamp_ms=t_mid).count() == 10
+    assert read_delta(spark, out, timestamp_ms=t_after).count() == 40
+    with pytest.raises(ValueError, match="predates"):
+        version_at_timestamp(out, t_before)
+    with pytest.raises(ValueError, match="not both"):
+        read_delta(spark, out, version=0, timestamp_ms=t_mid)
+
+
+def test_iceberg_timestamp_travel_resolution(spark, tmp_path):
+    from pyspark_excel_datasource_spark.catalog import table as _t
+    from pyspark_excel_datasource_spark.sources.iceberg import (
+        read_iceberg,
+        snapshot_at_timestamp,
+        write_iceberg,
+    )
+
+    out = str(tmp_path / "t")
+    o = _t(spark, SF, "orders").select("o_orderkey", "o_orderstatus")
+    write_iceberg(spark, o.limit(10), out)
+    write_iceberg(spark, o.limit(30), out, mode="append")
+    # deterministic clock: timestamp-ms == snapshot id (1, 2)
+    assert snapshot_at_timestamp(out, 1) == 1
+    assert snapshot_at_timestamp(out, 10**15) == 2
+    assert read_iceberg(spark, out, timestamp_ms=1).count() == 10
+    assert read_iceberg(spark, out, timestamp_ms=10**15).count() == 40
+    with pytest.raises(ValueError, match="predates"):
+        snapshot_at_timestamp(out, 0)
