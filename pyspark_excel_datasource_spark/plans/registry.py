@@ -186,6 +186,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_fn_higher_order",
     "q_scan_delta_timestamp",
     "q_scan_iceberg_timestamp",
+    "q_delta_agg_pushdown",
+    "q_iceberg_agg_pushdown",
     # E. stalest prior greens (re-verification fill): r1 vintage (10)
     "q_agg_argmax",
     "q_agg_histogram",

@@ -1576,3 +1576,47 @@ def q_scan_delta_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+
+@query(
+    "q_delta_agg_pushdown",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    WHERE o_orderkey % 7 = 0
+    """,
+)
+def q_delta_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregate pushdown: COUNT(*) / MIN / MAX answered
+    ENTIRELY from the log's per-file stats (numRecords + the bounds the
+    data-skipping writer records) — zero data files opened, cost
+    O(files) on the driver. At 100 TB this is the difference between a
+    metadata lookup and a full-table scan for the most common audit
+    queries; the guard rails are part of the contract (a live file
+    without stats, or a deletion vector that could hide the extremes,
+    raises rather than answering wrong — pinned by
+    tests/test_round12_ops.py). The oracle recomputes the same three
+    numbers from the raw rows: identical values prove the stats path
+    is exact, not approximate.
+    """
+    from .deltalog import stats_summary
+
+    out = os.path.join(_fixture_dir(sf_dir), "orders_aggpush_delta")
+    shutil.rmtree(out, ignore_errors=True)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    ).filter(F.col("o_orderkey") % 7 == 0)
+    for i in range(3):
+        write_delta(
+            spark,
+            o.filter(F.col("o_orderkey") % 3 == i).repartition(2),
+            out,
+            mode="append",
+        )
+    n, mn, mx = stats_summary(out, "o_orderkey")
+    return spark.createDataFrame(
+        [(int(n), int(mn), int(mx))],
+        "n_rows long, min_key long, max_key long",
+    )

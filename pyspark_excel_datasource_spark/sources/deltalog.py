@@ -1613,18 +1613,20 @@ def delete_where(
         for rel in sorted(by_file):
             merged = sorted(set(prev_positions.get(rel, [])) | set(by_file[rel]))
             ap = os.path.join(table_path, rel)
-            actions.append(
-                {
-                    "add": {
-                        "path": _encode_path(rel),
-                        "partitionValues": prev.files[rel],
-                        "size": os.path.getsize(ap),
-                        "modificationTime": 0,
-                        "dataChange": True,
-                        "deletionVector": make_dv_descriptor(table_path, merged),
-                    }
-                }
-            )
+            add: dict[str, Any] = {
+                "path": _encode_path(rel),
+                "partitionValues": prev.files[rel],
+                "size": os.path.getsize(ap),
+                "modificationTime": 0,
+                "dataChange": True,
+                "deletionVector": make_dv_descriptor(table_path, merged),
+            }
+            # per protocol, stats describe the PHYSICAL file — the DV
+            # re-add keeps them (numRecords unchanged; consumers must
+            # reason about DV cardinality themselves, see stats_summary)
+            if rel in prev.stats:
+                add["stats"] = json.dumps(prev.stats[rel])
+            actions.append({"add": add})
         version = prev.version + 1
         _commit(table_path, version, actions)
         if checkpoint_interval and version % checkpoint_interval == 0:
@@ -1826,18 +1828,20 @@ def update_where(
         for rel in sorted(by_file):
             merged = sorted(set(prev_positions.get(rel, [])) | set(by_file[rel]))
             ap = os.path.join(table_path, rel)
-            actions.append(
-                {
-                    "add": {
-                        "path": _encode_path(rel),
-                        "partitionValues": prev.files[rel],
-                        "size": os.path.getsize(ap),
-                        "modificationTime": 0,
-                        "dataChange": True,
-                        "deletionVector": make_dv_descriptor(table_path, merged),
-                    }
-                }
-            )
+            add: dict[str, Any] = {
+                "path": _encode_path(rel),
+                "partitionValues": prev.files[rel],
+                "size": os.path.getsize(ap),
+                "modificationTime": 0,
+                "dataChange": True,
+                "deletionVector": make_dv_descriptor(table_path, merged),
+            }
+            # per protocol, stats describe the PHYSICAL file — the DV
+            # re-add keeps them (numRecords unchanged; consumers must
+            # reason about DV cardinality themselves, see stats_summary)
+            if rel in prev.stats:
+                add["stats"] = json.dumps(prev.stats[rel])
+            actions.append({"add": add})
         actions.extend(_stage_and_move(updated, table_path, pcols, data_change=True))
         version = prev.version + 1
         _commit(table_path, version, actions)
@@ -2225,3 +2229,61 @@ def delete_partitions(
     if checkpoint_interval and version % checkpoint_interval == 0:
         _write_checkpoint(table_path, snapshot(table_path, version))
     return version
+
+
+def stats_summary(
+    table_path: str, column: str, version: int | None = None
+) -> tuple[int, Any, Any]:
+    """(COUNT(*), MIN(column), MAX(column)) answered ENTIRELY from the
+    log's per-file stats — zero data files opened; the aggregate
+    pushdown a 100 TB COUNT(*) deserves. Raises when the metadata
+    cannot answer exactly: any live file without stats (foreign
+    writer), or — for the min/max — any file carrying a deletion
+    vector (the soft-deleted rows could BE the extremes; the count
+    stays exact because DV descriptors record their cardinality).
+    """
+    snap = snapshot(table_path, version)
+    phys = (
+        snap.physical_names()
+        if snap.column_mapping_mode != "none"
+        else {f.name: f.name for f in snap.schema.fields}
+    )
+    pc = phys.get(column, column)
+    n = 0
+    mn: Any = None
+    mx: Any = None
+    for rel in snap.files:
+        st = snap.stats.get(rel)
+        if st is None:
+            raise ValueError(
+                f"file without stats blocks metadata-only aggregation: {rel}"
+            )
+        n += int(st["numRecords"])
+        dv = snap.dvs.get(rel)
+        if dv is not None:
+            n -= int(dv.get("cardinality") or 0)
+            # deleted rows may hold the extremes — min/max unanswerable
+            mn = mx = _STATS_POISONED
+            continue
+        if mn is _STATS_POISONED:
+            continue
+        flo = (st.get("minValues") or {}).get(pc)
+        fhi = (st.get("maxValues") or {}).get(pc)
+        if flo is None or fhi is None:
+            raise ValueError(
+                f"column {column!r} unstatted in {rel}; metadata-only "
+                "MIN/MAX impossible"
+            )
+        mn = flo if mn is None or flo < mn else mn
+        mx = fhi if mx is None or fhi > mx else mx
+    if mn is _STATS_POISONED:
+        raise ValueError(
+            "deletion vectors present: metadata-only MIN/MAX would be "
+            "wrong (COUNT alone is still exact — read snap.stats "
+            "numRecords minus DV cardinalities directly)"
+        )
+    return n, mn, mx
+
+
+#: sentinel marking min/max as unanswerable (DV present)
+_STATS_POISONED = object()

@@ -2306,3 +2306,46 @@ def remove_orphan_files(
                 os.remove(full)
                 removed += 1
     return removed
+
+
+def stats_summary_iceberg(
+    table_path: str, column: str, snapshot_id: int | None = None
+) -> tuple[int, Any, Any]:
+    """(COUNT(*), MIN(column), MAX(column)) from the MANIFESTS alone —
+    record_count plus the per-file lower/upper bounds; no data file is
+    listed or opened. Raises when the metadata cannot answer exactly:
+    a live file without bounds for the column, or any position/equality
+    delete in the snapshot (deleted rows may hold the extremes and are
+    not counted in record_count adjustments here).
+    """
+    snap = snapshot_iceberg(table_path, snapshot_id)
+    if snap.deleted_positions or snap.equality_deletes:
+        raise ValueError(
+            "row-level deletes present: metadata-only aggregation over "
+            "this snapshot would be wrong"
+        )
+    ids_by_name = {v: str(k) for k, v in snap.field_names_by_id.items()}
+    if column not in ids_by_name:
+        raise ValueError(f"unknown column {column!r}")
+    fid = ids_by_name[column]
+    # record counts ride the files metadata table (manifest-only)
+    md = _current_metadata(table_path)
+    snap_md = _resolve_snapshot_md(
+        md, snapshot_id if snapshot_id is not None else None
+    )
+    n = 0
+    mn: Any = None
+    mx: Any = None
+    for rec, _seq, _spec in _live_data_files(table_path, snap_md):
+        n += int(rec["record_count"])
+        lo = (rec.get("lower_bounds") or {}).get(fid)
+        hi = (rec.get("upper_bounds") or {}).get(fid)
+        if lo is None or hi is None:
+            raise ValueError(
+                f"column {column!r} has no bounds in "
+                f"{rec['file_path']}; metadata-only MIN/MAX impossible"
+            )
+        lo, hi = json.loads(lo), json.loads(hi)
+        mn = lo if mn is None or lo < mn else mn
+        mx = hi if mx is None or hi > mx else mx
+    return n, mn, mx

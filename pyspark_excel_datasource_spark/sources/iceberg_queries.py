@@ -1537,3 +1537,44 @@ def q_scan_iceberg_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_orderkey").cast("long").alias("sum_key"),
         )
     )
+
+
+@query(
+    "q_iceberg_agg_pushdown",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    WHERE o_orderkey % 7 = 0
+    """,
+)
+def q_iceberg_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregate pushdown, Iceberg spelling: COUNT / MIN /
+    MAX assembled from manifest record_count plus the per-file bounds —
+    no data file listed or opened (the manifests ARE the index). The
+    guard rails raise instead of answering wrong: missing bounds, or
+    any v2 row-level delete in the snapshot (deleted rows may hold the
+    extremes). Oracle = the same three numbers from the raw rows.
+    """
+    import shutil
+
+    from .iceberg import stats_summary_iceberg
+
+    out = os.path.join(_fixture_dir(sf_dir), "orders_aggpush_iceberg")
+    shutil.rmtree(out, ignore_errors=True)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    ).filter(F.col("o_orderkey") % 7 == 0)
+    for i in range(3):
+        write_iceberg(
+            spark,
+            o.filter(F.col("o_orderkey") % 3 == i).repartition(2),
+            out,
+            mode="append" if i else "overwrite",
+        )
+    n, mn, mx = stats_summary_iceberg(out, "o_orderkey")
+    return spark.createDataFrame(
+        [(int(n), int(mn), int(mx))],
+        "n_rows long, min_key long, max_key long",
+    )

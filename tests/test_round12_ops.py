@@ -400,3 +400,56 @@ def test_iceberg_timestamp_travel_resolution(spark, tmp_path):
     assert read_iceberg(spark, out, timestamp_ms=10**15).count() == 40
     with pytest.raises(ValueError, match="predates"):
         snapshot_at_timestamp(out, 0)
+
+
+def test_delta_stats_summary_guard_rails(spark, tmp_path):
+    from pyspark_excel_datasource_spark.catalog import table as _t
+    from pyspark_excel_datasource_spark.sources.deltalog import (
+        _commit,
+        delete_where,
+        snapshot,
+        stats_summary,
+        write_delta,
+    )
+
+    out = str(tmp_path / "t")
+    o = _t(spark, SF, "orders").select("o_orderkey", "o_orderstatus")
+    write_delta(spark, o.limit(100).repartition(2), out)
+    n, mn, mx = stats_summary(out, "o_orderkey")
+    rows = [r.o_orderkey for r in spark.read.parquet(out).collect()]
+    assert (n, mn, mx) == (100, min(rows), max(rows))
+    # a DV makes min/max unanswerable (count would still be exact)
+    delete_where(spark, out, "o_orderkey % 5 = 0", mode="deletion-vectors")
+    with pytest.raises(ValueError, match="deletion vectors"):
+        stats_summary(out, "o_orderkey")
+    # a statless re-add blocks metadata-only aggregation entirely
+    out2 = str(tmp_path / "t2")
+    write_delta(spark, o.limit(10).repartition(1), out2)
+    snap = snapshot(out2)
+    (rel,) = snap.files
+    _commit(out2, snap.version + 1, [
+        {"commitInfo": {"operation": "EXTERNAL"}},
+        {"add": {"path": rel, "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": False}},
+    ])
+    with pytest.raises(ValueError, match="without stats"):
+        stats_summary(out2, "o_orderkey")
+
+
+def test_iceberg_stats_summary_matches_scan(spark, tmp_path):
+    from pyspark_excel_datasource_spark.catalog import table as _t
+    from pyspark_excel_datasource_spark.sources.iceberg import (
+        read_iceberg,
+        stats_summary_iceberg,
+        write_iceberg,
+    )
+
+    out = str(tmp_path / "t")
+    o = _t(spark, SF, "orders").select("o_orderkey", "o_orderstatus")
+    write_iceberg(spark, o.limit(60).repartition(2), out)
+    write_iceberg(spark, o.limit(100).repartition(2), out, mode="append")
+    n, mn, mx = stats_summary_iceberg(out, "o_orderkey")
+    rows = [r.o_orderkey for r in read_iceberg(spark, out).collect()]
+    assert (n, mn, mx) == (len(rows), min(rows), max(rows))
+    with pytest.raises(ValueError, match="unknown column"):
+        stats_summary_iceberg(out, "nope")
