@@ -449,7 +449,9 @@ _CV_STATS = """
         FROM solved
     )
     SELECT fold, n_train, n_test,
-           b0, b1 AS b_qty, b2 AS b_disc,
+           {sql_dround('b0', 6)} AS b0,
+           {sql_dround('b1', 6)} AS b_qty,
+           {sql_dround('b2', 6)} AS b_disc,
            {sql_dround('''SQRT((eyy - 2 * b0 * ey - 2 * b1 * e1y - 2 * b2 * e2y
                  + b0 * b0 * en + 2 * b0 * b1 * e1 + 2 * b0 * b2 * e2
                  + b1 * b1 * e11 + 2 * b1 * b2 * e12 + b2 * b2 * e22)
@@ -590,9 +592,9 @@ def q_regression_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fold",
         "n_train",
         "n_test",
-        "b0",
-        c("b1").alias("b_qty"),
-        c("b2").alias("b_disc"),
+        dround(c("b0"), 6).alias("b0"),
+        dround(c("b1"), 6).alias("b_qty"),
+        dround(c("b2"), 6).alias("b_disc"),
         dround(
             F.sqrt(
                 (
