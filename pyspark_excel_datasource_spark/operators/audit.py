@@ -96,7 +96,9 @@ def q_approx_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # 2. MinHash banded candidates must recover the exact near-dup pairs
     near = dedup.q_dedup_near(spark, sf_dir).select("d1", "d2")
-    banded = dedup.q_dedup_minhash(spark, sf_dir).select("d1", "d2")
+    # audit the NATIVE xxhash64 banding (the bench fast path) — the gate
+    # name q_dedup_minhash is the md5 twin, already hash-verified directly
+    banded = dedup.q_dedup_minhash_native(spark, sf_dir).select("d1", "d2")
     hits = near.join(banded, ["d1", "d2"], "left_semi").count()
     minhash = near.agg(
         *_row(
@@ -153,8 +155,8 @@ def q_approx_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    ivf = ann_audit("sim_ann_ivf", similarity.q_sim_ann_ivf(spark, sf_dir))
-    pq = ann_audit("sim_ann_pq", similarity.q_sim_ann_pq(spark, sf_dir))
+    ivf = ann_audit("sim_ann_ivf", similarity.q_sim_ann_ivf_native(spark, sf_dir))
+    pq = ann_audit("sim_ann_pq", similarity.q_sim_ann_pq_native(spark, sf_dir))
 
     return embed.unionByName(minhash).unionByName(incremental).unionByName(
         ivf

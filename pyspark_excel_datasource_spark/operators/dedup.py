@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..catalog import spread, table
-from ..plans.registry import ORACLES, query
+from ..plans.registry import ORACLES, alias_query, query
 
 _NEAR_DUP_THRESHOLD = 0.5
 _N_HASHES = 32
@@ -172,10 +172,14 @@ def minhash_signatures(shingled: DataFrame, n_hashes: int = _N_HASHES) -> DataFr
     )
 
 
-@query("q_dedup_minhash")  # probabilistic recall → rows-only check
-def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_minhash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs: banding for candidates, exact Jaccard
     verification of candidates only — the scale path for q_dedup_near.
+
+    Bench-only since round 11: the gate name ``q_dedup_minhash`` now
+    carries the md5 cross-engine plan (hash-verifiable end to end); this
+    xxhash64 form stays the timed fast path (benchmark.BENCH_IMPL) and
+    keeps its recall contract audited in-plan by ``q_approx_audit``.
 
     With 8 bands × 4 rows, P(candidate) = 1-(1-j⁴)⁸: ≈0.97 at j=0.7,
     ≈0.33 at j=0.3 — the planted near-dups (j≥0.5) are found with
@@ -279,11 +283,11 @@ def simhash_signature_frame(docs: DataFrame) -> DataFrame:
     )
 
 
-@query("q_dedup_simhash")  # signature-based → rows-only check
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_simhash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 64-bit signature = sign of per-bit vote sums
     over token hashes; candidates from 8-bit band equality; exact Hamming
-    verify ≤ 6.
+    verify ≤ 6. Bench-only since round 11 (see q_dedup_minhash_native);
+    the gate name ``q_dedup_simhash`` carries the md5 60-bit plan.
 
     With 8 bands of 8 bits, the pigeonhole guarantee is COMPLETE for the
     verify threshold: ≤ 7 differing bits cannot touch all 8 bands, so
@@ -977,6 +981,11 @@ def q_dedup_minhash_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The canonical gate name carries the same hash-verifiable md5 plan
+# (VERDICT r10 #3); the xxhash64 native is q_dedup_minhash_native above.
+alias_query("q_dedup_minhash", "q_dedup_minhash_oracled")
+
+
 @query(
     "q_dedup_simhash_oracled",
     oracle="""
@@ -1198,6 +1207,9 @@ def q_dedup_simhash_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 5)
         .distinct()
     )
+
+
+alias_query("q_dedup_simhash", "q_dedup_simhash_oracled")
 
 
 #: tokens of leading text used as the prefix-dedup key

@@ -15,29 +15,48 @@ def queries():
     return load_all_queries()
 
 
+# Since round 11 the canonical gate names (q_dedup_minhash, q_sim_ann_*)
+# carry the md5 cross-engine plans, hash-verified by the driver's oracle
+# gate; these tests exercise the UN-registered xxhash64/float NATIVES
+# (the bench fast paths), which only this suite and the in-plan audits
+# (q_approx_audit / q_sim_ann_recall) cover.
+
+
 def test_minhash_finds_exact_pairs(spark, queries):
     """LSH candidates + exact verify must be a subset of the exact pairs,
     with high recall on this corpus's planted near-dups."""
+    from pyspark_excel_datasource_spark.operators.dedup import (
+        q_dedup_minhash_native,
+    )
+
     exact = {
         (r.d1, r.d2) for r in queries["q_dedup_near"](spark, SF).collect()
     }
-    lsh = {(r.d1, r.d2) for r in queries["q_dedup_minhash"](spark, SF).collect()}
+    lsh = {(r.d1, r.d2) for r in q_dedup_minhash_native(spark, SF).collect()}
     assert lsh <= exact  # verification guarantees no false positives
     assert len(lsh) >= 0.8 * len(exact)  # banding recall
 
 
 def test_simhash_pairs_overlap_exact(spark, queries):
+    from pyspark_excel_datasource_spark.operators.dedup import (
+        q_dedup_simhash_native,
+    )
+
     exact = {
         (r.d1, r.d2) for r in queries["q_dedup_near"](spark, SF).collect()
     }
-    sim = {(r.d1, r.d2) for r in queries["q_dedup_simhash"](spark, SF).collect()}
+    sim = {(r.d1, r.d2) for r in q_dedup_simhash_native(spark, SF).collect()}
     # simhash is a different similarity — require meaningful agreement
     assert len(sim & exact) >= 0.5 * len(sim)
 
 
 def test_ann_lsh_recall_vs_brute_force(spark, queries):
+    from pyspark_excel_datasource_spark.operators.similarity import (
+        q_sim_ann_lsh_native,
+    )
+
     brute = queries["q_sim_topk"](spark, SF).collect()
-    ann = queries["q_sim_ann_lsh"](spark, SF).collect()
+    ann = q_sim_ann_lsh_native(spark, SF).collect()
     top3 = {(r.query_id, r.vec_id) for r in brute if r.rank <= 3}
     ann_all = {(r.query_id, r.vec_id) for r in ann}
     # banded bucket-join LSH (16 bands × 4 bits, fixed seed) recovers ≥90%
@@ -152,8 +171,12 @@ def test_multimodal_features_are_distributions(spark, queries):
 
 
 def test_ann_ivf_recall_vs_brute_force(spark, queries):
+    from pyspark_excel_datasource_spark.operators.similarity import (
+        q_sim_ann_ivf_native,
+    )
+
     brute = queries["q_sim_topk"](spark, SF).collect()
-    ivf = queries["q_sim_ann_ivf"](spark, SF).collect()
+    ivf = q_sim_ann_ivf_native(spark, SF).collect()
     top3 = {(r.query_id, r.vec_id) for r in brute if r.rank <= 3}
     ivf_all = {(r.query_id, r.vec_id) for r in ivf}
     # 2 probes of 16 buckets scan ~12% of the table; weak random-data
@@ -166,8 +189,12 @@ def test_ann_pq_recall_vs_brute_force(spark, queries):
     """PQ/ADC with exact refine of the top REFINE*k shortlist: recall@10
     must beat the pruning-based variants (the shortlist sees every vector,
     compression only blurs the ORDER the shortlist is drawn in)."""
+    from pyspark_excel_datasource_spark.operators.similarity import (
+        q_sim_ann_pq_native,
+    )
+
     brute = queries["q_sim_topk"](spark, SF).collect()
-    pq = queries["q_sim_ann_pq"](spark, SF).collect()
+    pq = q_sim_ann_pq_native(spark, SF).collect()
     exact = {}
     for r in brute:
         exact.setdefault(r.query_id, set()).add(r.vec_id)
@@ -180,8 +207,12 @@ def test_ann_pq_recall_vs_brute_force(spark, queries):
 
 
 def test_ann_pq_deterministic(spark, queries):
-    a = sorted(map(tuple, queries["q_sim_ann_pq"](spark, SF).collect()))
-    b = sorted(map(tuple, queries["q_sim_ann_pq"](spark, SF).collect()))
+    from pyspark_excel_datasource_spark.operators.similarity import (
+        q_sim_ann_pq_native,
+    )
+
+    a = sorted(map(tuple, q_sim_ann_pq_native(spark, SF).collect()))
+    b = sorted(map(tuple, q_sim_ann_pq_native(spark, SF).collect()))
     assert a == b
 
 
@@ -242,10 +273,11 @@ def test_simhash_banding_recall_complete(spark):
     Hamming <= 6 verify threshold: the banded candidate join must emit
     EXACTLY the brute-force Hamming-<=6 pair set (recall 1.0 by
     construction, precision 1.0 by the verify step)."""
-    from pyspark_excel_datasource_spark.plans.registry import load_all_queries
+    from pyspark_excel_datasource_spark.operators.dedup import (
+        q_dedup_simhash_native,
+    )
 
-    qs = load_all_queries()
-    banded = {(r.d1, r.d2) for r in qs["q_dedup_simhash"](spark, SF).collect()}
+    banded = {(r.d1, r.d2) for r in q_dedup_simhash_native(spark, SF).collect()}
 
     # brute-force reference over the SAME production signatures
     from pyspark_excel_datasource_spark.catalog import table

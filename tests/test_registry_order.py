@@ -16,16 +16,16 @@ def _ordered_names():
     return list(load_all_queries())
 
 
-def test_priority_names_all_registered():
+def test_pin_names_all_registered():
     from pyspark_excel_datasource_spark.plans.registry import (
-        _PRIORITY,
+        _PIN,
         load_all_queries,
     )
 
     registered = set(load_all_queries())
-    missing = [n for n in _PRIORITY if n not in registered]
-    assert not missing, f"priority list references unregistered queries: {missing}"
-    assert len(set(_PRIORITY)) == len(_PRIORITY), "duplicate priority entries"
+    missing = [n for n in _PIN if n not in registered]
+    assert not missing, f"pin list references unregistered queries: {missing}"
+    assert len(set(_PIN)) == len(_PIN), "duplicate pin entries"
 
 
 def test_probes_retired():
@@ -127,44 +127,29 @@ ROUND10_AUTHORED: set[str] = {
 }
 
 
-def test_round10_window_composition():
-    """Round-10 window (VERDICT r9 next-round #1): the 13 queries with NO
-    driver verdict in rounds 1-9, the 5 stale rows-only natives, and the
-    2 LSH flagships whose only hash verdicts are judge-run all sit inside
-    the 50-slot gate window, together with every round-10 addition. The
-    staleness-driven fill is enforced mechanically by
-    tests/test_registry_window.py; this test pins the mandated names."""
-    names = _ordered_names()
-    window = set(names[:50])
+def test_pinned_names_lead_window_until_hash_verdicted():
+    """Round-11 window (VERDICT r10 #1): the 25 _PIN names — 19
+    never-driver-verdicted round-10 additions + 6 r10-red rows — lead the
+    gate window, but ONLY while they still lack a driver hash verdict;
+    once CORRECTNESS_r11.json lands with their hashes the pin must
+    dissolve into the normal staleness rotation (the r10 lesson: a static
+    head goes red the moment the driver does its job)."""
+    from pyspark_excel_datasource_spark.plans.registry import (
+        _PIN,
+        driver_verdicts,
+    )
 
-    never_verdicted = {
-        "q_win_nth",
-        "q_scan_delta_pruned",
-        "q_scan_iceberg_pruned",
-        "q_embed_pca_power",
-        "q_eval_auc_sampled",
-        "q_eval_confusion",
-        "q_nb_classify",
-        "q_regression_multi",
-        "q_regression_cv",
-        "q_agg_theta",
-        "q_pipeline_classifier_filter",
-        "q_sample_importance",
-        "q_stream_join_full",
-    }
-    stale_natives = {
-        "q_dedup_minhash",
-        "q_dedup_simhash",
-        "q_sim_ann_lsh",
-        "q_sim_ann_ivf",
-        "q_sim_ann_pq",
-    }
-    judge_only_lsh = {"q_dedup_embed_lsh", "q_dedup_incremental_lsh"}
-    mandated = never_verdicted | stale_natives | judge_only_lsh | ROUND10_AUTHORED
-    missing = mandated - window
-    assert not missing, f"mandated round-10 window names missing: {sorted(missing)}"
-    # the never-verdicted backlog leads the window (slots 1-13)
-    assert set(names[:13]) == never_verdicted
+    names = _ordered_names()
+    best = driver_verdicts()
+    expected_head = [
+        n for n in _PIN if best.get(n, ("", 0))[0] != "driver hash"
+    ]
+    assert names[: len(expected_head)] == expected_head
+    # pins that earned a hash verdict must NOT occupy head slots ahead of
+    # stale queries (they re-enter rotation by verdict age like any other)
+    hash_pinned = [n for n in _PIN if n not in expected_head]
+    head_set = set(names[: len(expected_head)])
+    assert not (set(hash_pinned) & head_set)
 
 
 def test_every_oracle_has_a_query():
@@ -177,25 +162,14 @@ def test_every_oracle_has_a_query():
     assert all(k in qs for k in ORACLES)
 
 
-#: The ONLY queries allowed to register with oracle=None. Each is an
-#: approximate structure whose output is not ANSI-SQL-expressible; each
-#: MUST have (a) an oracled twin or (b) an in-plan hash-verified audit
-#: (q_approx_audit / q_sim_ann_recall) covering its error contract.
-ROWS_ONLY_ALLOWLIST = {
-    "q_dedup_minhash",  # twin: q_dedup_minhash_oracled
-    "q_dedup_simhash",  # twin: q_dedup_simhash_oracled
-    # (q_dedup_embed_lsh / q_dedup_incremental_lsh converted to
-    # hash-oracled hll-style verdict outputs in round 8)
-    "q_sim_ann_lsh",  # twin: q_sim_ann_lsh_oracled + q_sim_ann_recall
-    "q_sim_ann_ivf",  # twin: q_sim_ann_ivf_oracled + q_approx_audit
-    "q_sim_ann_pq",  # audited: q_approx_audit
-}
-
-
 def test_no_silent_oracle_skips():
-    """A future operator may not silently register without an oracle: every
-    oracle-less query must be on the explicit rows-only allowlist (and the
-    allowlist may not go stale the other way)."""
+    """Since round 11 EVERY registered query must carry a DuckDB oracle —
+    the approximate flagships' canonical names carry their md5
+    cross-engine plans, so a ``no_oracle`` driver row is impossible by
+    construction (VERDICT r10 #3). Genuinely non-SQL-expressible natives
+    stay as unregistered ``*_native`` module functions covered by the
+    in-plan audits (q_approx_audit / q_sim_ann_recall) and the extension
+    tests."""
     from pyspark_excel_datasource_spark.plans.registry import (
         ORACLES,
         load_all_queries,
@@ -203,14 +177,12 @@ def test_no_silent_oracle_skips():
 
     qs = set(load_all_queries())
     oracleless = qs - set(ORACLES)
-    unexpected = oracleless - ROWS_ONLY_ALLOWLIST
-    assert not unexpected, (
-        f"queries registered without an oracle but not allowlisted: "
-        f"{sorted(unexpected)} — add a DuckDB oracle or (for genuinely "
-        f"non-SQL-expressible approx ops) allowlist with an audit twin"
+    assert not oracleless, (
+        f"queries registered without an oracle: {sorted(oracleless)} — "
+        f"add a DuckDB oracle (md5-family conversion if the native hash "
+        f"is engine-specific) or keep the native as an unregistered "
+        f"*_native function with an in-plan audit"
     )
-    stale = ROWS_ONLY_ALLOWLIST - oracleless
-    assert not stale, f"allowlist entries that now HAVE oracles: {sorted(stale)}"
 
 
 def test_coverage_md_not_stale():

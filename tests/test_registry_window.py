@@ -4,7 +4,7 @@ The driver's correctness gate only hashes the first 50 entries of
 ``__spark_entry__.queries()`` each round, so a registry row the window
 never reaches keeps a stale (or no) driver verdict forever.
 ``tools/gen_provenance.py`` now emits the mechanical "stalest 50"
-proposal; this test pins the live ``_PRIORITY`` head to it so rotation
+proposal; this test audits the live dynamic ordering against it so rotation
 can't silently drift:
 
 - every query with NO driver verdict at all must be in the window —
