@@ -550,6 +550,11 @@ def version_at_timestamp(table_path: str, timestamp_ms: int) -> int:
         p = os.path.join(_log_dir(table_path), f"{v:020d}.json")
         ts = None
         with open(p, encoding="utf-8") as fh:
+            # scan EVERY action line: this writer puts commitInfo first,
+            # but the spec doesn't require that — a foreign log (or a
+            # rewritten/backup-restored one) may order it anywhere, and
+            # falling back to mtime when usable timestamps exist resolves
+            # timestampAsOf to the wrong version after mtimes reset
             for line in fh:
                 line = line.strip()
                 if not line:
@@ -558,7 +563,7 @@ def version_at_timestamp(table_path: str, timestamp_ms: int) -> int:
                 ci = act.get("commitInfo")
                 if isinstance(ci, dict) and ci.get("timestamp") is not None:
                     ts = int(ci["timestamp"])
-                break  # commitInfo is the first action when present
+                    break
         if ts is None:
             ts = int(os.path.getmtime(p) * 1000)
         if ts <= timestamp_ms:
@@ -638,10 +643,10 @@ def read_delta(
                 return True  # no stats → cannot prune
             for c, (lo, hi) in stats_filter.items():
                 pc = phys.get(c, c)
-                mn = (st.get("minValues") or {}).get(pc)
-                mx = (st.get("maxValues") or {}).get(pc)
+                mn = _norm_ts_stat((st.get("minValues") or {}).get(pc))
+                mx = _norm_ts_stat((st.get("maxValues") or {}).get(pc))
                 if mn is None or mx is None:
-                    continue  # column unstatted → keep
+                    continue  # column unstatted (or foreign-zone) → keep
                 try:
                     if (hi is not None and mn > hi) or (
                         lo is not None and mx < lo
@@ -967,6 +972,40 @@ def _json_stat(v: Any) -> Any:
     return None
 
 
+#: ISO-8601 timestamp spelling with a 'T' separator and/or a zone
+#: suffix — the form real Delta writers emit ('1998-12-31T00:00:00.000Z'),
+#: vs this writer's space-separated, zone-less stats spelling.
+_TS_FOREIGN = re.compile(
+    r"^(\d{4}-\d{2}-\d{2})[T ](\d{2}:\d{2}:\d{2}(?:\.\d+)?)"
+    r"(Z|[+-]\d{2}:?\d{2})?$"
+)
+
+
+def _norm_ts_stat(v: Any) -> Any:
+    """Normalize a timestamp-typed string statistic to this writer's
+    'YYYY-MM-DD HH:MM:SS[.ffffff]' spelling before lexicographic
+    comparison.
+
+    String stats compare lexicographically, and 'T' > ' ': a foreign
+    file whose min is '1998-12-31T00:00:00' would evaluate greater than
+    the bound '1998-12-31 23:59:59' and be pruned even though it holds
+    in-range rows. 'Z'/'+00:00' suffixes drop (same instant); any OTHER
+    zone offset returns None — the spelling denotes a different instant
+    than the naive bound, so the stat is unusable for pruning and the
+    caller must keep the file (or refuse a metadata-only answer).
+    Non-strings and non-timestamp strings pass through unchanged.
+    """
+    if not isinstance(v, str):
+        return v
+    m = _TS_FOREIGN.match(v)
+    if m is None:
+        return v
+    date, time_part, zone = m.groups()
+    if zone not in (None, "Z", "+00:00", "+0000"):
+        return None
+    return f"{date} {time_part}"
+
+
 def _footer_stats(path: str) -> str | None:
     """Per-file Delta stats JSON ({numRecords, minValues, maxValues,
     nullCount}) assembled from the parquet FOOTER — a metadata-only
@@ -1001,12 +1040,32 @@ def _footer_stats(path: str) -> str | None:
             if st is None or not st.has_min_max:
                 col_ok = False
                 break
-            if not (
-                getattr(st, "is_min_value_exact", True)
-                and getattr(st, "is_max_value_exact", True)
-            ):
-                col_ok = False
-                break
+            # Exactness rules. Parquet truncates long BYTE_ARRAY stats
+            # (prefix for min, incremented prefix for max) — a truncated
+            # max recorded as exact could prune live rows. When pyarrow
+            # reports exactness (is_{min,max}_value_exact, newer
+            # releases), require it; when it can't (this container's
+            # pyarrow lacks the attributes), fixed-width physical types
+            # are always exact, and byte-array stats are accepted only
+            # when BOTH bounds are far shorter than any mainstream
+            # writer's truncation threshold (parquet-mr/-cpp: 64 bytes),
+            # so they cannot be truncation artifacts.
+            mn_exact = getattr(st, "is_min_value_exact", None)
+            mx_exact = getattr(st, "is_max_value_exact", None)
+            if mn_exact is not None or mx_exact is not None:
+                if not (mn_exact and mx_exact):
+                    col_ok = False
+                    break
+            elif cc.physical_type in ("BYTE_ARRAY", "FIXED_LEN_BYTE_ARRAY"):
+                raw_mn, raw_mx = st.min, st.max
+                if not (
+                    isinstance(raw_mn, (bytes, str))
+                    and isinstance(raw_mx, (bytes, str))
+                    and len(raw_mn) <= 32
+                    and len(raw_mx) <= 32
+                ):
+                    col_ok = False
+                    break
             lo, hi = _json_stat(st.min), _json_stat(st.max)
             if lo is None or hi is None:
                 col_ok = False
@@ -2267,12 +2326,13 @@ def stats_summary(
             continue
         if mn is _STATS_POISONED:
             continue
-        flo = (st.get("minValues") or {}).get(pc)
-        fhi = (st.get("maxValues") or {}).get(pc)
+        flo = _norm_ts_stat((st.get("minValues") or {}).get(pc))
+        fhi = _norm_ts_stat((st.get("maxValues") or {}).get(pc))
         if flo is None or fhi is None:
             raise ValueError(
-                f"column {column!r} unstatted in {rel}; metadata-only "
-                "MIN/MAX impossible"
+                f"column {column!r} unstatted (or statted in a foreign "
+                f"timezone spelling) in {rel}; metadata-only MIN/MAX "
+                "impossible"
             )
         mn = flo if mn is None or flo < mn else mn
         mx = fhi if mx is None or fhi > mx else mx

@@ -2250,8 +2250,13 @@ def partitions_meta(
     return [out[k] for k in sorted(out)]
 
 
+#: default orphan-file retention: 3 days, matching upstream Iceberg's
+#: remove_orphan_files default (olderThan = now − 3 days).
+_ORPHAN_RETENTION_DEFAULT = 72.0 * 3600.0
+
+
 def remove_orphan_files(
-    table_path: str, retention_seconds: float = 0.0
+    table_path: str, retention_seconds: float = _ORPHAN_RETENTION_DEFAULT
 ) -> int:
     """``remove_orphan_files`` (the Iceberg maintenance procedure that
     pairs with ``expire_snapshots``, mirroring Delta's VACUUM): delete
@@ -2269,8 +2274,10 @@ def remove_orphan_files(
     ``retention_seconds`` guards the commit window exactly like Delta's
     VACUUM retention: a concurrent writer moves data files into the
     table BEFORE publishing its commit, and removing them in that
-    window would corrupt the about-to-land snapshot. 0 is only safe
-    single-writer.
+    window would corrupt the about-to-land snapshot. The default is 72
+    hours (upstream Iceberg's default); passing a short window is an
+    explicit single-writer opt-in for fixtures and tests — never the
+    path of least resistance on a shared table.
     """
     import time as _time
 

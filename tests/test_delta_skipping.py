@@ -127,3 +127,60 @@ def test_stats_survive_checkpoint(spark, orders, tmp_path):
     )
     # slice a (pre-1997) pruned via checkpoint-carried stats
     assert flt.select(F.input_file_name()).distinct().count() <= 2
+
+
+def test_norm_ts_stat_spellings():
+    """Foreign ISO-8601 timestamp statistics normalize to this writer's
+    space-separated spelling; non-UTC zones are unusable (None); other
+    values pass through untouched."""
+    from pyspark_excel_datasource_spark.sources.deltalog import _norm_ts_stat
+
+    assert _norm_ts_stat("1998-12-31T00:00:00.000Z") == "1998-12-31 00:00:00.000"
+    assert _norm_ts_stat("1998-12-31T23:59:59") == "1998-12-31 23:59:59"
+    assert _norm_ts_stat("1998-12-31 23:59:59") == "1998-12-31 23:59:59"
+    assert _norm_ts_stat("1998-12-31T12:00:00+00:00") == "1998-12-31 12:00:00"
+    assert _norm_ts_stat("1998-12-31T12:00:00+05:30") is None
+    assert _norm_ts_stat("1998-12-31T12:00:00-0800") is None
+    assert _norm_ts_stat("MAIL") == "MAIL"  # plain string stat untouched
+    assert _norm_ts_stat(42) == 42
+    assert _norm_ts_stat(None) is None
+
+
+def test_foreign_iso_timestamp_stats_never_misprune(spark, orders, tmp_path):
+    """A file statted by a FOREIGN writer ('T'-separated, 'Z'-suffixed
+    ISO-8601) whose min shares the filter's hi date must survive the
+    prune: lexicographically 'T' > ' ', so the un-normalized compare
+    would evaluate min > hi and silently drop live rows."""
+    out = str(tmp_path / "t")
+    write_delta(
+        spark, orders.limit(10).repartition(1), out, mode="append"
+    )
+    snap = snapshot(out)
+    (rel,) = snap.files
+    foreign_stats = json.dumps(
+        {
+            "numRecords": 10,
+            "minValues": {"o_orderdate": "1995-01-02T00:00:00.000Z"},
+            "maxValues": {"o_orderdate": "1998-12-31T23:59:59.000Z"},
+            "nullCount": {"o_orderdate": 0},
+        }
+    )
+    _commit(
+        out,
+        snap.version + 1,
+        [
+            {"commitInfo": {"operation": "EXTERNAL"}},
+            {"add": {"path": rel, "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": False,
+                     "stats": foreign_stats}},
+        ],
+    )
+    flt = {"o_orderdate": ("1995-01-02 00:00:00", "1995-01-02 23:59:59")}
+    kept = read_delta(spark, out, stats_filter=flt)
+    assert kept.count() == 10, "foreign 'T'-spelled min mispruned live rows"
+    # and a range provably outside the (normalized) bounds still prunes
+    none = read_delta(
+        spark, out,
+        stats_filter={"o_orderdate": ("2005-01-01 00:00:00", "2006-01-01 00:00:00")},
+    )
+    assert none.count() == 0

@@ -453,3 +453,43 @@ def test_iceberg_stats_summary_matches_scan(spark, tmp_path):
     assert (n, mn, mx) == (len(rows), min(rows), max(rows))
     with pytest.raises(ValueError, match="unknown column"):
         stats_summary_iceberg(out, "nope")
+
+
+def test_delta_timestamp_travel_commitinfo_not_first(spark, tmp_path):
+    """A foreign log may order commitInfo ANYWHERE in the commit JSON;
+    version_at_timestamp must still use its embedded timestamp rather
+    than falling back to file mtime (which a backup/restore resets)."""
+    import json as _json
+    import os as _os
+    import time
+
+    from pyspark_excel_datasource_spark.catalog import table as _t
+    from pyspark_excel_datasource_spark.sources.deltalog import (
+        version_at_timestamp,
+        write_delta,
+    )
+
+    out = str(tmp_path / "t")
+    o = _t(spark, SF, "orders").select("o_orderkey", "o_orderstatus")
+    write_delta(spark, o.limit(10), out)
+    time.sleep(0.05)
+    t_mid = int(time.time() * 1000)
+    time.sleep(0.05)
+    write_delta(spark, o.limit(30), out, mode="append")
+    # rewrite BOTH commits foreign-style: commitInfo moved to the LAST
+    # line, then smash the mtimes (simulated backup restore)
+    for v in (0, 1):
+        p = _os.path.join(out, "_delta_log", f"{v:020d}.json")
+        acts = [
+            _json.loads(ln)
+            for ln in open(p, encoding="utf-8")
+            if ln.strip()
+        ]
+        acts.sort(key=lambda a: "commitInfo" in a)  # commitInfo last
+        assert "commitInfo" in acts[-1] and "commitInfo" not in acts[0]
+        with open(p, "w", encoding="utf-8") as fh:
+            for a in acts:
+                fh.write(_json.dumps(a) + "\n")
+        _os.utime(p, (0, 0))  # mtime -> 1970: mtime fallback would say v0
+    assert version_at_timestamp(out, t_mid) == 0
+    assert version_at_timestamp(out, int(time.time() * 1000) + 10) == 1
