@@ -1145,6 +1145,60 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_join_asof_backward_tolerance",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+           (SELECT MAX(c.ts) FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click'
+              AND c.ts < p.ts
+              AND c.ts >= p.ts - INTERVAL 1 HOUR) AS click_within_1h,
+           (SELECT MAX(c.ts) FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click'
+              AND c.ts < p.ts
+              AND c.ts >= p.ts - INTERVAL 1 HOUR) IS NOT NULL AS attributed
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def q_join_asof_backward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of with tolerance as a NATIVE bounded-range JOIN (SQL
+    text, ``timestampdiff``) — the twin of ``q_join_asof_tolerance``
+    that pins the other scalable spelling (VERDICT r10 #8).
+
+    Same semantics, different physical strategy: instead of the
+    union-and-window running-``last`` (one shuffle of the union, one
+    per-user sort), this joins clicks to purchases on the user_id
+    EQUI-key with the 1-hour window as a range condition, then takes
+    ``MAX(click_ts)`` per purchase. Catalyst extracts user_id as the
+    SortMergeJoin key (plan-asserted in tests: SMJ, never a broadcast
+    nested loop or cartesian), the bounded window keeps per-purchase
+    fan-out finite (≤ clicks-per-user-hour), and the follow-up MAX
+    collapses it map-side before the tiny final agg exchange. At 100 TB
+    pick per shape: heavy per-user histories favor the window form (no
+    fan-out at all); sparse histories with tight tolerances favor this
+    join (no full-history sort). Both are here, oracle-identical, so
+    the planner choice is a measured swap, not a rewrite.
+    """
+    table(spark, sf_dir, "events").createOrReplaceTempView("asof_bt_events")
+    return spark.sql(
+        """
+        WITH p AS (SELECT event_id, user_id, ts FROM asof_bt_events
+                   WHERE event_type = 'purchase'),
+             c AS (SELECT user_id, ts FROM asof_bt_events
+                   WHERE event_type = 'click')
+        SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+               MAX(c.ts) AS click_within_1h,
+               MAX(c.ts) IS NOT NULL AS attributed
+        FROM p LEFT JOIN c
+          ON c.user_id = p.user_id
+         AND c.ts < p.ts
+         AND timestampdiff(SECOND, c.ts, p.ts) <= 3600
+        GROUP BY p.event_id, p.user_id, p.ts
+        """
+    )
+
+
+@query(
     "q_join_asof_nearest",
     oracle="""
     WITH base AS (

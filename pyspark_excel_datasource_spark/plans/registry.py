@@ -168,6 +168,8 @@ _PIN: tuple[str, ...] = (
     "q_sim_ann_lsh",
     "q_sim_ann_ivf",
     "q_sim_ann_pq",
+    # authored in round 11 (never verdicted — pin a window slot)
+    "q_join_asof_backward_tolerance",
 )
 
 _REPO_ROOT = os.path.dirname(
