@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..catalog import spread, table
-from ..functions.determinism import dround, sql_dround
+from ..functions.determinism import canon, dround, sql_canon, sql_dround
 from ..plans.registry import query
 
 
@@ -449,13 +449,13 @@ _CV_STATS = """
         FROM solved
     )
     SELECT fold, n_train, n_test,
-           {sql_dround('b0', 6)} AS b0,
-           {sql_dround('b1', 6)} AS b_qty,
-           {sql_dround('b2', 6)} AS b_disc,
-           {sql_dround('''SQRT((eyy - 2 * b0 * ey - 2 * b1 * e1y - 2 * b2 * e2y
+           {sql_canon(sql_dround('b0', 6))} AS b0,
+           {sql_canon(sql_dround('b1', 6))} AS b_qty,
+           {sql_canon(sql_dround('b2', 6))} AS b_disc,
+           {sql_canon(sql_dround('''SQRT((eyy - 2 * b0 * ey - 2 * b1 * e1y - 2 * b2 * e2y
                  + b0 * b0 * en + 2 * b0 * b1 * e1 + 2 * b0 * b2 * e2
                  + b1 * b1 * e11 + 2 * b1 * b2 * e12 + b2 * b2 * e22)
-                / en)''', 4)} AS rmse
+                / en)''', 4))} AS rmse
     FROM coef
     """,
 )
@@ -592,26 +592,28 @@ def q_regression_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fold",
         "n_train",
         "n_test",
-        dround(c("b0"), 6).alias("b0"),
-        dround(c("b1"), 6).alias("b_qty"),
-        dround(c("b2"), 6).alias("b_disc"),
-        dround(
-            F.sqrt(
-                (
-                    c("eyy")
-                    - F.lit(2) * c("b0") * c("ey")
-                    - F.lit(2) * c("b1") * c("e1y")
-                    - F.lit(2) * c("b2") * c("e2y")
-                    + c("b0") * c("b0") * c("en")
-                    + F.lit(2) * c("b0") * c("b1") * c("e1")
-                    + F.lit(2) * c("b0") * c("b2") * c("e2")
-                    + c("b1") * c("b1") * c("e11")
-                    + F.lit(2) * c("b1") * c("b2") * c("e12")
-                    + c("b2") * c("b2") * c("e22")
-                )
-                / c("en")
-            ),
-            4,
+        canon(dround(c("b0"), 6)).alias("b0"),
+        canon(dround(c("b1"), 6)).alias("b_qty"),
+        canon(dround(c("b2"), 6)).alias("b_disc"),
+        canon(
+            dround(
+                F.sqrt(
+                    (
+                        c("eyy")
+                        - F.lit(2) * c("b0") * c("ey")
+                        - F.lit(2) * c("b1") * c("e1y")
+                        - F.lit(2) * c("b2") * c("e2y")
+                        + c("b0") * c("b0") * c("en")
+                        + F.lit(2) * c("b0") * c("b1") * c("e1")
+                        + F.lit(2) * c("b0") * c("b2") * c("e2")
+                        + c("b1") * c("b1") * c("e11")
+                        + F.lit(2) * c("b1") * c("b2") * c("e12")
+                        + c("b2") * c("b2") * c("e22")
+                    )
+                    / c("en")
+                ),
+                4,
+            )
         ).alias("rmse"),
     )
 

@@ -186,7 +186,12 @@ def test_regression_cv_matches_numpy_per_fold(spark):
         beta, *_ = np.linalg.lstsq(X, tr.l_extendedprice.values, rcond=None)
         r = got[f]
         assert (r.n_train, r.n_test) == (len(tr), len(te))
-        np.testing.assert_allclose([r.b0, r.b_qty, r.b_disc], beta, rtol=1e-6)
+        np.testing.assert_allclose(  # coefficients ship as dround(6) decimals
+            [float(r.b0), float(r.b_qty), float(r.b_disc)],
+            beta,
+            rtol=1e-6,
+            atol=1e-5,
+        )
         Xt = np.column_stack([np.ones(len(te)), te.l_quantity, te.l_discount])
         resid = te.l_extendedprice.values - Xt @ beta
         np.testing.assert_allclose(

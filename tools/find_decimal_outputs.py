@@ -43,6 +43,10 @@ def _contains_decimal(dt: DataType) -> bool:
 #: real query now; see CORRECTNESS_r02/r03.json for the record.)
 ALLOWED = {
     "q_udaf_grouped",
+    # avg_yearly decimal(38,4): driver hash-green r09 with this exact
+    # schema (CORRECTNESS_r09.json) — pinned precedent that the driver
+    # hasher accepts fixed-scale decimals
+    "q_tpch_q17ish",
 }
 
 
