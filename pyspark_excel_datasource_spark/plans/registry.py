@@ -222,6 +222,21 @@ def stalest_order(names, best=None) -> list[str]:
     return sorted(names, key=key)
 
 
+def gate_order(names, best) -> list[str]:
+    """The full gate-facing ordering for ``names`` given a verdict map:
+    pinned names still awaiting a driver hash verdict first (in _PIN
+    order), then everything weakest/oldest-verdict first. Split out of
+    ``load_all_queries`` so tests can feed synthetic future verdict
+    drops and pin the rotation behavior."""
+    head = [
+        n
+        for n in _PIN
+        if n in names and best.get(n, ("", 0))[0] != "driver hash"
+    ]
+    head_set = set(head)
+    return head + [n for n in stalest_order(names, best) if n not in head_set]
+
+
 def load_all_queries() -> dict[str, QueryFn]:
     """Import every query module (idempotent) and return the registry,
     ordered gate-window-first: pinned names still awaiting a driver hash
@@ -237,13 +252,7 @@ def load_all_queries() -> dict[str, QueryFn]:
             # absence, never a real import error inside an existing module.
             if exc.name != mod:
                 raise
-    best = driver_verdicts()
-    head = [
-        n
-        for n in _PIN
-        if n in QUERIES and best.get(n, ("", 0))[0] != "driver hash"
-    ]
-    ordered = {name: QUERIES[name] for name in head}
-    for name in stalest_order(QUERIES, best):
-        ordered.setdefault(name, QUERIES[name])
-    return ordered
+    return {
+        name: QUERIES[name]
+        for name in gate_order(QUERIES, driver_verdicts())
+    }

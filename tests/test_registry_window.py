@@ -116,3 +116,57 @@ def test_window_mostly_matches_stalest_50():
             f"stalest-50 proposal; rotation has drifted from staleness. "
             f"Stalest entries missing: {[n for n in stalest if n not in window]}"
         )
+
+
+def test_future_driver_drop_rotates_window():
+    """The r10 lesson, pinned forever: when a (synthetic) future
+    CORRECTNESS drop hash-verdicts the pinned names, they must dissolve
+    out of the window head automatically and the stalest greens take
+    their slots — a driver doing its job can never redden the suite."""
+    from pyspark_excel_datasource_spark.plans.registry import (
+        _PIN,
+        driver_verdicts,
+        gate_order,
+    )
+
+    queries = load_all_queries()
+    best_now = driver_verdicts()
+    order_now = gate_order(queries, best_now)
+    # today: every pin lacking a hash verdict leads, in pin order
+    expected_head = [
+        n for n in _PIN if best_now.get(n, ("", 0))[0] != "driver hash"
+    ]
+    assert order_now[: len(expected_head)] == expected_head
+
+    # simulate the next driver drop: everything in today's window goes
+    # hash-green at round 99
+    best_next = dict(best_now)
+    for n in order_now[:50]:
+        best_next[n] = ("driver hash", 99)
+    order_next = gate_order(queries, best_next)
+    window_next = set(order_next[:50])
+    # no freshly-verdicted pin occupies a window slot anymore...
+    assert not (set(expected_head) & window_next)
+    # ...and the window is exactly the 50 stalest of the new state
+    from pyspark_excel_datasource_spark.plans.registry import stalest_order
+
+    assert order_next[:50] == stalest_order(queries, best_next)[:50]
+
+
+def test_rows_only_verdict_on_oracled_query_stays_maximally_stale():
+    """An oracled query whose only driver verdict is rows-only has never
+    had its hash checked — it must outrank ANY hash-verdicted query in
+    the rotation regardless of round recency."""
+    from pyspark_excel_datasource_spark.plans.registry import (
+        ORACLES,
+        stalest_order,
+    )
+
+    queries = load_all_queries()
+    names = list(queries)[:60]
+    oracled = [n for n in names if n in ORACLES]
+    assert len(oracled) >= 2
+    best = {n: ("driver hash", 3) for n in names}
+    best[oracled[0]] = ("driver rows-only", 98)  # recent but unhashed
+    order = stalest_order(names, best)
+    assert order[0] == oracled[0]
