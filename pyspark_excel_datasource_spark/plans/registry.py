@@ -170,6 +170,7 @@ _PIN: tuple[str, ...] = (
     "q_sim_ann_pq",
     # authored in round 11 (never verdicted — pin a window slot)
     "q_join_asof_backward_tolerance",
+    "q_iceberg_rewrite_manifests",
 )
 
 _REPO_ROOT = os.path.dirname(

@@ -1641,6 +1641,197 @@ def rewrite_data_files(
     }
 
 
+def _manifest_schema_seq(pcols: tuple[str, ...] = ()) -> dict:
+    """``_manifest_schema`` plus an optional per-entry
+    ``data_sequence_number`` — written only by ``rewrite_manifests``,
+    whose consolidated manifests carry entries from MANY source
+    snapshots: each entry must keep its own v2 data sequence number
+    (``_entry_seq`` reads it first) or equality-delete applicability
+    (data seq < delete seq) would silently shift to the rewrite's
+    sequence and resurrect deleted rows."""
+    base = _manifest_schema(pcols)
+    base["fields"].append(
+        {
+            "name": "data_sequence_number",
+            "type": ["null", "long"],
+            "default": None,
+        }
+    )
+    return base
+
+
+def rewrite_manifests(table_path: str, target_manifests: int = 1) -> dict[str, int]:
+    """Manifest compaction (Iceberg's ``rewrite_manifests`` action):
+    merge the current snapshot's DATA manifests into
+    ``target_manifests`` consolidated manifest(s) per partition spec and
+    commit as a metadata-only ``replace`` snapshot. No data file is
+    read, moved, or rewritten — only the metadata tree shrinks.
+
+    Why it exists at 100 TB: a table fed by thousands of appends
+    accumulates one manifest per commit, so every planner walk
+    (snapshot resolution, partition pruning, files_meta) pays O(commits)
+    file opens even when the file COUNT is modest. Consolidation makes
+    the walk O(live files / manifest capacity) — planning cost tracks
+    table size again, not commit history (the lakehouse_stress metric).
+
+    Preserved per entry, verbatim: the data_file record (bounds keep
+    data skipping working), the adding ``snapshot_id`` (streaming/
+    incremental attribution and the expired-snapshot loss guard both
+    key on it), and the v2 data sequence number via the explicit
+    ``data_sequence_number`` field (equality-delete ordering). DELETE
+    manifests (content=1) are carried through untouched. Concurrency:
+    the commit pins the base metadata version — a concurrent writer
+    wins the O_EXCL race and this rewrite raises
+    ``IcebergConcurrentCommitError`` after cleaning up its staged
+    manifests.
+
+    Returns ``{"snapshot_id", "manifests_before", "manifests_after",
+    "entries"}`` (data-manifest counts; no-ops — already at or below
+    target — return the current snapshot id unchanged with a 0 entry
+    count).
+    """
+    if target_manifests < 1:
+        raise ValueError(f"target_manifests must be >= 1, got {target_manifests}")
+    base_md = _current_metadata(table_path)
+    _require_writable(base_md, "rewrite_manifests")
+    base_version = base_md["_version"]
+    snap_md = _resolve_snapshot_md(base_md, None)
+    mlist = snap_md["manifest-list"]
+    mlist = mlist if os.path.isabs(mlist) else os.path.join(table_path, mlist)
+
+    carried: list[tuple] = []  # delete-manifest rows, verbatim
+    by_spec: dict[int, list[tuple[int, int | None, dict, int]]] = {}
+    n_data_manifests = 0
+    for m in _read_avro(mlist):
+        if int(m.get("content") or 0) == 1:
+            carried.append(
+                (
+                    m["manifest_path"],
+                    m["manifest_length"],
+                    m["partition_spec_id"],
+                    m["added_snapshot_id"],
+                    1,
+                    m.get("sequence_number"),
+                )
+            )
+            continue
+        n_data_manifests += 1
+        mpath = m["manifest_path"]
+        mpath = mpath if os.path.isabs(mpath) else os.path.join(table_path, mpath)
+        spec_id = int(m.get("partition_spec_id") or 0)
+        for entry in _read_avro(mpath):
+            if entry["status"] == 2:
+                continue
+            sid = entry.get("snapshot_id")
+            if sid is None:
+                sid = m.get("added_snapshot_id")
+            if sid is None:
+                raise RuntimeError(
+                    "pyiceberg-lite rewrite_manifests: live entry in "
+                    f"{mpath} has no snapshot_id and its manifest-list "
+                    "entry has no added_snapshot_id; consolidating it "
+                    "would erase stream-attribution provenance — "
+                    "compact this externally-produced table with its "
+                    "own writer"
+                )
+            by_spec.setdefault(spec_id, []).append(
+                (entry["status"], int(sid), entry["data_file"], _entry_seq(entry, m))
+            )
+
+    n_specs = len(by_spec) or 1
+    if n_data_manifests <= target_manifests * n_specs:
+        return {
+            "snapshot_id": snap_md["snapshot-id"],
+            "manifests_before": n_data_manifests,
+            "manifests_after": n_data_manifests,
+            "entries": 0,
+        }
+
+    version = base_version + 1
+    snap_id = version
+    spec_fields = {
+        s["spec-id"]: tuple(f["name"] for f in s["fields"])
+        for s in base_md.get("partition-specs", [])
+    }
+    # the data_file record re-encodes under _manifest_schema's field
+    # set; unknown writer extras (none from this writer) are dropped,
+    # bounds and partition values survive verbatim
+    known = (
+        "file_path", "file_format", "partition", "record_count",
+        "file_size_in_bytes", "lower_bounds", "upper_bounds",
+    )
+    staged: list[str] = []
+    entries: list[tuple] = []
+    n_entries = 0
+    for spec_id, rows in sorted(by_spec.items()):
+        pcols = spec_fields.get(spec_id, ())
+        rel = os.path.join(_META, f"{uuid.uuid4().hex}-rm0.avro")
+        _write_avro(
+            os.path.join(table_path, rel),
+            _manifest_schema_seq(pcols),
+            [
+                (
+                    status,
+                    sid,
+                    {k: rec.get(k) for k in known},
+                    seq,
+                )
+                for status, sid, rec, seq in rows
+            ],
+        )
+        staged.append(rel)
+        n_entries += len(rows)
+        entries.append(
+            (
+                rel,
+                os.path.getsize(os.path.join(table_path, rel)),
+                spec_id,
+                snap_id,
+                0,
+                snap_id,  # list-level seq; entries carry their own
+            )
+        )
+    entries.extend(carried)
+    mlist_rel = os.path.join(_META, f"snap-{snap_id}-1-{uuid.uuid4().hex}.avro")
+    _write_avro(os.path.join(table_path, mlist_rel), _MANIFEST_LIST_SCHEMA, entries)
+    staged.append(mlist_rel)
+
+    snaps = list(base_md["snapshots"])
+    snaps.append(
+        {
+            "snapshot-id": snap_id,
+            "timestamp-ms": snap_id,  # deterministic fixture clock
+            "manifest-list": mlist_rel,
+            "summary": {
+                "operation": "replace",
+                "manifests-replaced": n_data_manifests,
+                "manifests-created": len(by_spec),
+                "rewritten-data-files": 0,
+            },
+            "schema-id": snap_md.get("schema-id", 0),
+            "spec-id": snap_md.get("spec-id", 0),
+        }
+    )
+    md = {
+        **{k: v for k, v in base_md.items() if not k.startswith("_")},
+        "current-snapshot-id": snap_id,
+        "snapshots": snaps,
+    }
+    try:
+        _publish_metadata(table_path, md, version)
+    except IcebergConcurrentCommitError:
+        for rel in staged:
+            with contextlib.suppress(OSError):
+                os.remove(os.path.join(table_path, rel))
+        raise
+    return {
+        "snapshot_id": snap_id,
+        "manifests_before": n_data_manifests,
+        "manifests_after": len(by_spec),
+        "entries": n_entries,
+    }
+
+
 def delete_where_iceberg(
     spark: SparkSession, table_path: str, condition
 ) -> dict[str, int]:

@@ -1578,3 +1578,69 @@ def q_iceberg_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(n), int(mn), int(mx))],
         "n_rows long, min_key long, max_key long",
     )
+
+
+@query(
+    "q_iceberg_rewrite_manifests",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(3 AS BIGINT) AS manifests_before,
+           CAST(1 AS BIGINT) AS manifests_after
+    FROM orders
+    WHERE o_orderkey % 4 = 0 AND o_totalprice <= 200000
+    GROUP BY o_orderstatus
+    """,
+)
+def q_iceberg_rewrite_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest compaction (``rewrite_manifests``): three appends leave
+    three data manifests plus a v2 position-delete commit; the rewrite
+    merges the data manifests into ONE metadata-only ``replace``
+    snapshot — no data file moves — while the delete manifest carries
+    through untouched. The oracle pins the manifest counts (3 → 1) next
+    to the post-delete row census, so the hash check proves the
+    metadata tree shrank AND neither the live rows nor the delete's
+    effect changed. The 100 TB story: planning cost tracks live files
+    again instead of commit history (one manifest open per planner walk
+    instead of one per append).
+    """
+    import shutil
+
+    from .iceberg import delete_where_iceberg, rewrite_manifests
+
+    out = os.path.join(_fixture_dir(sf_dir), "orders_rwmanifests_iceberg")
+    shutil.rmtree(out, ignore_errors=True)
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 4 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    third = F.expr("(o_orderkey div 4) % 3")
+    for r in range(3):
+        write_iceberg(
+            spark, o.filter(third == r).repartition(2), out, mode="append"
+        )
+    delete_where_iceberg(spark, out, "o_totalprice > 200000")
+    stats = rewrite_manifests(out)
+    assert stats == {
+        "snapshot_id": stats["snapshot_id"],
+        "manifests_before": 3,
+        "manifests_after": 1,
+        "entries": 6,
+    }, stats
+    return (
+        read_iceberg(spark, out)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+        )
+        .withColumn(
+            "manifests_before",
+            F.lit(stats["manifests_before"]).cast("long"),
+        )
+        .withColumn(
+            "manifests_after", F.lit(stats["manifests_after"]).cast("long")
+        )
+    )

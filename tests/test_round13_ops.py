@@ -45,3 +45,63 @@ def test_asof_backward_tolerance_equals_window_form(spark, queries):
         for r in queries["q_join_asof_tolerance"](spark, SF).collect()
     }
     assert a == b
+
+
+def test_rewrite_manifests_preserves_reads_history_and_deletes(spark, tmp_path):
+    """Metadata-only manifest compaction: same rows, same delete
+    effects, same per-file sequence numbers (equality-delete ordering),
+    prior snapshots still readable, and a second run no-ops."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pyspark_excel_datasource_spark.catalog import table
+    from pyspark_excel_datasource_spark.sources.iceberg import (
+        delete_where_iceberg,
+        read_iceberg,
+        rewrite_manifests,
+        snapshot_iceberg,
+        write_iceberg,
+    )
+
+    out = str(tmp_path / "t")
+    o = table(spark, SF, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    for r in range(4):
+        write_iceberg(
+            spark,
+            o.filter(F.col("o_orderkey") % 4 == r).repartition(2),
+            out,
+            mode="append",
+        )
+    delete_where_iceberg(spark, out, "o_totalprice > 250000")
+    pre = snapshot_iceberg(out)
+    rows_pre = sorted(
+        r.o_orderkey for r in read_iceberg(spark, out).collect()
+    )
+    data_bytes = {
+        p: os.path.getmtime(os.path.join(out, p)) for p in pre.files
+    }
+
+    stats = rewrite_manifests(out)
+    assert (stats["manifests_before"], stats["manifests_after"]) == (4, 1)
+
+    post = snapshot_iceberg(out)
+    assert set(post.files) == set(pre.files)  # no data file moved
+    assert post.files_seq == pre.files_seq  # delete ordering intact
+    for p, mt in data_bytes.items():
+        assert os.path.getmtime(os.path.join(out, p)) == mt
+    rows_post = sorted(
+        r.o_orderkey for r in read_iceberg(spark, out).collect()
+    )
+    assert rows_post == rows_pre
+    # the pre-delete snapshot (id 4) still resolves through its own
+    # (unreplaced) manifest list
+    assert read_iceberg(spark, out, snapshot_id=4).count() == len(
+        sorted(r.o_orderkey for r in o.collect())
+    )
+    # already consolidated -> no-op, same snapshot
+    again = rewrite_manifests(out)
+    assert again["entries"] == 0
+    assert again["snapshot_id"] == stats["snapshot_id"]
