@@ -408,6 +408,41 @@ def main() -> None:
             f"{'OK' if not data_files else 'FAIL'}"
         )
 
+    # rewrite_manifests (round 13): metadata-only manifest compaction —
+    # the planner walk must get CHEAPER after consolidation (manifest
+    # count drops from one-per-commit to one-per-spec) while reads stay
+    # byte-identical. Fresh many-commit tables (8 appends) so the
+    # manifest count dominates the walk.
+    for label, fpc in (("base", FILES_BASE), (f"x{FACTOR}", FILES_BASE)):
+        pm = f"{work}/ice_manifests_{label}"
+        n_commits = 8 if label == "base" else 8 * min(FACTOR, 4)
+        for i in range(n_commits):
+            ice.write_iceberg(
+                spark,
+                src.filter(F.col("o_orderkey") % n_commits == i).repartition(2),
+                pm,
+                mode="append" if i else "overwrite",
+            )
+        rows_pre = ice.read_iceberg(spark, pm).count()
+        t_walk_pre = timed(lambda: ice.snapshot_iceberg(pm))
+        res = ice.rewrite_manifests(pm)
+        t_walk_post = timed(lambda: ice.snapshot_iceberg(pm))
+        rows_post = ice.read_iceberg(spark, pm).count()
+        ratio = t_walk_pre / t_walk_post if t_walk_post else float("inf")
+        ok = (
+            rows_pre == rows_post
+            and res["manifests_after"] < res["manifests_before"]
+            and t_walk_post <= t_walk_pre * 1.1  # never slower
+        )
+        print(
+            f"iceberg rewrite_manifests {label}: "
+            f"{res['manifests_before']}->{res['manifests_after']} manifests "
+            f"({res['entries']} entries); snapshot walk "
+            f"{t_walk_pre*1000:.0f}ms -> {t_walk_post*1000:.0f}ms "
+            f"({ratio:.1f}x faster); rows {rows_pre}=={rows_post} "
+            f"{'OK' if ok else 'FAIL'}"
+        )
+
     if work.startswith(tempfile.gettempdir()):
         shutil.rmtree(work, ignore_errors=True)
 
