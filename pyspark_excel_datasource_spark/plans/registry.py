@@ -171,6 +171,7 @@ _PIN: tuple[str, ...] = (
     # authored in round 11 (never verdicted — pin a window slot)
     "q_join_asof_backward_tolerance",
     "q_iceberg_rewrite_manifests",
+    "q_iceberg_manifests",
 )
 
 _REPO_ROOT = os.path.dirname(

@@ -2446,6 +2446,43 @@ def partitions_meta(
 _ORPHAN_RETENTION_DEFAULT = 72.0 * 3600.0
 
 
+def manifests_meta(
+    table_path: str, snapshot_id: int | None = None
+) -> list[dict[str, Any]]:
+    """The ``manifests`` metadata table: one row per manifest of a
+    snapshot — path, length, partition spec id, adding snapshot,
+    content kind, and live/deleted entry counts — aggregated from the
+    manifest list plus one pass over each manifest. The census behind
+    ``rewrite_manifests`` targeting (how fragmented is the metadata
+    tree?) at the same metadata-only cost as ``files_meta``."""
+    md = _current_metadata(table_path)
+    snap_md = _resolve_snapshot_md(md, snapshot_id)
+    mlist = snap_md["manifest-list"]
+    mlist = mlist if os.path.isabs(mlist) else os.path.join(table_path, mlist)
+    out: list[dict[str, Any]] = []
+    for m in _read_avro(mlist):
+        mpath = m["manifest_path"]
+        mpath = mpath if os.path.isabs(mpath) else os.path.join(table_path, mpath)
+        live = deleted = 0
+        for entry in _read_avro(mpath):
+            if entry["status"] == 2:
+                deleted += 1
+            else:
+                live += 1
+        out.append(
+            {
+                "path": m["manifest_path"],
+                "length": int(m["manifest_length"]),
+                "partition_spec_id": int(m.get("partition_spec_id") or 0),
+                "added_snapshot_id": m.get("added_snapshot_id"),
+                "content": int(m.get("content") or 0),
+                "live_entries": live,
+                "deleted_entries": deleted,
+            }
+        )
+    return sorted(out, key=lambda r: r["path"])
+
+
 def remove_orphan_files(
     table_path: str, retention_seconds: float = _ORPHAN_RETENTION_DEFAULT
 ) -> int:

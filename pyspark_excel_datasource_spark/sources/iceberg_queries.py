@@ -1644,3 +1644,56 @@ def q_iceberg_rewrite_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
             "manifests_after", F.lit(stats["manifests_after"]).cast("long")
         )
     )
+
+
+@query(
+    "q_iceberg_manifests",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('before', CAST(3 AS BIGINT), CAST(6 AS BIGINT), CAST(0 AS BIGINT)),
+        ('after',  CAST(1 AS BIGINT), CAST(6 AS BIGINT), CAST(0 AS BIGINT))
+    ) AS t(phase, n_manifests, live_entries, deleted_entries)
+    """,
+)
+def q_iceberg_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``manifests`` metadata table (Iceberg's ``tbl.manifests``):
+    per-manifest path/length/spec/content/entry counts from one
+    metadata-only walk — the fragmentation census that tells an
+    operator when ``rewrite_manifests`` is worth running. The fixture
+    pins it on both sides of a rewrite: three appends → three 2-entry
+    data manifests; after compaction → one 6-entry manifest, zero
+    deleted entries, with the oracle hash-checking both phases.
+    """
+    import shutil
+
+    from .iceberg import manifests_meta, rewrite_manifests
+
+    out = os.path.join(_fixture_dir(sf_dir), "orders_manifests_iceberg")
+    shutil.rmtree(out, ignore_errors=True)
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 4 == 0)
+        .select("o_orderkey", "o_orderstatus")
+    )
+    third = F.expr("(o_orderkey div 4) % 3")
+    for r in range(3):
+        write_iceberg(
+            spark, o.filter(third == r).repartition(2), out, mode="append"
+        )
+
+    def census(phase: str) -> tuple:
+        rows = manifests_meta(out)
+        return (
+            phase,
+            len(rows),
+            sum(r["live_entries"] for r in rows),
+            sum(r["deleted_entries"] for r in rows),
+        )
+
+    before = census("before")
+    rewrite_manifests(out)
+    after = census("after")
+    return spark.createDataFrame(
+        [before, after],
+        "phase string, n_manifests long, live_entries long, deleted_entries long",
+    )
