@@ -248,6 +248,31 @@ def main() -> None:
     ev1 = table(spark, SF, "events")
     ev10 = replicate_events(ev1, FACTOR)
 
+    def asof_range(ev):
+        # round-13: the bounded-range as-of spelling
+        # (q_join_asof_backward_tolerance). Per-replica user ids keep
+        # clicks-per-user-hour constant, so the join fan-out — bounded
+        # by that density — must scale linearly with the population.
+        p = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        c = ev.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+        )
+        joined = p.join(
+            c,
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("c_ts") < F.col("ts"))
+            & (
+                F.col("c_ts")
+                >= F.col("ts") - F.expr("INTERVAL 1 HOUR")
+            ),
+            "left",
+        )
+        return joined.groupBy("event_id", "user_id", "ts").agg(
+            F.max("c_ts").alias("click_within_1h")
+        )
+
     from pyspark_excel_datasource_spark.operators.scale import bloom_semi_join
 
     cust_dim = (
@@ -664,6 +689,7 @@ def main() -> None:
             pq_topk(emb10, qids10),
         ),
         "sessionize": (sessionize(ev1), sessionize(ev10)),
+        "asof_range": (asof_range(ev1), asof_range(ev10)),
         "funnel": (funnel_counts(ev1), funnel_counts(ev10)),
         "bloom_semi": (
             bloom_agg(spark, orders1, cust_dim),
