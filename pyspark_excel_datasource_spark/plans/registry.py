@@ -172,6 +172,7 @@ _PIN: tuple[str, ...] = (
     "q_join_asof_backward_tolerance",
     "q_iceberg_rewrite_manifests",
     "q_iceberg_manifests",
+    "q_delta_detail",
 )
 
 _REPO_ROOT = os.path.dirname(

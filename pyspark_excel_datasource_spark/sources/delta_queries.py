@@ -1620,3 +1620,62 @@ def q_delta_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(n), int(mn), int(mx))],
         "n_rows long, min_key long, max_key long",
     )
+
+
+@query(
+    "q_delta_detail",
+    oracle="""
+    SELECT 'delta' AS format,
+           CAST(2 AS BIGINT) AS version,
+           CAST(6 AS BIGINT) AS num_files,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_orderkey % 4 <> 3) AS num_rows,
+           '' AS partition_columns,
+           CAST(0 AS BIGINT) AS dv_files,
+           CAST(3 AS BIGINT) AS n_commits,
+           CAST(1 AS BIGINT) AS n_checkpoints
+    """,
+)
+def q_delta_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DESCRIBE DETAIL`` twin: a metadata-only table census — version,
+    live file and ROW counts (rows from the per-file stats index, the
+    same numbers the metadata-only aggregate pushdown trusts), deletion
+    vectors, and the log's own shape (commits, checkpoints). The
+    fixture makes every field deterministic: three 2-file appends pin
+    num_files=6, version=2, one checkpoint (interval 2), and the oracle
+    recomputes the row census from the source predicate — so the hash
+    check proves the stats index agrees with the data to the row.
+    """
+    from .deltalog import describe_detail
+
+    out = os.path.join(_fixture_dir(sf_dir), "orders_detail_delta")
+    shutil.rmtree(out, ignore_errors=True)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    for r in (0, 2, 1):  # o_orderkey % 4 in {0, 2, 1}; %4==3 never lands
+        write_delta(
+            spark,
+            o.filter(F.col("o_orderkey") % 4 == r).repartition(2),
+            out,
+            mode="append",
+        )
+    d = describe_detail(out)
+    assert d["num_rows"] is not None, "fixture files must carry stats"
+    return spark.createDataFrame(
+        [
+            (
+                d["format"],
+                d["version"],
+                d["num_files"],
+                d["num_rows"],
+                ",".join(d["partition_columns"]),
+                d["dv_files"],
+                d["n_commits"],
+                d["n_checkpoints"],
+            )
+        ],
+        "format string, version long, num_files long, num_rows long, "
+        "partition_columns string, dv_files long, n_commits long, "
+        "n_checkpoints long",
+    )

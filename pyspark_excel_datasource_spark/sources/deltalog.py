@@ -66,6 +66,7 @@ readers and RESTORE.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import re
@@ -954,6 +955,46 @@ def _write_checkpoint(table_path: str, snap: DeltaSnapshot) -> None:
     papq.write_table(tbl, os.path.join(d, f"{snap.version:020d}.checkpoint.parquet"))
     with open(os.path.join(d, "_last_checkpoint"), "w", encoding="utf-8") as fh:
         json.dump({"version": snap.version, "size": len(rows)}, fh)
+
+
+def describe_detail(table_path: str) -> dict[str, Any]:
+    """``DESCRIBE DETAIL`` twin: one metadata-only census of the table —
+    current version, live file/row counts (rows from the stats index,
+    the same numbers the metadata-only aggregate uses), partition
+    columns, deletion-vector count, column-mapping mode, and the log's
+    own shape (commit and checkpoint counts). O(log) driver work, no
+    data file opened — the operational probe that schedules OPTIMIZE /
+    VACUUM / checkpointing on a 100 TB table."""
+    snap = snapshot(table_path)
+    js, cps = _list_log(table_path)
+    num_rows: int | None = 0
+    for rel in snap.files:
+        st = snap.stats.get(rel)
+        if st is None:
+            num_rows = None  # foreign statless file: row count unknowable
+            break
+        num_rows += int(st["numRecords"])
+        dv = snap.dvs.get(rel)
+        if dv is not None:
+            num_rows -= int(dv.get("cardinality") or 0)
+    size_bytes = 0
+    for rel in snap.files:
+        with contextlib.suppress(OSError):
+            size_bytes += os.path.getsize(os.path.join(table_path, rel))
+    return {
+        "format": "delta",
+        "version": snap.version,
+        "num_files": len(snap.files),
+        "num_rows": num_rows,
+        "size_bytes": size_bytes,  # environment-dependent; never hashed
+        "partition_columns": list(snap.partition_columns),
+        "dv_files": len(snap.dvs),
+        "column_mapping_mode": snap.column_mapping_mode,
+        "min_reader_version": int(snap.protocol.get("minReaderVersion", 1)),
+        "min_writer_version": int(snap.protocol.get("minWriterVersion", 2)),
+        "n_commits": len(js),
+        "n_checkpoints": len(cps),
+    }
 
 
 def _json_stat(v: Any) -> Any:
