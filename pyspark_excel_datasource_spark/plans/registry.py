@@ -173,6 +173,7 @@ _PIN: tuple[str, ...] = (
     "q_iceberg_rewrite_manifests",
     "q_iceberg_manifests",
     "q_delta_detail",
+    "q_iceberg_detail",
 )
 
 _REPO_ROOT = os.path.dirname(

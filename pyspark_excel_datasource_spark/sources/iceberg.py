@@ -2483,6 +2483,38 @@ def manifests_meta(
     return sorted(out, key=lambda r: r["path"])
 
 
+def describe_detail_iceberg(table_path: str) -> dict[str, Any]:
+    """``DESCRIBE DETAIL`` twin for Iceberg (the Delta counterpart is
+    ``deltalog.describe_detail``): one metadata-only census — current
+    snapshot, live file/ROW counts (manifest record_counts minus v2
+    position-delete cardinalities), manifest shape (data vs delete),
+    snapshot/schema/spec registry sizes, refs, and format version. The
+    probe that schedules rewrite_data_files / rewrite_manifests /
+    expire_snapshots on a 100 TB table, at O(metadata tree) cost."""
+    md = _current_metadata(table_path)
+    snap = snapshot_iceberg(table_path)
+    recs = files_meta(table_path)
+    num_rows = sum(int(r["record_count"]) for r in recs)
+    num_rows -= sum(len(v) for v in snap.deleted_positions.values())
+    manifests = manifests_meta(table_path)
+    size_bytes = sum(int(r["file_size_in_bytes"]) for r in recs)
+    return {
+        "format": "iceberg",
+        "format_version": int(md.get("format-version", 1)),
+        "current_snapshot_id": int(md["current-snapshot-id"]),
+        "num_files": len(recs),
+        "num_rows": num_rows,
+        "size_bytes": size_bytes,  # encoding-dependent; never hashed
+        "partition_columns": list(snap.partition_columns),
+        "n_data_manifests": sum(1 for m in manifests if m["content"] == 0),
+        "n_delete_manifests": sum(1 for m in manifests if m["content"] == 1),
+        "n_snapshots": len(md.get("snapshots", [])),
+        "n_schemas": len(md.get("schemas", [])),
+        "n_partition_specs": len(md.get("partition-specs", [])),
+        "n_refs": len(md.get("refs") or {}),
+    }
+
+
 def remove_orphan_files(
     table_path: str, retention_seconds: float = _ORPHAN_RETENTION_DEFAULT
 ) -> int:

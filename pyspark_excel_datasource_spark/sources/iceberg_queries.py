@@ -1697,3 +1697,64 @@ def q_iceberg_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
         [before, after],
         "phase string, n_manifests long, live_entries long, deleted_entries long",
     )
+
+
+@query(
+    "q_iceberg_detail",
+    oracle="""
+    SELECT 'iceberg' AS format,
+           CAST(2 AS BIGINT) AS format_version,
+           CAST(4 AS BIGINT) AS current_snapshot_id,
+           CAST(6 AS BIGINT) AS num_files,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_orderkey % 4 <> 3 AND o_totalprice <= 300000) AS num_rows,
+           CAST(3 AS BIGINT) AS n_data_manifests,
+           CAST(1 AS BIGINT) AS n_delete_manifests,
+           CAST(4 AS BIGINT) AS n_snapshots
+    """,
+)
+def q_iceberg_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE DETAIL twin for Iceberg (``describe_detail_iceberg``;
+    Delta counterpart ``q_delta_detail``): metadata-only census of the
+    current snapshot, live ROW count = manifest record_counts minus v2
+    position-delete cardinalities, and the manifest/snapshot registry
+    shape. The fixture pins every field — three 2-file appends plus one
+    MOR delete — and the oracle recomputes the surviving-row census
+    from the source predicates, proving the manifest counts and the
+    delete cardinalities exact to the row.
+    """
+    import shutil
+
+    from .iceberg import delete_where_iceberg, describe_detail_iceberg
+
+    out = os.path.join(_fixture_dir(sf_dir), "orders_detail_iceberg")
+    shutil.rmtree(out, ignore_errors=True)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    for r in (0, 2, 1):
+        write_iceberg(
+            spark,
+            o.filter(F.col("o_orderkey") % 4 == r).repartition(2),
+            out,
+            mode="append",
+        )
+    delete_where_iceberg(spark, out, "o_totalprice > 300000")
+    d = describe_detail_iceberg(out)
+    return spark.createDataFrame(
+        [
+            (
+                d["format"],
+                d["format_version"],
+                d["current_snapshot_id"],
+                d["num_files"],
+                d["num_rows"],
+                d["n_data_manifests"],
+                d["n_delete_manifests"],
+                d["n_snapshots"],
+            )
+        ],
+        "format string, format_version long, current_snapshot_id long, "
+        "num_files long, num_rows long, n_data_manifests long, "
+        "n_delete_manifests long, n_snapshots long",
+    )
