@@ -105,3 +105,37 @@ def test_rewrite_manifests_preserves_reads_history_and_deletes(spark, tmp_path):
     again = rewrite_manifests(out)
     assert again["entries"] == 0
     assert again["snapshot_id"] == stats["snapshot_id"]
+
+
+def test_describe_detail_statless_file_reports_unknown_rows(spark, tmp_path):
+    """A foreign re-add without stats makes the live ROW count
+    unknowable; describe_detail must say None, never guess — the same
+    honesty rule as the metadata-only aggregate pushdown."""
+    from pyspark_excel_datasource_spark.catalog import table
+    from pyspark_excel_datasource_spark.sources.deltalog import (
+        _commit,
+        describe_detail,
+        snapshot,
+        write_delta,
+    )
+
+    out = str(tmp_path / "t")
+    o = table(spark, SF, "orders").select("o_orderkey", "o_orderstatus")
+    write_delta(spark, o.limit(20).repartition(1), out)
+    d = describe_detail(out)
+    assert d["num_rows"] == 20 and d["num_files"] == 1
+    snap = snapshot(out)
+    (rel,) = snap.files
+    _commit(
+        out,
+        snap.version + 1,
+        [
+            {"commitInfo": {"operation": "EXTERNAL"}},
+            {"add": {"path": rel, "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": False}},
+        ],
+    )
+    d2 = describe_detail(out)
+    assert d2["num_rows"] is None
+    assert d2["num_files"] == 1
+    assert d2["n_commits"] == 2
