@@ -97,25 +97,44 @@ HEADLINE = (
     # generation cost model every dedup/similarity self-join shares)
     "q_eval_ap",
     "q_graph_common_neighbors",
+    # round-12 addition (VERDICT r11 #4): the Delta deletion-vector
+    # DELETE write path — since r12 the per-file roaring bitmaps are
+    # built IN TASKS (groupBy __f + applyInPandas; the driver collects
+    # one descriptor per matched file), so a regression in the new
+    # distributed build surfaces per-round. The timed call covers
+    # fixture write + DV commit + DV-filtered re-read end-to-end.
+    "q_delta_delete_dv",
 )
 
 RUNS = 3
 
 
+#: headline names timed on a DIFFERENT impl than the registered
+#: (driver-hash-verified) gate plan — surfaced verbatim in the bench
+#: JSON as "native_impls" so the summary line is self-describing about
+#: which plan each number measured (ADVICE r11). q_dedup_minhash /
+#: q_sim_ann_pq time their xxhash64 / trained-codebook natives;
+#: q_delta_delete_dv times the fresh-fixture twin so the distributed
+#: DV WRITE is inside the clock (the gate query caches its fixture).
+NATIVE_IMPLS = ("q_dedup_minhash", "q_sim_ann_pq", "q_delta_delete_dv")
+
+
 def _bench_impls(queries):
-    """Headline name -> callable. Two headline names time their NATIVE
-    fast-path plans rather than the registered gate plans: since round 11
-    the gate names q_dedup_minhash / q_sim_ann_pq carry md5 cross-engine
-    twins (hash-verifiable, but md5-in-string-space is the slow spelling),
-    while the xxhash64 / trained-codebook natives remain the documented
-    scale path (BASELINE.md r11 note). Everything else times the
-    registered query."""
+    """Headline name -> callable. The NATIVE_IMPLS names time their
+    native fast-path plans rather than the registered gate plans: since
+    round 11 the gate names q_dedup_minhash / q_sim_ann_pq carry md5
+    cross-engine twins (hash-verifiable, but md5-in-string-space is the
+    slow spelling), while the xxhash64 / trained-codebook natives remain
+    the documented scale path (BASELINE.md r11 note). Everything else
+    times the registered query."""
     from .operators.dedup import q_dedup_minhash_native
     from .operators.similarity import q_sim_ann_pq_native
+    from .sources.delta_queries import q_delta_delete_dv_fresh
 
     impls = dict(queries)
     impls["q_dedup_minhash"] = q_dedup_minhash_native
     impls["q_sim_ann_pq"] = q_sim_ann_pq_native
+    impls["q_delta_delete_dv"] = q_delta_delete_dv_fresh
     return impls
 
 #: full-suite passes; the recorded per-query number is the MIN of the
@@ -174,6 +193,7 @@ def main() -> None:
         "loadavg_before": passes[0]["loadavg_before"],
         "loadavg_after": passes[-1]["loadavg_after"],
         "host_quiet": quiet,
+        "native_impls": list(NATIVE_IMPLS),
     }
     detail = dict(summary, samples=passes)
     # stdout stays ONE short line (driver contract); full per-pass detail

@@ -1103,6 +1103,36 @@ def q_delta_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_delta_delete_dv_fresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench twin of ``q_delta_delete_dv`` that rebuilds the fixture on
+    EVERY call, so the timed number covers the whole DML pipeline —
+    table write, distributed per-file DV build (groupBy __f +
+    applyInPandas, VERDICT r11 #1), atomic commit, and the DV-filtered
+    re-read. The gate query caches its fixture after the first build
+    (correctness drives re-run it many times); this twin exists so the
+    bench headline times the WRITE path. Unregistered (bench-only);
+    surfaced in the bench JSON's ``native_impls`` marker."""
+    from .deltalog import delete_where
+
+    out = os.path.join(
+        _fixture_dir(sf_dir), "customer_mor_delete_delta_bench"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    write_delta(spark, cust, out)
+    delete_where(spark, out, "c_acctbal < 0", mode="deletion-vectors")
+    return (
+        read_delta(spark, out)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_cust"),
+            F.sum("c_custkey").cast("long").alias("sum_key"),
+        )
+    )
+
+
 @query(
     "q_delta_update",
     oracle="""

@@ -78,7 +78,12 @@ from urllib.parse import quote, unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructField, StructType
+from pyspark.sql.types import (
+    StructField,
+    StructType,
+    TimestampNTZType,
+    TimestampType,
+)
 
 _LOG = "_delta_log"
 _JSON_RE = re.compile(r"^(\d{20})\.json$")
@@ -637,6 +642,7 @@ def read_delta(
             )
         }
     if stats_filter:
+        ftypes = {f.name: f.dataType for f in schema.fields}
 
         def _survives(path: str) -> bool:
             st = snap.stats.get(path)
@@ -644,8 +650,24 @@ def read_delta(
                 return True  # no stats → cannot prune
             for c, (lo, hi) in stats_filter.items():
                 pc = phys.get(c, c)
-                mn = _norm_ts_stat((st.get("minValues") or {}).get(pc))
-                mx = _norm_ts_stat((st.get("maxValues") or {}).get(pc))
+                mn = (st.get("minValues") or {}).get(pc)
+                mx = (st.get("maxValues") or {}).get(pc)
+                if isinstance(
+                    ftypes.get(c), (TimestampType, TimestampNTZType)
+                ):
+                    # timestamp stats are strings compared
+                    # lexicographically: normalize BOTH sides to one
+                    # spelling (a one-sided rewrite mis-prunes
+                    # 'T'-spelled bounds); a bound in a foreign zone
+                    # spelling is unusable → keep the file
+                    mn, mx = _norm_ts_stat(mn), _norm_ts_stat(mx)
+                    lo_n = _norm_ts_stat(lo) if isinstance(lo, str) else lo
+                    hi_n = _norm_ts_stat(hi) if isinstance(hi, str) else hi
+                    if (isinstance(lo, str) and lo_n is None) or (
+                        isinstance(hi, str) and hi_n is None
+                    ):
+                        continue
+                    lo, hi = lo_n, hi_n
                 if mn is None or mx is None:
                     continue  # column unstatted (or foreign-zone) → keep
                 try:
@@ -1023,18 +1045,28 @@ _TS_FOREIGN = re.compile(
 
 
 def _norm_ts_stat(v: Any) -> Any:
-    """Normalize a timestamp-typed string statistic to this writer's
-    'YYYY-MM-DD HH:MM:SS[.ffffff]' spelling before lexicographic
-    comparison.
+    """Normalize a TIMESTAMP-typed string statistic (or filter bound)
+    to one canonical lexicographically-comparable spelling:
+    'YYYY-MM-DD HH:MM:SS[.f…]' with trailing fractional zeros dropped.
 
     String stats compare lexicographically, and 'T' > ' ': a foreign
     file whose min is '1998-12-31T00:00:00' would evaluate greater than
     the bound '1998-12-31 23:59:59' and be pruned even though it holds
-    in-range rows. 'Z'/'+00:00' suffixes drop (same instant); any OTHER
-    zone offset returns None — the spelling denotes a different instant
-    than the naive bound, so the stat is unusable for pruning and the
+    in-range rows. Likewise '…00.000' > '…00' even though the instants
+    are equal, so a trailing all-zero fraction mis-prunes boundary-equal
+    values — fractions are canonicalized by stripping trailing zeros
+    (then the dot), after which lexicographic order equals instant
+    order. 'Z'/'+00:00' suffixes drop (same instant); any OTHER zone
+    offset returns None — the spelling denotes a different instant than
+    the naive bound, so the value is unusable for pruning and the
     caller must keep the file (or refuse a metadata-only answer).
     Non-strings and non-timestamp strings pass through unchanged.
+
+    Callers MUST gate on the snapshot schema's column type and apply
+    this to BOTH sides of the comparison (stat and bound): a STRING
+    column whose values merely look like timestamps must never be
+    respelled, and a one-sided rewrite flips the comparison for
+    'T'-spelled bounds (ADVICE r11).
     """
     if not isinstance(v, str):
         return v
@@ -1044,6 +1076,8 @@ def _norm_ts_stat(v: Any) -> Any:
     date, time_part, zone = m.groups()
     if zone not in (None, "Z", "+00:00", "+0000"):
         return None
+    if "." in time_part:
+        time_part = time_part.rstrip("0").rstrip(".")
     return f"{date} {time_part}"
 
 
@@ -1099,11 +1133,26 @@ def _footer_stats(path: str) -> str | None:
                     break
             elif cc.physical_type in ("BYTE_ARRAY", "FIXED_LEN_BYTE_ARRAY"):
                 raw_mn, raw_mx = st.min, st.max
+                # truncation thresholds are in BYTES: a str stat must
+                # measure its UTF-8 encoding, or 64-byte-truncated
+                # multibyte text (CJK: 64 bytes ≈ 21 chars) passes a
+                # character-count check and feeds an incremented-prefix
+                # max into the stats index (ADVICE r11)
                 if not (
                     isinstance(raw_mn, (bytes, str))
                     and isinstance(raw_mx, (bytes, str))
-                    and len(raw_mn) <= 32
-                    and len(raw_mx) <= 32
+                    and (
+                        len(raw_mn.encode("utf-8"))
+                        if isinstance(raw_mn, str)
+                        else len(raw_mn)
+                    )
+                    <= 32
+                    and (
+                        len(raw_mx.encode("utf-8"))
+                        if isinstance(raw_mx, str)
+                        else len(raw_mx)
+                    )
+                    <= 32
                 ):
                     col_ok = False
                     break
@@ -1617,6 +1666,80 @@ def merge_delta(
     )
 
 
+#: rows the driver materialized in the last distributed DV build — the
+#: stress-tool hook proving the collect is O(matched files), never
+#: O(matched rows) (tools/lakehouse_stress.py asserts it == files_touched)
+_LAST_DV_DRIVER_ROWS: int | None = None
+
+
+def _distributed_dv_adds(
+    spark: SparkSession,
+    table_path: str,
+    hits: DataFrame,
+    prev_positions: dict[str, list[int]],
+) -> list[tuple[str, dict[str, Any]]]:
+    """Per-file deletion-vector descriptors built IN TASKS, never on
+    the driver (VERDICT r11 #1 — the last driver-side row funnel).
+
+    ``hits`` carries the NEWLY matched rows as (``__f`` relative file
+    path, ``__ridx`` row index); previously-deleted positions are
+    injected as extra rows (flagged old) so the prev∪new merge happens
+    inside the same shuffle. One ``groupBy(__f).applyInPandas`` then
+    serializes each matched file's roaring bitmap executor-side —
+    ``make_dv_descriptor`` inlines small blobs into the returned
+    descriptor and writes ``deletion_vector_<uuid>.bin`` sidecars for
+    large ones FROM THE TASK (exactly where real engines write them;
+    a retried task's orphaned sidecar is unreferenced and falls to
+    VACUUM's orphan sweep). Groups holding only old positions (a file
+    with an existing DV but no new hit) emit nothing — its current add
+    action already carries that DV.
+
+    The driver materializes exactly ONE row per matched file (path +
+    descriptor JSON): at a 100 TB table with 10⁹ matched rows across
+    10⁴ files, the collect is 10⁴ descriptors, not 10⁹ positions.
+    Returns sorted (relative path, descriptor dict) pairs; empty when
+    the predicate matched nothing.
+    """
+    global _LAST_DV_DRIVER_ROWS
+    new = hits.select(
+        F.col("__f").cast("string").alias("__f"),
+        F.col("__ridx").cast("long").alias("__ridx"),
+        F.lit(1).alias("__new"),
+    )
+    prev_rows = [
+        (f, int(p), 0) for f, ps in prev_positions.items() for p in ps
+    ]
+    if prev_rows:
+        new = new.unionByName(
+            spark.createDataFrame(
+                prev_rows, "__f string, __ridx long, __new int"
+            )
+        )
+
+    def _build(pdf):
+        import pandas as pd
+
+        from .dvbitmap import make_dv_descriptor
+
+        if int(pdf["__new"].sum()) == 0:
+            return pd.DataFrame({"__f": [], "descriptor": []})
+        positions = sorted({int(x) for x in pdf["__ridx"]})
+        desc = make_dv_descriptor(table_path, positions)
+        return pd.DataFrame(
+            {"__f": [pdf["__f"].iloc[0]], "descriptor": [json.dumps(desc)]}
+        )
+
+    out_rows = (
+        new.groupBy("__f")
+        .applyInPandas(_build, schema="__f string, descriptor string")
+        .collect()
+    )
+    _LAST_DV_DRIVER_ROWS = len(out_rows)
+    return sorted(
+        (r["__f"], json.loads(r["descriptor"])) for r in out_rows
+    )
+
+
 def delete_where(
     spark: SparkSession,
     table_path: str,
@@ -1659,8 +1782,6 @@ def delete_where(
     prev_positions = _snap_positions(table_path, prev)
 
     if mode == "deletion-vectors":
-        from .dvbitmap import make_dv_descriptor
-
         full = _read_files(
             spark,
             table_path,
@@ -1672,17 +1793,17 @@ def delete_where(
             row_index_column="__ridx",
         )
         cond = F.expr(condition) if isinstance(condition, str) else condition
-        # the match probe projects only (file, position) — the DV is
-        # delete-count-sized by definition, so the collect is bounded
-        # by the rows being deleted, not the table
-        hit_rows = (
-            full.filter(cond).select("__f", "__ridx").distinct().collect()
+        # per-file bitmaps are built IN TASKS; the driver materializes
+        # one descriptor row per matched FILE, never per matched row
+        # (see _distributed_dv_adds — VERDICT r11 #1)
+        dv_adds = _distributed_dv_adds(
+            spark,
+            table_path,
+            full.filter(cond).select("__f", "__ridx"),
+            prev_positions,
         )
-        if not hit_rows:
+        if not dv_adds:
             return prev.version, 0, len(prev.files)
-        by_file: dict[str, list[int]] = {}
-        for r in hit_rows:
-            by_file.setdefault(r["__f"], []).append(int(r["__ridx"]))
         actions: list[dict[str, Any]] = [
             {
                 "commitInfo": {
@@ -1710,8 +1831,7 @@ def delete_where(
                 }
             },
         ]
-        for rel in sorted(by_file):
-            merged = sorted(set(prev_positions.get(rel, [])) | set(by_file[rel]))
+        for rel, desc in dv_adds:
             ap = os.path.join(table_path, rel)
             add: dict[str, Any] = {
                 "path": _encode_path(rel),
@@ -1719,7 +1839,7 @@ def delete_where(
                 "size": os.path.getsize(ap),
                 "modificationTime": 0,
                 "dataChange": True,
-                "deletionVector": make_dv_descriptor(table_path, merged),
+                "deletionVector": desc,
             }
             # per protocol, stats describe the PHYSICAL file — the DV
             # re-add keeps them (numRecords unchanged; consumers must
@@ -1731,7 +1851,7 @@ def delete_where(
         _commit(table_path, version, actions)
         if checkpoint_interval and version % checkpoint_interval == 0:
             _write_checkpoint(table_path, snapshot(table_path, version))
-        return version, len(by_file), len(prev.files) - len(by_file)
+        return version, len(dv_adds), len(prev.files) - len(dv_adds)
 
     full = _read_files(
         spark,
@@ -1870,8 +1990,6 @@ def update_where(
     }
 
     if mode == "deletion-vectors":
-        from .dvbitmap import make_dv_descriptor
-
         full = _read_files(
             spark,
             table_path,
@@ -1882,11 +2000,16 @@ def update_where(
             deleted_positions=prev_positions,
             row_index_column="__ridx",
         )
-        hits = full.filter(is_hit)
-        # bounded by the rows being updated, not the table (same
-        # contract as the DV DELETE probe)
-        hit_rows = hits.select("__f", "__ridx").distinct().collect()
-        if not hit_rows:
+        # checkpointed: consumed twice (DV build + updated-row append),
+        # and re-deriving would re-probe the whole table per consumer
+        hits = full.filter(is_hit).localCheckpoint(eager=True)
+        # per-file bitmaps are built IN TASKS; the driver materializes
+        # one descriptor row per matched FILE, never per matched row
+        # (see _distributed_dv_adds — VERDICT r11 #1)
+        dv_adds = _distributed_dv_adds(
+            spark, table_path, hits.select("__f", "__ridx"), prev_positions
+        )
+        if not dv_adds:
             return prev.version, 0, len(prev.files)
         updated = _apply_set(hits, F.lit(True))
         _enforce_write_contract(
@@ -1897,9 +2020,6 @@ def update_where(
             },
             "update_where",
         )
-        by_file: dict[str, list[int]] = {}
-        for r in hit_rows:
-            by_file.setdefault(r["__f"], []).append(int(r["__ridx"]))
         actions: list[dict[str, Any]] = [
             {
                 "commitInfo": {
@@ -1925,8 +2045,7 @@ def update_where(
                 }
             },
         ]
-        for rel in sorted(by_file):
-            merged = sorted(set(prev_positions.get(rel, [])) | set(by_file[rel]))
+        for rel, desc in dv_adds:
             ap = os.path.join(table_path, rel)
             add: dict[str, Any] = {
                 "path": _encode_path(rel),
@@ -1934,7 +2053,7 @@ def update_where(
                 "size": os.path.getsize(ap),
                 "modificationTime": 0,
                 "dataChange": True,
-                "deletionVector": make_dv_descriptor(table_path, merged),
+                "deletionVector": desc,
             }
             # per protocol, stats describe the PHYSICAL file — the DV
             # re-add keeps them (numRecords unchanged; consumers must
@@ -1947,7 +2066,7 @@ def update_where(
         _commit(table_path, version, actions)
         if checkpoint_interval and version % checkpoint_interval == 0:
             _write_checkpoint(table_path, snapshot(table_path, version))
-        return version, len(by_file), len(prev.files) - len(by_file)
+        return version, len(dv_adds), len(prev.files) - len(dv_adds)
 
     full = _read_files(
         spark,
@@ -2349,6 +2468,14 @@ def stats_summary(
         else {f.name: f.name for f in snap.schema.fields}
     )
     pc = phys.get(column, column)
+    # normalize ONLY timestamp-typed columns: a STRING column whose
+    # values merely look like timestamps must come back verbatim, or a
+    # metadata-only MIN/MAX would return a respelled value no full scan
+    # ever produces (ADVICE r11)
+    col_is_ts = isinstance(
+        {f.name: f.dataType for f in snap.schema.fields}.get(column),
+        (TimestampType, TimestampNTZType),
+    )
     n = 0
     mn: Any = None
     mx: Any = None
@@ -2367,8 +2494,10 @@ def stats_summary(
             continue
         if mn is _STATS_POISONED:
             continue
-        flo = _norm_ts_stat((st.get("minValues") or {}).get(pc))
-        fhi = _norm_ts_stat((st.get("maxValues") or {}).get(pc))
+        flo = (st.get("minValues") or {}).get(pc)
+        fhi = (st.get("maxValues") or {}).get(pc)
+        if col_is_ts:
+            flo, fhi = _norm_ts_stat(flo), _norm_ts_stat(fhi)
         if flo is None or fhi is None:
             raise ValueError(
                 f"column {column!r} unstatted (or statted in a foreign "

@@ -134,12 +134,9 @@ def user_running_totals_tws(events: DataFrame) -> DataFrame:
     )
 
 
-def _register():
-    if not _HAVE_TWS:
-        return None
-    return query(
-        "q_stream_tws",
-        oracle="""
+@query(
+    "q_stream_tws",
+    oracle="""
     SELECT user_id,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
@@ -147,12 +144,7 @@ def _register():
     FROM events
     GROUP BY user_id
     """,
-    )
-
-
-_DECO = _register()
-
-
+)
 def q_stream_tws(spark, sf_dir: str) -> DataFrame:
     """The running-totals contract of ``q_stream_stateful`` re-run on
     Spark 4's ``transformWithStateInPandas`` (StatefulProcessor +
@@ -168,6 +160,12 @@ def q_stream_tws(spark, sf_dir: str) -> DataFrame:
 
     from ..catalog import sf_tag
 
+    if not _HAVE_TWS:  # pragma: no cover - shim is vendored in-repo
+        raise ImportError(
+            "q_stream_tws needs a protobuf runtime (real google.protobuf "
+            "or the vendored _vendor/protoshim) for Spark's "
+            "transformWithStateInPandas state server — neither imported"
+        )
     _ship_protoshim(spark)
     src_dir = os.path.join("/root/repo/.fixtures", sf_tag(sf_dir), "events_stream_tws")
     src = os.path.join(sf_dir, "events.parquet")
@@ -227,7 +225,3 @@ def q_stream_tws(spark, sf_dir: str) -> DataFrame:
             F.max_by("total_cents", "n_events").alias("total_cents"),
         )
     )
-
-
-if _DECO is not None:
-    q_stream_tws = _DECO(q_stream_tws)

@@ -131,16 +131,22 @@ def test_stats_survive_checkpoint(spark, orders, tmp_path):
 
 def test_norm_ts_stat_spellings():
     """Foreign ISO-8601 timestamp statistics normalize to this writer's
-    space-separated spelling; non-UTC zones are unusable (None); other
-    values pass through untouched."""
+    space-separated spelling with trailing fractional zeros dropped (so
+    boundary-equal instants compare equal lexicographically); non-UTC
+    zones are unusable (None); other values pass through untouched."""
     from pyspark_excel_datasource_spark.sources.deltalog import _norm_ts_stat
 
-    assert _norm_ts_stat("1998-12-31T00:00:00.000Z") == "1998-12-31 00:00:00.000"
+    assert _norm_ts_stat("1998-12-31T00:00:00.000Z") == "1998-12-31 00:00:00"
     assert _norm_ts_stat("1998-12-31T23:59:59") == "1998-12-31 23:59:59"
     assert _norm_ts_stat("1998-12-31 23:59:59") == "1998-12-31 23:59:59"
     assert _norm_ts_stat("1998-12-31T12:00:00+00:00") == "1998-12-31 12:00:00"
     assert _norm_ts_stat("1998-12-31T12:00:00+05:30") is None
     assert _norm_ts_stat("1998-12-31T12:00:00-0800") is None
+    # fraction canonicalization: trailing zeros (then the dot) strip, so
+    # '.5' == '.500000' and '.000' == no fraction; nonzero digits stay
+    assert _norm_ts_stat("1998-12-31 12:00:00.500000") == "1998-12-31 12:00:00.5"
+    assert _norm_ts_stat("1998-12-31T12:00:00.250Z") == "1998-12-31 12:00:00.25"
+    assert _norm_ts_stat("1998-12-31 12:00:00.000") == "1998-12-31 12:00:00"
     assert _norm_ts_stat("MAIL") == "MAIL"  # plain string stat untouched
     assert _norm_ts_stat(42) == 42
     assert _norm_ts_stat(None) is None
@@ -184,3 +190,46 @@ def test_foreign_iso_timestamp_stats_never_misprune(spark, orders, tmp_path):
         stats_filter={"o_orderdate": ("2005-01-01 00:00:00", "2006-01-01 00:00:00")},
     )
     assert none.count() == 0
+
+
+def test_string_column_ts_lookalikes_never_normalized(spark, tmp_path):
+    """ADVICE r11: a STRING column whose values are ISO-'T'-spelled
+    timestamps must NOT be respelled — only schema-typed timestamp
+    columns normalize, and the BOUNDS normalize together with the
+    stats. Before the fix, a one-sided rewrite turned max
+    '2020-06-15T23:59:59' into '2020-06-15 23:59:59' which compares
+    below a 'T'-spelled lo bound (space < 'T'), pruning a file that
+    holds in-range rows."""
+    from pyspark_excel_datasource_spark.sources.deltalog import stats_summary
+
+    out = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [("2020-06-15T12:00:00",), ("2020-06-15T23:59:59",)], "ev string"
+    )
+    write_delta(spark, df.repartition(1), out, mode="append")
+    # 'T'-spelled bound over the string column: the file holds both
+    # values, so it must survive and both rows come back
+    kept = read_delta(
+        spark, out,
+        stats_filter={"ev": ("2020-06-15T12:00:00", "2020-06-15T23:59:59")},
+    )
+    assert kept.count() == 2, "string-typed lookalike stats were respelled"
+    # metadata-only MIN/MAX returns the VERBATIM string values — never a
+    # respelled value no full scan produces
+    n, mn, mx = stats_summary(out, "ev")
+    assert (n, mn, mx) == (2, "2020-06-15T12:00:00", "2020-06-15T23:59:59")
+
+
+def test_timestamp_bounds_normalize_both_sides(spark, orders, tmp_path):
+    """A 'T'-spelled filter bound over a timestamp column normalizes
+    alongside the stats — mixed spellings on the two compare sides must
+    not prune live files (ADVICE r11's two-sided rule)."""
+    out = str(tmp_path / "t")
+    write_delta(spark, orders.limit(10).repartition(1), out, mode="append")
+    row = (
+        orders.limit(10).agg(F.min("o_orderdate"), F.max("o_orderdate")).first()
+    )
+    lo = row[0].isoformat(sep="T")  # deliberately the foreign spelling
+    hi = row[1].isoformat(sep="T")
+    kept = read_delta(spark, out, stats_filter={"o_orderdate": (lo, hi)})
+    assert kept.count() == 10, "'T'-spelled bounds mispruned live rows"

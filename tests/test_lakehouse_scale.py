@@ -149,3 +149,47 @@ def test_iceberg_concurrent_append_vs_expire(spark, tmp_path):
         if f.endswith(".avro")
     }
     assert on_disk_avro == {os.path.normpath(p) for p in (manifests | mlists)}
+
+
+def test_dv_writers_collect_files_not_rows(spark, tmp_path):
+    """VERDICT r11 #1: the deletion-vector / position-delete WRITERS
+    build per-file bitmaps IN TASKS — the driver materializes one
+    descriptor row per matched FILE, never the matched (file, pos)
+    pairs. A predicate matching ~half of ALL rows must leave
+    _LAST_DV_DRIVER_ROWS equal to files_touched (row-funnel would be
+    ~matched-row-count)."""
+    src = _orders(spark)
+    matched = src.filter(F.col("o_orderkey") % 2 == 0).count()
+
+    pd_ = str(tmp_path / "d_del")
+    _build(spark, src, pd_, deltalog.write_delta)
+    _v, touched, _u = deltalog.delete_where(
+        spark, pd_, "o_orderkey % 2 = 0", mode="deletion-vectors"
+    )
+    assert deltalog._LAST_DV_DRIVER_ROWS == touched
+    assert matched > 10 * touched  # the proof is vacuous otherwise
+    kept = deltalog.read_delta(spark, pd_).count()
+    assert kept == src.count() - matched
+
+    pu = str(tmp_path / "d_upd")
+    _build(spark, src, pu, deltalog.write_delta)
+    _v, touched_u, _u2 = deltalog.update_where(
+        spark, pu, "o_orderkey % 2 = 0",
+        {"o_totalprice": "o_totalprice + 1.0"},
+        mode="deletion-vectors",
+    )
+    assert deltalog._LAST_DV_DRIVER_ROWS == touched_u
+    assert deltalog.read_delta(spark, pu).count() == src.count()
+
+    # Iceberg: the delete shards are written by tasks; the driver sees
+    # only O(shards) paths/footers — assert shard count << positions
+    import glob
+    import os
+
+    pi = str(tmp_path / "i_del")
+    _build(spark, src, pi, ice.write_iceberg)
+    res = ice.delete_where_iceberg(spark, pi, "o_orderkey % 2 = 0")
+    shards = glob.glob(os.path.join(pi, "data", "delete-*.parquet"))
+    assert res["rows_deleted"] == matched
+    assert matched > 10 * len(shards)
+    assert ice.read_iceberg(spark, pi).count() == src.count() - matched
