@@ -521,3 +521,111 @@ def count_data_rows(path: str, sheet: str | int = 0, header: bool = True) -> int
                     n += 1
                 el.clear()
     return max(0, n - (1 if header else 0))
+
+
+def iter_rows(path: str, sheet: str | int = 0, header: bool = True):
+    """Stream one sheet's DATA rows as value tuples in CONSTANT memory
+    (``iterparse``, one ``<row>`` element at a time — never a frame or
+    a DOM). When ``header`` is set, the header row fixes the tuple
+    width (ragged data rows pad with ``None``); otherwise each row's
+    own width is used. The streaming half of the sink's single-file
+    merge (``merge_xlsx_stream``)."""
+    with zipfile.ZipFile(path) as zf:
+        epoch = _workbook_epoch(zf)
+        shared = _load_shared_strings(zf)
+        date_xfs = _load_date_styles(zf)
+        member = _sheet_member(zf, sheet)
+        width: int | None = None
+        first = header
+        with zf.open(member) as fh:
+            for _, row in ET.iterparse(fh):
+                if row.tag != f"{_NS}row":
+                    continue
+                cells = _parse_row(row, shared, date_xfs, epoch=epoch)
+                row.clear()
+                if first:
+                    first = False
+                    width = max(cells.keys(), default=-1) + 1
+                    continue
+                w = (
+                    width
+                    if width is not None
+                    else max(cells.keys(), default=-1) + 1
+                )
+                yield tuple(cells.get(i) for i in range(w))
+
+
+def merge_xlsx_stream(
+    out_path: str,
+    parts: list[str],
+    columns: list[str],
+    sheet_name: str = "Sheet1",
+) -> int:
+    """Merge many single-sheet part workbooks into ONE workbook in
+    CONSTANT driver memory: rows stream from each part's ``iter_rows``
+    straight into the output worksheet's zip member (``ZipFile.open``
+    write stream), one ``<row>`` at a time — no frame of the merged
+    output and no whole-sheet XML string ever materialize, so merging
+    N parts costs O(1) memory instead of O(total rows) (VERDICT r11
+    #7). Returns the data-row count. Used by the Excel sink's
+    single-file batch commit and the stream writer's per-batch commit.
+    """
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/worksheet" '
+        'Target="worksheets/sheet1.xml"/>'
+        '<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/styles" Target="styles.xml"/>'
+        "</Relationships>"
+    )
+    workbook = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        f'<sheets><sheet name="{escape(sheet_name)}" sheetId="1" r:id="rId1"/>'
+        "</sheets></workbook>"
+    )
+    n = 0
+    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("[Content_Types].xml", _CONTENT_TYPES)
+        zf.writestr("_rels/.rels", _ROOT_RELS)
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        zf.writestr("xl/styles.xml", _STYLES)
+        with zf.open("xl/worksheets/sheet1.xml", mode="w") as fh:
+            fh.write(
+                b'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                b'<worksheet xmlns="http://schemas.openxmlformats.org/'
+                b'spreadsheetml/2006/main"><sheetData>'
+            )
+            r = 1
+            hdr = [
+                _cell_xml(f"{_col_letter(i)}{r}", str(c))
+                for i, c in enumerate(columns)
+            ]
+            fh.write(
+                (
+                    f'<row r="{r}">'
+                    + "".join(c for c in hdr if c)
+                    + "</row>"
+                ).encode("utf-8")
+            )
+            for part in parts:
+                for vals in iter_rows(part, header=True):
+                    r += 1
+                    cells = [
+                        _cell_xml(f"{_col_letter(i)}{r}", v)
+                        for i, v in enumerate(vals)
+                    ]
+                    fh.write(
+                        (
+                            f'<row r="{r}">'
+                            + "".join(c for c in cells if c)
+                            + "</row>"
+                        ).encode("utf-8")
+                    )
+                    n += 1
+            fh.write(b"</sheetData></worksheet>")
+    return n

@@ -84,3 +84,40 @@ def test_chunked_reads_partition_rows_exactly(n, chunk):
             part = minixlsx.read_xlsx(p, skip_rows=start, n_rows=chunk)
             seen.extend(part["i"].tolist() if n else [])
         assert seen == list(range(n))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    parts=st.lists(
+        st.lists(st.tuples(_cell, _cell, _cell), min_size=0, max_size=6),
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_streaming_merge_equals_concat(parts):
+    """merge_xlsx_stream (the sink's constant-memory single-file commit,
+    VERDICT r11 #7) must produce EXACTLY the workbook the old
+    read-all-concat-write merge produced: same rows in part order, same
+    value round-trip guarantees."""
+    with tempfile.TemporaryDirectory() as d:
+        paths = []
+        for i, rows in enumerate(parts):
+            p = os.path.join(d, f"part-{i:05d}.xlsx")
+            minixlsx.write_xlsx(
+                p, pd.DataFrame(rows, columns=["a", "b", "c"], dtype=object)
+            )
+            paths.append(p)
+        out = os.path.join(d, "merged.xlsx")
+        n = minixlsx.merge_xlsx_stream(out, paths, ["a", "b", "c"])
+        back = minixlsx.read_xlsx(out)
+    flat = [r for rows in parts for r in rows]
+    assert n == len(flat) == len(back)
+    assert list(back.columns) == ["a", "b", "c"]
+    for (orig_row, got_row) in zip(flat, back.itertuples(index=False)):
+        for orig, got in zip(orig_row, got_row):
+            orig, got = _norm(orig), _norm(got)
+            if isinstance(orig, dt.datetime):
+                assert isinstance(got, dt.datetime)
+                assert abs((got - orig).total_seconds()) < 1e-5
+            else:
+                assert got == orig, (orig, got)
