@@ -174,6 +174,10 @@ _PIN: tuple[str, ...] = (
     "q_iceberg_manifests",
     "q_delta_detail",
     "q_iceberg_detail",
+    # authored in round 12 (never verdicted — pin a window slot): the
+    # MOR maintenance fold pair closing the delete→read→fold lifecycle
+    "q_delta_dv_fold",
+    "q_iceberg_posdel_fold",
 )
 
 _REPO_ROOT = os.path.dirname(

@@ -1709,3 +1709,50 @@ def q_delta_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
         "partition_columns string, dv_files long, n_commits long, "
         "n_checkpoints long",
     )
+
+
+@query(
+    "q_delta_dv_fold",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(c_custkey) AS BIGINT) AS sum_key,
+           CAST(0 AS BIGINT) AS n_dvs
+    FROM customer
+    WHERE NOT (c_acctbal < 0)
+    GROUP BY c_mktsegment
+    """,
+)
+def q_delta_dv_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MAINTENANCE half of merge-on-read DML (round 12): a
+    deletion-vector DELETE (``q_delta_delete_dv``'s write path — built
+    distributed, one descriptor per matched file) followed by OPTIMIZE,
+    which reads THROUGH the DVs and folds the soft-deletes into
+    rewritten data. The output pins the post-fold snapshot at ZERO
+    deletion vectors (``n_dvs``, oracled 0) alongside the surviving-row
+    census (oracled against the base predicate) — the hash check proves
+    the fold dropped every DV without resurrecting or losing a row.
+    At 100 TB this is the compaction loop that keeps DV cardinality
+    bounded: deletes stay metadata-cheap day-to-day, and the periodic
+    fold keeps the read-side positional anti-join small. The reference
+    sink has no update or maintenance story at all
+    (connector.py:280-322).
+    """
+    out = os.path.join(_fixture_dir(sf_dir), "customer_dvfold_delta")
+    shutil.rmtree(out, ignore_errors=True)
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    write_delta(spark, cust.repartition(4), out)
+    delete_where(spark, out, "c_acctbal < 0", mode="deletion-vectors")
+    optimize(spark, out)
+    snap = snapshot(out)
+    return (
+        read_delta(spark, out)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_cust"),
+            F.sum("c_custkey").cast("long").alias("sum_key"),
+        )
+        .withColumn("n_dvs", F.lit(len(snap.dvs)).cast("long"))
+    )

@@ -1758,3 +1758,58 @@ def q_iceberg_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
         "num_files long, num_rows long, n_data_manifests long, "
         "n_delete_manifests long, n_snapshots long",
     )
+
+
+@query(
+    "q_iceberg_posdel_fold",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(0 AS BIGINT) AS n_delete_manifests
+    FROM orders
+    WHERE o_orderkey % 5 = 0 AND NOT (o_totalprice > 300000)
+    GROUP BY o_orderstatus
+    """,
+)
+def q_iceberg_posdel_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MAINTENANCE half of Iceberg merge-on-read DML (round 12;
+    Delta counterpart ``q_delta_dv_fold``): a position DELETE
+    (``q_iceberg_delete_pos``'s write path — shards written by tasks)
+    followed by ``rewrite_data_files``, which reads THROUGH the delete
+    index and commits a replace snapshot carrying the survivors only —
+    the new manifest list drops every DELETE manifest. The output pins
+    the post-fold delete-manifest count at ZERO (oracled 0) alongside
+    the surviving-row census, so the hash check proves the fold dropped
+    the whole delete index without resurrecting or losing a row. At
+    100 TB this is the loop that keeps the read-side positional
+    anti-join small while day-to-day deletes stay metadata-cheap.
+    """
+    import shutil
+
+    from .iceberg import delete_where_iceberg, manifests_meta
+
+    out = os.path.join(_fixture_dir(sf_dir), "orders_posdelfold_iceberg")
+    shutil.rmtree(out, ignore_errors=True)
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 5 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    write_iceberg(
+        spark, o.repartition(3), out, partition_by=("o_orderstatus",)
+    )
+    delete_where_iceberg(spark, out, "o_totalprice > 300000")
+    rewrite_data_files(spark, out, target_files=1)
+    n_del = sum(
+        1 for m in manifests_meta(out) if m["content"] == 1
+    )
+    return (
+        read_iceberg(spark, out)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+        )
+        .withColumn("n_delete_manifests", F.lit(n_del).cast("long"))
+    )

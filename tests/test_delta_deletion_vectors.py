@@ -543,3 +543,53 @@ def test_delete_where_dv_protocol_upgrade(spark, tmp_path):
     replayed = snapshot(path)
     assert replayed.dvs and replayed.protocol["minReaderVersion"] == 3
     assert sorted(r.k for r in read_delta(spark, path).collect()) == [2]
+
+
+def test_fold_queries_match_live_recompute(spark):
+    """The two round-12 fold gate queries (q_delta_dv_fold /
+    q_iceberg_posdel_fold) must agree with a live Spark recompute of
+    the surviving-row census over the base tables, and must report the
+    delete index fully dropped (n_dvs / n_delete_manifests == 0)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_excel_datasource_spark.catalog import table
+    from pyspark_excel_datasource_spark.plans.registry import (
+        load_all_queries,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    q = load_all_queries()
+
+    got = {
+        r.c_mktsegment: (r.n_cust, r.sum_key, r.n_dvs)
+        for r in q["q_delta_dv_fold"](spark, sf).collect()
+    }
+    want = {
+        r.c_mktsegment: (r.n_cust, r.sum_key, 0)
+        for r in table(spark, sf, "customer")
+        .filter(~(F.col("c_acctbal") < 0))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_cust"),
+            F.sum("c_custkey").cast("long").alias("sum_key"),
+        )
+        .collect()
+    }
+    assert got == want
+
+    got_i = {
+        r.o_orderstatus: (r.n_orders, r.sum_key, r.n_delete_manifests)
+        for r in q["q_iceberg_posdel_fold"](spark, sf).collect()
+    }
+    want_i = {
+        r.o_orderstatus: (r.n_orders, r.sum_key, 0)
+        for r in table(spark, sf, "orders")
+        .filter((F.col("o_orderkey") % 5 == 0) & ~(F.col("o_totalprice") > 300000))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+        )
+        .collect()
+    }
+    assert got_i == want_i
