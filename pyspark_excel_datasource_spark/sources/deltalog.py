@@ -1684,7 +1684,13 @@ def _distributed_dv_adds(
     ``hits`` carries the NEWLY matched rows as (``__f`` relative file
     path, ``__ridx`` row index); previously-deleted positions are
     injected as extra rows (flagged old) so the prev∪new merge happens
-    inside the same shuffle. One ``groupBy(__f).applyInPandas`` then
+    inside the same shuffle. The injection list is driver-built from
+    ``prev_positions`` — bounded by the table's ACCUMULATED DV
+    cardinality, the same driver decode the read path already performs
+    per scan (``_snap_positions``), and the bound the maintenance loop
+    exists to keep small: OPTIMIZE folds DVs into data
+    (gate-verified by ``q_delta_dv_fold``), so accumulated positions
+    stay a small fraction of any file per the protocol's design intent. One ``groupBy(__f).applyInPandas`` then
     serializes each matched file's roaring bitmap executor-side —
     ``make_dv_descriptor`` inlines small blobs into the returned
     descriptor and writes ``deletion_vector_<uuid>.bin`` sidecars for
