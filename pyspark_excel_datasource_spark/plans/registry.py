@@ -175,9 +175,12 @@ _PIN: tuple[str, ...] = (
     "q_delta_detail",
     "q_iceberg_detail",
     # authored in round 12 (never verdicted — pin a window slot): the
-    # MOR maintenance fold pair closing the delete→read→fold lifecycle
+    # MOR maintenance fold pair closing the delete→read→fold lifecycle,
+    # and the z-order pruning-payoff probe that exposed (and now pins
+    # the fix for) the wide-domain z-wrap defect in optimize(zorder_by)
     "q_delta_dv_fold",
     "q_iceberg_posdel_fold",
+    "q_delta_zorder_pruned",
 )
 
 _REPO_ROOT = os.path.dirname(

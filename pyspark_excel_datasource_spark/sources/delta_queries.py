@@ -1756,3 +1756,57 @@ def q_delta_dv_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("n_dvs", F.lit(len(snap.dvs)).cast("long"))
     )
+
+
+@query(
+    "q_delta_zorder_pruned",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(c_custkey) AS BIGINT) AS sum_key,
+           CAST(1 AS BIGINT) AS files_pruned
+    FROM customer
+    WHERE c_custkey <= (SELECT MAX(c_custkey) // 8 FROM customer)
+      AND c_nationkey <= 12
+    """,
+)
+def q_delta_zorder_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PAYOFF half of Z-ORDER maintenance (``q_delta_zorder`` pins
+    that the rewrite changes no data; this pins that it BUYS skipping):
+    after ``zorder_by=(c_custkey, c_nationkey)`` each output file
+    covers a tight rectangle in the 2-D key space, so the logged
+    per-file min/max stats prune a corner-rectangle probe. The output
+    is the probe's exact row census THROUGH the stats-pruned read plus
+    ``files_pruned`` — 1 only when the pruned plan scheduled STRICTLY
+    FEWER files than the table holds — so the hash check proves the
+    rewrite lost no rows AND the multi-dimensional layout actually
+    skipped files. At 100 TB this turns point/range probes on two
+    independent columns into fractional scans; a single-column sort can
+    only serve one of them.
+    """
+    out = os.path.join(_fixture_dir(sf_dir), "customer_zorder_delta")
+    shutil.rmtree(out, ignore_errors=True)
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    write_delta(spark, cust.repartition(6), out)
+    optimize(
+        spark, out, zorder_by=("c_custkey", "c_nationkey"), target_files=4
+    )
+    snap = snapshot(out)
+    cut = int(cust.agg(F.expr("max(c_custkey) div 8").alias("c")).first().c)
+    pruned = read_delta(
+        spark,
+        out,
+        stats_filter={"c_custkey": (None, cut), "c_nationkey": (None, 12)},
+    )
+    flag = 1 if len(pruned.inputFiles()) < len(snap.files) else 0
+    return (
+        pruned.filter(
+            (F.col("c_custkey") <= cut) & (F.col("c_nationkey") <= 12)
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("c_custkey").cast("long").alias("sum_key"),
+        )
+        .withColumn("files_pruned", F.lit(flag).cast("long"))
+    )

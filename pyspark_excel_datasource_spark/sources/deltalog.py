@@ -1573,9 +1573,36 @@ def optimize(
         from ..operators.scale import _Z_BITS, _z_interleave_sql
 
         a, b = zorder_by
+        # Range-NORMALIZE each column into the z domain [0, 2^bits)
+        # before interleaving. Raw `col % 2^bits` only works for
+        # naturally-narrow domains: any key wider than _Z_BITS bits
+        # WRAPS, decorrelating z from the column, so every output file
+        # spans the whole min/max range and the layout buys zero
+        # skipping (found by q_delta_zorder_pruned at sf0.01, where
+        # c_custkey > 255). One O(1)-output aggregate fetches the
+        # bounds; the scale factor maps [lo, hi] onto the z grid so
+        # file rectangles stay tight over ANY numeric domain.
+        lim = (1 << _Z_BITS) - 1
+        bounds = df.agg(
+            F.min(F.col(a).cast("double")).alias("alo"),
+            F.max(F.col(a).cast("double")).alias("ahi"),
+            F.min(F.col(b).cast("double")).alias("blo"),
+            F.max(F.col(b).cast("double")).alias("bhi"),
+        ).first()
+
+        def _grid(col: str, lo, hi) -> str:
+            if lo is None or hi is None or not (hi > lo):
+                return "CAST(0 AS BIGINT)"  # constant/empty column
+            scale = lim / (hi - lo)
+            return (
+                f"CAST(LEAST({lim}, GREATEST(0, FLOOR("
+                f"(CAST({col} AS DOUBLE) - {lo!r}) * {scale!r}"
+                f"))) AS BIGINT)"
+            )
+
         zexpr = _z_interleave_sql(
-            f"(CAST({a} AS BIGINT) % {1 << _Z_BITS})",
-            f"(CAST({b} AS BIGINT) % {1 << _Z_BITS})",
+            _grid(a, bounds["alo"], bounds["ahi"]),
+            _grid(b, bounds["blo"], bounds["bhi"]),
         )
         df = (
             df.withColumn("__z", F.expr(zexpr))

@@ -478,10 +478,28 @@ def test_zorder_optimize_clusters_disjoint_rectangles(spark, tmp_path):
     snap = snapshot(path)
     assert snap.version == v and 1 < len(snap.files) <= 4
     assert read_delta(spark, path).count() == rows_before
-    # per-file z ranges are disjoint (range partitioning by z-value)
+    # per-file z ranges are disjoint (range partitioning by z-value) —
+    # recomputed with the SAME range-normalized grid optimize uses
+    # (since r12 columns are scaled into [0, 2^bits) by their min/max,
+    # so wide-domain keys don't wrap and decorrelate)
+    lim = (1 << _Z_BITS) - 1
+    b = ev.agg(
+        F.min(F.col("user_id").cast("double")).alias("alo"),
+        F.max(F.col("user_id").cast("double")).alias("ahi"),
+        F.min(F.col("event_id").cast("double")).alias("blo"),
+        F.max(F.col("event_id").cast("double")).alias("bhi"),
+    ).first()
+
+    def _grid(col, lo, hi):
+        scale = lim / (hi - lo)
+        return (
+            f"CAST(LEAST({lim}, GREATEST(0, FLOOR("
+            f"(CAST({col} AS DOUBLE) - {lo!r}) * {scale!r}))) AS BIGINT)"
+        )
+
     zexpr = _z_interleave_sql(
-        f"(CAST(user_id AS BIGINT) % {1 << _Z_BITS})",
-        f"(CAST(event_id AS BIGINT) % {1 << _Z_BITS})",
+        _grid("user_id", b["alo"], b["ahi"]),
+        _grid("event_id", b["blo"], b["bhi"]),
     )
     per_file = (
         spark.read.parquet(*[os.path.join(path, p) for p in snap.files])
