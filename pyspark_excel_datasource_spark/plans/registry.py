@@ -181,6 +181,7 @@ _PIN: tuple[str, ...] = (
     "q_delta_dv_fold",
     "q_iceberg_posdel_fold",
     "q_delta_zorder_pruned",
+    "q_iceberg_sorted_pruned",
 )
 
 _REPO_ROOT = os.path.dirname(

@@ -1813,3 +1813,62 @@ def q_iceberg_posdel_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("n_delete_manifests", F.lit(n_del).cast("long"))
     )
+
+
+@query(
+    "q_iceberg_sorted_pruned",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(1 AS BIGINT) AS files_pruned
+    FROM orders
+    WHERE o_orderkey % 3 = 0
+      AND o_orderkey <= (SELECT MAX(o_orderkey) // 8 FROM orders
+                         WHERE o_orderkey % 3 = 0)
+    """,
+)
+def q_iceberg_sorted_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PAYOFF probe for Iceberg's sort-order rewrite (Delta
+    counterpart ``q_delta_zorder_pruned``): ``rewrite_data_files``
+    with ``sort_by`` range-partitions the rewrite globally
+    (``repartitionByRange`` + local sort), so the replace snapshot's
+    per-file manifest bounds are DISJOINT on the sort column and a
+    key-range probe through ``bounds_filter`` schedules strictly fewer
+    files than the table holds. The output is the probe's exact row
+    census THROUGH the bounds-pruned read plus ``files_pruned``
+    (oracled 1) — the hash check proves the rewrite lost no rows AND
+    the sorted layout actually bought manifest-level skipping. At
+    100 TB this is why a sort-order rewrite follows ingest: fragmented
+    appends give overlapping bounds and zero skipping; one range-split
+    rewrite makes every key-range scan fractional.
+    """
+    import shutil
+
+    from .iceberg import snapshot_iceberg
+
+    out = os.path.join(_fixture_dir(sf_dir), "orders_sorted_iceberg")
+    shutil.rmtree(out, ignore_errors=True)
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 3 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    write_iceberg(spark, o.repartition(6), out)
+    rewrite_data_files(spark, out, target_files=4, sort_by=("o_orderkey",))
+    cut = int(o.agg(F.expr("max(o_orderkey) div 8").alias("c")).first().c)
+    pruned = read_iceberg(
+        spark, out, bounds_filter={"o_orderkey": (None, cut)}
+    )
+    flag = (
+        1
+        if len(pruned.inputFiles()) < len(snapshot_iceberg(out).files)
+        else 0
+    )
+    return (
+        pruned.filter(F.col("o_orderkey") <= cut)
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+        )
+        .withColumn("files_pruned", F.lit(flag).cast("long"))
+    )

@@ -1076,3 +1076,33 @@ def test_upsert_validation_and_null_keys(spark, tmp_path):
     upsert_iceberg(spark, up, path, on=["id"])
     got = {r.s for r in read_iceberg(spark, path).collect()}
     assert got == {"a", "b", "NEWNULL"}
+
+
+def test_sorted_pruned_probe_matches_recompute(spark):
+    """q_iceberg_sorted_pruned (round 12) must agree with a live Spark
+    recompute of the key-range census and report files_pruned=1 — the
+    sort-order rewrite's manifest bounds provably skip files."""
+    from pyspark.sql import functions as F
+
+    from pyspark_excel_datasource_spark.catalog import table as _table
+    from pyspark_excel_datasource_spark.plans.registry import (
+        load_all_queries,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    row = load_all_queries()["q_iceberg_sorted_pruned"](spark, sf).first()
+    o = _table(spark, sf, "orders").filter(F.col("o_orderkey") % 3 == 0)
+    cut = int(o.agg(F.expr("max(o_orderkey) div 8").alias("c")).first().c)
+    want = (
+        o.filter(F.col("o_orderkey") <= cut)
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("o_orderkey").cast("long").alias("s"),
+        )
+        .first()
+    )
+    assert (row.n_rows, row.sum_key, row.files_pruned) == (
+        want.n,
+        want.s,
+        1,
+    )
