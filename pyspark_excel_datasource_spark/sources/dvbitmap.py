@@ -26,9 +26,12 @@ exact failure class this module must never have.
 Scale note: a DV is bounded by the protocol's own design intent —
 writers compact files whose DVs grow past a small fraction of the file
 (the format caps at one bitmap per 2^32-row range, and real tables
-keep DV cardinality ≪ file rows or rewrite the file). Parsing happens
-driver-side per file (like the log itself); the row filter is a
-broadcast anti-join on (file, row_index).
+keep DV cardinality ≪ file rows or rewrite the file). Since round 13
+parsing happens IN TASKS, never on the driver: the snapshot carries
+only O(files) descriptors, and ``deltalog._dv_positions_df`` /
+``_dv_filter_task_side`` decode them executor-side (bounded total →
+broadcast anti-join on (file, row_index); above the bound → per-file
+decode inside the scan's Arrow pass).
 """
 
 from __future__ import annotations
@@ -204,6 +207,15 @@ def read_dv_from_file(path: str, offset: int, size_in_bytes: int) -> list[int]:
     return parse_dv_blob(data)
 
 
+#: per-PROCESS decode-call counter: the read path decodes bitmaps only
+#: in TASKS (separate Python worker processes), so a driver-process
+#: reading of this counter staying flat across a scan PROVES no driver
+#: decode happened — ``tools/lakehouse_stress.py`` pins it against a
+#: synthetic million-position DV (round 13, mirror of the write side's
+#: ``deltalog._LAST_DV_DRIVER_ROWS``)
+_DECODE_CALLS = 0
+
+
 def deleted_row_indexes(table_path: str, descriptor: dict) -> list[int]:
     """Delta ``deletionVector`` descriptor → sorted deleted row indexes.
 
@@ -211,6 +223,8 @@ def deleted_row_indexes(table_path: str, descriptor: dict) -> list[int]:
     ``.bin`` file, Z85 uuid name), and "p" (absolute path)."""
     import os
 
+    global _DECODE_CALLS
+    _DECODE_CALLS += 1
     st = descriptor.get("storageType")
     poi = descriptor.get("pathOrInlineDv", "")
     if st == "i":

@@ -262,8 +262,15 @@ class IcebergSnapshot:
     #: partition values as strings (empty for unpartitioned tables)
     files: dict[str, dict[str, str | None]] = field(default_factory=dict)
     partition_columns: list[str] = field(default_factory=list)
-    #: v2 position deletes: data-file path → sorted deleted row indexes
-    deleted_positions: dict[str, list[int]] = field(default_factory=dict)
+    #: v2 position deletes: the delete PARQUET paths (absolute) and the
+    #: manifests' total record count — file-level metadata only; the
+    #: (file_path, pos) rows themselves are scanned DISTRIBUTED by the
+    #: read path, never materialized on the driver (round 13)
+    pos_delete_files: list[str] = field(default_factory=list)
+    pos_delete_rows: int = 0
+    #: per delete-parquet path → manifest record_count (bounds the
+    #: broadcast decision for both delete kinds)
+    delete_file_rows: dict[str, int] = field(default_factory=dict)
     #: v2 data sequence number per data file (0 for v1 tables)
     files_seq: dict[str, int] = field(default_factory=dict)
     #: v2 equality deletes: (delete seq, equality field-id tuple,
@@ -421,29 +428,20 @@ def snapshot_iceberg(
             spec_pcols[spec_id] = _identity_cols(
                 all_specs.get(spec_id, spec_fields)
             )
-    # v2 position deletes: normalize each delete's target path to the
-    # exact files-map key (deletes may spell the path absolute while
-    # the data manifest stored it relative, or vice versa); targets
-    # matching no live file are ignored (the spec allows dangling
-    # references after a rewrite removed the file)
-    raw, eq_deletes = _delete_files(table_path, snap_md)
-    abs_root = os.path.abspath(table_path)
-    deleted: dict[str, list[int]] = {}
-    for target, idxs in raw.items():
-        key = target
-        if key not in files and key.startswith(abs_root + "/"):
-            key = key[len(abs_root) + 1 :]
-        if key not in files and not os.path.isabs(key):
-            alt = os.path.join(abs_root, key)
-            key = alt if alt in files else key
-        if key in files:
-            deleted[key] = idxs
+    # v2 position deletes: only the delete PARQUET paths + manifest
+    # record counts are kept (the read path scans them distributed and
+    # resolves abs/rel target-path spellings inside the anti-join;
+    # targets matching no live file fall out of the join naturally —
+    # the spec allows dangling references after a rewrite)
+    pos_files, eq_deletes, del_rows = _delete_files(table_path, snap_md)
     return IcebergSnapshot(
         snapshot_id=sid,
         schema=schema,
         files=files,
         partition_columns=pcols,
-        deleted_positions=deleted,
+        pos_delete_files=pos_files,
+        pos_delete_rows=sum(del_rows.get(p, 0) for p in pos_files),
+        delete_file_rows=del_rows,
         files_seq=files_seq,
         equality_deletes=eq_deletes,
         field_names_by_id=field_names,
@@ -516,26 +514,34 @@ def _live_data_files(table_path: str, snap_md: dict[str, Any]):
 
 def _delete_files(
     table_path: str, snap_md: dict[str, Any]
-) -> tuple[dict[str, list[int]], list[tuple[int, tuple[int, ...], list[str]]]]:
+) -> tuple[
+    list[str],
+    list[tuple[int, tuple[int, ...], list[str]]],
+    dict[str, int],
+]:
     """v2 delete files for one snapshot, walked from the delete
     manifests (manifest-list ``content=1``):
 
     - POSITION deletes (``data_file.content == 1``): the spec's
-      two-column (``file_path``, ``pos``) parquet, read driver-side and
-      grouped by target path → ``{path: sorted positions}``.
+      two-column (``file_path``, ``pos``) parquet — only the PATHS are
+      returned; the rows are scanned distributed by ``read_iceberg``
+      and anti-joined against the data scan (round 13: no driver read
+      of any delete parquet, matching how the data files themselves
+      are handled).
     - EQUALITY deletes (``content == 2``): grouped by (data sequence
       number, equality_ids tuple) → ``[(seq, ids, [paths])]`` sorted by
-      seq; the rows themselves are read lazily by ``read_iceberg`` (an
-      equality-delete file can be arbitrarily large, so it joins as a
-      broadcast frame, not a driver list).
+      seq; likewise read lazily by ``read_iceberg``.
 
-    Driver-side like the rest of the metadata tree: delete manifests
+    Also returns path → manifest ``record_count`` for every delete
+    file: the metadata-known row bound that picks broadcast vs shuffle
+    for the anti-joins WITHOUT opening a footer.
+
+    Driver-side like the rest of the metadata tree: delete MANIFESTS
     are file-level metadata, and real writers compact data files whose
     delete ratio grows."""
-    import pyarrow.parquet as papq
-
-    pos_out: dict[str, list[int]] = {}
+    pos_paths: list[str] = []
     eq_groups: dict[tuple[int, tuple[int, ...]], list[str]] = {}
+    del_rows: dict[str, int] = {}
     mlist = snap_md["manifest-list"]
     mlist = mlist if os.path.isabs(mlist) else os.path.join(table_path, mlist)
     for m in _read_avro(mlist):
@@ -551,12 +557,8 @@ def _delete_files(
             dpath = rec["file_path"]
             dpath = dpath if os.path.isabs(dpath) else os.path.join(table_path, dpath)
             if content == 1:
-                tbl = papq.read_table(dpath, columns=["file_path", "pos"])
-                for target, pos in zip(
-                    tbl.column("file_path").to_pylist(),
-                    tbl.column("pos").to_pylist(),
-                ):
-                    pos_out.setdefault(target, []).append(int(pos))
+                pos_paths.append(dpath)
+                del_rows[dpath] = int(rec.get("record_count") or 0)
             elif content == 2:
                 ids = tuple(int(i) for i in (rec.get("equality_ids") or ()))
                 if not ids:
@@ -566,6 +568,7 @@ def _delete_files(
                     )
                 seq = _entry_seq(entry, m)
                 eq_groups.setdefault((seq, ids), []).append(dpath)
+                del_rows[dpath] = int(rec.get("record_count") or 0)
             else:
                 raise IcebergFormatError(
                     "non-delete file in a DELETE manifest "
@@ -574,7 +577,39 @@ def _delete_files(
     eq = sorted(
         [(seq, ids, sorted(paths)) for (seq, ids), paths in eq_groups.items()]
     )
-    return {k: sorted(set(v)) for k, v in pos_out.items()}, eq
+    return sorted(set(pos_paths)), eq, del_rows
+
+
+def _pos_delete_df(
+    spark: SparkSession, table_path: str, snap: "IcebergSnapshot"
+) -> DataFrame | None:
+    """DISTRIBUTED (``__del_key``, ``__del_ridx``) frame over the
+    snapshot's position-delete parquet — the anti-join side the shared
+    positional reader subtracts. Each target path is exploded into its
+    raw / root-stripped / root-joined spellings so the join matches
+    whichever spelling the data manifest used (the driver can no longer
+    normalize per target — it never sees the rows); extra spellings and
+    dangling targets fall out of the anti-join naturally."""
+    if not snap.pos_delete_files:
+        return None
+    import re as _re
+
+    abs_root = os.path.abspath(table_path)
+    df = spark.read.schema("file_path string, pos long").parquet(
+        *snap.pos_delete_files
+    )
+    stripped = F.regexp_replace(
+        F.col("file_path"), "^" + _re.escape(abs_root + "/"), ""
+    )
+    joined = F.when(
+        F.col("file_path").startswith("/"), F.col("file_path")
+    ).otherwise(F.concat(F.lit(abs_root + "/"), F.col("file_path")))
+    return df.select(
+        F.explode(
+            F.array_distinct(F.array(F.col("file_path"), stripped, joined))
+        ).alias("__del_key"),
+        F.col("pos").alias("__del_ridx"),
+    )
 
 
 def read_iceberg(
@@ -667,6 +702,8 @@ def read_iceberg(
             )
         }
 
+    pos_df = _pos_delete_df(spark, table_path, snap)
+
     def _scan(subset: dict) -> DataFrame:
         """One pushed-down scan per partition-spec class (files sharing
         identity partition columns), unioned back; single-spec tables
@@ -684,7 +721,8 @@ def read_iceberg(
                 sub,
                 snap.schema,
                 list(cols),
-                deleted_positions=snap.deleted_positions,
+                deleted_positions_df=pos_df,
+                deleted_positions_bound=snap.pos_delete_rows,
             )
             if partition_filter:
                 for c in sorted(set(partition_filter) - set(cols)):
@@ -738,11 +776,24 @@ def read_iceberg(
                         "snapshot schema"
                     ) from e
                 dels = spark.read.parquet(*paths).select(*cols).dropDuplicates()
+                # broadcast only while the manifests' record counts
+                # bound the TOTAL key volume (r12 ADVICE: nothing used
+                # to bound it); past the conf'd bound the anti-join
+                # falls back to a shuffle join — slower but safe at any
+                # delete volume (compaction is the real remedy:
+                # rewrite_data_files folds the deletes away)
+                from .deltalog import _dv_broadcast_max
+
+                total_rows = sum(
+                    snap.delete_file_rows.get(p, 0) for p in paths
+                )
+                if total_rows <= _dv_broadcast_max(spark):
+                    dels = F.broadcast(dels)
                 cond = None
                 for c in cols:
                     term = part[c].eqNullSafe(dels[c])
                     cond = term if cond is None else (cond & term)
-                part = part.join(F.broadcast(dels), cond, "left_anti")
+                part = part.join(dels, cond, "left_anti")
             parts.append(part)
         out = parts[0]
         for p_ in parts[1:]:
@@ -1875,6 +1926,7 @@ def delete_where_iceberg(
         )
         groups.setdefault(tuple(cols), {})[p] = pv
     hits: DataFrame | None = None
+    prev_pos_df = _pos_delete_df(spark, table_path, prev)
     for cols, sub in sorted(groups.items()):
         part = _read_files(
             spark,
@@ -1883,7 +1935,8 @@ def delete_where_iceberg(
             prev.schema,
             list(cols),
             file_column="__f",
-            deleted_positions=prev.deleted_positions,
+            deleted_positions_df=prev_pos_df,
+            deleted_positions_bound=prev.pos_delete_rows,
             row_index_column="__ridx",
         )
         h = part.filter(is_hit).select(
@@ -1891,6 +1944,12 @@ def delete_where_iceberg(
             F.col("__ridx").cast("long").alias("pos"),
         )
         hits = h if hits is None else hits.unionByName(h)
+    if hits is not None:
+        # dedupe invariant (ADVICE r12): the shards written below must
+        # never carry a (file_path, pos) pair twice — duplicates would
+        # inflate record_count/rows_deleted and write duplicate
+        # positions into the delete parquet
+        hits = hits.dropDuplicates(["file_path", "pos"])
     if hits is None:
         return {
             "snapshot_id": prev.snapshot_id,
@@ -2536,12 +2595,21 @@ def describe_detail_iceberg(table_path: str) -> dict[str, Any]:
     snap = snapshot_iceberg(table_path)
     recs = files_meta(table_path)
     num_rows: int | None = sum(int(r["record_count"]) for r in recs)
-    num_rows -= sum(len(v) for v in snap.deleted_positions.values())
+    num_rows -= snap.pos_delete_rows
     if snap.equality_deletes:
         # an equality delete's matched-row count is unknowable from
         # metadata (only a data read resolves it) — report unknown,
         # matching the Delta twin's num_rows=None convention, never an
         # exact-looking inflated count (ADVICE r11)
+        num_rows = None
+    elif snap.pos_delete_files and (md.get("properties") or {}).get(
+        _OWN_V2_PROP
+    ) != "true":
+        # manifest record counts are only exactly subtractable when the
+        # delete files carry no duplicate or dangling (file, pos) pairs.
+        # This writer guarantees that (its probe excludes already-
+        # deleted rows and dedupes); a FOREIGN v2 table may not — report
+        # unknown rather than an exact-looking miscount
         num_rows = None
     manifests = manifests_meta(table_path)
     size_bytes = sum(int(r["file_size_in_bytes"]) for r in recs)
@@ -2633,7 +2701,7 @@ def stats_summary_iceberg(
     not counted in record_count adjustments here).
     """
     snap = snapshot_iceberg(table_path, snapshot_id)
-    if snap.deleted_positions or snap.equality_deletes:
+    if snap.pos_delete_files or snap.equality_deletes:
         raise ValueError(
             "row-level deletes present: metadata-only aggregation over "
             "this snapshot would be wrong"

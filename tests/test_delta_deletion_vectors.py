@@ -593,3 +593,69 @@ def test_fold_queries_match_live_recompute(spark):
         .collect()
     }
     assert got_i == want_i
+
+
+# ---------------------------------------------------------------------------
+# round 13: no-driver-decode read path, both application strategies
+# ---------------------------------------------------------------------------
+
+
+def _dv_table(spark, tmp_path, name: str) -> tuple[str, list[int]]:
+    """20-row table with a MOR delete of k % 3 == 0; returns (path,
+    expected surviving keys)."""
+    path = str(tmp_path / name)
+    df = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(20)], "k long, v string"
+    ).coalesce(1)
+    write_delta(spark, df, path)
+    delete_where(spark, path, "k % 3 = 0", mode="deletion-vectors")
+    return path, [i for i in range(20) if i % 3 != 0]
+
+
+def test_dv_read_never_decodes_on_driver(spark, tmp_path):
+    """The round-13 contract: scanning a DV table decodes bitmaps only
+    in tasks (separate Python worker processes) — the driver process's
+    decode counter stays flat across the whole read."""
+    import pyspark_excel_datasource_spark.sources.dvbitmap as dvb
+
+    path, exp = _dv_table(spark, tmp_path, "dv_no_driver_decode")
+    before = dvb._DECODE_CALLS
+    got = sorted(r.k for r in read_delta(spark, path).collect())
+    assert got == exp
+    assert dvb._DECODE_CALLS == before
+
+
+def test_dv_task_side_path_matches_broadcast(spark, tmp_path):
+    """Above spark.graft.dv.broadcastMaxPositions the filter moves
+    INSIDE the scan tasks (mapInArrow per-file decode) — same rows, no
+    positions broadcast; forced here by setting the bound to 0."""
+    path, exp = _dv_table(spark, tmp_path, "dv_task_side")
+    base_df = read_delta(spark, path)
+    assert "MapInArrow" not in base_df._jdf.queryExecution().optimizedPlan().toString()
+    assert sorted(r.k for r in base_df.collect()) == exp
+    spark.conf.set("spark.graft.dv.broadcastMaxPositions", "0")
+    try:
+        df = read_delta(spark, path)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "MapInArrow" in plan
+        assert sorted(r.k for r in df.collect()) == exp
+        # DML on top of the task-side read path stays correct too
+        delete_where(spark, path, "k = 1", mode="deletion-vectors")
+        got = sorted(r.k for r in read_delta(spark, path).collect())
+        assert got == [k for k in exp if k != 1]
+    finally:
+        spark.conf.unset("spark.graft.dv.broadcastMaxPositions")
+
+
+def test_dv_broadcast_bound_conf_rejects_garbage(spark, tmp_path):
+    from pyspark_excel_datasource_spark.sources.deltalog import (
+        _dv_broadcast_max,
+    )
+
+    spark.conf.set("spark.graft.dv.broadcastMaxPositions", "not-a-number")
+    try:
+        with pytest.raises(ValueError, match="broadcastMaxPositions"):
+            _dv_broadcast_max(spark)
+    finally:
+        spark.conf.unset("spark.graft.dv.broadcastMaxPositions")
+    assert _dv_broadcast_max(spark) == 1_000_000

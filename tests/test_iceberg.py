@@ -925,7 +925,7 @@ def test_mor_delete_writes_no_data_bytes(spark, tmp_path):
     assert set(after.files) == set(before.files)
     for p, sz in sizes.items():
         assert os.path.getsize(os.path.join(path, p)) == sz
-    assert sum(len(v) for v in after.deleted_positions.values()) == n_neg
+    assert after.pos_delete_rows == n_neg
     got = read_iceberg(spark, path)
     assert got.count() == cust.count() - n_neg
     assert got.filter(F.col("c_acctbal") < 0).count() == 0
@@ -976,7 +976,7 @@ def test_mor_delete_folds_away_under_compaction_and_expiry(spark, tmp_path):
     exp = cust.filter("c_acctbal >= 0").count()
     rewrite_data_files(spark, path, target_files=2)
     snap = snapshot_iceberg(path)
-    assert not snap.deleted_positions  # folded into data
+    assert not snap.pos_delete_files  # folded into data
     assert read_iceberg(spark, path).count() == exp
     res = expire_snapshots(path, keep_last=1)
     assert res["expired_snapshots"] == 2

@@ -527,3 +527,82 @@ def test_equality_and_position_deletes_compose(spark, tmp_path):
     got = {r.n_name for r in read_iceberg(spark, path).collect()}
     assert rows[0].n_name not in got and rows[1].n_name not in got
     assert len(got) == len(keys) - 2
+
+
+# ---------------------------------------------------------------------------
+# round 13: bounded broadcasts with shuffle-anti-join fallback
+# ---------------------------------------------------------------------------
+
+
+def test_posdel_shuffle_fallback_over_bound(spark, tmp_path):
+    """Past spark.graft.dv.broadcastMaxPositions the positional
+    anti-join drops its broadcast hint (shuffle anti-join — safe at any
+    delete volume); rows are identical either way."""
+    path, target, keys = _make_table(spark, tmp_path, "v2_posdel_bound")
+    _upgrade_with_position_deletes(path, {target: [0, 2]})
+    exp = sorted(keys[i] for i in range(len(keys)) if i not in (0, 2))
+    base_df = read_iceberg(spark, path)
+    base_plan = base_df._jdf.queryExecution().optimizedPlan().toString()
+    assert [r.n_nationkey for r in base_df.orderBy("n_nationkey").collect()] == exp
+    spark.conf.set("spark.graft.dv.broadcastMaxPositions", "0")
+    try:
+        df = read_iceberg(spark, path)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        # exactly the positions join loses its hint; the O(files)
+        # partition-value map join keeps its broadcast
+        assert plan.count("strategy=broadcast") == base_plan.count(
+            "strategy=broadcast"
+        ) - 1
+        assert [r.n_nationkey for r in df.orderBy("n_nationkey").collect()] == exp
+    finally:
+        spark.conf.unset("spark.graft.dv.broadcastMaxPositions")
+
+
+def test_eqdel_shuffle_fallback_over_bound(spark, tmp_path):
+    """The equality-delete anti-join broadcasts only while the
+    manifests' record counts bound the key volume (r12 ADVICE: nothing
+    bounded the TOTAL); past the bound it becomes a shuffle anti-join
+    with identical semantics."""
+    path, _target, _keys = _make_table(spark, tmp_path, "v2_eqdel_bound")
+    victims = ["ALGERIA", "BRAZIL", "CANADA"]
+    _add_equality_delete(
+        path, [{"n_name": v} for v in victims], equality_ids=[2], seq=1
+    )
+    base_df = read_iceberg(spark, path)
+    base_plan = base_df._jdf.queryExecution().optimizedPlan().toString()
+    exp = sorted(
+        r.n_name for r in base_df.collect() if r.n_name not in victims
+    )
+    assert sorted(r.n_name for r in base_df.collect()) == exp
+    spark.conf.set("spark.graft.dv.broadcastMaxPositions", "0")
+    try:
+        df = read_iceberg(spark, path)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("strategy=broadcast") == base_plan.count(
+            "strategy=broadcast"
+        ) - 1
+        assert sorted(r.n_name for r in df.collect()) == exp
+    finally:
+        spark.conf.unset("spark.graft.dv.broadcastMaxPositions")
+
+
+def test_foreign_posdel_describe_reports_unknown_rows(spark, tmp_path):
+    """A FOREIGN v2 table's position deletes may carry duplicate or
+    dangling pairs, so manifest arithmetic cannot prove an exact live
+    row count — DESCRIBE reports num_rows=None (round 13; same honesty
+    rule as equality deletes), while a table whose deletes THIS writer
+    produced keeps the exact count."""
+    from pyspark_excel_datasource_spark.sources.iceberg import (
+        delete_where_iceberg,
+        describe_detail_iceberg,
+    )
+
+    path, target, keys = _make_table(spark, tmp_path, "v2_posdel_describe")
+    _upgrade_with_position_deletes(path, {target: [1]})
+    assert describe_detail_iceberg(path)["num_rows"] is None
+
+    own = str(tmp_path / "own_posdel_describe")
+    write_iceberg(spark, _nation(spark), own)
+    delete_where_iceberg(spark, own, "n_regionkey = 0")
+    n_live = read_iceberg(spark, own).count()
+    assert describe_detail_iceberg(own)["num_rows"] == n_live
