@@ -103,7 +103,18 @@ HEADLINE = (
     # one descriptor per matched file), so a regression in the new
     # distributed build surfaces per-round. The timed call covers
     # fixture write + DV commit + DV-filtered re-read end-to-end.
-    "q_delta_delete_dv",
+    # Named for the twin it actually times since r13 (ADVICE r12): the
+    # unregistered fresh-fixture variant of the gate row
+    # q_delta_delete_dv (which caches its fixture and is asserted
+    # plan-shape-identical in tests).
+    "q_delta_delete_dv_fresh",
+    # round-13 addition (VERDICT r12 #6): the deletion-vector READ path
+    # after the no-driver-decode rewrite — tasks decode each file's
+    # bitmap (distributed explode + bounded broadcast anti-join below
+    # spark.graft.dv.broadcastMaxPositions; mapInArrow in-scan filter
+    # above). Times the registered gate plan on its cached fixture, so
+    # the number is the MOR read itself, not fixture construction.
+    "q_scan_delta_dv",
 )
 
 RUNS = 3
@@ -113,10 +124,13 @@ RUNS = 3
 #: (driver-hash-verified) gate plan — surfaced verbatim in the bench
 #: JSON as "native_impls" so the summary line is self-describing about
 #: which plan each number measured (ADVICE r11). q_dedup_minhash /
-#: q_sim_ann_pq time their xxhash64 / trained-codebook natives;
-#: q_delta_delete_dv times the fresh-fixture twin so the distributed
-#: DV WRITE is inside the clock (the gate query caches its fixture).
-NATIVE_IMPLS = ("q_dedup_minhash", "q_sim_ann_pq", "q_delta_delete_dv")
+#: q_sim_ann_pq time their xxhash64 / trained-codebook natives. (The DV
+#: write headline is named q_delta_delete_dv_fresh outright since r13,
+#: so it no longer needs a native_impls disclosure.) Both natives carry
+#: their own driver hash verdicts since r13 via the registered audit
+#: rows q_dedup_minhash_native_audit / q_sim_ann_pq_native_audit
+#: (VERDICT r12 #4).
+NATIVE_IMPLS = ("q_dedup_minhash", "q_sim_ann_pq")
 
 
 def _bench_impls(queries):
@@ -134,7 +148,7 @@ def _bench_impls(queries):
     impls = dict(queries)
     impls["q_dedup_minhash"] = q_dedup_minhash_native
     impls["q_sim_ann_pq"] = q_sim_ann_pq_native
-    impls["q_delta_delete_dv"] = q_delta_delete_dv_fresh
+    impls["q_delta_delete_dv_fresh"] = q_delta_delete_dv_fresh
     return impls
 
 #: full-suite passes; the recorded per-query number is the MIN of the

@@ -189,11 +189,10 @@ def q_dedup_minhash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_pairs(table(spark, sf_dir, "documents"))
 
 
-def minhash_pairs(docs: DataFrame) -> DataFrame:
-    """(doc_id, text) → verified near-dup pairs via MinHash banding — the
-    reusable operator behind ``q_dedup_minhash`` (also driven at 10× by
-    ``tools/scale_stress.py``)."""
-    shingled = _shingles(docs).cache()
+def minhash_candidates(shingled: DataFrame) -> DataFrame:
+    """Shingled docs → distinct LSH candidate pairs (d1 < d2) via
+    xxhash64 MinHash banding — the candidate stage of ``minhash_pairs``,
+    exposed so ``q_dedup_minhash_native_audit`` can pin its coverage."""
     sig = minhash_signatures(shingled)
 
     rows_per_band = _N_HASHES // _N_BANDS
@@ -216,7 +215,7 @@ def minhash_pairs(docs: DataFrame) -> DataFrame:
 
     a = bands.alias("a")
     b = bands.alias("b")
-    candidates = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -227,7 +226,18 @@ def minhash_pairs(docs: DataFrame) -> DataFrame:
         .distinct()
     )
 
-    # exact verification of candidates only
+
+def minhash_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → verified near-dup pairs via MinHash banding — the
+    reusable operator behind ``q_dedup_minhash`` (also driven at 10× by
+    ``tools/scale_stress.py``)."""
+    shingled = _shingles(docs).cache()
+    return verify_candidates(minhash_candidates(shingled), shingled)
+
+
+def verify_candidates(candidates: DataFrame, shingled: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs only (the LSH
+    contract: approximate recall, exact precision)."""
     s1 = shingled.select(F.col("doc_id").alias("d1"), F.col("shingles").alias("sh1"))
     s2 = shingled.select(F.col("doc_id").alias("d2"), F.col("shingles").alias("sh2"))
     verified = (
@@ -244,6 +254,120 @@ def minhash_pairs(docs: DataFrame) -> DataFrame:
         .filter(F.col("jaccard") >= _NEAR_DUP_THRESHOLD)
     )
     return verified.select("d1", "d2", "jaccard")
+
+
+@query(
+    "q_dedup_minhash_native_audit",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id,
+               LIST_DISTINCT([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in RANGE(1, LEN(w) - 1)]) AS shingles
+        FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents)
+    ),
+    toks AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+    inter AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        FROM toks a JOIN toks b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, LEN(shingles) AS n FROM sh),
+    exact AS (
+        SELECT d1, d2,
+               CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) AS jaccard
+        FROM inter
+        JOIN sizes s1 ON d1 = s1.doc_id
+        JOIN sizes s2 ON d2 = s2.doc_id
+        WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter)
+              >= {_NEAR_DUP_THRESHOLD}
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(SUM(d1 + d2), 0) AS BIGINT) AS key_sum,
+           CAST(COALESCE(SUM(CAST(FLOOR(jaccard * 1e6 + 0.5) AS BIGINT)), 0)
+                AS BIGINT) AS jq_sum,
+           TRUE AS native_equals_exact,
+           TRUE AS candidates_cover_exact
+    FROM exact
+    """,
+)
+def q_dedup_minhash_native_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-pins the EXACT plan the bench headline times (VERDICT r12
+    #4): the xxhash64 MinHash-banding pipeline (``minhash_pairs`` — the
+    ``benchmark.NATIVE_IMPLS`` fast path behind the ``q_dedup_minhash``
+    headline) is run ON DATA and compared against the exact inverted-
+    index pair set, in one frame the driver hash-verifies:
+
+    - ``n_pairs`` / ``key_sum`` / ``jq_sum``: census of the NATIVE
+      plan's verified pairs (count, id sum, per-pair 1e-6-quantized
+      Jaccard sum) — the oracle recomputes them from the EXACT pair
+      set, so they only hash-match when the native output IS the exact
+      output, value for value;
+    - ``native_equals_exact``: full-outer-join emptiness of the
+      symmetric difference (and per-pair Jaccard equality);
+    - ``candidates_cover_exact``: every exact pair was already a
+      banding CANDIDATE — recall 1.0 at the candidate stage, so the
+      verify stage (exact by construction) is the only filter.
+
+    The md5-family gate twin ``q_dedup_minhash`` hash-verifies its own
+    plan each window; with this row the xxhash64 family carries a
+    driver verdict too, closing the bench/gate split transparently.
+    """
+    docs = table(spark, sf_dir, "documents")
+    shingled = _shingles(docs).cache()
+    cand = minhash_candidates(shingled)
+    nk = verify_candidates(cand, shingled).select(
+        "d1",
+        "d2",
+        F.floor(F.col("jaccard") * 1e6 + F.lit(0.5)).cast("long").alias("njq"),
+        F.lit(1).alias("__n"),
+    )
+    ek = _exact_pairs(shingled, _NEAR_DUP_THRESHOLD).select(
+        "d1",
+        "d2",
+        F.floor(F.col("jaccard") * 1e6 + F.lit(0.5)).cast("long").alias("ejq"),
+        F.lit(1).alias("__e"),
+    )
+    j = (
+        nk.join(ek, ["d1", "d2"], "full_outer")
+        .join(cand.withColumn("__c", F.lit(1)), ["d1", "d2"], "left")
+    )
+    return j.agg(
+        F.coalesce(F.sum("__n"), F.lit(0)).cast("long").alias("n_pairs"),
+        F.coalesce(
+            F.sum(F.when(F.col("__n").isNotNull(), F.col("d1") + F.col("d2"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("key_sum"),
+        F.coalesce(F.sum(F.when(F.col("__n").isNotNull(), F.col("njq"))), F.lit(0))
+        .cast("long")
+        .alias("jq_sum"),
+        (
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("__n").isNull()
+                        | F.col("__e").isNull()
+                        | (F.col("njq") != F.col("ejq")),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            == 0
+        ).alias("native_equals_exact"),
+        (
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("__e").isNotNull() & F.col("__c").isNull(), 1
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            == 0
+        ).alias("candidates_cover_exact"),
+    )
 
 
 def simhash_signature_frame(docs: DataFrame) -> DataFrame:

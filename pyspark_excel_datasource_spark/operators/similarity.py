@@ -655,6 +655,69 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_sim_ann_pq_native_audit",
+    oracle=f"""
+    SELECT vec_id AS query_id,
+           {_TOP_K} AS k,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id IN {_QUERY_VEC_IDS}
+    """,
+)
+def q_sim_ann_pq_native_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-pins the EXACT plan the bench headline times (VERDICT r12
+    #4, PQ side): ``pq_topk`` — the sample-trained-codebook fast path
+    behind the ``q_sim_ann_pq`` headline (``benchmark.NATIVE_IMPLS``) —
+    is run ON DATA and its refined top-k is compared per query against
+    the exact brute-force top-k; the driver hash-verifies the
+    ``recall_ok`` verdict (observed native recall@{_TOP_K} is 0.8–1.0
+    per query at sf0.001 and sf0.01; floor {_RECALL_FLOOR} keeps 2-hit
+    margin). Same convention as ``q_sim_ann_recall`` for the LSH index:
+    the trained codebook can't be reproduced cross-engine, so the
+    CONTRACT is what hash-verifies — a silent regression in the encode,
+    the ADC fold, or the refine flips the verdict. The md5 integer-
+    codebook twin ``q_sim_ann_pq`` pins the PQ mechanics bit-for-bit in
+    its own window; with this row the trained plan the bench times
+    carries a driver verdict too.
+    """
+    qids = list(_QUERY_VEC_IDS)
+    emb = _embeddings(spark, sf_dir).cache()
+    qvecs = emb.filter(F.col("vec_id").isin(*qids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("n").alias("qn"),
+    )
+    scored = emb.join(
+        F.broadcast(qvecs), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        F.round(_dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("n")), 8)
+        .cast("decimal(38,8)")
+        .alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    exact = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "vec_id")
+    )
+    native = pq_topk(emb, qids).select("query_id", "vec_id")
+    hits = exact.join(native, ["query_id", "vec_id"], "left_semi")
+    floor_hits = int(_RECALL_FLOOR * _TOP_K)
+    return (
+        hits.groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+        .select(
+            "query_id",
+            F.lit(_TOP_K).alias("k"),
+            (F.col("n_hits") >= F.lit(floor_hits)).alias("recall_ok"),
+        )
+    )
+
+
 _FUSE_N = 50
 _FUSE_K = 60
 _FUSE_TOP = 20

@@ -182,6 +182,11 @@ _PIN: tuple[str, ...] = (
     "q_iceberg_posdel_fold",
     "q_delta_zorder_pruned",
     "q_iceberg_sorted_pruned",
+    # authored in round 13 (never verdicted — pin a window slot): the
+    # bench-native hash pins (VERDICT r12 #4) and the Iceberg
+    # partition-transform reader
+    "q_dedup_minhash_native_audit",
+    "q_sim_ann_pq_native_audit",
 )
 
 _REPO_ROOT = os.path.dirname(
