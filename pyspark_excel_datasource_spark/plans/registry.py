@@ -187,6 +187,7 @@ _PIN: tuple[str, ...] = (
     # partition-transform reader
     "q_dedup_minhash_native_audit",
     "q_sim_ann_pq_native_audit",
+    "q_scan_iceberg_transforms",
 )
 
 _REPO_ROOT = os.path.dirname(

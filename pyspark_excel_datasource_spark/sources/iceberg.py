@@ -28,10 +28,12 @@ Format-version 2 is supported on the BATCH read path, with BOTH
 row-delete encodings:
 
 - POSITION deletes: delete manifests (manifest-list ``content=1``)
-  carry (``file_path``, ``pos``) parquet files, read driver-side; the
-  scan subtracts those row positions via the same broadcast anti-join
+  carry (``file_path``, ``pos``) parquet files, scanned DISTRIBUTED
+  (round 13 — the driver touches only paths and record counts); the
+  scan subtracts those row positions via the same positional anti-join
   on ``_metadata.row_index`` the Delta deletion-vector path uses
-  (``deltalog._read_files``); targets are matched by exact path.
+  (``deltalog._read_files``): broadcast under
+  ``spark.graft.dv.broadcastMaxPositions``, shuffle above.
 - EQUALITY deletes (``content=2``): applied with the spec's
   sequence-number ordering — a delete hits only data files whose data
   sequence number is STRICTLY LOWER (with manifest-list inheritance).
@@ -120,6 +122,64 @@ def _require_writable(md: dict, op: str) -> None:
         "this writer produced its v2 features (externally-written v2 "
         "tables are batch-read-only)"
     )
+
+
+def _require_identity_spec(md: dict, op: str) -> None:
+    """Data-writer gate (round 13): a table whose CURRENT partition
+    spec uses non-identity transforms is READ-ONLY here — an append or
+    rewrite that ignored the transform would commit files with wrong
+    (or missing) partition tuples, silently breaking every pruning
+    reader. Evolving the spec to identity columns unlocks writes."""
+    spec_fields = md.get("partition-spec", [])
+    if md.get("partition-specs"):
+        by_id = {s["spec-id"]: s for s in md["partition-specs"]}
+        cur = by_id.get(md.get("default-spec-id", 0))
+        if cur is not None:
+            spec_fields = cur["fields"]
+    kinds = sorted(
+        {
+            str(f.get("transform"))
+            for f in spec_fields
+            if f.get("transform") != "identity"
+        }
+    )
+    if kinds:
+        raise IcebergFormatError(
+            f"{op} on a table whose current partition spec has "
+            f"non-identity transforms ({', '.join(kinds)}) is not "
+            "implemented — transformed foreign tables are read-only"
+        )
+
+
+def _transform_bound(tr: dict, v: Any) -> Any:
+    """Apply an ORDER-PRESERVING partition transform to a bound value
+    (the pruning rule: for monotonic T, v in [lo, hi] ⇒ T(v) in
+    [T(lo), T(hi)], so a file whose tuple value falls outside that
+    transformed range holds no matching row). Timestamp/date bounds
+    arrive as ISO strings (the ``bounds_filter`` contract); epoch
+    arithmetic follows the spec: day = days since 1970-01-01, month =
+    months since 1970-01, year = years since 1970, hour = hours since
+    epoch. ``truncate``: ints floor to a multiple of W, strings keep
+    the first W characters (both monotonic)."""
+    import datetime as _dt
+
+    kind = tr["transform"]
+    if kind == "truncate":
+        w = int(tr["n"])
+        if isinstance(v, str):
+            return v[:w]
+        return int(v) - (int(v) % w)
+    s = str(v)
+    d = _dt.datetime.fromisoformat(s.replace("T", " ").split("+")[0])
+    if kind == "year":
+        return d.year - 1970
+    if kind == "month":
+        return (d.year - 1970) * 12 + (d.month - 1)
+    if kind == "day":
+        return (d.date() - _dt.date(1970, 1, 1)).days
+    if kind == "hour":
+        return (d.date() - _dt.date(1970, 1, 1)).days * 24 + d.hour
+    raise IcebergFormatError(f"not an order-preserving transform: {kind!r}")
 
 
 # ---------------------------------------------------------------------------
@@ -293,6 +353,14 @@ class IcebergSnapshot:
     #: treat a missing entry as "cannot prune".
     files_lower: dict[str, dict[str, Any]] = field(default_factory=dict)
     files_upper: dict[str, dict[str, Any]] = field(default_factory=dict)
+    #: spec id → NON-identity partition fields (round 13, read-only):
+    #: [{"name", "transform", "n", "source"}] for bucket[N]/truncate[W]/
+    #: year/month/day/hour/void. Order-preserving transforms prune at
+    #: the manifest level through ``bounds_filter``; bucket/void fields
+    #: are scan-filtered only. Writers refuse tables whose CURRENT spec
+    #: has any (``current_transforms``).
+    spec_transforms: dict[int, list[dict]] = field(default_factory=dict)
+    current_transforms: list[dict] = field(default_factory=list)
 
 
 def _meta_dir(path: str) -> str:
@@ -388,17 +456,43 @@ def snapshot_iceberg(
         spec_fields = by_id.get(snap_md["spec-id"], {"fields": spec_fields})[
             "fields"
         ]
-    def _identity_cols(fields: list[dict]) -> list[str]:
-        cols = []
-        for sp in fields:
-            if sp.get("transform") != "identity":
-                raise IcebergFormatError(
-                    f"unsupported partition transform {sp.get('transform')!r}"
-                )
-            cols.append(field_names.get(sp["source-id"], sp["name"]))
-        return cols
+    def _split_spec(fields: list[dict]) -> tuple[list[str], list[dict]]:
+        """One spec's fields → (identity column names, non-identity
+        transform descriptors). Reading a TRANSFORMED table is legal —
+        the source values live in the data files, the partition tuple
+        only serves pruning — so only a transform outside the spec's
+        registry raises."""
+        import re as _re
 
-    pcols = _identity_cols(spec_fields)
+        idents: list[str] = []
+        transforms: list[dict] = []
+        for sp in fields:
+            tr = sp.get("transform")
+            src = field_names.get(sp["source-id"], sp["name"])
+            if tr == "identity":
+                idents.append(src)
+                continue
+            m = _re.fullmatch(r"(bucket|truncate)\[(\d+)\]", tr or "")
+            if m:
+                transforms.append(
+                    {
+                        "name": sp["name"],
+                        "transform": m.group(1),
+                        "n": int(m.group(2)),
+                        "source": src,
+                    }
+                )
+            elif tr in ("year", "month", "day", "hour", "void"):
+                transforms.append(
+                    {"name": sp["name"], "transform": tr, "n": None, "source": src}
+                )
+            else:
+                raise IcebergFormatError(
+                    f"unsupported partition transform {tr!r}"
+                )
+        return idents, transforms
+
+    pcols, cur_transforms = _split_spec(spec_fields)
     all_specs = {
         s["spec-id"]: s["fields"] for s in md.get("partition-specs", [])
     }
@@ -406,6 +500,7 @@ def snapshot_iceberg(
     files_seq: dict[str, int] = {}
     files_pspec: dict[str, int] = {}
     spec_pcols: dict[int, list[str]] = {}
+    spec_transforms: dict[int, list[dict]] = {}
     files_lower: dict[str, dict[str, Any]] = {}
     files_upper: dict[str, dict[str, Any]] = {}
     for df_rec, seq, spec_id in _live_data_files(table_path, snap_md):
@@ -423,9 +518,9 @@ def snapshot_iceberg(
                 }
         if spec_id not in spec_pcols:
             # only specs actually referenced by live files are resolved
-            # (and validated identity-only) — a retired exotic spec in
-            # the registry must not fail a read that never touches it
-            spec_pcols[spec_id] = _identity_cols(
+            # — a retired exotic spec in the registry must not fail a
+            # read that never touches it
+            spec_pcols[spec_id], spec_transforms[spec_id] = _split_spec(
                 all_specs.get(spec_id, spec_fields)
             )
     # v2 position deletes: only the delete PARQUET paths + manifest
@@ -447,6 +542,8 @@ def snapshot_iceberg(
         field_names_by_id=field_names,
         files_pspec=files_pspec,
         spec_pcols=spec_pcols,
+        spec_transforms=spec_transforms,
+        current_transforms=cur_transforms,
         files_lower=files_lower,
         files_upper=files_upper,
     )
@@ -673,6 +770,45 @@ def read_iceberg(
             return True
 
         files = {p: pv for p, pv in files.items() if _survives(p)}
+
+        def _transform_survives(p: str, pv: dict) -> bool:
+            """Manifest-level pruning through ORDER-PRESERVING partition
+            transforms (round 13): a file whose day/month/year/hour/
+            truncate tuple value falls outside the transformed bound
+            range holds no matching row. bucket/void fields are not
+            order-preserving — those rows are filtered in-scan by the
+            caller's predicate, never pruned here."""
+            for tr in snap.spec_transforms.get(
+                snap.files_pspec.get(p, -1), []
+            ):
+                src = tr["source"]
+                if src not in bounds_filter:
+                    continue
+                if tr["transform"] in ("bucket", "void"):
+                    continue
+                v = pv.get(tr["name"])
+                if v is None:
+                    continue  # tuple value absent → cannot prune
+                lo, hi = bounds_filter[src]
+                try:
+                    tlo = _transform_bound(tr, lo) if lo is not None else None
+                    thi = _transform_bound(tr, hi) if hi is not None else None
+                    # tuple values may arrive as strings (the manifest
+                    # record encodes them nullable-string) — coerce to
+                    # the transformed bound's type before comparing
+                    ref = tlo if tlo is not None else thi
+                    tv = int(v) if isinstance(ref, int) else str(v)
+                    if tlo is not None and tv < tlo:
+                        return False
+                    if thi is not None and tv > thi:
+                        return False
+                except (TypeError, ValueError):
+                    continue  # unusable bound/tuple spelling → keep
+            return True
+
+        files = {
+            p: pv for p, pv in files.items() if _transform_survives(p, pv)
+        }
 
     def _pcols_of(p: str) -> list[str]:
         return snap.spec_pcols.get(
@@ -1311,6 +1447,7 @@ def write_iceberg(
             prev_md = None
     if prev_md is not None:
         _require_writable(prev_md, "write_iceberg")
+        _require_identity_spec(prev_md, "write_iceberg")
     version = 1 if prev_md is None else prev_md["_version"] + 1
     snap_id = version  # deterministic, monotonic
 
@@ -1589,6 +1726,7 @@ def rewrite_data_files(
         raise ValueError(f"target_files must be >= 1, got {target_files}")
     base_md = _current_metadata(table_path)
     _require_writable(base_md, "rewrite_data_files")
+    _require_identity_spec(base_md, "rewrite_data_files")
     base_version = base_md["_version"]
     prev = snapshot_iceberg(table_path)
     df = read_iceberg(spark, table_path)
@@ -1912,6 +2050,7 @@ def delete_where_iceberg(
 
     md = _current_metadata(table_path)
     _require_writable(md, "delete_where_iceberg")
+    _require_identity_spec(md, "delete_where_iceberg")
     prev = snapshot_iceberg(table_path)
     cond = F.expr(condition) if isinstance(condition, str) else condition
     is_hit = F.coalesce(cond, F.lit(False))

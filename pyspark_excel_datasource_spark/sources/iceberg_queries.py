@@ -1872,3 +1872,275 @@ def q_iceberg_sorted_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("files_pruned", F.lit(flag).cast("long"))
     )
+
+
+# ---------------------------------------------------------------------------
+# round 13: foreign tables with non-identity partition transforms
+# ---------------------------------------------------------------------------
+
+
+def _murmur3_x86_32(data: bytes, seed: int = 0) -> int:
+    """32-bit Murmur3 (public algorithm; Iceberg spec Appendix B's
+    bucket hash). Verified against the spec vectors hash(34L) =
+    2017239379 and hash("iceberg") = 1210000089 in
+    tests/test_iceberg_transforms.py — FIXTURE-side only; the reader
+    never needs it (bucket fields are not order-preserving, so matching
+    rows are filtered in-scan, never pruned by tuple)."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    m = 0xFFFFFFFF
+
+    def rot(x: int, r: int) -> int:
+        return ((x << r) | (x >> (32 - r))) & m
+
+    h = seed
+    n4 = len(data) // 4
+    for i in range(n4):
+        k = int.from_bytes(data[i * 4 : (i + 1) * 4], "little")
+        k = (k * c1) & m
+        k = rot(k, 15)
+        k = (k * c2) & m
+        h ^= k
+        h = rot(h, 13)
+        h = (h * 5 + 0xE6546B64) & m
+    tail = data[n4 * 4 :]
+    k = 0
+    for i, b in enumerate(tail):
+        k ^= b << (8 * i)
+    if tail:
+        k = (k * c1) & m
+        k = rot(k, 15)
+        k = (k * c2) & m
+        h ^= k
+    h ^= len(data)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & m
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & m
+    h ^= h >> 16
+    return h
+
+
+def _ice_bucket_long(v: int, n: int) -> int:
+    """Iceberg ``bucket[N]`` of a long: murmur3 of the 8-byte
+    little-endian two's-complement value, & Integer.MAX_VALUE, mod N."""
+    h = _murmur3_x86_32(int(v).to_bytes(8, "little", signed=True))
+    return (h & 0x7FFFFFFF) % n
+
+
+_TRANSFORMS_WINDOW_HI = "1995-01-20 00:00:00"
+_TRANSFORMS_PROBE_HI = "1995-01-10 00:00:00"
+
+
+def _materialize_transforms_iceberg(spark: SparkSession, sf_dir: str) -> str:
+    """orders (o_orderdate < 1995-01-20) → a FOREIGN-shaped Iceberg v1
+    table whose partition spec uses all three non-identity transforms
+    this reader supports: ``day(o_orderdate)`` as ``od_day``,
+    ``bucket[4](o_custkey)`` as ``ck_bucket``, ``truncate[2]
+    (o_orderpriority)`` as ``pr_trunc``. One data file per partition
+    tuple (the spec's invariant: every row of a file shares its tuple),
+    manifest entries carrying the tuple values, metadata JSON declaring
+    the transformed spec — exactly what an external engine's
+    ``PARTITIONED BY (days(ts), bucket(4, id), truncate(2, s))`` leaves
+    on disk. Idempotent per SF."""
+    import datetime as dt
+    import json
+    import shutil
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .iceberg import _MANIFEST_LIST_SCHEMA, _manifest_schema, _write_avro
+
+    out = os.path.join(_fixture_dir(sf_dir), "orders_transforms_iceberg")
+    done = os.path.join(out, "metadata", "version-hint.text")
+    if os.path.exists(done):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(os.path.join(out, "data"))
+    os.makedirs(os.path.join(out, "metadata"))
+
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    pdf = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit(_TRANSFORMS_WINDOW_HI).cast("timestamp_ntz"))
+        .select(*cols)
+        .orderBy("o_orderkey")
+        .toPandas()
+    )
+    epoch = dt.date(1970, 1, 1)
+    groups: dict[tuple, list[int]] = {}
+    for i, row in pdf.iterrows():
+        key = (
+            (row["o_orderdate"].date() - epoch).days,
+            _ice_bucket_long(int(row["o_custkey"]), 4),
+            str(row["o_orderpriority"])[:2],
+        )
+        groups.setdefault(key, []).append(i)
+
+    entries = []
+    for (day_v, bucket_v, trunc_v), idxs in sorted(groups.items()):
+        sub = pdf.loc[idxs]
+        rel = os.path.join(
+            "data", f"d{day_v}-b{bucket_v}-t{trunc_v.rstrip('-')}.parquet"
+        )
+        ap = os.path.join(out, rel)
+        tbl = pa.Table.from_pandas(sub, preserve_index=False)
+        # pandas hands back ns precision; Spark's vectorized reader
+        # needs MICROS for a timestamp_ntz column
+        i_ts = tbl.schema.get_field_index("o_orderdate")
+        tbl = tbl.set_column(
+            i_ts,
+            "o_orderdate",
+            tbl.column("o_orderdate").cast(pa.timestamp("us")),
+        )
+        pq.write_table(tbl, ap)
+        entries.append(
+            (
+                1,  # ADDED
+                1,
+                {
+                    "file_path": rel,
+                    "file_format": "PARQUET",
+                    "partition": {
+                        "od_day": str(day_v),
+                        "ck_bucket": str(bucket_v),
+                        "pr_trunc": trunc_v,
+                    },
+                    "record_count": len(idxs),
+                    "file_size_in_bytes": os.path.getsize(ap),
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                },
+            )
+        )
+
+    man_rel = os.path.join("metadata", f"{uuid.uuid4().hex}-m0.avro")
+    _write_avro(
+        os.path.join(out, man_rel),
+        _manifest_schema(("od_day", "ck_bucket", "pr_trunc")),
+        entries,
+    )
+    mlist_rel = os.path.join("metadata", f"snap-1-1-{uuid.uuid4().hex}.avro")
+    _write_avro(
+        os.path.join(out, mlist_rel),
+        _MANIFEST_LIST_SCHEMA,
+        [(man_rel, os.path.getsize(os.path.join(out, man_rel)), 0, 1, 0, None)],
+    )
+
+    fields = [
+        {"id": i + 1, "name": c, "required": False, "type": t}
+        for i, (c, t) in enumerate(
+            [
+                ("o_orderkey", "long"),
+                ("o_custkey", "long"),
+                ("o_orderstatus", "string"),
+                ("o_totalprice", "double"),
+                ("o_orderdate", "timestamp"),
+                ("o_orderpriority", "string"),
+            ]
+        )
+    ]
+    spec_fields = [
+        {"name": "od_day", "transform": "day", "source-id": 5, "field-id": 1000},
+        {
+            "name": "ck_bucket",
+            "transform": "bucket[4]",
+            "source-id": 2,
+            "field-id": 1001,
+        },
+        {
+            "name": "pr_trunc",
+            "transform": "truncate[2]",
+            "source-id": 6,
+            "field-id": 1002,
+        },
+    ]
+    schema = {"type": "struct", "schema-id": 0, "fields": fields}
+    md = {
+        "format-version": 1,
+        "table-uuid": uuid.uuid4().hex,
+        "location": os.path.abspath(out),
+        "schema": schema,
+        "schemas": [schema],
+        "partition-spec": spec_fields,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "default-spec-id": 0,
+        "current-snapshot-id": 1,
+        "snapshots": [
+            {
+                "snapshot-id": 1,
+                "timestamp-ms": 1,
+                "manifest-list": mlist_rel,
+                "summary": {"operation": "append"},
+                "schema-id": 0,
+                "spec-id": 0,
+            }
+        ],
+        "properties": {},
+        "refs": {},
+    }
+    with open(os.path.join(out, "metadata", "v1.metadata.json"), "w") as fh:
+        json.dump(md, fh)
+    with open(done, "w") as fh:
+        fh.write("1")
+    return out
+
+
+@query(
+    "q_scan_iceberg_transforms",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(1 AS BIGINT) AS files_pruned
+    FROM orders
+    WHERE o_orderdate <= TIMESTAMP '{_TRANSFORMS_PROBE_HI}'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_scan_iceberg_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign Iceberg tables with NON-IDENTITY partition transforms
+    (VERDICT r12 #5), read-only: ``day``/``month``/``year``/``hour``
+    and ``truncate[W]`` tuples prune at the MANIFEST level (the
+    transform is order-preserving, so the bound range maps through it —
+    ``iceberg._transform_bound``); ``bucket[N]`` tuples are not
+    order-preserving, so bucketed rows are filtered in-scan by the
+    caller's predicate instead. The fixture is a spec-true foreign
+    layout over ``orders`` partitioned by all three transform kinds;
+    the probe reads through ``bounds_filter`` on the DAY-transformed
+    timestamp and the oracle pins ``files_pruned=1`` beside the exact
+    census — hash-green proves transform resolution lost no row AND the
+    day tuples actually bought file skipping. Writer paths refuse
+    transformed tables loudly (``_require_identity_spec``; pinned in
+    tests/test_iceberg_transforms.py). Scale: a 100 TB foreign table
+    partitioned hourly prunes to the probed hours at metadata cost —
+    without this, every transformed lakehouse table is a full scan.
+    """
+    from .iceberg import snapshot_iceberg
+
+    path = _materialize_transforms_iceberg(spark, sf_dir)
+    total = len(snapshot_iceberg(path).files)
+    pruned = read_iceberg(
+        spark, path, bounds_filter={"o_orderdate": (None, _TRANSFORMS_PROBE_HI)}
+    )
+    flag = 1 if len(pruned.inputFiles()) < total else 0
+    return (
+        pruned.filter(
+            F.col("o_orderdate")
+            <= F.lit(_TRANSFORMS_PROBE_HI).cast("timestamp_ntz")
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+        )
+        .withColumn("files_pruned", F.lit(flag).cast("long"))
+    )
