@@ -113,6 +113,15 @@ ARROW_ALLOWED = {
     "q_sim_ann_recall",  # reuses the banded-LSH signature pandas_udf
     "q_approx_audit",  # drives the LSH/IVF/PQ structures it audits
     "q_multimodal_features",
+    # round 13: the distributed deletion-vector decode (VERDICT r12 #1)
+    # is an O(files)-input mapInPandas that explodes descriptor rows
+    # into positions IN TASKS — the Python stage runs over file-count
+    # rows, never data rows (the data-row mapInArrow variant only
+    # engages above spark.graft.dv.broadcastMaxPositions)
+    "q_scan_delta_dv",
+    "q_delta_delete_dv",
+    "q_delta_update_dv",
+    "q_sim_ann_pq_native_audit",  # trained-codebook encode pandas_udf (as q_sim_ann_pq)
 }
 
 
