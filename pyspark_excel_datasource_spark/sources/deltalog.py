@@ -1735,20 +1735,45 @@ def optimize(
         # bounds; the scale factor maps [lo, hi] onto the z grid so
         # file rectangles stay tight over ANY numeric domain.
         lim = (1 << _Z_BITS) - 1
+        ftypes = {f.name: f.dataType for f in prev.schema.fields}
+        from pyspark.sql.types import (
+            ByteType,
+            IntegerType,
+            LongType,
+            ShortType,
+        )
+
+        integral = all(
+            isinstance(ftypes.get(c), (ByteType, ShortType, IntegerType, LongType))
+            for c in (a, b)
+        )
+        cast_t = "bigint" if integral else "double"
         bounds = df.agg(
-            F.min(F.col(a).cast("double")).alias("alo"),
-            F.max(F.col(a).cast("double")).alias("ahi"),
-            F.min(F.col(b).cast("double")).alias("blo"),
-            F.max(F.col(b).cast("double")).alias("bhi"),
+            F.min(F.col(a).cast(cast_t)).alias("alo"),
+            F.max(F.col(a).cast(cast_t)).alias("ahi"),
+            F.min(F.col(b).cast(cast_t)).alias("blo"),
+            F.max(F.col(b).cast(cast_t)).alias("bhi"),
         ).first()
 
         def _grid(col: str, lo, hi) -> str:
             if lo is None or hi is None or not (hi > lo):
                 return "CAST(0 AS BIGINT)"  # constant/empty column
-            scale = lim / (hi - lo)
+            span = hi - lo
+            if integral and int(span) <= (2**63 - 1) // lim:
+                # exact BIGINT grid for integral keys (ADVICE r12):
+                # DOUBLE arithmetic loses precision past 2^53 and two
+                # adjacent wide keys could land on swapped grid cells;
+                # (v - lo) * lim DIV span == floor((v-lo)*lim/span)
+                # stays exact as long as span*lim fits int64
+                return (
+                    f"CAST(LEAST({lim}, GREATEST(0, "
+                    f"(CAST({col} AS BIGINT) - {int(lo)}) * {lim} DIV {int(span)}"
+                    f")) AS BIGINT)"
+                )
+            scale = lim / float(span)
             return (
                 f"CAST(LEAST({lim}, GREATEST(0, FLOOR("
-                f"(CAST({col} AS DOUBLE) - {lo!r}) * {scale!r}"
+                f"(CAST({col} AS DOUBLE) - {float(lo)!r}) * {scale!r}"
                 f"))) AS BIGINT)"
             )
 

@@ -139,3 +139,41 @@ def test_describe_detail_statless_file_reports_unknown_rows(spark, tmp_path):
     assert d2["num_rows"] is None
     assert d2["num_files"] == 1
     assert d2["n_commits"] == 2
+
+
+def test_zorder_wide_integer_keys_grid_exact(spark, tmp_path):
+    """ADVICE r12: integral z-order keys past 2^53 must grid EXACTLY.
+    Keys at 2^60 + k have double spacing 256 — the old DOUBLE grid
+    collapsed every 256 adjacent keys onto one cell, so the range-split
+    rewrite could not separate them; the BIGINT grid keeps the layout
+    key-disjoint and stats-prunable at any magnitude."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pyspark_excel_datasource_spark.sources.deltalog import (
+        optimize,
+        read_delta,
+        snapshot,
+        write_delta,
+    )
+
+    base = 1 << 60
+    path = str(tmp_path / "widekeys")
+    df = spark.range(1024).select(
+        (F.col("id") + base).alias("a"), (F.col("id") % 97).alias("b")
+    )
+    write_delta(spark, df.repartition(8), path)
+    optimize(spark, path, target_files=4, zorder_by=("a", "b"))
+    got = read_delta(spark, path)
+    assert got.count() == 1024
+    assert got.agg(F.sum(F.col("a") - base)).first()[0] == 1023 * 1024 // 2
+    # the rewritten files' stats must split the key range: a probe for
+    # the lowest 1/8 of keys schedules fewer files than the table holds
+    n_files = len(snapshot(path).files)
+    assert n_files > 1
+    pruned = read_delta(
+        spark, path, stats_filter={"a": (None, base + 127)}
+    )
+    assert len(pruned.inputFiles()) < n_files
+    assert pruned.filter(F.col("a") <= base + 127).count() == 128
