@@ -188,6 +188,7 @@ _PIN: tuple[str, ...] = (
     "q_dedup_minhash_native_audit",
     "q_sim_ann_pq_native_audit",
     "q_scan_iceberg_transforms",
+    "q_stream_delta_skipchanges",
 )
 
 _REPO_ROOT = os.path.dirname(

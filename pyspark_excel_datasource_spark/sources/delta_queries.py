@@ -918,15 +918,17 @@ def q_scan_delta_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deletion-vector Delta read (PROTOCOL.md "Deletion Vectors",
     reader feature ``deletionVectors``): the fixture's v1 re-adds its
     data file with an inline Z85 roaring bitmap soft-deleting the rows
-    at ``c_custkey % 7 == 0`` positions; the scan decodes the bitmap
-    driver-side and subtracts those positions via a broadcast anti-join
-    on ``_metadata.row_index`` (sources/dvbitmap.py). The oracle states
-    the deletion as a plain predicate over the base table — identical
+    at ``c_custkey % 7 == 0`` positions; TASKS decode the bitmap
+    (round 13 — ``deltalog._dv_positions_df``; the driver ships only
+    O(files) descriptors) and the scan subtracts those positions via a
+    bounded broadcast anti-join on ``_metadata.row_index``, switching
+    to an in-scan ``mapInArrow`` filter past
+    ``spark.graft.dv.broadcastMaxPositions``. The oracle states the
+    deletion as a plain predicate over the base table — identical
     aggregates prove the bitmap decode and the positional subtraction
     lost (and resurrected) nothing. Scale: the DV is metadata-sized by
     the format's design intent (writers rewrite files whose DVs grow);
-    the anti-join broadcasts file-count × cardinality keys and the fact
-    side never reshuffles."""
+    the fact side never reshuffles under either strategy."""
     path = _materialize_dv_delta(spark, sf_dir)
     return (
         read_delta(spark, path)
@@ -1809,4 +1811,93 @@ def q_delta_zorder_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c_custkey").cast("long").alias("sum_key"),
         )
         .withColumn("files_pruned", F.lit(flag).cast("long"))
+    )
+
+
+def _materialize_dv_stream_delta(spark: SparkSession, sf_dir: str) -> str:
+    """3-commit fixture for the skipChangeCommits stream contract:
+    v0 appends the even-key customers (one sorted file), v1 soft-deletes
+    ``c_acctbal < 0`` via a DELETION-VECTOR commit (this writer's own
+    MOR delete), v2 appends the odd-key customers. Idempotent per SF."""
+    from .deltalog import delete_where
+
+    out = os.path.join(_fixture_dir(sf_dir), "customer_dv_stream_delta")
+    done = os.path.join(out, "_delta_log", f"{3:020d}.json")
+    if os.path.exists(done):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    write_delta(spark, cust.filter(F.col("c_custkey") % 2 == 0).coalesce(1), out)
+    delete_where(spark, out, "c_acctbal < 0", mode="deletion-vectors")
+    write_delta(
+        spark,
+        cust.filter(F.col("c_custkey") % 2 == 1).coalesce(1),
+        out,
+        mode="append",
+    )
+    return out
+
+
+@query(
+    "q_stream_delta_skipchanges",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(c_custkey) AS BIGINT) AS sum_key
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q_stream_delta_skipchanges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``skipChangeCommits=true`` on the pydelta stream (the public
+    Delta source's successor to ignoreChanges, round 13): commits that
+    CHANGE existing rows — rewrites (removes+adds) and deletion-vector
+    attaches — are skipped WHOLE; append commits stream through
+    unchanged, duplicate-free. The fixture interleaves a DV delete
+    between two appends: the drain emits both appends' rows exactly
+    once (the soft-deleted rows INCLUDED, because the stream is an
+    append log and row-level changes are disregarded by declaration —
+    which is why the oracle is the FULL customer census while
+    ``q_scan_delta_dv``'s batch oracle excludes the deleted keys).
+    Without the option the DV commit fails the stream loudly
+    (tests/test_streaming_skipchanges.py). Scale: offsets stay log
+    versions, each micro-batch schedules only its commits' ADD files —
+    change detection costs one pass over the version's log JSON, no
+    data read for skipped commits.
+    """
+    import uuid
+
+    from .delta_stream import register_pydelta
+
+    register_pydelta(spark)
+    path = _materialize_dv_stream_delta(spark, sf_dir)
+    sink = f"stream_dv_{uuid.uuid4().hex[:10]}"
+    stream = (
+        spark.readStream.format("pydelta")
+        .option("skipChangeCommits", "true")
+        .load(path)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(120):
+            raise TimeoutError(
+                "q_stream_delta_skipchanges: drain did not finish in 120s"
+            )
+    finally:
+        q.stop()
+    return (
+        spark.table(sink)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_cust"),
+            F.sum("c_custkey").cast("long").alias("sum_key"),
+        )
     )

@@ -122,11 +122,23 @@ class DeltaStreamReader(DataSourceStreamReader):
             raise ValueError("pydelta stream requires a table path")
         self.ignore_deletes = _opt_flag(options, "ignoreDeletes", "ignoredeletes")
         self.ignore_changes = _opt_flag(options, "ignoreChanges", "ignorechanges")
+        # skipChangeCommits (the public Delta source's successor to
+        # ignoreChanges): SKIP every commit that changes existing rows
+        # — rewrite commits (removes+adds) AND deletion-vector re-adds
+        # — instead of erroring or re-emitting. The stream stays
+        # append-only and duplicate-free; row-level changes are
+        # disregarded by declaration.
+        self.skip_change_commits = _opt_flag(
+            options, "skipChangeCommits", "skipchangecommits"
+        )
         self.cdf = _opt_flag(options, "readChangeFeed", "readchangefeed")
-        if self.cdf and (self.ignore_deletes or self.ignore_changes):
+        if self.cdf and (
+            self.ignore_deletes or self.ignore_changes or self.skip_change_commits
+        ):
             raise ValueError(
                 "pydelta stream: readChangeFeed streams every change as "
-                "typed rows; ignoreDeletes/ignoreChanges do not compose"
+                "typed rows; ignoreDeletes/ignoreChanges/skipChangeCommits "
+                "do not compose"
             )
         from .deltalog import _require_no_dv, _require_unmapped
 
@@ -135,8 +147,10 @@ class DeltaStreamReader(DataSourceStreamReader):
         # column-mapped table stores physical names — reject up front
         _require_unmapped(snap, "pydelta stream")
         # deletion vectors soft-delete rows INSIDE files the stream
-        # would re-emit whole — reject up front (batch reads apply them)
-        _require_no_dv(snap, "pydelta stream")
+        # would re-emit whole — reject up front (batch reads apply
+        # them) UNLESS skipChangeCommits declares DV commits skippable
+        if not self.skip_change_commits:
+            _require_no_dv(snap, "pydelta stream")
 
     def initialOffset(self) -> dict:
         return {"version": -1}
@@ -166,19 +180,33 @@ class DeltaStreamReader(DataSourceStreamReader):
                         _check_protocol(act["protocol"])
                     elif "add" in act and act["add"].get("dataChange", True):
                         if act["add"].get("deletionVector") is not None:
-                            raise RuntimeError(
-                                f"pydelta stream: version {v} attaches a "
-                                "deletion vector; streaming a DV commit "
-                                "would re-emit soft-deleted rows — read "
-                                "the table in batch mode instead"
-                            )
-                        adds.append(act["add"])
+                            if self.skip_change_commits:
+                                adds.append(act["add"])  # commit skipped below
+                            else:
+                                raise RuntimeError(
+                                    f"pydelta stream: version {v} attaches a "
+                                    "deletion vector; streaming a DV commit "
+                                    "would re-emit soft-deleted rows — set "
+                                    "skipChangeCommits=true to disregard "
+                                    "row-level changes, or read the table "
+                                    "in batch mode"
+                                )
+                        else:
+                            adds.append(act["add"])
                     elif "remove" in act and act["remove"].get(
                         "dataChange", True
                     ):
                         removes.append(act["remove"])
             if self.cdf:
                 parts.extend(self._cdf_parts(v, adds, removes))
+                continue
+            if self.skip_change_commits and (
+                removes
+                or any(a.get("deletionVector") is not None for a in adds)
+            ):
+                # a commit that changes existing rows (rewrite or DV
+                # attach) is skipped WHOLE — half-applying it would be
+                # neither the old nor the new table state
                 continue
             has_dc_remove = bool(removes)
             # classify the commit, mirroring the public Delta source

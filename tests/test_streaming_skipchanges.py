@@ -1,0 +1,121 @@
+"""Round 13: pydelta stream skipChangeCommits (the public Delta
+source's successor to ignoreChanges) — change commits skipped whole,
+appends exactly once, loud failure without the option."""
+
+from __future__ import annotations
+
+import os
+import sys
+import uuid
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pyspark_excel_datasource_spark.sources.delta_stream import (  # noqa: E402
+    register_pydelta,
+)
+from pyspark_excel_datasource_spark.sources.deltalog import (  # noqa: E402
+    delete_where,
+    read_delta,
+    update_where,
+    write_delta,
+)
+
+
+def _drain(spark, path, **options):
+    register_pydelta(spark)
+    sink = f"skipchanges_{uuid.uuid4().hex[:10]}"
+    reader = spark.readStream.format("pydelta")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load(path)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(120):
+            raise TimeoutError("drain timeout")
+        exc = q.exception()
+        if exc is not None:
+            raise RuntimeError(str(exc))
+    finally:
+        q.stop()
+    return spark.table(sink)
+
+
+def _three_commit_table(spark, tmp_path, name):
+    path = str(tmp_path / name)
+    df = spark.createDataFrame(
+        [(i, float(i % 5) - 2.0) for i in range(40)], "k long, v double"
+    )
+    write_delta(spark, df.filter("k % 2 = 0").coalesce(1), path)
+    delete_where(spark, path, "v < 0", mode="deletion-vectors")
+    write_delta(
+        spark, df.filter("k % 2 = 1").coalesce(1), path, mode="append"
+    )
+    return path
+
+
+def test_skipchangecommits_skips_dv_commit_whole(spark, tmp_path):
+    path = _three_commit_table(spark, tmp_path, "skip_dv")
+    got = sorted(
+        r.k for r in _drain(spark, path, skipChangeCommits="true").collect()
+    )
+    # both appends exactly once, soft-deleted rows included (append-log
+    # semantics: row-level changes disregarded by declaration)
+    assert got == list(range(40))
+
+
+def test_dv_commit_fails_loudly_without_option(spark, tmp_path):
+    path = _three_commit_table(spark, tmp_path, "nodv_opt")
+    with pytest.raises(Exception, match="[dD]eletion vector|DV"):
+        _drain(spark, path, ignoreDeletes="true")
+
+
+def test_skipchangecommits_skips_update_rewrite(spark, tmp_path):
+    path = str(tmp_path / "skip_upd")
+    df = spark.createDataFrame([(i, 0.0) for i in range(10)], "k long, v double")
+    write_delta(spark, df.coalesce(1), path)
+    update_where(spark, path, "k < 3", {"v": "v + 1.0"})  # COW rewrite
+    write_delta(
+        spark,
+        spark.createDataFrame([(100, 9.0)], "k long, v double"),
+        path,
+        mode="append",
+    )
+    got = sorted(
+        r.k for r in _drain(spark, path, skipChangeCommits="true").collect()
+    )
+    assert got == list(range(10)) + [100]
+    # the rewrite's files never re-emit — no duplicates of k<3
+    assert len(got) == 11
+
+
+def test_skipchangecommits_incompatible_with_cdf(spark, tmp_path):
+    path = _three_commit_table(spark, tmp_path, "skip_cdf")
+    with pytest.raises(Exception, match="do not compose"):
+        _drain(
+            spark, path, skipChangeCommits="true", readChangeFeed="true"
+        ).collect()
+
+
+def test_batch_read_still_applies_dv_after_stream(spark, tmp_path):
+    """The stream disregards the DV; the batch read must still apply
+    it — the two contracts coexist on one table."""
+    path = _three_commit_table(spark, tmp_path, "skip_batch")
+    batch = read_delta(spark, path)
+    # the DV deleted the EVEN-key v<0 rows (the only rows at v1); the
+    # second append's odd-key v<0 rows postdate the delete and survive
+    neg = batch.filter(F.col("v") < 0)
+    assert neg.filter(F.col("k") % 2 == 0).count() == 0
+    assert neg.count() == 8
+    stream_rows = _drain(spark, path, skipChangeCommits="true").count()
+    assert stream_rows == 40
+    assert batch.count() == 32
