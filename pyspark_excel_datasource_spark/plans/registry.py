@@ -189,6 +189,7 @@ _PIN: tuple[str, ...] = (
     "q_sim_ann_pq_native_audit",
     "q_scan_iceberg_transforms",
     "q_stream_delta_skipchanges",
+    "q_stream_iceberg_skipdeletes",
 )
 
 _REPO_ROOT = os.path.dirname(

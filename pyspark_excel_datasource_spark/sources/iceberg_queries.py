@@ -2144,3 +2144,92 @@ def q_scan_iceberg_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("files_pruned", F.lit(flag).cast("long"))
     )
+
+
+def _materialize_del_stream_iceberg(spark: SparkSession, sf_dir: str) -> str:
+    """3-snapshot fixture for the skip-delete-snapshots stream
+    contract: s1 appends the even-key customers, s2 soft-deletes
+    ``c_acctbal < 0`` via a MOR position-delete snapshot (operation
+    "delete", upgrades to v2), s3 appends the odd keys. Idempotent per
+    SF."""
+    import shutil
+
+    from .iceberg import delete_where_iceberg
+
+    out = os.path.join(_fixture_dir(sf_dir), "customer_del_stream_iceberg")
+    done = os.path.join(out, "metadata", "v4.metadata.json")
+    if os.path.exists(done):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    write_iceberg(spark, cust.filter(F.col("c_custkey") % 2 == 0).coalesce(1), out)
+    delete_where_iceberg(spark, out, "c_acctbal < 0")
+    write_iceberg(
+        spark,
+        cust.filter(F.col("c_custkey") % 2 == 1).coalesce(1),
+        out,
+        mode="append",
+    )
+    return out
+
+
+@query(
+    "q_stream_iceberg_skipdeletes",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(c_custkey) AS BIGINT) AS sum_key
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q_stream_iceberg_skipdeletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``streaming-skip-delete-snapshots=true`` on the pyiceberg stream
+    (the public Iceberg source option, round 13 — Delta twin:
+    ``q_stream_delta_skipchanges``): row-level DELETE snapshots are
+    skipped WHOLE, append snapshots stream exactly once, and a v2
+    table with position deletes becomes streamable. The fixture
+    interleaves a MOR delete between two appends: the drain emits both
+    appends' rows exactly once (soft-deleted rows included — the stream
+    is an append log and row-level changes are disregarded by
+    declaration), so the oracle is the FULL customer census while the
+    batch read of the same table subtracts the delete. Scale: offsets
+    stay snapshot ids, a skipped delete snapshot costs one summary
+    lookup — no manifest walk, no data read.
+    """
+    import uuid
+
+    from .iceberg_stream import register_pyiceberg_stream
+
+    register_pyiceberg_stream(spark)
+    path = _materialize_del_stream_iceberg(spark, sf_dir)
+    sink = f"stream_ice_del_{uuid.uuid4().hex[:10]}"
+    stream = (
+        spark.readStream.format("pyiceberg_stream")
+        .option("streaming-skip-delete-snapshots", "true")
+        .load(path)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(120):
+            raise TimeoutError(
+                "q_stream_iceberg_skipdeletes: drain did not finish in 120s"
+            )
+    finally:
+        q.stop()
+    return (
+        spark.table(sink)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_cust"),
+            F.sum("c_custkey").cast("long").alias("sum_key"),
+        )
+    )

@@ -111,13 +111,26 @@ class IcebergStreamReader(DataSourceStreamReader):
         if not self.path:
             raise ValueError("pyiceberg_stream requires a table path")
         self.ignore_changes = _opt_flag(options, "ignoreChanges", "ignorechanges")
+        # the public Iceberg source's skip options (round 13):
+        # delete snapshots / overwrite snapshots are skipped WHOLE
+        # instead of erroring (deletes) or re-emitting (overwrites with
+        # ignoreChanges) — the stream stays append-only and
+        # duplicate-free, row-level changes disregarded by declaration
+        self.skip_deletes = _opt_flag(
+            options, "streaming-skip-delete-snapshots"
+        )
+        self.skip_overwrites = _opt_flag(
+            options, "streaming-skip-overwrite-snapshots"
+        )
         from .iceberg import _require_v1
 
         snapshot_iceberg(self.path)  # validates table + format gate
         # the stream re-emits whole data files; v2 position deletes
         # soft-delete rows INSIDE them — reject up front (batch reads
-        # apply the deletes)
-        _require_v1(_current_metadata(self.path), "pyiceberg stream")
+        # apply the deletes) UNLESS streaming-skip-delete-snapshots
+        # declares the delete snapshots skippable
+        if not self.skip_deletes:
+            _require_v1(_current_metadata(self.path), "pyiceberg stream")
 
     def initialOffset(self) -> dict:
         return {"snapshot_id": 0}
@@ -173,11 +186,24 @@ class IcebergStreamReader(DataSourceStreamReader):
                 else:
                     _added_files(self.path, s, lo, ids)
                 continue
+            if op == "delete":
+                if self.skip_deletes:
+                    continue  # row-level delete: declared skippable
+                raise RuntimeError(
+                    f"pyiceberg_stream: snapshot {sid} is a row-level "
+                    "DELETE; set streaming-skip-delete-snapshots=true to "
+                    "disregard row-level changes, or read the table in "
+                    "batch mode"
+                )
+            if op == "overwrite" and self.skip_overwrites:
+                continue  # rewrite skipped whole — no re-emit, no dupes
             if op == "overwrite" and not self.ignore_changes:
                 raise RuntimeError(
                     f"pyiceberg_stream: snapshot {sid} is an OVERWRITE "
                     "(data rewrite); set ignoreChanges=true to stream its "
-                    "added files (rows may repeat) or start a fresh stream"
+                    "added files (rows may repeat), "
+                    "streaming-skip-overwrite-snapshots=true to skip it "
+                    "whole, or start a fresh stream"
                 )
             # one walk lists the added files AND orphan-checks every
             # entry (shared manifests included) — a fresh stream over a

@@ -119,3 +119,104 @@ def test_batch_read_still_applies_dv_after_stream(spark, tmp_path):
     stream_rows = _drain(spark, path, skipChangeCommits="true").count()
     assert stream_rows == 40
     assert batch.count() == 32
+
+
+# ---------------------------------------------------------------------------
+# Iceberg twin: streaming-skip-delete/overwrite-snapshots
+# ---------------------------------------------------------------------------
+
+
+def _drain_ice(spark, path, **options):
+    from pyspark_excel_datasource_spark.sources.iceberg_stream import (
+        register_pyiceberg_stream,
+    )
+
+    register_pyiceberg_stream(spark)
+    sink = f"iceskip_{uuid.uuid4().hex[:10]}"
+    reader = spark.readStream.format("pyiceberg_stream")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load(path)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(120):
+            raise TimeoutError("drain timeout")
+        exc = q.exception()
+        if exc is not None:
+            raise RuntimeError(str(exc))
+    finally:
+        q.stop()
+    return spark.table(sink)
+
+
+def _three_snapshot_iceberg(spark, tmp_path, name):
+    from pyspark_excel_datasource_spark.sources.iceberg import (
+        delete_where_iceberg,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / name)
+    df = spark.createDataFrame(
+        [(i, float(i % 5) - 2.0) for i in range(40)], "k long, v double"
+    )
+    write_iceberg(spark, df.filter("k % 2 = 0").coalesce(1), path)
+    delete_where_iceberg(spark, path, "v < 0")
+    write_iceberg(
+        spark, df.filter("k % 2 = 1").coalesce(1), path, mode="append"
+    )
+    return path
+
+
+def test_iceberg_skip_delete_snapshots(spark, tmp_path):
+    from pyspark_excel_datasource_spark.sources.iceberg import read_iceberg
+
+    path = _three_snapshot_iceberg(spark, tmp_path, "ice_skip_del")
+    got = sorted(
+        r.k
+        for r in _drain_ice(
+            spark, path, **{"streaming-skip-delete-snapshots": "true"}
+        ).collect()
+    )
+    assert got == list(range(40))
+    # the batch read still applies the position deletes
+    assert read_iceberg(spark, path).count() == 32
+
+
+def test_iceberg_v2_stream_fails_without_skip_option(spark, tmp_path):
+    path = _three_snapshot_iceberg(spark, tmp_path, "ice_noskip")
+    with pytest.raises(Exception, match="format-version 2|DELETE"):
+        _drain_ice(spark, path)
+
+
+def test_iceberg_skip_overwrite_snapshots(spark, tmp_path):
+    from pyspark_excel_datasource_spark.sources.iceberg import write_iceberg
+
+    path = str(tmp_path / "ice_skip_ovw")
+    df = spark.createDataFrame([(i, 0.0) for i in range(10)], "k long, v double")
+    write_iceberg(spark, df.coalesce(1), path)
+    write_iceberg(
+        spark,
+        spark.createDataFrame([(50, 1.0)], "k long, v double"),
+        path,
+        mode="overwrite",
+    )
+    write_iceberg(
+        spark,
+        spark.createDataFrame([(60, 2.0)], "k long, v double"),
+        path,
+        mode="append",
+    )
+    got = sorted(
+        r.k
+        for r in _drain_ice(
+            spark, path, **{"streaming-skip-overwrite-snapshots": "true"}
+        ).collect()
+    )
+    # s1 appends 0..9, the overwrite is skipped whole, s3 appends 60
+    assert got == list(range(10)) + [60]
