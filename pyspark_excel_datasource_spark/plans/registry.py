@@ -190,6 +190,7 @@ _PIN: tuple[str, ...] = (
     "q_scan_iceberg_transforms",
     "q_stream_delta_skipchanges",
     "q_stream_iceberg_skipdeletes",
+    "q_delta_optimize_binpack",
 )
 
 _REPO_ROOT = os.path.dirname(

@@ -1901,3 +1901,69 @@ def q_stream_delta_skipchanges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c_custkey").cast("long").alias("sum_key"),
         )
     )
+
+
+@query(
+    "q_delta_optimize_binpack",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(2 AS BIGINT) AS n_files_after,
+           CAST(1 AS BIGINT) AS big_untouched
+    FROM orders
+    """,
+)
+def q_delta_optimize_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECTIVE bin-packing OPTIMIZE (round 13): real compaction on a
+    100 TB table never rewrites well-sized files — ``optimize(...,
+    small_file_bytes=N)`` reads and repacks ONLY the files under the
+    threshold (plus DV carriers, for folding); everything else stays
+    byte-identical on disk and keeps its live add action. The fixture
+    is one large file (all but the first 150 orders) plus three 50-row
+    sliver appends — the classic trickle-ingest shape; after the
+    selective pass the table is exactly 2 files (slivers packed into
+    one, big file untouched — ``big_untouched`` pins its on-disk byte
+    size unchanged) and the census proves the repack lost nothing. At
+    100 TB: a daily maintenance pass costs O(yesterday's small files),
+    not O(table).
+    """
+    from .deltalog import optimize
+
+    out = os.path.join(_fixture_dir(sf_dir), "orders_binpack_delta")
+    shutil.rmtree(out, ignore_errors=True)
+    o = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+    keys150 = [r.o_orderkey for r in o.limit(150).select("o_orderkey").collect()]
+    write_delta(
+        spark, o.filter(~F.col("o_orderkey").isin(keys150)).coalesce(1), out
+    )
+    big_rel = next(iter(snapshot(out).files))
+    big_size = os.path.getsize(os.path.join(out, big_rel))
+    for i in range(3):
+        sliver = keys150[50 * i : 50 * (i + 1)]
+        write_delta(
+            spark,
+            o.filter(F.col("o_orderkey").isin(sliver)).coalesce(1),
+            out,
+            mode="append",
+        )
+    optimize(spark, out, small_file_bytes=12_288, target_files=1)
+    snap = snapshot(out)
+    untouched = (
+        1
+        if big_rel in snap.files
+        and os.path.getsize(os.path.join(out, big_rel)) == big_size
+        else 0
+    )
+    return (
+        read_delta(spark, out)
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+        )
+        .withColumn("n_files_after", F.lit(len(snap.files)).cast("long"))
+        .withColumn("big_untouched", F.lit(untouched).cast("long"))
+    )

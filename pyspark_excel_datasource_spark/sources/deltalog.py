@@ -1679,40 +1679,72 @@ def read_change_feed(
     return ins.unionByName(dels)
 
 
+def _file_size(table_path: str, rel: str) -> int:
+    try:
+        return os.path.getsize(os.path.join(table_path, rel))
+    except OSError:
+        return 1 << 62  # unreadable size: treat as large, don't rewrite
+
+
 def optimize(
     spark: SparkSession,
     table_path: str,
     zorder_by: tuple[str, str] | None = None,
     target_files: int = 4,
+    small_file_bytes: int | None = None,
 ) -> int:
-    """OPTIMIZE: rewrite the live files and publish the swap as a single
+    """OPTIMIZE: rewrite live files and publish the swap as a single
     ``dataChange=false`` commit — readers see identical rows before and
     after, streams consuming the log know no data changed, and time
     travel to pre-compaction versions still works (old files remain on
     disk until a vacuum).
 
     Default mode is bin-packing compaction (one file per partition via
-    ``repartition(partition cols)``). ``zorder_by=(colA, colB)``
-    instead Z-ORDER-clusters an UNPARTITIONED table: rows are range-
-    partitioned into ``target_files`` files by the bit-interleaved
-    z-value of the two columns, so each file covers a tight rectangle
-    in (colA, colB) space and min/max file stats prune point/range
-    probes on EITHER column — the multi-dimensional layout maintenance
-    that a single-column sort cannot give. The rewrite is a parallel
-    Spark job either way; at 100 TB this is the maintenance pass that
-    keeps scan task counts proportional to bytes and stats selective.
+    ``repartition(partition cols)``). ``small_file_bytes`` makes it
+    SELECTIVE, the way real OPTIMIZE runs on a 100 TB table (round 13):
+    only files smaller than the threshold — plus every file carrying a
+    deletion vector, so DV folding still happens — are read and
+    rewritten; well-sized files stay byte-identical on disk and keep
+    their add actions. A daily maintenance pass then costs
+    O(small+DV files), never a full table rewrite. ``zorder_by=(colA,
+    colB)`` instead Z-ORDER-clusters an UNPARTITIONED table: rows are
+    range-partitioned into ``target_files`` files by the bit-
+    interleaved z-value of the two columns, so each file covers a tight
+    rectangle in (colA, colB) space and min/max file stats prune
+    point/range probes on EITHER column — the multi-dimensional layout
+    maintenance a single-column sort cannot give (a layout rewrite is
+    whole-table by definition, so it does not compose with
+    ``small_file_bytes``). The rewrite is a parallel Spark job either
+    way; at 100 TB this is the maintenance pass that keeps scan task
+    counts proportional to bytes and stats selective.
     """
     prev = snapshot(table_path)
     _require_unmapped(prev, "optimize")
     _require_writer_ok(prev, "optimize")
     pcols = prev.partition_columns
+    rewrite_files = dict(prev.files)
+    if small_file_bytes is not None:
+        if zorder_by is not None:
+            raise ValueError(
+                "small_file_bytes does not compose with zorder_by (a "
+                "layout rewrite is whole-table by definition)"
+            )
+        rewrite_files = {
+            rel: pv
+            for rel, pv in prev.files.items()
+            # size from the stats-era add action when present, else disk
+            if rel in prev.dvs
+            or _file_size(table_path, rel) < int(small_file_bytes)
+        }
+        if not rewrite_files:
+            return prev.version  # nothing under threshold: no-op
     # reading through the deletion vectors makes compaction FOLD
     # accumulated soft-deletes into the rewritten data — the
     # maintenance half of the merge-on-read contract
     df = _read_files(
         spark,
         table_path,
-        prev.files,
+        rewrite_files,
         prev.schema,
         pcols,
         dv_descriptors=_snap_dv_descriptors(prev),
@@ -1794,7 +1826,9 @@ def optimize(
         {"commitInfo": {"operation": "OPTIMIZE", "operationParameters": {}}}
     ]
     actions.extend(_stage_and_move(df, table_path, pcols, data_change=False))
-    for rel in sorted(prev.files):
+    # selective mode removes (and re-adds nothing for) ONLY the
+    # rewritten subset; untouched files keep their live add actions
+    for rel in sorted(rewrite_files):
         actions.append(
             {"remove": {"path": _encode_path(rel), "dataChange": False}}
         )

@@ -177,3 +177,61 @@ def test_zorder_wide_integer_keys_grid_exact(spark, tmp_path):
     )
     assert len(pruned.inputFiles()) < n_files
     assert pruned.filter(F.col("a") <= base + 127).count() == 128
+
+
+def test_optimize_selective_binpack(spark, tmp_path):
+    """small_file_bytes compaction: only under-threshold files (plus DV
+    carriers) rewrite; large files stay byte-identical, time travel to
+    the pre-optimize version still sees the old layout, and a pass with
+    nothing under threshold is a version-preserving no-op."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pyspark_excel_datasource_spark.sources.deltalog import (
+        delete_where,
+        optimize,
+        read_delta,
+        snapshot,
+        write_delta,
+    )
+
+    path = str(tmp_path / "binpack")
+    big = spark.range(200_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("g")
+    )
+    write_delta(spark, big.coalesce(1), path)
+    (big_rel,) = snapshot(path).files
+    big_size = os.path.getsize(os.path.join(path, big_rel))
+    for lo in (0, 1, 2):
+        write_delta(
+            spark,
+            spark.range(lo * 10, lo * 10 + 10).select(
+                (F.col("id") + 1_000_000).alias("k"),
+                F.lit(9).cast("long").alias("g"),
+            ).coalesce(1),
+            path,
+            mode="append",
+        )
+    v_before = snapshot(path).version
+    assert len(snapshot(path).files) == 4
+    assert optimize(spark, path, small_file_bytes=big_size) == v_before + 1
+    snap = snapshot(path)
+    assert big_rel in snap.files  # large file kept its add action
+    assert os.path.getsize(os.path.join(path, big_rel)) == big_size
+    assert len(snap.files) == 2  # three slivers packed into one
+    assert read_delta(spark, path).count() == 200_030
+    # pre-optimize version still shows the 4-file layout
+    assert len(snapshot(path, v_before).files) == 4
+    # DV carriers rewrite regardless of size: fold the big file's DV
+    delete_where(spark, path, "k % 2 = 0 AND k < 100", mode="deletion-vectors")
+    v = optimize(spark, path, small_file_bytes=1)  # nothing small…
+    snap2 = snapshot(path)
+    assert not snap2.dvs  # …but the DV carrier was selected and folded
+    assert read_delta(spark, path).count() == 200_030 - 50
+    # and with no smalls AND no DVs, selective optimize is a no-op
+    assert optimize(spark, path, small_file_bytes=1) == v
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="zorder_by"):
+        optimize(spark, path, small_file_bytes=1, zorder_by=("k", "g"))
