@@ -191,6 +191,8 @@ _PIN: tuple[str, ...] = (
     "q_stream_delta_skipchanges",
     "q_stream_iceberg_skipdeletes",
     "q_delta_optimize_binpack",
+    "q_stream_delta_startver",
+    "q_stream_iceberg_fromts",
 )
 
 _REPO_ROOT = os.path.dirname(

@@ -1967,3 +1967,63 @@ def q_delta_optimize_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_files_after", F.lit(len(snap.files)).cast("long"))
         .withColumn("big_untouched", F.lit(untouched).cast("long"))
     )
+
+
+@query(
+    "q_stream_delta_startver",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+    FROM orders
+    WHERE o_orderkey % 3 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def q_stream_delta_startver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``startingVersion`` on the pydelta stream (the public Delta
+    source option, round 13): the stream begins AT a log version —
+    history before it is not replayed (backfill is a batch read), which
+    is what bounds a fresh consumer's first micro-batch on a long-lived
+    100 TB table to the commits it actually needs. The fixture's v0
+    (two-thirds of orders) is skipped by ``startingVersion=1``; v1 (the
+    ``o_orderkey % 3 = 0`` append) streams, v2's partition DELETE is
+    skipped via ignoreDeletes — so the drained census is exactly the
+    second append, P partition included (the delete is disregarded),
+    which no batch oracle of the final table state would produce.
+    """
+    import uuid
+
+    from .delta_stream import register_pydelta
+
+    register_pydelta(spark)
+    path = _materialize_orders_delta(spark, sf_dir)
+    sink = f"stream_sv_{uuid.uuid4().hex[:10]}"
+    stream = (
+        spark.readStream.format("pydelta")
+        .option("startingVersion", "1")
+        .option("ignoreDeletes", "true")
+        .load(path)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(120):
+            raise TimeoutError(
+                "q_stream_delta_startver: drain did not finish in 120s"
+            )
+    finally:
+        q.stop()
+    return (
+        spark.table(sink)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+        )
+    )

@@ -140,6 +140,30 @@ class DeltaStreamReader(DataSourceStreamReader):
                 "typed rows; ignoreDeletes/ignoreChanges/skipChangeCommits "
                 "do not compose"
             )
+        # startingVersion (public Delta source option): begin the
+        # stream AT a log version instead of replaying from 0 —
+        # "latest" starts past the current head (new commits only).
+        # History before the start is simply not part of the stream
+        # (backfill with a batch read), which is what bounds a fresh
+        # consumer's first drain on a long-lived table.
+        sv = options.get("startingVersion", options.get("startingversion"))
+        self.starting_version: int | None
+        if sv is None:
+            self.starting_version = None
+        elif str(sv).lower() == "latest":
+            self.starting_version = -1  # resolved in initialOffset
+        else:
+            try:
+                self.starting_version = int(sv)
+            except ValueError as e:
+                raise ValueError(
+                    f"pydelta stream: startingVersion must be an integer "
+                    f"or 'latest', got {sv!r}"
+                ) from e
+            if self.starting_version < 0:
+                raise ValueError(
+                    "pydelta stream: startingVersion must be >= 0"
+                )
         from .deltalog import _require_no_dv, _require_unmapped
 
         snap = snapshot(self.path)  # validates table existence + protocol gate
@@ -153,7 +177,18 @@ class DeltaStreamReader(DataSourceStreamReader):
             _require_no_dv(snap, "pydelta stream")
 
     def initialOffset(self) -> dict:
-        return {"version": -1}
+        if self.starting_version is None:
+            return {"version": -1}
+        if self.starting_version == -1:  # "latest"
+            js, cps = _list_log(self.path)
+            return {"version": max(js + cps)}
+        if self.starting_version == 0:
+            return {"version": -1}
+        # the offset is the last ALREADY-CONSUMED version: start AT
+        # startingVersion means everything before it is consumed. The
+        # version must still be replayable (not vacuumed past) — the
+        # per-version file-existence guard in partitions() enforces it.
+        return {"version": self.starting_version - 1}
 
     def latestOffset(self) -> dict:
         js, cps = _list_log(self.path)

@@ -132,8 +132,31 @@ class IcebergStreamReader(DataSourceStreamReader):
         if not self.skip_deletes:
             _require_v1(_current_metadata(self.path), "pyiceberg stream")
 
+        # stream-from-timestamp (public Iceberg source option, ms):
+        # begin with the first snapshot whose commit timestamp is at or
+        # after T — earlier history is not part of the stream (backfill
+        # with a batch read). Resolved once, here, against the snapshot
+        # registry; offsets stay snapshot ids.
+        ts = options.get("stream-from-timestamp")
+        self.start_after: int = 0
+        if ts is not None:
+            try:
+                t0 = int(ts)
+            except ValueError as e:
+                raise ValueError(
+                    "pyiceberg_stream: stream-from-timestamp must be "
+                    f"epoch milliseconds, got {ts!r}"
+                ) from e
+            snaps = sorted(
+                _current_metadata(self.path).get("snapshots", []),
+                key=lambda s: (s.get("timestamp-ms", 0), s["snapshot-id"]),
+            )
+            for s in snaps:
+                if int(s.get("timestamp-ms", 0)) < t0:
+                    self.start_after = s["snapshot-id"]
+
     def initialOffset(self) -> dict:
-        return {"snapshot_id": 0}
+        return {"snapshot_id": self.start_after}
 
     def latestOffset(self) -> dict:
         md = _current_metadata(self.path)

@@ -220,3 +220,82 @@ def test_iceberg_skip_overwrite_snapshots(spark, tmp_path):
     )
     # s1 appends 0..9, the overwrite is skipped whole, s3 appends 60
     assert got == list(range(10)) + [60]
+
+
+# ---------------------------------------------------------------------------
+# startingVersion (Delta) / stream-from-timestamp (Iceberg)
+# ---------------------------------------------------------------------------
+
+
+def test_delta_starting_version(spark, tmp_path):
+    path = str(tmp_path / "startver")
+    for lo in (0, 10, 20):
+        write_delta(
+            spark,
+            spark.range(lo, lo + 10).selectExpr("id AS k").coalesce(1),
+            path,
+            mode="append" if lo else "overwrite",
+        )
+    got = sorted(
+        r.k for r in _drain(spark, path, startingVersion="1").collect()
+    )
+    assert got == list(range(10, 30))  # v0's rows not replayed
+    got_latest = _drain(spark, path, startingVersion="latest").count()
+    assert got_latest == 0  # past the head: new commits only
+    got_zero = sorted(
+        r.k for r in _drain(spark, path, startingVersion="0").collect()
+    )
+    assert got_zero == list(range(30))
+    with pytest.raises(Exception, match="startingVersion"):
+        _drain(spark, path, startingVersion="not-a-number")
+
+
+def test_iceberg_stream_from_timestamp(spark, tmp_path):
+    import json
+    import os
+
+    from pyspark_excel_datasource_spark.sources.iceberg import (
+        _current_metadata,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "fromts")
+    write_iceberg(
+        spark, spark.range(0, 10).selectExpr("id AS k").coalesce(1), path
+    )
+    for lo in (10, 20):
+        write_iceberg(
+            spark,
+            spark.range(lo, lo + 10).selectExpr("id AS k").coalesce(1),
+            path,
+            mode="append",
+        )
+    # force strictly-increasing, known timestamps so the boundary is
+    # deterministic (wall-clock stamps may share a millisecond)
+    meta_dir = os.path.join(path, "metadata")
+    v = int(open(os.path.join(meta_dir, "version-hint.text")).read().strip())
+    md_path = os.path.join(meta_dir, f"v{v}.metadata.json")
+    md = json.load(open(md_path))
+    for s in md["snapshots"]:
+        s["timestamp-ms"] = 1000 * s["snapshot-id"]
+    json.dump(md, open(md_path, "w"))
+    assert [
+        s["timestamp-ms"] for s in _current_metadata(path)["snapshots"]
+    ] == [1000, 2000, 3000]
+    got = sorted(
+        r.k
+        for r in _drain_ice(
+            spark, path, **{"stream-from-timestamp": "2000"}
+        ).collect()
+    )
+    assert got == list(range(10, 30))  # snapshot 1 consumed by declaration
+    got_all = _drain_ice(
+        spark, path, **{"stream-from-timestamp": "500"}
+    ).count()
+    assert got_all == 30
+    got_none = _drain_ice(
+        spark, path, **{"stream-from-timestamp": "999999"}
+    ).count()
+    assert got_none == 0
+    with pytest.raises(Exception, match="stream-from-timestamp"):
+        _drain_ice(spark, path, **{"stream-from-timestamp": "nope"})
