@@ -193,6 +193,7 @@ _PIN: tuple[str, ...] = (
     "q_delta_optimize_binpack",
     "q_stream_delta_startver",
     "q_stream_iceberg_fromts",
+    "q_delta_log_cleanup",
 )
 
 _REPO_ROOT = os.path.dirname(

@@ -2027,3 +2027,60 @@ def q_stream_delta_startver(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_orderkey").cast("long").alias("sum_key"),
         )
     )
+
+
+@query(
+    "q_delta_log_cleanup",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(2 AS BIGINT) AS n_commits_left,
+           CAST(1 AS BIGINT) AS n_checkpoints_left,
+           CAST(1 AS BIGINT) AS old_timetravel_raises
+    FROM orders WHERE o_orderkey % 6 < 6
+    """,
+)
+def q_delta_log_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log retention (``cleanup_log`` — the ``delta.logRetentionDuration``
+    analog, round 13): six append commits checkpoint at versions 0/2/4;
+    the cleanup deletes every JSON commit and checkpoint strictly below
+    the newest checkpoint, leaving commits {4,5} and checkpoint {4} —
+    the O(commits-since-checkpoint) steady state a 100 TB table's log
+    must hold at minute-level commit rates. The census proves the
+    latest snapshot replays losslessly from the retained base, and
+    ``old_timetravel_raises`` pins the loud failure for versions below
+    the cutoff (history is traded for bounded metadata, exactly like
+    vacuum trades it for storage).
+    """
+    from .deltalog import cleanup_log
+
+    out = os.path.join(_fixture_dir(sf_dir), "orders_logclean_delta")
+    shutil.rmtree(out, ignore_errors=True)
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    for r in range(6):
+        write_delta(
+            spark,
+            o.filter(F.col("o_orderkey") % 6 == r).coalesce(1),
+            out,
+            mode="append" if r else "overwrite",
+        )
+    res = cleanup_log(out)
+    assert res["cutoff"] == 4 and res["deleted_commits"] == 4, res
+    from .deltalog import _list_log
+
+    js, cps = _list_log(out)
+    try:
+        snapshot(out, 1)
+        tt_raises = 0
+    except FileNotFoundError:
+        tt_raises = 1
+    return (
+        read_delta(spark, out)
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+        )
+        .withColumn("n_commits_left", F.lit(len(js)).cast("long"))
+        .withColumn("n_checkpoints_left", F.lit(len(cps)).cast("long"))
+        .withColumn("old_timetravel_raises", F.lit(tt_raises).cast("long"))
+    )

@@ -2477,6 +2477,50 @@ def last_txn_version(table_path: str, app_id: str) -> int:
     return best
 
 
+def cleanup_log(
+    table_path: str, retention_seconds: float = 0.0
+) -> dict[str, Any]:
+    """Metadata retention (the ``delta.logRetentionDuration`` analog,
+    round 13 — vacuum's twin for the LOG): delete JSON commits and
+    checkpoints STRICTLY BELOW the newest checkpoint once older than
+    ``retention_seconds`` (file mtime). The newest checkpoint stays the
+    replay base, so the current snapshot and every version at or above
+    it remain reconstructible; time travel below the cutoff raises
+    loudly (``missing Delta log version``), and ``history()`` /
+    ``version_at_timestamp`` see only the retained range. Without this
+    a 100 TB table fed by minute-level commits accumulates millions of
+    log files and every fresh-cache snapshot pays an O(history) list;
+    with it the log stays O(commits since last checkpoint) forever.
+    Returns ``{"deleted_commits", "deleted_checkpoints", "cutoff"}``;
+    a table with no checkpoint is left untouched (nothing can anchor
+    the replay).
+    """
+    import time as _time
+
+    js, cps = _list_log(table_path)
+    if not cps:
+        return {"deleted_commits": 0, "deleted_checkpoints": 0, "cutoff": None}
+    cut = max(cps)
+    d = _log_dir(table_path)
+    horizon = _time.time() - retention_seconds
+    deleted_j = deleted_c = 0
+    for v in js:
+        p = os.path.join(d, f"{v:020d}.json")
+        if v < cut and os.path.getmtime(p) <= horizon:
+            os.remove(p)
+            deleted_j += 1
+    for v in cps:
+        p = os.path.join(d, f"{v:020d}.checkpoint.parquet")
+        if v < cut and os.path.getmtime(p) <= horizon:
+            os.remove(p)
+            deleted_c += 1
+    return {
+        "deleted_commits": deleted_j,
+        "deleted_checkpoints": deleted_c,
+        "cutoff": cut,
+    }
+
+
 def vacuum(table_path: str, retention_seconds: float = 0.0) -> int:
     """Physically delete data files no longer referenced by the LATEST
     snapshot; returns the number removed. This is the storage-reclaim

@@ -235,3 +235,57 @@ def test_optimize_selective_binpack(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="zorder_by"):
         optimize(spark, path, small_file_bytes=1, zorder_by=("k", "g"))
+
+
+def test_cleanup_log_retention_and_guards(spark, tmp_path):
+    """cleanup_log: newest checkpoint is the retained replay base;
+    retention window keeps young files; checkpoint-less tables are
+    untouched; snapshot/history/time travel behave as documented."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pyspark_excel_datasource_spark.sources.deltalog import (
+        _list_log,
+        cleanup_log,
+        history,
+        read_delta,
+        snapshot,
+        write_delta,
+    )
+
+    path = str(tmp_path / "logclean")
+    for r in range(6):
+        write_delta(
+            spark,
+            spark.range(r * 10, r * 10 + 10).selectExpr("id AS k").coalesce(1),
+            path,
+            mode="append" if r else "overwrite",
+        )
+    # retention window: nothing is old enough yet → no-op
+    assert cleanup_log(path, retention_seconds=3600)["deleted_commits"] == 0
+    res = cleanup_log(path)
+    assert res == {"deleted_commits": 4, "deleted_checkpoints": 1, "cutoff": 4}
+    js, cps = _list_log(path)
+    assert js == [4, 5] and cps == [4]
+    assert read_delta(spark, path).count() == 60  # latest replays fine
+    assert snapshot(path, 4).version == 4  # at the base: still works
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="missing Delta log"):
+        snapshot(path, 3)
+    assert [h["version"] for h in history(path)] == [5, 4]
+    # idempotent; and a checkpoint-less table is untouched
+    assert cleanup_log(path)["deleted_commits"] == 0
+    p2 = str(tmp_path / "nockpt")
+    write_delta(
+        spark,
+        spark.range(3).selectExpr("id AS k"),
+        p2,
+        checkpoint_interval=0,
+    )
+    assert cleanup_log(p2) == {
+        "deleted_commits": 0,
+        "deleted_checkpoints": 0,
+        "cutoff": None,
+    }
