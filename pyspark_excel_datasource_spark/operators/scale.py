@@ -345,10 +345,20 @@ _Z_FILES = 16
 def _z_interleave_sql(a: str, b: str, bits: int = _Z_BITS) -> str:
     """Bit-interleave expression valid in both Spark SQL and DuckDB:
     z = Σ_i ((a>>i & 1) << 2i) | ((b>>i & 1) << (2i+1))."""
+    return _z_interleave_many_sql([a, b], bits)
+
+
+def _z_interleave_many_sql(cols: list[str], bits: int = _Z_BITS) -> str:
+    """N-way bit interleave (round 13 — real ZORDER BY takes several
+    columns): bit i of column j lands at position ``len(cols)*i + j``,
+    so the z-value cycles through every column's bits from least
+    significant up. Valid in both Spark SQL and DuckDB; at 4 columns ×
+    8 bits the z fits comfortably in BIGINT."""
+    n = len(cols)
     terms = []
     for i in range(bits):
-        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
-        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+        for j, c in enumerate(cols):
+            terms.append(f"((({c} >> {i}) & 1) << {n * i + j})")
     return " + ".join(terms)
 
 

@@ -194,6 +194,7 @@ _PIN: tuple[str, ...] = (
     "q_stream_delta_startver",
     "q_stream_iceberg_fromts",
     "q_delta_log_cleanup",
+    "q_delta_zorder3_pruned",
 )
 
 _REPO_ROOT = os.path.dirname(

@@ -2084,3 +2084,71 @@ def q_delta_log_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_checkpoints_left", F.lit(len(cps)).cast("long"))
         .withColumn("old_timetravel_raises", F.lit(tt_raises).cast("long"))
     )
+
+
+@query(
+    "q_delta_zorder3_pruned",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+           CAST(1 AS BIGINT) AS files_pruned
+    FROM lineitem
+    WHERE l_orderkey % 2 = 0
+      AND l_partkey <= (SELECT MAX(l_partkey) // 4 FROM lineitem
+                        WHERE l_orderkey % 2 = 0)
+      AND l_suppkey <= (SELECT MAX(l_suppkey) // 4 FROM lineitem
+                        WHERE l_orderkey % 2 = 0)
+      AND l_quantity <= 12
+    """,
+)
+def q_delta_zorder3_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE-column Z-ORDER (round 13 — ``zorder_by`` now takes 2-4
+    columns, the real ZORDER BY arity): after ``zorder_by=(l_partkey,
+    l_suppkey, l_quantity)`` each output file covers a tight BOX in the
+    3-D key space (bit i of column j lands at z position 3i+j), so the
+    logged min/max stats prune a corner-box probe on all three columns
+    at once. Output = the probe's exact census through the stats-pruned
+    read plus ``files_pruned`` (1 only when strictly fewer files were
+    scheduled) — hash-green proves the 3-way interleave lost no rows
+    AND bought skipping that no single- or two-column layout gives all
+    three probe dimensions simultaneously.
+    """
+    out = os.path.join(_fixture_dir(sf_dir), "lineitem_zorder3_delta")
+    shutil.rmtree(out, ignore_errors=True)
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 2 == 0)
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    )
+    write_delta(spark, li.repartition(8), out)
+    optimize(
+        spark,
+        out,
+        zorder_by=("l_partkey", "l_suppkey", "l_quantity"),
+        target_files=8,
+    )
+    snap = snapshot(out)
+    cut_p = int(li.agg(F.expr("max(l_partkey) div 4")).first()[0])
+    cut_s = int(li.agg(F.expr("max(l_suppkey) div 4")).first()[0])
+    pruned = read_delta(
+        spark,
+        out,
+        stats_filter={
+            "l_partkey": (None, cut_p),
+            "l_suppkey": (None, cut_s),
+            "l_quantity": (None, 12),
+        },
+    )
+    flag = 1 if len(pruned.inputFiles()) < len(snap.files) else 0
+    return (
+        pruned.filter(
+            (F.col("l_partkey") <= cut_p)
+            & (F.col("l_suppkey") <= cut_s)
+            & (F.col("l_quantity") <= 12)
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("l_orderkey").cast("long").alias("sum_key"),
+        )
+        .withColumn("files_pruned", F.lit(flag).cast("long"))
+    )

@@ -1689,7 +1689,7 @@ def _file_size(table_path: str, rel: str) -> int:
 def optimize(
     spark: SparkSession,
     table_path: str,
-    zorder_by: tuple[str, str] | None = None,
+    zorder_by: tuple[str, ...] | None = None,
     target_files: int = 4,
     small_file_bytes: int | None = None,
 ) -> int:
@@ -1752,11 +1752,11 @@ def optimize(
     if zorder_by is not None:
         if pcols:
             raise ValueError("zorder_by supports unpartitioned tables only")
-        if len(zorder_by) != 2:
-            raise ValueError("zorder_by takes exactly two columns")
-        from ..operators.scale import _Z_BITS, _z_interleave_sql
+        if not (2 <= len(zorder_by) <= 4):
+            raise ValueError("zorder_by takes 2 to 4 columns")
+        from ..operators.scale import _Z_BITS, _z_interleave_many_sql
 
-        a, b = zorder_by
+        zcols = list(zorder_by)
         # Range-NORMALIZE each column into the z domain [0, 2^bits)
         # before interleaving. Raw `col % 2^bits` only works for
         # naturally-narrow domains: any key wider than _Z_BITS bits
@@ -1777,15 +1777,14 @@ def optimize(
 
         integral = all(
             isinstance(ftypes.get(c), (ByteType, ShortType, IntegerType, LongType))
-            for c in (a, b)
+            for c in zcols
         )
         cast_t = "bigint" if integral else "double"
-        bounds = df.agg(
-            F.min(F.col(a).cast(cast_t)).alias("alo"),
-            F.max(F.col(a).cast(cast_t)).alias("ahi"),
-            F.min(F.col(b).cast(cast_t)).alias("blo"),
-            F.max(F.col(b).cast(cast_t)).alias("bhi"),
-        ).first()
+        aggs = []
+        for i, c in enumerate(zcols):
+            aggs.append(F.min(F.col(c).cast(cast_t)).alias(f"lo{i}"))
+            aggs.append(F.max(F.col(c).cast(cast_t)).alias(f"hi{i}"))
+        bounds = df.agg(*aggs).first()
 
         def _grid(col: str, lo, hi) -> str:
             if lo is None or hi is None or not (hi > lo):
@@ -1809,9 +1808,11 @@ def optimize(
                 f"))) AS BIGINT)"
             )
 
-        zexpr = _z_interleave_sql(
-            _grid(a, bounds["alo"], bounds["ahi"]),
-            _grid(b, bounds["blo"], bounds["bhi"]),
+        zexpr = _z_interleave_many_sql(
+            [
+                _grid(c, bounds[f"lo{i}"], bounds[f"hi{i}"])
+                for i, c in enumerate(zcols)
+            ]
         )
         df = (
             df.withColumn("__z", F.expr(zexpr))
