@@ -761,9 +761,12 @@ def q_scan_iceberg_posdel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg format-version 2 read with POSITION DELETES: the delete
     manifest's (file_path, pos) parquet soft-deletes the rows at
     ``c_custkey % 5 == 0`` positions of the key-sorted data file, and
-    the scan subtracts them via the shared broadcast anti-join on
-    ``_metadata.row_index`` (the same mechanism as Delta deletion
-    vectors — q_scan_delta_dv). The oracle states the deletion as a
+    the scan subtracts them by anti-joining a DISTRIBUTED scan of the
+    delete parquet on ``_metadata.row_index`` (round 13: the driver
+    never reads a delete file — broadcast under
+    ``spark.graft.dv.broadcastMaxPositions``, shuffle above; the same
+    mechanism as Delta deletion vectors — q_scan_delta_dv). The
+    oracle states the deletion as a
     plain predicate over the base table: identical aggregates prove the
     delete-manifest walk, the position decode, and the positional
     subtraction lost nothing. Scale: delete files are delete-count-
@@ -1042,7 +1045,9 @@ def q_scan_iceberg_eqdel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg format-v2 read with EQUALITY deletes: the delete manifest
     (data seq 1, equality_ids = c_custkey) lists every key divisible by
     11, and the data files (seq 0 < 1) lose exactly those rows via a
-    null-safe broadcast anti-join on the equality columns — the spec's
+    null-safe anti-join on the equality columns (broadcast while the
+    manifests' record counts stay under the conf'd bound, shuffle
+    fallback above — r12 ADVICE) — the spec's
     sequence-ordered application (``read_iceberg``'s class-split). The
     oracle restates the deletion as a plain predicate over the base
     table: identical aggregates prove the sequence resolution, the id →
