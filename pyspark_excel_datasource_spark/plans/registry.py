@@ -195,6 +195,7 @@ _PIN: tuple[str, ...] = (
     "q_stream_iceberg_fromts",
     "q_delta_log_cleanup",
     "q_delta_zorder3_pruned",
+    "q_iceberg_write_transforms",
 )
 
 _REPO_ROOT = os.path.dirname(

@@ -151,6 +151,148 @@ def _require_identity_spec(md: dict, op: str) -> None:
         )
 
 
+#: partition_by spellings accepted by write_iceberg (round 13 —
+#: hidden partitioning, the spec's headline feature): plain column
+#: names are identity; the functional spellings mirror Spark SQL DDL.
+_PARTITION_BY_RE = __import__("re").compile(
+    r"^(?:(year|month|day|hour)\((\w+)\)|(bucket|truncate)\((\d+)\s*,\s*(\w+)\))$"
+)
+
+
+def _murmur3_x86_32(data: bytes, seed: int = 0) -> int:
+    """32-bit Murmur3 (public algorithm; Iceberg spec Appendix B's
+    bucket hash). Verified against the spec vectors hash(34L) =
+    2017239379 and hash("iceberg") = 1210000089 in
+    tests/test_iceberg_transforms.py. The WRITER computes bucket tuple
+    values with it (``_transform_column``); the reader never needs it
+    (bucket fields are not order-preserving, so matching rows are
+    filtered in-scan, never pruned by tuple)."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    m = 0xFFFFFFFF
+
+    def rot(x: int, r: int) -> int:
+        return ((x << r) | (x >> (32 - r))) & m
+
+    h = seed
+    n4 = len(data) // 4
+    for i in range(n4):
+        k = int.from_bytes(data[i * 4 : (i + 1) * 4], "little")
+        k = (k * c1) & m
+        k = rot(k, 15)
+        k = (k * c2) & m
+        h ^= k
+        h = rot(h, 13)
+        h = (h * 5 + 0xE6546B64) & m
+    tail = data[n4 * 4 :]
+    k = 0
+    for i, b in enumerate(tail):
+        k ^= b << (8 * i)
+    if tail:
+        k = (k * c1) & m
+        k = rot(k, 15)
+        k = (k * c2) & m
+        h ^= k
+    h ^= len(data)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & m
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & m
+    h ^= h >> 16
+    return h
+
+
+
+def _parse_partition_by(entries: tuple[str, ...]) -> list[dict]:
+    """``partition_by`` strings → canonical field descriptors:
+    ``{"field_name", "transform", "n", "source"}``. Identity keeps the
+    column name; transformed fields get the upstream naming convention
+    (``ts_day``, ``id_bucket``, ``s_trunc``)."""
+    out: list[dict] = []
+    for e in entries:
+        m = _PARTITION_BY_RE.match(e.strip())
+        if m is None:
+            out.append(
+                {"field_name": e, "transform": "identity", "n": None, "source": e}
+            )
+        elif m.group(1):
+            t, src = m.group(1), m.group(2)
+            out.append(
+                {"field_name": f"{src}_{t}", "transform": t, "n": None, "source": src}
+            )
+        else:
+            t, n, src = m.group(3), int(m.group(4)), m.group(5)
+            suffix = "bucket" if t == "bucket" else "trunc"
+            out.append(
+                {"field_name": f"{src}_{suffix}", "transform": t, "n": n, "source": src}
+            )
+    return out
+
+
+def _transform_column(spark_col, tr: dict, dtype) -> "Any":
+    """The Spark expression computing a partition field's TUPLE value
+    from its source column (write-side twin of ``_transform_bound``):
+    epoch-based ints for year/month/day/hour, floor-multiple/prefix for
+    truncate, spec Appendix-B murmur3 for bucket (integral sources,
+    Arrow-batched pandas_udf — partition-tuple-sized work, not a data
+    transform)."""
+    import pyspark.sql.types as T_
+
+    kind = tr["transform"]
+    if kind == "identity":
+        return spark_col
+    if kind == "day":
+        return F.datediff(spark_col.cast("date"), F.lit("1970-01-01"))
+    if kind == "year":
+        return F.year(spark_col) - F.lit(1970)
+    if kind == "month":
+        return (F.year(spark_col) - F.lit(1970)) * 12 + F.month(spark_col) - 1
+    if kind == "hour":
+        return (
+            F.datediff(spark_col.cast("date"), F.lit("1970-01-01")) * 24
+            + F.hour(spark_col)
+        )
+    if kind == "truncate":
+        w = int(tr["n"])
+        if isinstance(dtype, T_.StringType):
+            return F.substring(spark_col, 1, w)
+        return (
+            spark_col.cast("long") - _pymod_expr(spark_col.cast("long"), w)
+        )
+    if kind == "bucket":
+        if not isinstance(
+            dtype, (T_.ByteType, T_.ShortType, T_.IntegerType, T_.LongType)
+        ):
+            raise IcebergFormatError(
+                "bucket write support covers integral sources only; got "
+                f"{dtype.simpleString()}"
+            )
+        n = int(tr["n"])
+
+        @F.pandas_udf("int")
+        def _bucket(s):
+            import pandas as pd
+
+            def one(v):
+                if v is None or pd.isna(v):
+                    return None
+                h = _murmur3_x86_32(
+                    int(v).to_bytes(8, "little", signed=True)
+                )
+                return (h & 0x7FFFFFFF) % n
+
+            return s.map(one)
+
+        return _bucket(spark_col.cast("long"))
+    raise IcebergFormatError(f"unsupported partition transform {kind!r}")
+
+
+def _pymod_expr(col, w: int):
+    """Floor modulo (Python %) as a Spark expression: pmod handles the
+    negative-value case Iceberg's truncate defines (v - (v mod W) with
+    mod ≥ 0)."""
+    return F.pmod(col, F.lit(w))
+
+
 def _transform_bound(tr: dict, v: Any) -> Any:
     """Apply an ORDER-PRESERVING partition transform to a bound value
     (the pruning rule: for monotonic T, v in [lo, hi] ⇒ T(v) in
@@ -1311,6 +1453,7 @@ def _stage_data_manifest(
     table_path: str,
     pcols: tuple[str, ...],
     snap_id: int,
+    data_fields: list[str] | None = None,
 ) -> tuple[str, int, list[tuple[str, int, int, dict[str, str | None]]]]:
     """Parallel staged data write → move under ``data/`` with uuid names
     → ONE data manifest for the added files. Identity partition values
@@ -1324,11 +1467,16 @@ def _stage_data_manifest(
     ``write_iceberg`` and ``upsert_iceberg``."""
     from .deltalog import _pv_from_relpath
 
+    # field ids stamp the TABLE columns only (``data_fields``);
+    # transformed-partition staging columns ride along un-id'd — they
+    # exist solely to steer partitionBy and never land in a data file
+    data_fields = data_fields or df.schema.fieldNames()
     df = df.select(
         *[
-            F.col(f.name).alias(f.name, metadata={"parquet.field.id": i + 1})
-            for i, f in enumerate(df.schema.fields)
-        ]
+            F.col(n).alias(n, metadata={"parquet.field.id": i + 1})
+            for i, n in enumerate(data_fields)
+        ],
+        *[F.col(c) for c in df.columns if c not in data_fields],
     )
     staging = os.path.join(table_path, f".staging-{uuid.uuid4().hex[:12]}")
     writer = df.write.mode("overwrite")
@@ -1348,7 +1496,7 @@ def _stage_data_manifest(
             dst = os.path.join(table_path, rel)
             os.replace(src, dst)
             nrows = _pq.read_metadata(dst).num_rows
-            lb, ub = _bounds_by_field_id(dst, df.schema.fieldNames())
+            lb, ub = _bounds_by_field_id(dst, data_fields)
             data_files.append((rel, os.path.getsize(dst), nrows, pv, lb, ub))
     shutil.rmtree(staging, ignore_errors=True)
 
@@ -1447,7 +1595,6 @@ def write_iceberg(
             prev_md = None
     if prev_md is not None:
         _require_writable(prev_md, "write_iceberg")
-        _require_identity_spec(prev_md, "write_iceberg")
     version = 1 if prev_md is None else prev_md["_version"] + 1
     snap_id = version  # deterministic, monotonic
 
@@ -1485,15 +1632,33 @@ def write_iceberg(
         ],
     }
     name_to_id = {f["name"]: f["id"] for f in ice_schema["fields"]}
-    unknown = [c for c in partition_by if c not in name_to_id]
+    # hidden partitioning (round 13): partition_by entries may be
+    # functional — "day(ts)", "month(ts)", "year(ts)", "hour(ts)",
+    # "bucket(N, col)", "truncate(W, col)" — alongside plain identity
+    # column names, mirroring PARTITIONED BY in Spark SQL DDL
+    pfields = _parse_partition_by(partition_by)
+    unknown = [p["source"] for p in pfields if p["source"] not in name_to_id]
     if unknown:
         raise ValueError(f"partition_by columns not in schema: {unknown}")
+
+    def _spec_transform(p: dict) -> str:
+        if p["transform"] in ("bucket", "truncate"):
+            return f"{p['transform']}[{p['n']}]"
+        return p["transform"]
+
     if prev_md is not None and mode == "append":
-        prev_pcols = [s["name"] for s in prev_md.get("partition-spec", [])]
-        if prev_pcols != list(partition_by):
+        prev_fields = [
+            (s["name"], s.get("transform", "identity"), s["source-id"])
+            for s in prev_md.get("partition-spec", [])
+        ]
+        new_fields = [
+            (p["field_name"], _spec_transform(p), name_to_id[p["source"]])
+            for p in pfields
+        ]
+        if prev_fields != new_fields:
             raise ValueError(
-                f"append with partition_by={list(partition_by)} but table "
-                f"spec is {prev_pcols}"
+                f"append with partition_by={list(partition_by)} "
+                f"(spec {new_fields}) but table spec is {prev_fields}"
             )
         # appends reuse the previous snapshot's manifests, whose files
         # were written under the TABLE schema — a silently replaced
@@ -1535,12 +1700,12 @@ def write_iceberg(
     # hardcoded 0 mis-attributes every post-evolution manifest)
     spec = [
         {
-            "name": c,
-            "transform": "identity",
-            "source-id": name_to_id[c],
+            "name": p["field_name"],
+            "transform": _spec_transform(p),
+            "source-id": name_to_id[p["source"]],
             "field-id": 1000 + i,
         }
-        for i, c in enumerate(partition_by)
+        for i, p in enumerate(pfields)
     ]
     specs = list(prev_md.get("partition-specs", [])) if prev_md else []
     smatch = next((s for s in specs if s["fields"] == spec), None)
@@ -1550,10 +1715,30 @@ def write_iceberg(
     else:
         spec_id = smatch["spec-id"]
 
-    # 1+2. parallel data write + data manifest (shared with upsert)
-    pcols = tuple(partition_by)
+    # 1+2. parallel data write + data manifest (shared with upsert).
+    # Transformed fields: compute the TUPLE value as a staging-only
+    # column named exactly like the spec field and partition the write
+    # by it — the source column stays IN the data files (unlike
+    # identity, whose values live in manifest metadata only), which is
+    # what lets the reader filter bucket rows in-scan.
+    stage_df = df
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    dir_cols: list[str] = []
+    for p in pfields:
+        if p["transform"] == "identity":
+            dir_cols.append(p["source"])
+        else:
+            stage_df = stage_df.withColumn(
+                p["field_name"],
+                _transform_column(F.col(p["source"]), p, dtypes[p["source"]]),
+            )
+            dir_cols.append(p["field_name"])
     manifest_rel, mlen, data_files = _stage_data_manifest(
-        df, table_path, pcols, snap_id
+        stage_df,
+        table_path,
+        tuple(dir_cols),
+        snap_id,
+        data_fields=df.schema.fieldNames(),
     )
 
     # 3. manifest list = new manifest (+ the PARENT snapshot's, on

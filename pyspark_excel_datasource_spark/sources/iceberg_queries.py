@@ -1884,45 +1884,7 @@ def q_iceberg_sorted_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _murmur3_x86_32(data: bytes, seed: int = 0) -> int:
-    """32-bit Murmur3 (public algorithm; Iceberg spec Appendix B's
-    bucket hash). Verified against the spec vectors hash(34L) =
-    2017239379 and hash("iceberg") = 1210000089 in
-    tests/test_iceberg_transforms.py — FIXTURE-side only; the reader
-    never needs it (bucket fields are not order-preserving, so matching
-    rows are filtered in-scan, never pruned by tuple)."""
-    c1, c2 = 0xCC9E2D51, 0x1B873593
-    m = 0xFFFFFFFF
-
-    def rot(x: int, r: int) -> int:
-        return ((x << r) | (x >> (32 - r))) & m
-
-    h = seed
-    n4 = len(data) // 4
-    for i in range(n4):
-        k = int.from_bytes(data[i * 4 : (i + 1) * 4], "little")
-        k = (k * c1) & m
-        k = rot(k, 15)
-        k = (k * c2) & m
-        h ^= k
-        h = rot(h, 13)
-        h = (h * 5 + 0xE6546B64) & m
-    tail = data[n4 * 4 :]
-    k = 0
-    for i, b in enumerate(tail):
-        k ^= b << (8 * i)
-    if tail:
-        k = (k * c1) & m
-        k = rot(k, 15)
-        k = (k * c2) & m
-        h ^= k
-    h ^= len(data)
-    h ^= h >> 16
-    h = (h * 0x85EBCA6B) & m
-    h ^= h >> 13
-    h = (h * 0xC2B2AE35) & m
-    h ^= h >> 16
-    return h
+from .iceberg import _murmur3_x86_32  # noqa: E402  (fixture + reader share one impl)
 
 
 def _ice_bucket_long(v: int, n: int) -> int:
@@ -2317,4 +2279,74 @@ def q_stream_iceberg_fromts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_orders"),
             F.sum("o_orderkey").cast("long").alias("sum_key"),
         )
+    )
+
+
+@query(
+    "q_iceberg_write_transforms",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(1 AS BIGINT) AS files_pruned
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '{_TRANSFORMS_WINDOW_HI}'
+      AND o_orderdate <= TIMESTAMP '{_TRANSFORMS_PROBE_HI}'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_iceberg_write_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIDDEN PARTITIONING on the write side (round 13, second half —
+    ``q_scan_iceberg_transforms`` covers foreign reads): ``write_iceberg
+    (partition_by=("day(o_orderdate)", "bucket(4, o_custkey)"))``
+    computes spec-true partition tuples in the write job (epoch-day
+    ints; Appendix-B murmur3 buckets via an Arrow-batched UDF), keeps
+    the source columns IN the data files, and declares the transformed
+    spec — the append re-derives and must match it exactly. The probe
+    then reads the table THIS ENGINE wrote through a day ``bounds_
+    filter``: files_pruned=1 beside the exact census proves the write-
+    side tuples and the read-side transform pruning agree end to end.
+    Hidden partitioning is the spec's headline feature: queries filter
+    on ``o_orderdate`` and never mention the partition column, yet a
+    100 TB table partitioned hourly prunes to the probed window at
+    metadata cost.
+    """
+    import shutil
+
+    from .iceberg import snapshot_iceberg
+
+    out = os.path.join(_fixture_dir(sf_dir), "orders_hidden_part_iceberg")
+    shutil.rmtree(out, ignore_errors=True)
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate") < F.lit(_TRANSFORMS_WINDOW_HI).cast("timestamp_ntz")
+        )
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    spec = ("day(o_orderdate)", "bucket(4, o_custkey)")
+    write_iceberg(spark, o.filter(F.col("o_orderkey") % 2 == 0), out, partition_by=spec)
+    write_iceberg(
+        spark,
+        o.filter(F.col("o_orderkey") % 2 == 1),
+        out,
+        mode="append",
+        partition_by=spec,
+    )
+    total = len(snapshot_iceberg(out).files)
+    pruned = read_iceberg(
+        spark, out, bounds_filter={"o_orderdate": (None, _TRANSFORMS_PROBE_HI)}
+    )
+    flag = 1 if len(pruned.inputFiles()) < total else 0
+    return (
+        pruned.filter(
+            F.col("o_orderdate")
+            <= F.lit(_TRANSFORMS_PROBE_HI).cast("timestamp_ntz")
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+        )
+        .withColumn("files_pruned", F.lit(flag).cast("long"))
     )

@@ -115,13 +115,17 @@ def test_truncate_bounds_prune_files(spark):
 
 
 def test_writers_refuse_transformed_tables(spark):
+    """DML/maintenance writers stay gated on transformed specs;
+    ``write_iceberg`` appends are gated by exact-spec matching instead
+    (foreign field names never match this writer's naming convention,
+    so a blind append still refuses loudly)."""
     from pyspark_excel_datasource_spark.sources.iceberg import (
         delete_where_iceberg,
     )
 
     path = _materialize_transforms_iceberg(spark, SF)
     one = _subset(spark).limit(1)
-    with pytest.raises(IcebergFormatError, match="non-identity"):
+    with pytest.raises(ValueError, match="table spec"):
         write_iceberg(spark, one, path, mode="append")
     with pytest.raises(IcebergFormatError, match="non-identity"):
         delete_where_iceberg(spark, path, "o_orderkey = 1")
@@ -146,3 +150,117 @@ def test_unknown_transform_still_raises(spark, tmp_path):
     json.dump(md, open(md_path, "w"))
     with pytest.raises(IcebergFormatError, match="unsupported partition transform"):
         read_iceberg(spark, bad).count()
+
+
+# ---------------------------------------------------------------------------
+# round 13 (second half): hidden-partition WRITES
+# ---------------------------------------------------------------------------
+
+
+def _ts_df(spark):
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(
+        [
+            (i, f"2024-0{1 + i % 3}-{10 + i % 5:02d} 07:00:00", f"{i % 4}-P")
+            for i in range(60)
+        ],
+        "k long, ts string, pr string",
+    ).select("k", F.col("ts").cast("timestamp_ntz").alias("ts"), "pr")
+
+
+def test_write_hidden_partitioning_roundtrip(spark, tmp_path):
+    """write_iceberg(partition_by=("month(ts)", "bucket(4, k)",
+    "truncate(2, pr)")): spec-true tuples, source columns kept in data,
+    appends exactly once, month probe prunes at the manifest level."""
+    path = str(tmp_path / "hidden")
+    df = _ts_df(spark)
+    spec = ("month(ts)", "bucket(4, k)", "truncate(2, pr)")
+    write_iceberg(spark, df.filter("k % 2 = 0"), path, partition_by=spec)
+    write_iceberg(
+        spark, df.filter("k % 2 = 1"), path, mode="append", partition_by=spec
+    )
+    snap = snapshot_iceberg(path)
+    trs = {t["name"]: t for t in snap.spec_transforms[0]}
+    assert set(trs) == {"ts_month", "k_bucket", "pr_trunc"}
+    got = read_iceberg(spark, path)
+    assert got.count() == 60
+    assert got.agg(F.sum("k")).first()[0] == sum(range(60))
+    # tuple spot check: month(2024-01) = (2024-1970)*12 + 0 = 648
+    months = {pv["ts_month"] for pv in snap.files.values()}
+    assert months == {"648", "649", "650"}
+    # bucket tuples carry spec-Appendix-B murmur3 values
+    from pyspark_excel_datasource_spark.sources.iceberg_queries import (
+        _ice_bucket_long,
+    )
+
+    some = next(iter(snap.files))
+    rows = spark.read.parquet(f"{path}/{some}").collect()
+    assert all(
+        str(_ice_bucket_long(r.k, 4)) == snap.files[some]["k_bucket"]
+        for r in rows
+    )
+    pruned = read_iceberg(
+        spark,
+        path,
+        bounds_filter={"ts": ("2024-01-01 00:00:00", "2024-01-31 23:59:59")},
+    )
+    assert len(pruned.inputFiles()) < len(snap.files)
+    assert (
+        pruned.filter(F.month("ts") == 1).count()
+        == df.filter(F.month("ts") == 1).count()
+    )
+
+
+def test_write_transform_spec_mismatch_and_guards(spark, tmp_path):
+    path = str(tmp_path / "hidden2")
+    df = _ts_df(spark)
+    write_iceberg(spark, df, path, partition_by=("day(ts)",))
+    with pytest.raises(ValueError, match="table spec"):
+        write_iceberg(
+            spark, df, path, mode="append", partition_by=("month(ts)",)
+        )
+    with pytest.raises(ValueError, match="table spec"):
+        write_iceberg(spark, df, path, mode="append")
+    # bucket on a non-integral source refuses loudly
+    with pytest.raises(IcebergFormatError, match="integral"):
+        write_iceberg(
+            spark,
+            df,
+            str(tmp_path / "badbucket"),
+            partition_by=("bucket(4, pr)",),
+        )
+
+
+def test_write_day_year_hour_truncate_tuples(spark, tmp_path):
+    """Epoch arithmetic of every order-preserving transform matches the
+    read side's _transform_bound (one rule, both directions)."""
+    from pyspark_excel_datasource_spark.sources.iceberg import (
+        _transform_bound,
+    )
+
+    path = str(tmp_path / "epoch")
+    df = spark.createDataFrame(
+        [(1, "1995-01-10 03:00:00"), (2, "1995-01-11 23:00:00"), (3, None)],
+        "k long, ts string",
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP_NTZ) AS ts")
+    write_iceberg(
+        spark, df, path, partition_by=("day(ts)", "hour(ts)", "year(ts)")
+    )
+    snap = snapshot_iceberg(path)
+    days = {pv["ts_day"] for pv in snap.files.values()}
+    assert str(_transform_bound({"transform": "day"}, "1995-01-10")) in days
+    hours = {pv["ts_hour"] for pv in snap.files.values()}
+    assert (
+        str(_transform_bound({"transform": "hour"}, "1995-01-10 03:00:00"))
+        in hours
+    )
+    assert {pv["ts_year"] for pv in snap.files.values()} == {"25", None}
+    assert read_iceberg(spark, path).count() == 3  # null tuple kept
+    # negative-int truncate floors toward -inf (Iceberg semantics)
+    p2 = str(tmp_path / "negtrunc")
+    d2 = spark.createDataFrame([(-7,), (-3,), (4,)], "v long")
+    write_iceberg(spark, d2, p2, partition_by=("truncate(10, v)",))
+    s2 = snapshot_iceberg(p2)
+    assert {pv["v_trunc"] for pv in s2.files.values()} == {"-10", "0"}
+    assert read_iceberg(spark, p2).count() == 3
