@@ -2046,6 +2046,14 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: minimum co-occurrence support for a reported pair
 _BASKET_MIN_AB = 3
 
+#: basket-size cap: orders with more distinct items than this are dropped
+#: from PAIR GENERATION (not from the support/total tables) — the df-cap
+#: discipline of the dedup/link-prediction family (r14: same fix as
+#: ``q_graph_common_neighbors``). TPC-H baskets are ≤ ~17 items at any
+#: SF, so the cap only guards pathological skew: one registry-scraping
+#: mega-order of d items would otherwise fan out O(d²) join rows.
+_BASKET_MAX_ITEMS = 256
+
 
 @query(
     "q_market_basket",
@@ -2055,10 +2063,15 @@ _BASKET_MIN_AB = 3
     ),
     n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS total FROM op),
     part_n AS (SELECT l_partkey, COUNT(*) AS n FROM op GROUP BY l_partkey),
+    small AS (
+        SELECT l_orderkey FROM op GROUP BY l_orderkey
+        HAVING COUNT(*) <= {_BASKET_MAX_ITEMS}
+    ),
+    capped AS (SELECT op.* FROM op JOIN small USING (l_orderkey)),
     pairs AS (
         SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
                COUNT(*) AS n_ab
-        FROM op a JOIN op b
+        FROM capped a JOIN capped b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         GROUP BY 1, 2
         HAVING COUNT(*) >= {_BASKET_MIN_AB}
@@ -2098,8 +2111,19 @@ def market_basket(li: DataFrame) -> DataFrame:
         F.count_distinct("l_orderkey").alias("total")
     )
     part_n = op.groupBy("l_partkey").agg(F.count("*").alias("n"))
-    a = op.alias("a")
-    b = op.alias("b")
+    # Basket-size cap BEFORE the pair self-join (plan-asserted by
+    # tests/test_plan_quality.py::test_pair_join_caps_precede_fanout):
+    # a hot order fans out O(items²) pair rows, so the cap must prune
+    # the posting list at the source, never post-join.
+    small = (
+        op.groupBy("l_orderkey")
+        .agg(F.count("*").alias("bs"))
+        .filter(F.col("bs") <= _BASKET_MAX_ITEMS)
+        .select("l_orderkey")
+    )
+    capped = op.join(small, "l_orderkey", "left_semi")
+    a = capped.alias("a")
+    b = capped.alias("b")
     pairs = (
         a.join(
             b,

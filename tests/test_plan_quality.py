@@ -313,3 +313,138 @@ def test_regression_multi_is_one_aggregation_pass(spark):
     assert ops.count("HashAggregate") == 2, ops
     assert not any("Join" in o for o in ops), ops
     assert not any("Window" in o for o in ops), ops
+
+
+# ---------------------------------------------------------------------------
+# Posting-list family: caps must precede pair fan-out (VERDICT r13 #1/#2)
+# ---------------------------------------------------------------------------
+
+def _optimized(spark, name) -> str:
+    return _q(spark, name)._jdf.queryExecution().optimizedPlan().toString()
+
+
+def _indent(line: str) -> int:
+    return len(re.match(r"^[ :+|-]*", line).group(0))
+
+
+def _join_subtrees(plan: str, node_re: str) -> list[str]:
+    """Text of the subtree under every plan line matching ``node_re``
+    (indentation-scoped, like the toString tree rendering)."""
+    lines = plan.splitlines()
+    pat = re.compile(node_re)
+    out = []
+    for i, ln in enumerate(lines):
+        if pat.search(ln):
+            d = _indent(ln)
+            sub = [ln]
+            for nxt in lines[i + 1:]:
+                if not nxt.strip() or _indent(nxt) <= d:
+                    break
+                sub.append(nxt)
+            out.append("\n".join(sub))
+    return out
+
+
+def _posting_list_family():
+    """(query, pair-join regex, cap regex) per posting-list operator.
+
+    Built lazily so the cap literals track the source constants: each
+    regex pins the df-cap / blocking structure INSIDE the pair
+    self-join's subtree — i.e. the cap prunes the posting list before
+    the O(d²) fan-out, Catalyst never reorders a post-join filter up
+    there itself (q_graph_common_neighbors shipped exactly that defect
+    in r13: dc<=256 above the supp<supp join, quadratic on a hot
+    customer)."""
+    from pyspark_excel_datasource_spark.operators.analytics import (
+        _BASKET_MAX_ITEMS,
+    )
+    from pyspark_excel_datasource_spark.operators.corpus import _COOC_VOCAB
+    from pyspark_excel_datasource_spark.operators.dedup import (
+        _CHARGRAM_MAX_DF,
+        _FUZZY_MAX_BLOCK,
+    )
+    from pyspark_excel_datasource_spark.operators.graph import (
+        _LP_MAX_CUST_DEGREE,
+    )
+    from pyspark_excel_datasource_spark.operators.multimodal import (
+        _CHUNK_MAX_DF,
+    )
+
+    return [
+        (
+            "q_graph_common_neighbors",
+            r"Join Inner, .*supp#\d+L? < supp#\d+L?",
+            rf"Filter \(dc#\d+L? <= {_LP_MAX_CUST_DEGREE}\)",
+        ),
+        (
+            "q_market_basket",
+            r"Join Inner, .*l_partkey#\d+L? < l_partkey#\d+L?",
+            rf"bs#\d+L? <= {_BASKET_MAX_ITEMS}",
+        ),
+        (
+            "q_topic_cooccur",
+            r"Join Inner, .*tok#\d+ < tok#\d+",
+            rf"GlobalLimit {_COOC_VOCAB}",
+        ),
+        (
+            "q_dedup_ngram_jaccard",
+            r"Join Inner, .*d1#\d+L? < d2#\d+L?",
+            rf"df#\d+L? <= {_CHARGRAM_MAX_DF}",
+        ),
+        (
+            "q_dedup_chunks",
+            r"Join Inner, .*doc_id#\d+L? < doc_id#\d+L?",
+            rf"df#\d+L? <= {_CHUNK_MAX_DF}",
+        ),
+        (
+            "q_fuzzy_match",
+            r"Join Inner, .*name_a#\d+ < name_b#\d+",
+            rf"bn#\d+L? <= {_FUZZY_MAX_BLOCK}",
+        ),
+    ]
+
+
+def test_pair_join_caps_precede_fanout(spark):
+    """Every posting-list pair self-join must carry its df-cap/blocking
+    filter BELOW the join in the OPTIMIZED plan — both input sides, so
+    a hot key is pruned before it fans out, not after. A cap that sits
+    above the join passes every oracle and is still quadratic in the
+    hottest key at 100 TB."""
+    failures = []
+    for name, join_re, cap_re in _posting_list_family():
+        plan = _optimized(spark, name)
+        subs = _join_subtrees(plan, join_re)
+        if len(subs) != 1:
+            failures.append((name, f"expected 1 pair join, found {len(subs)}"))
+            continue
+        hits = len(re.findall(cap_re, subs[0]))
+        if hits < 2:
+            failures.append(
+                (name, f"cap {cap_re!r} below pair join on {hits}/2 sides")
+            )
+    assert not failures, failures
+
+
+def test_minhash_verify_shuffles_hashes_only(spark):
+    """VERDICT r13 #6: the LSH verify stage must move only 8-byte token
+    hashes + ids — no Exchange anywhere in the minhash family may carry
+    a shingle ARRAY column (the r13 verify joined full shingle arrays
+    to both sides of every candidate pair, shipping document text
+    through the shuffle). The only array-carrying data movement allowed
+    is the pre-shingle spread(), which repartitions raw text before
+    arrays exist."""
+    for name in (
+        "q_dedup_minhash",
+        "q_dedup_minhash_native_audit",
+        "q_dedup_incremental_lsh",
+        "q_dedup_incremental_lsh_oracled",
+    ):
+        plan = _plan(_q(spark, name))
+        offenders = []
+        for block in re.split(r"\n(?=\(\d+\) )", plan):
+            if not re.match(r"\(\d+\) Exchange", block):
+                continue
+            inp = re.search(r"^(?:Input|Arguments).*$", block, re.M)
+            if re.search(r"\bshingles#|\bsh1#|\bsh2#", block):
+                offenders.append(block.splitlines()[0] + " :: " + (inp.group(0) if inp else ""))
+        assert not offenders, (name, offenders)

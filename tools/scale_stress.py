@@ -649,6 +649,32 @@ def main() -> None:
             common_neighbor_scores(orders1, li1),
             common_neighbor_scores(orders10, li10),
         ),
+        # round-14 (VERDICT r13 #1): ONE pathological customer whose
+        # degree (20,000 distinct suppliers) dwarfs the pair-generation
+        # cap (256). The capped plan drops it BEFORE the self-join, so
+        # the added cost is a linear pass over 20k posting rows — the
+        # r13 post-join-filter plan would materialize deg²/2 = 2x10^8
+        # pair rows first and blow the ratio gate by an order of
+        # magnitude.
+        "cn_hot_key": (
+            common_neighbor_scores(orders1, li1),
+            common_neighbor_scores(
+                orders1.select("o_orderkey", "o_custkey").unionByName(
+                    spark.range(1).select(
+                        F.lit(-1).cast("long").alias("o_orderkey"),
+                        F.lit(-1).cast("long").alias("o_custkey"),
+                    )
+                ),
+                li1.select("l_orderkey", "l_suppkey").unionByName(
+                    spark.range(20_000).select(
+                        F.lit(-1).cast("long").alias("l_orderkey"),
+                        (F.col("id") + 1_000_000)
+                        .cast("long")
+                        .alias("l_suppkey"),
+                    )
+                ),
+            ),
+        ),
         "drift_ks": (ks_shape(orders1), ks_shape(orders10)),
         "gd_gradient": (gd_gradient(orders1), gd_gradient(orders10)),
         "pca_moments": (
