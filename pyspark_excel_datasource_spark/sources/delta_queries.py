@@ -1822,7 +1822,9 @@ def _materialize_dv_stream_delta(spark: SparkSession, sf_dir: str) -> str:
     from .deltalog import delete_where
 
     out = os.path.join(_fixture_dir(sf_dir), "customer_dv_stream_delta")
-    done = os.path.join(out, "_delta_log", f"{3:020d}.json")
+    # v2 is the LAST version the three commits write (v0 append, v1 DV
+    # delete, v2 append) — checking v3 defeated the cache (ADVICE r14).
+    done = os.path.join(out, "_delta_log", f"{2:020d}.json")
     if os.path.exists(done):
         return out
     shutil.rmtree(out, ignore_errors=True)

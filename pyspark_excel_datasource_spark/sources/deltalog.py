@@ -1732,7 +1732,9 @@ def optimize(
         rewrite_files = {
             rel: pv
             for rel, pv in prev.files.items()
-            # size from the stats-era add action when present, else disk
+            # size stat'd from disk (O(files) driver work, like the
+            # listing itself); DV'd files always qualify — compaction
+            # is what folds their soft-deletes
             if rel in prev.dvs
             or _file_size(table_path, rel) < int(small_file_bytes)
         }

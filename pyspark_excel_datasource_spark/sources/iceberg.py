@@ -1728,6 +1728,18 @@ def write_iceberg(
         if p["transform"] == "identity":
             dir_cols.append(p["source"])
         else:
+            # The staging column doubles as the partition DIRECTORY name,
+            # so it must be named exactly like the spec field — which
+            # means a REAL column of that name would be silently
+            # overwritten (and its data dropped from the files while
+            # data_fields still lists it). Refuse instead (ADVICE r14).
+            if p["field_name"] in dtypes:
+                raise ValueError(
+                    f"write_iceberg: partition transform field "
+                    f"{p['field_name']!r} collides with an existing "
+                    "DataFrame column — rename the column or the "
+                    "transform's source"
+                )
             stage_df = stage_df.withColumn(
                 p["field_name"],
                 _transform_column(F.col(p["source"]), p, dtypes[p["source"]]),
@@ -2446,6 +2458,11 @@ def upsert_iceberg(
     """
     md = _current_metadata(table_path)
     _require_writable(md, "upsert_iceberg")
+    # Same write-gate as rewrite_data_files/delete_where_iceberg (ADVICE
+    # r14): on a foreign transformed spec the partitionBy below would
+    # stage raw source values as partition tuples (or die mid-write),
+    # and _transform_survives would then prune files wrongly.
+    _require_identity_spec(md, "upsert_iceberg")
     if not on:
         raise ValueError("upsert_iceberg: empty key list")
     tbl_sig = [(f["name"], f["type"]) for f in md["schema"]["fields"]]

@@ -131,6 +131,14 @@ def test_writers_refuse_transformed_tables(spark):
         delete_where_iceberg(spark, path, "o_orderkey = 1")
     with pytest.raises(IcebergFormatError, match="non-identity"):
         rewrite_data_files(spark, path)
+    # ADVICE r14: upsert shares the gate — ungated it would stage spec
+    # FIELD names as partitionBy columns and corrupt partition tuples
+    from pyspark_excel_datasource_spark.sources.iceberg import (
+        upsert_iceberg,
+    )
+
+    with pytest.raises(IcebergFormatError, match="non-identity"):
+        upsert_iceberg(spark, one, path, on=["o_orderkey"])
 
 
 def test_unknown_transform_still_raises(spark, tmp_path):
@@ -229,6 +237,18 @@ def test_write_transform_spec_mismatch_and_guards(spark, tmp_path):
             df,
             str(tmp_path / "badbucket"),
             partition_by=("bucket(4, pr)",),
+        )
+    # ADVICE r14: a REAL column named like the staging/spec field would
+    # be silently overwritten and dropped from the data files — refuse
+    from pyspark.sql import functions as F
+
+    clash = df.withColumn("ts_day", F.lit(0))
+    with pytest.raises(ValueError, match="collides"):
+        write_iceberg(
+            spark,
+            clash,
+            str(tmp_path / "clash"),
+            partition_by=("day(ts)",),
         )
 
 

@@ -299,3 +299,29 @@ def test_iceberg_stream_from_timestamp(spark, tmp_path):
     assert got_none == 0
     with pytest.raises(Exception, match="stream-from-timestamp"):
         _drain_ice(spark, path, **{"stream-from-timestamp": "nope"})
+
+
+def test_stream_fixture_cache_hits_on_second_call(spark):
+    """ADVICE r14: the done markers must reference the LAST version the
+    builders actually write (v2 Delta log / v3 Iceberg metadata) — the
+    off-by-one made every invocation rmtree + rebuild the fixture,
+    defeating the documented 'Idempotent per SF' cache."""
+    from pyspark_excel_datasource_spark.sources.delta_queries import (
+        _materialize_dv_stream_delta,
+    )
+    from pyspark_excel_datasource_spark.sources.iceberg_queries import (
+        _materialize_del_stream_iceberg,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    p1 = _materialize_dv_stream_delta(spark, sf)
+    marker = os.path.join(p1, "_delta_log", f"{0:020d}.json")
+    ino = os.stat(marker).st_ino
+    assert _materialize_dv_stream_delta(spark, sf) == p1
+    assert os.stat(marker).st_ino == ino, "delta stream fixture was rebuilt"
+
+    p2 = _materialize_del_stream_iceberg(spark, sf)
+    m2 = os.path.join(p2, "metadata", "v1.metadata.json")
+    ino2 = os.stat(m2).st_ino
+    assert _materialize_del_stream_iceberg(spark, sf) == p2
+    assert os.stat(m2).st_ino == ino2, "iceberg stream fixture was rebuilt"
