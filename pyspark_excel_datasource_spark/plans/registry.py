@@ -196,6 +196,10 @@ _PIN: tuple[str, ...] = (
     "q_delta_log_cleanup",
     "q_delta_zorder3_pruned",
     "q_iceberg_write_transforms",
+    # authored in round 14 (never verdicted — pin a window slot): the
+    # rewrite_manifests × expire_snapshots interaction probe (VERDICT
+    # r13 #7)
+    "q_iceberg_expire_after_rewrite",
 )
 
 _REPO_ROOT = os.path.dirname(

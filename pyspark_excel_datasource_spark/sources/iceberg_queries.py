@@ -1652,6 +1652,83 @@ def q_iceberg_rewrite_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_iceberg_expire_after_rewrite",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(4 AS BIGINT) AS n_expired,
+           CAST(7 AS BIGINT) AS n_deleted_manifests,
+           CAST(0 AS BIGINT) AS n_deleted_data
+    FROM orders
+    WHERE o_orderkey % 13 = 0 AND o_totalprice <= 150000
+    GROUP BY o_orderstatus
+    """,
+)
+def q_iceberg_expire_after_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``rewrite_manifests`` × ``expire_snapshots`` interaction
+    (VERDICT r13 #7): a manifest rewrite's replace snapshot references
+    brand-new consolidated manifests while every HISTORICAL snapshot
+    still references the old ones — so expiring history right after a
+    rewrite is the maximal-sharing GC case. Reachability must (a)
+    reclaim exactly the three pre-rewrite data manifests plus the four
+    expired manifest LISTS (7 metadata files), (b) keep the carried
+    delete manifest, which the retained replace snapshot shares
+    verbatim with the expired delete snapshot, and (c) delete ZERO data
+    files — the consolidated manifest references the same parquet the
+    expired snapshots did. The oracle pins all three counts next to the
+    post-GC row census (position delete still applied), so the hash
+    check proves the table reads identically through the rewritten +
+    expired metadata tree. Companion pytest
+    (``test_lakehouse_rollback.py::test_expire_after_manifest_rewrite``)
+    covers the keep_last=2 shared-survival and time-travel-raises
+    halves.
+    """
+    import shutil
+
+    from .iceberg import (
+        delete_where_iceberg,
+        expire_snapshots,
+        rewrite_manifests,
+    )
+
+    out = os.path.join(_fixture_dir(sf_dir), "orders_expire_rw_iceberg")
+    shutil.rmtree(out, ignore_errors=True)
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 13 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    third = F.expr("(o_orderkey div 13) % 3")
+    for r in range(3):
+        write_iceberg(
+            spark, o.filter(third == r).repartition(2), out, mode="append"
+        )
+    delete_where_iceberg(spark, out, "o_totalprice > 150000")
+    rewrite_manifests(out)
+    stats = expire_snapshots(out, keep_last=1)
+    return (
+        read_iceberg(spark, out)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+        )
+        .withColumn(
+            "n_expired", F.lit(stats["expired_snapshots"]).cast("long")
+        )
+        .withColumn(
+            "n_deleted_manifests",
+            F.lit(stats["deleted_manifests"]).cast("long"),
+        )
+        .withColumn(
+            "n_deleted_data",
+            F.lit(stats["deleted_data_files"]).cast("long"),
+        )
+    )
+
+
+@query(
     "q_iceberg_manifests",
     oracle="""
     SELECT * FROM (VALUES
@@ -2124,7 +2201,9 @@ def _materialize_del_stream_iceberg(spark: SparkSession, sf_dir: str) -> str:
     from .iceberg import delete_where_iceberg
 
     out = os.path.join(_fixture_dir(sf_dir), "customer_del_stream_iceberg")
-    done = os.path.join(out, "metadata", "v4.metadata.json")
+    # v3 is the LAST metadata the three operations write (append,
+    # delete, append) — checking v4 defeated the cache (ADVICE r14).
+    done = os.path.join(out, "metadata", "v3.metadata.json")
     if os.path.exists(done):
         return out
     shutil.rmtree(out, ignore_errors=True)
