@@ -155,13 +155,32 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exact_pairs(_shingles(docs), _NEAR_DUP_THRESHOLD)
 
 
+def _hash_tokens(shingled: DataFrame) -> DataFrame:
+    """(doc_id, n, s): per-doc distinct-set size + 8-byte xxhash64 token
+    rows — the single shared scan of the native MinHash pipeline (r14):
+    signatures, banding, and candidate verification ALL derive from it,
+    so shingle STRINGS are hashed exactly once and everything downstream
+    moves 24-byte rows."""
+    return shingled.select(
+        "doc_id",
+        F.size("shingles").alias("n"),
+        F.explode("shingles").alias("s0"),
+    ).select("doc_id", "n", F.xxhash64("s0").alias("s"))
+
+
 def minhash_signatures(shingled: DataFrame, n_hashes: int = _N_HASHES) -> DataFrame:
     """doc_id → MinHash signature array (length ``n_hashes``).
 
-    h_i(doc) = min over shingles of xxhash64(i, shingle) — deterministic,
-    JVM-side, one explode + one groupBy (single shuffle keyed by doc_id).
-    """
-    toks = shingled.select("doc_id", F.explode("shingles").alias("s"))
+    h_i(doc) = min over shingles of xxhash64(i, xxhash64(shingle)) —
+    deterministic, JVM-side, one explode + one groupBy (single shuffle
+    keyed by doc_id). Hash-of-hash (r14): re-hashing the 8-byte token
+    is ~an order of magnitude cheaper per (i, shingle) pair than
+    re-hashing variable-length strings 32×, and composition of
+    independent xxhash64 applications is the same min-wise family."""
+    return _signatures_from_tokens(_hash_tokens(shingled), n_hashes)
+
+
+def _signatures_from_tokens(toks: DataFrame, n_hashes: int = _N_HASHES) -> DataFrame:
     mins = [
         F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}")
         for i in range(n_hashes)
@@ -193,7 +212,11 @@ def minhash_candidates(shingled: DataFrame) -> DataFrame:
     """Shingled docs → distinct LSH candidate pairs (d1 < d2) via
     xxhash64 MinHash banding — the candidate stage of ``minhash_pairs``,
     exposed so ``q_dedup_minhash_native_audit`` can pin its coverage."""
-    sig = minhash_signatures(shingled)
+    return _candidates_from_tokens(_hash_tokens(shingled))
+
+
+def _candidates_from_tokens(toks: DataFrame) -> DataFrame:
+    sig = _signatures_from_tokens(toks)
 
     rows_per_band = _N_HASHES // _N_BANDS
     bands = sig.select(
@@ -230,9 +253,13 @@ def minhash_candidates(shingled: DataFrame) -> DataFrame:
 def minhash_pairs(docs: DataFrame) -> DataFrame:
     """(doc_id, text) → verified near-dup pairs via MinHash banding — the
     reusable operator behind ``q_dedup_minhash`` (also driven at 10× by
-    ``tools/scale_stress.py``)."""
+    ``tools/scale_stress.py``). One cached token-hash table feeds the
+    signature aggregate AND the candidate verify — strings are shingled
+    and hashed exactly once, everything after the cache moves 24-byte
+    rows."""
     shingled = _shingles(docs).cache()
-    return verify_candidates(minhash_candidates(shingled), shingled)
+    toks = _hash_tokens(shingled)
+    return _verify_from_tokens(_candidates_from_tokens(toks), toks)
 
 
 def verify_candidates(candidates: DataFrame, shingled: DataFrame) -> DataFrame:
@@ -242,25 +269,28 @@ def verify_candidates(candidates: DataFrame, shingled: DataFrame) -> DataFrame:
     r14 spelling (VERDICT r13 #6): the verify path moves only 8-byte
     xxhash64 tokens + ids — never shingle ARRAYS (the r13 form joined
     each candidate doc's full shingle array through the shuffle, i.e.
-    document text volume). The exploded token table is semi-joined down
-    to candidate docs, set sizes ride the token rows, |intersection|
-    falls out of a (d2, s)-keyed join — the same inverted-index
-    arithmetic as ``_pair_overlap``, restricted to candidates only. A
-    64-bit shingle collision (P ≈ n²/2⁶⁴) would be caught by the DuckDB
-    oracle, which verifies on strings. Plan-pinned by
+    document text volume). The candidate-doc ID set (ids only, ≤ 2×
+    the df-cap-bounded candidate pairs — a sparse fraction of any
+    corpus the banding is tuned for) BROADCASTS onto the shingled scan,
+    so only candidate docs are exploded and no exchange ever carries an
+    array; set sizes ride the token rows and |intersection| falls out
+    of a (d2, s)-keyed join — the same inverted-index arithmetic as
+    ``_pair_overlap``, restricted to candidates only. A 64-bit shingle
+    collision (P ≈ n²/2⁶⁴) would be caught by the DuckDB oracle, which
+    verifies on strings. Plan-pinned by
     ``test_plan_quality.py::test_minhash_verify_shuffles_hashes_only``.
     """
-    toks = shingled.select(
-        "doc_id",
-        F.size("shingles").alias("n"),
-        F.explode("shingles").alias("s0"),
-    ).select("doc_id", "n", F.xxhash64("s0").alias("s"))
-    cand_docs = (
-        candidates.select(F.col("d1").alias("doc_id"))
-        .union(candidates.select(F.col("d2").alias("doc_id")))
-        .distinct()
-    )
-    toks = toks.join(cand_docs, "doc_id", "left_semi")
+    return _verify_from_tokens(candidates, _hash_tokens(shingled))
+
+
+def _verify_from_tokens(candidates: DataFrame, toks: DataFrame) -> DataFrame:
+    """Exact-Jaccard verify over a (doc_id, n, s) token-hash table (see
+    ``verify_candidates`` for the contract and shuffle-volume story).
+
+    The pair joins carry only 24-byte token rows and the (tiny, df-cap-
+    bounded) pair list; AQE picks broadcast for the pair side at any
+    realistic candidate volume and degrades to a hash-only shuffle join
+    beyond that — either way no array and no document text moves."""
     t1 = toks.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"), "s")
     t2 = toks.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"), "s")
     return (

@@ -198,8 +198,11 @@ _PIN: tuple[str, ...] = (
     "q_iceberg_write_transforms",
     # authored in round 14 (never verdicted — pin a window slot): the
     # rewrite_manifests × expire_snapshots interaction probe (VERDICT
-    # r13 #7)
+    # r13 #7), the equality-delete fold completing the delete
+    # lifecycle triple, and the tag-as-GC-root retention probe
     "q_iceberg_expire_after_rewrite",
+    "q_iceberg_eqdel_fold",
+    "q_iceberg_tag_retention",
 )
 
 _REPO_ROOT = os.path.dirname(

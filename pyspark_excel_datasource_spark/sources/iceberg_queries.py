@@ -1898,6 +1898,128 @@ def q_iceberg_posdel_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_iceberg_eqdel_fold",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(c_custkey) AS BIGINT) AS sum_key,
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                AS DECIMAL(38,2)) AS VARCHAR) AS sum_bal,
+           CAST(0 AS BIGINT) AS n_delete_manifests
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q_iceberg_eqdel_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUALITY-delete fold — the maintenance half of the CDC-apply
+    path, completing the delete lifecycle triple
+    (``q_delta_dv_fold`` / ``q_iceberg_posdel_fold`` / this): an
+    ``upsert_iceberg`` leaves one equality-delete file whose keys mask
+    the seeded rows via the strictly-older sequence rule;
+    ``rewrite_data_files`` reads THROUGH that mask and commits a
+    replace snapshot of survivors only, whose manifest list drops the
+    delete manifest entirely. The oracle pins n_delete_manifests at
+    ZERO beside the full post-upsert census — hash-green only if the
+    fold dropped the delete index without resurrecting a masked row or
+    losing an upserted one. At 100 TB this is the compaction that keys
+    CDC ingest stays cheap: upserts never rewrite data, and the
+    read-side equality anti-join is periodically folded away.
+    """
+    import shutil
+
+    from .iceberg import manifests_meta, upsert_iceberg
+
+    out = os.path.join(_fixture_dir(sf_dir), "customer_eqdelfold_iceberg")
+    shutil.rmtree(out, ignore_errors=True)
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    seed = cust.filter(F.col("c_custkey") % 3 != 0).withColumn(
+        "c_acctbal", F.lit(-999.0)
+    )
+    write_iceberg(spark, seed, out)
+    upsert_iceberg(spark, cust, out, on=["c_custkey"])
+    rewrite_data_files(spark, out, target_files=2)
+    n_del = sum(1 for m in manifests_meta(out) if m["content"] == 1)
+    return (
+        read_iceberg(spark, out)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_cust"),
+            F.sum("c_custkey").cast("long").alias("sum_key"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .cast("string")
+            .alias("sum_bal"),
+        )
+        .withColumn("n_delete_manifests", F.lit(n_del).cast("long"))
+    )
+
+
+@query(
+    "q_iceberg_tag_retention",
+    oracle="""
+    SELECT 'tagged' AS ref,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(1 AS BIGINT) AS n_expired
+    FROM orders WHERE o_orderkey % 9 = 0
+    UNION ALL
+    SELECT 'current' AS ref,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(1 AS BIGINT) AS n_expired
+    FROM orders WHERE o_orderkey % 9 = 0 AND o_orderstatus = 'F'
+    """,
+)
+def q_iceberg_tag_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tags as GC roots — the ref-retention rule that makes Iceberg
+    tags the reproducibility primitive at 100 TB: an immutable tag on
+    the full-table snapshot survives ``expire_snapshots(keep_last=1)``
+    while the untagged intermediate snapshot between it and the head is
+    reclaimed. The fixture writes full orders (s1, tagged
+    ``audit-full``), an untagged F-only overwrite (s2), then a second
+    F-only overwrite (s3, head); expiry must reclaim EXACTLY s2
+    (n_expired pinned at 1), and the output reads the table twice —
+    through the tag (full census) and at the head (F-only census) — so
+    the hash proves the tagged snapshot's files survived the GC that
+    took its untagged sibling. Companion to ``q_iceberg_branch``
+    (ref addressing) and ``q_iceberg_expire`` (plain retention).
+    """
+    import shutil
+
+    from .iceberg import create_ref, expire_snapshots
+
+    out = os.path.join(_fixture_dir(sf_dir), "orders_tagret_iceberg")
+    shutil.rmtree(out, ignore_errors=True)
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 9 == 0)
+        .select("o_orderkey", "o_orderstatus")
+    )
+    f_only = o.filter(F.col("o_orderstatus") == "F")
+    write_iceberg(spark, o, out)  # s1: full
+    create_ref(out, "audit-full", ref_type="tag")
+    write_iceberg(spark, f_only, out, mode="overwrite")  # s2: untagged
+    write_iceberg(spark, f_only, out, mode="overwrite")  # s3: head
+    st = expire_snapshots(out, keep_last=1)
+    census = lambda df, tag: (  # noqa: E731
+        df.agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+        ).select(
+            F.lit(tag).alias("ref"),
+            "n_orders",
+            "sum_key",
+            F.lit(st["expired_snapshots"]).cast("long").alias("n_expired"),
+        )
+    )
+    tagged = census(read_iceberg(spark, out, ref="audit-full"), "tagged")
+    head = census(read_iceberg(spark, out), "current")
+    return tagged.unionByName(head)
+
+
+@query(
     "q_iceberg_sorted_pruned",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
