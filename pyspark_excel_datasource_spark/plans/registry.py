@@ -203,6 +203,7 @@ _PIN: tuple[str, ...] = (
     "q_iceberg_expire_after_rewrite",
     "q_iceberg_eqdel_fold",
     "q_iceberg_tag_retention",
+    "q_stream_delta_maxfiles",
 )
 
 _REPO_ROOT = os.path.dirname(

@@ -400,6 +400,112 @@ def q_stream_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_delta_maxfiles",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           TRUE AS bounded_ok
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_stream_delta_maxfiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``maxFilesPerTrigger`` on the pydelta stream (the public Delta
+    source's admission-control option): micro-batches are capped at K
+    input files, splitting WITHIN a log version via fractional offsets
+    ({"version", "index"}) — the knob that turns a month-long backlog
+    into bounded, checkpointable bites instead of one giant first
+    batch. The drain here runs an availableNow+checkpoint RESTART loop
+    (one bounded batch per run — the restart-heavy shape an operator
+    actually uses to catch up), then REPLAYS every committed offset
+    range through a fresh reader and pins ``bounded_ok``: each batch
+    spanned ≤ K files AND the spans sum to the full file count. The
+    census equals ``q_stream_delta``'s (appends stream through, the
+    partition DELETE skips via ignoreDeletes), so the hash proves
+    exactly-once across restarts + the bound together.
+    """
+    import uuid
+
+    from .delta_stream import DeltaStreamReader, register_pydelta
+
+    register_pydelta(spark)
+    path = _materialize_orders_delta(spark, sf_dir)
+    expected = table(spark, sf_dir, "orders").count()
+    scratch = os.path.join(_fixture_dir(sf_dir), ".scratch")
+    os.makedirs(scratch, exist_ok=True)
+    for old in os.listdir(scratch):  # reclaim prior invocations' sinks
+        if old.startswith("maxfiles_"):
+            shutil.rmtree(os.path.join(scratch, old), ignore_errors=True)
+    run_id = uuid.uuid4().hex[:10]
+    out = os.path.join(scratch, f"maxfiles_sink_{run_id}")
+    ckpt = os.path.join(scratch, f"maxfiles_ckpt_{run_id}")
+    k = 2
+    try:
+        for _ in range(12):
+            q = (
+                spark.readStream.format("pydelta")
+                .option("ignoreDeletes", "true")
+                .option("maxFilesPerTrigger", str(k))
+                .load(path)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(120):
+                q.stop()
+                raise TimeoutError("q_stream_delta_maxfiles: drain stalled")
+            q.stop()
+            if (
+                os.path.exists(out)
+                and spark.read.parquet(out).count() >= expected
+            ):
+                break
+        # replay the committed ranges: every batch <= k files, total =
+        # the full add-file count
+        import json as _json
+
+        reader = DeltaStreamReader(
+            spark.read.format("pydelta")
+            .option("ignoreDeletes", "true")
+            .load(path)
+            .schema,
+            {"path": path, "ignoreDeletes": "true"},
+        )
+        offd = os.path.join(ckpt, "offsets")
+        offs = []
+        for f in sorted(
+            (n for n in os.listdir(offd) if not n.startswith(".")), key=int
+        ):
+            last = open(os.path.join(offd, f)).read().splitlines()[-1]
+            offs.append(_json.loads(last))
+        prev = {"version": -1}
+        spans = []
+        for off in offs:
+            spans.append(len(reader.partitions(prev, off)))
+            prev = off
+        total = len(reader.partitions({"version": -1}, offs[-1]))
+        bounded = all(s <= k for s in spans) and sum(spans) == total
+        return (
+            spark.read.parquet(out)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").cast("long").alias("n_orders"),
+                F.sum("o_orderkey").cast("long").alias("sum_key"),
+            )
+            .withColumn("bounded_ok", F.lit(bool(bounded)))
+        )
+    finally:
+        # the sink parquet feeds the returned (lazy) DataFrame; only
+        # the checkpoint is disposable here. The scratch sink is
+        # per-invocation (uuid) and reclaimed on the next fixture
+        # rebuild.
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+@query(
     "q_delta_schema_evolution",
     oracle="""
     SELECT s_suppkey, s_name,

@@ -164,6 +164,40 @@ class DeltaStreamReader(DataSourceStreamReader):
                 raise ValueError(
                     "pydelta stream: startingVersion must be >= 0"
                 )
+        # maxFilesPerTrigger (public Delta source option, round 14):
+        # admission control — each micro-batch's proposed offset covers
+        # at most this many input partitions, splitting WITHIN a
+        # version when needed (offset form {"version", "index"}; a
+        # fully-consumed version stays index-less, so pre-r14
+        # checkpoints replay unchanged). partitions()/commit() track
+        # the consumed position — including on restart, where Spark
+        # re-drives commit()/partitions() for the recovered batch
+        # before asking for a new offset (observed: the ≤K bound held
+        # across availableNow restart loops). Worst case a proposal
+        # issued with no tracked position covers a full backlog —
+        # correctness is unaffected (Spark always hands partitions()
+        # the authoritative range; every recorded range replays its
+        # exact file slice).
+        mft = options.get("maxFilesPerTrigger", options.get("maxfilespertrigger"))
+        self.max_files: int | None
+        if mft is None:
+            self.max_files = None
+        else:
+            try:
+                self.max_files = int(mft)
+            except ValueError as e:
+                raise ValueError(
+                    "pydelta stream: maxFilesPerTrigger must be a "
+                    f"positive integer, got {mft!r}"
+                ) from e
+            if self.max_files < 1:
+                raise ValueError(
+                    "pydelta stream: maxFilesPerTrigger must be >= 1, "
+                    f"got {self.max_files}"
+                )
+        self._pos: dict | None = None  # last consumed offset (this instance)
+        self._nparts: dict[int, int] = {}  # version -> partition count
+
         from .deltalog import _require_no_dv, _require_unmapped
 
         snap = snapshot(self.path)  # validates table existence + protocol gate
@@ -192,102 +226,163 @@ class DeltaStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         js, cps = _list_log(self.path)
-        return {"version": max(js + cps)}
+        head = max(js + cps)
+        if self.max_files is None:
+            return {"version": head}
+        base = self._pos if self._pos is not None else self.initialOffset()
+        bv, bi = int(base["version"]), base.get("index")
+        # resume point: mid-version if base carries an index short of
+        # the version's partition count, else the next version
+        if bi is not None and int(bi) < self._nparts_of(bv):
+            v, start_i = bv, int(bi)
+        else:
+            v, start_i = bv + 1, 0
+        budget = self.max_files
+        cur = dict(base)
+        while budget > 0 and v <= head:
+            n = self._nparts_of(v)
+            take = min(budget, n - start_i)
+            budget -= take
+            # canonical form: a fully-consumed version never carries an
+            # index key, so offset JSON equality keeps meaning "no new
+            # data" for Spark's progress tracking
+            if start_i + take >= n:
+                cur = {"version": v}
+                v, start_i = v + 1, 0
+            else:
+                cur = {"version": v, "index": start_i + take}
+                break
+        return cur
+
+    def _nparts_of(self, v: int) -> int:
+        """Partition count of one version (cached; versions are
+        immutable once committed). Runs the same classification as
+        ``_version_parts``, so an unstreamable commit fails at
+        PROPOSAL time — the same loud error, one call earlier."""
+        if v not in self._nparts:
+            self._nparts[v] = len(self._version_parts(v))
+        return self._nparts[v]
+
+    def commit(self, end: dict) -> None:
+        self._pos = dict(end)
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        # Fractional offsets (round 14, maxFilesPerTrigger): an offset
+        # may carry an ``index`` = number of this version's partitions
+        # already consumed; absent index = the version is fully
+        # consumed (the pre-r14 offset form, so old checkpoints replay
+        # unchanged). ``_version_parts`` is deterministic (log line
+        # order), so any recorded (start, end] range reproduces its
+        # slice exactly — the replayability contract is unchanged.
+        sv, si = int(start["version"]), start.get("index")
+        ev, ei = int(end["version"]), end.get("index")
+        parts: list[InputPartition] = []
+        first = sv if si is not None else sv + 1
+        for v in range(first, ev + 1):
+            vp = self._version_parts(v)
+            lo = int(si) if (v == sv and si is not None) else 0
+            hi = int(ei) if (v == ev and ei is not None) else len(vp)
+            parts.extend(vp[lo:hi])
+        # authoritative consumed position for the rate limiter (Spark
+        # hands every batch's true range here, including recovered ones)
+        self._pos = dict(end)
+        return parts
+
+    def _version_parts(self, v: int) -> list[InputPartition]:
+        """All stream partitions of ONE log version, in deterministic
+        (log line) order — the unit the offset ``index`` slices."""
         from .deltalog import _check_protocol
 
         parts: list[InputPartition] = []
-        for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
-            p = os.path.join(_log_dir(self.path), f"{v:020d}.json")
-            adds: list[dict] = []
-            removes: list[dict] = []
-            with open(p, encoding="utf-8") as fh:
-                for line in fh:
-                    line = line.strip()
-                    if not line:
-                        continue
-                    act = json.loads(line)
-                    if "protocol" in act and act["protocol"] is not None:
-                        # a mid-stream protocol upgrade (deletion vectors,
-                        # column mapping) must fail loudly, not stream
-                        # files whose rows we can no longer interpret
-                        _check_protocol(act["protocol"])
-                    elif "add" in act and act["add"].get("dataChange", True):
-                        if act["add"].get("deletionVector") is not None:
-                            if self.skip_change_commits:
-                                adds.append(act["add"])  # commit skipped below
-                            else:
-                                raise RuntimeError(
-                                    f"pydelta stream: version {v} attaches a "
-                                    "deletion vector; streaming a DV commit "
-                                    "would re-emit soft-deleted rows — set "
-                                    "skipChangeCommits=true to disregard "
-                                    "row-level changes, or read the table "
-                                    "in batch mode"
-                                )
+        p = os.path.join(_log_dir(self.path), f"{v:020d}.json")
+        adds: list[dict] = []
+        removes: list[dict] = []
+        with open(p, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                act = json.loads(line)
+                if "protocol" in act and act["protocol"] is not None:
+                    # a mid-stream protocol upgrade (deletion vectors,
+                    # column mapping) must fail loudly, not stream
+                    # files whose rows we can no longer interpret
+                    _check_protocol(act["protocol"])
+                elif "add" in act and act["add"].get("dataChange", True):
+                    if act["add"].get("deletionVector") is not None:
+                        if self.skip_change_commits:
+                            adds.append(act["add"])  # commit skipped below
                         else:
-                            adds.append(act["add"])
-                    elif "remove" in act and act["remove"].get(
-                        "dataChange", True
-                    ):
-                        removes.append(act["remove"])
-            if self.cdf:
-                parts.extend(self._cdf_parts(v, adds, removes))
-                continue
-            if self.skip_change_commits and (
-                removes
-                or any(a.get("deletionVector") is not None for a in adds)
-            ):
-                # a commit that changes existing rows (rewrite or DV
-                # attach) is skipped WHOLE — half-applying it would be
-                # neither the old nor the new table state
-                continue
-            has_dc_remove = bool(removes)
-            # classify the commit, mirroring the public Delta source
-            # options: delete-only commits need ignoreDeletes; REWRITE
-            # commits (removes AND adds: OVERWRITE/MERGE/row DELETE)
-            # need the stronger ignoreChanges and re-emit their rewritten
-            # files (documented duplicate semantics) — silently skipping
-            # only the removes would half-apply the commit
-            if has_dc_remove:
-                if adds and not self.ignore_changes:
-                    raise RuntimeError(
-                        f"pydelta stream: version {v} rewrites data "
-                        "(removes + adds: OVERWRITE/MERGE/DELETE rewrite); "
-                        "set ignoreChanges=true to stream the rewritten "
-                        "files (rows may repeat) or start a fresh stream"
-                    )
-                if not adds and not (self.ignore_deletes or self.ignore_changes):
-                    raise RuntimeError(
-                        f"pydelta stream: version {v} contains a "
-                        "dataChange remove (DELETE); the source is "
-                        "append-only — set ignoreDeletes=true to skip "
-                        "delete-only commits"
-                    )
-            for a in adds:
-                # log paths are percent-encoded (deltalog _encode_path);
-                # disk paths are not
-                fpath = os.path.join(self.path, unquote(a["path"]))
-                if not os.path.exists(fpath):
-                    # VACUUM after OPTIMIZE/OVERWRITE physically removed a
-                    # file this version added: the rows can no longer be
-                    # attributed to any offset range. Fail loudly at PLAN
-                    # time with the remedy, never a worker FileNotFound
-                    # (the Delta analog of the Iceberg stream's
-                    # expired-provenance guard).
-                    raise RuntimeError(
-                        f"pydelta stream: version {v} adds {a['path']} but "
-                        "the file was removed (VACUUM after a rewrite); "
-                        "those rows cannot be streamed — backfill with a "
-                        "batch read (read_delta) and start the stream from "
-                        "the current version"
-                    )
-                parts.append(
-                    DeltaFilePartition(
-                        fpath, json.dumps(a.get("partitionValues") or {})
-                    )
+                            raise RuntimeError(
+                                f"pydelta stream: version {v} attaches a "
+                                "deletion vector; streaming a DV commit "
+                                "would re-emit soft-deleted rows — set "
+                                "skipChangeCommits=true to disregard "
+                                "row-level changes, or read the table "
+                                "in batch mode"
+                            )
+                    else:
+                        adds.append(act["add"])
+                elif "remove" in act and act["remove"].get(
+                    "dataChange", True
+                ):
+                    removes.append(act["remove"])
+        if self.cdf:
+            parts.extend(self._cdf_parts(v, adds, removes))
+            return parts
+        if self.skip_change_commits and (
+            removes
+            or any(a.get("deletionVector") is not None for a in adds)
+        ):
+            # a commit that changes existing rows (rewrite or DV
+            # attach) is skipped WHOLE — half-applying it would be
+            # neither the old nor the new table state
+            return parts
+        has_dc_remove = bool(removes)
+        # classify the commit, mirroring the public Delta source
+        # options: delete-only commits need ignoreDeletes; REWRITE
+        # commits (removes AND adds: OVERWRITE/MERGE/row DELETE)
+        # need the stronger ignoreChanges and re-emit their rewritten
+        # files (documented duplicate semantics) — silently skipping
+        # only the removes would half-apply the commit
+        if has_dc_remove:
+            if adds and not self.ignore_changes:
+                raise RuntimeError(
+                    f"pydelta stream: version {v} rewrites data "
+                    "(removes + adds: OVERWRITE/MERGE/DELETE rewrite); "
+                    "set ignoreChanges=true to stream the rewritten "
+                    "files (rows may repeat) or start a fresh stream"
                 )
+            if not adds and not (self.ignore_deletes or self.ignore_changes):
+                raise RuntimeError(
+                    f"pydelta stream: version {v} contains a "
+                    "dataChange remove (DELETE); the source is "
+                    "append-only — set ignoreDeletes=true to skip "
+                    "delete-only commits"
+                )
+        for a in adds:
+            # log paths are percent-encoded (deltalog _encode_path);
+            # disk paths are not
+            fpath = os.path.join(self.path, unquote(a["path"]))
+            if not os.path.exists(fpath):
+                # VACUUM after OPTIMIZE/OVERWRITE physically removed a
+                # file this version added: the rows can no longer be
+                # attributed to any offset range. Fail loudly at PLAN
+                # time with the remedy, never a worker FileNotFound
+                # (the Delta analog of the Iceberg stream's
+                # expired-provenance guard).
+                raise RuntimeError(
+                    f"pydelta stream: version {v} adds {a['path']} but "
+                    "the file was removed (VACUUM after a rewrite); "
+                    "those rows cannot be streamed — backfill with a "
+                    "batch read (read_delta) and start the stream from "
+                    "the current version"
+                )
+            parts.append(
+                DeltaFilePartition(
+                    fpath, json.dumps(a.get("partitionValues") or {})
+                )
+            )
         return parts
 
     def _cdf_parts(

@@ -1,0 +1,175 @@
+"""Round 14: pydelta maxFilesPerTrigger — admission control via
+fractional offsets ({"version", "index"}), splitting micro-batches
+WITHIN a log version at file granularity while staying replayable
+(every recorded range reproduces its exact file slice)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+import uuid
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pyspark_excel_datasource_spark.sources.delta_stream import (  # noqa: E402
+    register_pydelta,
+)
+from pyspark_excel_datasource_spark.sources.deltalog import (  # noqa: E402
+    write_delta,
+)
+
+
+def _three_by_three(spark, tmp_path):
+    """3 commits x 3 files each (9 files, 70 rows total)."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i % 7) for i in range(70)], "k long, g long"
+    )
+    for r in range(3):
+        write_delta(
+            spark,
+            df.filter(F.col("k") % 3 == r).repartition(3),
+            path,
+            mode="append",
+        )
+    return path
+
+
+def _offsets(ckpt: str) -> list[dict]:
+    d = os.path.join(ckpt, "offsets")
+    out = []
+    for f in sorted(
+        (n for n in os.listdir(d) if not n.startswith(".")), key=int
+    ):
+        last = open(os.path.join(d, f)).read().splitlines()[-1]
+        out.append(json.loads(last))
+    return out
+
+
+def _files_spanned(reader, start: dict, end: dict) -> int:
+    return len(reader.partitions(start, end))
+
+
+def test_maxfiles_bounds_every_batch(spark, tmp_path):
+    """Continuous (processingTime) drain with maxFilesPerTrigger=2:
+    full exactly-once census AND every committed batch's replayed
+    range spans <= 2 files — including mid-version splits."""
+    register_pydelta(spark)
+    path = _three_by_three(spark, tmp_path)
+    sink = f"mf_{uuid.uuid4().hex[:8]}"
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("pydelta")
+        .option("maxFilesPerTrigger", "2")
+        .load(path)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if spark.table(sink).count() == 70:
+                break
+            time.sleep(0.5)
+        assert spark.table(sink).count() == 70
+    finally:
+        q.stop()
+    assert spark.table(sink).select("k").distinct().count() == 70  # no dupes
+
+    # replay every committed range through a fresh reader: <= 2 files
+    # per batch, and at least one offset splits INSIDE a version
+    from pyspark_excel_datasource_spark.sources.delta_stream import (
+        DeltaStreamReader,
+    )
+
+    reader = DeltaStreamReader(
+        spark.read.format("pydelta").load(path).schema, {"path": path}
+    )
+    offs = _offsets(ckpt)
+    prev = {"version": -1}
+    spans = []
+    for off in offs:
+        spans.append(_files_spanned(reader, prev, off))
+        prev = off
+    assert all(s <= 2 for s in spans), spans
+    assert sum(spans) == 9
+    assert any("index" in o for o in offs), offs  # fractional split happened
+
+
+def test_maxfiles_available_now_restart_loop(spark, tmp_path):
+    """availableNow + persistent checkpoint: each run consumes ONE
+    bounded batch (the Python source has no availableNow iteration),
+    restarts resume exactly-once, and the loop drains the table in
+    ceil(9/4)+ runs with the <=4-file bound held across restarts."""
+    register_pydelta(spark)
+    path = _three_by_three(spark, tmp_path)
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt2")
+    runs = 0
+    cnt = 0
+    while runs < 10:
+        q = (
+            spark.readStream.format("pydelta")
+            .option("maxFilesPerTrigger", "4")
+            .load(path)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(90)
+        q.stop()
+        runs += 1
+        cnt = (
+            spark.read.parquet(out).count() if os.path.exists(out) else 0
+        )
+        if cnt == 70:
+            break
+    assert cnt == 70, cnt
+    assert runs == 3, runs  # ceil(9 files / 4 per batch)
+    got = {r.k for r in spark.read.parquet(out).collect()}
+    assert got == set(range(70))  # exactly-once across restarts
+
+
+def test_maxfiles_legacy_offsets_replay_whole_versions(spark, tmp_path):
+    """Index-less offsets (pre-r14 checkpoints) keep their meaning:
+    {"version": v} = fully consumed, so a legacy range replays whole
+    versions unchanged."""
+    register_pydelta(spark)
+    path = _three_by_three(spark, tmp_path)
+    from pyspark_excel_datasource_spark.sources.delta_stream import (
+        DeltaStreamReader,
+    )
+
+    reader = DeltaStreamReader(
+        spark.read.format("pydelta").load(path).schema, {"path": path}
+    )
+    assert len(reader.partitions({"version": -1}, {"version": 0})) == 3
+    assert len(reader.partitions({"version": 0}, {"version": 2})) == 6
+    assert len(reader.partitions({"version": -1}, {"version": 2})) == 9
+
+
+def test_maxfiles_option_validation(spark, tmp_path):
+    register_pydelta(spark)
+    path = _three_by_three(spark, tmp_path)
+    from pyspark_excel_datasource_spark.sources.delta_stream import (
+        DeltaStreamReader,
+    )
+
+    schema = spark.read.format("pydelta").load(path).schema
+    with pytest.raises(ValueError, match="maxFilesPerTrigger"):
+        DeltaStreamReader(schema, {"path": path, "maxFilesPerTrigger": "0"})
+    with pytest.raises(ValueError, match="maxFilesPerTrigger"):
+        DeltaStreamReader(schema, {"path": path, "maxFilesPerTrigger": "x"})
