@@ -204,6 +204,7 @@ _PIN: tuple[str, ...] = (
     "q_iceberg_eqdel_fold",
     "q_iceberg_tag_retention",
     "q_stream_delta_maxfiles",
+    "q_stream_iceberg_maxfiles",
 )
 
 _REPO_ROOT = os.path.dirname(

@@ -424,6 +424,116 @@ def q_stream_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_iceberg_maxfiles",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           TRUE AS bounded_ok
+    FROM orders
+    WHERE o_orderkey % 6 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def q_stream_iceberg_maxfiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``streaming-max-files-per-micro-batch`` on the pyiceberg stream
+    (the public Iceberg source's admission-control option; Delta twin
+    ``q_stream_delta_maxfiles``): micro-batches are capped at K input
+    files via fractional offsets ({"snapshot_id", "index"}) that split
+    WITHIN a snapshot, so a fresh consumer of a long-lived table
+    catches up in bounded, checkpointable bites. The drain runs an
+    availableNow+checkpoint restart loop (one bounded batch per run),
+    then replays every committed offset range through a fresh reader
+    and pins ``bounded_ok``: each batch spanned ≤ K files AND the
+    spans sum to the full added-file count. The census equals the two
+    appends' union (the final replace snapshot stays invisible), so
+    the hash proves exactly-once + the bound together.
+    """
+    import json as _json
+    import shutil
+    import uuid
+
+    from .iceberg import rewrite_data_files
+    from .iceberg_stream import IcebergStreamReader, register_pyiceberg_stream
+
+    register_pyiceberg_stream(spark)
+    out = os.path.join(_fixture_dir(sf_dir), "orders_maxfiles_iceberg")
+    shutil.rmtree(out, ignore_errors=True)
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 6 == 0)
+        .select("o_orderkey", "o_orderstatus")
+    )
+    odd = F.expr("(o_orderkey div 6) % 2 = 1")
+    write_iceberg(spark, o.filter(~odd).repartition(3), out)
+    write_iceberg(spark, o.filter(odd).repartition(3), out, mode="append")
+    rewrite_data_files(spark, out, target_files=1)  # replace: invisible
+    expected = o.count()
+
+    scratch = os.path.join(_fixture_dir(sf_dir), ".scratch")
+    os.makedirs(scratch, exist_ok=True)
+    for old in os.listdir(scratch):
+        if old.startswith("icemaxfiles_"):
+            shutil.rmtree(os.path.join(scratch, old), ignore_errors=True)
+    run_id = uuid.uuid4().hex[:10]
+    sink = os.path.join(scratch, f"icemaxfiles_sink_{run_id}")
+    ckpt = os.path.join(scratch, f"icemaxfiles_ckpt_{run_id}")
+    k = 2
+    try:
+        for _ in range(12):
+            q = (
+                spark.readStream.format("pyiceberg_stream")
+                .option("streaming-max-files-per-micro-batch", str(k))
+                .load(out)
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(120):
+                q.stop()
+                raise TimeoutError(
+                    "q_stream_iceberg_maxfiles: drain stalled"
+                )
+            q.stop()
+            if (
+                os.path.exists(sink)
+                and spark.read.parquet(sink).count() >= expected
+            ):
+                break
+        reader = IcebergStreamReader(
+            spark.read.format("pyiceberg_stream").load(out).schema,
+            {"path": out},
+        )
+        offd = os.path.join(ckpt, "offsets")
+        offs = []
+        for f in sorted(
+            (n for n in os.listdir(offd) if not n.startswith(".")), key=int
+        ):
+            last = open(os.path.join(offd, f)).read().splitlines()[-1]
+            offs.append(_json.loads(last))
+        prev = {"snapshot_id": 0}
+        spans = []
+        for off in offs:
+            spans.append(len(reader.partitions(prev, off)))
+            prev = off
+        total = len(reader.partitions({"snapshot_id": 0}, offs[-1]))
+        bounded = all(s <= k for s in spans) and sum(spans) == total
+        return (
+            spark.read.parquet(sink)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").cast("long").alias("n_orders"),
+                F.sum("o_orderkey").cast("long").alias("sum_key"),
+            )
+            .withColumn("bounded_ok", F.lit(bool(bounded)))
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+@query(
     "q_iceberg_incremental",
     oracle="""
     SELECT o_orderstatus,

@@ -132,6 +132,35 @@ class IcebergStreamReader(DataSourceStreamReader):
         if not self.skip_deletes:
             _require_v1(_current_metadata(self.path), "pyiceberg stream")
 
+        # streaming-max-files-per-micro-batch (public Iceberg source
+        # option, round 14; Delta twin: pydelta's maxFilesPerTrigger):
+        # admission control via fractional offsets
+        # ({"snapshot_id", "index"}) that split WITHIN a snapshot at
+        # file granularity. A fully-consumed snapshot stays index-less,
+        # so pre-r14 checkpoints replay unchanged; partitions()/
+        # commit() track the consumed position so the bound holds
+        # across restarts, and every recorded range replays its exact
+        # file slice (the replayability contract is unchanged).
+        mfb = options.get("streaming-max-files-per-micro-batch")
+        self.max_files: int | None
+        if mfb is None:
+            self.max_files = None
+        else:
+            try:
+                self.max_files = int(mfb)
+            except ValueError as e:
+                raise ValueError(
+                    "pyiceberg_stream: streaming-max-files-per-micro-"
+                    f"batch must be a positive integer, got {mfb!r}"
+                ) from e
+            if self.max_files < 1:
+                raise ValueError(
+                    "pyiceberg_stream: streaming-max-files-per-micro-"
+                    f"batch must be >= 1, got {self.max_files}"
+                )
+        self._pos: dict | None = None  # last consumed offset
+        self._nparts: dict[int, int] = {}  # snapshot id -> part count
+
         # stream-from-timestamp (public Iceberg source option, ms):
         # begin with the first snapshot whose commit timestamp is at or
         # after T — earlier history is not part of the stream (backfill
@@ -160,11 +189,44 @@ class IcebergStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         md = _current_metadata(self.path)
-        ids = [s["snapshot-id"] for s in md.get("snapshots", [])]
-        return {"snapshot_id": max(ids) if ids else 0}
+        snaps = sorted(
+            md.get("snapshots", []), key=lambda s: s["snapshot-id"]
+        )
+        ids = {s["snapshot-id"] for s in snaps}
+        head = max(ids) if ids else 0
+        if self.max_files is None:
+            return {"snapshot_id": head}
+        base = self._pos if self._pos is not None else self.initialOffset()
+        bv, bi = int(base["snapshot_id"]), base.get("index")
+        budget = self.max_files
+        cur = dict(base)
+        for s in snaps:
+            sid = s["snapshot-id"]
+            if sid < bv or (sid == bv and bi is None):
+                continue
+            if budget <= 0:
+                break
+            if sid not in self._nparts:
+                self._nparts[sid] = len(self._snapshot_parts(s, bv, ids))
+            n = self._nparts[sid]
+            start_i = int(bi) if (sid == bv and bi is not None) else 0
+            take = min(budget, n - start_i)
+            budget -= take
+            # canonical: a fully-consumed snapshot never carries an
+            # index key (offset JSON equality = "no new data")
+            if start_i + take >= n:
+                cur = {"snapshot_id": sid}
+            else:
+                cur = {"snapshot_id": sid, "index": start_i + take}
+                break
+        return cur
+
+    def commit(self, end: dict) -> None:
+        self._pos = dict(end)
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
-        lo, hi = int(start["snapshot_id"]), int(end["snapshot_id"])
+        lo, li = int(start["snapshot_id"]), start.get("index")
+        hi, hie = int(end["snapshot_id"]), end.get("index")
         md = _current_metadata(self.path)
         snaps = sorted(
             md.get("snapshots", []), key=lambda s: s["snapshot-id"]
@@ -179,61 +241,79 @@ class IcebergStreamReader(DataSourceStreamReader):
         parts: list[InputPartition] = []
         for s in snaps:
             sid = s["snapshot-id"]
-            if not (lo < sid <= hi):
+            if sid < lo or sid > hi:
                 continue
-            op = s.get("summary", {}).get("operation", "append")
-            if op == "replace":
-                # compaction: same rows, different files — INVISIBLE,
-                # but only while every snapshot it carries rows for is
-                # still streamable. A rewrite writes its entries under
-                # its OWN snapshot id, so after expire_snapshots removes
-                # the original appends the manifest walk alone cannot
-                # see the loss; the rewrite records the carried
-                # snapshot ids in its summary (replaced-snapshot-ids)
-                # exactly for this check. Legacy replace snapshots
-                # without the summary fall back to the manifest walk.
-                rids = s.get("summary", {}).get("replaced-snapshot-ids")
-                if rids is not None:
-                    missing = sorted(
-                        r for r in rids if r > lo and r not in ids
+            if sid == lo and li is None:
+                continue  # start snapshot fully consumed (legacy form)
+            sp = self._snapshot_parts(s, lo, ids)
+            a = int(li) if (sid == lo and li is not None) else 0
+            b = int(hie) if (sid == hi and hie is not None) else len(sp)
+            parts.extend(sp[a:b])
+        self._pos = dict(end)
+        return parts
+
+    def _snapshot_parts(
+        self, s: dict, lo: int, ids: set[int]
+    ) -> list[InputPartition]:
+        """All stream partitions of ONE snapshot, in deterministic
+        (manifest walk) order — the unit the offset ``index`` slices.
+        Skipped/replace/delete snapshots contribute zero partitions or
+        raise, exactly as the unbounded walk did."""
+        parts: list[InputPartition] = []
+        sid = s["snapshot-id"]
+        op = s.get("summary", {}).get("operation", "append")
+        if op == "replace":
+            # compaction: same rows, different files — INVISIBLE,
+            # but only while every snapshot it carries rows for is
+            # still streamable. A rewrite writes its entries under
+            # its OWN snapshot id, so after expire_snapshots removes
+            # the original appends the manifest walk alone cannot
+            # see the loss; the rewrite records the carried
+            # snapshot ids in its summary (replaced-snapshot-ids)
+            # exactly for this check. Legacy replace snapshots
+            # without the summary fall back to the manifest walk.
+            rids = s.get("summary", {}).get("replaced-snapshot-ids")
+            if rids is not None:
+                missing = sorted(
+                    r for r in rids if r > lo and r not in ids
+                )
+                if missing:
+                    raise RuntimeError(
+                        f"pyiceberg_stream: replace snapshot {sid} is "
+                        f"the only holder of rows added by expired "
+                        f"snapshot(s) {missing}; those rows cannot be "
+                        "attributed to any offset range — backfill "
+                        "with a batch read (read_iceberg) and start "
+                        "the stream from the current snapshot"
                     )
-                    if missing:
-                        raise RuntimeError(
-                            f"pyiceberg_stream: replace snapshot {sid} is "
-                            f"the only holder of rows added by expired "
-                            f"snapshot(s) {missing}; those rows cannot be "
-                            "attributed to any offset range — backfill "
-                            "with a batch read (read_iceberg) and start "
-                            "the stream from the current snapshot"
-                        )
-                else:
-                    _added_files(self.path, s, lo, ids)
-                continue
-            if op == "delete":
-                if self.skip_deletes:
-                    continue  # row-level delete: declared skippable
-                raise RuntimeError(
-                    f"pyiceberg_stream: snapshot {sid} is a row-level "
-                    "DELETE; set streaming-skip-delete-snapshots=true to "
-                    "disregard row-level changes, or read the table in "
-                    "batch mode"
-                )
-            if op == "overwrite" and self.skip_overwrites:
-                continue  # rewrite skipped whole — no re-emit, no dupes
-            if op == "overwrite" and not self.ignore_changes:
-                raise RuntimeError(
-                    f"pyiceberg_stream: snapshot {sid} is an OVERWRITE "
-                    "(data rewrite); set ignoreChanges=true to stream its "
-                    "added files (rows may repeat), "
-                    "streaming-skip-overwrite-snapshots=true to skip it "
-                    "whole, or start a fresh stream"
-                )
-            # one walk lists the added files AND orphan-checks every
-            # entry (shared manifests included) — a fresh stream over a
-            # table whose early snapshots were expired fails here
-            for rel, pv in _added_files(self.path, s, lo, ids):
-                p = rel if os.path.isabs(rel) else os.path.join(self.path, rel)
-                parts.append(IcebergFilePartition(p, json.dumps(pv)))
+            else:
+                _added_files(self.path, s, lo, ids)
+            return parts
+        if op == "delete":
+            if self.skip_deletes:
+                return parts  # row-level delete: declared skippable
+            raise RuntimeError(
+                f"pyiceberg_stream: snapshot {sid} is a row-level "
+                "DELETE; set streaming-skip-delete-snapshots=true to "
+                "disregard row-level changes, or read the table in "
+                "batch mode"
+            )
+        if op == "overwrite" and self.skip_overwrites:
+            return parts  # rewrite skipped whole — no re-emit, no dupes
+        if op == "overwrite" and not self.ignore_changes:
+            raise RuntimeError(
+                f"pyiceberg_stream: snapshot {sid} is an OVERWRITE "
+                "(data rewrite); set ignoreChanges=true to stream its "
+                "added files (rows may repeat), "
+                "streaming-skip-overwrite-snapshots=true to skip it "
+                "whole, or start a fresh stream"
+            )
+        # one walk lists the added files AND orphan-checks every
+        # entry (shared manifests included) — a fresh stream over a
+        # table whose early snapshots were expired fails here
+        for rel, pv in _added_files(self.path, s, lo, ids):
+            p = rel if os.path.isabs(rel) else os.path.join(self.path, rel)
+            parts.append(IcebergFilePartition(p, json.dumps(pv)))
         return parts
 
     def read(self, partition: IcebergFilePartition):

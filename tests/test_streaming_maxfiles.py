@@ -173,3 +173,105 @@ def test_maxfiles_option_validation(spark, tmp_path):
         DeltaStreamReader(schema, {"path": path, "maxFilesPerTrigger": "0"})
     with pytest.raises(ValueError, match="maxFilesPerTrigger"):
         DeltaStreamReader(schema, {"path": path, "maxFilesPerTrigger": "x"})
+
+
+# ---------------------------------------------------------------------------
+# Iceberg twin: streaming-max-files-per-micro-batch
+# ---------------------------------------------------------------------------
+
+
+def _three_by_three_iceberg(spark, tmp_path):
+    from pyspark_excel_datasource_spark.sources.iceberg import write_iceberg
+
+    path = str(tmp_path / "ice")
+    df = spark.createDataFrame(
+        [(i, i % 7) for i in range(70)], "k long, g long"
+    )
+    for r in range(3):
+        write_iceberg(
+            spark,
+            df.filter(F.col("k") % 3 == r).repartition(3),
+            path,
+            mode="append",
+        )
+    return path
+
+
+def test_iceberg_maxfiles_bounds_every_batch(spark, tmp_path):
+    from pyspark_excel_datasource_spark.sources.iceberg_stream import (
+        IcebergStreamReader,
+        register_pyiceberg_stream,
+    )
+
+    register_pyiceberg_stream(spark)
+    path = _three_by_three_iceberg(spark, tmp_path)
+    sink = f"imf_{uuid.uuid4().hex[:8]}"
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("pyiceberg_stream")
+        .option("streaming-max-files-per-micro-batch", "2")
+        .load(path)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if spark.table(sink).count() == 70:
+                break
+            time.sleep(0.5)
+        assert spark.table(sink).count() == 70
+    finally:
+        q.stop()
+    assert spark.table(sink).select("k").distinct().count() == 70
+
+    reader = IcebergStreamReader(
+        spark.read.format("pyiceberg_stream").load(path).schema,
+        {"path": path},
+    )
+    offs = _offsets(ckpt)
+    prev = {"snapshot_id": 0}
+    spans = []
+    for off in offs:
+        spans.append(len(reader.partitions(prev, off)))
+        prev = off
+    assert all(s <= 2 for s in spans), spans
+    assert sum(spans) == 9
+    assert any("index" in o for o in offs), offs
+
+
+def test_iceberg_maxfiles_legacy_offsets(spark, tmp_path):
+    from pyspark_excel_datasource_spark.sources.iceberg_stream import (
+        IcebergStreamReader,
+        register_pyiceberg_stream,
+    )
+
+    register_pyiceberg_stream(spark)
+    path = _three_by_three_iceberg(spark, tmp_path)
+    reader = IcebergStreamReader(
+        spark.read.format("pyiceberg_stream").load(path).schema,
+        {"path": path},
+    )
+    assert len(reader.partitions({"snapshot_id": 0}, {"snapshot_id": 1})) == 3
+    assert len(reader.partitions({"snapshot_id": 1}, {"snapshot_id": 3})) == 6
+    assert len(reader.partitions({"snapshot_id": 0}, {"snapshot_id": 3})) == 9
+
+
+def test_iceberg_maxfiles_option_validation(spark, tmp_path):
+    from pyspark_excel_datasource_spark.sources.iceberg_stream import (
+        IcebergStreamReader,
+        register_pyiceberg_stream,
+    )
+
+    register_pyiceberg_stream(spark)
+    path = _three_by_three_iceberg(spark, tmp_path)
+    schema = spark.read.format("pyiceberg_stream").load(path).schema
+    with pytest.raises(ValueError, match="max-files-per-micro"):
+        IcebergStreamReader(
+            schema,
+            {"path": path, "streaming-max-files-per-micro-batch": "0"},
+        )
