@@ -195,8 +195,31 @@ class DeltaStreamReader(DataSourceStreamReader):
                     "pydelta stream: maxFilesPerTrigger must be >= 1, "
                     f"got {self.max_files}"
                 )
+        # maxBytesPerTrigger (public Delta source option): the byte-
+        # budget axis of the same admission walk — a SOFT cap (the file
+        # that crosses the budget is still admitted, so one oversized
+        # file streams alone rather than wedging the query). Composes
+        # with maxFilesPerTrigger: a batch stops at whichever bound
+        # trips first.
+        mbt = options.get("maxBytesPerTrigger", options.get("maxbytespertrigger"))
+        self.max_bytes: int | None
+        if mbt is None:
+            self.max_bytes = None
+        else:
+            try:
+                self.max_bytes = int(mbt)
+            except ValueError as e:
+                raise ValueError(
+                    "pydelta stream: maxBytesPerTrigger must be a "
+                    f"positive integer, got {mbt!r}"
+                ) from e
+            if self.max_bytes < 1:
+                raise ValueError(
+                    "pydelta stream: maxBytesPerTrigger must be >= 1, "
+                    f"got {self.max_bytes}"
+                )
         self._pos: dict | None = None  # last consumed offset (this instance)
-        self._nparts: dict[int, int] = {}  # version -> partition count
+        self._nparts: dict[int, list[int]] = {}  # version -> part sizes
 
         from .deltalog import _require_no_dv, _require_unmapped
 
@@ -227,7 +250,7 @@ class DeltaStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         js, cps = _list_log(self.path)
         head = max(js + cps)
-        if self.max_files is None:
+        if self.max_files is None and self.max_bytes is None:
             return {"version": head}
         base = self._pos if self._pos is not None else self.initialOffset()
         bv, bi = int(base["version"]), base.get("index")
@@ -237,20 +260,39 @@ class DeltaStreamReader(DataSourceStreamReader):
             v, start_i = bv, int(bi)
         else:
             v, start_i = bv + 1, 0
-        budget = self.max_files
+        taken_f = 0
+        taken_b = 0
         cur = dict(base)
-        while budget > 0 and v <= head:
-            n = self._nparts_of(v)
-            take = min(budget, n - start_i)
-            budget -= take
+        while v <= head:
+            sizes = self._sizes_of(v)
+            n = len(sizes)
+            if start_i >= n:  # empty/skipped version: consumed for free
+                cur = {"version": v}
+                v, start_i = v + 1, 0
+                continue
+            i = start_i
+            while i < n:
+                # maxFiles is a hard cap; maxBytes is the public soft
+                # cap — the file that CROSSES the byte budget is still
+                # included (so one oversized file streams alone), and
+                # every batch admits at least one file
+                if self.max_files is not None and taken_f >= self.max_files:
+                    break
+                if self.max_bytes is not None and taken_b >= self.max_bytes:
+                    break
+                taken_f += 1
+                taken_b += sizes[i]
+                i += 1
+            if i == start_i:
+                break  # budget exhausted before this version
             # canonical form: a fully-consumed version never carries an
             # index key, so offset JSON equality keeps meaning "no new
             # data" for Spark's progress tracking
-            if start_i + take >= n:
+            if i >= n:
                 cur = {"version": v}
                 v, start_i = v + 1, 0
             else:
-                cur = {"version": v, "index": start_i + take}
+                cur = {"version": v, "index": i}
                 break
         return cur
 
@@ -259,8 +301,18 @@ class DeltaStreamReader(DataSourceStreamReader):
         immutable once committed). Runs the same classification as
         ``_version_parts``, so an unstreamable commit fails at
         PROPOSAL time — the same loud error, one call earlier."""
+        return len(self._sizes_of(v))
+
+    def _sizes_of(self, v: int) -> list[int]:
+        """Per-partition on-disk byte sizes of one version (cached;
+        versions are immutable once committed). Feeds both budget axes
+        of the admission-control walk: count (maxFilesPerTrigger) and bytes
+        (maxBytesPerTrigger)."""
         if v not in self._nparts:
-            self._nparts[v] = len(self._version_parts(v))
+            self._nparts[v] = [
+                os.path.getsize(p.path) if os.path.exists(p.path) else 0
+                for p in self._version_parts(v)
+            ]
         return self._nparts[v]
 
     def commit(self, end: dict) -> None:
@@ -436,9 +488,6 @@ class DeltaStreamReader(DataSourceStreamReader):
         yield from _read_parquet_with_pv(
             partition.path, pv, self.bound_schema
         )
-
-    def commit(self, end: dict) -> None:
-        pass  # version offsets live in the log; nothing to clean up
 
     def stop(self) -> None:
         pass

@@ -322,9 +322,6 @@ class IcebergStreamReader(DataSourceStreamReader):
             self.bound_schema,
         )
 
-    def commit(self, end: dict) -> None:
-        pass  # snapshot offsets live in the metadata; nothing to clean up
-
     def stop(self) -> None:
         pass
 

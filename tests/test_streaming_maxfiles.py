@@ -275,3 +275,72 @@ def test_iceberg_maxfiles_option_validation(spark, tmp_path):
             schema,
             {"path": path, "streaming-max-files-per-micro-batch": "0"},
         )
+
+
+def test_maxbytes_soft_cap(spark, tmp_path):
+    """maxBytesPerTrigger is a soft cap: a tiny budget admits exactly
+    one file per batch (the crossing file streams alone); a huge budget
+    drains everything in one batch; with maxFilesPerTrigger both
+    bounds compose (whichever trips first)."""
+    register_pydelta(spark)
+    path = _three_by_three(spark, tmp_path)
+    from pyspark_excel_datasource_spark.sources.delta_stream import (
+        DeltaStreamReader,
+    )
+
+    schema = spark.read.format("pydelta").load(path).schema
+    # budget of 1 byte -> every proposal advances exactly one file
+    r = DeltaStreamReader(schema, {"path": path, "maxBytesPerTrigger": "1"})
+    off = r.latestOffset()
+    assert off == {"version": 0, "index": 1}, off
+    r.commit(off)
+    off2 = r.latestOffset()
+    assert off2 == {"version": 0, "index": 2}, off2
+    # huge budget -> the whole backlog in one proposal
+    r2 = DeltaStreamReader(
+        schema, {"path": path, "maxBytesPerTrigger": str(1 << 40)}
+    )
+    assert r2.latestOffset() == {"version": 2}
+    # composed: bytes budget generous, file budget = 2 -> files win
+    r3 = DeltaStreamReader(
+        schema,
+        {
+            "path": path,
+            "maxBytesPerTrigger": str(1 << 40),
+            "maxFilesPerTrigger": "2",
+        },
+    )
+    assert r3.latestOffset() == {"version": 0, "index": 2}
+    with pytest.raises(ValueError, match="maxBytesPerTrigger"):
+        DeltaStreamReader(schema, {"path": path, "maxBytesPerTrigger": "-5"})
+
+
+def test_maxbytes_full_drain(spark, tmp_path):
+    """Continuous drain under a small byte budget: exactly-once census,
+    one file per batch (every fixture file exceeds the budget)."""
+    register_pydelta(spark)
+    path = _three_by_three(spark, tmp_path)
+    sink = f"mb_{uuid.uuid4().hex[:8]}"
+    ckpt = str(tmp_path / "ckptb")
+    q = (
+        spark.readStream.format("pydelta")
+        .option("maxBytesPerTrigger", "1")
+        .load(path)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if spark.table(sink).count() == 70:
+                break
+            time.sleep(0.5)
+        assert spark.table(sink).count() == 70
+    finally:
+        q.stop()
+    assert spark.table(sink).select("k").distinct().count() == 70
+    assert len(_offsets(ckpt)) == 9  # one file per committed batch
