@@ -2106,7 +2106,14 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
 def market_basket(li: DataFrame) -> DataFrame:
     """Basket-affinity plan over a lineitem frame (shared with
     ``tools/scale_stress.py``)."""
-    op = li.select("l_orderkey", "l_partkey").distinct()
+    # localCheckpoint: the distinct (order, part) posting list feeds
+    # FOUR consumers (order totals, part supports, the basket-size cap,
+    # and — through capped — both pair-join sides); without it each
+    # consumer re-runs the raw-lineitem distinct, which the r14 stress
+    # run measured going supralinear (24.9x at 10x) the moment the cap
+    # join added consumers. One materialized pass, same discipline as
+    # common_neighbor_scores' co-purchase set.
+    op = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
     total = op.agg(
         F.count_distinct("l_orderkey").alias("total")
     )

@@ -63,8 +63,12 @@ def _added_files(
     snap_md: dict,
     lo: int | None = None,
     ids: set | None = None,
-) -> list[tuple[str, dict]]:
-    """(file_path, partition values) for entries this snapshot ADDED.
+    with_rows: bool = False,
+) -> list[tuple]:
+    """(file_path, partition values[, record_count]) for entries this
+    snapshot ADDED (``with_rows=True`` appends the manifest's
+    record_count — the metadata-exact row budget the max-rows admission
+    walk uses; no footer is opened).
 
     When ``lo``/``ids`` are given, the SAME walk doubles as the orphan
     check (one manifest pass per snapshot, not two): any live entry
@@ -100,7 +104,10 @@ def _added_files(
             if shared or entry["status"] != 1 or esid != sid:
                 continue
             rec = entry["data_file"]
-            out.append((rec["file_path"], dict(rec.get("partition") or {})))
+            row = (rec["file_path"], dict(rec.get("partition") or {}))
+            if with_rows:
+                row += (int(rec.get("record_count") or 0),)
+            out.append(row)
     return out
 
 
@@ -158,8 +165,31 @@ class IcebergStreamReader(DataSourceStreamReader):
                     "pyiceberg_stream: streaming-max-files-per-micro-"
                     f"batch must be >= 1, got {self.max_files}"
                 )
+        # streaming-max-rows-per-micro-batch (the public source's other
+        # admission axis): a SOFT row cap taken from the manifests'
+        # record_count — metadata-exact, no footer opened; the file that
+        # crosses the budget is still admitted (an oversized file
+        # streams alone). Composes with max-files: whichever bound
+        # trips first ends the batch.
+        mrb = options.get("streaming-max-rows-per-micro-batch")
+        self.max_rows: int | None
+        if mrb is None:
+            self.max_rows = None
+        else:
+            try:
+                self.max_rows = int(mrb)
+            except ValueError as e:
+                raise ValueError(
+                    "pyiceberg_stream: streaming-max-rows-per-micro-"
+                    f"batch must be a positive integer, got {mrb!r}"
+                ) from e
+            if self.max_rows < 1:
+                raise ValueError(
+                    "pyiceberg_stream: streaming-max-rows-per-micro-"
+                    f"batch must be >= 1, got {self.max_rows}"
+                )
         self._pos: dict | None = None  # last consumed offset
-        self._nparts: dict[int, int] = {}  # snapshot id -> part count
+        self._nparts: dict[int, list[int]] = {}  # snapshot id -> part rows
 
         # stream-from-timestamp (public Iceberg source option, ms):
         # begin with the first snapshot whose commit timestamp is at or
@@ -194,30 +224,45 @@ class IcebergStreamReader(DataSourceStreamReader):
         )
         ids = {s["snapshot-id"] for s in snaps}
         head = max(ids) if ids else 0
-        if self.max_files is None:
+        if self.max_files is None and self.max_rows is None:
             return {"snapshot_id": head}
         base = self._pos if self._pos is not None else self.initialOffset()
         bv, bi = int(base["snapshot_id"]), base.get("index")
-        budget = self.max_files
+        taken_f = 0
+        taken_r = 0
         cur = dict(base)
         for s in snaps:
             sid = s["snapshot-id"]
             if sid < bv or (sid == bv and bi is None):
                 continue
-            if budget <= 0:
-                break
             if sid not in self._nparts:
-                self._nparts[sid] = len(self._snapshot_parts(s, bv, ids))
-            n = self._nparts[sid]
+                self._snapshot_parts(s, bv, ids)  # fills the rows cache
+            rows = self._nparts[sid]
+            n = len(rows)
             start_i = int(bi) if (sid == bv and bi is not None) else 0
-            take = min(budget, n - start_i)
-            budget -= take
+            if start_i >= n:  # empty/skipped snapshot: consumed for free
+                cur = {"snapshot_id": sid}
+                continue
+            i = start_i
+            while i < n:
+                # max-files is a hard cap; max-rows is the public soft
+                # cap — the file crossing the row budget is admitted,
+                # and every batch admits at least one file
+                if self.max_files is not None and taken_f >= self.max_files:
+                    break
+                if self.max_rows is not None and taken_r >= self.max_rows:
+                    break
+                taken_f += 1
+                taken_r += rows[i]
+                i += 1
+            if i == start_i:
+                break  # budget exhausted before this snapshot
             # canonical: a fully-consumed snapshot never carries an
             # index key (offset JSON equality = "no new data")
-            if start_i + take >= n:
+            if i >= n:
                 cur = {"snapshot_id": sid}
             else:
-                cur = {"snapshot_id": sid, "index": start_i + take}
+                cur = {"snapshot_id": sid, "index": i}
                 break
         return cur
 
@@ -261,6 +306,10 @@ class IcebergStreamReader(DataSourceStreamReader):
         raise, exactly as the unbounded walk did."""
         parts: list[InputPartition] = []
         sid = s["snapshot-id"]
+        # default rows-cache entry for the zero-partition outcomes (the
+        # skip/replace early returns below); the added-files walk at the
+        # end overwrites it with the real per-file record counts
+        self._nparts[sid] = []
         op = s.get("summary", {}).get("operation", "append")
         if op == "replace":
             # compaction: same rows, different files — INVISIBLE,
@@ -311,9 +360,12 @@ class IcebergStreamReader(DataSourceStreamReader):
         # one walk lists the added files AND orphan-checks every
         # entry (shared manifests included) — a fresh stream over a
         # table whose early snapshots were expired fails here
-        for rel, pv in _added_files(self.path, s, lo, ids):
+        rows: list[int] = []
+        for rel, pv, nr in _added_files(self.path, s, lo, ids, with_rows=True):
             p = rel if os.path.isabs(rel) else os.path.join(self.path, rel)
             parts.append(IcebergFilePartition(p, json.dumps(pv)))
+            rows.append(nr)
+        self._nparts[sid] = rows
         return parts
 
     def read(self, partition: IcebergFilePartition):

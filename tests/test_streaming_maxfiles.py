@@ -344,3 +344,89 @@ def test_maxbytes_full_drain(spark, tmp_path):
         q.stop()
     assert spark.table(sink).select("k").distinct().count() == 70
     assert len(_offsets(ckpt)) == 9  # one file per committed batch
+
+
+def test_iceberg_maxrows_soft_cap(spark, tmp_path):
+    """streaming-max-rows-per-micro-batch: metadata-exact row budgets
+    from manifest record_count — a tiny budget admits one file per
+    proposal (soft cap), a huge budget drains everything, and the two
+    axes compose (whichever trips first)."""
+    from pyspark_excel_datasource_spark.sources.iceberg_stream import (
+        IcebergStreamReader,
+        register_pyiceberg_stream,
+    )
+
+    register_pyiceberg_stream(spark)
+    path = _three_by_three_iceberg(spark, tmp_path)
+    schema = spark.read.format("pyiceberg_stream").load(path).schema
+    r = IcebergStreamReader(
+        schema, {"path": path, "streaming-max-rows-per-micro-batch": "1"}
+    )
+    off = r.latestOffset()
+    assert off == {"snapshot_id": 1, "index": 1}, off
+    r.commit(off)
+    assert r.latestOffset() == {"snapshot_id": 1, "index": 2}
+    r2 = IcebergStreamReader(
+        schema,
+        {"path": path, "streaming-max-rows-per-micro-batch": str(1 << 40)},
+    )
+    assert r2.latestOffset() == {"snapshot_id": 3}
+    # rows budget generous + files budget 2 -> files cap wins
+    r3 = IcebergStreamReader(
+        schema,
+        {
+            "path": path,
+            "streaming-max-rows-per-micro-batch": str(1 << 40),
+            "streaming-max-files-per-micro-batch": "2",
+        },
+    )
+    assert r3.latestOffset() == {"snapshot_id": 1, "index": 2}
+    # rows budget = 20 (each file holds ~7-8 rows): the soft cap admits
+    # files until the budget is reached, so the crossing file lands the
+    # span at 3 (8+8 = 16 < 20, +8 = 24 >= 20 stops AFTER admitting it)
+    r4 = IcebergStreamReader(
+        schema, {"path": path, "streaming-max-rows-per-micro-batch": "20"}
+    )
+    o4 = r4.latestOffset()
+    n4 = len(r4.partitions({"snapshot_id": 0}, o4))
+    # snapshot 1 holds 24 rows in 3 files; the exact span depends on
+    # the hash split (a 10/10/4 split stops at 2 files covering 20),
+    # but the soft cap always stops within the first snapshot
+    assert 2 <= n4 <= 3, (o4, n4)
+    with pytest.raises(ValueError, match="max-rows-per-micro"):
+        IcebergStreamReader(
+            schema,
+            {"path": path, "streaming-max-rows-per-micro-batch": "0"},
+        )
+
+
+def test_iceberg_maxrows_full_drain(spark, tmp_path):
+    from pyspark_excel_datasource_spark.sources.iceberg_stream import (
+        register_pyiceberg_stream,
+    )
+
+    register_pyiceberg_stream(spark)
+    path = _three_by_three_iceberg(spark, tmp_path)
+    sink = f"imr_{uuid.uuid4().hex[:8]}"
+    ckpt = str(tmp_path / "ckptr")
+    q = (
+        spark.readStream.format("pyiceberg_stream")
+        .option("streaming-max-rows-per-micro-batch", "10")
+        .load(path)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if spark.table(sink).count() == 70:
+                break
+            time.sleep(0.5)
+        assert spark.table(sink).count() == 70
+    finally:
+        q.stop()
+    assert spark.table(sink).select("k").distinct().count() == 70
