@@ -626,6 +626,7 @@ def main() -> None:
 
     from pyspark_excel_datasource_spark.operators.graph import (
         common_neighbor_scores,
+        personalized_pagerank,
     )
     from pyspark_excel_datasource_spark.operators.stats import (
         chi2_frame,
@@ -851,6 +852,28 @@ def main() -> None:
         "pagerank": (
             pagerank(copurchase_edges(orders_g1, li_g1), iterations=2),
             pagerank(copurchase_edges(orders_g10, li_g10), iterations=2),
+        ),
+        # round-14: the seeded variant — eager setup (|S| collect, sink
+        # probe) makes it a thunk like cc_star; key-disjoint replicas
+        # grow seeds and vertices together, so per-iteration cost must
+        # stay proportional to edges
+        "ppr": (
+            lambda: personalized_pagerank(
+                copurchase_edges(orders_g1, li_g1),
+                copurchase_edges(orders_g1, li_g1)
+                .select(F.col("u").alias("id"))
+                .filter(F.col("id") % 20 == 0)
+                .distinct(),
+                iterations=2,
+            ),
+            lambda: personalized_pagerank(
+                copurchase_edges(orders_g10, li_g10),
+                copurchase_edges(orders_g10, li_g10)
+                .select(F.col("u").alias("id"))
+                .filter(F.col("id") % 20 == 0)
+                .distinct(),
+                iterations=2,
+            ),
         ),
         "triangles": (
             triangle_counts(li_g1),
