@@ -2426,13 +2426,20 @@ def dup_span_ranges(d: DataFrame, k: int = _SUBSTR_K) -> DataFrame:
     words = d.select("doc_id", F.split(F.col("text"), " ").alias("ws")).filter(
         F.size("ws") >= k
     )
+    # gram key: xxhash64 (8 bytes) rather than md5 (32-char hex string) —
+    # the key is INTERNAL (never in the output; the oracle verifies the
+    # final spans, not the hash), so the r14 swap halves the bytes of the
+    # one corpus-sized shuffle and replaces a per-gram MessageDigest +
+    # hex-string allocation with a native long hash (guide §2.3). A
+    # 64-bit gram collision (P ≈ n²/2⁶⁴) would surface as an oracle
+    # mismatch — the same accepted risk as the MinHash token hashing.
     grams = words.select(
         "doc_id",
         F.size("ws").cast("long").alias("total_tokens"),
         F.posexplode(
             F.expr(
                 f"transform(sequence(1, size(ws) - {k - 1}),"
-                f" i -> md5(concat_ws(' ', slice(ws, i, {k}))))"
+                f" i -> xxhash64(concat_ws(' ', slice(ws, i, {k}))))"
             )
         ).alias("p", "gk"),
     ).select("doc_id", "total_tokens", (F.col("p") + 1).alias("i"), "gk")

@@ -161,9 +161,18 @@ def nb_scores(train: DataFrame, test: DataFrame) -> DataFrame:
     tok = lambda df: F.explode(F.split(F.lower(df["text"]), " ")).alias("tok")  # noqa: E731
 
     tr = train.select("lang", tok(train))
-    counts = tr.groupBy("lang", "tok").agg(F.count("*").alias("cnt"))
-    totals = tr.groupBy("lang").agg(F.count("*").alias("n_toks"))
-    vocab = tr.agg(F.countDistinct("tok").alias("v"))
+    # r14 opt (guide §1.2 "don't compute things twice"): totals and vocab
+    # are exact functions of the aggregated model table — n_toks(lang) =
+    # Σ cnt, |vocab| = COUNT(DISTINCT tok) over (lang, tok) rows — so
+    # derive them from a cached ``counts`` instead of re-running the
+    # train-token explode+shuffle once per broadcast build (the three
+    # independent broadcasts each materialized their own copy of the
+    # explode subtree: 3 corpus-sized passes → 1). ``counts`` is the
+    # model itself — |vocab|×|classes| rows, bounded by vocabulary, the
+    # same size argument that lets it broadcast.
+    counts = tr.groupBy("lang", "tok").agg(F.count("*").alias("cnt")).cache()
+    totals = counts.groupBy("lang").agg(F.sum("cnt").cast("long").alias("n_toks"))
+    vocab = counts.agg(F.countDistinct("tok").alias("v"))
     classes = train.groupBy("lang").agg(F.count("*").alias("n_docs"))
     nd = train.agg(F.count("*").alias("nd"))
 

@@ -40,6 +40,15 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.parquet.inferTimestampNTZ.enabled": "true",
     # Let Python data sources (our Excel connector) receive pushed filters.
     "spark.sql.python.filterPushdown.enabled": "true",
+    # Joins (optimization guide §3.1/§9): allow the planner to pick a
+    # shuffled hash join when its size conditions hold instead of always
+    # sort-merge (r14 opt: −0.5s on the pair self-join headline alone),
+    # and let AQE rewrite SMJ→SHJ at runtime when every post-shuffle
+    # partition is small. Both are stats-guarded — on a cluster a build
+    # side that cannot hash locally still plans sort-merge — so the same
+    # confs hold from local bench to 100 TB.
+    "spark.sql.join.preferSortMergeJoin": "false",
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "64m",
     # Parquet field-id resolution (Iceberg-style schema evolution): reads
     # resolve columns by parquet.field.id METADATA when the read schema
     # carries it (only the Iceberg reader builds such schemas), and
