@@ -314,7 +314,13 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
     )
     tfc = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # r14 opt: df(term) = COUNT(DISTINCT doc) = COUNT(*) over the tf
+    # table (one row per (doc, term) by construction), so derive it from
+    # ``tfc`` instead of a second full token explode+aggregation — the
+    # (doc_id, term) exchange is shared between the join side and this
+    # subtree (ReusedExchange), leaving ONE corpus-sized explode in the
+    # plan where there were two (guide §1.2/§2.4).
+    df = tfc.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     scored = tfc.join(F.broadcast(df), "term").select(
         "doc_id",
         "term",
