@@ -71,6 +71,18 @@ def sf_tag(sf_dir: str) -> str:
     return (os.path.basename(os.path.normpath(sf_dir)) or "sf").replace(".", "_")
 
 
+def _size_bytes(v: str) -> int:
+    """Parse a Spark size conf value ("134217728", "128m", "1g", "64MB")."""
+    s = v.strip().lower()
+    mult = 1
+    for suf, m in (("kb", 1024), ("mb", 1024**2), ("gb", 1024**3),
+                   ("k", 1024), ("m", 1024**2), ("g", 1024**3), ("b", 1)):
+        if s.endswith(suf):
+            s, mult = s[: -len(suf)], m
+            break
+    return int(s) * mult
+
+
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition a narrow input up to cluster parallelism.
 
@@ -80,9 +92,59 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     of a small table — trivially worth it. No-op when the input is already
     parallel enough. At 100 TB inputs are thousands of splits and this
     never fires.
+
+    r14 opt: the parallelism probe estimates scan splits from the file
+    metadata Spark already holds (``df.inputFiles()`` + the
+    maxPartitionBytes/openCostInBytes packing rule) instead of forcing a
+    full physical plan + RDD conversion per call (``df.rdd`` measured
+    ~40 ms warm, ~0.7 s cold, × 36 call sites). Borderline estimates only
+    add or skip one cheap repartition of a small input — every query's
+    result is partition-count-invariant (pinned by the cluster-shape
+    sweep). Frames without file sources keep the exact RDD probe.
     """
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    parts: int | None = None
+    try:
+        files = df.inputFiles()
+        if files:
+            if len(files) >= 32 * target:
+                # openCost packs at most 32 files per 128 MB split, so
+                # splits >= files/32 >= target — parallel enough.
+                parts = len(files)
+            else:
+                max_pb = _size_bytes(
+                    spark.conf.get(
+                        "spark.sql.files.maxPartitionBytes", "134217728"
+                    )
+                )
+                open_cost = _size_bytes(
+                    spark.conf.get(
+                        "spark.sql.files.openCostInBytes", "4194304"
+                    )
+                )
+                total = 0
+                for f in files:
+                    p = f
+                    if p.startswith("file:"):
+                        p = p[5:]
+                        while p.startswith("//"):
+                            p = p[1:]
+                    try:
+                        total += os.path.getsize(p)
+                    except OSError:
+                        parts = None  # non-local URI: fall back below
+                        break
+                else:
+                    charged = total + open_cost * len(files)
+                    parts = min(
+                        len(files), max(1, -(-charged // max_pb))
+                    )
+    except Exception:
+        parts = None
+    if parts is None:
+        parts = df.rdd.getNumPartitions()
+    if parts >= target:
         return df
     return df.repartition(target)
 

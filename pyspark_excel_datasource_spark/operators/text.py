@@ -839,13 +839,22 @@ def bm25_frame(d: DataFrame) -> DataFrame:
     """(doc_id, n_terms_hit, bm25_fp) for every doc hitting the query
     terms — the unranked BM25 scoring plan shared by ``q_bm25`` and the
     hybrid fusion (``similarity.q_rank_fusion``)."""
-    toks = d.select(
-        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    # r14 opt (guide §1.2): document length = size(split(...)) — a
+    # per-row map, NOT an explode+groupBy. The old spelling ran the
+    # token explode up to three times (dl aggregate, the stats
+    # broadcast's own copy of it, and the tf path); now only the tf
+    # path explodes, and the isin filter prunes to the query terms
+    # immediately after the Generate, so the one remaining
+    # corpus-sized subtree shuffles query-term hits only.
+    dl = d.select(
+        "doc_id", F.size(F.split(F.lower("text"), " ")).cast("long").alias("dl")
     )
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
     stats = dl.agg(
         F.count("*").cast("double").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
     )
     tf = (
         toks.filter(F.col("term").isin(*_BM25_TERMS))

@@ -35,6 +35,10 @@ ALLOWED_NESTED_LOOP = {
     # design, like q_sim_topk's brute-force contract)
     "q_sim_ann_pq",
     "q_sim_ann_pq_oracled",  # same ADC broadcast, md5 integer codebooks
+    # the registered audit twin pins the EXACT native plan the bench
+    # times — same 5-row ADC LUT broadcast as q_sim_ann_pq, so the same
+    # intended nested-loop shape
+    "q_sim_ann_pq_native_audit",
     # the dim-side × 8-row salt table replication IS the salting technique
     # (a broadcast of 8 integers); the fact side still hash-joins on
     # (key, salt)
