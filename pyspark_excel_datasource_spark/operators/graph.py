@@ -1029,13 +1029,14 @@ def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: pair generation fans out per customer posting list —
     bounded by the df-cap (``_LP_MAX_CUST_DEGREE``) exactly like the
-    MinHash band joins, never all-pairs: the cap joins onto the posting
-    list BEFORE the self-join (plan-asserted), so candidate volume is
+    MinHash band joins, never all-pairs: the capped degree lands on the
+    posting list BEFORE the self-join (plan-asserted) via a window
+    count over the cust partitioning, so candidate volume is
     Σ_c deg(c)² ≤ customers × cap² even on a pathologically hot
-    customer. The degree-cap join and the self-join share one hash
-    partitioning on cust, and dc rides the pair rows (no post-pair
-    weight join); the top-20 is a distributed TakeOrdered, not a
-    global sort.
+    customer. The window, both self-join sides and the distinct all
+    ride ONE reused (cust[, supp]) exchange chain, dc rides the pair
+    rows (no post-pair weight join), and the top-20 is a distributed
+    TakeOrdered, not a global sort.
     """
     return common_neighbor_scores(
         table(spark, sf_dir, "orders"), table(spark, sf_dir, "lineitem")
@@ -1048,12 +1049,18 @@ def common_neighbor_scores(o: DataFrame, li: DataFrame) -> DataFrame:
     posting-list shape on replicated input."""
     o = o.select("o_orderkey", "o_custkey")
     li = li.select("l_orderkey", "l_suppkey")
-    # localCheckpoint: the distinct co-purchase set feeds THREE
-    # consumers (both pair-join sides via self-join, customer degrees,
-    # supplier degrees) — without it each consumer re-runs the
-    # orders x lineitem join + distinct. One materialized pass of the
-    # (already heavily reduced) distinct set is the right trade at any
-    # scale: the algorithm needs it three times by construction.
+    # No checkpoint, no degc JOIN (r14 opt, guide §2.4): the distinct's
+    # own (cust, supp) exchange is the shared materialization point —
+    # every consumer (both pair-join sides, supplier degrees) reuses it
+    # via ReusedExchange, so the orders x lineitem join + partial
+    # distinct run exactly once without an eager localCheckpoint
+    # barrier. The customer degree comes from a WINDOW count over the
+    # cust-partitioned posting list instead of a groupBy+join: one
+    # exchange establishes the cust hash partitioning, the window rides
+    # it, and the pair self-join's clustering requirement is already
+    # satisfied by that same exchange (reused for both aliases) — the
+    # r13 spelling computed degc and the cap join twice, once per join
+    # side, behind four exchanges.
     cs = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(
@@ -1061,9 +1068,7 @@ def common_neighbor_scores(o: DataFrame, li: DataFrame) -> DataFrame:
             F.col("l_suppkey").alias("supp"),
         )
         .distinct()
-        .localCheckpoint()
     )
-    degc = cs.groupBy("cust").agg(F.count("*").cast("long").alias("dc"))
     degs = cs.groupBy("supp").agg(F.count("*").cast("long").alias("ds"))
     # The degree cap must land BEFORE the pair self-join: a hot customer
     # with degree d fans out O(d^2) join rows, so filtering dc after the
@@ -1071,10 +1076,24 @@ def common_neighbor_scores(o: DataFrame, li: DataFrame) -> DataFrame:
     # ahead of the fan-out) leaves the plan quadratic in the hottest key.
     # Attaching the capped dc to each posting-list row up front bounds
     # pair generation at the source (candidate volume <= customers x
-    # cap^2) and makes the post-pair degc join redundant — dc rides the
-    # pair rows for the Adamic-Adar weight. Pinned by
-    # tests/test_plan_quality.py::test_pair_join_caps_precede_fanout.
-    capped = cs.join(degc.filter(F.col("dc") <= _LP_MAX_CUST_DEGREE), "cust")
+    # cap^2) — dc rides the pair rows for the Adamic-Adar weight.
+    # Pinned by tests/test_plan_quality.py::test_pair_join_caps_precede_fanout.
+    # Explicit-width cust exchange (r14 opt, guide §2.5): AQE sizes the
+    # post-shuffle partition count from the exchange's READ bytes, but the
+    # pair self-join above it fans every posting-list row out up to cap
+    # times — at sf0.1 a 12 MB exchange AQE coalesces to ~9 partitions
+    # feeds a 12.5M-row join+aggregate stage. Pinning the exchange at the
+    # session's configured shuffle parallelism (a conf, not a constant —
+    # locally cores, on a cluster whatever shuffle.partitions is set to)
+    # keeps the fan-out stage wide: 2.36s → 1.98s at sf0.1. The window
+    # and both self-join sides reuse this one exchange.
+    wide = cs.repartition(
+        int(cs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")),
+        "cust",
+    )
+    capped = wide.withColumn(
+        "dc", F.count("*").over(W.partitionBy("cust")).cast("long")
+    ).filter(F.col("dc") <= _LP_MAX_CUST_DEGREE)
     a, b = capped.alias("a"), capped.alias("b")
     pairs = a.join(
         b, (F.col("a.cust") == F.col("b.cust")) & (F.col("a.supp") < F.col("b.supp"))

@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..catalog import table
+from ..catalog import spread, table
 from ..functions.determinism import (
     bigsum,
     canon,
@@ -81,8 +81,17 @@ def q_flagship_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical strings (``determinism.canon``) for the driver hash gate.
     """
     li = table(spark, sf_dir, "lineitem")
+    # spread() AFTER the pushed filter (r14 opt, guide §2.5 "input skew:
+    # one unsplittable file"): the sf parquet fixtures are single-row-group
+    # files, so the scan — and with it the 8-aggregate exact-decimal
+    # partial aggregation — is ONE task no matter the core count. The
+    # round-robin of the filtered rows costs one ~10 MB shuffle and lets
+    # the decimal math run on every core (1.12s → 0.71s at sf0.1 local).
+    # Predicate pushdown is unaffected (the filter sits below the
+    # repartition), and at 100 TB the input is thousands of splits so
+    # spread() no-ops.
     return (
-        li.filter(F.col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+        spread(li.filter(F.col("l_shipdate") <= ts("1998-09-02 00:00:00")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             canon(dsum("l_quantity", 0)).alias("sum_qty"),
@@ -583,6 +592,13 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP with GROUPING() markers to disambiguate subtotal rows."""
     li = table(spark, sf_dir, "lineitem")
+    # Project to the 3 consumed columns, then spread() (r14 opt, guide
+    # §2.3/§2.5): ROLLUP's Expand triples the scan output BEFORE the
+    # partial aggregation, and the single-row-group fixture pins all of
+    # that to one task. Repartitioning the 3-column projection
+    # parallelizes Expand + the exact-decimal partial agg (1.01s → 0.82s
+    # at sf0.1); no-op at scale where the scan has real splits.
+    li = spread(li.select("l_returnflag", "l_linestatus", "l_extendedprice"))
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.grouping("l_returnflag").cast("int").alias("g_flag"),
         F.grouping("l_linestatus").cast("int").alias("g_status"),

@@ -374,7 +374,10 @@ def _posting_list_family():
         (
             "q_graph_common_neighbors",
             r"Join Inner, .*supp#\d+L? < supp#\d+L?",
-            rf"Filter \(dc#\d+L? <= {_LP_MAX_CUST_DEGREE}\)",
+            # the r14 window spelling surfaces the degree as the internal
+            # window alias (_we0#N <= cap) inside a Filter below the join;
+            # the older join spelling filtered the named column (dc#N <= cap)
+            rf"\((?:dc|_we\d+)#\d+L? <= {_LP_MAX_CUST_DEGREE}\)",
         ),
         (
             "q_market_basket",
