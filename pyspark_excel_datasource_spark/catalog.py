@@ -31,6 +31,17 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 ORACLE_SF_DIR = "/root/testdata/sf0.01"
 
 
+#: path -> inferred StructType for the immutable driver-generated test
+#: tables. Catalog METADATA only (what a metastore would declare): every
+#: ``spark.read.parquet`` re-infers the schema from the footer (~110 ms
+#: of driver-side IO + py4j per call, paid by every bench sample of
+#: every query), while ``read.schema(...)`` skips inference entirely.
+#: The DATA is still read from parquet on every action — nothing about
+#: results or file contents is cached, and the testdata dirs are
+#: read-only, so the schema cannot drift under the memo.
+_SCHEMA_CACHE: dict = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table as a DataFrame (lazy parquet scan).
 
@@ -47,7 +58,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        df = _read_parquet(spark, path)
         from pyspark.sql import functions as F
 
         ts_type = dict(df.dtypes).get("ts")
@@ -60,7 +71,19 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if ts_type != "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
         return df
-    return spark.read.parquet(path)
+    return _read_parquet(spark, path)
+
+
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan with the schema served from :data:`_SCHEMA_CACHE`
+    after first inference (see the cache docstring for why this is
+    metadata, not result caching)."""
+    sch = _SCHEMA_CACHE.get(path)
+    if sch is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[path] = df.schema
+        return df
+    return spark.read.schema(sch).parquet(path)
 
 
 def sf_tag(sf_dir: str) -> str:

@@ -181,14 +181,14 @@ def minhash_signatures(shingled: DataFrame, n_hashes: int = _N_HASHES) -> DataFr
 
 
 def _signatures_from_tokens(toks: DataFrame, n_hashes: int = _N_HASHES) -> DataFrame:
-    mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}")
-        for i in range(n_hashes)
-    ]
-    sig = toks.groupBy("doc_id").agg(*mins)
-    return sig.select(
-        "doc_id", F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig")
-    )
+    # One F.expr for the whole signature array (r14, guide §7.3 driver
+    # work): the column-DSL spelling built ~160 JVM-bridged Column
+    # objects (32 × min/xxhash64/lit/alias + a 32-arm array), ~340 ms of
+    # driver time per plan build; one SQL string parses in a single
+    # call. Identical expression tree — integer literals and the
+    # min-of-hash aggregates are the same either way.
+    arr = ", ".join(f"min(xxhash64({i}, s))" for i in range(n_hashes))
+    return toks.groupBy("doc_id").agg(F.expr(f"array({arr}) AS sig"))
 
 
 def q_dedup_minhash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -219,22 +219,21 @@ def _candidates_from_tokens(toks: DataFrame) -> DataFrame:
     sig = _signatures_from_tokens(toks)
 
     rows_per_band = _N_HASHES // _N_BANDS
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
-                        ).alias("bucket"),
-                    )
-                    for b in range(_N_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    # Single-expr banding (r14, guide §7.3): same (band, bucket) rows as
+    # the explode(array(struct...)) DSL spelling — inline() is explode +
+    # struct-field projection in one generator — built in one JVM call
+    # instead of ~70.
+    structs = ", ".join(
+        "struct({b} AS band, xxhash64({els}) AS bucket)".format(
+            b=b,
+            els=", ".join(
+                f"element_at(sig, {b * rows_per_band + r + 1})"
+                for r in range(rows_per_band)
+            ),
+        )
+        for b in range(_N_BANDS)
+    )
+    bands = sig.select("doc_id", F.expr(f"inline(array({structs}))"))
 
     a = bands.alias("a")
     b = bands.alias("b")
@@ -256,9 +255,11 @@ def minhash_pairs(docs: DataFrame) -> DataFrame:
     ``tools/scale_stress.py``). One cached token-hash table feeds the
     signature aggregate AND the candidate verify — strings are shingled
     and hashed exactly once, everything after the cache moves 24-byte
-    rows."""
-    shingled = _shingles(docs).cache()
-    toks = _hash_tokens(shingled)
+    rows. The cache sits on the TOKEN table, not the shingle arrays
+    (r14): both consumers read (doc_id, n, s) rows, so caching below
+    the explode+hash would re-run it once per consumer and pin the
+    larger array payload in storage."""
+    toks = _hash_tokens(_shingles(docs)).cache()
     return _verify_from_tokens(_candidates_from_tokens(toks), toks)
 
 

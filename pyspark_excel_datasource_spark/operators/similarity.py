@@ -444,6 +444,13 @@ def _pq_codebook(emb: DataFrame) -> np.ndarray:
     sample = np.stack(
         [r.e for r in emb.orderBy("vec_id").limit(_PQ_TRAIN).select("e").collect()]
     )
+    return _pq_train(sample)
+
+
+def _pq_train(sample: np.ndarray) -> np.ndarray:
+    """Lloyd iterations over an already-collected training sample (the
+    numpy half of :func:`_pq_codebook`, split out so ``pq_topk`` can
+    fetch the training rows and the query rows in ONE driver job)."""
     if len(sample) < _PQ_K:
         raise ValueError(
             f"PQ codebook needs >= {_PQ_K} training vectors for the "
@@ -492,17 +499,31 @@ def pq_topk(emb: DataFrame, query_ids: list[int]) -> DataFrame:
     reusable operator behind ``q_sim_ann_pq`` (also driven at 10× by
     ``tools/scale_stress.py``)."""
     spark = emb.sparkSession
-    books = _pq_codebook(emb)
+    # ONE driver job fetches both bounded row sets the build needs (r14
+    # opt, guide §5 "the driver should do almost no data work" — but
+    # when it must, batch it): the _PQ_TRAIN lowest-vec_id training rows
+    # and the |queries| query rows, tagged so they split client-side.
+    # The union's row order is not contractual, so the training sample
+    # is re-sorted by vec_id before the deterministic first-K init.
+    fetched = (
+        emb.orderBy("vec_id")
+        .limit(_PQ_TRAIN)
+        .select(F.lit(0).alias("tag"), "vec_id", "e", "n")
+        .unionByName(
+            emb.filter(F.col("vec_id").isin(*query_ids)).select(
+                F.lit(1).alias("tag"), "vec_id", "e", "n"
+            )
+        )
+        .collect()
+    )
+    train = sorted((r for r in fetched if r.tag == 0), key=lambda r: r.vec_id)
+    qrows = [r for r in fetched if r.tag == 1]
+    books = _pq_train(np.stack([r.e for r in train]))
     # one-time encode — the persisted 8-bytes-per-vector code table
     codes = emb.select(
         "vec_id", "n", _pq_encode_udf(books)(F.col("e")).alias("codes")
     )
     # per-query ADC lookup tables, flattened to length M*K (tiny: 5×512)
-    qrows = (
-        emb.filter(F.col("vec_id").isin(*query_ids))
-        .select("vec_id", "e", "n")
-        .collect()
-    )
     M, K, d_sub = books.shape
     lut_rows = []
     for r in qrows:
