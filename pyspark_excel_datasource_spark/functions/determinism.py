@@ -85,6 +85,17 @@ def sql_canon(expr: str) -> str:
     return f"CAST({expr} AS VARCHAR)"
 
 
+def spark_canon(expr: str) -> str:
+    """Spark-SQL spelling of :func:`sql_canon` (Spark rejects bare
+    ``VARCHAR``; ``STRING`` is the same canonical decimal text). Lets a
+    query build its aggregate list as one ``F.expr`` per column from the
+    SAME ``sql_*`` strings its oracle uses — a single JVM parse instead
+    of the column-DSL's ~10 py4j-bridged objects per aggregate (guide
+    §7.3 driver work; q_flagship_pricing's build measured 323 ms in
+    DSL)."""
+    return f"CAST({expr} AS STRING)"
+
+
 def bigsum(col: Column | str) -> Column:
     """Integer sum presented as BIGINT (DuckDB sums integers as HUGEINT)."""
     c = F.col(col) if isinstance(col, str) else col

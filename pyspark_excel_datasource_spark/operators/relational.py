@@ -33,6 +33,7 @@ from ..functions.determinism import (
     davg,
     dround,
     dsum,
+    spark_canon,
     sql_bigsum,
     sql_canon,
     sql_davg,
@@ -90,26 +91,29 @@ def q_flagship_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Predicate pushdown is unaffected (the filter sits below the
     # repartition), and at 100 TB the input is thousands of splits so
     # spread() no-ops.
+    # One F.expr per aggregate, built from the SAME sql_* strings the
+    # oracle above uses (spark_canon swaps DuckDB's bare VARCHAR for
+    # STRING): identical expression trees to the former column-DSL
+    # spelling at ~1/4 the plan-build cost (guide §7.3).
     return (
         spread(li.filter(F.col("l_shipdate") <= ts("1998-09-02 00:00:00")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            canon(dsum("l_quantity", 0)).alias("sum_qty"),
-            canon(dsum("l_extendedprice", 2)).alias("sum_base_price"),
-            canon(
-                dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
-            ).alias("sum_disc_price"),
-            canon(
-                dsum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax")),
-                    6,
-                )
-            ).alias("sum_charge"),
-            davg("l_quantity", 0).alias("avg_qty"),
-            davg("l_extendedprice", 2).alias("avg_price"),
-            davg("l_discount", 2).alias("avg_disc"),
+            F.expr(f"{spark_canon(sql_dsum('l_quantity', 0))} AS sum_qty"),
+            F.expr(
+                f"{spark_canon(sql_dsum('l_extendedprice', 2))} AS sum_base_price"
+            ),
+            F.expr(
+                f"{spark_canon(sql_dsum('l_extendedprice * (1 - l_discount)', 4))}"
+                " AS sum_disc_price"
+            ),
+            F.expr(
+                f"{spark_canon(sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6))}"
+                " AS sum_charge"
+            ),
+            F.expr(f"{sql_davg('l_quantity', 0)} AS avg_qty"),
+            F.expr(f"{sql_davg('l_extendedprice', 2)} AS avg_price"),
+            F.expr(f"{sql_davg('l_discount', 2)} AS avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")

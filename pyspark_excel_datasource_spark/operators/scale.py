@@ -636,6 +636,11 @@ _BLOOM_BROADCAST_MAX_ROWS = 8_000_000
 #: sound because the testdata dirs are immutable; 8 KiB per entry.
 _BLOOM_LITERAL_MEMO: dict[str, tuple[list[int], int]] = {}
 
+#: word-array -> the constructed ArrayType literal Column (a JVM-side
+#: Literal is plan-independent and reusable; building it from a python
+#: list costs ~0.6 s of py4j per call — see bloom_semi_join).
+_BLOOM_COLUMN_MEMO: dict[tuple, F.Column] = {}
+
 
 def build_bloom_words(dim: DataFrame, dim_key: str) -> tuple[list[int], int]:
     """Build the 1024-word bloom bit array for ``dim``'s keys plus the
@@ -687,8 +692,16 @@ def bloom_semi_join(
     arr, n_dim = prebuilt if prebuilt is not None else build_bloom_words(dim, dim_key)
     # ONE ArrayType literal node (not a 1024-child CreateArray tree —
     # measured 4x cheaper per run in analysis+codegen); the cast pins
-    # int64 words and constant-folds away
-    bloom = F.lit([int(w) for w in arr]).cast("array<bigint>")
+    # int64 words and constant-folds away. The literal COLUMN itself is
+    # memoized per word-array (r14): F.lit over a 1024-long python list
+    # pays a per-element py4j conversion — measured 585 ms per call —
+    # while reusing the already-built JVM Literal is free. Same
+    # lifetime/soundness as the word-array memo it sits beside.
+    key = tuple(arr)
+    bloom = _BLOOM_COLUMN_MEMO.get(key)
+    if bloom is None:
+        bloom = F.lit([int(w) for w in arr]).cast("array<bigint>")
+        _BLOOM_COLUMN_MEMO[key] = bloom
 
     # scalar bit tests, built as SQL expressions over the fact key so the
     # whole probe folds into the scan stage's filter; the INT seed literal
