@@ -86,6 +86,25 @@ def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(sch).parquet(path)
 
 
+def source_read(spark: SparkSession, fmt: str, path: str, **options) -> DataFrame:
+    """Python-DataSource read with the inferred schema memoized per
+    (format, path, options) — same metadata-only contract as
+    :data:`_SCHEMA_CACHE`: a Python source's ``schema()`` is a
+    worker round trip (~130 ms measured) re-paid on every ``load``,
+    while an explicit schema skips it. Use ONLY for write-once fixture
+    paths (``_SUCCESS``-guarded), where the schema cannot drift."""
+    key = (fmt, path, tuple(sorted(options.items())))
+    reader = spark.read.format(fmt)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    sch = _SCHEMA_CACHE.get(key)
+    if sch is None:
+        df = reader.load(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return reader.schema(sch).load(path)
+
+
 def sf_tag(sf_dir: str) -> str:
     """Scale-factor tag for namespacing derived fixtures (bucketed tables,
     xlsx bridges, partitioned sinks) so concurrent runs at different

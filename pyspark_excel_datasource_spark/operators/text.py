@@ -309,7 +309,12 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is the standard two-pass term-weighting plan with no O(n²) step.
     """
     d = table(spark, sf_dir, "documents")
-    n_docs = d.count()  # scalar, computed once on the driver
+    # n_docs rides the plan as a broadcast 1-row aggregate (r14, guide
+    # §5): the old ``d.count()`` ran a SEPARATE synchronous driver job on
+    # every plan build (~0.2s per bench sample); as a crossJoin'd column
+    # it computes inside the one real job. Same scalar, same IEEE
+    # division (double / double), so the rounded tfidf is unchanged.
+    n = d.agg(F.count("*").cast("double").alias("n_docs"))
     terms = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
     )
@@ -321,14 +326,18 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtree (ReusedExchange), leaving ONE corpus-sized explode in the
     # plan where there were two (guide §1.2/§2.4).
     df = tfc.groupBy("term").agg(F.count("*").cast("long").alias("df"))
-    scored = tfc.join(F.broadcast(df), "term").select(
-        "doc_id",
-        "term",
-        F.col("tf").cast("long").alias("tf"),
-        F.col("df").cast("long").alias("df"),
-        dround(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 8
-        ).alias("tfidf"),
+    scored = (
+        tfc.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            dround(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 8
+            ).alias("tfidf"),
+        )
     )
     w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
     return (
