@@ -2431,9 +2431,16 @@ def dup_span_ranges(d: DataFrame, k: int = _SUBSTR_K) -> DataFrame:
     # the key is INTERNAL (never in the output; the oracle verifies the
     # final spans, not the hash), so the r14 swap halves the bytes of the
     # one corpus-sized shuffle and replaces a per-gram MessageDigest +
-    # hex-string allocation with a native long hash (guide §2.3). A
-    # 64-bit gram collision (P ≈ n²/2⁶⁴) would surface as an oracle
-    # mismatch — the same accepted risk as the MinHash token hashing.
+    # hex-string allocation with a native long hash (guide §2.3).
+    # Scale bound (ADVICE r14): a 64-bit gram collision FABRICATES a
+    # false duplicate span (unlike MinHash, where it only perturbs an
+    # approximation), and P ≈ n²/2⁶⁵ means ~0.3% at n=1e8 distinct
+    # grams and ~27% at n=1e9 — the 64-bit key is safe up to roughly
+    # 10⁸ distinct grams per corpus. Past that, key on
+    # struct(xxhash64(g), xxhash64(1, g)) (128 bits, P back to
+    # negligible at any real corpus size) at the cost of doubling the
+    # gram shuffle's key bytes; at the gate SFs the oracle's
+    # string-space twin would flag any collision, and it stays green.
     grams = words.select(
         "doc_id",
         F.size("ws").cast("long").alias("total_tokens"),

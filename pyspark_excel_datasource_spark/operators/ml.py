@@ -169,7 +169,12 @@ def nb_scores(train: DataFrame, test: DataFrame) -> DataFrame:
     # independent broadcasts each materialized their own copy of the
     # explode subtree: 3 corpus-sized passes → 1). ``counts`` is the
     # model itself — |vocab|×|classes| rows, bounded by vocabulary, the
-    # same size argument that lets it broadcast.
+    # same size argument that lets it broadcast. Lifetime note (ADVICE
+    # r14): the cache entry is deliberately NOT unpersisted here — the
+    # returned plan is lazy, so the caller's action is what populates
+    # and reads it; repeated invocations build fresh DataFrames whose
+    # old entries age out via storage-level LRU eviction (bounded:
+    # |vocab|×|classes| rows each, a few MB at any tested SF).
     counts = tr.groupBy("lang", "tok").agg(F.count("*").alias("cnt")).cache()
     totals = counts.groupBy("lang").agg(F.sum("cnt").cast("long").alias("n_toks"))
     vocab = counts.agg(F.countDistinct("tok").alias("v"))

@@ -636,9 +636,13 @@ _BLOOM_BROADCAST_MAX_ROWS = 8_000_000
 #: sound because the testdata dirs are immutable; 8 KiB per entry.
 _BLOOM_LITERAL_MEMO: dict[str, tuple[list[int], int]] = {}
 
-#: word-array -> the constructed ArrayType literal Column (a JVM-side
-#: Literal is plan-independent and reusable; building it from a python
-#: list costs ~0.6 s of py4j per call — see bloom_semi_join).
+#: (app id, word-array) -> the constructed ArrayType literal Column (a
+#: JVM-side Literal is plan-independent and reusable; building it from a
+#: python list costs ~0.6 s of py4j per call — see bloom_semi_join).
+#: Keyed by the owning SparkContext's applicationId (ADVICE r14): unlike
+#: the pure-python word-array memo above, the cached Column holds a py4j
+#: handle that dies with its gateway, so an in-process session restart
+#: must rebuild rather than reuse a stale handle.
 _BLOOM_COLUMN_MEMO: dict[tuple, F.Column] = {}
 
 
@@ -697,9 +701,14 @@ def bloom_semi_join(
     # pays a per-element py4j conversion — measured 585 ms per call —
     # while reusing the already-built JVM Literal is free. Same
     # lifetime/soundness as the word-array memo it sits beside.
-    key = tuple(arr)
+    from pyspark.sql import SparkSession
+
+    sess = SparkSession.getActiveSession()
+    app_id = sess.sparkContext.applicationId if sess is not None else None
+    key = (app_id, tuple(arr))
     bloom = _BLOOM_COLUMN_MEMO.get(key)
     if bloom is None:
+        _BLOOM_COLUMN_MEMO.clear()  # stale-gateway handles are useless
         bloom = F.lit([int(w) for w in arr]).cast("array<bigint>")
         _BLOOM_COLUMN_MEMO[key] = bloom
 

@@ -848,6 +848,12 @@ def bm25_frame(d: DataFrame) -> DataFrame:
     """(doc_id, n_terms_hit, bm25_fp) for every doc hitting the query
     terms — the unranked BM25 scoring plan shared by ``q_bm25`` and the
     hybrid fusion (``similarity.q_rank_fusion``)."""
+    # Null-text docs never tokenize (explode of split(NULL) emits no
+    # rows), so they must not count toward n_docs/avgdl either — the
+    # pre-r14 explode+groupBy dropped them implicitly; the size(split())
+    # rewrite below would emit a NULL-dl row per null doc and shift the
+    # stats (ADVICE r14). Filter restores the original contract.
+    d = d.filter(F.col("text").isNotNull())
     # r14 opt (guide §1.2): document length = size(split(...)) — a
     # per-row map, NOT an explode+groupBy. The old spelling ran the
     # token explode up to three times (dl aggregate, the stats

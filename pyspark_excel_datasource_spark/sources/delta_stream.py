@@ -32,8 +32,6 @@ import os
 from dataclasses import dataclass
 from urllib.parse import unquote
 
-import pyarrow as pa
-import pyarrow.parquet as papq
 from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
@@ -55,6 +53,13 @@ class DeltaFilePartition(InputPartition):
 
 
 def _arrow_field_type(dt: T.DataType):
+    # Lazy pyarrow (r15, guide §7.3): this module is imported by the
+    # per-query STREAMING SOURCE RUNNER process (Spark spawns it fresh,
+    # useDaemon=false is hardcoded) just to unpickle the reader, but
+    # pyarrow is only used in read() on the daemon-reused executors —
+    # keeping it out of module scope trims the runner's cold start.
+    import pyarrow as pa
+
     if isinstance(dt, T.LongType):
         return pa.int64()
     if isinstance(dt, T.IntegerType):
@@ -88,6 +93,9 @@ def _read_parquet_with_pv(path: str, pv: dict, bound_schema: T.StructType):
     stream readers: Arrow-scan one parquet file, attach the metadata
     layer's partition values as constant columns, fill nulls for
     pre-schema-evolution columns, and yield record batches."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
     tbl = papq.read_table(path)
     n = tbl.num_rows
     file_cols = set(tbl.schema.names)
