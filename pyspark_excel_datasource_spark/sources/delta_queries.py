@@ -364,23 +364,41 @@ def q_stream_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     drained census equals the FULL base table — P partition included —
     which is exactly what distinguishes streaming the LOG from scanning
     the latest SNAPSHOT (``q_scan_delta``'s oracle excludes P).
-    """
-    import uuid
 
+    Drain shape (r15, guide §2.3/§5): ``foreachBatch`` folds each
+    micro-batch into per-status partial (count, sum) rows — the
+    aggregation runs DISTRIBUTED inside the batch job and only ≤|status|
+    rows per batch ever reach the driver, where the pre-r15 memory sink
+    collected every streamed row to the driver and then re-shipped them
+    for a census job. The partials combine exactly (integer count/sum),
+    so the result is identical for any batch split — the same invariant
+    the maxFiles restart loops already pin. The bounded per-batch
+    collect (≤3 rows here) is the same sanctioned family as the graph
+    iteration scalars.
+    """
     from .delta_stream import register_pydelta
 
     register_pydelta(spark)
     path = _materialize_orders_delta(spark, sf_dir)
-    sink = f"stream_delta_{uuid.uuid4().hex[:10]}"
     stream = (
         spark.readStream.format("pydelta")
         .option("ignoreDeletes", "true")
         .load(path)
     )
+    partials: list = []
+
+    def _fold(bdf: DataFrame, _bid: int) -> None:
+        partials.extend(
+            bdf.groupBy("o_orderstatus")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum("o_orderkey").cast("long").alias("s"),
+            )
+            .collect()
+        )
+
     q = (
-        stream.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
+        stream.writeStream.foreachBatch(_fold)
         .trigger(availableNow=True)
         .start()
     )
@@ -389,13 +407,13 @@ def q_stream_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise TimeoutError("q_stream_delta: drain did not finish in 120s")
     finally:
         q.stop()
-    return (
-        spark.table(sink)
-        .groupBy("o_orderstatus")
-        .agg(
-            F.count("*").cast("long").alias("n_orders"),
-            F.sum("o_orderkey").cast("long").alias("sum_key"),
-        )
+    part_df = spark.createDataFrame(
+        [(r["o_orderstatus"], r["n"], r["s"]) for r in partials],
+        "o_orderstatus string, n bigint, s bigint",
+    )
+    return part_df.groupBy("o_orderstatus").agg(
+        F.sum("n").cast("long").alias("n_orders"),
+        F.sum("s").cast("long").alias("sum_key"),
     )
 
 

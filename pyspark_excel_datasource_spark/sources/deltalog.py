@@ -512,6 +512,12 @@ def _apply(snap: DeltaSnapshot, action: dict[str, Any]) -> None:
         snap.protocol = dict(action["protocol"])
 
 
+#: snapshot() replays the raw JSON chain instead of reading the parquet
+#: checkpoint when the full 0..target chain exists and is at most this
+#: many commits — see the comment at the call site.
+_JSON_REPLAY_MAX = 32
+
+
 def _read_checkpoint(table_path: str, version: int) -> DeltaSnapshot:
     import pyarrow.parquet as papq
 
@@ -541,7 +547,20 @@ def snapshot(table_path: str, version: int | None = None) -> DeltaSnapshot:
         raise ValueError(f"versionAsOf {target} out of range [0, {latest}]")
 
     base = [v for v in cps if v <= target]
-    if base:
+    # Prefer pure-JSON replay over the checkpoint when the complete
+    # 0..target JSON chain still exists and is SHORT (r15, guide §7.3):
+    # a cold process — the per-query streaming source runner, a fresh
+    # worker — pays ~0.3s just to import pyarrow.parquet for a 15 KB
+    # checkpoint, while replaying a handful of stdlib-JSON commits is
+    # ~1 ms. The two are byte-equivalent by construction (a checkpoint
+    # IS the replay of the commits it covers). At scale the chain is
+    # long, or log cleanup has pruned it, and the checkpoint path runs
+    # exactly as before.
+    have = set(js)
+    json_chain_ok = target + 1 <= _JSON_REPLAY_MAX and all(
+        v in have for v in range(0, target + 1)
+    )
+    if base and not json_chain_ok:
         snap = _read_checkpoint(table_path, base[-1])
         start = base[-1] + 1
     else:

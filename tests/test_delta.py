@@ -91,6 +91,33 @@ def test_checkpoint_is_used(spark, three_version_table):
         read_delta(spark, three_version_table, version=1)
 
 
+def test_snapshot_json_replay_matches_checkpoint(spark, three_version_table):
+    """r15: snapshot() replays the raw JSON chain instead of reading the
+    parquet checkpoint when the full short chain exists (saves a cold
+    pyarrow import in the streaming source runner). The two paths must
+    reconstruct identical state — a checkpoint IS the replay of the
+    commits it covers."""
+    import pyspark_excel_datasource_spark.sources.deltalog as dl
+
+    assert dl._JSON_REPLAY_MAX >= 3
+    via_json = dl.snapshot(three_version_table)  # short chain: JSON replay
+    old = dl._JSON_REPLAY_MAX
+    dl._JSON_REPLAY_MAX = 0  # force the checkpoint path
+    try:
+        via_ckpt = dl.snapshot(three_version_table)
+    finally:
+        dl._JSON_REPLAY_MAX = old
+    assert via_json.version == via_ckpt.version
+    assert via_json.files == via_ckpt.files
+    assert via_json.dvs == via_ckpt.dvs
+    assert via_json.stats == via_ckpt.stats
+    assert via_json.protocol == via_ckpt.protocol
+    # metadata: compare the fields readers consume (parquet structs may
+    # materialize absent optional keys as None)
+    for k in ("schemaString", "partitionColumns", "configuration", "id"):
+        assert via_json.metadata.get(k) == via_ckpt.metadata.get(k), k
+
+
 def test_log_level_partition_pruning(spark, three_version_table):
     pruned = read_delta(
         spark, three_version_table, partition_filter={"n_regionkey": {"3"}}
