@@ -1047,8 +1047,24 @@ def common_neighbor_scores(o: DataFrame, li: DataFrame) -> DataFrame:
     """The link-prediction plan on arbitrary orders/lineitem frames —
     split out so ``tools/scale_stress.py`` can run the df-capped
     posting-list shape on replicated input."""
-    o = o.select("o_orderkey", "o_custkey")
-    li = li.select("l_orderkey", "l_suppkey")
+    # Explicit not-null filters on all four key columns (r15, guide
+    # §2.4): WITHOUT them Catalyst inferred a DIFFERENT null filter per
+    # consumer branch (the pair branch inferred isnotnull(o_custkey)
+    # from its self-join keys, the degree branch isnotnull(l_suppkey)
+    # from its own), the two copies of the distinct subtree stopped
+    # canonicalizing identically, and the orders x lineitem join +
+    # (cust, supp) exchange ran TWICE — the runtime plan showed two full
+    # scan-join-exchange chains where the comment below promises one.
+    # Equal explicit constraints make the subtrees byte-identical so the
+    # exchange actually reuses (plans/r15). Contract note: an edge with
+    # a null endpoint is not an edge (and TPC-H declares these keys NOT
+    # NULL); on null-free inputs this is a pure plan change.
+    o = o.select("o_orderkey", "o_custkey").filter(
+        F.col("o_orderkey").isNotNull() & F.col("o_custkey").isNotNull()
+    )
+    li = li.select("l_orderkey", "l_suppkey").filter(
+        F.col("l_orderkey").isNotNull() & F.col("l_suppkey").isNotNull()
+    )
     # No checkpoint, no degc JOIN (r14 opt, guide §2.4): the distinct's
     # own (cust, supp) exchange is the shared materialization point —
     # every consumer (both pair-join sides, supplier degrees) reuses it
