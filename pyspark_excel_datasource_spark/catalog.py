@@ -41,6 +41,17 @@ ORACLE_SF_DIR = "/root/testdata/sf0.01"
 #: read-only, so the schema cannot drift under the memo.
 _SCHEMA_CACHE: dict = {}
 
+#: (applicationId, path) -> the resolved base DataFrame for the immutable
+#: test tables (r15, guide §7.3 driver work). One step up from the schema
+#: memo and the same metadata-only contract: a DataFrame is an immutable
+#: LAZY plan — handing every caller the same analyzed parquet relation
+#: skips ~20 ms of per-build DataSource resolution + file listing that
+#: every bench sample of every query re-paid, while every action still
+#: scans the parquet files. Keyed by applicationId (the bloom-memo
+#: lesson, ADVICE r14): a plan holds py4j handles that die with their
+#: gateway, so a new session rebuilds instead of reusing stale handles.
+_DF_CACHE: dict = {}
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table as a DataFrame (lazy parquet scan).
@@ -56,6 +67,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (spark.sparkContext.applicationId, path)
+    cached = _DF_CACHE.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = _read_parquet(spark, path)
@@ -65,13 +80,17 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if ts_type == "bigint":
             # Integer DIV, not `/`: epoch-nanos exceed 2^53, double division
             # would round the microsecond.
-            return df.withColumn(
+            df = df.withColumn(
                 "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)")
             )
-        if ts_type != "timestamp_ntz":
+        elif ts_type != "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
-        return df
-    return _read_parquet(spark, path)
+    else:
+        df = _read_parquet(spark, path)
+    if len(_DF_CACHE) > 64 or any(k[0] != key[0] for k in _DF_CACHE):
+        _DF_CACHE.clear()  # stale-gateway handles from ended sessions
+    _DF_CACHE[key] = df
+    return df
 
 
 def _read_parquet(spark: SparkSession, path: str) -> DataFrame:

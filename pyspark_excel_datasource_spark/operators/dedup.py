@@ -47,24 +47,25 @@ def _shingles(df: DataFrame, text_col: str = "text") -> DataFrame:
     single-partition) input across cores first.
     """
     df = spread(df)
-    w = F.split(F.col(text_col), " ")
     # Guard sub-3-token documents: sequence(0, size-3) would descend (e.g.
     # [0,-1]) and element_at(w, 0) raises INVALID_INDEX_OF_ZERO. The DuckDB
     # oracle's RANGE(1, LEN(w)-1) yields empty there — match it.
-    sh = F.when(
-        F.size(w) >= 3,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(w) - 3),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(w, i + 1),
-                    F.element_at(w, i + 2),
-                    F.element_at(w, i + 3),
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # One F.expr for the whole shingle column (r15, guide §7.3 driver
+    # work): the column-DSL spelling (when/size/transform lambda/3×
+    # element_at/concat_ws/array_distinct) cost ~35 py4j round trips per
+    # build; one SQL string parses in a single call. The expression tree
+    # is identical — the DSL's shared ``w`` Column repeats its split()
+    # subtree at every reference exactly as the string does, and
+    # codegen-level CSE collapses both the same way.
+    w = f"split(`{text_col}`, ' ')"
+    sh = F.expr(
+        f"""CASE WHEN size({w}) >= 3 THEN array_distinct(transform(
+              sequence(0, size({w}) - 3),
+              i -> concat_ws(' ', element_at({w}, i + 1),
+                             element_at({w}, i + 2),
+                             element_at({w}, i + 3))))
+            ELSE cast(array() AS array<string>) END"""
+    )
     return df.select("doc_id", sh.alias("shingles"))
 
 
@@ -161,11 +162,9 @@ def _hash_tokens(shingled: DataFrame) -> DataFrame:
     signatures, banding, and candidate verification ALL derive from it,
     so shingle STRINGS are hashed exactly once and everything downstream
     moves 24-byte rows."""
-    return shingled.select(
-        "doc_id",
-        F.size("shingles").alias("n"),
-        F.explode("shingles").alias("s0"),
-    ).select("doc_id", "n", F.xxhash64("s0").alias("s"))
+    return shingled.selectExpr(
+        "doc_id", "size(shingles) AS n", "explode(shingles) AS s0"
+    ).selectExpr("doc_id", "n", "xxhash64(s0) AS s")
 
 
 def minhash_signatures(shingled: DataFrame, n_hashes: int = _N_HASHES) -> DataFrame:
@@ -240,11 +239,12 @@ def _candidates_from_tokens(toks: DataFrame) -> DataFrame:
     return (
         a.join(
             b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            F.expr(
+                "a.band = b.band AND a.bucket = b.bucket"
+                " AND a.doc_id < b.doc_id"
+            ),
         )
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .selectExpr("a.doc_id AS d1", "b.doc_id AS d2")
         .distinct()
     )
 
@@ -292,22 +292,19 @@ def _verify_from_tokens(candidates: DataFrame, toks: DataFrame) -> DataFrame:
     bounded) pair list; AQE picks broadcast for the pair side at any
     realistic candidate volume and degrades to a hash-only shuffle join
     beyond that — either way no array and no document text moves."""
-    t1 = toks.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"), "s")
-    t2 = toks.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"), "s")
+    t1 = toks.selectExpr("doc_id AS d1", "n AS n1", "s")
+    t2 = toks.selectExpr("doc_id AS d2", "n AS n2", "s")
     return (
         candidates.join(t1, "d1")
         .join(t2, ["d2", "s"])
         .groupBy("d1", "d2", "n1", "n2")
-        .agg(F.count("*").cast("long").alias("inter"))
-        .select(
+        .agg(F.expr("CAST(count(*) AS BIGINT) AS inter"))
+        .selectExpr(
             "d1",
             "d2",
-            (
-                F.col("inter").cast("double")
-                / (F.col("n1") + F.col("n2") - F.col("inter"))
-            ).alias("jaccard"),
+            "CAST(inter AS DOUBLE) / (n1 + n2 - inter) AS jaccard",
         )
-        .filter(F.col("jaccard") >= _NEAR_DUP_THRESHOLD)
+        .where(f"jaccard >= {_NEAR_DUP_THRESHOLD}")
     )
 
 
@@ -2415,17 +2412,22 @@ def substring_spans(d: DataFrame, k: int = _SUBSTR_K) -> DataFrame:
     row per affected document."""
     spans = dup_span_ranges(d, k)
     return spans.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_spans"),
-        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_tokens"),
-        F.first("total_tokens").cast("long").alias("total_tokens"),
+        F.expr("CAST(count(*) AS BIGINT) AS n_spans"),
+        F.expr("CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens"),
+        F.expr("CAST(first(total_tokens) AS BIGINT) AS total_tokens"),
     )
 
 
 def dup_span_ranges(d: DataFrame, k: int = _SUBSTR_K) -> DataFrame:
     """Maximal duplicated-span token ranges per document:
     (doc_id, s, e, total_tokens), 1-based inclusive token positions."""
-    words = d.select("doc_id", F.split(F.col("text"), " ").alias("ws")).filter(
-        F.size("ws") >= k
+    # selectExpr/SQL-window spellings throughout this builder (r15,
+    # guide §7.3): the column-DSL form cost ~670 py4j round trips per
+    # plan build (~0.45s of the headline's timed runs); the fused
+    # strings build the identical expression tree in ~a tenth of the
+    # calls.
+    words = d.selectExpr("doc_id", "split(text, ' ') AS ws").where(
+        f"size(ws) >= {k}"
     )
     # gram key: xxhash64 (8 bytes) rather than md5 (32-char hex string) —
     # the key is INTERNAL (never in the output; the oracle verifies the
@@ -2441,44 +2443,39 @@ def dup_span_ranges(d: DataFrame, k: int = _SUBSTR_K) -> DataFrame:
     # negligible at any real corpus size) at the cost of doubling the
     # gram shuffle's key bytes; at the gate SFs the oracle's
     # string-space twin would flag any collision, and it stays green.
-    grams = words.select(
+    grams = words.selectExpr(
         "doc_id",
-        F.size("ws").cast("long").alias("total_tokens"),
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, size(ws) - {k - 1}),"
-                f" i -> xxhash64(concat_ws(' ', slice(ws, i, {k}))))"
-            )
-        ).alias("p", "gk"),
-    ).select("doc_id", "total_tokens", (F.col("p") + 1).alias("i"), "gk")
+        "CAST(size(ws) AS BIGINT) AS total_tokens",
+        f"posexplode(transform(sequence(1, size(ws) - {k - 1}),"
+        f" i -> xxhash64(concat_ws(' ', slice(ws, i, {k}))))) AS (p, gk)",
+    ).selectExpr("doc_id", "total_tokens", "p + 1 AS i", "gk")
 
     # a gram is cross-doc duplicated iff min(doc)!=max(doc) over its hash
     # — an O(1)-state window on ONE shuffle of the gram frame, vs the
     # groupBy-countDistinct + semi-join spelling that explodes the grams
     # twice and shuffles them twice (A/B at sf0.1: 1.44s vs 2.72s warm)
-    w_gk = W.partitionBy("gk")
-    dup = (
-        grams.withColumn("mn", F.min("doc_id").over(w_gk))
-        .withColumn("mx", F.max("doc_id").over(w_gk))
-        .filter(F.col("mn") != F.col("mx"))
-        .drop("mn", "mx")
-    )
+    dup = grams.selectExpr(
+        "*",
+        "min(doc_id) OVER (PARTITION BY gk) AS mn",
+        "max(doc_id) OVER (PARTITION BY gk) AS mx",
+    ).where("mn != mx").drop("mn", "mx")
 
-    w_doc = W.partitionBy("doc_id").orderBy("i")
-    islands = dup.withColumn(
-        "prev_i", F.coalesce(F.lag("i").over(w_doc), F.lit(-(k + 10)))
-    ).withColumn(
-        "island",
-        F.sum(F.when(F.col("i") - F.col("prev_i") > k, 1).otherwise(0)).over(
-            w_doc.rowsBetween(W.unboundedPreceding, W.currentRow)
-        ),
+    islands = dup.selectExpr(
+        "*",
+        f"coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i),"
+        f" {-(k + 10)}) AS prev_i",
+    ).selectExpr(
+        "*",
+        f"sum(CASE WHEN i - prev_i > {k} THEN 1 ELSE 0 END)"
+        " OVER (PARTITION BY doc_id ORDER BY i"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island",
     )
     return (
         islands.groupBy("doc_id", "island")
         .agg(
-            F.min("i").alias("s"),
-            (F.max("i") + (k - 1)).alias("e"),
-            F.first("total_tokens").alias("total_tokens"),
+            F.expr("min(i) AS s"),
+            F.expr(f"max(i) + {k - 1} AS e"),
+            F.expr("first(total_tokens) AS total_tokens"),
         )
         .select("doc_id", "s", "e", "total_tokens")
     )

@@ -60,6 +60,20 @@ def _dot(x: Column, y: Column) -> Column:
     )
 
 
+def _cos8(qe: str = "qe", e: str = "e", qn: str = "qn", n: str = "n") -> Column:
+    """``round(cosine, 8)`` as ONE parsed expression (r15, guide §7.3
+    driver work): the zip_with/aggregate lambda-DSL spelling costs ~25
+    py4j round trips per call site and this module has a dozen of them;
+    the string parses in a single call. ``0.0D`` is the same double
+    literal as ``F.lit(0.0)``, the fold order is unchanged, so the
+    expression tree — and the bit-exact sequential sum it guarantees —
+    is identical."""
+    return F.expr(
+        f"round(aggregate(zip_with({qe}, {e}, (a, b) -> a * b), 0.0D,"
+        f" (acc, v) -> acc + v) / ({qn} * {n}), 8)"
+    )
+
+
 def _norm(x: Column) -> Column:
     return F.sqrt(
         F.aggregate(F.transform(x, lambda v: v * v), F.lit(0.0), lambda acc, v: acc + v)
@@ -74,10 +88,13 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-pair norm folds cuts the pairwise stage to a single dot fold —
     ~3x on the brute-force paths.
     """
-    emb = spread(table(spark, sf_dir, "embeddings")).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e"), "label"
+    return spread(table(spark, sf_dir, "embeddings")).selectExpr(
+        "vec_id",
+        "CAST(embedding AS array<double>) AS e",
+        "label",
+        "sqrt(aggregate(transform(CAST(embedding AS array<double>),"
+        " v -> v * v), 0.0D, (acc, v) -> acc + v)) AS n",
     )
-    return emb.withColumn("n", _norm(F.col("e")))
 
 
 _SQL_COS = (
@@ -124,9 +141,7 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "vec_id",
-            F.round(
-                _dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("n")), 8
-            )
+            _cos8()
             .cast("decimal(38,8)")
             .alias("cosine"),
         )
@@ -166,8 +181,9 @@ def q_sim_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("v1"),
             F.col("b.vec_id").alias("v2"),
-            (
-                _dot(F.col("a.e"), F.col("b.e")) / (F.col("a.n") * F.col("b.n"))
+            F.expr(
+                "aggregate(zip_with(a.e, b.e, (x, y) -> x * y), 0.0D,"
+                " (acc, v) -> acc + v) / (a.n * b.n)"
             ).alias("cosine"),
         )
         .filter(F.col("cosine") >= _SELFJOIN_THRESHOLD)
@@ -277,7 +293,7 @@ def ann_lsh_topk(emb: DataFrame, query_ids: list[int]) -> DataFrame:
         .select(
             "query_id",
             "vec_id",
-            F.round(_dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("n")), 8)
+            _cos8()
             .cast("decimal(38,8)")
             .alias("cosine"),
         )
@@ -407,7 +423,7 @@ def q_sim_ann_ivf_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "vec_id",
-            F.round(_dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("n")), 8)
+            _cos8()
             .cast("decimal(38,8)")
             .alias("cosine"),
         )
@@ -570,7 +586,7 @@ def pq_topk(emb: DataFrame, query_ids: list[int]) -> DataFrame:
         .select(
             "query_id",
             "vec_id",
-            F.round(_dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("n")), 8)
+            _cos8()
             .cast("decimal(38,8)")
             .alias("cosine"),
         )
@@ -650,7 +666,7 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "query_id",
         "vec_id",
-        F.round(_dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("n")), 8)
+        _cos8()
         .cast("decimal(38,8)")
         .alias("cosine"),
     )
@@ -713,7 +729,7 @@ def q_sim_ann_pq_native_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "query_id",
         "vec_id",
-        F.round(_dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("n")), 8)
+        _cos8()
         .cast("decimal(38,8)")
         .alias("cosine"),
     )
@@ -853,9 +869,7 @@ def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(qv))
         .select(
             F.col("vec_id").alias("doc_id"),
-            F.round(
-                _dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("n")), 8
-            )
+            _cos8()
             .cast("decimal(38,8)")
             .alias("cosine"),
         )
@@ -1040,7 +1054,7 @@ def q_sim_ann_lsh_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "vec_id",
-            F.round(_dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("n")), 8)
+            _cos8()
             .cast("decimal(38,8)")
             .alias("cosine"),
         )
@@ -1158,7 +1172,7 @@ def q_sim_ann_ivf_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "vec_id",
-            F.round(_dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("n")), 8)
+            _cos8()
             .cast("decimal(38,8)")
             .alias("cosine"),
         )
@@ -1335,7 +1349,7 @@ def q_sim_ann_pq_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "vec_id",
-            F.round(_dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("n")), 8)
+            _cos8()
             .cast("decimal(38,8)")
             .alias("cosine"),
         )
