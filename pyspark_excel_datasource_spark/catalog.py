@@ -124,6 +124,45 @@ def source_read(spark: SparkSession, fmt: str, path: str, **options) -> DataFram
     return reader.schema(sch).load(path)
 
 
+def _ddl_names(schema: str) -> list[str]:
+    """Top-level column names from a DDL schema string (depth-aware:
+    commas inside array<>/struct<>/decimal() don't split)."""
+    names: list[str] = []
+    depth, cur = 0, []
+    for ch in schema:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            names.append("".join(cur).strip().split()[0].strip("`"))
+            cur = []
+        else:
+            cur.append(ch)
+    names.append("".join(cur).strip().split()[0].strip("`"))
+    return names
+
+
+def local_df(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """Small driver-side row list → DataFrame as ONE Arrow-backed local
+    partition (r15, guide §7.3/§4).
+
+    ``spark.createDataFrame(list, schema)`` parallelizes the list into
+    ``defaultParallelism`` PYTHON-pickled RDD slices: on local[32] every
+    downstream materialization then pays 32 python-worker round trips
+    (~0.5s wall in parallel, ~5s when a coalesce/broadcast consumes the
+    slices sequentially — measured on a 1-row frame). Routing through
+    pandas+Arrow plans a true single-partition LocalRelation-style scan
+    with zero python tasks (~0.03s), with the DDL schema applied
+    exactly as before. Use for every bounded driver-built frame
+    (descriptor lists, file maps, stream partials, literal LUTs)."""
+    import pandas as pd
+
+    names = _ddl_names(schema) if isinstance(schema, str) else schema.fieldNames()
+    pdf = pd.DataFrame(list(rows), columns=names)
+    return spark.createDataFrame(pdf, schema=schema)
+
+
 def sf_tag(sf_dir: str) -> str:
     """Scale-factor tag for namespacing derived fixtures (bucketed tables,
     xlsx bridges, partitioned sinks) so concurrent runs at different

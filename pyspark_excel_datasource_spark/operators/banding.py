@@ -36,23 +36,27 @@ def banded_row_number(
     One band census, offsets over the bounded band table, one
     band-partitioned row_number; the ``offsets`` side broadcasts.
     """
+    # SQL-window selectExpr spellings (r15, guide §7.3): identical
+    # expression trees to the Window-DSL form in ~a fifth of the py4j
+    # round trips per build (this builder runs twice per q_eval_ap
+    # sample). ``order_cols`` are plain column names by contract.
     base = df.withColumn("__band", band)
-    counts = base.groupBy("__band").agg(F.count("*").alias("__c"))
-    off_w = W.orderBy("__band").rowsBetween(W.unboundedPreceding, -1)
-    offsets = (
-        counts.withColumn(
-            "__off", F.coalesce(F.sum("__c").over(off_w), F.lit(0))
-        )
-        .withColumn("n", F.sum("__c").over(W.partitionBy()))
-        .select("__band", "__off", "n")
+    counts = base.groupBy("__band").agg(F.expr("count(*) AS __c"))
+    offsets = counts.selectExpr(
+        "__band",
+        "coalesce(sum(__c) OVER (ORDER BY __band ROWS BETWEEN"
+        " UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS __off",
+        "sum(__c) OVER () AS n",
     )
-    in_band = F.row_number().over(
-        W.partitionBy("__band").orderBy(*order_cols)
-    )
+    order = ", ".join(order_cols)
     return (
-        base.withColumn("__br", in_band)
+        base.selectExpr(
+            "*",
+            f"row_number() OVER (PARTITION BY __band ORDER BY {order})"
+            " AS __br",
+        )
         .join(F.broadcast(offsets), "__band")
-        .withColumn("rn", F.col("__off") + F.col("__br"))
+        .withColumn("rn", F.expr("__off + __br"))
         .drop("__band", "__br", "__off")
     )
 

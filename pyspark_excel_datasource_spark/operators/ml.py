@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..catalog import spread, table
+from ..catalog import local_df, spread, table
 from ..functions.determinism import canon, dround, sql_canon, sql_dround
 from ..plans.registry import query
 
@@ -158,9 +158,9 @@ def nb_scores(train: DataFrame, test: DataFrame) -> DataFrame:
     """The NB scoring frame: one row per (test doc, class) with columns
     (doc_id, true_lang, cls, score) — the Spark twin of
     ``nb_scores_sql``'s ``with_prior`` CTE."""
-    tok = lambda df: F.explode(F.split(F.lower(df["text"]), " ")).alias("tok")  # noqa: E731
+    tok = "explode(split(lower(text), ' ')) AS tok"
 
-    tr = train.select("lang", tok(train))
+    tr = train.selectExpr("lang", tok)
     # r14 opt (guide §1.2 "don't compute things twice"): totals and vocab
     # are exact functions of the aggregated model table — n_toks(lang) =
     # Σ cnt, |vocab| = COUNT(DISTINCT tok) over (lang, tok) rows — so
@@ -181,57 +181,46 @@ def nb_scores(train: DataFrame, test: DataFrame) -> DataFrame:
     classes = train.groupBy("lang").agg(F.count("*").alias("n_docs"))
     nd = train.agg(F.count("*").alias("nd"))
 
-    te = test.select(
-        "doc_id", F.col("lang").alias("true_lang"), tok(test)
-    )
+    te = test.selectExpr("doc_id", "lang AS true_lang", tok)
     model_cls = (
         totals.withColumnRenamed("lang", "cls")
         .crossJoin(F.broadcast(vocab))
     )
-    cnts = counts.select(
-        F.col("lang").alias("mcls"), F.col("tok").alias("mtok"), "cnt"
-    )
+    cnts = counts.selectExpr("lang AS mcls", "tok AS mtok", "cnt")
+    # selectExpr/F.expr spellings below (r15, guide §7.3): identical
+    # expression trees to the column-DSL forms in far fewer py4j round
+    # trips per plan build — this builder backs six registered queries
+    # plus the q_eval_ap headline, which pays it on every bench sample.
     tok_scores = (
         te.crossJoin(F.broadcast(model_cls))
         .join(
             F.broadcast(cnts),
-            (F.col("cls") == F.col("mcls")) & (F.col("tok") == F.col("mtok")),
+            F.expr("cls = mcls AND tok = mtok"),
             "left",
         )
-        .select(
+        .selectExpr(
             "doc_id",
             "true_lang",
             "cls",
-            F.log(
-                (F.coalesce(F.col("cnt"), F.lit(0)) + 1).cast("double")
-                / (F.col("n_toks") + F.col("v")).cast("double")
-            ).alias("lnp"),
+            "ln(CAST(coalesce(cnt, 0) + 1 AS DOUBLE)"
+            " / CAST(n_toks + v AS DOUBLE)) AS lnp",
         )
     )
-    priors = (
-        classes.crossJoin(F.broadcast(nd))
-        .select(
-            F.col("lang").alias("cls"),
-            F.log(
-                F.col("n_docs").cast("double") / F.col("nd").cast("double")
-            ).alias("ln_prior"),
-        )
+    priors = classes.crossJoin(F.broadcast(nd)).selectExpr(
+        "lang AS cls",
+        "ln(CAST(n_docs AS DOUBLE) / CAST(nd AS DOUBLE)) AS ln_prior",
     )
     return (
         tok_scores.groupBy("doc_id", "true_lang", "cls")
         .agg(
-            F.aggregate(
-                F.array_sort(F.collect_list("lnp")),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("sum_lnp")
+            F.expr(
+                "aggregate(array_sort(collect_list(lnp)), 0.0D,"
+                " (acc, x) -> acc + x) AS sum_lnp"
+            )
         )
         .join(F.broadcast(priors), "cls")
-        .select(
-            "doc_id",
-            "true_lang",
-            "cls",
-            (F.col("sum_lnp") + F.col("ln_prior")).alias("score"),
+        .selectExpr(
+            "doc_id", "true_lang", "cls", "sum_lnp + ln_prior AS score"
         )
     )
 
@@ -773,7 +762,7 @@ def q_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .collect()
     )
-    cm = spark.createDataFrame(
+    cm = local_df(spark, 
         [(r.pred_lang, r.true_lang, r.n) for r in cm_rows],
         "pred_lang string, true_lang string, n long",
     )

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..catalog import sf_tag, table
+from ..catalog import local_df, sf_tag, table
 from ..functions.determinism import canon, dsum, sql_canon, sql_dsum
 from ..plans.registry import query
 
@@ -323,7 +323,7 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(out)
         )
     fact = spark.read.parquet(out)
-    dim = spark.createDataFrame(
+    dim = local_df(spark, 
         [("click", 1.0), ("view", 0.5), ("purchase", 2.0), ("signup", 3.0)],
         "event_type string, weight double",
     ).filter(F.col("weight") <= 1.0)

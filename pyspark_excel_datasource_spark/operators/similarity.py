@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..catalog import spread, table
+from ..catalog import local_df, spread, table
 from ..functions.determinism import canon
 from ..plans.registry import alias_query, query
 
@@ -546,7 +546,7 @@ def pq_topk(emb: DataFrame, query_ids: list[int]) -> DataFrame:
         q = np.asarray(r.e).reshape(M, d_sub)
         lut = np.einsum("ms,mks->mk", q, books).reshape(-1)
         lut_rows.append((r.vec_id, r.n, lut.tolist()))
-    luts = spark.createDataFrame(
+    luts = local_df(spark, 
         lut_rows, "query_id long, qn double, lut array<double>"
     )
     adc = F.expr(
@@ -1320,7 +1320,7 @@ def q_sim_ann_pq_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).reshape(_OPQ_M, _OPQ_DSUB)
         lut = np.einsum("ms,mks->mk", qv, books).reshape(-1)
         lut_rows.append((r.vec_id, r.n, lut.tolist()))
-    luts = spark.createDataFrame(
+    luts = local_df(spark, 
         lut_rows, "query_id long, qn double, lut array<long>"
     )
     adc = F.expr(

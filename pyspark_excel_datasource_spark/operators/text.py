@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..catalog import spread, table
+from ..catalog import local_df, spread, table
 from ..functions.determinism import canon, dround, sql_dround
 from ..plans.registry import query
 
@@ -1222,7 +1222,7 @@ def q_text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     division of exact integers. No Python anywhere.
     """
     d = spread(table(spark, sf_dir, "documents"))
-    lex = spark.createDataFrame(list(_SENTI_LEX), "tok string, pol int")
+    lex = local_df(spark, list(_SENTI_LEX), "tok string, pol int")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     scored = (
         toks.join(F.broadcast(lex), "tok", "left")

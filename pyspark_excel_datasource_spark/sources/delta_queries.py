@@ -25,7 +25,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import local_df, table
 from ..plans.registry import query
 from .deltalog import (
     delete_partitions,
@@ -329,7 +329,7 @@ def q_delta_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts: dict[str, int] = {}
     for pv in snap.files.values():
         counts[pv["event_type"]] = counts.get(pv["event_type"], 0) + 1
-    files_df = spark.createDataFrame(
+    files_df = local_df(spark, 
         [(k, v) for k, v in counts.items()], "event_type string, n_files long"
     )
     return (
@@ -407,7 +407,7 @@ def q_stream_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise TimeoutError("q_stream_delta: drain did not finish in 120s")
     finally:
         q.stop()
-    part_df = spark.createDataFrame(
+    part_df = local_df(spark, 
         [(r["o_orderstatus"], r["n"], r["s"]) for r in partials],
         "o_orderstatus string, n bigint, s bigint",
     )
@@ -807,7 +807,7 @@ def q_delta_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     path = _materialize_orders_delta(spark, sf_dir)
     rows = [(int(h["version"]), h["operation"]) for h in history(path)]
-    return spark.createDataFrame(rows, "version long, operation string")
+    return local_df(spark, rows, "version long, operation string")
 
 
 def _materialize_mapped_delta(spark: SparkSession, sf_dir: str) -> str:
@@ -1772,7 +1772,7 @@ def q_delta_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             mode="append",
         )
     n, mn, mx = stats_summary(out, "o_orderkey")
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(int(n), int(mn), int(mx))],
         "n_rows long, min_key long, max_key long",
     )
@@ -1818,7 +1818,7 @@ def q_delta_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     d = describe_detail(out)
     assert d["num_rows"] is not None, "fixture files must carry stats"
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (
                 d["format"],

@@ -77,6 +77,8 @@ from typing import Any
 from urllib.parse import quote, unquote
 
 from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import local_df
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     StructField,
@@ -394,7 +396,7 @@ def _dv_positions_df(
     Z85/roaring-decodes its files' bitmaps — inline blobs from the
     descriptor itself, ``.bin`` sidecars from shared table storage."""
     rows = [(k, json.dumps(d)) for k, d in sorted(descriptors.items())]
-    desc_df = spark.createDataFrame(rows, "__del_key string, __dv_desc string")
+    desc_df = local_df(spark, rows, "__del_key string, __dv_desc string")
     if len(rows) > 1:
         # spread the decode: one file's bitmap per task, not all on one
         desc_df = desc_df.repartition(min(len(rows), 64), "__del_key")
@@ -783,7 +785,7 @@ def _dv_filter_task_side(
     100 TB table moves only descriptor metadata; the price is one Arrow
     hop for the files being scanned, which is why the bounded case
     keeps the pure-JVM broadcast anti-join instead."""
-    desc_df = spark.createDataFrame(
+    desc_df = local_df(spark, 
         sorted((k, json.dumps(d)) for k, d in dv_descriptors.items()),
         "__delta_key string, __dv_desc string",
     )
@@ -885,7 +887,7 @@ def _read_files(
     }
     has_deletes = bool(dv_descriptors) or deleted_positions_df is not None
     if not files:
-        out = spark.createDataFrame([], schema)
+        out = local_df(spark, [], schema)
         if file_column:
             out = out.withColumn(file_column, F.lit(None).cast("string"))
         if row_index_column:
@@ -953,7 +955,7 @@ def _read_files(
             ],
         }
     )
-    map_df = spark.createDataFrame(rows, map_schema)
+    map_df = local_df(spark, rows, map_schema)
     abs_root = os.path.abspath(table_path)
     enc_root = quote(abs_root, safe="/-._~!$&'()*+,;=:@")
     norm = F.regexp_replace(
@@ -2134,7 +2136,7 @@ def delete_where(
     # membership via a broadcast semi join, not an In literal — at 1e5+
     # matched files an isin() literal bloats the plan; a file-count-sized
     # broadcast joins in O(1) per row
-    matched_df = spark.createDataFrame(
+    matched_df = local_df(spark, 
         [(m,) for m in sorted(matched)],
         StructType.fromJson(
             {
@@ -2353,7 +2355,7 @@ def update_where(
     }
     if not matched:
         return prev.version, 0, len(prev.files)
-    matched_df = spark.createDataFrame(
+    matched_df = local_df(spark, 
         [(m,) for m in sorted(matched)],
         StructType.fromJson(
             {

@@ -17,7 +17,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import local_df, table
 from ..plans.registry import query
 from .excel_queries import _fixture_dir
 from .iceberg import (
@@ -216,7 +216,7 @@ def q_iceberg_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts: dict[str, int] = {}
     for pv in snap.files.values():
         counts[pv["o_orderstatus"]] = counts.get(pv["o_orderstatus"], 0) + 1
-    files_df = spark.createDataFrame(
+    files_df = local_df(spark, 
         [(k, v) for k, v in counts.items()], "o_orderstatus string, n_files long"
     )
     return (
@@ -338,7 +338,7 @@ def q_iceberg_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             partition_by=("o_orderstatus",),
         )
     meta = files_meta(out)
-    files_df = spark.createDataFrame(
+    files_df = local_df(spark, 
         [
             (r["partition"]["o_orderstatus"], r["record_count"])
             for r in meta
@@ -597,7 +597,7 @@ def q_iceberg_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [
         (int(s["snapshot_id"]), s["operation"]) for s in snapshots(path)
     ]
-    return spark.createDataFrame(rows, "snapshot_id long, operation string")
+    return local_df(spark, rows, "snapshot_id long, operation string")
 
 
 @query(
@@ -1482,7 +1482,7 @@ def q_iceberg_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for r in partitions_meta(out)
     ]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "o_orderstatus string, n_files long, n_rows long"
     )
 
@@ -1689,7 +1689,7 @@ def q_iceberg_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             mode="append" if i else "overwrite",
         )
     n, mn, mx = stats_summary_iceberg(out, "o_orderkey")
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(int(n), int(mn), int(mx))],
         "n_rows long, min_key long, max_key long",
     )
@@ -1885,7 +1885,7 @@ def q_iceberg_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
     before = census("before")
     rewrite_manifests(out)
     after = census("after")
-    return spark.createDataFrame(
+    return local_df(spark, 
         [before, after],
         "phase string, n_manifests long, live_entries long, deleted_entries long",
     )
@@ -1933,7 +1933,7 @@ def q_iceberg_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     delete_where_iceberg(spark, out, "o_totalprice > 300000")
     d = describe_detail_iceberg(out)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (
                 d["format"],
