@@ -32,11 +32,31 @@ SF = os.environ.get("STRESS_SF", "/root/testdata/sf0.1")
 FACTOR = int(os.environ.get("STRESS_FACTOR", "10"))
 
 
+#: STRESS_SPREAD=1 repartitions the base frame to cluster width BEFORE
+#: the in-plan replication explode. Without it the replicated rows are
+#: generated inside the base scan's ~5 input splits, so the whole
+#: scaled workload runs at parallelism ≈ input-file splits REGARDLESS
+#: of core count (observed r15: flagship_agg at 30x measured 11.1s on
+#: 32 cores vs 12.2s on 8 — a harness artifact, not a plan property).
+#: Default off to keep the historical throughput-ratio numbers
+#: comparable; turn on for core-scaling measurements.
+SPREAD = os.environ.get("STRESS_SPREAD", "0") == "1"
+
+
+def _maybe_spread(df):
+    if not SPREAD:
+        return df
+    from pyspark_excel_datasource_spark.catalog import spread
+
+    return spread(df)
+
+
 def replicate(df, n: int):
     """n logical copies; replica id folded into the orderkey so join/group
     cardinalities scale realistically instead of creating n-way dup keys."""
     return (
-        df.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(n - 1))))
+        _maybe_spread(df)
+        .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(n - 1))))
         .withColumn(
             "l_orderkey", F.col("l_orderkey") * n + F.col("rep")
         )
@@ -85,7 +105,8 @@ def replicate_docs(docs, n: int):
     structure is preserved within each copy, corpus density stays flat —
     the honest way to 10× a dedup workload)."""
     return (
-        docs.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(n - 1))))
+        _maybe_spread(docs)
+        .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(n - 1))))
         .withColumn("doc_id", F.col("doc_id") * n + F.col("rep"))
         .withColumn(
             "text",
@@ -107,7 +128,7 @@ def replicate_docs_chars(docs, n: int):
     alpha = "abcdefghijklmnopqrstuvwxyz"
     rotated = F.lit(None).cast("string")
     expr = None
-    out = docs.withColumn(
+    out = _maybe_spread(docs).withColumn(
         "rep", F.explode(F.sequence(F.lit(0), F.lit(n - 1)))
     ).withColumn("doc_id", F.col("doc_id") * n + F.col("rep"))
     for r in range(n):
@@ -123,7 +144,8 @@ def replicate_vecs(vecs, n: int):
     """n near-identical copies with a deterministic per-replica nudge on
     one dimension — bucket density grows linearly, not degenerately."""
     return (
-        vecs.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(n - 1))))
+        _maybe_spread(vecs)
+        .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(n - 1))))
         .withColumn("vec_id", F.col("vec_id") * n + F.col("rep"))
         .withColumn(
             "embedding",
@@ -144,7 +166,8 @@ def replicate_events(ev, n: int):
     honest way to scale a per-user-window workload (hot keys don't get
     hotter, there are just more of them)."""
     return (
-        ev.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(n - 1))))
+        _maybe_spread(ev)
+        .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(n - 1))))
         .withColumn("user_id", F.col("user_id") * n + F.col("rep"))
         .withColumn("event_id", F.col("event_id") * n + F.col("rep"))
         .drop("rep")
@@ -220,7 +243,8 @@ def main() -> None:
     n1 = li1.count()
     li10 = replicate(li1, FACTOR)
     orders10 = (
-        orders1.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(FACTOR - 1))))
+        _maybe_spread(orders1)
+        .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(FACTOR - 1))))
         .withColumn("o_orderkey", F.col("o_orderkey") * FACTOR + F.col("rep"))
         .drop("rep")
     )
