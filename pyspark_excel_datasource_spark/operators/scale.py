@@ -323,10 +323,25 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(out)
         )
     fact = spark.read.parquet(out)
-    dim = local_df(spark, 
-        [("click", 1.0), ("view", 0.5), ("purchase", 2.0), ("signup", 3.0)],
-        "event_type string, weight double",
-    ).filter(F.col("weight") <= 1.0)
+    # The dim must be a real TABLE scan (r15): an Arrow-local literal
+    # frame gets its filter constant-folded into the LocalRelation by
+    # ConvertToLocalRelation, and with no selective predicate left the
+    # DPP rule never fires — exactly the plan property this query
+    # exists to demonstrate. A parquet dim (what a star-schema
+    # dimension IS at scale) keeps the filter a scan predicate, DPP
+    # inserts the runtime partition filter, and no python-backed
+    # relation appears anywhere (test_dpp_prunes_fact_partitions pins
+    # the plan).
+    dim_out = os.path.join(
+        "/root/repo/.fixtures", sf_tag(sf_dir), "event_weights_dim"
+    )
+    if not os.path.exists(os.path.join(dim_out, "_SUCCESS")):
+        local_df(
+            spark,
+            [("click", 1.0), ("view", 0.5), ("purchase", 2.0), ("signup", 3.0)],
+            "event_type string, weight double",
+        ).coalesce(1).write.mode("overwrite").parquet(dim_out)
+    dim = spark.read.parquet(dim_out).filter(F.col("weight") <= 1.0)
     return (
         fact.join(F.broadcast(dim), "event_type")
         .groupBy("event_type")
